@@ -1,38 +1,479 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship north-star query (point-in-time
+feature engineering + HSIC-Lasso selection) on sf0.001.
+``queries()``/``oracle_sql()`` expose each implemented operator from
+SURVEY.md §2 with a DuckDB-checkable ANSI-SQL oracle.
+
+Cross-engine determinism conventions used throughout:
+* timestamps compared as ``unix_micros`` (int64, exact);
+* money aggregates computed in integer cents (exact in both engines —
+  double summation order differs between engines otherwise);
+* every ORDER/window includes a unique tiebreaker column;
+* aggregate/computed columns aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _us(col) -> "F.Column":
+    """Epoch microseconds (int64) of a timestamp column — exact for
+    cross-engine comparison.  Parquet timestamps arrive as
+    TIMESTAMP_NTZ in Spark 4; with the session pinned to UTC the cast
+    matches DuckDB's epoch_us."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str = SF_DEFAULT) -> DataFrame:
+    """Point-in-time feature selection over the events stream: engineer
+    lag/rolling/session features per user timeline, as-of join them
+    (strictly backward — zero leakage) onto purchase events, then rank
+    features by distributed HSIC-Lasso."""
+    from hiselspark.operators.asof import asof_join
+    from hiselspark.operators.windows import (rolling_aggregates, sessionize,
+                                              with_lags)
+    from hiselspark.selection import SparkHSICSelector
+
+    events = _ev(spark, sf_dir).withColumn("value", F.col("value").cast("double"))
+    feats = sessionize(events, "user_id", "ts")
+    feats = with_lags(feats, "user_id", "ts", ["value"], lags=(1, 2))
+    feats = rolling_aggregates(feats, "user_id", "ts",
+                               {"value": ["mean", "count"]},
+                               window_seconds=3600.0)
+    feats = (feats
+             .withColumn("hour_of_day",
+                         F.hour("ts").cast("double"))
+             .withColumn("is_error",
+                         (F.col("event_type") == "error").cast("double"))
+             .withColumn("sess_pos",
+                         F.col("session_id").cast("double")))
+    feature_cols = ["value", "value_lag1", "value_lag2",
+                    "value_roll_mean_3600s", "value_roll_count_3600s",
+                    "hour_of_day", "is_error", "sess_pos"]
+    feats = feats.select("user_id", "ts", *feature_cols)
+
+    labels = (events.filter(F.col("event_type") == "purchase")
+              .select("user_id", "ts", F.col("value").alias("y")))
+    frame = asof_join(labels, feats, on="user_id", left_ts="ts",
+                      right_ts="ts", value_cols=feature_cols, strict=True)
+    frame = frame.dropna(subset=feature_cols)
+    frame = frame.select(
+        F.col("y"), *[F.col(c).cast("double").alias(c) for c in feature_cols])
+
+    sel = SparkHSICSelector(frame, feature_cols, ["y"])
+    res = sel.run(number_of_features=4, minibatch_size=100, mode="scale")
+    rows = [
+        (name, float(res.hsic_scores[name]), rank + 1,
+         name in res.features)
+        for rank, name in enumerate(res.hsic_scores
+                                    .sort_values(ascending=False).index)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, hsic_score double, rank int, selected boolean")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return flagship(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# operator queries (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.operators.windows import with_lags, with_leads
+    ev = _ev(spark, sf_dir)
+    out = with_lags(ev, "user_id", "ts", ["value"], lags=(1,))
+    out = with_leads(out, "user_id", "ts", ["value"], leads=(1,))
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        F.col("value_lag1").alias("lag1"),
+        F.col("value_lead1").alias("lead1"))
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.operators.windows import forward_fill
+    ev = _ev(spark, sf_dir).withColumn(
+        "v_or_null",
+        F.when(F.col("event_type") != "error", F.col("value")))
+    out = forward_fill(ev, "user_id", "ts", ["v_or_null"])
+    return out.select(
+        "event_id", "user_id",
+        F.col("v_or_null_ffill").alias("v_filled"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.operators.windows import sessionize
+    ev = _ev(spark, sf_dir)
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800.0)
+    return (out.groupBy("user_id", "session_id")
+               .agg(F.count("*").alias("n_events"),
+                    F.min(_us("ts")).alias("session_start_us")))
+
+
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.operators.windows import rolling_aggregates
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_aggregates(ev, "user_id", "ts",
+                             {"cents": ["sum", "count"]},
+                             window_seconds=3600.0)
+    return out.select(
+        "event_id", "user_id",
+        F.col("cents_roll_sum_3600s").alias("roll_sum_cents"),
+        F.col("cents_roll_count_3600s").alias("roll_n"))
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of: for each purchase, the user's most recent click
+    value at-or-before the purchase."""
+    from hiselspark.operators.asof import asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("click_value")))
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        "click_value",
+        _us("__matched_ts").alias("click_ts_us"))
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a 2h tolerance window (stale features rejected)."""
+    from hiselspark.operators.asof import asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("view_value")))
+    out = asof_join(purchases, views, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["view_value"],
+                    tolerance_seconds=7200.0)
+    return out.select("event_id", "user_id", "view_value",
+                      _us("__matched_ts").alias("view_ts_us"))
+
+
+def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    return (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+              .agg(F.sum("cents").alias("day_cents"),
+                   F.count("*").alias("day_n"))
+              .select("user_id", _us("day").alias("day_us"),
+                      "day_cents", "day_n"))
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    return (ev.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= 3)
+              .select("user_id", "rk", "event_id", "value"))
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = lambda c: F.round(F.col(c) * 100).cast("long")  # noqa: E731
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+                   F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+                   F.count("*").alias("count_order"))
+              .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicit broadcast of the dimensions."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders
+            .join(F.broadcast(cust),
+                  orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation),
+                  cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("total_cents"),
+                 F.count("*").alias("n_orders")))
+
+
+def q_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.functions.text import token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        token_count("text").cast("int").alias("n_tokens"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups on normalized text: canonical doc id +
+    group size for every document."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (docs.withColumn("__n", norm)
+                .groupBy("__n")
+                .agg(F.min("doc_id").alias("canonical_id"),
+                     F.count("*").alias("group_size"))
+                .groupBy("group_size")
+                .agg(F.count("*").alias("n_groups"))
+                .orderBy("group_size"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbours of the first 20 vectors
+    (vectorized JVM expressions: zip_with + aggregate)."""
+    from pyspark.sql import Window
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("v").alias("p"))
+    dot = F.aggregate(F.zip_with("p", "v", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (probes.crossJoin(e)
+             .filter(F.col("probe_id") != F.col("vec_id"))
+             .withColumn("cos", dot / (norm(F.col("p")) * norm(F.col("v")))))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc())
+    return (pairs.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= 5)
+                 .select("probe_id", "rk", "vec_id",
+                         F.round("cos", 6).alias("cos_sim")))
+
+
+def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HSIC-Lasso on the embeddings table: which of the 64
+    embedding dimensions carry dependence with the label.  Non-SQL op —
+    rows-only check (deterministic: parity batching on vec_id)."""
+    from hiselspark.selection import SparkHSICSelector
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = 64
+    wide = emb.select(
+        "vec_id",
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(d)])
+    cols = [f"e{i}" for i in range(d)]
+    sel = SparkHSICSelector(wide, cols, ["y"])
+    res = sel.run(number_of_features=8, minibatch_size=100, mode="parity",
+                  order_col="vec_id")
+    rows = [(c, float(res.hsic_scores[c]), c in res.features) for c in cols]
+    return spark.createDataFrame(
+        rows, "feature string, hsic_score double, selected boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "lag_lead": q_lag_lead,
+        "ffill": q_ffill,
+        "sessionize": q_sessionize,
+        "rolling_1h": q_rolling_1h,
+        "asof_join": q_asof_join,
+        "asof_tolerance": q_asof_tolerance,
+        "tumbling_daily": q_tumbling_daily,
+        "topk_per_user": q_topk_per_user,
+        "tpch_q1": q_tpch_q1,
+        "broadcast_join_agg": q_broadcast_join_agg,
+        "caption_stats": q_caption_stats,
+        "dedup_exact": q_dedup_exact,
+        "embedding_topk": q_embedding_topk,
+        "hsic_select_embeddings": q_hsic_select_embeddings,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "lag_lead": """
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   LAG(value) OVER w AS lag1,
+                   LEAD(value) OVER w AS lead1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "ffill": """
+            SELECT event_id, user_id,
+                   LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS v_filled
+            FROM events
+        """,
+        "sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_id
+              FROM gaps
+            )
+            SELECT user_id, session_id,
+                   COUNT(*) AS n_events,
+                   MIN(epoch_us(ts)) AS session_start_us
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "rolling_1h": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS roll_sum_cents,
+                   COUNT(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "asof_join": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, MAX(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   c.click_value,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "asof_tolerance": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), views AS (
+              SELECT user_id, ts, MAX(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ), joined AS (
+              SELECT p.event_id, p.user_id, v.view_value, v.ts AS vts, p.ts
+              FROM purchases p
+              ASOF LEFT JOIN views v
+                ON p.user_id = v.user_id AND v.ts <= p.ts
+            )
+            SELECT event_id, user_id,
+                   CASE WHEN epoch(ts) - epoch(vts) <= 7200
+                        THEN view_value END AS view_value,
+                   CASE WHEN epoch(ts) - epoch(vts) <= 7200
+                        THEN epoch_us(vts) END AS view_ts_us
+            FROM joined
+        """,
+        "tumbling_daily": """
+            SELECT user_id,
+                   epoch_us(date_trunc('day', ts)) AS day_us,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents,
+                   COUNT(*) AS day_n
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        """,
+        "topk_per_user": """
+            SELECT user_id, rk, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rk
+              FROM events)
+            WHERE rk <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS sum_base_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join_agg": """
+            SELECT n_name,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                     AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "caption_stats": """
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_calc,
+                   CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "dedup_exact": """
+            WITH groups AS (
+              SELECT regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')
+                       AS n,
+                     MIN(doc_id) AS canonical_id,
+                     COUNT(*) AS group_size
+              FROM documents GROUP BY 1
+            )
+            SELECT group_size, COUNT(*) AS n_groups
+            FROM groups GROUP BY group_size ORDER BY group_size
+        """,
+        "embedding_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), probes AS (
+              SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 20
+            ), pairs AS (
+              SELECT probe_id, vec_id,
+                     list_dot_product(p, v)
+                       / (sqrt(list_dot_product(p, p))
+                          * sqrt(list_dot_product(v, v))) AS cos
+              FROM probes, e
+              WHERE probe_id <> vec_id
+            )
+            SELECT probe_id, rk, vec_id, round(cos, 6) AS cos_sim FROM (
+              SELECT probe_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY cos DESC, vec_id ASC) AS rk
+              FROM pairs)
+            WHERE rk <= 5
+        """,
+        # hsic_select_embeddings: intentionally no oracle (iterative
+        # LARS selection is not SQL-expressible) -> rows-only check.
+    }

@@ -1,0 +1,111 @@
+"""Benchmark harness — the driver runs this per round.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line.  The headline ``value`` is the north metric: entity×timestamp
+feature rows/sec through the full point-in-time pipeline (as-of join +
+windowed features + HSIC selection) on the deterministic synthetic
+image+caption corpus; ``queries`` carries per-query wall seconds.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` (separate sessions needed) and recorded in
+BASELINE.md / BENCH_SCALING.json.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# north-pipeline corpus size scales with the sf of the test tables
+_SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_N_IMAGES",
+                              str(int(600_000 * _SF_GUESS))))
+
+
+def build_session():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder
+        .master(f"local[{CPUS}]")
+        .appName("hiselspark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as se
+    from hiselspark import datagen
+    from hiselspark.pipeline import select_features_pointintime
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM/Arrow paths once so per-query numbers are not
+    # dominated by first-call initialization
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    qs = se.queries()
+    for name in ("asof_join", "rolling_1h", "sessionize", "lag_lead",
+                 "tpch_q1", "broadcast_join_agg", "embedding_topk",
+                 "dedup_exact"):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR)
+              .write.format("noop").mode("overwrite").save())
+
+    timed("flagship_events", lambda: se.flagship(spark, SF_DIR).collect())
+
+    # north metric: full image+caption point-in-time pipeline
+    n_labels = max(N_IMAGES // 4, 100)
+    images = datagen.images(spark, N_IMAGES, seed=42, partitions=CPUS)
+    lbls = datagen.labels(spark, N_IMAGES, n_labels=n_labels, seed=42,
+                          partitions=max(CPUS // 4, 1))
+    t0 = time.perf_counter()
+    res = select_features_pointintime(images, lbls, number_of_features=4,
+                                      minibatch_size=200, mode="scale")
+    north_sec = time.perf_counter() - t0
+    timings["north_pipeline"] = round(north_sec, 3)
+    rows_per_sec = res.n_rows_used / north_sec if north_sec > 0 else 0.0
+
+    print(json.dumps({
+        "metric": "entity_ts_feature_rows_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/sec",
+        "queries": timings,
+        "sf": _SF_GUESS,
+        "north_pipeline": {
+            "n_images": N_IMAGES,
+            "n_labels": n_labels,
+            "feature_rows_used": res.n_rows_used,
+            "n_minibatches": res.n_minibatches,
+            "selected": res.features,
+            "wall_sec": round(north_sec, 3),
+        },
+        "cpus": CPUS,
+    }))
+
+
+if __name__ == "__main__":
+    main()

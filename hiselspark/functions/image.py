@@ -1,0 +1,154 @@
+"""Image-payload feature extraction.
+
+Images ride as opaque ``binary`` columns with typed metadata
+``(w, h, fmt)`` per the input hint.  Feature extraction is split into:
+
+* **JVM-side bit features** — ``phash`` unpacked to 64 {0,1} integer
+  columns and a hamming-weight column with built-in expressions only
+  (no Python), so Catalyst codegens them;
+* **Arrow-batched pixel statistics** — decode ``bytes`` per ``fmt`` and
+  compute per-channel mean/std + quantiles inside ``mapInPandas``.
+  The ``raw`` codec (uncompressed RGB8) is implemented and exact
+  (PSNR = ∞ ≥ 40 dB trivially); lossy codecs (jpeg/png/webp) need
+  image libraries absent from this sandbox, so :func:`decode_image`
+  raises ``NotImplementedError`` for them behind a registry that a
+  deployment with PIL/libvips would extend.  The Spark-side plumbing
+  (schema, batching, UDF signatures) is identical for every codec and
+  is what the tests exercise.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# ---------------------------------------------------------------------------
+# phash bit features (pure JVM expressions)
+# ---------------------------------------------------------------------------
+
+
+def phash_bit_columns(df: DataFrame, phash_col: str = "phash",
+                      n_bits: int = 64, prefix: str = "pbit") -> DataFrame:
+    """Unpack a 64-bit perceptual hash into ``n_bits`` {0,1} integer
+    columns ``{prefix}{i}`` — delta-kernel features for HSIC selection.
+    Built-in shift/mask expressions only."""
+    cols = [
+        F.shiftrightunsigned(F.col(phash_col), i)
+        .bitwiseAND(F.lit(1).cast("long"))
+        .cast("int").alias(f"{prefix}{i}")
+        for i in range(n_bits)
+    ]
+    return df.select("*", *cols)
+
+
+def phash_hamming_weight(df: DataFrame, phash_col: str = "phash",
+                         out_col: str = "phash_weight") -> DataFrame:
+    """Population count of the hash — a cheap numeric summary feature."""
+    return df.withColumn(out_col, F.bit_count(phash_col).cast("int"))
+
+
+def phash_hamming_distance(a, b):
+    """Column expression: hamming distance between two phash columns
+    (used by near-duplicate detection)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+# ---------------------------------------------------------------------------
+# decoding (codec registry; 'raw' implemented, lossy codecs stubbed)
+# ---------------------------------------------------------------------------
+
+def _decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    if arr.size != w * h * 3:
+        raise ValueError(
+            f"raw buffer has {arr.size} bytes, expected {w * h * 3}")
+    return arr.reshape(h, w, 3)
+
+
+def _unavailable(fmt: str) -> Callable[..., np.ndarray]:
+    def _raise(buf, w, h):
+        raise NotImplementedError(
+            f"codec '{fmt}' needs an image library (PIL/libvips) that is "
+            "not available in this environment; extend CODECS to add it")
+    return _raise
+
+
+CODECS: Dict[str, Callable[[bytes, int, int], np.ndarray]] = {
+    "raw": _decode_raw,
+    "jpeg": _unavailable("jpeg"),
+    "png": _unavailable("png"),
+    "webp": _unavailable("webp"),
+}
+
+
+def decode_image(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode to ``(h, w, 3)`` uint8.  The per-row invariant for lossy
+    codecs is PSNR >= 40 dB vs the encoder input; for 'raw' decoding is
+    exact."""
+    try:
+        codec = CODECS[fmt]
+    except KeyError:
+        raise NotImplementedError(f"unknown image format: {fmt}")
+    return codec(buf, w, h)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+# ---------------------------------------------------------------------------
+# pixel statistics (Arrow-batched; no per-row Python at the Spark level)
+# ---------------------------------------------------------------------------
+
+PIXEL_STAT_FIELDS = [
+    T.StructField("px_mean_r", T.DoubleType()),
+    T.StructField("px_mean_g", T.DoubleType()),
+    T.StructField("px_mean_b", T.DoubleType()),
+    T.StructField("px_std_r", T.DoubleType()),
+    T.StructField("px_std_g", T.DoubleType()),
+    T.StructField("px_std_b", T.DoubleType()),
+    T.StructField("px_q25", T.DoubleType()),
+    T.StructField("px_q50", T.DoubleType()),
+    T.StructField("px_q75", T.DoubleType()),
+]
+
+
+def _pixel_stats_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    stats = np.empty((len(pdf), 9), dtype=np.float64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+    for r in range(len(pdf)):
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]), str(fmts[r]))
+        flat = img.reshape(-1, 3).astype(np.float64)
+        stats[r, 0:3] = flat.mean(axis=0)
+        stats[r, 3:6] = flat.std(axis=0)
+        stats[r, 6:9] = np.quantile(flat, [0.25, 0.5, 0.75])
+    out = pdf.drop(columns=["bytes"])
+    for i, f in enumerate(PIXEL_STAT_FIELDS):
+        out[f.name] = stats[:, i]
+    return out
+
+
+def with_pixel_stats(df: DataFrame) -> DataFrame:
+    """Append per-channel mean/std and luminance quantiles, dropping the
+    payload column afterwards (never carry multi-KB blobs through a
+    shuffle you don't have to).  Arrow-batched ``mapInPandas``; the
+    per-image loop is inside the batch, vectorized over pixels."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + PIXEL_STAT_FIELDS)
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _pixel_stats_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)

@@ -1,0 +1,178 @@
+"""Point-in-time (as-of / backward) join — the leakage-free feature join.
+
+For every label row ``(entity_id, ts)`` attach, per feature column, the
+most recent feature row of the same entity with ``feature_ts <= ts``
+(or ``< ts`` when ``strict``), optionally within a tolerance window.
+Semantics match ``pandas.merge_asof(direction="backward")`` and DuckDB
+``ASOF JOIN`` (both used as oracles in tests), which is what the
+reference-derived north rule requires (BASELINE.json: "as-of/backward
+merge", "zero temporal leakage").
+
+Two physical strategies, both shuffle-once:
+
+* :func:`asof_join` (default) — **union + running last**: tag both
+  sides, union them, and compute ``last(value, ignoreNulls=True)`` over
+  a ``(entity)`` window ordered by ``(ts, side)``.  Pure built-in
+  operators: one hash shuffle on the entity key, whole-stage codegen,
+  no Python in the hot path, and Catalyst/AQE handle partition
+  coalescing.  This is the scale path — state per task is O(1) per
+  entity (the running window frame), so it survives 1000 executors
+  reading 100 TB as long as single-entity timelines fit a partition
+  (they do: the shuffle key is the entity, and skewed entities are
+  handled by AQE skew-join or upstream salting, see operators/skew.py).
+* :func:`asof_join_cogrouped` — cogrouped ``applyInPandas`` running
+  ``pd.merge_asof`` per entity group: Arrow-vectorized, useful when
+  joining very many feature columns at once where the window variant
+  would build one running-last state per column.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    labels: DataFrame,
+    features: DataFrame,
+    on: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    strict: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join via union + running ``last(...ignoreNulls)``.
+
+    Returns ``labels`` with one extra column per feature value column
+    (named ``f"{col}{suffix}"``), plus ``__matched_ts`` with the
+    timestamp the value came from (null when no match — e.g. a label
+    earlier than every feature row: zero temporal leakage by
+    construction, since only rows ordered at-or-before the label in the
+    ``(ts, side)`` sort can ever be seen by the running window).
+    """
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, right_ts)]
+    value_cols = list(value_cols)
+
+    # side marker: features sort before labels at equal ts so that an
+    # equal-timestamp feature IS visible (<=); with strict=True labels
+    # sort first, so equal-timestamp features are NOT visible (<).
+    feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+
+    # label columns ride through the union (null on feature rows) so no
+    # join-back is needed — the whole operator is ONE shuffle on the
+    # entity key.
+    ltypes = {f.name: f.dataType for f in labels.schema.fields}
+    passthrough = [c for c in labels.columns if c not in (on, left_ts)]
+
+    # matched values are row-atomic: the whole feature row rides in one
+    # struct, and the running last(ignoreNulls) picks the latest feature
+    # ROW — a null field inside the matched row stays null, exactly like
+    # pandas merge_asof / DuckDB ASOF JOIN (a per-column last() would
+    # wrongly reach further back for null fields).
+    packed = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols])
+    f_tagged = features.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(feat_rank).alias("__side"),
+        packed.alias("__v"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in passthrough],
+    )
+    null_struct = F.lit(None).cast(
+        f_tagged.schema["__v"].dataType)
+    l_tagged = labels.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(label_rank).alias("__side"),
+        null_struct.alias("__v"),
+        *passthrough,
+    )
+    unioned = f_tagged.unionByName(l_tagged)
+
+    w = (Window.partitionBy("__k")
+               .orderBy(F.col("__t").asc(), F.col("__side").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        "__k", "__t", "__side", *passthrough,
+        F.last("__v", ignorenulls=True).over(w).alias("__m"),
+    ).filter(F.col("__side") == label_rank)
+
+    if tolerance_seconds is not None:
+        in_window = (
+            F.col("__m").isNotNull()
+            & (F.col("__t").cast("timestamp").cast("double")
+               - F.col("__m.__mts").cast("timestamp").cast("double")
+               <= F.lit(float(tolerance_seconds)))
+        )
+        filled = filled.withColumn("__m", F.when(in_window, F.col("__m")))
+
+    return filled.select(
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_ts),
+        *passthrough,
+        *[F.col(f"__m.v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m.__mts").alias("__matched_ts"),
+    )
+
+
+def asof_join_cogrouped(
+    labels: DataFrame,
+    features: DataFrame,
+    on: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    strict: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """Backward as-of join via cogrouped ``applyInPandas`` running
+    ``pd.merge_asof`` per entity.  One shuffle per side on the entity
+    key; the per-group pandas merge is O(n log n) sort + linear scan."""
+    import pyspark.sql.types as T
+
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, right_ts)]
+    value_cols = list(value_cols)
+
+    lab = labels
+    out_fields = list(lab.schema.fields)
+    fschema = {f.name: f.dataType for f in features.schema.fields}
+    out_fields += [T.StructField(f"{c}{suffix}", fschema[c], True)
+                   for c in value_cols]
+    out_fields.append(T.StructField("__matched_ts",
+                                    fschema[right_ts], True))
+    out_schema = T.StructType(out_fields)
+    label_cols = list(lab.columns)
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        rdf = rdf.sort_values(right_ts, kind="mergesort")
+        right = rdf[[right_ts] + value_cols].rename(
+            columns={right_ts: "__matched_ts",
+                     **{c: f"{c}{suffix}" for c in value_cols}})
+        tol = (pd.Timedelta(seconds=tolerance_seconds)
+               if tolerance_seconds is not None else None)
+        merged = pd.merge_asof(
+            ldf, right,
+            left_on=left_ts, right_on="__matched_ts",
+            direction="backward",
+            allow_exact_matches=not strict,
+            tolerance=tol,
+        )
+        return merged[label_cols + [f"{c}{suffix}" for c in value_cols]
+                      + ["__matched_ts"]]
+
+    return (
+        lab.groupBy(on)
+        .cogroup(features.groupBy(on))
+        .applyInPandas(merge, out_schema)
+    )

@@ -1,0 +1,185 @@
+"""Windowed feature engineering over entity timelines.
+
+All operators are pure built-in window functions (JVM-side, whole-stage
+codegen): one hash shuffle on the entity key establishes the
+``partitionBy(entity).orderBy(ts)`` clustering and every operator here
+reuses it — composing several of them on one DataFrame costs a single
+shuffle, which is the property that matters at 100 TB.
+
+Semantics verified against single-node pandas oracles
+(``shift``/``ffill``/``bfill``/rolling) and DuckDB window SQL in tests
+and in the driver's correctness gate (``__spark_entry__.py``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def entity_window(entity_col: str, ts_col: str,
+                  *extra_order) -> WindowSpec:
+    return Window.partitionBy(entity_col).orderBy(ts_col, *extra_order)
+
+
+def ts_seconds(col) -> Column:
+    """Timestamp -> epoch seconds as double (microsecond-precise).
+    Handles TIMESTAMP_NTZ (how Spark 4 reads parquet timestamps) by
+    routing through TIMESTAMP first — with the session pinned to UTC
+    the value is the UTC instant either way."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def with_lags(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+) -> DataFrame:
+    """``{col}_lag{k}`` = value k rows earlier in the entity timeline
+    (north-rule 'lag'; pandas oracle ``groupby().shift(k)``)."""
+    w = entity_window(entity_col, ts_col)
+    out = df
+    for c in cols:
+        for k in lags:
+            out = out.withColumn(f"{c}_lag{k}", F.lag(c, k).over(w))
+    return out
+
+
+def with_leads(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cols: Sequence[str],
+    leads: Sequence[int] = (1,),
+) -> DataFrame:
+    """``{col}_lead{k}`` = value k rows later (pandas ``shift(-k)``)."""
+    w = entity_window(entity_col, ts_col)
+    out = df
+    for c in cols:
+        for k in leads:
+            out = out.withColumn(f"{c}_lead{k}", F.lead(c, k).over(w))
+    return out
+
+
+def forward_fill(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cols: Sequence[str],
+    out_suffix: str = "_ffill",
+) -> DataFrame:
+    """Last non-null value at-or-before each row (pandas ``ffill``)."""
+    w = (entity_window(entity_col, ts_col)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{out_suffix}",
+                             F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def backward_fill(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cols: Sequence[str],
+    out_suffix: str = "_bfill",
+) -> DataFrame:
+    """First non-null value at-or-after each row (pandas ``bfill``).
+
+    NOTE: backfill looks into the future — never feed backfilled columns
+    into a point-in-time feature vector keyed at ``ts`` (temporal
+    leakage); they are for label construction / offline imputation.
+    """
+    w = (entity_window(entity_col, ts_col)
+         .rowsBetween(0, Window.unboundedFollowing))
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{out_suffix}",
+                             F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign 0-based session ids per entity: a new session starts when
+    the gap to the previous event exceeds ``gap_seconds`` (30 min
+    default per the north rule).  Classic gap-flag cumulative sum —
+    two window passes over one clustering, no UDF."""
+    w = entity_window(entity_col, ts_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_new = (
+        prev_ts.isNull()
+        | ((ts_seconds(ts_col) - ts_seconds(prev_ts))
+           > F.lit(float(gap_seconds)))
+    ).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("__new_session", is_new)
+              .withColumn(session_col,
+                          F.sum("__new_session").over(wsum) - 1)
+              .drop("__new_session"))
+
+
+def rolling_aggregates(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    aggs: Dict[str, Sequence[str]],
+    window_seconds: float,
+    include_current: bool = True,
+) -> DataFrame:
+    """Trailing time-range aggregates per entity: for each row, aggregate
+    rows with ``ts in [row_ts - window_seconds, row_ts]`` (closed), or
+    up to 1 microsecond before the current timestamp when
+    ``include_current=False`` — the leakage-safe variant for same-row
+    targets.
+
+    ``aggs`` maps column -> aggregate names from
+    {sum, mean, min, max, count, std}.  Output columns are
+    ``{col}_roll_{agg}_{window_seconds:g}s``.
+    """
+    upper = 0 if include_current else -1  # microseconds
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), upper))
+    fns = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+           "count": F.count, "std": F.stddev_samp}
+    out = df
+    for c, names in aggs.items():
+        for name in names:
+            out = out.withColumn(
+                f"{c}_roll_{name}_{window_seconds:g}s",
+                fns[name](c).over(w))
+    return out
+
+
+def tumbling_aggregates(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    aggs: Dict[str, Sequence[str]],
+    window_seconds: float,
+) -> DataFrame:
+    """Fixed (tumbling) time-bucket aggregates per entity: one output
+    row per ``(entity, window_start)`` — a plain groupBy over
+    ``F.window``, fully parallel."""
+    fns = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+           "count": F.count, "std": F.stddev_samp}
+    exprs = [
+        fns[name](c).alias(f"{c}_{name}")
+        for c, names in aggs.items() for name in names
+    ]
+    win = F.window(ts_col, f"{int(window_seconds)} seconds")
+    return (df.groupBy(entity_col, win.alias("__w"))
+              .agg(*exprs)
+              .withColumn("window_start", F.col("__w.start"))
+              .withColumn("window_end", F.col("__w.end"))
+              .drop("__w"))

@@ -1,0 +1,119 @@
+"""The flagship end-to-end pipeline (north star): point-in-time
+feature assembly over an image+caption corpus followed by HSIC-Lasso
+feature selection.
+
+Stages (each a documented operator elsewhere in the package):
+
+1. featurize images — phash→64 bit features + hamming weight (JVM
+   expressions), decoded-pixel statistics (Arrow ``mapInPandas``),
+   caption length/token counts (JVM expressions);
+2. entity-timeline engineering — sessionize + lags + trailing rolling
+   aggregates, all sharing ONE ``(entity, ts)`` shuffle;
+3. leakage-free as-of join of labels onto the feature timeline
+   (backward, strict ``feature_ts <= label_ts``);
+4. distributed HSIC-Lasso: per-minibatch sufficient statistics inside
+   ``applyInPandas``/``mapInPandas``, sum-reduce, driver LARS.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .functions.image import (phash_bit_columns, phash_hamming_weight,
+                              with_pixel_stats)
+from .functions.text import with_caption_features
+from .operators.asof import asof_join
+from .operators.windows import rolling_aggregates, sessionize, with_lags
+from .selection import SelectionResult, SparkHSICSelector
+
+
+def featurize_images(images: DataFrame, n_phash_bits: int = 16) -> DataFrame:
+    """Image rows -> numeric/categorical feature columns (payload
+    dropped after pixel stats — blobs never cross a shuffle)."""
+    df = phash_hamming_weight(images)
+    df = phash_bit_columns(df, n_bits=n_phash_bits)
+    df = with_caption_features(df)
+    df = with_pixel_stats(df)
+    # raw phash is near-unique per image — useless (and harmful) as a
+    # delta-kernel feature; its information rides in the bit columns
+    return df.drop("caption", "fmt", "image_id", "phash")
+
+
+def engineer_timeline(
+    feats: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    lag_cols: Tuple[str, ...] = ("px_mean_r", "caption_tokens"),
+    rolling_col: str = "px_mean_g",
+    rolling_window_s: float = 6 * 3600.0,
+    session_gap_s: float = 1800.0,
+) -> DataFrame:
+    """Windowed features over the entity timeline; all window specs
+    share the same partitioning so this whole stage is one shuffle."""
+    df = sessionize(feats, entity_col, ts_col, gap_seconds=session_gap_s)
+    df = with_lags(df, entity_col, ts_col,
+                   [c for c in lag_cols if c in df.columns], lags=(1,))
+    df = rolling_aggregates(df, entity_col, ts_col,
+                            {rolling_col: ["mean", "count"]},
+                            window_seconds=rolling_window_s)
+    return df
+
+
+def assemble_training_frame(
+    images: DataFrame,
+    labels: DataFrame,
+    n_phash_bits: int = 16,
+    tolerance_seconds: Optional[float] = None,
+) -> Tuple[DataFrame, List[str]]:
+    """Full point-in-time feature matrix: one row per label
+    ``(entity_id, label_ts)`` with the feature vector as of that
+    moment (backward as-of, zero leakage).  Returns (frame, feature
+    column names)."""
+    feats = engineer_timeline(featurize_images(images, n_phash_bits))
+    feature_cols = [c for c in feats.columns
+                    if c not in ("entity_id", "ts")]
+    joined = asof_join(
+        labels.withColumnRenamed("label_ts", "ts"),
+        feats,
+        on="entity_id", left_ts="ts", right_ts="ts",
+        value_cols=feature_cols,
+        tolerance_seconds=tolerance_seconds,
+    )
+    # drop label rows with no (complete) feature vector: pre-history
+    # labels and first-of-entity rows with null lags
+    out = joined.dropna(subset=feature_cols)
+    return out, feature_cols
+
+
+def select_features_pointintime(
+    images: DataFrame,
+    labels: DataFrame,
+    number_of_features: int = 5,
+    n_phash_bits: int = 16,
+    minibatch_size: int = 200,
+    mode: str = "scale",
+) -> SelectionResult:
+    """The north-star query: which point-in-time features carry
+    dependence with the label, ranked by HSIC-Lasso.
+
+    Feature hygiene learned the hard way (and worth documenting): the
+    normalized delta kernel scales Gram entries by 1/class-count, so
+    raw HSIC scores of categorical features are not magnitude-comparable
+    with RBF-kernel scores — mixing informative features across kernel
+    families biases non-negative LARS toward the RBF side (the reference
+    inherits the same asymmetry; its tests never mix informative
+    families).  Low-cardinality integer features (hash bits, token
+    counts) are therefore cast to double and routed through the RBF
+    kernel, and near-unique identifier-like columns (session_id) are
+    excluded — identity-shaped Grams carry spuriously large HSIC mass.
+    """
+    frame, feature_cols = assemble_training_frame(
+        images, labels, n_phash_bits=n_phash_bits)
+    feature_cols = [c for c in feature_cols if c != "session_id"]
+    frame = frame.select(
+        F.col("y").cast("double").alias("y"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols])
+    sel = SparkHSICSelector(frame, feature_cols, ["y"])
+    return sel.run(number_of_features=number_of_features,
+                   minibatch_size=minibatch_size, mode=mode)

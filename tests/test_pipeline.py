@@ -1,0 +1,63 @@
+"""End-to-end north-star pipeline: synthetic image+caption corpus ->
+point-in-time assembly -> HSIC-Lasso; must recover the planted features
+(datagen plants y = f(phash bit0, bit7, caption token count))."""
+import numpy as np
+import pytest
+
+from hiselspark import datagen
+from hiselspark.functions.image import decode_image, psnr
+from hiselspark.pipeline import (assemble_training_frame,
+                                 select_features_pointintime)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    images = datagen.images(spark, 4000, seed=42, partitions=8)
+    labels = datagen.labels(spark, 4000, n_labels=2000, seed=42)
+    return images, labels
+
+
+def test_corpus_deterministic_across_partitionings(spark):
+    a = datagen.images(spark, 200, partitions=2).toPandas()
+    b = datagen.images(spark, 200, partitions=7).toPandas()
+    a = a.sort_values("image_id").reset_index(drop=True)
+    b = b.sort_values("image_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_corpus_schema_and_skew(corpus):
+    images, _ = corpus
+    pdf = images.limit(500).toPandas()
+    assert set(pdf.columns) == {"image_id", "bytes", "w", "h", "fmt",
+                                "caption", "phash", "entity_id", "ts"}
+    counts = images.groupBy("entity_id").count().toPandas()
+    hot = counts.set_index("entity_id")["count"].get("e000000", 0)
+    assert hot > 3 * counts["count"].median()  # hot entity present
+
+
+def test_decode_roundtrip_exact(corpus):
+    images, _ = corpus
+    row = images.limit(1).collect()[0]
+    img = decode_image(bytes(row["bytes"]), row["w"], row["h"], row["fmt"])
+    assert img.shape == (row["h"], row["w"], 3)
+    assert psnr(img, img) == float("inf")  # raw codec: exact (>= 40dB)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "jpeg")
+
+
+def test_training_frame_no_leakage(corpus):
+    images, labels = corpus
+    frame, cols = assemble_training_frame(images, labels)
+    bad = frame.filter("__matched_ts > ts").count()
+    assert bad == 0
+    assert frame.count() > 500
+
+
+def test_selection_recovers_planted_features(corpus):
+    images, labels = corpus
+    res = select_features_pointintime(images, labels,
+                                      number_of_features=4,
+                                      minibatch_size=150)
+    # y = 2*bit0 - 1.5*bit7 + 0.25*n_tokens + eps (datagen.labels)
+    assert {"pbit0", "pbit7"} <= set(res.features)
+    assert {"caption_tokens", "caption_rtokens"} & set(res.features)

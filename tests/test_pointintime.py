@@ -1,0 +1,171 @@
+"""Point-in-time operators vs single-node pandas oracles, plus the
+adversarial zero-temporal-leakage test (SURVEY.md §5.3)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.operators.asof import asof_join, asof_join_cogrouped
+from hiselspark.operators.windows import (
+    backward_fill, forward_fill, rolling_aggregates, sessionize,
+    with_lags, with_leads,
+)
+
+
+@pytest.fixture(scope="module")
+def timeline(spark):
+    rng = np.random.default_rng(5)
+    n = 400
+    ents = rng.integers(0, 12, size=n)
+    base = pd.Timestamp("2024-01-01")
+    offs = np.sort(rng.integers(0, 3_000_000, size=n))
+    pdf = pd.DataFrame({
+        "entity_id": [f"e{e}" for e in ents],
+        "ts": base + pd.to_timedelta(offs, unit="s"),
+        "v": rng.normal(size=n).round(4),
+        "w": np.where(rng.uniform(size=n) < 0.3, np.nan, rng.uniform(size=n)),
+    })
+    # duplicate-ts rows to exercise tie handling
+    pdf = pd.concat([pdf, pdf.iloc[:5]]).reset_index(drop=True)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def labels_pdf(timeline):
+    rng = np.random.default_rng(9)
+    n = 150
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "entity_id": [f"e{e}" for e in rng.integers(0, 14, size=n)],
+        "ts": base + pd.to_timedelta(
+            rng.integers(-50_000, 3_100_000, size=n), unit="s"),
+        "y": rng.normal(size=n).round(4),
+    })
+    return pdf
+
+
+def _oracle_asof(labels_pdf, timeline, tolerance=None, strict=False):
+    left = labels_pdf.sort_values("ts", kind="mergesort")
+    right = (timeline.sort_values("ts", kind="mergesort")
+             [["entity_id", "ts", "v", "w"]]
+             .rename(columns={"ts": "fts", "v": "v_f", "w": "w_f"}))
+    return pd.merge_asof(
+        left, right, left_on="ts", right_on="fts", by="entity_id",
+        direction="backward", allow_exact_matches=not strict,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None)
+
+
+def _check_asof(got: pd.DataFrame, exp: pd.DataFrame):
+    got = got.sort_values(["entity_id", "ts", "y"]).reset_index(drop=True)
+    exp = exp.sort_values(["entity_id", "ts", "y"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    np.testing.assert_allclose(got["v_f"].to_numpy(dtype=float),
+                               exp["v_f"].to_numpy(dtype=float))
+    np.testing.assert_allclose(got["w_f"].to_numpy(dtype=float),
+                               exp["w_f"].to_numpy(dtype=float))
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_cogrouped])
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_matches_pandas_oracle(spark, timeline, labels_pdf, impl, strict):
+    feats = spark.createDataFrame(timeline).repartition(5)
+    labs = spark.createDataFrame(labels_pdf).repartition(3)
+    got = impl(labs, feats, value_cols=["v", "w"], suffix="_f",
+               strict=strict).toPandas()
+    exp = _oracle_asof(labels_pdf, timeline, strict=strict)
+    _check_asof(got, exp)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_cogrouped])
+def test_asof_tolerance(spark, timeline, labels_pdf, impl):
+    feats = spark.createDataFrame(timeline)
+    labs = spark.createDataFrame(labels_pdf)
+    got = impl(labs, feats, value_cols=["v", "w"], suffix="_f",
+               tolerance_seconds=3600).toPandas()
+    exp = _oracle_asof(labels_pdf, timeline, tolerance=3600)
+    _check_asof(got, exp)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_cogrouped])
+def test_zero_temporal_leakage(spark, labels_pdf, impl):
+    """Adversarial fixture: every feature row is stamped 1ms AFTER the
+    label it would otherwise match — every joined value must be null.
+    One label per entity so no feature can legitimately precede a later
+    label of the same entity."""
+    labels_pdf = labels_pdf.drop_duplicates("entity_id")
+    shifted = labels_pdf.rename(columns={"y": "v"}).copy()
+    shifted["ts"] = shifted["ts"] + pd.Timedelta(milliseconds=1)
+    feats = spark.createDataFrame(shifted)
+    labs = spark.createDataFrame(labels_pdf)
+    got = impl(labs, feats, value_cols=["v"], suffix="_f").toPandas()
+    assert got["v_f"].isna().all()
+    assert got["__matched_ts"].isna().all()
+
+
+def test_lag_lead_match_pandas(spark, timeline):
+    sdf = spark.createDataFrame(timeline).repartition(4)
+    got = with_leads(
+        with_lags(sdf, "entity_id", "ts", ["v"], lags=[1, 2]),
+        "entity_id", "ts", ["v"], leads=[1]).toPandas()
+    got = got.sort_values(["entity_id", "ts", "v"]).reset_index(drop=True)
+    pdf = timeline.sort_values(["entity_id", "ts", "v"],
+                               kind="mergesort").reset_index(drop=True)
+    # pandas oracle on identically ordered frame
+    g = pdf.groupby("entity_id")["v"]
+    for col, exp in [("v_lag1", g.shift(1)), ("v_lag2", g.shift(2)),
+                     ("v_lead1", g.shift(-1))]:
+        np.testing.assert_allclose(got[col].to_numpy(dtype=float),
+                                   exp.to_numpy(dtype=float))
+
+
+def test_ffill_bfill_match_pandas(spark, timeline):
+    tl = timeline.drop_duplicates(subset=["entity_id", "ts"])
+    sdf = spark.createDataFrame(tl).repartition(4)
+    got = backward_fill(
+        forward_fill(sdf, "entity_id", "ts", ["w"]),
+        "entity_id", "ts", ["w"]).toPandas()
+    got = got.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    pdf = tl.sort_values(["entity_id", "ts"],
+                         kind="mergesort").reset_index(drop=True)
+    g = pdf.groupby("entity_id")["w"]
+    np.testing.assert_allclose(got["w_ffill"].to_numpy(dtype=float),
+                               g.ffill().to_numpy(dtype=float))
+    np.testing.assert_allclose(got["w_bfill"].to_numpy(dtype=float),
+                               g.bfill().to_numpy(dtype=float))
+
+
+def test_sessionize(spark):
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame({
+        "entity_id": ["a"] * 5 + ["b"] * 3,
+        "ts": [base, base + pd.Timedelta(minutes=10),
+               base + pd.Timedelta(minutes=50),   # gap > 30min -> new
+               base + pd.Timedelta(minutes=55),
+               base + pd.Timedelta(hours=3),      # new
+               base, base + pd.Timedelta(minutes=29),
+               base + pd.Timedelta(minutes=61)],  # 32min gap -> new
+    })
+    got = (sessionize(spark.createDataFrame(pdf), "entity_id", "ts")
+           .toPandas().sort_values(["entity_id", "ts"]))
+    assert got[got.entity_id == "a"]["session_id"].tolist() == [0, 0, 1, 1, 2]
+    assert got[got.entity_id == "b"]["session_id"].tolist() == [0, 0, 1]
+
+
+def test_rolling_aggregates_match_pandas(spark, timeline):
+    tl = timeline.drop_duplicates(subset=["entity_id", "ts"])
+    sdf = spark.createDataFrame(tl).repartition(4)
+    got = rolling_aggregates(
+        sdf, "entity_id", "ts", {"v": ["sum", "mean", "count"]},
+        window_seconds=86400).toPandas()
+    got = got.sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    pdf = tl.sort_values(["entity_id", "ts"],
+                         kind="mergesort").reset_index(drop=True)
+    r = (pdf.set_index("ts").groupby("entity_id")["v"]
+            .rolling("86400s", closed="both"))
+    exp_sum = r.sum().reset_index().sort_values(["entity_id", "ts"])
+    np.testing.assert_allclose(
+        got["v_roll_sum_86400s"].to_numpy(),
+        exp_sum["v"].to_numpy(), rtol=1e-9)
+    exp_cnt = r.count().reset_index().sort_values(["entity_id", "ts"])
+    np.testing.assert_allclose(
+        got["v_roll_count_86400s"].to_numpy(),
+        exp_cnt["v"].to_numpy())

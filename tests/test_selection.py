@@ -1,0 +1,126 @@
+"""End-to-end parity of the distributed HSIC-Lasso selector with the
+reference pipeline (reference imported in place; its unseeded shuffle is
+patched to the identity so both sides see the same row order —
+SURVEY.md §5.2)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.selection import SparkHSICSelector, hsic_lasso_select
+
+from . import refshim
+
+hisel = refshim.load_reference()
+
+
+def _planted_continuous(n=600, d=8, seed=7):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, d))
+    y = (2.0 * x[:, 1] + 1.0 * x[:, 4] - 3.0 * x[:, 6]).reshape(-1, 1)
+    return x, y
+
+
+def _to_sdf(spark, x, y, ycols=None):
+    d = x.shape[1]
+    cols = [f"f{i}" for i in range(d)]
+    pdf = pd.DataFrame(x, columns=cols)
+    ycols = ycols or [f"y{i}" for i in range(y.shape[1])]
+    for i, c in enumerate(ycols):
+        pdf[c] = y[:, i]
+    pdf["_idx"] = np.arange(len(pdf))
+    return spark.createDataFrame(pdf), cols, ycols
+
+
+@pytest.fixture()
+def no_shuffle(monkeypatch):
+    monkeypatch.setattr(np.random, "permutation", lambda n: np.arange(n))
+
+
+def test_parity_with_reference_selector(spark, no_shuffle):
+    x, y = _planted_continuous()
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    sel = SparkHSICSelector(sdf, cols, ycols, standardize="hisel")
+    res = sel.run(number_of_features=3, minibatch_size=200, mode="parity",
+                  order_col="_idx", batch_size=600)
+
+    ref = hisel.select.HSICSelector(x.copy(), y.copy(),
+                                    feature_names=cols)
+    ref_features = ref.select(number_of_features=3, batch_size=600,
+                              minibatch_size=200, number_of_epochs=1)
+    assert res.features == list(ref_features)
+    ref_path = ref.lasso_path()
+    np.testing.assert_allclose(res.lasso_path.values, ref_path.values,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_parity_multiple_outer_batches(spark, no_shuffle):
+    x, y = _planted_continuous(n=800)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    sel = SparkHSICSelector(sdf, cols, ycols, standardize="hisel")
+    res = sel.run(number_of_features=3, minibatch_size=100, mode="parity",
+                  order_col="_idx", batch_size=400)
+    ref = hisel.select.HSICSelector(x.copy(), y.copy(), feature_names=cols)
+    ref_features = ref.select(number_of_features=3, batch_size=400,
+                              minibatch_size=100, number_of_epochs=1)
+    assert res.features == list(ref_features)
+    np.testing.assert_allclose(res.projection.sum(), 3.0, rtol=1e-9)
+
+
+def test_parity_discrete_features(spark, no_shuffle):
+    rng = np.random.default_rng(11)
+    n, d = 500, 6
+    x = rng.integers(0, 5, size=(n, d))
+    y = (x[:, 0] * 3 + x[:, 3]).reshape(-1, 1).astype(np.int64)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    sel = SparkHSICSelector(sdf, cols, ycols)
+    res = sel.run(number_of_features=2, minibatch_size=250, mode="parity",
+                  order_col="_idx", batch_size=500)
+    ref = hisel.select.HSICSelector(x.copy(), y.copy(), feature_names=cols)
+    ref_features = ref.select(number_of_features=2, batch_size=500,
+                              minibatch_size=250, number_of_epochs=1)
+    assert res.features == list(ref_features)
+    assert set(res.features) == {"f0", "f3"}
+
+
+def test_scale_mode_recovers_planted_features(spark):
+    x, y = _planted_continuous(n=2000, d=10)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    sdf = sdf.repartition(8)
+    res = hsic_lasso_select(sdf, cols, ycols, number_of_features=3,
+                            minibatch_size=100, mode="scale")
+    assert set(res.features) == {"f1", "f4", "f6"}
+    assert res.n_minibatches >= 15
+    # HSIC scores of planted features dominate
+    scores = res.hsic_scores
+    planted = scores[["f1", "f4", "f6"]].min()
+    rest = scores.drop(["f1", "f4", "f6"]).max()
+    assert planted > rest
+
+
+def test_scale_mode_mixed_types(spark):
+    rng = np.random.default_rng(3)
+    n = 1500
+    xc = rng.integers(0, 4, size=(n, 2))
+    xf = rng.uniform(size=(n, 4))
+    y = (2.0 * xf[:, 1] + xc[:, 0]).reshape(-1, 1)
+    pdf = pd.DataFrame({
+        "c0": xc[:, 0], "c1": xc[:, 1],
+        "g0": xf[:, 0], "g1": xf[:, 1], "g2": xf[:, 2], "g3": xf[:, 3],
+        "y": y[:, 0],
+    })
+    sdf = spark.createDataFrame(pdf).repartition(4)
+    sel = SparkHSICSelector(sdf, ["g0", "g1", "g2", "g3", "c0", "c1"], ["y"])
+    # categorical columns are reordered first
+    assert sel.feature_cols[:2] == ["c0", "c1"]
+    assert sel.cat_split == 2
+    res = sel.run(number_of_features=2, minibatch_size=150)
+    assert set(res.features) == {"c0", "g1"}
+
+
+def test_autoselect_threshold_cut(spark):
+    x, y = _planted_continuous(n=1000)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    res = hsic_lasso_select(sdf, cols, ycols, minibatch_size=250,
+                            mode="scale", threshold=0.01)
+    assert set(res.features) >= {"f1", "f6"}
+    assert len(res.features) <= 5

@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB at
+the given sf, compare row count / schema / order-insensitive values.
+
+Usage: python tools/check_oracles.py [sf_dir] [name ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return (df.sort_values(list(df.columns))
+              .reset_index(drop=True))
+
+
+def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list:
+    problems = []
+    if len(got) != len(exp):
+        problems.append(f"rowcount spark={len(got)} duckdb={len(exp)}")
+    if sorted(got.columns) != sorted(exp.columns):
+        problems.append(f"columns spark={sorted(got.columns)} "
+                        f"duckdb={sorted(exp.columns)}")
+        return problems
+    g, e = normalize(got), normalize(exp)
+    if len(g) == len(e):
+        for c in g.columns:
+            gv, ev = g[c], e[c]
+            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+                gv = pd.to_numeric(gv, errors="coerce").astype(float)
+                ev = pd.to_numeric(ev, errors="coerce").astype(float)
+                both_nan = gv.isna() & ev.isna()
+                close = np.isclose(gv.fillna(0), ev.fillna(0),
+                                   rtol=1e-9, atol=1e-12)
+                ok = (both_nan | (close & (gv.isna() == ev.isna()))).all()
+            else:
+                ok = gv.astype(str).equals(ev.astype(str))
+            if not ok:
+                bad = (gv.astype(str) != ev.astype(str)).to_numpy().nonzero()[0][:3]
+                problems.append(
+                    f"values differ in column {c}; first rows {bad.tolist()}: "
+                    f"spark={gv.iloc[bad].tolist()} duckdb={ev.iloc[bad].tolist()}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as se
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "16g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = se.queries()
+    oracles = se.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark query raised {exc!r}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle raised {exc!r}")
+            failures += 1
+            continue
+        problems = compare(name, got, exp)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + " | ".join(problems))
+        else:
+            print(f"ok   {name}: {len(got)} rows match")
+    print(f"\n{failures} failures")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
