@@ -290,6 +290,202 @@ def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "feature string, hsic_score double, selected boolean")
 
 
+def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via the cogrouped merge_asof strategy —
+    checked against the identical oracle as q_asof_join."""
+    from hiselspark.operators.asof import asof_join_cogrouped
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("click_value")))
+    out = asof_join_cogrouped(purchases, clicks, on="user_id",
+                              left_ts="ts", right_ts="ts",
+                              value_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        "click_value",
+        _us("__matched_ts").alias("click_ts_us"))
+
+
+def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.operators.windows import backward_fill
+    ev = _ev(spark, sf_dir).withColumn(
+        "v_or_null",
+        F.when(F.col("event_type") != "error", F.col("value")))
+    out = backward_fill(ev, "user_id", "ts", ["v_or_null"])
+    return out.select("event_id", "user_id",
+                      F.col("v_or_null_bfill").alias("v_bfilled"))
+
+
+def q_rolling_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1h window EXCLUDING the current row (leakage-safe)."""
+    from hiselspark.operators.windows import rolling_aggregates
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_aggregates(ev, "user_id", "ts", {"cents": ["sum"]},
+                             window_seconds=3600.0, include_current=False)
+    return out.select("event_id", "user_id",
+                      F.col("cents_roll_sum_3600s").alias("prior_cents"))
+
+
+def q_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("cents").over(wcum).alias("cum_cents"),
+        F.rank().over(Window.partitionBy("user_id")
+                      .orderBy(F.col("cents").desc())).alias("value_rank"))
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    return (ev.cube("event_type",
+                    F.dayofweek("ts").alias("dow"))
+              .agg(F.sum("cents").alias("cents"),
+                   F.count("*").alias("n")))
+
+
+def q_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (ev.groupBy("user_id")
+              .pivot("event_type", types)
+              .sum("cents"))
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys — must equal the
+    plain GROUP BY (the oracle)."""
+    from hiselspark.operators.skew import salted_aggregate
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    return salted_aggregate(
+        ev, ["event_type"],
+        {"cents_sum": (F.sum, F.sum, "cents"),
+         "n": (F.count, F.sum, "cents")},
+        n_salts=8)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for all document pairs >= 0.5."""
+    from hiselspark.operators.dedup import jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+            .select("a", "b", "n_common", F.round("jaccard", 6)
+                    .alias("jaccard")))
+
+
+def q_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size histogram via 64-bit fingerprints; the
+    oracle groups by normalized text — equal absent hash collisions,
+    which validates the fingerprint semantics."""
+    from hiselspark.functions.text import with_fingerprint
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_fingerprint(docs, "text")
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("group_size"))
+            .groupBy("group_size")
+            .agg(F.count("*").alias("n_groups"))
+            .orderBy("group_size"))
+
+
+def q_language_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.functions.text import with_language_guess
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_language_guess(docs, "text")
+            .select("doc_id", "lang_guess"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hiselspark.functions.text import with_quality_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_quality_score(docs, "text")
+            .select("doc_id", F.round("quality", 6).alias("quality")))
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.5 (brute force — the exact
+    semantics; the LSH variant is checked in tests for recall)."""
+    from hiselspark.operators.similarity import embedding_near_duplicates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (embedding_near_duplicates(emb, dim=64, threshold=0.5,
+                                      use_lsh=False)
+            .select("a", "b", F.round("cos_sim", 6).alias("cos_sim")))
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation with exact-Jaccard verification
+    (rows-only: signature hashes are engine-specific, and LSH recall is
+    probabilistic — the Jaccard arithmetic itself is oracle-checked by
+    q_ngram_jaccard)."""
+    from hiselspark.operators.dedup import minhash_near_duplicates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(docs, "doc_id", "text",
+                                   num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicates within Hamming distance 3 (rows-only:
+    hash-specific signatures)."""
+    from hiselspark.operators.dedup import simhash_near_duplicates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_distance=3)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 neighbours (rows-only: recall is
+    probabilistic by design; exactness is covered by embedding_topk)."""
+    from hiselspark.operators.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(probes, emb, dim=64, k=5,
+                    probe_id_col="vec_id")
+
+
+def q_greedy_hsic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy HSIC forward selection on embedding dims (rows-only:
+    iterative permutation search is not SQL-expressible)."""
+    from hiselspark.hsic_search import hsic_search
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = 16
+    wide = emb.select(
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(d)])
+    sel = hsic_search(wide, [f"e{i}" for i in range(d)], ["y"],
+                      num_permutations=16, max_iter=2, random_state=0)
+    return spark.createDataFrame(
+        [(i, name) for i, name in enumerate(sel)] or [(-1, "none")],
+        "pick_order int, feature string")
+
+
+def q_categorical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMI categorical search over discretised event features
+    (rows-only: permutation search + exact-EMI AMI not SQL-expressible)."""
+    from hiselspark.categorical import categorical_select
+    ev = _ev(spark, sf_dir)
+    feats = ev.select(
+        F.col("value").alias("y"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.dayofweek("ts").cast("long").alias("dow"),
+        (F.col("user_id") % 5).cast("long").alias("user_mod"),
+        F.length("event_type").cast("long").alias("type_len"))
+    sel = categorical_select(feats, ["hour", "dow", "user_mod", "type_len"],
+                             ["y"], random_state=0)
+    return spark.createDataFrame(
+        [(s,) for s in sel] or [("none",)], "feature string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -306,6 +502,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embedding_topk": q_embedding_topk,
         "hsic_select_embeddings": q_hsic_select_embeddings,
+        "asof_cogrouped": q_asof_cogrouped,
+        "bfill": q_bfill,
+        "rolling_excl": q_rolling_excl,
+        "running_stats": q_running_stats,
+        "cube_agg": q_cube_agg,
+        "pivot_types": q_pivot_types,
+        "salted_agg": q_salted_agg,
+        "ngram_jaccard": q_ngram_jaccard,
+        "fingerprint_groups": q_fingerprint_groups,
+        "language_guess": q_language_guess,
+        "quality_score": q_quality_score,
+        "embedding_neardup": q_embedding_neardup,
+        "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
+        "lsh_topk": q_lsh_topk,
+        "greedy_hsic_search": q_greedy_hsic_search,
+        "categorical_search": q_categorical_search,
     }
 
 
@@ -474,6 +687,205 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs)
             WHERE rk <= 5
         """,
-        # hsic_select_embeddings: intentionally no oracle (iterative
-        # LARS selection is not SQL-expressible) -> rows-only check.
+        "asof_cogrouped": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, MAX(value) AS click_value
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   c.click_value,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "bfill": """
+            SELECT event_id, user_id,
+                   FIRST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                               IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS v_bfilled
+            FROM events
+        """,
+        "rolling_excl": """
+            SELECT event_id, user_id,
+                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                     AS prior_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND 1 PRECEDING)
+        """,
+        "running_stats": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   SUM(CAST(round(value * 100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_cents,
+                   RANK() OVER (PARTITION BY user_id
+                                ORDER BY CAST(round(value * 100) AS BIGINT)
+                                         DESC) AS value_rank
+            FROM events
+        """,
+        "cube_agg": """
+            SELECT event_type,
+                   dayofweek(ts) + 1 AS dow,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY CUBE (event_type, dayofweek(ts) + 1)
+        """,
+        "pivot_types": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS click,
+                   SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS view,
+                   SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) END)
+                     AS purchase,
+                   SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS signup,
+                   SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(round(value * 100) AS BIGINT) END) AS error
+            FROM events GROUP BY user_id
+        """,
+        "salted_agg": """
+            SELECT event_type,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents_sum,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "ngram_jaccard": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS words
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                          ELSE array_to_string(words, ' ') END AS shingle
+              FROM norm,
+                   unnest(generate_series(
+                     1, greatest(len(words) - 2, 1))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+              FROM sh l JOIN sh r USING (shingle)
+              WHERE l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, n_common,
+                   round(CAST(n_common AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "fingerprint_groups": """
+            WITH groups AS (
+              SELECT regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')
+                       AS n,
+                     COUNT(*) AS group_size
+              FROM documents GROUP BY 1
+            )
+            SELECT group_size, COUNT(*) AS n_groups
+            FROM groups GROUP BY group_size ORDER BY group_size
+        """,
+        "language_guess": """
+            WITH h AS (
+              SELECT doc_id, lower(text) AS t FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                (CASE WHEN t LIKE '%the%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%and%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ing%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ion%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%to %' THEN 1 ELSE 0 END) AS en,
+                (CASE WHEN t LIKE '%de %' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%que%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ión%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%los%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ado%' THEN 1 ELSE 0 END) AS es,
+                (CASE WHEN t LIKE '%le %' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%les%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%des%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ent%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%tion%' THEN 1 ELSE 0 END) AS fr,
+                (CASE WHEN t LIKE '%der%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%die%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%und%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%sch%' THEN 1 ELSE 0 END
+               + CASE WHEN t LIKE '%ein%' THEN 1 ELSE 0 END) AS de
+              FROM h
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                        WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                        WHEN es = greatest(en, es, fr, de) THEN 'es'
+                        WHEN en = greatest(en, es, fr, de) THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM scored
+        """,
+        "quality_score": """
+            WITH q AS (
+              SELECT doc_id,
+                     LENGTH(text) AS n,
+                     LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS alpha,
+                     regexp_split_to_array(lower(trim(text)), '\\s+')
+                       AS words
+              FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     CASE WHEN n < 10 THEN 0.0
+                          WHEN n > 20000 THEN 0.2 ELSE 1.0 END AS len_band,
+                     alpha / greatest(n, 1) AS alpha_ratio,
+                     len(list_intersect(list_distinct(words),
+                         ['the','a','an','and','or','of','to','in','is',
+                          'it','that','for','on','with','as','this','by',
+                          'at','be','are']))
+                       / greatest(len(words), 1) AS stop_ratio,
+                     CASE WHEN n / greatest(len(words), 1) BETWEEN 3 AND 12
+                          THEN 1.0 ELSE 0.3 END AS wordlen_band
+              FROM q
+            )
+            SELECT doc_id,
+                   round(0.3 * len_band + 0.3 * alpha_ratio
+                         + 0.2 * least(stop_ratio * 5.0, 1.0)
+                         + 0.2 * wordlen_band, 6) AS quality
+            FROM f
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_dot_product(l.v, r.v)
+                         / (sqrt(list_dot_product(l.v, l.v))
+                            * sqrt(list_dot_product(r.v, r.v))), 6)
+                     AS cos_sim
+            FROM e l JOIN e r ON l.vec_id < r.vec_id
+            WHERE list_dot_product(l.v, r.v)
+                  / (sqrt(list_dot_product(l.v, l.v))
+                     * sqrt(list_dot_product(r.v, r.v))) >= 0.5
+        """,
+        # rows-only (not SQL-expressible / engine-specific hashing):
+        # hsic_select_embeddings, minhash_neardup, simhash_neardup,
+        # lsh_topk, greedy_hsic_search, categorical_search
     }

@@ -163,6 +163,35 @@ def gram_joint(
     raise ValueError(kind)
 
 
+def prefix_grams(x: np.ndarray, kind: KernelKind) -> np.ndarray:
+    """Incremental prefix Grams for the greedy HSIC search: slice ``k``
+    of the output is the joint Gram of columns ``0..k`` — RBF with
+    bandwidth ``l^2 = k+1`` (so bandwidth grows with prefix dimension,
+    reference ``kernels.py:114-127``) or joint delta (reference
+    ``kernels.py:149-156``).
+
+    ``x`` is ``(n, d)``; returns ``(d, n, n)``.  The RBF path reuses
+    cumulative squared norms and prefix cross-products instead of
+    recomputing each prefix from scratch.
+    """
+    n, d = x.shape
+    if kind == KernelKind.DELTA:
+        xi = np.asarray(x, dtype=np.int64)
+        out = np.empty((d, n, n))
+        for k in range(d):
+            out[k] = delta_gram_joint(xi[:, : k + 1])
+        return out
+    xf = np.asarray(x, dtype=np.float64)
+    sq = np.cumsum(xf * xf, axis=1)                  # (n, d) prefix norms
+    out = np.empty((d, n, n))
+    cross = np.zeros((n, n))
+    for k in range(d):
+        cross = cross + np.outer(xf[:, k], xf[:, k])
+        d2 = sq[:, k][:, None] + sq[:, k][None, :] - 2.0 * cross
+        out[k] = np.exp(d2 / (-2.0 * (k + 1)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # centering and the flattened feature map
 # ---------------------------------------------------------------------------

@@ -151,14 +151,27 @@ def asof_join_cogrouped(
     out_schema = T.StructType(out_fields)
     label_cols = list(lab.columns)
 
+    # rename the right side to unique internal names BEFORE the cogroup:
+    # when both sides derive from the same source relation the left and
+    # right ts attributes share expression ids, and the cogroup plan
+    # deduplicates one away — the pandas frame then silently misses the
+    # column.  Fresh aliases get fresh expression ids.
+    feat = features.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__rv_{i}") for i, c in enumerate(value_cols)])
+
     def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
         if ldf.empty:
             return pd.DataFrame(columns=[f.name for f in out_fields])
         ldf = ldf.sort_values(left_ts, kind="mergesort")
-        rdf = rdf.sort_values(right_ts, kind="mergesort")
-        right = rdf[[right_ts] + value_cols].rename(
-            columns={right_ts: "__matched_ts",
-                     **{c: f"{c}{suffix}" for c in value_cols}})
+        rdf = rdf.sort_values("__rts", kind="mergesort")
+        right = rdf.rename(
+            columns={"__rts": "__matched_ts",
+                     **{f"__rv_{i}": f"{c}{suffix}"
+                        for i, c in enumerate(value_cols)}})
+        right = right[["__matched_ts"]
+                      + [f"{c}{suffix}" for c in value_cols]]
         tol = (pd.Timedelta(seconds=tolerance_seconds)
                if tolerance_seconds is not None else None)
         merged = pd.merge_asof(
@@ -173,6 +186,6 @@ def asof_join_cogrouped(
 
     return (
         lab.groupBy(on)
-        .cogroup(features.groupBy(on))
+        .cogroup(feat.groupBy("__rk"))
         .applyInPandas(merge, out_schema)
     )

@@ -1,0 +1,212 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All of these are pure DataFrame compositions (JVM-side expressions,
+shuffles only where semantically required), designed so the candidate
+generation scales linearly and the quadratic part only ever runs inside
+small buckets:
+
+* exact — hash-groupBy on normalized content: one shuffle.
+* MinHash + LSH — shingle -> k min-hashes -> band buckets -> in-bucket
+  candidate pairs -> exact-Jaccard verification: the classic
+  Broder/LSH pipeline; no O(n^2) stage, candidates only meet inside a
+  band bucket.
+* SimHash — 64-bit weighted token-hash signature; near-duplicates are
+  pairs within a Hamming radius, found via band-equality buckets
+  (pigeonhole: distance <= 3 over 4 bands guarantees one equal band).
+* n-gram Jaccard — exact pairwise similarity (use on small candidate
+  sets or as verification; it IS quadratic by definition).
+* embedding cosine — see operators/similarity.py; near-dup = cosine
+  above threshold.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per duplicate *group* (size >= 2): canonical (min) id,
+    group size, member ids."""
+    return (df.withColumn("__n", normalize_text(text_col))
+              .groupBy("__n")
+              .agg(F.min(id_col).alias("canonical_id"),
+                   F.count("*").alias("group_size"),
+                   F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+              .filter(F.col("group_size") >= 2)
+              .drop("__n"))
+
+
+def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (min id) per normalized-content group."""
+    from pyspark.sql import Window
+    w = Window.partitionBy(normalize_text(text_col)).orderBy(id_col)
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") == 1)
+              .drop("__rk"))
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Distinct word n-grams as an array column — built-in expressions
+    only (split + transform + slice + concat)."""
+    words = F.split(normalize_text(col), " ")
+    count = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count - 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.when(count >= 1, F.array_distinct(grams)).otherwise(
+        F.array(F.concat_ws(" ", words)))
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = 16, shingle_n: int = 3) -> DataFrame:
+    """(doc, signature array<long>): k independent min-hashes of the
+    shingle set, via seeded xxhash64 — one explode + one groupBy."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
+    return (sh.groupBy("doc")
+              .agg(F.array(*[
+                  F.min(F.xxhash64("shingle", F.lit(i)))
+                  for i in range(num_hashes)
+              ]).alias("signature")))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs (a < b) whose signatures agree on at
+    least one band.  Docs only meet inside a (band, band-hash) bucket —
+    the quadratic blow-up is bounded by bucket size, the LSH guarantee."""
+    k = None  # rows per band derived from the signature length at plan time
+    sig_len = F.size("signature")
+    rows_per_band = (sig_len / bands).cast("int")
+    banded = signatures.select(
+        "doc",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(
+                    F.slice("signature", b * rows_per_band + 1,
+                            rows_per_band).cast("string"),
+                    b).alias("bucket")))).alias("bb"))
+    left = banded.select("bb", F.col("doc").alias("a"))
+    right = banded.select("bb", F.col("doc").alias("b"))
+    return (left.join(right, "bb")
+                .filter(F.col("a") < F.col("b"))
+                .select("a", "b").distinct())
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  candidates: Optional[DataFrame] = None,
+                  threshold: float = 0.0, shingle_n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (all pairs
+    when ``candidates`` is None — quadratic, small inputs only).
+    Computed relationally: explode shingles, self-join on shingle for
+    intersections, join distinct counts for the union."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("l")
+             .join(sh.alias("r"), "shingle")
+             .filter(F.col("l.doc") < F.col("r.doc"))
+             .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+             .agg(F.count("*").alias("n_common")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed("doc", "a")
+                      .withColumnRenamed("n_sh", "n_a"), "a")
+           .join(sizes.withColumnRenamed("doc", "b")
+                      .withColumnRenamed("n_sh", "n_b"), "b")
+           .withColumn("jaccard",
+                       F.col("n_common")
+                       / (F.col("n_a") + F.col("n_b") - F.col("n_common"))))
+    return out.filter(F.col("jaccard") >= threshold).select(
+        "a", "b", "n_common", "jaccard")
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            num_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.5,
+                            shingle_n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: MinHash -> LSH buckets -> exact-Jaccard
+    verification of the candidates at ``threshold``."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, bands)
+    return jaccard_pairs(df, id_col, text_col, candidates=cands,
+                         threshold=threshold, shingle_n=shingle_n)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens: per bit, sum +-1 votes of each
+    token's hash bit; the sign of the vote is the signature bit.  Fully
+    relational: explode tokens, unpack bits arithmetically, aggregate."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = toks.groupBy("doc").agg(*[
+        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long"))
+              * 2 - 1).alias(f"v{i}")
+        for i in range(64)
+    ])
+    sig = None
+    for i in range(64):
+        bit = (F.col(f"v{i}") > 0).cast("long") * F.lit(2 ** i if i < 63
+                                                        else -(2 ** 63))
+        sig = bit if sig is None else sig + bit
+    return votes.select("doc", sig.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_distance: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ``max_distance`` of their SimHash.
+    Candidates via the pigeonhole bands: with 4 16-bit bands, any pair
+    at distance <= 3 shares at least one exact band."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        "doc", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", 16 * b)
+                 .bitwiseAND(F.lit(0xFFFF).cast("long")).alias("key"))
+            for b in range(4)
+        ])).alias("bb"))
+    left = bands.select("bb", F.col("doc").alias("a"),
+                        F.col("simhash").alias("sig_a"))
+    right = bands.select("bb", F.col("doc").alias("b"),
+                         F.col("simhash").alias("sig_b"))
+    pairs = (left.join(right, "bb")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b", "sig_a", "sig_b").distinct()
+             .withColumn("hamming",
+                         F.bit_count(F.col("sig_a")
+                                     .bitwiseXOR(F.col("sig_b")))))
+    return (pairs.filter(F.col("hamming") <= max_distance)
+                 .select("a", "b", "hamming"))

@@ -1,0 +1,168 @@
+"""Dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard) and similarity
+search (brute-force + LSH ANN) vs NumPy/pandas oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hiselspark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(60):
+        n = rng.integers(8, 25)
+        rows.append((i, " ".join(rng.choice(vocab, size=n))))
+    # planted exact duplicates (with whitespace/case noise)
+    rows.append((100, rows[3][1].upper() + "  "))
+    rows.append((101, "  " + rows[3][1]))
+    # planted near-duplicate: one word changed
+    words = rows[7][1].split()
+    words[2] = "CHANGED"
+    rows.append((102, " ".join(words)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    return spark.createDataFrame(pdf).repartition(4), pdf
+
+
+def _py_shingles(text, n=3):
+    words = text.lower().split()
+    if len(words) < n:
+        return {" ".join(words)}
+    return {" ".join(words[i:i + n]) for i in range(len(words) - n + 1)}
+
+
+def test_exact_duplicates(docs):
+    sdf, pdf = docs
+    groups = dedup.exact_duplicates(sdf, "doc_id", "text").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["canonical_id"] == 3
+    assert g["group_size"] == 3
+    assert g["member_ids"] == [3, 100, 101]
+    kept = dedup.deduplicate_exact(sdf, "doc_id", "text")
+    assert kept.count() == sdf.count() - 2
+
+
+def test_jaccard_pairs_match_python_oracle(docs):
+    sdf, pdf = docs
+    got = (dedup.jaccard_pairs(sdf, "doc_id", "text", threshold=0.3)
+           .toPandas().sort_values(["a", "b"]).reset_index(drop=True))
+    # brute-force python oracle
+    sh = {r.doc_id: _py_shingles(r.text) for r in pdf.itertuples()}
+    exp = []
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter == 0:
+                continue
+            j = inter / len(sh[a] | sh[b])
+            if j >= 0.3:
+                exp.append((a, b, j))
+    exp = pd.DataFrame(exp, columns=["a", "b", "jaccard"])
+    assert len(got) == len(exp)
+    merged = got.merge(exp, on=["a", "b"], suffixes=("_g", "_e"))
+    np.testing.assert_allclose(merged["jaccard_g"], merged["jaccard_e"],
+                               rtol=1e-9)
+    # the planted near-dup pair survives at 0.3
+    assert ((got.a == 7) & (got.b == 102)).any()
+
+
+def test_minhash_near_duplicates_finds_planted(docs):
+    sdf, _ = docs
+    got = dedup.minhash_near_duplicates(
+        sdf, "doc_id", "text", num_hashes=32, bands=8,
+        threshold=0.4).toPandas()
+    pairs = set(zip(got.a, got.b))
+    assert (3, 100) in pairs and (3, 101) in pairs and (100, 101) in pairs
+    assert (7, 102) in pairs
+    # verification step: every reported jaccard above threshold
+    assert (got.jaccard >= 0.4).all()
+
+
+def test_minhash_signature_shape(docs):
+    sdf, _ = docs
+    sig = dedup.minhash_signatures(sdf, "doc_id", "text",
+                                   num_hashes=8).toPandas()
+    assert (sig.signature.map(len) == 8).all()
+
+
+def test_simhash_near_duplicates(docs):
+    sdf, _ = docs
+    sigs = dedup.simhash_signatures(sdf, "doc_id", "text").toPandas()
+    s = dict(zip(sigs.doc, sigs.simhash))
+    # identical normalized docs -> identical simhash
+    assert s[3] == s[100] == s[101]
+    got = dedup.simhash_near_duplicates(sdf, "doc_id", "text",
+                                        max_distance=16).toPandas()
+    pairs = set(zip(got.a, got.b))
+    assert (3, 100) in pairs
+    # hamming values consistent with signatures
+    for r in got.itertuples():
+        assert r.hamming == bin((s[r.a] ^ s[r.b]) & ((1 << 64) - 1)).count("1")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(23)
+    n, d = 200, 16
+    # clustered corpus (the honest ANN regime): 10 centers + noise, so
+    # true neighbours have high cosine — LSH recall is meaningful
+    centers = rng.normal(size=(10, d)) * 3.0
+    base = (centers[rng.integers(0, 10, size=n)]
+            + 0.6 * rng.normal(size=(n, d)))
+    # planted near-duplicate of vector 0
+    base[1] = base[0] + 0.01 * rng.normal(size=d)
+    pdf = pd.DataFrame({
+        "vec_id": range(n),
+        "embedding": [row.astype(np.float64).tolist() for row in base],
+    })
+    return spark.createDataFrame(pdf), base
+
+
+def test_cosine_topk_matches_numpy(spark, vectors):
+    sdf, base = vectors
+    probes = sdf.filter(F.col("vec_id") < 5)
+    got = similarity.cosine_topk(probes, sdf, k=5).toPandas()
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    for pid in range(5):
+        s = sims[pid].copy()
+        s[pid] = -np.inf
+        order = np.lexsort((np.arange(len(s)), -s))[:5]
+        mine = got[got.probe_id == pid].sort_values("rk")
+        assert mine.vec_id.tolist() == order.tolist()
+        np.testing.assert_allclose(mine.cos_sim.to_numpy(),
+                                   sims[pid][order], rtol=1e-9)
+
+
+def test_lsh_topk_recall(spark, vectors):
+    sdf, base = vectors
+    probes = sdf.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(probes, sdf, k=3).toPandas()
+    approx = similarity.lsh_topk(probes, sdf, dim=16, k=3,
+                                 n_planes=64).toPandas()
+    hits = 0
+    total = 0
+    for pid in range(10):
+        e = set(exact[exact.probe_id == pid].vec_id)
+        a = set(approx[approx.probe_id == pid].vec_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.5  # 4 bands of 16 bits on random gaussians
+    # the planted near-identical pair must be found
+    assert 1 in set(approx[approx.probe_id == 0].vec_id)
+
+
+def test_embedding_near_duplicates(spark, vectors):
+    sdf, base = vectors
+    got = similarity.embedding_near_duplicates(
+        sdf, dim=16, threshold=0.98, use_lsh=True).toPandas()
+    assert ((got.a == 0) & (got.b == 1)).any()
+    brute = similarity.embedding_near_duplicates(
+        sdf, dim=16, threshold=0.98, use_lsh=False).toPandas()
+    assert set(zip(got.a, got.b)) <= set(zip(brute.a, brute.b))

@@ -1,0 +1,98 @@
+"""Snapshot table format, checkpoint/resume with lineage, metrics
+side-channel (SURVEY.md §5.3 resume test)."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.checkpoint import PartitionedRun
+from hiselspark.metrics import instrument
+from hiselspark.sources.snapshots import SnapshotTable
+
+
+def test_snapshot_append_overwrite_timetravel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df1 = spark.range(0, 10).withColumnRenamed("id", "x")
+    s1 = t.write(df1, mode="overwrite")
+    df2 = spark.range(10, 15).withColumnRenamed("id", "x")
+    s2 = t.write(df2, mode="append")
+    assert t.read(spark).count() == 15
+    assert t.read(spark, snapshot_id=s1.snapshot_id).count() == 10
+    assert t.read(spark, version=s2.version).count() == 15
+    df3 = spark.range(0, 3).withColumnRenamed("id", "x")
+    t.write(df3, mode="overwrite")
+    assert t.read(spark).count() == 3
+    # time travel still sees the old snapshots
+    assert t.read(spark, snapshot_id=s2.snapshot_id).count() == 15
+    snaps = t.snapshots()
+    assert [s.version for s in snaps] == [1, 2, 3]
+    assert snaps[1].parent_id == snaps[0].snapshot_id
+
+
+def test_snapshot_vacuum_removes_only_orphans(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(spark.range(5), mode="overwrite")
+    # orphan: data written but never committed (simulated kill)
+    orphan_dir = os.path.join(t.data_dir, "deadbeef")
+    spark.range(3).write.parquet(orphan_dir)
+    removed = t.vacuum()
+    assert removed >= 1
+    assert t.read(spark).count() == 5
+
+
+def test_checkpoint_resume_skips_committed(spark, tmp_path):
+    calls = []
+
+    def job(partition, out):
+        calls.append(partition)
+        df = spark.range(int(partition) * 10, int(partition) * 10 + 10)
+        df.write.parquet(out)
+        return df
+
+    run = PartitionedRun(str(tmp_path / "run"), input_snapshot="snap-1")
+    run.run(["0", "1"], job)
+    assert calls == ["0", "1"]
+
+    # simulate a later resume over a larger partition list: the two
+    # committed partitions must NOT be recomputed
+    run2 = PartitionedRun(str(tmp_path / "run"), input_snapshot="snap-1")
+    before = {p: e["finished_at"] for p, e in run2.committed().items()}
+    run2.run(["0", "1", "2"], job)
+    assert calls == ["0", "1", "2"]  # only "2" was recomputed
+    after = run2.committed()
+    for p, ts in before.items():
+        assert after[p]["finished_at"] == ts  # untouched lineage
+    assert run2.read_output(spark).count() == 30
+    for e in run2.lineage():
+        assert e["input_snapshot"] == "snap-1"
+        assert e["rows"] == 10
+        assert e["bytes"] > 0
+
+
+def test_checkpoint_cleans_inprogress_debris(spark, tmp_path):
+    run = PartitionedRun(str(tmp_path / "run"))
+    debris = run.output_path("7") + ".inprogress"
+    os.makedirs(debris)
+    with open(os.path.join(debris, "junk"), "w") as f:
+        f.write("killed mid-write")
+
+    def job(partition, out):
+        df = spark.range(4)
+        df.write.parquet(out)
+        return df
+
+    run.run(["7"], job)
+    assert not os.path.exists(debris)
+    assert run.read_output(spark).count() == 4
+
+
+def test_metrics_side_channel(spark):
+    df = spark.range(0, 1000, numPartitions=4)
+    out, m = instrument(df, "scan")
+    assert out.count() == 1000
+    d = m.as_dict()
+    assert d["rows"] == 1000
+    assert d["partitions_seen"] == 4
+    assert d["approx_bytes"] > 0
