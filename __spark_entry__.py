@@ -486,6 +486,180 @@ def q_categorical_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(s,) for s in sel] or [("none",)], "feature string")
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each purchase, the user's EARLIEST view value
+    at-or-after the purchase (label construction / outcome attribution
+    direction)."""
+    from hiselspark.operators.asof import asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("view_value")))
+    out = asof_join(purchases, views, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["view_value"],
+                    direction="forward")
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        "view_value",
+        _us("__matched_ts").alias("view_ts_us"))
+
+
+def q_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: every (purchase, click) pair where the
+    click is within the trailing hour of the purchase, aggregated per
+    purchase."""
+    from hiselspark.operators.interval_join import interval_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+    out = interval_join(purchases, clicks, on="user_id",
+                        lo_seconds=-3600.0, hi_seconds=0.0,
+                        value_cols=["cents"])
+    return (out.groupBy("event_id", "user_id")
+               .agg(F.count("*").alias("n_clicks"),
+                    F.sum("cents").alias("click_cents")))
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-heavy scan aggregate (predicate pushdown showcase);
+    revenue computed in exact integer cents*bps."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * F.round(F.col("l_discount") * 100).cast("long"))
+    return (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                      & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                      & (F.round(F.col("l_discount") * 100).cast("long")
+                         .between(5, 7))
+                      & (F.col("l_quantity") < 24))
+              .agg(F.sum(rev).alias("revenue_unit"),
+                   F.count("*").alias("n_items")))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left anti join)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+                .select("c_custkey", "c_name", "c_nationkey"))
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that ship at least one item (left semi join)."""
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+                .select("s_suppkey", "s_name", "s_nationkey"))
+
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of event value per type (Spark
+    ``percentile`` == DuckDB ``quantile_cont``)."""
+    ev = _ev(spark, sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.percentile("value", 0.25).alias("p25"),
+                   F.percentile("value", 0.5).alias("p50"),
+                   F.percentile("value", 0.75).alias("p75"),
+                   F.count("*").alias("n")))
+
+
+def q_phash_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash bit-unpack + hamming-weight operators (JVM bit
+    expressions), oracle-checked on an integer key column."""
+    from hiselspark.functions.image import (phash_bit_columns,
+                                            phash_hamming_weight)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("phash")))
+    out = phash_bit_columns(orders, n_bits=8)
+    out = phash_hamming_weight(out)
+    return out.select(
+        F.col("phash").alias("okey"),
+        *[F.col(f"pbit{i}").alias(f"bit{i}") for i in range(8)],
+        F.col("phash_weight").alias("popcount"))
+
+
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming distance between integer fingerprints of close key
+    pairs — the same expression near-duplicate phash mining uses."""
+    from hiselspark.functions.image import phash_hamming_distance
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderkey") <= 64)
+         .select(F.col("o_orderkey").alias("k")))
+    l = o.select(F.col("k").alias("a"))
+    r = o.select(F.col("k").alias("b"))
+    return (l.crossJoin(r).filter(F.col("a") < F.col("b"))
+             .withColumn("hamming",
+                         phash_hamming_distance("a", "b").cast("int"))
+             .filter(F.col("hamming") <= 2))
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming sessionization (session_window + watermark)
+    drained with Trigger.AvailableNow — must equal the batch gap-rule
+    oracle (new session when inter-event gap >= 30 min)."""
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stream_sessions)
+    import hashlib
+    import os
+    batch = _ev(spark, sf_dir)
+    # the file stream source needs a *directory*; stage a symlink dir
+    # pointing at the single parquet file
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = read_events_stream(spark, src_dir, batch.schema)
+    # parquet timestamps arrive as TIMESTAMP_NTZ; watermarks need
+    # TIMESTAMP (session is pinned to UTC so the instant is unchanged)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = stream_sessions(stream, "user_id", "ts", gap_seconds=1800)
+    out = run_stream_to_batch(sess)
+    return (out.groupBy("user_id")
+               .agg(F.count("*").alias("n_sessions"),
+                    F.sum("n_events").alias("n_events"),
+                    F.min(_us("first_event_ts")).alias("first_us")))
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(-flat) approximate top-5 neighbours (rows-only: recall is
+    probabilistic; exactness of the cosine math is covered by
+    embedding_topk)."""
+    from hiselspark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(probes, emb, dim=64, k=5, probe_id_col="vec_id",
+                    n_centroids=16, n_probe=4)
+
+
+def q_mi_preselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-MI preselection over embedding dims (rows-only: the
+    reference's ksgmi stage, reimplemented distributed; bin edges come
+    from approxQuantile)."""
+    from hiselspark.preselect import mi_preselect
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = 16
+    wide = emb.select(
+        F.col("label").cast("long").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(d)])
+    cols = [f"e{i}" for i in range(d)]
+    kept, mis = mi_preselect(wide, cols, ["y"], threshold=0.05,
+                             n_bins=8, discrete_target=True)
+    rows = [(c, float(mis[c]), c in kept) for c in cols]
+    return spark.createDataFrame(rows,
+                                 "feature string, mi double, kept boolean")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -519,6 +693,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "greedy_hsic_search": q_greedy_hsic_search,
         "categorical_search": q_categorical_search,
+        "asof_forward": q_asof_forward,
+        "interval_clicks": q_interval_clicks,
+        "tpch_q6": q_tpch_q6,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "exact_quantiles": q_exact_quantiles,
+        "phash_bits": q_phash_bits,
+        "hamming_pairs": q_hamming_pairs,
+        "streaming_sessions": q_streaming_sessions,
+        "ivf_topk": q_ivf_topk,
+        "mi_preselect": q_mi_preselect,
     }
 
 
@@ -885,7 +1070,121 @@ def oracle_sql() -> dict[str, str]:
                   / (sqrt(list_dot_product(l.v, l.v))
                      * sqrt(list_dot_product(r.v, r.v))) >= 0.5
         """,
-        # rows-only (not SQL-expressible / engine-specific hashing):
-        # hsic_select_embeddings, minhash_neardup, simhash_neardup,
-        # lsh_topk, greedy_hsic_search, categorical_search
+        "asof_forward": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), views AS (
+              SELECT user_id, ts, MAX(value) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   v.view_value,
+                   epoch_us(v.ts) AS view_ts_us
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND v.ts >= p.ts
+        """,
+        "interval_clicks": """
+            WITH purchases AS (
+              SELECT event_id, user_id, epoch_us(ts) AS pus FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, epoch_us(ts) AS cus,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id,
+                   COUNT(*) AS n_clicks,
+                   SUM(c.cents) AS click_cents
+            FROM purchases p
+            JOIN clicks c
+              ON p.user_id = c.user_id
+             AND c.cus >= p.pus - 3600000000
+             AND c.cus <= p.pus
+            GROUP BY p.event_id, p.user_id
+        """,
+        "tpch_q6": """
+            SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT))
+                     AS revenue_unit,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND l_quantity < 24
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "semi_join": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier s
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        """,
+        "exact_quantiles": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.75) AS p75,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "phash_bits": """
+            SELECT o_orderkey AS okey,
+                   CAST((o_orderkey >> 0) & 1 AS INT) AS bit0,
+                   CAST((o_orderkey >> 1) & 1 AS INT) AS bit1,
+                   CAST((o_orderkey >> 2) & 1 AS INT) AS bit2,
+                   CAST((o_orderkey >> 3) & 1 AS INT) AS bit3,
+                   CAST((o_orderkey >> 4) & 1 AS INT) AS bit4,
+                   CAST((o_orderkey >> 5) & 1 AS INT) AS bit5,
+                   CAST((o_orderkey >> 6) & 1 AS INT) AS bit6,
+                   CAST((o_orderkey >> 7) & 1 AS INT) AS bit7,
+                   CAST(bit_count(o_orderkey) AS INT) AS popcount
+            FROM orders
+        """,
+        "hamming_pairs": """
+            WITH k AS (
+              SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 64
+            )
+            SELECT l.k AS a, r.k AS b,
+                   CAST(bit_count(xor(l.k, r.k)) AS INT) AS hamming
+            FROM k l JOIN k r ON l.k < r.k
+            WHERE bit_count(xor(l.k, r.k)) <= 2
+        """,
+        "streaming_sessions": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                                  >= 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+              FROM gaps
+            ), per_session AS (
+              SELECT user_id, sid, COUNT(*) AS n_events,
+                     MIN(epoch_us(ts)) AS start_us
+              FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   SUM(n_events) AS n_events,
+                   MIN(start_us) AS first_us
+            FROM per_session GROUP BY user_id
+        """,
+        # rows-only (not SQL-expressible / engine-specific hashing or
+        # approximation): hsic_select_embeddings, minhash_neardup,
+        # simhash_neardup, lsh_topk, greedy_hsic_search,
+        # categorical_search, ivf_topk, mi_preselect
     }

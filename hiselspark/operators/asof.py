@@ -44,8 +44,15 @@ def asof_join(
     tolerance_seconds: Optional[float] = None,
     strict: bool = False,
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via union + running ``last(...ignoreNulls)``.
+    """As-of join via union + running ``last``/``first(...ignoreNulls)``.
+
+    ``direction='backward'`` (default) matches the most recent feature
+    row with ``feature_ts <= label_ts``; ``'forward'`` matches the
+    earliest feature row with ``feature_ts >= label_ts`` (strict flips
+    both to strict inequality).  Matches pandas ``merge_asof``
+    directions and DuckDB ``ASOF JOIN`` with ``<=`` / ``>=``.
 
     Returns ``labels`` with one extra column per feature value column
     (named ``f"{col}{suffix}"``), plus ``__matched_ts`` with the
@@ -54,14 +61,21 @@ def asof_join(
     construction, since only rows ordered at-or-before the label in the
     ``(ts, side)`` sort can ever be seen by the running window).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported direction={direction!r}")
+    backward = direction == "backward"
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (on, right_ts)]
     value_cols = list(value_cols)
 
-    # side marker: features sort before labels at equal ts so that an
-    # equal-timestamp feature IS visible (<=); with strict=True labels
+    # side marker (backward): features sort before labels at equal ts so
+    # an equal-timestamp feature IS visible (<=); with strict=True labels
     # sort first, so equal-timestamp features are NOT visible (<).
-    feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+    # forward mirrors this around the frame direction.
+    if backward:
+        feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+    else:
+        feat_rank, label_rank = (1, 0) if not strict else (0, 1)
 
     # label columns ride through the union (null on feature rows) so no
     # join-back is needed — the whole operator is ONE shuffle on the
@@ -95,21 +109,30 @@ def asof_join(
     )
     unioned = f_tagged.unionByName(l_tagged)
 
-    w = (Window.partitionBy("__k")
-               .orderBy(F.col("__t").asc(), F.col("__side").asc())
-               .rowsBetween(Window.unboundedPreceding, 0))
+    # backward: running last over the preceding frame; forward: the
+    # mirror image — first feature row in the following frame.
+    if backward:
+        w = (Window.partitionBy("__k")
+                   .orderBy(F.col("__t").asc(), F.col("__side").asc())
+                   .rowsBetween(Window.unboundedPreceding, 0))
+        match = F.last("__v", ignorenulls=True).over(w)
+    else:
+        w = (Window.partitionBy("__k")
+                   .orderBy(F.col("__t").asc(), F.col("__side").asc())
+                   .rowsBetween(0, Window.unboundedFollowing))
+        match = F.first("__v", ignorenulls=True).over(w)
     filled = unioned.select(
         "__k", "__t", "__side", *passthrough,
-        F.last("__v", ignorenulls=True).over(w).alias("__m"),
+        match.alias("__m"),
     ).filter(F.col("__side") == label_rank)
 
     if tolerance_seconds is not None:
-        in_window = (
-            F.col("__m").isNotNull()
-            & (F.col("__t").cast("timestamp").cast("double")
-               - F.col("__m.__mts").cast("timestamp").cast("double")
-               <= F.lit(float(tolerance_seconds)))
-        )
+        gap = (F.col("__t").cast("timestamp").cast("double")
+               - F.col("__m.__mts").cast("timestamp").cast("double"))
+        if not backward:
+            gap = -gap
+        in_window = (F.col("__m").isNotNull()
+                     & (gap <= F.lit(float(tolerance_seconds))))
         filled = filled.withColumn("__m", F.when(in_window, F.col("__m")))
 
     return filled.select(
@@ -131,10 +154,14 @@ def asof_join_cogrouped(
     tolerance_seconds: Optional[float] = None,
     strict: bool = False,
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join via cogrouped ``applyInPandas`` running
+    """As-of join via cogrouped ``applyInPandas`` running
     ``pd.merge_asof`` per entity.  One shuffle per side on the entity
-    key; the per-group pandas merge is O(n log n) sort + linear scan."""
+    key; the per-group pandas merge is O(n log n) sort + linear scan.
+    ``direction`` is any ``merge_asof`` direction — 'backward',
+    'forward', or 'nearest' (the union-window strategy covers the first
+    two; 'nearest' exists only here)."""
     import pyspark.sql.types as T
 
     if value_cols is None:
@@ -177,7 +204,7 @@ def asof_join_cogrouped(
         merged = pd.merge_asof(
             ldf, right,
             left_on=left_ts, right_on="__matched_ts",
-            direction="backward",
+            direction=direction,
             allow_exact_matches=not strict,
             tolerance=tol,
         )

@@ -166,14 +166,24 @@ def compute_sufficient_stats_scale(
         # (kernels.py:220-225); dropping a remainder per *partition*
         # would waste up to (b-1) x n_partitions rows, so tails of at
         # least b/2 rows are kept as one smaller minibatch (delta-kernel
-        # normalization is per-batch, so variable sizes are exact).
-        if buffered >= max(8, b // 2):
+        # normalization is per-batch, so variable sizes are exact).  A
+        # partition smaller than one minibatch contributes whatever it
+        # has (>= 8 rows) as a single batch — mirrors the reference's
+        # b = min(n, batch_size) rule at partition granularity.
+        if buffered >= max(8, b // 2) or (batches == 0 and buffered >= 8):
             one_batch(np.vstack(xbuf), np.vstack(ybuf))
         if batches:
             yield _make_stats_row(0, xtx, xty, rows, batches)
 
-    stats = df.select(*fc, *tc).mapInPandas(per_partition, _STAT_SCHEMA)
-    return _reduce_stats(stats, d, reduce_groups)
+    pruned = df.select(*fc, *tc)
+    stats = pruned.mapInPandas(per_partition, _STAT_SCHEMA)
+    try:
+        return _reduce_stats(stats, d, reduce_groups)
+    except ValueError:
+        # tiny-input fallback: every partition had < 8 rows — collapse
+        # to one partition and batch there (test-scale path only)
+        stats1 = pruned.coalesce(1).mapInPandas(per_partition, _STAT_SCHEMA)
+        return _reduce_stats(stats1, d, reduce_groups)
 
 
 def _reduce_stats(stats: DataFrame, d: int,

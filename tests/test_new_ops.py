@@ -1,0 +1,272 @@
+"""Tests for the round-1 widening: forward as-of, interval join, IVF
+top-k, streaming twins, MI preselection."""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+
+def _timeline(spark, n_entities=6, n_rows=400, seed=3):
+    rng = np.random.default_rng(seed)
+    ent = rng.integers(0, n_entities, n_rows)
+    ts = pd.Timestamp("2024-02-01") + pd.to_timedelta(
+        rng.integers(0, 86400 * 5, n_rows), unit="s")
+    pdf = pd.DataFrame({
+        "entity_id": [f"e{e}" for e in ent],
+        "ts": ts,
+        "val": rng.normal(size=n_rows).round(4),
+        "rid": np.arange(n_rows),
+    })
+    return pdf, spark.createDataFrame(pdf)
+
+
+# ---------------------------------------------------------------------------
+# forward as-of
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("strict", [False, True])
+def test_asof_forward_matches_pandas(spark, strict):
+    from hiselspark.operators.asof import asof_join
+
+    lpdf, labels = _timeline(spark, seed=10)
+    fpdf, feats = _timeline(spark, seed=11)
+    labels = labels.select("entity_id", "ts", "rid")
+    feats = (feats.groupBy("entity_id", "ts")
+                  .agg(F.max("val").alias("fval")))
+    got = (asof_join(labels, feats, on="entity_id", left_ts="ts",
+                     right_ts="ts", value_cols=["fval"],
+                     direction="forward", strict=strict)
+           .toPandas().sort_values("rid").reset_index(drop=True))
+
+    fp = (fpdf.groupby(["entity_id", "ts"], as_index=False)["val"].max()
+             .rename(columns={"val": "fval"}).sort_values("ts"))
+    exp = pd.merge_asof(
+        lpdf[["entity_id", "ts", "rid"]].sort_values("ts"),
+        fp, on="ts", by="entity_id", direction="forward",
+        allow_exact_matches=not strict,
+    ).sort_values("rid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["fval"], exp["fval"],
+                                   check_names=False)
+
+
+def test_asof_forward_no_past_leak(spark):
+    """Forward as-of must never return a feature strictly before the
+    label timestamp."""
+    from hiselspark.operators.asof import asof_join
+
+    _, labels = _timeline(spark, seed=20)
+    _, feats = _timeline(spark, seed=21)
+    labels = labels.select("entity_id", "ts", "rid")
+    feats = (feats.groupBy("entity_id", "ts")
+                  .agg(F.max("val").alias("fval")))
+    out = asof_join(labels, feats, on="entity_id", left_ts="ts",
+                    right_ts="ts", value_cols=["fval"],
+                    direction="forward").toPandas()
+    m = out.dropna(subset=["__matched_ts"])
+    assert (m["__matched_ts"] >= m["ts"]).all()
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+def _interval_oracle(lpdf, rpdf, lo, hi):
+    out = []
+    for _, lrow in lpdf.iterrows():
+        rr = rpdf[(rpdf["entity_id"] == lrow["entity_id"])
+                  & (rpdf["ts"] >= lrow["ts"] + pd.Timedelta(seconds=lo))
+                  & (rpdf["ts"] <= lrow["ts"] + pd.Timedelta(seconds=hi))]
+        for _, r in rr.iterrows():
+            out.append((lrow["rid"], r["rid"]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("lo,hi", [(-3600.0, 0.0), (-7200.0, -1.0),
+                                   (0.0, 1800.0)])
+def test_interval_join_inner(spark, lo, hi):
+    from hiselspark.operators.interval_join import interval_join
+
+    lpdf, left = _timeline(spark, n_rows=150, seed=30)
+    rpdf, right = _timeline(spark, n_rows=150, seed=31)
+    got = interval_join(left.select("entity_id", "ts", "rid"),
+                        right.selectExpr("entity_id", "ts",
+                                         "rid as r_rid"),
+                        on="entity_id", lo_seconds=lo, hi_seconds=hi,
+                        value_cols=["r_rid"]).toPandas()
+    got_pairs = sorted(zip(got["rid"], got["r_rid"]))
+    assert got_pairs == _interval_oracle(lpdf, rpdf, lo, hi)
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    from hiselspark.operators.interval_join import interval_join
+
+    lpdf, left = _timeline(spark, n_rows=80, seed=32)
+    rpdf, right = _timeline(spark, n_rows=20, seed=33)
+    got = interval_join(left.select("entity_id", "ts", "rid"),
+                        right.selectExpr("entity_id", "ts", "rid as r_rid"),
+                        on="entity_id", lo_seconds=-600.0, hi_seconds=0.0,
+                        value_cols=["r_rid"], how="left").toPandas()
+    # every left row appears at least once
+    assert set(got["rid"]) == set(lpdf["rid"])
+    matched = _interval_oracle(lpdf, rpdf, -600.0, 0.0)
+    got_matched = sorted(
+        zip(got.dropna(subset=["r_rid"])["rid"],
+            got.dropna(subset=["r_rid"])["r_rid"].astype(int)))
+    assert got_matched == matched
+
+
+# ---------------------------------------------------------------------------
+# IVF top-k
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_recall(spark):
+    from hiselspark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    dim, n_clusters = 16, 8
+    centers = rng.normal(size=(n_clusters, dim)) * 3
+    rows = []
+    for i in range(400):
+        c = i % n_clusters
+        rows.append((i, (centers[c] + rng.normal(size=dim) * 0.5).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 20)
+
+    exact = (cosine_topk(probes, emb, k=5, probe_id_col="vec_id")
+             .toPandas())
+    approx = (ivf_topk(probes, emb, dim=dim, k=5, probe_id_col="vec_id",
+                       n_centroids=n_clusters, n_probe=3)
+              .toPandas())
+    e = {(r.probe_id, r.vec_id) for r in exact.itertuples()}
+    a = {(r.probe_id, r.vec_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} too low"
+
+
+# ---------------------------------------------------------------------------
+# streaming twins
+# ---------------------------------------------------------------------------
+
+def _write_stream_input(spark, pdf, tmpdir):
+    path = f"{tmpdir}/events"
+    spark.createDataFrame(pdf).repartition(4).write.parquet(path)
+    return path
+
+
+def test_stream_sessions_equals_batch(spark, tmp_path):
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stream_sessions)
+
+    pdf, _ = _timeline(spark, n_entities=4, n_rows=300, seed=40)
+    path = _write_stream_input(spark, pdf, tmp_path)
+    schema = spark.read.parquet(path).schema
+
+    stream = read_events_stream(spark, path, schema,
+                                max_files_per_trigger=2)
+    got = (run_stream_to_batch(
+        stream_sessions(stream, "entity_id", "ts", gap_seconds=1800))
+        .select("entity_id", "n_events",
+                F.unix_micros("first_event_ts").alias("start_us"))
+        .toPandas()
+        .sort_values(["entity_id", "start_us"]).reset_index(drop=True))
+
+    # batch oracle with the session_window rule: new session when the
+    # gap is >= gap_seconds
+    exp_rows = []
+    for ent, g in pdf.sort_values("ts").groupby("entity_id"):
+        cur = []
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None and (
+                    (r["ts"] - prev).total_seconds() >= 1800):
+                exp_rows.append((ent, len(cur), cur[0]))
+                cur = []
+            cur.append(r["ts"])
+            prev = r["ts"]
+        if cur:
+            exp_rows.append((ent, len(cur), cur[0]))
+    exp = (pd.DataFrame(exp_rows,
+                        columns=["entity_id", "n_events", "start"])
+           .assign(start_us=lambda d: d["start"].astype("int64") // 1000)
+           .drop(columns=["start"])
+           .sort_values(["entity_id", "start_us"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["entity_id", "n_events", "start_us"]], exp,
+        check_dtype=False)
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stream_tumbling)
+
+    pdf, df = _timeline(spark, n_entities=4, n_rows=250, seed=41)
+    path = _write_stream_input(spark, pdf, tmp_path)
+    schema = spark.read.parquet(path).schema
+
+    stream = read_events_stream(spark, path, schema)
+    got = (run_stream_to_batch(
+        stream_tumbling(stream, "entity_id", "ts", {"val": ["sum", "count"]},
+                        window_seconds=3600))
+        .select("entity_id", F.col("window.start").alias("wstart"),
+                "val_sum", "val_count")
+        .toPandas())
+
+    exp = (df.groupBy("entity_id",
+                      F.window("ts", "3600 seconds").alias("w"))
+             .agg(F.sum("val").alias("val_sum"),
+                  F.count("val").alias("val_count"))
+             .select("entity_id", F.col("w.start").alias("wstart"),
+                     "val_sum", "val_count")
+             .toPandas())
+    key = ["entity_id", "wstart"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# MI preselection
+# ---------------------------------------------------------------------------
+
+def test_mi_preselect_finds_planted_features(spark):
+    from hiselspark.preselect import mi_preselect, mutual_info
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    x0 = rng.normal(size=n)
+    x1 = rng.normal(size=n)
+    noise = rng.normal(size=(n, 3))
+    y = np.sin(2 * x0) + 0.8 * x1 + rng.normal(size=n) * 0.1
+    pdf = pd.DataFrame({"x0": x0, "x1": x1,
+                        "n0": noise[:, 0], "n1": noise[:, 1],
+                        "n2": noise[:, 2], "y": y})
+    df = spark.createDataFrame(pdf)
+    cols = ["x0", "x1", "n0", "n1", "n2"]
+
+    mis = mutual_info(df, cols, "y", n_bins=8)
+    assert mis["x0"] > mis[["n0", "n1", "n2"]].max()
+    assert mis["x1"] > mis[["n0", "n1", "n2"]].max()
+
+    kept, _ = mi_preselect(df, cols, ["y"], threshold=0.3, n_bins=8)
+    assert "x0" in kept and "x1" in kept
+    assert not {"n0", "n1", "n2"} <= set(kept)
+
+
+def test_mi_discrete_target(spark):
+    from hiselspark.preselect import mutual_info
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    cls = rng.integers(0, 3, n)
+    informative = cls + rng.normal(size=n) * 0.3
+    junk = rng.normal(size=n)
+    df = spark.createDataFrame(pd.DataFrame({
+        "f_inf": informative, "f_junk": junk, "label": cls}))
+    mis = mutual_info(df, ["f_inf", "f_junk"], "label",
+                      n_bins=8, discrete_target=True)
+    assert mis["f_inf"] > 5 * max(mis["f_junk"], 1e-9)
