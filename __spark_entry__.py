@@ -660,6 +660,77 @@ def q_mi_preselect(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "feature string, mi double, kept boolean")
 
 
+def q_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals drained to completion must equal the batch
+    GROUP BY."""
+    import hashlib
+    import os
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_running_totals
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (read_events_stream(spark, src_dir, batch.schema)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("cents",
+                          F.round(F.col("value") * 100).cast("long")))
+    out = run_stream_to_batch(
+        stream_running_totals(stream, "user_id", "ts", "cents"),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("entity").alias("user_id"),
+                       "n_events",
+                       F.col("sum_value").alias("sum_cents"),
+                       "first_ts_us", "last_ts_us"))
+
+
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (fact salted, dim exploded) — must equal the
+    plain join the oracle runs."""
+    from hiselspark.operators.skew import salted_join
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    dim = (_ev(spark, sf_dir)
+           .groupBy("user_id")
+           .agg(F.count("*").alias("user_n")))
+    joined = salted_join(ev, dim, on=["user_id"], n_salts=8,
+                         deterministic_by="event_id")
+    return (joined.groupBy("user_n")
+                  .agg(F.count("*").alias("n_rows"),
+                       F.sum("cents").alias("cents")))
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over (event_type, hour)."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    return (ev.rollup("event_type", F.hour("ts").alias("hr"))
+              .agg(F.sum("cents").alias("cents"),
+                   F.count("*").alias("n")))
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who click but never error (EXCEPT) plus
+    users who both view and purchase (INTERSECT), tagged."""
+    ev = _ev(spark, sf_dir)
+    u = lambda t: (ev.filter(F.col("event_type") == t)  # noqa: E731
+                     .select("user_id").distinct())
+    click_no_error = u("click").exceptAll(u("error")).distinct()
+    view_and_buy = u("view").intersect(u("purchase"))
+    return (click_no_error.withColumn("tag", F.lit("click_no_error"))
+            .unionByName(view_and_buy.withColumn("tag",
+                                                 F.lit("view_and_buy"))))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -704,6 +775,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessions": q_streaming_sessions,
         "ivf_topk": q_ivf_topk,
         "mi_preselect": q_mi_preselect,
+        "streaming_running_totals": q_streaming_running_totals,
+        "salted_join_agg": q_salted_join_agg,
+        "grouping_sets": q_grouping_sets,
+        "set_ops": q_set_ops,
     }
 
 
@@ -1182,6 +1257,48 @@ def oracle_sql() -> dict[str, str]:
                    SUM(n_events) AS n_events,
                    MIN(start_us) AS first_us
             FROM per_session GROUP BY user_id
+        """,
+        "streaming_running_totals": """
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+                   MIN(epoch_us(ts)) AS first_ts_us,
+                   MAX(epoch_us(ts)) AS last_ts_us
+            FROM events GROUP BY user_id
+        """,
+        "salted_join_agg": """
+            WITH dim AS (
+              SELECT user_id, COUNT(*) AS user_n FROM events
+              GROUP BY user_id
+            )
+            SELECT d.user_n,
+                   COUNT(*) AS n_rows,
+                   SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY d.user_n
+        """,
+        "grouping_sets": """
+            SELECT event_type,
+                   hour(ts) AS hr,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY ROLLUP (event_type, hour(ts))
+        """,
+        "set_ops": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 er AS (SELECT DISTINCT user_id FROM events
+                        WHERE event_type = 'error'),
+                 v AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'view'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT user_id, 'click_no_error' AS tag
+            FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM er)
+            UNION ALL
+            SELECT user_id, 'view_and_buy' AS tag
+            FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
         """,
         # rows-only (not SQL-expressible / engine-specific hashing or
         # approximation): hsic_select_embeddings, minhash_neardup,

@@ -44,8 +44,11 @@ def with_salt(df: DataFrame, key_cols: Sequence[str], n_salts: int,
 def explode_salt(dim: DataFrame, n_salts: int,
                  salt_col: str = "__salt") -> DataFrame:
     """Dimension-side replication: one copy per salt value."""
-    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-    return dim.withColumn(salt_col, salts.cast("long"))
+    # generators cannot be nested inside other expressions (e.g. a
+    # cast), so build the sequence as long and explode it bare
+    salts = F.explode(F.sequence(F.lit(0).cast("long"),
+                                 F.lit(n_salts - 1).cast("long")))
+    return dim.withColumn(salt_col, salts)
 
 
 def salted_join(fact: DataFrame, dim: DataFrame, on: Sequence[str],

@@ -229,6 +229,75 @@ def test_stream_tumbling_equals_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_stream_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-entity state across micro-
+    batches: final cumulative row per entity == batch groupBy totals."""
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_running_totals
+
+    rng = np.random.default_rng(50)
+    n = 300
+    pdf = pd.DataFrame({
+        "user_id": rng.integers(0, 10, n).astype("int64"),
+        "ts": pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"),
+        "cents": rng.integers(-500, 500, n).astype("int64"),
+    })
+    path = f"{tmp_path}/ev"
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(pdf).repartition(5).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    stream = read_events_stream(spark, path, schema,
+                                max_files_per_trigger=1)
+    out = run_stream_to_batch(
+        stream_running_totals(stream, "user_id", "ts", "cents"),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    final = (out.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select("entity", "n_events", "sum_value")
+                .toPandas().sort_values("entity").reset_index(drop=True))
+    # at least one entity must have been updated in >1 micro-batch,
+    # otherwise this test proves nothing about cross-batch state
+    multi = (out.groupBy("entity").count().filter(F.col("count") > 1)
+                .count())
+    assert multi > 0
+
+    exp = (pdf.groupby("user_id", as_index=False)
+              .agg(n_events=("cents", "size"), sum_value=("cents", "sum"))
+              .rename(columns={"user_id": "entity"})
+              .sort_values("entity").reset_index(drop=True))
+    pd.testing.assert_frame_equal(final, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark):
+    from hiselspark.operators.skew import salted_join
+
+    rng = np.random.default_rng(60)
+    fact = spark.createDataFrame(pd.DataFrame({
+        "k": rng.integers(0, 5, 500).astype("int64"),
+        "rid": np.arange(500),
+    }))
+    dim = spark.createDataFrame(pd.DataFrame({
+        "k": np.arange(5, dtype="int64"),
+        "dval": np.arange(5) * 10,
+    }))
+    got = (salted_join(fact, dim, on=["k"], n_salts=4,
+                       deterministic_by="rid")
+           .toPandas().sort_values("rid").reset_index(drop=True))
+    exp = (fact.join(dim, "k").toPandas()
+           .sort_values("rid").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "rid", "dval"]],
+                                  exp[["k", "rid", "dval"]])
+
+
 # ---------------------------------------------------------------------------
 # MI preselection
 # ---------------------------------------------------------------------------

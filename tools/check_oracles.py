@@ -9,6 +9,9 @@ from __future__ import annotations
 import os
 import sys
 
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 import duckdb
 import numpy as np
 import pandas as pd

@@ -23,6 +23,9 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 os.environ.setdefault("PYSPARK_DRIVER_PYTHON", sys.executable)
+# one BLAS thread per Python worker — Spark tasks are the parallelism
+for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(v, "1")
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); n_images = int(sys.argv[2])
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
