@@ -74,9 +74,14 @@ def flagship(spark: SparkSession, sf_dir: str = SF_DEFAULT) -> DataFrame:
     frame = frame.dropna(subset=feature_cols)
     frame = frame.select(
         F.col("y"), *[F.col(c).cast("double").alias(c) for c in feature_cols])
+    # deterministic batching for the smoke check: parity mode over a
+    # content-hash order (scale mode's partition-dependent minibatches
+    # make the tiny sf0.001 ranking run-dependent)
+    frame = frame.withColumn("__ok", F.xxhash64("y", *feature_cols))
 
     sel = SparkHSICSelector(frame, feature_cols, ["y"])
-    res = sel.run(number_of_features=4, minibatch_size=100, mode="scale")
+    res = sel.run(number_of_features=4, minibatch_size=100, mode="parity",
+                  order_col="__ok")
     rows = [
         (name, float(res.hsic_scores[name]), rank + 1,
          name in res.features)

@@ -45,6 +45,13 @@ def build_session():
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # multi-KB binary payloads: bound Arrow batches so a pandas-UDF
+        # worker never holds a 100MB+ frame (allocator thrash at high
+        # worker counts)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # JVM<->Python worker links over unix domain sockets: measurably
+        # steadier than loopback TCP at high worker counts
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

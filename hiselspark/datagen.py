@@ -74,10 +74,11 @@ def _entity_of(i: np.ndarray, n_entities: int, seed: int) -> np.ndarray:
     return np.where(hot, np.uint64(0), ent)
 
 
-def _image_rows(idx: np.ndarray, n_entities: int, seed: int) -> pd.DataFrame:
+def _image_rows(idx: np.ndarray, n_entities: int, seed: int,
+                sizes: np.ndarray = _SIZES) -> pd.DataFrame:
     n = len(idx)
-    w = _SIZES[(_hash_field(idx, 1, seed) % np.uint64(3)).astype(int)]
-    h = _SIZES[(_hash_field(idx, 2, seed) % np.uint64(3)).astype(int)]
+    w = sizes[(_hash_field(idx, 1, seed) % np.uint64(len(sizes))).astype(int)]
+    h = sizes[(_hash_field(idx, 2, seed) % np.uint64(len(sizes))).astype(int)]
     phash = _hash_field(idx, 3, seed).astype(np.int64)
     ent = _entity_of(idx, n_entities, seed)
     # long-tailed inter-event structure: timestamps uniform + occasional
@@ -109,13 +110,27 @@ def _image_rows(idx: np.ndarray, n_entities: int, seed: int) -> pd.DataFrame:
 
 
 def images(spark: SparkSession, n_rows: int, n_entities: int = 0,
-           seed: int = 42, partitions: int = 32) -> DataFrame:
-    """Distributed deterministic corpus of ``n_rows`` image rows."""
+           seed: int = 42, partitions: int = 32,
+           sizes: tuple = (8, 16, 32)) -> DataFrame:
+    """Distributed deterministic corpus of ``n_rows`` image rows.
+    ``sizes`` sets the pool of image edge lengths — tests use the small
+    default; benchmarks use thumbnail-scale (e.g. (32, 64, 128)) so the
+    per-row decode work is representative."""
     n_entities = n_entities or max(n_rows // 50, 1)
+    size_arr = np.array(sizes, dtype=np.int32)
+
+    # emit bounded frames: with multi-KB blobs, a 10k-row Arrow batch is
+    # a ~100MB+ allocation per worker — dozens of workers doing those
+    # concurrently thrash the allocator; 512-row frames keep worker
+    # memory flat
+    chunk = 512
 
     def gen(pdfs):
         for pdf in pdfs:
-            yield _image_rows(pdf["id"].to_numpy(np.uint64), n_entities, seed)
+            ids = pdf["id"].to_numpy(np.uint64)
+            for s in range(0, len(ids), chunk):
+                yield _image_rows(ids[s:s + chunk], n_entities, seed,
+                                  size_arr)
 
     return (spark.range(0, n_rows, numPartitions=partitions)
                  .mapInPandas(gen, IMAGE_SCHEMA))

@@ -121,17 +121,44 @@ PIXEL_STAT_FIELDS = [
 
 
 def _pixel_stats_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-channel stats, vectorized over all SAME-SHAPE raw images in
+    the batch at once (one (m, h*w, 3) tensor per shape group) —
+    per-row NumPy call overhead would otherwise dominate for thumbnail
+    payloads.  Non-raw codecs fall back to per-row decode_image."""
     stats = np.empty((len(pdf), 9), dtype=np.float64)
     bufs = pdf["bytes"].to_numpy()
     ws = pdf["w"].to_numpy()
     hs = pdf["h"].to_numpy()
     fmts = pdf["fmt"].to_numpy()
-    for r in range(len(pdf)):
+
+    def fill(rows: np.ndarray, flat: np.ndarray) -> None:
+        # flat: (m, npix, 3) float64
+        stats[rows, 0:3] = flat.mean(axis=1)
+        stats[rows, 3:6] = flat.std(axis=1)
+        q = np.quantile(flat.reshape(len(rows), -1), [0.25, 0.5, 0.75],
+                        axis=1)
+        stats[rows, 6:9] = q.T
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            all_rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            # bound the float64 working set to ~16MB per group chunk —
+            # unbounded (m, h*w, 3) tensors across many concurrent
+            # workers thrash the allocator
+            m_cap = max(int(16e6 // (w * h * 3 * 8)), 8)
+            for s in range(0, len(all_rows), m_cap):
+                rows = all_rows[s:s + m_cap]
+                block = np.frombuffer(
+                    b"".join(bufs[r] for r in rows), dtype=np.uint8)
+                fill(rows, block.reshape(len(rows), w * h, 3)
+                     .astype(np.float64))
+    for r in np.nonzero(~raw)[0]:
         img = decode_image(bufs[r], int(ws[r]), int(hs[r]), str(fmts[r]))
-        flat = img.reshape(-1, 3).astype(np.float64)
-        stats[r, 0:3] = flat.mean(axis=0)
-        stats[r, 3:6] = flat.std(axis=0)
-        stats[r, 6:9] = np.quantile(flat, [0.25, 0.5, 0.75])
+        fill(np.array([r]), img.reshape(1, -1, 3).astype(np.float64))
+
     out = pdf.drop(columns=["bytes"])
     for i, f in enumerate(PIXEL_STAT_FIELDS):
         out[f.name] = stats[:, i]

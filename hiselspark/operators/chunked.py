@@ -1,0 +1,468 @@
+"""Skew-proof (chunked) timeline operators — exact results on hot keys.
+
+The plain window/as-of operators cluster by the entity key, so a hot
+entity (spam account, default id) puts its whole timeline in ONE task:
+a straggler that caps scaling no matter how many executors exist.  The
+operators here cluster by ``(entity, time-bucket)`` instead — a hot
+entity's 90-day timeline splits into ``span/bucket`` independent tasks
+— while producing **bit-identical results** to the plain operators.
+
+Cost discipline (this is what makes the chunked path as cheap as the
+plain one): each operator moves the full frame through exactly ONE
+shuffle — the ``repartition(entity, bucket)`` clustering (for rolling,
+the time-overlap context rows are appended narrowly BEFORE that
+shuffle).  Everything cross-bucket rides on per-(entity, bucket)
+summary tables: one row per non-empty bucket per entity, built with
+NO extra shuffle (groupBy on the clustering keys reuses the
+partitioning), prefix-scanned per entity (tiny window or
+``applyInPandas`` fold), and **broadcast-joined** back, which preserves
+the clustering so follow-up windows need no new exchange.  At corpus
+scales where the summary outgrows a broadcast, drop the explicit
+broadcast hint and AQE picks the join side — the big frame still
+shuffles only once.
+
+Exactness mechanisms, per operator:
+
+* rolling (time-range): rows within ``window_seconds`` of a bucket end
+  are duplicated into the next bucket as context (rows older than the
+  reach cannot matter, so one-bucket forwarding is exact);
+* lags (row-based, NOT time-bounded): each bucket's carry-in — the
+  ``max(lags)`` rows preceding it across ALL earlier buckets, however
+  sparse — is folded from per-bucket tail arrays and consulted by the
+  first rows of the bucket;
+* sessionize: local gap flags, with the bucket's first row resolved
+  against the previous bucket's last timestamp and the session-id base
+  prefix-summed over buckets;
+* as-of join: the per-bucket last feature row is prefix-filled over
+  buckets and joined on as a seed COLUMN (``coalesce(running_last,
+  seed)``) — no seed rows, no second shuffle.
+
+The equality contract is asserted by tests/test_chunked.py against the
+plain operators on hot, sparse, and boundary-heavy inputs.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .windows import ts_seconds
+
+_B = "__bucket"
+_CTX = "__ctx"
+
+
+def _bucket_of(ts_col, bucket_seconds: float) -> Column:
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    return F.floor(us / F.lit(int(bucket_seconds * 1_000_000)))
+
+
+def _cluster(df: DataFrame, entity_col: str,
+             materialize: bool = True) -> DataFrame:
+    """THE one full-frame shuffle: hash-cluster on (entity, bucket).
+    Downstream windows/groupBys on these keys reuse the partitioning.
+
+    ``materialize`` persists the clustered frame: every chunked
+    operator derives its cross-bucket summary tables from this frame
+    AND joins them back onto it — a multi-branch plan that would
+    otherwise re-execute the whole upstream (image decode, shuffles)
+    once per branch.  Spark's ReusedExchange only shares the exchange
+    itself, not the per-branch post-shuffle work, and the broadcast
+    builds are separate jobs entirely.  In a production run the
+    equivalent is checkpointing the clustered frame to the warehouse
+    (the checkpoint/resume layer does exactly that); in-memory persist
+    is the single-job form.  Storage is the narrow feature frame, not
+    the payloads."""
+    out = df.repartition(F.col(entity_col), F.col(_B))
+    if materialize:
+        out = out.persist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lags
+# ---------------------------------------------------------------------------
+
+def _tail_arrays(clustered: DataFrame, entity_col: str, k: int,
+                 sort_struct) -> DataFrame:
+    """Per-(entity, bucket) array of the last ``k`` rows (ascending).
+    No shuffle: the groupBy keys match the clustering.  NB ``slice``
+    with a negative start returns EMPTY for arrays shorter than k, so
+    small buckets keep their whole array."""
+    arr = F.sort_array(F.collect_list(sort_struct))
+    tail = F.when(F.size(arr) <= k, arr).otherwise(F.slice(arr, -k, k))
+    return clustered.groupBy(entity_col, _B).agg(tail.alias("__tail"))
+
+
+def _carry_arrays(tails: DataFrame, entity_col: str, k: int) -> DataFrame:
+    """Fold tails over buckets per entity: each bucket's carry-in = the
+    k rows preceding it across all earlier buckets.  The fold runs in
+    ``applyInPandas`` over the summary table (one row per non-empty
+    bucket — tens of rows per entity, hot or not)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        tails.schema[entity_col],
+        T.StructField(_B, T.LongType()),
+        T.StructField("__carry", tails.schema["__tail"].dataType),
+    ])
+
+    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_B)
+        carry: list = []
+        rows = []
+        for b, tail in zip(pdf[_B], pdf["__tail"]):
+            rows.append((key[0], int(b), list(carry[-k:])))
+            carry = (carry + list(tail))[-k:]
+        return pd.DataFrame(rows, columns=[entity_col, _B, "__carry"])
+
+    return tails.groupBy(entity_col).applyInPandas(fold, schema)
+
+
+def chunked_lags(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cols: Sequence[str],
+    lags: Sequence[int] = (1,),
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Exact twin of ``windows.with_lags`` clustered by (entity,
+    bucket), correct under arbitrary bucket sparsity.
+
+    NOTE: ties in ``ts`` within an entity are ordered arbitrarily but
+    consistently between the local window and the carry arrays (both
+    sort by (ts, values)); like the plain operator, results on tied
+    timestamps are deterministic only up to that order."""
+    k = max(lags)
+    cols = list(cols)
+    clustered = _cluster(
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col)
+    sort_struct = F.struct(F.col(ts_col).alias("__t"),
+                           *[F.col(c).alias(c) for c in cols])
+    carries = _carry_arrays(
+        _tail_arrays(clustered, entity_col, k, sort_struct),
+        entity_col, k)
+
+    joined = clustered.join(F.broadcast(carries), [entity_col, _B], "left")
+    w_local = Window.partitionBy(entity_col, _B).orderBy(
+        F.col(ts_col), *[F.col(c) for c in cols])
+    joined = joined.withColumn("__rn", F.row_number().over(w_local))
+    out = joined
+    for c in cols:
+        for j in lags:
+            local = F.lag(c, j).over(w_local)
+            need = F.lit(j) - F.col("__rn") + 1      # rows missing locally
+            size = F.coalesce(F.size("__carry"), F.lit(0))
+            idx = size - need + 1                    # 1-based from end
+            from_carry = F.when(
+                (need >= 1) & (idx >= 1),
+                F.element_at("__carry", idx.cast("int"))[c])
+            out = out.withColumn(
+                f"{c}_lag{j}",
+                F.when(F.col("__rn") > j, local).otherwise(from_carry))
+    return out.drop(_B, "__carry", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# rolling
+# ---------------------------------------------------------------------------
+
+def _rolling_exprs(aggs: Dict[str, Sequence[str]], window_seconds: float,
+                   w) -> Dict[str, Column]:
+    fns = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+           "count": F.count, "std": F.stddev_samp}
+    return {
+        f"{c}_roll_{name}_{window_seconds:g}s": fns[name](c).over(w)
+        for c, names in aggs.items() for name in names
+    }
+
+
+def _overlap_context(tagged: DataFrame, ts_col: str, bucket_seconds: float,
+                     overlap_seconds: float) -> DataFrame:
+    """Narrow (pre-shuffle) duplication of each bucket's last
+    ``overlap_seconds`` of rows into the next bucket, flagged __ctx=1.
+
+    NB the union has two branches scanning ``tagged`` — persist the
+    input first (callers do) or the whole upstream runs twice."""
+    bucket_us = int(bucket_seconds * 1_000_000)
+    row_us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    cond = (row_us >= (F.col(_B) + 1) * bucket_us
+            - F.lit(int(overlap_seconds * 1_000_000)))
+    ctx = (tagged.filter(cond)
+                 .withColumn(_B, F.col(_B) + 1)
+                 .withColumn(_CTX, F.lit(1)))
+    return tagged.withColumn(_CTX, F.lit(0)).unionByName(ctx)
+
+
+def chunked_rolling(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    aggs: Dict[str, Sequence[str]],
+    window_seconds: float,
+    bucket_seconds: float = 7 * 86400.0,
+    include_current: bool = True,
+) -> DataFrame:
+    """Exact twin of ``windows.rolling_aggregates`` clustered by
+    (entity, bucket); needs ``window_seconds <= bucket_seconds``."""
+    if window_seconds > bucket_seconds:
+        raise ValueError("rolling window must fit in one bucket")
+    # persist the tagged input: the context union scans it twice
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist()
+    clustered = _cluster(
+        _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
+        entity_col, materialize=False)
+    upper = 0 if include_current else -1
+    w = (Window.partitionBy(entity_col, _B)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), upper))
+    out = clustered
+    for name, expr in _rolling_exprs(aggs, window_seconds, w).items():
+        out = out.withColumn(name, expr)
+    return out.filter(F.col(_CTX) == 0).drop(_CTX, _B)
+
+
+# ---------------------------------------------------------------------------
+# sessionize
+# ---------------------------------------------------------------------------
+
+def _session_pieces(clustered: DataFrame, entity_col: str, ts_col: str,
+                    gap_seconds: float):
+    """Local gap flags + the per-bucket summary with each bucket's
+    session-id base.  Shares the caller's clustering (no shuffle for
+    the groupBy; a tiny per-entity window on the summary)."""
+    w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
+    prev_local = F.lag(F.col(ts_col)).over(w_local)
+    gap = F.lit(float(gap_seconds))
+    inner_new = (prev_local.isNotNull()
+                 & ((ts_seconds(ts_col) - ts_seconds(prev_local)) > gap)
+                 ).cast("long")
+    flagged = (clustered
+               .withColumn("__inner_new", inner_new)
+               .withColumn("__is_first",
+                           (F.row_number().over(w_local) == 1).cast("long")))
+
+    summary = (flagged.groupBy(entity_col, _B)
+               .agg(F.min(ts_col).alias("__first_ts"),
+                    F.max(ts_col).alias("__last_ts"),
+                    F.sum("__inner_new").alias("__inner_starts")))
+    w_b = Window.partitionBy(entity_col).orderBy(_B)
+    carry_last = F.lag("__last_ts").over(w_b)
+    first_new = F.when(
+        carry_last.isNull()
+        | ((ts_seconds(F.col("__first_ts")) - ts_seconds(carry_last))
+           > gap),
+        F.lit(1)).otherwise(F.lit(0))
+    summary = summary.withColumn("__first_new", first_new)
+    starts = F.col("__first_new") + F.col("__inner_starts")
+    summary = summary.withColumn(
+        "__base",
+        F.coalesce(
+            F.sum(starts).over(
+                w_b.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    return flagged, summary.select(entity_col, _B, "__first_new", "__base")
+
+
+def chunked_sessionize(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    session_col: str = "session_id",
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Exact twin of ``windows.sessionize`` without the per-entity
+    straggler (two-level scan, see module docstring)."""
+    clustered = _cluster(
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col)
+    flagged, summary = _session_pieces(clustered, entity_col, ts_col,
+                                       gap_seconds)
+    joined = flagged.join(F.broadcast(summary), [entity_col, _B])
+    w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
+    local_flag = (F.col("__inner_new")
+                  + F.col("__is_first") * F.col("__first_new"))
+    w_cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    out = joined.withColumn(
+        session_col,
+        F.col("__base") + F.sum(local_flag).over(w_cum) - 1)
+    return out.drop(_B, "__inner_new", "__is_first", "__first_new",
+                    "__base")
+
+
+# ---------------------------------------------------------------------------
+# combined timeline pass (pipeline hot path): ONE clustering shuffle
+# ---------------------------------------------------------------------------
+
+def chunked_timeline_features(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    lag_cols: Sequence[str],
+    lags: Sequence[int],
+    rolling_aggs: Dict[str, Sequence[str]],
+    rolling_window_s: float,
+    session_gap_s: float,
+    session_col: str = "session_id",
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """sessionize + lags + trailing rolling aggregates in ONE clustered
+    pass: a single full-frame shuffle (including the rolling context
+    rows), tiny broadcast summaries for everything cross-bucket."""
+    if rolling_window_s > bucket_seconds:
+        raise ValueError("rolling window must fit in one bucket")
+    k = max(lags)
+    lag_cols = list(lag_cols)
+
+    # persist the tagged input: the context union scans it twice, and
+    # the upstream (image decode) is the most expensive thing here
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist()
+    clustered = _cluster(
+        _overlap_context(tagged, ts_col, bucket_seconds, rolling_window_s),
+        entity_col, materialize=False)
+
+    # rolling first — the only op that needs the context rows
+    w_range = (Window.partitionBy(entity_col, _B)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(rolling_window_s * 1_000_000), 0))
+    out = clustered
+    for name, expr in _rolling_exprs(rolling_aggs, rolling_window_s,
+                                     w_range).items():
+        out = out.withColumn(name, expr)
+    # materialize AFTER the rolling pass: the session/lag summary
+    # branches below each re-derive from here otherwise (see _cluster)
+    real = out.filter(F.col(_CTX) == 0).drop(_CTX).persist()
+
+    # sessionize (real rows only; filter preserved the clustering)
+    flagged, summary = _session_pieces(real, entity_col, ts_col,
+                                       session_gap_s)
+    joined = flagged.join(F.broadcast(summary), [entity_col, _B])
+    w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
+    local_flag = (F.col("__inner_new")
+                  + F.col("__is_first") * F.col("__first_new"))
+    joined = joined.withColumn(
+        session_col,
+        F.col("__base")
+        + F.sum(local_flag).over(
+            w_local.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    joined = joined.drop("__inner_new", "__is_first", "__first_new",
+                         "__base")
+
+    # lags (carry arrays; same clustering)
+    sort_struct = F.struct(F.col(ts_col).alias("__t"),
+                           *[F.col(c).alias(c) for c in lag_cols])
+    carries = _carry_arrays(
+        _tail_arrays(joined, entity_col, k, sort_struct), entity_col, k)
+    joined = joined.join(F.broadcast(carries), [entity_col, _B], "left")
+    w_sorted = Window.partitionBy(entity_col, _B).orderBy(
+        F.col(ts_col), *[F.col(c) for c in lag_cols])
+    joined = joined.withColumn("__rn", F.row_number().over(w_sorted))
+    for c in lag_cols:
+        for j in lags:
+            local = F.lag(c, j).over(w_sorted)
+            need = F.lit(j) - F.col("__rn") + 1
+            size = F.coalesce(F.size("__carry"), F.lit(0))
+            idx = size - need + 1
+            from_carry = F.when(
+                (need >= 1) & (idx >= 1),
+                F.element_at("__carry", idx.cast("int"))[c])
+            joined = joined.withColumn(
+                f"{c}_lag{j}",
+                F.when(F.col("__rn") > j, local).otherwise(from_carry))
+    return joined.drop(_B, "__carry", "__rn")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def chunked_asof_join(
+    labels: DataFrame,
+    features: DataFrame,
+    on: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Optional[Sequence[str]] = None,
+    tolerance_seconds: Optional[float] = None,
+    strict: bool = False,
+    suffix: str = "",
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Exact twin of ``asof.asof_join`` (backward) clustered by
+    (entity, time-bucket): ONE shuffle of the unioned sides.  The
+    unbounded backward lookback is restored by a per-bucket seed — the
+    prefix-filled last feature row of all earlier buckets — broadcast-
+    joined as a COLUMN and coalesced under the running last."""
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, right_ts)]
+    value_cols = list(value_cols)
+    feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+
+    ltypes = {f.name: f.dataType for f in labels.schema.fields}
+    passthrough = [c for c in labels.columns if c not in (on, left_ts)]
+
+    packed = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols])
+    f_tagged = features.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(feat_rank).alias("__side"),
+        packed.alias("__v"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in passthrough],
+    )
+    null_struct = F.lit(None).cast(f_tagged.schema["__v"].dataType)
+    l_tagged = labels.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(label_rank).alias("__side"),
+        null_struct.alias("__v"),
+        *passthrough,
+    )
+    unioned = (f_tagged.unionByName(l_tagged)
+               .withColumn(_B, _bucket_of("__t", bucket_seconds)))
+    clustered = _cluster(unioned, "__k")
+
+    # per-bucket last feature struct ("last" in (t, side) order — the
+    # same order the running window uses); groupBy reuses the clustering
+    last_in_bucket = (clustered.filter(F.col("__v").isNotNull())
+                      .groupBy("__k", _B)
+                      .agg(F.max_by(
+                          "__v", F.struct(F.col("__t"), F.col("__side")))
+                          .alias("__last_v")))
+    all_buckets = clustered.select("__k", _B).distinct()
+    w_b = Window.partitionBy("__k").orderBy(_B)
+    seeds = (all_buckets
+             .join(last_in_bucket, ["__k", _B], "left")
+             .withColumn("__seed_v",
+                         F.last("__last_v", ignorenulls=True).over(
+                             w_b.rowsBetween(Window.unboundedPreceding, -1)))
+             .filter(F.col("__seed_v").isNotNull())
+             .select("__k", _B, "__seed_v"))
+
+    with_seed = clustered.join(F.broadcast(seeds), ["__k", _B], "left")
+    w = (Window.partitionBy("__k", _B)
+               .orderBy(F.col("__t").asc(), F.col("__side").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = with_seed.select(
+        "__k", "__t", "__side", *passthrough,
+        F.coalesce(F.last("__v", ignorenulls=True).over(w),
+                   F.col("__seed_v")).alias("__m"),
+    ).filter(F.col("__side") == label_rank)
+
+    if tolerance_seconds is not None:
+        gap = (F.col("__t").cast("timestamp").cast("double")
+               - F.col("__m.__mts").cast("timestamp").cast("double"))
+        in_window = (F.col("__m").isNotNull()
+                     & (gap <= F.lit(float(tolerance_seconds))))
+        filled = filled.withColumn("__m", F.when(in_window, F.col("__m")))
+
+    return filled.select(
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_ts),
+        *passthrough,
+        *[F.col(f"__m.v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m.__mts").alias("__matched_ts"),
+    )

@@ -48,16 +48,35 @@ def engineer_timeline(
     rolling_col: str = "px_mean_g",
     rolling_window_s: float = 6 * 3600.0,
     session_gap_s: float = 1800.0,
+    bucket_seconds: Optional[float] = None,
 ) -> DataFrame:
-    """Windowed features over the entity timeline; all window specs
-    share the same partitioning so this whole stage is one shuffle."""
-    df = sessionize(feats, entity_col, ts_col, gap_seconds=session_gap_s)
-    df = with_lags(df, entity_col, ts_col,
-                   [c for c in lag_cols if c in df.columns], lags=(1,))
-    df = rolling_aggregates(df, entity_col, ts_col,
-                            {rolling_col: ["mean", "count"]},
-                            window_seconds=rolling_window_s)
-    return df
+    """Windowed features over the entity timeline.
+
+    With ``bucket_seconds=None`` every operator shares one entity-key
+    clustering (one shuffle) — simplest plan, but a hot entity's whole
+    timeline lands in one task.  With ``bucket_seconds`` set, the
+    skew-proof chunked twins (operators/chunked.py) cluster by
+    (entity, time-bucket): bit-identical results, straggler-free —
+    the production setting for skewed corpora."""
+    lag_present = [c for c in lag_cols if c in feats.columns]
+    if bucket_seconds is None:
+        df = sessionize(feats, entity_col, ts_col,
+                        gap_seconds=session_gap_s)
+        df = with_lags(df, entity_col, ts_col, lag_present, lags=(1,))
+        df = rolling_aggregates(df, entity_col, ts_col,
+                                {rolling_col: ["mean", "count"]},
+                                window_seconds=rolling_window_s)
+        return df
+    from .operators.chunked import chunked_timeline_features
+    if rolling_window_s > bucket_seconds:
+        raise ValueError("bucket_seconds must cover the rolling window")
+    return chunked_timeline_features(
+        feats, entity_col, ts_col,
+        lag_cols=lag_present, lags=(1,),
+        rolling_aggs={rolling_col: ["mean", "count"]},
+        rolling_window_s=rolling_window_s,
+        session_gap_s=session_gap_s,
+        bucket_seconds=bucket_seconds)
 
 
 def assemble_training_frame(
@@ -65,20 +84,31 @@ def assemble_training_frame(
     labels: DataFrame,
     n_phash_bits: int = 16,
     tolerance_seconds: Optional[float] = None,
+    bucket_seconds: Optional[float] = None,
 ) -> Tuple[DataFrame, List[str]]:
     """Full point-in-time feature matrix: one row per label
     ``(entity_id, label_ts)`` with the feature vector as of that
     moment (backward as-of, zero leakage).  Returns (frame, feature
-    column names)."""
-    feats = engineer_timeline(featurize_images(images, n_phash_bits))
+    column names).  ``bucket_seconds`` routes the timeline windows AND
+    the as-of join through the skew-proof chunked operators."""
+    feats = engineer_timeline(featurize_images(images, n_phash_bits),
+                              bucket_seconds=bucket_seconds)
     feature_cols = [c for c in feats.columns
                     if c not in ("entity_id", "ts")]
-    joined = asof_join(
+    if bucket_seconds is None:
+        join_fn = asof_join
+        join_kw = {}
+    else:
+        from .operators.chunked import chunked_asof_join
+        join_fn = chunked_asof_join
+        join_kw = {"bucket_seconds": bucket_seconds}
+    joined = join_fn(
         labels.withColumnRenamed("label_ts", "ts"),
         feats,
         on="entity_id", left_ts="ts", right_ts="ts",
         value_cols=feature_cols,
         tolerance_seconds=tolerance_seconds,
+        **join_kw,
     )
     # drop label rows with no (complete) feature vector: pre-history
     # labels and first-of-entity rows with null lags
@@ -93,6 +123,7 @@ def select_features_pointintime(
     n_phash_bits: int = 16,
     minibatch_size: int = 200,
     mode: str = "scale",
+    bucket_seconds: Optional[float] = 7 * 86400.0,
 ) -> SelectionResult:
     """The north-star query: which point-in-time features carry
     dependence with the label, ranked by HSIC-Lasso.
@@ -109,7 +140,8 @@ def select_features_pointintime(
     excluded — identity-shaped Grams carry spuriously large HSIC mass.
     """
     frame, feature_cols = assemble_training_frame(
-        images, labels, n_phash_bits=n_phash_bits)
+        images, labels, n_phash_bits=n_phash_bits,
+        bucket_seconds=bucket_seconds)
     feature_cols = [c for c in feature_cols if c != "session_id"]
     frame = frame.select(
         F.col("y").cast("double").alias("y"),

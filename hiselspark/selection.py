@@ -342,6 +342,7 @@ class SparkHSICSelector:
         epochs: int = 1,
         seed: int = 0,
         cache: bool = True,
+        rebalance: bool = True,
     ) -> List[Tuple[np.ndarray, np.ndarray, int, int]]:
         """Compute per-outer-batch ``(X^T X, X^T y, rows, minibatches)``.
 
@@ -352,11 +353,22 @@ class SparkHSICSelector:
         passes over it (standardization agg + sufficient stats) — vital
         when the upstream plan is expensive (as-of join, image decode);
         disable when the input is already materialized or too large to
-        cache, in which case the plan is simply evaluated twice."""
+        cache, in which case the plan is simply evaluated twice.
+
+        ``rebalance`` (scale mode) round-robin-repartitions the pruned
+        frame before caching.  The upstream point-in-time stages shuffle
+        by entity, so a hot entity leaves one partition holding a large
+        share of the rows; the Gram stage has no per-entity semantics
+        (any row subset is a valid minibatch), so inheriting that skew
+        only buys a straggler task.  The extra shuffle moves just the
+        narrow numeric frame (d+dy doubles per row), not the payloads."""
         needed = list(dict.fromkeys(
             [*self.feature_cols, *self.target_cols]
             + ([order_col] if order_col else [])))
         base = self.df.select(*needed)
+        if rebalance and mode == "scale":
+            spark = base.sparkSession
+            base = base.repartition(spark.sparkContext.defaultParallelism)
         if cache:
             base = base.persist()
         try:
@@ -455,6 +467,7 @@ class SparkHSICSelector:
         seed: int = 0,
         threshold: float = 0.01,
         cache: bool = True,
+        rebalance: bool = True,
     ) -> SelectionResult:
         """Full selection.  With ``number_of_features`` set, performs the
         fixed-k ranking cut (reference ``HSICSelector.select``); without
@@ -466,7 +479,8 @@ class SparkHSICSelector:
             raise ValueError("need at least 2 features")
         per_outer = self.sufficient_stats(
             minibatch_size=minibatch_size, mode=mode, order_col=order_col,
-            batch_size=batch_size, epochs=epochs, seed=seed, cache=cache)
+            batch_size=batch_size, epochs=epochs, seed=seed, cache=cache,
+            rebalance=rebalance)
 
         proj = np.zeros((k, d))
         paths = []

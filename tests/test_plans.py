@@ -1,0 +1,120 @@
+"""Physical-plan regression tests: pushdown, broadcast, shuffle counts.
+
+These inspect the optimized/physical plan text, not results — the
+properties that decide the cluster bill at 100 TB: does the parquet
+scan receive the filters and the pruned schema, do small dimensions
+broadcast, and does a stack of window operators reuse ONE entity
+shuffle instead of one per operator.
+"""
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    """The explain text as a string (what df.explain(mode) prints)."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def n_exchanges(df) -> int:
+    """Number of shuffle exchanges in the physical plan (excludes
+    broadcast exchanges and AQE re-used ones)."""
+    txt = plan_str(df, "simple")
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", txt))
+
+
+def test_scan_pushdown_and_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = (li.filter(F.col("l_quantity") < 24)
+           .select("l_orderkey", "l_quantity"))
+    txt = plan_str(q)
+    assert "PushedFilters" in txt and "l_quantity" in txt.split(
+        "PushedFilters", 1)[1].split("\n", 1)[0]
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", txt).group(1)
+    cols = {c.split(":")[0] for c in read_schema.split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, read_schema
+
+
+def test_small_dim_joins_broadcast(spark):
+    import __spark_entry__ as se
+    q = se.q_broadcast_join_agg(spark, SF)
+    txt = plan_str(q, "simple")
+    assert txt.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in txt
+
+
+def test_window_stack_single_shuffle(spark):
+    """sessionize + lags + rolling on one entity clustering must cost
+    exactly one hash shuffle of the input."""
+    from hiselspark.operators.windows import (rolling_aggregates,
+                                              sessionize, with_lags)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessionize(ev, "user_id", "ts")
+    out = with_lags(out, "user_id", "ts", ["value"], lags=(1, 2))
+    out = rolling_aggregates(out, "user_id", "ts", {"value": ["mean"]},
+                             window_seconds=3600.0)
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union+running-last as-of join is ONE shuffle on the entity
+    key (the union of both sides shuffles once)."""
+    from hiselspark.operators.asof import asof_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    labels = ev.select("user_id", "ts", "event_id")
+    feats = ev.select("user_id", "ts", F.col("value").alias("v"))
+    out = asof_join(labels, feats, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["v"])
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_interval_join_is_equi_join(spark):
+    """The bucketized interval join plans as a hash/sort-merge EQUI
+    join (join keys present), not a cartesian/broadcast-nested-loop."""
+    from hiselspark.operators.interval_join import interval_join
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.select("user_id", "ts", "event_id")
+    right = ev.select("user_id", "ts", F.col("value").alias("v"))
+    out = interval_join(left, right, on="user_id",
+                        lo_seconds=-3600.0, hi_seconds=0.0,
+                        value_cols=["v"])
+    txt = plan_str(out, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    import __spark_entry__ as se
+    txt = plan_str(se.q_tpch_q1(spark, SF), "simple")
+    # map-side combine: a partial_sum before the exchange
+    assert "partial_sum" in txt or "HashAggregate" in txt
+    assert txt.count("Exchange hashpartitioning") <= 2  # agg + orderBy
+
+
+def test_stats_stage_has_no_feature_row_shuffle(spark):
+    """The sufficient-statistics plan shuffles only the tiny partial-sum
+    rows (one per task), never the feature rows: the mapInPandas stage
+    must sit directly on the scan side with no exchange below it."""
+    from hiselspark.selection import SparkHSICSelector
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wide = emb.select(
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(8)])
+    sel = SparkHSICSelector(wide, [f"e{i}" for i in range(8)], ["y"],
+                            standardize="none")
+    # build the stats DataFrame without executing it
+    from hiselspark.selection import _STAT_SCHEMA  # noqa: F401
+    import hiselspark.selection as S
+    df = wide.select(*sel.feature_cols, "y")
+    stats = df.mapInPandas(
+        lambda it: iter([]), S._STAT_SCHEMA)
+    txt = plan_str(stats, "simple")
+    assert "Exchange" not in txt.split("MapInPandas")[-1]
