@@ -736,6 +736,39 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                  F.lit("view_and_buy"))))
 
 
+def q_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof (entity x time-bucket) as-of join — must equal the
+    same DuckDB oracle as the plain asof_join."""
+    from hiselspark.operators.chunked import chunked_asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("click_value")))
+    out = chunked_asof_join(purchases, clicks, on="user_id",
+                            left_ts="ts", right_ts="ts",
+                            value_cols=["click_value"],
+                            bucket_seconds=86400.0)
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        "click_value",
+        _us("__matched_ts").alias("click_ts_us"))
+
+
+def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof sessionization (two-level scan over time buckets) —
+    same oracle as the plain sessionize."""
+    from hiselspark.operators.chunked import chunked_sessionize
+    ev = _ev(spark, sf_dir)
+    out = chunked_sessionize(ev, "user_id", "ts", gap_seconds=1800.0,
+                             bucket_seconds=86400.0)
+    return (out.groupBy("user_id", "session_id")
+               .agg(F.count("*").alias("n_events"),
+                    F.min(_us("ts")).alias("session_start_us")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -784,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_agg": q_salted_join_agg,
         "grouping_sets": q_grouping_sets,
         "set_ops": q_set_ops,
+        "asof_chunked": q_asof_chunked,
+        "sessionize_chunked": q_sessionize_chunked,
     }
 
 
@@ -792,7 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "lag_lead": """
             SELECT event_id, user_id,
                    epoch_us(ts) AS ts_us,
@@ -1310,3 +1345,8 @@ def oracle_sql() -> dict[str, str]:
         # simhash_neardup, lsh_topk, greedy_hsic_search,
         # categorical_search, ivf_topk, mi_preselect
     }
+    # the skew-proof chunked operators must match the SAME oracles as
+    # their plain twins — that equality IS their contract
+    oracles["asof_chunked"] = oracles["asof_join"]
+    oracles["sessionize_chunked"] = oracles["sessionize"]
+    return oracles

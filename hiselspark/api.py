@@ -26,6 +26,10 @@ class HSICLassoParameters:
     number_of_epochs: int = 4
     mode: str = "scale"
     order_col: Optional[str] = None
+    # reference ``use_preselection``/``mi_threshold``: the ksgmi MI
+    # filter, here the distributed histogram estimator (preselect.py)
+    use_preselection: bool = False
+    mi_threshold: float = 1e-5
 
 
 @dataclass
@@ -63,6 +67,12 @@ def select_features(
 
     cont_result: Optional[SelectionResult] = None
     cont_features: List[str] = []
+    if hp.use_preselection and len(continuous) >= 2:
+        from .preselect import mi_preselect
+        kept, _ = mi_preselect(df, continuous, target_cols,
+                               threshold=hp.mi_threshold)
+        if len(kept) >= 2:
+            continuous = kept
     if len(continuous) >= 2:
         sel = SparkHSICSelector(df, continuous, target_cols)
         cont_result = sel.run(
