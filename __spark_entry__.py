@@ -769,6 +769,34 @@ def q_sessionize_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.min(_us("ts")).alias("session_start_us")))
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user counts per event type (plus total events)."""
+    ev = _ev(spark, sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   F.count("*").alias("n_events")))
+
+
+def q_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT interval join: every purchase keeps a row even when no
+    click landed in its trailing 30 minutes."""
+    from hiselspark.operators.interval_join import interval_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+    out = interval_join(purchases, clicks, on="user_id",
+                        lo_seconds=-1800.0, hi_seconds=0.0,
+                        value_cols=["cents"], how="left")
+    return (out.groupBy("event_id", "user_id")
+               .agg(F.count("cents").alias("n_clicks"),
+                    F.coalesce(F.sum("cents"), F.lit(0).cast("long"))
+                    .alias("click_cents")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -819,6 +847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_chunked": q_asof_chunked,
         "sessionize_chunked": q_sessionize_chunked,
+        "distinct_users": q_distinct_users,
+        "interval_left": q_interval_left,
     }
 
 
@@ -1345,6 +1375,31 @@ def oracle_sql() -> dict[str, str]:
         # simhash_neardup, lsh_topk, greedy_hsic_search,
         # categorical_search, ivf_topk, mi_preselect
     }
+    oracles["distinct_users"] = """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """
+    oracles["interval_left"] = """
+        WITH purchases AS (
+          SELECT event_id, user_id, epoch_us(ts) AS pus FROM events
+          WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, epoch_us(ts) AS cus,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT p.event_id, p.user_id,
+               COUNT(c.cents) AS n_clicks,
+               COALESCE(SUM(c.cents), 0) AS click_cents
+        FROM purchases p
+        LEFT JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cus >= p.pus - 1800000000
+         AND c.cus <= p.pus
+        GROUP BY p.event_id, p.user_id
+    """
     # the skew-proof chunked operators must match the SAME oracles as
     # their plain twins — that equality IS their contract
     oracles["asof_chunked"] = oracles["asof_join"]
