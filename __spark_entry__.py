@@ -363,9 +363,14 @@ def q_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long"))
     types = ["click", "view", "purchase", "signup", "error"]
-    return (ev.groupBy("user_id")
-              .pivot("event_type", types)
-              .sum("cents"))
+    piv = (ev.groupBy("user_id")
+             .pivot("event_type", types)
+             .sum("cents"))
+    # coalesce the sparse cells to 0 so both engines yield pure int64
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(t)
+          for t in types])
 
 
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -885,9 +890,9 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), sess AS (
               SELECT user_id, ts,
-                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                     CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
-                       AS session_id
+                       AS BIGINT) AS session_id
               FROM gaps
             )
             SELECT user_id, session_id,
@@ -897,8 +902,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rolling_1h": """
             SELECT event_id, user_id,
-                   SUM(CAST(round(value * 100) AS BIGINT)) OVER w
-                     AS roll_sum_cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS roll_sum_cents,
                    COUNT(CAST(round(value * 100) AS BIGINT)) OVER w AS roll_n
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -943,7 +948,8 @@ def oracle_sql() -> dict[str, str]:
         "tumbling_daily": """
             SELECT user_id,
                    epoch_us(date_trunc('day', ts)) AS day_us,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS day_cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS day_cents,
                    COUNT(*) AS day_n
             FROM events GROUP BY user_id, date_trunc('day', ts)
         """,
@@ -957,9 +963,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
-                     AS sum_base_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -968,8 +974,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "broadcast_join_agg": """
             SELECT n_name,
-                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-                     AS total_cents,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
                    COUNT(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1055,10 +1061,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    ROW_NUMBER() OVER (PARTITION BY user_id
                                       ORDER BY ts, event_id) AS rn,
-                   SUM(CAST(round(value * 100) AS BIGINT))
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_cents,
+                     AS BIGINT) AS cum_cents,
                    RANK() OVER (PARTITION BY user_id
                                 ORDER BY CAST(round(value * 100) AS BIGINT)
                                          DESC) AS value_rank
@@ -1067,29 +1073,35 @@ def oracle_sql() -> dict[str, str]:
         "cube_agg": """
             SELECT event_type,
                    dayofweek(ts) + 1 AS dow,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents,
                    COUNT(*) AS n
             FROM events
             GROUP BY CUBE (event_type, dayofweek(ts) + 1)
         """,
         "pivot_types": """
             SELECT user_id,
-                   SUM(CASE WHEN event_type = 'click'
-                       THEN CAST(round(value * 100) AS BIGINT) END) AS click,
-                   SUM(CASE WHEN event_type = 'view'
-                       THEN CAST(round(value * 100) AS BIGINT) END) AS view,
-                   SUM(CASE WHEN event_type = 'purchase'
-                       THEN CAST(round(value * 100) AS BIGINT) END)
-                     AS purchase,
-                   SUM(CASE WHEN event_type = 'signup'
-                       THEN CAST(round(value * 100) AS BIGINT) END) AS signup,
-                   SUM(CASE WHEN event_type = 'error'
-                       THEN CAST(round(value * 100) AS BIGINT) END) AS error
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'click'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS click,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS view,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS purchase,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'signup'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS signup,
+                   CAST(COALESCE(SUM(CASE WHEN event_type = 'error'
+                       THEN CAST(round(value * 100) AS BIGINT) END), 0)
+                       AS BIGINT) AS error
             FROM events GROUP BY user_id
         """,
         "salted_agg": """
             SELECT event_type,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents_sum,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents_sum,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -1242,7 +1254,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT p.event_id, p.user_id,
                    COUNT(*) AS n_clicks,
-                   SUM(c.cents) AS click_cents
+                   CAST(SUM(c.cents) AS BIGINT) AS click_cents
             FROM purchases p
             JOIN clicks c
               ON p.user_id = c.user_id
@@ -1251,9 +1263,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.event_id, p.user_id
         """,
         "tpch_q6": """
-            SELECT SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round(l_discount * 100) AS BIGINT))
-                     AS revenue_unit,
+            SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_unit,
                    COUNT(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1324,14 +1336,15 @@ def oracle_sql() -> dict[str, str]:
               FROM sess GROUP BY user_id, sid
             )
             SELECT user_id, COUNT(*) AS n_sessions,
-                   SUM(n_events) AS n_events,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
                    MIN(start_us) AS first_us
             FROM per_session GROUP BY user_id
         """,
         "streaming_running_totals": """
             SELECT user_id,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents,
                    MIN(epoch_us(ts)) AS first_ts_us,
                    MAX(epoch_us(ts)) AS last_ts_us
             FROM events GROUP BY user_id
@@ -1343,14 +1356,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.user_n,
                    COUNT(*) AS n_rows,
-                   SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+                   CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
             FROM events e JOIN dim d USING (user_id)
             GROUP BY d.user_n
         """,
         "grouping_sets": """
             SELECT event_type,
                    hour(ts) AS hr,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents,
                    COUNT(*) AS n
             FROM events
             GROUP BY ROLLUP (event_type, hour(ts))
@@ -1392,7 +1407,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p.event_id, p.user_id,
                COUNT(c.cents) AS n_clicks,
-               COALESCE(SUM(c.cents), 0) AS click_cents
+               CAST(COALESCE(SUM(c.cents), 0) AS BIGINT) AS click_cents
         FROM purchases p
         LEFT JOIN clicks c
           ON p.user_id = c.user_id

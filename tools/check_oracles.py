@@ -43,7 +43,21 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list:
     if len(g) == len(e):
         for c in g.columns:
             gv, ev = g[c], e[c]
-            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
+            # the driver's value-hash is representation-exact: an int64
+            # column on one side vs float64 on the other (e.g. DuckDB
+            # HUGEINT -> float64) hashes differently even when every
+            # value is numerically equal — flag it here too
+            g_float = pd.api.types.is_float_dtype(gv)
+            e_float = pd.api.types.is_float_dtype(ev)
+            g_int = pd.api.types.is_integer_dtype(gv)
+            e_int = pd.api.types.is_integer_dtype(ev)
+            if (g_float and e_int) or (g_int and e_float):
+                problems.append(
+                    f"dtype family mismatch in column {c}: "
+                    f"spark={gv.dtype} duckdb={ev.dtype} "
+                    f"(driver value-hash would differ)")
+                continue
+            if g_float or e_float:
                 gv = pd.to_numeric(gv, errors="coerce").astype(float)
                 ev = pd.to_numeric(ev, errors="coerce").astype(float)
                 both_nan = gv.isna() & ev.isna()
