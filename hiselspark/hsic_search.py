@@ -60,14 +60,15 @@ def score_permutation(x: np.ndarray, lc: np.ndarray, kind: KernelKind,
 
 def sample_matrix(df: DataFrame, cols: Sequence[str], sample_cap: int,
                   seed: int = 0) -> np.ndarray:
-    """Deterministic bounded sample collected to the driver: seeded
-    Bernoulli pre-sample (pushed down, avoids a full-table sort) then a
-    hard cap."""
-    n = df.count()
-    if n > sample_cap:
-        frac = min(1.0, 1.25 * sample_cap / n)
-        df = df.sample(fraction=frac, seed=seed)
-    pdf = df.select(*cols).limit(sample_cap).toPandas()
+    """Deterministic bounded sample collected to the driver: rows ranked
+    by a seeded 64-bit content hash, top ``sample_cap`` taken.  The
+    ``orderBy(...).limit(n)`` pair compiles to TakeOrderedAndProject
+    (per-partition top-k merged on the driver, no global sort), and the
+    hash order is independent of partition layout — the same rows are
+    chosen on any cluster size, unlike ``sample().limit()``."""
+    proj = df.select(*cols)
+    ranked = proj.orderBy(F.xxhash64(F.lit(seed), *cols).asc(), *cols)
+    pdf = ranked.limit(sample_cap).toPandas()
     return pdf.to_numpy()
 
 

@@ -152,10 +152,14 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int = 16,
     reaches the driver).  Deterministic: seeded init on a sample ordered
     by a column hash, Lloyd iterations in NumPy.  Returns
     ``(n_centroids, dim)`` float64."""
+    s = F.concat_ws(",", F.col("v").cast("array<string>"))
     sample = (corpus
               .select(F.col(vec_col).cast("array<double>").alias("v"))
-              .orderBy(F.crc32(F.concat_ws(",", F.col("v")
-                                           .cast("array<string>"))))
+              # 64-bit hash order + full-content tiebreaker: collision-
+              # robust and deterministic across partition layouts; the
+              # orderBy+limit pair compiles to TakeOrderedAndProject
+              # (per-partition top-k, NOT a global sort of the corpus)
+              .orderBy(F.xxhash64(F.lit(seed), s), s)
               .limit(sample_size)
               .toPandas())
     x = np.array(sample["v"].tolist(), dtype=np.float64)

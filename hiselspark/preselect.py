@@ -35,9 +35,20 @@ def _bin_expr(df: DataFrame, col: str, edges: List[float]):
 
 
 def _quantile_edges(df: DataFrame, cols: Sequence[str],
-                    n_bins: int) -> Dict[str, List[float]]:
+                    n_bins: int, exact: bool = False) -> Dict[str, List[float]]:
     probs = [i / n_bins for i in range(1, n_bins)]
-    qs = df.approxQuantile(list(cols), probs, 0.001)
+    if exact:
+        # exact interpolated percentiles: deterministic across partition
+        # layouts (approxQuantile's GK-sketch merge is not), at the cost
+        # of an exact percentile aggregate — fine up to moderate n
+        row = df.agg(*[
+            F.expr(f"percentile({c}, {p})").alias(f"{c}__{i}")
+            for c in cols for i, p in enumerate(probs)
+        ]).collect()[0].asDict()
+        qs = [[float(row[f"{c}__{i}"]) for i in range(len(probs))]
+              for c in cols]
+    else:
+        qs = df.approxQuantile(list(cols), probs, 0.001)
     out = {}
     for c, edges in zip(cols, qs):
         uniq = sorted(set(edges))
@@ -52,12 +63,14 @@ def mutual_info(
     n_bins: int = 10,
     discrete_features: Sequence[str] = (),
     discrete_target: bool = False,
+    exact_edges: bool = False,
 ) -> pd.Series:
     """Histogram MI (nats) of each feature with the target, all features
     in one aggregation pass."""
     cont_feats = [c for c in feature_cols if c not in set(discrete_features)]
     to_edge = list(cont_feats) + ([] if discrete_target else [target_col])
-    edges = _quantile_edges(df, to_edge, n_bins) if to_edge else {}
+    edges = (_quantile_edges(df, to_edge, n_bins, exact=exact_edges)
+             if to_edge else {})
 
     ybin = (F.col(target_col).cast("long") if discrete_target
             else _bin_expr(df, target_col, edges[target_col]))
@@ -99,6 +112,7 @@ def mi_preselect(
     n_bins: int = 10,
     discrete_features: Sequence[str] = (),
     discrete_target: bool = False,
+    exact_edges: bool = False,
 ) -> Tuple[List[str], pd.Series]:
     """Reference ``ksgmi`` semantics: per target column compute per-
     feature MI, normalize by the max across features, keep features with
@@ -109,7 +123,8 @@ def mi_preselect(
     mis = None
     for t in target_cols:
         mis = mutual_info(df, feature_cols, t, n_bins,
-                          discrete_features, discrete_target)
+                          discrete_features, discrete_target,
+                          exact_edges=exact_edges)
         mx = float(mis.max())
         if mx <= 0:
             continue

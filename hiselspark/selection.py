@@ -378,6 +378,9 @@ class SparkHSICSelector:
                     df, self.feature_cols, self.target_cols,
                     self.x_kind, self.y_kind, self.cat_split,
                     minibatch_size)]
+            if mode == "hash":
+                return self._hash_stats(df, minibatch_size, order_col,
+                                        epochs, seed)
             if mode == "parity":
                 if order_col is None:
                     raise ValueError("parity mode needs order_col")
@@ -387,6 +390,85 @@ class SparkHSICSelector:
         finally:
             if cache:
                 base.unpersist()
+
+    def _hash_stats(self, df, minibatch_size, order_col, epochs, seed):
+        """Deterministic *production* batching: every row is assigned to
+        a minibatch by a seeded content hash (``pmod(xxhash64(...),
+        num_mb)``) — no global sort, no single-task stage, and the batch
+        membership (hence the per-batch delta-kernel counts) is
+        independent of partition layout, so results are bit-reproducible
+        across cluster sizes.  One shuffle of the narrow numeric frame.
+
+        ``epochs > 1`` replicates each row into ``epochs`` copies whose
+        hashes differ by epoch id, so every epoch lands in a different
+        minibatch grouping — the scale-mode equivalent of the
+        reference's shuffled-concatenation augmentation
+        (``select.py:384-389``): more minibatch diversity per LARS run.
+
+        The stats rows are reduced in two levels grouped by minibatch-id
+        ranges and summed in sorted key order at both levels, so the
+        float accumulation order is fixed at any scale."""
+        hash_cols = [order_col] if order_col else [
+            *self.feature_cols, *self.target_cols]
+        n = df.count()
+        b = max(8, minibatch_size)
+        num_mb = max(1, (n * epochs) // b)
+        if epochs > 1:
+            df = df.withColumn(
+                "__epoch",
+                F.explode(F.sequence(F.lit(0), F.lit(epochs - 1))))
+            h = F.xxhash64(F.lit(seed), F.col("__epoch"), *hash_cols)
+        else:
+            h = F.xxhash64(F.lit(seed), *hash_cols)
+        df = (df.withColumn("__h", h)
+                .withColumn("__mb", F.pmod("__h", F.lit(num_mb))))
+
+        d = len(self.feature_cols)
+        dy = len(self.target_cols)
+        fc, tc = list(self.feature_cols), list(self.target_cols)
+        kw = _stats_kwargs(self.x_kind, self.cat_split, dy)
+        kw["y_kind"] = self.y_kind
+
+        def per_minibatch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["__h"] + fc)
+            if len(pdf) < 2:
+                return _make_stats_row(key[0], np.zeros((d, d)),
+                                       np.zeros(d), 0, 0)
+            bx, by = batch_sufficient_stats(
+                pdf[fc].to_numpy(), pdf[tc].to_numpy(), **kw)
+            return _make_stats_row(key[0], bx, by, len(pdf), 1)
+
+        stats = df.groupBy("__mb").applyInPandas(per_minibatch,
+                                                 _STAT_SCHEMA)
+        # two-level deterministic reduce: group minibatch ids into
+        # contiguous ranges, sum each range in key order, then sum the
+        # (at most reduce_groups) range rows in key order on the driver
+        reduce_groups = 64
+        span = max(1, -(-num_mb // reduce_groups))
+
+        def sum_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("group_key")
+            xtx = np.sum(np.stack(pdf["xtx"].map(np.asarray)), axis=0)
+            xty = np.sum(np.stack(pdf["xty"].map(np.asarray)), axis=0)
+            return _make_stats_row(int(key[0]), xtx, xty,
+                                   int(pdf["n_rows"].sum()),
+                                   int(pdf["n_batches"].sum()))
+
+        reduced = (stats
+                   .withColumn("__rg",
+                               (F.col("group_key") / F.lit(span))
+                               .cast("long"))
+                   .groupBy("__rg")
+                   .applyInPandas(sum_range, _STAT_SCHEMA)
+                   .toPandas()
+                   .sort_values("group_key"))
+        if reduced.empty or int(reduced["n_batches"].sum()) == 0:
+            raise ValueError("no complete minibatch in hash mode")
+        xtx = np.sum(np.stack(reduced["xtx"].map(np.asarray)),
+                     axis=0).reshape(d, d)
+        xty = np.sum(np.stack(reduced["xty"].map(np.asarray)), axis=0)
+        return [(xtx, xty, int(reduced["n_rows"].sum()),
+                 int(reduced["n_batches"].sum()))]
 
     def _parity_stats(self, df, minibatch_size, order_col, batch_size,
                       epochs, seed):
@@ -439,14 +521,18 @@ class SparkHSICSelector:
             pdf = pdf.sort_values("__spos")
             bx, by = batch_sufficient_stats(
                 pdf[fc].to_numpy(), pdf[tc].to_numpy(), **kw)
-            return _make_stats_row(key[0], bx, by, len(pdf), 1)
+            # pack (outer, mb) into one key so the driver can sum the
+            # blocks in a fixed order — bit-reproducible across layouts
+            return _make_stats_row(key[0] * (2 ** 32) + key[1],
+                                   bx, by, len(pdf), 1)
 
         stats = (df.groupBy("__outer", "__mb")
                    .applyInPandas(per_minibatch, _STAT_SCHEMA)
-                   .toPandas())
+                   .toPandas()
+                   .sort_values("group_key"))
         out = []
         for outer in range(num_outer):
-            part = stats[stats["group_key"] == outer]
+            part = stats[stats["group_key"] // (2 ** 32) == outer]
             xtx = np.sum(np.stack(part["xtx"].map(np.asarray)),
                          axis=0).reshape(d, d)
             xty = np.sum(np.stack(part["xty"].map(np.asarray)), axis=0)
