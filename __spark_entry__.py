@@ -530,6 +530,28 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("__matched_ts").alias("view_ts_us"))
 
 
+def q_asof_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of against RAW click rows (colliding (user, ts)
+    feature timestamps): the deterministic tie rule — max value tuple
+    wins within a timestamp — must match an oracle that argmaxes per
+    (user, ts) and then ASOF-joins."""
+    from hiselspark.operators.asof import asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", "ts",
+                        F.round(F.col("value") * 100).cast("long")
+                        .alias("cents")))
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["cents"])
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        F.col("cents").alias("click_cents"),
+        _us("__matched_ts").alias("click_ts_us"))
+
+
 def q_interval_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized interval join: every (purchase, click) pair where the
     click is within the trailing hour of the purchase, aggregated per
@@ -853,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "greedy_hsic_search": q_greedy_hsic_search,
         "categorical_search": q_categorical_search,
         "asof_forward": q_asof_forward,
+        "asof_ties": q_asof_ties,
         "interval_clicks": q_interval_clicks,
         "tpch_q6": q_tpch_q6,
         "anti_join": q_anti_join,
@@ -1259,6 +1282,28 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN views v
               ON p.user_id = v.user_id AND v.ts >= p.ts
+        """,
+        "asof_ties": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, CAST(round(value * 100) AS BIGINT)
+                       AS cents,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                       ORDER BY CAST(round(value * 100) AS BIGINT) DESC)
+                       AS rk
+              FROM events WHERE event_type = 'click'
+            ), best AS (
+              SELECT user_id, ts, cents FROM clicks WHERE rk = 1
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   c.cents AS click_cents,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM purchases p
+            ASOF LEFT JOIN best c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
         "interval_clicks": """
             WITH purchases AS (

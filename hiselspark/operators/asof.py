@@ -110,15 +110,23 @@ def asof_join(
     unioned = f_tagged.unionByName(l_tagged)
 
     # backward: running last over the preceding frame; forward: the
-    # mirror image — first feature row in the following frame.
+    # mirror image — first feature row in the following frame.  The
+    # packed value struct is the final sort key: among several feature
+    # rows at the SAME (entity, ts) the winner is the lexicographic-max
+    # (backward) / -min (forward) value tuple — deterministic across
+    # partition layouts (a bare (ts, side) order left the tie winner to
+    # partition order) and SQL-expressible for oracles (argmax by value
+    # within (entity, ts), then plain ASOF JOIN).
     if backward:
         w = (Window.partitionBy("__k")
-                   .orderBy(F.col("__t").asc(), F.col("__side").asc())
+                   .orderBy(F.col("__t").asc(), F.col("__side").asc(),
+                            F.col("__v").asc())
                    .rowsBetween(Window.unboundedPreceding, 0))
         match = F.last("__v", ignorenulls=True).over(w)
     else:
         w = (Window.partitionBy("__k")
-                   .orderBy(F.col("__t").asc(), F.col("__side").asc())
+                   .orderBy(F.col("__t").asc(), F.col("__side").asc(),
+                            F.col("__v").asc())
                    .rowsBetween(0, Window.unboundedFollowing))
         match = F.first("__v", ignorenulls=True).over(w)
     filled = unioned.select(

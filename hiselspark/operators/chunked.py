@@ -51,6 +51,34 @@ from .windows import ts_seconds
 _B = "__bucket"
 _CTX = "__ctx"
 
+# persisted intermediates of chunked-operator calls; a long-lived
+# session releases them with release_chunk_caches() once the returned
+# frames are materialized (they are tiny relative to executor memory,
+# but unbounded accumulation across many calls eventually evicts)
+_LIVE_CACHES: list = []
+
+
+def _remember(df: DataFrame) -> DataFrame:
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_chunk_caches() -> int:
+    """Unpersist every cached intermediate created by chunked operators
+    so far.  Call after materializing their outputs (count/write/
+    collect); returns the number of frames released.  Safe to call any
+    time — an unpersisted upstream only means recomputation if the
+    output is re-evaluated later."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    return n
+
 
 def _bucket_of(ts_col, bucket_seconds: float) -> Column:
     us = (ts_seconds(ts_col) * 1_000_000).cast("long")
@@ -75,7 +103,7 @@ def _cluster(df: DataFrame, entity_col: str,
     the payloads."""
     out = df.repartition(F.col(entity_col), F.col(_B))
     if materialize:
-        out = out.persist()
+        out = _remember(out.persist())
     return out
 
 
@@ -131,10 +159,9 @@ def chunked_lags(
     """Exact twin of ``windows.with_lags`` clustered by (entity,
     bucket), correct under arbitrary bucket sparsity.
 
-    NOTE: ties in ``ts`` within an entity are ordered arbitrarily but
-    consistently between the local window and the carry arrays (both
-    sort by (ts, values)); like the plain operator, results on tied
-    timestamps are deterministic only up to that order."""
+    Ties in ``ts`` are ordered by the value columns — the same rule as
+    the plain operator (``windows.with_lags``), so the two paths agree
+    row-for-row even on tied timestamps."""
     k = max(lags)
     cols = list(cols)
     clustered = _cluster(
@@ -210,7 +237,8 @@ def chunked_rolling(
     if window_seconds > bucket_seconds:
         raise ValueError("rolling window must fit in one bucket")
     # persist the tagged input: the context union scans it twice
-    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist()
+    tagged = _remember(
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
         entity_col, materialize=False)
@@ -318,7 +346,8 @@ def chunked_timeline_features(
 
     # persist the tagged input: the context union scans it twice, and
     # the upstream (image decode) is the most expensive thing here
-    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist()
+    tagged = _remember(
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, rolling_window_s),
         entity_col, materialize=False)
@@ -333,7 +362,7 @@ def chunked_timeline_features(
         out = out.withColumn(name, expr)
     # materialize AFTER the rolling pass: the session/lag summary
     # branches below each re-derive from here otherwise (see _cluster)
-    real = out.filter(F.col(_CTX) == 0).drop(_CTX).persist()
+    real = _remember(out.filter(F.col(_CTX) == 0).drop(_CTX).persist())
 
     # sessionize (real rows only; filter preserved the clustering)
     flagged, summary = _session_pieces(real, entity_col, ts_col,

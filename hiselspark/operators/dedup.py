@@ -98,7 +98,6 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
     """Distinct candidate pairs (a < b) whose signatures agree on at
     least one band.  Docs only meet inside a (band, band-hash) bucket —
     the quadratic blow-up is bounded by bucket size, the LSH guarantee."""
-    k = None  # rows per band derived from the signature length at plan time
     sig_len = F.size("signature")
     rows_per_band = (sig_len / bands).cast("int")
     banded = signatures.select(
@@ -120,12 +119,35 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 4) -> DataFrame:
 
 def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                   candidates: Optional[DataFrame] = None,
-                  threshold: float = 0.0, shingle_n: int = 3) -> DataFrame:
+                  threshold: float = 0.0, shingle_n: int = 3,
+                  max_shingle_df: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (all pairs
     when ``candidates`` is None — quadratic, small inputs only).
     Computed relationally: explode shingles, self-join on shingle for
-    intersections, join distinct counts for the union."""
+    intersections, join distinct counts for the union.
+
+    ``max_shingle_df`` is standard LSH hygiene for the shingle
+    self-join's worst case: a shingle appearing in f documents creates
+    f^2 join rows, so one stopword shingle ('of the and', say) in every
+    document makes the stage quadratic in the corpus.  With the cap set,
+    shingles with document frequency above it are dropped from BOTH the
+    intersection and the set sizes — Jaccard over the informative
+    shingles, consistently on both sides of the ratio.  None (default)
+    keeps exact semantics.  When ``candidates`` is given, both explode
+    sides are also pre-restricted to candidate documents, so the
+    self-join is quadratic only in the candidate population."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
+    if candidates is not None:
+        cand_docs = (candidates.select(F.col("a").alias("doc"))
+                     .union(candidates.select(F.col("b").alias("doc")))
+                     .distinct())
+        sh = sh.join(cand_docs, "doc", "left_semi")
+    if max_shingle_df is not None:
+        keep = (sh.groupBy("shingle")
+                  .agg(F.count("*").alias("__df"))
+                  .filter(F.col("__df") <= max_shingle_df)
+                  .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("l")
              .join(sh.alias("r"), "shingle")
@@ -149,13 +171,19 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 16, bands: int = 4,
                             threshold: float = 0.5,
-                            shingle_n: int = 3) -> DataFrame:
+                            shingle_n: int = 3,
+                            max_shingle_df: Optional[int] = None) -> DataFrame:
     """Full near-dup pipeline: MinHash -> LSH buckets -> exact-Jaccard
-    verification of the candidates at ``threshold``."""
+    verification of the candidates at ``threshold``.  The verification
+    self-join is restricted to candidate documents; ``max_shingle_df``
+    additionally drops stopword-grade shingles (see
+    :func:`jaccard_pairs`) — at web scale set it to a small multiple of
+    the expected duplicate-group size."""
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, bands)
     return jaccard_pairs(df, id_col, text_col, candidates=cands,
-                         threshold=threshold, shingle_n=shingle_n)
+                         threshold=threshold, shingle_n=shingle_n,
+                         max_shingle_df=max_shingle_df)
 
 
 # ---------------------------------------------------------------------------

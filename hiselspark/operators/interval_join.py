@@ -42,8 +42,12 @@ def interval_join(
 
     Returns the left row plus each matching right row's ``value_cols``
     and ``__right_ts``.  ``how='left'`` keeps unmatched left rows with
-    nulls (implemented as a left join on the exploded buckets plus
-    dedup of the null rows).
+    nulls — implemented in a single pass: the left side carries a unique
+    row id through a left bucket join, and a window over that id keeps
+    every in-range match plus exactly one null row for ids with none.
+    (Correct for duplicate left rows and null-valued columns, unlike an
+    anti-join on all left columns; costs one extra shuffle of the joined
+    result keyed by the row id.)
     """
     if hi_seconds <= lo_seconds:
         raise ValueError("need hi_seconds > lo_seconds")
@@ -59,6 +63,8 @@ def interval_join(
     rus = (ts_seconds(right_ts) * 1_000_000).cast("long")
 
     l_tag = left.withColumn("__lus", lus)
+    if how == "left":
+        l_tag = l_tag.withColumn("__lid", F.monotonically_increasing_id())
     # a right row at rus qualifies for left rows with
     # lus in [rus - hi, rus - lo]; both endpoints of that interval fall
     # in bucket floor((lus + lo)/W) or floor((lus + hi)/W) of rus's own
@@ -82,28 +88,32 @@ def interval_join(
     in_range = (
         (F.col("__rus") >= F.col("__lus") + F.lit(lo_us))
         & (F.col("__rus") <= F.col("__lus") + F.lit(hi_us)))
-    joined = (l_exp.join(
-        r_tag,
-        (F.col(on) == F.col("__rk")) & (l_exp["__bucket"] == r_tag["__bucket"]),
-        "inner")
-        .filter(in_range))
-    matched = joined.select(
-        *left.columns,
-        *[F.col(f"__rv_{c}").alias(c) for c in value_cols],
-        "__right_ts")
+    join_cond = ((F.col(on) == F.col("__rk"))
+                 & (l_exp["__bucket"] == r_tag["__bucket"]))
 
     if how == "inner":
-        return matched
+        return (l_exp.join(r_tag, join_cond, "inner")
+                .filter(in_range)
+                .select(*left.columns,
+                        *[F.col(f"__rv_{c}").alias(c) for c in value_cols],
+                        "__right_ts"))
     if how != "left":
         raise ValueError(f"unsupported how={how!r}")
-    unmatched = left.join(
-        matched.select(*left.columns).distinct(),
-        on=list(left.columns), how="left_anti")
-    for c in value_cols:
-        rtype = {f.name: f.dataType for f in right.schema.fields}[c]
-        unmatched = unmatched.withColumn(c, F.lit(None).cast(rtype))
-    unmatched = unmatched.withColumn(
-        "__right_ts",
-        F.lit(None).cast(
-            {f.name: f.dataType for f in right.schema.fields}[right_ts]))
-    return matched.unionByName(unmatched)
+
+    from pyspark.sql import Window
+    joined = (l_exp.join(r_tag, join_cond, "left")
+              .drop(r_tag["__bucket"])
+              .withColumn("__ok", F.coalesce(in_range, F.lit(False))))
+    wid = Window.partitionBy("__lid")
+    joined = (joined
+              .withColumn("__any",
+                          F.max(F.col("__ok").cast("int")).over(wid))
+              .withColumn("__rn",
+                          F.row_number().over(wid.orderBy("__bucket"))))
+    keep = F.col("__ok") | ((F.col("__any") == 0) & (F.col("__rn") == 1))
+    return (joined.filter(keep)
+            .select(*left.columns,
+                    *[F.when(F.col("__ok"), F.col(f"__rv_{c}")).alias(c)
+                      for c in value_cols],
+                    F.when(F.col("__ok"), F.col("__right_ts"))
+                    .alias("__right_ts")))

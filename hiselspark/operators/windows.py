@@ -39,8 +39,12 @@ def with_lags(
     lags: Sequence[int] = (1,),
 ) -> DataFrame:
     """``{col}_lag{k}`` = value k rows earlier in the entity timeline
-    (north-rule 'lag'; pandas oracle ``groupby().shift(k)``)."""
-    w = entity_window(entity_col, ts_col)
+    (north-rule 'lag'; pandas oracle ``groupby().shift(k)``).
+
+    Ties in ``ts`` are ordered by the value columns — the same
+    deterministic tie rule as ``chunked.chunked_lags``, so the plain
+    and skew-proof paths agree row-for-row even on tied timestamps."""
+    w = entity_window(entity_col, ts_col, *cols)
     out = df
     for c in cols:
         for k in lags:
@@ -55,8 +59,10 @@ def with_leads(
     cols: Sequence[str],
     leads: Sequence[int] = (1,),
 ) -> DataFrame:
-    """``{col}_lead{k}`` = value k rows later (pandas ``shift(-k)``)."""
-    w = entity_window(entity_col, ts_col)
+    """``{col}_lead{k}`` = value k rows later (pandas ``shift(-k)``).
+    Tied timestamps ordered by the value columns (see
+    :func:`with_lags`)."""
+    w = entity_window(entity_col, ts_col, *cols)
     out = df
     for c in cols:
         for k in leads:

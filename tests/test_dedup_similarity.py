@@ -84,6 +84,36 @@ def test_minhash_near_duplicates_finds_planted(docs):
     assert (got.jaccard >= 0.4).all()
 
 
+def test_hot_shingle_cap_bounds_blowup(spark):
+    """Adversarial corpus: one stopword shingle shared by every doc.
+    Uncapped, the shingle self-join creates a quadratic bucket (n^2/2
+    pairs); with ``max_shingle_df`` the hot shingle is dropped from both
+    the intersections and the set sizes, so unrelated docs produce NO
+    pair at all and true duplicates still surface."""
+    n = 40
+    stop = "of the and"
+    rows = [(i, f"{stop} unique{i} token{i} tail{i} x{i} y{i}")
+            for i in range(n)]
+    rows.append((900, rows[5][1]))  # exact duplicate of doc 5
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])).repartition(4)
+
+    uncapped = dedup.jaccard_pairs(sdf, "doc_id", "text",
+                                   threshold=0.0).toPandas()
+    # the hot shingle alone links every doc pair
+    assert len(uncapped) == (n + 1) * n // 2
+
+    capped = dedup.jaccard_pairs(sdf, "doc_id", "text", threshold=0.5,
+                                 max_shingle_df=5).toPandas()
+    assert set(zip(capped.a, capped.b)) == {(5, 900)}
+    # and through the full minhash pipeline too
+    mh = dedup.minhash_near_duplicates(sdf, "doc_id", "text",
+                                       num_hashes=32, bands=8,
+                                       threshold=0.5,
+                                       max_shingle_df=5).toPandas()
+    assert set(zip(mh.a, mh.b)) == {(5, 900)}
+
+
 def test_minhash_signature_shape(docs):
     sdf, _ = docs
     sig = dedup.minhash_signatures(sdf, "doc_id", "text",

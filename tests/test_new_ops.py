@@ -118,6 +118,67 @@ def test_interval_join_left_keeps_unmatched(spark):
     assert got_matched == matched
 
 
+def test_interval_join_left_duplicates_and_nulls(spark):
+    """how='left' must keep BOTH copies of a duplicate left row and not
+    spuriously re-emit matched rows whose columns contain nulls (the
+    anti-join-on-all-columns formulation failed both)."""
+    from hiselspark.operators.interval_join import interval_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "a", "a", "b"],
+        "ts": pd.to_datetime(["2024-02-01 10:00", "2024-02-01 10:00",
+                              "2024-02-01 12:00", "2024-02-01 10:00"]),
+        # a null-valued passthrough column: null != null in a join
+        "note": [None, None, "x", None],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a"],
+        "ts": pd.to_datetime(["2024-02-01 09:59"]),
+        "r_val": [7],
+    }))
+    got = interval_join(left, right, on="entity_id",
+                        lo_seconds=-600.0, hi_seconds=0.0,
+                        value_cols=["r_val"], how="left").toPandas()
+    # the duplicate matched row appears TWICE (once per left copy), the
+    # unmatched rows exactly once each, and no extra null rows exist
+    assert len(got) == 4
+    matched = got.dropna(subset=["r_val"])
+    assert len(matched) == 2 and set(matched["r_val"]) == {7}
+    unmatched = got[got["r_val"].isna()]
+    assert len(unmatched) == 2
+
+
+def test_asof_ties_pick_max_value(spark):
+    """Several feature rows at the same (entity, ts): the deterministic
+    rule is max value tuple wins (SQL-oracle-able as argmax-then-asof)."""
+    from hiselspark.operators.asof import asof_join
+
+    feats = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a", "a", "a", "a"],
+        "ts": pd.to_datetime(["2024-02-01 09:00"] * 3
+                             + ["2024-02-01 08:00"]),
+        "fval": [3.0, 9.0, 5.0, 100.0],
+    }))
+    labels = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a"],
+        "ts": pd.to_datetime(["2024-02-01 10:00"]),
+        "rid": [0],
+    }))
+    out = asof_join(labels, feats, on="entity_id", left_ts="ts",
+                    right_ts="ts", value_cols=["fval"]).toPandas()
+    assert out["fval"].tolist() == [9.0]
+    # forward mirror: min value tuple wins at the tied timestamp
+    labels2 = spark.createDataFrame(pd.DataFrame({
+        "entity_id": ["a"],
+        "ts": pd.to_datetime(["2024-02-01 08:30"]),
+        "rid": [0],
+    }))
+    out2 = asof_join(labels2, feats, on="entity_id", left_ts="ts",
+                     right_ts="ts", value_cols=["fval"],
+                     direction="forward").toPandas()
+    assert out2["fval"].tolist() == [3.0]
+
+
 # ---------------------------------------------------------------------------
 # IVF top-k
 # ---------------------------------------------------------------------------

@@ -188,7 +188,9 @@ def main():
         "hardware_ceiling": round(ceiling, 3),
         "efficiency_vs_hardware": round(eff / ceiling, 3),
         "core_efficiency_vs_hardware": round(core_eff / ceiling, 3),
-        "pass_north_rule_0.8": core_eff / ceiling >= 0.8,
+        "pass_raw_0.8": eff >= 0.8,
+        "pass_core_raw_0.8": core_eff >= 0.8,
+        "pass_core_vs_hardware_0.8": core_eff / ceiling >= 0.8,
         "caveat": "a single box shares ONE memory/loopback-socket bus "
                   "across all local[N] tasks, so payload-movement stages "
                   "(image bytes JVM->Python) are bandwidth-bound and do "
