@@ -81,7 +81,12 @@ def select_features(
             mode=hp.mode,
             order_col=hp.order_col,
             batch_size=hp.batch_size,
-            epochs=(hp.number_of_epochs if hp.mode == "parity" else 1),
+            # epoch augmentation exists on the parity path (reference-
+            # exact shuffled concatenation) and the hash path (per-epoch
+            # batch groupings — the production form); plain scale mode
+            # has no stable batch identity to augment, so it runs 1
+            epochs=(hp.number_of_epochs if hp.mode in ("parity", "hash")
+                    else 1),
             threshold=hp.hsic_threshold,
         )
         cont_features = cont_result.features

@@ -98,6 +98,60 @@ def test_tpch_q1_partial_aggregation(spark):
     assert txt.count("Exchange hashpartitioning") <= 2  # agg + orderBy
 
 
+def test_flagship_hash_mode_plan_no_global_sort(spark):
+    """The production (hash-mode) batching the flagship entry runs must
+    contain NO global sort or single-partition exchange: one hash
+    shuffle on the minibatch key, one tiny shuffle of partial-sum rows.
+    (The old parity path planned a rangepartitioning Sort for the global
+    row_number — the scale-killer this test pins against.)"""
+    from pyspark.sql import Window  # noqa: F401
+    from hiselspark.selection import SparkHSICSelector
+    import hiselspark.selection as S
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id",
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(8)])
+    cols = [f"e{i}" for i in range(8)]
+    sel = SparkHSICSelector(wide, cols, ["y"], standardize="none")
+    # reproduce the hash-mode stats frame (pre-reduce) without running
+    num_mb = 5
+    h = F.xxhash64(F.lit(0), F.col("vec_id"))
+    df = (wide.select(*cols, "y", "vec_id")
+          .withColumn("__h", h)
+          .withColumn("__mb", F.pmod("__h", F.lit(num_mb))))
+    stats = df.groupBy("__mb").applyInPandas(
+        lambda key, pdf: None, S._STAT_SCHEMA)
+    txt = plan_str(stats, "simple")
+    assert "rangepartitioning" not in txt, txt
+    assert "SinglePartition" not in txt, txt
+    assert txt.count("Exchange hashpartitioning") == 1, txt
+
+
+def test_hash_mode_epochs_augment_batches(spark):
+    """epochs=2 in hash mode must consume ~2n rows (each row lands in
+    two per-epoch minibatch groupings) and keep the planted ranking."""
+    import numpy as np
+    import pandas as pd
+    rng = np.random.default_rng(4)
+    n = 600
+    x0 = rng.normal(size=n)
+    pdf = pd.DataFrame({
+        "x0": x0, "x1": rng.normal(size=n), "x2": rng.normal(size=n),
+        "y": x0 * 2.0 + 0.1 * rng.normal(size=n),
+    })
+    from hiselspark.selection import SparkHSICSelector
+    df = spark.createDataFrame(pdf).repartition(4)
+    sel = SparkHSICSelector(df, ["x0", "x1", "x2"], ["y"])
+    r1 = sel.run(number_of_features=1, minibatch_size=100, mode="hash")
+    r2 = sel.run(number_of_features=1, minibatch_size=100, mode="hash",
+                 epochs=2)
+    assert r1.features == ["x0"] and r2.features == ["x0"]
+    assert r2.n_rows_used >= int(1.9 * r1.n_rows_used)
+    assert r2.n_minibatches >= 2 * r1.n_minibatches - 2
+
+
 def test_stats_stage_has_no_feature_row_shuffle(spark):
     """The sufficient-statistics plan shuffles only the tiny partial-sum
     rows (one per task), never the feature rows: the mapInPandas stage

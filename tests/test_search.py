@@ -197,3 +197,62 @@ def test_api_select_features_mixed(spark):
         ["y"])
     assert "g1" in res.selected_features
     assert "c3" in res.selected_features
+
+
+# ---------------------------------------------------------------------------
+# KSG mutual information (reference ksgmi estimator cross-check)
+# ---------------------------------------------------------------------------
+
+def test_ksg_mi_matches_gaussian_analytic():
+    """KSG(1) on correlated Gaussians must approach the analytic
+    MI = -0.5 ln(1 - rho^2) — validates the estimator itself (the
+    reference delegates this math to sklearn; here it is exact NumPy
+    with an integer-digamma table)."""
+    from hiselspark.preselect import ksg_mi
+    rng = np.random.default_rng(11)
+    n, rho = 1500, 0.8
+    x = rng.normal(size=n)
+    y = rho * x + np.sqrt(1 - rho ** 2) * rng.normal(size=n)
+    analytic = -0.5 * np.log(1 - rho ** 2)
+    est = ksg_mi(x, y, k=3)
+    assert abs(est - analytic) < 0.07, (est, analytic)
+    # independence -> near zero
+    assert ksg_mi(x, rng.normal(size=n), k=3) < 0.05
+
+
+def test_ksg_discrete_target_detects_dependence():
+    from hiselspark.preselect import ksg_mi
+    rng = np.random.default_rng(12)
+    n = 1200
+    x = rng.normal(size=n)
+    y = (x + 0.3 * rng.normal(size=n) > 0).astype(np.int64)
+    dep = ksg_mi(x, y, k=3, discrete_target=True)
+    ind = ksg_mi(rng.normal(size=n), y, k=3, discrete_target=True)
+    assert dep > 0.25 and ind < 0.05, (dep, ind)
+
+
+def test_histogram_and_ksg_agree_on_planted_ranking(spark):
+    """The distributed histogram estimator and the reference-style KSG
+    estimator must rank the same planted features on top, and
+    mi_preselect(estimator='ksg') must keep exactly them — the
+    estimator-gap reconciliation VERDICT asked for."""
+    from hiselspark.preselect import mi_preselect
+    rng = np.random.default_rng(13)
+    n = 1500
+    x0 = rng.normal(size=n)
+    x1 = rng.normal(size=n)
+    pdf = pd.DataFrame({
+        "x0": x0, "x1": x1,
+        "x2": rng.normal(size=n), "x3": rng.normal(size=n),
+        "y": np.sin(2 * x0) + 0.5 * x1 + 0.2 * rng.normal(size=n),
+    })
+    df = spark.createDataFrame(pdf).repartition(5)
+    cols = ["x0", "x1", "x2", "x3"]
+    kept_h, mis_h = mi_preselect(df, cols, ["y"], threshold=0.3,
+                                 exact_edges=True)
+    kept_k, mis_k = mi_preselect(df, cols, ["y"], threshold=0.3,
+                                 estimator="ksg")
+    assert set(kept_h) == {"x0", "x1"}, (kept_h, mis_h.to_dict())
+    assert set(kept_k) == {"x0", "x1"}, (kept_k, mis_k.to_dict())
+    assert set(mis_h.sort_values().index[-2:]) == {"x0", "x1"}
+    assert set(mis_k.sort_values().index[-2:]) == {"x0", "x1"}
