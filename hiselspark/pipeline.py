@@ -80,7 +80,7 @@ def engineer_timeline(
 
 
 def assemble_training_frame(
-    images: DataFrame,
+    images,
     labels: DataFrame,
     n_phash_bits: int = 16,
     tolerance_seconds: Optional[float] = None,
@@ -90,9 +90,20 @@ def assemble_training_frame(
     ``(entity_id, label_ts)`` with the feature vector as of that
     moment (backward as-of, zero leakage).  Returns (frame, feature
     column names).  ``bucket_seconds`` routes the timeline windows AND
-    the as-of join through the skew-proof chunked operators."""
-    feats = engineer_timeline(featurize_images(images, n_phash_bits),
-                              bucket_seconds=bucket_seconds)
+    the as-of join through the skew-proof chunked operators.
+
+    ``images`` is either a DataFrame (blobs cross the Arrow socket into
+    the pixel-stats worker) or a parquet directory path, which routes
+    through the scan-fused featurizer (``sources/fused_scan.py``):
+    tasks open their row groups directly, so image bytes never touch
+    the JVM — the production setting for payload-heavy corpora."""
+    if isinstance(images, str):
+        from .sources.fused_scan import featurize_images_fused
+        featurized = featurize_images_fused(labels.sparkSession, images,
+                                            n_phash_bits)
+    else:
+        featurized = featurize_images(images, n_phash_bits)
+    feats = engineer_timeline(featurized, bucket_seconds=bucket_seconds)
     feature_cols = [c for c in feats.columns
                     if c not in ("entity_id", "ts")]
     if bucket_seconds is None:
@@ -117,7 +128,7 @@ def assemble_training_frame(
 
 
 def select_features_pointintime(
-    images: DataFrame,
+    images,
     labels: DataFrame,
     number_of_features: int = 5,
     n_phash_bits: int = 16,

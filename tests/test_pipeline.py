@@ -4,6 +4,8 @@ point-in-time assembly -> HSIC-Lasso; must recover the planted features
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from hiselspark import datagen
 from hiselspark.functions.image import decode_image, psnr
 from hiselspark.pipeline import (assemble_training_frame,
@@ -61,3 +63,33 @@ def test_selection_recovers_planted_features(corpus):
     # y = 2*bit0 - 1.5*bit7 + 0.25*n_tokens + eps (datagen.labels)
     assert {"pbit0", "pbit7"} <= set(res.features)
     assert {"caption_tokens", "caption_rtokens"} & set(res.features)
+
+
+def test_fused_scan_equals_dataframe_featurizer(spark, tmp_path_factory):
+    """The scan-fused featurizer (tasks read their parquet row groups
+    directly, blobs never enter the JVM) must produce row-for-row the
+    same features as the DataFrame route."""
+    import pandas as pd
+    from hiselspark.pipeline import featurize_images
+    from hiselspark.sources.fused_scan import featurize_images_fused
+
+    path = str(tmp_path_factory.mktemp("fused") / "images")
+    datagen.images(spark, 1200, seed=7, partitions=5).write.parquet(path)
+
+    df_route = featurize_images(spark.read.parquet(path)
+                                .withColumn("ts", F.col("ts")
+                                            .cast("timestamp")),
+                                n_phash_bits=8).toPandas()
+    fused = featurize_images_fused(spark, path, n_phash_bits=8).toPandas()
+    assert set(df_route.columns) == set(fused.columns)
+    key = ["entity_id", "ts", "caption_len", "phash_weight", "px_mean_r"]
+    a = (df_route[sorted(df_route.columns)]
+         .sort_values(key).reset_index(drop=True))
+    b = (fused[sorted(fused.columns)]
+         .sort_values(key).reset_index(drop=True))
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            np.testing.assert_allclose(a[c], b[c], rtol=0, atol=0,
+                                       err_msg=c)
+        else:
+            assert a[c].astype(str).equals(b[c].astype(str)), c

@@ -87,10 +87,12 @@ from hiselspark.pipeline import (assemble_training_frame,
 from hiselspark.selection import SparkHSICSelector
 
 def load(which):
-    img = spark.read.parquet(f"{{corpus}}/{{which}}images")
+    # images passed as a parquet PATH: the scan-fused featurizer reads
+    # row groups directly in the Python tasks, so image bytes never
+    # cross the JVM->Python socket (the measured byte-pump bottleneck)
     lbl = (spark.read.parquet(f"{{corpus}}/{{which}}labels")
            .withColumn("label_ts", F.col("label_ts").cast("timestamp")))
-    return img.withColumn("ts", F.col("ts").cast("timestamp")), lbl
+    return f"{{corpus}}/{{which}}images", lbl
 
 pi, pl = load("pilot_")
 select_features_pointintime(pi, pl, number_of_features=4,
