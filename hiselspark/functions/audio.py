@@ -1,0 +1,112 @@
+"""Audio-payload feature extraction.
+
+Audio rides as an opaque ``binary`` column with typed metadata
+``(sample_rate:int, n_channels:int, codec:string)`` — the audio twin of
+the image input hint.  The ``pcm16`` codec (uncompressed little-endian
+16-bit PCM, interleaved channels) is implemented exactly in NumPy;
+compressed codecs (mp3/ogg/flac) need audio libraries absent from this
+sandbox and raise ``NotImplementedError`` behind the same registry
+pattern as the image codecs — the Spark-side plumbing (schema,
+Arrow batching, vectorized reduction) is identical for every codec and
+is what the tests exercise.
+
+All features are classic corpus-curation signals: duration, RMS level,
+peak, zero-crossing rate (a cheap voicing/noise discriminator), and
+clipping ratio.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, types as T
+
+
+def _decode_pcm16(buf: bytes, n_channels: int) -> np.ndarray:
+    """(n_samples, n_channels) float64 in [-1, 1]."""
+    arr = np.frombuffer(buf, dtype="<i2")
+    if n_channels > 1:
+        arr = arr[: len(arr) - len(arr) % n_channels]
+        arr = arr.reshape(-1, n_channels)
+    else:
+        arr = arr.reshape(-1, 1)
+    return arr.astype(np.float64) / 32768.0
+
+
+def _unavailable(codec: str) -> Callable[..., np.ndarray]:
+    def _raise(buf, n_channels):
+        raise NotImplementedError(
+            f"audio codec '{codec}' needs a decoder library "
+            "(ffmpeg/libsndfile) not available in this environment; "
+            "extend AUDIO_CODECS to add it")
+    return _raise
+
+
+AUDIO_CODECS: Dict[str, Callable[[bytes, int], np.ndarray]] = {
+    "pcm16": _decode_pcm16,
+    "mp3": _unavailable("mp3"),
+    "ogg": _unavailable("ogg"),
+    "flac": _unavailable("flac"),
+}
+
+
+def decode_audio(buf: bytes, n_channels: int, codec: str) -> np.ndarray:
+    try:
+        dec = AUDIO_CODECS[codec]
+    except KeyError:
+        raise NotImplementedError(f"unknown audio codec: {codec}")
+    return dec(buf, n_channels)
+
+
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("au_duration_s", T.DoubleType()),
+    T.StructField("au_rms", T.DoubleType()),
+    T.StructField("au_peak", T.DoubleType()),
+    T.StructField("au_zcr", T.DoubleType()),
+    T.StructField("au_clip_ratio", T.DoubleType()),
+]
+
+
+def with_audio_features(df: DataFrame, bytes_col: str = "audio",
+                        rate_col: str = "sample_rate",
+                        channels_col: str = "n_channels",
+                        codec_col: str = "codec") -> DataFrame:
+    """Append per-clip features, dropping the payload afterwards (blobs
+    never cross a shuffle).  Arrow-batched ``mapInPandas``; pcm16 clips
+    decode as one ``frombuffer`` view each — the reduction is a handful
+    of vectorized passes per clip, no per-sample Python."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != bytes_col]
+        + AUDIO_FEATURE_FIELDS)
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            n = len(pdf)
+            stats = np.zeros((n, 5), dtype=np.float64)
+            bufs = pdf[bytes_col].to_numpy()
+            rates = pdf[rate_col].to_numpy()
+            chans = pdf[channels_col].to_numpy()
+            codecs = pdf[codec_col].to_numpy()
+            for i in range(n):
+                x = decode_audio(bufs[i], int(chans[i]), str(codecs[i]))
+                mono = x.mean(axis=1)
+                ns = len(mono)
+                if ns == 0:
+                    continue
+                stats[i, 0] = ns / float(rates[i])
+                stats[i, 1] = float(np.sqrt(np.mean(mono * mono)))
+                stats[i, 2] = float(np.max(np.abs(x)))
+                if ns > 1:
+                    stats[i, 3] = float(
+                        np.count_nonzero(np.signbit(mono[1:])
+                                         != np.signbit(mono[:-1]))
+                        / (ns - 1))
+                stats[i, 4] = float(np.mean(np.abs(x) >= 32767 / 32768.0))
+            out = pdf.drop(columns=[bytes_col])
+            for j, f in enumerate(AUDIO_FEATURE_FIELDS):
+                out[f.name] = stats[:, j]
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -244,6 +244,68 @@ def _pixel_stats_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def resize_raw(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — pure NumPy
+    integer gather (pixel-center mapping), no image library."""
+    h, w = img.shape[:2]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                    .astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                    .astype(np.int64), w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Resize every image payload to (out_w, out_h): decode per the
+    codec registry, nearest-neighbor resample, re-emit as 'raw'.
+    Arrow-batched ``mapInPandas``; same-shape raw images in a batch are
+    resampled as ONE (m, h, w, 3) gather (per-row NumPy overhead would
+    dominate for thumbnails).  The standard preprocessing step of an
+    image training pipeline — uniform shapes downstream."""
+    fields = []
+    for f in df.schema.fields:
+        if f.name in ("w", "h"):
+            fields.append(T.StructField(f.name, T.IntegerType()))
+        else:
+            fields.append(f)
+    out_schema = T.StructType(fields)
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            bufs = pdf[bytes_col].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            out_bufs = [None] * len(pdf)
+            raw = fmts == "raw"
+            shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+            for key in np.unique(shape_key[raw]):
+                rows = np.nonzero(raw & (shape_key == key))[0]
+                w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+                block = np.frombuffer(
+                    b"".join(bufs[r] for r in rows),
+                    dtype=np.uint8).reshape(len(rows), h, w, 3)
+                ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h)
+                                .astype(np.int64), h - 1)
+                xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w)
+                                .astype(np.int64), w - 1)
+                resized = block[:, ys[:, None], xs[None, :]]
+                for i, r in enumerate(rows):
+                    out_bufs[r] = resized[i].tobytes()
+            for r in np.nonzero(~raw)[0]:
+                img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                                   str(fmts[r]))
+                out_bufs[r] = resize_raw(img, out_w, out_h).tobytes()
+            out = pdf.copy()
+            out[bytes_col] = out_bufs
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            out["fmt"] = "raw"
+            yield out
+    return df.mapInPandas(run, out_schema)
+
+
 def with_pixel_stats(df: DataFrame) -> DataFrame:
     """Append per-channel mean/std and luminance quantiles, dropping the
     payload column afterwards (never carry multi-KB blobs through a
