@@ -821,6 +821,30 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_events")))
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio operator end-to-end with a REAL oracle: pack each
+    embedding vector as 16-bit PCM, run the pcm16 decode + feature
+    reduction (duration/RMS/peak/zero-crossing rate), and check the
+    whole encode->decode->reduce path against DuckDB computing the same
+    arithmetic directly on the floats."""
+    from hiselspark.functions.audio import pack_pcm16, with_audio_features
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clips = (emb.select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("v"))
+             .withColumn("sample_rate", F.lit(16000))
+             .withColumn("n_channels", F.lit(1))
+             .withColumn("codec", F.lit("pcm16")))
+    clips = pack_pcm16(clips, "v").drop("v")
+    out = with_audio_features(clips)
+    return out.select(
+        "vec_id",
+        F.round("au_duration_s", 6).alias("duration_s"),
+        F.round("au_rms", 6).alias("rms"),
+        F.round("au_peak", 6).alias("peak"),
+        F.round("au_zcr", 6).alias("zcr"))
+
+
 def q_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT interval join: every purchase keeps a row even when no
     click landed in its trailing 30 minutes."""
@@ -894,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_chunked": q_sessionize_chunked,
         "distinct_users": q_distinct_users,
         "interval_left": q_interval_left,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1490,4 +1515,28 @@ def oracle_sql() -> dict[str, str]:
     # their plain twins — that equality IS their contract
     oracles["asof_chunked"] = oracles["asof_join"]
     oracles["sessionize_chunked"] = oracles["sessionize"]
+    # audio encode->decode->reduce vs direct arithmetic on the floats:
+    # samples are round(clip(x)*32767)/32768 (int16 exact in double)
+    oracles["audio_features"] = """
+        WITH samples AS (
+          SELECT vec_id, i,
+                 round(greatest(least(CAST(embedding[i] AS DOUBLE), 1.0),
+                                -1.0) * 32767) / 32768.0 AS s
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS t(i)
+        ), seq AS (
+          SELECT vec_id, s,
+                 LAG(s) OVER (PARTITION BY vec_id ORDER BY i) AS prev
+          FROM samples
+        )
+        SELECT vec_id,
+               round(COUNT(*) / 16000.0, 6) AS duration_s,
+               round(sqrt(AVG(s * s)), 6) AS rms,
+               round(MAX(abs(s)), 6) AS peak,
+               round(CAST(COUNT(*) FILTER (
+                         WHERE prev IS NOT NULL
+                           AND (s < 0) <> (prev < 0)) AS DOUBLE)
+                     / (COUNT(*) - 1), 6) AS zcr
+        FROM seq GROUP BY vec_id
+    """
     return oracles

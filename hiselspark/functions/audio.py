@@ -69,6 +69,29 @@ AUDIO_FEATURE_FIELDS = [
 ]
 
 
+def pack_pcm16(df: DataFrame, values_col: str,
+               out_col: str = "audio") -> DataFrame:
+    """Encode an ``array<float>`` column as little-endian 16-bit PCM
+    bytes (values clipped to [-1, 1], scaled by 32767, round-half-even
+    like NumPy) — the synthesis twin of the ``pcm16`` decoder, used to
+    drive the audio operators from numeric columns in tests and gate
+    queries.  Arrow-batched, one vectorized pass per batch."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+    from pyspark.sql import functions as F
+
+    @pandas_udf(T.BinaryType(),
+                functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def pack(vs):
+        out = []
+        for v in vs:
+            x = np.clip(np.asarray(v, dtype=np.float64), -1.0, 1.0)
+            out.append(np.rint(x * 32767).astype("<i2").tobytes())
+        return pd.Series(out)
+
+    return df.withColumn(out_col, pack(F.col(values_col)))
+
+
 def with_audio_features(df: DataFrame, bytes_col: str = "audio",
                         rate_col: str = "sample_rate",
                         channels_col: str = "n_channels",

@@ -93,11 +93,12 @@ def assemble_training_frame(
     the as-of join through the skew-proof chunked operators.
 
     ``images`` is either a DataFrame (blobs cross the Arrow socket into
-    the pixel-stats worker) or a parquet directory path, which routes
-    through the scan-fused featurizer (``sources/fused_scan.py``):
-    tasks open their row groups directly, so image bytes never touch
-    the JVM — the production setting for payload-heavy corpora."""
-    if isinstance(images, str):
+    the pixel-stats worker) or a parquet directory path / explicit file
+    list (e.g. a snapshot's committed files), which routes through the
+    scan-fused featurizer (``sources/fused_scan.py``): tasks open their
+    row groups directly, so image bytes never touch the JVM — the
+    production setting for payload-heavy corpora."""
+    if isinstance(images, (str, list, tuple)):
         from .sources.fused_scan import featurize_images_fused
         featurized = featurize_images_fused(labels.sparkSession, images,
                                             n_phash_bits)

@@ -59,15 +59,20 @@ def _caption_features_pandas(out: pd.DataFrame,
     return out
 
 
-def list_row_groups(path: str) -> pd.DataFrame:
-    """(file, row_group) work items for every parquet part file under
-    ``path`` — footer metadata only, the moral equivalent of reading an
-    Iceberg manifest."""
+def list_row_groups(path) -> pd.DataFrame:
+    """(file, row_group) work items — footer metadata only, the moral
+    equivalent of reading an Iceberg manifest.  ``path`` is a parquet
+    directory or an explicit list of parquet files (e.g. a
+    SnapshotTable snapshot's committed file list, so the fused scan
+    reads exactly the time-travel state)."""
     import pyarrow.parquet as pq
 
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path)
-        if re.match(r"part-.*\.parquet$", f))
+    if isinstance(path, (list, tuple)):
+        files = sorted(path)
+    else:
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if re.match(r"part-.*\.parquet$", f))
     items = []
     for f in files:
         for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
@@ -75,7 +80,7 @@ def list_row_groups(path: str) -> pd.DataFrame:
     return pd.DataFrame(items, columns=["file", "rg"])
 
 
-def image_feature_scan(spark: SparkSession, images_path: str,
+def image_feature_scan(spark: SparkSession, images_path,
                        batch_rows: int = 1024,
                        num_tasks: Optional[int] = None) -> DataFrame:
     """Narrow feature frame straight from the image parquet: pixel
@@ -124,7 +129,7 @@ def image_feature_scan(spark: SparkSession, images_path: str,
     return work.mapInPandas(scan, out_schema)
 
 
-def featurize_images_fused(spark: SparkSession, images_path: str,
+def featurize_images_fused(spark: SparkSession, images_path,
                            n_phash_bits: int = 16) -> DataFrame:
     """Drop-in twin of ``pipeline.featurize_images`` reading the corpus
     via the fused scan: same columns, same values, no JVM->Python blob

@@ -43,15 +43,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--buckets", type=int, default=8,
                    help="checkpoint partitions (entity-hash buckets)")
     p.add_argument("--phash-bits", type=int, default=16)
+    p.add_argument("--fused-scan", action="store_true",
+                   help="featurize images via the scan-fused reader "
+                        "(tasks read their parquet row groups directly; "
+                        "image bytes never cross the JVM)")
     return p
 
 
-def load_side(spark, path):
+def load_side(spark, path, as_scan_path: bool = False):
     from hiselspark.sources.snapshots import SnapshotTable
     if os.path.isdir(os.path.join(path, "_snapshots")):
         t = SnapshotTable(path)
         snap = t.current()
+        if as_scan_path:
+            # hand the snapshot's committed FILE LIST to the fused
+            # scan: same time-travel state, zero JVM blob traffic
+            return list(snap.files), snap.snapshot_id
         return t.read(spark), snap.snapshot_id
+    if as_scan_path:
+        return path, None
     return spark.read.parquet(path), None
 
 
@@ -76,7 +86,8 @@ def main(argv=None) -> int:
         labels = datagen.labels(spark, args.synthetic, seed=42)
         snapshot = f"synthetic-{args.synthetic}-seed42"
     else:
-        images, snap_i = load_side(spark, args.images)
+        images, snap_i = load_side(spark, args.images,
+                                   as_scan_path=args.fused_scan)
         labels, snap_l = load_side(spark, args.labels)
         snapshot = f"images:{snap_i} labels:{snap_l}"
 

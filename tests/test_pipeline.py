@@ -133,3 +133,24 @@ def test_raw6_lossy_codec_psnr_contract(spark):
     exp = _pixel_stats_frame(lossless)
     for c in ("px_mean_r", "px_mean_g", "px_mean_b", "px_q50"):
         np.testing.assert_allclose(got[c], exp[c], atol=2.1, err_msg=c)
+
+
+def test_fused_scan_reads_snapshot_file_list(spark, tmp_path_factory):
+    """The fused scan accepts a snapshot's committed FILE LIST, reading
+    exactly the time-travel state (rows written after the snapshot are
+    invisible)."""
+    from hiselspark.sources.snapshots import SnapshotTable
+    from hiselspark.sources.fused_scan import featurize_images_fused
+
+    root = str(tmp_path_factory.mktemp("snapfused") / "tbl")
+    t = SnapshotTable(root)
+    t.write(datagen.images(spark, 300, seed=5, partitions=2))
+    snap1 = t.current()
+    t.write(datagen.images(spark, 200, seed=6, partitions=2),
+            mode="append")
+    out_old = featurize_images_fused(spark, list(snap1.files),
+                                     n_phash_bits=4)
+    out_new = featurize_images_fused(spark, list(t.current().files),
+                                     n_phash_bits=4)
+    assert out_old.count() == 300
+    assert out_new.count() == 500
