@@ -495,10 +495,14 @@ class SparkHSICSelector:
             maps = []
             for outer in range(num_outer):
                 for e in range(epochs):
+                    # reference semantics (select.py:384-389): epoch
+                    # copy slot j holds original row perm[j] — map
+                    # position perm[j] -> epoch slot j (NOT the inverse;
+                    # minibatch MEMBERSHIP depends on the direction)
                     perm = rng.permutation(bs)
                     maps.append(pd.DataFrame({
-                        "__outer": outer, "__pos": np.arange(bs),
-                        "__epoch": e, "__epos": perm}))
+                        "__outer": outer, "__pos": perm,
+                        "__epoch": e, "__epos": np.arange(bs)}))
             mapdf = spark.createDataFrame(pd.concat(maps))
             df = (df.join(F.broadcast(mapdf), ["__outer", "__pos"])
                     .withColumn("__spos",

@@ -124,3 +124,37 @@ def test_autoselect_threshold_cut(spark):
                             mode="scale", threshold=0.01)
     assert set(res.features) >= {"f1", "f6"}
     assert len(res.features) <= 5
+
+
+def test_parity_epoch_augmentation_matches_reference(spark, monkeypatch):
+    """epochs=2 parity: the reference's per-outer-batch epoch shuffles
+    (unseeded np.random.permutation, select.py:384-389) are pinned to
+    the SAME seeded sequence the Spark parity path generates — both
+    sides then see identical shuffled-concatenation augmentation and
+    must select identical features with allclose lasso paths."""
+    x, y = _planted_continuous(n=600, d=8, seed=21)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    seed = 123
+    sel = SparkHSICSelector(sdf, cols, ycols, standardize="hisel")
+    res = sel.run(number_of_features=3, minibatch_size=100, mode="parity",
+                  order_col="_idx", batch_size=300, epochs=2, seed=seed)
+    assert res.n_rows_used == 2 * 600  # 2 outer batches x 300 x 2 epochs
+
+    # the reference's outer preprocess permutes ALL n rows once
+    # (repeat=1): pin to identity; per-batch epoch permutations (size
+    # 300) replay the same default_rng(seed) stream the Spark side used
+    rng = np.random.default_rng(seed)
+
+    def fake_perm(k):
+        if k == 600:
+            return np.arange(k)
+        return rng.permutation(k)
+
+    monkeypatch.setattr(np.random, "permutation", fake_perm)
+    ref = hisel.select.HSICSelector(x.copy(), y.copy(), feature_names=cols)
+    ref_features = ref.select(number_of_features=3, batch_size=300,
+                              minibatch_size=100, number_of_epochs=2)
+    assert res.features == list(ref_features)
+    np.testing.assert_allclose(res.lasso_path.values,
+                               ref.lasso_path().values,
+                               rtol=1e-6, atol=1e-8)
