@@ -103,13 +103,15 @@ def _make_stats_row(group_key, xtx, xty, n_rows, n_batches):
     })
 
 
-def _stats_kwargs(x_kind: KernelKind, cat_split: int, dy: int) -> dict:
+def _stats_kwargs(x_kind: KernelKind, cat_split: int, dy: int,
+                  precision: str = "float64") -> dict:
     return dict(
         x_kind=x_kind,
         y_kind=KernelKind.RBF,   # y kind resolved per-call below
         x_bandwidth=1.0,                      # reference select.py:432
         y_bandwidth=float(np.sqrt(dy)),       # reference select.py:433
         cat_split=cat_split,
+        dtype=np.float32 if precision == "float32" else np.float64,
     )
 
 
@@ -122,14 +124,21 @@ def compute_sufficient_stats_scale(
     cat_split: int,
     minibatch_size: int,
     reduce_groups: int = 64,
+    precision: str = "float64",
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Zero-shuffle sufficient stats: slice each partition into
     minibatches with ``mapInPandas``, partial-sum per task, two-level
-    reduce.  Returns (xtx, xty, rows_used, n_minibatches)."""
+    reduce.  Returns (xtx, xty, rows_used, n_minibatches).
+
+    ``precision='float32'`` runs the Gram tiles in float32 (the stage
+    is memory-bandwidth-bound: half the bytes, double the SIMD width)
+    while the partial-sum accumulators stay float64 — scores agree
+    with the float64 path to ~1e-6 relative.  Default float64 is
+    bit-identical to the reference."""
     d = len(feature_cols)
     dy = len(target_cols)
     fc, tc = list(feature_cols), list(target_cols)
-    kw = _stats_kwargs(x_kind, cat_split, dy)
+    kw = _stats_kwargs(x_kind, cat_split, dy, precision)
     kw["y_kind"] = y_kind
     b = minibatch_size
 
@@ -343,8 +352,15 @@ class SparkHSICSelector:
         seed: int = 0,
         cache: bool = True,
         rebalance: bool = True,
+        precision: str = "float64",
     ) -> List[Tuple[np.ndarray, np.ndarray, int, int]]:
         """Compute per-outer-batch ``(X^T X, X^T y, rows, minibatches)``.
+
+        ``precision='float32'`` (scale/hash modes only) computes the
+        Gram tiles in float32 — the bandwidth-bound half of the job at
+        corpus scale — with float64 accumulators; parity mode always
+        runs float64 (bit-compatibility with the reference and the
+        pinned oracles).
 
         In scale mode there is a single outer batch.  In parity mode
         outer batches replicate reference ``select.py:159-170``.
@@ -377,10 +393,10 @@ class SparkHSICSelector:
                 return [compute_sufficient_stats_scale(
                     df, self.feature_cols, self.target_cols,
                     self.x_kind, self.y_kind, self.cat_split,
-                    minibatch_size)]
+                    minibatch_size, precision=precision)]
             if mode == "hash":
                 return self._hash_stats(df, minibatch_size, order_col,
-                                        epochs, seed)
+                                        epochs, seed, precision)
             if mode == "parity":
                 if order_col is None:
                     raise ValueError("parity mode needs order_col")
@@ -391,7 +407,8 @@ class SparkHSICSelector:
             if cache:
                 base.unpersist()
 
-    def _hash_stats(self, df, minibatch_size, order_col, epochs, seed):
+    def _hash_stats(self, df, minibatch_size, order_col, epochs, seed,
+                    precision: str = "float64"):
         """Deterministic *production* batching: every row is assigned to
         a minibatch by a seeded content hash (``pmod(xxhash64(...),
         num_mb)``) — no global sort, no single-task stage, and the batch
@@ -426,7 +443,7 @@ class SparkHSICSelector:
         d = len(self.feature_cols)
         dy = len(self.target_cols)
         fc, tc = list(self.feature_cols), list(self.target_cols)
-        kw = _stats_kwargs(self.x_kind, self.cat_split, dy)
+        kw = _stats_kwargs(self.x_kind, self.cat_split, dy, precision)
         kw["y_kind"] = self.y_kind
 
         def per_minibatch(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -558,6 +575,7 @@ class SparkHSICSelector:
         threshold: float = 0.01,
         cache: bool = True,
         rebalance: bool = True,
+        precision: str = "float64",
     ) -> SelectionResult:
         """Full selection.  With ``number_of_features`` set, performs the
         fixed-k ranking cut (reference ``HSICSelector.select``); without
@@ -570,7 +588,7 @@ class SparkHSICSelector:
         per_outer = self.sufficient_stats(
             minibatch_size=minibatch_size, mode=mode, order_col=order_col,
             batch_size=batch_size, epochs=epochs, seed=seed, cache=cache,
-            rebalance=rebalance)
+            rebalance=rebalance, precision=precision)
 
         proj = np.zeros((k, d))
         paths = []

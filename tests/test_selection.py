@@ -158,3 +158,38 @@ def test_parity_epoch_augmentation_matches_reference(spark, monkeypatch):
     np.testing.assert_allclose(res.lasso_path.values,
                                ref.lasso_path().values,
                                rtol=1e-6, atol=1e-8)
+
+
+def test_float32_precision_matches_float64_scores(spark):
+    """precision='float32' (the bandwidth-bound corpus-scale knob) must
+    reproduce float64 HSIC scores to ~1e-5 relative and select the same
+    features; parity/pinned paths stay float64 by default."""
+    x, y = _planted_continuous(n=1200, d=10, seed=33)
+    sdf, cols, ycols = _to_sdf(spark, x, y)
+    sdf = sdf.repartition(6)
+    sel = SparkHSICSelector(sdf, cols, ycols)
+    r64 = sel.run(number_of_features=3, minibatch_size=150, mode="hash",
+                  order_col="_idx")
+    r32 = sel.run(number_of_features=3, minibatch_size=150, mode="hash",
+                  order_col="_idx", precision="float32")
+    assert r32.features == r64.features
+    np.testing.assert_allclose(r32.hsic_scores.values,
+                               r64.hsic_scores.values, rtol=1e-4)
+    # mixed-type path too (delta + RBF kernels)
+    rng = np.random.default_rng(5)
+    xm = np.column_stack([rng.integers(0, 4, size=800),
+                          rng.integers(0, 5, size=800),
+                          rng.uniform(size=800), rng.uniform(size=800)])
+    ym = (xm[:, 0] * 2 + xm[:, 2]).reshape(-1, 1)
+    import pandas as pd
+    pdf = pd.DataFrame({"c0": xm[:, 0].astype(np.int64),
+                        "c1": xm[:, 1].astype(np.int64),
+                        "f0": xm[:, 2], "f1": xm[:, 3], "y": ym[:, 0]})
+    sdf2 = spark.createDataFrame(pdf).repartition(4)
+    sel2 = SparkHSICSelector(sdf2, ["c0", "c1", "f0", "f1"], ["y"])
+    a = sel2.run(number_of_features=2, minibatch_size=200, mode="hash")
+    b = sel2.run(number_of_features=2, minibatch_size=200, mode="hash",
+                 precision="float32")
+    assert a.features == b.features
+    np.testing.assert_allclose(b.hsic_scores.values,
+                               a.hsic_scores.values, rtol=1e-4)
