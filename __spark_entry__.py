@@ -821,6 +821,21 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n_events")))
 
 
+def q_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP clustering: connected components over the
+    verified near-duplicate pairs (jaccard >= 0.5), each doc labelled
+    with min(member ids).  Oracle: the same pairs derived by exact SQL
+    plus a recursive-CTE transitive closure."""
+    from hiselspark.operators.dedup import (connected_components,
+                                            minhash_near_duplicates)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, "doc_id", "text",
+                                    num_hashes=32, bands=8, threshold=0.5)
+    return (connected_components(pairs)
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component")))
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio operator end-to-end with a REAL oracle: pack each
     embedding vector as 16-bit PCM, run the pcm16 decode + feature
@@ -919,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users": q_distinct_users,
         "interval_left": q_interval_left,
         "audio_features": q_audio_features,
+        "dup_components": q_dup_components,
     }
 
 
@@ -1515,6 +1531,52 @@ def oracle_sql() -> dict[str, str]:
     # their plain twins — that equality IS their contract
     oracles["asof_chunked"] = oracles["asof_join"]
     oracles["sessionize_chunked"] = oracles["sessionize"]
+    # duplicate components: the same verified pairs (exact Jaccard —
+    # LSH recall 1.0 on gate data) closed transitively by a recursive
+    # CTE; component = min reachable id
+    oracles["dup_components"] = """
+        WITH RECURSIVE norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(words) >= 3
+                      THEN words[i] || ' ' || words[i+1] || ' '
+                           || words[i+2]
+                      ELSE array_to_string(words, ' ') END AS shingle
+          FROM norm,
+               unnest(generate_series(
+                 1, greatest(len(words) - 2, 1))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+          FROM sh l JOIN sh r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(n_common AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), sym AS (
+          SELECT a AS s, b AS d FROM pairs
+          UNION SELECT b, a FROM pairs
+        ), reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ), closed AS (
+          SELECT s, d FROM reach
+          UNION SELECT s, s FROM sym
+        )
+        SELECT s AS doc_id, CAST(MIN(d) AS BIGINT) AS component
+        FROM closed GROUP BY s
+    """
     # audio encode->decode->reduce vs direct arithmetic on the floats:
     # samples are round(clip(x)*32767)/32768 (int16 exact in double)
     oracles["audio_features"] = """

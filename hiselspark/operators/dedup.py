@@ -238,3 +238,60 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                                      .bitwiseXOR(F.col("sig_b")))))
     return (pairs.filter(F.col("hamming") <= max_distance)
                  .select("a", "b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group clustering
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a_col: str = "a",
+                         b_col: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pair edges: every doc
+    linked (transitively) through the pairs gets the component id
+    ``min(member ids)`` — the canonical-representative step that turns
+    pairwise near-dup output into duplicate GROUPS for keep-one-drop-
+    rest curation.
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label in its closed neighborhood (one symmetric-edge join +
+    one groupBy per round), stopping when a round changes nothing.
+    Rounds needed = graph diameter, which for near-dup clusters is tiny
+    (duplicates of one source document form near-cliques); the classic
+    large-star/small-star alternation would cut worst-case chains to
+    O(log n) rounds at the cost of reshaping edges every round — for
+    the dedup workload the simple propagation converges faster in
+    practice and keeps every round a single narrow shuffle.  Input
+    pairs are deduplicated and treated as undirected."""
+    sym = (pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+           .union(pairs.select(F.col(b_col).alias("s"),
+                               F.col(a_col).alias("d")))
+           .distinct()
+           # edges are reused every round: truncate upstream lineage
+           # once and keep the (narrow) edge list on the executors
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("s").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym["d"] == labels["node"])
+                 .groupBy("s")
+                 .agg(F.min("comp").alias("neigh_min")))
+        new_labels = (labels.join(neigh, labels["node"] == neigh["s"],
+                                  "left")
+                      .select("node",
+                              F.least("comp", F.coalesce(
+                                  "neigh_min", "comp")).alias("comp"))
+                      # an iterative frame derived from itself grows an
+                      # EXPONENTIAL logical plan; localCheckpoint cuts
+                      # the lineage each round (the standard iterative-
+                      # algorithm pattern — GraphFrames does the same)
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.join(labels.withColumnRenamed("comp", "old"),
+                                   "node")
+                   .filter(F.col("comp") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")

@@ -196,3 +196,37 @@ def test_embedding_near_duplicates(spark, vectors):
     brute = similarity.embedding_near_duplicates(
         sdf, dim=16, threshold=0.98, use_lsh=False).toPandas()
     assert set(zip(got.a, got.b)) <= set(zip(brute.a, brute.b))
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must match a plain union-find oracle on a
+    random edge set (chains, cliques, singleton pairs)."""
+    rng = np.random.default_rng(9)
+    edges = set()
+    # a long chain (worst case for propagation depth), a clique, randoms
+    edges |= {(i, i + 1) for i in range(0, 12)}
+    edges |= {(a, b) for a in range(100, 105) for b in range(a + 1, 105)}
+    for _ in range(30):
+        a, b = sorted(rng.integers(200, 260, size=2).tolist())
+        if a != b:
+            edges.add((a, b))
+    pdf = pd.DataFrame(sorted(edges), columns=["a", "b"])
+    got = (dedup.connected_components(
+        spark.createDataFrame(pdf).repartition(4))
+        .toPandas().set_index("node")["comp"].to_dict())
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in parent}
+    assert got == exp
