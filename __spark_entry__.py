@@ -860,6 +860,142 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("au_zcr", 6).alias("zcr"))
 
 
+def _synth_raw_bytes(df: DataFrame, key_col: str, mult: int, step: int,
+                     n_bytes: int) -> DataFrame:
+    """Deterministic byte payloads ``p[i] = (key*mult + i*step) % 256``
+    as an Arrow-batched pandas UDF — the gate's stand-in for real
+    image/video payloads, chosen because DuckDB can reproduce every
+    pixel arithmetically (the oracle never touches binary)."""
+    import numpy as np
+    import pandas as pd
+
+    def synth(keys):
+        k = keys.to_numpy(dtype=np.int64)
+        i = np.arange(n_bytes, dtype=np.int64)
+        block = ((k[:, None] * mult + i[None, :] * step) % 256
+                 ).astype(np.uint8)
+        return pd.Series([block[r].tobytes() for r in range(len(k))])
+
+    udf = F.pandas_udf(synth, "binary")
+    return df.withColumn("bytes", udf(F.col(key_col)))
+
+
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + histogram pixel-stats path end-to-end with a REAL
+    oracle: synthesize 8x8 raw RGB images whose pixel values are pure
+    arithmetic in the order key, run the production ``with_pixel_stats``
+    (uint8 histogram reduction — never widened), and check per-channel
+    means, stds and combined-channel quantiles against DuckDB computing
+    the same arithmetic directly."""
+    from hiselspark.functions.image import with_pixel_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_pixel_stats(imgs)
+    return out.select(
+        "okey",
+        F.round("px_mean_r", 6).alias("mean_r"),
+        F.round("px_mean_g", 6).alias("mean_g"),
+        F.round("px_mean_b", 6).alias("mean_b"),
+        F.round("px_std_r", 6).alias("std_r"),
+        F.round("px_q25", 6).alias("q25"),
+        F.round("px_q50", 6).alias("q50"),
+        F.round("px_q75", 6).alias("q75"))
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pipeline end-to-end: synthesize 8x8 raw images, resize to
+    4x4 with the production nearest-neighbor gather (pixel-center
+    mapping: output (y,x) reads input (2y+1, 2x+1)), then pixel-stats
+    the resized payload.  Oracle recomputes the sampled pixels
+    arithmetically in SQL."""
+    from hiselspark.functions.image import resize_images, with_pixel_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_pixel_stats(resize_images(imgs, 4, 4))
+    return out.select(
+        "okey",
+        F.round("px_mean_r", 6).alias("mean_r"),
+        F.round("px_mean_g", 6).alias("mean_g"),
+        F.round("px_mean_b", 6).alias("mean_b"),
+        F.round("px_q50", 6).alias("q50"))
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out end-to-end: synthesize 6-frame 4x4
+    rawv clips, sample every 2nd frame into image rows, pixel-stat the
+    sampled frames — the multimodal pattern where video reuses the one
+    image path.  Oracle recomputes each sampled frame's channel means
+    arithmetically."""
+    from hiselspark.functions.image import with_pixel_stats
+    from hiselspark.functions.video import sample_frames
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vids = (orders.filter(F.col("o_orderkey") % 4 == 0)
+            .select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(4)).withColumn("h", F.lit(4))
+            .withColumn("container", F.lit("rawv")))
+    vids = (_synth_raw_bytes(vids, "okey", 131, 7, 6 * 4 * 4 * 3)
+            .withColumnRenamed("bytes", "video"))
+    frames = sample_frames(vids, every_k=2, id_col="okey",
+                           bytes_col="video", container_col="container")
+    out = with_pixel_stats(frames)
+    return out.select(
+        "okey", "frame_idx",
+        F.round("px_mean_r", 6).alias("mean_r"),
+        F.round("px_mean_g", 6).alias("mean_g"),
+        F.round("px_mean_b", 6).alias("mean_b"))
+
+
+def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion scoring (mean absolute inter-frame difference / 255) over
+    synthesized rawv clips, oracle-checked against DuckDB computing the
+    same frame-difference arithmetic."""
+    from hiselspark.functions.video import with_motion_score
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vids = (orders.filter(F.col("o_orderkey") % 4 == 0)
+            .select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(4)).withColumn("h", F.lit(4))
+            .withColumn("container", F.lit("rawv")))
+    vids = (_synth_raw_bytes(vids, "okey", 131, 7, 6 * 4 * 4 * 3)
+            .withColumnRenamed("bytes", "video"))
+    out = with_motion_score(vids, id_col="okey", bytes_col="video",
+                            container_col="container")
+    return out.select("okey",
+                      F.round("motion_score", 6).alias("motion"))
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/val/test split: polynomial
+    rolling hash of the normalized text (pure JVM integer expressions,
+    no shuffle) bucketed 80/10/10.  Duplicate texts always share a
+    split — the property row-random splits lack.  Oracle recomputes the
+    identical hash arithmetic in DuckDB with list_reduce."""
+    from hiselspark.operators.splits import content_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (content_split(docs, "text", salt=7)
+            .select("doc_id", "split"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 10 == 0 play the
+    eval set; every train doc within Jaccard >= 0.5 of ANY eval doc is
+    dropped (MinHash+LSH candidates, exact verification, recall 1.0 on
+    the gate corpus).  Oracle: the exact all-pairs Jaccard in SQL,
+    cross-split pairs, anti-join."""
+    from hiselspark.operators.dedup import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    clean = decontaminate(train, eval_df, "doc_id", "text",
+                          threshold=0.5, num_hashes=32, bands=8)
+    return clean.select("doc_id")
+
+
 def q_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT interval join: every purchase keeps a row even when no
     click landed in its trailing 30 minutes."""
@@ -935,6 +1071,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_left": q_interval_left,
         "audio_features": q_audio_features,
         "dup_components": q_dup_components,
+        "image_pixel_stats": q_image_pixel_stats,
+        "image_resize": q_image_resize,
+        "video_frames": q_video_frames,
+        "video_motion": q_video_motion,
+        "dataset_split": q_dataset_split,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1600,5 +1742,142 @@ def oracle_sql() -> dict[str, str]:
                            AND (s < 0) <> (prev < 0)) AS DOUBLE)
                      / (COUNT(*) - 1), 6) AS zcr
         FROM seq GROUP BY vec_id
+    """
+    # multimodal payloads, synthesized so DuckDB reproduces every pixel
+    # arithmetically: p[i] = (key*mult + i*step) % 256.  Raw layout is
+    # channel-interleaved (h, w, 3), so channel = flat index mod 3.
+    # Integer sums are exact in double and npix is a power of two, so
+    # means/quantile interpolation are bit-identical across engines;
+    # the std oracle spells out sqrt(sumsq/n - mean^2) with the same
+    # IEEE operation order as the histogram kernel.
+    oracles["image_pixel_stats"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, i,
+                 CAST((o_orderkey * 7919 + i * 31) % 256 AS DOUBLE) AS p
+          FROM orders, unnest(generate_series(0, 191)) AS t(i)
+        )
+        SELECT okey,
+               round(SUM(p) FILTER (WHERE i % 3 = 0) / 64.0, 6) AS mean_r,
+               round(SUM(p) FILTER (WHERE i % 3 = 1) / 64.0, 6) AS mean_g,
+               round(SUM(p) FILTER (WHERE i % 3 = 2) / 64.0, 6) AS mean_b,
+               round(sqrt(greatest(
+                 SUM(p * p) FILTER (WHERE i % 3 = 0) / 64.0
+                 - (SUM(p) FILTER (WHERE i % 3 = 0) / 64.0)
+                   * (SUM(p) FILTER (WHERE i % 3 = 0) / 64.0), 0.0)), 6)
+                 AS std_r,
+               round(quantile_cont(p, 0.25), 6) AS q25,
+               round(quantile_cont(p, 0.5), 6) AS q50,
+               round(quantile_cont(p, 0.75), 6) AS q75
+        FROM px GROUP BY okey
+    """
+    oracles["image_resize"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, c,
+                 CAST((o_orderkey * 7919
+                       + (((2 * y + 1) * 8 + 2 * x + 1) * 3 + c) * 31)
+                      % 256 AS DOUBLE) AS p
+          FROM orders,
+               unnest(generate_series(0, 3)) AS ty(y),
+               unnest(generate_series(0, 3)) AS tx(x),
+               unnest(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT okey,
+               round(SUM(p) FILTER (WHERE c = 0) / 16.0, 6) AS mean_r,
+               round(SUM(p) FILTER (WHERE c = 1) / 16.0, 6) AS mean_g,
+               round(SUM(p) FILTER (WHERE c = 2) / 16.0, 6) AS mean_b,
+               round(quantile_cont(p, 0.5), 6) AS q50
+        FROM px GROUP BY okey
+    """
+    oracles["video_frames"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, f, j,
+                 CAST((o_orderkey * 131 + (f * 48 + j) * 7) % 256
+                      AS DOUBLE) AS p
+          FROM orders,
+               unnest([0, 2, 4]) AS tf(f),
+               unnest(generate_series(0, 47)) AS tj(j)
+          WHERE o_orderkey % 4 = 0
+        )
+        SELECT okey, CAST(f AS INT) AS frame_idx,
+               round(SUM(p) FILTER (WHERE j % 3 = 0) / 16.0, 6) AS mean_r,
+               round(SUM(p) FILTER (WHERE j % 3 = 1) / 16.0, 6) AS mean_g,
+               round(SUM(p) FILTER (WHERE j % 3 = 2) / 16.0, 6) AS mean_b
+        FROM px GROUP BY okey, f
+    """
+    # content-keyed dataset split: the polynomial rolling hash
+    # h = fold(chars, salt, (acc, ch) -> (acc*31 + codepoint) % (2^31-1))
+    # evaluated with the SAME integer arithmetic in both engines
+    oracles["dataset_split"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN hv % 100 < 80 THEN 'train'
+                    WHEN hv % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    """
+    # decontamination: exact all-pairs Jaccard (LSH recall is 1.0 on
+    # the gate corpus), keep pairs crossing the eval boundary
+    # (doc_id % 10 = 0), anti-join train against the contaminated side
+    oracles["decontaminate"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS words
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(words) >= 3
+                      THEN words[i] || ' ' || words[i+1] || ' '
+                           || words[i+2]
+                      ELSE array_to_string(words, ' ') END AS shingle
+          FROM norm,
+               unnest(generate_series(
+                 1, greatest(len(words) - 2, 1))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+          FROM sh l JOIN sh r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(n_common AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        ), contam AS (
+          SELECT CASE WHEN a % 10 <> 0 THEN a ELSE b END AS doc_id
+          FROM pairs
+          WHERE (a % 10 = 0) <> (b % 10 = 0)
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id % 10 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contam)
+    """
+    oracles["video_motion"] = """
+        WITH d AS (
+          SELECT o_orderkey AS okey,
+                 CAST(abs((o_orderkey * 131 + (f * 48 + j) * 7) % 256
+                          - (o_orderkey * 131 + ((f - 1) * 48 + j) * 7)
+                            % 256) AS DOUBLE) AS ad
+          FROM orders,
+               unnest(generate_series(1, 5)) AS tf(f),
+               unnest(generate_series(0, 47)) AS tj(j)
+          WHERE o_orderkey % 4 = 0
+        )
+        SELECT okey, round(AVG(ad) / 255.0, 6) AS motion
+        FROM d GROUP BY okey
     """
     return oracles

@@ -295,3 +295,49 @@ def connected_components(pairs: DataFrame, a_col: str = "a",
         if changed == 0:
             break
     return labels.select("node", "comp")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
+                  text_col: str, threshold: float = 0.5,
+                  num_hashes: int = 16, bands: int = 4,
+                  shingle_n: int = 3,
+                  max_shingle_df: Optional[int] = None) -> DataFrame:
+    """Drop every train document whose n-gram Jaccard with ANY eval
+    document reaches ``threshold`` (exact duplicates included — J=1).
+    The standard step before training on web corpora: eval sets must
+    not leak into train, and near-duplicates leak just as well as
+    byte-identical copies.
+
+    Ids must be unique across the two frames.  Plan shape: tag and
+    union both corpora, ONE MinHash+LSH candidate pass over the union,
+    exact-Jaccard verification of candidates only, keep the pairs that
+    cross the split boundary, anti-join train against the contaminated
+    ids — no all-pairs stage; quadratic only inside LSH buckets, so the
+    cost at 10^12 docs is the near-dup pass it already shares with
+    deduplication."""
+    t = (train.select(F.col(id_col), F.col(text_col))
+         .withColumn("__split", F.lit(0)))
+    e = (eval_df.select(F.col(id_col), F.col(text_col))
+         .withColumn("__split", F.lit(1)))
+    both = t.unionByName(e)
+    pairs = minhash_near_duplicates(both, id_col, text_col,
+                                    num_hashes=num_hashes, bands=bands,
+                                    threshold=threshold,
+                                    shingle_n=shingle_n,
+                                    max_shingle_df=max_shingle_df)
+    split_of = both.select(F.col(id_col).alias("__id"), "__split")
+    crossed = (pairs
+               .join(split_of.withColumnRenamed("__id", "a")
+                             .withColumnRenamed("__split", "sa"), "a")
+               .join(split_of.withColumnRenamed("__id", "b")
+                             .withColumnRenamed("__split", "sb"), "b")
+               .filter(F.col("sa") != F.col("sb")))
+    contaminated = (crossed
+                    .select(F.when(F.col("sa") == 0, F.col("a"))
+                            .otherwise(F.col("b")).alias(id_col))
+                    .distinct())
+    return train.join(contaminated, id_col, "left_anti")

@@ -1,0 +1,73 @@
+"""Deterministic dataset splitting for training corpora.
+
+A web-scale training pipeline splits its corpus into train/val/test
+ONCE, deterministically, and by CONTENT — not by random row sampling:
+
+* deterministic: re-running the pipeline (or running it on a different
+  cluster size / partition layout) must assign every document to the
+  same split, or downstream caches and eval comparisons are garbage;
+* content-keyed: exact duplicates must land in the SAME split, else
+  the test set leaks into train through the duplicate (the classic
+  contamination bug of row-random splits).
+
+``content_split`` hashes the whitespace-normalized lowercased text
+with a polynomial rolling hash mod 2^31-1 evaluated entirely in JVM
+expressions (``aggregate`` over the character array — no Python, no
+shuffle, embarrassingly parallel) and buckets the hash into weighted
+splits.  The hash is plain 64-bit integer arithmetic, reproducible in
+any engine (the driver-gate oracle recomputes it in DuckDB with
+``list_reduce``) — unlike xxhash64, whose exact values only Spark can
+produce.
+
+At 10^12 documents this is a pure map stage: no shuffle, no state,
+and the assignment is stable under any repartitioning by construction.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + codepoint < 2^36 in int64
+
+
+def normalized(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def content_hash(col, salt: int = 0) -> Column:
+    """Polynomial rolling hash of the normalized text:
+    ``h = fold(chars, salt, (acc, ch) -> (acc*31 + codepoint(ch)) % (2^31-1))``.
+    Pure integer column expression — deterministic across partition
+    layouts and engines."""
+    chars = F.split(normalized(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(int(salt) % _MOD).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD)
+
+
+def content_split(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: Sequence[Tuple[str, int]] = (
+        ("train", 80), ("val", 10), ("test", 10)),
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by bucketing
+    ``content_hash(text) % total_weight`` into cumulative weight
+    ranges.  Duplicate texts always share a split."""
+    total = sum(w for _, w in weights)
+    if total <= 0:
+        raise ValueError("weights must sum to a positive integer")
+    bucket = content_hash(text_col, salt) % F.lit(total)
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        cond = bucket < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else \
+            expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr)

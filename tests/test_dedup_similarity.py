@@ -230,3 +230,82 @@ def test_connected_components_matches_union_find(spark):
             parent[max(ra, rb)] = min(ra, rb)
     exp = {n: find(n) for n in parent}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# dataset split + decontamination
+# ---------------------------------------------------------------------------
+
+def _py_content_hash(text, salt=0):
+    import re
+    norm = re.sub(r"\s+", " ", text.strip().lower())
+    h = salt % 2147483647
+    for ch in norm:
+        h = (h * 31 + ord(ch)) % 2147483647
+    return h
+
+
+def test_content_split_matches_python_oracle(docs):
+    from hiselspark.operators.splits import content_split
+    sdf, pdf = docs
+    out = {r["doc_id"]: r["split"]
+           for r in content_split(sdf, "text", salt=7).collect()}
+    for _, row in pdf.iterrows():
+        b = _py_content_hash(row["text"], salt=7) % 100
+        expect = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert out[row["doc_id"]] == expect
+
+
+def test_content_split_duplicates_share_split(docs):
+    from hiselspark.operators.splits import content_split
+    sdf, _ = docs
+    out = {r["doc_id"]: r["split"]
+           for r in content_split(sdf, "text").collect()}
+    # 100/101 are whitespace/case variants of 3 -> identical normalized
+    # text -> identical split, on any layout
+    assert out[100] == out[101] == out[3]
+
+
+def test_content_split_deterministic_across_layouts(docs):
+    from hiselspark.operators.splits import content_split
+    sdf, _ = docs
+    a = {r["doc_id"]: r["split"]
+         for r in content_split(sdf.repartition(7), "text").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in content_split(sdf.coalesce(1), "text").collect()}
+    assert a == b
+
+
+def test_decontaminate_drops_near_dups_of_eval(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11],
+        "text": [
+            "alpha beta gamma delta epsilon zeta",      # = eval 10
+            "alpha beta gamma delta epsilon CHANGED",   # near-dup of 10
+            "totally different words nothing shared here",
+            "alpha beta gamma delta epsilon zeta",      # eval
+            "unrelated eval document with its own text",
+        ]})
+    sdf = spark.createDataFrame(pdf)
+    train = sdf.filter(F.col("doc_id") < 10)
+    eval_df = sdf.filter(F.col("doc_id") >= 10)
+    kept = sorted(r["doc_id"] for r in dedup.decontaminate(
+        train, eval_df, "doc_id", "text", threshold=0.5).collect())
+    # doc 1 is an exact copy of eval 10 (J=1); doc 2 shares 2 of 6
+    # shingles... compute: shingles of 6 words = 4 trigrams; doc2 shares
+    # trigrams 1-3 of doc10's 1-4 => J = 3/5 = 0.6 >= 0.5 -> dropped
+    assert kept == [3]
+
+
+def test_decontaminate_keeps_all_when_disjoint(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 10],
+        "text": ["one two three four five six",
+                 "seven eight nine ten eleven twelve",
+                 "completely separate eval corpus text here"]})
+    sdf = spark.createDataFrame(pdf)
+    kept = sorted(r["doc_id"] for r in dedup.decontaminate(
+        sdf.filter(F.col("doc_id") < 10),
+        sdf.filter(F.col("doc_id") >= 10),
+        "doc_id", "text").collect())
+    assert kept == [1, 2]
