@@ -6,6 +6,11 @@ JSON line.  The headline ``value`` is the north metric: entity×timestamp
 feature rows/sec through the full point-in-time pipeline (as-of join +
 windowed features + HSIC selection) on the deterministic synthetic
 image+caption corpus; ``queries`` carries per-query wall seconds.
+The north pipeline is timed at steady state after one untimed warm
+pass (same protocol as tools/scaling_bench.py): one-time session
+costs — codegen compilation, JIT, Python-worker spawn — are paid once
+per cluster lifetime, not per job, and measuring them per-run would
+benchmark the JVM bootstrap instead of the engine.
 
 Scaling-efficiency evidence (local[8] vs local[32]) is produced by
 ``tools/scaling_bench.py`` (separate sessions needed) and recorded in
@@ -100,11 +105,22 @@ def main() -> None:
          .write.mode("overwrite").parquet(img_path))
     lbls = datagen.labels(spark, N_IMAGES, n_labels=n_labels, seed=42,
                           partitions=max(CPUS // 4, 1))
+    # warm pass (untimed), same protocol as tools/scaling_bench.py: the
+    # first execution of this plan pays one-time session costs (whole-
+    # stage-codegen compilation, JIT, Python-worker spawn, shuffle-
+    # service setup — measured ~2 min cold vs ~13 s steady-state at
+    # sf0.1) that a long-lived cluster amortizes across jobs.  The
+    # north metric is steady-state throughput.
+    from hiselspark.operators.chunked import release_chunk_caches
+    select_features_pointintime(img_path, lbls, number_of_features=4,
+                                minibatch_size=200, mode="scale")
+    release_chunk_caches()
     t0 = time.perf_counter()
     res = select_features_pointintime(img_path, lbls,
                                       number_of_features=4,
                                       minibatch_size=200, mode="scale")
     north_sec = time.perf_counter() - t0
+    release_chunk_caches()
     timings["north_pipeline"] = round(north_sec, 3)
     rows_per_sec = res.n_rows_used / north_sec if north_sec > 0 else 0.0
 
@@ -117,6 +133,7 @@ def main() -> None:
         "north_pipeline": {
             "n_images": N_IMAGES,
             "n_labels": n_labels,
+            "warm_runs": 1,
             "feature_rows_used": res.n_rows_used,
             "n_minibatches": res.n_minibatches,
             "selected": res.features,

@@ -25,12 +25,14 @@ _SPAN_SECONDS = 90 * 86400  # 90 days of events
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — public-domain integer hash."""
-    z = x.astype(np.uint64, copy=True)
-    z += np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    """splitmix64 finalizer — public-domain integer hash.  uint64
+    wraparound is the algorithm, not an accident; silence the warning."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64, copy=True)
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def _hash_field(i: np.ndarray, salt: int, seed: int) -> np.ndarray:

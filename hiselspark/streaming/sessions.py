@@ -102,3 +102,32 @@ def read_events_stream(spark: SparkSession, path: str,
             .option("maxFilesPerTrigger", str(max_files_per_trigger))
             .format(fmt)
             .load(path))
+
+
+def stage_microbatch_files(frames: Sequence[DataFrame], path: str) -> None:
+    """Stage an ORDERED sequence of DataFrames as one parquet file each
+    under ``path``, with strictly ascending modification times, so a
+    file-source stream with ``maxFilesPerTrigger=1`` replays them as a
+    deterministic sequence of micro-batches (the file source orders its
+    backlog by mtime, then path).  This is how tests and the driver
+    gate exercise ORDER-dependent streaming semantics — watermark
+    advancement and late-data dropping — without a message bus: each
+    frame plays the role of one arriving batch."""
+    import os
+    import shutil
+
+    tmp = f"{path}__tmp"
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path)
+    t0 = 1_700_000_000
+    for i, df in enumerate(frames):
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+        assert len(part) == 1
+        dst = f"{path}/{i:04d}.parquet"
+        shutil.move(f"{tmp}/{part[0]}", dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    shutil.rmtree(tmp)
