@@ -969,6 +969,64 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("motion_score", 6).alias("motion"))
 
 
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation with REAL late data: events
+    with event_id % 97 == 0 are held back and replayed after the
+    watermark has passed (deterministic micro-batch order via one file
+    per trigger).  Spark drops a late row iff its day-window was
+    already evicted — window_end <= watermark at its arrival batch,
+    where that watermark is max(on-time ts) - 2 days (verified
+    empirically: the filter is window-end-based, not row-ts-based).
+    The oracle applies the same accept rule in SQL.  Sentinel rows
+    (user_id -1, filtered out) advance the watermark so every real
+    window is emitted in append mode before the stream ends."""
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files,
+                                               stream_tumbling)
+    import datetime
+    import hashlib
+    import os
+    ev = _ev(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    late = ev.filter(F.col("event_id") % 97 == 0)
+    ontime = ev.filter(F.col("event_id") % 97 != 0)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/hiselspark_latedata_{tag}"
+    if not os.path.exists(f"{src}/0004.parquet"):
+        maxts = ontime.agg(F.max("ts")).collect()[0][0]
+
+        def sentinel(ts):
+            return spark.createDataFrame(
+                [(-1, ts, -1, "sentinel", 0.0, "")], ev.schema)
+
+        # batch order: on-time backlog; spacer (evicts windows closed
+        # by the on-time watermark BEFORE the late rows arrive); late
+        # rows; two flush sentinels (the last batch emits every real
+        # window: its watermark is maxts + 28 days)
+        stage_microbatch_files(
+            [ontime,
+             sentinel(maxts),
+             late,
+             sentinel(maxts + datetime.timedelta(days=30)),
+             sentinel(maxts + datetime.timedelta(days=31))],
+            src)
+    stream = (read_events_stream(spark, src, ev.schema,
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("cents",
+                          F.round(F.col("value") * 100).cast("long")))
+    agg = stream_tumbling(stream, "user_id", "ts",
+                          {"cents": ["sum", "count"]},
+                          window_seconds=86400,
+                          watermark_seconds=2 * 86400)
+    out = run_stream_to_batch(agg, output_mode="append")
+    return (out.filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    _us(F.col("window.start")).alias("day_us"),
+                    F.col("cents_count").alias("n_events"),
+                    F.col("cents_sum").alias("cents")))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split: polynomial
     rolling hash of the normalized text (pure JVM integer expressions,
@@ -1077,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_motion": q_video_motion,
         "dataset_split": q_dataset_split,
         "decontaminate": q_decontaminate,
+        "streaming_late_data": q_streaming_late_data,
     }
 
 
@@ -1803,6 +1862,29 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(p) FILTER (WHERE j % 3 = 1) / 16.0, 6) AS mean_g,
                round(SUM(p) FILTER (WHERE j % 3 = 2) / 16.0, 6) AS mean_b
         FROM px GROUP BY okey, f
+    """
+    # late-data watermark rule (verified against Spark's streaming
+    # state semantics): a held-back row is ACCEPTED iff its day-window
+    # end is still above the watermark at its arrival batch, which is
+    # max(on-time ts) - 2 days
+    oracles["streaming_late_data"] = """
+        WITH ontime AS (
+          SELECT * FROM events WHERE event_id % 97 <> 0
+        ), wm AS (
+          SELECT MAX(ts) - INTERVAL 2 DAY AS w FROM ontime
+        ), accepted AS (
+          SELECT user_id, ts, value FROM ontime
+          UNION ALL
+          SELECT e.user_id, e.ts, e.value FROM events e, wm
+          WHERE e.event_id % 97 = 0
+            AND date_trunc('day', e.ts) + INTERVAL 1 DAY > wm.w
+        )
+        SELECT user_id,
+               epoch_us(date_trunc('day', ts)) AS day_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM accepted GROUP BY user_id, date_trunc('day', ts)
     """
     # content-keyed dataset split: the polynomial rolling hash
     # h = fold(chars, salt, (acc, ch) -> (acc*31 + codepoint) % (2^31-1))

@@ -400,3 +400,52 @@ def test_mi_discrete_target(spark):
     mis = mutual_info(df, ["f_inf", "f_junk"], "label",
                       n_bins=8, discrete_target=True)
     assert mis["f_inf"] > 5 * max(mis["f_junk"], 1e-9)
+
+
+def test_stream_late_data_watermark_rule(spark, tmp_path):
+    """Pin the empirically-verified late-data semantics the
+    streaming_late_data gate oracle relies on:
+    (1) a late row whose window was already evicted is DROPPED,
+    (2) a late row whose window is still open is ACCEPTED,
+    (3) the filter is WINDOW-END-based: a row with ts below the
+        watermark but an open window is still accepted."""
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files,
+                                               stream_tumbling)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {t}") for u, t in rows],
+            "user_id int, ts_s string"
+        ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 F.lit(1.0).alias("v"))
+
+    src = str(tmp_path / "late_src")
+    stage_microbatch_files([
+        frame([(1, "00:10:00"), (1, "00:20:00")]),   # window 00-01h
+        frame([(1, "02:30:00")]),                    # advances max ET
+        frame([(1, "02:35:00")]),                    # spacer: wm=02:00,
+                                                     # evicts window 00-01h
+        frame([(1, "00:40:00"),                      # (1) closed -> drop
+               (1, "02:01:00")]),                    # (3) ts < wm=02:05
+                                                     # but window open ->
+                                                     # accept
+        frame([(-1, "10:00:00")]),                   # flush
+        frame([(-1, "11:00:00")]),                   # emit-everything batch
+    ], src)
+    stream = (read_events_stream(spark, src,
+                                 "user_id int, ts timestamp, v double",
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = stream_tumbling(stream, "user_id", "ts", {"v": ["count"]},
+                          window_seconds=3600, watermark_seconds=1800)
+    out = run_stream_to_batch(agg, output_mode="append")
+    got = {r["ws"]: r["v_count"] for r in
+           out.filter(F.col("user_id") >= 0)
+              .select(F.col("window.start").cast("string").alias("ws"),
+                      "v_count").collect()}
+    assert got == {
+        "2024-01-01 00:00:00": 2,   # late 00:40 dropped
+        "2024-01-01 02:00:00": 3,   # 02:30 + 02:35 + accepted 02:01
+    }
