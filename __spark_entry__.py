@@ -969,6 +969,36 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("motion_score", 6).alias("motion"))
 
 
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over BUCKETED tables: both sides hash-bucketed
+    on user_id at write time, so the join reads pre-shuffled buckets
+    and skips the exchange (plan-asserted in tests/test_plans.py) —
+    the persistent-layout lever for repeated fact-fact joins at
+    10^12 rows.  Results are layout-independent; the oracle is the
+    plain join."""
+    import hashlib
+    from hiselspark.sources.bucketed import ensure_bucketed
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    ev = _ev(spark, sf_dir)
+
+    def facts():
+        return ev.select("event_id", "user_id",
+                         F.round(F.col("value") * 100).cast("long")
+                         .alias("cents"))
+
+    def dims():
+        return ev.groupBy("user_id").agg(F.count("*").alias("user_n"))
+
+    f = ensure_bucketed(spark, f"bkt_events_{tag}", facts, ["user_id"], 8,
+                        path=f"/tmp/hiselspark_bkt_{tag}/facts")
+    d = ensure_bucketed(spark, f"bkt_users_{tag}", dims, ["user_id"], 8,
+                        path=f"/tmp/hiselspark_bkt_{tag}/dims")
+    return (f.join(d.hint("merge"), "user_id")
+            .groupBy("user_n")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("cents").cast("long").alias("cents")))
+
+
 def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation with REAL late data: events
     with event_id % 97 == 0 are held back and replayed after the
@@ -1136,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "decontaminate": q_decontaminate,
         "streaming_late_data": q_streaming_late_data,
+        "bucketed_join_agg": q_bucketed_join_agg,
     }
 
 
@@ -1862,6 +1893,20 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(p) FILTER (WHERE j % 3 = 1) / 16.0, 6) AS mean_g,
                round(SUM(p) FILTER (WHERE j % 3 = 2) / 16.0, 6) AS mean_b
         FROM px GROUP BY okey, f
+    """
+    # bucketed layout is physically transparent: same answer as the
+    # plain join (the zero-shuffle property is plan-asserted in pytest)
+    oracles["bucketed_join_agg"] = """
+        WITH dim AS (
+          SELECT user_id, COUNT(*) AS user_n FROM events
+          GROUP BY user_id
+        )
+        SELECT d.user_n,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events e JOIN dim d USING (user_id)
+        GROUP BY d.user_n
     """
     # late-data watermark rule (verified against Spark's streaming
     # state semantics): a held-back row is ACCEPTED iff its day-window

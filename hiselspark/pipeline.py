@@ -136,6 +136,7 @@ def select_features_pointintime(
     minibatch_size: int = 200,
     mode: str = "scale",
     bucket_seconds: Optional[float] = 7 * 86400.0,
+    precision: str = "float64",
 ) -> SelectionResult:
     """The north-star query: which point-in-time features carry
     dependence with the label, ranked by HSIC-Lasso.
@@ -159,5 +160,10 @@ def select_features_pointintime(
         F.col("y").cast("double").alias("y"),
         *[F.col(c).cast("double").alias(c) for c in feature_cols])
     sel = SparkHSICSelector(frame, feature_cols, ["y"])
+    # precision='float32' halves Gram-tile memory traffic (2.5-2.9x on
+    # the bandwidth-bound core, see BASELINE.md) — the corpus-scale
+    # opt-in; float64 stays the default wherever the reference parity
+    # contract applies
     return sel.run(number_of_features=number_of_features,
-                   minibatch_size=minibatch_size, mode=mode)
+                   minibatch_size=minibatch_size, mode=mode,
+                   precision=precision)

@@ -172,3 +172,36 @@ def test_stats_stage_has_no_feature_row_shuffle(spark):
         lambda it: iter([]), S._STAT_SCHEMA)
     txt = plan_str(stats, "simple")
     assert "Exchange" not in txt.split("MapInPandas")[-1]
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """A join of two tables bucketed on the join key with equal bucket
+    counts must show ZERO shuffle exchanges — the bucketed layout paid
+    the shuffle once at write time (the 100-TB lever for repeated
+    fact-fact joins)."""
+    from hiselspark.sources.bucketed import write_bucketed
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    facts = ev.select("event_id", "user_id", "value")
+    dims = (ev.groupBy("user_id")
+              .agg(F.count("*").alias("user_n")))
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    write_bucketed(facts, "bkt_facts", ["user_id"], 8,
+                   path=str(tmp_path / "facts"))
+    write_bucketed(dims, "bkt_dims", ["user_id"], 8,
+                   path=str(tmp_path / "dims"))
+    j = (spark.table("bkt_facts")
+         .join(spark.table("bkt_dims").hint("merge"), "user_id")
+         .groupBy("user_n").agg(F.count("*").alias("n")))
+    assert n_exchanges(j) <= 1, plan_str(j, "simple")
+    # the join itself must not shuffle either side
+    txt = plan_str(j, "simple")
+    join_part = txt.split("SortMergeJoin", 1)[0]
+    assert "Exchange hashpartitioning(user_id" not in join_part, txt
+    # results equal the plain (shuffling) join
+    plain = (facts.join(dims, "user_id")
+             .groupBy("user_n").agg(F.count("*").alias("n")))
+    assert sorted(map(tuple, j.collect())) == \
+        sorted(map(tuple, plain.collect()))
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_dims")
