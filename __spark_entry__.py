@@ -1020,7 +1020,11 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     late = ev.filter(F.col("event_id") % 97 == 0)
     ontime = ev.filter(F.col("event_id") % 97 != 0)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    # tag includes the source file's (mtime, size): this staging COPIES
+    # rows, so a regenerated corpus at the same path must re-stage
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
     src = f"/tmp/hiselspark_latedata_{tag}"
     if not os.path.exists(f"{src}/0004.parquet"):
         maxts = ontime.agg(F.max("ts")).collect()[0][0]
@@ -1071,16 +1075,17 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 10 == 0 play the
-    eval set; every train doc within Jaccard >= 0.5 of ANY eval doc is
-    dropped (MinHash+LSH candidates, exact verification, recall 1.0 on
-    the gate corpus).  Oracle: the exact all-pairs Jaccard in SQL,
-    cross-split pairs, anti-join."""
+    eval set; train docs within Jaccard >= 0.5 of ANY eval doc are
+    dropped (MinHash+LSH candidates at 2 rows/band — ~0.99 candidate
+    recall at the 0.5 boundary, 1.0 verified on this corpus — then
+    exact-Jaccard verification).  Oracle: the exact all-pairs Jaccard
+    in SQL, cross-split pairs, anti-join."""
     from hiselspark.operators.dedup import decontaminate
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
     clean = decontaminate(train, eval_df, "doc_id", "text",
-                          threshold=0.5, num_hashes=32, bands=8)
+                          threshold=0.5, num_hashes=32, bands=16)
     return clean.select("doc_id")
 
 
@@ -1940,8 +1945,9 @@ def oracle_sql() -> dict[str, str]:
                  list_reduce(
                    list_prepend(CAST(7 AS BIGINT),
                      list_transform(
-                       str_split(regexp_replace(lower(trim(text)),
-                                                '\\s+', ' ', 'g'), ''),
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
                        x -> CAST(ascii(x) AS BIGINT))),
                    (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
           FROM documents

@@ -28,20 +28,27 @@ from typing import Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .dedup import normalize_text
+
 _MOD = 2_147_483_647  # 2^31 - 1; keeps acc*31 + codepoint < 2^36 in int64
-
-
-def normalized(col) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
 
 
 def content_hash(col, salt: int = 0) -> Column:
     """Polynomial rolling hash of the normalized text:
     ``h = fold(chars, salt, (acc, ch) -> (acc*31 + codepoint(ch)) % (2^31-1))``.
     Pure integer column expression — deterministic across partition
-    layouts and engines."""
-    chars = F.split(normalized(col), "")
+    layouts and engines.  Normalization is shared with the dedup
+    operators (``dedup.normalize_text``) so 'duplicates share a split'
+    and 'duplicates share a fingerprint group' agree by construction.
+
+    NULL text hashes like empty text (deterministic assignment — a
+    NULL row must still land in exactly one split).  Edge semantics of
+    the empty string: Spark's ``split('', '')`` yields ``['']`` and
+    ``ascii('') = 0``, so the fold runs one ``(acc*31 + 0)`` step —
+    ``h('') = (salt*31) % (2^31-1)``, matched by DuckDB's
+    ``str_split``/``list_reduce`` arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(normalize_text(F.coalesce(c, F.lit(""))), "")
     return F.aggregate(
         chars,
         F.lit(int(salt) % _MOD).cast("long"),

@@ -130,4 +130,5 @@ def stage_microbatch_files(frames: Sequence[DataFrame], path: str) -> None:
         dst = f"{path}/{i:04d}.parquet"
         shutil.move(f"{tmp}/{part[0]}", dst)
         os.utime(dst, (t0 + i, t0 + i))
-    shutil.rmtree(tmp)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)

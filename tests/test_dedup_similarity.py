@@ -238,8 +238,12 @@ def test_connected_components_matches_union_find(spark):
 
 def _py_content_hash(text, salt=0):
     import re
-    norm = re.sub(r"\s+", " ", text.strip().lower())
+    norm = re.sub(r"\s+", " ", (text or "").strip().lower())
     h = salt % 2147483647
+    if not norm:
+        # Spark's split('', '') yields [''] with ascii('') = 0, so the
+        # fold still runs one (acc*31 + 0) step (DuckDB agrees)
+        return (h * 31) % 2147483647
     for ch in norm:
         h = (h * 31 + ord(ch)) % 2147483647
     return h
@@ -309,3 +313,17 @@ def test_decontaminate_keeps_all_when_disjoint(spark):
         sdf.filter(F.col("doc_id") >= 10),
         "doc_id", "text").collect())
     assert kept == [1, 2]
+
+
+def test_content_split_null_and_empty_text(spark):
+    from hiselspark.operators.splits import content_split
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": [None, "", "   ", "real text here"]})
+    out = {r["doc_id"]: r["split"] for r in
+           content_split(spark.createDataFrame(pdf), "text").collect()}
+    # null/empty/whitespace-only all hash like '' -> same, NON-NULL split
+    assert out[1] is not None
+    assert out[1] == out[2] == out[3]
+    b = _py_content_hash("") % 100
+    expect = "train" if b < 80 else ("val" if b < 90 else "test")
+    assert out[1] == expect

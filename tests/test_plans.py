@@ -194,10 +194,12 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
          .join(spark.table("bkt_dims").hint("merge"), "user_id")
          .groupBy("user_n").agg(F.count("*").alias("n")))
     assert n_exchanges(j) <= 1, plan_str(j, "simple")
-    # the join itself must not shuffle either side
+    # the join itself must not shuffle either side: in physical-plan
+    # text the join's children print BELOW the SortMergeJoin line, so
+    # any join-side Exchange would appear in the [1] half
     txt = plan_str(j, "simple")
-    join_part = txt.split("SortMergeJoin", 1)[0]
-    assert "Exchange hashpartitioning(user_id" not in join_part, txt
+    join_children = txt.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning(user_id" not in join_children, txt
     # results equal the plain (shuffling) join
     plain = (facts.join(dims, "user_id")
              .groupBy("user_n").agg(F.count("*").alias("n")))
