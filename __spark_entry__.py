@@ -969,6 +969,30 @@ def q_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("motion_score", 6).alias("motion"))
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-sharded training-corpus sink, round-tripped: write the
+    documents as shard-partitioned parquet (shard = content_hash %
+    n_shards, size-bounded files), read them BACK from disk, and
+    aggregate per shard.  Oracle recomputes every row's shard
+    arithmetically in DuckDB — the write -> read round trip must
+    reproduce the exact per-shard membership."""
+    import hashlib
+    import os
+    from hiselspark.sinks import read_training_shards, write_training_shards
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    path = f"/tmp/hiselspark_shards_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_training_shards(docs, path, text_col="text", n_shards=8,
+                              salt=3, max_records_per_file=200)
+    back = read_training_shards(spark, path)
+    return (back.groupBy(F.col("shard").cast("int").alias("shard"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1172,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "streaming_late_data": q_streaming_late_data,
         "bucketed_join_agg": q_bucketed_join_agg,
+        "training_shards": q_training_shards,
     }
 
 
@@ -1898,6 +1923,26 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(p) FILTER (WHERE j % 3 = 1) / 16.0, 6) AS mean_g,
                round(SUM(p) FILTER (WHERE j % 3 = 2) / 16.0, 6) AS mean_b
         FROM px GROUP BY okey, f
+    """
+    # training-shard sink round trip: shard = content_hash(text, salt=3)
+    # % 8, recomputed arithmetically (same fold as dataset_split)
+    oracles["training_shards"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(3 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+          FROM documents
+        )
+        SELECT CAST(hv % 8 AS INT) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM h GROUP BY 1
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)

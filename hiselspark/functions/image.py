@@ -8,13 +8,16 @@ Images ride as opaque ``binary`` columns with typed metadata
   (no Python), so Catalyst codegens them;
 * **Arrow-batched pixel statistics** — decode ``bytes`` per ``fmt`` and
   compute per-channel mean/std + quantiles inside ``mapInPandas``.
-  The ``raw`` codec (uncompressed RGB8) is implemented and exact
-  (PSNR = ∞ ≥ 40 dB trivially); lossy codecs (jpeg/png/webp) need
-  image libraries absent from this sandbox, so :func:`decode_image`
-  raises ``NotImplementedError`` for them behind a registry that a
-  deployment with PIL/libvips would extend.  The Spark-side plumbing
-  (schema, batching, UDF signatures) is identical for every codec and
-  is what the tests exercise.
+  Implemented codecs: ``raw`` (uncompressed RGB8, exact), ``raw6``
+  (6-bit quantized lossy with a provable PSNR ≥ 42 dB ≥ 40 dB floor),
+  and ``png`` — a REAL standards-compliant PNG codec built on stdlib
+  zlib + NumPy (:mod:`hiselspark.functions.png`), lossless and
+  cross-checked against libpng in tests.  ``jpeg``/``webp`` need
+  entropy-codec libraries absent from this sandbox, so
+  :func:`decode_image` raises ``NotImplementedError`` for them behind
+  a registry that a deployment with PIL/libvips would extend.  The
+  Spark-side plumbing (schema, batching, UDF signatures) is identical
+  for every codec and is what the tests exercise.
 """
 from __future__ import annotations
 
@@ -113,11 +116,16 @@ def _unavailable(fmt: str) -> Callable[..., np.ndarray]:
     return _raise
 
 
+def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
+    from .png import decode_png
+    return decode_png(bytes(buf), w, h)
+
+
 CODECS: Dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "raw": _decode_raw,
     "raw6": _decode_raw6,
+    "png": _decode_png,
     "jpeg": _unavailable("jpeg"),
-    "png": _unavailable("png"),
     "webp": _unavailable("webp"),
 }
 
