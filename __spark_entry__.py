@@ -993,6 +993,25 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("doc_id").cast("long").alias("sum_ids")))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing manifest: documents laid
+    head-to-tail on content-keyed token tapes, cut every 128 tokens;
+    per-sequence doc count / filled tokens / straddle count.  DuckDB
+    reproduces the whole segment table arithmetically (window cumsum +
+    generate_series over the same polynomial stream hash)."""
+    from hiselspark.operators.packing import (pack_sequences,
+                                              sequence_manifest)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = pack_sequences(docs, text_col="text", id_col="doc_id",
+                         seq_len=128, n_streams=4)
+    m = sequence_manifest(seg)
+    return m.select(F.col("stream").cast("int").alias("stream"),
+                    F.col("seq").cast("long").alias("seq"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_straddle").cast("long").alias("n_straddle"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1197,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_data": q_streaming_late_data,
         "bucketed_join_agg": q_bucketed_join_agg,
         "training_shards": q_training_shards,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1943,6 +1963,50 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_docs,
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM h GROUP BY 1
+    """
+    # sequence packing: same stream hash as training_shards (salt 0),
+    # token tape = window cumsum per stream ordered by doc_id, cut
+    # every 128 tokens; segment spans via generate_series
+    oracles["pack_sequences"] = """
+        WITH h AS (
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))
+                 END AS n
+          FROM documents
+        ),
+        tape AS (
+          SELECT doc_id, CAST(hv % 4 AS INT) AS stream, n,
+                 SUM(n) OVER (PARTITION BY hv % 4 ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS e
+          FROM h WHERE n > 0
+        ),
+        seg AS (
+          SELECT stream, doc_id, n, e, e - n AS s,
+                 unnest(generate_series(
+                   CAST((e - n) // 128 AS BIGINT),
+                   CAST((e - 1) // 128 AS BIGINT))) AS seq
+          FROM tape
+        )
+        SELECT stream, seq,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (seq + 1) * 128)
+                        - GREATEST(s, seq * 128)) AS BIGINT)
+                 AS n_tokens,
+               CAST(SUM(CASE WHEN LEAST(e, (seq + 1) * 128)
+                                  - GREATEST(s, seq * 128) < n
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_straddle
+        FROM seg GROUP BY 1, 2
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)
