@@ -1012,6 +1012,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_straddle").cast("long").alias("n_straddle"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition metrics per document (distinct-
+    unigram fraction, top-1/2/3-gram fractions) — pure relational
+    explode + two doc-keyed shuffles, reproduced verbatim in DuckDB."""
+    from hiselspark.operators.repetition import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (repetition_stats(docs)
+            .withColumn("n_tokens", F.col("n_tokens").cast("int")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1217,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_agg": q_bucketed_join_agg,
         "training_shards": q_training_shards,
         "pack_sequences": q_pack_sequences,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -2007,6 +2018,56 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_straddle
         FROM seg GROUP BY 1, 2
+    """
+    # n-gram repetition metrics: same tokenization as caption_stats,
+    # n-gram slots via generate_series + list slicing; only counts and
+    # exact integer ratios cross engines (no string tie-breaking)
+    oracles["repetition_stats"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, len(toks) AS n_tokens, nn.n AS n,
+                 unnest(list_transform(
+                   generate_series(1, len(toks) - nn.n + 1),
+                   i -> array_to_string(toks[i:i + nn.n - 1], ' ')))
+                   AS gram
+          FROM t, (VALUES (1), (2), (3)) AS nn(n)
+          WHERE len(toks) >= nn.n
+        ),
+        pg AS (
+          SELECT doc_id, n_tokens, n, gram, COUNT(*) AS cnt
+          FROM g GROUP BY 1, 2, 3, 4
+        ),
+        pn AS (
+          SELECT doc_id, n_tokens, n, MAX(cnt) AS top_cnt,
+                 COUNT(*) AS n_distinct
+          FROM pg GROUP BY 1, 2, 3
+        ),
+        st AS (
+          SELECT doc_id, n_tokens,
+                 round(COALESCE(MAX(CASE WHEN n = 1 THEN n_distinct
+                                    END) * 1.0 / n_tokens, 0), 6)
+                   AS uniq_frac,
+                 round(COALESCE(MAX(CASE WHEN n = 1 THEN top_cnt END)
+                   * 1.0 / n_tokens, 0), 6) AS top1_frac,
+                 round(COALESCE(MAX(CASE WHEN n = 2 THEN top_cnt END)
+                   * 1.0 / (n_tokens - 1), 0), 6) AS top2_frac,
+                 round(COALESCE(MAX(CASE WHEN n = 3 THEN top_cnt END)
+                   * 1.0 / (n_tokens - 2), 0), 6) AS top3_frac
+          FROM pn GROUP BY 1, 2
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(st.n_tokens, 0) AS INT) AS n_tokens,
+               COALESCE(uniq_frac, 0) AS uniq_frac,
+               COALESCE(top1_frac, 0) AS top1_frac,
+               COALESCE(top2_frac, 0) AS top2_frac,
+               COALESCE(top3_frac, 0) AS top3_frac
+        FROM documents d LEFT JOIN st USING (doc_id)
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)
