@@ -1022,6 +1022,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_tokens", F.col("n_tokens").cast("int")))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + masking on documents with deterministically
+    injected emails/URLs/IPs (the corpus itself is clean): counts per
+    kind and the exact masked text, string-matched against DuckDB
+    running the SAME RE2-compatible patterns."""
+    from hiselspark.operators.pii import with_pii
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), d, F.lit("@example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com via https://s"),
+            (F.col("doc_id") % 13).cast("string"), F.lit(".example/p"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" at 10.0."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit("."),
+                            (F.col("doc_id") % 100).cast("string")))
+            .otherwise(F.lit(""))).alias("text"))
+    return (with_pii(injected)
+            .select("doc_id", "n_email", "n_url", "n_ip",
+                    F.length("text_scrubbed").alias("len_scrubbed"),
+                    "text_scrubbed"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1228,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_shards": q_training_shards,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2068,6 +2096,42 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(top2_frac, 0) AS top2_frac,
                COALESCE(top3_frac, 0) AS top3_frac
         FROM documents d LEFT JOIN st USING (doc_id)
+    """
+    # PII scrub: identical injection + RE2-compatible patterns replayed
+    # in DuckDB; masked text must match string-exactly
+    oracles["pii_scrub"] = """
+        WITH inj AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example'
+                   || (doc_id % 7) || '.com via https://s'
+                   || (doc_id % 13) || '.example/p'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' at 10.0.' || (doc_id % 256) || '.'
+                                || (doc_id % 100)
+                           ELSE '' END AS t
+          FROM documents
+        ),
+        pats AS (
+          SELECT doc_id, t,
+                 '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'
+                   AS p_email,
+                 'https?://[^\\s]+' AS p_url,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+                   AS p_ip
+          FROM inj
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, p_email)) AS INT)
+                 AS n_email,
+               CAST(len(regexp_extract_all(t, p_url)) AS INT) AS n_url,
+               CAST(len(regexp_extract_all(t, p_ip)) AS INT) AS n_ip,
+               LENGTH(regexp_replace(regexp_replace(regexp_replace(
+                 t, p_email, '<EMAIL>', 'g'), p_url, '<URL>', 'g'),
+                 p_ip, '<IP>', 'g')) AS len_scrubbed,
+               regexp_replace(regexp_replace(regexp_replace(
+                 t, p_email, '<EMAIL>', 'g'), p_url, '<URL>', 'g'),
+                 p_ip, '<IP>', 'g') AS text_scrubbed
+        FROM pats
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)

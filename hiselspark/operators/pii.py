@@ -1,0 +1,51 @@
+"""PII detection and scrubbing for training corpora.
+
+Standard curation stage (public pipelines: C4's blocklist pass,
+BigScience ROOTS / BigCode StarCoder PII redaction): find and mask
+emails, URLs and bare IPv4 addresses before text reaches a trainer.
+Everything is JVM-side ``regexp_count`` / ``regexp_replace`` — a pure
+map stage, no shuffle, no Python, linear at any corpus size.
+
+The patterns are deliberately RE2-compatible (no backrefs, no
+lookaround) so the SAME pattern runs in Spark (Java regex), DuckDB
+(RE2) and Go/Rust tooling — the driver gate replays detection AND
+scrubbing in DuckDB verbatim, and the masked text must string-match
+exactly.  Masking uses fixed-width sentinels (``<EMAIL>``, ``<URL>``,
+``<IP>``), the convention the public PII pipelines above use, so
+downstream tokenizers see a stable vocabulary item.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# RE2- and Java-compatible; keep in sync with the gate oracle
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_KINDS = (("email", EMAIL_RE, "<EMAIL>"),
+          ("url", URL_RE, "<URL>"),
+          ("ip", IPV4_RE, "<IP>"))
+
+
+def pii_counts(col) -> list[Column]:
+    """``n_email``, ``n_url``, ``n_ip`` count columns for ``col``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return [F.regexp_count(c, F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat, _ in _KINDS]
+
+
+def scrub_pii(col) -> Column:
+    """Masked text: emails first (an email is not also a URL), then
+    URLs, then bare IPv4 (an IP inside a URL is already masked)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in _KINDS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def with_pii(df: DataFrame, text_col: str = "text",
+             scrubbed_col: str = "text_scrubbed") -> DataFrame:
+    """Append per-row PII counts and the masked text."""
+    return df.select("*", *pii_counts(text_col),
+                     scrub_pii(text_col).alias(scrubbed_col))
