@@ -1049,6 +1049,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "text_scrubbed"))
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed 30% Bernoulli sample — membership
+    recomputed row-by-row in DuckDB from the same polynomial hash."""
+    from hiselspark.operators.sampling import hash_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (hash_sample(docs, 0.3, salt=7)
+            .select("doc_id", "lang", "source"))
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (at most 10 docs per source, chosen by
+    (content_hash, doc_id) priority) — the skew-safe two-level rank;
+    DuckDB replays the global rank directly."""
+    from hiselspark.operators.sampling import quota_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (quota_sample(docs, "source", cap=10, salt=11)
+            .select("doc_id", "source"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1256,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "hash_sample": q_hash_sample,
+        "quota_sample": q_quota_sample,
     }
 
 
@@ -2132,6 +2153,44 @@ def oracle_sql() -> dict[str, str]:
                  t, p_email, '<EMAIL>', 'g'), p_url, '<URL>', 'g'),
                  p_ip, '<IP>', 'g') AS text_scrubbed
         FROM pats
+    """
+    # deterministic sampling: membership is pure hash arithmetic
+    oracles["hash_sample"] = """
+        WITH h AS (
+          SELECT doc_id, lang, source,
+                 list_reduce(
+                   list_prepend(CAST(7 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+          FROM documents
+        )
+        SELECT doc_id, lang, source FROM h
+        WHERE hv % 1000000 < 300000
+    """
+    oracles["quota_sample"] = """
+        WITH h AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(11 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+          FROM documents
+        ),
+        r AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY hv, doc_id) AS rk
+          FROM h
+        )
+        SELECT doc_id, source FROM r WHERE rk <= 10
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)

@@ -1,0 +1,64 @@
+"""Deterministic sampling: layout independence, quota correctness,
+duplicate coherence, pandas oracle."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.operators.sampling import hash_sample, quota_sample
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(41)
+    srcs = ["web", "web", "web", "books", "code"]  # skewed groups
+    rows = [(i, f"text body {rng.integers(0, 150)}",
+             srcs[int(rng.integers(0, len(srcs)))])
+            for i in range(400)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]))
+
+
+def test_hash_sample_layout_independent_and_content_keyed(spark, docs):
+    a = hash_sample(docs.repartition(3), 0.3)
+    b = hash_sample(docs.repartition(17), 0.3)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    # content-keyed: duplicate texts are kept or dropped together
+    kept = set(r.text for r in a.select("text").collect())
+    pdf = docs.toPandas()
+    for t, grp in pdf.groupby("text"):
+        assert (t in kept) == (grp.doc_id.iloc[0] in ids_a) or \
+            all((d in ids_a) == (t in kept) for d in grp.doc_id)
+    # roughly the right fraction
+    assert 0.15 <= len(ids_a) / len(pdf) <= 0.45
+    # frac edges
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == len(pdf)
+
+
+def test_quota_cap_and_layout_independence(spark, docs):
+    a = quota_sample(docs.repartition(2), "source", cap=30)
+    b = quota_sample(docs.repartition(19), "source", cap=30)
+    pa = a.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert pa.equals(pb)
+    counts = pa.groupby("source").size()
+    assert (counts <= 30).all()
+    # groups smaller than the cap are untouched
+    full = docs.toPandas().groupby("source").size()
+    for s, n in full.items():
+        assert counts.get(s, 0) == min(n, 30), s
+    assert list(pa.columns) == ["doc_id", "text", "source"]
+
+
+def test_quota_matches_pandas_priority_oracle(spark, docs):
+    from hiselspark.operators.splits import content_hash
+    from pyspark.sql import functions as F
+    got = quota_sample(docs, "source", cap=25)
+    pri = (docs.select("doc_id", "source",
+                       content_hash("text").alias("h")).toPandas())
+    exp = set()
+    for s, g in pri.groupby("source"):
+        exp |= set(g.sort_values(["h", "doc_id"]).head(25)["doc_id"])
+    assert set(r.doc_id for r in got.select("doc_id").collect()) == exp
