@@ -1068,6 +1068,16 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing by per-source token budget: keep docs in
+    (content_hash, id) priority while the source's cumulative token
+    count stays ≤ 600.  DuckDB replays the exact prefix-sum rule."""
+    from hiselspark.operators.sampling import token_budget_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (token_budget_sample(docs, "source", 600, salt=13)
+            .select("doc_id", "source"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1277,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "hash_sample": q_hash_sample,
         "quota_sample": q_quota_sample,
+        "token_budget": q_token_budget,
     }
 
 
@@ -2191,6 +2202,32 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT doc_id, source FROM r WHERE rk <= 10
+    """
+    # token-budget mixing: exact prefix-sum rule in priority order
+    oracles["token_budget"] = """
+        WITH h AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(13 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))
+                 END AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source,
+                 SUM(n) OVER (PARTITION BY source ORDER BY hv, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+          FROM h
+        )
+        SELECT doc_id, source FROM c WHERE run <= 600
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)

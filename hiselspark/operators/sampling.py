@@ -15,6 +15,18 @@ recomputes membership row by row.
 * :func:`quota_sample` — per-group cap (the "at most K documents per
   domain" balancing rule of public corpus recipes): keep the ``cap``
   rows with the smallest ``(content_hash, id)`` priority per group.
+* :func:`token_budget_sample` — corpus MIXING by token budget: per
+  group, walk documents in ``(content_hash, id)`` priority order and
+  keep them while the cumulative whitespace-token count stays within
+  the group's budget (how public pretraining recipes realize mixture
+  weights as per-source token quotas).  Skew-safe two-level plan with
+  an exactness twist: the local pre-cut retains every true keep (a
+  kept row's local prefix sum ≤ its global prefix sum), but survivors
+  of OTHER partitions can under-count a later row's true prefix — so
+  the group's minimal locally-DROPPED priority is aggregated (tiny,
+  one row per group) and broadcast back as a hard cut: no true keep
+  can follow any dropped row in priority order, hence cutting there
+  restores exact prefix-sum semantics (proof in the function body).
   Skew-safe two-level plan: a pre-rank keyed on
   ``(group, input-partition-id)`` cuts each (partition × group) to
   ``cap`` candidates — that shuffle fans a hot group out over P
@@ -65,3 +77,65 @@ def quota_sample(df: DataFrame, group_col: str, cap: int,
     return (survivors.withColumn("__r", F.row_number().over(final))
             .where(F.col("__r") <= cap)
             .drop("__pri", "__pid", "__lr", "__r"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    budgets: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Keep documents in ``(content_hash, id)`` priority order while
+    each group's cumulative token count stays ≤ its budget (the rule:
+    keep a row iff its own global prefix sum ≤ budget).  ``budgets``
+    overrides ``budget`` per group value.  Output columns = input
+    columns.
+
+    Exactness of the two-level plan: write ``P(Y)`` for Y's global
+    prefix sum and ``L(Y)`` for its prefix sum within its input
+    partition; ``L(Y) ≤ P(Y)`` always (non-negative weights).
+    (a) A true keep (``P(Y) ≤ B``) has ``L(Y) ≤ B`` → survives the
+    local cut.  (b) If any row X is locally dropped (``L(X) > B`` so
+    ``P(X) > B``), then every row after X in priority has prefix
+    ``≥ P(X) > B`` — no true keep follows any dropped row.  Therefore
+    every row preceding a true keep is itself a local survivor, so
+    the survivor-only cumulative sum is EXACT for true keeps; and
+    cutting at the group's minimal dropped priority removes exactly
+    the rows whose survivor-sum could under-count."""
+    from ..functions.text import token_count
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if budgets:
+        b = F.lit(int(budget))
+        for k, v in budgets.items():
+            b = F.when(F.col(group_col) == k, F.lit(int(v))) \
+                 .otherwise(b)
+    else:
+        b = F.lit(int(budget))
+    pri = (df.withColumn("__pri", content_hash(text_col, salt))
+             .withColumn("__pid", F.spark_partition_id())
+             .withColumn("__n", token_count(text_col).cast("long"))
+             .withColumn("__b", b))
+    order = [F.col("__pri"), F.col(id_col)]
+    local = (Window.partitionBy(group_col, "__pid").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    cut = pri.withColumn("__lc", F.sum("__n").over(local))
+    survivors = cut.where(F.col("__lc") <= F.col("__b"))
+    # one tiny row per group: the smallest locally-dropped priority
+    dropped_min = (cut.where(F.col("__lc") > F.col("__b"))
+                   .groupBy(group_col)
+                   .agg(F.min(F.struct("__pri", id_col))
+                        .alias("__dmin")))
+    final = (Window.partitionBy(group_col).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (survivors
+            .join(F.broadcast(dropped_min), group_col, "left")
+            .withColumn("__c", F.sum("__n").over(final))
+            .where((F.col("__c") <= F.col("__b"))
+                   & (F.col("__dmin").isNull()
+                      | (F.struct("__pri", id_col) < F.col("__dmin"))))
+            .drop("__pri", "__pid", "__n", "__b", "__lc", "__c",
+                  "__dmin"))

@@ -4,7 +4,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from hiselspark.operators.sampling import hash_sample, quota_sample
+from hiselspark.operators.sampling import (hash_sample, quota_sample,
+                                           token_budget_sample)
 
 
 @pytest.fixture(scope="module")
@@ -50,6 +51,53 @@ def test_quota_cap_and_layout_independence(spark, docs):
     for s, n in full.items():
         assert counts.get(s, 0) == min(n, 30), s
     assert list(pa.columns) == ["doc_id", "text", "source"]
+
+
+def _budget_oracle(pri_pdf, budget, budgets=None):
+    """Exact rule: keep iff own global prefix-sum <= group budget."""
+    keep = set()
+    for s, g in pri_pdf.groupby("source"):
+        b = (budgets or {}).get(s, budget)
+        run = 0
+        for _, r in g.sort_values(["h", "doc_id"]).iterrows():
+            run += r["n"]
+            if run <= b:
+                keep.add(r["doc_id"])
+            else:
+                break
+    return keep
+
+
+@pytest.mark.parametrize("budget", [0, 7, 40, 200, 10**6])
+def test_token_budget_exact_across_layouts(spark, docs, budget):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.splits import content_hash
+    pri = (docs.select(
+        "doc_id", "source", content_hash("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n")).toPandas())
+    exp = _budget_oracle(pri, budget)
+    for parts in (1, 3, 23):
+        got = set(r.doc_id for r in token_budget_sample(
+            docs.repartition(parts), "source", budget)
+            .select("doc_id").collect())
+        assert got == exp, (budget, parts, got ^ exp)
+
+
+def test_token_budget_per_group_overrides(spark, docs):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.splits import content_hash
+    pri = (docs.select(
+        "doc_id", "source", content_hash("text").alias("h"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n")).toPandas())
+    budgets = {"web": 30, "books": 10**6}
+    exp = _budget_oracle(pri, 12, budgets)
+    got = set(r.doc_id for r in token_budget_sample(
+        docs.repartition(7), "source", 12, budgets=budgets)
+        .select("doc_id").collect())
+    assert got == exp
+    # the unlimited group is fully kept
+    pdf = docs.toPandas()
+    assert set(pdf[pdf.source == "books"].doc_id) <= got
 
 
 def test_quota_matches_pandas_priority_oracle(spark, docs):
