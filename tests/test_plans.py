@@ -207,3 +207,34 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         sorted(map(tuple, plain.collect()))
     spark.sql("DROP TABLE IF EXISTS bkt_facts")
     spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_curation_operators_plan_shapes(spark):
+    """The corpus-curation operators keep their promised shuffle
+    budgets: sampling/PII are map-only (zero exchanges), packing costs
+    exactly ONE shuffle and its manifest piggybacks on it (grouping on
+    (stream, seq) is satisfied by the stream partitioning), quota uses
+    its two-level rank, and the token-budget dmin join broadcasts."""
+    from hiselspark.operators.packing import (pack_sequences,
+                                              sequence_manifest)
+    from hiselspark.operators.pii import with_pii
+    from hiselspark.operators.repetition import repetition_stats
+    from hiselspark.operators.sampling import (hash_sample,
+                                               quota_sample,
+                                               token_budget_sample)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert n_exchanges(hash_sample(docs, 0.3)) == 0
+    assert n_exchanges(with_pii(docs)) == 0
+    seg = pack_sequences(docs, seq_len=128, n_streams=4)
+    assert n_exchanges(seg) == 1, plan_str(seg, "simple")
+    man = sequence_manifest(pack_sequences(docs, seq_len=128,
+                                           n_streams=4))
+    assert n_exchanges(man) == 1, plan_str(man, "simple")
+    assert n_exchanges(quota_sample(docs, "source", 10)) == 2
+    tb = token_budget_sample(docs, "source", 500)
+    txt = plan_str(tb, "simple")
+    # the per-group minimal-dropped-priority side joins as a broadcast
+    assert "BroadcastHashJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+    assert n_exchanges(tb) <= 4, txt
+    assert n_exchanges(repetition_stats(docs)) <= 4
