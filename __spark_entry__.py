@@ -1078,6 +1078,15 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (40-token windows, 8-token
+    overlap) — map-only explode; DuckDB reproduces every window's
+    bounds and exact chunk text via list slicing."""
+    from hiselspark.operators.packing import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1288,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "quota_sample": q_quota_sample,
         "token_budget": q_token_budget,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -2202,6 +2212,36 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT doc_id, source FROM r WHERE rk <= 10
+    """
+    # sliding-window chunking: stride 32 = 40 - 8; last start is the
+    # first window reaching the end (integer-exact ceil arithmetic)
+    oracles["chunk_docs"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(text), '\\s+')
+                 END AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, toks, len(toks) AS n
+          FROM t WHERE len(toks) > 0
+        ),
+        k AS (
+          SELECT doc_id, toks, n,
+                 unnest(generate_series(0,
+                   CASE WHEN n > 40 THEN (n - 40 + 31) // 32
+                        ELSE 0 END)) AS chunk_id
+          FROM b
+        )
+        SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               CAST(chunk_id * 32 AS BIGINT) AS start_tok,
+               CAST(LEAST(40, n - chunk_id * 32) AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(
+                 toks[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' ')
+                 AS chunk
+        FROM k
     """
     # token-budget mixing: exact prefix-sum rule in priority order
     oracles["token_budget"] = """

@@ -89,6 +89,61 @@ def pack_sequences(
                     "doc_tokens"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window chunking WITHIN each document (the RAG /
+    long-doc-eval layout, vs. :func:`pack_sequences` which packs
+    ACROSS documents): token windows of ``chunk_tokens`` starting
+    every ``chunk_tokens - overlap`` tokens, last window truncated.
+
+    Returns ``id_col, chunk_id, start_tok, n_chunk_tokens, chunk`` —
+    one row per window, chunk text re-joined with single spaces.
+    Chunk starts step by the stride until the first window that
+    reaches the document's end (the standard splitter rule), so every
+    chunk has ``chunk_tokens`` tokens except possibly the last, which
+    keeps between ``overlap + 1`` and ``chunk_tokens``.  Map-only
+    (explode of per-row windows, no shuffle, no Python); output size
+    is input × ``chunk/(chunk-overlap)`` by construction.  Zero-token
+    documents emit no chunks."""
+    C, O = int(chunk_tokens), int(overlap)
+    if C <= 0 or O < 0 or O >= C:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap=} "
+            f"{chunk_tokens=}")
+    stride = C - O
+    toks = F.when(
+        F.trim(F.col(text_col)) == "",
+        F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(F.col(id_col), toks.alias("__toks"),
+                     F.size(toks).alias("__n"))
+    # last start = first k*stride with k*stride + C >= n, i.e.
+    # k_max = ceil((n - C)/stride) for n > C else 0 — integer-exact
+    # arithmetic shared verbatim with the DuckDB oracle
+    k = F.explode(F.expr(
+        f"if(__n > 0, sequence(0, cast(if(__n > {C},"
+        f" (__n - {C} + {stride} - 1) div {stride}, 0)"
+        f" as int)), cast(array() as array<int>))")).alias("chunk_id")
+    out = (base.select(id_col, "__toks", "__n", k)
+           .select(
+               id_col,
+               F.col("chunk_id").cast("int").alias("chunk_id"),
+               (F.col("chunk_id") * stride).cast("long")
+               .alias("start_tok"),
+               F.least(F.lit(C),
+                       F.col("__n") - F.col("chunk_id") * stride)
+               .cast("long").alias("n_chunk_tokens"),
+               F.array_join(
+                   F.expr(f"slice(__toks, chunk_id * {stride} + 1,"
+                          f" {C})"), " ").alias("chunk")))
+    return out
+
+
 def sequence_manifest(segments: DataFrame) -> DataFrame:
     """Per-sequence roll-up of a :func:`pack_sequences` segment table:
     document count, filled tokens, straddle count — the lineage record

@@ -82,3 +82,45 @@ def test_layout_independent_and_matches_pandas_oracle(spark, docs):
         got = (a[a["stream"] == st].reset_index(drop=True)
                .astype({"seq": int}))
         assert got.astype(str).equals(exp.astype(str)), st
+
+
+def test_chunk_documents_windows(spark):
+    from hiselspark.operators.packing import chunk_documents
+    texts = [" ".join(f"t{i}" for i in range(23)), "a b c", "",
+             "   ", " ".join(f"x{i}" for i in range(10)),
+             " ".join(f"y{i}" for i in range(11))]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (chunk_documents(spark.createDataFrame(pdf).repartition(3),
+                           chunk_tokens=10, overlap=4)
+           .toPandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    # python oracle: starts step by 6 until a window reaches the end
+    rows = []
+    for d, t in enumerate(texts):
+        toks = t.split()
+        n = len(toks)
+        if n == 0:
+            continue
+        k, start = 0, 0
+        while True:
+            rows.append((d, k, start, min(10, n - start),
+                         " ".join(toks[start:start + 10])))
+            if start + 10 >= n:
+                break
+            k += 1
+            start += 6
+    exp = pd.DataFrame(rows, columns=list(out.columns))
+    assert out.astype(str).equals(exp.astype(str))
+    # every token covered; consecutive chunks overlap by exactly 4
+    g = out[out.doc_id == 0]
+    assert (g["start_tok"].diff().dropna() == 6).all()
+    assert g["start_tok"].iloc[-1] + g["n_chunk_tokens"].iloc[-1] == 23
+
+
+def test_chunk_documents_validation(spark):
+    from hiselspark.operators.packing import chunk_documents
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [0],
+                                             "text": ["a"]}))
+    for C, O in ((0, 0), (10, 10), (10, -1)):
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_tokens=C, overlap=O)
