@@ -981,8 +981,10 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hiselspark.sinks import read_training_shards, write_training_shards
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     st = os.stat(f"{sf_dir}/documents.parquet")
+    params = "shards8:salt3:maxrec200"  # keep in sync with the call
     tag = hashlib.sha1(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}:{params}"
+        .encode()).hexdigest()[:10]
     path = f"/tmp/hiselspark_shards_{tag}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         write_training_shards(docs, path, text_col="text", n_shards=8,

@@ -107,8 +107,11 @@ def decode_png(buf: bytes, expect_w: Optional[int] = None,
         raise ValueError("not a PNG: bad signature")
     pos, w, h = 8, None, None
     idat = []
+    saw_iend = False
     while pos + 12 <= len(buf):
         (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        if pos + 12 + length > len(buf):
+            raise ValueError("PNG truncated mid-chunk")
         tag = buf[pos + 4:pos + 8]
         payload = buf[pos + 8:pos + 8 + length]
         (crc,) = struct.unpack(
@@ -126,15 +129,23 @@ def decode_png(buf: bytes, expect_w: Optional[int] = None,
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    if not saw_iend:
+        raise ValueError("PNG truncated: no IEND chunk")
     if expect_w is not None and (w, h) != (expect_w, expect_h):
         raise ValueError(
             f"PNG is {w}x{h}, metadata says {expect_w}x{expect_h}")
-    stream = np.frombuffer(zlib.decompress(b"".join(idat)),
-                           dtype=np.uint8)
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT stream corrupt: {e}") from e
+    stream = np.frombuffer(raw, dtype=np.uint8)
     if stream.size != h * (1 + w * 3):
         raise ValueError("PNG IDAT stream has wrong length")
     stream = stream.reshape(h, 1 + w * 3)

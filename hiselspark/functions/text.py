@@ -23,6 +23,19 @@ def caption_length(col: str = "caption") -> Column:
     return F.length(col)
 
 
+def tokens(col) -> Column:
+    """Whitespace token array (split on runs of whitespace; empty or
+    all-whitespace text yields an EMPTY array, not ['']).  The single
+    source of truth for tokenization — token_count, sequence packing,
+    chunking and the repetition metrics all derive from this column
+    expression, and the driver-gate DuckDB oracles mirror it as
+    ``regexp_split_to_array(trim(text), '\\s+')`` with the same
+    empty-string guard."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    return F.when(c == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(c, r"\s+"))
+
+
 def token_count(col: str = "caption") -> Column:
     """Whitespace token count (split on runs of whitespace)."""
     c = F.trim(F.col(col))

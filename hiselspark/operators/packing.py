@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 from .splits import content_hash
 
 
@@ -62,6 +62,8 @@ def pack_sequences(
     L = int(seq_len)
     if L <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if int(n_streams) < 1:
+        raise ValueError(f"n_streams must be >= 1, got {n_streams}")
     n = token_count(text_col).cast("long")
     w = Window.partitionBy("stream").orderBy(id_col)
     tape = (
@@ -116,10 +118,7 @@ def chunk_documents(
             f"need 0 <= overlap < chunk_tokens, got {overlap=} "
             f"{chunk_tokens=}")
     stride = C - O
-    toks = F.when(
-        F.trim(F.col(text_col)) == "",
-        F.array().cast("array<string>")).otherwise(
-        F.split(F.trim(F.col(text_col)), r"\s+"))
+    toks = tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("__toks"),
                      F.size(toks).alias("__n"))
     # last start = first k*stride with k*stride + C >= n, i.e.

@@ -37,12 +37,11 @@ def repetition_stats(
 ) -> DataFrame:
     """Per-document repetition metrics; one row per input row (docs
     with no tokens get ``n_tokens = 0`` and zero fractions)."""
+    from ..functions.text import tokens
     sizes = sorted(set(int(n) for n in ngram_sizes))
     if not sizes or sizes[0] < 1:
         raise ValueError(f"ngram_sizes must be >= 1, got {ngram_sizes}")
-    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast(
-        "array<string>")).otherwise(F.split(F.trim(F.col(text_col)),
-                                            r"\s+"))
+    toks = tokens(text_col)
     gram_arrays = [
         F.expr(
             # sequence(1, 0) counts DOWN in Spark — guard short docs

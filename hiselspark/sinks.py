@@ -47,7 +47,13 @@ def write_training_shards(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", str(max_records_per_file))
     w.parquet(path)
-    manifest = (sharded.groupBy(shard_col)
+    # lineage manifest from the WRITTEN files, not the source plan: a
+    # second source scan would double the input cost at corpus scale,
+    # and a re-evaluation-unstable source (table being appended to)
+    # would make the manifest disagree with the files on disk.  The
+    # count scan reads only parquet metadata (count-star pushdown).
+    spark = df.sparkSession
+    manifest = (spark.read.parquet(path).groupBy(shard_col)
                 .agg(F.count("*").alias("n_rows")))
     return manifest
 

@@ -153,3 +153,15 @@ def test_png_through_spark_pixel_stats(spark):
         for col in stat_cols:
             assert a[col] == b[col] or (
                 a[col] != a[col] and b[col] != b[col]), (i, col)
+
+
+def test_truncation_and_missing_idat_raise_valueerror():
+    img = np.zeros((4, 4, 3), np.uint8)
+    buf = encode_png(img)
+    for cut in (10, 20, 40, len(buf) - 3):
+        with pytest.raises(ValueError):
+            decode_png(buf[:cut])
+    # signature + IHDR only, no IDAT
+    ihdr_end = 8 + 12 + 13
+    with pytest.raises(ValueError, match="IDAT|truncated"):
+        decode_png(buf[:ihdr_end] + buf[-12:])

@@ -34,8 +34,11 @@ def test_matches_counter_oracle(spark):
             assert abs(got.loc[i, k] - v) < 1e-9, (i, k, got.loc[i, k], v)
 
 
+SF = "/root/testdata/sf0.001"
+
+
 def test_real_corpus_bounds(spark):
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = repetition_stats(docs).toPandas()
     assert len(out) == docs.count()
     for c in ("uniq_frac", "top1_frac", "top2_frac", "top3_frac"):
