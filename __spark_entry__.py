@@ -1089,6 +1089,34 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=40, overlap=8)
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline (PII scrub → Gopher quality filter
+    → exact dedup → per-source token budget → sequence packing) on
+    documents with injected PII; the oracle replays the ENTIRE chain
+    in one DuckDB query and the final per-sequence packing manifest
+    must hash-match — every stage's semantics are load-bearing."""
+    from hiselspark.curation import curate_corpus
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    injected = docs.select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" contact user"), d,
+                 F.lit("@example"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".com via https://s"),
+                 (F.col("doc_id") % 13).cast("string"),
+                 F.lit(".example/p")).alias("text"))
+    res = curate_corpus(injected, min_tokens=20, max_top1_frac=0.12,
+                        group_col="source", token_budget=800,
+                        seq_len=128, n_streams=4)
+    m = res.manifest
+    return m.select(F.col("stream").cast("int").alias("stream"),
+                    F.col("seq").cast("long").alias("seq"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_straddle").cast("long").alias("n_straddle"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1300,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "token_budget": q_token_budget,
         "chunk_docs": q_chunk_docs,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -2244,6 +2273,98 @@ def oracle_sql() -> dict[str, str]:
                  toks[chunk_id * 32 + 1 : chunk_id * 32 + 40], ' ')
                  AS chunk
         FROM k
+    """
+    # end-to-end curation: the full scrub -> quality -> dedup ->
+    # budget -> pack chain replayed stage by stage
+    oracles["curate_corpus"] = """
+        WITH inj AS (
+          SELECT doc_id, source,
+                 text || ' contact user' || doc_id || '@example'
+                   || (doc_id % 7) || '.com via https://s'
+                   || (doc_id % 13) || '.example/p' AS t0
+          FROM documents
+        ),
+        scrub AS (
+          SELECT doc_id, source,
+                 regexp_replace(regexp_replace(regexp_replace(t0,
+                   '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+                   'https?://[^\\s]+', '<URL>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS t
+          FROM inj
+        ),
+        tok AS (
+          SELECT doc_id, source, t,
+                 CASE WHEN trim(t) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(t), '\\s+')
+                 END AS toks
+          FROM scrub
+        ),
+        uni AS (
+          SELECT doc_id, unnest(toks) AS gram FROM tok
+        ),
+        cnt AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM uni GROUP BY 1, 2
+        ),
+        top AS (
+          SELECT doc_id, MAX(c) AS topc FROM cnt GROUP BY 1
+        ),
+        quality AS (
+          SELECT k.doc_id, k.source, k.t, len(k.toks) AS n
+          FROM tok k JOIN top USING (doc_id)
+          WHERE len(k.toks) >= 20
+            AND round(topc * 1.0 / len(k.toks), 6) <= 0.12
+        ),
+        canon AS (
+          SELECT doc_id, source, t, n FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY regexp_replace(lower(trim(t)),
+                                          '\\s+', ' ', 'g')
+              ORDER BY doc_id) AS rk
+            FROM quality) WHERE rk = 1
+        ),
+        hashed AS (
+          SELECT doc_id, source, n,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(lower(trim(t)),
+                                                '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv
+          FROM canon
+        ),
+        mixed AS (
+          SELECT doc_id, n, hv FROM (
+            SELECT *, SUM(n) OVER (PARTITION BY source
+                                   ORDER BY hv, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+            FROM hashed) WHERE run <= 800
+        ),
+        tape AS (
+          SELECT doc_id, CAST(hv % 4 AS INT) AS stream, n,
+                 SUM(n) OVER (PARTITION BY hv % 4 ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS e
+          FROM mixed WHERE n > 0
+        ),
+        seg AS (
+          SELECT stream, doc_id, n, e, e - n AS s,
+                 unnest(generate_series(
+                   CAST((e - n) // 128 AS BIGINT),
+                   CAST((e - 1) // 128 AS BIGINT))) AS seq
+          FROM tape
+        )
+        SELECT stream, seq,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEAST(e, (seq + 1) * 128)
+                        - GREATEST(s, seq * 128)) AS BIGINT)
+                 AS n_tokens,
+               CAST(SUM(CASE WHEN LEAST(e, (seq + 1) * 128)
+                                  - GREATEST(s, seq * 128) < n
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_straddle
+        FROM seg GROUP BY 1, 2
     """
     # token-budget mixing: exact prefix-sum rule in priority order
     oracles["token_budget"] = """
