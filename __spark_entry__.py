@@ -1117,6 +1117,32 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_straddle").cast("long").alias("n_straddle"))
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates on the content key,
+    state across micro-batches) drained with AvailableNow — the
+    surviving set of normalized texts must equal batch DISTINCT.
+    Content-derived projection only: which duplicate copy survives is
+    arrival-order-dependent, the normalized text is not."""
+    import hashlib
+    import os
+    from hiselspark.streaming.dedup import stream_dedup
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(f"docs:{sf_dir}".encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_docs_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    stream = read_events_stream(spark, src_dir, docs.schema)
+    out = run_stream_to_batch(stream_dedup(stream),
+                              output_mode="append")
+    return out.select(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+        .alias("norm"))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1329,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "chunk_docs": q_chunk_docs,
         "curate_corpus": q_curate_corpus,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -2365,6 +2392,12 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_straddle
         FROM seg GROUP BY 1, 2
+    """
+    # streaming dedup drained == batch DISTINCT on normalized text
+    oracles["streaming_dedup"] = """
+        SELECT DISTINCT regexp_replace(lower(trim(text)),
+                                       '\\s+', ' ', 'g') AS norm
+        FROM documents
     """
     # token-budget mixing: exact prefix-sum rule in priority order
     oracles["token_budget"] = """
