@@ -1143,6 +1143,37 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("norm"))
 
 
+def q_sketch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregates (HLL++ distinct, Greenwald–Khanna
+    median) with their mathematical guarantees checked as booleans:
+    the HLL estimate within 3·rsd of the exact count (recomputed in
+    DuckDB), the GK median within its rank-error bound (counted
+    against the real data).  Shuffle volume is O(groups) sketches —
+    the 100-TB shape for cardinality/quantile questions."""
+    from hiselspark.operators.sketches import (approx_distinct,
+                                               approx_quantiles)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("value").isNotNull()))
+    d = approx_distinct(ev, "event_type", "user_id", rsd=0.05)
+    q = approx_quantiles(ev, "event_type", "value", [0.5],
+                         accuracy=1000)
+    eps = 1.0 / 1000
+    ranks = (ev.join(q, "event_type").groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0))
+        .alias("n_le"),
+        F.sum(F.when(F.col("value") < F.col("q50"), 1).otherwise(0))
+        .alias("n_lt"),
+        F.count("*").alias("n")))
+    return (d.join(ranks, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.abs(F.col("n_approx") - F.col("n_exact"))
+         <= 0.15 * F.col("n_exact")).alias("hll_ok"),
+        ((F.col("n_le") >= F.floor((0.5 - eps) * F.col("n")))
+         & (F.col("n_lt") <= F.ceil((0.5 + eps) * F.col("n"))))
+        .alias("gk_rank_ok")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1356,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "curate_corpus": q_curate_corpus,
         "streaming_dedup": q_streaming_dedup,
+        "sketch_invariants": q_sketch_invariants,
     }
 
 
@@ -2392,6 +2424,16 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_straddle
         FROM seg GROUP BY 1, 2
+    """
+    # sketches: exact columns recomputed, guarantee booleans literal
+    # TRUE (HLL/GK are deterministic and their bounds hold by math)
+    oracles["sketch_invariants"] = """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS hll_ok,
+               TRUE AS gk_rank_ok
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
     """
     # streaming dedup drained == batch DISTINCT on normalized text
     oracles["streaming_dedup"] = """
