@@ -1174,6 +1174,39 @@ def q_sketch_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gk_rank_ok")))
 
 
+def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table with Iceberg-style manifest stats: documents
+    committed as 4 disjoint doc_id-range files, read back through the
+    stats-pruned path with a range predicate — the answer must equal
+    the plain SQL filter (pruning is an optimization, never a
+    semantics change).  The file-skipping itself is plan-asserted in
+    pytest (inputFiles count)."""
+    import hashlib
+    import os
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapprune:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snap_{tag}"
+    t = SnapshotTable(root)
+    if t.current() is None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        step = (n + 3) // 4
+        for i in range(4):
+            part = docs.where(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)).coalesce(1)
+            t.write(part, mode="append")
+    lo, hi = 120, 260
+    out = t.read(spark, where=[("doc_id", "between", (lo, hi))])
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids"),
+                 F.sum(F.length("text")).cast("long").alias("sum_len")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1388,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "streaming_dedup": q_streaming_dedup,
         "sketch_invariants": q_sketch_invariants,
+        "snapshot_prune": q_snapshot_prune,
     }
 
 
@@ -2434,6 +2468,17 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS gk_rank_ok
         FROM events WHERE value IS NOT NULL
         GROUP BY event_type
+    """
+    # snapshot stats-pruned read == plain filter (pruning is an
+    # optimization, never a semantics change)
+    oracles["snapshot_prune"] = """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        FROM documents
+        WHERE doc_id BETWEEN 120 AND 260
+        GROUP BY source
     """
     # streaming dedup drained == batch DISTINCT on normalized text
     oracles["streaming_dedup"] = """

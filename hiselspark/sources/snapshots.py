@@ -28,10 +28,10 @@ import json
 import os
 import time
 import uuid
-from dataclasses import dataclass
-from typing import List, Optional
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 @dataclass
@@ -43,6 +43,87 @@ class Snapshot:
     committed_at: float
     files: List[str]
     properties: dict
+    # Iceberg-manifest-style per-file column stats for data skipping:
+    # {file: {column: [min, max]}} (JSON-native primitives only);
+    # absent for snapshots committed before stats existed
+    stats: dict = field(default_factory=dict)
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-file [min, max] per primitive column, read from the parquet
+    FOOTER (row-group statistics) — no data pages are touched, which
+    is what makes collecting them at commit time free.  Columns whose
+    stats are missing or non-primitive are omitted (readers treat
+    missing stats as 'cannot prune')."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode("utf-8"), mx.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str)) or \
+                    isinstance(mn, bool):
+                continue
+            name = col.path_in_schema
+            if name in out:
+                out[name] = [min(out[name][0], mn),
+                             max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def _range_may_match(mn, mx, op: str, value) -> bool:
+    """Can a file whose column spans [mn, mx] contain a row matching
+    ``col <op> value``?  Conservative (True on any doubt)."""
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+        if op == "between":
+            lo, hi = value
+            return lo <= mx and hi >= mn
+    except TypeError:
+        return True     # incomparable types: never prune
+    return True          # unknown op: never prune
+
+
+def _apply_predicates(df: DataFrame,
+                      where: Sequence[Tuple[str, str, object]]
+                      ) -> DataFrame:
+    for col, op, value in where:
+        c = F.col(col)
+        if op == "=":
+            df = df.where(c == value)
+        elif op == "<":
+            df = df.where(c < value)
+        elif op == "<=":
+            df = df.where(c <= value)
+        elif op == ">":
+            df = df.where(c > value)
+        elif op == ">=":
+            df = df.where(c >= value)
+        elif op == "between":
+            df = df.where(c.between(value[0], value[1]))
+        else:
+            raise ValueError(f"unsupported predicate op: {op}")
+    return df
 
 
 class SnapshotTable:
@@ -74,7 +155,8 @@ class SnapshotTable:
             return Snapshot(**json.load(f))
 
     def _commit(self, files: List[str], operation: str,
-                properties: Optional[dict] = None) -> Snapshot:
+                properties: Optional[dict] = None,
+                stats: Optional[dict] = None) -> Snapshot:
         cur = self.current()
         version = (cur.version + 1) if cur else 1
         snap = Snapshot(
@@ -85,6 +167,8 @@ class SnapshotTable:
             committed_at=time.time(),
             files=sorted(files),
             properties=properties or {},
+            stats={f: s for f, s in (stats or {}).items()
+                   if f in set(files)},
         )
         path = os.path.join(self.log_dir, f"v{version:08d}.json")
         tmp = path + f".tmp-{snap.snapshot_id}"
@@ -114,15 +198,30 @@ class SnapshotTable:
         ]
         cur = self.current()
         files = list(new_files)
+        stats = {f: _file_column_stats(f) for f in new_files}
         if mode == "append" and cur:
             files += cur.files
-        return self._commit(files, mode, properties)
+            stats.update(cur.stats or {})   # carry retained files' stats
+        return self._commit(files, mode, properties, stats=stats)
 
     def read(self, spark: SparkSession,
              snapshot_id: Optional[str] = None,
-             version: Optional[int] = None) -> DataFrame:
+             version: Optional[int] = None,
+             where: Optional[Sequence[Tuple[str, str, object]]] = None,
+             ) -> DataFrame:
         """Read the table at a snapshot (default: current) — time
-        travel by ``snapshot_id`` or ``version``."""
+        travel by ``snapshot_id`` or ``version``.
+
+        ``where`` is an optional list of simple predicates
+        ``(column, op, value)`` with op in ``= < <= > >= between``
+        (``between`` takes a ``(lo, hi)`` tuple).  Files whose
+        manifest [min, max] stats PROVABLY exclude a predicate are
+        never handed to Spark — the Iceberg data-skipping move that
+        makes a selective query on a 10^12-row table open thousands of
+        files instead of millions.  The predicates are ALSO applied as
+        real filters, so results are exact whether or not stats exist
+        (files without stats are conservatively kept, and Spark's own
+        row-group pushdown still applies inside every opened file)."""
         snap = None
         if snapshot_id is not None or version is not None:
             for s in self.snapshots():
@@ -135,7 +234,28 @@ class SnapshotTable:
             snap = self.current()
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.root} has no snapshot")
-        return spark.read.parquet(*snap.files)
+        files = snap.files
+        if where:
+            stats = snap.stats or {}
+            kept = []
+            for f in files:
+                fs = stats.get(f)
+                keep = True
+                if fs:
+                    for col, op, value in where:
+                        rng = fs.get(col)
+                        if rng is not None and not _range_may_match(
+                                rng[0], rng[1], op, value):
+                            keep = False
+                            break
+                if keep:
+                    kept.append(f)
+            files = kept
+            if not files:
+                df = spark.read.parquet(*snap.files).limit(0)
+                return _apply_predicates(df, where)
+        df = spark.read.parquet(*files)
+        return _apply_predicates(df, where) if where else df
 
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans of

@@ -96,3 +96,39 @@ def test_metrics_side_channel(spark):
     assert d["rows"] == 1000
     assert d["partitions_seen"] == 4
     assert d["approx_bytes"] > 0
+
+
+def test_snapshot_stats_prune_files_exactly(spark, tmp_path):
+    """Iceberg-style data skipping: per-file [min,max] stats from the
+    parquet footers prune files a predicate provably excludes, and the
+    pruned read returns exactly the full-scan-plus-filter answer."""
+    import pandas as pd
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):       # three appends, disjoint id ranges
+        pdf = pd.DataFrame({"doc_id": range(lo, lo + 50),
+                            "src": [f"s{lo}"] * 50})
+        t.write(spark.createDataFrame(pdf).coalesce(1), mode="append")
+    snap = t.current()
+    assert len(snap.files) == 3 and len(snap.stats) == 3
+    for f, st in snap.stats.items():
+        assert "doc_id" in st and st["doc_id"][1] - st["doc_id"][0] == 49
+    # predicate inside one file's range -> one file scanned
+    pruned = t.read(spark, where=[("doc_id", "between", (120, 130))])
+    assert len(pruned.inputFiles()) == 1
+    full = t.read(spark).where("doc_id between 120 and 130")
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # string stats prune too; op variants
+    assert len(t.read(spark, where=[("src", "=", "s200")])
+               .inputFiles()) == 1
+    assert len(t.read(spark, where=[("doc_id", "<", 100)])
+               .inputFiles()) == 1
+    assert len(t.read(spark, where=[("doc_id", ">=", 100)])
+               .inputFiles()) == 2
+    # predicate excluding every file -> empty result, correct schema
+    none = t.read(spark, where=[("doc_id", ">", 10_000)])
+    assert none.count() == 0 and none.columns == ["doc_id", "src"]
+    # stats survive time travel and append carries parent stats
+    s1 = t.snapshots()[0]
+    assert t.read(spark, snapshot_id=s1.snapshot_id,
+                  where=[("doc_id", "<", 10)]).count() == 10
