@@ -926,6 +926,58 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("px_q50", 6).alias("q50"))
 
 
+def q_lossy_codec_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The input-hint payload contract, end-to-end on REAL entropy
+    codecs (libgd/libjpeg/libwebp via ctypes): synthesize a smooth
+    deterministic image per document, encode as baseline JPEG q95
+    (even doc_id) or lossless WebP (odd), decode back through the
+    production codec registry, and emit the per-row contract bits —
+    decoded-pixel PSNR >= 40 dB for lossy, exact pixels for lossless,
+    exact caption round-trip.  The oracle states the contract as
+    literals: any codec regression flips a boolean and the hash.
+    All pixel work is Arrow-batched mapInPandas (no per-row Python)."""
+    import pandas as pd
+
+    from hiselspark.functions import gdcodec
+    from hiselspark.functions.image import decode_image, psnr
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 64)
+            .select("doc_id", F.col("text").alias("caption")))
+    schema = ("image_id long, w int, h int, fmt string, "
+              "psnr_ok boolean, exact_ok boolean, caption string")
+
+    def run(pdfs):
+        import numpy as np
+        for pdf in pdfs:
+            rows = []
+            for doc_id, caption in zip(pdf["doc_id"], pdf["caption"]):
+                doc_id = int(doc_id)
+                w = 24 + (doc_id % 8) * 2
+                h = 16 + (doc_id % 5) * 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack([
+                    xx * 255.0 / (w - 1),
+                    yy * 255.0 / (h - 1),
+                    127 + 120 * np.sin(xx / (7.0 + doc_id % 11))
+                    * np.cos(yy / (5.0 + doc_id % 7)),
+                ], axis=-1).clip(0, 255).astype(np.uint8)
+                if doc_id % 2 == 0:
+                    fmt, buf = "jpeg", gdcodec.encode_jpeg(img, quality=95)
+                else:
+                    fmt, buf = "webp", gdcodec.encode_webp(img)  # lossless
+                dec = decode_image(buf, w, h, fmt)
+                p = psnr(img, dec)
+                rows.append((doc_id, w, h, fmt, bool(p >= 40.0),
+                             fmt == "jpeg" or bool((dec == img).all()),
+                             caption))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "w", "h", "fmt",
+                "psnr_ok", "exact_ok", "caption"])
+
+    return docs.mapInPandas(run, schema)
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling fan-out end-to-end: synthesize 6-frame 4x4
     rawv clips, sample every 2nd frame into image rows, pixel-stat the
@@ -1422,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "sketch_invariants": q_sketch_invariants,
         "snapshot_prune": q_snapshot_prune,
+        "lossy_codec_contract": q_lossy_codec_contract,
     }
 
 
@@ -2479,6 +2532,19 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id BETWEEN 120 AND 260
         GROUP BY source
+    """
+    # lossy-codec contract: the oracle states the per-row invariant as
+    # literals (PSNR>=40 / lossless-exact / caption equality); any
+    # codec regression flips a boolean on the Spark side and the hash
+    oracles["lossy_codec_contract"] = """
+        SELECT CAST(doc_id AS BIGINT) AS image_id,
+               CAST(24 + (doc_id % 8) * 2 AS INTEGER) AS w,
+               CAST(16 + (doc_id % 5) * 4 AS INTEGER) AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'webp' END AS fmt,
+               TRUE AS psnr_ok,
+               TRUE AS exact_ok,
+               text AS caption
+        FROM documents WHERE doc_id < 64
     """
     # streaming dedup drained == batch DISTINCT on normalized text
     oracles["streaming_dedup"] = """

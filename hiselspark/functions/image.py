@@ -10,14 +10,16 @@ Images ride as opaque ``binary`` columns with typed metadata
   compute per-channel mean/std + quantiles inside ``mapInPandas``.
   Implemented codecs: ``raw`` (uncompressed RGB8, exact), ``raw6``
   (6-bit quantized lossy with a provable PSNR ≥ 42 dB ≥ 40 dB floor),
-  and ``png`` — a REAL standards-compliant PNG codec built on stdlib
+  ``png`` — a REAL standards-compliant PNG codec built on stdlib
   zlib + NumPy (:mod:`hiselspark.functions.png`), lossless and
-  cross-checked against libpng in tests.  ``jpeg``/``webp`` need
-  entropy-codec libraries absent from this sandbox, so
-  :func:`decode_image` raises ``NotImplementedError`` for them behind
-  a registry that a deployment with PIL/libvips would extend.  The
-  Spark-side plumbing (schema, batching, UDF signatures) is identical
-  for every codec and is what the tests exercise.
+  cross-checked against libpng in tests — and ``jpeg``/``webp``,
+  REAL codecs bound to the system libgd (libjpeg-turbo / libwebp)
+  through ctypes (:mod:`hiselspark.functions.gdcodec`), exercising
+  the PSNR >= 40 dB lossy contract end-to-end.  Where libgd is absent
+  the jpeg/webp entries degrade to ``NotImplementedError`` behind the
+  same registry.  The Spark-side plumbing (schema, batching, UDF
+  signatures) is identical for every codec and is what the tests
+  exercise.
 """
 from __future__ import annotations
 
@@ -116,6 +118,16 @@ def _unavailable(fmt: str) -> Callable[..., np.ndarray]:
     return _raise
 
 
+def _decode_jpeg(buf: bytes, w: int, h: int) -> np.ndarray:
+    from .gdcodec import decode_jpeg
+    return decode_jpeg(bytes(buf), w, h)
+
+
+def _decode_webp(buf: bytes, w: int, h: int) -> np.ndarray:
+    from .gdcodec import decode_webp
+    return decode_webp(bytes(buf), w, h)
+
+
 def _decode_png(buf: bytes, w: int, h: int) -> np.ndarray:
     from .png import decode_png
     return decode_png(bytes(buf), w, h)
@@ -125,8 +137,10 @@ CODECS: Dict[str, Callable[[bytes, int, int], np.ndarray]] = {
     "raw": _decode_raw,
     "raw6": _decode_raw6,
     "png": _decode_png,
-    "jpeg": _unavailable("jpeg"),
-    "webp": _unavailable("webp"),
+    # real codecs when the system libgd is present (it is, in this
+    # sandbox); gdcodec raises NotImplementedError itself when not
+    "jpeg": _decode_jpeg,
+    "webp": _decode_webp,
 }
 
 
