@@ -1259,6 +1259,83 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).cast("long").alias("sum_len")))
 
 
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style incremental append scan: documents committed as 4
+    doc_id-range appends; reading the delta (v1, v3] must return
+    exactly the rows of batches 2 and 3 — what a checkpointed consumer
+    reads to catch up without rescanning history."""
+    import hashlib
+    import os
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapinc:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapinc_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.version != 4:
+        import shutil
+        if os.path.exists(root):        # stale partial build: restart
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        step = (n + 3) // 4
+        for i in range(4):
+            part = docs.where(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < (i + 1) * step)).coalesce(1)
+            t.write(part, mode="append")
+    inc = t.read_incremental(spark, from_version=1, to_version=3)
+    return (inc.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids"),
+                 F.sum(F.length("text")).cast("long").alias("sum_len")))
+
+
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the snapshot table: target = documents
+    with doc_id < 300 committed as 3 range files; source updates
+    150..249 (text + '!', source -> 'upd') and inserts 400..449; the
+    table is then compacted (operation that must not change rows).
+    Only the two files containing matched keys are rewritten — the
+    0..99 file rides into the new snapshot by reference (asserted in
+    pytest; here the ORACLE replays the whole MERGE in SQL)."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapup:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapup_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.version != 5 or cur.operation != "compact":
+        if os.path.exists(root):        # stale partial build: restart
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text", "source"))
+        for lo in (0, 100, 200):                       # v1..v3
+            t.write(docs.where(F.col("doc_id").between(lo, lo + 99))
+                    .coalesce(1), mode="append")
+        src = (docs.where(F.col("doc_id").between(150, 249))
+               .withColumn("text", F.concat("text", F.lit("!")))
+               .withColumn("source", F.lit("upd"))
+               .unionByName(
+                   docs.where(F.col("doc_id").between(400, 449))))
+        t.upsert(src.coalesce(1), ["doc_id"])          # v4
+        t.compact(spark, target_files=1)               # v5
+    out = t.read(spark)
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids"),
+                 F.sum(F.length("text")).cast("long").alias("sum_len")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1475,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_invariants": q_sketch_invariants,
         "snapshot_prune": q_snapshot_prune,
         "lossy_codec_contract": q_lossy_codec_contract,
+        "snapshot_incremental": q_snapshot_incremental,
+        "snapshot_upsert": q_snapshot_upsert,
     }
 
 
@@ -2532,6 +2611,43 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id BETWEEN 120 AND 260
         GROUP BY source
+    """
+    # incremental append scan (v1, v3] == rows of batches 2 and 3;
+    # the oracle recomputes the same quartile split arithmetically
+    oracles["snapshot_incremental"] = """
+        WITH n AS (SELECT (COUNT(*) + 3) // 4 AS step FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        FROM documents, n
+        WHERE doc_id >= n.step AND doc_id < 3 * n.step
+        GROUP BY source
+    """
+    # copy-on-write MERGE + compact: the oracle replays the whole
+    # merge (delete-matched + insert-source) in SQL; compact must be
+    # invisible to it
+    oracles["snapshot_upsert"] = """
+        WITH target AS (
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id BETWEEN 0 AND 299
+        ), src AS (
+            SELECT doc_id, text || '!' AS text, 'upd' AS source
+            FROM documents WHERE doc_id BETWEEN 150 AND 249
+            UNION ALL
+            SELECT doc_id, text, source FROM documents
+            WHERE doc_id BETWEEN 400 AND 449
+        ), merged AS (
+            SELECT * FROM target
+            WHERE doc_id NOT IN (SELECT doc_id FROM src)
+            UNION ALL
+            SELECT * FROM src
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        FROM merged GROUP BY source
     """
     # lossy-codec contract: the oracle states the per-row invariant as
     # literals (PSNR>=40 / lossless-exact / caption equality); any

@@ -104,6 +104,16 @@ def _range_may_match(mn, mx, op: str, value) -> bool:
     return True          # unknown op: never prune
 
 
+def _strip_file_scheme(path: str) -> str:
+    """``_metadata.file_path`` URIs (``file:///x``) -> local paths, so
+    they compare equal to the manifest's plain paths."""
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
 def _apply_predicates(df: DataFrame,
                       where: Sequence[Tuple[str, str, object]]
                       ) -> DataFrame:
@@ -256,6 +266,172 @@ class SnapshotTable:
                 return _apply_predicates(df, where)
         df = spark.read.parquet(*files)
         return _apply_predicates(df, where) if where else df
+
+    def read_incremental(self, spark: SparkSession,
+                         from_version: int,
+                         to_version: Optional[int] = None) -> DataFrame:
+        """Rows ADDED by append snapshots in ``(from_version,
+        to_version]`` — Iceberg's incremental append scan, the primitive
+        under checkpoint/resume and streaming backfill: a consumer that
+        processed the table at ``from_version`` catches up by reading
+        only the new files, never rescanning the 10^12 rows it already
+        saw.
+
+        Chain rules (Iceberg's own): ``append`` snapshots contribute
+        exactly the files they added; ``compact`` snapshots are skipped
+        (they rewrite bytes, not rows); an ``overwrite`` or ``upsert``
+        in the range raises — row-level changes have no append-delta
+        representation, so silently returning something would be a
+        correctness bug, not a convenience."""
+        snaps = {s.version: s for s in self.snapshots()}
+        if to_version is None:
+            cur = self.current()
+            if cur is None:
+                raise FileNotFoundError(
+                    f"table {self.root} has no snapshot")
+            to_version = cur.version
+        if from_version > to_version:
+            raise ValueError(
+                f"from_version {from_version} > to_version {to_version}")
+        added: List[str] = []
+        for v in range(from_version + 1, to_version + 1):
+            snap = snaps.get(v)
+            if snap is None:
+                raise KeyError(f"no such snapshot version: {v}")
+            if snap.operation == "compact":
+                continue
+            if snap.operation != "append":
+                raise ValueError(
+                    f"incremental read across a '{snap.operation}' "
+                    f"snapshot (v{v}) is undefined; read the full table "
+                    "at the target snapshot instead")
+            parent_files = set(
+                snaps[v - 1].files) if v - 1 in snaps else set()
+            added += [f for f in snap.files if f not in parent_files]
+        if not added:
+            base = snaps[to_version].files or snaps[from_version].files
+            return spark.read.parquet(*base).limit(0)
+        return spark.read.parquet(*sorted(added))
+
+    def upsert(self, df: DataFrame, key_cols: Sequence[str],
+               properties: Optional[dict] = None) -> Snapshot:
+        """Copy-on-write MERGE by key (Iceberg COW ``MERGE INTO``):
+        target rows whose key appears in ``df`` are replaced by the
+        source rows; unmatched source rows are inserted.  Only data
+        files that ACTUALLY contain a matched key are rewritten:
+
+        1. manifest [min, max] stats on the key columns prune the
+           candidate file set (a point upsert on a range-clustered
+           10^12-row table touches a handful of files);
+        2. Spark's hidden ``_metadata.file_path`` column narrows that
+           to files with a real key hit (a semi-join, not a guess);
+        3. those files are rewritten (anti-join + union source) into a
+           new file group; every untouched file is carried into the
+           new snapshot by reference.
+
+        The rewrite is one Spark job; nothing is collected to the
+        driver but the matched-file list."""
+        spark = df.sparkSession
+        cur = self.current()
+        if cur is None:
+            return self.write(df, mode="append", properties=properties)
+        key_cols = list(key_cols)
+        src = df.cache()
+        try:
+            # 1. stats prune: files whose key range can overlap source's
+            bounds = src.agg(
+                *[F.min(k).alias(f"__mn_{k}") for k in key_cols],
+                *[F.max(k).alias(f"__mx_{k}") for k in key_cols]
+            ).collect()[0]
+            candidates = []
+            for f in cur.files:
+                fs = (cur.stats or {}).get(f)
+                keep = True
+                if fs:
+                    for k in key_cols:
+                        rng = fs.get(k)
+                        lo, hi = bounds[f"__mn_{k}"], bounds[f"__mx_{k}"]
+                        if rng is not None and lo is not None and \
+                                not _range_may_match(
+                                    rng[0], rng[1], "between", (lo, hi)):
+                            keep = False
+                            break
+                if keep:
+                    candidates.append(f)
+            # 2. exact matched-file list via the scan's metadata column
+            matched_files: List[str] = []
+            if candidates:
+                cand = (spark.read.parquet(*candidates)
+                        .select(*key_cols, F.col("_metadata.file_path")
+                                .alias("__fp")))
+                matched_files = [
+                    _strip_file_scheme(r["__fp"]) for r in
+                    (cand.join(src.select(*key_cols).distinct(),
+                               on=key_cols, how="semi")
+                     .select("__fp").distinct().collect())
+                ]
+            # 3. rewrite only files with a hit
+            if matched_files:
+                keep_rows = (spark.read.parquet(*matched_files)
+                             .join(src.select(*key_cols).distinct(),
+                                   on=key_cols, how="anti"))
+                rewritten = keep_rows.unionByName(
+                    src.select(*keep_rows.columns))
+            else:
+                rewritten = src
+            dirname = os.path.join(self.data_dir, uuid.uuid4().hex)
+            rewritten.write.mode("errorifexists").parquet(dirname)
+            new_files = [
+                os.path.join(dirname, f) for f in os.listdir(dirname)
+                if f.endswith(".parquet")
+            ]
+            untouched = [f for f in cur.files if f not in set(matched_files)]
+            stats = {f: _file_column_stats(f) for f in new_files}
+            stats.update({f: s for f, s in (cur.stats or {}).items()
+                          if f in set(untouched)})
+            props = dict(properties or {})
+            props.setdefault("rewritten_files", len(matched_files))
+            props.setdefault("carried_files", len(untouched))
+            return self._commit(untouched + new_files, "upsert",
+                                props, stats=stats)
+        finally:
+            src.unpersist()
+
+    def compact(self, spark: SparkSession,
+                target_files: int = 1,
+                properties: Optional[dict] = None) -> Snapshot:
+        """Bin-pack the current snapshot's files into ``target_files``
+        (Iceberg ``rewrite_data_files``): identical rows, fewer/bigger
+        files, committed as operation ``compact`` so incremental readers
+        know no rows changed.  The maintenance move that keeps a table
+        fed by many small streaming commits scannable."""
+        cur = self.current()
+        if cur is None:
+            raise FileNotFoundError(f"table {self.root} has no snapshot")
+        df = spark.read.parquet(*cur.files).coalesce(target_files)
+        dirname = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.mode("errorifexists").parquet(dirname)
+        new_files = [
+            os.path.join(dirname, f) for f in os.listdir(dirname)
+            if f.endswith(".parquet")
+        ]
+        stats = {f: _file_column_stats(f) for f in new_files}
+        props = dict(properties or {})
+        props.setdefault("compacted_from", len(cur.files))
+        return self._commit(new_files, "compact", props, stats=stats)
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop all but the newest ``keep_last`` snapshot manifests
+        (never the current one), so a following :meth:`vacuum` can
+        reclaim the data files only they referenced.  Returns the
+        number of manifests removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        snaps = self.snapshots()
+        expire = snaps[:-keep_last] if len(snaps) > keep_last else []
+        for s in expire:
+            os.remove(os.path.join(self.log_dir, f"v{s.version:08d}.json"))
+        return len(expire)
 
     def vacuum(self) -> int:
         """Delete data files not referenced by any snapshot (orphans of

@@ -132,3 +132,81 @@ def test_snapshot_stats_prune_files_exactly(spark, tmp_path):
     s1 = t.snapshots()[0]
     assert t.read(spark, snapshot_id=s1.snapshot_id,
                   where=[("doc_id", "<", 10)]).count() == 10
+
+
+def _pdf(lo, hi, tag):
+    return pd.DataFrame({"doc_id": range(lo, hi),
+                         "src": [tag] * (hi - lo)})
+
+
+def test_incremental_read_appends_only(spark, tmp_path):
+    """Iceberg incremental append scan: exactly the rows added in
+    (from, to], compact snapshots skipped, row-level ops rejected."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):                       # v1, v2, v3
+        t.write(spark.createDataFrame(_pdf(lo, lo + 50, f"b{lo}"))
+                .coalesce(1), mode="append")
+    inc = t.read_incremental(spark, from_version=1)
+    got = sorted(r["doc_id"] for r in inc.collect())
+    assert got == list(range(100, 150)) + list(range(200, 250))
+    # bounded range (v1, v2]
+    assert t.read_incremental(spark, 1, 2).count() == 50
+    # compact rewrites bytes, not rows: skipped, so (v3, v4] is empty
+    t.compact(spark, target_files=1)               # v4
+    assert t.read_incremental(spark, 3, 4).count() == 0
+    # ...and (v1, v4] still returns exactly the appended rows
+    assert t.read_incremental(spark, 1, 4).count() == 100
+    # row-level change in range -> explicit refusal
+    t.upsert(spark.createDataFrame(_pdf(0, 5, "up")), ["doc_id"])  # v5
+    with pytest.raises(ValueError):
+        t.read_incremental(spark, 3, 5)
+
+
+def test_upsert_rewrites_only_matched_files(spark, tmp_path):
+    """Copy-on-write MERGE: stats + _metadata narrow the rewrite to
+    files actually containing a matched key; everything else is
+    carried by reference; old snapshots still read the old rows."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.write(spark.createDataFrame(_pdf(lo, lo + 50, f"b{lo}"))
+                .coalesce(1), mode="append")
+    before = t.current()
+    src = pd.concat([_pdf(120, 130, "upd"),        # matches file b100
+                     _pdf(500, 505, "new")])       # pure insert
+    snap = t.upsert(spark.createDataFrame(src).coalesce(1), ["doc_id"])
+    assert snap.operation == "upsert"
+    assert snap.properties["rewritten_files"] == 1
+    assert len(set(snap.files) & set(before.files)) == 2
+    got = t.read(spark).toPandas().sort_values("doc_id")
+    assert len(got) == 155                         # 150 - 10 + 10 + 5
+    assert (got.loc[got.doc_id.between(120, 129), "src"] == "upd").all()
+    assert (got.loc[got.doc_id >= 500, "src"] == "new").all()
+    assert (got.loc[got.doc_id.between(100, 119), "src"] == "b100").all()
+    # time travel: the pre-upsert snapshot is untouched
+    old = t.read(spark, version=before.version).toPandas()
+    assert len(old) == 150 and (old.src != "upd").all()
+    # new files carry stats so later reads keep pruning
+    new_files = set(snap.files) - set(before.files)
+    assert all("doc_id" in snap.stats[f] for f in new_files)
+    # stats-pruned read over the upserted table is still exact
+    assert t.read(spark, where=[("doc_id", "=", 125)]).collect()[0][
+        "src"] == "upd"
+
+
+def test_compact_expire_vacuum_lifecycle(spark, tmp_path):
+    """compact bin-packs to fewer files with identical rows; expire +
+    vacuum reclaim the files only dead snapshots referenced."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.write(spark.createDataFrame(_pdf(lo, lo + 50, f"b{lo}"))
+                .coalesce(1), mode="append")
+    rows_before = sorted(map(tuple, t.read(spark).collect()))
+    snap = t.compact(spark, target_files=1)
+    assert len(snap.files) == 1
+    assert snap.properties["compacted_from"] == 3
+    assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+    n_expired = t.expire_snapshots(keep_last=1)
+    assert n_expired == 3
+    assert t.vacuum() == 3          # the three pre-compact files
+    assert sorted(map(tuple, t.read(spark).collect())) == rows_before
+    assert [s.version for s in t.snapshots()] == [snap.version]
