@@ -1336,6 +1336,39 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).cast("long").alias("sum_len")))
 
 
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order rewrite + 2-D stats pruning: documents re-clustered on
+    a Morton interleave of (doc_id, n_chars), then read through a box
+    predicate on BOTH columns.  The pruning (files skipped in both
+    dimensions) is plan-asserted in pytest; the ORACLE here pins the
+    semantics — re-clustering must never change a query's answer."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapz:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapz_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.operation != "compact":
+        if os.path.exists(root):        # stale partial build: restart
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t.write(docs.repartition(8), mode="append")
+        t.compact(spark, target_files=8,
+                  zorder_by=["doc_id", "n_chars"])
+    out = t.read(spark, where=[("doc_id", "between", (100, 299)),
+                               ("n_chars", "between", (100, 300))])
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("sum_ids"),
+                 F.sum("n_chars").cast("long").alias("sum_chars")))
+
+
 def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located join over BUCKETED tables: both sides hash-bucketed
     on user_id at write time, so the join reads pre-shuffled buckets
@@ -1554,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lossy_codec_contract": q_lossy_codec_contract,
         "snapshot_incremental": q_snapshot_incremental,
         "snapshot_upsert": q_snapshot_upsert,
+        "zorder_prune": q_zorder_prune,
     }
 
 
@@ -2648,6 +2682,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
         FROM merged GROUP BY source
+    """
+    # z-order re-clustering changes layout, never answers
+    oracles["zorder_prune"] = """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE doc_id BETWEEN 100 AND 299
+          AND n_chars BETWEEN 100 AND 300
+        GROUP BY source
     """
     # lossy-codec contract: the oracle states the per-row invariant as
     # literals (PSNR>=40 / lossless-exact / caption equality); any

@@ -47,6 +47,11 @@ class Snapshot:
     # {file: {column: [min, max]}} (JSON-native primitives only);
     # absent for snapshots committed before stats existed
     stats: dict = field(default_factory=dict)
+    # the table schema AS OF this snapshot (Spark StructType JSON) —
+    # Iceberg-style schema evolution: appends may add columns; readers
+    # apply the snapshot's schema so files written before a column
+    # existed surface it as null (and time travel sees the old schema)
+    schema_json: Optional[str] = None
 
 
 def _file_column_stats(path: str) -> dict:
@@ -102,6 +107,85 @@ def _range_may_match(mn, mx, op: str, value) -> bool:
     except TypeError:
         return True     # incomparable types: never prune
     return True          # unknown op: never prune
+
+
+def _merge_schema_json(parent_json: Optional[str], df_schema) -> str:
+    """Evolve the table schema: keep every parent column (in order),
+    append genuinely new columns from the written frame.  A column
+    changing type is refused — silent coercion across historical files
+    is how tables rot."""
+    from pyspark.sql.types import StructType
+    if parent_json is None:
+        return df_schema.json()
+    parent = StructType.fromJson(json.loads(parent_json))
+    new_by_name = {f.name: f for f in df_schema.fields}
+    merged = []
+    for f in parent.fields:
+        g = new_by_name.pop(f.name, None)
+        if g is not None and g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution cannot change column '{f.name}' "
+                f"from {f.dataType} to {g.dataType}")
+        merged.append(f)
+    merged += [f for f in df_schema.fields if f.name in new_by_name]
+    return StructType(merged).json()
+
+
+def _with_zvalue(df: DataFrame, cols: Sequence[str],
+                 out_col: str = "__z") -> DataFrame:
+    """Z-order (Morton) key over up to 4 columns: each column is
+    reduced to a 16-bit key — numeric/timestamp columns by min-max
+    scaling (bounds from ONE aggregate over the frame), string columns
+    by ``crc32 & 0xFFFF`` (hash clustering: groups equal values, which
+    is what point-lookup pruning needs; strings have no cheap rank) —
+    and the bits are interleaved into one long.  Range-partitioning on
+    the key gives every file a tight min/max box in EVERY listed
+    column at once, which is what makes multi-column predicates prune
+    (linear clustering only ever serves its leading column)."""
+    from pyspark.sql.types import (DateType, StringType, TimestampNTZType,
+                                   TimestampType)
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder supports 1-4 columns")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    num_exprs = {}
+    aggs = []
+    for c in cols:
+        dt = fields[c]
+        if isinstance(dt, StringType):
+            continue
+        e = (F.col(c).cast("timestamp").cast("double")
+             if isinstance(dt, (TimestampType, TimestampNTZType, DateType))
+             else F.col(c).cast("double"))
+        num_exprs[c] = e
+        aggs += [F.min(e).alias(f"__mn_{c}"), F.max(e).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs).collect()[0] if aggs else None
+    keys = []
+    for c in cols:
+        if c in num_exprs:
+            mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+            if mn is None or mx == mn:
+                k = F.lit(0).cast("long")
+            else:
+                k = F.least(
+                    F.lit(65535).cast("long"),
+                    F.greatest(
+                        F.lit(0).cast("long"),
+                        ((num_exprs[c] - F.lit(float(mn)))
+                         / F.lit(float(mx) - float(mn)) * 65535)
+                        .cast("long")))
+            k = F.coalesce(k, F.lit(0).cast("long"))
+        else:
+            k = F.coalesce(
+                F.crc32(F.col(c)).bitwiseAND(F.lit(0xFFFF).cast("long")),
+                F.lit(0).cast("long"))
+        keys.append(k)
+    z = F.lit(0).cast("long")
+    for b in range(16):
+        for i, k in enumerate(keys):
+            bit = F.shiftrightunsigned(k, b).bitwiseAND(
+                F.lit(1).cast("long"))
+            z = z + F.shiftleft(bit, b * len(keys) + i)
+    return df.withColumn(out_col, z)
 
 
 def _strip_file_scheme(path: str) -> str:
@@ -166,7 +250,8 @@ class SnapshotTable:
 
     def _commit(self, files: List[str], operation: str,
                 properties: Optional[dict] = None,
-                stats: Optional[dict] = None) -> Snapshot:
+                stats: Optional[dict] = None,
+                schema_json: Optional[str] = None) -> Snapshot:
         cur = self.current()
         version = (cur.version + 1) if cur else 1
         snap = Snapshot(
@@ -179,6 +264,7 @@ class SnapshotTable:
             properties=properties or {},
             stats={f: s for f, s in (stats or {}).items()
                    if f in set(files)},
+            schema_json=schema_json,
         )
         path = os.path.join(self.log_dir, f"v{version:08d}.json")
         tmp = path + f".tmp-{snap.snapshot_id}"
@@ -212,7 +298,11 @@ class SnapshotTable:
         if mode == "append" and cur:
             files += cur.files
             stats.update(cur.stats or {})   # carry retained files' stats
-        return self._commit(files, mode, properties, stats=stats)
+            schema_json = _merge_schema_json(cur.schema_json, df.schema)
+        else:
+            schema_json = df.schema.json()
+        return self._commit(files, mode, properties, stats=stats,
+                            schema_json=schema_json)
 
     def read(self, spark: SparkSession,
              snapshot_id: Optional[str] = None,
@@ -244,6 +334,11 @@ class SnapshotTable:
             snap = self.current()
         if snap is None or not snap.files:
             raise FileNotFoundError(f"table {self.root} has no snapshot")
+        reader = spark.read
+        if snap.schema_json:
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(snap.schema_json)))
         files = snap.files
         if where:
             stats = snap.stats or {}
@@ -262,9 +357,9 @@ class SnapshotTable:
                     kept.append(f)
             files = kept
             if not files:
-                df = spark.read.parquet(*snap.files).limit(0)
+                df = reader.parquet(*snap.files).limit(0)
                 return _apply_predicates(df, where)
-        df = spark.read.parquet(*files)
+        df = reader.parquet(*files)
         return _apply_predicates(df, where) if where else df
 
     def read_incremental(self, spark: SparkSession,
@@ -308,10 +403,15 @@ class SnapshotTable:
             parent_files = set(
                 snaps[v - 1].files) if v - 1 in snaps else set()
             added += [f for f in snap.files if f not in parent_files]
+        reader = spark.read
+        if snaps[to_version].schema_json:
+            from pyspark.sql.types import StructType
+            reader = reader.schema(StructType.fromJson(
+                json.loads(snaps[to_version].schema_json)))
         if not added:
             base = snaps[to_version].files or snaps[from_version].files
-            return spark.read.parquet(*base).limit(0)
-        return spark.read.parquet(*sorted(added))
+            return reader.parquet(*base).limit(0)
+        return reader.parquet(*sorted(added))
 
     def upsert(self, df: DataFrame, key_cols: Sequence[str],
                properties: Optional[dict] = None) -> Snapshot:
@@ -336,6 +436,11 @@ class SnapshotTable:
         if cur is None:
             return self.write(df, mode="append", properties=properties)
         key_cols = list(key_cols)
+        reader = spark.read
+        if cur.schema_json:
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(cur.schema_json)))
         src = df.cache()
         try:
             # 1. stats prune: files whose key range can overlap source's
@@ -361,7 +466,7 @@ class SnapshotTable:
             # 2. exact matched-file list via the scan's metadata column
             matched_files: List[str] = []
             if candidates:
-                cand = (spark.read.parquet(*candidates)
+                cand = (reader.parquet(*candidates)
                         .select(*key_cols, F.col("_metadata.file_path")
                                 .alias("__fp")))
                 matched_files = [
@@ -372,7 +477,7 @@ class SnapshotTable:
                 ]
             # 3. rewrite only files with a hit
             if matched_files:
-                keep_rows = (spark.read.parquet(*matched_files)
+                keep_rows = (reader.parquet(*matched_files)
                              .join(src.select(*key_cols).distinct(),
                                    on=key_cols, how="anti"))
                 rewritten = keep_rows.unionByName(
@@ -393,22 +498,38 @@ class SnapshotTable:
             props.setdefault("rewritten_files", len(matched_files))
             props.setdefault("carried_files", len(untouched))
             return self._commit(untouched + new_files, "upsert",
-                                props, stats=stats)
+                                props, stats=stats,
+                                schema_json=cur.schema_json)
         finally:
             src.unpersist()
 
     def compact(self, spark: SparkSession,
                 target_files: int = 1,
+                zorder_by: Optional[Sequence[str]] = None,
                 properties: Optional[dict] = None) -> Snapshot:
         """Bin-pack the current snapshot's files into ``target_files``
         (Iceberg ``rewrite_data_files``): identical rows, fewer/bigger
         files, committed as operation ``compact`` so incremental readers
         know no rows changed.  The maintenance move that keeps a table
-        fed by many small streaming commits scannable."""
+        fed by many small streaming commits scannable.
+
+        ``zorder_by`` re-clusters on a Morton interleave of the listed
+        columns instead of plain coalesce (Iceberg's zorder rewrite
+        strategy): every output file then has a tight min/max box in
+        every listed column, so the manifest stats prune multi-column
+        predicates — the layout move that turns ``entity = e AND ts
+        BETWEEN a AND b`` on a huge table into a handful of file
+        opens."""
         cur = self.current()
         if cur is None:
             raise FileNotFoundError(f"table {self.root} has no snapshot")
-        df = spark.read.parquet(*cur.files).coalesce(target_files)
+        if zorder_by:
+            df = (_with_zvalue(self.read(spark), list(zorder_by))
+                  .repartitionByRange(target_files, F.col("__z"))
+                  .sortWithinPartitions("__z")
+                  .drop("__z"))
+        else:
+            df = self.read(spark).coalesce(target_files)
         dirname = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("errorifexists").parquet(dirname)
         new_files = [
@@ -418,7 +539,10 @@ class SnapshotTable:
         stats = {f: _file_column_stats(f) for f in new_files}
         props = dict(properties or {})
         props.setdefault("compacted_from", len(cur.files))
-        return self._commit(new_files, "compact", props, stats=stats)
+        if zorder_by:
+            props.setdefault("zorder_by", list(zorder_by))
+        return self._commit(new_files, "compact", props, stats=stats,
+                            schema_json=cur.schema_json)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshot manifests

@@ -210,3 +210,68 @@ def test_compact_expire_vacuum_lifecycle(spark, tmp_path):
     assert t.vacuum() == 3          # the three pre-compact files
     assert sorted(map(tuple, t.read(spark).collect())) == rows_before
     assert [s.version for s in t.snapshots()] == [snap.version]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appends may add columns: files written before the column
+    existed surface it as null; time travel sees the old schema;
+    upsert and compact preserve the evolved schema."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.write(spark.createDataFrame(_pdf(0, 50, "b0")), mode="append")
+    evolved = pd.DataFrame({"doc_id": range(100, 150),
+                            "src": ["b100"] * 50,
+                            "lang": ["en"] * 50})
+    t.write(spark.createDataFrame(evolved), mode="append")       # v2
+    got = t.read(spark).toPandas().sort_values("doc_id")
+    assert list(got.columns) == ["doc_id", "src", "lang"]
+    assert got.loc[got.doc_id < 50, "lang"].isna().all()
+    assert (got.loc[got.doc_id >= 100, "lang"] == "en").all()
+    # time travel: v1 has the pre-evolution schema
+    assert list(t.read(spark, version=1).columns) == ["doc_id", "src"]
+    # type change is refused
+    bad = pd.DataFrame({"doc_id": [1], "src": ["x"], "lang": [1.5]})
+    with pytest.raises(ValueError):
+        t.write(spark.createDataFrame(bad), mode="append")
+    # upsert + compact keep the evolved schema (old-file rows rewritten
+    # with explicit nulls where the column predates them)
+    up = pd.DataFrame({"doc_id": [10], "src": ["upd"], "lang": ["fr"]})
+    t.upsert(spark.createDataFrame(up).coalesce(1), ["doc_id"])
+    t.compact(spark, target_files=1)
+    got = t.read(spark).toPandas().sort_values("doc_id")
+    assert len(got) == 100
+    assert got.loc[got.doc_id == 10, "lang"].iloc[0] == "fr"
+    assert got.loc[got.doc_id == 11, "lang"].isna().all()
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """Z-order rewrite: after compacting on a Morton interleave of
+    (x, y), a 2-D box predicate prunes files in BOTH dimensions —
+    the linear-clustered layout can only ever serve its leading
+    column — and the rows are bit-identical to pre-compact."""
+    import itertools
+    grid = pd.DataFrame(
+        [(x, y, x * 32 + y) for x, y in
+         itertools.product(range(32), range(32))],
+        columns=["x", "y", "v"])
+    # linear layout: 16 files clustered by x only
+    lin = SnapshotTable(str(tmp_path / "lin"))
+    sdf = spark.createDataFrame(grid)
+    lin.write(sdf.repartitionByRange(16, "x"), mode="append")
+    # z-order layout: same rows, 16 files clustered by interleave(x,y)
+    zt = SnapshotTable(str(tmp_path / "z"))
+    zt.write(sdf.repartitionByRange(16, "x"), mode="append")
+    snap = zt.compact(spark, target_files=16, zorder_by=["x", "y"])
+    assert snap.properties["zorder_by"] == ["x", "y"]
+    rows = sorted(map(tuple, zt.read(spark).collect()))
+    assert rows == sorted(map(tuple, lin.read(spark).collect()))
+    box = [("x", "between", (8, 15)), ("y", "between", (8, 15))]
+    n_lin = len(lin.read(spark, where=box).inputFiles())
+    n_z = len(zt.read(spark, where=box).inputFiles())
+    # linear: y prunes nothing -> all x-matching files open (~1/4 of
+    # the table); zorder: the box maps to a contiguous z range
+    assert n_z < n_lin
+    assert n_z <= 4
+    # and the pruned read is still exact
+    got = sorted(map(tuple, zt.read(spark, where=box).collect()))
+    exp = [(x, y, x * 32 + y) for x in range(8, 16) for y in range(8, 16)]
+    assert got == sorted(exp)
