@@ -1259,11 +1259,9 @@ def q_snapshot_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).cast("long").alias("sum_len")))
 
 
-def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Iceberg-style incremental append scan: documents committed as 4
-    doc_id-range appends; reading the delta (v1, v3] must return
-    exactly the rows of batches 2 and 3 — what a checkpointed consumer
-    reads to catch up without rescanning history."""
+def _ensure_snapinc_table(spark: SparkSession, sf_dir: str) -> str:
+    """Shared fixture: documents committed as 4 doc_id-quartile
+    appends (v1..v4), cached in /tmp keyed on the source parquet."""
     import hashlib
     import os
     from hiselspark.sources.snapshots import SnapshotTable
@@ -1287,6 +1285,16 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") >= i * step)
                 & (F.col("doc_id") < (i + 1) * step)).coalesce(1)
             t.write(part, mode="append")
+    return root
+
+
+def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style incremental append scan: documents committed as 4
+    doc_id-range appends; reading the delta (v1, v3] must return
+    exactly the rows of batches 2 and 3 — what a checkpointed consumer
+    reads to catch up without rescanning history."""
+    from hiselspark.sources.snapshots import SnapshotTable
+    t = SnapshotTable(_ensure_snapinc_table(spark, sf_dir))
     inc = t.read_incremental(spark, from_version=1, to_version=3)
     return (inc.groupBy("source")
             .agg(F.count("*").alias("n_docs"),
@@ -1334,6 +1342,28 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("sum_ids"),
                  F.sum(F.length("text")).cast("long").alias("sum_len")))
+
+
+def q_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot table's commit log consumed AS A STREAM (Spark 4
+    Python Data Source: versions are offsets): starting after v1, an
+    availableNow drain must deliver exactly the rows of appends
+    v2..v4, once — the streaming twin of the incremental batch scan,
+    against the matching SQL oracle."""
+    from hiselspark.sources.stream_source import SnapshotStreamDataSource
+    from hiselspark.streaming.sessions import run_stream_to_batch
+    root = _ensure_snapinc_table(spark, sf_dir)
+    try:
+        spark.dataSource.register(SnapshotStreamDataSource)
+    except Exception:       # already registered in this session
+        pass
+    stream = (spark.readStream.format("snapshot_stream")
+              .option("path", root).option("startVersion", "1").load())
+    agg = (stream.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_ids"),
+                F.sum(F.length("text")).cast("long").alias("sum_len")))
+    return run_stream_to_batch(agg, output_mode="complete")
 
 
 def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1588,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": q_snapshot_incremental,
         "snapshot_upsert": q_snapshot_upsert,
         "zorder_prune": q_zorder_prune,
+        "snapshot_stream": q_snapshot_stream,
     }
 
 
@@ -2682,6 +2713,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
                CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
         FROM merged GROUP BY source
+    """
+    # commit log as a stream, startVersion=1 -> rows of appends v2..v4
+    oracles["snapshot_stream"] = """
+        WITH n AS (SELECT (COUNT(*) + 3) // 4 AS step FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_len
+        FROM documents, n
+        WHERE doc_id >= n.step
+        GROUP BY source
     """
     # z-order re-clustering changes layout, never answers
     oracles["zorder_prune"] = """

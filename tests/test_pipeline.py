@@ -43,8 +43,12 @@ def test_decode_roundtrip_exact(corpus):
     img = decode_image(bytes(row["bytes"]), row["w"], row["h"], row["fmt"])
     assert img.shape == (row["h"], row["w"], 3)
     assert psnr(img, img) == float("inf")  # raw codec: exact (>= 40dB)
-    with pytest.raises(NotImplementedError):
+    # jpeg is a REAL codec now (gdcodec): garbage bytes are a decode
+    # error, not a missing-codec error; unknown formats still refuse
+    with pytest.raises(ValueError):
         decode_image(b"", 1, 1, "jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"", 1, 1, "tiff")
 
 
 def test_training_frame_no_leakage(corpus):
