@@ -1132,6 +1132,17 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha=0.5): per-source
+    budgets ∝ sqrt(source token mass) normalized to 4000 tokens —
+    exact integer arithmetic (isqrt + floor division) so DuckDB
+    replays budget derivation AND the prefix-sum cut bit-for-bit."""
+    from hiselspark.operators.sampling import temperature_mix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (temperature_mix(docs, "source", 0.5, 4000, salt=13)
+            .select("doc_id", "source"))
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (40-token windows, 8-token
     overlap) — map-only explode; DuckDB reproduces every window's
@@ -1619,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert": q_snapshot_upsert,
         "zorder_prune": q_zorder_prune,
         "snapshot_stream": q_snapshot_stream,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -2780,6 +2792,46 @@ def oracle_sql() -> dict[str, str]:
           FROM h
         )
         SELECT doc_id, source FROM c WHERE run <= 600
+    """
+    # temperature mixing: budgets in exact integer arithmetic
+    # (isqrt + floor division), then the same prefix-sum cut
+    oracles["temperature_mix"] = """
+        WITH h AS (
+          SELECT doc_id, source,
+                 list_reduce(
+                   list_prepend(CAST(13 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(text, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS hv,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text),
+                                                     '\\s+'))
+                 END AS n
+          FROM documents
+        ),
+        w AS (
+          SELECT source,
+                 CAST(FLOOR(SQRT(CAST(SUM(n) AS DOUBLE))) AS BIGINT)
+                   AS wt
+          FROM h GROUP BY source
+        ),
+        b AS (
+          SELECT source,
+                 CAST((4000 * wt) // (SELECT SUM(wt) FROM w)
+                      AS BIGINT) AS bud
+          FROM w
+        ),
+        c AS (
+          SELECT doc_id, source,
+                 SUM(n) OVER (PARTITION BY source ORDER BY hv, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS run
+          FROM h
+        )
+        SELECT c.doc_id, c.source
+        FROM c JOIN b USING (source) WHERE c.run <= b.bud
     """
     # bucketed layout is physically transparent: same answer as the
     # plain join (the zero-shuffle property is plan-asserted in pytest)

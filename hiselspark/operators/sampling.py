@@ -15,6 +15,11 @@ recomputes membership row by row.
 * :func:`quota_sample` — per-group cap (the "at most K documents per
   domain" balancing rule of public corpus recipes): keep the ``cap``
   rows with the smallest ``(content_hash, id)`` priority per group.
+* :func:`temperature_mix` / :func:`temperature_budgets` — mixture
+  reweighting at a temperature: per-group budgets ∝ ``mass^alpha``
+  normalized to a total (α=1 natural, α=0 equal, α≈0.5 boosts small
+  sources), in exact integer arithmetic for the canonical alphas,
+  then cut with :func:`token_budget_sample`.
 * :func:`token_budget_sample` — corpus MIXING by token budget: per
   group, walk documents in ``(content_hash, id)`` priority order and
   keep them while the cumulative whitespace-token count stays within
@@ -139,3 +144,73 @@ def token_budget_sample(
                       | (F.struct("__pri", id_col) < F.col("__dmin"))))
             .drop("__pri", "__pid", "__n", "__b", "__lc", "__c",
                   "__dmin"))
+
+
+def temperature_budgets(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    total_tokens: int,
+    text_col: str = "text",
+) -> dict:
+    """Per-group token budgets ∝ ``(group token mass)^alpha``,
+    normalized to ``total_tokens`` — temperature-based mixture
+    reweighting (the multilingual/data-mixing upsampling rule:
+    ``alpha=1`` keeps natural proportions, ``alpha=0`` equalizes
+    groups, ``alpha≈0.5`` boosts small sources).  One aggregate over
+    the frame; the result is a tiny dict (one entry per group) meant
+    to feed :func:`token_budget_sample`.
+
+    The canonical temperatures ``alpha in (0, 0.5, 1)`` are computed
+    in EXACT integer arithmetic (``isqrt`` for 0.5), so the budgets
+    are bit-identical on any engine and any summation order — which
+    is what lets the DuckDB gate oracle replay them.  Other alphas
+    take the float ``pow`` path (deterministic per platform, but not
+    oracle-exact).
+    """
+    import math
+    from ..functions.text import token_count
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0: {total_tokens}")
+    sums = (df.groupBy(group_col)
+            .agg(F.sum(token_count(text_col).cast("long")).alias("__t"))
+            .collect())
+    if alpha in (0.0, 0.5, 1.0):
+        def w(t: int) -> int:
+            if alpha == 0.0:
+                return 1
+            return math.isqrt(t) if alpha == 0.5 else t
+        weights = {r[group_col]: w(int(r["__t"])) for r in sums}
+        denom = sum(weights.values())
+        if denom == 0:
+            return {g: 0 for g in weights}
+        return {g: (total_tokens * wg) // denom
+                for g, wg in weights.items()}
+    denom_f = sum(float(r["__t"]) ** alpha for r in sums)
+    if denom_f == 0:
+        return {r[group_col]: 0 for r in sums}
+    return {
+        r[group_col]: int(math.floor(
+            total_tokens * float(r["__t"]) ** alpha / denom_f))
+        for r in sums
+    }
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Corpus mixing at a temperature: derive per-group budgets with
+    :func:`temperature_budgets`, then cut each group to its budget in
+    deterministic ``(content_hash, id)`` priority order with the exact
+    skew-safe :func:`token_budget_sample` plan."""
+    budgets = temperature_budgets(df, group_col, alpha, total_tokens,
+                                  text_col)
+    return token_budget_sample(df, group_col, 0, budgets=budgets,
+                               text_col=text_col, id_col=id_col,
+                               salt=salt)

@@ -110,3 +110,38 @@ def test_quota_matches_pandas_priority_oracle(spark, docs):
     for s, g in pri.groupby("source"):
         exp |= set(g.sort_values(["h", "doc_id"]).head(25)["doc_id"])
     assert set(r.doc_id for r in got.select("doc_id").collect()) == exp
+
+
+def test_temperature_budgets_and_mix(spark, docs):
+    from hiselspark.functions.text import token_count
+    from hiselspark.operators.sampling import (temperature_budgets,
+                                               temperature_mix)
+    from pyspark.sql import functions as F
+    masses = {r["source"]: r["t"] for r in
+              docs.groupBy("source")
+              .agg(F.sum(token_count("text")).alias("t")).collect()}
+    total = 600
+    # alpha=1: budgets proportional to group token mass
+    b1 = temperature_budgets(docs, "source", 1.0, total)
+    assert sum(b1.values()) <= total
+    denom = sum(masses.values())
+    for g, b in b1.items():
+        assert b == (total * masses[g]) // denom
+    # alpha=0: budgets equal regardless of mass
+    b0 = temperature_budgets(docs, "source", 0.0, total)
+    assert len(set(b0.values())) == 1
+    # alpha=0.5 boosts the smallest group relative to its natural share
+    b5 = temperature_budgets(docs, "source", 0.5, total)
+    smallest = min(masses, key=masses.get)
+    assert b5[smallest] / total > masses[smallest] / denom
+    # the mix respects every group's budget exactly
+    mixed = temperature_mix(docs, "source", 0.5, total)
+    kept = {r["source"]: r["t"] for r in
+            mixed.groupBy("source")
+            .agg(F.sum(token_count("text")).alias("t")).collect()}
+    for g, tok in kept.items():
+        assert tok <= b5[g]
+    # layout-independent: same rows from a different partitioning
+    alt = temperature_mix(docs.repartition(13), "source", 0.5, total)
+    assert sorted(r["doc_id"] for r in alt.collect()) == \
+        sorted(r["doc_id"] for r in mixed.collect())
