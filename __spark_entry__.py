@@ -1313,6 +1313,51 @@ def q_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.length("text")).cast("long").alias("sum_len")))
 
 
+def q_snapshot_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resumable catch-up featurization: the derived features table
+    follows the 4-append documents table in TWO catch-up calls (first
+    bounded to v2, then to current), each transforming only its delta
+    and stamping the processed source version; a third call is an
+    idempotent no-op.  The oracle replays the whole chain as a single
+    featurization of the full table — delta-transform-append must be
+    indistinguishable from transform-everything."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.functions.text import token_count
+    from hiselspark.incremental import (SOURCE_VERSION_PROP, catchup,
+                                        processed_source_version)
+    from hiselspark.sources.snapshots import SnapshotTable
+
+    src = SnapshotTable(_ensure_snapinc_table(spark, sf_dir))
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapcatch:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapcatch_{tag}"
+    drv = SnapshotTable(root)
+
+    def feat(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", "source",
+            token_count("text").cast("long").alias("n_tok"),
+            F.length("text").cast("long").alias("text_len"))
+
+    cur = drv.current()
+    if cur is None or cur.version != 2 or \
+            cur.properties.get(SOURCE_VERSION_PROP) != "4":
+        if os.path.exists(root):        # stale partial build: restart
+            shutil.rmtree(root)
+        drv = SnapshotTable(root)
+        catchup(spark, src, drv, feat, to_version=2)   # drv v1
+        catchup(spark, src, drv, feat)                 # drv v2 (delta)
+    if catchup(spark, src, drv, feat) is not None:     # must no-op
+        raise AssertionError("catch-up on a current table re-ran")
+    if processed_source_version(drv) != 4:
+        raise AssertionError("derived table not current through v4")
+    return drv.read(spark)
+
+
 def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the snapshot table: target = documents
     with doc_id < 300 committed as 3 range files; source updates
@@ -1627,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_prune": q_snapshot_prune,
         "lossy_codec_contract": q_lossy_codec_contract,
         "snapshot_incremental": q_snapshot_incremental,
+        "snapshot_catchup": q_snapshot_catchup,
         "snapshot_upsert": q_snapshot_upsert,
         "zorder_prune": q_zorder_prune,
         "snapshot_stream": q_snapshot_stream,
@@ -2700,6 +2746,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents, n
         WHERE doc_id >= n.step AND doc_id < 3 * n.step
         GROUP BY source
+    """
+    # resumable catch-up featurization: two delta-transform-appends
+    # must equal one featurization of the full table
+    oracles["snapshot_catchup"] = """
+        SELECT doc_id, source,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS BIGINT) AS n_tok,
+               CAST(LENGTH(text) AS BIGINT) AS text_len
+        FROM documents
     """
     # copy-on-write MERGE + compact: the oracle replays the whole
     # merge (delete-matched + insert-source) in SQL; compact must be

@@ -275,3 +275,48 @@ def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
     got = sorted(map(tuple, zt.read(spark, where=box).collect()))
     exp = [(x, y, x * 32 + y) for x in range(8, 16) for y in range(8, 16)]
     assert got == sorted(exp)
+
+
+def test_catchup_featurize_incremental(spark, tmp_path):
+    """Derived-table catch-up: transform ONLY the delta, stamp the
+    processed source version, idempotent no-op when current, and the
+    final content equals a one-shot transform of the whole source."""
+    from pyspark.sql import functions as F
+    from hiselspark.incremental import (catchup,
+                                        processed_source_version)
+
+    src = SnapshotTable(str(tmp_path / "src"))
+    drv = SnapshotTable(str(tmp_path / "drv"))
+    feat = lambda df: df.select(
+        "doc_id", "src", F.length("src").alias("n"))
+
+    # nothing to do on an empty source
+    assert catchup(spark, src, drv, feat) is None
+
+    for lo in (0, 100):                              # src v1, v2
+        src.write(spark.createDataFrame(_pdf(lo, lo + 50, f"b{lo}"))
+                  .coalesce(1), mode="append")
+    s = catchup(spark, src, drv, feat, to_version=1)  # bounded
+    assert s is not None and processed_source_version(drv) == 1
+    assert drv.read(spark).count() == 50
+    s = catchup(spark, src, drv, feat)                # v2 delta only
+    assert processed_source_version(drv) == 2
+    # idempotent: already current
+    assert catchup(spark, src, drv, feat) is None
+
+    # third source append, catch up again
+    src.write(spark.createDataFrame(_pdf(200, 230, "b200"))
+              .coalesce(1), mode="append")
+    catchup(spark, src, drv, feat)
+    got = sorted((r["doc_id"], r["src"], r["n"])
+                 for r in drv.read(spark).collect())
+    want = sorted((r["doc_id"], r["src"], r["n"])
+                  for r in feat(src.read(spark)).collect())
+    assert got == want
+
+    # a compact in the range is transparent
+    src.compact(spark, target_files=1)
+    assert catchup(spark, src, drv, feat) is None
+    # beyond-current target is an explicit error
+    with pytest.raises(ValueError):
+        catchup(spark, src, drv, feat, to_version=99)
