@@ -188,6 +188,24 @@ def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "day_cents", "day_n"))
 
 
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free categorical encodings: each event's event_type is
+    encoded by the m-estimate mean (smoothing=10 toward prior=250
+    cents) and the occurrence count of STRICTLY-EARLIER same-type
+    events — rows at the same microsecond are mutually invisible.
+    Target quantized to integer cents so the expanding sums are exact;
+    the final ratio is one double division both engines perform on
+    identical operands."""
+    from hiselspark.operators.encoding import (count_encode_pit,
+                                               target_encode_pit)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = target_encode_pit(ev, "event_type", "cents",
+                            prior=250.0, smoothing=10.0, out_col="te")
+    out = count_encode_pit(out, "event_type", out_col="ce")
+    return out.select("event_id", "user_id", "event_type", "te", "ce")
+
+
 def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ev = _ev(spark, sf_dir)
@@ -1605,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_tolerance": q_asof_tolerance,
         "tumbling_daily": q_tumbling_daily,
         "topk_per_user": q_topk_per_user,
+        "target_encode": q_target_encode,
         "tpch_q1": q_tpch_q1,
         "broadcast_join_agg": q_broadcast_join_agg,
         "caption_stats": q_caption_stats,
@@ -1783,6 +1802,27 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY value DESC, event_id ASC) AS rk
               FROM events)
             WHERE rk <= 3
+        """,
+        "target_encode": """
+            WITH q AS (
+              SELECT event_id, user_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     epoch_us(ts) AS us
+              FROM events
+            ), w AS (
+              SELECT event_id, user_id, event_type,
+                     SUM(cents) OVER b AS s,
+                     COUNT(*)  OVER b AS c
+              FROM q
+              WINDOW b AS (PARTITION BY event_type ORDER BY us
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+            )
+            SELECT event_id, user_id, event_type,
+                   (CAST(COALESCE(s, 0) AS DOUBLE) + 2500.0)
+                     / (CAST(COALESCE(c, 0) AS DOUBLE) + 10.0) AS te,
+                   CAST(COALESCE(c, 0) AS BIGINT) AS ce
+            FROM w
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

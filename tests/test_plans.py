@@ -238,3 +238,16 @@ def test_curation_operators_plan_shapes(spark):
     assert "SortMergeJoin" not in txt, txt
     assert n_exchanges(tb) <= 4, txt
     assert n_exchanges(repetition_stats(docs)) <= 4
+
+
+def test_pit_encodings_share_one_shuffle(spark):
+    """target + count encoding stack into ONE category-key exchange:
+    both windows cluster by the same key, so at corpus scale the pair
+    costs a single shuffle, not one per encoding."""
+    from hiselspark.operators.encoding import (count_encode_pit,
+                                               target_encode_pit)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = target_encode_pit(ev, "event_type", "value",
+                            prior=1.0, smoothing=2.0)
+    out = count_encode_pit(out, "event_type")
+    assert n_exchanges(out) == 1, plan_str(out, "simple")

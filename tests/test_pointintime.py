@@ -169,3 +169,46 @@ def test_rolling_aggregates_match_pandas(spark, timeline):
     np.testing.assert_allclose(
         got["v_roll_count_86400s"].to_numpy(),
         exp_cnt["v"].to_numpy())
+
+
+def test_target_encoding_strictly_before(spark):
+    """PIT target/count encoding vs a brute-force pandas oracle:
+    only same-category rows with STRICTLY earlier timestamps count;
+    same-microsecond rows are mutually invisible (no label leakage);
+    first occurrence is NULL without smoothing."""
+    from hiselspark.operators.encoding import (count_encode_pit,
+                                               target_encode_pit)
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "cat": rng.choice(list("abc"), n),
+        # coarse grid -> many exact timestamp collisions
+        "ts": pd.to_datetime(rng.integers(0, 50, n), unit="h",
+                             origin="2024-01-01"),
+        "y": rng.integers(0, 100, n).astype(float),
+    })
+    df = spark.createDataFrame(pdf).repartition(7)
+    out = target_encode_pit(df, "cat", "y", ts_col="ts",
+                            prior=50.0, smoothing=5.0, out_col="te")
+    out = count_encode_pit(out, "cat", ts_col="ts", out_col="ce")
+    got = {r["id"]: (r["te"], r["ce"]) for r in out.collect()}
+    for _, row in pdf.iterrows():
+        before = pdf[(pdf["cat"] == row["cat"]) & (pdf.ts < row.ts)]
+        te = (before.y.sum() + 5.0 * 50.0) / (len(before) + 5.0)
+        assert got[row.id][1] == len(before)
+        assert abs(got[row.id][0] - te) < 1e-9, row.id
+
+    # smoothing=0: a category's first row has no encoding at all
+    raw = target_encode_pit(df, "cat", "y", ts_col="ts",
+                            smoothing=0.0, out_col="te0")
+    firsts = pdf.loc[pdf.groupby("cat").ts.transform("min") == pdf.ts,
+                     "id"]
+    te0 = {r["id"]: r["te0"] for r in raw.collect()}
+    assert all(te0[i] is None for i in firsts)
+
+    # layout-independent
+    alt = target_encode_pit(df.repartition(3), "cat", "y", ts_col="ts",
+                            prior=50.0, smoothing=5.0, out_col="te")
+    assert {r["id"]: r["te"] for r in alt.collect()} == \
+        {i: v[0] for i, v in got.items()}
