@@ -206,6 +206,24 @@ def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "event_type", "te", "ce")
 
 
+def q_pit_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free feature scaling + the hashing trick: each event's
+    value is z-scored against the mean/std of STRICTLY-EARLIER
+    same-type events (the point-in-time twin of a fitted
+    StandardScaler — NULL until 2 earlier rows exist), and its
+    free-text props column is bucketed by the cross-engine content
+    hash (no fitted vocabulary).  Integer-cents expanding sums keep
+    both engines on identical doubles through the identical
+    mean/variance/sqrt expression tree."""
+    from hiselspark.operators.encoding import (expanding_zscore_pit,
+                                               hash_bucket)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = expanding_zscore_pit(ev, "event_type", "cents", out_col="z")
+    out = out.withColumn("pbucket", hash_bucket("props", 32, salt=7))
+    return out.select("event_id", "event_type", "z", "pbucket")
+
+
 def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ev = _ev(spark, sf_dir)
@@ -1624,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_daily": q_tumbling_daily,
         "topk_per_user": q_topk_per_user,
         "target_encode": q_target_encode,
+        "pit_zscore": q_pit_zscore,
         "tpch_q1": q_tpch_q1,
         "broadcast_join_agg": q_broadcast_join_agg,
         "caption_stats": q_caption_stats,
@@ -1823,6 +1842,43 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(COALESCE(c, 0) AS DOUBLE) + 10.0) AS te,
                    CAST(COALESCE(c, 0) AS BIGINT) AS ce
             FROM w
+        """,
+        "pit_zscore": """
+            WITH q AS (
+              SELECT event_id, event_type, props,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     epoch_us(ts) AS us
+              FROM events
+            ), w AS (
+              SELECT event_id, event_type, props, cents,
+                     CAST(SUM(cents) OVER b AS DOUBLE) AS s,
+                     CAST(SUM(cents * cents) OVER b AS DOUBLE) AS ss,
+                     CAST(COUNT(*) OVER b AS DOUBLE) AS c
+              FROM q
+              WINDOW b AS (PARTITION BY event_type ORDER BY us
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+            ), z AS (
+              SELECT event_id, event_type, props, cents, c,
+                     s / c AS mean,
+                     sqrt(greatest(ss / c - (s / c) * (s / c), 0.0))
+                       AS std
+              FROM w
+            )
+            SELECT event_id, event_type,
+                   CASE WHEN c >= 2 AND std > 0
+                        THEN (CAST(cents AS DOUBLE) - mean) / std
+                   END AS z,
+                   CAST(list_reduce(
+                     list_prepend(CAST(7 AS BIGINT),
+                       list_transform(
+                         str_split(regexp_replace(
+                           lower(trim(COALESCE(props, ''))),
+                           '\\s+', ' ', 'g'), ''),
+                         x -> CAST(ascii(x) AS BIGINT))),
+                     (acc, x) -> (acc * 31 + x) % 2147483647) % 32
+                   AS BIGINT) AS pbucket
+            FROM z
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

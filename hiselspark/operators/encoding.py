@@ -37,6 +37,19 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def hash_bucket(col, n_buckets: int, salt: int = 0) -> Column:
+    """The hashing trick for unbounded-cardinality categoricals
+    (domains, URLs, user agents): deterministic bucket id in
+    ``[0, n_buckets)`` from the engine's cross-engine content hash —
+    no vocabulary to fit, ship, or keep point-in-time-consistent, so
+    it composes with the PIT encodings below (encode the BUCKET) when
+    the raw category space is too large to shuffle on."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    from .splits import content_hash
+    return (content_hash(col, salt) % F.lit(int(n_buckets))).cast("long")
+
+
 def _micros(ts_col: str) -> Column:
     # via TIMESTAMP to handle TIMESTAMP_NTZ parquet loads (UTC session)
     return F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -81,3 +94,42 @@ def count_encode_pit(
     return df.withColumn(
         out_col,
         F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long"))
+
+
+def expanding_zscore_pit(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    out_col: str = "z",
+) -> DataFrame:
+    """Add ``out_col`` = z-score of ``value_col`` against the mean/std
+    of same-key rows STRICTLY before ``ts_col`` — the leakage-free twin
+    of a fitted StandardScaler: a training row is normalized only by
+    statistics that were observable at its own timestamp (a scaler fit
+    on the full table leaks every row's value into its own feature).
+
+    NULL when fewer than 2 earlier rows exist or the earlier values
+    are constant (no scale to normalize by — inventing one would hide
+    a degenerate feature).  Population (1/n) variance, computed as
+    ``E[x^2] - mean^2`` clamped at 0 against float cancellation; with
+    an integer-quantized value column the two expanding sums are exact,
+    so every engine derives the identical double from identical
+    operands (how the driver-gate oracle replays it).
+
+    Same single-shuffle shape as the encodings above: one window over
+    one ``(key, ts)`` clustering, stackable with them at no extra
+    exchange.
+    """
+    w = _before_frame(key_col, ts_col)
+    v = F.col(value_col).cast("double")
+    s = F.sum(value_col).over(w).cast("double")
+    ss = F.sum(F.col(value_col) * F.col(value_col)).over(w).cast("double")
+    c = F.count(value_col).over(w).cast("double")
+    mean = s / c
+    var = F.greatest(ss / c - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    return df.withColumn(
+        out_col,
+        F.when((c >= 2) & (std > 0), (v - mean) / std)
+         .otherwise(F.lit(None)))

@@ -212,3 +212,41 @@ def test_target_encoding_strictly_before(spark):
                             prior=50.0, smoothing=5.0, out_col="te")
     assert {r["id"]: r["te"] for r in alt.collect()} == \
         {i: v[0] for i, v in got.items()}
+
+
+def test_expanding_zscore_and_hash_bucket(spark):
+    """PIT z-score vs brute-force pandas (population std over strictly
+    earlier same-key rows; NULL below 2 priors or zero variance), and
+    the hashing trick's range/determinism."""
+    from hiselspark.operators.encoding import (expanding_zscore_pit,
+                                               hash_bucket)
+    from pyspark.sql import functions as F
+    rng = np.random.default_rng(11)
+    n = 300
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.choice(["p", "q"], n),
+        "ts": pd.to_datetime(rng.integers(0, 40, n), unit="h",
+                             origin="2024-01-01"),
+        "v": rng.integers(0, 50, n).astype("int64"),
+    })
+    # a constant-valued key: std=0 -> NULL forever
+    pdf.loc[pdf.k == "q", "v"] = 7
+    df = spark.createDataFrame(pdf).repartition(5)
+    out = expanding_zscore_pit(df, "k", "v", ts_col="ts", out_col="z")
+    got = {r["id"]: r["z"] for r in out.collect()}
+    for _, row in pdf.iterrows():
+        before = pdf[(pdf.k == row.k) & (pdf.ts < row.ts)].v.to_numpy()
+        if len(before) < 2 or before.std() == 0:
+            assert got[row.id] is None, row.id
+        else:
+            want = (row.v - before.mean()) / before.std()  # ddof=0
+            assert abs(got[row.id] - want) < 1e-9, row.id
+
+    b = df.select(hash_bucket("k", 8, salt=3).alias("b"),
+                  "k").distinct().collect()
+    assert all(0 <= r["b"] < 8 for r in b)
+    # same category -> same bucket, regardless of layout
+    assert len({(r["k"], r["b"]) for r in b}) == 2
+    with pytest.raises(ValueError):
+        hash_bucket("k", 0)
