@@ -124,6 +124,24 @@ def main() -> None:
     timings["north_pipeline"] = round(north_sec, 3)
     rows_per_sec = res.n_rows_used / north_sec if north_sec > 0 else 0.0
 
+    # corpus-scale configuration: float32 Gram tiles (float64
+    # accumulators) — the documented opt-in for 10^12-row runs, where
+    # the bandwidth-bound Gram stage gains 2.5-2.9x (BASELINE.md).
+    # Selection must agree with the float64 run; headline stays
+    # float64 for round-over-round comparability.
+    t0 = time.perf_counter()
+    res32 = select_features_pointintime(img_path, lbls,
+                                        number_of_features=4,
+                                        minibatch_size=200, mode="scale",
+                                        precision="float32")
+    north32_sec = time.perf_counter() - t0
+    release_chunk_caches()
+    timings["north_pipeline_f32"] = round(north32_sec, 3)
+    if sorted(res32.features) != sorted(res.features):
+        raise AssertionError(
+            f"float32 selection diverged: {res32.features} vs "
+            f"{res.features}")
+
     print(json.dumps({
         "metric": "entity_ts_feature_rows_per_sec",
         "value": round(rows_per_sec, 1),
@@ -138,6 +156,10 @@ def main() -> None:
             "n_minibatches": res.n_minibatches,
             "selected": res.features,
             "wall_sec": round(north_sec, 3),
+            "f32_wall_sec": round(north32_sec, 3),
+            "f32_rows_per_sec": round(
+                res32.n_rows_used / north32_sec, 1) if north32_sec else 0.0,
+            "f32_selection_identical": True,
         },
         "cpus": CPUS,
     }))
