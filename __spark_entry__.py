@@ -224,6 +224,36 @@ def q_pit_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "z", "pbucket")
 
 
+def q_target_encode_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof (category, time-bucket) twin of target_encode —
+    bit-identical by construction (exact integer split sums), checked
+    against the SAME oracle."""
+    from hiselspark.operators.encoding import (chunked_count_encode,
+                                               chunked_target_encode)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = chunked_target_encode(ev, "event_type", "cents",
+                                bucket_seconds=7 * 86400.0,
+                                prior=250.0, smoothing=10.0,
+                                out_col="te")
+    out = chunked_count_encode(out, "event_type",
+                               bucket_seconds=7 * 86400.0, out_col="ce")
+    return out.select("event_id", "user_id", "event_type", "te", "ce")
+
+
+def q_pit_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of the expanding z-score — same oracle."""
+    from hiselspark.operators.encoding import (chunked_expanding_zscore,
+                                               hash_bucket)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = chunked_expanding_zscore(ev, "event_type", "cents",
+                                   bucket_seconds=7 * 86400.0,
+                                   out_col="z")
+    out = out.withColumn("pbucket", hash_bucket("props", 32, salt=7))
+    return out.select("event_id", "event_type", "z", "pbucket")
+
+
 def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ev = _ev(spark, sf_dir)
@@ -1643,6 +1673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "target_encode": q_target_encode,
         "pit_zscore": q_pit_zscore,
+        "target_encode_chunked": q_target_encode_chunked,
+        "pit_zscore_chunked": q_pit_zscore_chunked,
         "tpch_q1": q_tpch_q1,
         "broadcast_join_agg": q_broadcast_join_agg,
         "caption_stats": q_caption_stats,
@@ -2369,6 +2401,9 @@ def oracle_sql() -> dict[str, str]:
     # their plain twins — that equality IS their contract
     oracles["asof_chunked"] = oracles["asof_join"]
     oracles["sessionize_chunked"] = oracles["sessionize"]
+    # chunked encodings: bit-identical to the plain twins, same oracles
+    oracles["target_encode_chunked"] = oracles["target_encode"]
+    oracles["pit_zscore_chunked"] = oracles["pit_zscore"]
     # duplicate components: the same verified pairs (exact Jaccard —
     # LSH recall 1.0 on gate data) closed transitively by a recursive
     # CTE; component = min reachable id

@@ -96,6 +96,155 @@ def count_encode_pit(
         F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long"))
 
 
+def _chunked_before_stats(
+    df: DataFrame,
+    category_col: str,
+    value_col: str,
+    ts_col: str,
+    bucket_seconds: float,
+    with_sq: bool,
+) -> DataFrame:
+    """Strictly-before expanding stats per category, skew-proof: the
+    plain encodings above cluster by the RAW category — a
+    low-cardinality key (five event types over 10^12 rows) caps
+    parallelism at the number of categories and a hot category becomes
+    one straggler task.  Here the frame is clustered by ``(category,
+    time-bucket)`` (the chunked-timeline discipline of
+    ``operators/chunked.py``): the strictly-before frame is computed
+    WITHIN each bucket, per-bucket totals (one summary row per
+    non-empty bucket, aggregated on the clustering keys with no extra
+    shuffle) are prefix-scanned per category, and the prior-bucket
+    offsets joined back on the clustering keys — one full-frame
+    shuffle total, hot categories split across ``span/bucket`` tasks.
+
+    Rows with equal timestamps always share a bucket (the bucket is a
+    function of the timestamp), so the bucket split can never divide a
+    tie-group: local-frame + offset is EXACTLY the strictly-before
+    set.  With an integer value column the split sums are exact, so
+    the derived encodings are bit-identical to the plain twins (the
+    gate checks both against one oracle).
+
+    Adds ``__n`` (row count), ``__c``/``__s`` (value count/sum) and,
+    with ``with_sq``, ``__ss`` — all strictly-before totals.
+    """
+    from .chunked import _B, _bucket_of, _cluster
+    v = F.col(value_col)
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds))
+    if with_sq:
+        tagged = tagged.withColumn("__v2", v * v)
+    clustered = _cluster(tagged, category_col)
+
+    wl = (Window.partitionBy(category_col, _B).orderBy(_micros(ts_col))
+          .rangeBetween(Window.unboundedPreceding, -1))
+    local = (clustered
+             .withColumn("__ln", F.count(F.lit(1)).over(wl))
+             .withColumn("__lc", F.count(value_col).over(wl))
+             .withColumn("__ls", F.sum(value_col).over(wl)))
+    aggs = [F.count(F.lit(1)).alias("__tn"),
+            F.count(value_col).alias("__tc"),
+            F.sum(value_col).alias("__ts")]
+    if with_sq:
+        local = local.withColumn("__lss", F.sum("__v2").over(wl))
+        aggs.append(F.sum("__v2").alias("__tss"))
+
+    # per-(category, bucket) totals: groupBy keys == clustering keys,
+    # no new exchange; prefix over EARLIER buckets = the offset
+    totals = clustered.groupBy(category_col, _B).agg(*aggs)
+    wp = (Window.partitionBy(category_col).orderBy(_B)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off_cols = [F.sum("__tn").over(wp).alias("__on"),
+                F.sum("__tc").over(wp).alias("__oc"),
+                F.sum("__ts").over(wp).alias("__os")]
+    if with_sq:
+        off_cols.append(F.sum("__tss").over(wp).alias("__oss"))
+    offsets = totals.select(category_col, _B, *off_cols)
+
+    out = (local.join(offsets, [category_col, _B], "left")
+           .withColumn("__n", (F.col("__ln")
+                               + F.coalesce(F.col("__on"), F.lit(0))
+                               ).cast("long"))
+           .withColumn("__c", (F.col("__lc")
+                               + F.coalesce(F.col("__oc"), F.lit(0))
+                               ).cast("long"))
+           .withColumn("__s", F.when(
+               (F.col("__lc") + F.coalesce(F.col("__oc"), F.lit(0))) > 0,
+               F.coalesce(F.col("__ls"), F.lit(0))
+               + F.coalesce(F.col("__os"), F.lit(0)))))
+    if with_sq:
+        out = out.withColumn("__ss", F.when(
+            F.col("__c") > 0,
+            F.coalesce(F.col("__lss"), F.lit(0))
+            + F.coalesce(F.col("__oss"), F.lit(0))))
+        out = out.drop("__lss", "__oss", "__v2")
+    return out.drop("__ln", "__lc", "__ls", "__tn", "__tc", "__ts",
+                    "__on", "__oc", "__os", _B)
+
+
+def chunked_target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: float = 7 * 86400.0,
+    prior: float = 0.0,
+    smoothing: float = 0.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Skew-proof twin of :func:`target_encode_pit` — identical output
+    (bit-identical for integer targets), hot categories split across
+    time buckets."""
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0: {smoothing}")
+    stats = _chunked_before_stats(df, category_col, target_col, ts_col,
+                                  bucket_seconds, with_sq=False)
+    num = (F.coalesce(F.col("__s"), F.lit(0.0))
+           + F.lit(float(smoothing) * float(prior)))
+    den = F.col("__c") + F.lit(float(smoothing))
+    return (stats.withColumn(
+        out_col, F.when(den > 0, num / den).otherwise(F.lit(None)))
+        .drop("__n", "__c", "__s"))
+
+
+def chunked_count_encode(
+    df: DataFrame,
+    category_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: float = 7 * 86400.0,
+    out_col: str = "ce",
+) -> DataFrame:
+    """Skew-proof twin of :func:`count_encode_pit`."""
+    stats = _chunked_before_stats(df, category_col, category_col,
+                                  ts_col, bucket_seconds, with_sq=False)
+    return (stats.withColumn(out_col, F.col("__n"))
+            .drop("__n", "__c", "__s"))
+
+
+def chunked_expanding_zscore(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    bucket_seconds: float = 7 * 86400.0,
+    out_col: str = "z",
+) -> DataFrame:
+    """Skew-proof twin of :func:`expanding_zscore_pit` — same
+    mean/variance expression tree over the split-and-summed exact
+    integer stats, so outputs are bit-identical for integer values."""
+    stats = _chunked_before_stats(df, key_col, value_col, ts_col,
+                                  bucket_seconds, with_sq=True)
+    v = F.col(value_col).cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    c = F.col("__c").cast("double")
+    mean = s / c
+    var = F.greatest(ss / c - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    return (stats.withColumn(
+        out_col, F.when((c >= 2) & (std > 0), (v - mean) / std)
+                  .otherwise(F.lit(None)))
+        .drop("__n", "__c", "__s", "__ss"))
+
+
 def expanding_zscore_pit(
     df: DataFrame,
     key_col: str,

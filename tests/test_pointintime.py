@@ -250,3 +250,47 @@ def test_expanding_zscore_and_hash_bucket(spark):
     assert len({(r["k"], r["b"]) for r in b}) == 2
     with pytest.raises(ValueError):
         hash_bucket("k", 0)
+
+
+def test_chunked_encodings_match_plain(spark):
+    """Skew-proof (category, time-bucket) encodings are bit-identical
+    to the plain single-clustering twins on a hot category with
+    timestamp collisions, null targets, and bucket-boundary rows."""
+    from hiselspark.operators.chunked import release_chunk_caches
+    from hiselspark.operators.encoding import (
+        chunked_count_encode, chunked_expanding_zscore,
+        chunked_target_encode, count_encode_pit, expanding_zscore_pit,
+        target_encode_pit)
+    rng = np.random.default_rng(23)
+    n = 600
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        # hot category: 80% of rows in one key
+        "k": np.where(rng.uniform(size=n) < 0.8, "hot",
+                      rng.choice(["c1", "c2"], n)),
+        "ts": pd.to_datetime(rng.integers(0, 40 * 86400, n), unit="s",
+                             origin="2024-01-01"),
+        "v": rng.integers(0, 1000, n).astype("int64"),
+    })
+    # exact-duplicate timestamps inside the hot key
+    pdf.loc[:20, "ts"] = pdf.loc[21, "ts"]
+    # null targets
+    pdf["v"] = pdf["v"].astype("object")
+    pdf.loc[::17, "v"] = None
+    df = spark.createDataFrame(pdf).repartition(9)
+    bucket = 5 * 86400.0  # several buckets over the 40-day span
+
+    plain = target_encode_pit(df, "k", "v", prior=11.0, smoothing=3.0)
+    plain = count_encode_pit(plain, "k")
+    plain = expanding_zscore_pit(plain, "k", "v")
+    ch = chunked_target_encode(df, "k", "v", bucket_seconds=bucket,
+                               prior=11.0, smoothing=3.0)
+    ch = chunked_count_encode(ch, "k", bucket_seconds=bucket)
+    ch = chunked_expanding_zscore(ch, "k", "v", bucket_seconds=bucket)
+    cols = ["id", "te", "ce", "z"]
+    a = {r["id"]: (r["te"], r["ce"], r["z"])
+         for r in plain.select(*cols).collect()}
+    b = {r["id"]: (r["te"], r["ce"], r["z"])
+         for r in ch.select(*cols).collect()}
+    release_chunk_caches()
+    assert a == b   # bit-identical, nulls included
