@@ -254,6 +254,23 @@ def q_pit_zscore_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "z", "pbucket")
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload columns, schema-on-read: the JSON props
+    string parsed with a typed schema (from_json — JVM-side, no Python)
+    into numeric features (value + equal-width bin), the pattern for
+    event properties / EXIF / sidecar metadata columns."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    ev = _ev(spark, sf_dir)
+    parsed = ev.withColumn(
+        "__p", F.from_json("props",
+                           StructType([StructField("k", IntegerType())])))
+    return parsed.select(
+        "event_id", "event_type",
+        F.col("__p.k").cast("long").alias("k"),
+        (F.col("__p.k").cast("long") / F.lit(10)).cast("long")
+        .alias("k_bin"))
+
+
 def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     ev = _ev(spark, sf_dir)
@@ -1673,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "target_encode": q_target_encode,
         "pit_zscore": q_pit_zscore,
+        "json_props": q_json_props,
         "target_encode_chunked": q_target_encode_chunked,
         "pit_zscore_chunked": q_pit_zscore_chunked,
         "tpch_q1": q_tpch_q1,
@@ -1874,6 +1892,14 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(COALESCE(c, 0) AS DOUBLE) + 10.0) AS te,
                    CAST(COALESCE(c, 0) AS BIGINT) AS ce
             FROM w
+        """,
+        "json_props": """
+            SELECT event_id, event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     AS k,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     // 10 AS k_bin
+            FROM events
         """,
         "pit_zscore": """
             WITH q AS (
