@@ -1678,6 +1678,82 @@ def q_interval_left(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("click_cents")))
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour time-grid resample with as-of forward fill
+    (pandas ``resample().ffill()``, point-in-time-safe): grid generated
+    distributed via ``sequence``/``explode``, values looked up with the
+    one-shuffle as-of join; ties at equal ``(user, ts)`` broken by max
+    event_id.  Oracle: DuckDB ``generate_series`` + ``ASOF JOIN``."""
+    from hiselspark.operators.resample import resample_ffill
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = resample_ffill(ev, "user_id", "ts", 6 * 3600, ["cents"],
+                         tie_col="event_id")
+    return out.select(
+        "user_id",
+        F.col("grid_ts").cast("timestamp").cast("double").cast("long")
+         .alias("grid_s"),
+        "cents")
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of the month (value bucketed to 200-cent bins, capped):
+    integer counts → smoothed shares → ln terms summed in sorted-bucket
+    order, mirrored term-for-term by the DuckDB ``list_sort`` +
+    ``list_reduce`` oracle (round 6 absorbs the libm ln ulp)."""
+    from hiselspark.operators.drift import psi_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+          .withColumn("bucket", F.least(F.col("cents") / F.lit(200),
+                                        F.lit(24)).cast("long")))
+    out = psi_drift(ev, ["event_type"], "bucket",
+                    F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                   .cast("timestamp"))
+    return out.select("event_type", "n_ref", "n_cur",
+                      F.round("psi", 6).alias("psi"))
+
+
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day Pearson correlation between the event value
+    (cents) and its JSON ``k`` property per user — six exact integer
+    sufficient sums over ONE range window, closed-form correlation as
+    the identical double expression tree in both engines."""
+    from hiselspark.operators.windows import rolling_corr
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+          .withColumn("k", F.get_json_object("props", "$.k")
+                            .cast("long")))
+    out = rolling_corr(ev, "user_id", "ts", "cents", "k", 7 * 86400.0)
+    return out.select("event_id", F.round("roll_corr", 6)
+                      .alias("roll_corr"))
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the event value per
+    user (α=0.5, 8 lags — weights decay below double noise, so the
+    bounded-lag form IS the exact answer): pure lag expressions over
+    one entity clustering, bit-identical arithmetic in the oracle."""
+    from hiselspark.operators.windows import ewma
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = ewma(ev, "user_id", "ts", "cents", alpha=0.5, max_lags=8,
+               tie_cols=("event_id",))
+    return out.select("event_id", F.col("cents_ewma").alias("ew"))
+
+
+def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free walk-forward split: train / purged (label window
+    crosses the cutoff) / embargo (12 h after cutoff, dropped from
+    eval) / eval — microsecond-integer comparisons, pure map stage."""
+    from hiselspark.operators.splits import purged_time_split
+    ev = _ev(spark, sf_dir)
+    out = purged_time_split(ev, "ts", "2024-01-20 00:00:00",
+                            label_horizon_seconds=86400.0,
+                            embargo_seconds=43200.0)
+    return out.select("event_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -1765,6 +1841,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune": q_zorder_prune,
         "snapshot_stream": q_snapshot_stream,
         "temperature_mix": q_temperature_mix,
+        "resample_ffill": q_resample_ffill,
+        "psi_drift": q_psi_drift,
+        "rolling_corr": q_rolling_corr,
+        "ewma": q_ewma,
+        "purged_split": q_purged_split,
     }
 
 
@@ -3159,5 +3240,133 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT okey, round(AVG(ad) / 255.0, 6) AS motion
         FROM d GROUP BY okey
+    """
+    oracles["resample_ffill"] = """
+        WITH q AS (
+          SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+                 event_id
+          FROM events
+        ), per_ts AS (
+          SELECT user_id, ts, arg_max(cents, event_id) AS cents
+          FROM q GROUP BY user_id, ts
+        ), b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(min(ts)) / 21600) AS BIGINT) * 21600
+                   AS t0,
+                 CAST(floor(epoch(max(ts)) / 21600) AS BIGINT) * 21600
+                   AS t1
+          FROM per_ts GROUP BY user_id
+        ), g AS (
+          SELECT user_id,
+                 unnest(generate_series(t0, t1, 21600)) AS grid_s
+          FROM b
+        )
+        SELECT g.user_id, g.grid_s, p.cents
+        FROM g ASOF LEFT JOIN per_ts p
+          ON g.user_id = p.user_id
+         AND make_timestamp(g.grid_s * 1000000) >= p.ts
+    """
+    oracles["psi_drift"] = """
+        WITH q AS (
+          SELECT event_type,
+                 least(CAST(round(value*100) AS BIGINT) // 200, 24)
+                   AS bucket,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ), pb AS (
+          SELECT event_type, bucket,
+                 SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+          FROM q GROUP BY event_type, bucket
+        ), pk AS (
+          SELECT event_type,
+                 CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur,
+                 COUNT(*) AS nb,
+                 list_sort(list({'b': bucket, 'cr': cr, 'cc': cc}))
+                   AS bl
+          FROM pb GROUP BY event_type
+        )
+        SELECT event_type, n_ref, n_cur,
+               round(list_reduce(
+                 list_prepend(0.0, list_transform(bl, x ->
+                   ((CAST(x.cc AS DOUBLE) + 1.0)
+                      / (CAST(n_cur AS DOUBLE) + nb)
+                    - (CAST(x.cr AS DOUBLE) + 1.0)
+                      / (CAST(n_ref AS DOUBLE) + nb))
+                   * ln(((CAST(x.cc AS DOUBLE) + 1.0)
+                           / (CAST(n_cur AS DOUBLE) + nb))
+                      / ((CAST(x.cr AS DOUBLE) + 1.0)
+                           / (CAST(n_ref AS DOUBLE) + nb))))),
+                 (acc, x) -> acc + x), 6) AS psi
+        FROM pk
+    """
+    oracles["rolling_corr"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS y,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), w AS (
+          SELECT event_id,
+                 COUNT(*) OVER b AS n,
+                 SUM(x) OVER b AS sx, SUM(y) OVER b AS sy,
+                 SUM(x*x) OVER b AS sxx, SUM(y*y) OVER b AS syy,
+                 SUM(x*y) OVER b AS sxy
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx > 0
+                     AND CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy > 0
+                    THEN round(
+                      (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                      / (sqrt(CAST(n AS DOUBLE)*sxx
+                              - CAST(sx AS DOUBLE)*sx)
+                         * sqrt(CAST(n AS DOUBLE)*syy
+                                - CAST(sy AS DOUBLE)*sy)), 6)
+               END AS roll_corr
+        FROM w
+    """
+    _ewma_num = " + ".join(
+        "CASE WHEN lag(cents, {k}) OVER b IS NOT NULL THEN "
+        "CAST(lag(cents, {k}) OVER b AS DOUBLE) * {w!r} ELSE 0.0 END"
+        .format(k=k, w=0.5 ** k) for k in range(9))
+    _ewma_den = " + ".join(
+        "CASE WHEN lag(cents, {k}) OVER b IS NOT NULL THEN {w!r} "
+        "ELSE 0.0 END".format(k=k, w=0.5 ** k) for k in range(9))
+    oracles["ewma"] = f"""
+        WITH q AS (
+          SELECT event_id, user_id, ts,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), w AS (
+          SELECT event_id,
+                 ({_ewma_num}) AS num, ({_ewma_den}) AS den
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
+        FROM w
+    """
+    oracles["purged_split"] = """
+        SELECT event_id,
+               CASE
+                 WHEN epoch_us(ts)
+                      >= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+                         + 43200000000 THEN 'eval'
+                 WHEN epoch_us(ts)
+                      >= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+                   THEN 'embargo'
+                 WHEN epoch_us(ts) + 86400000000
+                      >= epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+                   THEN 'purged'
+                 ELSE 'train'
+               END AS split
+        FROM events
     """
     return oracles

@@ -1,0 +1,77 @@
+"""Feature-drift metrics between two populations of the same table.
+
+Population Stability Index per feature key: with reference shares
+``p_i`` and current shares ``q_i`` over a common bucketing,
+
+    PSI = Σ_i (q_i - p_i) · ln(q_i / p_i)
+
+(> 0.1 is the conventional "investigate", > 0.25 "shifted").  A
+point-in-time feature pipeline needs this as a first-class operator:
+before a model trained on window A scores window B, drift over exactly
+the served feature encoding is the go/no-go signal.
+
+Scale shape: one partial-aggregated ``groupBy(key, bucket)`` counting
+both periods in a single pass over the input (no self-join of the two
+populations), then a ``groupBy(key)`` reduction over the (small)
+bucket set — two map-side-combined shuffles, output one row per key.
+Determinism: counts stay integers until the final share division;
+Laplace add-one smoothing (count+1 over total+n_buckets) keeps ``ln``
+finite on empty buckets; and the per-key bucket terms are summed in
+sorted-bucket order via ``array_sort`` + ``aggregate`` — float
+addition is not associative, so a fixed order is what makes the result
+identical run-to-run and mirrorable in another engine (DuckDB
+``list_sort``/``list_reduce``) to the last double, modulo libm's
+``ln`` ulp (callers round for cross-engine comparison).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def psi_drift(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    is_reference: Column,
+    psi_col: str = "psi",
+) -> DataFrame:
+    """PSI per ``key_cols`` group between the rows where
+    ``is_reference`` is true (reference period) and the rest (current
+    period), over the discrete ``bucket_col`` values observed in either
+    period.  Returns one row per key: ``n_ref``, ``n_cur``, ``psi``.
+    """
+    key_cols = list(key_cols)
+    ref = is_reference.cast("long")
+    per_bucket = (
+        df.groupBy(*key_cols, bucket_col)
+          .agg(F.sum(ref).alias("__cr"),
+               F.sum(1 - ref).alias("__cc"))
+    )
+    per_key = (
+        per_bucket
+        .groupBy(*key_cols)
+        .agg(F.sum("__cr").alias("n_ref"),
+             F.sum("__cc").alias("n_cur"),
+             F.count(F.lit(1)).alias("__nb"),
+             # struct sorts field-by-field, bucket first → a total,
+             # partition-layout-independent order for the float sum
+             F.array_sort(F.collect_list(
+                 F.struct(F.col(bucket_col).alias("b"),
+                          F.col("__cr").alias("cr"),
+                          F.col("__cc").alias("cc")))).alias("__b"))
+    )
+
+    def share(count, total):
+        return (count.cast("double") + 1.0) / (
+            total.cast("double") + F.col("__nb").cast("double"))
+
+    def term(acc, b):
+        q = share(b["cc"], F.col("n_cur"))
+        p = share(b["cr"], F.col("n_ref"))
+        return acc + (q - p) * F.log(q / p)
+
+    return (per_key
+            .withColumn(psi_col, F.aggregate("__b", F.lit(0.0), term))
+            .drop("__b", "__nb"))

@@ -1,0 +1,97 @@
+"""Time-grid resampling: regularize each entity's event timeline onto a
+fixed-step timestamp grid (pandas ``resample``/``asfreq`` + ``ffill``,
+point-in-time-safe).
+
+Feature stores serve models that expect one feature vector per
+``(entity, grid_tick)`` even though events arrive irregularly; the
+leakage-free way to build that is an as-of lookup of the latest event
+at-or-before each tick.  This composes two existing scale-safe pieces:
+
+1. per-entity bounds (one partial-aggregated ``groupBy`` shuffle) +
+   ``F.sequence`` to *generate* the grid distributed — no driver loop,
+   no cross join against a calendar table;
+2. :func:`hiselspark.operators.asof.asof_join` grid←events (one
+   entity-key shuffle, running ``last`` — never a per-tick probe).
+
+At 10^12-row scale the grid is ``n_entities × ticks`` rows — generated
+directly at its final partitioning, proportional to output size, never
+materialized on the driver.  Grid ticks are integer epoch-second
+arithmetic (``floor(epoch/step)*step``) so engines agree exactly.
+
+Reference parity note: the reference engine (transferwise/hisel) has no
+timeline layer — this belongs to the grafted point-in-time surface
+(north rule), alongside lag/lead/ffill/sessionize.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .asof import asof_join
+
+
+def time_grid(
+    entities: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step_seconds: int,
+    grid_ts_col: str = "grid_ts",
+) -> DataFrame:
+    """One row per ``(entity, tick)``: ticks run from the entity's first
+    event's tick (epoch floored to a ``step_seconds`` boundary) to its
+    last event, inclusive.  Pure relational plan: min/max aggregate →
+    ``sequence`` → ``explode``."""
+    step = int(step_seconds)
+    if step <= 0:
+        raise ValueError(f"step_seconds must be positive, got {step}")
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    bounds = (
+        entities
+        .groupBy(entity_col)
+        .agg(
+            F.floor(F.min(sec) / step).alias("__t0"),
+            F.floor(F.max(sec) / step).alias("__t1"),
+        )
+    )
+    ticks = F.sequence(F.col("__t0") * step, F.col("__t1") * step,
+                       F.lit(step))
+    return (bounds
+            .select(entity_col, F.explode(ticks).alias("__gs"))
+            .withColumn(grid_ts_col, F.timestamp_seconds(F.col("__gs")))
+            .drop("__gs"))
+
+
+def resample_ffill(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step_seconds: int,
+    value_cols: Sequence[str],
+    grid_ts_col: str = "grid_ts",
+    tie_col: Optional[str] = None,
+) -> DataFrame:
+    """Forward-fill ``value_cols`` onto the per-entity time grid: each
+    output row is ``(entity, grid_ts, values as of grid_ts)`` where
+    "as of" means the latest event with ``ts <= grid_ts`` (NULL before
+    the first event — a tick can precede it when the first event is
+    mid-bucket).
+
+    When several events share one ``(entity, ts)``, ``tie_col`` picks
+    the winner deterministically (the row with the max ``tie_col``,
+    e.g. an event id) before the as-of lookup, so the result does not
+    depend on partition layout.
+    """
+    value_cols = list(value_cols)
+    per_ts = events.select(entity_col, ts_col, *(
+        [tie_col] if tie_col else []), *value_cols)
+    if tie_col is not None:
+        per_ts = (per_ts
+                  .groupBy(entity_col, ts_col)
+                  .agg(*[F.max_by(c, tie_col).alias(c)
+                         for c in value_cols]))
+    grid = time_grid(per_ts, entity_col, ts_col, step_seconds,
+                     grid_ts_col=grid_ts_col)
+    out = asof_join(grid, per_ts, on=entity_col, left_ts=grid_ts_col,
+                    right_ts=ts_col, value_cols=value_cols)
+    return out.drop("__matched_ts")

@@ -55,6 +55,47 @@ def content_hash(col, salt: int = 0) -> Column:
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD)
 
 
+def purged_time_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff_ts,
+    label_horizon_seconds: float = 0.0,
+    embargo_seconds: float = 0.0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Leakage-free temporal train/eval split with purge + embargo
+    (the walk-forward CV discipline of López de Prado's *Advances in
+    Financial Machine Learning*, ch. 7 — standard for any label built
+    from a forward window):
+
+    * ``eval``    — ``ts >= cutoff + embargo``;
+    * ``embargo`` — ``cutoff <= ts < cutoff + embargo``: dropped from
+      eval so serially-correlated rows adjacent to the training
+      boundary don't inflate eval scores;
+    * ``purged``  — ``ts < cutoff`` but ``ts + label_horizon >=
+      cutoff``: the row's LABEL window peeks across the cutoff, so
+      training on it leaks eval-period information;
+    * ``train``   — everything earlier.
+
+    Pure map-stage row labeling (no shuffle, stable under any
+    partitioning); comparisons are microsecond-integer arithmetic so
+    any engine reproduces the assignment exactly.
+    """
+    us = (F.col(ts_col).cast("timestamp").cast("double")
+          * 1_000_000).cast("long")
+    cut = (F.lit(cutoff_ts).cast("timestamp").cast("double")
+           * 1_000_000).cast("long")
+    horizon = F.lit(int(label_horizon_seconds * 1_000_000))
+    embargo = F.lit(int(embargo_seconds * 1_000_000))
+    label = (
+        F.when(us >= cut + embargo, F.lit("eval"))
+         .when(us >= cut, F.lit("embargo"))
+         .when(us + horizon >= cut, F.lit("purged"))
+         .otherwise(F.lit("train"))
+    )
+    return df.withColumn(out_col, label)
+
+
 def content_split(
     df: DataFrame,
     text_col: str = "text",

@@ -167,6 +167,91 @@ def rolling_aggregates(
     return out
 
 
+def rolling_corr(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    xcol: str,
+    ycol: str,
+    window_seconds: float,
+    out_col: str = "roll_corr",
+) -> DataFrame:
+    """Trailing-range Pearson correlation of two columns per entity:
+    for each row, corr over rows with ``ts in [row_ts - window, row_ts]``.
+
+    Computed from the six sufficient sums (n, Σx, Σy, Σx², Σy², Σxy)
+    over ONE range window — not six separate passes: Catalyst collapses
+    same-frame window expressions into a single WindowExec.  With
+    integer inputs every sum is exact, and the closed-form
+
+        (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²̂) · √(n·Σy²−Σy²̂))
+
+    is the identical double expression tree in any engine — this is
+    what makes the result reproducible cross-engine, unlike a built-in
+    ``corr`` whose accumulation order is partition-dependent.  NULL
+    when fewer than 2 rows or either variance is zero.
+    """
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    x, y = F.col(xcol), F.col(ycol)
+    n = F.count(F.lit(1)).over(w)
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx, syy = F.sum(x * x).over(w), F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    nd = n.cast("double")
+    cov = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    corr = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                  cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return df.withColumn(out_col, corr)
+
+
+def ewma(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    alpha: float = 0.5,
+    max_lags: int = 8,
+    out_col: Optional[str] = None,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exponentially weighted moving average over the entity timeline
+    (pandas ``ewm(alpha=…, adjust=True)`` on the last ``max_lags+1``
+    observations):
+
+        ewma_t = Σ_{k=0..K} (1−α)^k · x_{t−k} / Σ_{k present} (1−α)^k
+
+    Bounded-lag by design: (1−α)^k decays below double noise fast
+    (α=0.5 → 2⁻⁴⁰ ≈ 1e-12 at k=40), so a fixed K window is the exact
+    answer to working precision while keeping the operator a pure lag
+    expression over the ONE entity clustering — no recursion, no UDF,
+    chunk-safe at any scale.  Weights and the left-to-right summation
+    order are fixed, so any engine writing the same expression gets
+    bit-identical doubles (α=0.5 weights are exact binary fractions).
+
+    ``tie_cols`` extends the window order for deterministic results on
+    tied timestamps (pass a unique id).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_col = out_col or f"{col}_ewma"
+    w = entity_window(entity_col, ts_col, *tie_cols)
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(int(max_lags) + 1):
+        xk = F.col(col) if k == 0 else F.lag(col, k).over(w)
+        wk = F.lit(decay ** k)
+        num = num + F.when(xk.isNotNull(),
+                           xk.cast("double") * wk).otherwise(0.0)
+        den = den + F.when(xk.isNotNull(), wk).otherwise(0.0)
+    return df.withColumn(out_col,
+                         F.when(den > 0, num / den))
+
+
 def tumbling_aggregates(
     df: DataFrame,
     entity_col: str,

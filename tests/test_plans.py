@@ -251,3 +251,32 @@ def test_pit_encodings_share_one_shuffle(spark):
                             prior=1.0, smoothing=2.0)
     out = count_encode_pit(out, "event_type")
     assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_timeline_ops_share_one_shuffle(spark):
+    """rolling_corr (range window over six sums) + ewma (row window)
+    on the same entity key reuse ONE entity exchange; Catalyst
+    collapses the six sufficient sums into a single WindowExec."""
+    from hiselspark.operators.windows import ewma, rolling_corr
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+          .withColumn("k", F.get_json_object("props", "$.k").cast("long")))
+    out = rolling_corr(ev, "user_id", "ts", "cents", "k", 86400.0)
+    out = ewma(out, "user_id", "ts", "cents", tie_cols=("event_id",))
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+    # one WindowExec per distinct (order, frame), not per aggregate
+    assert plan_str(out, "simple").count("Window") == 2
+
+
+def test_resample_plan_has_no_driver_loop_or_cartesian(spark):
+    """grid generation is sequence/explode over the bounds aggregate —
+    no BroadcastNestedLoopJoin / CartesianProduct, bounded exchanges."""
+    from hiselspark.operators.resample import resample_ffill
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long")))
+    out = resample_ffill(ev, "user_id", "ts", 21600, ["cents"],
+                         tie_col="event_id")
+    txt = plan_str(out, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert n_exchanges(out) <= 3, txt

@@ -1,0 +1,160 @@
+"""Timeline feature ops: time-grid resample, rolling correlation,
+EWMA, PSI drift, purged temporal split — vs pandas/NumPy oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hiselspark.operators.drift import psi_drift
+from hiselspark.operators.resample import resample_ffill, time_grid
+from hiselspark.operators.splits import purged_time_split
+from hiselspark.operators.windows import ewma, rolling_corr
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    rng = np.random.default_rng(7)
+    n = 400
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "entity": rng.integers(0, 12, n),
+        "ts": pd.Timestamp("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 14 * 86400, n), unit="s"),
+        "x": rng.integers(-50, 500, n),
+        "y": rng.integers(0, 100, n),
+    })
+    # duplicate-timestamp tie inside one entity
+    pdf.loc[1, ["entity", "ts"]] = pdf.loc[0, ["entity", "ts"]]
+    return pdf
+
+
+def test_resample_ffill_matches_pandas(spark, events_pdf):
+    step = 3600 * 6
+    df = spark.createDataFrame(events_pdf)
+    out = (resample_ffill(df, "entity", "ts", step, ["x"],
+                          tie_col="event_id")
+           .toPandas()
+           .sort_values(["entity", "grid_ts"]).reset_index(drop=True))
+
+    expected = []
+    for ent, g in events_pdf.groupby("entity"):
+        # tie rule: max event_id wins at an equal (entity, ts)
+        g = (g.sort_values(["ts", "event_id"])
+             .groupby("ts", as_index=False).last())
+        t0 = (g["ts"].min().value // (step * 10**9)) * step
+        t1 = (g["ts"].max().value // (step * 10**9)) * step
+        grid = pd.to_datetime(np.arange(t0, t1 + step, step), unit="s")
+        ser = (g.set_index("ts")["x"]
+                .reindex(g["ts"].tolist() + list(grid))
+                .sort_index().ffill().loc[grid])
+        ser = ser[~ser.index.duplicated(keep="last")]
+        for ts, v in ser.items():
+            expected.append((ent, ts, v))
+    exp = (pd.DataFrame(expected, columns=["entity", "grid_ts", "x"])
+           .sort_values(["entity", "grid_ts"]).reset_index(drop=True))
+    assert len(out) == len(exp)
+    assert (out["grid_ts"] == exp["grid_ts"]).all()
+    pd.testing.assert_series_equal(out["x"], exp["x"], check_dtype=False)
+
+
+def test_time_grid_covers_single_event_entity(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"entity": [1], "ts": [pd.Timestamp("2024-03-01 05:30")]}))
+    g = time_grid(df, "entity", "ts", 3600).toPandas()
+    assert list(g["grid_ts"]) == [pd.Timestamp("2024-03-01 05:00")]
+
+
+def test_rolling_corr_matches_pandas(spark, events_pdf):
+    win = 3 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (rolling_corr(df, "entity", "ts", "x", "y", win)
+           .toPandas().set_index("event_id")["roll_corr"])
+    for _, row in events_pdf.sample(60, random_state=0).iterrows():
+        g = events_pdf[(events_pdf["entity"] == row["entity"])
+                       & (events_pdf["ts"] >= row["ts"]
+                          - pd.Timedelta(seconds=win))
+                       & (events_pdf["ts"] <= row["ts"])]
+        got = out.loc[row["event_id"]]
+        if len(g) < 2 or g["x"].nunique() == 1 or g["y"].nunique() == 1:
+            assert pd.isna(got)
+        else:
+            ref = np.corrcoef(g["x"], g["y"])[0, 1]
+            assert got == pytest.approx(ref, abs=1e-12)
+
+
+def test_ewma_matches_pandas_adjust(spark):
+    # <= 9 rows per entity: the 8-lag bounded form IS full history
+    pdf = pd.DataFrame({
+        "event_id": range(9),
+        "entity": [0] * 5 + [1] * 4,
+        "ts": pd.date_range("2024-03-01", periods=9, freq="1h"),
+        "x": [3, 1, 4, 1, 5, 9, 2, 6, 5],
+    })
+    df = spark.createDataFrame(pdf)
+    out = (ewma(df, "entity", "ts", "x", alpha=0.5, max_lags=8,
+                tie_cols=("event_id",))
+           .toPandas().sort_values("event_id")["x_ewma"].to_numpy())
+    exp = (pdf.groupby("entity")["x"]
+              .transform(lambda s: s.ewm(alpha=0.5, adjust=True).mean())
+              .to_numpy())
+    np.testing.assert_allclose(out, exp, rtol=1e-12)
+
+
+def test_ewma_null_values_skipped(spark):
+    pdf = pd.DataFrame({
+        "event_id": [0, 1, 2],
+        "entity": [0, 0, 0],
+        "ts": pd.date_range("2024-03-01", periods=3, freq="1h"),
+        "x": [2.0, None, 4.0],
+    })
+    out = (ewma(spark.createDataFrame(pdf), "entity", "ts", "x",
+                alpha=0.5, max_lags=8, tie_cols=("event_id",))
+           .toPandas().sort_values("event_id")["x_ewma"].to_numpy())
+    # row 2: weights 1 (self) and 0.25 (lag2) -> (4 + 0.25*2) / 1.25
+    np.testing.assert_allclose(out, [2.0, 2.0, 4.5 / 1.25])
+
+
+def test_psi_drift_zero_when_identical_and_positive_when_shifted(spark):
+    pdf = pd.DataFrame({
+        "key": ["a"] * 200 + ["b"] * 200,
+        "bucket": ([0] * 50 + [1] * 50) * 2 + [0] * 150 + [1] * 50,
+        "is_ref": ([True] * 100 + [False] * 100) * 2,
+    })
+    df = spark.createDataFrame(pdf)
+    out = (psi_drift(df, ["key"], "bucket", F.col("is_ref"))
+           .toPandas().set_index("key"))
+    assert out.loc["a", "psi"] == 0.0  # identical shares, exact zero
+    assert out.loc["b", "psi"] > 0.1   # 50/50 -> 100/0 is a real shift
+    assert out.loc["b", "n_ref"] == 100 and out.loc["b", "n_cur"] == 100
+    # reference value for the shifted key, same smoothing
+    p = np.array([51.0, 51.0]) / 102.0
+    q = np.array([101.0, 1.0]) / 102.0
+    assert out.loc["b", "psi"] == pytest.approx(
+        float(np.sum((q - p) * np.log(q / p))), rel=1e-12)
+
+
+def test_purged_split_boundaries(spark):
+    cutoff = pd.Timestamp("2024-03-10 00:00:00")
+    rows = {
+        "train": cutoff - pd.Timedelta(days=2),
+        "purged_edge": cutoff - pd.Timedelta(days=1),     # ts+h == cutoff
+        "purged": cutoff - pd.Timedelta(hours=1),
+        "embargo_edge": cutoff,
+        "embargo": cutoff + pd.Timedelta(hours=11),
+        "eval_edge": cutoff + pd.Timedelta(hours=12),
+        "eval": cutoff + pd.Timedelta(days=3),
+    }
+    pdf = pd.DataFrame({"name": list(rows), "ts": list(rows.values())})
+    out = (purged_time_split(spark.createDataFrame(pdf), "ts",
+                             "2024-03-10 00:00:00",
+                             label_horizon_seconds=86400.0,
+                             embargo_seconds=12 * 3600.0)
+           .toPandas().set_index("name")["split"])
+    assert out["train"] == "train"
+    assert out["purged_edge"] == "purged"
+    assert out["purged"] == "purged"
+    assert out["embargo_edge"] == "embargo"
+    assert out["embargo"] == "embargo"
+    assert out["eval_edge"] == "eval"
+    assert out["eval"] == "eval"
