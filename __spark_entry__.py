@@ -1729,6 +1729,34 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("roll_corr"))
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h median (and p90) of the event value per user —
+    ``percentile`` over a range frame; linear interpolation at rank
+    q·(n−1) matches DuckDB ``quantile_cont`` exactly on integer
+    cents."""
+    from hiselspark.operators.windows import rolling_quantile
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_quantile(ev, "user_id", "ts", "cents", 0.5, 86400.0,
+                           out_col="med")
+    out = rolling_quantile(out, "user_id", "ts", "cents", 0.9, 86400.0,
+                           out_col="p90")
+    return out.select("event_id", F.round("med", 6).alias("med"),
+                      F.round("p90", 6).alias("p90"))
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT event_type count per user (novelty feature):
+    first-occurrence flag over (user, type) + running sum over the
+    user timeline — the standard exact rewrite of the window
+    COUNT(DISTINCT) no engine supports."""
+    from hiselspark.operators.windows import distinct_so_far
+    ev = _ev(spark, sf_dir)
+    out = distinct_so_far(ev, "user_id", "ts", "event_type",
+                          out_col="n_types", tie_cols=("event_id",))
+    return out.select("event_id", "n_types")
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of the event value per
     user (α=0.5, 8 lags — weights decay below double noise, so the
@@ -1740,6 +1768,30 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ewma(ev, "user_id", "ts", "cents", alpha=0.5, max_lags=8,
                tie_cols=("event_id",))
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
+
+
+def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geometric augmentation end-to-end: synthesize 8x8
+    raw images, (a) crop(2,1,4x4) + hflip, (b) rot90 — checksummed
+    with the position-weighted byte checksum, which any byte
+    reordering changes, so the oracle verifies the exact gather
+    arithmetic (crop+hflip: out(y,x,c) <- in(1+y, 5-x, c); rot90 CCW:
+    out(y,x,c) <- in(x, 7-y, c))."""
+    from hiselspark.functions.image import (augment_images,
+                                            with_byte_checksum)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    a = with_byte_checksum(
+        augment_images(imgs, [("crop", 2, 1, 4, 4), ("hflip",)]),
+        out_col="ck_crop_flip")
+    b = with_byte_checksum(augment_images(imgs, [("rot90",)]),
+                           out_col="ck_rot90")
+    return (a.select("okey", F.col("w").alias("aw"),
+                     F.col("h").alias("ah"), "ck_crop_flip")
+             .join(b.select("okey", "ck_rot90"), "okey"))
 
 
 def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,6 +1898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "ewma": q_ewma,
         "purged_split": q_purged_split,
+        "rolling_median": q_rolling_median,
+        "novelty": q_novelty,
+        "image_augment": q_image_augment,
     }
 
 
@@ -3352,6 +3407,66 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["rolling_median"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        )
+        SELECT event_id,
+               round(quantile_cont(cents, 0.5) OVER b, 6) AS med,
+               round(quantile_cont(cents, 0.9) OVER b, 6) AS p90
+        FROM q
+        WINDOW b AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 86400000000 PRECEDING
+                               AND CURRENT ROW)
+    """
+    oracles["novelty"] = """
+        WITH f AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                      THEN 1 ELSE 0 END AS first_seen
+          FROM events
+        )
+        SELECT event_id,
+               CAST(SUM(first_seen) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_types
+        FROM f
+    """
+    oracles["image_augment"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, j,
+                 -- crop(2,1,4x4)+hflip: out(y,x,c) <- in(1+y, 5-x, c)
+                 (((1 + j // 12) * 8 + (5 - (j % 12) // 3)) * 3
+                  + j % 3) AS i_cf
+          FROM orders, unnest(generate_series(0, 47)) AS tj(j)
+        ), rx AS (
+          SELECT o_orderkey AS okey, j,
+                 -- rot90 CCW on 8x8: out(y,x,c) <- in(x, 7-y, c)
+                 ((((j % 24) // 3) * 8 + (7 - j // 24)) * 3 + j % 3)
+                   AS i_r
+          FROM orders, unnest(generate_series(0, 191)) AS tj(j)
+        ), a AS (
+          SELECT okey,
+                 SUM((j + 1) * ((okey * 7919 + i_cf * 31) % 256))
+                   % 2147483647 AS ck_crop_flip
+          FROM px GROUP BY okey
+        ), b AS (
+          SELECT okey,
+                 SUM((j + 1) * ((okey * 7919 + i_r * 31) % 256))
+                   % 2147483647 AS ck_rot90
+          FROM rx GROUP BY okey
+        )
+        SELECT a.okey, 4 AS aw, 4 AS ah,
+               CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
+               CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
+        FROM a JOIN b USING (okey)
     """
     oracles["purged_split"] = """
         SELECT event_id,

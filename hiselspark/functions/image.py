@@ -266,6 +266,137 @@ def _pixel_stats_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def augment_raw(img: np.ndarray, ops: Sequence) -> np.ndarray:
+    """Apply a deterministic augmentation chain to one (h, w, 3) uint8
+    image: ``("hflip",)``, ``("vflip",)``, ``("rot90",)`` (CCW, NumPy
+    convention), ``("crop", x0, y0, cw, ch)``.  Pure index gathers —
+    no interpolation, no image library."""
+    for op in ops:
+        kind = op[0]
+        if kind == "hflip":
+            img = img[:, ::-1]
+        elif kind == "vflip":
+            img = img[::-1]
+        elif kind == "rot90":
+            img = np.rot90(img)
+        elif kind == "crop":
+            _, x0, y0, cw, ch = op
+            h, w = img.shape[:2]
+            if not (0 <= x0 and x0 + cw <= w and 0 <= y0
+                    and y0 + ch <= h):
+                raise ValueError(
+                    f"crop ({x0},{y0},{cw},{ch}) outside {w}x{h}")
+            img = img[y0:y0 + ch, x0:x0 + cw]
+        else:
+            raise ValueError(f"unknown augmentation op {op!r}")
+    return np.ascontiguousarray(img)
+
+
+def augment_images(df: DataFrame, ops: Sequence,
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Deterministic geometric augmentation of every image payload
+    (flip / rotate / crop chains) — the training-data staple that at
+    corpus scale must run as a pure map stage: Arrow-batched
+    ``mapInPandas``, same-shape raw images in a batch transformed as
+    ONE (m, h, w, 3) NumPy gather, non-raw payloads decoded per the
+    codec registry first.  Output is re-emitted as 'raw' with updated
+    ``(w, h)``.  Random per-image augmentation belongs in the training
+    loader; the PIPELINE's job is the deterministic variants, which
+    stay reproducible and oracle-checkable."""
+    ops = [tuple(op) for op in ops]
+    fields = []
+    for f in df.schema.fields:
+        if f.name in ("w", "h"):
+            fields.append(T.StructField(f.name, T.IntegerType()))
+        else:
+            fields.append(f)
+    out_schema = T.StructType(fields)
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            bufs = pdf[bytes_col].to_numpy()
+            ws = pdf["w"].to_numpy()
+            hs = pdf["h"].to_numpy()
+            fmts = pdf["fmt"].to_numpy()
+            out_bufs = [None] * len(pdf)
+            out_w = np.empty(len(pdf), dtype=np.int32)
+            out_h = np.empty(len(pdf), dtype=np.int32)
+            raw = fmts == "raw"
+            shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+            for key in np.unique(shape_key[raw]):
+                rows = np.nonzero(raw & (shape_key == key))[0]
+                w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+                block = np.frombuffer(
+                    b"".join(bufs[r] for r in rows),
+                    dtype=np.uint8).reshape(len(rows), h, w, 3)
+                for op in ops:
+                    kind = op[0]
+                    if kind == "hflip":
+                        block = block[:, :, ::-1]
+                    elif kind == "vflip":
+                        block = block[:, ::-1]
+                    elif kind == "rot90":
+                        block = np.rot90(block, axes=(1, 2))
+                    elif kind == "crop":
+                        _, x0, y0, cw, ch = op
+                        bh, bw = block.shape[1:3]
+                        if not (0 <= x0 and x0 + cw <= bw and 0 <= y0
+                                and y0 + ch <= bh):
+                            raise ValueError(
+                                f"crop {op} outside {bw}x{bh}")
+                        block = block[:, y0:y0 + ch, x0:x0 + cw]
+                    else:
+                        raise ValueError(f"unknown op {op!r}")
+                block = np.ascontiguousarray(block)
+                for i, r in enumerate(rows):
+                    out_bufs[r] = block[i].tobytes()
+                    out_h[r], out_w[r] = block.shape[1], block.shape[2]
+            for r in np.nonzero(~raw)[0]:
+                img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                                   str(fmts[r]))
+                img = augment_raw(img, ops)
+                out_bufs[r] = img.tobytes()
+                out_h[r], out_w[r] = img.shape[0], img.shape[1]
+            out = pdf.copy()
+            out[bytes_col] = out_bufs
+            out["w"] = out_w
+            out["h"] = out_h
+            out["fmt"] = "raw"
+            yield out
+    return df.mapInPandas(run, out_schema)
+
+
+_CHECKSUM_MOD = 2_147_483_647
+
+
+def with_byte_checksum(df: DataFrame, bytes_col: str = "bytes",
+                       out_col: str = "byte_checksum") -> DataFrame:
+    """Position-weighted payload checksum
+    ``Σ_j (j+1)·b[j] mod 2³¹−1`` — unlike a mean/histogram it changes
+    under any reordering of bytes, so it verifies geometric transforms
+    (flips, rotations) exactly; an engine that knows the pixel formula
+    can reproduce it arithmetically.  Vectorized Arrow-batched pandas
+    UDF (one matmul-free einsum per batch is overkill — a weighted sum
+    per row on a concatenated buffer is already memory-bound)."""
+
+    @F.pandas_udf("long")
+    def _ck(s: pd.Series) -> pd.Series:
+        out = np.empty(len(s), dtype=np.int64)
+        for i, buf in enumerate(s):
+            if buf is None:
+                out[i] = -1
+                continue
+            b = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+            # (j+1)*b[j] summed exactly: n*256*n < 2^63 for any
+            # realistic payload; one final mod
+            out[i] = int(np.dot(b, np.arange(1, b.size + 1,
+                                             dtype=np.int64))
+                         % _CHECKSUM_MOD)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _ck(F.col(bytes_col)))
+
+
 def resize_raw(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of an (h, w, 3) uint8 image — pure NumPy
     integer gather (pixel-center mapping), no image library."""

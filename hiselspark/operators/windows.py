@@ -252,6 +252,65 @@ def ewma(
                          F.when(den > 0, num / den))
 
 
+def rolling_quantile(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    q: float = 0.5,
+    window_seconds: float = 3600.0,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Trailing-range quantile per entity (default: rolling median) via
+    ``percentile`` over the same range frame as
+    :func:`rolling_aggregates` — linear interpolation at rank
+    ``q·(n−1)``, the same rule as DuckDB ``quantile_cont`` and NumPy
+    ``quantile``, so integer inputs give cross-engine-identical doubles.
+
+    Quantiles are rank statistics — no sufficient-sums shortcut — so
+    the frame buffers the window's rows per entity; that is the same
+    cost class as any rank-based window and shares the single entity
+    clustering with the rest of the stack."""
+    out_col = out_col or f"{col}_roll_q{q:g}"
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    return df.withColumn(out_col,
+                         F.percentile(col, F.lit(float(q))).over(w))
+
+
+def distinct_so_far(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    item_col: str,
+    out_col: str = "n_distinct",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Running count of DISTINCT ``item_col`` values seen up to and
+    including each row in the entity timeline — the classic "novelty"
+    feature (how many distinct pages/products/error codes has this
+    entity touched so far), leakage-free by construction.
+
+    Window ``COUNT(DISTINCT)`` doesn't exist in any engine; the
+    standard exact rewrite is two windows: flag each item's FIRST
+    occurrence (``row_number`` over ``(entity, item)``), then a running
+    sum of flags over the entity timeline.  Two shuffles — one on
+    ``(entity, item)``, one on ``entity`` — both key-partitioned and
+    skew-inheriting from the entity key only.  ``tie_cols`` (pass a
+    unique id) fixes which of several same-timestamp rows is "first",
+    making the per-row value partition-layout-independent.
+    """
+    wf = (Window.partitionBy(entity_col, item_col)
+                .orderBy(ts_col, *tie_cols))
+    wr = (entity_window(entity_col, ts_col, *tie_cols)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    first = (F.row_number().over(wf) == 1).cast("long")
+    return (df.withColumn("__first", first)
+              .withColumn(out_col, F.sum("__first").over(wr))
+              .drop("__first"))
+
+
 def tumbling_aggregates(
     df: DataFrame,
     entity_col: str,

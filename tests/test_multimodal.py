@@ -123,3 +123,57 @@ def test_video_frame_sampling_and_motion(spark):
     assert ms["s"] == 0.0 and ms["n"] > 0.2
     with pytest.raises(NotImplementedError):
         decode_frames(b"x", 2, 2, "mp4")
+
+
+def test_augment_raw_matches_numpy():
+    from hiselspark.functions.image import augment_raw
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(augment_raw(img, [("hflip",)]),
+                                  img[:, ::-1])
+    np.testing.assert_array_equal(augment_raw(img, [("vflip",)]),
+                                  img[::-1])
+    np.testing.assert_array_equal(augment_raw(img, [("rot90",)]),
+                                  np.rot90(img))
+    # involution / periodicity
+    np.testing.assert_array_equal(
+        augment_raw(img, [("hflip",), ("hflip",)]), img)
+    np.testing.assert_array_equal(
+        augment_raw(img, [("rot90",)] * 4), img)
+    crop = augment_raw(img, [("crop", 2, 1, 4, 5)])
+    np.testing.assert_array_equal(crop, img[1:6, 2:6])
+    with pytest.raises(ValueError):
+        augment_raw(img, [("crop", 5, 0, 4, 4)])
+
+
+def test_augment_images_spark_and_checksum(spark):
+    from hiselspark.functions.image import (augment_images, augment_raw,
+                                            with_byte_checksum)
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(20):
+        w, h = int(rng.choice([8, 12])), int(rng.choice([8, 10]))
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        rows.append((f"i{i}", img.tobytes(), w, h, "raw"))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h",
+                                      "fmt"])
+    ops = [("crop", 1, 1, 6, 6), ("hflip",), ("rot90",)]
+    out = (with_byte_checksum(
+        augment_images(spark.createDataFrame(pdf).repartition(3), ops))
+        .toPandas().set_index("image_id"))
+    assert (out["w"] == 6).all() and (out["h"] == 6).all()
+    src = {r[0]: np.frombuffer(r[1], dtype=np.uint8).reshape(r[3], r[2], 3)
+           for r in rows}
+    for key in ("i0", "i5", "i19"):
+        exp = augment_raw(src[key], ops)
+        assert out.loc[key, "bytes"] == exp.tobytes(), key
+        b = np.frombuffer(exp.tobytes(), dtype=np.uint8).astype(np.int64)
+        ck = int(np.dot(b, np.arange(1, b.size + 1)) % 2147483647)
+        assert out.loc[key, "byte_checksum"] == ck
+    # checksum is position-sensitive: flipping changes it
+    plain = (with_byte_checksum(spark.createDataFrame(pdf))
+             .toPandas().set_index("image_id")["byte_checksum"])
+    flipped = (with_byte_checksum(
+        augment_images(spark.createDataFrame(pdf), [("hflip",)]))
+        .toPandas().set_index("image_id")["byte_checksum"])
+    assert (plain != flipped).any()

@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 from hiselspark.operators.drift import psi_drift
 from hiselspark.operators.resample import resample_ffill, time_grid
 from hiselspark.operators.splits import purged_time_split
-from hiselspark.operators.windows import ewma, rolling_corr
+from hiselspark.operators.windows import (distinct_so_far, ewma,
+                                          rolling_corr,
+                                          rolling_quantile)
 
 
 @pytest.fixture(scope="module")
@@ -158,3 +160,31 @@ def test_purged_split_boundaries(spark):
     assert out["embargo"] == "embargo"
     assert out["eval_edge"] == "eval"
     assert out["eval"] == "eval"
+
+
+def test_rolling_quantile_matches_numpy(spark, events_pdf):
+    win = 2 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (rolling_quantile(df, "entity", "ts", "x", 0.5, win,
+                            out_col="med")
+           .toPandas().set_index("event_id")["med"])
+    for _, row in events_pdf.sample(40, random_state=1).iterrows():
+        g = events_pdf[(events_pdf["entity"] == row["entity"])
+                       & (events_pdf["ts"] >= row["ts"]
+                          - pd.Timedelta(seconds=win))
+                       & (events_pdf["ts"] <= row["ts"])]
+        assert out.loc[row["event_id"]] == pytest.approx(
+            float(np.quantile(g["x"], 0.5)), abs=1e-9)
+
+
+def test_distinct_so_far_matches_pandas(spark, events_pdf):
+    df = spark.createDataFrame(events_pdf)
+    out = (distinct_so_far(df, "entity", "ts", "y", out_col="nd",
+                           tie_cols=("event_id",))
+           .toPandas().sort_values(["entity", "ts", "event_id"]))
+    for ent, g in out.groupby("entity"):
+        seen = set()
+        for _, r in g.iterrows():
+            seen.add(events_pdf.set_index("event_id").loc[
+                r["event_id"], "y"])
+            assert r["nd"] == len(seen)
