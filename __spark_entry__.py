@@ -1770,6 +1770,43 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join: purchases stream joined
+    to the clicks stream within the purchase's trailing 30 minutes —
+    Spark buffers each side only as long as the watermark + time
+    bounds require (bounded state forever), and the drained backlog
+    must equal the ANSI range-join oracle exactly."""
+    from hiselspark.streaming.joins import stream_interval_join
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    import hashlib
+    import os
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+
+    def load():
+        s = read_events_stream(spark, src_dir, batch.schema)
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    purchases = (load().filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (load().filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.round(F.col("value") * 100).cast("long")
+                      .alias("cents")))
+    j = stream_interval_join(purchases, clicks, "user_id",
+                             -1800.0, 0.0, watermark_seconds=3600)
+    out = run_stream_to_batch(j, output_mode="append")
+    return (out.groupBy("event_id", "user_id")
+               .agg(F.count(F.lit(1)).alias("n_clicks"),
+                    F.sum("cents_r").alias("click_cents")))
+
+
 def q_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic geometric augmentation end-to-end: synthesize 8x8
     raw images, (a) crop(2,1,4x4) + hflip, (b) rot90 — checksummed
@@ -1901,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_median": q_rolling_median,
         "novelty": q_novelty,
         "image_augment": q_image_augment,
+        "streaming_interval_join": q_streaming_interval_join,
     }
 
 
@@ -3467,6 +3505,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
                CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
         FROM a JOIN b USING (okey)
+    """
+    oracles["streaming_interval_join"] = """
+        SELECT p.event_id, p.user_id,
+               COUNT(*) AS n_clicks,
+               CAST(SUM(CAST(round(c.value * 100) AS BIGINT))
+                    AS BIGINT) AS click_cents
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id
     """
     oracles["purged_split"] = """
         SELECT event_id,
