@@ -1770,6 +1770,30 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over the corpus token stream (k=40: every
+    token with count·41 > N): per-partition Misra-Gries candidates in
+    bounded memory, broadcast-semi-join, exact recount — the full
+    token stream is never shuffled.  Oracle: plain GROUP BY/HAVING
+    with the shared whitespace tokenizer."""
+    from hiselspark.functions.text import tokens
+    from hiselspark.operators.sketches import heavy_hitters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    return (heavy_hitters(toks, "tok", k=40, count_col="n")
+            .select("tok", "n"))
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (quality
+    band signal): exact integer counts through two doc-keyed
+    shuffles, identical log expression tree in the oracle."""
+    from hiselspark.functions.text import char_entropy
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = char_entropy(docs, "doc_id", "text")
+    return out.select("doc_id", F.round("char_entropy", 6).alias("h"))
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM event-time interval join: purchases stream joined
     to the clicks stream within the purchase's trailing 30 minutes —
@@ -1939,6 +1963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": q_novelty,
         "image_augment": q_image_augment,
         "streaming_interval_join": q_streaming_interval_join,
+        "heavy_hitters": q_heavy_hitters,
+        "char_entropy": q_char_entropy,
     }
 
 
@@ -3505,6 +3531,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
                CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
         FROM a JOIN b USING (okey)
+    """
+    oracles["heavy_hitters"] = """
+        WITH t AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+            AS tok
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ), n AS (SELECT COUNT(*) AS total FROM t)
+        SELECT tok, COUNT(*) AS n
+        FROM t, n
+        GROUP BY tok, total
+        HAVING COUNT(*) * 41 > total
+    """
+    oracles["char_entropy"] = """
+        WITH ch AS (
+          SELECT doc_id, unnest(str_split(COALESCE(text, ''), ''))
+            AS c
+          FROM documents
+        ), pc AS (
+          SELECT doc_id, c, COUNT(*) AS k
+          FROM ch WHERE c <> '' GROUP BY doc_id, c
+        ), pd AS (
+          SELECT doc_id,
+                 round(ln(CAST(SUM(k) AS DOUBLE))
+                       - SUM(CAST(k AS DOUBLE) * ln(CAST(k AS DOUBLE)))
+                         / CAST(SUM(k) AS DOUBLE), 6) AS h
+          FROM pc GROUP BY doc_id
+        )
+        SELECT d.doc_id, pd.h
+        FROM documents d LEFT JOIN pd USING (doc_id)
     """
     oracles["streaming_interval_join"] = """
         SELECT p.event_id, p.user_id,

@@ -121,3 +121,35 @@ def with_fingerprint(df: DataFrame, col: str = "text",
     whitespace-normalized lowercased text — exact-duplicate key."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
     return df.withColumn(out_col, F.xxhash64(normalized))
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str = "text",
+                 out_col: str = "char_entropy") -> DataFrame:
+    """Shannon entropy (nats) of the per-document CHARACTER
+    distribution — a classic cheap quality signal: natural prose sits
+    in a narrow entropy band, while boilerplate/repeated filler
+    (low H) and binary-ish garbage (high H) fall outside it.
+
+    ``H = ln(n) − (1/n)·Σ_c count(c)·ln(count(c))`` — counts stay
+    exact integers through both groupBys, and the final expression is
+    the identical double tree in any engine (modulo libm ``ln`` ulp;
+    round for cross-engine hashing).  Plan: explode characters →
+    count per (doc, char) → reduce per doc — two map-side-combined
+    doc-keyed shuffles, linear in corpus size, no UDF.  Empty / NULL
+    text yields NULL (no distribution to measure).
+
+    Returns one row per document: ``(id_col, out_col)``.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    chars = (df.select(id_col, F.explode(F.split(c, "")).alias("__ch"))
+               .filter(F.col("__ch") != ""))
+    per_char = (chars.groupBy(id_col, "__ch")
+                     .agg(F.count(F.lit(1)).alias("__c")))
+    n = F.sum("__c")
+    slc = F.sum(F.col("__c").cast("double")
+                * F.log(F.col("__c").cast("double")))
+    per_doc = (per_char.groupBy(id_col)
+               .agg((F.log(n.cast("double")) - slc / n.cast("double"))
+                    .alias(out_col)))
+    return (df.select(id_col)
+              .join(per_doc, id_col, "left"))

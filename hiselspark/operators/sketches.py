@@ -33,6 +33,52 @@ def approx_distinct(df: DataFrame, group_col: str, col: str,
         F.countDistinct(col).alias("n_exact"))
 
 
+def heavy_hitters(df: DataFrame, col: str, k: int = 100,
+                  count_col: str = "n") -> DataFrame:
+    """EXACT heavy hitters — every value with frequency strictly above
+    ``N/(k+1)`` (N = total rows), with its exact count — found without
+    ever shuffling the full value stream:
+
+    1. Per-partition Misra–Gries summaries (k counters) inside
+       ``mapInPandas`` — batch ``value_counts`` folded into a bounded
+       dict, so memory is O(k) per task regardless of partition size.
+    2. The candidate union (≤ partitions·k values, tiny) is broadcast
+       back and only matching rows are counted exactly.
+
+    Soundness: if x has global count ``Σ_i c_i(x) > N/(k+1) =
+    Σ_i N_i/(k+1)``, then some partition has ``c_i(x) > N_i/(k+1)``
+    (pigeonhole), and Misra–Gries guarantees its final counter
+    ``est ≥ c_i − N_i/(k+1) > 0`` — so every global heavy hitter
+    appears in some partition summary.  The exact second pass then
+    makes the output EXACTLY ``{x : count(x)·(k+1) > N}`` — integer
+    arithmetic, no estimate in the result, reproducible by a plain
+    ``GROUP BY … HAVING`` oracle.  Shuffle volume: candidates only.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def mg(pdfs):
+        counters: dict = {}
+        for pdf in pdfs:
+            for val, c in pdf[col].value_counts(dropna=True).items():
+                counters[val] = counters.get(val, 0) + int(c)
+                if len(counters) > k:
+                    dec = min(counters.values())
+                    counters = {v: n - dec for v, n in counters.items()
+                                if n > dec}
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    cand = (df.select(col).mapInPandas(mg, df.select(col).schema)
+              .distinct())
+    total = df.count()
+    return (df.join(F.broadcast(cand), col, "left_semi")
+              .groupBy(col)
+              .agg(F.count(F.lit(1)).alias(count_col))
+              .filter(F.col(count_col) * (k + 1) > F.lit(total)))
+
+
 def approx_quantiles(df: DataFrame, group_col: str, col: str,
                      probs: Sequence[float],
                      accuracy: int = 10000) -> DataFrame:

@@ -1,5 +1,6 @@
 """Sketch aggregates: HLL error bound, GK rank guarantee, determinism."""
 import numpy as np
+import pytest
 import pandas as pd
 
 from hiselspark.operators.sketches import approx_distinct, approx_quantiles
@@ -41,3 +42,50 @@ def test_gk_quantiles_within_rank_error(spark):
             rank = np.searchsorted(v, est, side="right")
             assert (p - 2e-3) * n <= rank <= (p + 2e-3) * n + 1, \
                 (g, col, rank / n)
+
+
+def test_heavy_hitters_exact_on_skewed_stream(spark):
+    from hiselspark.operators.sketches import heavy_hitters
+    rng = np.random.default_rng(3)
+    # zipf-ish: a few hot values + a long uniform tail, shuffled and
+    # spread over many partitions so per-partition MG really prunes
+    vals = (["hot_a"] * 4000 + ["hot_b"] * 2500 + ["warm"] * 900
+            + [f"tail{i}" for i in rng.integers(0, 5000, 12600)])
+    rng.shuffle(vals)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals})).repartition(16)
+    k = 20
+    out = (heavy_hitters(df, "v", k=k).toPandas()
+           .set_index("v")["n"].to_dict())
+    exact = pd.Series(vals).value_counts()
+    expected = {v: int(c) for v, c in exact.items()
+                if c * (k + 1) > len(vals)}
+    assert out == expected
+    assert "hot_a" in out and out["hot_a"] == 4000
+
+
+def test_heavy_hitters_all_pass_tiny_input(spark):
+    from hiselspark.operators.sketches import heavy_hitters
+    df = spark.createDataFrame(pd.DataFrame({"v": ["x", "x", "y"]}))
+    out = heavy_hitters(df, "v", k=5).toPandas().set_index("v")["n"]
+    # threshold N/(k+1) = 0.5: both values qualify with exact counts
+    assert out.to_dict() == {"x": 2, "y": 1}
+
+
+def test_char_entropy_matches_numpy(spark):
+    from hiselspark.functions.text import char_entropy
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["aaaa", "abab", "the quick brown fox", ""],
+    })
+    out = (char_entropy(spark.createDataFrame(pdf), "doc_id", "text")
+           .toPandas().set_index("doc_id")["char_entropy"])
+    for i, t in zip(pdf["doc_id"], pdf["text"]):
+        if not t:
+            assert pd.isna(out[i])
+            continue
+        c = pd.Series(list(t)).value_counts().to_numpy().astype(float)
+        p = c / c.sum()
+        assert out[i] == pytest.approx(float(-(p * np.log(p)).sum()),
+                                       abs=1e-12)
+    assert out[0] == 0.0            # single-char text: zero entropy
+    assert out[1] == pytest.approx(np.log(2))
