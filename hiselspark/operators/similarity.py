@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -276,3 +277,151 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
                 / (_norm(F.col("va")) * _norm(F.col("vb"))))
             .filter(F.col("cos") >= threshold)
             .select("a", "b", F.col("cos").alias("cos_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale compression half of ANN
+# ---------------------------------------------------------------------------
+
+def train_pq_codebooks(corpus: DataFrame, dim: int, m: int = 16,
+                       n_codes: int = 256, vec_col: str = "embedding",
+                       sample_size: int = 4096, n_iter: int = 10,
+                       seed: int = 13) -> np.ndarray:
+    """Per-subspace k-means codebooks for product quantization
+    (Jégou et al., *Product Quantization for Nearest Neighbor Search*,
+    TPAMI 2011): split each L2-normalized vector into ``m`` contiguous
+    subvectors of ``dim/m`` dims and cluster each subspace into
+    ``n_codes`` centroids.  Trained on the same bounded hash-ordered
+    deterministic sample as the IVF quantizer (per-partition top-k
+    TakeOrderedAndProject, never a global sort).  Returns
+    ``(m, n_codes, dim//m)`` float64."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    s = F.concat_ws(",", F.col("v").cast("array<string>"))
+    sample = (corpus
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .orderBy(F.xxhash64(F.lit(seed), s), s)
+              .limit(sample_size)
+              .toPandas())
+    x = np.array(sample["v"].tolist(), dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_codes = min(n_codes, len(x))  # codebook can't exceed sample
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=n_codes, replace=False)]
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(cent.shape[0]):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode every vector to ``m`` small codes (nearest centroid per
+    subspace, L2) — the 10^12-scale story: a 64-dim float64 embedding
+    (512 B) becomes m=8 codes (8 B), so the search scan reads 64x
+    fewer bytes.  One Arrow-batched pandas UDF, one (batch, n_codes)
+    distance matrix per subspace, no per-row Python."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.util import PythonEvalType
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, _, dsub = books.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()),
+                functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
+    def enc(vs):
+        x = np.array(vs.tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                           1e-12)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+            d2 = (-2.0 * xs @ books[j].T
+                  + (books[j] ** 2).sum(axis=1)[None, :])
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return df.withColumn(out_col, enc(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            probe_id_col: Optional[str] = None, m: int = 16,
+            n_codes: int = 256, seed: int = 13) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: probes stay exact,
+    the corpus is scanned as PQ codes.  Per probe, a lookup table
+    ``LUT[j, c] = p_j · codebook[j][c]`` turns each candidate's
+    approximate dot product into ``m`` table lookups — the scan is
+    memory-bound on 8-byte codes instead of full vectors.
+
+    Plan shape: codebooks and probe LUTs are driver-small and ride
+    into ONE ``mapInPandas`` over the encoded corpus; each task emits
+    only its local top-k per probe (partial top-k, like a map-side
+    combine), and a final window keeps the global top-k — the full
+    probe x corpus score matrix never exists and nothing but
+    ``partitions x probes x k`` rows is shuffled.  Deterministic: ties
+    broken by vec_id."""
+    probe_id_col = probe_id_col or id_col
+    books = train_pq_codebooks(corpus, dim, m=m, n_codes=n_codes,
+                               vec_col=vec_col, seed=seed)
+    enc = pq_encode(
+        corpus.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("v")),
+        books, "v").select("vec_id", "pq_code")
+
+    pr = (probes.select(F.col(probe_id_col).alias("probe_id"),
+                        F.col(vec_col).cast("array<double>").alias("p"))
+          .toPandas())
+    pids = pr["probe_id"].to_numpy()
+    pv = np.array(pr["p"].tolist(), dtype=np.float64)
+    pv = pv / np.maximum(np.linalg.norm(pv, axis=1, keepdims=True), 1e-12)
+    dsub = dim // m
+    # LUT[(probe), j, c] = p_subj . book[j][c]
+    lut = np.stack([pv[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)
+
+    from pyspark.sql import types as T
+    out_schema = T.StructType([
+        T.StructField("probe_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("adc_sim", T.DoubleType()),
+    ])
+
+    def scan(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+            vids = pdf["vec_id"].to_numpy()
+            sims = np.zeros((len(pids), len(codes)))
+            for j in range(m):
+                sims += lut[:, j, :][:, codes[:, j]]
+            # local top-k per probe (self-matches removed later)
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"probe_id": np.repeat(pids, kk),
+                    "vec_id": vids[idx.ravel()],
+                    "adc_sim": np.take_along_axis(sims, idx,
+                                                  axis=1).ravel()}
+            yield pd.DataFrame(rows)
+
+    partial = enc.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_sim").desc(), F.col("vec_id").asc())
+    return (partial.filter(F.col("probe_id") != F.col("vec_id"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("probe_id", "rk", "vec_id",
+                    F.round("adc_sim", 6).alias("adc_sim")))

@@ -327,3 +327,45 @@ def test_content_split_null_and_empty_text(spark):
     b = _py_content_hash("") % 100
     expect = "train" if b < 80 else ("val" if b < 90 else "test")
     assert out[1] == expect
+
+
+def test_pq_encode_shapes_and_reconstruction(spark, vectors):
+    sdf, base = vectors
+    books = similarity.train_pq_codebooks(sdf, dim=16, m=4, n_codes=8)
+    assert books.shape == (4, 8, 4)
+    enc = similarity.pq_encode(sdf, books).toPandas()
+    codes = np.array(enc["pq_code"].tolist())
+    assert codes.shape == (len(base), 4)
+    assert codes.min() >= 0 and codes.max() < 8
+    # reconstruction from codes is closer to the vector than a random
+    # codeword (sanity that argmin really ran)
+    unit = base / np.linalg.norm(base, axis=1, keepdims=True)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(4)], axis=1)
+    err = ((unit - recon) ** 2).sum(axis=1)
+    rng = np.random.default_rng(0)
+    rand = np.concatenate(
+        [books[j][rng.integers(0, 8, len(base))] for j in range(4)],
+        axis=1)
+    err_rand = ((unit - rand) ** 2).sum(axis=1)
+    assert err.mean() < err_rand.mean()
+
+
+def test_pq_topk_recall(spark, vectors):
+    sdf, base = vectors
+    probes = sdf.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(probes, sdf, k=3).toPandas()
+    approx = similarity.pq_topk(probes, sdf, dim=16, k=3,
+                                m=8, n_codes=256).toPandas()
+    hits = total = 0
+    for pid in range(10):
+        e = set(exact[exact.probe_id == pid].vec_id)
+        a = set(approx[approx.probe_id == pid].vec_id)
+        hits += len(e & a)
+        total += len(e)
+    # PQ8x8bit on 16-dim random gaussians (the hardest case: no
+    # cluster structure, all neighbours near-equidistant)
+    assert hits / total >= 0.5
+    # planted near-identical pair must rank first
+    top = approx[(approx.probe_id == 0) & (approx.rk == 1)]
+    assert top.vec_id.iloc[0] == 1
