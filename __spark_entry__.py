@@ -1770,6 +1770,45 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free winsorization: clamp each event's value to the
+    [p05, p95] band of the SAME user's strictly-earlier history (>= 20
+    rows of history, else pass-through) — expanding strictly-before
+    percentile frame, interpolation rule matching quantile_cont."""
+    from hiselspark.operators.windows import winsorize_pit
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = winsorize_pit(ev, "user_id", "ts", "cents", 0.05, 0.95,
+                        min_history=20)
+    return out.select("event_id", F.round("cents_wins", 6).alias("wz"))
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): 3-way join with pushdown
+    filters on both sides, revenue aggregation in exact integer
+    cents, top-10 by revenue with deterministic tie-break."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100)
+              .cast("long")))
+    out = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+           .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+           .filter(F.col("o_orderdate").cast("timestamp") < cutoff)
+           .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+           .filter(F.col("l_shipdate").cast("timestamp") > cutoff)
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum(rev).alias("revenue_e4"))
+           .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+           .limit(10))
+    return out.select("l_orderkey",
+                      F.col("o_orderdate").cast("timestamp")
+                       .cast("double").cast("long").alias("odate_s"),
+                      "o_orderpriority", "revenue_e4")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (PQ16x8, the canonical 8-bit
     config: 64-dim float64 -> 16 one-byte codes, 32x smaller scan).
@@ -1978,6 +2017,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "heavy_hitters": q_heavy_hitters,
         "pq_topk": q_pq_topk,
+        "winsorize": q_winsorize,
+        "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
     }
 
@@ -3485,6 +3526,45 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["winsorize"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), w AS (
+          SELECT event_id, cents,
+                 quantile_cont(cents, 0.05) OVER b AS lo,
+                 quantile_cont(cents, 0.95) OVER b AS hi,
+                 COUNT(cents) OVER b AS n
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+        )
+        SELECT event_id,
+               round(CASE WHEN n >= 20
+                     THEN least(greatest(CAST(cents AS DOUBLE), lo), hi)
+                     ELSE CAST(cents AS DOUBLE) END, 6) AS wz
+        FROM w
+    """
+    oracles["tpch_q3"] = """
+        SELECT l_orderkey,
+               CAST(epoch(o_orderdate) AS BIGINT) AS odate_s,
+               o_orderpriority,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_e4
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_e4 DESC, l_orderkey
+        LIMIT 10
     """
     oracles["rolling_median"] = """
         WITH q AS (

@@ -73,7 +73,12 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100,
     cand = (df.select(col).mapInPandas(mg, df.select(col).schema)
               .distinct())
     total = df.count()
-    return (df.join(F.broadcast(cand), col, "left_semi")
+    # no forced broadcast: candidates are usually tiny (<= k per
+    # partition before distinct) and AQE broadcasts them at runtime,
+    # but on a 100k-partition corpus the union can grow past the
+    # broadcast threshold and must fall back to a shuffled semi-join
+    # of the candidate set — never of the full stream
+    return (df.join(cand, col, "left_semi")
               .groupBy(col)
               .agg(F.count(F.lit(1)).alias(count_col))
               .filter(F.col(count_col) * (k + 1) > F.lit(total)))

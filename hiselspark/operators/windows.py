@@ -279,6 +279,43 @@ def rolling_quantile(
                          F.percentile(col, F.lit(float(q))).over(w))
 
 
+def winsorize_pit(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: Optional[str] = None,
+    strict: bool = True,
+    min_history: int = 20,
+) -> DataFrame:
+    """Leakage-free winsorization: clamp each value to the
+    [lower_q, upper_q] quantile band of the SAME entity's history
+    STRICTLY BEFORE the row (``strict=True``; the point-in-time twin
+    of a fitted outlier clipper — the fitted variant would leak the
+    future).  Until ``min_history`` earlier rows exist the value
+    passes through unclamped (a 3-row quantile band is noise, and the
+    cold-start rule must be explicit, not accidental).
+
+    Quantiles via ``percentile`` over an expanding strictly-before
+    range frame — q·(n−1) interpolation, same rule as DuckDB
+    ``quantile_cont`` — sharing the one entity clustering."""
+    out_col = out_col or f"{col}_wins"
+    upper = -1 if strict else 0  # microseconds
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(Window.unboundedPreceding, upper))
+    lo = F.percentile(col, F.lit(float(lower_q))).over(w)
+    hi = F.percentile(col, F.lit(float(upper_q))).over(w)
+    n = F.count(col).over(w)
+    clamped = F.least(F.greatest(F.col(col).cast("double"), lo), hi)
+    return df.withColumn(
+        out_col,
+        F.when(n >= min_history, clamped)
+         .otherwise(F.col(col).cast("double")))
+
+
 def distinct_so_far(
     df: DataFrame,
     entity_col: str,

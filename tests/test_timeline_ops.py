@@ -188,3 +188,29 @@ def test_distinct_so_far_matches_pandas(spark, events_pdf):
             seen.add(events_pdf.set_index("event_id").loc[
                 r["event_id"], "y"])
             assert r["nd"] == len(seen)
+
+
+def test_winsorize_pit_strictly_before(spark):
+    from hiselspark.operators.windows import winsorize_pit
+    rng = np.random.default_rng(11)
+    n = 60
+    pdf = pd.DataFrame({
+        "event_id": range(n),
+        "entity": [0] * n,
+        "ts": pd.date_range("2024-03-01", periods=n, freq="1h"),
+        "x": rng.integers(0, 1000, n),
+    })
+    pdf.loc[40, "x"] = 10_000   # outlier with plenty of history
+    df = spark.createDataFrame(pdf)
+    out = (winsorize_pit(df, "entity", "ts", "x", 0.05, 0.95,
+                         min_history=20)
+           .toPandas().sort_values("event_id")["x_wins"].to_numpy())
+    for i in range(n):
+        hist = pdf["x"].to_numpy()[:i]          # strictly before
+        if len(hist) < 20:
+            assert out[i] == pdf["x"][i]
+        else:
+            lo, hi = np.quantile(hist, [0.05, 0.95])
+            assert out[i] == pytest.approx(
+                min(max(float(pdf["x"][i]), lo), hi), abs=1e-9)
+    assert out[40] < 10_000      # the outlier got clamped
