@@ -1770,6 +1770,21 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: coalesce each user's event intervals
+    [ts, ts+30min] into maximal merged spans — sessionize generalized
+    from points to intervals; two windows + one groupBy on a single
+    entity clustering."""
+    from hiselspark.operators.windows import merge_intervals
+    ev = (_ev(spark, sf_dir)
+          .withColumn("s_us", _us("ts"))
+          .withColumn("e_us", _us("ts") + F.lit(1800 * 1_000_000)))
+    out = merge_intervals(ev, "user_id", "s_us", "e_us",
+                          tie_cols=("event_id",))
+    return out.select("user_id", "island_id", "island_start",
+                      "island_end", "n_intervals")
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free winsorization: clamp each event's value to the
     [p05, p95] band of the SAME user's strictly-earlier history (>= 20
@@ -2018,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "pq_topk": q_pq_topk,
         "winsorize": q_winsorize,
+        "merge_intervals": q_merge_intervals,
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
     }
@@ -3526,6 +3542,40 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["merge_intervals"] = """
+        WITH q AS (
+          SELECT user_id, event_id, epoch_us(ts) AS s_us,
+                 epoch_us(ts) + 1800000000 AS e_us
+          FROM events
+        ), f AS (
+          SELECT user_id, s_us, e_us,
+                 CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY s_us, e_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) IS NULL
+                       OR s_us > max(e_us) OVER (
+                        PARTITION BY user_id
+                        ORDER BY s_us, e_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+                      THEN 1 ELSE 0 END AS new_island,
+                 event_id
+          FROM q
+        ), g AS (
+          SELECT user_id, s_us, e_us,
+                 SUM(new_island) OVER (
+                   PARTITION BY user_id
+                   ORDER BY s_us, e_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island_id
+          FROM f
+        )
+        SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+               MIN(s_us) AS island_start, MAX(e_us) AS island_end,
+               COUNT(*) AS n_intervals
+        FROM g GROUP BY user_id, island_id
     """
     oracles["winsorize"] = """
         WITH q AS (

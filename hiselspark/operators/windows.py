@@ -348,6 +348,38 @@ def distinct_so_far(
               .drop("__first"))
 
 
+def merge_intervals(
+    df: DataFrame,
+    entity_col: str,
+    start_col: str,
+    end_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per entity (the classic
+    gaps-and-islands reduction): output one row per maximal merged
+    interval with its span and member count.  Intervals touch when
+    ``next.start <= running_max(end)`` (closed ends).
+
+    Two window passes over one entity clustering — order by
+    ``(start, end, *tie_cols)``, flag rows whose start exceeds the
+    running max of previous ends, cumulative-sum the flags into island
+    ids — then one groupBy.  The same plan family as ``sessionize``
+    (this IS sessionize generalized from points to intervals)."""
+    w = entity_window(entity_col, start_col, end_col, *tie_cols)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    is_new = (prev_max_end.isNull()
+              | (F.col(start_col) > prev_max_end)).cast("long")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("__new", is_new)
+              .withColumn("__island", F.sum("__new").over(wsum))
+              .groupBy(entity_col, "__island")
+              .agg(F.min(start_col).alias("island_start"),
+                   F.max(end_col).alias("island_end"),
+                   F.count(F.lit(1)).alias("n_intervals"))
+              .withColumnRenamed("__island", "island_id"))
+
+
 def tumbling_aggregates(
     df: DataFrame,
     entity_col: str,

@@ -214,3 +214,46 @@ def test_winsorize_pit_strictly_before(spark):
             assert out[i] == pytest.approx(
                 min(max(float(pdf["x"][i]), lo), hi), abs=1e-9)
     assert out[40] < 10_000      # the outlier got clamped
+
+
+def test_merge_intervals_matches_naive(spark):
+    from hiselspark.operators.windows import merge_intervals
+    rng = np.random.default_rng(13)
+    n = 300
+    starts = rng.integers(0, 10_000, n)
+    lengths = rng.integers(1, 800, n)
+    pdf = pd.DataFrame({
+        "iid": range(n),
+        "entity": rng.integers(0, 6, n),
+        "s": starts,
+        "e": starts + lengths,
+    })
+    out = (merge_intervals(spark.createDataFrame(pdf), "entity", "s",
+                           "e", tie_cols=("iid",))
+           .toPandas().sort_values(["entity", "island_start"])
+           .reset_index(drop=True))
+    exp_rows = []
+    for ent, g in pdf.groupby("entity"):
+        g = g.sort_values(["s", "e", "iid"])
+        cur = None
+        for _, r in g.iterrows():
+            if cur is None or r["s"] > cur[1]:
+                if cur is not None:
+                    exp_rows.append((ent, cur[0], cur[1], cur[2]))
+                cur = [r["s"], r["e"], 1]
+            else:
+                cur[1] = max(cur[1], r["e"])
+                cur[2] += 1
+        exp_rows.append((ent, cur[0], cur[1], cur[2]))
+    exp = (pd.DataFrame(exp_rows, columns=["entity", "island_start",
+                                           "island_end", "n_intervals"])
+           .sort_values(["entity", "island_start"])
+           .reset_index(drop=True))
+    assert len(out) == len(exp)
+    for c in ("entity", "island_start", "island_end", "n_intervals"):
+        assert (out[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # islands are disjoint with real gaps between them
+    for ent, g in out.groupby("entity"):
+        ends = g["island_end"].to_numpy()[:-1]
+        nexts = g["island_start"].to_numpy()[1:]
+        assert (nexts > ends).all()
