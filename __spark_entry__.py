@@ -1770,6 +1770,32 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension join: each user's purchases define validity
+    periods [purchase_ts, next_purchase_ts) carrying the purchase
+    amount; every click picks up the attribute of its covering period
+    (NULL before the first purchase).  Runs as the one-shuffle as-of
+    union plan + valid_to guard, not a generic interval join."""
+    from pyspark.sql import Window
+    from hiselspark.operators.asof import scd2_join
+    ev = _ev(spark, sf_dir)
+    purch = (ev.filter(F.col("event_type") == "purchase")
+             .withColumn("cents", F.round(F.col("value") * 100)
+                         .cast("long"))
+             .groupBy("user_id", "ts")
+             .agg(F.max_by("cents", "event_id").alias("p_cents")))
+    dim = (purch.select("user_id", F.col("ts").alias("valid_from"),
+                        F.lead("ts").over(
+                            Window.partitionBy("user_id")
+                                  .orderBy("ts")).alias("valid_to"),
+                        "p_cents"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    out = scd2_join(clicks, dim, on="user_id", fact_ts="ts",
+                    value_cols=["p_cents"])
+    return out.select("event_id", "user_id", "p_cents")
+
+
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: coalesce each user's event intervals
     [ts, ts+30min] into maximal merged spans — sessionize generalized
@@ -2034,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "winsorize": q_winsorize,
         "merge_intervals": q_merge_intervals,
+        "scd2_join": q_scd2_join,
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
     }
@@ -3542,6 +3569,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["scd2_join"] = """
+        WITH p AS (
+          SELECT user_id, ts,
+                 arg_max(CAST(round(value*100) AS BIGINT), event_id)
+                   AS p_cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts
+        ), dim AS (
+          SELECT user_id, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS valid_to,
+                 p_cents
+          FROM p
+        )
+        SELECT c.event_id, c.user_id, d.p_cents
+        FROM events c
+        LEFT JOIN dim d
+          ON c.user_id = d.user_id
+         AND c.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+        WHERE c.event_type = 'click'
     """
     oracles["merge_intervals"] = """
         WITH q AS (

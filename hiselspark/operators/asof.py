@@ -224,3 +224,45 @@ def asof_join_cogrouped(
         .cogroup(feat.groupBy("__rk"))
         .applyInPandas(merge, out_schema)
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Point-in-time join of a fact stream against a slowly-changing
+    type-2 dimension: each fact row picks up the dimension attributes
+    whose validity period covers it (``valid_from <= fact_ts <
+    valid_to``; ``valid_to`` NULL = current row, open-ended).
+
+    For a well-formed SCD2 dimension (periods per key non-overlapping)
+    this is exactly an as-of backward join on ``valid_from`` followed
+    by a ``fact_ts < valid_to`` guard — so it rides the one-shuffle
+    union plan of :func:`asof_join` instead of a generic interval
+    join: the dimension's periods per key are totally ordered, and the
+    latest ``valid_from`` at-or-before the fact IS the covering period
+    if any period covers it.  Facts outside every period (before the
+    first, or in a retired gap) keep NULL attributes, like SQL's
+    LEFT JOIN ... BETWEEN.
+    """
+    if value_cols is None:
+        value_cols = [c for c in dim.columns
+                      if c not in (on, valid_from, valid_to)]
+    value_cols = list(value_cols)
+    out = asof_join(facts, dim, on=on, left_ts=fact_ts,
+                    right_ts=valid_from,
+                    value_cols=value_cols + [valid_to])
+    ts_us = (F.col(fact_ts).cast("timestamp").cast("double")
+             * 1_000_000).cast("long")
+    to_us = (F.col(valid_to).cast("timestamp").cast("double")
+             * 1_000_000).cast("long")
+    covered = F.col(valid_to).isNull() | (ts_us < to_us)
+    matched = F.col("__matched_ts").isNotNull() & covered
+    for c in value_cols:
+        out = out.withColumn(c, F.when(matched, F.col(c)))
+    return out.drop(valid_to, "__matched_ts")

@@ -294,3 +294,33 @@ def test_chunked_encodings_match_plain(spark):
          for r in ch.select(*cols).collect()}
     release_chunk_caches()
     assert a == b   # bit-identical, nulls included
+
+
+def test_scd2_join_period_semantics(spark):
+    from hiselspark.operators.asof import scd2_join
+    t = lambda s: pd.Timestamp(s)  # noqa: E731
+    dim = pd.DataFrame({
+        "key": [1, 1, 2],
+        "valid_from": [t("2024-01-10"), t("2024-01-30"), t("2024-01-05")],
+        "valid_to":   [t("2024-01-20"), None,            None],
+        "attr": [100, 200, 300],
+    })
+    facts = pd.DataFrame({
+        "fid": [0, 1, 2, 3, 4, 5],
+        "key": [1, 1, 1, 1, 1, 2],
+        "ts": [t("2024-01-05"),   # before first period -> NULL
+               t("2024-01-10"),   # exactly valid_from -> covered
+               t("2024-01-20"),   # exactly valid_to -> NOT covered (gap)
+               t("2024-01-25"),   # retired gap -> NULL
+               t("2024-02-01"),   # open-ended current row
+               t("2024-01-06")],  # other key, current row
+    })
+    out = (scd2_join(spark.createDataFrame(facts),
+                     spark.createDataFrame(dim), on="key")
+           .toPandas().set_index("fid")["attr"])
+    assert pd.isna(out[0])
+    assert out[1] == 100
+    assert pd.isna(out[2])
+    assert pd.isna(out[3])
+    assert out[4] == 200
+    assert out[5] == 300
