@@ -1770,6 +1770,21 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar + cyclical time features (hour/isodow/dom/weekend and
+    the sin/cos circle encodings) — pure JVM map stage; trig rounded
+    to absorb the libm/JVM ulp."""
+    from hiselspark.operators.windows import with_calendar_features
+    ev = _ev(spark, sf_dir)
+    out = with_calendar_features(ev, "ts")
+    return out.select(
+        "event_id", "hour", "isodow", "dom", "is_weekend",
+        F.round("hour_sin", 6).alias("hour_sin"),
+        F.round("hour_cos", 6).alias("hour_cos"),
+        F.round("dow_sin", 6).alias("dow_sin"),
+        F.round("dow_cos", 6).alias("dow_cos"))
+
+
 def q_scd2_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension join: each user's purchases define validity
     periods [purchase_ts, next_purchase_ts) carrying the purchase
@@ -2061,6 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": q_winsorize,
         "merge_intervals": q_merge_intervals,
         "scd2_join": q_scd2_join,
+        "calendar_features": q_calendar_features,
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
     }
@@ -3569,6 +3585,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["calendar_features"] = """
+        SELECT event_id,
+               CAST(hour(ts) AS INT) AS hour,
+               CAST(isodow(ts) AS INT) AS isodow,
+               CAST(day(ts) AS INT) AS dom,
+               CAST(CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END
+                    AS INT) AS is_weekend,
+               round(sin(CAST(hour(ts) AS DOUBLE) * (2 * pi() / 24)),
+                     6) AS hour_sin,
+               round(cos(CAST(hour(ts) AS DOUBLE) * (2 * pi() / 24)),
+                     6) AS hour_cos,
+               round(sin(CAST(isodow(ts) - 1 AS DOUBLE) * (2 * pi() / 7)),
+                     6) AS dow_sin,
+               round(cos(CAST(isodow(ts) - 1 AS DOUBLE) * (2 * pi() / 7)),
+                     6) AS dow_cos
+        FROM events
     """
     oracles["scd2_join"] = """
         WITH p AS (

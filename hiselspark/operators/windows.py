@@ -402,3 +402,41 @@ def tumbling_aggregates(
               .withColumn("window_start", F.col("__w.start"))
               .withColumn("window_end", F.col("__w.end"))
               .drop("__w"))
+
+
+def with_calendar_features(
+    df: DataFrame,
+    ts_col: str,
+    prefix: str = "",
+    cyclical: bool = True,
+) -> DataFrame:
+    """Calendar feature basics for the timestamp column: hour of day,
+    ISO day-of-week (1=Monday), day of month, weekend flag, and —
+    because hour 23 and hour 0 are neighbours, which integer encoding
+    hides from distance-based models — the standard cyclical
+    ``sin/cos(2π·hour/24)`` and ``sin/cos(2π·(isodow−1)/7)`` pairs.
+    Pure JVM expressions, map-only, no shuffle."""
+    import math
+    ts = F.col(ts_col).cast("timestamp")
+    hour = F.hour(ts)
+    # Spark dayofweek: 1=Sunday..7=Saturday -> ISO 1=Monday..7=Sunday
+    isodow = (F.dayofweek(ts) + 5) % 7 + 1
+    out = (df.withColumn(f"{prefix}hour", hour)
+             .withColumn(f"{prefix}isodow", isodow)
+             .withColumn(f"{prefix}dom", F.dayofmonth(ts))
+             .withColumn(f"{prefix}is_weekend",
+                         (isodow >= 6).cast("int")))
+    if cyclical:
+        two_pi = 2.0 * math.pi
+        hf = hour.cast("double")
+        df_ = (isodow - 1).cast("double")
+        out = (out
+               .withColumn(f"{prefix}hour_sin",
+                           F.sin(hf * (two_pi / 24.0)))
+               .withColumn(f"{prefix}hour_cos",
+                           F.cos(hf * (two_pi / 24.0)))
+               .withColumn(f"{prefix}dow_sin",
+                           F.sin(df_ * (two_pi / 7.0)))
+               .withColumn(f"{prefix}dow_cos",
+                           F.cos(df_ * (two_pi / 7.0))))
+    return out

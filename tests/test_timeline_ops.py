@@ -257,3 +257,25 @@ def test_merge_intervals_matches_naive(spark):
         ends = g["island_end"].to_numpy()[:-1]
         nexts = g["island_start"].to_numpy()[1:]
         assert (nexts > ends).all()
+
+
+def test_calendar_features_known_values(spark):
+    from hiselspark.operators.windows import with_calendar_features
+    pdf = pd.DataFrame({
+        "event_id": [0, 1],
+        # 2024-03-04 is a Monday; 2024-03-09 a Saturday
+        "ts": [pd.Timestamp("2024-03-04 13:30:00"),
+               pd.Timestamp("2024-03-09 06:00:00")],
+    })
+    out = (with_calendar_features(spark.createDataFrame(pdf), "ts")
+           .toPandas().set_index("event_id"))
+    assert out.loc[0, "hour"] == 13 and out.loc[0, "isodow"] == 1
+    assert out.loc[0, "is_weekend"] == 0 and out.loc[0, "dom"] == 4
+    assert out.loc[1, "isodow"] == 6 and out.loc[1, "is_weekend"] == 1
+    for i in (0, 1):
+        assert (out.loc[i, "hour_sin"] ** 2
+                + out.loc[i, "hour_cos"] ** 2) == pytest.approx(1.0)
+        assert (out.loc[i, "dow_sin"] ** 2
+                + out.loc[i, "dow_cos"] ** 2) == pytest.approx(1.0)
+    assert out.loc[0, "dow_sin"] == pytest.approx(0.0)  # Monday = angle 0
+    assert out.loc[0, "dow_cos"] == pytest.approx(1.0)
