@@ -1696,6 +1696,23 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents")
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-interpolation onto the 6h grid (the offline/label-
+    side resampler — reads the future by design, unlike the
+    leakage-free ffill twin): two as-of passes on one clustering,
+    microsecond-integer weights, pandas boundary conventions."""
+    from hiselspark.operators.resample import resample_interp
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = resample_interp(ev, "user_id", "ts", 6 * 3600, "cents",
+                          tie_col="event_id", out_col="v")
+    return out.select(
+        "user_id",
+        F.col("grid_ts").cast("timestamp").cast("double").cast("long")
+         .alias("grid_s"),
+        F.round("v", 6).alias("v"))
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index per event_type between the first and
     second half of the month (value bucketed to 200-cent bins, capped):
@@ -2063,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_stream": q_snapshot_stream,
         "temperature_mix": q_temperature_mix,
         "resample_ffill": q_resample_ffill,
+        "resample_interp": q_resample_interp,
         "psi_drift": q_psi_drift,
         "rolling_corr": q_rolling_corr,
         "ewma": q_ewma,
@@ -3498,6 +3516,52 @@ def oracle_sql() -> dict[str, str]:
         FROM g ASOF LEFT JOIN per_ts p
           ON g.user_id = p.user_id
          AND make_timestamp(g.grid_s * 1000000) >= p.ts
+    """
+    oracles["resample_interp"] = """
+        WITH q AS (
+          SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+                 event_id
+          FROM events
+        ), per_ts AS (
+          SELECT user_id, ts, arg_max(cents, event_id) AS cents
+          FROM q GROUP BY user_id, ts
+        ), b AS (
+          SELECT user_id,
+                 CAST(floor(epoch(min(ts)) / 21600) AS BIGINT) * 21600
+                   AS t0,
+                 CAST(floor(epoch(max(ts)) / 21600) AS BIGINT) * 21600
+                   AS t1
+          FROM per_ts GROUP BY user_id
+        ), g AS (
+          SELECT user_id,
+                 unnest(generate_series(t0, t1, 21600)) AS grid_s
+          FROM b
+        ), bk AS (
+          SELECT g.user_id, g.grid_s,
+                 p.ts AS t_prev, p.cents AS v_prev
+          FROM g ASOF LEFT JOIN per_ts p
+            ON g.user_id = p.user_id
+           AND make_timestamp(g.grid_s * 1000000) >= p.ts
+        ), fw AS (
+          SELECT bk.user_id, bk.grid_s, bk.t_prev, bk.v_prev,
+                 p.ts AS t_next, p.cents AS v_next
+          FROM bk ASOF LEFT JOIN per_ts p
+            ON bk.user_id = p.user_id
+           AND make_timestamp(bk.grid_s * 1000000) <= p.ts
+        )
+        SELECT user_id, grid_s,
+               round(CASE
+                 WHEN t_prev IS NULL THEN NULL
+                 WHEN t_next IS NULL OR epoch_us(t_next) = epoch_us(t_prev)
+                   THEN CAST(v_prev AS DOUBLE)
+                 ELSE CAST(v_prev AS DOUBLE)
+                      + (CAST(v_next AS DOUBLE) - CAST(v_prev AS DOUBLE))
+                        * (CAST(grid_s * 1000000 - epoch_us(t_prev)
+                                AS DOUBLE)
+                           / CAST(epoch_us(t_next) - epoch_us(t_prev)
+                                  AS DOUBLE))
+               END, 6) AS v
+        FROM fw
     """
     oracles["psi_drift"] = """
         WITH q AS (

@@ -62,6 +62,68 @@ def time_grid(
             .drop("__gs"))
 
 
+def resample_interp(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step_seconds: int,
+    value_col: str,
+    grid_ts_col: str = "grid_ts",
+    tie_col: Optional[str] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Linear interpolation onto the per-entity time grid (pandas
+    ``resample().interpolate('time')``): each tick gets the
+    time-weighted blend of the surrounding observations,
+
+        v = v_prev + (v_next − v_prev) · (t − t_prev)/(t_next − t_prev)
+
+    with exact passthrough on ticks that hit an observation, the
+    boundary convention of pandas (before the first observation →
+    NULL; after the last → last value held).
+
+    NOTE: interpolation READS THE FUTURE (``t_next``) — this is the
+    offline/label-side resampler; the leakage-free feature-side twin
+    is :func:`resample_ffill`.
+
+    Two as-of passes (backward + forward) over the same entity
+    clustering; microsecond-integer time deltas keep the weight
+    arithmetic engine-exact.
+    """
+    out_col = out_col or value_col
+    per_ts = events.select(entity_col, ts_col, *(
+        [tie_col] if tie_col else []), value_col)
+    if tie_col is not None:
+        per_ts = (per_ts
+                  .groupBy(entity_col, ts_col)
+                  .agg(F.max_by(value_col, tie_col).alias(value_col)))
+    grid = time_grid(per_ts, entity_col, ts_col, step_seconds,
+                     grid_ts_col=grid_ts_col)
+    back = asof_join(grid, per_ts, on=entity_col, left_ts=grid_ts_col,
+                     right_ts=ts_col, value_cols=[value_col],
+                     suffix="_prev")
+    back = back.withColumnRenamed("__matched_ts", "__t_prev")
+    both = asof_join(back, per_ts, on=entity_col, left_ts=grid_ts_col,
+                     right_ts=ts_col, value_cols=[value_col],
+                     suffix="_next", direction="forward")
+    both = both.withColumnRenamed("__matched_ts", "__t_next")
+
+    us = lambda c: (F.col(c).cast("timestamp").cast("double")  # noqa: E731
+                    * 1_000_000).cast("long")
+    t, t0, t1 = us(grid_ts_col), us("__t_prev"), us("__t_next")
+    v0 = F.col(f"{value_col}_prev").cast("double")
+    v1 = F.col(f"{value_col}_next").cast("double")
+    interp = (
+        F.when(F.col("__t_prev").isNull(), F.lit(None).cast("double"))
+         .when(F.col("__t_next").isNull() | (t1 == t0), v0)
+         .otherwise(v0 + (v1 - v0)
+                    * ((t - t0).cast("double")
+                       / (t1 - t0).cast("double")))
+    )
+    return (both.withColumn(out_col, interp)
+                .select(entity_col, grid_ts_col, out_col))
+
+
 def resample_ffill(
     events: DataFrame,
     entity_col: str,

@@ -279,3 +279,27 @@ def test_calendar_features_known_values(spark):
                 + out.loc[i, "dow_cos"] ** 2) == pytest.approx(1.0)
     assert out.loc[0, "dow_sin"] == pytest.approx(0.0)  # Monday = angle 0
     assert out.loc[0, "dow_cos"] == pytest.approx(1.0)
+
+
+def test_resample_interp_matches_pandas(spark):
+    from hiselspark.operators.resample import resample_interp
+    pdf = pd.DataFrame({
+        "event_id": range(4),
+        "entity": [0, 0, 0, 0],
+        "ts": [pd.Timestamp("2024-03-01 00:30"),   # grid 00:00 -> NULL
+               pd.Timestamp("2024-03-01 01:30"),
+               pd.Timestamp("2024-03-01 04:00"),   # exact grid hit
+               pd.Timestamp("2024-03-01 05:30")],
+        "x": [100, 200, 500, 900],
+    })
+    out = (resample_interp(spark.createDataFrame(pdf), "entity", "ts",
+                           3600, "x", tie_col="event_id", out_col="v")
+           .toPandas().sort_values("grid_ts"))
+    got = dict(zip(out["grid_ts"].dt.strftime("%H:%M"), out["v"]))
+    assert pd.isna(got["00:00"])          # before first observation
+    # 01:00 between (00:30,100) and (01:30,200): half way -> 150
+    assert got["01:00"] == pytest.approx(150.0)
+    # 02:00 between (01:30,200) and (04:00,500): 30/150 of the way
+    assert got["02:00"] == pytest.approx(200 + 300 * (30 / 150))
+    assert got["04:00"] == pytest.approx(500.0)   # exact observation
+    assert got["05:00"] == pytest.approx(500 + 400 * (60 / 90))
