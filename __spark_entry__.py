@@ -1774,6 +1774,20 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "n_types")
 
 
+def q_rolling_corr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of rolling_corr — same oracle, hot users split
+    across (entity, time-bucket) tasks."""
+    from hiselspark.operators.chunked import chunked_rolling_corr
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+          .withColumn("k", F.get_json_object("props", "$.k")
+                            .cast("long")))
+    out = chunked_rolling_corr(ev, "user_id", "ts", "cents", "k",
+                               7 * 86400.0)
+    return out.select("event_id", F.round("roll_corr", 6)
+                      .alias("roll_corr"))
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average of the event value per
     user (α=0.5, 8 lags — weights decay below double noise, so the
@@ -2083,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_interp": q_resample_interp,
         "psi_drift": q_psi_drift,
         "rolling_corr": q_rolling_corr,
+        "rolling_corr_chunked": q_rolling_corr_chunked,
         "ewma": q_ewma,
         "purged_split": q_purged_split,
         "rolling_median": q_rolling_median,
@@ -3880,4 +3895,5 @@ def oracle_sql() -> dict[str, str]:
                END AS split
         FROM events
     """
+    oracles["rolling_corr_chunked"] = oracles["rolling_corr"]
     return oracles

@@ -494,3 +494,49 @@ def chunked_asof_join(
         *[F.col(f"__m.v_{c}").alias(f"{c}{suffix}") for c in value_cols],
         F.col("__m.__mts").alias("__matched_ts"),
     )
+
+
+def chunked_rolling_corr(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    xcol: str,
+    ycol: str,
+    window_seconds: float,
+    bucket_seconds: float = 7 * 86400.0,
+    out_col: str = "roll_corr",
+) -> DataFrame:
+    """Skew-proof twin of ``windows.rolling_corr``: the six sufficient
+    sums ride :func:`chunked_rolling` (clustered by (entity,
+    time-bucket), hot entities split across tasks, overlap-context
+    rows supply the trailing window across bucket edges), and the same
+    closed-form correlation expression as the plain operator turns
+    them into bit-identical values."""
+    tagged = (df.withColumn("__cx", F.col(xcol).cast("long"))
+                .withColumn("__cy", F.col(ycol).cast("long"))
+                .withColumn("__cxx", F.col(xcol).cast("long")
+                            * F.col(xcol).cast("long"))
+                .withColumn("__cyy", F.col(ycol).cast("long")
+                            * F.col(ycol).cast("long"))
+                .withColumn("__cxy", F.col(xcol).cast("long")
+                            * F.col(ycol).cast("long")))
+    rolled = chunked_rolling(
+        tagged, entity_col, ts_col,
+        {"__cx": ["sum", "count"], "__cy": ["sum"], "__cxx": ["sum"],
+         "__cyy": ["sum"], "__cxy": ["sum"]},
+        window_seconds)
+    ws = f"{window_seconds:g}s"
+    n = F.col(f"__cx_roll_count_{ws}")
+    nd = n.cast("double")
+    sx = F.col(f"__cx_roll_sum_{ws}").cast("double")
+    sy = F.col(f"__cy_roll_sum_{ws}").cast("double")
+    sxx = F.col(f"__cxx_roll_sum_{ws}").cast("double")
+    syy = F.col(f"__cyy_roll_sum_{ws}").cast("double")
+    sxy = F.col(f"__cxy_roll_sum_{ws}").cast("double")
+    cov = nd * sxy - sx * sy
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    corr = F.when((n >= 2) & (vx > 0) & (vy > 0),
+                  cov / (F.sqrt(vx) * F.sqrt(vy)))
+    drop = [c for c in rolled.columns if c.startswith("__c")]
+    return rolled.withColumn(out_col, corr).drop(*drop)

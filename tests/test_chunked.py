@@ -140,3 +140,31 @@ def test_chunked_clustering_bounds_partition_size(spark, skewed):
     per_entity = skewed.groupBy("entity_id").count().toPandas()
     hot_total = int(per_entity.set_index("entity_id").loc["hot", "count"])
     assert sizes["count"].max() < hot_total / 5
+
+
+def test_chunked_rolling_corr_equals_plain(spark):
+    from hiselspark.operators.chunked import (chunked_rolling_corr,
+                                              release_chunk_caches)
+    from hiselspark.operators.windows import rolling_corr
+    rng = np.random.default_rng(21)
+    n = 3000
+    pdf = pd.DataFrame({
+        "event_id": range(n),
+        # one hot entity with 80% of rows + a few normal ones
+        "entity": np.where(rng.random(n) < 0.8, 0,
+                           rng.integers(1, 6, n)),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 60 * 86400, n), unit="s"),
+        "x": rng.integers(0, 500, n),
+        "y": rng.integers(0, 90, n),
+    })
+    df = spark.createDataFrame(pdf)
+    plain = (rolling_corr(df, "entity", "ts", "x", "y", 86400.0)
+             .select("event_id", "roll_corr").toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+    chunked = (chunked_rolling_corr(df, "entity", "ts", "x", "y",
+                                    86400.0, bucket_seconds=7 * 86400.0)
+               .select("event_id", "roll_corr").toPandas()
+               .sort_values("event_id").reset_index(drop=True))
+    release_chunk_caches()
+    pd.testing.assert_frame_equal(plain, chunked)
