@@ -87,7 +87,8 @@ def main() -> None:
     qs = se.queries()
     for name in ("asof_join", "rolling_1h", "sessionize", "lag_lead",
                  "tpch_q1", "broadcast_join_agg", "embedding_topk",
-                 "dedup_exact", "pack_sequences", "curate_corpus"):
+                 "dedup_exact", "pack_sequences", "curate_corpus",
+                 "resample_ffill", "heavy_hitters", "pq_topk"):
         timed(name, lambda n=name: qs[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save())
 
