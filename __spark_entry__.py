@@ -1746,6 +1746,27 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("roll_corr"))
 
 
+def q_ewma_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of ewma (lags ride chunked_lags) — same
+    oracle."""
+    from hiselspark.operators.chunked import chunked_ewma
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = chunked_ewma(ev, "user_id", "ts", "cents", alpha=0.5,
+                       max_lags=8, tie_col="event_id")
+    return out.select("event_id", F.col("cents_ewma").alias("ew"))
+
+
+def q_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds since the user's previous event (NULL on the first) —
+    one lag on the shared entity clustering, microsecond-exact."""
+    from hiselspark.operators.windows import with_inter_arrival
+    ev = _ev(spark, sf_dir)
+    out = with_inter_arrival(ev, "user_id", "ts",
+                             tie_cols=("event_id",))
+    return out.select("event_id", "delta_s")
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h median (and p90) of the event value per user —
     ``percentile`` over a range frame; linear interpolation at rank
@@ -2099,6 +2120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "rolling_corr_chunked": q_rolling_corr_chunked,
         "ewma": q_ewma,
+        "ewma_chunked": q_ewma_chunked,
+        "inter_arrival": q_inter_arrival,
         "purged_split": q_purged_split,
         "rolling_median": q_rolling_median,
         "novelty": q_novelty,
@@ -3896,4 +3919,16 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     oracles["rolling_corr_chunked"] = oracles["rolling_corr"]
+    oracles["ewma_chunked"] = oracles["ewma"]
+    oracles["inter_arrival"] = """
+        WITH q AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us
+          FROM events
+        )
+        SELECT event_id,
+               CAST(us - lag(us) OVER (
+                 PARTITION BY user_id ORDER BY us, event_id)
+               AS DOUBLE) / 1000000.0 AS delta_s
+        FROM q
+    """
     return oracles

@@ -540,3 +540,44 @@ def chunked_rolling_corr(
                   cov / (F.sqrt(vx) * F.sqrt(vy)))
     drop = [c for c in rolled.columns if c.startswith("__c")]
     return rolled.withColumn(out_col, corr).drop(*drop)
+
+
+def chunked_ewma(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    alpha: float = 0.5,
+    max_lags: int = 8,
+    out_col: Optional[str] = None,
+    tie_col: str = "event_id",
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Skew-proof twin of ``windows.ewma``: the K lagged values ride
+    :func:`chunked_lags` and the identical fixed-order weighted sum
+    turns them into bit-identical EWMAs.
+
+    Tie handling: ``chunked_lags`` orders ties by its value columns,
+    so passing ``(tie_col, col)`` makes the effective order
+    ``(ts, tie_col, col)`` — identical to the plain operator's
+    ``(ts, tie_col)`` whenever ``tie_col`` is unique (which is what a
+    tiebreaker column is)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    out_col = out_col or f"{col}_ewma"
+    lags = list(range(1, int(max_lags) + 1))
+    lagged = chunked_lags(df, entity_col, ts_col, [tie_col, col],
+                          lags=lags, bucket_seconds=bucket_seconds)
+    decay = 1.0 - alpha
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(int(max_lags) + 1):
+        xk = F.col(col) if k == 0 else F.col(f"{col}_lag{k}")
+        wk = F.lit(decay ** k)
+        num = num + F.when(xk.isNotNull(),
+                           xk.cast("double") * wk).otherwise(0.0)
+        den = den + F.when(xk.isNotNull(), wk).otherwise(0.0)
+    out = lagged.withColumn(out_col, F.when(den > 0, num / den))
+    drop = ([f"{col}_lag{k}" for k in lags]
+            + [f"{tie_col}_lag{k}" for k in lags])
+    return out.drop(*drop)

@@ -440,3 +440,23 @@ def with_calendar_features(
                .withColumn(f"{prefix}dow_cos",
                            F.cos(df_ * (two_pi / 7.0))))
     return out
+
+
+def with_inter_arrival(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    out_col: str = "delta_s",
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Seconds since the entity's previous event (NULL on its first) —
+    the most basic activity-rate feature, and the building block for
+    burstiness/arrival-rate signals.  One lag over the shared entity
+    clustering; microsecond-exact arithmetic."""
+    w = entity_window(entity_col, ts_col, *tie_cols)
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    prev = F.lag(us).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(prev.isNotNull(),
+               (us - prev).cast("double") / 1_000_000.0))

@@ -168,3 +168,31 @@ def test_chunked_rolling_corr_equals_plain(spark):
                .sort_values("event_id").reset_index(drop=True))
     release_chunk_caches()
     pd.testing.assert_frame_equal(plain, chunked)
+
+
+def test_chunked_ewma_equals_plain(spark):
+    from hiselspark.operators.chunked import (chunked_ewma,
+                                              release_chunk_caches)
+    from hiselspark.operators.windows import ewma
+    rng = np.random.default_rng(23)
+    n = 2000
+    pdf = pd.DataFrame({
+        "event_id": range(n),
+        "entity": np.where(rng.random(n) < 0.7, 0,
+                           rng.integers(1, 5, n)),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 45 * 86400, n), unit="s"),
+        "x": rng.integers(0, 500, n),
+    })
+    df = spark.createDataFrame(pdf)
+    plain = (ewma(df, "entity", "ts", "x", alpha=0.5, max_lags=8,
+                  tie_cols=("event_id",))
+             .select("event_id", "x_ewma").toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+    chunked = (chunked_ewma(df, "entity", "ts", "x", alpha=0.5,
+                            max_lags=8, tie_col="event_id",
+                            bucket_seconds=7 * 86400.0)
+               .select("event_id", "x_ewma").toPandas()
+               .sort_values("event_id").reset_index(drop=True))
+    release_chunk_caches()
+    pd.testing.assert_frame_equal(plain, chunked)
