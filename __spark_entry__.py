@@ -1930,6 +1930,26 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    m=16, n_codes=256)
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over events (Deequ-style): all
+    conditional-count rules in ONE aggregate pass + an exact
+    uniqueness pass; integer violation counts per rule."""
+    from hiselspark.operators.expectations import (check_expectations,
+                                                   in_range, in_set,
+                                                   matches, not_null)
+    ev = _ev(spark, sf_dir)
+    out = check_expectations(
+        ev,
+        [not_null("event_id"), not_null("value"),
+         in_range("value", 0.0, 50.0),
+         in_set("event_type", ["click", "view", "purchase", "error",
+                               "scroll"]),
+         matches("props", r"^\{.*\}$")],
+        unique_cols=["event_id"])
+    return out.select("rule", "violations", "n_rows",
+                      F.col("pass").cast("int").alias("ok"))
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters over the corpus token stream (k=40: every
     token with count·41 > N): per-partition Misra-Gries candidates in
@@ -2128,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_augment": q_image_augment,
         "streaming_interval_join": q_streaming_interval_join,
         "heavy_hitters": q_heavy_hitters,
+        "expectations": q_expectations,
         "pq_topk": q_pq_topk,
         "winsorize": q_winsorize,
         "merge_intervals": q_merge_intervals,
@@ -3859,6 +3880,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
                CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
         FROM a JOIN b USING (okey)
+    """
+    oracles["expectations"] = """
+        WITH n AS (SELECT COUNT(*) AS n_rows FROM events),
+        v AS (
+          SELECT 'not_null(event_id)' AS rule,
+                 COUNT(*) FILTER (WHERE event_id IS NULL) AS violations
+          FROM events
+          UNION ALL
+          SELECT 'not_null(value)',
+                 COUNT(*) FILTER (WHERE value IS NULL) FROM events
+          UNION ALL
+          SELECT 'in_range(value,0.0,50.0)',
+                 COUNT(*) FILTER (WHERE value IS NOT NULL
+                                  AND (value < 0.0 OR value > 50.0))
+          FROM events
+          UNION ALL
+          SELECT 'in_set(event_type)',
+                 COUNT(*) FILTER (WHERE event_type IS NOT NULL
+                   AND event_type NOT IN
+                     ('click','view','purchase','error','scroll'))
+          FROM events
+          UNION ALL
+          SELECT 'matches(props)',
+                 COUNT(*) FILTER (WHERE props IS NOT NULL
+                   AND NOT regexp_matches(props, '^\{.*\}$'))
+          FROM events
+          UNION ALL
+          SELECT 'unique(event_id)',
+                 COALESCE((SELECT SUM(c) FROM (
+                   SELECT COUNT(*) AS c FROM events
+                   GROUP BY event_id HAVING COUNT(*) > 1)), 0)
+        )
+        SELECT v.rule, CAST(v.violations AS BIGINT) AS violations,
+               n.n_rows,
+               CAST(CASE WHEN v.violations = 0 THEN 1 ELSE 0 END
+                    AS INT) AS ok
+        FROM v, n
     """
     oracles["heavy_hitters"] = """
         WITH t AS (
