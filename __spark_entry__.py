@@ -1930,6 +1930,23 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    m=16, n_codes=256)
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style fuzzy matching: all token pairs within edit
+    distance 1 over the corpus vocabulary plus deterministic typo
+    twins (first char dropped from tokens >= 5 chars).  Candidates
+    from deletion neighborhoods (complete for distance 1), verified
+    with the built-in levenshtein; never a vocabulary cross join."""
+    from hiselspark.functions.text import tokens
+    from hiselspark.operators.dedup import edit_distance_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (docs.select(F.explode(tokens("text")).alias("w"))
+             .distinct())
+    typos = (vocab.filter(F.length("w") >= 5)
+             .select(F.expr("substring(w, 2)").alias("w")))
+    out = edit_distance_pairs(vocab.unionByName(typos), "w")
+    return out.select("a", "b", "dist")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over events (Deequ-style): all
     conditional-count rules in ONE aggregate pass + an exact
@@ -2149,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "heavy_hitters": q_heavy_hitters,
         "expectations": q_expectations,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "pq_topk": q_pq_topk,
         "winsorize": q_winsorize,
         "merge_intervals": q_merge_intervals,
@@ -3880,6 +3898,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
                CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
         FROM a JOIN b USING (okey)
+    """
+    oracles["fuzzy_pairs"] = """
+        WITH v AS (
+          SELECT DISTINCT unnest(
+            regexp_split_to_array(trim(text), '\\s+')) AS w
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ), vt AS (
+          SELECT w FROM v
+          UNION
+          SELECT w[2:] AS w FROM v WHERE length(w) >= 5
+        )
+        SELECT a.w AS a, b.w AS b,
+               CAST(levenshtein(a.w, b.w) AS INT) AS dist
+        FROM vt a, vt b
+        WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
     """
     oracles["expectations"] = """
         WITH n AS (SELECT COUNT(*) AS n_rows FROM events),

@@ -350,3 +350,43 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
                             .otherwise(F.col("b")).alias(id_col))
                     .distinct())
     return train.join(contaminated, id_col, "left_anti")
+
+
+def edit_distance_pairs(df: DataFrame, col: str,
+                        max_edits: int = 1) -> DataFrame:
+    """All DISTINCT string pairs within Levenshtein distance
+    ``max_edits`` (currently 1) — the SymSpell/spell-dedup primitive,
+    computed relationally with a provably complete candidate set: two
+    strings are within edit distance 1 iff their deletion
+    neighborhoods ``{s} ∪ deletes₁(s)`` intersect (a substitution
+    meets at the same-position delete; an insert/delete meets at the
+    shorter string itself).  So the plan is: generate ≤ len+1 variants
+    per string (pure JVM ``transform`` over positions), equi-join on
+    the variant (bucketed shuffle — never a cross join of the
+    vocabulary), and verify candidates with the built-in
+    ``levenshtein`` — exactness comes from the verify, completeness
+    from the neighborhood property.
+
+    Returns ``(a, b, dist)`` with ``a < b``.
+    """
+    if max_edits != 1:
+        raise NotImplementedError(
+            "deletion neighborhoods are generated for edit distance 1; "
+            "k>1 needs k-deletes (|variants| ~ len^k)")
+    base = df.select(F.col(col).alias("__s")).distinct()
+    # delete the char at each position i (1-based), plus the string
+    # itself
+    variants = F.array_union(
+        F.array(F.col("__s")),
+        F.expr("transform(sequence(1, length(__s)), i -> "
+               "concat(substring(__s, 1, i - 1), "
+               "substring(__s, i + 1)))"))
+    ex = base.select("__s", F.explode(variants).alias("__v"))
+    pairs = (ex.alias("l").join(ex.alias("r"), "__v")
+             .filter(F.col("l.__s") < F.col("r.__s"))
+             .select(F.col("l.__s").alias("a"),
+                     F.col("r.__s").alias("b"))
+             .distinct())
+    return (pairs
+            .withColumn("dist", F.levenshtein("a", "b"))
+            .filter(F.col("dist") <= max_edits))

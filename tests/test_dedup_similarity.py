@@ -369,3 +369,32 @@ def test_pq_topk_recall(spark, vectors):
     # planted near-identical pair must rank first
     top = approx[(approx.probe_id == 0) & (approx.rk == 1)]
     assert top.vec_id.iloc[0] == 1
+
+
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[-1]
+
+
+def test_edit_distance_pairs_complete_vs_bruteforce(spark):
+    from hiselspark.operators.dedup import edit_distance_pairs
+    rng = np.random.default_rng(31)
+    alphabet = list("abcd")
+    words = {""}
+    while len(words) < 60:
+        words.add("".join(rng.choice(alphabet,
+                                     rng.integers(1, 6))))
+    words = sorted(words - {""})
+    got = (edit_distance_pairs(
+        spark.createDataFrame(pd.DataFrame({"w": words})), "w")
+        .toPandas())
+    got_pairs = set(zip(got["a"], got["b"]))
+    expected = {(a, b) for i, a in enumerate(words)
+                for b in words[i + 1:] if _lev(a, b) <= 1}
+    assert got_pairs == expected          # complete AND sound
+    assert (got["dist"] == 1).all()       # distinct strings, dist==1
