@@ -1930,6 +1930,19 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    m=16, n_codes=256)
 
 
+def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise embedding centroids (mean pooling) — posexplode +
+    two map-side-combined shuffles, dimensions reassembled in order;
+    exploded back to scalar rows for the oracle hash."""
+    from hiselspark.operators.similarity import embedding_centroid
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("grp", F.col("vec_id") % 8))
+    cent = embedding_centroid(emb, "grp")
+    return (cent.select("grp", "n",
+                        F.posexplode("centroid").alias("pos", "m"))
+            .select("grp", "n", "pos", F.round("m", 6).alias("m")))
+
+
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SymSpell-style fuzzy matching: all token pairs within edit
     distance 1 over the corpus vocabulary plus deterministic typo
@@ -2167,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "expectations": q_expectations,
         "fuzzy_pairs": q_fuzzy_pairs,
+        "embedding_centroid": q_embedding_centroid,
         "pq_topk": q_pq_topk,
         "winsorize": q_winsorize,
         "merge_intervals": q_merge_intervals,
@@ -3898,6 +3912,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(a.ck_crop_flip AS BIGINT) AS ck_crop_flip,
                CAST(b.ck_rot90 AS BIGINT) AS ck_rot90
         FROM a JOIN b USING (okey)
+    """
+    oracles["embedding_centroid"] = """
+        WITH e AS (
+          SELECT vec_id % 8 AS grp,
+                 unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) - 1 AS pos
+          FROM embeddings
+        )
+        SELECT grp, COUNT(*) AS n, pos,
+               round(SUM(x) / COUNT(*), 6) AS m
+        FROM e GROUP BY grp, pos
     """
     oracles["fuzzy_pairs"] = """
         WITH v AS (

@@ -425,3 +425,29 @@ def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             .filter(F.col("rk") <= k)
             .select("probe_id", "rk", "vec_id",
                     F.round("adc_sim", 6).alias("adc_sim")))
+
+
+def embedding_centroid(df: DataFrame, group_col: str,
+                       vec_col: str = "embedding",
+                       out_col: str = "centroid") -> DataFrame:
+    """Per-group elementwise mean of an ``array<double>`` column —
+    cluster summaries, IVF retraining input, topic means.  Relational
+    plan: ``posexplode`` the vectors, one map-side-combined
+    ``groupBy(group, pos)`` sum/count, then regroup per key with the
+    dimensions reassembled IN ORDER (``array_sort`` on (pos, mean)
+    structs) — shuffle volume is O(groups × dim), never a driver
+    collect.  Returns ``(group_col, n, centroid)``."""
+    ex = df.select(group_col,
+                   F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("__pos", "__x"))
+    per_dim = (ex.groupBy(group_col, "__pos")
+                 .agg(F.sum("__x").alias("__s"),
+                      F.count(F.lit(1)).alias("__c")))
+    return (per_dim
+            .groupBy(group_col)
+            .agg((F.max("__c")).alias("n"),
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("__pos"), (F.col("__s") / F.col("__c"))
+                     .alias("__m")))).alias("__sm"))
+            .withColumn(out_col, F.expr("transform(__sm, s -> s.__m)"))
+            .drop("__sm"))

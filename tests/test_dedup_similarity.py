@@ -398,3 +398,18 @@ def test_edit_distance_pairs_complete_vs_bruteforce(spark):
                 for b in words[i + 1:] if _lev(a, b) <= 1}
     assert got_pairs == expected          # complete AND sound
     assert (got["dist"] == 1).all()       # distinct strings, dist==1
+
+
+def test_embedding_centroid_matches_numpy(spark, vectors):
+    sdf, base = vectors
+    out = (similarity.embedding_centroid(
+        sdf.withColumn("grp", F.col("vec_id") % 3), "grp")
+        .toPandas().set_index("grp"))
+    import numpy as _np
+    ids = _np.arange(len(base))
+    for g in range(3):
+        member = base[ids % 3 == g]
+        _np.testing.assert_allclose(
+            _np.array(out.loc[g, "centroid"]), member.mean(axis=0),
+            rtol=1e-9)
+        assert out.loc[g, "n"] == len(member)
