@@ -1822,6 +1822,21 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("cents_ewma").alias("ew"))
 
 
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates (duration, size, value sum) on the same
+    entity clustering as sessionize — one shuffle total."""
+    from hiselspark.operators.windows import session_features
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = session_features(ev, "user_id", "ts", 1800.0,
+                           value_col="cents")
+    return out.select(
+        "user_id", "session_id", "n_events",
+        _us("session_start").alias("start_us"),
+        F.round("duration_s", 6).alias("duration_s"),
+        F.col("cents_sum"))
+
+
 def q_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar + cyclical time features (hour/isodow/dom/weekend and
     the sin/cos circle encodings) — pure JVM map stage; trig rounded
@@ -2186,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "scd2_join": q_scd2_join,
         "calendar_features": q_calendar_features,
+        "session_features": q_session_features,
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
     }
@@ -3740,6 +3756,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, CASE WHEN den > 0 THEN num / den END AS ew
         FROM w
+    """
+    oracles["session_features"] = """
+        WITH q AS (
+          SELECT user_id, ts, epoch_us(ts) AS us,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), f AS (
+          SELECT user_id, ts, us, cents,
+                 CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM q WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ), g AS (
+          SELECT user_id, us, cents, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - 1 AS session_id
+          FROM f
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(us) AS start_us,
+               round((MAX(us) - MIN(us)) / 1000000.0, 6)
+                 AS duration_s,
+               CAST(SUM(cents) AS BIGINT) AS cents_sum
+        FROM g GROUP BY user_id, session_id
     """
     oracles["calendar_features"] = """
         SELECT event_id,

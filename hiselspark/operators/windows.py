@@ -460,3 +460,27 @@ def with_inter_arrival(
         out_col,
         F.when(prev.isNotNull(),
                (us - prev).cast("double") / 1_000_000.0))
+
+
+def session_features(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    gap_seconds: float = 1800.0,
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """One row per (entity, session): duration, event count, bounds,
+    and optional value sum — the features models actually consume
+    after :func:`sessionize` assigns ids.  The sessionize window and
+    the groupBy share the entity clustering: one shuffle total."""
+    sess = sessionize(df, entity_col, ts_col, gap_seconds)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        ((ts_seconds(F.max(ts_col)) - ts_seconds(F.min(ts_col)))
+         .alias("duration_s")),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias(f"{value_col}_sum"))
+    return sess.groupBy(entity_col, "session_id").agg(*aggs)

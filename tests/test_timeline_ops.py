@@ -303,3 +303,22 @@ def test_resample_interp_matches_pandas(spark):
     assert got["02:00"] == pytest.approx(200 + 300 * (30 / 150))
     assert got["04:00"] == pytest.approx(500.0)   # exact observation
     assert got["05:00"] == pytest.approx(500 + 400 * (60 / 90))
+
+
+def test_session_features_matches_manual(spark):
+    from hiselspark.operators.windows import session_features
+    pdf = pd.DataFrame({
+        "entity": [0] * 5,
+        "ts": [pd.Timestamp("2024-03-01 00:00"),
+               pd.Timestamp("2024-03-01 00:10"),
+               pd.Timestamp("2024-03-01 01:00"),   # > 30min gap: new
+               pd.Timestamp("2024-03-01 01:20"),
+               pd.Timestamp("2024-03-01 03:00")],  # new again
+        "x": [1, 2, 4, 8, 16],
+    })
+    out = (session_features(spark.createDataFrame(pdf), "entity", "ts",
+                            1800.0, value_col="x")
+           .toPandas().sort_values("session_id").reset_index(drop=True))
+    assert out["n_events"].tolist() == [2, 2, 1]
+    assert out["x_sum"].tolist() == [3, 12, 16]
+    assert out["duration_s"].tolist() == [600.0, 1200.0, 0.0]
