@@ -2009,6 +2009,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tok", "n"))
 
 
+def q_heavy_hitters_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact heavy hitters (top tokens per document lang,
+    k=30): Misra-Gries candidates keyed (group, value), exact
+    recount — inherits the pigeonhole soundness per group."""
+    from hiselspark.functions.text import tokens
+    from hiselspark.operators.sketches import heavy_hitters_per_group
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("lang",
+                       F.explode(tokens("text")).alias("tok"))
+    return (heavy_hitters_per_group(toks, "lang", "tok", k=30)
+            .select("lang", "tok", "n"))
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-distribution Shannon entropy (quality
     band signal): exact integer counts through two doc-keyed
@@ -2204,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
+        "heavy_hitters_grouped": q_heavy_hitters_grouped,
     }
 
 
@@ -4030,6 +4044,21 @@ def oracle_sql() -> dict[str, str]:
         FROM t, n
         GROUP BY tok, total
         HAVING COUNT(*) * 41 > total
+    """
+    oracles["heavy_hitters_grouped"] = """
+        WITH t AS (
+          SELECT lang,
+                 unnest(regexp_split_to_array(trim(text), '\\s+'))
+                   AS tok
+          FROM documents
+          WHERE text IS NOT NULL AND trim(text) <> ''
+        ), ng AS (
+          SELECT lang, COUNT(*) AS total FROM t GROUP BY lang
+        )
+        SELECT t.lang, tok, COUNT(*) AS n
+        FROM t JOIN ng ON t.lang = ng.lang
+        GROUP BY t.lang, tok, total
+        HAVING COUNT(*) * 31 > total
     """
     oracles["char_entropy"] = """
         WITH ch AS (

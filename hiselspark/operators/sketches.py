@@ -92,3 +92,50 @@ def approx_quantiles(df: DataFrame, group_col: str, col: str,
     aggs = [F.expr(f"approx_percentile({col}, {p}, {accuracy})")
             .alias(f"q{int(p * 100)}") for p in probs]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def heavy_hitters_per_group(df: DataFrame, group_col: str, col: str,
+                            k: int = 50,
+                            count_col: str = "n") -> DataFrame:
+    """Per-group exact heavy hitters — for every group, the values
+    with in-group frequency strictly above ``N_g/(k+1)`` and their
+    exact counts ("top tokens per language", "top errors per
+    service").  The same Misra–Gries candidates → exact-recount
+    design as :func:`heavy_hitters`, with the counter dict keyed by
+    ``(group, value)`` and a budget of ``k`` counters PER GROUP per
+    task: the pigeonhole argument applies within each group
+    separately, so soundness per group is inherited verbatim.
+    Candidate volume is ≤ partitions·groups·k — still sketch-sized
+    relative to the stream; the exact pass semi-joins on
+    ``(group, value)``."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sel = df.select(group_col, col)
+
+    def mg(pdfs):
+        groups: dict = {}
+        for pdf in pdfs:
+            vc = pdf.groupby([group_col, col], dropna=True,
+                             sort=False).size()
+            for (g, val), c in vc.items():
+                counters = groups.setdefault(g, {})
+                counters[val] = counters.get(val, 0) + int(c)
+                if len(counters) > k:
+                    dec = min(counters.values())
+                    groups[g] = {v: n - dec
+                                 for v, n in counters.items()
+                                 if n > dec}
+        rows = [(g, v) for g, cs in groups.items() for v in cs]
+        yield pd.DataFrame(rows, columns=[group_col, col])
+
+    cand = sel.mapInPandas(mg, sel.schema).distinct()
+    totals = sel.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__ng"))
+    return (sel.join(cand, [group_col, col], "left_semi")
+               .groupBy(group_col, col)
+               .agg(F.count(F.lit(1)).alias(count_col))
+               .join(totals, group_col)
+               .filter(F.col(count_col) * (k + 1) > F.col("__ng"))
+               .drop("__ng"))

@@ -89,3 +89,26 @@ def test_char_entropy_matches_numpy(spark):
                                        abs=1e-12)
     assert out[0] == 0.0            # single-char text: zero entropy
     assert out[1] == pytest.approx(np.log(2))
+
+
+def test_heavy_hitters_per_group_exact(spark):
+    from hiselspark.operators.sketches import heavy_hitters_per_group
+    rng = np.random.default_rng(9)
+    rows = []
+    for g, hot, nhot in (("en", "the", 600), ("de", "der", 400),
+                         ("fr", "le", 50)):
+        rows += [(g, hot)] * nhot
+        rows += [(g, f"w{i}") for i in rng.integers(0, 3000, 5000)]
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    df = spark.createDataFrame(pdf).repartition(16)
+    k = 25
+    out = (heavy_hitters_per_group(df, "g", "v", k=k).toPandas())
+    got = {(r.g, r.v): r.n for r in out.itertuples()}
+    exact = pdf.groupby(["g", "v"]).size()
+    ng = pdf.groupby("g").size()
+    expected = {(g, v): int(c) for (g, v), c in exact.items()
+                if c * (k + 1) > ng[g]}
+    assert got == expected
+    assert ("en", "the") in got and got[("en", "the")] == 600
+    # 'le' in fr: 50 of 5050 -> below 5050/26, must NOT appear
+    assert ("fr", "le") not in got
