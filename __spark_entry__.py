@@ -1975,6 +1975,38 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", "dist")
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (nulls, min/max) over the exact-
+    representable columns; the approx-distinct column is bound-checked
+    in pytest, not hash-compared (HLL values are engine-specific)."""
+    from hiselspark.operators.profile import profile_table
+    ev = _ev(spark, sf_dir)
+    out = profile_table(ev, ["event_id", "user_id", "event_type"])
+    return out.select("column", "n_rows", "n_null", "min_repr",
+                      "max_repr")
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two derived versions of the
+    events table (day-20 cut vs day-25 cut with a deterministic
+    value bump on event_id % 7 == 0) -> added/removed/changed/
+    unchanged counts, null-safe change detection."""
+    from hiselspark.operators.profile import table_diff
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    d20 = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    d25 = F.lit("2024-01-25 00:00:00").cast("timestamp")
+    old = (ev.filter(F.col("ts") < d20)
+           .select("event_id", "user_id", "cents"))
+    new = (ev.filter(F.col("ts") < d25)
+           .withColumn("cents",
+                       F.when(F.col("event_id") % 7 == 0,
+                              F.col("cents") + 1)
+                        .otherwise(F.col("cents")))
+           .select("event_id", "user_id", "cents"))
+    return table_diff(old, new, ["event_id"])
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over events (Deequ-style): all
     conditional-count rules in ONE aggregate pass + an exact
@@ -2207,6 +2239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_interval_join": q_streaming_interval_join,
         "heavy_hitters": q_heavy_hitters,
         "expectations": q_expectations,
+        "profile_table": q_profile_table,
+        "table_diff": q_table_diff,
         "fuzzy_pairs": q_fuzzy_pairs,
         "embedding_centroid": q_embedding_centroid,
         "pq_topk": q_pq_topk,
@@ -3995,6 +4029,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.w, b.w) AS INT) AS dist
         FROM vt a, vt b
         WHERE a.w < b.w AND levenshtein(a.w, b.w) <= 1
+    """
+    oracles["profile_table"] = """
+        WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+        SELECT 'event_id' AS "column", n.n_rows,
+               (SELECT COUNT(*) FILTER (WHERE event_id IS NULL)
+                FROM events) AS n_null,
+               (SELECT CAST(MIN(event_id) AS VARCHAR) FROM events)
+                 AS min_repr,
+               (SELECT CAST(MAX(event_id) AS VARCHAR) FROM events)
+                 AS max_repr
+        FROM n
+        UNION ALL
+        SELECT 'user_id', n.n_rows,
+               (SELECT COUNT(*) FILTER (WHERE user_id IS NULL)
+                FROM events),
+               (SELECT CAST(MIN(user_id) AS VARCHAR) FROM events),
+               (SELECT CAST(MAX(user_id) AS VARCHAR) FROM events)
+        FROM n
+        UNION ALL
+        SELECT 'event_type', n.n_rows,
+               (SELECT COUNT(*) FILTER (WHERE event_type IS NULL)
+                FROM events),
+               (SELECT MIN(event_type) FROM events),
+               (SELECT MAX(event_type) FROM events)
+        FROM n
+    """
+    oracles["table_diff"] = """
+        WITH o AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        ), nw AS (
+          SELECT event_id, user_id,
+                 CASE WHEN event_id % 7 = 0
+                      THEN CAST(round(value*100) AS BIGINT) + 1
+                      ELSE CAST(round(value*100) AS BIGINT) END
+                   AS cents
+          FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'
+        ), j AS (
+          SELECT COALESCE(o.event_id, nw.event_id) AS k,
+                 o.event_id IS NOT NULL AS in_o,
+                 nw.event_id IS NOT NULL AS in_n,
+                 (o.user_id IS NOT DISTINCT FROM nw.user_id
+                  AND o.cents IS NOT DISTINCT FROM nw.cents) AS same
+          FROM o FULL OUTER JOIN nw ON o.event_id = nw.event_id
+        )
+        SELECT CAST(SUM(CASE WHEN NOT in_o AND in_n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_added,
+               CAST(SUM(CASE WHEN in_o AND NOT in_n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_removed,
+               CAST(SUM(CASE WHEN in_o AND in_n AND NOT same
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_changed,
+               CAST(SUM(CASE WHEN in_o AND in_n AND same
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unchanged
+        FROM j
     """
     oracles["expectations"] = """
         WITH n AS (SELECT COUNT(*) AS n_rows FROM events),

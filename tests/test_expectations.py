@@ -39,3 +39,37 @@ def test_expectations_all_pass(spark):
         unique_cols=["id"]).toPandas())
     assert out["pass"].all()
     assert (out["violations"] == 0).all()
+
+
+def test_profile_table_metrics(spark):
+    from hiselspark.operators.profile import profile_table
+    pdf = pd.DataFrame({
+        "a": [1, 2, None, 4],
+        "s": ["x", None, None, "z"],
+        "arr": [[1], [2], [3], [4]],
+    })
+    out = (profile_table(spark.createDataFrame(pdf))
+           .toPandas().set_index("column"))
+    assert (out["n_rows"] == 4).all()
+    assert out.loc["a", "n_null"] == 1
+    assert out.loc["s", "n_null"] == 2
+    assert out.loc["a", "min_repr"] == "1.0"   # pandas float col
+    assert out.loc["s", "max_repr"] == "z"
+    assert out.loc["arr", "min_repr"] is None  # unordered type
+    # approx distinct within HLL tolerance of exact
+    assert abs(out.loc["s", "n_distinct_approx"] - 2) <= 1
+
+
+def test_table_diff_counts(spark):
+    from hiselspark.operators.profile import table_diff
+    old = pd.DataFrame({"k": [1, 2, 3, 4],
+                        "v": [10, 20, None, 40]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5],
+                        "v": [20, None, 41, 50]})
+    out = (table_diff(spark.createDataFrame(old),
+                      spark.createDataFrame(new), ["k"])
+           .toPandas().iloc[0])
+    assert out["n_added"] == 1       # k=5
+    assert out["n_removed"] == 1     # k=1
+    assert out["n_changed"] == 1     # k=4 (40 -> 41)
+    assert out["n_unchanged"] == 2   # k=2; k=3 (NULL == NULL null-safe)
