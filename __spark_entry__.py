@@ -1783,6 +1783,19 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("p90", 6).alias("p90"))
 
 
+def q_rolling_median_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof twin of rolling_median — same oracle."""
+    from hiselspark.operators.chunked import chunked_rolling_quantile
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = chunked_rolling_quantile(ev, "user_id", "ts", "cents", 0.5,
+                                   86400.0, out_col="med")
+    out = chunked_rolling_quantile(out, "user_id", "ts", "cents", 0.9,
+                                   86400.0, out_col="p90")
+    return out.select("event_id", F.round("med", 6).alias("med"),
+                      F.round("p90", 6).alias("p90"))
+
+
 def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT event_type count per user (novelty feature):
     first-occurrence flag over (user, type) + running sum over the
@@ -2234,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_arrival": q_inter_arrival,
         "purged_split": q_purged_split,
         "rolling_median": q_rolling_median,
+        "rolling_median_chunked": q_rolling_median_chunked,
         "novelty": q_novelty,
         "image_augment": q_image_augment,
         "streaming_interval_join": q_streaming_interval_join,
@@ -4199,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["rolling_corr_chunked"] = oracles["rolling_corr"]
     oracles["ewma_chunked"] = oracles["ewma"]
+    oracles["rolling_median_chunked"] = oracles["rolling_median"]
     oracles["inter_arrival"] = """
         WITH q AS (
           SELECT event_id, user_id, epoch_us(ts) AS us

@@ -581,3 +581,37 @@ def chunked_ewma(
     drop = ([f"{col}_lag{k}" for k in lags]
             + [f"{tie_col}_lag{k}" for k in lags])
     return out.drop(*drop)
+
+
+def chunked_rolling_quantile(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    q: float = 0.5,
+    window_seconds: float = 3600.0,
+    bucket_seconds: float = 7 * 86400.0,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Skew-proof twin of ``windows.rolling_quantile``: a trailing
+    TIME-RANGE quantile only ever reads rows within ``window_seconds``
+    of the current row, so the one-bucket overlap-context duplication
+    that makes chunked_rolling exact applies verbatim — ``percentile``
+    over the (entity, bucket) clustering with context rows supplying
+    the cross-edge history.  (The EXPANDING quantile — winsorize_pit —
+    is deliberately NOT chunkable this way: it reads the entity's full
+    history, which no bounded context can carry.)"""
+    if window_seconds > bucket_seconds:
+        raise ValueError("rolling window must fit in one bucket")
+    out_col = out_col or f"{col}_roll_q{q:g}"
+    tagged = _remember(
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
+    clustered = _cluster(
+        _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
+        entity_col, materialize=False)
+    w = (Window.partitionBy(entity_col, _B)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    out = clustered.withColumn(
+        out_col, F.percentile(col, F.lit(float(q))).over(w))
+    return out.filter(F.col(_CTX) == 0).drop(_CTX, _B)

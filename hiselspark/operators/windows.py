@@ -300,7 +300,13 @@ def winsorize_pit(
 
     Quantiles via ``percentile`` over an expanding strictly-before
     range frame — q·(n−1) interpolation, same rule as DuckDB
-    ``quantile_cont`` — sharing the one entity clustering."""
+    ``quantile_cont`` — sharing the one entity clustering.
+
+    Skew note: the EXPANDING frame reads the entity's full history,
+    so — unlike the trailing-range ops — no bounded overlap context
+    can make a (entity, time-bucket) chunked twin exact; a hot entity
+    keeps its timeline in one task here by the semantics of the
+    operator itself."""
     out_col = out_col or f"{col}_wins"
     upper = -1 if strict else 0  # microseconds
     w = (Window.partitionBy(entity_col)

@@ -196,3 +196,32 @@ def test_chunked_ewma_equals_plain(spark):
                .sort_values("event_id").reset_index(drop=True))
     release_chunk_caches()
     pd.testing.assert_frame_equal(plain, chunked)
+
+
+def test_chunked_rolling_quantile_equals_plain(spark):
+    from hiselspark.operators.chunked import (chunked_rolling_quantile,
+                                              release_chunk_caches)
+    from hiselspark.operators.windows import rolling_quantile
+    rng = np.random.default_rng(29)
+    n = 2500
+    pdf = pd.DataFrame({
+        "event_id": range(n),
+        "entity": np.where(rng.random(n) < 0.75, 0,
+                           rng.integers(1, 5, n)),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 50 * 86400, n), unit="s"),
+        "x": rng.integers(0, 900, n),
+    })
+    df = spark.createDataFrame(pdf)
+    plain = (rolling_quantile(df, "entity", "ts", "x", 0.5, 86400.0,
+                              out_col="m")
+             .select("event_id", "m").toPandas()
+             .sort_values("event_id").reset_index(drop=True))
+    chunked = (chunked_rolling_quantile(df, "entity", "ts", "x", 0.5,
+                                        86400.0,
+                                        bucket_seconds=7 * 86400.0,
+                                        out_col="m")
+               .select("event_id", "m").toPandas()
+               .sort_values("event_id").reset_index(drop=True))
+    release_chunk_caches()
+    pd.testing.assert_frame_equal(plain, chunked)
