@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis): the PIT operators against
+single-node oracles on RANDOMIZED inputs — shapes, gaps, ties, and
+boundary cases a fixed seed can miss.  Example counts are kept small
+because every example is a Spark round trip."""
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from hiselspark.operators.asof import asof_join
+from hiselspark.operators.windows import merge_intervals, sessionize
+
+SET = settings(max_examples=8, deadline=None)
+
+
+@st.composite
+def timelines(draw):
+    n_feat = draw(st.integers(1, 12))
+    n_lab = draw(st.integers(1, 10))
+    # unique (entity, ts) pairs on the feature side: matches pandas
+    # merge_asof tie semantics without a tiebreaker column
+    pairs = draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 500)),
+        min_size=n_feat, max_size=n_feat, unique=True))
+    feats = pd.DataFrame({
+        "entity_id": [p[0] for p in pairs],
+        "ts": pd.to_datetime([p[1] for p in pairs], unit="s"),
+        "v": list(range(len(pairs))),
+    })
+    labs = pd.DataFrame({
+        "entity_id": draw(st.lists(st.integers(0, 2), min_size=n_lab,
+                                   max_size=n_lab)),
+        "ts": pd.to_datetime(
+            draw(st.lists(st.integers(0, 500), min_size=n_lab,
+                          max_size=n_lab)), unit="s"),
+    })
+    return feats, labs
+
+
+@SET
+@given(timelines())
+def test_asof_backward_matches_pandas_merge_asof(spark, data):
+    feats, labs = data
+    got = (asof_join(spark.createDataFrame(labs),
+                     spark.createDataFrame(feats),
+                     on="entity_id", value_cols=["v"])
+           .toPandas()
+           .sort_values(["entity_id", "ts"]).reset_index(drop=True))
+    exp = pd.merge_asof(
+        labs.sort_values("ts"), feats.sort_values("ts"),
+        on="ts", by="entity_id", direction="backward") \
+        .sort_values(["entity_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(got["v"], exp["v"],
+                                   check_dtype=False)
+
+
+@SET
+@given(st.lists(st.integers(0, 7200), min_size=1, max_size=40),
+       st.integers(60, 3600))
+def test_sessionize_gap_rule(spark, offsets, gap):
+    pdf = pd.DataFrame({
+        "entity": 0,
+        "ts": pd.to_datetime(sorted(offsets), unit="s"),
+    })
+    got = (sessionize(spark.createDataFrame(pdf), "entity", "ts",
+                      float(gap))
+           .toPandas().sort_values("ts")["session_id"].tolist())
+    sid, exp, prev = 0, [], None
+    for t in sorted(offsets):
+        if prev is not None and t - prev > gap:
+            sid += 1
+        exp.append(sid)
+        prev = t
+    assert got == exp
+
+
+@SET
+@given(st.lists(st.tuples(st.integers(0, 1000), st.integers(1, 300)),
+                min_size=1, max_size=30))
+def test_merge_intervals_covers_and_separates(spark, spans):
+    pdf = pd.DataFrame({
+        "iid": range(len(spans)),
+        "entity": 0,
+        "s": [a for a, _ in spans],
+        "e": [a + w for a, w in spans],
+    })
+    out = (merge_intervals(spark.createDataFrame(pdf), "entity", "s",
+                           "e", tie_cols=("iid",))
+           .toPandas().sort_values("island_start"))
+    # every input interval is inside exactly one island
+    for a, w in spans:
+        hit = out[(out["island_start"] <= a)
+                  & (out["island_end"] >= a + w)]
+        assert len(hit) == 1
+    # islands are disjoint with strict gaps, and counts add up
+    starts = out["island_start"].to_numpy()
+    ends = out["island_end"].to_numpy()
+    assert (starts[1:] > ends[:-1]).all()
+    assert out["n_intervals"].sum() == len(spans)
