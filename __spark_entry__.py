@@ -1808,6 +1808,18 @@ def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "n_types")
 
 
+def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day least-squares trend of the event value per user
+    (cents per second): exact integer sums with time as whole seconds
+    relative to the user's first event."""
+    from hiselspark.operators.windows import rolling_slope
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_slope(ev, "user_id", "ts", "cents", 7 * 86400.0)
+    return out.select("event_id", F.round("roll_slope", 6)
+                      .alias("roll_slope"))
+
+
 def q_rolling_corr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_corr — same oracle, hot users split
     across (entity, time-bucket) tasks."""
@@ -2242,6 +2254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "rolling_corr": q_rolling_corr,
         "rolling_corr_chunked": q_rolling_corr_chunked,
+        "rolling_slope": q_rolling_slope,
         "ewma": q_ewma,
         "ewma_chunked": q_ewma_chunked,
         "inter_arrival": q_inter_arrival,
@@ -3956,6 +3969,38 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue_e4 DESC, l_orderkey
         LIMIT 10
+    """
+    oracles["rolling_slope"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), r AS (
+          SELECT event_id, user_id, x, us,
+                 (us - MIN(us) OVER (PARTITION BY user_id))
+                   // 1000000 AS t
+          FROM q
+        ), w AS (
+          SELECT event_id,
+                 COUNT(*) OVER b AS n,
+                 SUM(t) OVER b AS st, SUM(x) OVER b AS sx,
+                 SUM(t*t) OVER b AS stt, SUM(t*x) OVER b AS stx
+          FROM r
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE)*stt
+                         - CAST(st AS DOUBLE)*st > 0
+                    THEN round(
+                      (CAST(n AS DOUBLE)*stx - CAST(st AS DOUBLE)*sx)
+                      / (CAST(n AS DOUBLE)*stt
+                         - CAST(st AS DOUBLE)*st), 6)
+               END AS roll_slope
+        FROM w
     """
     oracles["rolling_median"] = """
         WITH q AS (

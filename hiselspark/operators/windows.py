@@ -208,6 +208,53 @@ def rolling_corr(
     return df.withColumn(out_col, corr)
 
 
+def rolling_slope(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    out_col: str = "roll_slope",
+) -> DataFrame:
+    """Trailing-range least-squares slope of ``col`` against TIME
+    (units per second) — the trend feature: fit ``x ~ a + b·t`` over
+    the rows in ``[row_ts − window, row_ts]`` and emit ``b``.
+
+    Same exact-sufficient-sums pattern as :func:`rolling_corr`:
+    ``b = (n·Σtx − Σt·Σx) / (n·Σt² − (Σt)²)`` with integer sums in
+    ONE WindowExec.  Time enters as WHOLE SECONDS relative to the
+    entity's first event (an extra unbounded-min over the same
+    clustering — no new shuffle): with raw epoch micros, ``Σt²``
+    overflows int64 (``(1.7e15)² ≫ 2⁶³``); relative seconds over any
+    realistic window keep every sum exact.  Sub-second timestamp
+    fractions are truncated for the regressor — at feature-window
+    scales (minutes to days) that is far below the noise floor of a
+    trend, and exactness of the arithmetic is what buys cross-engine
+    reproducibility.  NULL when fewer than 2 rows or zero time
+    variance (all rows in the same second)."""
+    wfull = (Window.partitionBy(entity_col)
+             .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+             .rangeBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    t0 = F.min(us).over(wfull)
+    t = ((us - t0) / 1_000_000).cast("long")  # whole relative seconds
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    x = F.col(col)
+    n = F.count(F.lit(1)).over(w)
+    st = F.sum(t).over(w)
+    sx = F.sum(x).over(w)
+    stt = F.sum(t * t).over(w)
+    stx = F.sum(t * x).over(w)
+    nd = n.cast("double")
+    num = nd * stx.cast("double") - st.cast("double") * sx.cast("double")
+    den = nd * stt.cast("double") - st.cast("double") * st.cast("double")
+    return df.withColumn(out_col,
+                         F.when((n >= 2) & (den > 0), num / den))
+
+
 def ewma(
     df: DataFrame,
     entity_col: str,

@@ -322,3 +322,23 @@ def test_session_features_matches_manual(spark):
     assert out["n_events"].tolist() == [2, 2, 1]
     assert out["x_sum"].tolist() == [3, 12, 16]
     assert out["duration_s"].tolist() == [600.0, 1200.0, 0.0]
+
+
+def test_rolling_slope_matches_numpy(spark, events_pdf):
+    from hiselspark.operators.windows import rolling_slope
+    win = 4 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (rolling_slope(df, "entity", "ts", "x", win)
+           .toPandas().set_index("event_id")["roll_slope"])
+    for _, row in events_pdf.sample(40, random_state=3).iterrows():
+        ent = events_pdf[events_pdf["entity"] == row["entity"]]
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"])]
+        got = out.loc[row["event_id"]]
+        t = ((g["ts"] - ent["ts"].min()).dt.total_seconds() // 1
+             ).to_numpy(dtype=float)
+        if len(g) < 2 or np.ptp(t) == 0:
+            assert pd.isna(got)
+        else:
+            b = np.polyfit(t, g["x"].to_numpy(dtype=float), 1)[0]
+            assert got == pytest.approx(b, rel=1e-9, abs=1e-12)
