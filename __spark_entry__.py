@@ -1820,6 +1820,38 @@ def q_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("roll_slope"))
 
 
+def q_time_since_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds since the user's previous error event (recency
+    feature) — NULL before the first error."""
+    from hiselspark.operators.windows import time_since_event
+    ev = _ev(spark, sf_dir)
+    out = time_since_event(ev, "user_id", "ts",
+                           F.col("event_type") == "error", "event_id")
+    return out.select("event_id", "since_s")
+
+
+def q_horizon_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value as of one hour before each event (time-shifted
+    snapshot feature), leakage-free range frame."""
+    from hiselspark.operators.windows import horizon_lag
+    ev = _ev(spark, sf_dir)
+    out = horizon_lag(ev, "user_id", "ts", "value", 3600.0, "event_id",
+                      out_col="value_1h_ago")
+    return out.select("event_id", "value_1h_ago")
+
+
+def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day skewness and excess kurtosis of the event value
+    per user — exact integer/decimal power sums in one WindowExec."""
+    from hiselspark.operators.windows import rolling_moments
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_moments(ev, "user_id", "ts", "cents", 7 * 86400.0)
+    return out.select("event_id",
+                      F.round("roll_skew", 6).alias("roll_skew"),
+                      F.round("roll_kurt", 6).alias("roll_kurt"))
+
+
 def q_rolling_corr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_corr — same oracle, hot users split
     across (entity, time-bucket) tasks."""
@@ -2255,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr": q_rolling_corr,
         "rolling_corr_chunked": q_rolling_corr_chunked,
         "rolling_slope": q_rolling_slope,
+        "rolling_moments": q_rolling_moments,
+        "time_since_error": q_time_since_error,
+        "horizon_lag": q_horizon_lag,
         "ewma": q_ewma,
         "ewma_chunked": q_ewma_chunked,
         "inter_arrival": q_inter_arrival,
@@ -4001,6 +4036,83 @@ def oracle_sql() -> dict[str, str]:
                          - CAST(st AS DOUBLE)*st), 6)
                END AS roll_slope
         FROM w
+    """
+    oracles["time_since_error"] = """
+        WITH q AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        )
+        SELECT event_id,
+               (us - MAX(CASE WHEN event_type = 'error' THEN us END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING))
+                 / 1000000.0 AS since_s
+        FROM q
+    """
+    oracles["horizon_lag"] = """
+        WITH q AS (
+          SELECT event_id, user_id, value,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        )
+        SELECT event_id,
+               (MAX({'us': us, 'id': event_id, 'v': value})
+                  OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND 3600000000 PRECEDING)).v
+                 AS value_1h_ago
+        FROM q
+    """
+    oracles["rolling_moments"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), w AS (
+          SELECT event_id,
+                 COUNT(*) OVER b AS n,
+                 SUM(x) OVER b AS s1,
+                 SUM(x*x) OVER b AS s2,
+                 CAST(SUM(CAST(x AS HUGEINT)*x*x) OVER b AS DOUBLE)
+                   AS s3,
+                 CAST(SUM(CAST(x AS HUGEINT)*x*x*x) OVER b AS DOUBLE)
+                   AS s4
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND CURRENT ROW)
+        ), m AS (
+          SELECT event_id, CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+                 s3, s4, n
+          FROM w
+        ), mm AS (
+          SELECT event_id, n, nd, s2d, s3, s4,
+                 s1d / nd AS mu
+          FROM m
+        ), mv AS (
+          SELECT event_id, n, nd, s3, s4, mu,
+                 s2d / nd AS s2n,
+                 s2d / nd - mu * mu AS m2
+          FROM mm
+        ), mk AS (
+          SELECT event_id, n, m2,
+                 s3 / nd - 3.0 * mu * s2n + 2.0 * mu * mu * mu AS m3,
+                 s4 / nd - 4.0 * mu * (s3 / nd)
+                   + 6.0 * mu * mu * s2n - 3.0 * mu * mu * mu * mu
+                   AS m4
+          FROM mv
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2 AND m2 > 0
+                    THEN round(m3 / (m2 * sqrt(m2)), 6) END AS roll_skew,
+               CASE WHEN n >= 2 AND m2 > 0
+                    THEN round(m4 / (m2 * m2) - 3.0, 6) END AS roll_kurt
+        FROM mk
     """
     oracles["rolling_median"] = """
         WITH q AS (

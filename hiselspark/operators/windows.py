@@ -255,6 +255,119 @@ def rolling_slope(
                          F.when((n >= 2) & (den > 0), num / den))
 
 
+def time_since_event(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cond: Column,
+    id_col: str,
+    out_col: str = "since_s",
+) -> DataFrame:
+    """Seconds since the entity's most recent STRICTLY EARLIER row
+    satisfying ``cond`` (e.g. "time since last error") — the classic
+    recency feature.  NULL before the first matching row.
+
+    One ``max`` of the condition-gated event time over a rows-frame
+    ending at the previous row, on the shared entity clustering (no
+    extra shuffle when stacked with the other operators here).  The
+    rows-frame needs a total order to be deterministic on tied
+    timestamps, so ``id_col`` (a unique id) is a required tiebreaker:
+    same-microsecond rows see each other in (ts, id) order.  The
+    microsecond difference is exact int64 arithmetic; seconds come from
+    one IEEE division by 1e6, identical in any engine."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col).orderBy(us, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    last_us = F.max(F.when(cond, us)).over(w)
+    return df.withColumn(out_col, (us - last_us) / F.lit(1_000_000.0))
+
+
+def horizon_lag(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    horizon_seconds: float,
+    id_col: str,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Value as of ``ts − horizon`` — the entity's last observation at
+    or before the horizon boundary (a time-shifted snapshot feature:
+    "what was the price an hour ago").  Leakage-free by construction:
+    the range frame ends ``horizon`` BEFORE the current row.
+
+    A backward as-of self-join expressed as ONE window aggregate on the
+    shared entity clustering: ``max(struct(us, id, value))`` over
+    ``RANGE BETWEEN UNBOUNDED PRECEDING AND horizon_us PRECEDING``
+    picks the latest qualifying row, with the unique ``id_col``
+    breaking same-microsecond ties deterministically (struct comparison
+    is lexicographic in both Spark and DuckDB).  NULL when the entity
+    has no observation that old."""
+    out_col = out_col or f"{col}_h{int(horizon_seconds)}s"
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col).orderBy(us)
+         .rangeBetween(Window.unboundedPreceding,
+                       -int(horizon_seconds * 1_000_000)))
+    packed = F.max(F.struct(us.alias("us"),
+                            F.col(id_col).alias("id"),
+                            F.col(col).alias("v"))).over(w)
+    return df.withColumn(out_col, packed.getField("v"))
+
+
+def rolling_moments(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    skew_col: str = "roll_skew",
+    kurt_col: str = "roll_kurt",
+) -> DataFrame:
+    """Trailing-range skewness and excess kurtosis of an integer-valued
+    column — the shape features that flag regime change (asymmetric
+    bursts, heavy tails) in an entity's recent history.
+
+    Same exact-sufficient-sums discipline as :func:`rolling_corr`:
+    population moments from Σx, Σx², Σx³, Σx⁴ in ONE WindowExec over
+    the shared entity clustering.  Σx³ stays in int64 (cents³ ≈ 1e14
+    per row), but a SINGLE cents⁴ term can reach 5.8e18 — two rows
+    overflow int64 — so Σx³/Σx⁴ accumulate in decimal(38,0) (Spark) /
+    HUGEINT (DuckDB oracle): exact at any realistic window size, cast
+    to double once at the end (both engines round-to-nearest, so the
+    doubles agree bit-for-bit and the downstream expression tree is
+    written identically on both sides).
+
+        g1 = (S3/n − 3·m·S2/n + 2·m³) / (m2·sqrt(m2))
+        g2 = (S4/n − 4·m·S3/n + 6·m²·S2/n − 3·m⁴) / m2² − 3
+
+    (``m2^1.5`` is spelled ``m2·sqrt(m2)`` because ``pow`` is not
+    correctly rounded in every libm, ``sqrt`` is.)  NULL when n < 2 or
+    the window has zero variance."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    x = F.col(col)
+    xd = x.cast("decimal(19,0)")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(x).over(w)
+    s2 = F.sum(x * x).over(w)
+    s3 = F.sum((xd * xd * xd).cast("decimal(38,0)")).over(w)
+    s4 = F.sum((xd * xd * xd * xd).cast("decimal(38,0)")).over(w)
+    nd = n.cast("double")
+    m = s1.cast("double") / nd
+    m2 = s2.cast("double") / nd - m * m
+    m3 = (s3.cast("double") / nd - F.lit(3.0) * m * (s2.cast("double") / nd)
+          + F.lit(2.0) * m * m * m)
+    m4 = (s4.cast("double") / nd - F.lit(4.0) * m * (s3.cast("double") / nd)
+          + F.lit(6.0) * m * m * (s2.cast("double") / nd)
+          - F.lit(3.0) * m * m * m * m)
+    ok = (n >= 2) & (m2 > 0)
+    return (df
+            .withColumn(skew_col, F.when(ok, m3 / (m2 * F.sqrt(m2))))
+            .withColumn(kurt_col, F.when(ok, m4 / (m2 * m2) - F.lit(3.0))))
+
+
 def ewma(
     df: DataFrame,
     entity_col: str,

@@ -342,3 +342,64 @@ def test_rolling_slope_matches_numpy(spark, events_pdf):
         else:
             b = np.polyfit(t, g["x"].to_numpy(dtype=float), 1)[0]
             assert got == pytest.approx(b, rel=1e-9, abs=1e-12)
+
+
+def test_time_since_event_matches_manual(spark, events_pdf):
+    from hiselspark.operators.windows import time_since_event
+    df = spark.createDataFrame(events_pdf)
+    cond = F.col("x") % 7 == 0
+    out = (time_since_event(df, "entity", "ts", cond, "event_id")
+           .toPandas().set_index("event_id")["since_s"])
+    for ent, g in events_pdf.groupby("entity"):
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        last = None
+        for _, row in g.iterrows():
+            got = out.loc[row["event_id"]]
+            if last is None:
+                assert pd.isna(got)
+            else:
+                want = (row["ts"] - last).total_seconds()
+                assert got == pytest.approx(want, abs=1e-9)
+            if row["x"] % 7 == 0:
+                last = row["ts"]
+
+
+def test_horizon_lag_matches_manual(spark, events_pdf):
+    from hiselspark.operators.windows import horizon_lag
+    hz = 2 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (horizon_lag(df, "entity", "ts", "x", hz, "event_id",
+                       out_col="xh")
+           .toPandas().set_index("event_id")["xh"])
+    for _, row in events_pdf.sample(60, random_state=5).iterrows():
+        ent = events_pdf[events_pdf["entity"] == row["entity"]]
+        cand = ent[ent["ts"] <= row["ts"] - pd.Timedelta(seconds=hz)]
+        got = out.loc[row["event_id"]]
+        if cand.empty:
+            assert pd.isna(got)
+        else:
+            pick = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            assert got == pick["x"]
+
+
+def test_rolling_moments_matches_scipy_formulas(spark, events_pdf):
+    from hiselspark.operators.windows import rolling_moments
+    win = 4 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (rolling_moments(df, "entity", "ts", "x", win)
+           .toPandas().set_index("event_id")[["roll_skew", "roll_kurt"]])
+    for _, row in events_pdf.sample(50, random_state=11).iterrows():
+        ent = events_pdf[events_pdf["entity"] == row["entity"]]
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"])]
+        xs = g["x"].to_numpy(dtype=float)
+        got = out.loc[row["event_id"]]
+        m2 = xs.var()  # population variance
+        if len(xs) < 2 or m2 == 0:
+            assert pd.isna(got["roll_skew"]) and pd.isna(got["roll_kurt"])
+        else:
+            c = xs - xs.mean()
+            skew = (c ** 3).mean() / m2 ** 1.5
+            kurt = (c ** 4).mean() / m2 ** 2 - 3.0
+            assert got["roll_skew"] == pytest.approx(skew, abs=1e-7)
+            assert got["roll_kurt"] == pytest.approx(kurt, abs=1e-7)
