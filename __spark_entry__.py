@@ -178,6 +178,24 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _us("__matched_ts").alias("view_ts_us"))
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of: each purchase picks the click closest
+    in absolute time (backward wins ties) — one-shuffle union-window
+    plan."""
+    from hiselspark.operators.asof import asof_join
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("click_value")))
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", value_cols=["click_value"],
+                    direction="nearest")
+    return out.select("event_id", "user_id", "click_value",
+                      _us("__matched_ts").alias("click_ts_us"))
+
+
 def q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long"))
@@ -1852,6 +1870,20 @@ def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("roll_kurt", 6).alias("roll_kurt"))
 
 
+def q_cross_sectional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-relative daily rank/percentile/z-score of the event value
+    (cross-sectional axis) — aggregate-then-join-back plan, never a
+    whole-bucket window sort."""
+    from hiselspark.operators.windows import cross_sectional_features
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = cross_sectional_features(ev, "ts", "cents", bucket="day")
+    return out.select("event_id",
+                      F.col("cs_rank").cast("long").alias("cs_rank"),
+                      F.round("cs_pct", 6).alias("cs_pct"),
+                      F.round("cs_z", 6).alias("cs_z"))
+
+
 def q_rolling_corr_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_corr — same oracle, hot users split
     across (entity, time-bucket) tasks."""
@@ -2288,6 +2320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_chunked": q_rolling_corr_chunked,
         "rolling_slope": q_rolling_slope,
         "rolling_moments": q_rolling_moments,
+        "asof_nearest": q_asof_nearest,
+        "cross_sectional": q_cross_sectional,
         "time_since_error": q_time_since_error,
         "horizon_lag": q_horizon_lag,
         "ewma": q_ewma,
@@ -4036,6 +4070,63 @@ def oracle_sql() -> dict[str, str]:
                          - CAST(st AS DOUBLE)*st), 6)
                END AS roll_slope
         FROM w
+    """
+    oracles["asof_nearest"] = """
+        WITH p AS (
+          SELECT event_id, user_id,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events WHERE event_type = 'purchase'
+        ), c AS (
+          SELECT user_id,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us,
+                 MAX(value) AS click_value
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        )
+        SELECT p.event_id, p.user_id, m.click_value,
+               m.us AS click_ts_us
+        FROM p LEFT JOIN LATERAL (
+          SELECT c.click_value, c.us
+          FROM c WHERE c.user_id = p.user_id
+          ORDER BY abs(c.us - p.us),
+                   CASE WHEN c.us <= p.us THEN 0 ELSE 1 END
+          LIMIT 1
+        ) m ON true
+    """
+    oracles["cross_sectional"] = """
+        WITH q AS (
+          SELECT event_id, date_trunc('day', ts) AS b,
+                 CAST(round(value*100) AS BIGINT) AS x
+          FROM events
+        ), a AS (
+          SELECT b, x, COUNT(*) AS c FROM q GROUP BY b, x
+        ), s AS (
+          SELECT b, x,
+                 COALESCE(SUM(c) OVER (PARTITION BY b ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS less,
+                 SUM(c) OVER (PARTITION BY b) AS n,
+                 SUM(x*c) OVER (PARTITION BY b) AS s1,
+                 SUM(x*x*c) OVER (PARTITION BY b) AS s2
+          FROM a
+        ), e AS (
+          SELECT b, x,
+                 CAST(less + 1 AS BIGINT) AS cs_rank,
+                 CASE WHEN n > 1
+                      THEN CAST(less AS DOUBLE)
+                           / CAST(n - 1 AS DOUBLE) END AS pct,
+                 CAST(n AS DOUBLE) AS nd,
+                 CAST(s1 AS DOUBLE) AS s1d,
+                 CAST(s2 AS DOUBLE) AS s2d
+          FROM s
+        )
+        SELECT q.event_id, e.cs_rank,
+               round(e.pct, 6) AS cs_pct,
+               CASE WHEN s2d/nd - (s1d/nd)*(s1d/nd) > 0
+                    THEN round((CAST(q.x AS DOUBLE) - s1d/nd)
+                               / sqrt(s2d/nd - (s1d/nd)*(s1d/nd)), 6)
+               END AS cs_z
+        FROM q JOIN e ON q.b = e.b AND q.x = e.x
     """
     oracles["time_since_error"] = """
         WITH q AS (

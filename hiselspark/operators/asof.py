@@ -51,8 +51,11 @@ def asof_join(
     ``direction='backward'`` (default) matches the most recent feature
     row with ``feature_ts <= label_ts``; ``'forward'`` matches the
     earliest feature row with ``feature_ts >= label_ts`` (strict flips
-    both to strict inequality).  Matches pandas ``merge_asof``
-    directions and DuckDB ``ASOF JOIN`` with ``<=`` / ``>=``.
+    both to strict inequality); ``'nearest'`` takes whichever of the
+    two is closer in absolute time, backward winning ties (pandas
+    rule) — see :func:`_asof_join_nearest`, same one-shuffle plan.
+    Matches pandas ``merge_asof`` directions and DuckDB ``ASOF JOIN``
+    with ``<=`` / ``>=``.
 
     Returns ``labels`` with one extra column per feature value column
     (named ``f"{col}{suffix}"``), plus ``__matched_ts`` with the
@@ -61,8 +64,12 @@ def asof_join(
     construction, since only rows ordered at-or-before the label in the
     ``(ts, side)`` sort can ever be seen by the running window).
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unsupported direction={direction!r}")
+    if direction == "nearest":
+        return _asof_join_nearest(labels, features, on, left_ts,
+                                  right_ts, value_cols,
+                                  tolerance_seconds, strict, suffix)
     backward = direction == "backward"
     if value_cols is None:
         value_cols = [c for c in features.columns if c not in (on, right_ts)]
@@ -152,6 +159,99 @@ def asof_join(
     )
 
 
+def _asof_join_nearest(
+    labels: DataFrame,
+    features: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Optional[Sequence[str]],
+    tolerance_seconds: Optional[float],
+    strict: bool,
+    suffix: str,
+) -> DataFrame:
+    """``direction='nearest'`` on the union-window plan: the backward
+    and forward candidates are two window aggregates over the SAME
+    ``(entity)`` clustering and sort — one shuffle, one WindowExec —
+    and the row picks whichever is closer in absolute time, backward
+    winning ties (pandas ``merge_asof`` rule: ``left_distance <=
+    right_distance``).
+
+    Layout: non-strict puts features before labels at equal ``ts`` so
+    an exact-timestamp match is seen by the backward frame with gap 0
+    (and therefore always wins); strict puts labels first, which hides
+    equal-ts features from the backward frame, and the forward match is
+    additionally gated on ``gap > 0`` (the following frame does see
+    equal-ts rows in that layout)."""
+    if value_cols is None:
+        value_cols = [c for c in features.columns if c not in (on, right_ts)]
+    value_cols = list(value_cols)
+    feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+
+    ltypes = {f.name: f.dataType for f in labels.schema.fields}
+    passthrough = [c for c in labels.columns if c not in (on, left_ts)]
+    packed = F.struct(
+        F.col(right_ts).alias("__mts"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols])
+    f_tagged = features.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(feat_rank).alias("__side"),
+        packed.alias("__v"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in passthrough],
+    )
+    null_struct = F.lit(None).cast(f_tagged.schema["__v"].dataType)
+    l_tagged = labels.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(label_rank).alias("__side"),
+        null_struct.alias("__v"),
+        *passthrough,
+    )
+    unioned = f_tagged.unionByName(l_tagged)
+
+    order = [F.col("__t").asc(), F.col("__side").asc(), F.col("__v").asc()]
+    wb = (Window.partitionBy("__k").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wf = (Window.partitionBy("__k").orderBy(*order)
+          .rowsBetween(0, Window.unboundedFollowing))
+    cand = unioned.select(
+        "__k", "__t", "__side", *passthrough,
+        F.last("__v", ignorenulls=True).over(wb).alias("__mb"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__mf"),
+    ).filter(F.col("__side") == label_rank)
+
+    def _us(c):
+        return (c.cast("timestamp").cast("double") * 1_000_000
+                ).cast("long")
+
+    t_us = _us(F.col("__t"))
+    gap_b = t_us - _us(F.col("__mb.__mts"))
+    gap_f = _us(F.col("__mf.__mts")) - t_us
+    mb, mf = F.col("__mb"), F.col("__mf")
+    if strict:
+        mf = F.when(gap_f > 0, mf)
+        gap_f = F.when(gap_f > 0, gap_f)
+    if tolerance_seconds is not None:
+        tol_us = F.lit(int(tolerance_seconds * 1_000_000))
+        mb = F.when(gap_b <= tol_us, mb)
+        gap_b = F.when(gap_b <= tol_us, gap_b)
+        mf = F.when(gap_f <= tol_us, mf)
+        gap_f = F.when(gap_f <= tol_us, gap_f)
+    pick_b = mb.isNotNull() & (mf.isNull() | (gap_b <= gap_f))
+    chosen = cand.select(
+        "__k", "__t", *passthrough,
+        F.when(pick_b, mb).otherwise(mf).alias("__m"),
+    )
+    return chosen.select(
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_ts),
+        *passthrough,
+        *[F.col(f"__m.v_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("__m.__mts").alias("__matched_ts"),
+    )
+
+
 def asof_join_cogrouped(
     labels: DataFrame,
     features: DataFrame,
@@ -168,8 +268,8 @@ def asof_join_cogrouped(
     ``pd.merge_asof`` per entity.  One shuffle per side on the entity
     key; the per-group pandas merge is O(n log n) sort + linear scan.
     ``direction`` is any ``merge_asof`` direction — 'backward',
-    'forward', or 'nearest' (the union-window strategy covers the first
-    two; 'nearest' exists only here)."""
+    'forward', or 'nearest' (all three also exist on the union-window
+    strategy; this variant is the Arrow/pandas cross-check)."""
     import pyspark.sql.types as T
 
     if value_cols is None:

@@ -368,6 +368,71 @@ def rolling_moments(
             .withColumn(kurt_col, F.when(ok, m4 / (m2 * m2) - F.lit(3.0))))
 
 
+def cross_sectional_features(
+    df: DataFrame,
+    ts_col: str,
+    col: str,
+    bucket: str = "day",
+    rank_col: str = "cs_rank",
+    pct_col: str = "cs_pct",
+    z_col: str = "cs_z",
+) -> DataFrame:
+    """Peer-relative features: each row's competition rank, percentile
+    and z-score of ``col`` against ALL rows in the same ``bucket``
+    (``date_trunc`` unit) — "how does this entity compare to everyone
+    else today", the cross-sectional axis the per-entity operators
+    can't see.
+
+    Scale shape: a naive ``Window.partitionBy(bucket).orderBy(col)``
+    puts an entire bucket (one day of a 100-TB corpus) in ONE task.
+    Instead: ``groupBy(bucket, col)`` counts (map-side combined, one
+    row per distinct value), a prefix-sum window over that SMALL frame
+    (cardinality = distinct values per bucket, not rows), and a join
+    back on ``(bucket, col)`` — AQE broadcasts the aggregate when it
+    fits.  Rank/percentile arithmetic is exact integers:
+
+        rank = 1 + #{rows in bucket with value < x}
+        pct  = #{< x} / (n − 1)            (NULL when n == 1)
+        z    = (x − S1/n) / sqrt(S2/n − (S1/n)²)   (NULL when var 0)
+
+    z comes from exact integer sums over an integer-valued ``col``
+    (identical expression tree cross-engine, same discipline as
+    :func:`rolling_corr`)."""
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    x = F.col(col)
+    agg = (df.groupBy(b.alias("__b"), x.alias("__x"))
+             .agg(F.count(F.lit(1)).alias("__c")))
+    wless = (Window.partitionBy("__b").orderBy("__x")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wall = (Window.partitionBy("__b")
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    xd = F.col("__x")
+    stats = agg.select(
+        "__b", "__x",
+        F.coalesce(F.sum("__c").over(wless), F.lit(0)).alias("__less"),
+        F.sum("__c").over(wall).alias("__n"),
+        F.sum(xd * F.col("__c")).over(wall).alias("__s1"),
+        F.sum(xd * xd * F.col("__c")).over(wall).alias("__s2"),
+    )
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s1").cast("double") / nd
+    var = F.col("__s2").cast("double") / nd - mu * mu
+    enriched = stats.select(
+        "__b", "__x",
+        (F.col("__less") + 1).alias(rank_col),
+        F.when(F.col("__n") > 1,
+               F.col("__less").cast("double")
+               / (F.col("__n") - 1).cast("double")).alias(pct_col),
+        F.when(var > 0,
+               (F.col("__x").cast("double") - mu) / F.sqrt(var))
+         .alias(z_col),
+    )
+    return df.join(enriched,
+                   (b == enriched["__b"]) & (x == enriched["__x"]),
+                   "left").drop("__b", "__x")
+
+
 def ewma(
     df: DataFrame,
     entity_col: str,

@@ -86,6 +86,30 @@ def test_asof_tolerance(spark, timeline, labels_pdf, impl):
 
 
 @pytest.mark.parametrize("impl", [asof_join, asof_join_cogrouped])
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("tolerance", [None, 3600])
+def test_asof_nearest_matches_pandas(spark, timeline, labels_pdf, impl,
+                                     strict, tolerance):
+    """direction='nearest' on both physical plans vs pandas merge_asof:
+    closer side wins, backward wins exact-distance ties, strict
+    excludes equal timestamps, tolerance bounds both directions."""
+    feats = spark.createDataFrame(timeline).repartition(5)
+    labs = spark.createDataFrame(labels_pdf).repartition(3)
+    got = impl(labs, feats, value_cols=["v", "w"], suffix="_f",
+               direction="nearest", strict=strict,
+               tolerance_seconds=tolerance).toPandas()
+    left = labels_pdf.sort_values("ts", kind="mergesort")
+    right = (timeline.sort_values("ts", kind="mergesort")
+             [["entity_id", "ts", "v", "w"]]
+             .rename(columns={"ts": "fts", "v": "v_f", "w": "w_f"}))
+    exp = pd.merge_asof(
+        left, right, left_on="ts", right_on="fts", by="entity_id",
+        direction="nearest", allow_exact_matches=not strict,
+        tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None)
+    _check_asof(got, exp)
+
+
+@pytest.mark.parametrize("impl", [asof_join, asof_join_cogrouped])
 def test_zero_temporal_leakage(spark, labels_pdf, impl):
     """Adversarial fixture: every feature row is stamped 1ms AFTER the
     label it would otherwise match — every joined value must be null.

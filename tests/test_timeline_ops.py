@@ -403,3 +403,27 @@ def test_rolling_moments_matches_scipy_formulas(spark, events_pdf):
             kurt = (c ** 4).mean() / m2 ** 2 - 3.0
             assert got["roll_skew"] == pytest.approx(skew, abs=1e-7)
             assert got["roll_kurt"] == pytest.approx(kurt, abs=1e-7)
+
+
+def test_cross_sectional_matches_pandas(spark, events_pdf):
+    from hiselspark.operators.windows import cross_sectional_features
+    df = spark.createDataFrame(events_pdf)
+    out = (cross_sectional_features(df, "ts", "x", bucket="day")
+           .toPandas().set_index("event_id"))
+    pdf = events_pdf.copy()
+    pdf["b"] = pdf["ts"].dt.floor("D")
+    g = pdf.groupby("b")["x"]
+    pdf["rank"] = g.rank(method="min").astype(int)
+    pdf["n"] = g.transform("size")
+    pdf["pct"] = (pdf["rank"] - 1) / (pdf["n"] - 1)
+    mu = g.transform("mean")
+    sd = np.sqrt(g.transform(lambda s: s.var(ddof=0)))
+    pdf["z"] = (pdf["x"] - mu) / sd
+    for _, row in pdf.iterrows():
+        got = out.loc[row["event_id"]]
+        assert got["cs_rank"] == row["rank"]
+        assert got["cs_pct"] == pytest.approx(row["pct"], abs=1e-12)
+        if sd.loc[row.name] == 0:
+            assert pd.isna(got["cs_z"])
+        else:
+            assert got["cs_z"] == pytest.approx(row["z"], abs=1e-9)
