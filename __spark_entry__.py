@@ -1870,6 +1870,17 @@ def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("roll_kurt", 6).alias("roll_kurt"))
 
 
+def q_rolling_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h holding-time-weighted mean of the event value per
+    user (TWAP) — de-biases bursts of rapid updates."""
+    from hiselspark.operators.windows import rolling_twap
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_twap(ev, "user_id", "ts", "cents", 86400.0, "event_id")
+    return out.select("event_id", F.round("roll_twap", 6)
+                      .alias("roll_twap"))
+
+
 def q_cross_sectional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Peer-relative daily rank/percentile/z-score of the event value
     (cross-sectional axis) — aggregate-then-join-back plan, never a
@@ -2322,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_moments": q_rolling_moments,
         "asof_nearest": q_asof_nearest,
         "cross_sectional": q_cross_sectional,
+        "rolling_twap": q_rolling_twap,
         "time_since_error": q_time_since_error,
         "horizon_lag": q_horizon_lag,
         "ewma": q_ewma,
@@ -4092,6 +4104,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.us <= p.us THEN 0 ELSE 1 END
           LIMIT 1
         ) m ON true
+    """
+    oracles["rolling_twap"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), d AS (
+          SELECT event_id, user_id, x, us,
+                 LEAD(us) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id) - us AS dur
+          FROM q
+        ), w AS (
+          SELECT event_id,
+                 SUM(dur) OVER b AS sw,
+                 SUM(dur*x) OVER b AS swx
+          FROM d
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CASE WHEN sw > 0
+                    THEN round(CAST(swx AS DOUBLE)
+                               / CAST(sw AS DOUBLE), 6)
+               END AS roll_twap
+        FROM w
     """
     oracles["cross_sectional"] = """
         WITH q AS (

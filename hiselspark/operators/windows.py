@@ -368,6 +368,49 @@ def rolling_moments(
             .withColumn(kurt_col, F.when(ok, m4 / (m2 * m2) - F.lit(3.0))))
 
 
+def rolling_twap(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    id_col: str,
+    out_col: str = "roll_twap",
+) -> DataFrame:
+    """Holding-time-weighted trailing mean (TWAP): each observation in
+    ``(t − window, t]`` is weighted by how long it remained the
+    entity's current value (µs until the next observation).  A plain
+    rolling mean over-weights bursts of rapid updates; the TWAP is the
+    time-integral of the piecewise-constant signal divided by elapsed
+    time — the standard de-biasing for irregularly sampled timelines.
+
+    One ``lead`` for the holding duration plus two range-window sums,
+    all on the shared entity clustering.  Exact int64 arithmetic:
+    Σ duration within a window is bounded by the window span itself
+    (≤ window_µs per overlapping segment chain), so Σ(dur·x) ≤
+    window_µs · max|x| — far inside int64 for any realistic window.
+    Semantics notes: an entity's LAST observation has no holding time
+    yet and carries zero weight; a segment straddling the anchor ``t``
+    counts with its full duration (windowing is by observation time,
+    not clipped integration — documented, exact, cross-engine).  NULL
+    when the window holds no completed segment.  Ties at the same
+    microsecond get zero duration via the ``(us, id)`` lead order."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    wl = Window.partitionBy(entity_col).orderBy(us, F.col(id_col))
+    dur = F.lead(us, 1).over(wl) - us
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    x = F.col(col)
+    tagged = df.withColumn("__dur", dur)
+    sw = F.sum(F.col("__dur")).over(w)
+    swx = F.sum(F.col("__dur") * x).over(w)
+    return (tagged.withColumn(
+                out_col,
+                F.when(sw > 0, swx.cast("double") / sw.cast("double")))
+            .drop("__dur"))
+
+
 def cross_sectional_features(
     df: DataFrame,
     ts_col: str,

@@ -427,3 +427,23 @@ def test_cross_sectional_matches_pandas(spark, events_pdf):
             assert pd.isna(got["cs_z"])
         else:
             assert got["cs_z"] == pytest.approx(row["z"], abs=1e-9)
+
+
+def test_rolling_twap_matches_manual(spark, events_pdf):
+    from hiselspark.operators.windows import rolling_twap
+    win = 2 * 86400.0
+    df = spark.createDataFrame(events_pdf)
+    out = (rolling_twap(df, "entity", "ts", "x", win, "event_id")
+           .toPandas().set_index("event_id")["roll_twap"])
+    for _, row in events_pdf.sample(40, random_state=13).iterrows():
+        ent = (events_pdf[events_pdf["entity"] == row["entity"]]
+               .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        ent["dur"] = (ent["ts"].shift(-1) - ent["ts"]).dt.total_seconds()
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"]) & ent["dur"].notna()]
+        got = out.loc[row["event_id"]]
+        if g.empty or g["dur"].sum() == 0:
+            assert pd.isna(got)
+        else:
+            want = (g["dur"] * g["x"]).sum() / g["dur"].sum()
+            assert got == pytest.approx(want, rel=1e-9)
