@@ -1870,6 +1870,17 @@ def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("roll_kurt", 6).alias("roll_kurt"))
 
 
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day exact distinct event types per user — grouped
+    vectorized kernel on the skew-proof (entity, bucket) clustering."""
+    from hiselspark.operators.chunked import chunked_rolling_distinct
+    ev = _ev(spark, sf_dir)
+    out = chunked_rolling_distinct(ev, "user_id", "ts", "event_type",
+                                   7 * 86400.0)
+    return out.select("event_id",
+                      F.col("roll_distinct").alias("n_types_7d"))
+
+
 def q_rolling_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h holding-time-weighted mean of the event value per
     user (TWAP) — de-biases bursts of rapid updates."""
@@ -2334,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "cross_sectional": q_cross_sectional,
         "rolling_twap": q_rolling_twap,
+        "rolling_distinct": q_rolling_distinct,
         "time_since_error": q_time_since_error,
         "horizon_lag": q_horizon_lag,
         "ewma": q_ewma,
@@ -4104,6 +4116,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.us <= p.us THEN 0 ELSE 1 END
           LIMIT 1
         ) m ON true
+    """
+    oracles["rolling_distinct"] = """
+        WITH q AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        )
+        SELECT e1.event_id,
+               (SELECT CAST(COUNT(DISTINCT e2.event_type) AS BIGINT)
+                FROM q e2
+                WHERE e2.user_id = e1.user_id
+                  AND e2.us BETWEEN e1.us - 604800000000 AND e1.us)
+                 AS n_types_7d
+        FROM q e1
     """
     oracles["rolling_twap"] = """
         WITH q AS (

@@ -447,3 +447,31 @@ def test_rolling_twap_matches_manual(spark, events_pdf):
         else:
             want = (g["dur"] * g["x"]).sum() / g["dur"].sum()
             assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_rolling_distinct_matches_bruteforce(spark, events_pdf):
+    from hiselspark.operators.chunked import chunked_rolling_distinct
+    win = 3 * 86400.0
+    pdf = events_pdf.copy()
+    pdf["cat"] = (pdf["x"] % 5).astype(str)
+    # adversarial tie: two rows at the identical timestamp, distinct
+    # values — RANGE semantics must count both for both anchors
+    pdf.loc[2, ["entity", "ts"]] = pdf.loc[3, ["entity", "ts"]]
+    pdf.loc[2, "cat"] = "tiebreak"
+    df = spark.createDataFrame(pdf)
+    out = (chunked_rolling_distinct(df, "entity", "ts", "cat", win,
+                                    bucket_seconds=4 * 86400.0)
+           .toPandas().set_index("event_id")["roll_distinct"])
+    assert len(out) == len(pdf)
+    for _, row in pdf.sample(60, random_state=17).iterrows():
+        ent = pdf[pdf["entity"] == row["entity"]]
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"])]
+        assert out.loc[row["event_id"]] == g["cat"].nunique()
+    # the tied rows specifically
+    for eid in (pdf.loc[2, "event_id"], pdf.loc[3, "event_id"]):
+        row = pdf[pdf["event_id"] == eid].iloc[0]
+        ent = pdf[pdf["entity"] == row["entity"]]
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"])]
+        assert out.loc[eid] == g["cat"].nunique()
