@@ -280,3 +280,43 @@ def test_resample_plan_has_no_driver_loop_or_cartesian(spark):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     assert n_exchanges(out) <= 3, txt
+
+
+def test_new_rolling_family_shares_one_shuffle(spark):
+    """rolling_slope + rolling_moments + rolling_twap + time_since_event
+    + horizon_lag stacked on one entity key still cost exactly ONE
+    full-frame hash exchange; the range-frame sufficient sums collapse
+    into shared WindowExecs."""
+    from hiselspark.operators.windows import (horizon_lag,
+                                              rolling_moments,
+                                              rolling_slope,
+                                              rolling_twap,
+                                              time_since_event)
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long")))
+    out = rolling_slope(ev, "user_id", "ts", "cents", 86400.0)
+    out = rolling_moments(out, "user_id", "ts", "cents", 86400.0)
+    out = rolling_twap(out, "user_id", "ts", "cents", 86400.0, "event_id")
+    out = time_since_event(out, "user_id", "ts",
+                           F.col("event_type") == "error", "event_id")
+    out = horizon_lag(out, "user_id", "ts", "cents", 3600.0, "event_id")
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_cross_sectional_never_sorts_full_frame(spark):
+    """cross_sectional_features must rank via the aggregate-then-join
+    plan: the only Sort allowed on the FULL frame is none — sorts may
+    appear on the (bucket, value) aggregate only (cardinality =
+    distinct values), and the join back must be an equi-join, no
+    cartesian/nested-loop."""
+    from hiselspark.operators.windows import cross_sectional_features
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long")))
+    out = cross_sectional_features(ev, "ts", "cents", bucket="day")
+    txt = plan_str(out, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # every Sort node must sit above the aggregated (bucket, value)
+    # frame, i.e. below it there is a HashAggregate, not the raw scan
+    for frag in txt.split("Sort ")[1:]:
+        assert "HashAggregate" in frag, txt
