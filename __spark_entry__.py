@@ -1648,6 +1648,42 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("cents_sum").alias("cents")))
 
 
+def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (applyInPandasWithState): clicks
+    update per-user state, purchases are enriched with the most recent
+    click value at-or-before them.  Replayed as four event-time-ordered
+    micro-batches (state crosses batch edges), drained result must
+    equal the batch ASOF JOIN oracle."""
+    import hashlib
+    import os
+    from hiselspark.streaming.asof import stream_asof_enrich
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files)
+    ev = _ev(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    sub = ev.filter(F.col("event_type").isin("click", "purchase"))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:10]
+    src = f"/tmp/hiselspark_streamasof_{tag}"
+    if not os.path.exists(f"{src}/0003.parquet"):
+        max_id = sub.agg(F.max("event_id")).collect()[0][0]
+        cut = max_id // 4 + 1
+        stage_microbatch_files(
+            [sub.filter((F.col("event_id") >= i * cut)
+                        & (F.col("event_id") < (i + 1) * cut))
+             for i in range(4)], src)
+    stream = (read_events_stream(spark, src, ev.schema,
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("us", (F.col("ts").cast("double")
+                                 * 1_000_000).cast("long"))
+              .withColumn("is_feature", F.col("event_type") == "click")
+              .withColumn("fvalue", F.col("value").cast("double")))
+    return run_stream_to_batch(stream_asof_enrich(stream),
+                               output_mode="append")
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split: polynomial
     rolling hash of the normalized text (pure JVM integer expressions,
@@ -1871,8 +1907,19 @@ def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day exact distinct event types per user — grouped
-    vectorized kernel on the skew-proof (entity, bucket) clustering."""
+    """Trailing-7-day exact distinct event types per user — pure-JVM
+    count-minus-pairs rewrite (delta events + running sum)."""
+    from hiselspark.operators.windows import rolling_distinct
+    ev = _ev(spark, sf_dir)
+    out = rolling_distinct(ev, "user_id", "ts", "event_type",
+                           7 * 86400.0, "event_id")
+    return out.select("event_id",
+                      F.col("roll_distinct").alias("n_types_7d"))
+
+
+def q_rolling_distinct_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof Arrow-kernel twin of rolling_distinct — same
+    oracle."""
     from hiselspark.operators.chunked import chunked_rolling_distinct
     ev = _ev(spark, sf_dir)
     out = chunked_rolling_distinct(ev, "user_id", "ts", "event_type",
@@ -2346,6 +2393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_sectional": q_cross_sectional,
         "rolling_twap": q_rolling_twap,
         "rolling_distinct": q_rolling_distinct,
+        "rolling_distinct_chunked": q_rolling_distinct_chunked,
+        "streaming_asof": q_streaming_asof,
         "time_since_error": q_time_since_error,
         "horizon_lag": q_horizon_lag,
         "ewma": q_ewma,
@@ -4117,6 +4166,23 @@ def oracle_sql() -> dict[str, str]:
           LIMIT 1
         ) m ON true
     """
+    oracles["streaming_asof"] = """
+        WITH purchases AS (
+          SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'
+        ), clicks AS (
+          SELECT user_id, ts, MAX(value) AS v
+          FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        )
+        SELECT p.user_id AS entity,
+               p.event_id AS label_id,
+               epoch_us(p.ts) AS label_us,
+               c.v AS matched_value,
+               epoch_us(c.ts) AS matched_us
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """
     oracles["rolling_distinct"] = """
         WITH q AS (
           SELECT event_id, user_id, event_type,
@@ -4525,6 +4591,7 @@ def oracle_sql() -> dict[str, str]:
         FROM events
     """
     oracles["rolling_corr_chunked"] = oracles["rolling_corr"]
+    oracles["rolling_distinct_chunked"] = oracles["rolling_distinct"]
     oracles["ewma_chunked"] = oracles["ewma"]
     oracles["rolling_median_chunked"] = oracles["rolling_median"]
     oracles["inter_arrival"] = """

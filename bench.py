@@ -88,7 +88,8 @@ def main() -> None:
     for name in ("asof_join", "rolling_1h", "sessionize", "lag_lead",
                  "tpch_q1", "broadcast_join_agg", "embedding_topk",
                  "dedup_exact", "pack_sequences", "curate_corpus",
-                 "resample_ffill", "heavy_hitters", "pq_topk"):
+                 "resample_ffill", "heavy_hitters", "pq_topk",
+                 "rolling_distinct", "asof_nearest"):
         timed(name, lambda n=name: qs[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save())
 

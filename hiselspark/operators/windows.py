@@ -368,6 +368,70 @@ def rolling_moments(
             .withColumn(kurt_col, F.when(ok, m4 / (m2 * m2) - F.lit(3.0))))
 
 
+def rolling_distinct(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    id_col: str,
+    out_col: str = "roll_distinct",
+) -> DataFrame:
+    """Exact trailing-range COUNT(DISTINCT ``col``) per entity, as pure
+    JVM window expressions — no engine has a windowed COUNT(DISTINCT),
+    but it decomposes relationally:
+
+        distinct(t) = #rows in [t−Δ, t] − #pairs inside [t−Δ, t]
+
+    where a "pair" links a row to its PREVIOUS same-value occurrence
+    (a value with m occurrences in the window contributes m−1 pairs,
+    collapsing it to one).  A pair ``(prev_us, us)`` lies inside the
+    anchor window **iff** ``t ∈ [us, prev_us + Δ]`` — so each pair
+    becomes a +1 delta event at ``us`` and a −1 at ``prev_us + Δ + 1``,
+    and ``pairs(t)`` is a running sum over the per-entity time-ordered
+    union of anchors and delta events.  Two hash shuffles total: one on
+    ``(entity, value)`` for the previous-occurrence lag, one on
+    ``(entity)`` for the running/count windows (the union's exchange is
+    shared).  Whole-stage codegen throughout; RANGE frames give SQL tie
+    semantics (same-microsecond peers count).  The skew-proof Arrow-
+    kernel twin is ``chunked.chunked_rolling_distinct`` (same oracle).
+    """
+    win = int(window_seconds * 1_000_000)
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    wv = (Window.partitionBy(entity_col, col)
+          .orderBy(us, F.col(id_col)))
+    base = (df.withColumn("__us", us)
+              .withColumn("__pus", F.lag(us, 1).over(wv)))
+    pair = base.filter(F.col("__pus").isNotNull()
+                       & (F.col("__us") - F.col("__pus") <= win))
+    starts = pair.select(F.col(entity_col).alias("__e"),
+                         F.col("__us").alias("__etime"),
+                         F.lit(1).alias("__d"))
+    ends = pair.select(F.col(entity_col).alias("__e"),
+                       (F.col("__pus") + win + 1).alias("__etime"),
+                       F.lit(-1).alias("__d"))
+    anchors = base.drop("__pus").withColumn("__d", F.lit(0))
+    deltas = starts.unionByName(ends).withColumnRenamed("__e", entity_col)
+    for c in anchors.columns:
+        if c not in deltas.columns:
+            deltas = deltas.withColumn(
+                c, F.lit(None).cast(anchors.schema[c].dataType))
+    deltas = (deltas.withColumn("__us", F.col("__etime"))
+              .select(*anchors.columns))
+    unioned = anchors.unionByName(deltas)
+    wrun = (Window.partitionBy(entity_col).orderBy("__us")
+            .rangeBetween(Window.unboundedPreceding, 0))
+    wcnt = (Window.partitionBy(entity_col).orderBy("__us")
+            .rangeBetween(-win, 0))
+    out = (unioned
+           .withColumn("__pairs", F.sum("__d").over(wrun))
+           .withColumn("__cnt",
+                       F.count(F.when(F.col("__d") == 0, 1)).over(wcnt))
+           .filter(F.col("__d") == 0)
+           .withColumn(out_col, F.col("__cnt") - F.col("__pairs")))
+    return out.drop("__us", "__d", "__pairs", "__cnt")
+
+
 def rolling_twap(
     df: DataFrame,
     entity_col: str,

@@ -68,3 +68,66 @@ def test_stream_interval_join_drops_beyond_watermark(spark, tmp_path):
                              watermark_seconds=60)
     out = run_stream_to_batch(j, output_mode="append").toPandas()
     assert len(out) == 0
+
+
+def test_stream_asof_enrich_equals_batch_and_never_leaks(spark, tmp_path):
+    """Ordered replay across 3 micro-batches equals the batch as-of
+    join; an out-of-order label (older than the retained feature)
+    gets NULL, never a future value."""
+    import numpy as np
+    from hiselspark.operators.asof import asof_join
+    from hiselspark.streaming.asof import stream_asof_enrich
+
+    rng = np.random.default_rng(31)
+    n = 120
+    rows = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 6, n),
+        "ts": T0 + pd.to_timedelta(np.sort(rng.integers(0, 86400, n)),
+                                   unit="s"),
+        "is_feature": rng.uniform(size=n) < 0.5,
+        "fvalue": rng.normal(size=n).round(3),
+    })
+    frames = [rows.iloc[:40], rows.iloc[40:80], rows.iloc[80:]]
+    src = str(tmp_path / "asof_src")
+    sdf = [spark.createDataFrame(f) for f in frames]
+    stage_microbatch_files(sdf, src)
+    stream = (read_events_stream(spark, src, sdf[0].schema,
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("us", (F.col("ts").cast("double")
+                                 * 1_000_000).cast("long")))
+    got = (run_stream_to_batch(stream_asof_enrich(stream),
+                               output_mode="append")
+           .toPandas().set_index("label_id").sort_index())
+
+    feats = (rows[rows["is_feature"]]
+             .rename(columns={"fvalue": "v"})[["user_id", "ts", "v"]])
+    labels = rows[~rows["is_feature"]][["event_id", "user_id", "ts"]]
+    fdf = spark.createDataFrame(feats)
+    ldf = spark.createDataFrame(labels)
+    exp = (asof_join(ldf, fdf, on="user_id", left_ts="ts",
+                     right_ts="ts", value_cols=["v"])
+           .toPandas().set_index("event_id").sort_index())
+    assert len(got) == len(exp)
+    pd.testing.assert_series_equal(
+        got["matched_value"], exp["v"],
+        check_names=False, check_dtype=False)
+
+    # out-of-order: a label OLDER than everything arrives last
+    late_label = rows.iloc[[0]].copy()
+    late_label["event_id"] = 999
+    late_label["is_feature"] = False
+    late_label["ts"] = T0 - pd.Timedelta(hours=1)
+    src2 = str(tmp_path / "asof_src2")
+    stage_microbatch_files(
+        [spark.createDataFrame(f) for f in frames + [late_label]], src2)
+    stream2 = (read_events_stream(spark, src2, sdf[0].schema,
+                                  max_files_per_trigger=1)
+               .withColumn("ts", F.col("ts").cast("timestamp"))
+               .withColumn("us", (F.col("ts").cast("double")
+                                  * 1_000_000).cast("long")))
+    got2 = (run_stream_to_batch(stream_asof_enrich(stream2),
+                                output_mode="append")
+            .toPandas().set_index("label_id"))
+    assert pd.isna(got2.loc[999, "matched_value"])

@@ -475,3 +475,27 @@ def test_rolling_distinct_matches_bruteforce(spark, events_pdf):
         g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
                 & (ent["ts"] <= row["ts"])]
         assert out.loc[eid] == g["cat"].nunique()
+
+
+def test_rolling_distinct_relational_matches_chunked(spark, events_pdf):
+    from hiselspark.operators.chunked import chunked_rolling_distinct
+    from hiselspark.operators.windows import rolling_distinct
+    win = 3 * 86400.0
+    pdf = events_pdf.copy()
+    pdf["cat"] = (pdf["x"] % 5).astype(str)
+    pdf.loc[2, ["entity", "ts"]] = pdf.loc[3, ["entity", "ts"]]
+    pdf.loc[2, "cat"] = "tiebreak"
+    df = spark.createDataFrame(pdf)
+    rel = (rolling_distinct(df, "entity", "ts", "cat", win, "event_id")
+           .toPandas().set_index("event_id")["roll_distinct"]
+           .sort_index())
+    chk = (chunked_rolling_distinct(df, "entity", "ts", "cat", win,
+                                    bucket_seconds=4 * 86400.0)
+           .toPandas().set_index("event_id")["roll_distinct"]
+           .sort_index())
+    pd.testing.assert_series_equal(rel, chk, check_dtype=False)
+    for _, row in pdf.sample(40, random_state=23).iterrows():
+        ent = pdf[pdf["entity"] == row["entity"]]
+        g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
+                & (ent["ts"] <= row["ts"])]
+        assert rel.loc[row["event_id"]] == g["cat"].nunique()
