@@ -1928,6 +1928,42 @@ def q_rolling_distinct_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("roll_distinct").alias("n_types_7d"))
 
 
+def q_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day lag-1 autocorrelation of the event value per
+    user — persistence/mean-reversion signal, composed from with_lags
+    (tie rule: value cols) + rolling_corr on the (x, x_lag1) pair
+    timeline (rows with no predecessor dropped BEFORE windowing, so
+    both engines window the same filtered timeline)."""
+    from hiselspark.operators.windows import rolling_corr, with_lags
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    lagged = (with_lags(ev, "user_id", "ts", ["cents"], lags=(1,))
+              .filter(F.col("cents_lag1").isNotNull()))
+    out = rolling_corr(lagged, "user_id", "ts", "cents", "cents_lag1",
+                       7 * 86400.0, out_col="autocorr")
+    return out.select("event_id", F.round("autocorr", 6)
+                      .alias("autocorr"))
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst score: events in the trailing hour vs the user's 7-day
+    hourly baseline rate — exact integer counts, one division."""
+    from hiselspark.operators.windows import rolling_aggregates
+    ev = _ev(spark, sf_dir)
+    out = rolling_aggregates(
+        rolling_aggregates(ev, "user_id", "ts", {"event_id": ["count"]},
+                           window_seconds=3600.0),
+        "user_id", "ts", {"event_id": ["count"]},
+        window_seconds=7 * 86400.0)
+    short = F.col("event_id_roll_count_3600s")
+    long_ = F.col("event_id_roll_count_604800s")
+    score = F.when(long_ > 0,
+                   short.cast("double")
+                   / (long_.cast("double") / F.lit(168.0)))
+    return (out.withColumn("burst", F.round(score, 6))
+            .select("event_id", "burst"))
+
+
 def q_rolling_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h holding-time-weighted mean of the event value per
     user (TWAP) — de-biases bursts of rapid updates."""
@@ -2392,6 +2428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "cross_sectional": q_cross_sectional,
         "rolling_twap": q_rolling_twap,
+        "rolling_autocorr": q_rolling_autocorr,
+        "burstiness": q_burstiness,
         "rolling_distinct": q_rolling_distinct,
         "rolling_distinct_chunked": q_rolling_distinct_chunked,
         "streaming_asof": q_streaming_asof,
@@ -4196,6 +4234,68 @@ def oracle_sql() -> dict[str, str]:
                   AND e2.us BETWEEN e1.us - 604800000000 AND e1.us)
                  AS n_types_7d
         FROM q e1
+    """
+    oracles["rolling_autocorr"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), l AS (
+          SELECT event_id, user_id, x, us,
+                 LAG(x) OVER (PARTITION BY user_id
+                              ORDER BY us, x) AS xl
+          FROM q
+        ), f AS (
+          SELECT * FROM l WHERE xl IS NOT NULL
+        ), w AS (
+          SELECT event_id,
+                 COUNT(*) OVER b AS n,
+                 SUM(x) OVER b AS sx, SUM(xl) OVER b AS sy,
+                 SUM(x*x) OVER b AS sxx, SUM(xl*xl) OVER b AS syy,
+                 SUM(x*xl) OVER b AS sxy
+          FROM f
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 604800000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2
+                     AND CAST(n AS DOUBLE)*sxx
+                         - CAST(sx AS DOUBLE)*sx > 0
+                     AND CAST(n AS DOUBLE)*syy
+                         - CAST(sy AS DOUBLE)*sy > 0
+                    THEN round(
+                      (CAST(n AS DOUBLE)*sxy
+                       - CAST(sx AS DOUBLE)*sy)
+                      / (sqrt(CAST(n AS DOUBLE)*sxx
+                              - CAST(sx AS DOUBLE)*sx)
+                         * sqrt(CAST(n AS DOUBLE)*syy
+                                - CAST(sy AS DOUBLE)*sy)), 6)
+               END AS autocorr
+        FROM w
+    """
+    oracles["burstiness"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), w AS (
+          SELECT event_id,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                                RANGE BETWEEN 3600000000 PRECEDING
+                                          AND CURRENT ROW) AS s,
+                 COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                                RANGE BETWEEN 604800000000 PRECEDING
+                                          AND CURRENT ROW) AS l
+          FROM q
+        )
+        SELECT event_id,
+               CASE WHEN l > 0
+                    THEN round(CAST(s AS DOUBLE)
+                               / (CAST(l AS DOUBLE) / 168.0), 6)
+               END AS burst
+        FROM w
     """
     oracles["rolling_twap"] = """
         WITH q AS (

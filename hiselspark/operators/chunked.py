@@ -10,13 +10,19 @@ entity's 90-day timeline splits into ``span/bucket`` independent tasks
 Cost discipline (this is what makes the chunked path as cheap as the
 plain one): each operator moves the full frame through exactly ONE
 shuffle — the ``repartition(entity, bucket)`` clustering (for rolling,
-the time-overlap context rows are appended narrowly BEFORE that
-shuffle).  Everything cross-bucket rides on per-(entity, bucket)
-summary tables: one row per non-empty bucket per entity, built with
-NO extra shuffle (groupBy on the clustering keys reuses the
-partitioning), prefix-scanned per entity (tiny windows, pure JVM),
-and joined back on the clustering keys — the big side is already
-hash-partitioned on them, so only the tiny summary moves.  (No
+the time-overlap context rows are ``explode``-duplicated narrowly in
+the SAME scan BEFORE that shuffle — single consumer of the upstream,
+so an expensive decode never needs a protective cache).  Everything
+cross-bucket rides on per-(entity, bucket) summary tables: one row per
+non-empty bucket per entity, built with NO extra shuffle (groupBy on
+the clustering keys reuses the partitioning), prefix-scanned per
+entity (tiny windows, pure JVM), and joined back on the clustering
+keys — the big side is already hash-partitioned on them, so only the
+tiny summary moves.  The summary branch and the join's big side share
+the clustering exchange via ReusedExchange: pre-shuffle work runs
+once by construction, and the duplicated post-shuffle window pass over
+the narrow frame measures cheaper than persisting the intermediate
+(the cache write alone cost ~1.7s of the sf0.1 stage wall).  (No
 broadcast hints: a per-(entity, bucket) table grows with the corpus,
 and the driver-side broadcast build measurably dominated the stage
 wall even at 500k rows; AQE may still choose broadcast when a summary
@@ -203,16 +209,19 @@ def _overlap_context(tagged: DataFrame, ts_col: str, bucket_seconds: float,
     """Narrow (pre-shuffle) duplication of each bucket's last
     ``overlap_seconds`` of rows into the next bucket, flagged __ctx=1.
 
-    NB the union has two branches scanning ``tagged`` — persist the
-    input first (callers do) or the whole upstream runs twice."""
+    Single-scan form: each tail-window row ``explode``s into itself
+    plus its next-bucket context copy — the input is consumed ONCE, so
+    callers need no protective persist of the upstream (an earlier
+    two-branch union scanned it twice, forcing a cache of the whole
+    tagged frame just to avoid a double image-decode)."""
     bucket_us = int(bucket_seconds * 1_000_000)
     row_us = (ts_seconds(ts_col) * 1_000_000).cast("long")
-    cond = (row_us >= (F.col(_B) + 1) * bucket_us
-            - F.lit(int(overlap_seconds * 1_000_000)))
-    ctx = (tagged.filter(cond)
-                 .withColumn(_B, F.col(_B) + 1)
-                 .withColumn(_CTX, F.lit(1)))
-    return tagged.withColumn(_CTX, F.lit(0)).unionByName(ctx)
+    in_tail = (row_us >= (F.col(_B) + 1) * bucket_us
+               - F.lit(int(overlap_seconds * 1_000_000)))
+    dup = F.explode(F.when(in_tail, F.array(F.lit(0), F.lit(1)))
+                    .otherwise(F.array(F.lit(0))))
+    out = tagged.withColumn(_CTX, dup)
+    return out.withColumn(_B, F.col(_B) + F.col(_CTX))
 
 
 def chunked_rolling(
@@ -228,9 +237,7 @@ def chunked_rolling(
     (entity, bucket); needs ``window_seconds <= bucket_seconds``."""
     if window_seconds > bucket_seconds:
         raise ValueError("rolling window must fit in one bucket")
-    # persist the tagged input: the context union scans it twice
-    tagged = _remember(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds))
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
         entity_col, materialize=False)
@@ -336,10 +343,7 @@ def chunked_timeline_features(
     k = max(lags)
     lag_cols = list(lag_cols)
 
-    # persist the tagged input: the context union scans it twice, and
-    # the upstream (image decode) is the most expensive thing here
-    tagged = _remember(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds))
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, rolling_window_s),
         entity_col, materialize=False)
@@ -352,15 +356,67 @@ def chunked_timeline_features(
     for name, expr in _rolling_exprs(rolling_aggs, rolling_window_s,
                                      w_range).items():
         out = out.withColumn(name, expr)
-    # materialize AFTER the rolling pass: the session/lag summary
-    # branches below each re-derive from here otherwise (see _cluster)
-    real = _remember(out.filter(F.col(_CTX) == 0).drop(_CTX).persist())
+    # no persist: the summary branch and the join's big side share the
+    # clustering exchange (ReusedExchange — the expensive pre-shuffle
+    # work, e.g. image decode, runs once by construction), and the
+    # duplicated post-shuffle work is one window pass over the narrow
+    # frame — measured cheaper than materializing the cache at every
+    # scale tried (the cache write alone cost ~1.7s of the sf0.1 wall)
+    real = out.filter(F.col(_CTX) == 0).drop(_CTX)
 
-    # sessionize (real rows only; filter preserved the clustering)
-    flagged, summary = _session_pieces(real, entity_col, ts_col,
-                                       session_gap_s)
-    joined = flagged.join(summary, [entity_col, _B])
-    w_local = Window.partitionBy(entity_col, _B).orderBy(ts_col)
+    # ONE summary pass for sessionize AND lag carries: both aggregate
+    # per (entity, bucket) and prefix-scan per entity, so they share a
+    # single groupBy (reuses the clustering), a single tiny per-entity
+    # window stage, and a single join back — at small scale this halves
+    # the fixed per-stage cost of the two-branch version (measured
+    # ~1.5s of the sf0.1 stage wall), at corpus scale it halves the
+    # summary-side shuffles.
+    # order by the SAME µs expression as the rolling range window: the
+    # µs long is a monotone image of ts (identical tie groups, so
+    # results are bit-identical), and the matching sort order lets
+    # Catalyst elide this stage's re-sort entirely
+    w_local = (Window.partitionBy(entity_col, _B)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long")))
+    prev_local = F.lag(F.col(ts_col)).over(w_local)
+    inner_new = (prev_local.isNotNull()
+                 & ((ts_seconds(ts_col) - ts_seconds(prev_local))
+                    > F.lit(float(session_gap_s)))).cast("long")
+    flagged = (real
+               .withColumn("__inner_new", inner_new)
+               .withColumn("__is_first",
+                           (F.row_number().over(w_local) == 1)
+                           .cast("long")))
+    sort_struct = F.struct(F.col(ts_col).alias("__t"),
+                           *[F.col(c).alias(c) for c in lag_cols])
+    arr = F.sort_array(F.collect_list(sort_struct))
+    tail = F.when(F.size(arr) <= k, arr).otherwise(F.slice(arr, -k, k))
+    summary = (flagged.groupBy(entity_col, _B)
+               .agg(F.min(ts_col).alias("__first_ts"),
+                    F.max(ts_col).alias("__last_ts"),
+                    F.sum("__inner_new").alias("__inner_starts"),
+                    tail.alias("__tail")))
+    w_b = Window.partitionBy(entity_col).orderBy(_B)
+    carry_last = F.lag("__last_ts").over(w_b)
+    first_new = F.when(
+        carry_last.isNull()
+        | ((ts_seconds(F.col("__first_ts")) - ts_seconds(carry_last))
+           > F.lit(float(session_gap_s))),
+        F.lit(1)).otherwise(F.lit(0))
+    summary = summary.withColumn("__first_new", first_new)
+    starts = F.col("__first_new") + F.col("__inner_starts")
+    w_prev = w_b.rowsBetween(Window.unboundedPreceding, -1)
+    prev_tails = F.flatten(F.collect_list("__tail").over(w_prev))
+    carry = F.when(F.size(prev_tails) <= k, prev_tails) \
+             .otherwise(F.slice(prev_tails, -k, k))
+    summary = (summary
+               .withColumn("__base",
+                           F.coalesce(F.sum(starts).over(w_prev),
+                                      F.lit(0)))
+               .withColumn("__carry", carry)
+               .select(entity_col, _B, "__first_new", "__base",
+                       "__carry"))
+
+    joined = flagged.join(summary, [entity_col, _B], "left")
     local_flag = (F.col("__inner_new")
                   + F.col("__is_first") * F.col("__first_new"))
     joined = joined.withColumn(
@@ -370,13 +426,6 @@ def chunked_timeline_features(
             w_local.rowsBetween(Window.unboundedPreceding, 0)) - 1)
     joined = joined.drop("__inner_new", "__is_first", "__first_new",
                          "__base")
-
-    # lags (carry arrays; same clustering)
-    sort_struct = F.struct(F.col(ts_col).alias("__t"),
-                           *[F.col(c).alias(c) for c in lag_cols])
-    carries = _carry_arrays(
-        _tail_arrays(joined, entity_col, k, sort_struct), entity_col, k)
-    joined = joined.join(carries, [entity_col, _B], "left")
     w_sorted = Window.partitionBy(entity_col, _B).orderBy(
         F.col(ts_col), *[F.col(c) for c in lag_cols])
     joined = joined.withColumn("__rn", F.row_number().over(w_sorted))
@@ -604,8 +653,7 @@ def chunked_rolling_quantile(
     if window_seconds > bucket_seconds:
         raise ValueError("rolling window must fit in one bucket")
     out_col = out_col or f"{col}_roll_q{q:g}"
-    tagged = _remember(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds))
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
         entity_col, materialize=False)
@@ -657,8 +705,7 @@ def chunked_rolling_distinct(
     if window_seconds > bucket_seconds:
         raise ValueError("rolling window must fit in one bucket")
     win_us = int(window_seconds * 1_000_000)
-    tagged = _remember(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)).persist())
+    tagged = df.withColumn(_B, _bucket_of(ts_col, bucket_seconds))
     clustered = _cluster(
         _overlap_context(tagged, ts_col, bucket_seconds, window_seconds),
         entity_col, materialize=False)
