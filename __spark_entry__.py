@@ -1928,6 +1928,41 @@ def q_rolling_distinct_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("roll_distinct").alias("n_types_7d"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user: earliest step
+    times with strict progression, plus depth reached."""
+    from hiselspark.operators.windows import funnel_steps
+    ev = _ev(spark, sf_dir)
+    out = funnel_steps(
+        ev, "user_id", "ts",
+        [F.col("event_type") == "view",
+         F.col("event_type") == "click",
+         F.col("event_type") == "purchase"],
+        "event_id")
+    return out.select("user_id", "step1_us", "step2_us", "step3_us",
+                      "funnel_depth")
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    distinct active users per (cohort_day, days_since_cohort)."""
+    from pyspark.sql import Window
+    ev = _ev(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id")
+    tagged = (ev.withColumn("day", day)
+                .withColumn("cohort", F.min("day").over(w)))
+    out = (tagged
+           .select("user_id", "cohort",
+                   F.datediff("day", "cohort").alias("days_since"))
+           .distinct()
+           .groupBy("cohort", "days_since")
+           .agg(F.count("*").alias("n_users")))
+    return out.select(_us("cohort").alias("cohort_us"),
+                      F.col("days_since").cast("int").alias("days_since"),
+                      F.col("n_users"))
+
+
 def q_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day lag-1 autocorrelation of the event value per
     user — persistence/mean-reversion signal, composed from with_lags
@@ -2430,6 +2465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_twap": q_rolling_twap,
         "rolling_autocorr": q_rolling_autocorr,
         "burstiness": q_burstiness,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "rolling_distinct": q_rolling_distinct,
         "rolling_distinct_chunked": q_rolling_distinct_chunked,
         "streaming_asof": q_streaming_asof,
@@ -4234,6 +4271,52 @@ def oracle_sql() -> dict[str, str]:
                   AND e2.us BETWEEN e1.us - 604800000000 AND e1.us)
                  AS n_types_7d
         FROM q e1
+    """
+    oracles["funnel"] = """
+        WITH q AS (
+          SELECT user_id, event_type,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), u AS (
+          SELECT DISTINCT user_id FROM q
+        ), s1 AS (
+          SELECT user_id, MIN(us) AS t1 FROM q
+          WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+          SELECT q.user_id, MIN(q.us) AS t2
+          FROM q JOIN s1 ON q.user_id = s1.user_id
+          WHERE q.event_type = 'click' AND q.us > s1.t1
+          GROUP BY q.user_id
+        ), s3 AS (
+          SELECT q.user_id, MIN(q.us) AS t3
+          FROM q JOIN s2 ON q.user_id = s2.user_id
+          WHERE q.event_type = 'purchase' AND q.us > s2.t2
+          GROUP BY q.user_id
+        )
+        SELECT u.user_id, s1.t1 AS step1_us, s2.t2 AS step2_us,
+               s3.t3 AS step3_us,
+               CAST(s1.t1 IS NOT NULL AS INT)
+                 + CAST(s2.t2 IS NOT NULL AS INT)
+                 + CAST(s3.t3 IS NOT NULL AS INT) AS funnel_depth
+        FROM u
+        LEFT JOIN s1 ON u.user_id = s1.user_id
+        LEFT JOIN s2 ON u.user_id = s2.user_id
+        LEFT JOIN s3 ON u.user_id = s3.user_id
+    """
+    oracles["cohort_retention"] = """
+        WITH q AS (
+          SELECT user_id, date_trunc('day', ts) AS day FROM events
+        ), c AS (
+          SELECT user_id, MIN(day) AS cohort FROM q GROUP BY user_id
+        ), a AS (
+          SELECT DISTINCT q.user_id, c.cohort,
+                 date_diff('day', c.cohort, q.day) AS days_since
+          FROM q JOIN c ON q.user_id = c.user_id
+        )
+        SELECT CAST(epoch(cohort) * 1000000 AS BIGINT) AS cohort_us,
+               CAST(days_since AS INT) AS days_since,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM a GROUP BY cohort, days_since
     """
     oracles["rolling_autocorr"] = """
         WITH q AS (

@@ -368,6 +368,53 @@ def rolling_moments(
             .withColumn(kurt_col, F.when(ok, m4 / (m2 * m2) - F.lit(3.0))))
 
 
+def funnel_steps(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+    id_col: str,
+    out_prefix: str = "step",
+) -> DataFrame:
+    """Ordered-funnel analysis: per entity, the earliest event time of
+    each step where step k must occur STRICTLY AFTER the entity's
+    earliest completion of step k−1 (classic view→click→purchase
+    conversion).  Returns one row per entity with ``{prefix}{k}_us``
+    (µs, NULL if the funnel stalled before step k) and
+    ``funnel_depth`` = number of completed steps.
+
+    Cascaded running-min window expressions over ONE entity clustering:
+    ``s₁ = running min(us | cond₁)``; a row qualifies for step k iff
+    ``cond_k ∧ us > s_{k−1}`` (strict µs comparison, so same-microsecond
+    events never satisfy "after" — tie-order independent), and
+    ``s_k`` is the running min of qualifying times.  Each step is a
+    window over the previous step's output — same partition and sort,
+    so Catalyst stacks them without re-shuffling — and the final
+    per-entity aggregation reuses the clustering."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col)
+         .orderBy(us, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = df.withColumn("__us", us)
+    prev = None
+    names = []
+    for k, cond in enumerate(step_conds, start=1):
+        name = f"{out_prefix}{k}_us"
+        if prev is None:
+            qual = F.when(cond, F.col("__us"))
+        else:
+            qual = F.when(cond & (F.col("__us") > F.col(prev)),
+                          F.col("__us"))
+        out = out.withColumn(name, F.min(qual).over(w))
+        prev = name
+        names.append(name)
+    agg = out.groupBy(entity_col).agg(
+        *[F.min(n).alias(n) for n in names])
+    depth = sum((F.col(n).isNotNull().cast("int") for n in names),
+                F.lit(0))
+    return agg.withColumn("funnel_depth", depth)
+
+
 def rolling_distinct(
     df: DataFrame,
     entity_col: str,

@@ -499,3 +499,30 @@ def test_rolling_distinct_relational_matches_chunked(spark, events_pdf):
         g = ent[(ent["ts"] >= row["ts"] - pd.Timedelta(seconds=win))
                 & (ent["ts"] <= row["ts"])]
         assert rel.loc[row["event_id"]] == g["cat"].nunique()
+
+
+def test_funnel_steps_matches_bruteforce(spark, events_pdf):
+    from hiselspark.operators.windows import funnel_steps
+    pdf = events_pdf.copy()
+    pdf["kind"] = (pdf["x"] % 3).map({0: "a", 1: "b", 2: "c"})
+    df = spark.createDataFrame(pdf)
+    out = (funnel_steps(df, "entity", "ts",
+                        [F.col("kind") == "a", F.col("kind") == "b",
+                         F.col("kind") == "c"], "event_id")
+           .toPandas().set_index("entity"))
+    for ent, g in pdf.groupby("entity"):
+        g = g.sort_values("ts")
+        t1 = g.loc[g["kind"] == "a", "ts"].min()
+        t2 = (g.loc[(g["kind"] == "b") & (g["ts"] > t1), "ts"].min()
+              if pd.notna(t1) else pd.NaT)
+        t3 = (g.loc[(g["kind"] == "c") & (g["ts"] > t2), "ts"].min()
+              if pd.notna(t2) else pd.NaT)
+        row = out.loc[ent]
+        for want, gotcol in ((t1, "step1_us"), (t2, "step2_us"),
+                             (t3, "step3_us")):
+            if pd.isna(want):
+                assert pd.isna(row[gotcol])
+            else:
+                assert int(row[gotcol]) == want.value // 1000
+        assert row["funnel_depth"] == sum(pd.notna(t)
+                                          for t in (t1, t2, t3))
