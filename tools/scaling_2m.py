@@ -19,30 +19,12 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N = 2_000_000
 
-STAGE = r"""
-import os, sys
-os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
-sys.path.insert(0, {repo!r})
-from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master("local[32]")
-         .config("spark.sql.shuffle.partitions", "64")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false").getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
-from hiselspark import datagen
-n = int(sys.argv[1]); out = sys.argv[2]
-datagen.images(spark, n, seed=42, partitions=64) \
-    .write.mode("overwrite").parquet(f"{{out}}/images")
-datagen.labels(spark, n, n_labels=n // 4, seed=42, partitions=16) \
-    .write.mode("overwrite").parquet(f"{{out}}/labels")
-datagen.images(spark, 20000, seed=7, partitions=8) \
-    .write.mode("overwrite").parquet(f"{{out}}/pilot_images")
-datagen.labels(spark, 20000, n_labels=5000, seed=7, partitions=4) \
-    .write.mode("overwrite").parquet(f"{{out}}/pilot_labels")
-"""
+from scaling_bench import STAGE  # same corpus recipe as the 500k record
 
 CHILD = r"""
 import os, sys, time, json
@@ -53,11 +35,13 @@ sys.path.insert(0, {repo!r})
 cpus = int(sys.argv[1]); corpus = sys.argv[2]
 from pyspark.sql import SparkSession, functions as F
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
-         .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false")
-         .config("spark.python.worker.reuse", "true")
-         .getOrCreate())
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+         .config("spark.python.unix.domain.socket.enabled", "true")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from hiselspark.pipeline import select_features_pointintime
 from hiselspark.operators.chunked import release_chunk_caches
