@@ -97,17 +97,17 @@ def _cluster(df: DataFrame, entity_col: str,
     """THE one full-frame shuffle: hash-cluster on (entity, bucket).
     Downstream windows/groupBys on these keys reuse the partitioning.
 
-    ``materialize`` persists the clustered frame: every chunked
-    operator derives its cross-bucket summary tables from this frame
-    AND joins them back onto it — a multi-branch plan that would
-    otherwise re-execute the whole upstream (image decode, shuffles)
-    once per branch.  Spark's ReusedExchange only shares the exchange
-    itself, not the per-branch post-shuffle work, and the broadcast
-    builds are separate jobs entirely.  In a production run the
-    equivalent is checkpointing the clustered frame to the warehouse
-    (the checkpoint/resume layer does exactly that); in-memory persist
-    is the single-job form.  Storage is the narrow feature frame, not
-    the payloads."""
+    ``materialize=True`` persists the clustered frame.  All chunked
+    operators now pass ``False``: their summary branch and join big
+    side share this exchange via ReusedExchange, so the expensive
+    pre-shuffle upstream runs once regardless, and the duplicated
+    post-shuffle work (one window/agg pass over the narrow frame)
+    measures cheaper than the cache materialization at every scale
+    tried (same-day A/B at 2M images: no-persist plan 1.5× faster
+    end-to-end, ``plan_cost_ab`` in BENCH_SCALING.json).  The knob
+    stays for callers whose downstream re-evaluates the frame many
+    times (iterative algorithms) — the production equivalent is
+    checkpointing to the warehouse (checkpoint/resume layer)."""
     out = df.repartition(F.col(entity_col), F.col(_B))
     if materialize:
         out = _remember(out.persist())
@@ -163,7 +163,8 @@ def chunked_lags(
     k = max(lags)
     cols = list(cols)
     clustered = _cluster(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col)
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col,
+        materialize=False)
     sort_struct = F.struct(F.col(ts_col).alias("__t"),
                            *[F.col(c).alias(c) for c in cols])
     carries = _carry_arrays(
@@ -304,7 +305,8 @@ def chunked_sessionize(
     """Exact twin of ``windows.sessionize`` without the per-entity
     straggler (two-level scan, see module docstring)."""
     clustered = _cluster(
-        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col)
+        df.withColumn(_B, _bucket_of(ts_col, bucket_seconds)), entity_col,
+        materialize=False)
     flagged, summary = _session_pieces(clustered, entity_col, ts_col,
                                        gap_seconds)
     joined = flagged.join(summary, [entity_col, _B])
@@ -493,7 +495,7 @@ def chunked_asof_join(
     )
     unioned = (f_tagged.unionByName(l_tagged)
                .withColumn(_B, _bucket_of("__t", bucket_seconds)))
-    clustered = _cluster(unioned, "__k")
+    clustered = _cluster(unioned, "__k", materialize=False)
 
     # per-bucket last feature struct ("last" in (t, side) order — the
     # same order the running window uses).  ONE aggregation pass over
