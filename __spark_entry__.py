@@ -2293,6 +2293,17 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("char_entropy", 6).alias("h"))
 
 
+def q_token_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: mean per-token ln P(token)
+    under the corpus's own unigram distribution — exact integer counts
+    end to end, the per-doc ln fold runs over the SORTED count list so
+    both engines add identical doubles in identical order."""
+    from hiselspark.functions.text import token_logprob
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_logprob(docs, "doc_id", "text")
+    return out.select("doc_id", F.round("token_logprob", 6).alias("lp"))
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM event-time interval join: purchases stream joined
     to the clicks stream within the purchase's trailing 30 minutes —
@@ -2496,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "char_entropy": q_char_entropy,
         "heavy_hitters_grouped": q_heavy_hitters_grouped,
+        "token_logprob": q_token_logprob,
     }
 
 
@@ -4743,6 +4755,32 @@ def oracle_sql() -> dict[str, str]:
           FROM pc GROUP BY doc_id
         )
         SELECT d.doc_id, pd.h
+        FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+    oracles["token_logprob"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok FROM t
+        ), vocab AS (
+          SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+        ), tot AS (
+          SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab
+        ), pd AS (
+          SELECT doc_id, list_sort(list(cnt)) AS cnts, COUNT(*) AS ntok
+          FROM tok JOIN vocab USING (tok)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               round(list_reduce(list_transform(pd.cnts,
+                                                c -> ln(CAST(c AS DOUBLE))),
+                                 (a, b) -> a + b)
+                     / CAST(pd.ntok AS DOUBLE)
+                     - ln((SELECT n FROM tot)), 6) AS lp
         FROM documents d LEFT JOIN pd USING (doc_id)
     """
     oracles["streaming_interval_join"] = """

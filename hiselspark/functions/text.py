@@ -123,6 +123,50 @@ def with_fingerprint(df: DataFrame, col: str = "text",
     return df.withColumn(out_col, F.xxhash64(normalized))
 
 
+def token_logprob(df: DataFrame, id_col: str, text_col: str = "text",
+                  out_col: str = "token_logprob") -> DataFrame:
+    """CCNet-style unigram LM document score: the mean per-token
+    ``ln P(token)`` under the corpus's OWN unigram distribution —
+    the classic cheap perplexity proxy used to rank web documents for
+    LM training (docs full of rare junk tokens score low, fluent prose
+    scores high) without shipping an external language model.
+
+    ``score(doc) = (1/n_doc) · Σ_t ln(count(t)) − ln(N)`` where
+    ``count(t)`` is the corpus-wide count of token t and N the total
+    token count — algebraically equal to mean ln(count/N) but keeps
+    every engine-crossing term an exact integer.  The per-doc ln sum
+    folds over the SORTED count list (``array_sort`` + ``aggregate``
+    here, ``list_sort`` + ``list_reduce`` in the DuckDB oracle) so
+    both engines add identical doubles in identical order.
+
+    Plan: explode tokens → token-keyed count (map-side combined) →
+    join instances back to counts (AQE broadcasts the vocab when it
+    fits; Zipf-hot tokens are replicated-build-side, so no skew
+    stall) → one doc-keyed groupBy.  Linear, no UDF, no driver state.
+    Empty / NULL docs return NULL (no tokens to score).
+
+    Returns one row per input document: ``(id_col, out_col)``.
+    """
+    toks = (df.select(id_col,
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("__tok")))
+    vocab = (toks.groupBy("__tok")
+                 .agg(F.count(F.lit(1)).alias("__cnt")))
+    total = vocab.agg(F.sum("__cnt").cast("double").alias("__n"))
+    per_doc = (toks.join(vocab, "__tok")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list("__cnt")).alias("__cnts"),
+                    F.count(F.lit(1)).alias("__ntok")))
+    score = (F.aggregate(
+                 "__cnts", F.lit(0.0),
+                 lambda acc, c: acc + F.log(c.cast("double")))
+             / F.col("__ntok").cast("double")
+             - F.log(F.col("__n")))
+    scored = (per_doc.crossJoin(F.broadcast(total))
+                     .select(id_col, score.alias(out_col)))
+    return df.select(id_col).join(scored, id_col, "left")
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str = "text",
                  out_col: str = "char_entropy") -> DataFrame:
     """Shannon entropy (nats) of the per-document CHARACTER

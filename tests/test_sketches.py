@@ -112,3 +112,24 @@ def test_heavy_hitters_per_group_exact(spark):
     assert ("en", "the") in got and got[("en", "the")] == 600
     # 'le' in fr: 50 of 5050 -> below 5050/26, must NOT appear
     assert ("fr", "le") not in got
+
+
+def test_token_logprob_matches_numpy(spark):
+    from hiselspark.functions.text import token_logprob
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat", "the the the", "zyzzyva", ""],
+    })
+    out = (token_logprob(spark.createDataFrame(pdf), "doc_id", "text")
+           .toPandas().set_index("doc_id")["token_logprob"])
+    toks = [t.lower().split() for t in pdf["text"]]
+    vocab = pd.Series([w for ts in toks for w in ts]).value_counts()
+    n = float(vocab.sum())
+    for i, ts in zip(pdf["doc_id"], toks):
+        if not ts:
+            assert pd.isna(out[i])
+            continue
+        exp = float(np.mean([np.log(vocab[w] / n) for w in ts]))
+        assert out[i] == pytest.approx(exp, abs=1e-12)
+    # fluent doc (common tokens) outranks the rare-token doc
+    assert out[1] > out[2]
