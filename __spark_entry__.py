@@ -2304,6 +2304,27 @@ def q_token_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("token_logprob", 6).alias("lp"))
 
 
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF featurization table: exact integer tf/df per
+    (doc, token), weight = tf·ln(N/df) as the identical expression
+    tree in both engines."""
+    from hiselspark.functions.text import tfidf_weights
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tfidf_weights(docs, "doc_id", "text")
+    return out.select("doc_id", "token", "tf", "df",
+                      F.round("tfidf", 6).alias("w"))
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped k-fold: every event of a user lands in the
+    same fold via a deterministic polynomial key hash (pure map stage,
+    no shuffle); the oracle recomputes the identical integer fold."""
+    from hiselspark.operators.splits import group_kfold
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (group_kfold(ev, "user_id", k=5, salt=3)
+            .select("event_id", "user_id", "fold"))
+
+
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM event-time interval join: purchases stream joined
     to the clicks stream within the purchase's trailing 30 minutes —
@@ -2508,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "heavy_hitters_grouped": q_heavy_hitters_grouped,
         "token_logprob": q_token_logprob,
+        "tfidf_weights": q_tfidf_weights,
+        "group_kfold": q_group_kfold,
     }
 
 
@@ -4782,6 +4805,42 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(pd.ntok AS DOUBLE)
                      - ln((SELECT n FROM tot)), 6) AS lp
         FROM documents d LEFT JOIN pd USING (doc_id)
+    """
+    oracles["tfidf_weights"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS token FROM t
+        ), tf AS (
+          SELECT doc_id, token, COUNT(*) AS tf
+          FROM tok GROUP BY doc_id, token
+        ), dfreq AS (
+          SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+        )
+        SELECT doc_id, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+               round(CAST(tf AS DOUBLE)
+                     * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)), 6)
+                 AS w
+        FROM tf JOIN dfreq USING (token)
+    """
+    oracles["group_kfold"] = """
+        SELECT event_id, user_id,
+               CAST(list_reduce(
+                      list_prepend(CAST(3 AS BIGINT),
+                        list_transform(
+                          str_split(COALESCE(CAST(user_id AS VARCHAR),
+                                             ''), ''),
+                          x -> CAST(ascii(x) AS BIGINT))),
+                      (acc, x) -> (acc * 31 + x) % 2147483647) % 5
+                 AS INT) AS fold
+        FROM events
     """
     oracles["streaming_interval_join"] = """
         SELECT p.event_id, p.user_id,

@@ -167,6 +167,41 @@ def token_logprob(df: DataFrame, id_col: str, text_col: str = "text",
     return df.select(id_col).join(scored, id_col, "left")
 
 
+def tfidf_weights(df: DataFrame, id_col: str, text_col: str = "text",
+                  out_col: str = "tfidf") -> DataFrame:
+    """Sparse TF-IDF featurization table: one row per (document,
+    token) with exact integer term frequency ``tf``, document
+    frequency ``df`` and ``tfidf = tf · ln(N / df)`` where N is the
+    number of documents in the input — the classic sparse text
+    representation for retrieval and linear classifiers.
+
+    All engine-crossing quantities are exact integers; the one float
+    is the final ``tf · ln(N/df)`` product, an identical expression
+    tree in the DuckDB oracle (round for cross-engine hashing).
+    Plan: explode tokens → one (doc, token)-keyed count (map-side
+    combined) → token-keyed DF aggregate → join back — the same two
+    token shuffles as ``token_logprob``; the N scalar rides a
+    broadcast cross join.  Linear, no UDF, no driver state beyond the
+    1-row count.
+
+    Returns ``(id_col, token, tf, df, out_col)`` for non-empty docs.
+    """
+    toks = (df.select(id_col,
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("token")))
+    tf = (toks.groupBy(id_col, "token")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("token")
+               .agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    weight = (F.col("tf").cast("double")
+              * F.log(F.col("__n") / F.col("df").cast("double")))
+    return (tf.join(dfreq, "token")
+              .crossJoin(F.broadcast(n_docs))
+              .select(id_col, "token", "tf", "df",
+                      weight.alias(out_col)))
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str = "text",
                  out_col: str = "char_entropy") -> DataFrame:
     """Shannon entropy (nats) of the per-document CHARACTER

@@ -55,6 +55,45 @@ def content_hash(col, salt: int = 0) -> Column:
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD)
 
 
+def raw_hash(col, salt: int = 0) -> Column:
+    """The polynomial fold of ``content_hash`` WITHOUT text
+    normalization — for hashing identifier keys where 'User1' and
+    'user1' must NOT collide.  NULL hashes like empty string."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(F.coalesce(c.cast("string"), F.lit("")), "")
+    return F.aggregate(
+        chars,
+        F.lit(int(salt) % _MOD).cast("long"),
+        lambda acc, ch: (acc * 31 + F.ascii(ch)) % _MOD)
+
+
+def group_kfold(
+    df: DataFrame,
+    group_col: str,
+    k: int = 5,
+    salt: int = 0,
+    out_col: str = "fold",
+) -> DataFrame:
+    """Leakage-safe grouped k-fold assignment: every row of a group
+    (entity/user/session) lands in the SAME fold, so held-out folds
+    never share an entity with training folds — the k-fold discipline
+    for entity-correlated rows (sklearn ``GroupKFold``), made
+    deterministic and cluster-reproducible by hashing the group key
+    instead of counting groups.
+
+    ``fold = raw_hash(group_key, salt) % k`` — a pure map stage: no
+    shuffle, no fitted state, stable under any partition layout, and
+    any engine reproduces the assignment exactly (the driver-gate
+    oracle recomputes the identical integer fold in DuckDB).  Fold
+    sizes are hash-balanced (± binomial noise), not exactly equal —
+    the price of determinism without a global group count.
+    """
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    return df.withColumn(
+        out_col, (raw_hash(group_col, salt) % F.lit(k)).cast("int"))
+
+
 def purged_time_split(
     df: DataFrame,
     ts_col: str,

@@ -413,3 +413,64 @@ def test_embedding_centroid_matches_numpy(spark, vectors):
             _np.array(out.loc[g, "centroid"]), member.mean(axis=0),
             rtol=1e-9)
         assert out.loc[g, "n"] == len(member)
+
+
+def test_group_kfold_groups_stay_together(spark):
+    from hiselspark.operators.splits import group_kfold
+    import pandas as _pd
+    pdf = _pd.DataFrame({
+        "row_id": range(300),
+        "user_id": [i % 60 for i in range(300)],
+    })
+    out = (group_kfold(spark.createDataFrame(pdf).repartition(8),
+                       "user_id", k=5, salt=3).toPandas())
+    assert out["fold"].between(0, 4).all()
+    # every group maps to exactly one fold, on any partition layout
+    per_group = out.groupby("user_id")["fold"].nunique()
+    assert (per_group == 1).all()
+    # python twin of the raw (un-normalized) polynomial hash
+    def fold(uid):
+        h = 3
+        for ch in str(uid):
+            h = (h * 31 + ord(ch)) % 2147483647
+        return h % 5
+    got = out.drop_duplicates("user_id").set_index("user_id")["fold"]
+    for uid in got.index:
+        assert got[uid] == fold(uid)
+    # hash-balanced: all 5 folds populated at 60 groups
+    assert out["fold"].nunique() == 5
+
+
+def test_group_kfold_rejects_k1(spark):
+    from hiselspark.operators.splits import group_kfold
+    import pandas as _pd
+    df = spark.createDataFrame(_pd.DataFrame({"g": [1]}))
+    with pytest.raises(ValueError):
+        group_kfold(df, "g", k=1)
+
+
+def test_tfidf_weights_match_numpy(spark):
+    from hiselspark.functions.text import tfidf_weights
+    import numpy as _np
+    import pandas as _pd
+    pdf = _pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the cat sat", "the the dog", "cat cat cat", ""],
+    })
+    out = (tfidf_weights(spark.createDataFrame(pdf), "doc_id", "text")
+           .toPandas())
+    docs = {i: t.lower().split() for i, t in
+            zip(pdf["doc_id"], pdf["text"])}
+    n_docs = float(len(pdf))          # all docs, including the empty one
+    dfreq = {}
+    for ts in docs.values():
+        for w in set(ts):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    assert len(out) == sum(len(set(ts)) for ts in docs.values())
+    for r in out.itertuples():
+        assert r.tf == docs[r.doc_id].count(r.token)
+        assert r.df == dfreq[r.token]
+        assert r.tfidf == pytest.approx(
+            r.tf * _np.log(n_docs / r.df), abs=1e-12)
+    # empty doc contributes no rows but counts in N
+    assert (out["doc_id"] == 3).sum() == 0
