@@ -2315,6 +2315,16 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tfidf", 6).alias("w"))
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval score of every document against a
+    fixed query — exact integer tf/df/doclen/N, per-term scores folded
+    in token-sorted order so both engines add identical doubles."""
+    from hiselspark.functions.text import bm25_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_score(docs, "doc_id", "fast spark query engine", "text")
+    return out.select("doc_id", F.round("bm25", 6).alias("s"))
+
+
 def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe grouped k-fold: every event of a user lands in the
     same fold via a deterministic polynomial key hash (pure map stage,
@@ -2531,6 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_logprob": q_token_logprob,
         "tfidf_weights": q_tfidf_weights,
         "group_kfold": q_group_kfold,
+        "bm25": q_bm25,
     }
 
 
@@ -4829,6 +4840,42 @@ def oracle_sql() -> dict[str, str]:
                      * ln((SELECT n FROM nn) / CAST(df AS DOUBLE)), 6)
                  AS w
         FROM tf JOIN dfreq USING (token)
+    """
+    oracles["bm25"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok FROM t
+        ), dl AS (
+          SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+        ), nn AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+        ), ad AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM nn) AS avgdl
+          FROM tok
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM tok
+          WHERE tok IN ('engine', 'fast', 'query', 'spark')
+          GROUP BY doc_id, tok
+        ), dfq AS (
+          SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+        ), term AS (
+          SELECT tf.doc_id, tf.tok,
+                 ln(1.0 + ((SELECT n FROM nn) - df + 0.5) / (df + 0.5))
+                 * CAST(tf AS DOUBLE) * (1.2 + 1.0)
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+                             / (SELECT avgdl FROM ad))) AS s
+          FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+        )
+        SELECT doc_id,
+               round(list_reduce(list(s ORDER BY tok),
+                                 (a, b) -> a + b), 6) AS s
+        FROM term GROUP BY doc_id
     """
     oracles["group_kfold"] = """
         SELECT event_id, user_id,

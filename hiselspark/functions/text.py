@@ -202,6 +202,65 @@ def tfidf_weights(df: DataFrame, id_col: str, text_col: str = "text",
                       weight.alias(out_col)))
 
 
+def bm25_score(df: DataFrame, id_col: str, query: str,
+               text_col: str = "text", k1: float = 1.2, b: float = 0.75,
+               out_col: str = "bm25") -> DataFrame:
+    """Okapi BM25 relevance of every document to a query string — the
+    standard lexical retrieval scorer (Lucene's idf variant:
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``), used in training-data
+    pipelines to mine topical subsets and build RAG/eval retrieval
+    baselines without an embedding model.
+
+    All engine-crossing statistics are exact integers (tf, df, doc
+    length, N); ``avgdl`` is one exact integer division.  The per-doc
+    sum folds over per-term scores sorted BY TOKEN so both engines add
+    identical doubles in identical order (``sort_array`` of
+    ``struct(token, score)`` here, ``list(... ORDER BY token)`` in the
+    DuckDB oracle).  Plan: explode tokens → filter to the query's
+    tokens (a tiny ``isin`` pushed into the scan) → (doc, token) count
+    → token-keyed df join → one doc-keyed fold; doc lengths ride the
+    same explode.  Linear, no UDF; scalars broadcast.
+
+    Returns ``(id_col, out_col)`` for documents matching ≥1 query
+    token.
+    """
+    q_tokens = sorted(set(query.lower().split()))
+    if not q_tokens:
+        raise ValueError("query has no tokens")
+    toks = (df.select(id_col,
+                      F.explode(tokens(F.lower(F.col(text_col))))
+                       .alias("__tok")))
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
+    corpus = df.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    avgdl = (toks.agg(F.count(F.lit(1)).cast("double").alias("__tt"))
+             .crossJoin(F.broadcast(corpus))
+             .select((F.col("__tt") / F.col("__n")).alias("__avgdl"),
+                     "__n"))
+    hits = toks.filter(F.col("__tok").isin(q_tokens))
+    tf = (hits.groupBy(id_col, "__tok")
+              .agg(F.count(F.lit(1)).alias("__tf")))
+    dfreq = (tf.groupBy("__tok")
+               .agg(F.count(F.lit(1)).cast("double").alias("__df")))
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5)))
+    term = (idf * F.col("__tf").cast("double") * F.lit(k1 + 1.0)
+            / (F.col("__tf").cast("double")
+               + F.lit(k1) * (F.lit(1.0 - b)
+                              + F.lit(b) * F.col("__dl").cast("double")
+                              / F.col("__avgdl"))))
+    scored = (tf.join(dfreq, "__tok")
+                .join(doclen, id_col)
+                .crossJoin(F.broadcast(avgdl))
+                .select(id_col, F.struct(F.col("__tok"),
+                                         term.alias("__s")).alias("__ts")))
+    folded = (scored.groupBy(id_col)
+              .agg(F.aggregate(
+                       F.sort_array(F.collect_list("__ts")), F.lit(0.0),
+                       lambda acc, s: acc + s["__s"]).alias(out_col)))
+    return folded
+
+
 def char_entropy(df: DataFrame, id_col: str, text_col: str = "text",
                  out_col: str = "char_entropy") -> DataFrame:
     """Shannon entropy (nats) of the per-document CHARACTER

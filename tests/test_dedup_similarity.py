@@ -474,3 +474,38 @@ def test_tfidf_weights_match_numpy(spark):
             r.tf * _np.log(n_docs / r.df), abs=1e-12)
     # empty doc contributes no rows but counts in N
     assert (out["doc_id"] == 3).sum() == 0
+
+
+def test_bm25_matches_numpy(spark):
+    from hiselspark.functions.text import bm25_score
+    import numpy as _np
+    import pandas as _pd
+    pdf = _pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["fast spark engine", "spark spark spark",
+                 "slow tortoise", ""],
+    })
+    out = (bm25_score(spark.createDataFrame(pdf), "doc_id",
+                      "fast spark", "text")
+           .toPandas().set_index("doc_id")["bm25"])
+    docs = {i: t.lower().split() for i, t in
+            zip(pdf["doc_id"], pdf["text"])}
+    n = float(len(pdf))
+    dls = {i: len(ts) for i, ts in docs.items()}
+    avgdl = sum(dls.values()) / n
+    dfreq = {w: sum(w in ts for ts in docs.values())
+             for w in ("fast", "spark")}
+    k1, b = 1.2, 0.75
+    for i, ts in docs.items():
+        exp = 0.0
+        for w in sorted(set(ts) & {"fast", "spark"}):
+            tf = ts.count(w)
+            idf = _np.log(1.0 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+            exp += (idf * tf * (k1 + 1.0)
+                    / (tf + k1 * (1 - b + b * dls[i] / avgdl)))
+        if exp == 0.0:
+            assert i not in out.index
+        else:
+            assert out[i] == pytest.approx(exp, abs=1e-12)
+    # the spam doc (pure repetition) must NOT dominate: tf saturates
+    assert out[1] < out[0] * 2
