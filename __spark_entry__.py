@@ -2315,6 +2315,18 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tfidf", 6).alias("w"))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means cluster the embeddings, greedy eps-ball drop
+    within each cluster (id-ordered leader scan).  Deterministic
+    (seeded quantizer, fixed scan order, layout-independent) -> pinned
+    literal oracle.  eps is gate-scale-wide so the drop path is
+    exercised on the synthetic embeddings (max pairwise cos ~0.51)."""
+    from hiselspark.operators.similarity import semantic_dedup
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (semantic_dedup(emb, dim=64, n_clusters=8, eps=0.65, seed=11)
+            .select("vec_id", "cluster", "keep"))
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical retrieval score of every document against a
     fixed query — exact integer tf/df/doclen/N, per-term scores folded
@@ -2542,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weights": q_tfidf_weights,
         "group_kfold": q_group_kfold,
         "bm25": q_bm25,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

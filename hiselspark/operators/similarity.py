@@ -279,6 +279,59 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
             .select("a", "b", F.col("cos").alias("cos_sim")))
 
 
+def semantic_dedup(df: DataFrame, dim: int,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_clusters: int = 16,
+                   eps: float = 0.05,
+                   seed: int = 11) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the embedding space, then inside each cluster greedily drop every
+    vector within cosine ``eps`` of an already-kept one — the semantic
+    near-duplicates (paraphrases, re-encodes, templated spins) that
+    lexical MinHash/SimHash dedup cannot see.
+
+    The quadratic comparison work is confined to single clusters —
+    SemDeDup's own design point: ``n_clusters`` grows with the corpus
+    so cluster sizes stay bounded, and each cluster is one Spark group
+    (``applyInPandas``), so the clusters fan out across executors.
+    Deterministic end to end: seeded quantizer sample + Lloyd
+    iterations (:func:`train_ivf_centroids`), id-ordered greedy leader
+    scan within each cluster — the sf0.01 output is pinned as a
+    literal-table oracle and reproduces bit-for-bit on any partition
+    layout.
+
+    Returns ``(vec_id, cluster, keep)`` — one row per input vector;
+    downstream keeps ``keep = true`` rows.
+    """
+    import pandas as pd
+
+    cent = train_ivf_centroids(df, dim, n_clusters, vec_col, seed=seed)
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    a = assign_ivf_cells(base, cent, "v", n_probe=1)
+    a = a.select("vec_id", "v", F.col("ivf_cell")[0].alias("cluster"))
+    thr = 1.0 - eps
+
+    def dedup_cluster(key, pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                           1e-12)
+        kept: list = []
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if not kept or float(np.max(x[kept] @ x[i])) < thr:
+                keep[i] = True
+                kept.append(i)
+        return pd.DataFrame({"vec_id": pdf["vec_id"],
+                             "cluster": int(key[0]),
+                             "keep": keep})
+
+    return a.groupBy("cluster").applyInPandas(
+        dedup_cluster, "vec_id long, cluster int, keep boolean")
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the billion-scale compression half of ANN
 # ---------------------------------------------------------------------------

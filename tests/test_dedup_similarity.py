@@ -509,3 +509,29 @@ def test_bm25_matches_numpy(spark):
             assert out[i] == pytest.approx(exp, abs=1e-12)
     # the spam doc (pure repetition) must NOT dominate: tf saturates
     assert out[1] < out[0] * 2
+
+
+def test_semantic_dedup_drops_planted_near_dupes(spark):
+    from hiselspark.operators.similarity import semantic_dedup
+    import numpy as _np
+    import pandas as _pd
+    rng = _np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    base /= _np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # 41..45: tiny perturbations of 0..4 -> cosine ~0.9999
+    for j in range(5):
+        v = base[j] + 0.001 * rng.normal(size=16)
+        rows.append((40 + j, (v / _np.linalg.norm(v)).tolist()))
+    pdf = _pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    out = (semantic_dedup(spark.createDataFrame(pdf).repartition(7),
+                          dim=16, n_clusters=4, eps=0.05, seed=3)
+           .toPandas().set_index("vec_id"))
+    # the lower id of each planted pair is kept, the clone is dropped
+    for j in range(5):
+        assert bool(out.loc[j, "keep"])
+        assert not bool(out.loc[40 + j, "keep"])
+        assert out.loc[j, "cluster"] == out.loc[40 + j, "cluster"]
+    # everything else survives (no random cosines near 0.95 at d=16/n=40)
+    others = out.drop(index=[40 + j for j in range(5)])
+    assert others["keep"].all()
