@@ -2315,6 +2315,29 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tfidf", 6).alias("w"))
 
 
+def q_segmented_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment HSIC-Lasso: which embedding dimensions predict the
+    label inside EACH hash segment — all segments in one distributed
+    sufficient-stats pass, per-segment LARS on the driver.
+    Deterministic (hash minibatches, sorted in-group rows, fixed fold
+    order) -> pinned literal oracle."""
+    from hiselspark.selection import select_features_by_segment
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    d = 16
+    wide = emb.select(
+        "vec_id",
+        F.pmod(F.col("vec_id"), F.lit(3)).cast("long").alias("seg"),
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(d)])
+    out = select_features_by_segment(
+        wide, "seg", [f"e{i}" for i in range(d)], ["y"],
+        number_of_features=3, n_minibatches=4, order_col="vec_id")
+    out["hsic_score"] = out["hsic_score"].round(6)
+    return spark.createDataFrame(
+        out, "segment long, rank int, feature string, hsic_score double")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cluster the embeddings, greedy eps-ball drop
     within each cluster (id-ordered leader scan).  Deterministic
@@ -2555,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold": q_group_kfold,
         "bm25": q_bm25,
         "semantic_dedup": q_semantic_dedup,
+        "segmented_select": q_segmented_select,
     }
 
 

@@ -639,3 +639,140 @@ def hsic_lasso_select(
     return SparkHSICSelector(df, feature_cols, target_cols,
                              standardize=kwargs.pop("standardize", "hisel")
                              ).run(number_of_features, **kwargs)
+
+
+def select_features_by_segment(
+    df: DataFrame,
+    segment_col: str,
+    feature_cols: Sequence[str],
+    target_cols: Sequence[str],
+    number_of_features: int = 3,
+    n_minibatches: int = 8,
+    order_col: Optional[str] = None,
+    precision: str = "float64",
+) -> pd.DataFrame:
+    """Per-segment HSIC-Lasso feature selection in ONE distributed
+    pass — "which features predict y in THIS market / language /
+    cohort" without launching one Spark job per segment.
+
+    The sufficient-statistics algebra (reference ``lar/lar.py:21-22``:
+    LARS touches the feature map only through ``X^T X`` and ``X^T y``)
+    is associative PER SEGMENT, so all segments share one plan:
+    deterministic hash minibatches ``(segment, pmod(xxhash64(order),
+    n_minibatches))`` -> one ``applyInPandas`` computing each
+    minibatch's ``(d, d)``/``(d,)`` blocks (rows sorted by
+    ``order_col`` inside the group, so the result is bit-identical on
+    any partition layout) -> per-segment sum in minibatch order -> the
+    tiny per-segment LARS runs on the driver (O(segments * d^3), with
+    d tens and segments thousands this is milliseconds each).
+
+    Standardization is PER MINIBATCH (each minibatch z-scores its own
+    rows inside the kernel, batch-norm style): a Spark aggregate for
+    per-segment means would be a layout-dependent float sum, breaking
+    bit-reproducibility, and would cost an extra shuffle — while the
+    in-kernel NumPy fold over sorted rows is deterministic and free.
+    The two shuffles move only the narrow numeric frame and d x d
+    blocks — feature payloads never shuffle, exactly like the global
+    scale path.
+
+    Returns a pandas DataFrame ``(segment, rank, feature,
+    hsic_score)`` — one row per selected feature per segment, rank by
+    LARS activation order, ``hsic_score = (X^T y)[feature]`` (n^2 x
+    HSIC_b of feature vs target within the segment).
+    """
+    if order_col is None:
+        raise ValueError("order_col is required: it keys the "
+                         "deterministic minibatch hash")
+    kinds = _classify_columns(df, feature_cols)
+    cat = [c for c in feature_cols if kinds[c] == "discrete"]
+    cont = [c for c in feature_cols if kinds[c] == "continuous"]
+    fc = cat + cont
+    cat_split = len(cat)
+    if cat_split == 0:
+        x_kind = KernelKind.RBF
+    elif cat_split == len(fc):
+        x_kind = KernelKind.DELTA
+    else:
+        x_kind = KernelKind.MIXED
+    y_kinds = set(_classify_columns(df, target_cols).values())
+    if len(y_kinds) > 1:
+        raise TypeError("target columns must share one type family")
+    y_kind = (KernelKind.DELTA if y_kinds == {"discrete"}
+              else KernelKind.RBF)
+    tc = list(target_cols)
+    d, dy = len(fc), len(tc)
+    k = min(number_of_features, d - 1)
+
+    base = df.select(segment_col, order_col, *fc, *tc)
+    z_y = y_kind == KernelKind.RBF
+    kw = _stats_kwargs(x_kind, cat_split, dy, precision)
+    kw["y_kind"] = y_kind
+    schema = T.StructType([
+        T.StructField("segment", T.LongType()),
+        T.StructField("mb", T.IntegerType()),
+        T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        T.StructField("xty", T.ArrayType(T.DoubleType())),
+        T.StructField("n_rows", T.LongType()),
+    ])
+
+    def group_stats(key, pdf):
+        seg, mb = key
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        x = pdf[fc].to_numpy(dtype=np.float64)
+        y = pdf[tc].to_numpy(dtype=np.float64)
+        if len(x) < 8:      # degenerate minibatch: no Gram to center
+            return pd.DataFrame(
+                {"segment": [], "mb": [], "xtx": [], "xty": [],
+                 "n_rows": []}).astype(
+                {"segment": "int64", "mb": "int32", "n_rows": "int64"})
+        if cat_split < d:       # z-score the continuous block in-batch
+            xc = x[:, cat_split:]
+            x[:, cat_split:] = ((xc - xc.mean(axis=0))
+                                / (1e-9 + xc.std(axis=0)))
+        if z_y:
+            y = (y - y.mean(axis=0)) / (1e-9 + y.std(axis=0))
+        bx, by = batch_sufficient_stats(x, y, **kw)
+        return pd.DataFrame({
+            "segment": [int(seg)], "mb": [int(mb)],
+            "xtx": [bx.ravel().tolist()], "xty": [by.ravel().tolist()],
+            "n_rows": [len(x)]})
+
+    mb = F.pmod(F.xxhash64(F.col(order_col)),
+                F.lit(n_minibatches)).cast("int")
+    stats = (base
+             .withColumn("__mb", mb)
+             .groupBy(F.col(segment_col).cast("long").alias("__seg"),
+                      F.col("__mb"))
+             .applyInPandas(group_stats, schema))
+
+    red_schema = T.StructType([
+        T.StructField("segment", T.LongType()),
+        T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        T.StructField("xty", T.ArrayType(T.DoubleType())),
+        T.StructField("n_rows", T.LongType()),
+    ])
+
+    def sum_segment(pdf):
+        pdf = pdf.sort_values("mb")     # fixed fold order across layouts
+        xtx = np.sum(np.stack(pdf["xtx"].map(np.asarray)), axis=0)
+        xty = np.sum(np.stack(pdf["xty"].map(np.asarray)), axis=0)
+        return pd.DataFrame({
+            "segment": [int(pdf["segment"].iloc[0])],
+            "xtx": [xtx.tolist()], "xty": [xty.tolist()],
+            "n_rows": [int(pdf["n_rows"].sum())]})
+
+    per_seg = (stats.groupBy("segment")
+                    .applyInPandas(sum_segment, red_schema)
+                    .toPandas())
+
+    out_rows = []
+    for r in per_seg.itertuples():
+        xtx = np.asarray(r.xtx).reshape(d, d)
+        xty = np.asarray(r.xty)
+        active, _ = lar.solve_gram(xtx, xty, k)
+        for rank, idx in enumerate(active[:k], start=1):
+            out_rows.append((int(r.segment), rank, fc[idx],
+                             float(xty[idx])))
+    return pd.DataFrame(
+        out_rows, columns=["segment", "rank", "feature", "hsic_score"]
+    ).sort_values(["segment", "rank"]).reset_index(drop=True)

@@ -193,3 +193,33 @@ def test_float32_precision_matches_float64_scores(spark):
     assert a.features == b.features
     np.testing.assert_allclose(b.hsic_scores.values,
                                a.hsic_scores.values, rtol=1e-4)
+
+
+def test_segmented_selection_recovers_per_segment_drivers(spark):
+    import numpy as np
+    import pandas as pd
+    from hiselspark.selection import select_features_by_segment
+    rng = np.random.default_rng(7)
+    n = 2000
+    rows = []
+    for seg, driver in ((0, 1), (1, 3)):
+        x = rng.normal(size=(n, 5))
+        y = 2.0 * x[:, driver] + 0.1 * rng.normal(size=n)
+        for i in range(n):
+            rows.append((seg, seg * n + i, *x[i].tolist(), y[i]))
+    pdf = pd.DataFrame(rows, columns=["seg", "rid", "f0", "f1", "f2",
+                                      "f3", "f4", "y"])
+    fc = ["f0", "f1", "f2", "f3", "f4"]
+    out = select_features_by_segment(
+        spark.createDataFrame(pdf).repartition(16), "seg", fc, ["y"],
+        number_of_features=2, n_minibatches=4, order_col="rid")
+    top = out[out["rank"] == 1].set_index("segment")["feature"]
+    assert top[0] == "f1" and top[1] == "f3"
+    # rank-1 dominates rank-2 by an order of magnitude in HSIC score
+    s = out.set_index(["segment", "rank"])["hsic_score"]
+    assert s[(0, 1)] > 10 * s[(0, 2)] and s[(1, 1)] > 10 * s[(1, 2)]
+    # bit-identical on a different partition layout
+    out2 = select_features_by_segment(
+        spark.createDataFrame(pdf).repartition(3), "seg", fc, ["y"],
+        number_of_features=2, n_minibatches=4, order_col="rid")
+    assert out.equals(out2)
