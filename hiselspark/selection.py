@@ -679,6 +679,13 @@ def select_features_by_segment(
     hsic_score)`` — one row per selected feature per segment, rank by
     LARS activation order, ``hsic_score = (X^T y)[feature]`` (n^2 x
     HSIC_b of feature vs target within the segment).
+
+    Segments whose every hash minibatch holds fewer than 8 rows (no
+    Gram worth centering) contribute no stats and are absent from the
+    output — a segment needs ~``8 * n_minibatches`` rows to be
+    selectable; size ``n_minibatches`` to the smallest segment you
+    care about.  ``segment_col`` must be integer-castable (hash or
+    dictionary-encode string segments upstream).
     """
     if order_col is None:
         raise ValueError("order_col is required: it keys the "

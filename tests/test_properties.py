@@ -2,6 +2,7 @@
 single-node oracles on RANDOMIZED inputs — shapes, gaps, ties, and
 boundary cases a fixed seed can miss.  Example counts are kept small
 because every example is a Spark round trip."""
+import pytest
 import numpy as np
 import pandas as pd
 from hypothesis import given, settings, strategies as st
@@ -96,3 +97,55 @@ def test_merge_intervals_covers_and_separates(spark, spans):
     ends = out["island_end"].to_numpy()
     assert (starts[1:] > ends[:-1]).all()
     assert out["n_intervals"].sum() == len(spans)
+
+
+@st.composite
+def corpora(draw):
+    words = ["the", "cat", "dog", "sat", "spark", "zyx", "a", "run"]
+    n_docs = draw(st.integers(2, 8))
+    texts = [" ".join(draw(st.lists(st.sampled_from(words),
+                                    min_size=0, max_size=12)))
+             for _ in range(n_docs)]
+    return pd.DataFrame({"doc_id": range(n_docs), "text": texts})
+
+
+@SET
+@given(corpora())
+def test_token_logprob_matches_python_twin(spark, pdf):
+    from hiselspark.functions.text import token_logprob
+    got = (token_logprob(spark.createDataFrame(pdf), "doc_id", "text")
+           .toPandas().set_index("doc_id")["token_logprob"])
+    toks = {i: t.split() for i, t in zip(pdf["doc_id"], pdf["text"])}
+    vocab = pd.Series([w for ts in toks.values() for w in ts]
+                      ).value_counts()
+    n = float(vocab.sum()) if len(vocab) else 0.0
+    for i, ts in toks.items():
+        if not ts:
+            assert pd.isna(got[i])
+        else:
+            exp = float(np.mean([np.log(vocab[w] / n) for w in ts]))
+            assert got[i] == pytest.approx(exp, abs=1e-12)
+
+
+@SET
+@given(corpora())
+def test_bm25_nonnegative_and_bounded_by_sum_idf_k1p1(spark, pdf):
+    from hiselspark.functions.text import bm25_score
+    got = (bm25_score(spark.createDataFrame(pdf), "doc_id",
+                      "the spark dog", "text")
+           .toPandas())
+    n = float(len(pdf))
+    toks = {i: set(t.split()) for i, t in
+            zip(pdf["doc_id"], pdf["text"])}
+    dfreq = {w: sum(w in ts for ts in toks.values())
+             for w in ("the", "spark", "dog")}
+    # per-term score is in (0, idf*(k1+1)); sum over matched terms
+    for r in got.itertuples():
+        cap = sum(np.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                  * 2.2 for w in toks[r.doc_id]
+                  if w in ("the", "spark", "dog"))
+        assert 0 < r.bm25 <= cap + 1e-9
+    # only docs with >= 1 matched term appear
+    matched = {i for i, ts in toks.items()
+               if ts & {"the", "spark", "dog"}}
+    assert set(got["doc_id"]) == matched
