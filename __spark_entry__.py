@@ -1785,6 +1785,25 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("psi", 6).alias("psi"))
 
 
+def q_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence per event_type between the first and
+    second half of the month over the same 200-cent value bucketing as
+    ``psi_drift`` — symmetric, bounded by ln 2, the better alarm for
+    heavy-tailed features.  Sorted-bucket float summation mirrored
+    term-for-term by the DuckDB ``list_sort`` + ``list_reduce``
+    oracle."""
+    from hiselspark.operators.drift import jsd_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+          .withColumn("bucket", F.least(F.col("cents") / F.lit(200),
+                                        F.lit(24)).cast("long")))
+    out = jsd_drift(ev, ["event_type"], "bucket",
+                    F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                   .cast("timestamp"))
+    return out.select("event_type", "n_ref", "n_cur",
+                      F.round("jsd", 6).alias("jsd"))
+
+
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day Pearson correlation between the event value
     (cents) and its JSON ``k`` property per user — six exact integer
@@ -2543,6 +2562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_autocorr": q_rolling_autocorr,
         "burstiness": q_burstiness,
         "funnel": q_funnel,
+        "jsd_drift": q_jsd_drift,
         "cohort_retention": q_cohort_retention,
         "rolling_distinct": q_rolling_distinct,
         "rolling_distinct_chunked": q_rolling_distinct_chunked,
@@ -4078,6 +4098,51 @@ def oracle_sql() -> dict[str, str]:
                       / ((CAST(x.cr AS DOUBLE) + 1.0)
                            / (CAST(n_ref AS DOUBLE) + nb))))),
                  (acc, x) -> acc + x), 6) AS psi
+        FROM pk
+    """
+    oracles["jsd_drift"] = """
+        WITH q AS (
+          SELECT event_type,
+                 least(CAST(round(value*100) AS BIGINT) // 200, 24)
+                   AS bucket,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ), pb AS (
+          SELECT event_type, bucket,
+                 SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+          FROM q GROUP BY event_type, bucket
+        ), pk AS (
+          SELECT event_type,
+                 CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur,
+                 COUNT(*) AS nb,
+                 list_sort(list({'b': bucket, 'cr': cr, 'cc': cc}))
+                   AS bl
+          FROM pb GROUP BY event_type
+        )
+        SELECT event_type, n_ref, n_cur,
+               round(list_reduce(
+                 list_prepend(0.0, list_transform(bl, x ->
+                   0.5 * (((CAST(x.cr AS DOUBLE) + 1.0)
+                             / (CAST(n_ref AS DOUBLE) + nb))
+                          * ln(((CAST(x.cr AS DOUBLE) + 1.0)
+                                  / (CAST(n_ref AS DOUBLE) + nb))
+                             / ((((CAST(x.cr AS DOUBLE) + 1.0)
+                                    / (CAST(n_ref AS DOUBLE) + nb))
+                                 + ((CAST(x.cc AS DOUBLE) + 1.0)
+                                    / (CAST(n_cur AS DOUBLE) + nb)))
+                                / 2.0)))
+                   + 0.5 * (((CAST(x.cc AS DOUBLE) + 1.0)
+                               / (CAST(n_cur AS DOUBLE) + nb))
+                            * ln(((CAST(x.cc AS DOUBLE) + 1.0)
+                                    / (CAST(n_cur AS DOUBLE) + nb))
+                               / ((((CAST(x.cr AS DOUBLE) + 1.0)
+                                      / (CAST(n_ref AS DOUBLE) + nb))
+                                   + ((CAST(x.cc AS DOUBLE) + 1.0)
+                                      / (CAST(n_cur AS DOUBLE) + nb)))
+                                  / 2.0))))),
+                 (acc, x) -> acc + x), 6) AS jsd
         FROM pk
     """
     oracles["rolling_corr"] = """

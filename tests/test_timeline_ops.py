@@ -136,6 +136,32 @@ def test_psi_drift_zero_when_identical_and_positive_when_shifted(spark):
         float(np.sum((q - p) * np.log(q / p))), rel=1e-12)
 
 
+def test_jsd_drift_zero_identical_symmetric_and_bounded(spark):
+    from hiselspark.operators.drift import jsd_drift
+    pdf = pd.DataFrame({
+        "key": ["a"] * 200 + ["b"] * 200,
+        "bucket": ([0] * 50 + [1] * 50) * 2 + [0] * 150 + [1] * 50,
+        "is_ref": ([True] * 100 + [False] * 100) * 2,
+    })
+    df = spark.createDataFrame(pdf)
+    out = (jsd_drift(df, ["key"], "bucket", F.col("is_ref"))
+           .toPandas().set_index("key"))
+    assert out.loc["a", "jsd"] == 0.0          # identical shares
+    assert 0.0 < out.loc["b", "jsd"] <= np.log(2.0)  # bounded by ln 2
+    # reference value, same add-one smoothing
+    p = np.array([51.0, 51.0]) / 102.0
+    q = np.array([101.0, 1.0]) / 102.0
+    m = (p + q) / 2.0
+    exp = float(0.5 * np.sum(p * np.log(p / m))
+                + 0.5 * np.sum(q * np.log(q / m)))
+    assert out.loc["b", "jsd"] == pytest.approx(exp, rel=1e-12)
+    # symmetric: swapping the populations leaves JSD unchanged
+    swapped = (jsd_drift(df, ["key"], "bucket", ~F.col("is_ref"))
+               .toPandas().set_index("key"))
+    assert swapped.loc["b", "jsd"] == pytest.approx(
+        out.loc["b", "jsd"], rel=1e-12)
+
+
 def test_purged_split_boundaries(spark):
     cutoff = pd.Timestamp("2024-03-10 00:00:00")
     rows = {
