@@ -162,6 +162,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _us("__matched_ts").alias("click_ts_us"))
 
 
+def q_asof_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store enrichment: each purchase picks up the most
+    recent click value AND the most recent view value in ONE shuffle +
+    ONE WindowExec (K=2 running lasts over a shared window) — vs two
+    chained ASOF joins in the oracle."""
+    from hiselspark.operators.asof import asof_join_multi
+    ev = _ev(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .groupBy("user_id", "ts")
+                .agg(F.max("value").alias("cval")))
+    views = (ev.filter(F.col("event_type") == "view")
+               .groupBy("user_id", "ts")
+               .agg(F.max("value").alias("vval")))
+    out = asof_join_multi(purchases, {"c": clicks, "v": views},
+                          on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "user_id",
+        _us("ts").alias("ts_us"),
+        F.col("cval_c").alias("click_value"),
+        _us("__matched_ts_c").alias("click_ts_us"),
+        F.col("vval_v").alias("view_value"),
+        _us("__matched_ts_v").alias("view_ts_us"))
+
+
 def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of with a 2h tolerance window (stale features rejected)."""
     from hiselspark.operators.asof import asof_join
@@ -2469,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "rolling_1h": q_rolling_1h,
         "asof_join": q_asof_join,
+        "asof_multi": q_asof_multi,
         "asof_tolerance": q_asof_tolerance,
         "tumbling_daily": q_tumbling_daily,
         "topk_per_user": q_topk_per_user,
@@ -2669,6 +2696,29 @@ def oracle_sql() -> dict[str, str]:
             FROM purchases p
             ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "asof_multi": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            ), clicks AS (
+              SELECT user_id, ts, MAX(value) AS cval
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), views AS (
+              SELECT user_id, ts, MAX(value) AS vval
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS ts_us,
+                   c.cval AS click_value,
+                   epoch_us(c.ts) AS click_ts_us,
+                   v.vval AS view_value,
+                   epoch_us(v.ts) AS view_ts_us
+            FROM purchases p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
         """,
         "asof_tolerance": """
             WITH purchases AS (

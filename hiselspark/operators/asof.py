@@ -252,6 +252,125 @@ def _asof_join_nearest(
     )
 
 
+def asof_join_multi(
+    labels: DataFrame,
+    tables: "dict[str, DataFrame]",
+    on: str = "entity_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: "Optional[dict[str, Sequence[str]]]" = None,
+    tolerance_seconds: "Optional[dict[str, float]]" = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join of ONE label stream against MANY feature
+    tables in a single shuffle — the feature-store enrichment shape
+    (one entity timeline, K feature families maintained by K jobs).
+
+    K separate :func:`asof_join` calls cost K shuffles of the
+    (growing) label frame; here every feature table is tagged with its
+    own packed value struct, all sides union with the labels, and the
+    K running ``last(..., ignoreNulls)`` aggregates share ONE window
+    (same partitioning, same ordering) — Catalyst compiles them into a
+    single Exchange + Sort + WindowExec regardless of K (plan-asserted
+    in tests).  At 100 TB this turns the enrichment stage from K
+    entity-hash shuffles of an ever-wider frame into one shuffle of
+    the union of inputs.
+
+    Per-table semantics are exactly :func:`asof_join`
+    ``direction='backward'``: most recent row at-or-before the label
+    (strictly before with ``strict=True``), deterministic on
+    same-timestamp ties via the packed value struct in the sort key,
+    optional per-table staleness bound through ``tolerance_seconds``
+    (dict ``table_name -> seconds``).
+
+    Returns ``labels`` plus, per table ``t``, its value columns
+    renamed ``f"{col}_{t}"`` and a ``f"__matched_ts_{t}"`` timestamp
+    (null = no match, zero temporal leakage by construction).
+    """
+    names = list(tables)
+    vmap = {
+        t: list(value_cols[t]) if value_cols and t in value_cols
+        else [c for c in tables[t].columns if c not in (on, right_ts)]
+        for t in names}
+    feat_rank, label_rank = (0, 1) if not strict else (1, 0)
+
+    ltypes = {f.name: f.dataType for f in labels.schema.fields}
+    passthrough = [c for c in labels.columns if c not in (on, left_ts)]
+
+    # one packed struct per table; a side's row carries its own struct
+    # and nulls for every other table's, so each running last() only
+    # ever sees its own table's rows.
+    def packed(t):
+        return F.struct(
+            F.col(right_ts).alias("__mts"),
+            *[F.col(c).alias(f"v_{c}") for c in vmap[t]])
+
+    tagged = []
+    struct_types = {}
+    for i, t in enumerate(names):
+        sel = tables[t].select(
+            F.col(on).alias("__k"),
+            F.col(right_ts).alias("__t"),
+            F.lit(feat_rank).alias("__side"),
+            packed(t).alias(f"__v_{t}"),
+        )
+        struct_types[t] = sel.schema[f"__v_{t}"].dataType
+        tagged.append(sel)
+    # fill in the other tables' null structs + null label passthrough
+    sides = []
+    for i, t in enumerate(names):
+        sides.append(tagged[i].select(
+            "__k", "__t", "__side",
+            *[F.col(f"__v_{u}") if u == t
+              else F.lit(None).cast(struct_types[u]).alias(f"__v_{u}")
+              for u in names],
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in passthrough],
+        ))
+    l_tagged = labels.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(label_rank).alias("__side"),
+        *[F.lit(None).cast(struct_types[u]).alias(f"__v_{u}")
+          for u in names],
+        *passthrough,
+    )
+    unioned = l_tagged
+    for s in sides:
+        unioned = unioned.unionByName(s)
+
+    # ONE sort order shared by every aggregate: ties within table t are
+    # broken by __v_t itself (all other tables' structs are equally
+    # null on t's rows), so each table's winner is layout-independent.
+    w = (Window.partitionBy("__k")
+               .orderBy(F.col("__t").asc(), F.col("__side").asc(),
+                        *[F.col(f"__v_{t}").asc() for t in names])
+               .rowsBetween(Window.unboundedPreceding, 0))
+    filled = unioned.select(
+        "__k", "__t", "__side", *passthrough,
+        *[F.last(f"__v_{t}", ignorenulls=True).over(w).alias(f"__m_{t}")
+          for t in names],
+    ).filter(F.col("__side") == label_rank)
+
+    for t in names:
+        tol = (tolerance_seconds or {}).get(t)
+        if tol is not None:
+            gap = (F.col("__t").cast("timestamp").cast("double")
+                   - F.col(f"__m_{t}.__mts").cast("timestamp")
+                      .cast("double"))
+            ok = F.col(f"__m_{t}").isNotNull() & (gap <= F.lit(float(tol)))
+            filled = filled.withColumn(
+                f"__m_{t}", F.when(ok, F.col(f"__m_{t}")))
+
+    return filled.select(
+        F.col("__k").alias(on),
+        F.col("__t").alias(left_ts),
+        *passthrough,
+        *[c for t in names for c in
+          (*[F.col(f"__m_{t}.v_{v}").alias(f"{v}_{t}") for v in vmap[t]],
+           F.col(f"__m_{t}.__mts").alias(f"__matched_ts_{t}"))],
+    )
+
+
 def asof_join_cogrouped(
     labels: DataFrame,
     features: DataFrame,

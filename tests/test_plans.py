@@ -320,3 +320,19 @@ def test_cross_sectional_never_sorts_full_frame(spark):
     # frame, i.e. below it there is a HashAggregate, not the raw scan
     for frag in txt.split("Sort ")[1:]:
         assert "HashAggregate" in frag, txt
+
+
+def test_asof_join_multi_single_shuffle_single_window(spark):
+    """K feature tables enrich the label stream in ONE entity-hash
+    shuffle and ONE WindowExec: all K running last() aggregates share
+    the same partitioning and ordering, so Catalyst fuses them."""
+    from hiselspark.operators.asof import asof_join_multi
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    labels = ev.select("user_id", "ts", "event_id")
+    t1 = ev.select("user_id", "ts", F.col("value").alias("a"))
+    t2 = ev.select("user_id", "ts", F.col("value").alias("b"))
+    t3 = ev.select("user_id", "ts", F.col("value").alias("c"))
+    out = asof_join_multi(labels, {"x": t1, "y": t2, "z": t3},
+                          on="user_id", left_ts="ts", right_ts="ts")
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+    assert plan_str(out, "simple").count("Window") == 1

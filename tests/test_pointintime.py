@@ -348,3 +348,64 @@ def test_scd2_join_period_semantics(spark):
     assert pd.isna(out[3])
     assert out[4] == 200
     assert out[5] == 300
+
+
+def test_asof_join_multi_matches_k_separate_joins(spark, timeline,
+                                                  labels_pdf):
+    """The one-shuffle K-table join must agree column-for-column with
+    K independent asof_join calls (same tie rule, same tolerance)."""
+    from hiselspark.operators.asof import asof_join_multi
+    lab = spark.createDataFrame(labels_pdf)
+    ta = spark.createDataFrame(
+        timeline[["entity_id", "ts", "v"]])
+    tb = spark.createDataFrame(
+        timeline[["entity_id", "ts", "w"]].assign(
+            ts=timeline["ts"] + pd.Timedelta(seconds=7)))
+    tol = {"b": 600.0}
+    multi = (asof_join_multi(lab, {"a": ta, "b": tb}, on="entity_id",
+                             left_ts="ts", right_ts="ts",
+                             tolerance_seconds=tol)
+             .toPandas()
+             .sort_values(["entity_id", "ts", "y"])
+             .reset_index(drop=True))
+    sep_a = asof_join(lab, ta, on="entity_id", left_ts="ts",
+                      right_ts="ts", value_cols=["v"], suffix="_a")
+    sep = (asof_join(sep_a.withColumnRenamed("__matched_ts", "mts_a"),
+                     tb, on="entity_id", left_ts="ts", right_ts="ts",
+                     value_cols=["w"], suffix="_b",
+                     tolerance_seconds=600.0)
+           .toPandas()
+           .sort_values(["entity_id", "ts", "y"])
+           .reset_index(drop=True))
+    assert len(multi) == len(sep) == len(labels_pdf)
+    np.testing.assert_allclose(multi["v_a"].astype(float),
+                               sep["v_a"].astype(float))
+    np.testing.assert_allclose(multi["w_b"].astype(float),
+                               sep["w_b"].astype(float))
+    pd.testing.assert_series_equal(
+        multi["__matched_ts_a"], sep["mts_a"],
+        check_names=False)
+    pd.testing.assert_series_equal(
+        multi["__matched_ts_b"], sep["__matched_ts"],
+        check_names=False)
+
+
+def test_asof_join_multi_no_leakage_and_strict(spark, timeline,
+                                               labels_pdf):
+    """Every matched timestamp is <= (or < under strict) the label ts,
+    per table — zero temporal leakage by construction."""
+    from hiselspark.operators.asof import asof_join_multi
+    lab = spark.createDataFrame(labels_pdf)
+    ta = spark.createDataFrame(timeline[["entity_id", "ts", "v"]])
+    tb = spark.createDataFrame(timeline[["entity_id", "ts", "w"]])
+    for strict in (False, True):
+        out = asof_join_multi(lab, {"a": ta, "b": tb},
+                              on="entity_id", strict=strict).toPandas()
+        for t in ("a", "b"):
+            m = out[f"__matched_ts_{t}"].notna()
+            if strict:
+                assert (out.loc[m, f"__matched_ts_{t}"]
+                        < out.loc[m, "ts"]).all()
+            else:
+                assert (out.loc[m, f"__matched_ts_{t}"]
+                        <= out.loc[m, "ts"]).all()
