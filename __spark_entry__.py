@@ -1882,6 +1882,22 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("p90", 6).alias("p90"))
 
 
+def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h median absolute deviation + robust z-score of the
+    event value per user — the outlier detector with a 50% breakdown
+    point.  Pure JVM ``array_sort(collect_list)`` + higher-order
+    median; q·(n−1) interpolation matches DuckDB
+    ``quantile_cont``/``mad`` exactly on integer cents."""
+    from hiselspark.operators.windows import rolling_mad
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_mad(ev, "user_id", "ts", "cents", 86400.0)
+    return out.select("event_id",
+                      F.round("roll_med", 6).alias("med"),
+                      F.round("roll_mad", 6).alias("mad"),
+                      F.round("robust_z", 6).alias("rz"))
+
+
 def q_rolling_median_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_median — same oracle."""
     from hiselspark.operators.chunked import chunked_rolling_quantile
@@ -2601,6 +2617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inter_arrival": q_inter_arrival,
         "purged_split": q_purged_split,
         "rolling_median": q_rolling_median,
+        "rolling_mad": q_rolling_mad,
         "rolling_median_chunked": q_rolling_median_chunked,
         "novelty": q_novelty,
         "image_augment": q_image_augment,
@@ -4194,6 +4211,29 @@ def oracle_sql() -> dict[str, str]:
                                   / 2.0))))),
                  (acc, x) -> acc + x), 6) AS jsd
         FROM pk
+    """
+    oracles["rolling_mad"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), m AS (
+          SELECT event_id, cents,
+                 quantile_cont(cents, 0.5) OVER b AS med,
+                 mad(cents) OVER b AS madv
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id,
+               round(med, 6) AS med,
+               round(madv, 6) AS mad,
+               round(CASE WHEN madv > 0.0
+                          THEN (CAST(cents AS DOUBLE) - med)
+                               / (1.4826 * madv) END, 6) AS rz
+        FROM m
     """
     oracles["rolling_corr"] = """
         WITH q AS (

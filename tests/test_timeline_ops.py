@@ -552,3 +552,34 @@ def test_funnel_steps_matches_bruteforce(spark, events_pdf):
                 assert int(row[gotcol]) == want.value // 1000
         assert row["funnel_depth"] == sum(pd.notna(t)
                                           for t in (t1, t2, t3))
+
+
+def test_rolling_mad_matches_numpy_and_flags_outlier(spark):
+    from hiselspark.operators.windows import rolling_mad
+    rng = np.random.default_rng(11)
+    n = 120
+    ts = pd.date_range("2024-03-01", periods=n, freq="7min")
+    x = rng.integers(90, 110, size=n).astype(float)
+    x[80] = 500.0  # planted spike
+    pdf = pd.DataFrame({"e": ["a"] * n, "ts": ts, "x": x,
+                        "i": range(n)})
+    out = (rolling_mad(spark.createDataFrame(pdf), "e", "ts", "x",
+                       window_seconds=3600.0)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    # numpy twin: trailing 1h (inclusive) window per row
+    secs = (ts - ts[0]).total_seconds().to_numpy()
+    for i in range(n):
+        w = x[(secs >= secs[i] - 3600.0) & (secs <= secs[i])]
+        med = np.quantile(w, 0.5)
+        mad = np.quantile(np.abs(w - med), 0.5)
+        assert out.loc[i, "roll_med"] == pytest.approx(med, abs=1e-9)
+        assert out.loc[i, "roll_mad"] == pytest.approx(mad, abs=1e-9)
+        if mad > 0:
+            assert out.loc[i, "robust_z"] == pytest.approx(
+                (x[i] - med) / (1.4826 * mad), rel=1e-12)
+        else:
+            assert pd.isna(out.loc[i, "robust_z"])
+    # the spike is loudly flagged; its neighbors are not dragged
+    assert out.loc[80, "robust_z"] > 10
+    assert out.loc[79, "robust_z"] is not None
+    assert abs(out.loc[81, "robust_z"]) < 5  # median/MAD resist the spike
