@@ -1898,6 +1898,51 @@ def q_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("robust_z", 6).alias("rz"))
 
 
+def q_rolling_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h percentile rank of the event value per user —
+    distribution-free 'how large is this, lately' normalizer.  Exact
+    integer count ratio (size(filter)/size) on integer cents."""
+    from hiselspark.operators.windows import rolling_rank
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rolling_rank(ev, "user_id", "ts", "cents", 86400.0,
+                       out_col="rr")
+    return out.select("event_id", F.round("rr", 6).alias("rr"))
+
+
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running peak + drawdown fraction of the cumulative event value
+    per user (the equity-curve view of a user's activity): peak of the
+    running total so far, and how far below it the total sits now."""
+    from pyspark.sql import Window
+    from hiselspark.operators.windows import running_drawdown
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = ev.withColumn("cum", F.sum("cents").over(w))
+    out = running_drawdown(cum, "user_id", "ts", "cum",
+                           tiebreak=("event_id",))
+    return out.select("event_id",
+                      F.col("run_peak").cast("long").alias("peak"),
+                      F.round("drawdown", 6).alias("dd"))
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistics (Page) of the event value per
+    user against a global target of 10.00, slack 0.50 — the sequential
+    small-shift detector, computed as running-sum-minus-running-min
+    (closed form, no recursion)."""
+    from hiselspark.operators.windows import cusum
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = cusum(ev, "user_id", "ts", "cents", target=1000.0, slack=50.0,
+                tiebreak=("event_id",))
+    return out.select("event_id",
+                      F.round("cusum_pos", 6).alias("cpos"),
+                      F.round("cusum_neg", 6).alias("cneg"))
+
+
 def q_rolling_median_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_median — same oracle."""
     from hiselspark.operators.chunked import chunked_rolling_quantile
@@ -2618,6 +2663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purged_split": q_purged_split,
         "rolling_median": q_rolling_median,
         "rolling_mad": q_rolling_mad,
+        "rolling_rank": q_rolling_rank,
+        "drawdown": q_drawdown,
+        "cusum": q_cusum,
         "rolling_median_chunked": q_rolling_median_chunked,
         "novelty": q_novelty,
         "image_augment": q_image_augment,
@@ -4234,6 +4282,70 @@ def oracle_sql() -> dict[str, str]:
                           THEN (CAST(cents AS DOUBLE) - med)
                                / (1.4826 * madv) END, 6) AS rz
         FROM m
+    """
+    oracles["rolling_rank"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), l AS (
+          SELECT event_id, cents,
+                 list(cents) OVER (PARTITION BY user_id ORDER BY us
+                                   RANGE BETWEEN 86400000000 PRECEDING
+                                             AND CURRENT ROW) AS lst
+          FROM q
+        )
+        SELECT event_id,
+               round(CAST(len(list_filter(lst, v -> v <= cents)) AS DOUBLE)
+                     / CAST(len(lst) AS DOUBLE), 6) AS rr
+        FROM l
+    """
+    oracles["drawdown"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), c AS (
+          SELECT event_id, user_id, us,
+                 sum(cents) OVER b AS cum
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        )
+        SELECT event_id,
+               CAST(max(cum) OVER b AS BIGINT) AS peak,
+               round(CASE WHEN max(cum) OVER b > 0
+                          THEN CAST(max(cum) OVER b - cum AS DOUBLE)
+                               / CAST(max(cum) OVER b AS DOUBLE) END,
+                     6) AS dd
+        FROM c
+        WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    oracles["cusum"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), p AS (
+          SELECT event_id, user_id, us,
+                 sum(cents - 1050.0) OVER b AS pp,
+                 sum(cents -  950.0) OVER b AS pn
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        )
+        SELECT event_id,
+               round(pp - least(0.0, min(pp) OVER b), 6) AS cpos,
+               round(greatest(0.0, max(pn) OVER b) - pn, 6) AS cneg
+        FROM p
+        WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
     oracles["rolling_corr"] = """
         WITH q AS (

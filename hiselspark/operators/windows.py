@@ -712,6 +712,107 @@ def rolling_mad(
         z_col, F.when(F.col(mad_col) > 0.0, rz))
 
 
+def rolling_rank(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float = 3600.0,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Trailing percentile rank: the fraction of the trailing window's
+    values that are ≤ the current value (self included, so the result
+    lies in (0, 1]).  A distribution-free normalizer — "is this event
+    large *for this entity, lately*" — that, unlike a z-score, is
+    immune to heavy tails and needs no stationarity assumption.
+
+    Pure JVM: ``collect_list`` over the range frame + higher-order
+    ``filter``/``size``.  Exact integer count ratio, so cross-engine
+    bit-identical on integer inputs (DuckDB twin:
+    ``len(list_filter(l, v -> v <= x)) / len(l)``)."""
+    out_col = out_col or f"{col}_roll_rank"
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    arr = F.collect_list(F.col(col)).over(w)
+    cur = F.col(col)
+    return (df.withColumn("__arr", arr)
+              .withColumn(out_col,
+                          F.size(F.filter("__arr", lambda v: v <= cur))
+                          / F.size("__arr"))
+              .drop("__arr"))
+
+
+def running_drawdown(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    peak_col: str = "run_peak",
+    dd_col: str = "drawdown",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Running peak and drawdown per entity: ``peak = max(x) over the
+    timeline so far``, ``drawdown = (peak − x) / peak`` (null when
+    ``peak ≤ 0`` — a non-positive peak has no meaningful fraction).
+    The classic "how far below the best seen so far" degradation
+    feature (equity curves, model-quality tracking, SLA burn).
+
+    One unbounded-preceding running ``max`` over the shared entity
+    clustering — O(1) state per row, no buffering, exact on integer
+    inputs.  Rows-frames are tie-order-sensitive: pass a unique
+    ``tiebreak`` (e.g. the event id) when timestamps can collide."""
+    w = (entity_window(entity_col, ts_col, *tiebreak)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df.withColumn(peak_col, F.max(col).over(w))
+    frac = ((F.col(peak_col) - F.col(col)) / F.col(peak_col))
+    return out.withColumn(
+        dd_col, F.when(F.col(peak_col) > 0, frac))
+
+
+def cusum(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    target: float,
+    slack: float = 0.0,
+    pos_col: str = "cusum_pos",
+    neg_col: str = "cusum_neg",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """One-sided CUSUM change-detection statistics per entity (Page
+    1954): ``S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack))`` and the
+    mirrored ``S⁻`` for downward shifts.  The sequential statistic that
+    detects a small persistent mean shift far earlier than any
+    fixed-window z-score.
+
+    The recursion *looks* inherently sequential, but has a closed
+    window form: with prefix sum ``Pᵢ = Σⱼ≤ᵢ (xⱼ − target − slack)``,
+    ``S⁺ᵢ = Pᵢ − min(0, P₁..Pᵢ)`` (the 0 is the empty prefix — it
+    realizes the ``max(0, ·)`` clamp) — a running sum and a running
+    min over the same entity clustering, both O(1)-state
+    unbounded-preceding windows, exact on integer inputs (no recursive
+    UDF, no state store).  Rows-frames are tie-order-sensitive: pass a
+    unique ``tiebreak`` when timestamps can collide."""
+    w = (entity_window(entity_col, ts_col, *tiebreak)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dev_p = F.col(col) - F.lit(target + slack)
+    dev_n = F.col(col) - F.lit(target - slack)
+    out = (df.withColumn("__pp", F.sum(dev_p).over(w))
+             .withColumn("__pn", F.sum(dev_n).over(w)))
+    out = (out.withColumn(pos_col,
+                          F.col("__pp")
+                          - F.least(F.lit(0.0).cast("double"),
+                                    F.min("__pp").over(w)))
+              .withColumn(neg_col,
+                          F.greatest(F.lit(0.0).cast("double"),
+                                     F.max("__pn").over(w))
+                          - F.col("__pn"))
+              .drop("__pp", "__pn"))
+    return out
+
+
 def winsorize_pit(
     df: DataFrame,
     entity_col: str,

@@ -583,3 +583,53 @@ def test_rolling_mad_matches_numpy_and_flags_outlier(spark):
     assert out.loc[80, "robust_z"] > 10
     assert out.loc[79, "robust_z"] is not None
     assert abs(out.loc[81, "robust_z"]) < 5  # median/MAD resist the spike
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    from hiselspark.operators.windows import cusum
+    rng = np.random.default_rng(23)
+    n = 300
+    x = rng.integers(80, 121, size=n).astype(float)
+    x[150:200] += 30  # planted upward mean shift
+    x[250:] -= 40     # and a downward one
+    ts = pd.date_range("2024-05-01", periods=n, freq="3min")
+    pdf = pd.DataFrame({"e": ["u"] * n, "ts": ts, "x": x,
+                        "i": range(n)})
+    out = (cusum(spark.createDataFrame(pdf), "e", "ts", "x",
+                 target=100.0, slack=5.0, tiebreak=("i",))
+           .toPandas().sort_values("i").reset_index(drop=True))
+    sp = sn = 0.0
+    for i in range(n):
+        sp = max(0.0, sp + (x[i] - 105.0))
+        sn = max(0.0, sn + (95.0 - x[i]))
+        assert out.loc[i, "cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert out.loc[i, "cusum_neg"] == pytest.approx(sn, abs=1e-9)
+    # the statistics actually fire where the shifts were planted
+    assert out.loc[199, "cusum_pos"] > 500
+    assert out.loc[299, "cusum_neg"] > 500
+    assert out.loc[149, "cusum_pos"] < 200
+
+
+def test_rolling_rank_and_drawdown_match_numpy(spark):
+    from hiselspark.operators.windows import (rolling_rank,
+                                              running_drawdown)
+    rng = np.random.default_rng(31)
+    n = 150
+    ts = pd.date_range("2024-06-01", periods=n, freq="11min")
+    x = rng.integers(0, 1000, size=n)
+    pdf = pd.DataFrame({"e": ["a"] * n, "ts": ts, "x": x,
+                        "i": range(n)})
+    sdf = spark.createDataFrame(pdf)
+    rr = (rolling_rank(sdf, "e", "ts", "x", 3600.0, out_col="rr")
+          .toPandas().sort_values("i").reset_index(drop=True))
+    dd = (running_drawdown(sdf, "e", "ts", "x", tiebreak=("i",))
+          .toPandas().sort_values("i").reset_index(drop=True))
+    secs = (ts - ts[0]).total_seconds().to_numpy()
+    peak = np.maximum.accumulate(x)
+    for i in range(n):
+        w = x[(secs >= secs[i] - 3600.0) & (secs <= secs[i])]
+        assert rr.loc[i, "rr"] == pytest.approx(
+            np.mean(w <= x[i]), abs=1e-12)
+        assert dd.loc[i, "run_peak"] == peak[i]
+        assert dd.loc[i, "drawdown"] == pytest.approx(
+            (peak[i] - x[i]) / peak[i], abs=1e-12)
