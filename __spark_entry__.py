@@ -1943,6 +1943,45 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("cusum_neg", 6).alias("cneg"))
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlestick bars of the event value per user —
+    positional open/close by (ts, event_id), extrema high/low, all in
+    one (user, bar) shuffle."""
+    from hiselspark.operators.resample import ohlc_bars
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = ohlc_bars(ev, "user_id", "ts", "cents", 86400,
+                    tiebreak=("event_id",))
+    return out.select("user_id", "bar_start", "open", "high", "low",
+                      "close", "n", "total")
+
+
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence + information value of event_type against
+    the binary label value>10.00 — the scorecard categorical encoding,
+    exact-integer counts, smoothed α=0.5."""
+    from hiselspark.operators.encoding import woe_encode
+    ev = _ev(spark, sf_dir).withColumn(
+        "lbl", (F.round(F.col("value") * 100).cast("long") > 1000)
+        .cast("long"))
+    out = woe_encode(ev, "event_type", "lbl", alpha=0.5)
+    return out.select("event_type", "pos", "neg",
+                      F.round("woe", 6).alias("woe"),
+                      F.round("iv", 6).alias("iv"))
+
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonal baseline (strictly-before expanding mean
+    per user×phase) and deseasonalized residual of the event value."""
+    from hiselspark.operators.windows import seasonal_baseline
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = seasonal_baseline(ev, "user_id", "ts", "cents", 168)
+    return out.select("event_id",
+                      F.round("seasonal_base", 6).alias("base"),
+                      F.round("seasonal_resid", 6).alias("resid"))
+
+
 def q_rolling_median_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof twin of rolling_median — same oracle."""
     from hiselspark.operators.chunked import chunked_rolling_quantile
@@ -2666,6 +2705,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_rank": q_rolling_rank,
         "drawdown": q_drawdown,
         "cusum": q_cusum,
+        "ohlc_bars": q_ohlc_bars,
+        "woe_encode": q_woe_encode,
+        "seasonal": q_seasonal,
         "rolling_median_chunked": q_rolling_median_chunked,
         "novelty": q_novelty,
         "image_augment": q_image_augment,
@@ -4346,6 +4388,78 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    oracles["ohlc_bars"] = """
+        WITH q AS (
+          SELECT user_id, event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), b AS (
+          SELECT *, CAST(floor(us / 86400000000) AS BIGINT) AS bar
+          FROM q
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id, bar
+                                    ORDER BY us, event_id) AS rna,
+                 row_number() OVER (PARTITION BY user_id, bar
+                                    ORDER BY us DESC, event_id DESC)
+                 AS rnd
+          FROM b
+        )
+        SELECT user_id,
+               bar * 86400 AS bar_start,
+               max(CASE WHEN rna = 1 THEN cents END) AS open,
+               max(cents) AS high,
+               min(cents) AS low,
+               max(CASE WHEN rnd = 1 THEN cents END) AS close,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) AS total
+        FROM r
+        GROUP BY user_id, bar
+    """
+    oracles["woe_encode"] = """
+        WITH per AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN round(value*100) > 1000
+                               THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN round(value*100) > 1000
+                               THEN 0 ELSE 1 END) AS BIGINT) AS neg
+          FROM events GROUP BY event_type
+        ), tot AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS tp,
+                 CAST(sum(neg) AS BIGINT) AS tn
+          FROM per
+        )
+        SELECT event_type, pos, neg,
+               round(ln((pos + 0.5) / (tp + 1.0))
+                     - ln((neg + 0.5) / (tn + 1.0)), 6) AS woe,
+               round(((pos + 0.5) / (tp + 1.0)
+                      - (neg + 0.5) / (tn + 1.0))
+                     * (ln((pos + 0.5) / (tp + 1.0))
+                        - ln((neg + 0.5) / (tn + 1.0))), 6) AS iv
+        FROM per, tot
+    """
+    oracles["seasonal"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), p AS (
+          SELECT *, CAST(floor(us / 3600000000) % 168 AS BIGINT)
+                    AS phase
+          FROM q
+        )
+        SELECT event_id,
+               round(CAST(sum(cents) OVER b AS DOUBLE)
+                     / count(cents) OVER b, 6) AS base,
+               round(cents - CAST(sum(cents) OVER b AS DOUBLE)
+                             / count(cents) OVER b, 6) AS resid
+        FROM p
+        WINDOW b AS (PARTITION BY user_id, phase ORDER BY us
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
     """
     oracles["rolling_corr"] = """
         WITH q AS (

@@ -282,3 +282,41 @@ def expanding_zscore_pit(
         out_col,
         F.when((c >= 2) & (std > 0), (v - mean) / std)
          .otherwise(F.lit(None)))
+
+
+def woe_encode(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence table for a categorical feature against a
+    binary label: per category,
+    ``woe = ln((pos_c+α)/(POS+2α)) − ln((neg_c+α)/(NEG+2α))`` and its
+    information-value contribution
+    ``iv = ((pos_c+α)/(POS+2α) − (neg_c+α)/(NEG+2α)) · woe`` — the
+    standard scorecard encoding (positive = the category over-indexes
+    on the positive class), with Laplace smoothing α so single-class
+    categories stay finite.
+
+    Shape at scale: one partial-aggregated ``groupBy(category)`` for
+    the per-category counts; the global totals are an unpartitioned
+    window over that same table — single-task, but the table is
+    already one row per category, so it is trivially small by the time
+    it gets there (the 10^12 input rows were reduced map-side).  All
+    counts are exact integers, so the ratios (and the doubles fed to
+    ``ln``) are reproducible cross-engine.  Join the result back on
+    ``category_col`` (broadcast — one row per category) to encode
+    rows; the table itself is the fit artifact."""
+    lbl = F.col(label_col).cast("long")
+    per = (df.groupBy(category_col)
+             .agg(F.sum(lbl).alias("pos"),
+                  (F.count(lbl) - F.sum(lbl)).alias("neg")))
+    a = float(alpha)
+    g = Window.partitionBy()
+    p = (F.col("pos") + a) / (F.sum("pos").over(g) + 2 * a)
+    q = (F.col("neg") + a) / (F.sum("neg").over(g) + 2 * a)
+    woe = F.log(p) - F.log(q)
+    return (per.withColumn("woe", woe)
+               .withColumn("iv", (p - q) * woe)
+               .select(category_col, "pos", "neg", "woe", "iv"))

@@ -157,3 +157,53 @@ def resample_ffill(
     out = asof_join(grid, per_ts, on=entity_col, left_ts=grid_ts_col,
                     right_ts=ts_col, value_cols=value_cols)
     return out.drop("__matched_ts")
+
+
+def ohlc_bars(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    bar_seconds: int = 86400,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Downsample an irregular entity timeline into fixed tumbling
+    bars with open/high/low/close + count + sum — the canonical
+    "candlestick" resample (pandas ``resample().ohlc()``), and the
+    standard first step before any bar-level feature (returns, ranges,
+    gap-ups).
+
+    ``open``/``close`` are *positional* (first/last value in the bar
+    by ``(ts, tiebreak)``), not extrema — expressed as two
+    ``row_number`` windows (ascending + descending) over the
+    ``(entity, bar)`` clustering followed by a conditional aggregate.
+    The windows and the final ``groupBy`` share one hash partitioning
+    on ``(entity, bar)``, so the whole operator is a single shuffle;
+    bar ids are integer epoch arithmetic (``floor(us / bar_us)``) so
+    engines agree exactly.  Empty bars are absent (join against
+    :func:`time_grid` to densify)."""
+    from pyspark.sql import Window
+    from .windows import ts_seconds
+
+    bar_us = int(bar_seconds) * 1_000_000
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    d = df.withColumn("__us", us).withColumn(
+        "__bar", F.floor(F.col("__us") / bar_us).cast("long"))
+    asc = [F.col("__us").asc()] + [F.col(c).asc() for c in tiebreak]
+    desc = [F.col("__us").desc()] + [F.col(c).desc() for c in tiebreak]
+    w_a = Window.partitionBy(entity_col, "__bar").orderBy(*asc)
+    w_d = Window.partitionBy(entity_col, "__bar").orderBy(*desc)
+    d = (d.withColumn("__rna", F.row_number().over(w_a))
+          .withColumn("__rnd", F.row_number().over(w_d)))
+    return (d.groupBy(entity_col, "__bar")
+             .agg(F.max(F.when(F.col("__rna") == 1, F.col(col)))
+                   .alias("open"),
+                  F.max(col).alias("high"),
+                  F.min(col).alias("low"),
+                  F.max(F.when(F.col("__rnd") == 1, F.col(col)))
+                   .alias("close"),
+                  F.count(col).alias("n"),
+                  F.sum(col).alias("total"))
+             .withColumn("bar_start",
+                         (F.col("__bar") * int(bar_seconds)).cast("long"))
+             .drop("__bar"))

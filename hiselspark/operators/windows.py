@@ -813,6 +813,42 @@ def cusum(
     return out
 
 
+def seasonal_baseline(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    period_hours: int = 168,
+    base_col: str = "seasonal_base",
+    resid_col: str = "seasonal_resid",
+) -> DataFrame:
+    """Leakage-free seasonal baseline: for each row, the expanding
+    mean of ``col`` over the entity's *earlier* rows that fall in the
+    same phase of a repeating cycle (default 168 h = hour-of-week),
+    plus the residual ``x − baseline`` — "is this high *for a Tuesday
+    9am*", the deseasonalized feature every traffic/spend timeline
+    needs before any anomaly logic.
+
+    Phase is pure epoch arithmetic (``floor(us/3600e6) mod period``,
+    no calendar functions — engines agree exactly); the strictly-before
+    frame (RANGE ... 1 PRECEDING on microseconds) is the same
+    point-in-time discipline as ``encoding.target_encode_pit``: rows at
+    the identical timestamp are mutually invisible.  One shuffle on
+    ``(entity, phase)``; exact integer sums/counts.  First occurrence
+    of a phase has no baseline (NULL), by design."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    d = df.withColumn("__us", us).withColumn(
+        "__phase",
+        F.pmod(F.floor(F.col("__us") / 3_600_000_000), period_hours)
+         .cast("long"))
+    w = (Window.partitionBy(entity_col, "__phase").orderBy("__us")
+               .rangeBetween(Window.unboundedPreceding, -1))
+    base = F.sum(col).over(w) / F.count(col).over(w)
+    return (d.withColumn(base_col, base)
+             .withColumn(resid_col, F.col(col) - F.col(base_col))
+             .drop("__us", "__phase"))
+
+
 def winsorize_pit(
     df: DataFrame,
     entity_col: str,

@@ -633,3 +633,86 @@ def test_rolling_rank_and_drawdown_match_numpy(spark):
         assert dd.loc[i, "run_peak"] == peak[i]
         assert dd.loc[i, "drawdown"] == pytest.approx(
             (peak[i] - x[i]) / peak[i], abs=1e-12)
+
+
+def test_ohlc_bars_matches_pandas_resample(spark):
+    from hiselspark.operators.resample import ohlc_bars
+    rng = np.random.default_rng(41)
+    n = 500
+    pdf = pd.DataFrame({
+        "e": rng.integers(0, 5, n).astype(str),
+        "ts": pd.Timestamp("2024-02-01")
+        + pd.to_timedelta(rng.integers(0, 10 * 86400, n), unit="s"),
+        "x": rng.integers(-100, 1000, n),
+        "i": np.arange(n),
+    })
+    out = (ohlc_bars(spark.createDataFrame(pdf), "e", "ts", "x",
+                     3600, tiebreak=("i",))
+           .toPandas().set_index(["e", "bar_start"]).sort_index())
+    pdf = pdf.sort_values(["ts", "i"])
+    for (e, g) in pdf.groupby("e"):
+        r = g.set_index("ts")["x"].resample("1h").ohlc().dropna()
+        s = g.set_index("ts")["x"].resample("1h")
+        agg = pd.DataFrame({"n": s.count(), "total": s.sum()})
+        for t, row in r.iterrows():
+            key = (e, int(t.timestamp()))
+            got = out.loc[key]
+            assert got["open"] == row["open"]
+            assert got["high"] == row["high"]
+            assert got["low"] == row["low"]
+            assert got["close"] == row["close"]
+            assert got["n"] == agg.loc[t, "n"]
+            assert got["total"] == agg.loc[t, "total"]
+    assert len(out) == sum(
+        len(g.set_index("ts")["x"].resample("1h").ohlc().dropna())
+        for _, g in pdf.groupby("e"))
+
+
+def test_woe_encode_known_values_and_iv(spark):
+    from hiselspark.operators.encoding import woe_encode
+    pdf = pd.DataFrame({
+        "cat": ["a"] * 60 + ["b"] * 40 + ["c"] * 10,
+        "y": [1] * 45 + [0] * 15 + [1] * 5 + [0] * 35 + [0] * 10,
+    })
+    out = (woe_encode(spark.createDataFrame(pdf), "cat", "y", alpha=0.5)
+           .toPandas().set_index("cat"))
+    POS, NEG = 50, 60
+    for c in "abc":
+        pos = int(((pdf.cat == c) & (pdf.y == 1)).sum())
+        neg = int(((pdf.cat == c) & (pdf.y == 0)).sum())
+        p = (pos + 0.5) / (POS + 1.0)
+        q = (neg + 0.5) / (NEG + 1.0)
+        assert out.loc[c, "pos"] == pos and out.loc[c, "neg"] == neg
+        assert out.loc[c, "woe"] == pytest.approx(np.log(p / q))
+        assert out.loc[c, "iv"] == pytest.approx((p - q) * np.log(p / q))
+    # over-indexing category positive, under-indexing negative; IV >= 0
+    assert out.loc["a", "woe"] > 0 > out.loc["b", "woe"]
+    assert (out["iv"] >= 0).all()
+
+
+def test_seasonal_baseline_strictly_before_same_phase(spark):
+    from hiselspark.operators.windows import seasonal_baseline
+    rng = np.random.default_rng(53)
+    n = 400
+    ts = (pd.Timestamp("2024-01-01")
+          + pd.to_timedelta(rng.integers(0, 28 * 86400, n), unit="s"))
+    pdf = pd.DataFrame({"e": rng.integers(0, 3, n).astype(str),
+                        "ts": ts,
+                        "x": rng.integers(0, 100, n),
+                        "i": np.arange(n)})
+    out = (seasonal_baseline(spark.createDataFrame(pdf), "e", "ts",
+                             "x", 168)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    pdf = pdf.sort_values("i").reset_index(drop=True)
+    us = (pdf.ts.astype("int64") // 1000).to_numpy()
+    phase = (us // 3_600_000_000) % 168
+    for i in range(n):
+        mask = ((pdf.e == pdf.e[i]) & (phase == phase[i])
+                & (us < us[i]))
+        if mask.any():
+            assert out.loc[i, "seasonal_base"] == pytest.approx(
+                pdf.x[mask].mean(), abs=1e-9)
+            assert out.loc[i, "seasonal_resid"] == pytest.approx(
+                pdf.x[i] - pdf.x[mask].mean(), abs=1e-9)
+        else:
+            assert pd.isna(out.loc[i, "seasonal_base"])
