@@ -398,6 +398,21 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit from exact integer sufficient statistics (map-only, no
+    embedding-row shuffle) + top-4 projection per vector.  Fully
+    layout-deterministic (quantized-integer covariance, sign-fixed
+    eigh) -> pinned literal oracle."""
+    from hiselspark.operators.projection import pca_fit, pca_project
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, "embedding", k=4)
+    out = pca_project(emb, model, "embedding", "proj")
+    return out.select(
+        "vec_id",
+        *[F.round(F.element_at("proj", i + 1), 6).alias(f"p{i}")
+          for i in range(4)])
+
+
 def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed HSIC-Lasso on the embeddings table: which of the 64
     embedding dimensions carry dependence with the label.  Runs the
@@ -2609,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_stats": q_caption_stats,
         "dedup_exact": q_dedup_exact,
         "embedding_topk": q_embedding_topk,
+        "pca_project": q_pca_project,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
