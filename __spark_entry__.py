@@ -398,6 +398,40 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (λ=0.7) from each probe's exact top-20
+    cosine candidates — relevance minus redundancy re-ranking.
+    Deterministic greedy (id tie-breaks) -> pinned literal oracle."""
+    from hiselspark.operators.similarity import cosine_topk, mmr_rerank
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    top = cosine_topk(probes, emb, k=20)
+    vecs = emb.select(F.col("vec_id").alias("cid"),
+                      F.col("embedding").cast("array<double>")
+                       .alias("v"))
+    cands = top.join(vecs, top.vec_id == vecs.cid).drop("cid")
+    out = mmr_rerank(cands, k=5, lam=0.7, rel_col="cos_sim")
+    return out.select("probe_id", "rk", "vec_id",
+                      F.round("mmr", 6).alias("mmr"))
+
+
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity sample: 16 centers
+    over the embedding corpus + per-center assignment counts and
+    coverage radius.  Deterministic pool/greedy -> pinned oracle."""
+    from hiselspark.operators.similarity import kcenter_sample
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers, assigned = kcenter_sample(emb, k=16, pool_size=4096,
+                                       seed=7)
+    per = (assigned.groupBy("center_id")
+                   .agg(F.count("*").alias("n_assigned"),
+                        F.round(F.max("dist"), 6).alias("radius")))
+    return (centers.join(per, "center_id")
+                   .select("order", "center_id",
+                           F.round("sel_dist", 6).alias("sel_dist"),
+                           "n_assigned", "radius"))
+
+
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit from exact integer sufficient statistics (map-only, no
     embedding-row shuffle) + top-4 projection per vector.  Fully
@@ -2625,6 +2659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "embedding_topk": q_embedding_topk,
         "pca_project": q_pca_project,
+        "mmr_topk": q_mmr_topk,
+        "kcenter": q_kcenter,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,

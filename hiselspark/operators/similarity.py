@@ -504,3 +504,141 @@ def embedding_centroid(df: DataFrame, group_col: str,
                      .alias("__m")))).alias("__sm"))
             .withColumn(out_col, F.expr("transform(__sm, s -> s.__m)"))
             .drop("__sm"))
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cos",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of per-probe candidate lists: greedily pick
+    ``argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` so the final top-k
+    is relevant AND non-redundant — the standard fix for an ANN top-k
+    that returns five near-copies of the same item (a failure mode the
+    dedup family here makes very visible).
+
+    Input: one row per (probe, candidate) with the candidate's
+    relevance and its vector (e.g. the output of
+    :func:`cosine_topk`/:func:`lsh_topk` joined back to vectors,
+    truncated to a bounded candidate pool).  Greedy selection happens
+    per probe group in Arrow-batched ``applyInPandas`` — candidate
+    pools are bounded (top-N), so each group is a tiny dense NumPy
+    problem; the only shuffle is on the probe key.  Pairwise sim is
+    cosine between candidate vectors.  Deterministic: ties broken by
+    ascending candidate id at every step (``np.lexsort``), so the
+    output is layout-independent and pinnable.
+    """
+    out_schema = (f"{probe_col} long, rk int, {id_col} long, "
+                  "mmr double")
+
+    def pick(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        U = V / nrm[:, None]
+        S = U @ U.T  # candidate-candidate cosine
+        m = len(ids)
+        sel, scores = [], []
+        max_sim = np.full(m, -np.inf)
+        avail = np.ones(m, dtype=bool)
+        for _ in range(min(k, m)):
+            score = np.where(np.isinf(max_sim), lam * rel,
+                             lam * rel - (1.0 - lam) * max_sim)
+            score = np.where(avail, score, -np.inf)
+            # argmax with ascending-id tie-break: lexsort is stable
+            best = int(np.lexsort((ids, -score))[0])
+            sel.append(best)
+            scores.append(score[best])
+            avail[best] = False
+            max_sim = np.maximum(max_sim, S[:, best])
+        return pd.DataFrame({
+            probe_col: key[0],
+            "rk": np.arange(1, len(sel) + 1, dtype=np.int32),
+            id_col: ids[sel],
+            "mmr": scores,
+        })
+
+    return candidates.groupBy(probe_col).applyInPandas(pick, out_schema)
+
+
+def kcenter_sample(
+    df: DataFrame,
+    k: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pool_size: int = 4096,
+    seed: int = 7,
+):
+    """Farthest-point (greedy k-center, Gonzalez 1985) diversity
+    sample over an embedding column — the coreset-style "cover the
+    space, don't sample the mode twice" selection used to pick
+    maximally-diverse training subsets.
+
+    Scale shape: a deterministic hash-ordered pool of ``pool_size``
+    rows is pulled to the driver (bounded — never the corpus), greedy
+    k-center runs there in dense NumPy (O(pool·k)), and the chosen
+    centers are broadcast back for a single map-side assignment pass
+    that computes each point's nearest center — so corpus rows are
+    read twice and shuffled once (on the center id, already tiny).
+    2-approximation of the optimal k-center cover on the pool.
+
+    Returns ``(centers DataFrame, assigned DataFrame)``: centers =
+    (order, center_id, sel_dist = distance to the previously chosen
+    set, 0.0 for the anchor); assigned = input ids + (center_id, dist)
+    of their nearest center, ties to the lowest center order."""
+    s = F.col(id_col).cast("string")
+    pool_pdf = (df.select(id_col, vec_col)
+                  .orderBy(F.xxhash64(F.lit(seed), s), s)
+                  .limit(pool_size)
+                  .toPandas()
+                  .sort_values(id_col).reset_index(drop=True))
+    ids = pool_pdf[id_col].to_numpy()
+    V = np.stack(pool_pdf[vec_col].to_numpy()).astype(np.float64)
+    first = 0  # lowest id of the pool (sorted) — deterministic anchor
+    chosen = [first]
+    sel_dist = [0.0]
+    dmin = np.linalg.norm(V - V[first], axis=1)
+    for _ in range(1, min(k, len(ids))):
+        # farthest point, ties to lowest id
+        nxt = int(np.lexsort((ids, -dmin))[0])
+        chosen.append(nxt)
+        sel_dist.append(float(dmin[nxt]))
+        dmin = np.minimum(dmin, np.linalg.norm(V - V[nxt], axis=1))
+    spark = df.sparkSession
+    centers_np = V[chosen]
+    center_ids = ids[chosen]
+    cb = spark.sparkContext.broadcast((centers_np, center_ids))
+    centers = spark.createDataFrame(pd.DataFrame({
+        "order": np.arange(len(chosen), dtype=np.int64),
+        "center_id": center_ids,
+        "sel_dist": sel_dist,
+    }))
+
+    def assign(batches):
+        C, cids = cb.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((X * X).sum(1)[:, None] - 2.0 * (X @ C.T)
+                  + (C * C).sum(1)[None, :])
+            nearest = np.argmin(d2, axis=1)  # first (lowest order) wins ties
+            dist = np.sqrt(np.maximum(
+                d2[np.arange(len(X)), nearest], 0.0))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "center_id": cids[nearest],
+                                "dist": dist})
+
+    assigned = (df.select(id_col, vec_col)
+                  .mapInPandas(assign,
+                               f"{id_col} long, center_id long, "
+                               "dist double"))
+    return centers, assigned

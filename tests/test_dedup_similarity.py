@@ -535,3 +535,97 @@ def test_semantic_dedup_drops_planted_near_dupes(spark):
     # everything else survives (no random cosines near 0.95 at d=16/n=40)
     others = out.drop(index=[40 + j for j in range(5)])
     assert others["keep"].all()
+
+
+def test_mmr_rerank_matches_bruteforce_greedy(spark):
+    from hiselspark.operators.similarity import mmr_rerank
+    rng = np.random.default_rng(61)
+    rows = []
+    vecs = {}
+    for p in range(3):
+        for c in range(12):
+            cid = p * 100 + c
+            v = rng.normal(size=8)
+            vecs[cid] = v
+            rows.append({"probe_id": p, "vec_id": cid,
+                         "cos": float(rng.uniform(0, 1)),
+                         "v": [float(x) for x in v]})
+    pdf = pd.DataFrame(rows)
+    lam = 0.7
+    out = (mmr_rerank(spark.createDataFrame(pdf), k=4, lam=lam)
+           .toPandas().sort_values(["probe_id", "rk"])
+           .reset_index(drop=True))
+    for p in range(3):
+        g = pdf[pdf.probe_id == p].sort_values("vec_id")
+        ids = g.vec_id.to_numpy()
+        rel = g.cos.to_numpy()
+        U = np.stack([np.asarray(vecs[i]) for i in ids])
+        U = U / np.linalg.norm(U, axis=1)[:, None]
+        S = U @ U.T
+        sel = []
+        for step in range(4):
+            best, best_score = None, None
+            for i in range(len(ids)):
+                if i in sel:
+                    continue
+                if not sel:
+                    sc = lam * rel[i]
+                else:
+                    sc = (lam * rel[i]
+                          - (1 - lam) * max(S[i, j] for j in sel))
+                if best is None or sc > best_score or (
+                        sc == best_score and ids[i] < ids[best]):
+                    best, best_score = i, sc
+            sel.append(best)
+            got = out[(out.probe_id == p) & (out.rk == step + 1)]
+            assert int(got.vec_id.iloc[0]) == ids[best]
+            assert float(got.mmr.iloc[0]) == pytest.approx(best_score)
+
+
+def test_mmr_diversifies_duplicate_candidates(spark):
+    from hiselspark.operators.similarity import mmr_rerank
+    # two exact duplicate high-relevance vectors + orthogonal others:
+    # plain top-k would take both copies; MMR must not.
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [
+        {"probe_id": 0, "vec_id": 1, "cos": 0.99, "v": base},
+        {"probe_id": 0, "vec_id": 2, "cos": 0.98, "v": base},
+        {"probe_id": 0, "vec_id": 3, "cos": 0.60,
+         "v": [0.0, 1.0, 0.0, 0.0]},
+        {"probe_id": 0, "vec_id": 4, "cos": 0.55,
+         "v": [0.0, 0.0, 1.0, 0.0]},
+    ]
+    out = (mmr_rerank(spark.createDataFrame(pd.DataFrame(rows)),
+                      k=3, lam=0.5)
+           .toPandas().sort_values("rk"))
+    assert list(out.vec_id) == [1, 3, 4]  # the duplicate (2) is skipped
+
+
+def test_kcenter_sample_properties(spark):
+    from hiselspark.operators.similarity import kcenter_sample
+    rng = np.random.default_rng(71)
+    # 4 well-separated blobs; k=4 must pick one center per blob
+    blobs = [rng.normal(loc=c, scale=0.05, size=(50, 6))
+             for c in (0.0, 5.0, 10.0, 15.0)]
+    X = np.vstack(blobs)
+    pdf = pd.DataFrame({
+        "vec_id": range(len(X)),
+        "embedding": [[float(v) for v in r] for r in X],
+    })
+    df = spark.createDataFrame(pdf)
+    centers, assigned = kcenter_sample(df, k=4, pool_size=1000, seed=7)
+    cpdf = centers.toPandas().sort_values("order")
+    blob_of = cpdf.center_id.to_numpy() // 50
+    assert sorted(blob_of) == [0, 1, 2, 3]  # one per blob
+    apdf = assigned.toPandas()
+    assert len(apdf) == len(X)
+    # every point assigned to the center of its own blob
+    assert ((apdf.vec_id // 50).to_numpy()
+            == (apdf.center_id // 50).to_numpy()).all()
+    # coverage radius well below blob separation
+    assert apdf.dist.max() < 1.0
+    # determinism across layouts
+    c2, _ = kcenter_sample(df.repartition(5), k=4, pool_size=1000,
+                           seed=7)
+    assert c2.toPandas().sort_values("order").center_id.tolist() \
+        == cpdf.center_id.tolist()
