@@ -398,6 +398,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (5 iterations, d=0.85) over the
+    undirected order↔part bipartite graph from lineitem.  Exact BIGINT
+    arithmetic -> the oracle replays the identical iterations as
+    unrolled SQL CTEs; ranks match bit-for-bit."""
+    from hiselspark.operators.graph import pagerank
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") * 2).alias("src"),
+                      (F.col("l_partkey") * 2 + 1).alias("dst"))
+    return pagerank(edges, iterations=5).select("node", "r")
+
+
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (λ=0.7) from each probe's exact top-20
     cosine candidates — relevance minus redundancy re-ranking.
@@ -2661,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "mmr_topk": q_mmr_topk,
         "kcenter": q_kcenter,
+        "pagerank": q_pagerank,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4377,6 +4390,26 @@ def oracle_sql() -> dict[str, str]:
                                / (1.4826 * madv) END, 6) AS rz
         FROM m
     """
+    # pagerank: replay the integer fixed-point iterations as unrolled
+    # CTEs — same DIV/sum arithmetic, bit-identical BIGINT ranks
+    _pr_iters = 5
+    _pr = [
+        "d0 AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst"
+        " FROM lineitem)",
+        "e AS (SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0)",
+        "deg AS (SELECT src AS node, count(*) AS deg FROM e"
+        " GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM deg)",
+    ]
+    for _i in range(1, _pr_iters + 1):
+        _pr.append(
+            f"r{_i} AS (SELECT e.dst AS node, "
+            f"CAST(150000000 + (17 * sum(r{_i-1}.r // deg.deg)) // 20 "
+            f"AS BIGINT) AS r "
+            f"FROM e JOIN r{_i-1} ON e.src = r{_i-1}.node "
+            f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
+    oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
+                           + f"\nSELECT node, r FROM r{_pr_iters}")
     oracles["rolling_rank"] = """
         WITH q AS (
           SELECT event_id, user_id,

@@ -1,0 +1,81 @@
+"""Iterative graph analytics over edge DataFrames — PageRank in exact
+integer arithmetic.
+
+Float PageRank is layout-dependent (the per-node incoming sum is a
+float reduction whose order depends on partitioning), which breaks both
+the engine's cross-engine oracle discipline and run-to-run
+reproducibility.  This implementation keeps every rank as a scaled
+64-bit integer (default 10^9 = one "unit" of mass per node) and every
+step in integer arithmetic:
+
+    contrib(j) = r(j) DIV deg(j)
+    r'(i)      = (1−d)·scale  +  (d_num · Σ_in contrib) DIV d_den
+
+with damping d = d_num/d_den (default 17/20 = 0.85).  Integer sums are
+associative — the result is bit-identical across any partitioning, and
+a SQL engine replays it exactly (the driver-gate oracle unrolls the
+same iterations as chained CTEs).  Each DIV floors away < 1 unit of
+mass per node per iteration (≤ iterations·N·10⁻⁹ of total mass) — the
+standard price of fixed-point PageRank, negligible for ranking.
+
+Scale shape: one iteration = one join of ranks onto the edge list plus
+one partial-aggregated ``groupBy(dst)`` — the canonical iterative
+shuffle pattern.  At 10^12 edges you'd pre-bucket the edge list by
+``src`` (and keep ranks co-partitioned) so the per-iteration join is
+shuffle-free on the big side; the loop here declares exactly that plan
+per iteration and lets AQE size the shuffles.
+
+The reference engine (transferwise/hisel) has no graph layer — this
+extends the grafted near-duplicate surface (``operators/dedup.py``
+connected components) with an importance ranking over the same kind of
+similarity/interaction graphs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def symmetrize(edges: DataFrame, src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Undirected view: both orientations of every edge, deduplicated."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return (e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+             .distinct())
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    scale: int = 1_000_000_000,
+    undirected: bool = True,
+) -> DataFrame:
+    """Fixed-point PageRank over an edge list; returns
+    ``(node, rank)`` with ``rank`` a scaled integer (see module
+    docstring).  With ``undirected=True`` the edge list is symmetrized
+    first, which also guarantees every node has in-degree ≥ 1 (no
+    dangling-mass handling needed)."""
+    e = (symmetrize(edges, src, dst) if undirected
+         else edges.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst")).distinct())
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    base = ((damping_den - damping_num) * scale) // damping_den
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (ranks.join(deg, ranks.node == deg.src)
+                        .select(F.col("node").alias("cnode"),
+                                F.expr("r DIV deg").alias("c")))
+        inc = (e.join(contrib, e.src == contrib.cnode)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("inc")))
+        ranks = inc.select(
+            F.col("dst").alias("node"),
+            (F.lit(base).cast("long")
+             + F.expr(f"({damping_num} * inc) DIV {damping_den}"))
+            .alias("r"))
+    return ranks

@@ -1,0 +1,61 @@
+"""Integer fixed-point PageRank vs a float NetworkX-style reference."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.operators.graph import pagerank, symmetrize
+
+
+def _float_pagerank(edges, iters=5, d=0.85, scale=1e9):
+    """Reference float implementation of the SAME iteration scheme
+    (undirected, per-iteration floor on contributions omitted)."""
+    nodes = sorted({n for e in edges for n in e})
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    deg = {n: 0 for n in nodes}
+    for a, _ in und:
+        deg[a] += 1
+    r = {n: scale for n in nodes}
+    for _ in range(iters):
+        inc = {n: 0.0 for n in nodes}
+        for a, b in und:
+            inc[b] += r[a] / deg[a]
+        r = {n: (1 - d) * scale + d * inc[n] for n in nodes}
+    return r
+
+
+def test_pagerank_close_to_float_and_star_graph(spark):
+    # star: hub 0 connected to 1..8, plus a detached triangle 10-11-12
+    edges = [(0, i) for i in range(1, 9)] + [(10, 11), (11, 12),
+                                             (12, 10)]
+    df = spark.createDataFrame(pd.DataFrame(edges,
+                                            columns=["src", "dst"]))
+    out = pagerank(df, iterations=5).toPandas().set_index("node")["r"]
+    ref = _float_pagerank(edges)
+    for n, v in ref.items():
+        # integer floors lose < iters * units; relative error tiny
+        assert out[n] == pytest.approx(v, rel=1e-5)
+    # hub dominates the spokes; triangle nodes are symmetric-equal
+    assert out[0] > 3 * out[1]
+    assert out[10] == out[11] == out[12]
+    assert all(out[i] == out[1] for i in range(2, 9))
+
+
+def test_pagerank_layout_deterministic(spark):
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({"src": rng.integers(0, 60, 300),
+                          "dst": rng.integers(60, 120, 300)})
+    df = spark.createDataFrame(edges)
+    a = pagerank(df, iterations=4).toPandas().sort_values("node")
+    b = (pagerank(df.repartition(13), iterations=4)
+         .toPandas().sort_values("node"))
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_symmetrize_dedups(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 2, 1], "dst": [2, 1, 3, 2]}))
+    got = {(r.src, r.dst) for r in symmetrize(df).collect()}
+    assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
