@@ -398,6 +398,39 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch CUSUM: per-user drift statistics
+    carried across micro-batches in O(1) integer state; drained with
+    AvailableNow, the final row per user must equal the batch
+    closed-form CUSUM at each user's last event."""
+    import hashlib
+    import os
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_cusum
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (read_events_stream(spark, src_dir, batch.schema)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("cents",
+                          F.round(F.col("value") * 100).cast("long")))
+    out = run_stream_to_batch(
+        stream_cusum(stream, "user_id", "ts", "cents", "event_id",
+                     target=1000, slack=50),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("entity").alias("user_id"), "n_events",
+                       "cusum_pos", "cusum_neg"))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (5 iterations, d=0.85) over the
     undirected order↔part bipartite graph from lineitem.  Exact BIGINT
@@ -2674,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "kcenter": q_kcenter,
         "pagerank": q_pagerank,
+        "streaming_cusum": q_streaming_cusum,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4410,6 +4444,36 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    oracles["streaming_cusum"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), p AS (
+          SELECT event_id, user_id, us,
+                 sum(cents - 1050) OVER b AS pp,
+                 sum(cents -  950) OVER b AS pn,
+                 count(*) OVER b AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC)
+                 AS rk
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        )
+        SELECT user_id,
+               CAST(n AS BIGINT) AS n_events,
+               CAST(pp - least(0, min(pp) OVER w) AS BIGINT)
+                 AS cusum_pos,
+               CAST(greatest(0, max(pn) OVER w) - pn AS BIGINT)
+                 AS cusum_neg
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        QUALIFY rk = 1
+    """
     oracles["rolling_rank"] = """
         WITH q AS (
           SELECT event_id, user_id,

@@ -80,3 +80,87 @@ def stream_running_totals(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+_CUSUM_OUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("cusum_pos", T.LongType()),
+    T.StructField("cusum_neg", T.LongType()),
+])
+
+_CUSUM_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("spos", T.LongType()),
+    T.StructField("sneg", T.LongType()),
+])
+
+
+def stream_cusum(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str = "event_id",
+    target: int = 1000,
+    slack: int = 50,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.windows.cusum` — per-entity
+    one-sided CUSUM drift statistics carried across micro-batches in
+    O(1) integer state ``(n, S⁺, S⁻)``.
+
+    ``value_col`` and ``target``/``slack`` must be integer units
+    (cents) so the statistics stay exact.  Within a micro-batch rows
+    are sorted by ``(ts, order_col)`` and the recursion
+    ``S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − target − slack))`` is evaluated in
+    closed form with the carried-in state:
+    ``S⁺ᵢ = max(s₀ + Pᵢ, Pᵢ − min(P₀..Pᵢ))`` (prefix sums ``P``,
+    ``P₀ = 0``) — one vectorized pass, no Python loop.  Ordering
+    ACROSS micro-batches follows the source contract of this module:
+    a file stream replayed with ``maxFilesPerTrigger`` delivers files
+    in order, and each file is internally handled here.
+
+    Emits one row per touched entity per micro-batch with the
+    cumulative ``(n, S⁺, S⁻)`` so far (update mode)."""
+    import numpy as np
+
+    dev_p = int(target) + int(slack)
+    dev_n = int(target) - int(slack)
+
+    def _advance(carry: int, dev: "np.ndarray") -> int:
+        P = np.cumsum(dev)
+        m = np.minimum.accumulate(np.minimum(P, 0))
+        s = np.maximum(carry + P, P - m)
+        return int(s[-1]) if len(s) else carry
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, spos, sneg = state.get
+        else:
+            n, spos, sneg = 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            x = pdf[value_col].to_numpy(dtype=np.int64)
+            spos = _advance(spos, x - dev_p)
+            sneg = _advance(sneg, dev_n - x)
+            n += len(pdf)
+        state.update((n, spos, sneg))
+        yield pd.DataFrame({
+            "entity": [key[0]],
+            "n_events": [n],
+            "cusum_pos": [spos],
+            "cusum_neg": [sneg],
+        })
+
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_CUSUM_OUT,
+                stateStructType=_CUSUM_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

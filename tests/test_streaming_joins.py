@@ -131,3 +131,37 @@ def test_stream_asof_enrich_equals_batch_and_never_leaks(spark, tmp_path):
                                 output_mode="append")
             .toPandas().set_index("label_id"))
     assert pd.isna(got2.loc[999, "matched_value"])
+
+
+def test_stream_cusum_multi_batch_equals_literal_recursion(
+        spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811
+    from hiselspark.streaming.stateful import stream_cusum
+    rng = np.random.default_rng(17)
+    n = 120
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 4, n),
+        "ts": T0 + pd.to_timedelta(np.arange(n) * 90, unit="s"),
+        "cents": rng.integers(800, 1300, n),
+    })
+    # two micro-batch files, split in time order (the source contract)
+    stream = _stage(spark, tmp_path, "cusum",
+                    [pdf.iloc[:70], pdf.iloc[70:]])
+    out = run_stream_to_batch(
+        stream_cusum(stream, "user_id", "ts", "cents", "event_id",
+                     target=1000, slack=50),
+        output_mode="update")
+    final = (out.orderBy(F.col("n_events").desc())
+                .toPandas().drop_duplicates("entity")
+                .set_index("entity"))
+    for u in range(4):
+        g = pdf[pdf.user_id == u].sort_values(["ts", "event_id"])
+        sp = sn = 0
+        for x in g.cents:
+            sp = max(0, sp + (int(x) - 1050))
+            sn = max(0, sn + (950 - int(x)))
+        assert int(final.loc[u, "n_events"]) == len(g)
+        assert int(final.loc[u, "cusum_pos"]) == sp
+        assert int(final.loc[u, "cusum_neg"]) == sn
