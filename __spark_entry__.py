@@ -398,6 +398,52 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-trick crossing of event_type × hour-of-day into 64
+    buckets (portable polynomial hash — the oracle replays the exact
+    arithmetic); per bucket: row count + distinct crossed keys."""
+    from hiselspark.operators.encoding import feature_cross
+    ev = _ev(spark, sf_dir).withColumn(
+        "hour",
+        F.pmod(F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                       / 3_600_000_000), 24).cast("long"))
+    out = feature_cross(ev, ["event_type", "hour"], n_buckets=64)
+    return (out.groupBy("cross_bucket")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.countDistinct("__cross_key").alias("n_keys")))
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of four lineitem measures from ONE
+    pass of exact integer sufficient statistics (quantity, price in
+    dollars, discount/tax in basis points)."""
+    from hiselspark.operators.profile import corr_matrix
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.round("l_quantity").cast("long").alias("qty"),
+                  F.round("l_extendedprice").cast("long").alias("price"),
+                  F.round(F.col("l_discount") * 10000).cast("long")
+                   .alias("disc_bp"),
+                  F.round(F.col("l_tax") * 10000).cast("long")
+                   .alias("tax_bp")))
+    out = corr_matrix(li, ["qty", "price", "disc_bp", "tax_bp"])
+    return out.select("col_x", "col_y", "n",
+                      F.round("corr", 6).alias("corr"))
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford distribution of lineitem prices (cents):
+    observed counts/shares vs log10(1+1/d) and χ² contributions."""
+    from hiselspark.operators.profile import benford_digits
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   .alias("cents")))
+    out = benford_digits(li, "cents")
+    return out.select("digit", "obs",
+                      F.round("share", 6).alias("share"),
+                      F.round("benford_p", 6).alias("benford_p"),
+                      F.round("chi2", 6).alias("chi2"))
+
+
 def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch CUSUM: per-user drift statistics
     carried across micro-batches in O(1) integer state; drained with
@@ -2708,6 +2754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": q_kcenter,
         "pagerank": q_pagerank,
         "streaming_cusum": q_streaming_cusum,
+        "feature_cross": q_feature_cross,
+        "corr_matrix": q_corr_matrix,
+        "benford": q_benford,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4444,6 +4493,87 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    oracles["feature_cross"] = """
+        WITH k AS (
+          SELECT concat_ws('|', event_type,
+                 CAST(CAST(floor(CAST(epoch(ts) * 1000000 AS BIGINT)
+                                 / 3600000000) % 24 AS BIGINT)
+                      AS VARCHAR)) AS key
+          FROM events
+        ), h AS (
+          SELECT key,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       str_split(regexp_replace(
+                         lower(trim(COALESCE(key, ''))),
+                         '\\s+', ' ', 'g'), ''),
+                       x -> CAST(ascii(x) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) % 64
+                 AS cross_bucket
+          FROM k
+        )
+        SELECT cross_bucket,
+               count(*) AS n_events,
+               CAST(count(DISTINCT key) AS BIGINT) AS n_keys
+        FROM h GROUP BY cross_bucket
+    """
+    # corr_matrix: same sufficient-statistic expression tree (exact
+    # integer sums cast to double, IEEE combination) per column pair
+    _cm_cols = {"qty": "CAST(round(l_quantity) AS BIGINT)",
+                "price": "CAST(round(l_extendedprice) AS BIGINT)",
+                "disc_bp": "CAST(round(l_discount*10000) AS BIGINT)",
+                "tax_bp": "CAST(round(l_tax*10000) AS BIGINT)"}
+    _cm_names = list(_cm_cols)
+    _cm_aggs = ["count(*) AS n"]
+    for _a in _cm_names:
+        _cm_aggs.append(f"CAST(sum({_a}) AS DOUBLE) AS s_{_a}")
+        _cm_aggs.append(f"CAST(sum({_a}*{_a}) AS DOUBLE) AS ss_{_a}")
+    _cm_sel = []
+    for _i, _a in enumerate(_cm_names):
+        for _b in _cm_names[_i + 1:]:
+            _cm_aggs.append(
+                f"CAST(sum({_a}*{_b}) AS DOUBLE) AS sp_{_a}_{_b}")
+            _cm_sel.append(
+                f"SELECT '{_a}' AS col_x, '{_b}' AS col_y, "
+                f"CAST(n AS BIGINT) AS n, "
+                f"round(CASE WHEN (ss_{_a} - s_{_a}*s_{_a}/n) > 0 "
+                f"AND (ss_{_b} - s_{_b}*s_{_b}/n) > 0 THEN "
+                f"(sp_{_a}_{_b} - s_{_a}*s_{_b}/n) / "
+                f"sqrt((ss_{_a} - s_{_a}*s_{_a}/n) "
+                f"* (ss_{_b} - s_{_b}*s_{_b}/n)) END, 6) AS corr "
+                f"FROM st")
+    oracles["corr_matrix"] = (
+        "WITH q AS (SELECT "
+        + ", ".join(f"{expr} AS {name}"
+                    for name, expr in _cm_cols.items())
+        + " FROM lineitem), st AS (SELECT "
+        + ", ".join(_cm_aggs) + " FROM q)\n"
+        + "\nUNION ALL\n".join(_cm_sel))
+    oracles["benford"] = """
+        WITH q AS (
+          SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+          FROM lineitem
+        ), d AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+                 AS digit
+          FROM q WHERE cents > 0
+        ), per AS (
+          SELECT digit, count(*) AS obs FROM d GROUP BY digit
+        ), t AS (
+          SELECT digit, obs,
+                 sum(obs) OVER () AS n,
+                 log10(1.0 + 1.0 / digit) AS p
+          FROM per
+        )
+        SELECT digit, obs,
+               round(CAST(obs AS DOUBLE) / n, 6) AS share,
+               round(p, 6) AS benford_p,
+               round((obs - CAST(n AS DOUBLE) * p)
+                     * (obs - CAST(n AS DOUBLE) * p)
+                     / (CAST(n AS DOUBLE) * p), 6) AS chi2
+        FROM t
+    """
     oracles["streaming_cusum"] = """
         WITH q AS (
           SELECT event_id, user_id,

@@ -320,3 +320,35 @@ def woe_encode(
     return (per.withColumn("woe", woe)
                .withColumn("iv", (p - q) * woe)
                .select(category_col, "pos", "neg", "woe", "iv"))
+
+
+def feature_cross(
+    df: DataFrame,
+    cols,
+    n_buckets: int = 64,
+    salt: int = 0,
+    out_col: str = "cross_bucket",
+    sep: str = "|",
+) -> DataFrame:
+    """Hash-trick feature crossing: combine several categorical
+    columns into one bounded-cardinality bucket id,
+    ``bucket = poly_hash(c1 || sep || c2 || ...) mod n_buckets`` — the
+    classic way to feed high-order categorical interactions
+    (type × hour, country × device) to a model without materializing
+    the cross-product vocabulary.  Collisions are the accepted price
+    (and are deterministic).
+
+    Built on :func:`hash_bucket` (the engine's portable polynomial
+    content hash — same arithmetic replays in SQL), so bucket
+    assignment is identical across partitionings, runs and engines;
+    note the hash normalizes text (lowercase, collapsed whitespace),
+    so crosses are case-insensitive.  NULL components hash as empty.
+    Pure JVM column expression — no shuffle, no UDF.
+    """
+    key = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+               for c in cols])
+    return (df.withColumn("__cross_key", key)
+              .withColumn(out_col,
+                          hash_bucket(F.col("__cross_key"),
+                                      n_buckets, salt)))

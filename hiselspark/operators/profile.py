@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _ORDERED = ("byte", "short", "int", "bigint", "float", "double",
             "decimal", "date", "timestamp", "timestamp_ntz", "string")
@@ -92,3 +92,75 @@ def table_diff(old: DataFrame, new: DataFrame,
         F.sum((in_old & in_new & ~same).cast("long")).alias("n_changed"),
         F.sum((in_old & in_new & same).cast("long")).alias("n_unchanged"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation of every column pair from ONE aggregation
+    pass of exact integer sufficient statistics:
+    ``corr = (Sxy − Sx·Sy/n) / sqrt((Sxx − Sx²/n) · (Syy − Sy²/n))``
+    with each exact sum cast to double before the (IEEE-deterministic)
+    combination — the same expression tree a SQL oracle replays, so
+    the matrix is bit-reproducible across partitionings and engines.
+
+    Columns must be integer-quantized upstream (cents / basis points —
+    the engine's cross-engine convention) so every sum is exact; the
+    single ``agg`` is map-side partial-reduced, so the full pass over
+    10^12 rows produces one O(k²) row.  Output: one row per unordered
+    pair (i < j).  NULLs must be handled upstream (filter or fill) —
+    sums here are over all rows.  Keep magnitudes in mind: each sum
+    must stay below 2^53 for the double cast to be exact — choose the
+    quantization unit accordingly."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = df.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = d("n")
+            num = d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}") / n
+            vx = d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}") / n
+            vy = d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}") / n
+            row = stats.select(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                F.when((vx > 0) & (vy > 0),
+                       num / F.sqrt(vx * vy)).alias("corr"))
+            pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive integer
+    column vs Benford's law — the classic fabricated-data /
+    unit-mixing smoke alarm for financial-style columns.  Returns one
+    row per digit 1–9: observed count, observed share, Benford's
+    expected share ``log10(1 + 1/d)`` and the χ² contribution
+    ``(obs − n·p)² / (n·p)``; sum the last column for the test
+    statistic.  Rows with non-positive values are excluded (no first
+    significant digit).
+
+    The first digit is string arithmetic on the integer
+    (``substr(cast(x as string), 1, 1)``) — exact, engine-agnostic;
+    one ``groupBy`` over ≤ 9 groups."""
+    d = (df.filter(F.col(col) > 0)
+           .withColumn("digit",
+                       F.substring(F.col(col).cast("string"), 1, 1)
+                        .cast("int")))
+    per = d.groupBy("digit").agg(F.count(F.lit(1)).alias("obs"))
+    n = F.sum("obs").over(Window.partitionBy())
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    exp = n.cast("double") * p
+    return (per.withColumn("share", F.col("obs") / n)
+               .withColumn("benford_p", p)
+               .withColumn("chi2",
+                           (F.col("obs") - exp) * (F.col("obs") - exp)
+                           / exp))

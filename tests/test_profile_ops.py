@@ -1,0 +1,81 @@
+"""corr_matrix / benford_digits / feature_cross vs NumPy oracles."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from hiselspark.operators.encoding import feature_cross, hash_bucket
+from hiselspark.operators.profile import benford_digits, corr_matrix
+
+
+def test_corr_matrix_matches_numpy(spark):
+    rng = np.random.default_rng(83)
+    n = 1000
+    a = rng.integers(0, 1000, n)
+    b = 2 * a + rng.integers(0, 500, n)          # strongly correlated
+    c = rng.integers(0, 1000, n)                  # independent
+    const = np.full(n, 7)                         # zero variance
+    pdf = pd.DataFrame({"a": a, "b": b, "c": c, "k": const})
+    out = (corr_matrix(spark.createDataFrame(pdf),
+                       ["a", "b", "c", "k"])
+           .toPandas().set_index(["col_x", "col_y"]))
+    assert (out["n"] == n).all()
+    for x, y in [("a", "b"), ("a", "c"), ("b", "c")]:
+        want = np.corrcoef(pdf[x], pdf[y])[0, 1]
+        assert out.loc[(x, y), "corr"] == pytest.approx(want, abs=1e-9)
+    assert out.loc[("a", "b"), "corr"] > 0.9
+    assert abs(out.loc[("a", "c"), "corr"]) < 0.1
+    # zero-variance column yields NULL, not a division blow-up
+    assert pd.isna(out.loc[("a", "k"), "corr"])
+
+
+def test_corr_matrix_layout_deterministic(spark):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({"a": rng.integers(0, 100, 500),
+                        "b": rng.integers(0, 100, 500)})
+    df = spark.createDataFrame(pdf)
+    r1 = corr_matrix(df, ["a", "b"]).collect()[0]["corr"]
+    r2 = corr_matrix(df.repartition(11), ["a", "b"]).collect()[0]["corr"]
+    assert r1 == r2  # bit-identical, not just close
+
+
+def test_benford_digits_known_distribution(spark):
+    # exact powers spread: values 1..999 uniformly — NOT Benford;
+    # verify the counts and chi2 arithmetic, not conformance
+    pdf = pd.DataFrame({"x": np.arange(-5, 1000)})  # negatives dropped
+    out = (benford_digits(spark.createDataFrame(pdf), "x")
+           .toPandas().set_index("digit").sort_index())
+    vals = np.arange(1, 1000)
+    first = np.array([int(str(v)[0]) for v in vals])
+    n = len(vals)
+    for d in range(1, 10):
+        obs = int((first == d).sum())
+        assert out.loc[d, "obs"] == obs == 111
+        assert out.loc[d, "share"] == pytest.approx(obs / n)
+        p = np.log10(1 + 1 / d)
+        assert out.loc[d, "benford_p"] == pytest.approx(p)
+        assert out.loc[d, "chi2"] == pytest.approx(
+            (obs - n * p) ** 2 / (n * p), rel=1e-9)
+    # uniform data must FAIL Benford loudly
+    assert out["chi2"].sum() > 100
+
+
+def test_feature_cross_buckets_and_determinism(spark):
+    pdf = pd.DataFrame({
+        "t": ["click", "view", "error", None] * 25,
+        "h": list(range(10)) * 10,
+    })
+    df = spark.createDataFrame(pdf)
+    out = feature_cross(df, ["t", "h"], n_buckets=16).toPandas()
+    assert out.cross_bucket.between(0, 15).all()
+    # same key -> same bucket; equals hash_bucket of the joined key
+    ref = (df.withColumn("key", F.concat_ws(
+               "|", F.coalesce(F.col("t").cast("string"), F.lit("")),
+               F.col("h").cast("string")))
+             .withColumn("hb", hash_bucket(F.col("key"), 16))
+             .toPandas())
+    assert (out.cross_bucket.to_numpy() == ref.hb.to_numpy()).all()
+    # crossing is finer than either component alone
+    keys = out.groupby("cross_bucket").size()
+    assert len(keys) > 1
