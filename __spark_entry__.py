@@ -444,6 +444,37 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test (+ Cramér's V) between event_type
+    and hour-of-day, from one exact-count contingency pass."""
+    from hiselspark.operators.profile import chi2_independence
+    ev = _ev(spark, sf_dir).withColumn(
+        "hour",
+        F.pmod(F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                       / 3_600_000_000), 24).cast("long"))
+    out = chi2_independence(ev, "event_type", "hour")
+    return out.select("event_type", "hour", "obs",
+                      F.round("expected", 6).alias("expected"),
+                      F.round("chi2", 6).alias("chi2"),
+                      "dof",
+                      F.round("cramers_v", 6).alias("cramers_v"))
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over user event-type baskets: support /
+    confidence / lift per co-occurring pair, exact integer counts,
+    basket-key self-join (never item×item)."""
+    from hiselspark.operators.cooccur import assoc_rules
+    ev = _ev(spark, sf_dir)
+    out = assoc_rules(ev, "user_id", "event_type",
+                      min_pair_count=2, max_basket_size=100)
+    return out.select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                      F.round("support", 6).alias("support"),
+                      F.round("conf_a_b", 6).alias("conf_a_b"),
+                      F.round("conf_b_a", 6).alias("conf_b_a"),
+                      F.round("lift", 6).alias("lift"))
+
+
 def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch CUSUM: per-user drift statistics
     carried across micro-batches in O(1) integer state; drained with
@@ -2757,6 +2788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_cross": q_feature_cross,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
+        "chi2": q_chi2,
+        "assoc_rules": q_assoc_rules,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4573,6 +4606,77 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["chi2"] = """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(floor(CAST(epoch(ts) * 1000000 AS BIGINT)
+                            / 3600000000) % 24 AS BIGINT) AS hour
+          FROM events
+        ), cells AS (
+          SELECT event_type, hour, count(*) AS obs
+          FROM q GROUP BY event_type, hour
+        ), m AS (
+          SELECT event_type, hour, obs,
+                 sum(obs) OVER (PARTITION BY event_type) AS rt,
+                 sum(obs) OVER (PARTITION BY hour) AS ct,
+                 sum(obs) OVER () AS n,
+                 (SELECT count(DISTINCT event_type) FROM cells) AS R,
+                 (SELECT count(DISTINCT hour) FROM cells) AS C
+          FROM cells
+        ), x AS (
+          SELECT *,
+                 CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n
+                   AS expected,
+                 (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+                 * (obs - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / n)
+                   AS chi2
+          FROM m
+        )
+        SELECT event_type, hour, obs,
+               round(expected, 6) AS expected,
+               round(chi2, 6) AS chi2,
+               CAST((R - 1) * (C - 1) AS BIGINT) AS dof,
+               round(sqrt(list_reduce(
+                       list_prepend(0.0,
+                         list_sort(list(chi2) OVER ())),
+                       (a, x2) -> a + x2)
+                     / (CAST(n AS DOUBLE)
+                        * (least(R, C) - 1))), 6) AS cramers_v
+        FROM x
+    """
+    oracles["assoc_rules"] = """
+        WITH items AS (
+          SELECT DISTINCT user_id AS bk, event_type AS it FROM events
+        ), sized AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY bk) AS bs FROM items
+          ) WHERE bs <= 100
+        ), nb AS (
+          SELECT count(DISTINCT bk) AS N FROM sized
+        ), per AS (
+          SELECT it, count(*) AS n_i FROM sized GROUP BY it
+        ), pairs AS (
+          SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_ab
+          FROM sized a JOIN sized b ON a.bk = b.bk AND a.it < b.it
+          GROUP BY a.it, b.it
+          HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, n_ab,
+               CAST(pa.n_i AS BIGINT) AS n_a,
+               CAST(pb.n_i AS BIGINT) AS n_b,
+               round(CAST(n_ab AS DOUBLE) / CAST(N AS DOUBLE), 6)
+                 AS support,
+               round(CAST(n_ab AS DOUBLE) / pa.n_i, 6) AS conf_a_b,
+               round(CAST(n_ab AS DOUBLE) / pb.n_i, 6) AS conf_b_a,
+               round(CAST(N AS DOUBLE) * n_ab
+                     / (CAST(pa.n_i AS DOUBLE)
+                        * CAST(pb.n_i AS DOUBLE)), 6) AS lift
+        FROM pairs
+        JOIN per pa ON pairs.item_a = pa.it
+        JOIN per pb ON pairs.item_b = pb.it
+        CROSS JOIN nb
     """
     oracles["streaming_cusum"] = """
         WITH q AS (

@@ -164,3 +164,41 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
                .withColumn("chi2",
                            (F.col("obs") - exp) * (F.col("obs") - exp)
                            / exp))
+
+
+def chi2_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns, from ONE ``groupBy(a, b)`` pass of exact integer counts:
+    per contingency cell ``obs``, ``expected = row_tot · col_tot / n``
+    and the χ² contribution — plus Cramér's V
+    (``sqrt(χ² / (n · (min(R,C) − 1)))``) replicated on every row for
+    effect size.  Sum the ``chi2`` column for the statistic; dof =
+    (R−1)(C−1).
+
+    The marginals are windows over the already-aggregated cell table
+    (≤ R·C rows), so the input is scanned once and shuffled once on
+    the pair key; all inputs to the double arithmetic are exact
+    integers, and the χ² total behind Cramér's V is folded over the
+    VALUE-SORTED contribution list (the engine's deterministic-float
+    convention), making the result engine-bit-reproducible."""
+    cells = (df.groupBy(col_a, col_b)
+               .agg(F.count(F.lit(1)).alias("obs")))
+    wa = Window.partitionBy(col_a)
+    wb = Window.partitionBy(col_b)
+    wg = Window.partitionBy()
+    n = F.sum("obs").over(wg)
+    exp = (F.sum("obs").over(wa).cast("double")
+           * F.sum("obs").over(wb).cast("double") / n)
+    out = (cells.withColumn("expected", exp)
+                .withColumn("chi2",
+                            (F.col("obs") - F.col("expected"))
+                            * (F.col("obs") - F.col("expected"))
+                            / F.col("expected")))
+    r = F.size(F.collect_set(col_a).over(wg))
+    c = F.size(F.collect_set(col_b).over(wg))
+    tot = F.aggregate(F.array_sort(F.collect_list("chi2").over(wg)),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    v = F.sqrt(tot / (n.cast("double")
+                      * (F.least(r, c) - F.lit(1)).cast("double")))
+    return (out.withColumn("dof", ((r - 1) * (c - 1)).cast("long"))
+               .withColumn("cramers_v", v))

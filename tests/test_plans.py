@@ -336,3 +336,63 @@ def test_asof_join_multi_single_shuffle_single_window(spark):
                           on="user_id", left_ts="ts", right_ts="ts")
     assert n_exchanges(out) == 1, plan_str(out, "simple")
     assert plan_str(out, "simple").count("Window") == 1
+
+
+def test_new_window_family_shares_one_shuffle(spark):
+    """rank/MAD/drawdown/CUSUM/seasonal compose on entity clusterings
+    and must reuse ONE entity shuffle — including seasonal_baseline,
+    whose (entity, phase) clustering is satisfied by the entity-only
+    hash partitioning (Spark's subset-cluster-keys rule)."""
+    from hiselspark.operators.windows import (cusum, rolling_mad,
+                                              rolling_rank,
+                                              running_drawdown,
+                                              seasonal_baseline)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = rolling_rank(ev, "user_id", "ts", "value", 3600.0)
+    out = rolling_mad(out, "user_id", "ts", "value", 3600.0)
+    out = running_drawdown(out, "user_id", "ts", "value",
+                           tiebreak=("event_id",))
+    out = cusum(out, "user_id", "ts", "value", target=10.0,
+                tiebreak=("event_id",))
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+    out = seasonal_baseline(out, "user_id", "ts", "value")
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_ohlc_single_shuffle(spark):
+    """The two row_number windows and the final groupBy of ohlc_bars
+    must share one (entity, bar) hash partitioning."""
+    from hiselspark.operators.resample import ohlc_bars
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = ohlc_bars(ev, "user_id", "ts", "value", 86400,
+                    tiebreak=("event_id",))
+    assert n_exchanges(out) == 1, plan_str(out, "simple")
+
+
+def test_corr_matrix_is_one_reduction(spark):
+    """All pairwise sufficient statistics reduce in a single partial
+    aggregation — no shuffle of data rows, no per-pair passes."""
+    from hiselspark.operators.profile import corr_matrix
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select(F.round("l_quantity").cast("long").alias("a"),
+                  F.round("l_extendedprice").cast("long").alias("b"),
+                  F.round(F.col("l_discount") * 10000).cast("long")
+                   .alias("c")))
+    out = corr_matrix(li, ["a", "b", "c"])
+    txt = plan_str(out, "simple")
+    assert "Exchange hashpartitioning" not in txt
+    # single-partition exchange for the global agg is fine; the scan
+    # must appear once per union branch at most — partial aggregation
+    assert "HashAggregate" in txt
+
+
+def test_pca_fit_plan_is_map_only(spark):
+    """pca_fit's sufficient-stats pass must not shuffle embedding
+    rows: mapInPandas straight over the scan."""
+    from hiselspark.operators.projection import _PARTIAL_SCHEMA, _partials
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    part = (emb.select("embedding")
+               .mapInPandas(_partials("embedding", 10**6),
+                            _PARTIAL_SCHEMA))
+    txt = plan_str(part, "simple")
+    assert "Exchange" not in txt, txt

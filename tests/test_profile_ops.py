@@ -79,3 +79,63 @@ def test_feature_cross_buckets_and_determinism(spark):
     # crossing is finer than either component alone
     keys = out.groupby("cross_bucket").size()
     assert len(keys) > 1
+
+
+def test_chi2_independence_matches_manual(spark):
+    rng = np.random.default_rng(97)
+    n = 600
+    a = rng.choice(["x", "y", "z"], n)
+    # b depends on a for 'x' rows -> dependence must show
+    b = np.where((a == "x") & (rng.uniform(size=n) < 0.7), "p",
+                 rng.choice(["p", "q"], n))
+    pdf = pd.DataFrame({"a": a, "b": b})
+    from hiselspark.operators.profile import chi2_independence
+    out = (chi2_independence(spark.createDataFrame(pdf), "a", "b")
+           .toPandas())
+    ct = pd.crosstab(pdf.a, pdf.b)
+    chi2_total = 0.0
+    for _, row in out.iterrows():
+        obs = ct.loc[row.a, row.b]
+        exp = ct.loc[row.a].sum() * ct[row.b].sum() / n
+        assert row.obs == obs
+        assert row.expected == pytest.approx(exp, rel=1e-12)
+        assert row.chi2 == pytest.approx((obs - exp) ** 2 / exp,
+                                         rel=1e-12)
+        chi2_total += (obs - exp) ** 2 / exp
+    assert (out.dof == (3 - 1) * (2 - 1)).all()
+    v = np.sqrt(chi2_total / (n * (min(3, 2) - 1)))
+    assert out.cramers_v.iloc[0] == pytest.approx(v, rel=1e-9)
+    assert chi2_total > 9.21  # dependence detected at p<0.01, dof=2
+
+
+def test_assoc_rules_counts_and_lift(spark):
+    from hiselspark.operators.cooccur import assoc_rules
+    baskets = {
+        1: ["bread", "butter"],
+        2: ["bread", "butter", "jam"],
+        3: ["bread"],
+        4: ["butter", "jam"],
+        5: ["bread", "butter"],
+        6: ["tea"],
+    }
+    rows = [(bk, it) for bk, its in baskets.items() for it in its]
+    df = spark.createDataFrame(pd.DataFrame(rows,
+                                            columns=["bk", "it"]))
+    out = (assoc_rules(df, "bk", "it", min_pair_count=1)
+           .toPandas().set_index(["item_a", "item_b"]))
+    N = 6
+    bb = out.loc[("bread", "butter")]
+    assert bb.n_ab == 3 and bb.n_a == 4 and bb.n_b == 4
+    assert bb.support == pytest.approx(3 / N)
+    assert bb.conf_a_b == pytest.approx(3 / 4)
+    assert bb.lift == pytest.approx(N * 3 / 16)
+    assert bb.lift > 1  # bread and butter attract
+    # max_basket_size drops the mega-basket entirely
+    rows2 = rows + [(7, f"i{k}") for k in range(50)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2,
+                                             columns=["bk", "it"]))
+    out2 = (assoc_rules(df2, "bk", "it", min_pair_count=1,
+                        max_basket_size=10)
+            .toPandas().set_index(["item_a", "item_b"]))
+    assert out2.loc[("bread", "butter")].support == pytest.approx(3 / N)
+    assert not any(i.startswith("i") for i, _ in out2.index)
