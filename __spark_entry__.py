@@ -444,6 +444,36 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple-barrier labels (±0.2%, 48h vertical) on a positive
+    meandering per-user series (100000 + cumulative value deviation
+    from 10.00) — which barrier is hit first, and when."""
+    from pyspark.sql import Window
+    from hiselspark.operators.labels import triple_barrier
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ser = ev.withColumn(
+        "level", (F.lit(100000) + F.sum(F.col("cents") - 1000).over(w))
+        .cast("long"))
+    out = triple_barrier(ser, "user_id", "ts", "level",
+                         horizon_seconds=172800.0,
+                         up_frac=0.002, dn_frac=0.002)
+    return out.select("event_id", F.col("tb_label").alias("label"),
+                      F.round("tb_seconds", 6).alias("tsec"))
+
+
+def q_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity label: 1 when the user's next event is > 24h away,
+    NULL on the final observed event (right-censored)."""
+    from hiselspark.operators.labels import inactivity_label
+    ev = _ev(spark, sf_dir)
+    out = inactivity_label(ev, "user_id", "ts", 86400.0,
+                           tiebreak=("event_id",))
+    return out.select("event_id", F.col("churned"))
+
+
 def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson χ² independence test (+ Cramér's V) between event_type
     and hour-of-day, from one exact-count contingency pass."""
@@ -2790,6 +2820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "chi2": q_chi2,
         "assoc_rules": q_assoc_rules,
+        "triple_barrier": q_triple_barrier,
+        "churn_label": q_churn_label,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4606,6 +4638,58 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["triple_barrier"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), c AS (
+          SELECT event_id, user_id, us,
+                 100000 + sum(cents - 1000) OVER
+                   (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS level
+          FROM q
+        ), f AS (
+          SELECT event_id, us,
+                 CAST(level AS DOUBLE) AS x0,
+                 list_sort(list([CAST(us AS DOUBLE),
+                                 CAST(level AS DOUBLE)]) OVER
+                   (PARTITION BY user_id ORDER BY us
+                    RANGE BETWEEN 1 FOLLOWING
+                              AND 172800000000 FOLLOWING)) AS fwd
+          FROM c
+        ), h AS (
+          SELECT event_id, us, x0,
+                 list_filter(fwd,
+                   e -> e[2] >= x0 * 1.002
+                        OR e[2] <= x0 * 0.998) AS hits
+          FROM f
+        )
+        SELECT event_id,
+               CASE WHEN hits IS NULL OR len(hits) = 0 THEN 0
+                    WHEN hits[1][2] >= x0 * 1.002 THEN 1
+                    ELSE -1 END AS label,
+               round(CASE WHEN hits IS NULL OR len(hits) = 0
+                          THEN 172800.0
+                          ELSE (hits[1][1] - us) / 1000000.0 END, 6)
+                 AS tsec
+        FROM h
+    """
+    oracles["churn_label"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(epoch(ts) AS DOUBLE) AS sec
+          FROM events
+        )
+        SELECT event_id,
+               CAST(CASE WHEN lead(sec) OVER w IS NULL THEN NULL
+                         WHEN lead(sec) OVER w - sec > 86400.0 THEN 1
+                         ELSE 0 END AS INT) AS churned
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
     """
     oracles["chi2"] = """
         WITH q AS (
