@@ -1233,6 +1233,27 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("px_q75", 6).alias("q75"))
 
 
+def q_image_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial image features end-to-end: 2x2 tile brightness means +
+    gradient (sharpness) energy over synthesized 8x8 raw payloads —
+    the oracle reproduces every pixel and every |diff| arithmetically
+    in SQL."""
+    from hiselspark.functions.image import with_spatial_features
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_spatial_features(imgs, grid=2)
+    return out.select(
+        "okey",
+        *[F.round(F.element_at("tile_means", i + 1), 6)
+           .alias(f"tile{i}") for i in range(4)],
+        F.round("edge_dx", 6).alias("edge_dx"),
+        F.round("edge_dy", 6).alias("edge_dy"),
+        F.round("edge_energy", 6).alias("edge_energy"))
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline end-to-end: synthesize 8x8 raw images, resize to
     4x4 with the production nearest-neighbor gather (pixel-center
@@ -2864,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize": q_image_resize,
+        "image_spatial": q_image_spatial,
         "video_frames": q_video_frames,
         "video_motion": q_video_motion,
         "dataset_split": q_dataset_split,
@@ -3729,6 +3751,38 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(p, 0.25), 6) AS q25,
                round(quantile_cont(p, 0.5), 6) AS q50,
                round(quantile_cont(p, 0.75), 6) AS q75
+        FROM px GROUP BY okey
+    """
+    oracles["image_spatial"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, y, x, c,
+                 CAST((o_orderkey * 7919 + ((y*8 + x)*3 + c) * 31)
+                      % 256 AS DOUBLE) AS p,
+                 CAST((o_orderkey * 7919 + ((y*8 + x + 1)*3 + c) * 31)
+                      % 256 AS DOUBLE) AS pr,
+                 CAST((o_orderkey * 7919 + (((y+1)*8 + x)*3 + c) * 31)
+                      % 256 AS DOUBLE) AS pd
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 7)) AS tx(x),
+               unnest(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT okey,
+               round(SUM(p) FILTER (WHERE y < 4 AND x < 4) / 48.0, 6)
+                 AS tile0,
+               round(SUM(p) FILTER (WHERE y < 4 AND x >= 4) / 48.0, 6)
+                 AS tile1,
+               round(SUM(p) FILTER (WHERE y >= 4 AND x < 4) / 48.0, 6)
+                 AS tile2,
+               round(SUM(p) FILTER (WHERE y >= 4 AND x >= 4) / 48.0, 6)
+                 AS tile3,
+               round(SUM(abs(pr - p)) FILTER (WHERE x < 7)
+                     / (8*7*3.0), 6) AS edge_dx,
+               round(SUM(abs(pd - p)) FILTER (WHERE y < 7)
+                     / (7*8*3.0), 6) AS edge_dy,
+               round((SUM(abs(pr - p)) FILTER (WHERE x < 7) / (8*7*3.0)
+                      + SUM(abs(pd - p)) FILTER (WHERE y < 7)
+                        / (7*8*3.0)) / 2.0, 6) AS edge_energy
         FROM px GROUP BY okey
     """
     oracles["image_resize"] = """

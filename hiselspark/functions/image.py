@@ -473,3 +473,86 @@ def with_pixel_stats(df: DataFrame) -> DataFrame:
             yield _pixel_stats_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _spatial_frame(pdf: pd.DataFrame, grid: int) -> pd.DataFrame:
+    """Tile-grid means + gradient energy, vectorized per shape group
+    (same batching discipline as :func:`_pixel_stats_frame`): tile
+    sums by integer reshape-reduce, |∇x|/|∇y| by int16 diffs — all
+    sums exact integers before ONE division each."""
+    m = len(pdf)
+    tiles = [None] * m
+    edx = np.empty(m, dtype=np.float64)
+    edy = np.empty(m, dtype=np.float64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        _, h, w, _ = cube.shape
+        g = grid
+        th, tw = h // g, w // g
+        c = cube[:, :g * th, :g * tw, :]
+        sums = (c.reshape(len(rows), g, th, g, tw, 3)
+                 .sum(axis=(2, 4, 5), dtype=np.int64))
+        means = sums / float(th * tw * 3)
+        d16 = cube.astype(np.int16)
+        sdx = np.abs(np.diff(d16, axis=2)).sum(axis=(1, 2, 3),
+                                               dtype=np.int64)
+        sdy = np.abs(np.diff(d16, axis=1)).sum(axis=(1, 2, 3),
+                                               dtype=np.int64)
+        for i, r in enumerate(rows):
+            tiles[r] = [float(v) for v in means[i].ravel()]
+        edx[rows] = sdx / float(h * (w - 1) * 3)
+        edy[rows] = sdy / float((h - 1) * w * 3)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+
+    out = pdf.drop(columns=["bytes"])
+    out["tile_means"] = tiles
+    out["edge_dx"] = edx
+    out["edge_dy"] = edy
+    out["edge_energy"] = (edx + edy) / 2.0
+    return out
+
+
+def with_spatial_features(df: DataFrame, grid: int = 2) -> DataFrame:
+    """Append spatial image features and drop the payload: ``tile_means``
+    (``grid × grid`` combined-channel tile brightness means, row-major —
+    the vignette/gradient layout signature) and ``edge_dx`` /
+    ``edge_dy`` / ``edge_energy`` (mean absolute horizontal / vertical
+    neighbor difference — the classic no-reference sharpness score: a
+    blurred or flat image scores low, making this the standard blur /
+    junk filter in an image-corpus curation pass).
+
+    Arrow-batched ``mapInPandas`` over shape-grouped raw payloads
+    (uint8 → int16/int64 integer sums, one division per statistic —
+    engine-exact); blobs are dropped before anything shuffles.  Images
+    not divisible by ``grid`` use the top-left ``grid·⌊dim/grid⌋``
+    crop for tiles (edges use the full frame)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("tile_means", T.ArrayType(T.DoubleType())),
+           T.StructField("edge_dx", T.DoubleType()),
+           T.StructField("edge_dy", T.DoubleType()),
+           T.StructField("edge_energy", T.DoubleType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _spatial_frame(pdf, grid)
+
+    return df.mapInPandas(run, out_schema)

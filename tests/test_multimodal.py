@@ -177,3 +177,43 @@ def test_augment_images_spark_and_checksum(spark):
         augment_images(spark.createDataFrame(pdf), [("hflip",)]))
         .toPandas().set_index("image_id")["byte_checksum"])
     assert (plain != flipped).any()
+
+
+def test_spatial_features_match_numpy_and_detect_blur(spark):
+    import numpy as np
+    import pandas as pd
+    from hiselspark.functions.image import with_spatial_features
+    rng = np.random.default_rng(7)
+    sharp = rng.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+    # heavy box blur (valid-region averaging), same shape
+    k = 5
+    pad = np.pad(sharp.astype(np.int64), ((k//2, k//2), (k//2, k//2),
+                                          (0, 0)), mode="edge")
+    blurred = np.zeros_like(sharp, dtype=np.int64)
+    for dy in range(k):
+        for dx in range(k):
+            blurred += pad[dy:dy+12, dx:dx+16]
+    blurred = (blurred // (k*k)).astype(np.uint8)
+    pdf = pd.DataFrame({
+        "img_id": [0, 1],
+        "bytes": [sharp.tobytes(), blurred.tobytes()],
+        "w": [16, 16], "h": [12, 12], "fmt": ["raw", "raw"],
+    })
+    out = (with_spatial_features(spark.createDataFrame(pdf), grid=2)
+           .toPandas().sort_values("img_id").reset_index(drop=True))
+    # numpy twin for the sharp image
+    c = sharp.astype(np.int64)
+    want_tiles = [c[:6, :8].sum()/ (6*8*3), c[:6, 8:].sum()/(6*8*3),
+                  c[6:, :8].sum()/(6*8*3), c[6:, 8:].sum()/(6*8*3)]
+    got = out.loc[0, "tile_means"]
+    assert np.allclose(got, want_tiles, atol=1e-12)
+    dx = np.abs(np.diff(c, axis=1)).sum() / (12*15*3)
+    dy = np.abs(np.diff(c, axis=0)).sum() / (11*16*3)
+    assert out.loc[0, "edge_dx"] == pytest.approx(dx, abs=1e-12)
+    assert out.loc[0, "edge_dy"] == pytest.approx(dy, abs=1e-12)
+    assert out.loc[0, "edge_energy"] == pytest.approx((dx+dy)/2,
+                                                      abs=1e-12)
+    # the blur detector property: blurred scores far lower
+    assert out.loc[1, "edge_energy"] < 0.35 * out.loc[0, "edge_energy"]
+    # payload dropped
+    assert "bytes" not in out.columns
