@@ -444,6 +444,56 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (Mann–Whitney rank-sum over the
+    per-distinct-score count table, ties handled exactly) of a
+    monotone-in-value score against the value>10.00 label, plus the
+    calibration-style confusion counts at the matching threshold."""
+    from hiselspark.operators.evaluate import binary_auc
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = ev.withColumn(
+        "score", F.least(F.col("cents"), F.lit(2000)).cast("long")
+    ).withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+    out = binary_auc(scored, "score", "lbl")
+    return out.select(F.round("auc", 6).alias("auc"), "n_pos", "n_neg")
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the same quantized score (clamped cents /
+    2000 as pseudo-probability): exact per-bin counts, mean predicted
+    probability and observed positive fraction."""
+    from hiselspark.operators.evaluate import (calibration_bins,
+                                               confusion_at)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = ev.withColumn(
+        "score", F.least(F.col("cents"), F.lit(2000)).cast("long")
+    ).withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+    out = calibration_bins(scored, "score", "lbl", n_bins=10,
+                           score_scale=2000)
+    return out.select("bin", "n", "n_pos",
+                      F.round("mean_pred", 6).alias("mean_pred"),
+                      F.round("frac_pos", 6).alias("frac_pos"))
+
+
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact confusion counts + precision/recall/F1/accuracy at the
+    score threshold 1200 (quantized units)."""
+    from hiselspark.operators.evaluate import confusion_at
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = ev.withColumn(
+        "score", F.least(F.col("cents"), F.lit(2000)).cast("long")
+    ).withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+    out = confusion_at(scored, "score", "lbl", threshold=1200)
+    return out.select("tp", "fp", "fn", "tn",
+                      F.round("precision", 6).alias("precision"),
+                      F.round("recall", 6).alias("recall"),
+                      F.round("f1", 6).alias("f1"),
+                      F.round("accuracy", 6).alias("accuracy"))
+
+
 def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triple-barrier labels (±0.2%, 48h vertical) on a positive
     meandering per-user series (100000 + cumulative value deviation
@@ -2843,6 +2893,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "triple_barrier": q_triple_barrier,
         "churn_label": q_churn_label,
+        "auc": q_auc,
+        "calibration": q_calibration,
+        "confusion": q_confusion,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4692,6 +4745,78 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["auc"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000) AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM events
+        ), per AS (
+          SELECT score,
+                 CAST(sum(lbl) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(lbl) AS BIGINT) AS neg
+          FROM q GROUP BY score
+        ), r AS (
+          SELECT *,
+                 COALESCE(sum(neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS neg_below
+          FROM per
+        )
+        SELECT round((CAST(sum(neg_below * pos) AS DOUBLE)
+                      + CAST(sum(pos * neg) AS DOUBLE) / 2.0)
+                     / (CAST(sum(pos) AS DOUBLE)
+                        * CAST(sum(neg) AS DOUBLE)), 6) AS auc,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM r
+    """
+    oracles["calibration"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000) AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM events
+        )
+        SELECT least(CAST(floor(score * 10 / 2000) AS BIGINT), 9)
+                 AS bin,
+               count(*) AS n,
+               CAST(sum(lbl) AS BIGINT) AS n_pos,
+               round(CAST(sum(score) AS DOUBLE)
+                     / (count(*) * 2000.0), 6) AS mean_pred,
+               round(CAST(sum(lbl) AS DOUBLE) / count(*), 6)
+                 AS frac_pos
+        FROM q GROUP BY 1
+    """
+    oracles["confusion"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000) AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM events
+        ), c AS (
+          SELECT
+            CAST(sum(CASE WHEN score >= 1200 AND lbl = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+            CAST(sum(CASE WHEN score >= 1200 AND lbl = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+            CAST(sum(CASE WHEN score < 1200 AND lbl = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+            CAST(sum(CASE WHEN score < 1200 AND lbl = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS tn
+          FROM q
+        )
+        SELECT tp, fp, fn, tn,
+               round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+               round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+               round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                     * (CAST(tp AS DOUBLE) / (tp + fn))
+                     / (CAST(tp AS DOUBLE) / (tp + fp)
+                        + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1,
+               round(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6)
+                 AS accuracy
+        FROM c
     """
     oracles["triple_barrier"] = """
         WITH q AS (

@@ -1,0 +1,96 @@
+"""Distributed model-evaluation metrics — exact, engine-reproducible.
+
+AUC is the one metric teams routinely get wrong at scale: sampling the
+scores changes it, and a naive implementation sorts all 10^12 rows.
+Here ROC-AUC is computed EXACTLY through the Mann–Whitney identity
+
+    AUC = [ Σ_s neg_below(s)·pos(s) + ½·Σ_s pos(s)·neg(s) ] / (P·N)
+
+over the per-distinct-score count table: one ``groupBy(score)`` over
+the full data (map-side combined — the shuffle carries one row per
+distinct score), then a running sum over the score-ordered count table.
+With the engine's convention of integer-quantized scores the distinct
+domain is bounded (e.g. 10⁴ buckets), so the single-task ordered scan
+is over a tiny table no matter how many input rows — and every
+intermediate is an exact integer, making the AUC bit-reproducible and
+SQL-replayable.  Ties are handled exactly (the ½·pos·neg term — same
+as average-rank).
+
+``calibration_bins`` (reliability table) and ``confusion_at`` follow
+the same shape: exact integer counts, one aggregation pass.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def binary_auc(df: DataFrame, score_col: str,
+               label_col: str) -> DataFrame:
+    """One row: ``(auc, n_pos, n_neg)``.  ``score_col`` must be an
+    integer-quantized score (the quantization IS the ROC resolution);
+    ``label_col`` is 0/1.  Exact — no sampling, no approximation
+    beyond the caller's own score quantization."""
+    lbl = F.col(label_col).cast("long")
+    per = (df.groupBy(score_col)
+             .agg(F.sum(lbl).alias("pos"),
+                  (F.count(lbl) - F.sum(lbl)).alias("neg")))
+    w = (Window.orderBy(score_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn("neg_below",
+                         F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    return per.agg(
+        ((F.sum(F.col("neg_below") * F.col("pos")).cast("double")
+          + F.sum(F.col("pos") * F.col("neg")).cast("double") / 2.0)
+         / (F.sum("pos").cast("double") * F.sum("neg").cast("double")))
+        .alias("auc"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str,
+                     n_bins: int = 10, score_scale: int = 1000
+                     ) -> DataFrame:
+    """Reliability table: bin rows by quantized score (``score/scale``
+    interpreted as a probability in [0, 1]), one row per non-empty bin
+    with exact ``n``, ``n_pos``, mean predicted probability and
+    observed positive fraction.  A calibrated model has
+    ``mean_pred ≈ frac_pos`` per bin."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins / score_scale).cast("long"),
+        F.lit(n_bins - 1))
+    lbl = F.col(label_col).cast("long")
+    return (df.withColumn("bin", b)
+              .groupBy("bin")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(lbl).alias("n_pos"),
+                   (F.sum(score_col).cast("double")
+                    / (F.count(F.lit(1)) * float(score_scale)))
+                   .alias("mean_pred"),
+                   (F.sum(lbl).cast("double") / F.count(F.lit(1)))
+                   .alias("frac_pos")))
+
+
+def confusion_at(df: DataFrame, score_col: str, label_col: str,
+                 threshold: int) -> DataFrame:
+    """One row of exact confusion counts + derived precision / recall
+    / F1 / accuracy at ``score >= threshold`` (same quantized-score
+    units)."""
+    pred = (F.col(score_col) >= threshold).cast("long")
+    lbl = F.col(label_col).cast("long")
+    agg = df.agg(
+        F.sum(pred * lbl).alias("tp"),
+        F.sum(pred * (1 - lbl)).alias("fp"),
+        F.sum((1 - pred) * lbl).alias("fn"),
+        F.sum((1 - pred) * (1 - lbl)).alias("tn"))
+    tp, fp, fn, tn = (F.col(c).cast("double")
+                      for c in ("tp", "fp", "fn", "tn"))
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+               2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+               / (tp / (tp + fp) + tp / (tp + fn))).alias("f1"),
+        ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"))

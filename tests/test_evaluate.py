@@ -1,0 +1,80 @@
+"""Exact AUC / calibration / confusion vs NumPy reference."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from hiselspark.operators.evaluate import (binary_auc, calibration_bins,
+                                           confusion_at)
+
+
+def _auc_ref(scores, labels):
+    """Mann-Whitney with average ranks (ties exact) — the textbook
+    definition, computed directly."""
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels)
+    order = np.argsort(scores, kind="mergesort")
+    s, y = scores[order], labels[order]
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0  # average 1-based rank
+        i = j
+    P = int(labels.sum())
+    N = len(labels) - P
+    return (ranks[y == 1].sum() - P * (P + 1) / 2) / (P * N)
+
+
+def test_binary_auc_matches_rank_definition_with_ties(spark):
+    rng = np.random.default_rng(3)
+    n = 2000
+    y = rng.integers(0, 2, n)
+    # quantized score correlated with the label, MANY ties
+    score = np.clip((y * 6 + rng.integers(0, 10, n)), 0, 15)
+    pdf = pd.DataFrame({"score": score, "y": y})
+    out = binary_auc(spark.createDataFrame(pdf), "score", "y").collect()[0]
+    want = _auc_ref(score, y)
+    assert out["auc"] == pytest.approx(want, abs=1e-12)
+    assert out["n_pos"] == int(y.sum())
+    assert out["n_neg"] == int((1 - y).sum())
+    assert 0.75 < out["auc"] < 1.0  # informative score
+    # perfect and inverted scores hit the boundaries
+    perfect = binary_auc(
+        spark.createDataFrame(pd.DataFrame({"score": y * 100, "y": y})),
+        "score", "y").collect()[0]
+    assert perfect["auc"] == 1.0
+    anti = binary_auc(
+        spark.createDataFrame(pd.DataFrame({"score": (1 - y) * 100,
+                                            "y": y})),
+        "score", "y").collect()[0]
+    assert anti["auc"] == 0.0
+
+
+def test_calibration_and_confusion(spark):
+    rng = np.random.default_rng(13)
+    n = 5000
+    score = rng.integers(0, 1001, n)  # pseudo-probability * 1000
+    y = (rng.uniform(size=n) < score / 1000.0).astype(int)  # calibrated
+    pdf = pd.DataFrame({"score": score, "y": y})
+    df = spark.createDataFrame(pdf)
+    cal = (calibration_bins(df, "score", "y", n_bins=10,
+                            score_scale=1000)
+           .toPandas().sort_values("bin"))
+    assert cal.n.sum() == n
+    # a calibrated score: |mean_pred - frac_pos| small in every bin
+    assert (np.abs(cal.mean_pred - cal.frac_pos) < 0.08).all()
+    # monotone observed rate across bins (allow tiny noise)
+    assert cal.frac_pos.iloc[-1] > cal.frac_pos.iloc[0] + 0.5
+    conf = confusion_at(df, "score", "y", threshold=500).collect()[0]
+    m = (score >= 500)
+    assert conf["tp"] == int((m & (y == 1)).sum())
+    assert conf["fp"] == int((m & (y == 0)).sum())
+    assert conf["fn"] == int((~m & (y == 1)).sum())
+    assert conf["tn"] == int((~m & (y == 0)).sum())
+    prec = conf["tp"] / (conf["tp"] + conf["fp"])
+    rec = conf["tp"] / (conf["tp"] + conf["fn"])
+    assert conf["precision"] == pytest.approx(prec)
+    assert conf["recall"] == pytest.approx(rec)
+    assert conf["f1"] == pytest.approx(2 * prec * rec / (prec + rec))
