@@ -444,6 +444,33 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-next-event curves per event_type:
+    durations in whole hours, right-censored at 24h (and at each
+    user's last event) — at-risk counts exact, survival as the
+    deterministic ordered product."""
+    from pyspark.sql import Window
+    from hiselspark.operators.survival import km_curve
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead(ts_seconds("ts")).over(w) - ts_seconds("ts")
+    d = ev.withColumn("gap", gap)
+    obs = (d.withColumn(
+        "duration",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 86400.0),
+               F.lit(24))
+         .otherwise(F.floor(F.col("gap") / 3600.0)).cast("long"))
+        .withColumn(
+        "event",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 86400.0),
+               F.lit(0)).otherwise(F.lit(1))))
+    out = km_curve(obs, "event_type", "duration", "event")
+    return out.select("event_type", "duration", "n_at_risk",
+                      "n_events", "n_censored",
+                      F.round("survival", 6).alias("survival"))
+
+
 def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed ROC-AUC (Mann–Whitney rank-sum over the
     per-distinct-score count table, ties handled exactly) of a
@@ -2896,6 +2923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "calibration": q_calibration,
         "confusion": q_confusion,
+        "km_survival": q_km_survival,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4745,6 +4773,48 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["km_survival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 lead(CAST(epoch(ts) AS DOUBLE)) OVER
+                   (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+                 - CAST(epoch(ts) AS DOUBLE) AS gap
+          FROM events
+        ), obs AS (
+          SELECT event_type,
+                 CASE WHEN gap IS NULL OR gap > 86400.0 THEN 24
+                      ELSE CAST(floor(gap / 3600.0) AS BIGINT) END
+                   AS duration,
+                 CASE WHEN gap IS NULL OR gap > 86400.0 THEN 0
+                      ELSE 1 END AS event
+          FROM g
+        ), per AS (
+          SELECT event_type, duration,
+                 CAST(sum(event) AS BIGINT) AS n_events,
+                 CAST(count(*) - sum(event) AS BIGINT) AS n_censored
+          FROM obs GROUP BY event_type, duration
+        ), risk AS (
+          SELECT *,
+                 CAST(sum(n_events + n_censored) OVER
+                        (PARTITION BY event_type)
+                      - COALESCE(sum(n_events + n_censored) OVER
+                          (PARTITION BY event_type ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_at_risk
+          FROM per
+        )
+        SELECT event_type, duration, n_at_risk, n_events, n_censored,
+               round(list_reduce(
+                 list_prepend(1.0,
+                   list(1.0 - CAST(n_events AS DOUBLE)
+                              / CAST(n_at_risk AS DOUBLE)) OVER
+                     (PARTITION BY event_type ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+                 (acc, x) -> acc * x), 6) AS survival
+        FROM risk
     """
     oracles["auc"] = """
         WITH q AS (
