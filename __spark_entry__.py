@@ -444,6 +444,27 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend of event value (cents) against hours since
+    the user's first event — slope/intercept/r² from one pass of
+    exact integer sums."""
+    from pyspark.sql import Window
+    from hiselspark.operators.regress import group_ols
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    w = Window.partitionBy("user_id")
+    sec = F.floor(ts_seconds("ts")).cast("long")
+    d = ev.withColumn(
+        "xh", F.floor((sec - F.min(sec).over(w)) / F.lit(3600))
+        .cast("long"))
+    out = group_ols(d, "user_id", "xh", "cents")
+    return out.select("user_id", "n",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"),
+                      F.round("r2", 6).alias("r2"))
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier time-to-next-event curves per event_type:
     durations in whole hours, right-censored at 24h (and at each
@@ -2924,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
+        "group_ols": q_group_ols,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4773,6 +4795,41 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["group_ols"] = """
+        WITH q AS (
+          SELECT user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events
+        ), x AS (
+          SELECT user_id, cents,
+                 CAST(floor((sec - min(sec) OVER
+                             (PARTITION BY user_id)) / 3600.0)
+                      AS BIGINT) AS xh
+          FROM q
+        ), s AS (
+          SELECT user_id, count(*) AS n,
+                 CAST(sum(xh) AS DOUBLE) AS sx,
+                 CAST(sum(cents) AS DOUBLE) AS sy,
+                 CAST(sum(xh*xh) AS DOUBLE) AS sxx,
+                 CAST(sum(xh*cents) AS DOUBLE) AS sxy,
+                 CAST(sum(cents*cents) AS DOUBLE) AS syy
+          FROM x GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN sxx - sx*sx/n > 0
+                     THEN (sxy - sx*sy/n) / (sxx - sx*sx/n) END, 6)
+                 AS slope,
+               round(CASE WHEN sxx - sx*sx/n > 0
+                     THEN (sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n))
+                                * sx) / n END, 6) AS intercept,
+               round(CASE WHEN sxx - sx*sx/n > 0
+                           AND syy - sy*sy/n > 0
+                     THEN ((sxy - sx*sy/n) / (sxx - sx*sx/n))
+                          * ((sxy - sx*sy/n) / (syy - sy*sy/n)) END,
+                     6) AS r2
+        FROM s
     """
     oracles["km_survival"] = """
         WITH g AS (

@@ -139,3 +139,33 @@ def test_assoc_rules_counts_and_lift(spark):
             .toPandas().set_index(["item_a", "item_b"]))
     assert out2.loc[("bread", "butter")].support == pytest.approx(3 / N)
     assert not any(i.startswith("i") for i, _ in out2.index)
+
+
+def test_group_ols_matches_numpy_polyfit(spark):
+    from hiselspark.operators.regress import group_ols
+    rng = np.random.default_rng(41)
+    frames = []
+    truth = {}
+    for g, (slope, icpt) in enumerate([(3, 100), (-2, 500), (0, 50)]):
+        x = np.arange(40)
+        y = slope * x + icpt + rng.integers(-5, 6, 40)
+        truth[g] = (x, y)
+        frames.append(pd.DataFrame({"g": g, "x": x, "y": y}))
+    pdf = pd.concat(frames)
+    out = (group_ols(spark.createDataFrame(pdf), "g", "x", "y")
+           .toPandas().set_index("g"))
+    for g, (x, y) in truth.items():
+        sl, ic = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert out.loc[g, "n"] == 40
+        assert out.loc[g, "slope"] == pytest.approx(sl, abs=1e-9)
+        assert out.loc[g, "intercept"] == pytest.approx(ic, abs=1e-8)
+        assert out.loc[g, "r2"] == pytest.approx(r * r, abs=1e-9)
+    # strong trends fit tightly; the flat-noise group does not
+    assert out.loc[0, "r2"] > 0.95 and out.loc[1, "r2"] > 0.95
+    assert out.loc[2, "r2"] < 0.1
+    # degenerate group: constant x -> NULL fit, no crash
+    const = pd.DataFrame({"g": 9, "x": 5, "y": np.arange(10)})
+    o2 = (group_ols(spark.createDataFrame(const), "g", "x", "y")
+          .toPandas().iloc[0])
+    assert pd.isna(o2.slope) and pd.isna(o2.r2)
