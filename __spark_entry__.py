@@ -444,6 +444,34 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over the same probes —
+    exact cosine top-20 and raw dot-product top-20 — fused with the
+    published k=60 and re-ranked; contributions folded in sorted order
+    (deterministic-float convention)."""
+    from pyspark.sql import Window
+    from hiselspark.operators.similarity import (_dot, _norm,
+                                                 cosine_topk, rrf_fuse)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20)
+    cos = cosine_topk(probes, emb, k=20)
+    p = probes.select(F.col("vec_id").alias("probe_id"),
+                      F.col("embedding").cast("array<double>")
+                       .alias("p"))
+    c = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc())
+    dotr = (p.crossJoin(c)
+             .filter(F.col("probe_id") != F.col("vec_id"))
+             .withColumn("dot", _dot("p", "v"))
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= 20))
+    out = rrf_fuse([cos, dotr], k=60, topk=5)
+    return out.select("probe_id", "rk", "doc_id",
+                      F.round("rrf", 6).alias("rrf"), "n_systems")
+
+
 def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user OLS trend of event value (cents) against hours since
     the user's first event — slope/intercept/r² from one pass of
@@ -2946,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion": q_confusion,
         "km_survival": q_km_survival,
         "group_ols": q_group_ols,
+        "rrf": q_rrf,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4795,6 +4824,51 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["rrf"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), probes AS (
+          SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id < 20
+        ), pairs AS (
+          SELECT probe_id, vec_id,
+                 list_dot_product(p, v) AS dot,
+                 list_dot_product(p, v)
+                   / (sqrt(list_dot_product(p, p))
+                      * sqrt(list_dot_product(v, v))) AS cos
+          FROM probes, e WHERE probe_id <> vec_id
+        ), rc AS (
+          SELECT probe_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY cos DESC, vec_id ASC) AS rk
+          FROM pairs
+        ), rd AS (
+          SELECT probe_id, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY dot DESC, vec_id ASC) AS rk
+          FROM pairs
+        ), contrib AS (
+          SELECT probe_id, vec_id, 1.0 / (60 + rk) AS c
+          FROM rc WHERE rk <= 20
+          UNION ALL
+          SELECT probe_id, vec_id, 1.0 / (60 + rk) AS c
+          FROM rd WHERE rk <= 20
+        ), fused AS (
+          SELECT probe_id, vec_id,
+                 list_reduce(list_prepend(0.0, list_sort(list(c))),
+                             (a, x) -> a + x) AS rrf,
+                 count(*) AS n_systems
+          FROM contrib GROUP BY probe_id, vec_id
+        )
+        SELECT probe_id, rk, vec_id AS doc_id,
+               round(rrf, 6) AS rrf,
+               CAST(n_systems AS BIGINT) AS n_systems
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY rrf DESC, vec_id ASC) AS rk
+          FROM fused)
+        WHERE rk <= 5
     """
     oracles["group_ols"] = """
         WITH q AS (

@@ -642,3 +642,44 @@ def kcenter_sample(
                                f"{id_col} long, center_id long, "
                                "dist double"))
     return centers, assigned
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 60,
+    topk: Optional[int] = None,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of several
+    per-probe rankings: ``fused(d) = Σ_systems 1/(k + rank_s(d))`` —
+    the standard zero-tuning way to combine heterogeneous retrievers
+    (exact cosine + PQ + LSH + BM25) where scores are incomparable but
+    ranks are.  ``k=60`` is the published default; documents missing
+    from a system's list simply contribute nothing.
+
+    Relational end-to-end: union the (bounded, top-N) ranking tables,
+    one ``groupBy(probe, doc)`` over them, re-rank per probe.  The
+    per-document contribution list is folded in SORTED order (the
+    engine's deterministic-float convention), and final ties break by
+    ascending id — layout-independent and SQL-replayable."""
+    u = None
+    for r in rankings:
+        part = r.select(F.col(probe_col).alias("probe_id"),
+                        F.col(id_col).alias("doc_id"),
+                        (F.lit(1.0)
+                         / (F.lit(int(k)) + F.col(rank_col))
+                         ).alias("contrib"))
+        u = part if u is None else u.unionAll(part)
+    fused = (u.groupBy("probe_id", "doc_id")
+              .agg(F.aggregate(F.array_sort(F.collect_list("contrib")),
+                               F.lit(0.0), lambda a, x: a + x)
+                   .alias("rrf"),
+                   F.count(F.lit(1)).alias("n_systems")))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc())
+    out = fused.withColumn("rk", F.row_number().over(w))
+    if topk is not None:
+        out = out.filter(F.col("rk") <= int(topk))
+    return out

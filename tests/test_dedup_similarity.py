@@ -629,3 +629,32 @@ def test_kcenter_sample_properties(spark):
                            seed=7)
     assert c2.toPandas().sort_values("order").center_id.tolist() \
         == cpdf.center_id.tolist()
+
+
+def test_rrf_fuse_matches_bruteforce(spark):
+    from hiselspark.operators.similarity import rrf_fuse
+    # two hand-made rankings over one probe
+    r1 = pd.DataFrame({"probe_id": 0, "vec_id": [10, 11, 12],
+                       "rk": [1, 2, 3]})
+    r2 = pd.DataFrame({"probe_id": 0, "vec_id": [12, 10, 13],
+                       "rk": [1, 2, 3]})
+    out = (rrf_fuse([spark.createDataFrame(r1),
+                     spark.createDataFrame(r2)], k=60)
+           .toPandas().sort_values("rk").reset_index(drop=True))
+    want = {
+        10: 1 / 61 + 1 / 62,
+        11: 1 / 62,
+        12: 1 / 63 + 1 / 61,
+        13: 1 / 63,
+    }
+    got = dict(zip(out.doc_id, out.rrf))
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-15)
+    # doc 10 (rank 1+2) beats doc 12 (rank 3+1): 1/61+1/62 > 1/63+1/61
+    assert list(out.doc_id) == [10, 12, 11, 13]
+    assert list(out.n_systems) == [2, 2, 1, 1]
+    # layout determinism (sorted fold)
+    out2 = (rrf_fuse([spark.createDataFrame(r1).repartition(3),
+                      spark.createDataFrame(r2).repartition(2)], k=60)
+            .toPandas().sort_values("rk").reset_index(drop=True))
+    assert (out2.rrf.to_numpy() == out.rrf.to_numpy()).all()
