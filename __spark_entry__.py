@@ -444,6 +444,28 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_ols_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT expanding-OLS detrend: each event's value vs this user's
+    own strictly-before trend (x = hours since the user's first seen
+    event) — prediction and residual at decision time."""
+    from pyspark.sql import Window
+    from hiselspark.operators.windows import (expanding_ols_resid,
+                                              ts_seconds)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    sec = F.floor(ts_seconds("ts")).cast("long")
+    w = (Window.partitionBy("user_id")
+               .orderBy((ts_seconds("ts") * 1_000_000).cast("long"))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = ev.withColumn("sec", sec).withColumn(
+        "xh", F.floor((F.col("sec") - F.min("sec").over(w))
+                      / F.lit(3600)).cast("long"))
+    out = expanding_ols_resid(d, "user_id", "ts", "xh", "cents")
+    return out.select("event_id",
+                      F.round("ols_pred", 6).alias("pred"),
+                      F.round("ols_resid", 6).alias("resid"))
+
+
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrievers over the same probes —
     exact cosine top-20 and raw dot-product top-20 — fused with the
@@ -2975,6 +2997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,
         "group_ols": q_group_ols,
         "rrf": q_rrf,
+        "ols_detrend": q_ols_detrend,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4824,6 +4847,45 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["ols_detrend"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), x AS (
+          SELECT event_id, user_id, cents, us,
+                 CAST(floor((sec - min(sec) OVER
+                   (PARTITION BY user_id ORDER BY us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   / 3600.0) AS BIGINT) AS xh
+          FROM q
+        ), s AS (
+          SELECT event_id, cents, xh,
+                 CAST(count(*) OVER b AS DOUBLE) AS n,
+                 CAST(sum(xh) OVER b AS DOUBLE) AS sx,
+                 CAST(sum(cents) OVER b AS DOUBLE) AS sy,
+                 CAST(sum(xh*xh) OVER b AS DOUBLE) AS sxx,
+                 CAST(sum(xh*cents) OVER b AS DOUBLE) AS sxy
+          FROM x
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+        )
+        SELECT event_id,
+               round(CASE WHEN n >= 2 AND sxx - sx*sx/n > 0 THEN
+                 (sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx) / n
+                 + ((sxy - sx*sy/n) / (sxx - sx*sx/n))
+                   * CAST(xh AS DOUBLE) END, 6) AS pred,
+               round(CAST(cents AS DOUBLE)
+                     - (CASE WHEN n >= 2 AND sxx - sx*sx/n > 0 THEN
+                        (sy - ((sxy - sx*sy/n) / (sxx - sx*sx/n)) * sx)
+                        / n
+                        + ((sxy - sx*sy/n) / (sxx - sx*sx/n))
+                          * CAST(xh AS DOUBLE) END), 6) AS resid
+        FROM s
     """
     oracles["rrf"] = """
         WITH e AS (

@@ -849,6 +849,48 @@ def seasonal_baseline(
              .drop("__us", "__phase"))
 
 
+def expanding_ols_resid(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    x_col: str,
+    y_col: str,
+    pred_col: str = "ols_pred",
+    resid_col: str = "ols_resid",
+) -> DataFrame:
+    """Leakage-free expanding-OLS detrend: fit ``y ~ x`` per entity on
+    the rows STRICTLY BEFORE each timestamp and emit the prediction
+    and residual at the current row — "is this value above or below
+    this entity's own trend, as knowable at decision time".  The PIT
+    discipline matches ``encoding.target_encode_pit`` (same-microsecond
+    rows mutually invisible); the first two rows of an entity (n < 2)
+    and zero-x-variance prefixes get NULL.
+
+    Five expanding integer sums over one strictly-before RANGE frame —
+    exact, one entity shuffle shared with the rest of the window
+    stack; quantize ``x_col``/``y_col`` upstream (hours, cents) and
+    keep Σx², Σxy within 2^53 for cross-engine bit-equality."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col).orderBy(us)
+               .rangeBetween(Window.unboundedPreceding, -1))
+    x = F.col(x_col)
+    y = F.col(y_col)
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w).cast("double")
+    sy = F.sum(y).over(w).cast("double")
+    sxx = F.sum(x * x).over(w).cast("double")
+    sxy = F.sum(x * y).over(w).cast("double")
+    vx = sxx - sx * sx / n
+    cxy = sxy - sx * sy / n
+    slope = cxy / vx
+    intercept = (sy - slope * sx) / n
+    pred = F.when((n >= 2) & (vx > 0),
+                  intercept + slope * x.cast("double"))
+    out = df.withColumn(pred_col, pred)
+    return out.withColumn(resid_col,
+                          y.cast("double") - F.col(pred_col))
+
+
 def winsorize_pit(
     df: DataFrame,
     entity_col: str,

@@ -716,3 +716,28 @@ def test_seasonal_baseline_strictly_before_same_phase(spark):
                 pdf.x[i] - pdf.x[mask].mean(), abs=1e-9)
         else:
             assert pd.isna(out.loc[i, "seasonal_base"])
+
+
+def test_expanding_ols_resid_strictly_before(spark):
+    from hiselspark.operators.windows import expanding_ols_resid
+    rng = np.random.default_rng(67)
+    n = 120
+    ts = pd.date_range("2024-07-01", periods=n, freq="2h")
+    x = np.arange(n)
+    y = 3 * x + 50 + rng.integers(-4, 5, n)
+    pdf = pd.DataFrame({"e": "u", "ts": ts, "x": x, "y": y,
+                        "i": range(n)})
+    out = (expanding_ols_resid(spark.createDataFrame(pdf), "e", "ts",
+                               "x", "y")
+           .toPandas().sort_values("i").reset_index(drop=True))
+    # rows 0 and 1 have <2 prior rows -> NULL
+    assert pd.isna(out.loc[0, "ols_pred"]) and pd.isna(out.loc[1, "ols_pred"])
+    for i in (2, 10, 60, n - 1):
+        sl, ic = np.polyfit(x[:i], y[:i], 1)  # strictly-before fit
+        pred = ic + sl * x[i]
+        assert out.loc[i, "ols_pred"] == pytest.approx(pred, abs=1e-6)
+        assert out.loc[i, "ols_resid"] == pytest.approx(y[i] - pred,
+                                                        abs=1e-6)
+    # residuals are de-trended: mean |resid| far below mean |y - ybar|
+    r = out.ols_resid.iloc[5:].abs().mean()
+    assert r < 10  # noise scale, not trend scale (~170)
