@@ -444,6 +444,42 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table of event types along user
+    timelines: exact counts + row-normalized P(next|cur)."""
+    from hiselspark.operators.cooccur import markov_transitions
+    ev = _ev(spark, sf_dir)
+    out = markov_transitions(ev, "user_id", "ts", "event_type",
+                             tiebreak=("event_id",))
+    return out.select("cur", "nxt", "n", F.round("p", 6).alias("p"))
+
+
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC polyline of the clamped-cents score vs the
+    value>10.00 label: one point per distinct threshold."""
+    from hiselspark.operators.evaluate import roc_curve
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = ev.withColumn(
+        "score", F.least(F.col("cents"), F.lit(2000)).cast("long")
+    ).withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+    out = roc_curve(scored, "score", "lbl")
+    return out.select("threshold", "tp", "fp",
+                      F.round("tpr", 6).alias("tpr"),
+                      F.round("fpr", 6).alias("fpr"))
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of total event value (cents) across users —
+    the 'is the corpus dominated by a few sources' screen."""
+    from hiselspark.operators.evaluate import gini_concentration
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = gini_concentration(ev, "user_id", "cents")
+    return out.select(F.round("gini", 6).alias("gini"), "n_groups",
+                      "total")
+
+
 def q_ols_detrend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIT expanding-OLS detrend: each event's value vs this user's
     own strictly-before trend (x = hours since the user's first seen
@@ -2998,6 +3034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_ols": q_group_ols,
         "rrf": q_rrf,
         "ols_detrend": q_ols_detrend,
+        "markov": q_markov,
+        "roc_curve": q_roc_curve,
+        "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
@@ -4847,6 +4886,66 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["markov"] = """
+        WITH q AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER
+                   (PARTITION BY user_id
+                    ORDER BY CAST(epoch(ts)*1000000 AS BIGINT),
+                             event_id) AS nxt
+          FROM events
+        ), per AS (
+          SELECT event_type AS cur, nxt, count(*) AS n
+          FROM q WHERE nxt IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT cur, nxt, n,
+               round(CAST(n AS DOUBLE)
+                     / sum(n) OVER (PARTITION BY cur), 6) AS p
+        FROM per
+    """
+    oracles["roc_curve"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000) AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM events
+        ), per AS (
+          SELECT score,
+                 CAST(sum(lbl) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(lbl) AS BIGINT) AS neg
+          FROM q GROUP BY score
+        )
+        SELECT score AS threshold,
+               CAST(sum(pos) OVER w AS BIGINT) AS tp,
+               CAST(sum(neg) OVER w AS BIGINT) AS fp,
+               round(CAST(sum(pos) OVER w AS DOUBLE)
+                     / sum(pos) OVER (), 6) AS tpr,
+               round(CAST(sum(neg) OVER w AS DOUBLE)
+                     / sum(neg) OVER (), 6) AS fpr
+        FROM per
+        WINDOW w AS (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    oracles["gini"] = """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value*100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM events GROUP BY user_id
+        ), r AS (
+          SELECT x, row_number() OVER (ORDER BY x ASC, user_id ASC)
+                    AS i
+          FROM per
+        )
+        SELECT round(2.0 * CAST(sum(i * x) AS DOUBLE)
+                     / (CAST(count(*) AS DOUBLE)
+                        * CAST(sum(x) AS DOUBLE))
+                     - CAST(count(*) + 1 AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE), 6) AS gini,
+               count(*) AS n_groups,
+               CAST(sum(x) AS BIGINT) AS total
+        FROM r
     """
     oracles["ols_detrend"] = """
         WITH q AS (

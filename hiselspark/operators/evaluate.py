@@ -94,3 +94,55 @@ def confusion_at(df: DataFrame, score_col: str, label_col: str,
                2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
                / (tp / (tp + fp) + tp / (tp + fn))).alias("f1"),
         ((tp + tn) / (tp + fp + fn + tn)).alias("accuracy"))
+
+
+def roc_curve(df: DataFrame, score_col: str,
+              label_col: str) -> DataFrame:
+    """The exact ROC polyline: one row per distinct score threshold
+    (predict positive at ``score >= s``) with exact (fp, tp) counts
+    and (fpr, tpr).  Same count-table shape as :func:`binary_auc` —
+    the row count is bounded by the score quantization, never by the
+    data."""
+    lbl = F.col(label_col).cast("long")
+    per = (df.groupBy(score_col)
+             .agg(F.sum(lbl).alias("pos"),
+                  (F.count(lbl) - F.sum(lbl)).alias("neg")))
+    w = (Window.orderBy(F.col(score_col).desc())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    g = Window.partitionBy()
+    return (per.withColumn("tp", F.sum("pos").over(w))
+               .withColumn("fp", F.sum("neg").over(w))
+               .withColumn("tpr", F.col("tp")
+                           / F.sum("pos").over(g))
+               .withColumn("fpr", F.col("fp")
+                           / F.sum("neg").over(g))
+               .select(F.col(score_col).alias("threshold"),
+                       "tp", "fp", "tpr", "fpr"))
+
+
+def gini_concentration(df: DataFrame, group_col: str,
+                       value_col: str) -> DataFrame:
+    """Gini coefficient of how unevenly an integer measure is
+    concentrated across groups (revenue per user, tokens per domain):
+    0 = perfectly even, →1 = one group holds everything.  The
+    inequality screen for "is this corpus dominated by a handful of
+    sources".
+
+    ``G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n`` over per-group totals sorted
+    ascending (i = 1-based rank, ties broken by group id — exact and
+    deterministic).  One groupBy reduces rows to one per group; the
+    rank + weighted sum run on that (groups-sized) table; every term
+    is an exact integer before two final divisions."""
+    per = df.groupBy(group_col).agg(F.sum(value_col).alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col(group_col).asc())
+    g = Window.partitionBy()
+    ranked = per.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        ((F.lit(2.0) * F.sum(F.col("i") * F.col("x")).cast("double")
+          / (F.count(F.lit(1)).cast("double")
+             * F.sum("x").cast("double")))
+         - (F.count(F.lit(1)) + 1).cast("double")
+         / F.count(F.lit(1)).cast("double")).alias("gini"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("x").alias("total"))

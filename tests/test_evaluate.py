@@ -78,3 +78,62 @@ def test_calibration_and_confusion(spark):
     assert conf["precision"] == pytest.approx(prec)
     assert conf["recall"] == pytest.approx(rec)
     assert conf["f1"] == pytest.approx(2 * prec * rec / (prec + rec))
+
+
+def test_roc_curve_endpoints_and_auc_consistency(spark):
+    from hiselspark.operators.evaluate import binary_auc, roc_curve
+    rng = np.random.default_rng(7)
+    n = 3000
+    y = rng.integers(0, 2, n)
+    score = np.clip(y * 5 + rng.integers(0, 8, n), 0, 12)
+    df = spark.createDataFrame(pd.DataFrame({"score": score, "y": y}))
+    roc = roc_curve(df, "score", "y").toPandas().sort_values(
+        "threshold", ascending=False).reset_index(drop=True)
+    # lowest threshold predicts everything positive
+    assert roc.tpr.iloc[-1] == 1.0 and roc.fpr.iloc[-1] == 1.0
+    # monotone non-decreasing along decreasing threshold
+    assert (np.diff(roc.tpr) >= -1e-12).all()
+    assert (np.diff(roc.fpr) >= -1e-12).all()
+    # trapezoid area under the exact polyline == Mann-Whitney AUC
+    fpr = np.concatenate([[0.0], roc.fpr.to_numpy()])
+    tpr = np.concatenate([[0.0], roc.tpr.to_numpy()])
+    area = np.trapz(tpr, fpr)
+    auc = binary_auc(df, "score", "y").collect()[0]["auc"]
+    assert area == pytest.approx(auc, abs=1e-12)
+
+
+def test_gini_known_cases(spark):
+    from hiselspark.operators.evaluate import gini_concentration
+    # perfectly even totals: G is exactly 0
+    even = pd.DataFrame({"g": list(range(10)) * 3, "v": 5})
+    g1 = gini_concentration(spark.createDataFrame(even), "g",
+                            "v").collect()[0]
+    assert g1["gini"] == pytest.approx(0.0, abs=1e-12)
+    assert g1["n_groups"] == 10 and g1["total"] == 150
+    # one group holds everything: G = (n-1)/n
+    skewed = pd.DataFrame({"g": range(10),
+                           "v": [0] * 9 + [1000]})
+    g2 = gini_concentration(spark.createDataFrame(skewed), "g",
+                            "v").collect()[0]
+    assert g2["gini"] == pytest.approx(0.9, abs=1e-12)
+
+
+def test_markov_transitions_rowwise(spark):
+    from hiselspark.operators.cooccur import markov_transitions
+    t0 = pd.Timestamp("2024-01-01")
+    seq = ["a", "b", "a", "b", "c", "a"]
+    pdf = pd.DataFrame({
+        "e": 1, "ts": [t0 + pd.Timedelta(minutes=i)
+                       for i in range(len(seq))],
+        "s": seq, "i": range(len(seq)),
+    })
+    out = (markov_transitions(spark.createDataFrame(pdf), "e", "ts",
+                              "s", tiebreak=("i",))
+           .toPandas().set_index(["cur", "nxt"]))
+    # transitions: a->b (x2), b->a, b->c, c->a
+    assert out.loc[("a", "b"), "n"] == 2
+    assert out.loc[("a", "b"), "p"] == pytest.approx(1.0)
+    assert out.loc[("b", "a"), "p"] == pytest.approx(0.5)
+    assert out.loc[("b", "c"), "p"] == pytest.approx(0.5)
+    assert out.loc[("c", "a"), "p"] == pytest.approx(1.0)
+    assert len(out) == 4
