@@ -444,6 +444,17 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PPMI between the top-32 caption-corpus tokens —
+    the count matrix behind classical distributional embeddings;
+    exact counts, ln of exact ratios."""
+    from hiselspark.operators.cooccur import ppmi_cooccurrence
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ppmi_cooccurrence(docs, "doc_id", "text", vocab_size=32)
+    return out.select("tok_a", "tok_b", "nab", "na", "nb",
+                      F.round("ppmi", 6).alias("ppmi"))
+
+
 def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table of event types along user
     timelines: exact counts + row-normalized P(next|cur)."""
@@ -3035,6 +3046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "ols_detrend": q_ols_detrend,
         "markov": q_markov,
+        "ppmi": q_ppmi,
         "roc_curve": q_roc_curve,
         "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
@@ -4886,6 +4898,39 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    oracles["ppmi"] = """
+        WITH toks AS (
+          SELECT DISTINCT doc_id AS doc, tok
+          FROM (SELECT doc_id,
+                       unnest(CASE WHEN trim(COALESCE(text,'')) = ''
+                                   THEN []::VARCHAR[]
+                                   ELSE regexp_split_to_array(
+                                          trim(text), '\\s+') END)
+                         AS tok
+                FROM documents)
+        ), vocab AS (
+          SELECT tok, count(*) AS df_a
+          FROM toks GROUP BY tok
+          ORDER BY df_a DESC, tok ASC LIMIT 32
+        ), tv AS (
+          SELECT t.doc, t.tok, v.df_a FROM toks t JOIN vocab v USING (tok)
+        ), nd AS (
+          SELECT count(DISTINCT doc_id) AS n FROM documents
+        ), pairs AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b,
+                 count(*) AS nab,
+                 CAST(a.df_a AS BIGINT) AS na,
+                 CAST(b.df_a AS BIGINT) AS nb
+          FROM tv a JOIN tv b ON a.doc = b.doc AND a.tok < b.tok
+          GROUP BY a.tok, b.tok, a.df_a, b.df_a
+        )
+        SELECT tok_a, tok_b, nab, na, nb,
+               round(greatest(0.0,
+                 ln(CAST(n AS DOUBLE) * nab
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6)
+                 AS ppmi
+        FROM pairs CROSS JOIN nd
     """
     oracles["markov"] = """
         WITH q AS (

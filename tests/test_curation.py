@@ -1,5 +1,6 @@
 """End-to-end curation pipeline: stage effects, composition, and
 layout independence."""
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -68,3 +69,55 @@ def test_budget_stage_and_layout_independence(spark, corpus):
     assert (per_src["s"] <= 300).all()
     with pytest.raises(ValueError, match="group_col"):
         curate_corpus(corpus, token_budget=10)
+
+
+def test_ppmi_cooccurrence_toy_corpus(spark):
+    from hiselspark.operators.cooccur import ppmi_cooccurrence
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["cat dog", "cat dog", "cat dog", "cat dog",
+                 "cat fish", "dog bird", "fish bird", "fish bird"],
+    })
+    out = (ppmi_cooccurrence(spark.createDataFrame(docs), "doc_id",
+                             "text", vocab_size=4)
+           .toPandas().set_index(["tok_a", "tok_b"]))
+    # cat&dog co-occur 4x: PMI = ln(8*4/(5*5)) = ln(1.28) > 0
+    r = out.loc[("cat", "dog")]
+    assert r.nab == 4 and r.na == 5 and r.nb == 5
+    assert r.ppmi == pytest.approx(np.log(8 * 4 / 25))
+    # bird&fish: 2 of 3x3 -> ln(16/9) > 0; cat&bird never co-occur
+    assert out.loc[("bird", "fish")].ppmi == pytest.approx(
+        np.log(8 * 2 / 9))
+    assert ("bird", "cat") not in out.index  # never co-occur: no row
+    # under-indexing pair clamped at 0: cat&fish ln(8*1/(5*3)) < 0
+    assert out.loc[("cat", "fish")].ppmi == 0.0
+
+
+def test_ppmi_embeddings_reconstruct_and_cluster(spark):
+    from hiselspark.operators.cooccur import ppmi_embeddings
+    rng = np.random.default_rng(19)
+    # two topical clusters of tokens; docs draw from one cluster
+    A = ["alpha", "beta", "gamma", "delta"]
+    B = ["red", "green", "blue", "white"]
+    texts = []
+    for i in range(200):
+        pool = A if i % 2 == 0 else B
+        texts.append(" ".join(rng.choice(pool, size=3)))
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(200), "text": texts}))
+    emb, lam = ppmi_embeddings(docs, vocab_size=8, dim=4)
+    pdf = emb.toPandas().set_index("token")
+    V = {t: np.array(v) for t, v in pdf.vector.items()}
+    def cos(a, b):
+        return (V[a] @ V[b]) / (np.linalg.norm(V[a])
+                                * np.linalg.norm(V[b]) + 1e-12)
+    # same-cluster similarity beats cross-cluster
+    within = np.mean([cos("alpha", "beta"), cos("red", "green")])
+    across = np.mean([cos("alpha", "red"), cos("beta", "blue")])
+    assert within > across + 0.3
+    assert (np.asarray(lam) >= 0).all()
+    # deterministic across layouts
+    emb2, _ = ppmi_embeddings(docs.repartition(7), vocab_size=8, dim=4)
+    p2 = emb2.toPandas().set_index("token")
+    for t in V:
+        assert np.array_equal(np.array(p2.vector[t]), V[t])
