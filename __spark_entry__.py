@@ -444,6 +444,19 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_rolling_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h Shannon entropy of each user's event-type mix —
+    behavioral diversity; conditional counts in one WindowExec, terms
+    in fixed category order."""
+    from hiselspark.operators.windows import rolling_entropy
+    ev = _ev(spark, sf_dir)
+    out = rolling_entropy(
+        ev, "user_id", "ts", "event_type", 86400.0,
+        categories=["click", "error", "purchase", "signup", "view"])
+    return out.select("event_id",
+                      F.round("roll_entropy", 6).alias("h"))
+
+
 def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level PPMI between the top-32 caption-corpus tokens —
     the count matrix behind classical distributional embeddings;
@@ -3047,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_detrend": q_ols_detrend,
         "markov": q_markov,
         "ppmi": q_ppmi,
+        "rolling_entropy": q_rolling_entropy,
         "roc_curve": q_roc_curve,
         "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
@@ -4898,6 +4912,31 @@ def oracle_sql() -> dict[str, str]:
                      * (obs - CAST(n AS DOUBLE) * p)
                      / (CAST(n AS DOUBLE) * p), 6) AS chi2
         FROM t
+    """
+    _re_cats = ["click", "error", "purchase", "signup", "view"]
+    _re_counts = ",\n".join(
+        f"sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) "
+        f"OVER b AS c{i}" for i, c in enumerate(_re_cats))
+    _re_terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN -((CAST(c{i} AS DOUBLE) / n) "
+        f"* ln(CAST(c{i} AS DOUBLE) / n)) ELSE 0.0 END)"
+        for i in range(len(_re_cats)))
+    oracles["rolling_entropy"] = f"""
+        WITH q AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), c AS (
+          SELECT event_id,
+                 count(*) OVER b AS n,
+                 {_re_counts}
+          FROM q
+          WINDOW b AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 86400000000 PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT event_id, round({_re_terms}, 6) AS h
+        FROM c
     """
     oracles["ppmi"] = """
         WITH toks AS (

@@ -891,6 +891,47 @@ def expanding_ols_resid(
                           y.cast("double") - F.col(pred_col))
 
 
+def rolling_entropy(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    cat_col: str,
+    window_seconds: float = 3600.0,
+    categories: Optional[Sequence] = None,
+    out_col: str = "roll_entropy",
+) -> DataFrame:
+    """Shannon entropy of the trailing-window category mix per entity
+    — the behavioral-diversity feature (0 = the entity does one thing;
+    ln(k) = it does everything equally).  A bot hammering one endpoint
+    and an account scanning everything both stand out from the
+    mid-entropy mass.
+
+    Requires a BOUNDED category domain: one conditional range-window
+    count per category (k window aggregates sharing the one entity
+    clustering and ONE WindowExec), then ``−Σ p·ln p`` with the terms
+    added in fixed sorted-category order — the identical expression
+    tree in SQL, so results are engine-bit-reproducible (counts exact,
+    one division per term).  With ``categories=None`` the domain is
+    collected (sorted) from the data — a bounded-domain assumption the
+    caller is making anyway."""
+    if categories is None:
+        categories = [r[0] for r in
+                      df.select(cat_col).distinct().collect()
+                      if r[0] is not None]
+    categories = sorted(categories)
+    w = (Window.partitionBy(entity_col)
+               .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    n = F.count(F.lit(1)).over(w)
+    ent = None
+    for c in categories:
+        cnt = F.sum((F.col(cat_col) == c).cast("long")).over(w)
+        p = cnt / n
+        term = F.when(cnt > 0, -(p * F.log(p))).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    return df.withColumn(out_col, ent)
+
+
 def winsorize_pit(
     df: DataFrame,
     entity_col: str,

@@ -741,3 +741,30 @@ def test_expanding_ols_resid_strictly_before(spark):
     # residuals are de-trended: mean |resid| far below mean |y - ybar|
     r = out.ols_resid.iloc[5:].abs().mean()
     assert r < 10  # noise scale, not trend scale (~170)
+
+
+def test_rolling_entropy_matches_numpy(spark):
+    from hiselspark.operators.windows import rolling_entropy
+    rng = np.random.default_rng(73)
+    n = 200
+    ts = pd.date_range("2024-08-01", periods=n, freq="13min")
+    cats = rng.choice(["a", "b", "c"], n, p=[0.6, 0.3, 0.1])
+    cats[:40] = "a"  # a monotone prefix: entropy 0 there
+    pdf = pd.DataFrame({"e": "u", "ts": ts, "c": cats, "i": range(n)})
+    out = (rolling_entropy(spark.createDataFrame(pdf), "e", "ts", "c",
+                           3600.0, categories=["a", "b", "c"])
+           .toPandas().sort_values("i").reset_index(drop=True))
+    secs = (ts - ts[0]).total_seconds().to_numpy()
+    for i in range(n):
+        w = cats[(secs >= secs[i] - 3600.0) & (secs <= secs[i])]
+        ps = np.array([np.mean(w == c) for c in "abc"])
+        want = -sum(p * np.log(p) for p in ps if p > 0)
+        assert out.loc[i, "roll_entropy"] == pytest.approx(want,
+                                                           abs=1e-12)
+    assert out.loc[10, "roll_entropy"] == 0.0  # single-category window
+    assert out.roll_entropy.max() <= np.log(3) + 1e-12
+    # the window also reuses the single entity clustering
+    from tests.test_plans import n_exchanges
+    df2 = rolling_entropy(spark.createDataFrame(pdf), "e", "ts", "c",
+                          3600.0, categories=["a", "b", "c"])
+    assert n_exchanges(df2) == 1
