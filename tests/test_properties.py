@@ -149,3 +149,79 @@ def test_bm25_nonnegative_and_bounded_by_sum_idf_k1p1(spark, pdf):
     matched = {i for i, ts in toks.items()
                if ts & {"the", "spark", "dog"}}
     assert set(got["doc_id"]) == matched
+
+
+@SET
+@given(st.lists(st.integers(-50, 50), min_size=1, max_size=60),
+       st.integers(-10, 10), st.integers(0, 5))
+def test_cusum_closed_form_equals_recursion_property(
+        spark, xs, target, slack):
+    """The running-sum-minus-running-min closed form IS Page's
+    recursion, for any values/target/slack (incl. negatives)."""
+    from hiselspark.operators.windows import cusum
+    pdf = pd.DataFrame({
+        "e": "u",
+        "ts": pd.to_datetime(np.arange(len(xs)), unit="m"),
+        "x": [float(v) for v in xs],
+        "i": range(len(xs)),
+    })
+    out = (cusum(spark.createDataFrame(pdf), "e", "ts", "x",
+                 target=float(target), slack=float(slack),
+                 tiebreak=("i",))
+           .toPandas().sort_values("i").reset_index(drop=True))
+    sp = sn = 0.0
+    for i, x in enumerate(xs):
+        sp = max(0.0, sp + (x - (target + slack)))
+        sn = max(0.0, sn + ((target - slack) - x))
+        assert out.loc[i, "cusum_pos"] == pytest.approx(sp, abs=1e-9)
+        assert out.loc[i, "cusum_neg"] == pytest.approx(sn, abs=1e-9)
+
+
+@SET
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=50),
+       st.integers(1, 20))
+def test_rolling_rank_property_with_ties(spark, xs, win_minutes):
+    """Trailing percentile rank under heavy value ties: always in
+    (0, 1], exact count ratio vs brute force."""
+    from hiselspark.operators.windows import rolling_rank
+    ts = pd.to_datetime(np.arange(len(xs)) * 60, unit="s")
+    pdf = pd.DataFrame({"e": "u", "ts": ts, "x": xs,
+                        "i": range(len(xs))})
+    out = (rolling_rank(spark.createDataFrame(pdf), "e", "ts", "x",
+                        win_minutes * 60.0, out_col="rr")
+           .toPandas().sort_values("i").reset_index(drop=True))
+    secs = np.arange(len(xs)) * 60
+    arr = np.asarray(xs)
+    for i in range(len(xs)):
+        w = arr[(secs >= secs[i] - win_minutes * 60) & (secs <= secs[i])]
+        want = np.mean(w <= arr[i])
+        assert out.loc[i, "rr"] == pytest.approx(want, abs=1e-12)
+        assert 0 < out.loc[i, "rr"] <= 1
+
+
+@SET
+@given(st.lists(st.integers(900, 1100), min_size=2, max_size=40),
+       st.integers(1, 30))
+def test_triple_barrier_property(spark, lvls, horizon_minutes):
+    """First-barrier-hit labels vs brute force, any series/horizon."""
+    from hiselspark.operators.labels import triple_barrier
+    n = len(lvls)
+    ts = pd.to_datetime(np.arange(n) * 60, unit="s")
+    pdf = pd.DataFrame({"e": "u", "ts": ts, "lvl": lvls,
+                        "i": range(n)})
+    h = horizon_minutes * 60.0
+    out = (triple_barrier(spark.createDataFrame(pdf), "e", "ts",
+                          "lvl", h, 0.02, 0.02)
+           .toPandas().sort_values("i").reset_index(drop=True))
+    for i in range(n):
+        up, dn = lvls[i] * 1.02, lvls[i] * 0.98
+        label, tsec = 0, h
+        for j in range(i + 1, n):
+            if (j - i) * 60.0 > h:
+                break
+            if lvls[j] >= up or lvls[j] <= dn:
+                label = 1 if lvls[j] >= up else -1
+                tsec = (j - i) * 60.0
+                break
+        assert out.loc[i, "tb_label"] == label, (i, lvls)
+        assert out.loc[i, "tb_seconds"] == pytest.approx(tsec)
