@@ -758,6 +758,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).select("node", "r")
 
 
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance (≤ 3) from the first three order nodes over
+    the undirected order↔part graph — exact frontier relaxation; the
+    oracle is a recursive CTE."""
+    from hiselspark.operators.graph import bfs_hops
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") * 2).alias("src"),
+                      (F.col("l_partkey") * 2 + 1).alias("dst"))
+    sources = (li.filter(F.col("l_orderkey") <= 3)
+                 .select((F.col("l_orderkey") * 2).alias("node"))
+                 .distinct())
+    out = bfs_hops(edges, sources, max_hops=3)
+    return out.select("node", "hops")
+
+
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (λ=0.7) from each probe's exact top-20
     cosine candidates — relevance minus redundancy re-ranking.
@@ -3043,6 +3058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "kcenter": q_kcenter,
         "pagerank": q_pagerank,
+        "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "feature_cross": q_feature_cross,
         "corr_matrix": q_corr_matrix,
@@ -4921,6 +4937,23 @@ def oracle_sql() -> dict[str, str]:
         f"(CASE WHEN c{i} > 0 THEN -((CAST(c{i} AS DOUBLE) / n) "
         f"* ln(CAST(c{i} AS DOUBLE) / n)) ELSE 0.0 END)"
         for i in range(len(_re_cats)))
+    oracles["bfs_hops"] = """
+        WITH RECURSIVE d0 AS (
+          SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst
+          FROM lineitem
+        ), e AS (
+          SELECT src, dst FROM d0 UNION SELECT dst, src FROM d0
+        ), walk(node, hop) AS (
+          SELECT DISTINCT l_orderkey*2 AS node, 0 AS hop
+          FROM lineitem WHERE l_orderkey <= 3
+          UNION
+          SELECT e.dst, walk.hop + 1
+          FROM walk JOIN e ON e.src = walk.node
+          WHERE walk.hop < 3
+        )
+        SELECT node, CAST(min(hop) AS INT) AS hops
+        FROM walk GROUP BY node
+    """
     oracles["rolling_entropy"] = f"""
         WITH q AS (
           SELECT event_id, user_id, event_type,

@@ -79,3 +79,48 @@ def pagerank(
              + F.expr(f"({damping_num} * inc) DIV {damping_den}"))
             .alias("r"))
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    undirected: bool = True,
+) -> DataFrame:
+    """Breadth-first hop distance from a source set: ``(node, hops)``
+    with the MINIMUM number of edges from any source, cut off at
+    ``max_hops`` (unreached nodes are absent).  Reachability /
+    blast-radius analysis over similarity or interaction graphs —
+    "everything within 2 hops of these flagged items".
+
+    Frontier-relaxation loop: each hop joins the (shrinking) frontier
+    to the edge list and anti-joins already-settled nodes, so a node
+    is settled exactly once at its true BFS depth — results are exact
+    integers, independent of partitioning.  The loop is driver-paced
+    (one bounded iteration per hop, early exit on an empty frontier);
+    at cluster scale each iteration is one join + one anti-join on the
+    node key, the standard Pregel-style plan.  The driver-side
+    emptiness check per hop is a count of the frontier — bounded by
+    ``max_hops`` scheduling round-trips, not by data size."""
+    e = (symmetrize(edges, src, dst) if undirected
+         else edges.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst")).distinct())
+    dist = (sources.select(F.col(node_col).alias("node")).distinct()
+                   .withColumn("hops", F.lit(0)))
+    frontier = dist.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (frontier.join(e, frontier.node == e.src)
+                       .select(F.col("dst").alias("node"))
+                       .distinct()
+                       .join(dist.select("node"), "node", "left_anti")
+                       .withColumn("hops", F.lit(h)))
+        nxt = nxt.persist()
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

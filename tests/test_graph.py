@@ -59,3 +59,21 @@ def test_symmetrize_dedups(spark):
         pd.DataFrame({"src": [1, 2, 2, 1], "dst": [2, 1, 3, 2]}))
     got = {(r.src, r.dst) for r in symmetrize(df).collect()}
     assert got == {(1, 2), (2, 1), (2, 3), (3, 2)}
+
+
+def test_bfs_hops_chain_and_cutoff(spark):
+    from hiselspark.operators.graph import bfs_hops
+    # path graph 0-1-2-3-4-5 plus a detached pair 10-11
+    edges = pd.DataFrame({"src": [0, 1, 2, 3, 4, 10],
+                          "dst": [1, 2, 3, 4, 5, 11]})
+    src = spark.createDataFrame(pd.DataFrame({"node": [0]}))
+    out = (bfs_hops(spark.createDataFrame(edges), src, max_hops=3)
+           .toPandas().set_index("node")["hops"])
+    assert dict(out) == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond cutoff
+    # two sources: min distance wins
+    src2 = spark.createDataFrame(pd.DataFrame({"node": [0, 5]}))
+    out2 = (bfs_hops(spark.createDataFrame(edges), src2, max_hops=3)
+            .toPandas().set_index("node")["hops"])
+    assert out2[3] == 2 and out2[2] == 2 and out2[4] == 1
+    # detached component never reached
+    assert 10 not in out2.index and 11 not in out2.index
