@@ -18,6 +18,10 @@ as average-rank).
 
 ``calibration_bins`` (reliability table) and ``confusion_at`` follow
 the same shape: exact integer counts, one aggregation pass.
+Reference parity note: the reference engine (transferwise/hisel) has no
+model-evaluation layer — this module belongs to the grafted training-
+pipeline surface of the engine (north rule), alongside the point-in-time
+operators.
 """
 from __future__ import annotations
 

@@ -23,6 +23,10 @@ the same cost class as any rank-based rolling window — and evaluates
 the first-crossing search with JVM higher-order functions on the
 (deterministically sorted) forward array: no UDF, exact integer
 comparisons, DuckDB-replayable.
+Reference parity note: the reference engine (transferwise/hisel) has no
+label-generation layer — this module belongs to the grafted supervised-
+learning surface of the engine (north rule), alongside the point-in-time
+operators.
 """
 from __future__ import annotations
 

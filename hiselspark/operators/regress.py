@@ -13,6 +13,10 @@ to integers upstream; every sum is then exact, each is cast to double
 ONCE, and the closing arithmetic is an IEEE-deterministic expression
 tree a SQL oracle replays bit-for-bit.  Keep Σx², Σxy below 2^53 by
 choosing units (seconds-since-group-start, cents).
+Reference parity note: the reference engine (transferwise/hisel) has no
+grouped-regression layer — this module belongs to the grafted per-entity
+analytics surface of the engine (north rule), alongside the point-in-
+time operators.
 """
 from __future__ import annotations
 

@@ -15,6 +15,10 @@ the frame-ordered factor list (the engine's deterministic-float
 convention: same fold replays in SQL via ``list_reduce``), and every
 ``dⱼ``/``nⱼ`` is an exact integer — so the curve is bit-reproducible
 across partitionings and engines.
+Reference parity note: the reference engine (transferwise/hisel) has no
+survival-analysis layer — this module belongs to the grafted time-to-
+event analytics surface of the engine (north rule), alongside the point-
+in-time operators.
 """
 from __future__ import annotations
 
