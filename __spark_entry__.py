@@ -575,6 +575,25 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("r2", 6).alias("r2"))
 
 
+def q_auc_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC per epoch-week: the model-degradation trend view,
+    all periods in one pass of the (period, score) count table."""
+    from hiselspark.operators.evaluate import auc_by_period
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = (ev.withColumn("score",
+                            F.least(F.col("cents"), F.lit(2000))
+                            .cast("long"))
+                .withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+                .withColumn("week",
+                            F.floor(ts_seconds("ts") / 604800.0)
+                            .cast("long")))
+    out = auc_by_period(scored, "score", "lbl", "week")
+    return out.select("week", F.round("auc", 6).alias("auc"),
+                      "n_pos", "n_neg")
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier time-to-next-event curves per event_type:
     durations in whole hours, right-censored at 24h (and at each
@@ -3068,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_barrier": q_triple_barrier,
         "churn_label": q_churn_label,
         "auc": q_auc,
+        "auc_weekly": q_auc_weekly,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
@@ -5250,6 +5270,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg
         FROM r
+    """
+    oracles["auc_weekly"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000) AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl,
+                 CAST(floor(CAST(epoch(ts) AS DOUBLE) / 604800.0)
+                      AS BIGINT) AS week
+          FROM events
+        ), per AS (
+          SELECT week, score,
+                 CAST(sum(lbl) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(lbl) AS BIGINT) AS neg
+          FROM q GROUP BY week, score
+        ), r AS (
+          SELECT *,
+                 COALESCE(sum(neg) OVER (PARTITION BY week
+                   ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0)
+                   AS neg_below
+          FROM per
+        ), a AS (
+          SELECT week,
+                 CAST(sum(neg_below * pos) AS BIGINT) AS u,
+                 CAST(sum(pos * neg) AS BIGINT) AS t,
+                 CAST(sum(pos) AS BIGINT) AS n_pos,
+                 CAST(sum(neg) AS BIGINT) AS n_neg
+          FROM r GROUP BY week
+        )
+        SELECT week,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 (CAST(u AS DOUBLE) + CAST(t AS DOUBLE) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 END, 6) AS auc,
+               n_pos, n_neg
+        FROM a
     """
     oracles["calibration"] = """
         WITH q AS (

@@ -150,3 +150,37 @@ def gini_concentration(df: DataFrame, group_col: str,
          / F.count(F.lit(1)).cast("double")).alias("gini"),
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("x").alias("total"))
+
+
+def auc_by_period(df: DataFrame, score_col: str, label_col: str,
+                  period_col: str) -> DataFrame:
+    """ROC-AUC per time slice — the model-degradation trend view
+    ("the offline AUC was 0.81, what is it THIS week?").  One row per
+    period with the same exact Mann–Whitney arithmetic as
+    :func:`binary_auc`, computed for all periods in one pass: the
+    count table is keyed by (period, score) and the score-ordered
+    running sum partitions by period — so the plan scales with
+    periods × distinct scores, never with rows.  Periods with no
+    positives or no negatives yield NULL (AUC undefined)."""
+    lbl = F.col(label_col).cast("long")
+    per = (df.groupBy(period_col, score_col)
+             .agg(F.sum(lbl).alias("pos"),
+                  (F.count(lbl) - F.sum(lbl)).alias("neg")))
+    w = (Window.partitionBy(period_col).orderBy(score_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn("neg_below",
+                         F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    agg = per.groupBy(period_col).agg(
+        F.sum(F.col("neg_below") * F.col("pos")).alias("u"),
+        F.sum(F.col("pos") * F.col("neg")).alias("t"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"))
+    auc = ((F.col("u").cast("double")
+            + F.col("t").cast("double") / 2.0)
+           / (F.col("n_pos").cast("double")
+              * F.col("n_neg").cast("double")))
+    return agg.select(
+        period_col,
+        F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc)
+         .alias("auc"),
+        "n_pos", "n_neg")

@@ -3,6 +3,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from hiselspark.operators.evaluate import (binary_auc, calibration_bins,
                                            confusion_at)
 
@@ -137,3 +139,30 @@ def test_markov_transitions_rowwise(spark):
     assert out.loc[("b", "c"), "p"] == pytest.approx(0.5)
     assert out.loc[("c", "a"), "p"] == pytest.approx(1.0)
     assert len(out) == 4
+
+
+def test_auc_by_period_matches_per_slice_auc(spark):
+    from hiselspark.operators.evaluate import auc_by_period, binary_auc
+    rng = np.random.default_rng(23)
+    n = 4000
+    period = rng.integers(0, 4, n)
+    y = rng.integers(0, 2, n)
+    # signal strength varies by period: AUC should differ per slice
+    strength = np.array([8, 4, 2, 0])[period]
+    score = np.clip(y * strength + rng.integers(0, 8, n), 0, 20)
+    pdf = pd.DataFrame({"p": period, "score": score, "y": y})
+    df = spark.createDataFrame(pdf)
+    out = (auc_by_period(df, "score", "y", "p")
+           .toPandas().set_index("p").sort_index())
+    for p in range(4):
+        want = binary_auc(df.filter(F.col("p") == p), "score",
+                          "y").collect()[0]["auc"]
+        assert out.loc[p, "auc"] == pytest.approx(want, abs=1e-12)
+    # stronger signal -> higher AUC, zero signal -> ~0.5
+    assert out.loc[0, "auc"] > out.loc[2, "auc"] > 0.5
+    assert abs(out.loc[3, "auc"] - 0.5) < 0.05
+    # single-class period -> NULL
+    one = pd.DataFrame({"p": [9] * 5, "score": range(5), "y": 1})
+    o2 = auc_by_period(spark.createDataFrame(one), "score", "y",
+                       "p").collect()[0]
+    assert o2["auc"] is None
