@@ -468,6 +468,18 @@ def q_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("ppmi", 6).alias("ppmi"))
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency table of session shapes: each 30-min session reduced
+    to its first 4 event types, counted corpus-wide (paths seen in ≥ 2
+    sessions)."""
+    from hiselspark.operators.windows import session_paths
+    ev = _ev(spark, sf_dir)
+    out = session_paths(ev, "user_id", "ts", "event_type",
+                        gap_seconds=1800.0, max_len=4,
+                        min_sessions=2, tiebreak=("event_id",))
+    return out.select("path", "n_sessions", "n_entities")
+
+
 def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table of event types along user
     timelines: exact counts + row-normalized P(next|cur)."""
@@ -3097,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov": q_markov,
         "ppmi": q_ppmi,
         "rolling_entropy": q_rolling_entropy,
+        "session_paths": q_session_paths,
         "roc_curve": q_roc_curve,
         "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
@@ -5023,6 +5036,31 @@ def oracle_sql() -> dict[str, str]:
                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6)
                  AS ppmi
         FROM pairs CROSS JOIN nd
+    """
+    oracles["session_paths"] = """
+        WITH gaps AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+          SELECT user_id, event_id, event_type,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+          FROM gaps
+        ), per AS (
+          SELECT user_id, session_id,
+                 list(event_type ORDER BY us, event_id) AS seq
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT array_to_string(seq[1:4], '>') AS path,
+               count(*) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities
+        FROM per GROUP BY 1 HAVING count(*) >= 2
     """
     oracles["markov"] = """
         WITH q AS (

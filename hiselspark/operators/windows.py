@@ -1143,3 +1143,46 @@ def session_features(
     if value_col is not None:
         aggs.append(F.sum(value_col).alias(f"{value_col}_sum"))
     return sess.groupBy(entity_col, "session_id").agg(*aggs)
+
+
+def session_paths(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    gap_seconds: float = 1800.0,
+    max_len: int = 5,
+    min_sessions: int = 1,
+    sep: str = ">",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Top session paths: the frequency table of "what do sessions
+    look like" — each session reduced to the ordered sequence of its
+    first ``max_len`` states (``view>click>purchase``), counted across
+    the corpus.  The exploratory companion to :func:`funnel_steps`
+    (which checks ONE hypothesized order; this surfaces the orders
+    that actually happen).
+
+    :func:`sessionize` assigns sessions on the shared entity
+    clustering; the per-session sequence is an aggregated struct list
+    SORTED AFTER collection (``sort_array`` on (µs, tiebreak, state) —
+    collect order is partition-dependent, the sort makes it exact),
+    truncated with ``slice`` and joined — all JVM expressions.  Output
+    rows = distinct paths (bounded by statesᵐᵃˣ; realistically tiny);
+    counts exact."""
+    s = sessionize(df, entity_col, ts_col, gap_seconds)
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    key = F.struct(us.alias("us"),
+                   *[F.col(c).alias(f"t{i}")
+                     for i, c in enumerate(tiebreak)],
+                   F.col(state_col).cast("string").alias("s"))
+    per = (s.groupBy(entity_col, "session_id")
+            .agg(F.sort_array(F.collect_list(key)).alias("__seq")))
+    path = F.array_join(
+        F.slice(F.transform("__seq", lambda e: e["s"]), 1, max_len),
+        sep)
+    out = (per.withColumn("path", path)
+              .groupBy("path")
+              .agg(F.count(F.lit(1)).alias("n_sessions"),
+                   F.countDistinct(entity_col).alias("n_entities")))
+    return out.filter(F.col("n_sessions") >= int(min_sessions))

@@ -768,3 +768,28 @@ def test_rolling_entropy_matches_numpy(spark):
     df2 = rolling_entropy(spark.createDataFrame(pdf), "e", "ts", "c",
                           3600.0, categories=["a", "b", "c"])
     assert n_exchanges(df2) == 1
+
+
+def test_session_paths_known_sessions(spark):
+    from hiselspark.operators.windows import session_paths
+    t0 = pd.Timestamp("2024-09-01")
+    rows = []
+    # user 1: two sessions, both view>click>purchase
+    for s, start in enumerate([0, 7200]):
+        for j, st in enumerate(["view", "click", "purchase"]):
+            rows.append((1, t0 + pd.Timedelta(seconds=start + j * 60),
+                         st, len(rows)))
+    # user 2: one long session view>click>view>click>view (truncates)
+    for j, st in enumerate(["view", "click", "view", "click", "view"]):
+        rows.append((2, t0 + pd.Timedelta(seconds=j * 60), st,
+                     len(rows)))
+    pdf = pd.DataFrame(rows, columns=["u", "ts", "s", "i"])
+    out = (session_paths(spark.createDataFrame(pdf), "u", "ts", "s",
+                         gap_seconds=1800.0, max_len=4,
+                         tiebreak=("i",))
+           .toPandas().set_index("path"))
+    assert out.loc["view>click>purchase", "n_sessions"] == 2
+    assert out.loc["view>click>purchase", "n_entities"] == 1
+    # truncated to first 4 states
+    assert out.loc["view>click>view>click", "n_sessions"] == 1
+    assert len(out) == 2
