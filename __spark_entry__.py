@@ -398,6 +398,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/quantile normalization of the event value (cents) to (0,1)
+    via the midpoint empirical CDF — count-table + join-back, no
+    global row sort."""
+    from hiselspark.operators.encoding import rank_normalize
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = rank_normalize(ev, "cents", out_col="u")
+    return out.select("event_id", F.round("u", 6).alias("u"))
+
+
 def q_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-trick crossing of event_type × hour-of-day into 64
     buckets (portable polynomial hash — the oracle replays the exact
@@ -3092,6 +3103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "feature_cross": q_feature_cross,
+        "rank_normalize": q_rank_normalize,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -4881,6 +4893,25 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    oracles["rank_normalize"] = """
+        WITH q AS (
+          SELECT event_id,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), per AS (
+          SELECT cents, count(*) AS cnt FROM q GROUP BY cents
+        ), m AS (
+          SELECT cents,
+                 (COALESCE(sum(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)
+                  + CAST(cnt AS DOUBLE) / 2.0)
+                 / sum(cnt) OVER () AS u
+          FROM per
+        )
+        SELECT event_id, round(u, 6) AS u
+        FROM q JOIN m USING (cents)
+    """
     oracles["feature_cross"] = """
         WITH k AS (
           SELECT concat_ws('|', event_type,

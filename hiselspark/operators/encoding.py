@@ -352,3 +352,36 @@ def feature_cross(
               .withColumn(out_col,
                           hash_bucket(F.col("__cross_key"),
                                       n_buckets, salt)))
+
+
+def rank_normalize(
+    df: DataFrame,
+    col: str,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Rank-normalize an integer-quantized column to (0, 1): each value
+    maps to its midpoint empirical CDF ``(below + tied/2) / n`` — the
+    distribution-free feature transform (quantile/rank scaling) that
+    makes heavy-tailed counts comparable across features and robust to
+    outliers, where a z-score is neither.
+
+    Shape: one ``groupBy(value)`` reduces the rows to the distinct
+    value domain (bounded by the quantization), the cumulative counts
+    are a window over that count table, and the mapping joins back on
+    the value — rows never sort globally.  All counts exact; ties all
+    receive the identical midpoint rank (average-rank convention, same
+    as the AUC machinery in ``operators/evaluate``)."""
+    out_col = out_col or f"{col}_qnorm"
+    per = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = (Window.orderBy(col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    g = Window.partitionBy()
+    mapping = (per.withColumn("__below",
+                              F.coalesce(F.sum("__cnt").over(w),
+                                         F.lit(0)))
+                  .withColumn(out_col,
+                              (F.col("__below")
+                               + F.col("__cnt").cast("double") / 2.0)
+                              / F.sum("__cnt").over(g))
+                  .select(col, out_col))
+    return df.join(mapping, col)

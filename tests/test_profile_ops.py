@@ -169,3 +169,24 @@ def test_group_ols_matches_numpy_polyfit(spark):
     o2 = (group_ols(spark.createDataFrame(const), "g", "x", "y")
           .toPandas().iloc[0])
     assert pd.isna(o2.slope) and pd.isna(o2.r2)
+
+
+def test_rank_normalize_matches_scipy_free_ecdf(spark):
+    from hiselspark.operators.encoding import rank_normalize
+    rng = np.random.default_rng(101)
+    x = rng.integers(0, 50, 800)  # heavy ties
+    pdf = pd.DataFrame({"i": range(len(x)), "v": x})
+    out = (rank_normalize(spark.createDataFrame(pdf), "v",
+                          out_col="u")
+           .toPandas().sort_values("i").reset_index(drop=True))
+    n = len(x)
+    for val in np.unique(x):
+        below = int((x < val).sum())
+        tied = int((x == val).sum())
+        want = (below + tied / 2.0) / n
+        got = out.loc[out.v == val, "u"].unique()
+        assert len(got) == 1  # ties share one normalized value
+        assert got[0] == pytest.approx(want, abs=1e-12)
+    assert (out.u > 0).all() and (out.u < 1).all()
+    # rank-uniform: mean of u is exactly 0.5 (average-rank convention)
+    assert out.u.mean() == pytest.approx(0.5, abs=1e-12)
