@@ -1519,6 +1519,21 @@ def q_image_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("edge_energy", 6).alias("edge_energy"))
 
 
+def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real perceptual hash computed from pixels: dHash (9x8 nearest
+    downsample -> 64 horizontal-gradient sign bits, packed as two
+    uint32 halves) over synthesized raw payloads — every bit
+    recomputed arithmetically by the SQL oracle."""
+    from hiselspark.functions.image import with_dhash
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_dhash(imgs)
+    return out.select("okey", "dhash_lo", "dhash_hi")
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline end-to-end: synthesize 8x8 raw images, resize to
     4x4 with the production nearest-neighbor gather (pixel-center
@@ -3167,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize": q_image_resize,
         "image_spatial": q_image_spatial,
+        "dhash": q_dhash,
         "video_frames": q_video_frames,
         "video_motion": q_video_motion,
         "dataset_split": q_dataset_split,
@@ -4033,6 +4049,33 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(p, 0.5), 6) AS q50,
                round(quantile_cont(p, 0.75), 6) AS q75
         FROM px GROUP BY okey
+    """
+    oracles["dhash"] = """
+        WITH gray AS (
+          SELECT o_orderkey AS okey, y, x,
+                 (SELECT sum((o_orderkey * 7919
+                              + ((y*8 + least(CAST(floor((x + 0.5)
+                                   * 8.0 / 9.0) AS BIGINT), 7))*3
+                                 + c) * 31) % 256)
+                  FROM unnest(generate_series(0, 2)) AS tc(c)) AS g
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 8)) AS tx(x)
+        ), bits AS (
+          SELECT a.okey, a.y, a.x,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM gray a JOIN gray b
+            ON a.okey = b.okey AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+        )
+        SELECT okey,
+               CAST(sum(CASE WHEN y < 4
+                             THEN bit * (1::BIGINT << (y*8 + x))
+                             ELSE 0 END) AS BIGINT) AS dhash_lo,
+               CAST(sum(CASE WHEN y >= 4
+                             THEN bit * (1::BIGINT << ((y-4)*8 + x))
+                             ELSE 0 END) AS BIGINT) AS dhash_hi
+        FROM bits GROUP BY okey
     """
     oracles["image_spatial"] = """
         WITH px AS (

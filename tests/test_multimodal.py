@@ -217,3 +217,39 @@ def test_spatial_features_match_numpy_and_detect_blur(spark):
     assert out.loc[1, "edge_energy"] < 0.35 * out.loc[0, "edge_energy"]
     # payload dropped
     assert "bytes" not in out.columns
+
+
+def test_dhash_matches_numpy_and_survives_rescale(spark):
+    import numpy as np
+    import pandas as pd
+    from hiselspark.functions.image import with_dhash
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    up = np.kron(img, np.ones((4, 4, 1), dtype=np.uint8))  # 4x upscale
+    other = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    pdf = pd.DataFrame({
+        "img_id": [0, 1, 2],
+        "bytes": [img.tobytes(), up.tobytes(), other.tobytes()],
+        "w": [16, 64, 16], "h": [16, 64, 16],
+        "fmt": ["raw"] * 3,
+    })
+    out = (with_dhash(spark.createDataFrame(pdf)).toPandas()
+           .sort_values("img_id").reset_index(drop=True))
+    # numpy twin for the base image
+    ys = np.minimum(((np.arange(8) + 0.5) * 16 / 8).astype(int), 15)
+    xs = np.minimum(((np.arange(9) + 0.5) * 16 / 9).astype(int), 15)
+    g = img[ys[:, None], xs[None, :], :].astype(np.int64).sum(axis=2)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+    lo = int((bits[:4].ravel() << np.arange(32)).sum())
+    hi = int((bits[4:].ravel() << np.arange(32)).sum())
+    assert out.loc[0, "dhash_lo"] == lo
+    assert out.loc[0, "dhash_hi"] == hi
+    assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+
+    def ham(a, b):
+        return (bin(int(a.dhash_lo) ^ int(b.dhash_lo)).count("1")
+                + bin(int(a.dhash_hi) ^ int(b.dhash_hi)).count("1"))
+    # perceptual: a pixel-doubled copy hashes (near-)identically...
+    assert ham(out.loc[0], out.loc[1]) <= 6
+    # ...while an unrelated image differs in ~half the 64 bits
+    assert ham(out.loc[0], out.loc[2]) > 16
