@@ -1534,6 +1534,40 @@ def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("okey", "dhash_lo", "dhash_hi")
 
 
+def q_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image near-dup mining on COMPUTED hashes: payloads
+    seeded by okey%500 plant duplicate groups; dHash halves act as
+    pigeonhole bands (a ≤6-bit pair must agree on one uint32 half),
+    candidates verified by exact Hamming ≤ 6.  The oracle recomputes
+    hashes, banding and Hamming arithmetically."""
+    from hiselspark.functions.image import with_dhash
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") <= 3000))
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("seed", F.pmod(F.col("okey"), F.lit(500))
+                        .cast("long"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "seed", 7919, 31, 8 * 8 * 3)
+    h = with_dhash(imgs).select("okey", "dhash_lo", "dhash_hi")
+    a = h.select(F.col("okey").alias("a"),
+                 F.col("dhash_lo").alias("alo"),
+                 F.col("dhash_hi").alias("ahi"))
+    b = h.select(F.col("okey").alias("b"),
+                 F.col("dhash_lo").alias("blo"),
+                 F.col("dhash_hi").alias("bhi"))
+    cand = (a.join(b, (F.col("a") < F.col("b"))
+                   & ((F.col("alo") == F.col("blo"))
+                      | (F.col("ahi") == F.col("bhi")))))
+    ham = (F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+           + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))))
+    out = (cand.withColumn("hamming", ham.cast("int"))
+               .filter(F.col("hamming") <= 6))
+    return out.groupBy("hamming").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a").alias("n_left"))
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline end-to-end: synthesize 8x8 raw images, resize to
     4x4 with the production nearest-neighbor gather (pixel-center
@@ -3183,6 +3217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_spatial": q_image_spatial,
         "dhash": q_dhash,
+        "dhash_neardup": q_dhash_neardup,
         "video_frames": q_video_frames,
         "video_motion": q_video_motion,
         "dataset_split": q_dataset_split,
@@ -4076,6 +4111,48 @@ def oracle_sql() -> dict[str, str]:
                              THEN bit * (1::BIGINT << ((y-4)*8 + x))
                              ELSE 0 END) AS BIGINT) AS dhash_hi
         FROM bits GROUP BY okey
+    """
+    oracles["dhash_neardup"] = """
+        WITH keys AS (
+          SELECT o_orderkey AS okey, o_orderkey % 500 AS seed
+          FROM orders WHERE o_orderkey <= 3000
+        ), gray AS (
+          SELECT okey, seed, y, x,
+                 (SELECT sum((seed * 7919
+                              + ((y*8 + least(CAST(floor((x + 0.5)
+                                   * 8.0 / 9.0) AS BIGINT), 7))*3
+                                 + c) * 31) % 256)
+                  FROM unnest(generate_series(0, 2)) AS tc(c)) AS g
+          FROM keys,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 8)) AS tx(x)
+        ), bits AS (
+          SELECT a.okey, a.y, a.x,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM gray a JOIN gray b
+            ON a.okey = b.okey AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+        ), h AS (
+          SELECT okey,
+                 CAST(sum(CASE WHEN y < 4
+                               THEN bit * (1::BIGINT << (y*8 + x))
+                               ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(sum(CASE WHEN y >= 4
+                               THEN bit * (1::BIGINT << ((y-4)*8 + x))
+                               ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY okey
+        ), pairs AS (
+          SELECT a.okey AS pa,
+                 CAST(bit_count(xor(a.lo, b.lo))
+                      + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+          FROM h a JOIN h b
+            ON a.okey < b.okey
+           AND (a.lo = b.lo OR a.hi = b.hi)
+        )
+        SELECT hamming,
+               count(*) AS n_pairs,
+               CAST(count(DISTINCT pa) AS BIGINT) AS n_left
+        FROM pairs WHERE hamming <= 6 GROUP BY hamming
     """
     oracles["image_spatial"] = """
         WITH px AS (
