@@ -398,6 +398,17 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("cos", 6).alias("cos_sim")))
 
 
+def q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate canonicalization keeping the HIGHEST-quality copy per
+    normalized-content group (ties -> lowest doc_id): survivor ids +
+    the per-group size, quality = doc length in chars."""
+    from hiselspark.operators.dedup import keep_best_duplicate
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("qual", F.length("text").cast("long")))
+    out = keep_best_duplicate(docs, "doc_id", "text", "qual")
+    return out.select("doc_id", "qual").orderBy("doc_id")
+
+
 def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank/quantile normalization of the event value (cents) to (0,1)
     via the midpoint empirical CDF — count-table + join-back, no
@@ -3153,6 +3164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cusum": q_streaming_cusum,
         "feature_cross": q_feature_cross,
         "rank_normalize": q_rank_normalize,
+        "keep_best": q_keep_best,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -5013,6 +5025,21 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    oracles["keep_best"] = """
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS qual,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                   AS norm
+          FROM documents
+        ), r AS (
+          SELECT doc_id, qual,
+                 row_number() OVER (PARTITION BY norm
+                   ORDER BY qual DESC, doc_id ASC) AS rk
+          FROM q
+        )
+        SELECT doc_id, qual FROM r WHERE rk = 1 ORDER BY doc_id
+    """
     oracles["rank_normalize"] = """
         WITH q AS (
           SELECT event_id,

@@ -55,6 +55,35 @@ def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
               .drop("__rk"))
 
 
+def keep_best_duplicate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: str,
+    keep_higher: bool = True,
+) -> DataFrame:
+    """Canonicalization: keep, per normalized-content duplicate group,
+    the row with the BEST quality score (ties -> lowest id) instead of
+    an arbitrary representative — the curation pass that keeps the
+    cleanest copy of each duplicated document (highest quality score,
+    longest form, best-decoded variant) rather than whichever id
+    sorts first.  Composes with :func:`deduplicate_exact` (which is
+    the quality-blind special case) and the near-dup cluster family
+    (apply per ``dup_components`` cluster id for fuzzy groups).
+
+    One window over the content-hash clustering — same single-shuffle
+    shape as ``deduplicate_exact``; deterministic for any quality
+    column (unique-id tiebreak)."""
+    from pyspark.sql import Window
+    order = (F.col(quality_col).desc() if keep_higher
+             else F.col(quality_col).asc())
+    w = (Window.partitionBy(normalize_text(text_col))
+               .orderBy(order, F.col(id_col).asc()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .filter(F.col("__rk") == 1)
+              .drop("__rk"))
+
+
 # ---------------------------------------------------------------------------
 # shingles
 # ---------------------------------------------------------------------------

@@ -658,3 +658,30 @@ def test_rrf_fuse_matches_bruteforce(spark):
                       spark.createDataFrame(r2).repartition(2)], k=60)
             .toPandas().sort_values("rk").reset_index(drop=True))
     assert (out2.rrf.to_numpy() == out.rrf.to_numpy()).all()
+
+
+def test_keep_best_duplicate_prefers_quality(spark):
+    from hiselspark.operators.dedup import keep_best_duplicate
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["Hello  World", "hello world", "unique doc",
+                 "hello world", "UNIQUE   DOC"],
+        "q": [10, 30, 5, 20, 50],
+    })
+    out = (keep_best_duplicate(spark.createDataFrame(pdf), "doc_id",
+                               "text", "q")
+           .toPandas().sort_values("doc_id"))
+    # group {1,2,4} (same normalized text): best q=30 -> doc 2
+    # group {3,5}: best q=50 -> doc 5
+    assert list(out.doc_id) == [2, 5]
+    # keep_higher=False flips the rule
+    out2 = (keep_best_duplicate(spark.createDataFrame(pdf), "doc_id",
+                                "text", "q", keep_higher=False)
+            .toPandas().sort_values("doc_id"))
+    assert list(out2.doc_id) == [1, 3]
+    # tie on quality -> lowest id survives
+    tie = pd.DataFrame({"doc_id": [7, 6], "text": ["x y", "x  y"],
+                        "q": [9, 9]})
+    out3 = keep_best_duplicate(spark.createDataFrame(tie), "doc_id",
+                               "text", "q").toPandas()
+    assert list(out3.doc_id) == [6]
