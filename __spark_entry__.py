@@ -2853,6 +2853,41 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "o_orderpriority", "revenue_e4")
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-table star join —
+    region/nation broadcast dims, customer⋈orders⋈lineitem⋈supplier
+    with the same-nation constraint — revenue per nation in exact
+    integer cents×bp, one-year date window pushed to the orders
+    scan."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    out = (F.broadcast(r.filter(F.col("r_name") == "ASIA"))
+           .join(F.broadcast(n),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+           .join(o.filter((F.col("o_orderdate").cast("timestamp")
+                           >= lo)
+                          & (F.col("o_orderdate").cast("timestamp")
+                             < hi)),
+                 F.col("o_custkey") == F.col("c_custkey"))
+           .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+                 & (F.col("s_nationkey") == F.col("c_nationkey")))
+           .groupBy("n_name")
+           .agg(F.sum(rev).alias("revenue_e6"),
+                F.count(F.lit(1)).alias("n_items")))
+    return out.select("n_name", "revenue_e6", "n_items")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (PQ16x8, the canonical 8-bit
     config: 64-dim float64 -> 16 one-byte codes, 32x smaller scan).
@@ -3165,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_cross": q_feature_cross,
         "rank_normalize": q_rank_normalize,
         "keep_best": q_keep_best,
+        "tpch_q5": q_tpch_q5,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -5025,6 +5061,25 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    oracles["tpch_q5"] = """
+        SELECT n_name,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (10000 - CAST(round(l_discount*10000)
+                                        AS BIGINT))) AS BIGINT)
+                 AS revenue_e6,
+               count(*) AS n_items
+        FROM region, nation, customer, orders, lineitem, supplier
+        WHERE r_name = 'ASIA'
+          AND n_regionkey = r_regionkey
+          AND c_nationkey = n_nationkey
+          AND o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND s_nationkey = c_nationkey
+        GROUP BY n_name
+    """
     oracles["keep_best"] = """
         WITH q AS (
           SELECT doc_id,

