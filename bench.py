@@ -89,7 +89,8 @@ def main() -> None:
                  "tpch_q1", "broadcast_join_agg", "embedding_topk",
                  "dedup_exact", "pack_sequences", "curate_corpus",
                  "resample_ffill", "heavy_hitters", "pq_topk",
-                 "rolling_distinct", "asof_nearest"):
+                 "rolling_distinct", "asof_nearest", "image_spatial",
+                 "dhash", "auc", "tpch_q5"):
         timed(name, lambda n=name: qs[n](spark, SF_DIR)
               .write.format("noop").mode("overwrite").save())
 
