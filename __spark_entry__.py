@@ -1579,6 +1579,50 @@ def q_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("a").alias("n_left"))
 
 
+def q_image_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE curation chain on synthesized payloads with
+    planted duplicate groups (seed = okey%400): decode → gradient
+    sharpness score → drop the blurriest decile (corpus-relative
+    threshold, exact integer compare) → perceptual-hash (dHash) exact
+    dedup keeping the SHARPEST copy per group (ties → lowest id) →
+    survivor histogram by duplicate-group size.  Every stage is exact
+    integer arithmetic the oracle replays in SQL."""
+    from pyspark.sql import Window
+    from hiselspark.functions.image import (with_dhash,
+                                            with_spatial_features)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") <= 2000))
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("seed", F.pmod(F.col("okey"), F.lit(400))
+                        .cast("long"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "seed", 7919, 31, 8 * 8 * 3)
+    feat = (with_spatial_features(imgs, grid=2)
+            .select("okey", "seed",
+                    # integer sharpness: sum|dx| over the frame
+                    F.round(F.col("edge_dx") * (8 * 7 * 3))
+                     .cast("long").alias("sharp")))
+    hsh = with_dhash(imgs).select(F.col("okey").alias("hk"),
+                                  "dhash_lo", "dhash_hi")
+    j = feat.join(hsh, feat.okey == hsh.hk).drop("hk")
+    # corpus-relative blur cut: strictly above the exact p10 of sharp
+    p10 = F.expr("percentile(sharp, 0.1)")
+    thresh = j.agg(p10.alias("t")).collect()[0]["t"]
+    kept = j.filter(F.col("sharp").cast("double") > float(thresh))
+    w = Window.partitionBy("dhash_lo", "dhash_hi").orderBy(
+        F.col("sharp").desc(), F.col("okey").asc())
+    surv = (kept.withColumn("rk", F.row_number().over(w))
+                .withColumn("gsz", F.count(F.lit(1)).over(
+                    Window.partitionBy("dhash_lo", "dhash_hi")))
+                .filter(F.col("rk") == 1))
+    return (surv.groupBy("gsz")
+                .agg(F.count(F.lit(1)).alias("n_groups"),
+                     F.min("okey").alias("min_survivor"))
+                .select(F.col("gsz").cast("long").alias("group_size"),
+                        "n_groups", "min_survivor"))
+
+
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pipeline end-to-end: synthesize 8x8 raw images, resize to
     4x4 with the production nearest-neighbor gather (pixel-center
@@ -3266,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_spatial": q_image_spatial,
         "dhash": q_dhash,
         "dhash_neardup": q_dhash_neardup,
+        "image_curation": q_image_curation,
         "video_frames": q_video_frames,
         "video_motion": q_video_motion,
         "dataset_split": q_dataset_split,
@@ -4201,6 +4246,67 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_pairs,
                CAST(count(DISTINCT pa) AS BIGINT) AS n_left
         FROM pairs WHERE hamming <= 6 GROUP BY hamming
+    """
+    oracles["image_curation"] = """
+        WITH keys AS (
+          SELECT o_orderkey AS okey, o_orderkey % 400 AS seed
+          FROM orders WHERE o_orderkey <= 2000
+        ), px AS (
+          SELECT okey, seed,
+                 CAST((seed * 7919 + ((y*8 + x)*3 + c) * 31) % 256
+                      AS BIGINT) AS p,
+                 CAST((seed * 7919 + ((y*8 + x + 1)*3 + c) * 31) % 256
+                      AS BIGINT) AS pr
+          FROM keys,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 6)) AS tx(x),
+               unnest(generate_series(0, 2)) AS tc(c)
+        ), sharp AS (
+          SELECT okey, CAST(sum(abs(pr - p)) AS BIGINT) AS sharp
+          FROM px GROUP BY okey
+        ), gray AS (
+          SELECT okey, y, x,
+                 (SELECT sum((seed * 7919
+                              + ((y*8 + least(CAST(floor((x + 0.5)
+                                   * 8.0 / 9.0) AS BIGINT), 7))*3
+                                 + c) * 31) % 256)
+                  FROM unnest(generate_series(0, 2)) AS tc(c)) AS g
+          FROM keys,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 8)) AS tx(x)
+        ), bits AS (
+          SELECT a.okey, a.y, a.x,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM gray a JOIN gray b
+            ON a.okey = b.okey AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+        ), h AS (
+          SELECT okey,
+                 CAST(sum(CASE WHEN y < 4
+                               THEN bit * (1::BIGINT << (y*8 + x))
+                               ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(sum(CASE WHEN y >= 4
+                               THEN bit * (1::BIGINT << ((y-4)*8 + x))
+                               ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY okey
+        ), thresh AS (
+          SELECT quantile_cont(CAST(sharp AS DOUBLE), 0.1) AS t
+          FROM sharp
+        ), kept AS (
+          SELECT s.okey, s.sharp, h.lo, h.hi
+          FROM sharp s JOIN h USING (okey) CROSS JOIN thresh
+          WHERE CAST(s.sharp AS DOUBLE) > t
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY lo, hi
+                   ORDER BY sharp DESC, okey ASC) AS rk,
+                 count(*) OVER (PARTITION BY lo, hi) AS gsz
+          FROM kept
+        )
+        SELECT CAST(gsz AS BIGINT) AS group_size,
+               count(*) AS n_groups,
+               CAST(min(okey) AS BIGINT) AS min_survivor
+        FROM r WHERE rk = 1 GROUP BY gsz
     """
     oracles["image_spatial"] = """
         WITH px AS (

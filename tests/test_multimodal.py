@@ -253,3 +253,19 @@ def test_dhash_matches_numpy_and_survives_rescale(spark):
     assert ham(out.loc[0], out.loc[1]) <= 6
     # ...while an unrelated image differs in ~half the 64 bits
     assert ham(out.loc[0], out.loc[2]) > 16
+
+
+def test_image_curation_chain_invariants(spark):
+    """Drive the gate's end-to-end image-curation chain at sf0.001 and
+    check the pipeline invariants the oracle can't express: survivor
+    uniqueness per perceptual group and conservation of groups."""
+    import __spark_entry__ as se
+    out = se.q_image_curation(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) >= 1
+    assert (out.group_size >= 1).all()
+    assert (out.n_groups >= 1).all()
+    # planted duplication: seeds repeat every 400 keys over <=2000 keys,
+    # so multi-member groups must exist
+    assert (out.group_size > 1).any()
+    # survivors are distinct original ids
+    assert out.min_survivor.is_unique
