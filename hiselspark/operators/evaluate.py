@@ -184,3 +184,42 @@ def auc_by_period(df: DataFrame, score_col: str, label_col: str,
         F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), auc)
          .alias("auc"),
         "n_pos", "n_neg")
+
+
+def retrieval_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    probe_col: str = "probe_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-probe retrieval quality of a (possibly approximate) ranking
+    against a relevance set: ``recall@k`` (= fraction of the truth set
+    retrieved in the top k), ``precision@k``, and ``mrr`` (reciprocal
+    rank of the first relevant hit, 0 if none) — how ANN indexes (LSH
+    / IVF / PQ) are actually graded against the exact ranking.
+
+    Both inputs are bounded per-probe ranking tables (probe, id,
+    rank); the computation is one equi-join on (probe, id) + one
+    aggregate per probe — counts and single divisions of exact
+    integers, engine-reproducible.  Probes present in ``truth`` but
+    retrieving nothing still appear (zero metrics)."""
+    p = (pred.filter(F.col(rank_col) <= int(k))
+             .select(F.col(probe_col).alias("probe"),
+                     F.col(id_col).alias("doc"),
+                     F.col(rank_col).alias("prk")))
+    t = truth.select(F.col(probe_col).alias("probe"),
+                     F.col(id_col).alias("doc"))
+    n_rel = t.groupBy("probe").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (p.join(t, ["probe", "doc"])
+             .groupBy("probe")
+             .agg(F.count(F.lit(1)).alias("n_hit"),
+                  F.min("prk").alias("first_hit")))
+    out = (n_rel.join(hits, "probe", "left")
+                .withColumn("n_hit", F.coalesce("n_hit", F.lit(0))))
+    return out.select(
+        F.col("probe").alias(probe_col), "n_rel", "n_hit",
+        (F.col("n_hit") / F.col("n_rel")).alias(f"recall_at_{k}"),
+        (F.col("n_hit") / F.lit(float(k))).alias(f"precision_at_{k}"),
+        F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("mrr"))

@@ -166,3 +166,29 @@ def test_auc_by_period_matches_per_slice_auc(spark):
     o2 = auc_by_period(spark.createDataFrame(one), "score", "y",
                        "p").collect()[0]
     assert o2["auc"] is None
+
+
+def test_retrieval_metrics_hand_case(spark):
+    from hiselspark.operators.evaluate import retrieval_metrics
+    truth = pd.DataFrame({"probe_id": [1, 1, 1, 2, 2, 3],
+                          "vec_id": [10, 11, 12, 20, 21, 30]})
+    pred = pd.DataFrame({
+        "probe_id": [1, 1, 1, 1, 2, 2, 3],
+        "vec_id":   [99, 11, 98, 12, 20, 21, 97],
+        "rk":       [1, 2, 3, 4, 1, 2, 1],
+    })
+    out = (retrieval_metrics(spark.createDataFrame(pred),
+                             spark.createDataFrame(truth), k=3)
+           .toPandas().set_index("probe_id").sort_index())
+    # probe 1: top-3 = {99,11,98}; hits={11} of 3 relevant
+    assert out.loc[1, "n_hit"] == 1 and out.loc[1, "n_rel"] == 3
+    assert out.loc[1, "recall_at_3"] == pytest.approx(1 / 3)
+    assert out.loc[1, "precision_at_3"] == pytest.approx(1 / 3)
+    assert out.loc[1, "mrr"] == pytest.approx(1 / 2)  # first hit at rk2
+    # probe 2: perfect 2/2 within top-3
+    assert out.loc[2, "recall_at_3"] == pytest.approx(1.0)
+    assert out.loc[2, "mrr"] == pytest.approx(1.0)
+    # probe 3: retrieved nothing relevant -> zeros, still present
+    assert out.loc[3, "n_hit"] == 0
+    assert out.loc[3, "recall_at_3"] == 0.0
+    assert out.loc[3, "mrr"] == 0.0
