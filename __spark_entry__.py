@@ -2961,6 +2961,29 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_name", "revenue_e6", "n_items")
 
 
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
+    pattern — orders whose total lineitem quantity exceeds a
+    threshold, semi-joined back and re-aggregated with customer
+    attribution; exact integer quantities throughout."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round("l_quantity").cast("long")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(qty).alias("tot_qty"))
+             .filter(F.col("tot_qty") > 120))
+    out = (big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(c, F.col("c_custkey") == F.col("o_custkey"))
+              .groupBy("c_custkey")
+              .agg(F.count(F.lit(1)).alias("n_big_orders"),
+                   F.sum("tot_qty").alias("total_qty"))
+              .orderBy(F.col("total_qty").desc(),
+                       F.col("c_custkey").asc())
+              .limit(20))
+    return out.select("c_custkey", "n_big_orders", "total_qty")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (PQ16x8, the canonical 8-bit
     config: 64-dim float64 -> 16 one-byte codes, 32x smaller scan).
@@ -3274,6 +3297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_normalize": q_rank_normalize,
         "keep_best": q_keep_best,
         "tpch_q5": q_tpch_q5,
+        "tpch_q18": q_tpch_q18,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -5215,6 +5239,24 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey = s_suppkey
           AND s_nationkey = c_nationkey
         GROUP BY n_name
+    """
+    oracles["tpch_q18"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                      AS BIGINT) AS tot_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 120
+        )
+        SELECT c_custkey,
+               count(*) AS n_big_orders,
+               CAST(sum(tot_qty) AS BIGINT) AS total_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY total_qty DESC, c_custkey ASC
+        LIMIT 20
     """
     oracles["keep_best"] = """
         WITH q AS (
