@@ -466,6 +466,26 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("chi2", 6).alias("chi2"))
 
 
+def q_ma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover events per user: 6h vs 48h trailing
+    means of the event value, cross-up/cross-down flags from one lag
+    of the comparison sign — indicators and detector share the single
+    entity shuffle."""
+    from hiselspark.operators.windows import (crossover_events,
+                                              rolling_aggregates)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    d = rolling_aggregates(ev, "user_id", "ts", {"cents": ["mean"]},
+                           window_seconds=21600.0)
+    d = rolling_aggregates(d, "user_id", "ts", {"cents": ["mean"]},
+                           window_seconds=172800.0)
+    out = crossover_events(d, "user_id", "ts",
+                           "cents_roll_mean_21600s",
+                           "cents_roll_mean_172800s",
+                           tiebreak=("event_id",))
+    return out.select("event_id", "cross_up", "cross_down")
+
+
 def q_rolling_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24h Shannon entropy of each user's event-type mix —
     behavioral diversity; conditional counts in one WindowExec, terms
@@ -3317,6 +3337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppmi": q_ppmi,
         "rolling_entropy": q_rolling_entropy,
         "session_paths": q_session_paths,
+        "ma_crossover": q_ma_crossover,
         "roc_curve": q_roc_curve,
         "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
@@ -5447,6 +5468,38 @@ def oracle_sql() -> dict[str, str]:
                     / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))), 6)
                  AS ppmi
         FROM pairs CROSS JOIN nd
+    """
+    oracles["ma_crossover"] = """
+        WITH q AS (
+          SELECT event_id, user_id,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CAST(epoch(ts) * 1000000 AS BIGINT) AS us
+          FROM events
+        ), m AS (
+          SELECT event_id, user_id, us,
+                 avg(cents) OVER f AS fast,
+                 avg(cents) OVER s AS slow
+          FROM q
+          WINDOW f AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 21600000000 PRECEDING
+                                 AND CURRENT ROW),
+                 s AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 172800000000 PRECEDING
+                                 AND CURRENT ROW)
+        ), a AS (
+          SELECT event_id, user_id, us,
+                 CASE WHEN fast > slow THEN 1 ELSE 0 END AS above
+          FROM m
+        )
+        SELECT event_id,
+               CAST(COALESCE(CASE WHEN above = 1
+                     AND lag(above) OVER w = 0 THEN 1 ELSE 0 END, 0)
+                    AS INT) AS cross_up,
+               CAST(COALESCE(CASE WHEN above = 0
+                     AND lag(above) OVER w = 1 THEN 1 ELSE 0 END, 0)
+                    AS INT) AS cross_down
+        FROM a
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     """
     oracles["session_paths"] = """
         WITH gaps AS (

@@ -1186,3 +1186,34 @@ def session_paths(
               .agg(F.count(F.lit(1)).alias("n_sessions"),
                    F.countDistinct(entity_col).alias("n_entities")))
     return out.filter(F.col("n_sessions") >= int(min_sessions))
+
+
+def crossover_events(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    fast_col: str,
+    slow_col: str,
+    up_col: str = "cross_up",
+    down_col: str = "cross_down",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Detect crossings of two indicator columns per entity:
+    ``cross_up`` = fast moved from ≤ slow to > slow at this row,
+    ``cross_down`` = the reverse — the generic "signal line crossed
+    its baseline" event detector (MA crossovers, score vs threshold,
+    actual vs forecast).  First row per entity: no previous state, no
+    event (0).
+
+    One ``lag`` of the sign over the shared entity clustering — pure
+    JVM, exact comparisons, composes with the rolling family that
+    produces the indicators at no extra shuffle."""
+    w = entity_window(entity_col, ts_col, *tiebreak)
+    above = (F.col(fast_col) > F.col(slow_col)).cast("int")
+    prev = F.lag(above).over(w)
+    return (df.withColumn(up_col,
+                          ((above == 1) & (prev == 0)).cast("int"))
+              .withColumn(down_col,
+                          ((above == 0) & (prev == 1)).cast("int"))
+              .withColumn(up_col, F.coalesce(up_col, F.lit(0)))
+              .withColumn(down_col, F.coalesce(down_col, F.lit(0))))

@@ -793,3 +793,22 @@ def test_session_paths_known_sessions(spark):
     # truncated to first 4 states
     assert out.loc["view>click>view>click", "n_sessions"] == 1
     assert len(out) == 2
+
+
+def test_crossover_events_hand_case(spark):
+    from hiselspark.operators.windows import crossover_events
+    t0 = pd.Timestamp("2024-10-01")
+    # fast/slow sequences engineered for one up-cross then one down
+    fast = [1, 3, 5, 4, 2, 1, 3]
+    slow = [2, 2, 3, 3, 3, 2, 2]
+    pdf = pd.DataFrame({
+        "e": "u",
+        "ts": [t0 + pd.Timedelta(minutes=i) for i in range(7)],
+        "f": fast, "s": slow, "i": range(7),
+    })
+    out = (crossover_events(spark.createDataFrame(pdf), "e", "ts",
+                            "f", "s", tiebreak=("i",))
+           .toPandas().sort_values("i").reset_index(drop=True))
+    # above: 0,1,1,1,0,0,1 -> up at rows 1 and 6, down at row 4
+    assert list(out.cross_up) == [0, 1, 0, 0, 0, 0, 1]
+    assert list(out.cross_down) == [0, 0, 0, 0, 1, 0, 0]
