@@ -629,6 +629,22 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("r2", 6).alias("r2"))
 
 
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-based Poisson bootstrap: 95% CI for the mean event
+    value (cents) from 100 one-pass replicates.  Deterministic across
+    layouts (counter-hash weights, exact integer sums) -> pinned
+    literal oracle; the CI must bracket the point estimate."""
+    from hiselspark.operators.bootstrap import poisson_bootstrap_mean
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = poisson_bootstrap_mean(ev, "cents", "event_id",
+                                 n_replicates=100, seed=7)
+    return out.select(F.round("point", 6).alias("point"),
+                      F.round("lo", 6).alias("lo"),
+                      F.round("hi", 6).alias("hi"),
+                      "n_replicates")
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval quality of the raw dot-product ranking against the
     exact cosine top-5 truth set, per probe: recall@10, precision@10,
@@ -3327,6 +3343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc": q_auc,
         "auc_weekly": q_auc_weekly,
         "retrieval_eval": q_retrieval_eval,
+        "bootstrap_ci": q_bootstrap_ci,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
