@@ -629,6 +629,21 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("r2", 6).alias("r2"))
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of the event-value distribution,
+    first two weeks vs the rest (binning-free drift metric); the sup of the empirical CDF gap plus where it's
+    attained."""
+    from hiselspark.operators.drift import ks_statistic
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    out = ks_statistic(ev, "cents",
+                       F.col("ts").cast("timestamp") < split)
+    return out.select(F.round("ks", 6).alias("ks"), "at_value",
+                      "n_ref", "n_cur")
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Deterministic across
@@ -3344,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_weekly": q_auc_weekly,
         "retrieval_eval": q_retrieval_eval,
         "bootstrap_ci": q_bootstrap_ci,
+        "ks_drift": q_ks_drift,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
@@ -5789,6 +5805,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg
         FROM r
+    """
+    oracles["ks_drift"] = """
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS cents,
+                 CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0
+                 END AS r
+          FROM events
+        ), per AS (
+          SELECT cents,
+                 CAST(sum(r) AS BIGINT) AS a,
+                 CAST(count(*) - sum(r) AS BIGINT) AS b
+          FROM q GROUP BY cents
+        ), t AS (
+          SELECT cents,
+                 abs(sum(a) OVER w / (sum(a) OVER () * 1.0)
+                     - sum(b) OVER w / (sum(b) OVER () * 1.0)) AS gap,
+                 sum(a) OVER () AS na,
+                 sum(b) OVER () AS nb
+          FROM per
+          WINDOW w AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ), m AS (
+          SELECT *, max(gap) OVER () AS best FROM t
+        )
+        SELECT round(max(best), 6) AS ks,
+               CAST(min(cents) AS BIGINT) AS at_value,
+               CAST(max(na) AS BIGINT) AS n_ref,
+               CAST(max(nb) AS BIGINT) AS n_cur
+        FROM m WHERE gap = best
     """
     oracles["retrieval_eval"] = """
         WITH e AS (

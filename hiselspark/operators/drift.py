@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def psi_drift(
@@ -129,3 +129,42 @@ def jsd_drift(
     return (per_key
             .withColumn(jsd_col, F.aggregate("__b", F.lit(0.0), term))
             .drop("__b", "__nb"))
+
+
+def ks_statistic(
+    df: DataFrame,
+    value_col: str,
+    is_reference,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where ``is_reference`` holds and the rest:
+    ``D = max over values of |F_ref(v) − F_cur(v)|`` — the
+    distribution-shift metric that, unlike PSI, needs no binning
+    choices (it IS the sup-norm of the empirical CDF gap).
+
+    Same scale shape as the exact-AUC machinery: one
+    ``groupBy(value)`` over the (integer-quantized) column reduces the
+    data to its distinct-value table; cumulative counts and the max
+    run over that bounded table.  Every term is an exact integer ratio
+    — engine-reproducible.  Returns one row ``(ks, at_value, n_ref,
+    n_cur)`` with the (lowest) value where the gap is attained."""
+    ref = is_reference.cast("long")
+    per = (df.groupBy(value_col)
+             .agg(F.sum(ref).alias("a"),
+                  (F.count(ref) - F.sum(ref)).alias("b")))
+    w = (Window.orderBy(value_col)
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    g = Window.partitionBy()
+    gap = F.abs(F.sum("a").over(w) / F.sum("a").over(g)
+                - F.sum("b").over(w) / F.sum("b").over(g))
+    t = (per.withColumn("gap", gap)
+            .withColumn("best", F.max("gap").over(g))
+            .withColumn("na", F.sum("a").over(g))
+            .withColumn("nb", F.sum("b").over(g)))
+    return (t.filter(F.col("gap") == F.col("best"))
+             .groupBy()
+             .agg(F.max("best").alias("ks"),
+                  F.min(value_col).alias("at_value"),
+                  F.max("na").alias("n_ref"),
+                  F.max("nb").alias("n_cur")))

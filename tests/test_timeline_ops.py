@@ -812,3 +812,30 @@ def test_crossover_events_hand_case(spark):
     # above: 0,1,1,1,0,0,1 -> up at rows 1 and 6, down at row 4
     assert list(out.cross_up) == [0, 1, 0, 0, 0, 0, 1]
     assert list(out.cross_down) == [0, 0, 0, 0, 1, 0, 0]
+
+
+def test_ks_statistic_matches_brute_force(spark):
+    from hiselspark.operators.drift import ks_statistic
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 100, 1500)          # reference
+    b = rng.integers(20, 120, 1000)         # shifted current
+    pdf = pd.DataFrame({"v": np.concatenate([a, b]),
+                        "is_ref": [1] * len(a) + [0] * len(b)})
+    row = ks_statistic(spark.createDataFrame(pdf), "v",
+                       F.col("is_ref") == 1).collect()[0]
+    # brute-force sup of the ECDF gap over all observed values
+    vals = np.unique(pdf.v)
+    fa = np.array([(a <= v).mean() for v in vals])
+    fb = np.array([(b <= v).mean() for v in vals])
+    want = np.abs(fa - fb).max()
+    assert row["ks"] == pytest.approx(want, abs=1e-12)
+    assert row["n_ref"] == len(a) and row["n_cur"] == len(b)
+    at = row["at_value"]
+    assert abs((a <= at).mean() - (b <= at).mean()) == pytest.approx(
+        want, abs=1e-12)
+    # identical samples -> KS == 0
+    same = pd.DataFrame({"v": np.tile(a, 2),
+                         "is_ref": [1] * len(a) + [0] * len(a)})
+    z = ks_statistic(spark.createDataFrame(same), "v",
+                     F.col("is_ref") == 1).collect()[0]
+    assert z["ks"] == 0.0
