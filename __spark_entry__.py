@@ -629,6 +629,24 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("r2", 6).alias("r2"))
 
 
+def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Randomization (permutation) test: is the mean event value of
+    'purchase' events different from the rest?  200 counter-hash
+    relabelings in one scan; add-one two-sided p-value.  Deterministic
+    -> pinned oracle."""
+    from hiselspark.operators.bootstrap import (
+        permutation_test_diff_means)
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    ).withColumn("grp", (F.col("event_type") == "purchase")
+                 .cast("long"))
+    out = permutation_test_diff_means(ev, "cents", "grp", "event_id",
+                                      n_permutations=200, seed=11)
+    return out.select(F.round("obs_diff", 6).alias("obs_diff"),
+                      F.round("p_value", 6).alias("p_value"),
+                      "n_permutations")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic of the event-value distribution,
     first two weeks vs the rest (binning-free drift metric); the sup of the empirical CDF gap plus where it's
@@ -3360,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "bootstrap_ci": q_bootstrap_ci,
         "ks_drift": q_ks_drift,
+        "perm_test": q_perm_test,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,

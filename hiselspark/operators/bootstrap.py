@@ -83,3 +83,71 @@ def poisson_bootstrap_mean(
         F.percentile("m", F.lit(hi_q)).alias("hi"),
         F.count(F.lit(1)).alias("n_replicates"))
     return point.crossJoin(ci)
+
+
+def permutation_test_diff_means(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    n_permutations: int = 200,
+    seed: int = 11,
+) -> DataFrame:
+    """Randomization test for a difference in means between two groups
+    (the A/B significance test that assumes nothing about the
+    distribution): observed ``mean(B) − mean(A)`` against the null
+    distribution obtained by relabeling rows with counter-hash
+    pseudo-groups that preserve the treatment fraction in expectation.
+    Returns one row ``(obs_diff, p_value, n_permutations)`` with the
+    add-one two-sided p-value ``(1 + #{|diff_b| ≥ |obs|}) / (B + 1)``.
+
+    Same one-scan shape as :func:`poisson_bootstrap_mean`: per row the
+    B pseudo-labels are a ``transform`` over ``sequence``, the
+    per-(replicate, pseudo-group) sums combine map-side (shuffle = 2B
+    rows per task), and everything downstream of the exact integer
+    sums is a bounded B-row table.  Deterministic across layouts
+    (counter hashes, exact sums) — pinnable."""
+    B = int(n_permutations)
+    g1 = F.col(group_col).cast("long")
+    base = df.agg(
+        F.sum(F.col(value_col) * g1).alias("s1"),
+        F.sum(g1).alias("n1"),
+        F.sum(F.col(value_col) * (1 - g1)).alias("s0"),
+        F.sum(1 - g1).alias("n0")).collect()[0]
+    if not base["n1"] or not base["n0"]:
+        raise ValueError("both groups must be non-empty")
+    obs = (base["s1"] / base["n1"]) - (base["s0"] / base["n0"])
+    # Bernoulli(p = n1/n) pseudo-labels, threshold as an exact integer
+    p_scaled = int(round(base["n1"] / (base["n1"] + base["n0"])
+                         * _SCALE))
+    u = lambda b: F.pmod(  # noqa: E731
+        F.xxhash64(F.col(id_col), b, F.lit(int(seed))), F.lit(_SCALE))
+    labels = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda b: F.struct(
+            b.alias("rep"),
+            (u(b) < p_scaled).cast("long").alias("pg")))
+    ex = (df.select(F.col(value_col).alias("x"),
+                    F.explode(labels).alias("l"))
+            .select("x", F.col("l.rep").alias("rep"),
+                    F.col("l.pg").alias("pg")))
+    reps = (ex.groupBy("rep")
+              .agg(F.sum(F.col("x") * F.col("pg")).alias("s1"),
+                   F.sum("pg").alias("n1"),
+                   F.sum(F.col("x") * (1 - F.col("pg"))).alias("s0"),
+                   F.sum(1 - F.col("pg")).alias("n0"))
+              .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+              .select((F.col("s1").cast("double")
+                       / F.col("n1").cast("double")
+                       - F.col("s0").cast("double")
+                       / F.col("n0").cast("double")).alias("d")))
+    extreme = reps.agg(
+        F.sum((F.abs(F.col("d")) >= abs(obs)).cast("long"))
+        .alias("k"),
+        F.count(F.lit(1)).alias("b")).collect()[0]
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(float(obs),
+          float((1 + extreme["k"]) / (extreme["b"] + 1)),
+          int(extreme["b"]))],
+        "obs_diff double, p_value double, n_permutations long")

@@ -52,3 +52,32 @@ def test_bootstrap_ci_brackets_and_scales(spark):
     row2 = poisson_bootstrap_mean(df.repartition(13), "v", "id",
                                   n_replicates=200, seed=7).collect()[0]
     assert (row2["lo"], row2["hi"]) == (row["lo"], row["hi"])
+
+
+def test_permutation_test_detects_real_and_null_effects(spark):
+    from hiselspark.operators.bootstrap import (
+        permutation_test_diff_means)
+    rng = np.random.default_rng(3)
+    n = 3000
+    grp = rng.integers(0, 2, n)
+    # strong effect: +50 shift for group 1
+    x_eff = rng.integers(0, 100, n) + grp * 50
+    eff = permutation_test_diff_means(
+        spark.createDataFrame(pd.DataFrame(
+            {"id": range(n), "v": x_eff, "g": grp})),
+        "v", "g", "id", n_permutations=200, seed=11).collect()[0]
+    assert eff["obs_diff"] == pytest.approx(50, abs=5)
+    assert eff["p_value"] <= 1 / 201 + 1e-12  # nothing as extreme
+    # null: no effect -> p should NOT be small
+    x_null = rng.integers(0, 100, n)
+    null = permutation_test_diff_means(
+        spark.createDataFrame(pd.DataFrame(
+            {"id": range(n), "v": x_null, "g": grp})),
+        "v", "g", "id", n_permutations=200, seed=11).collect()[0]
+    assert null["p_value"] > 0.05
+    # determinism across layouts
+    again = permutation_test_diff_means(
+        spark.createDataFrame(pd.DataFrame(
+            {"id": range(n), "v": x_null, "g": grp})).repartition(9),
+        "v", "g", "id", n_permutations=200, seed=11).collect()[0]
+    assert again["p_value"] == null["p_value"]
