@@ -647,6 +647,19 @@ def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_permutations")
 
 
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of the event value (cents): tails dropped
+    by count-table interval arithmetic (ties at the boundary handled
+    exactly), no sort of the data rows."""
+    from hiselspark.operators.profile import trimmed_mean
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = trimmed_mean(ev, "cents", 0.05)
+    return out.select(F.round("trimmed_mean", 6).alias("tmean"),
+                      "n_used", "n_trimmed_each_side",
+                      F.round("raw_mean", 6).alias("raw_mean"))
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic of the event-value distribution,
     first two weeks vs the rest (binning-free drift metric); the sup of the empirical CDF gap plus where it's
@@ -3379,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "ks_drift": q_ks_drift,
         "perm_test": q_perm_test,
+        "trimmed_mean": q_trimmed_mean,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
@@ -5824,6 +5838,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(pos) AS BIGINT) AS n_pos,
                CAST(sum(neg) AS BIGINT) AS n_neg
         FROM r
+    """
+    oracles["trimmed_mean"] = """
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), per AS (
+          SELECT cents, count(*) AS cnt FROM q GROUP BY cents
+        ), t AS (
+          SELECT cents, cnt,
+                 COALESCE(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS below,
+                 sum(cnt) OVER () AS n
+          FROM per
+        ), k AS (
+          SELECT *, CAST(floor(n * 0.05) AS BIGINT) AS kk,
+                 greatest(0, least(below + cnt, n - CAST(floor(n*0.05)
+                            AS BIGINT))
+                             - greatest(below, CAST(floor(n*0.05)
+                            AS BIGINT))) AS kept
+          FROM t
+        )
+        SELECT round(CAST(sum(cents * kept) AS DOUBLE)
+                     / CAST(sum(kept) AS DOUBLE), 6) AS tmean,
+               CAST(sum(kept) AS BIGINT) AS n_used,
+               CAST(max(kk) AS BIGINT) AS n_trimmed_each_side,
+               round(CAST(sum(cents * cnt) AS DOUBLE)
+                     / CAST(sum(cnt) AS DOUBLE), 6) AS raw_mean
+        FROM k
     """
     oracles["ks_drift"] = """
         WITH q AS (

@@ -414,3 +414,27 @@ def test_tpch_q5_broadcasts_dims(spark):
     rows = q.collect()
     assert len(rows) >= 1  # tiny sf0.001: few nations survive
     assert all(r["revenue_e6"] > 0 and r["n_items"] > 0 for r in rows)
+
+
+def test_count_table_family_one_data_shuffle(spark):
+    """AUC / KS / rank-normalize reduce the data to a distinct-value
+    count table: the DATA rows must cross exactly one hash exchange
+    (the groupBy); the ordered scan runs on the bounded count table,
+    and rank_normalize adds only the value-keyed join back."""
+    from hiselspark.operators.evaluate import binary_auc
+    from hiselspark.operators.drift import ks_statistic
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    scored = (ev.withColumn("score",
+                            F.round(F.col("value") * 10).cast("long"))
+                .withColumn("lbl", (F.col("value") > 10).cast("long")))
+    auc = binary_auc(scored, "score", "lbl")
+    txt = plan_str(auc, "simple")
+    assert txt.count("Exchange hashpartitioning") == 1, txt
+    ks = ks_statistic(scored, "score", F.col("lbl") == 1)
+    txt = plan_str(ks, "simple")
+    assert txt.count("Exchange hashpartitioning") == 1, txt
+    from hiselspark.operators.encoding import rank_normalize
+    rn = rank_normalize(scored, "score")
+    txt = plan_str(rn, "simple")
+    assert "CartesianProduct" not in txt
+    assert txt.count("Exchange hashpartitioning") <= 3, txt

@@ -190,3 +190,24 @@ def test_rank_normalize_matches_scipy_free_ecdf(spark):
     assert (out.u > 0).all() and (out.u < 1).all()
     # rank-uniform: mean of u is exactly 0.5 (average-rank convention)
     assert out.u.mean() == pytest.approx(0.5, abs=1e-12)
+
+
+def test_trimmed_mean_matches_scipy_free_reference(spark):
+    from hiselspark.operators.profile import trimmed_mean
+    rng = np.random.default_rng(107)
+    x = rng.integers(0, 1000, 997)            # odd n, heavy ties
+    x[:5] = 10**6                             # planted outliers
+    pdf = pd.DataFrame({"v": x})
+    row = trimmed_mean(spark.createDataFrame(pdf), "v",
+                       0.05).collect()[0]
+    k = int(np.floor(len(x) * 0.05))
+    s = np.sort(x)
+    want = s[k:len(x) - k].mean()
+    assert row["trimmed_mean"] == pytest.approx(want, abs=1e-9)
+    assert row["n_used"] == len(x) - 2 * k
+    assert row["n_trimmed_each_side"] == k
+    # robustness: outliers dominate the raw mean, not the trimmed one
+    assert row["raw_mean"] > 5 * row["trimmed_mean"]
+    # zero trim degenerates to the plain mean
+    z = trimmed_mean(spark.createDataFrame(pdf), "v", 0.0).collect()[0]
+    assert z["trimmed_mean"] == pytest.approx(x.mean(), abs=1e-9)
