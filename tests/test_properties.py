@@ -5,6 +5,7 @@ because every example is a Spark round trip."""
 import pytest
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from hiselspark.operators.asof import asof_join
@@ -225,3 +226,38 @@ def test_triple_barrier_property(spark, lvls, horizon_minutes):
                 break
         assert out.loc[i, "tb_label"] == label, (i, lvls)
         assert out.loc[i, "tb_seconds"] == pytest.approx(tsec)
+
+
+@SET
+@given(st.lists(st.integers(0, 30), min_size=2, max_size=60),
+       st.lists(st.integers(0, 30), min_size=2, max_size=60))
+def test_ks_statistic_property(spark, a, b):
+    """Exact KS equals the brute-force ECDF sup for any two integer
+    samples (heavy ties included)."""
+    from hiselspark.operators.drift import ks_statistic
+    pdf = pd.DataFrame({"v": a + b,
+                        "r": [1] * len(a) + [0] * len(b)})
+    row = ks_statistic(spark.createDataFrame(pdf), "v",
+                       F.col("r") == 1).collect()[0]
+    aa, bb = np.asarray(a), np.asarray(b)
+    vals = np.unique(pdf.v)
+    want = max(abs((aa <= v).mean() - (bb <= v).mean())
+               for v in vals)
+    assert row["ks"] == pytest.approx(want, abs=1e-12)
+
+
+@SET
+@given(st.lists(st.integers(-100, 100), min_size=5, max_size=80),
+       st.sampled_from([0.0, 0.05, 0.1, 0.25, 0.4]))
+def test_trimmed_mean_property(spark, xs, frac):
+    """Count-table trimmed mean equals sort-and-slice for any sample
+    and trim fraction (incl. ties at the cut)."""
+    from hiselspark.operators.profile import trimmed_mean
+    pdf = pd.DataFrame({"v": xs})
+    row = trimmed_mean(spark.createDataFrame(pdf), "v",
+                       frac).collect()[0]
+    k = int(np.floor(len(xs) * frac))
+    s = np.sort(np.asarray(xs))
+    want = s[k:len(xs) - k].mean()
+    assert row["trimmed_mean"] == pytest.approx(want, abs=1e-9)
+    assert row["n_used"] == len(xs) - 2 * k
