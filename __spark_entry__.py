@@ -660,6 +660,17 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("raw_mean", 6).alias("raw_mean"))
 
 
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-winsorized mean of the event value: tails clamped to
+    the boundary values via count-table arithmetic."""
+    from hiselspark.operators.profile import winsorized_mean
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = winsorized_mean(ev, "cents", 0.05)
+    return out.select(F.round("winsorized_mean", 6).alias("wmean"),
+                      "lo_clamp", "hi_clamp", "n")
+
+
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic of the event-value distribution,
     first two weeks vs the rest (binning-free drift metric); the sup of the empirical CDF gap plus where it's
@@ -3393,6 +3404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
+        "winsorized_mean": q_winsorized_mean,
         "calibration": q_calibration,
         "confusion": q_confusion,
         "km_survival": q_km_survival,
@@ -5866,6 +5878,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(kk) AS BIGINT) AS n_trimmed_each_side,
                round(CAST(sum(cents * cnt) AS DOUBLE)
                      / CAST(sum(cnt) AS DOUBLE), 6) AS raw_mean
+        FROM k
+    """
+    oracles["winsorized_mean"] = """
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), per AS (
+          SELECT cents, count(*) AS cnt FROM q GROUP BY cents
+        ), t AS (
+          SELECT cents, cnt,
+                 COALESCE(sum(cnt) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS below,
+                 sum(cnt) OVER () AS n
+          FROM per
+        ), k AS (
+          SELECT *, CAST(floor(n * 0.05) AS BIGINT) AS kk,
+                 greatest(0, least(below + cnt,
+                                   n - CAST(floor(n*0.05) AS BIGINT))
+                             - greatest(below,
+                                   CAST(floor(n*0.05) AS BIGINT)))
+                   AS kept
+          FROM t
+        )
+        SELECT round(CAST(sum(cents * kept)
+                          + max(kk) * (min(CASE WHEN below + cnt > kk
+                                           THEN cents END)
+                                       + max(CASE WHEN below < n - kk
+                                             THEN cents END))
+                          AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+                 AS wmean,
+               CAST(min(CASE WHEN below + cnt > kk THEN cents END)
+                    AS BIGINT) AS lo_clamp,
+               CAST(max(CASE WHEN below < n - kk THEN cents END)
+                    AS BIGINT) AS hi_clamp,
+               CAST(max(n) AS BIGINT) AS n
         FROM k
     """
     oracles["ks_drift"] = """

@@ -241,3 +241,44 @@ def trimmed_mean(df: DataFrame, col: str,
         F.max("k").alias("n_trimmed_each_side"),
         (F.sum(F.col(col) * F.col("cnt")).cast("double")
          / F.sum("cnt").cast("double")).alias("raw_mean"))
+
+
+def winsorized_mean(df: DataFrame, col: str,
+                    trim_frac: float = 0.05) -> DataFrame:
+    """Exact winsorized mean: instead of DROPPING the ``⌊trim·n⌋``
+    tail observations (:func:`trimmed_mean`), CLAMP them to the tail
+    boundary values — the robust mean that keeps n constant (the
+    estimator behind `winsorize_pit`'s global, exact counterpart).
+
+    Same count-table interval arithmetic: per distinct value the kept
+    multiplicity, plus the two boundary values located by conditional
+    aggregates over the cumulative ranges (``lo = min v with
+    below+cnt > k``, ``hi = max v with below < n−k``), all exact
+    integers; ``mean = (Σ v·kept + k·(lo+hi)) / n``.  Returns
+    ``(winsorized_mean, lo_clamp, hi_clamp, n)``."""
+    per = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.orderBy(col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    g = Window.partitionBy()
+    t = (per.withColumn("below",
+                        F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+            .withColumn("n", F.sum("cnt").over(g))
+            .withColumn("k", F.floor(F.col("n") * float(trim_frac))
+                        .cast("long")))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("below") + F.col("cnt"),
+                F.col("n") - F.col("k"))
+        - F.greatest(F.col("below"), F.col("k")))
+    t = t.withColumn("kept", kept)
+    lo = F.min(F.when(F.col("below") + F.col("cnt") > F.col("k"),
+                      F.col(col)))
+    hi = F.max(F.when(F.col("below") < F.col("n") - F.col("k"),
+                      F.col(col)))
+    return t.agg(
+        ((F.sum(F.col(col) * F.col("kept"))
+          + F.max("k") * (lo + hi)).cast("double")
+         / F.max("n").cast("double")).alias("winsorized_mean"),
+        lo.alias("lo_clamp"),
+        hi.alias("hi_clamp"),
+        F.max("n").alias("n"))

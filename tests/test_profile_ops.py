@@ -211,3 +211,25 @@ def test_trimmed_mean_matches_scipy_free_reference(spark):
     # zero trim degenerates to the plain mean
     z = trimmed_mean(spark.createDataFrame(pdf), "v", 0.0).collect()[0]
     assert z["trimmed_mean"] == pytest.approx(x.mean(), abs=1e-9)
+
+
+def test_winsorized_mean_matches_reference(spark):
+    from hiselspark.operators.profile import winsorized_mean
+    rng = np.random.default_rng(113)
+    x = rng.integers(0, 1000, 900)
+    x[:4] = 10**6  # outliers to clamp
+    pdf = pd.DataFrame({"v": x})
+    row = winsorized_mean(spark.createDataFrame(pdf), "v",
+                          0.05).collect()[0]
+    k = int(np.floor(len(x) * 0.05))
+    s = np.sort(x)
+    wref = s.copy()
+    wref[:k] = s[k]
+    wref[len(x) - k:] = s[len(x) - k - 1]
+    assert row["winsorized_mean"] == pytest.approx(wref.mean(),
+                                                   abs=1e-9)
+    assert row["lo_clamp"] == s[k]
+    assert row["hi_clamp"] == s[len(x) - k - 1]
+    assert row["n"] == len(x)
+    # outliers clamped, not dominating
+    assert row["winsorized_mean"] < 2000
