@@ -147,9 +147,15 @@ def ks_statistic(
     data to its distinct-value table; cumulative counts and the max
     run over that bounded table.  Every term is an exact integer ratio
     — engine-reproducible.  Returns one row ``(ks, at_value, n_ref,
-    n_cur)`` with the (lowest) value where the gap is attained."""
+    n_cur)`` with the (lowest) value where the gap is attained.
+
+    NULL ``value_col`` rows are excluded here (a NULL would otherwise
+    form its own group, sort first in the cumulative window, and shift
+    both ECDFs) — the same handle-NULLs-upstream contract
+    :func:`corr_matrix` documents, enforced rather than assumed."""
     ref = is_reference.cast("long")
-    per = (df.groupBy(value_col)
+    per = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(value_col)
              .agg(F.sum(ref).alias("a"),
                   (F.count(ref) - F.sum(ref)).alias("b")))
     w = (Window.orderBy(value_col)

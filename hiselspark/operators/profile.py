@@ -219,6 +219,10 @@ def trimmed_mean(df: DataFrame, col: str,
     exactly, with no sort of the data rows.  All sums exact integers;
     one final division.  Returns ``(trimmed_mean, n_used, n_trimmed_
     each_side, raw_mean)``."""
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(
+            f"trim_frac must satisfy 0 <= trim_frac < 0.5, got "
+            f"{trim_frac!r} (>= 0.5 trims away every observation)")
     per = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
     w = (Window.orderBy(col)
                .rowsBetween(Window.unboundedPreceding, -1))
@@ -256,6 +260,10 @@ def winsorized_mean(df: DataFrame, col: str,
     below+cnt > k``, ``hi = max v with below < n−k``), all exact
     integers; ``mean = (Σ v·kept + k·(lo+hi)) / n``.  Returns
     ``(winsorized_mean, lo_clamp, hi_clamp, n)``."""
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(
+            f"trim_frac must satisfy 0 <= trim_frac < 0.5, got "
+            f"{trim_frac!r} (>= 0.5 clamps away every observation)")
     per = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
     w = (Window.orderBy(col)
                .rowsBetween(Window.unboundedPreceding, -1))

@@ -65,8 +65,11 @@ def cosine_topk(probes: DataFrame, corpus: DataFrame, k: int = 10,
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    """Deterministic Gaussian hyperplanes from a counter-based hash —
-    reproducible across runs without RNG state."""
+    """Deterministic Gaussian hyperplanes from a seeded NumPy
+    ``Generator`` (PCG64): reproducible for a fixed seed and NumPy
+    version.  Unlike the bootstrap module's counter-hash draws this
+    does hold generator state, but the planes are built once on the
+    driver and broadcast, so no distributed-RNG hazard exists."""
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))
 

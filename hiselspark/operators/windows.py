@@ -489,7 +489,9 @@ def rolling_twap(
     out_col: str = "roll_twap",
 ) -> DataFrame:
     """Holding-time-weighted trailing mean (TWAP): each observation in
-    ``(t − window, t]`` is weighted by how long it remained the
+    the closed interval ``[t − window, t]`` (the module-wide
+    ``rangeBetween(-window, 0)`` convention, same as
+    :func:`rolling_aggregates`) is weighted by how long it remained the
     entity's current value (µs until the next observation).  A plain
     rolling mean over-weights bursts of rapid updates; the TWAP is the
     time-integral of the piecewise-constant signal divided by elapsed

@@ -233,3 +233,31 @@ def test_winsorized_mean_matches_reference(spark):
     assert row["n"] == len(x)
     # outliers clamped, not dominating
     assert row["winsorized_mean"] < 2000
+
+
+def test_trim_frac_validation(spark):
+    from hiselspark.operators.profile import (trimmed_mean,
+                                              winsorized_mean)
+    df = spark.createDataFrame(pd.DataFrame({"v": [1, 2, 3, 4]}))
+    for bad in (0.5, 0.7, -0.01, 1.0):
+        with pytest.raises(ValueError):
+            trimmed_mean(df, "v", bad)
+        with pytest.raises(ValueError):
+            winsorized_mean(df, "v", bad)
+    # boundary just below 0.5 still works (keeps the middle slice)
+    assert trimmed_mean(df, "v", 0.49).collect()[0]["n_used"] == 4 - 2
+
+
+def test_ks_statistic_ignores_null_values(spark):
+    from hiselspark.operators.drift import ks_statistic
+    pdf = pd.DataFrame({
+        "v": pd.array([1, 2, 3, 4, 5, 6, None, None], dtype="Int64"),
+        "grp": [1, 1, 1, 1, 0, 0, 1, 0],
+    })
+    df = spark.createDataFrame(pdf)
+    with_null = ks_statistic(df, "v", F.col("grp") == 1).collect()[0]
+    clean = ks_statistic(df.filter(F.col("v").isNotNull()), "v",
+                         F.col("grp") == 1).collect()[0]
+    assert with_null["ks"] == clean["ks"]
+    assert with_null["n_ref"] == 4 and with_null["n_cur"] == 2
+    assert with_null["at_value"] == clean["at_value"]
