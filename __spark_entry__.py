@@ -632,8 +632,9 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Randomization (permutation) test: is the mean event value of
     'purchase' events different from the rest?  200 counter-hash
-    relabelings in one scan; add-one two-sided p-value.  Deterministic
-    -> pinned oracle."""
+    relabelings in one scan; add-one two-sided p-value.  Runs the
+    cross-engine 'poly' hash mode, so the DuckDB oracle replays every
+    pseudo-label draw and replicate — nothing pinned."""
     from hiselspark.operators.bootstrap import (
         permutation_test_diff_means)
     ev = _ev(spark, sf_dir).withColumn(
@@ -641,7 +642,8 @@ def q_perm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("grp", (F.col("event_type") == "purchase")
                  .cast("long"))
     out = permutation_test_diff_means(ev, "cents", "grp", "event_id",
-                                      n_permutations=200, seed=11)
+                                      n_permutations=200, seed=11,
+                                      hash="poly")
     return out.select(F.round("obs_diff", 6).alias("obs_diff"),
                       F.round("p_value", 6).alias("p_value"),
                       "n_permutations")
@@ -688,14 +690,15 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
-    value (cents) from 100 one-pass replicates.  Deterministic across
-    layouts (counter-hash weights, exact integer sums) -> pinned
-    literal oracle; the CI must bracket the point estimate."""
+    value (cents) from 100 one-pass replicates.  Runs the cross-engine
+    'poly' hash mode (Carter-Wegman counter draws), so the DuckDB
+    oracle replays the ENTIRE bootstrap — every weight, replicate mean
+    and percentile — from the parquet; nothing is pinned."""
     from hiselspark.operators.bootstrap import poisson_bootstrap_mean
     ev = _ev(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long"))
     out = poisson_bootstrap_mean(ev, "cents", "event_id",
-                                 n_replicates=100, seed=7)
+                                 n_replicates=100, seed=7, hash="poly")
     return out.select(F.round("point", 6).alias("point"),
                       F.round("lo", 6).alias("lo"),
                       F.round("hi", 6).alias("hi"),
@@ -951,7 +954,8 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-5 (λ=0.7) from each probe's exact top-20
     cosine candidates — relevance minus redundancy re-ranking.
-    Deterministic greedy (id tie-breaks) -> pinned literal oracle."""
+    TRUE SQL oracle: DuckDB rebuilds the candidate pool and replays
+    the whole greedy selection (_mmr_oracle_sql) — nothing pinned."""
     from hiselspark.operators.similarity import cosine_topk, mmr_rerank
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20)
@@ -968,7 +972,9 @@ def q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point) diversity sample: 16 centers
     over the embedding corpus + per-center assignment counts and
-    coverage radius.  Deterministic pool/greedy -> pinned oracle."""
+    coverage radius.  TRUE SQL oracle: at gate scale the pool is the
+    whole id-sorted table, so DuckDB replays the full greedy trace and
+    the assignment (_kcenter_oracle_sql) — nothing pinned."""
     from hiselspark.operators.similarity import kcenter_sample
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centers, assigned = kcenter_sample(emb, k=16, pool_size=4096,
@@ -984,9 +990,11 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA fit from exact integer sufficient statistics (map-only, no
-    embedding-row shuffle) + top-4 projection per vector.  Fully
-    layout-deterministic (quantized-integer covariance, sign-fixed
-    eigh) -> pinned literal oracle."""
+    embedding-row shuffle) + top-4 projection per vector.  Oracle
+    contract: the fitted model (mean + components, pytest-verified
+    against numpy.linalg.eigh) is a pinned constant; the per-row
+    projection arithmetic is replayed by DuckDB on every parquet
+    vector (_pca_pinned_oracle)."""
     from hiselspark.operators.projection import pca_fit, pca_project
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     model = pca_fit(emb, "embedding", k=4)
@@ -1019,6 +1027,50 @@ def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in cols]
     return spark.createDataFrame(
         rows, "feature string, hsic_score double, selected boolean")
+
+
+def q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end S19 facade run exactly as the reference flagship
+    (``/root/reference/hisel/feature_selection.py:69-105``): one mixed
+    continuous+discrete frame -> ksgmi MI preselection -> HSIC-Lasso
+    autoselect on the continuous block + AMI categorical search on the
+    discrete block -> concatenated selection (categorical first).
+    Deterministic end to end (hash minibatches, seeded permutohedron
+    search) -> pinned parity oracle (search/selection family); emits
+    the selection order, each feature's origin, and the
+    autoselect/regularization-curve evidence."""
+    from hiselspark.api import (HSICLassoParameters, SearchParameters,
+                                select_features)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    wide = emb.select(
+        "vec_id",
+        F.col("label").cast("double").alias("y"),
+        *[F.col("embedding")[i].cast("double").alias(f"e{i}")
+          for i in range(8)],
+        # discrete block: a signal bucket (quantized first embedding
+        # dim) and an id-derived factor
+        F.floor(F.col("embedding")[0] * 4).cast("int").alias("c0"),
+        F.pmod(F.col("vec_id"), 5).cast("int").alias("c1"),
+    )
+    res = select_features(
+        wide, [f"e{i}" for i in range(8)] + ["c0", "c1"], ["y"],
+        HSICLassoParameters(use_preselection=True, minibatch_size=100,
+                            mode="hash", order_col="vec_id"),
+        SearchParameters(num_permutations=10, random_state=3),
+    )
+    cont = res.continuous_selection
+    n_cont = len(cont.features) if cont is not None else 0
+    reg_last = (round(float(cont.reg_curve[-1]), 6)
+                if cont is not None and len(cont.reg_curve) else 0.0)
+    rows = [
+        (i, f, "categorical" if f in res.categorical_selection
+         else "continuous",
+         len(res.selected_features), n_cont, reg_last)
+        for i, f in enumerate(res.selected_features)
+    ]
+    return spark.createDataFrame(
+        rows, "ord int, feature string, origin string, n_selected int,"
+              " n_continuous int, regcurve_last double")
 
 
 def q_asof_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1174,21 +1226,24 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicates within Hamming distance 3.  Signatures
-    are engine-specific but fully deterministic (seedless xxhash64 votes,
-    no RNG), so the sf0.01 output is pinned as a literal-table oracle —
-    any regression in the signature or banding math breaks the gate."""
+    """SimHash near-duplicates within Hamming distance 3, in the
+    cross-engine 'poly' hash mode: DuckDB recomputes every token hash,
+    vote, signature bit and Hamming distance from the parquet text (by
+    brute force — the 4x16-bit pigeonhole banding is lossless at
+    distance 3, so the sets must be identical).  Nothing is pinned."""
     from hiselspark.operators.dedup import simhash_near_duplicates
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_distance=3)
+    return simhash_near_duplicates(docs, "doc_id", "text", max_distance=3,
+                                   hash="poly")
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 neighbours.  The hyperplanes are
-    seeded and the re-rank is exact cosine, so the output is fully
-    deterministic; the sf0.01 result is pinned as a literal-table
-    oracle (recall vs the exact top-k is measured separately in
-    pytest — approximate by design)."""
+    """LSH-bucketed approximate top-5 neighbours.  Oracle contract:
+    the candidate (probe, rk, vec) triples are pinned constants (they
+    encode the hyperplane buckets — engine-specific by design; recall
+    vs the exact top-k is measured separately in pytest), while every
+    reported cosine is recomputed by DuckDB from the parquet
+    vectors."""
     from hiselspark.operators.similarity import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20)
@@ -1402,10 +1457,11 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF(-flat) approximate top-5 neighbours.  Deterministic end to
-    end (hash-ordered trainer sample, seeded k-means init, exact cosine
-    re-rank), so the sf0.01 result is pinned as a literal-table oracle;
-    recall vs exact is measured separately in pytest."""
+    """IVF(-flat) approximate top-5 neighbours.  Oracle contract: the
+    candidate (probe, rk, vec) triples are pinned constants (they
+    encode the trained quantizer — engine-specific; recall vs exact is
+    measured separately in pytest), while every reported cosine is
+    recomputed by DuckDB from the parquet vectors."""
     from hiselspark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20)
@@ -3081,13 +3137,31 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 (PQ16x8, the canonical 8-bit
     config: 64-dim float64 -> 16 one-byte codes, 32x smaller scan).
     Deterministic end to end (hash-ordered trainer sample, seeded
-    per-subspace k-means, vec_id tie-break) -> pinned literal oracle;
-    recall vs exact cosine is measured in pytest (0.82@10 here)."""
-    from hiselspark.operators.similarity import pq_topk
+    per-subspace k-means, vec_id tie-break).  Oracle contract: the
+    picked (probe_id, rk, vec_id, adc_sim) ids are pinned constants
+    (they encode the codebooks — engine-specific by construction;
+    layout-determinism checked by tools/pin_constants.py; recall vs
+    exact cosine is measured in pytest, 0.82@10 here), while the
+    ``cos_sim`` column is the TRUE cosine of each returned pair,
+    recomputed here from the raw vectors and independently recomputed
+    by DuckDB from the parquet — a regression in the engine's vector
+    math breaks the gate."""
+    from hiselspark.operators.similarity import pq_topk, _dot, _norm
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     probes = emb.filter(F.col("vec_id") < 20)
-    return pq_topk(probes, emb, dim=64, k=5, probe_id_col="vec_id",
-                   m=16, n_codes=256)
+    out = pq_topk(probes, emb, dim=64, k=5, probe_id_col="vec_id",
+                  m=16, n_codes=256)
+    e = emb.select(F.col("vec_id").alias("__id"),
+                   F.col("embedding").cast("array<double>").alias("__v"))
+    pe = e.select(F.col("__id").alias("__pid"), F.col("__v").alias("__p"))
+    return (out
+            .join(pe, out.probe_id == pe.__pid)
+            .join(e, out.vec_id == e.__id)
+            .withColumn("cos_sim",
+                        F.round(_dot("__p", "__v")
+                                / (_norm(F.col("__p"))
+                                   * _norm(F.col("__v"))), 6))
+            .select("probe_id", "rk", "vec_id", "adc_sim", "cos_sim"))
 
 
 def q_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3256,10 +3330,12 @@ def q_segmented_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means cluster the embeddings, greedy eps-ball drop
-    within each cluster (id-ordered leader scan).  Deterministic
-    (seeded quantizer, fixed scan order, layout-independent) -> pinned
-    literal oracle.  eps is gate-scale-wide so the drop path is
-    exercised on the synthetic embeddings (max pairwise cos ~0.51)."""
+    within each cluster (id-ordered leader scan).  Oracle contract:
+    the seeded k-means assignment is a pinned constant; the dedup
+    decision itself (the leader scan) is replayed by DuckDB from the
+    parquet vectors (recursive CTE) — see _semantic_dedup_oracle_sql.
+    eps is gate-scale-wide so the drop path is exercised on the
+    synthetic embeddings (max pairwise cos ~0.51)."""
     from hiselspark.operators.similarity import semantic_dedup
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return (semantic_dedup(emb, dim=64, n_clusters=8, eps=0.65, seed=11)
@@ -3419,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_curve": q_roc_curve,
         "gini": q_gini,
         "hsic_select_embeddings": q_hsic_select_embeddings,
+        "feature_selection": q_feature_selection,
         "asof_cogrouped": q_asof_cogrouped,
         "bfill": q_bfill,
         "rolling_excl": q_rolling_excl,
@@ -3552,6 +3629,403 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine of two DOUBLE[] expressions (same shape as the
+    gate-green ``embedding_topk`` oracle)."""
+    return (f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))")
+
+
+def _sql_l2(a: str, b: str) -> str:
+    """DuckDB L2 distance of two DOUBLE[] expressions — left-fold sum
+    of squared coordinate differences (the engine's deterministic-
+    float convention: explicit sequential fold, index lambda)."""
+    return (f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({a}, (x, i) -> (x - {b}[i]) * (x - {b}[i])))"
+            f", (p, q) -> p + q))")
+
+
+def _ann_pinned_oracle(key: str) -> str:
+    """Hybrid oracle for lsh_topk / ivf_topk: the candidate
+    (probe_id, rk, vec_id) triples are pinned constants (they encode
+    the engine's bucketing — tools/pin_constants.py verifies layout
+    determinism), but the reported cosine is recomputed by DuckDB from
+    the parquet vectors, so the gate independently verifies every
+    VALUE the query returns."""
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    vals = ",\n              ".join(
+        f"({p}, {r}, {v})" for p, r, v in PINNED_CONSTANTS[f"{key}_ids"])
+    return f"""
+        WITH picked(probe_id, rk, vec_id) AS (VALUES
+              {vals}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+        SELECT p.probe_id, p.rk, p.vec_id,
+               round({_sql_cos('pe.v', 'ce.v')}, 6) AS cos_sim
+        FROM picked p
+        JOIN e pe ON pe.vec_id = p.probe_id
+        JOIN e ce ON ce.vec_id = p.vec_id
+    """
+
+
+def _pq_pinned_oracle() -> str:
+    """Hybrid oracle for pq_topk: picks + ADC scores are pinned
+    constants (codebook-specific by construction); the exact cosine of
+    each returned pair is recomputed from the parquet vectors."""
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    vals = ",\n              ".join(
+        f"({p}, {r}, {v}, CAST({a!r} AS DOUBLE))"
+        for p, r, v, a in PINNED_CONSTANTS["pq_topk_ids"])
+    return f"""
+        WITH picked(probe_id, rk, vec_id, adc_sim) AS (VALUES
+              {vals}),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+        SELECT p.probe_id, p.rk, p.vec_id, p.adc_sim,
+               round({_sql_cos('pe.v', 'ce.v')}, 6) AS cos_sim
+        FROM picked p
+        JOIN e pe ON pe.vec_id = p.probe_id
+        JOIN e ce ON ce.vec_id = p.vec_id
+    """
+
+
+def _pca_pinned_oracle() -> str:
+    """Hybrid oracle for pca_project: the fitted model (mean + top-4
+    components, pytest-verified against numpy.linalg.eigh) is a pinned
+    constant; the per-row projection (v − mean)·Wᵀ is replayed by
+    DuckDB on every parquet vector as
+    ``list_dot_product(v, W_j) − <mean, W_j>``."""
+    import numpy as np
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    m = PINNED_CONSTANTS["pca_model"]
+    mean = np.array(m["mean"], dtype=np.float64)
+    cols = []
+    for j, comp in enumerate(m["components"]):
+        w = "[" + ", ".join(repr(float(x)) for x in comp) + "]"
+        mw = float(mean @ np.array(comp, dtype=np.float64))
+        cols.append(f"round(list_dot_product(v, {w}) "
+                    f"- CAST({mw!r} AS DOUBLE), 6) AS p{j}")
+    sel = ",\n               ".join(cols)
+    return f"""
+        SELECT vec_id,
+               {sel}
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings)
+    """
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, pool: int = 20) -> str:
+    """TRUE SQL oracle for mmr_topk: DuckDB rebuilds the exact top-20
+    cosine candidate pool per probe, then replays the greedy MMR
+    selection (argmax λ·rel − (1−λ)·max-sim-to-selected, ties to the
+    ascending id) as ``k`` unrolled CTE steps — no pinned values at
+    all."""
+    lam_l = f"CAST({lam!r} AS DOUBLE)"
+    one_m = f"CAST({1.0 - lam!r} AS DOUBLE)"
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "pr AS (SELECT vec_id AS probe_id, v AS p FROM e"
+        " WHERE vec_id < 20)",
+        f"pairs AS (SELECT probe_id, vec_id, {_sql_cos('p', 'v')} AS rel"
+        " FROM pr, e WHERE probe_id <> vec_id)",
+        f"""cand AS (SELECT probe_id, vec_id, rel FROM (
+              SELECT probe_id, vec_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY rel DESC, vec_id ASC) AS rn
+              FROM pairs) WHERE rn <= {pool})""",
+        f"""cc AS (SELECT a.probe_id, a.vec_id AS ca, b.vec_id AS cb,
+                    {_sql_cos('ea.v', 'eb.v')} AS cos
+             FROM cand a
+             JOIN cand b ON a.probe_id = b.probe_id
+             JOIN e ea ON ea.vec_id = a.vec_id
+             JOIN e eb ON eb.vec_id = b.vec_id)""",
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            ctes.append(f"s1 AS (SELECT probe_id, vec_id, rel, "
+                        f"{lam_l} * rel AS score FROM cand)")
+        else:
+            ctes.append(f"s{i} AS (SELECT probe_id, vec_id, rel, ms, "
+                        f"{lam_l} * rel - {one_m} * ms AS score "
+                        f"FROM a{i - 1})")
+        ctes.append(f"""p{i} AS (SELECT probe_id, vec_id, score FROM (
+              SELECT probe_id, vec_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY probe_id
+                       ORDER BY score DESC, vec_id ASC) AS rn
+              FROM s{i}) WHERE rn = 1)""")
+        if i < k:
+            src = "cand" if i == 1 else f"a{i - 1}"
+            ms = "cc.cos" if i == 1 else "greatest(s.ms, cc.cos)"
+            ctes.append(f"""a{i} AS (
+              SELECT s.probe_id, s.vec_id, s.rel, {ms} AS ms
+              FROM {src} s
+              JOIN p{i} ON p{i}.probe_id = s.probe_id
+                        AND s.vec_id <> p{i}.vec_id
+              JOIN cc ON cc.probe_id = s.probe_id
+                      AND cc.ca = s.vec_id AND cc.cb = p{i}.vec_id)""")
+    unions = "\n          UNION ALL ".join(
+        f"SELECT probe_id, {i} AS rk, vec_id, score FROM p{i}"
+        for i in range(1, k + 1))
+    return ("WITH " + ",\n        ".join(ctes) + f"""
+        SELECT probe_id, rk, vec_id, round(score, 6) AS mmr
+        FROM ({unions})
+    """)
+
+
+def _kcenter_oracle_sql(k: int = 16) -> str:
+    """TRUE SQL oracle for kcenter: at the gate scale the pool is the
+    whole table (500 < pool_size=4096, id-sorted), so DuckDB replays
+    the full greedy farthest-point trace — anchor = lowest id, then
+    ``k−1`` unrolled argmax-of-min-distance steps (ties to the lowest
+    id) — plus the nearest-center assignment (ties to the lowest
+    center order).  No pinned values at all."""
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 1)",
+        f"d0 AS MATERIALIZED (SELECT e.vec_id, e.v, {_sql_l2('e.v', 'c0.v')} AS dmin"
+        " FROM e, c0)",
+    ]
+    for i in range(1, k):
+        ctes.append(f"p{i} AS MATERIALIZED (SELECT vec_id AS cid, v, dmin FROM d{i - 1}"
+                    f" ORDER BY dmin DESC, vec_id ASC LIMIT 1)")
+        if i < k - 1:
+            ctes.append(
+                f"d{i} AS MATERIALIZED (SELECT d.vec_id, d.v, least(d.dmin, "
+                f"{_sql_l2('d.v', f'p{i}.v')}) AS dmin"
+                f" FROM d{i - 1} d, p{i})")
+    centers = "\n          UNION ALL ".join(
+        ["SELECT 0 AS ord, cid, CAST(0.0 AS DOUBLE) AS sel_dist FROM c0"]
+        + [f"SELECT {i}, cid, dmin FROM p{i}" for i in range(1, k)])
+    ctes.append(f"centers AS (\n          {centers})")
+    ctes.append("cv AS (SELECT c.ord, c.cid, e.v AS cvec FROM centers c"
+                " JOIN e ON e.vec_id = c.cid)")
+    ctes.append(f"""asg AS (SELECT vec_id, ord, cid, dist FROM (
+          SELECT e.vec_id, cv.ord, cv.cid,
+                 {_sql_l2('e.v', 'cv.cvec')} AS dist,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {_sql_l2('e.v', 'cv.cvec')} ASC, cv.ord ASC)
+                   AS rn
+          FROM e, cv) WHERE rn = 1)""")
+    ctes.append("per AS (SELECT cid, COUNT(*) AS n_assigned,"
+                " round(MAX(dist), 6) AS radius FROM asg GROUP BY cid)")
+    return ("WITH " + ",\n        ".join(ctes) + """
+        SELECT c.ord AS "order", c.cid AS center_id,
+               round(c.sel_dist, 6) AS sel_dist,
+               per.n_assigned, per.radius
+        FROM centers c JOIN per ON per.cid = c.cid
+    """)
+
+
+def _sql_raw_hash(expr: str, salt: int = 0) -> str:
+    """DuckDB twin of ``splits.raw_hash`` (the un-normalized
+    polynomial id fold)."""
+    return (f"list_reduce(list_prepend(CAST({salt} AS BIGINT), "
+            f"list_transform(str_split(CAST({expr} AS VARCHAR), ''), "
+            f"ch -> CAST(ascii(ch) AS BIGINT))), "
+            f"(acc, y) -> (acc * 31 + y) % 2147483647)")
+
+
+def _sql_poisson_weight(u: str) -> str:
+    """DuckDB twin of ``bootstrap._poisson_weight`` — the Poisson(1)
+    inverse CDF as integer thresholds on a uniform in [0, 2^20)."""
+    from hiselspark.operators.bootstrap import _CDF
+    cases = " ".join(f"WHEN {u} < {t} THEN {k}"
+                     for k, t in enumerate(_CDF[:-1]))
+    return f"(CASE {cases} ELSE 6 END)"
+
+
+def _cw_values(n: int, seed: int) -> str:
+    """VALUES rows (rep, a, c) of the Carter-Wegman constants shared
+    with ``bootstrap.cw_constants`` — identical literals, so the
+    DuckDB replay uses the exact same draws."""
+    from hiselspark.operators.bootstrap import cw_constants
+    return ",\n              ".join(
+        f"({b}, {a}, {c})"
+        for b, (a, c) in enumerate(cw_constants(n, seed)))
+
+
+def _simhash_oracle_sql(max_distance: int = 3) -> str:
+    """TRUE SQL oracle for simhash_neardup ('poly' hash mode): DuckDB
+    recomputes every token hash, the 64 Carter-Wegman bit votes, the
+    packed signature and the brute-force Hamming pairs from the
+    parquet text.  Brute force is exact here because the engine's
+    4x16-bit pigeonhole banding is lossless at distance <= 3."""
+    from hiselspark.operators.dedup import SIMHASH_POLY_SEED
+    from hiselspark.operators.bootstrap import cw_constants
+    cw = cw_constants(64, SIMHASH_POLY_SEED)
+    votes = ",\n                 ".join(
+        f"SUM(((hv * {a} + {c}) % 2147483647) % 2 * 2 - 1) AS v{i}"
+        for i, (a, c) in enumerate(cw))
+    sig_terms = " + ".join(
+        [f"(CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT)"
+         f" ELSE 0 END)" for i in range(63)]
+        + ["(CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT)"
+           " ELSE 0 END)"])
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS doc,
+                 unnest(str_split(regexp_replace(
+                   lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc, {_sql_raw_hash('tok')} AS hv FROM toks
+        ),
+        votes AS (
+          SELECT doc,
+                 {votes}
+          FROM h GROUP BY doc
+        ),
+        sigs AS MATERIALIZED (
+          SELECT doc, {sig_terms} AS sig FROM votes
+        )
+        SELECT l.doc AS a, r.doc AS b,
+               bit_count(xor(l.sig, r.sig)) AS hamming
+        FROM sigs l JOIN sigs r ON l.doc < r.doc
+        WHERE bit_count(xor(l.sig, r.sig)) <= {max_distance}
+    """
+
+
+def _semantic_dedup_oracle_sql(eps: float = 0.65) -> str:
+    """Hybrid oracle for semantic_dedup: the k-means cluster assignment
+    is a pinned constant (seeded quantizer — engine-specific; layout
+    determinism checked by tools/pin_constants.py), but the actual
+    dedup DECISION — the greedy id-ordered eps-ball leader scan inside
+    each cluster — is replayed by DuckDB as a recursive CTE that
+    carries the kept vectors and recomputes every cosine from the
+    parquet."""
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    thr = 1.0 - float(eps)
+    vals = ",\n              ".join(
+        f"({v}, {c})"
+        for v, c in PINNED_CONSTANTS["semantic_dedup_clusters"])
+    mx = ("COALESCE(list_max(list_transform(s.kept, kv -> "
+          + _sql_cos("kv", "r.v") + ")), -1e9)")
+    return f"""
+        WITH RECURSIVE clusters(vec_id, cluster) AS (VALUES
+              {vals}),
+        r AS (
+          SELECT c.vec_id, c.cluster,
+                 CAST(e.embedding AS DOUBLE[]) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                    ORDER BY c.vec_id) AS rn
+          FROM clusters c JOIN embeddings e ON e.vec_id = c.vec_id
+        ),
+        scan AS (
+          SELECT cluster, 0 AS rn, CAST(NULL AS BIGINT) AS vec_id,
+                 CAST(NULL AS BOOLEAN) AS keep,
+                 CAST([] AS DOUBLE[][]) AS kept
+          FROM (SELECT DISTINCT cluster FROM r)
+          UNION ALL
+          SELECT s.cluster, s.rn + 1, r.vec_id,
+                 {mx} < CAST({thr!r} AS DOUBLE) AS keep,
+                 CASE WHEN {mx} < CAST({thr!r} AS DOUBLE)
+                      THEN list_append(s.kept, r.v) ELSE s.kept END
+          FROM scan s
+          JOIN r ON r.cluster = s.cluster AND r.rn = s.rn + 1
+        )
+        SELECT vec_id, cluster, keep FROM scan WHERE rn >= 1
+    """
+
+
+def _bootstrap_oracle_sql(n_replicates: int = 100, seed: int = 7,
+                          alpha: float = 0.05) -> str:
+    """TRUE SQL oracle for bootstrap_ci ('poly' hash mode): DuckDB
+    recomputes every per-row counter draw, Poisson weight, replicate
+    mean and the percentile CI from the parquet — nothing pinned."""
+    u = "((hv * cw.a + cw.c) % 2147483647) % 1048576"
+    return f"""
+        WITH cw(rep, a, c) AS (VALUES
+              {_cw_values(n_replicates, seed)}),
+        rows_h AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                 {_sql_raw_hash('event_id')} AS hv
+          FROM events
+        ),
+        draws AS (
+          SELECT cw.rep, rows_h.x,
+                 {_sql_poisson_weight(u)} AS w
+          FROM rows_h, cw
+        ),
+        reps AS (
+          SELECT rep,
+                 CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                   AS m
+          FROM draws GROUP BY rep
+        ),
+        pt AS (
+          SELECT CAST(SUM(x) AS DOUBLE) / COUNT(x) AS point FROM rows_h
+        ),
+        ci AS (
+          SELECT quantile_cont(m, {alpha / 2.0!r}) AS lo,
+                 quantile_cont(m, {1.0 - alpha / 2.0!r}) AS hi,
+                 COUNT(*) AS n_replicates
+          FROM reps
+        )
+        SELECT round(point, 6) AS point, round(lo, 6) AS lo,
+               round(hi, 6) AS hi, n_replicates
+        FROM pt, ci
+    """
+
+
+def _perm_test_oracle_sql(n_permutations: int = 200,
+                          seed: int = 11) -> str:
+    """TRUE SQL oracle for perm_test ('poly' hash mode): DuckDB
+    replays the observed difference, every pseudo-label draw, the
+    per-replicate difference in means and the add-one two-sided
+    p-value from the parquet — nothing pinned."""
+    u = "((hv * cw.a + cw.c) % 2147483647) % 1048576"
+    return f"""
+        WITH cw(rep, a, c) AS (VALUES
+              {_cw_values(n_permutations, seed)}),
+        rows_h AS (
+          SELECT CAST(round(value * 100) AS BIGINT) AS x,
+                 CAST(event_type = 'purchase' AS BIGINT) AS g,
+                 {_sql_raw_hash('event_id')} AS hv
+          FROM events
+        ),
+        base AS (
+          SELECT SUM(x * g) AS s1, SUM(g) AS n1,
+                 SUM(x * (1 - g)) AS s0, SUM(1 - g) AS n0
+          FROM rows_h
+        ),
+        obs AS (
+          SELECT CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0
+                   AS obs_diff,
+                 CAST(floor(CAST(n1 AS DOUBLE) / (n1 + n0)
+                            * 1048576 + 0.5) AS BIGINT) AS p_scaled
+          FROM base
+        ),
+        draws AS (
+          SELECT cw.rep, rows_h.x,
+                 CAST({u} < obs.p_scaled AS BIGINT) AS pg
+          FROM rows_h, cw, obs
+        ),
+        reps AS (
+          SELECT rep,
+                 CAST(SUM(x * pg) AS DOUBLE) / SUM(pg)
+                   - CAST(SUM(x * (1 - pg)) AS DOUBLE) / SUM(1 - pg)
+                   AS d
+          FROM draws GROUP BY rep
+          HAVING SUM(pg) > 0 AND SUM(1 - pg) > 0
+        ),
+        pv AS (
+          SELECT SUM(CAST(abs(d) >= abs((SELECT abs(obs_diff) FROM obs))
+                          AS BIGINT)) AS k,
+                 COUNT(*) AS b
+          FROM reps
+        )
+        SELECT round(obs.obs_diff, 6) AS obs_diff,
+               round(CAST(1 + pv.k AS DOUBLE) / (pv.b + 1), 6)
+                 AS p_value,
+               pv.b AS n_permutations
+        FROM obs, pv
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     oracles = {
@@ -4202,6 +4676,24 @@ def oracle_sql() -> dict[str, str]:
         oracles.update(PINNED_ORACLES)
     except ImportError:
         pass
+    # hybrid constant-pinned oracles: only the engine-specific
+    # candidate ids / fitted model are pinned (tools/pin_constants.py,
+    # layout-determinism checked); every reported VALUE is recomputed
+    # by DuckDB from the parquet vectors
+    oracles["lsh_topk"] = _ann_pinned_oracle("lsh_topk")
+    oracles["ivf_topk"] = _ann_pinned_oracle("ivf_topk")
+    oracles["pq_topk"] = _pq_pinned_oracle()
+    oracles["pca_project"] = _pca_pinned_oracle()
+    # TRUE SQL replays of the greedy selections (no pinned values)
+    oracles["mmr_topk"] = _mmr_oracle_sql(k=5, lam=0.7, pool=20)
+    oracles["kcenter"] = _kcenter_oracle_sql(k=16)
+    # TRUE SQL replays of the counter-hash randomization ops ('poly'
+    # Carter-Wegman mode — every draw recomputed by DuckDB)
+    oracles["bootstrap_ci"] = _bootstrap_oracle_sql(100, seed=7)
+    oracles["perm_test"] = _perm_test_oracle_sql(200, seed=11)
+    oracles["simhash_neardup"] = _simhash_oracle_sql(max_distance=3)
+    # hybrid: pinned k-means assignment, SQL-replayed dedup decision
+    oracles["semantic_dedup"] = _semantic_dedup_oracle_sql(eps=0.65)
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

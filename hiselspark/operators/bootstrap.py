@@ -25,12 +25,48 @@ statistics surface (north rule), alongside the evaluation metrics.
 """
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, functions as F
 
 # Poisson(1) CDF thresholds scaled to 2^20 (exact integers): weight k
 # for u in [T[k-1], T[k]); the tail mass beyond 6 joins the k=6 bucket.
 _SCALE = 1 << 20
 _CDF = [385749, 771499, 964373, 1028665, 1044738, 1047952, _SCALE]
+
+# Mersenne prime for the Carter-Wegman family of the 'poly' hash mode.
+_M31 = (1 << 31) - 1
+
+
+def cw_constants(n_replicates: int, seed: int) -> list:
+    """Per-replicate (a_b, c_b) pairs of the Carter-Wegman 2-universal
+    family ``u_b(h) = ((h·a_b + c_b) mod M31) mod 2^20`` used by the
+    ``hash='poly'`` mode.  ``random.Random`` is specified to be stable
+    across Python versions, so these are reproducible literals — the
+    DuckDB oracle embeds the identical values.  Pairwise independence
+    of a 2-universal family is sufficient for the variance of Poisson-
+    bootstrap replicate means (Carter & Wegman 1979; Dean & Ghemawat's
+    one-pass bootstrap uses the same argument)."""
+    r = random.Random(f"cw:{int(seed)}")
+    return [(r.randrange(1, _M31), r.randrange(_M31))
+            for _ in range(int(n_replicates))]
+
+
+def _poly_u(id_col: str, n_replicates: int, seed: int):
+    """Column-builder: u(row, b) for the cross-engine 'poly' mode.
+    Row hash = the engine's polynomial fold of the id string
+    (``splits.raw_hash`` — replayable in DuckDB with str_split +
+    list_reduce); per-replicate mix = literal Carter-Wegman constants
+    indexed via ``element_at``.  All arithmetic stays below 2^62, so
+    no bigint overflow under ANSI mode in either engine."""
+    from .splits import raw_hash
+    cw = cw_constants(n_replicates, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in cw])
+    c_arr = F.array(*[F.lit(c) for _, c in cw])
+    h = raw_hash(id_col)
+    return lambda b: F.pmod(
+        h * F.element_at(a_arr, b + 1) + F.element_at(c_arr, b + 1),
+        F.lit(_M31)) % F.lit(_SCALE)
 
 
 def _poisson_weight(u):
@@ -48,6 +84,7 @@ def poisson_bootstrap_mean(
     n_replicates: int = 100,
     seed: int = 7,
     alpha: float = 0.05,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Percentile-bootstrap CI for the MEAN of an integer-quantized
     column: one row ``(point, lo, hi, n_replicates)`` where point is
@@ -56,10 +93,20 @@ def poisson_bootstrap_mean(
     weights are a ``transform`` over ``sequence(0, B−1)``; the
     per-replicate (Σw·x, Σw) reduce map-side, so the shuffle carries B
     rows per task and the final table is B rows regardless of input
-    size."""
+    size.
+
+    ``hash``: 'xxhash64' (default — one JVM intrinsic per draw, the
+    production path) or 'poly' (the cross-engine Carter-Wegman mode:
+    row hash = polynomial id fold, per-replicate literal mix — every
+    draw replayable in DuckDB, so the correctness gate verifies the
+    whole bootstrap end to end)."""
     B = int(n_replicates)
-    u = lambda b: F.pmod(  # noqa: E731
-        F.xxhash64(F.col(id_col), b, F.lit(int(seed))), F.lit(_SCALE))
+    if hash == "poly":
+        u = _poly_u(id_col, B, seed)
+    else:
+        u = lambda b: F.pmod(  # noqa: E731
+            F.xxhash64(F.col(id_col), b, F.lit(int(seed))),
+            F.lit(_SCALE))
     pairs = F.transform(
         F.sequence(F.lit(0), F.lit(B - 1)),
         lambda b: F.struct(
@@ -92,6 +139,7 @@ def permutation_test_diff_means(
     id_col: str,
     n_permutations: int = 200,
     seed: int = 11,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Randomization test for a difference in means between two groups
     (the A/B significance test that assumes nothing about the
@@ -118,10 +166,17 @@ def permutation_test_diff_means(
         raise ValueError("both groups must be non-empty")
     obs = (base["s1"] / base["n1"]) - (base["s0"] / base["n0"])
     # Bernoulli(p = n1/n) pseudo-labels, threshold as an exact integer
-    p_scaled = int(round(base["n1"] / (base["n1"] + base["n0"])
-                         * _SCALE))
-    u = lambda b: F.pmod(  # noqa: E731
-        F.xxhash64(F.col(id_col), b, F.lit(int(seed))), F.lit(_SCALE))
+    # (floor(x+0.5), not Python round(): banker's rounding has no SQL
+    # twin — the DuckDB oracle replays the same half-up rule)
+    import math
+    p_scaled = int(math.floor(base["n1"] / (base["n1"] + base["n0"])
+                              * _SCALE + 0.5))
+    if hash == "poly":
+        u = _poly_u(id_col, int(n_permutations), seed)
+    else:
+        u = lambda b: F.pmod(  # noqa: E731
+            F.xxhash64(F.col(id_col), b, F.lit(int(seed))),
+            F.lit(_SCALE))
     labels = F.transform(
         F.sequence(F.lit(0), F.lit(B - 1)),
         lambda b: F.struct(

@@ -219,17 +219,38 @@ def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+SIMHASH_POLY_SEED = 97
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sum +-1 votes of each
     token's hash bit; the sign of the vote is the signature bit.  Fully
-    relational: explode tokens, unpack bits arithmetically, aggregate."""
+    relational: explode tokens, unpack bits arithmetically, aggregate.
+
+    ``hash``: 'xxhash64' (default — one JVM intrinsic per token, the
+    production path) or 'poly' (cross-engine mode: one polynomial fold
+    per token + 64 Carter-Wegman bit mixes ``((h·A_j + B_j) mod M31)
+    mod 2`` with literal constants — every signature replayable in
+    DuckDB, so the correctness gate verifies the banding math end to
+    end instead of pinning it)."""
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"))
-    h = F.xxhash64("tok")
+    if hash == "poly":
+        from .bootstrap import cw_constants, _M31
+        from .splits import raw_hash
+        cw = cw_constants(64, SIMHASH_POLY_SEED)
+        toks = toks.withColumn("h", raw_hash(F.col("tok")))
+        bit = lambda i: F.pmod(  # noqa: E731
+            F.col("h") * F.lit(cw[i][0]) + F.lit(cw[i][1]),
+            F.lit(_M31)) % 2
+    else:
+        hx = F.xxhash64("tok")
+        bit = lambda i: (F.shiftrightunsigned(hx, i)  # noqa: E731
+                         .bitwiseAND(F.lit(1).cast("long")))
     votes = toks.groupBy("doc").agg(*[
-        F.sum(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1).cast("long"))
-              * 2 - 1).alias(f"v{i}")
+        F.sum(bit(i) * 2 - 1).alias(f"v{i}")
         for i in range(64)
     ])
     sig = None
@@ -241,11 +262,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_distance: int = 3) -> DataFrame:
+                            max_distance: int = 3,
+                            hash: str = "xxhash64") -> DataFrame:
     """Pairs within Hamming distance ``max_distance`` of their SimHash.
     Candidates via the pigeonhole bands: with 4 16-bit bands, any pair
-    at distance <= 3 shares at least one exact band."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    at distance <= 3 shares at least one exact band — the banding is
+    LOSSLESS at this distance, so an oracle may recompute the pairs by
+    brute force and must get the identical set."""
+    sigs = simhash_signatures(df, id_col, text_col, hash=hash)
     bands = sigs.select(
         "doc", "simhash",
         F.explode(F.array(*[

@@ -415,7 +415,8 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
 def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             probe_id_col: Optional[str] = None, m: int = 16,
-            n_codes: int = 256, seed: int = 13) -> DataFrame:
+            n_codes: int = 256, seed: int = 13,
+            probe_chunk_size: int = 4096) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k: probes stay exact,
     the corpus is scanned as PQ codes.  Per probe, a lookup table
     ``LUT[j, c] = p_j · codebook[j][c]`` turns each candidate's
@@ -428,7 +429,16 @@ def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
     combine), and a final window keeps the global top-k — the full
     probe x corpus score matrix never exists and nothing but
     ``partitions x probes x k`` rows is shuffled.  Deterministic: ties
-    broken by vec_id."""
+    broken by vec_id.
+
+    Probe-side scale: probes reach the driver only in bounded chunks
+    of ``probe_chunk_size`` (hash-split on the probe id) — each chunk's
+    LUT block is ~``chunk · m · n_codes`` doubles (32 MB at the
+    defaults), so an arbitrarily large probe table never materializes
+    on the driver; the encoded corpus is scanned once per chunk (the
+    standard query-batch contract of an ADC index).  The result is
+    chunking-invariant: every probe lives in exactly one chunk and its
+    global top-k only depends on its own LUT."""
     probe_id_col = probe_id_col or id_col
     books = train_pq_codebooks(corpus, dim, m=m, n_codes=n_codes,
                                vec_col=vec_col, seed=seed)
@@ -437,16 +447,11 @@ def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                       F.col(vec_col).cast("array<double>").alias("v")),
         books, "v").select("vec_id", "pq_code")
 
-    pr = (probes.select(F.col(probe_id_col).alias("probe_id"),
-                        F.col(vec_col).cast("array<double>").alias("p"))
-          .toPandas())
-    pids = pr["probe_id"].to_numpy()
-    pv = np.array(pr["p"].tolist(), dtype=np.float64)
-    pv = pv / np.maximum(np.linalg.norm(pv, axis=1, keepdims=True), 1e-12)
+    pr_df = probes.select(F.col(probe_id_col).alias("probe_id"),
+                          F.col(vec_col).cast("array<double>").alias("p"))
+    n_probes = pr_df.count()
+    n_chunks = max(1, -(-int(n_probes) // int(probe_chunk_size)))
     dsub = dim // m
-    # LUT[(probe), j, c] = p_subj . book[j][c]
-    lut = np.stack([pv[:, j * dsub:(j + 1) * dsub] @ books[j].T
-                    for j in range(m)], axis=1)
 
     from pyspark.sql import types as T
     out_schema = T.StructType([
@@ -455,25 +460,46 @@ def pq_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
         T.StructField("adc_sim", T.DoubleType()),
     ])
 
-    def scan(pdfs):
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
-            vids = pdf["vec_id"].to_numpy()
-            sims = np.zeros((len(pids), len(codes)))
-            for j in range(m):
-                sims += lut[:, j, :][:, codes[:, j]]
-            # local top-k per probe (self-matches removed later)
-            kk = min(k + 1, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = {"probe_id": np.repeat(pids, kk),
-                    "vec_id": vids[idx.ravel()],
-                    "adc_sim": np.take_along_axis(sims, idx,
-                                                  axis=1).ravel()}
-            yield pd.DataFrame(rows)
+    def make_scan(pids, lut):
+        def scan(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                codes = np.array(pdf["pq_code"].tolist(), dtype=np.int64)
+                vids = pdf["vec_id"].to_numpy()
+                sims = np.zeros((len(pids), len(codes)))
+                for j in range(m):
+                    sims += lut[:, j, :][:, codes[:, j]]
+                # local top-k per probe (self-matches removed later)
+                kk = min(k + 1, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                rows = {"probe_id": np.repeat(pids, kk),
+                        "vec_id": vids[idx.ravel()],
+                        "adc_sim": np.take_along_axis(sims, idx,
+                                                      axis=1).ravel()}
+                yield pd.DataFrame(rows)
+        return scan
 
-    partial = enc.mapInPandas(scan, out_schema)
+    partial = None
+    for ci in range(n_chunks):
+        chunk = pr_df if n_chunks == 1 else pr_df.filter(
+            F.pmod(F.xxhash64(F.col("probe_id")), F.lit(n_chunks))
+            == F.lit(ci))
+        pr = chunk.toPandas()
+        if not len(pr):
+            continue
+        pids = pr["probe_id"].to_numpy()
+        pv = np.array(pr["p"].tolist(), dtype=np.float64)
+        pv = pv / np.maximum(np.linalg.norm(pv, axis=1, keepdims=True),
+                             1e-12)
+        # LUT[(probe), j, c] = p_subj . book[j][c]
+        lut = np.stack([pv[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                        for j in range(m)], axis=1)
+        part = enc.mapInPandas(make_scan(pids, lut), out_schema)
+        partial = part if partial is None else partial.unionAll(part)
+    if partial is None:
+        spark = probes.sparkSession
+        partial = spark.createDataFrame([], out_schema)
     w = Window.partitionBy("probe_id").orderBy(
         F.col("adc_sim").desc(), F.col("vec_id").asc())
     return (partial.filter(F.col("probe_id") != F.col("vec_id"))

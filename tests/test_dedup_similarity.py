@@ -371,6 +371,23 @@ def test_pq_topk_recall(spark, vectors):
     assert top.vec_id.iloc[0] == 1
 
 
+def test_pq_topk_probe_chunking_invariant(spark, vectors):
+    """The bounded probe-chunk path (driver never holds more than
+    probe_chunk_size probes) must return exactly the single-chunk
+    result — every probe's top-k depends only on its own LUT."""
+    sdf, base = vectors
+    probes = sdf.filter(F.col("vec_id") < 10)
+    one = (similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                              n_codes=256)
+           .toPandas().sort_values(["probe_id", "rk"])
+           .reset_index(drop=True))
+    many = (similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                               n_codes=256, probe_chunk_size=3)
+            .toPandas().sort_values(["probe_id", "rk"])
+            .reset_index(drop=True))
+    assert one.equals(many)
+
+
 def _lev(a, b):
     dp = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
