@@ -688,6 +688,33 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_ref", "n_cur")
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs (quote / subset
+    detection): pairs whose smaller shingle set is >= 60% contained in
+    the other — catches verbatim-inclusion duplicates whose Jaccard
+    stays low when lengths differ."""
+    from hiselspark.operators.dedup import containment_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = containment_pairs(docs, "doc_id", "text", threshold=0.6)
+    return out.select("a", "b", "n_common", "n_a", "n_b",
+                      F.round("c_ab", 6).alias("c_ab"),
+                      F.round("c_ba", 6).alias("c_ba"))
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) drift of the event-value
+    distribution, first two weeks vs the rest — complements KS (sup
+    norm) by weighting how FAR the mass moved.  Integer count-table
+    arithmetic, one division at the end."""
+    from hiselspark.operators.drift import wasserstein_1
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    out = wasserstein_1(ev, "cents",
+                        F.col("ts").cast("timestamp") < split)
+    return out.select(F.round("w1", 6).alias("w1"), "n_ref", "n_cur")
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Runs the cross-engine
@@ -1706,6 +1733,41 @@ def q_image_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("edge_dx", 6).alias("edge_dx"),
         F.round("edge_dy", 6).alias("edge_dy"),
         F.round("edge_energy", 6).alias("edge_energy"))
+
+
+def q_image_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 integer Laplacian convolution stats end-to-end (decode ->
+    grayscale-sum -> valid-region stencil -> exact-integer reductions)
+    over synthesized 8x8 raw payloads — the oracle recomputes every
+    pixel, every response and every reduction arithmetically in SQL."""
+    from hiselspark.functions.image import with_conv_features
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_conv_features(imgs)
+    return out.select(
+        "okey",
+        F.round("conv_abs_mean", 6).alias("conv_abs_mean"),
+        "conv_max", "conv_n_pos")
+
+
+def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram equalization end-to-end on synthesized 8x8 raw
+    payloads — the exact-integer LUT (no float division anywhere)
+    means DuckDB replays every histogram count, every CDF step and
+    every remapped pixel."""
+    from hiselspark.functions.image import with_equalized_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_equalized_stats(imgs)
+    return out.select("okey", "eq_sum",
+                      F.round("eq_mean", 6).alias("eq_mean"),
+                      "eq_distinct")
 
 
 def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3478,6 +3540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "bootstrap_ci": q_bootstrap_ci,
         "ks_drift": q_ks_drift,
+        "wasserstein_drift": q_wasserstein_drift,
+        "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
         "winsorized_mean": q_winsorized_mean,
@@ -3539,6 +3603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_spatial": q_image_spatial,
         "dhash": q_dhash,
+        "image_conv": q_image_conv,
+        "image_equalize": q_image_equalize,
         "dhash_neardup": q_dhash_neardup,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -3846,6 +3912,75 @@ def _cw_values(n: int, seed: int) -> str:
     return ",\n              ".join(
         f"({b}, {a}, {c})"
         for b, (a, c) in enumerate(cw_constants(n, seed)))
+
+
+def _conv_oracle_sql() -> str:
+    """TRUE SQL oracle for image_conv: the synthesized pixel
+    ``p(i) = (okey·7919 + i·31) % 256`` is pure arithmetic, so the
+    grayscale sums — including every STENCIL NEIGHBOR — expand inline
+    (no joins) and DuckDB replays the whole 3x3 Laplacian and its
+    integer reductions."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((okey*7919 + ((y+{dy})*24 + (x+{dx})*3 + {c})*31) % 256)"
+            for c in range(3))
+        return f"({terms})"
+    resp = (f"4*{g(0, 0)} - {g(-1, 0)} - {g(1, 0)}"
+            f" - {g(0, -1)} - {g(0, 1)}")
+    return f"""
+        WITH r AS (
+          SELECT o_orderkey AS okey, {resp} AS resp
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        )
+        SELECT okey,
+               round(CAST(sum(abs(resp)) AS DOUBLE) / 36, 6)
+                 AS conv_abs_mean,
+               CAST(max(resp) AS BIGINT) AS conv_max,
+               CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv_n_pos
+        FROM r GROUP BY okey
+    """
+
+
+def _equalize_oracle_sql() -> str:
+    """TRUE SQL oracle for image_equalize: grayscale sums from the
+    synthesized-pixel arithmetic, per-image histogram + CDF, and the
+    exact-integer LUT ``((cdf − cdf_min)·510 + span) // (2·span)`` —
+    integer ``//`` both engines, no float division anywhere."""
+    g = " + ".join(
+        f"((okey*7919 + (p*3 + {c})*31) % 256)" for c in range(3))
+    return f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey, CAST({g} AS BIGINT) AS g
+          FROM orders, unnest(generate_series(0, 63)) AS tp(p)
+        ),
+        hist AS (
+          SELECT okey, g, COUNT(*) AS c FROM px GROUP BY okey, g
+        ),
+        cdf AS (
+          SELECT okey, g, c,
+                 SUM(c) OVER (PARTITION BY okey ORDER BY g
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cdf,
+                 FIRST_VALUE(c) OVER (PARTITION BY okey ORDER BY g)
+                   AS cdf_min
+          FROM hist
+        ),
+        lut AS (
+          SELECT okey, g, c,
+                 CASE WHEN 64 - cdf_min = 0 THEN 0
+                      ELSE ((cdf - cdf_min) * 510 + (64 - cdf_min))
+                           // (2 * (64 - cdf_min)) END AS v
+          FROM cdf
+        )
+        SELECT okey,
+               CAST(SUM(c * v) AS BIGINT) AS eq_sum,
+               round(CAST(SUM(c * v) AS DOUBLE) / 64, 6) AS eq_mean,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS eq_distinct
+        FROM lut GROUP BY okey
+    """
 
 
 def _simhash_oracle_sql(max_distance: int = 3) -> str:
@@ -4393,6 +4528,41 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(n_common AS DOUBLE)
                   / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
+        "containment_pairs": """
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' ') AS words
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN len(words) >= 3
+                          THEN words[i] || ' ' || words[i+1] || ' '
+                               || words[i+2]
+                          ELSE array_to_string(words, ' ') END AS shingle
+              FROM norm,
+                   unnest(generate_series(
+                     1, greatest(len(words) - 2, 1))) AS t(i)
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+              FROM sh l JOIN sh r USING (shingle)
+              WHERE l.doc_id < r.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+                   CAST(sa.n_sh AS BIGINT) AS n_a,
+                   CAST(sb.n_sh AS BIGINT) AS n_b,
+                   round(CAST(n_common AS DOUBLE) / sa.n_sh, 6) AS c_ab,
+                   round(CAST(n_common AS DOUBLE) / sb.n_sh, 6) AS c_ba
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE CAST(n_common AS DOUBLE)
+                  / least(sa.n_sh, sb.n_sh) >= 0.6
+        """,
         "fingerprint_groups": """
             WITH groups AS (
               SELECT regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g')
@@ -4694,6 +4864,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["simhash_neardup"] = _simhash_oracle_sql(max_distance=3)
     # hybrid: pinned k-means assignment, SQL-replayed dedup decision
     oracles["semantic_dedup"] = _semantic_dedup_oracle_sql(eps=0.65)
+    oracles["image_conv"] = _conv_oracle_sql()
+    oracles["image_equalize"] = _equalize_oracle_sql()
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,
@@ -6437,6 +6609,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM m WHERE gap = best
+    """
+    oracles["wasserstein_drift"] = """
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS cents,
+                 CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0
+                 END AS r
+          FROM events
+        ), per AS (
+          SELECT cents,
+                 CAST(sum(r) AS BIGINT) AS a,
+                 CAST(count(*) - sum(r) AS BIGINT) AS b
+          FROM q GROUP BY cents
+        ), t AS (
+          SELECT cents,
+                 CAST(sum(a) OVER w AS BIGINT) AS acum,
+                 CAST(sum(b) OVER w AS BIGINT) AS bcum,
+                 CAST(sum(a) OVER () AS BIGINT) AS na,
+                 CAST(sum(b) OVER () AS BIGINT) AS nb,
+                 COALESCE(lead(cents) OVER (ORDER BY cents) - cents,
+                          0) AS dv
+          FROM per
+          WINDOW w AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        )
+        SELECT round(CAST(sum(abs(acum * nb - bcum * na) * dv)
+                          AS DOUBLE)
+                     / CAST(max(na) * max(nb) AS DOUBLE), 6) AS w1,
+               CAST(max(na) AS BIGINT) AS n_ref,
+               CAST(max(nb) AS BIGINT) AS n_cur
+        FROM t
     """
     oracles["retrieval_eval"] = """
         WITH e AS (

@@ -558,6 +558,169 @@ def with_spatial_features(df: DataFrame, grid: int = 2) -> DataFrame:
     return df.mapInPandas(run, out_schema)
 
 
+def _conv_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """3x3 integer Laplacian response stats per image, vectorized per
+    shape group: grayscale by exact channel SUM (no division), valid-
+    region convolution ``4g − g_up − g_down − g_left − g_right`` by
+    array slicing (the separable-stencil form — no im2col, no float
+    kernel), then three exact-integer reductions: Σ|response| (one
+    division for the mean), max response, and the count of strictly
+    positive responses.  All integers until the single mean division,
+    so another engine replays every digit."""
+    m = len(pdf)
+    amean = np.empty(m, dtype=np.float64)
+    rmax = np.empty(m, dtype=np.int64)
+    npos = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        _, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)  # grayscale = channel sum
+        r = (4 * g[:, 1:-1, 1:-1]
+             - g[:, :-2, 1:-1] - g[:, 2:, 1:-1]
+             - g[:, 1:-1, :-2] - g[:, 1:-1, 2:])
+        n_valid = (h - 2) * (w - 2)
+        amean[rows] = (np.abs(r).sum(axis=(1, 2), dtype=np.int64)
+                       / float(n_valid))
+        rmax[rows] = r.max(axis=(1, 2))
+        npos[rows] = (r > 0).sum(axis=(1, 2), dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["conv_abs_mean"] = amean
+    out["conv_max"] = rmax
+    out["conv_n_pos"] = npos
+    return out
+
+
+def with_conv_features(df: DataFrame) -> DataFrame:
+    """Append 3x3 Laplacian convolution statistics and drop the
+    payload: ``conv_abs_mean`` (mean |response| over the valid region —
+    a second-derivative sharpness/texture score, the blur filter that
+    sees what the first-difference ``edge_energy`` misses: a smooth
+    ramp has high gradient but zero Laplacian), ``conv_max`` (peak
+    response — impulse-noise / hot-pixel detector) and ``conv_n_pos``.
+    Arrow-batched ``mapInPandas`` over shape-grouped raw payloads —
+    images needing >= 3x3; integer arithmetic end to end (one division
+    for the mean), blobs dropped before anything shuffles."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("conv_abs_mean", T.DoubleType()),
+           T.StructField("conv_max", T.LongType()),
+           T.StructField("conv_n_pos", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _conv_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _equalize_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Histogram equalization on the grayscale channel-SUM, with the
+    LUT in EXACT integer arithmetic:
+
+        lut(v) = floor(((cdf(v) − cdf_min)·510 + span) / (2·span)),
+        span = n_px − cdf_min
+
+    i.e. round-half-up of ``(cdf−cdf_min)·255/span`` with no float
+    division anywhere — another engine replays every digit with plain
+    integer ``//``.  Per batch the histograms are ONE offset-bincount
+    over the whole shape group (no per-image Python loop).  Emits
+    ``eq_sum`` (exact integer sum of equalized pixels), ``eq_mean``
+    (one division) and ``eq_distinct`` (post-equalization level count —
+    a contrast-utilization score)."""
+    m = len(pdf)
+    eq_sum = np.empty(m, dtype=np.int64)
+    eq_mean = np.empty(m, dtype=np.float64)
+    eq_distinct = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        npix = h * w
+        g = cube.sum(axis=3, dtype=np.int64).reshape(n, npix)
+        levels = 766  # grayscale sum range 0..765
+        offset = (np.arange(n, dtype=np.int64) * levels)[:, None]
+        hist = np.bincount((g + offset).ravel(),
+                           minlength=n * levels).reshape(n, levels)
+        cdf = hist.cumsum(axis=1)
+        # cdf_min = cdf at the smallest PRESENT level = its count
+        first = np.argmax(hist > 0, axis=1)
+        cdf_min = hist[np.arange(n), first]
+        span = npix - cdf_min
+        safe = np.maximum(span, 1)
+        lut = ((cdf - cdf_min[:, None]) * 510
+               + safe[:, None]) // (2 * safe[:, None])
+        lut = np.where(span[:, None] == 0, 0, np.clip(lut, 0, 255))
+        eq = np.take_along_axis(lut, g, axis=1)
+        eq_sum[rows] = eq.sum(axis=1, dtype=np.int64)
+        eq_mean[rows] = eq_sum[rows] / float(npix)
+        eq_distinct[rows] = [len(np.unique(r)) for r in eq]
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["eq_sum"] = eq_sum
+    out["eq_mean"] = eq_mean
+    out["eq_distinct"] = eq_distinct
+    return out
+
+
+def with_equalized_stats(df: DataFrame) -> DataFrame:
+    """Append histogram-equalization statistics and drop the payload:
+    the exact-integer equalization LUT (see :func:`_equalize_frame`)
+    applied to the grayscale channel sum — ``eq_sum`` / ``eq_mean`` /
+    ``eq_distinct``.  Low ``eq_distinct`` after equalization flags
+    banded / posterized / synthetic images that raw pixel stats rate
+    as normal — a curation filter orthogonal to blur (``edge_energy``,
+    ``conv_abs_mean``) and exposure (``px_mean``) checks.  Same
+    Arrow-batched shape-grouped ``mapInPandas`` discipline as the
+    other payload operators."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("eq_sum", T.LongType()),
+           T.StructField("eq_mean", T.DoubleType()),
+           T.StructField("eq_distinct", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _equalize_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
 def _dhash_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     """Difference-hash per image, vectorized per shape group: resize
     to 9x8 (nearest neighbor, pixel-center mapping — the same rule as

@@ -197,6 +197,55 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         "a", "b", "n_common", "jaccard")
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5, shingle_n: int = 3,
+                      candidates: Optional[DataFrame] = None,
+                      max_shingle_df: Optional[int] = None) -> DataFrame:
+    """Asymmetric n-gram set CONTAINMENT per pair —
+    ``c(A→B) = |A∩B| / |A|`` both ways plus the max — the quote /
+    subset detector Jaccard cannot be: a 100-word document embedded
+    verbatim in a 10,000-word one has Jaccard ≈ 0.01 but containment
+    1.0 (Broder's resemblance-vs-containment distinction, *On the
+    resemblance and containment of documents*, SEQUENCES 1997).
+
+    Same relational plan and hygiene knobs as :func:`jaccard_pairs`
+    (shared shingle self-join, optional candidate restriction and
+    stopword-shingle DF cap); pairs kept when
+    ``max(c_ab, c_ba) = n_common / min(|A|,|B|) >= threshold``.
+    Returns ``(a, b, n_common, n_a, n_b, c_ab, c_ba)``."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
+    if candidates is not None:
+        cand_docs = (candidates.select(F.col("a").alias("doc"))
+                     .union(candidates.select(F.col("b").alias("doc")))
+                     .distinct())
+        sh = sh.join(cand_docs, "doc", "left_semi")
+    if max_shingle_df is not None:
+        keep = (sh.groupBy("shingle")
+                  .agg(F.count("*").alias("__df"))
+                  .filter(F.col("__df") <= max_shingle_df)
+                  .select("shingle"))
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("l")
+             .join(sh.alias("r"), "shingle")
+             .filter(F.col("l.doc") < F.col("r.doc"))
+             .groupBy(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
+             .agg(F.count("*").alias("n_common")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (inter
+           .join(sizes.withColumnRenamed("doc", "a")
+                      .withColumnRenamed("n_sh", "n_a"), "a")
+           .join(sizes.withColumnRenamed("doc", "b")
+                      .withColumnRenamed("n_sh", "n_b"), "b")
+           .withColumn("c_ab", F.col("n_common") / F.col("n_a"))
+           .withColumn("c_ba", F.col("n_common") / F.col("n_b")))
+    return (out.filter(F.col("n_common")
+                       / F.least("n_a", "n_b") >= threshold)
+               .select("a", "b", "n_common", "n_a", "n_b",
+                       "c_ab", "c_ba"))
+
+
 def minhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             num_hashes: int = 16, bands: int = 4,
                             threshold: float = 0.5,

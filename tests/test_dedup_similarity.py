@@ -702,3 +702,27 @@ def test_keep_best_duplicate_prefers_quality(spark):
     out3 = keep_best_duplicate(spark.createDataFrame(tie), "doc_id",
                                "text", "q").toPandas()
     assert list(out3.doc_id) == [6]
+
+
+def test_containment_pairs_planted_subset(spark):
+    """A short doc embedded verbatim in a long one: Jaccard is small
+    but containment of the short side is 1.0."""
+    from hiselspark.operators import dedup
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} word{i} tail{i}"
+                                   for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different text here")],
+        "doc_id long, text string")
+    out = dedup.containment_pairs(df, "doc_id", "text",
+                                  threshold=0.9).toPandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert (row.a, row.b) == (1, 2)
+    assert row.c_ab == 1.0          # the short side is fully contained
+    assert row.c_ba < 0.2           # while Jaccard-style symmetry fails
+    # jaccard on the same pair is well under the containment threshold
+    j = dedup.jaccard_pairs(df, "doc_id", "text",
+                            threshold=0.0).toPandas()
+    jrow = j[(j.a == 1) & (j.b == 2)].iloc[0]
+    assert jrow.jaccard < 0.2

@@ -269,3 +269,69 @@ def test_image_curation_chain_invariants(spark):
     assert (out.group_size > 1).any()
     # survivors are distinct original ids
     assert out.min_survivor.is_unique
+
+
+def test_conv_features_match_numpy_laplacian(spark):
+    """with_conv_features vs a direct NumPy 3x3 Laplacian on random
+    raw images of two different shapes (exercises the shape-grouped
+    batching)."""
+    import numpy as np
+    from hiselspark.functions.image import with_conv_features
+    rng = np.random.default_rng(11)
+    rows = []
+    truth = {}
+    for i in range(12):
+        w, h = (8, 8) if i % 2 == 0 else (10, 6)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64)
+        r = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+             - g[1:-1, :-2] - g[1:-1, 2:])
+        truth[i] = (float(np.abs(r).mean()), int(r.max()),
+                    int((r > 0).sum()))
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_conv_features(df).toPandas().set_index("img_id")
+    for i, (am, mx, npos) in truth.items():
+        assert abs(out.loc[i, "conv_abs_mean"] - am) < 1e-9
+        assert out.loc[i, "conv_max"] == mx
+        assert out.loc[i, "conv_n_pos"] == npos
+
+
+def test_equalized_stats_match_reference_equalization(spark):
+    """with_equalized_stats vs a straightforward per-image Python
+    histogram equalization (round-half-up LUT), plus invariants: a
+    uniform ramp maps to the full 0..255 sweep and a constant image
+    maps to all zeros."""
+    import numpy as np
+    from hiselspark.functions.image import with_equalized_stats
+
+    def ref_eq(g, npix):
+        hist = np.bincount(g, minlength=766)
+        cdf = hist.cumsum()
+        cdf_min = hist[np.nonzero(hist)[0][0]]
+        span = npix - cdf_min
+        if span == 0:
+            return np.zeros_like(g)
+        lut = ((cdf - cdf_min) * 510 + span) // (2 * span)
+        return lut[g]
+
+    rng = np.random.default_rng(3)
+    rows, truth = [], {}
+    for i in range(8):
+        img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64).ravel()
+        eq = ref_eq(g, 64)
+        truth[i] = (int(eq.sum()), float(eq.sum() / 64.0),
+                    len(np.unique(eq)))
+        rows.append((i, img.tobytes(), 8, 8, "raw"))
+    const = np.full((8, 8, 3), 77, dtype=np.uint8)
+    rows.append((100, const.tobytes(), 8, 8, "raw"))
+    truth[100] = (0, 0.0, 1)
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_equalized_stats(df).toPandas().set_index("img_id")
+    for i, (s, m, d) in truth.items():
+        assert out.loc[i, "eq_sum"] == s
+        assert abs(out.loc[i, "eq_mean"] - m) < 1e-12
+        assert out.loc[i, "eq_distinct"] == d

@@ -261,3 +261,34 @@ def test_ks_statistic_ignores_null_values(spark):
     assert with_null["ks"] == clean["ks"]
     assert with_null["n_ref"] == 4 and with_null["n_cur"] == 2
     assert with_null["at_value"] == clean["at_value"]
+
+
+def test_wasserstein_1_matches_sorted_sample_formula(spark):
+    """For equal-size samples W1 = mean |sorted(x) - sorted(y)| — the
+    classic one-dimensional optimal-transport closed form; the
+    count-table integral must agree exactly."""
+    import numpy as np
+    from hiselspark.operators.drift import wasserstein_1
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 500, 400)
+    y = rng.integers(100, 700, 400)
+    rows = ([(int(v), 1) for v in x] + [(int(v), 0) for v in y])
+    df = spark.createDataFrame(rows, "v long, grp int")
+    got = wasserstein_1(df, "v", F.col("grp") == 1).collect()[0]
+    expect = float(np.abs(np.sort(x) - np.sort(y)).mean())
+    assert got.n_ref == 400 and got.n_cur == 400
+    assert abs(got.w1 - expect) < 1e-9
+
+
+def test_wasserstein_1_zero_on_identical_and_shift(spark):
+    import numpy as np
+    from hiselspark.operators.drift import wasserstein_1
+    vals = list(range(100))
+    rows = [(v, 1) for v in vals] + [(v, 0) for v in vals]
+    df = spark.createDataFrame(rows, "v long, grp int")
+    assert wasserstein_1(df, "v", F.col("grp") == 1).collect()[0].w1 == 0.0
+    # a constant shift of c moves W1 to exactly c
+    rows = [(v, 1) for v in vals] + [(v + 7, 0) for v in vals]
+    df = spark.createDataFrame(rows, "v long, grp int")
+    assert abs(wasserstein_1(df, "v", F.col("grp") == 1)
+               .collect()[0].w1 - 7.0) < 1e-9
