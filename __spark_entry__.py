@@ -715,6 +715,55 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.round("w1", 6).alias("w1"), "n_ref", "n_cur")
 
 
+def _mi_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six deterministic discrete features + a label over events, all
+    pure integer arithmetic in (cents, ts, event_type) so a second
+    engine reproduces every value exactly.  f_seven2/f_seven4 share the
+    label's ``cents DIV 7`` driver (high relevance, high mutual
+    redundancy) — exactly the structure mRMR exists to untangle."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    return ev.select(
+        (F.col("cents") % 2).alias("f_parity"),
+        (F.col("cents") % 5).alias("f_mod5"),
+        (F.expr("cents DIV 7") % 2).alias("f_seven2"),
+        (F.expr("cents DIV 7") % 4).alias("f_seven4"),
+        (F.expr("unix_micros(cast(ts as timestamp)) DIV 3600000000")
+         % 24).alias("f_hour"),
+        F.length("event_type").alias("f_typelen"),
+        (F.expr("cents DIV 7") % 3).alias("y"))
+
+
+_MI_FEATURES = ["f_parity", "f_mod5", "f_seven2", "f_seven4",
+                "f_hour", "f_typelen"]
+
+
+def q_info_gain_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain (= exact discrete MI) ranking of six derived
+    event features against a derived label — the count-based sibling
+    of the reference's ksgmi preselection, one unpivoted count shuffle
+    for all features at once."""
+    from hiselspark.operators.feature_rank import info_gain_rank
+    out = info_gain_rank(_mi_feature_frame(spark, sf_dir),
+                         _MI_FEATURES, "y")
+    return out.select("feature", "n",
+                      F.round("mi", 6).alias("mi"), "rank")
+
+
+def q_mrmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy mRMR over the same feature frame: max relevance minus
+    mean redundancy per step, k=4.  The DuckDB oracle replays the
+    ENTIRE selection — every MI, every fold, every argmax — from the
+    parquet via unrolled CTE steps; nothing is pinned."""
+    from hiselspark.operators.feature_rank import mrmr_select
+    out = mrmr_select(_mi_feature_frame(spark, sf_dir),
+                      _MI_FEATURES, "y", k=4)
+    return out.select("rk", "feature",
+                      F.round("relevance", 6).alias("relevance"),
+                      F.round("redundancy", 6).alias("redundancy"),
+                      F.round("score", 6).alias("score"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Runs the cross-engine
@@ -3541,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": q_bootstrap_ci,
         "ks_drift": q_ks_drift,
         "wasserstein_drift": q_wasserstein_drift,
+        "info_gain_rank": q_info_gain_rank,
+        "mrmr_select": q_mrmr_select,
         "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
@@ -3695,6 +3746,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+_MI_FEAT_SQL = """
+        base AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+                 CAST(length(event_type) AS BIGINT) AS f_typelen
+          FROM events
+        ), feat AS (
+          SELECT cents % 2 AS f_parity, cents % 5 AS f_mod5,
+                 (cents // 7) % 2 AS f_seven2,
+                 (cents // 7) % 4 AS f_seven4,
+                 f_hour, f_typelen, (cents // 7) % 3 AS y
+          FROM base
+        )"""
+
+
+def _mi_sql_ctes(name: str, src: str, keys: list[str]) -> str:
+    """CTE chain computing exact plug-in MI per ``keys`` group of a
+    long table ``src`` with columns (keys…, x, y) — the same integer
+    count table, marginal window sums and sorted float fold as
+    ``operators/feature_rank.mutual_info_table``."""
+    ks = ", ".join(keys)
+    return f"""
+        {name}_cells AS (
+          SELECT {ks}, x, y, CAST(count(*) AS BIGINT) AS c
+          FROM {src} GROUP BY {ks}, x, y
+        ), {name}_m AS (
+          SELECT {ks}, x, y, c,
+            CAST(sum(c) OVER (PARTITION BY {ks}, x) AS BIGINT) AS cx,
+            CAST(sum(c) OVER (PARTITION BY {ks}, y) AS BIGINT) AS cy
+          FROM {name}_cells
+        ), {name}_g AS (
+          SELECT {ks}, CAST(sum(c) AS BIGINT) AS n,
+            list_sort(list({{'x': x, 'y': y, 'c': c,
+                             'cx': cx, 'cy': cy}})) AS cl
+          FROM {name}_m GROUP BY {ks}
+        ), {name} AS MATERIALIZED (
+          SELECT {ks}, n,
+            list_reduce(list_prepend(0.0, list_transform(cl, s ->
+              (CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(s.c * n AS DOUBLE)
+                   / CAST(s.cx * s.cy AS DOUBLE)))),
+              (acc, t) -> acc + t) AS mi
+          FROM {name}_g
+        )"""
+
+
+_MI_FEATURE_NAMES = ["f_parity", "f_mod5", "f_seven2", "f_seven4",
+                     "f_hour", "f_typelen"]
+
+
+def _info_gain_oracle_sql() -> str:
+    """TRUE SQL oracle for info_gain_rank: DuckDB rebuilds every
+    feature's contingency table and replays the sorted MI fold."""
+    unions = "\n          UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {f} AS x, y FROM feat"
+        for f in _MI_FEATURE_NAMES)
+    return f"""
+        WITH {_MI_FEAT_SQL}, rlong AS (
+          {unions}
+        ), {_mi_sql_ctes("rel", "rlong", ["feature"])}
+        SELECT feature, n, round(mi, 6) AS mi,
+               CAST(ROW_NUMBER() OVER (ORDER BY mi DESC, feature ASC)
+                    AS INTEGER) AS rank
+        FROM rel
+    """
+
+
+def _mrmr_oracle_sql(k: int = 4) -> str:
+    """TRUE SQL oracle for mrmr_select: relevance + pairwise
+    redundancy MI tables, then ``k`` unrolled greedy argmax steps
+    (mean redundancy folded in sorted-selected-name order, ties to the
+    feature name) — nothing is pinned."""
+    feats = sorted(_MI_FEATURE_NAMES)
+    rel_unions = "\n          UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {f} AS x, y FROM feat"
+        for f in _MI_FEATURE_NAMES)
+    pair_unions = "\n          UNION ALL ".join(
+        f"SELECT '{a}' AS fa, '{b}' AS fb, {a} AS x, {b} AS y FROM feat"
+        for i, a in enumerate(feats) for b in feats[i + 1:])
+    ctes = [
+        _MI_FEAT_SQL.strip(),
+        f"rlong AS (\n          {rel_unions}\n        )",
+        _mi_sql_ctes("rel", "rlong", ["feature"]).strip(),
+        f"plong AS (\n          {pair_unions}\n        )",
+        _mi_sql_ctes("red0", "plong", ["fa", "fb"]).strip(),
+        "redb AS MATERIALIZED (SELECT fa, fb, mi FROM red0"
+        " UNION ALL SELECT fb AS fa, fa AS fb, mi FROM red0)",
+        "p1 AS MATERIALIZED (SELECT feature, mi AS relevance,"
+        " 0.0 AS redundancy, mi AS score FROM rel"
+        " ORDER BY mi DESC, feature ASC LIMIT 1)",
+        "sel1 AS (SELECT feature FROM p1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(f"""rem{t - 1} AS (
+          SELECT * FROM rel WHERE feature NOT IN
+            (SELECT feature FROM sel{t - 1}))""")
+        ctes.append(f"""cand{t} AS (
+          SELECT r.feature, r.mi AS relevance,
+            list_reduce(list_prepend(0.0, list_transform(
+              list_sort(list({{'s': rd.fb, 'm': rd.mi}})),
+              q -> q.m)), (a, b) -> a + b) / {t - 1} AS redundancy
+          FROM rem{t - 1} r JOIN redb rd ON rd.fa = r.feature
+            AND rd.fb IN (SELECT feature FROM sel{t - 1})
+          GROUP BY r.feature, r.mi)""")
+        ctes.append(f"""p{t} AS MATERIALIZED (
+          SELECT feature, relevance, redundancy,
+                 relevance - redundancy AS score
+          FROM cand{t}
+          ORDER BY relevance - redundancy DESC, feature ASC LIMIT 1)""")
+        if t < k:
+            ctes.append(f"sel{t} AS (SELECT feature FROM sel{t - 1}"
+                        f" UNION ALL SELECT feature FROM p{t})")
+    unions = "\n          UNION ALL ".join(
+        f"SELECT {t} AS rk, feature, relevance, redundancy, score"
+        f" FROM p{t}" for t in range(1, k + 1))
+    return ("WITH " + ",\n        ".join(ctes) + f"""
+        SELECT rk, feature, round(relevance, 6) AS relevance,
+               round(redundancy, 6) AS redundancy,
+               round(score, 6) AS score
+        FROM ({unions})
+    """)
+
 
 def _sql_cos(a: str, b: str) -> str:
     """DuckDB cosine of two DOUBLE[] expressions (same shape as the
@@ -7947,4 +8121,6 @@ def oracle_sql() -> dict[str, str]:
                AS DOUBLE) / 1000000.0 AS delta_s
         FROM q
     """
+    oracles["info_gain_rank"] = _info_gain_oracle_sql()
+    oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     return oracles

@@ -1,0 +1,204 @@
+"""Count-based mutual-information feature ranking and greedy mRMR.
+
+The reference's selection stack ranks features by HSIC (kernel
+dependence, ``/root/reference/hisel/select.py``) after an MI-based
+preselection (``ksgmi``, ``select.py:45-75``).  This module is the
+discrete, exactly-replayable sibling of that preselection: the plug-in
+mutual information
+
+    MI(X; Y) = Σ_{x,y} (c_xy / n) · ln( c_xy · n / (c_x · c_y) )
+
+computed from integer contingency counts, and the classic mRMR greedy
+(Peng et al., "Feature selection based on mutual information", TPAMI
+2005): repeatedly pick the feature maximizing
+
+    score(f) = MI(f; y) − (1/|S|) · Σ_{s ∈ S} MI(f; s)
+
+i.e. max-relevance-minus-mean-redundancy against the already-selected
+set S.
+
+Scale shape: ONE map-side-combined count shuffle builds every
+contingency cell — features are unpivoted row-wise (``stack``), so a
+row of d features becomes d cells for relevance and d(d−1)/2 cells for
+pairwise redundancy BEFORE the partial aggregation collapses them; the
+multiplier is bounded by the feature count, never the row count.  The
+greedy itself runs on the driver over the d + d²/2 MI numbers — a few
+hundred doubles even for wide tables — so no iteration touches the
+cluster twice.
+
+Determinism: counts stay integers until the final fold; the per-key
+cell terms are summed in sorted (x, y) order via ``array_sort`` +
+``F.aggregate`` (float addition is not associative), which a second
+engine can mirror bit-for-bit (DuckDB ``list_sort``/``list_reduce``)
+modulo libm's ``ln`` ulp.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+
+def mutual_info_table(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact plug-in MI between integer columns ``x_col`` and ``y_col``,
+    one row per ``key_cols`` group: ``n`` (rows) and ``mi`` (nats).
+
+    Both value columns must be integral (cast upstream): integer cell
+    counts and integer marginal products keep every input to the float
+    fold exact, and the struct sort gives the fold a total order.
+    """
+    key_cols = list(key_cols)
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    cells = (df.select(*key_cols, x.alias("__x"), y.alias("__y"))
+               .groupBy(*key_cols, "__x", "__y")
+               .agg(F.count(F.lit(1)).alias("__c")))
+    from pyspark.sql import Window
+    wx = Window.partitionBy(*key_cols, "__x")
+    wy = Window.partitionBy(*key_cols, "__y")
+    cells = (cells
+             .withColumn("__cx", F.sum("__c").over(wx))
+             .withColumn("__cy", F.sum("__c").over(wy)))
+    per_key = (cells.groupBy(*key_cols)
+               .agg(F.sum("__c").alias("n"),
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("__x").alias("x"),
+                        F.col("__y").alias("y"),
+                        F.col("__c").alias("c"),
+                        F.col("__cx").alias("cx"),
+                        F.col("__cy").alias("cy")))).alias("__cells")))
+
+    def term(acc, s):
+        return acc + (
+            s["c"].cast("double") / F.col("n").cast("double")
+        ) * F.log(
+            (s["c"] * F.col("n")).cast("double")
+            / (s["cx"] * s["cy"]).cast("double")
+        )
+
+    return (per_key
+            .withColumn("mi", F.aggregate("__cells", F.lit(0.0), term))
+            .drop("__cells"))
+
+
+def _unpivot(df: DataFrame, feature_cols: Sequence[str]) -> DataFrame:
+    """(feature, value) long form via one ``stack`` projection — a
+    single narrow map stage, no shuffle."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS LONG)" for c in feature_cols)
+    return df.selectExpr(
+        f"stack({len(feature_cols)}, {pairs}) AS (feature, value)",
+        "*")
+
+
+def info_gain_rank(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Rank features by information gain about ``label_col`` — for
+    discrete variables IG(f; y) = H(y) − H(y|f) IS the mutual
+    information, so this is the exact count-based MI of each feature
+    with the label, ranked descending (ties to the feature name).
+
+    Returns (feature, n, mi, rank).  One unpivoted count shuffle for
+    every feature at once; the reference runs this shape per-feature
+    through sklearn (``ksgmi``) — here it is a single pass.
+    """
+    from pyspark.sql import Window
+    long_df = _unpivot(df, feature_cols).select(
+        "feature", "value", F.col(label_col).cast("long").alias("__y"))
+    mi = mutual_info_table(long_df, "value", "__y",
+                           key_cols=["feature"])
+    w = Window.orderBy(F.col("mi").desc(), F.col("feature").asc())
+    return mi.select("feature", "n", "mi",
+                     F.row_number().over(w).alias("rank"))
+
+
+def pairwise_mi(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+) -> DataFrame:
+    """MI for every unordered feature pair (fa < fb by name):
+    (fa, fb, n, mi).  One count shuffle over d(d−1)/2 cells per row —
+    the blowup is bounded by the feature count, and the partial
+    aggregation collapses it map-side."""
+    cols = sorted(feature_cols)
+    triples = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            triples.append(
+                f"'{a}', '{b}', CAST({a} AS LONG), CAST({b} AS LONG)")
+    n_pairs = len(triples)
+    long_df = df.selectExpr(
+        f"stack({n_pairs}, {', '.join(triples)})"
+        " AS (fa, fb, va, vb)")
+    return mutual_info_table(long_df, "va", "vb", key_cols=["fa", "fb"])
+
+
+def mrmr_select(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy mRMR selection of ``k`` features: step 1 takes the
+    max-relevance feature; step t takes argmax of
+    relevance − mean-redundancy-to-selected (ties to the feature
+    name).  Returns the selection trace (rk, feature, relevance,
+    redundancy, score).
+
+    The cluster computes the d relevance MIs and d(d−1)/2 redundancy
+    MIs in two count shuffles; the greedy runs on the driver over that
+    tiny matrix (never the data).  Reference parity target: the greedy
+    search loop shape of ``/root/reference/hisel/hsic.py:41-65``
+    (score-and-pick-best per round) with MI standing in for HSIC.
+    """
+    if k < 1 or k > len(feature_cols):
+        raise ValueError("k must be in [1, n_features]")
+    rel_rows = info_gain_rank(df, feature_cols, label_col).collect()
+    rel: Dict[str, float] = {r["feature"]: r["mi"] for r in rel_rows}
+    red_rows = pairwise_mi(df, feature_cols).collect()
+    red: Dict[Tuple[str, str], float] = {}
+    for r in red_rows:
+        red[(r["fa"], r["fb"])] = r["mi"]
+        red[(r["fb"], r["fa"])] = r["mi"]
+
+    remaining = sorted(feature_cols)
+    selected: List[str] = []
+    trace = []
+    for step in range(1, k + 1):
+        best = None
+        for f in remaining:
+            if selected:
+                # sorted-name fold order -> deterministic float sum a
+                # second engine can replay (list_sort + list_reduce)
+                r = 0.0
+                for s in sorted(selected):
+                    r += red[(f, s)]
+                r /= len(selected)
+            else:
+                r = 0.0
+            score = rel[f] - r
+            # ties to the lexicographically first feature: `remaining`
+            # is sorted, strict > keeps the earliest
+            if best is None or score > best[0]:
+                best = (score, f, r)
+        score, f, r = best
+        trace.append((step, f, float(rel[f]), float(r), float(score)))
+        selected.append(f)
+        remaining.remove(f)
+
+    spark = df.sparkSession
+    schema = T.StructType([
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("feature", T.StringType()),
+        T.StructField("relevance", T.DoubleType()),
+        T.StructField("redundancy", T.DoubleType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    return spark.createDataFrame(trace, schema)

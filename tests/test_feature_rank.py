@@ -1,0 +1,97 @@
+"""feature_rank: exact MI tables and greedy mRMR vs brute force."""
+import math
+from collections import Counter
+
+import pytest
+
+from hiselspark.operators.feature_rank import (
+    info_gain_rank, mrmr_select, mutual_info_table, pairwise_mi)
+
+
+def _mi_brute(xs, ys):
+    # terms summed in sorted (x, y) order — the engine's fold order,
+    # so near-tie greedy argmaxes resolve identically (float addition
+    # is not associative; an arbitrary order lands 1 ulp away)
+    n = len(xs)
+    cxy = Counter(zip(xs, ys))
+    cx, cy = Counter(xs), Counter(ys)
+    acc = 0.0
+    for (x, y), c in sorted(cxy.items()):
+        acc += (c / n) * math.log(c * n / (cx[x] * cy[y]))
+    return acc
+
+
+def _frame(spark):
+    rows = []
+    for i in range(240):
+        rows.append((i % 2, i % 3, (i // 3) % 4, (i * 7 + 1) % 5,
+                     (i // 3) % 2))
+    return spark.createDataFrame(rows, "a int, b int, c int, d int, y int")
+
+
+def test_mutual_info_matches_brute_force(spark):
+    df = _frame(spark)
+    got = {r["feature"]: (r["n"], r["mi"])
+           for r in info_gain_rank(df, ["a", "b", "c", "d"], "y").collect()}
+    rows = df.collect()
+    ys = [r["y"] for r in rows]
+    for f in ["a", "b", "c", "d"]:
+        xs = [r[f] for r in rows]
+        n, mi = got[f]
+        assert n == len(rows)
+        assert mi == pytest.approx(_mi_brute(xs, ys), abs=1e-12)
+    # c shares y's driver (i // 3) -> it must rank first
+    ranks = {r["feature"]: r["rank"]
+             for r in info_gain_rank(df, ["a", "b", "c", "d"], "y").collect()}
+    assert ranks["c"] == 1
+
+
+def test_mi_independent_and_identical_extremes(spark):
+    df = _frame(spark)
+    out = {(r["fa"], r["fb"]): r["mi"]
+           for r in pairwise_mi(df, ["a", "b", "c"]).collect()}
+    # a = i%2 and b = i%3 are independent over 240 = lcm-multiple rows
+    assert out[("a", "b")] == pytest.approx(0.0, abs=1e-12)
+    # MI(c, c-duplicate) = H(c) = ln 4 when c is uniform over 4 values
+    dup = df.withColumn("c2", df["c"])
+    mi_cc = mutual_info_table(dup, "c", "c2").collect()[0]["mi"]
+    assert mi_cc == pytest.approx(math.log(4), abs=1e-12)
+
+
+def test_mrmr_greedy_matches_reimplementation(spark):
+    df = _frame(spark)
+    feats = ["a", "b", "c", "d"]
+    trace = mrmr_select(df, feats, "y", k=4).collect()
+    rows = df.collect()
+    ys = [r["y"] for r in rows]
+    cols = {f: [r[f] for r in rows] for f in feats}
+    rel = {f: _mi_brute(cols[f], ys) for f in feats}
+    red = {(f, g): _mi_brute(cols[f], cols[g])
+           for f in feats for g in feats if f != g}
+    selected, remaining = [], sorted(feats)
+    for step, row in enumerate(trace, start=1):
+        best = None
+        for f in remaining:
+            r = (sum(red[(f, s)] for s in sorted(selected))
+                 / len(selected)) if selected else 0.0
+            sc = rel[f] - r
+            if best is None or sc > best[0]:
+                best = (sc, f, r)
+        assert row["rk"] == step
+        assert row["feature"] == best[1]
+        assert row["score"] == pytest.approx(best[0], abs=1e-10)
+        assert row["redundancy"] == pytest.approx(best[2], abs=1e-10)
+        selected.append(best[1])
+        remaining.remove(best[1])
+    # the redundant near-copy of the first pick must NOT be picked 2nd:
+    # c (period 4 of i//3) and the y-driver overlap; mRMR demotes the
+    # second (i//3)-derived feature below an independent one
+    assert trace[0]["feature"] == "c"
+
+
+def test_mrmr_validates_k(spark):
+    df = _frame(spark)
+    with pytest.raises(ValueError):
+        mrmr_select(df, ["a", "b"], "y", k=3)
+    with pytest.raises(ValueError):
+        mrmr_select(df, ["a", "b"], "y", k=0)
