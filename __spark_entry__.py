@@ -1819,6 +1819,36 @@ def q_image_equalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "eq_distinct")
 
 
+def q_image_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Otsu adaptive binarization end-to-end on synthesized 8x8 raw
+    payloads: exact integer histogram cumulatives, exact sub-2^53
+    between-class-variance scores, first-occurrence argmax — the SQL
+    oracle replays every candidate score and picks the same threshold
+    bit-for-bit."""
+    from hiselspark.functions.image import with_otsu_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_otsu_stats(imgs)
+    return out.select("okey", "otsu_t", "fg_count", "fg_sum")
+
+
+def q_image_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 binary erosion/dilation counts on the mask gray>380 over
+    synthesized 8x8 raw payloads — every neighborhood min/max replayed
+    inline-arithmetically by the SQL oracle."""
+    from hiselspark.functions.image import with_morphology_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_morphology_stats(imgs, thresh=380)
+    return out.select("okey", "n_fg", "n_eroded", "n_dilated")
+
+
 def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real perceptual hash computed from pixels: dHash (9x8 nearest
     downsample -> 64 horizontal-gradient sign bits, packed as two
@@ -3656,6 +3686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dhash": q_dhash,
         "image_conv": q_image_conv,
         "image_equalize": q_image_equalize,
+        "image_otsu": q_image_otsu,
+        "image_morph": q_image_morph,
         "dhash_neardup": q_dhash_neardup,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -4154,6 +4186,100 @@ def _equalize_oracle_sql() -> str:
                round(CAST(SUM(c * v) AS DOUBLE) / 64, 6) AS eq_mean,
                CAST(COUNT(DISTINCT v) AS BIGINT) AS eq_distinct
         FROM lut GROUP BY okey
+    """
+
+
+def _otsu_oracle_sql() -> str:
+    """TRUE SQL oracle for image_otsu: grayscale sums from the
+    synthesized-pixel arithmetic, per-image histogram cumulatives,
+    and the exact between-class-variance score
+    ``(S·w0 − N·s0)² / (w0·(N − w0))`` per candidate threshold — the
+    int64→double cast is exact below 2^53 so both engines rank the
+    candidates bit-identically (ties → smallest t)."""
+    g = " + ".join(
+        f"((okey*7919 + (p*3 + {c})*31) % 256)" for c in range(3))
+    return f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey, CAST({g} AS BIGINT) AS g
+          FROM orders, unnest(generate_series(0, 63)) AS tp(p)
+        ),
+        hist AS (
+          SELECT okey, g, CAST(COUNT(*) AS BIGINT) AS c
+          FROM px GROUP BY okey, g
+        ),
+        lvl AS (
+          SELECT okey, g AS t,
+                 SUM(c) OVER w AS w0,
+                 SUM(g * c) OVER w AS s0,
+                 SUM(c) OVER (PARTITION BY okey) AS n,
+                 SUM(g * c) OVER (PARTITION BY okey) AS s
+          FROM hist
+          WINDOW w AS (PARTITION BY okey ORDER BY g
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ),
+        scored AS (
+          SELECT okey, t, n - w0 AS fgc, s - s0 AS fgs,
+                 CASE WHEN w0 > 0 AND w0 < n THEN
+                   CAST(s * w0 - n * s0 AS DOUBLE)
+                   * CAST(s * w0 - n * s0 AS DOUBLE)
+                   / CAST(w0 * (n - w0) AS DOUBLE)
+                 ELSE -1.0 END AS score
+          FROM lvl
+        ),
+        best AS (
+          SELECT okey, t, fgc, fgs, score,
+                 ROW_NUMBER() OVER (PARTITION BY okey
+                                    ORDER BY score DESC, t ASC) AS rn
+          FROM scored
+        )
+        SELECT okey,
+               CAST(CASE WHEN score >= 0 THEN t ELSE -1 END
+                    AS BIGINT) AS otsu_t,
+               CAST(CASE WHEN score >= 0 THEN fgc ELSE 0 END
+                    AS BIGINT) AS fg_count,
+               CAST(CASE WHEN score >= 0 THEN fgs ELSE 0 END
+                    AS BIGINT) AS fg_sum
+        FROM best WHERE rn = 1
+    """
+
+
+def _morph_oracle_sql(thresh: int = 380) -> str:
+    """TRUE SQL oracle for image_morph: every 3×3 neighborhood min
+    (erosion) / max (dilation) of the binary mask ``gray > thresh``
+    expands inline from the synthesized-pixel arithmetic — LEAST /
+    GREATEST over nine CASE terms, integer counts throughout."""
+    def m(dy: int, dx: int) -> str:
+        g = " + ".join(
+            f"((o_orderkey*7919 + (((y+{dy})*8 + (x+{dx}))*3 + {c})*31)"
+            f" % 256)" for c in range(3))
+        return f"(CASE WHEN ({g}) > {thresh} THEN 1 ELSE 0 END)"
+    nine = [m(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    least = ", ".join(nine)
+    return f"""
+        WITH interior AS (
+          SELECT o_orderkey AS okey,
+                 LEAST({least}) AS e,
+                 GREATEST({least}) AS d
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ),
+        agg AS (
+          SELECT okey, CAST(SUM(e) AS BIGINT) AS n_eroded,
+                 CAST(SUM(d) AS BIGINT) AS n_dilated
+          FROM interior GROUP BY okey
+        ),
+        fg AS (
+          SELECT o_orderkey AS okey,
+                 CAST(SUM({m(0, 0)}) AS BIGINT) AS n_fg
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 7)) AS tx(x)
+          GROUP BY o_orderkey
+        )
+        SELECT fg.okey, n_fg, n_eroded, n_dilated
+        FROM fg JOIN agg USING (okey)
     """
 
 
@@ -5040,6 +5166,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["semantic_dedup"] = _semantic_dedup_oracle_sql(eps=0.65)
     oracles["image_conv"] = _conv_oracle_sql()
     oracles["image_equalize"] = _equalize_oracle_sql()
+    oracles["image_otsu"] = _otsu_oracle_sql()
+    oracles["image_morph"] = _morph_oracle_sql()
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

@@ -797,3 +797,175 @@ def with_dhash(df: DataFrame) -> DataFrame:
             yield _dhash_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _otsu_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Otsu's threshold on the grayscale channel-SUM (levels 0..765),
+    EXACT end to end: with pixel count N, gray total S, and per-level
+    cumulatives w0 = cdf(t), s0 = Σ_{g≤t} g·c_g, the between-class
+    variance is maximized by maximizing
+
+        score(t) = (S·w0 − N·s0)² / (w0·(N − w0))
+
+    over thresholds with both classes non-empty.  For the supported
+    image sizes the numerator stays < 2⁵³, so the int64→double
+    conversion and the single IEEE division are exact — every engine
+    computing the same fraction lands on the bit-identical double, and
+    the first-occurrence argmax (ties → smallest t) is reproducible.
+    Emits ``otsu_t`` (chosen threshold; −1 when the image is constant),
+    ``fg_count`` and ``fg_sum`` (pixels strictly above the threshold),
+    all exact integers."""
+    m = len(pdf)
+    t_star = np.full(m, -1, dtype=np.int64)
+    fg_count = np.zeros(m, dtype=np.int64)
+    fg_sum = np.zeros(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        npix = h * w
+        g = cube.sum(axis=3, dtype=np.int64).reshape(n, npix)
+        levels = 766
+        offset = (np.arange(n, dtype=np.int64) * levels)[:, None]
+        hist = np.bincount((g + offset).ravel(),
+                           minlength=n * levels).reshape(n, levels)
+        w0 = hist.cumsum(axis=1)                      # cdf(t)
+        s0 = (hist * np.arange(levels, dtype=np.int64)).cumsum(axis=1)
+        s_tot = s0[:, -1][:, None]
+        # |a| < 2^22 at 8x8 so the double conversion is exact; square
+        # AFTER the cast so no image size can overflow int64 (the
+        # oracle squares doubles the same way)
+        a = (s_tot * w0 - npix * s0).astype(np.float64)
+        den = w0 * (npix - w0)
+        valid = den > 0
+        score = np.where(
+            valid,
+            a * a / np.where(valid, den, 1).astype(np.float64),
+            -1.0)
+        best = score.argmax(axis=1)                   # first max
+        ok = score[np.arange(n), best] >= 0.0
+        t_star[rows] = np.where(ok, best, -1)
+        fg_count[rows] = np.where(
+            ok, npix - w0[np.arange(n), best], 0)
+        fg_sum[rows] = np.where(
+            ok, s_tot[:, 0] - s0[np.arange(n), best], 0)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["otsu_t"] = t_star
+    out["fg_count"] = fg_count
+    out["fg_sum"] = fg_sum
+    return out
+
+
+def with_otsu_stats(df: DataFrame) -> DataFrame:
+    """Append Otsu's adaptive binarization threshold and foreground
+    stats, dropping the payload — the classic document/figure
+    segmentation primitive (Otsu 1979), and a per-image contrast/
+    bimodality feature for curation.  Arrow-batched ``mapInPandas``
+    over shape-grouped payloads; exact integer cumulative sums and one
+    exact sub-2⁵³ division, so the gate's SQL oracle replays every
+    histogram count, every candidate score and the argmax."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("otsu_t", T.LongType()),
+           T.StructField("fg_count", T.LongType()),
+           T.StructField("fg_sum", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _otsu_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _morph_frame(pdf: pd.DataFrame, thresh: int) -> pd.DataFrame:
+    """3×3 binary morphology on the mask ``gray-sum > thresh``:
+    erosion (AND of the 9-neighborhood) and dilation (OR), both over
+    the valid interior region, by pure array slicing — no im2col, no
+    structuring-element loop.  Emits exact counts: ``n_fg`` (mask over
+    the full frame), ``n_eroded``, ``n_dilated`` (interior), whose
+    difference is the classic morphological-gradient boundary mass."""
+    m = len(pdf)
+    n_fg = np.zeros(m, dtype=np.int64)
+    n_er = np.zeros(m, dtype=np.int64)
+    n_di = np.zeros(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        g = cube.sum(axis=3, dtype=np.int64)
+        mask = g > thresh
+        n_fg[rows] = mask.sum(axis=(1, 2), dtype=np.int64)
+        er = mask[:, 1:-1, 1:-1].copy()
+        di = mask[:, 1:-1, 1:-1].copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = mask[:, 1 + dy:mask.shape[1] - 1 + dy,
+                          1 + dx:mask.shape[2] - 1 + dx]
+                er &= nb
+                di |= nb
+        n_er[rows] = er.sum(axis=(1, 2), dtype=np.int64)
+        n_di[rows] = di.sum(axis=(1, 2), dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["n_fg"] = n_fg
+    out["n_eroded"] = n_er
+    out["n_dilated"] = n_di
+    return out
+
+
+def with_morphology_stats(df: DataFrame, thresh: int = 380) -> DataFrame:
+    """Append 3×3 binary erosion/dilation counts of the mask
+    ``gray-sum > thresh`` and drop the payload — the speckle/blob
+    feature pair: erosion kills isolated foreground pixels (noise),
+    dilation closes pinholes, and ``n_dilated − n_eroded`` is the
+    morphological-gradient boundary mass (shape-complexity score).
+    Arrow-batched ``mapInPandas`` over shape-grouped payloads; pure
+    boolean/integer arithmetic, so the SQL oracle replays every
+    neighborhood min/max inline."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("n_fg", T.LongType()),
+           T.StructField("n_eroded", T.LongType()),
+           T.StructField("n_dilated", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _morph_frame(pdf, thresh)
+
+    return df.mapInPandas(run, out_schema)

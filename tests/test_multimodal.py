@@ -335,3 +335,75 @@ def test_equalized_stats_match_reference_equalization(spark):
         assert out.loc[i, "eq_sum"] == s
         assert abs(out.loc[i, "eq_mean"] - m) < 1e-12
         assert out.loc[i, "eq_distinct"] == d
+
+
+def test_otsu_matches_scalar_reference(spark):
+    """with_otsu_stats vs a plain scalar-Python Otsu (explicit loop
+    over every threshold, fractions compared exactly) on random raw
+    images of two shapes, plus the constant-image degenerate case."""
+    import numpy as np
+    from fractions import Fraction
+    from hiselspark.functions.image import with_otsu_stats
+    rng = np.random.default_rng(23)
+    rows, truth = [], {}
+    for i in range(10):
+        w, h = (8, 8) if i % 2 == 0 else (6, 10)
+        if i == 9:  # constant image -> no valid split
+            img = np.full((h, w, 3), 7, dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64).ravel()
+        n, s = len(g), int(g.sum())
+        best_t, best_score = -1, Fraction(-1)
+        for t in range(766):
+            w0 = int((g <= t).sum())
+            if w0 == 0 or w0 == n:
+                continue
+            s0 = int(g[g <= t].sum())
+            sc = Fraction((s * w0 - n * s0) ** 2, w0 * (n - w0))
+            if sc > best_score:
+                best_t, best_score = t, sc
+        if best_t >= 0:
+            truth[i] = (best_t, int((g > best_t).sum()),
+                        int(g[g > best_t].sum()))
+        else:
+            truth[i] = (-1, 0, 0)
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_otsu_stats(df).toPandas().set_index("img_id")
+    for i, (t, fc, fs) in truth.items():
+        assert out.loc[i, "otsu_t"] == t, i
+        assert out.loc[i, "fg_count"] == fc
+        assert out.loc[i, "fg_sum"] == fs
+
+
+def test_morphology_matches_scalar_reference(spark):
+    """with_morphology_stats vs explicit per-pixel neighborhood loops
+    on random raw images of two shapes."""
+    import numpy as np
+    from hiselspark.functions.image import with_morphology_stats
+    rng = np.random.default_rng(29)
+    rows, truth = [], {}
+    for i in range(8):
+        w, h = (8, 8) if i % 2 == 0 else (10, 6)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64)
+        mask = g > 380
+        er = di = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                nb = [mask[y + dy, x + dx]
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+                er += all(nb)
+                di += any(nb)
+        truth[i] = (int(mask.sum()), er, di)
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_morphology_stats(df, thresh=380).toPandas().set_index(
+        "img_id")
+    for i, (fg, er, di) in truth.items():
+        assert out.loc[i, "n_fg"] == fg
+        assert out.loc[i, "n_eroded"] == er
+        assert out.loc[i, "n_dilated"] == di
