@@ -764,6 +764,33 @@ def q_mrmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per user over the trailing 24 events:
+    exact integer S and tie-corrected 18·var(S), continuity-corrected
+    z — the oracle replays every pair, every tie group and the z
+    arithmetic from the parquet."""
+    from hiselspark.operators.trend import mann_kendall
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = mann_kendall(ev, "user_id", "ts", "event_id", "cents",
+                       last_k=24)
+    return out.select(F.col("entity").alias("user_id"), "n", "s_stat",
+                      "var18", F.round("z", 6).alias("z"))
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per user over the trailing 24 events
+    (cents per second): median of all pairwise slopes, every division
+    and the sorted-list midpoint replayed exactly by the oracle."""
+    from hiselspark.operators.trend import theil_sen
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = theil_sen(ev, "user_id", "ts", "event_id", "cents",
+                    last_k=24)
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      "n_pairs", F.round("slope", 6).alias("slope"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Runs the cross-engine
@@ -3622,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "info_gain_rank": q_info_gain_rank,
         "mrmr_select": q_mrmr_select,
+        "mann_kendall": q_mann_kendall,
+        "theil_sen": q_theil_sen,
         "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
@@ -6942,6 +6971,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM t
+    """
+    oracles["mann_kendall"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id AS o,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn
+          FROM events
+        ), k AS (
+          SELECT * FROM e WHERE rn <= 24
+        ), cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM k GROUP BY user_id
+        ), s AS (
+          SELECT a.user_id,
+                 CAST(sum(CASE WHEN b.v > a.v THEN 1
+                               WHEN b.v < a.v THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM k a JOIN k b
+            ON a.user_id = b.user_id
+           AND (a.t < b.t OR (a.t = b.t AND a.o < b.o))
+          GROUP BY a.user_id
+        ), tie AS (
+          SELECT user_id,
+                 CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS tie18
+          FROM (SELECT user_id, v, CAST(count(*) AS BIGINT) AS c
+                FROM k GROUP BY user_id, v)
+          GROUP BY user_id
+        ), fin AS (
+          SELECT cnt.user_id, cnt.n,
+                 COALESCE(s.s_stat, 0) AS s_stat,
+                 cnt.n*(cnt.n-1)*(2*cnt.n+5) - tie.tie18 AS var18
+          FROM cnt
+          LEFT JOIN s USING (user_id) JOIN tie USING (user_id)
+        )
+        SELECT user_id, n, s_stat, CAST(var18 AS BIGINT) AS var18,
+               round(CASE WHEN s_stat = 0 OR var18 <= 0 THEN 0.0
+                     ELSE (CAST(s_stat AS DOUBLE)
+                           - sign(CAST(s_stat AS DOUBLE)))
+                          / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                     END, 6) AS z
+        FROM fin
+    """
+    oracles["theil_sen"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t, event_id AS o,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC)
+                   AS rn
+          FROM events
+        ), k AS (
+          SELECT * FROM e WHERE rn <= 24
+        ), cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n
+          FROM k GROUP BY user_id
+        ), med AS (
+          SELECT a.user_id,
+                 list_sort(list(CAST(b.v - a.v AS DOUBLE) * 1000000.0
+                                / CAST(b.t - a.t AS DOUBLE))) AS sl
+          FROM k a JOIN k b
+            ON a.user_id = b.user_id AND a.t < b.t
+          GROUP BY a.user_id
+        )
+        SELECT cnt.user_id, cnt.n,
+               CAST(COALESCE(len(sl), 0) AS BIGINT) AS n_pairs,
+               round(CASE WHEN len(sl) % 2 = 1
+                          THEN sl[(len(sl)+1)//2]
+                          ELSE (sl[len(sl)//2] + sl[len(sl)//2+1])
+                               / 2.0 END, 6) AS slope
+        FROM cnt LEFT JOIN med USING (user_id)
     """
     oracles["retrieval_eval"] = """
         WITH e AS (
