@@ -791,6 +791,46 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_pairs", F.round("slope", 6).alias("slope"))
 
 
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two derived labelings of events — exact
+    integers until one division; the oracle replays the confusion
+    grid, marginals and the (N·agree − cross)/(N² − cross) form."""
+    from hiselspark.operators.evaluate import cohen_kappa
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select((F.col("cents") % 4).alias("r1"),
+                   (F.expr("cents DIV 3") % 4).alias("r2"))
+    out = cohen_kappa(df, "r1", "r2")
+    return out.select("n", "n_agree", "chance_cross",
+                      F.round("kappa", 6).alias("kappa"))
+
+
+def q_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional Pareto front (skyline) of users maximizing
+    (max event cents, event count) — two-phase distributed skyline
+    (partition-local candidates, then a windowed global pass); the
+    oracle is an independent NOT-EXISTS dominance check."""
+    from hiselspark.operators.skyline import pareto_front
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    agg = (ev.groupBy("user_id")
+           .agg(F.max("cents").alias("max_cents"),
+                F.count(F.lit(1)).alias("n_events")))
+    return pareto_front(agg, "max_cents", "n_events",
+                        keep_cols=["user_id"])
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the folded order↔part graph
+    (keys mod 2000) via degree-oriented wedge closing — the oracle
+    brute-forces all a<b<c edge triples from the parquet."""
+    from hiselspark.operators.graph import triangle_count
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") % 2000).alias("src"),
+                      (F.col("l_partkey") % 2000).alias("dst"))
+    return triangle_count(edges)
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Runs the cross-engine
@@ -3651,6 +3691,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_select": q_mrmr_select,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
+        "cohen_kappa": q_cohen_kappa,
+        "pareto_front": q_pareto_front,
+        "triangle_count": q_triangle_count,
         "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
@@ -6971,6 +7014,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM t
+    """
+    oracles["cohen_kappa"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), cells AS (
+          SELECT cents % 4 AS r1, (cents // 3) % 4 AS r2,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM q GROUP BY 1, 2
+        ), marg AS (
+          SELECT CAST(sum(rw.row_c * cl.col_c) AS BIGINT) AS cross_s
+          FROM (SELECT r1, CAST(sum(c) AS BIGINT) AS row_c
+                FROM cells GROUP BY r1) rw
+          JOIN (SELECT r2, CAST(sum(c) AS BIGINT) AS col_c
+                FROM cells GROUP BY r2) cl ON rw.r1 = cl.r2
+        ), tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN r1 = r2 THEN c ELSE 0 END)
+                      AS BIGINT) AS n_agree
+          FROM cells
+        )
+        SELECT n, n_agree, cross_s AS chance_cross,
+               round(CAST(n * n_agree - cross_s AS DOUBLE)
+                     / CAST(n * n - cross_s AS DOUBLE), 6) AS kappa
+        FROM tot, marg
+    """
+    oracles["pareto_front"] = """
+        WITH agg AS (
+          SELECT user_id,
+                 CAST(max(abs(CAST(round(value*100) AS BIGINT)))
+                      AS BIGINT) AS max_cents,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id, max_cents, n_events FROM agg p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM agg q
+          WHERE q.max_cents >= p.max_cents
+            AND q.n_events >= p.n_events
+            AND (q.max_cents > p.max_cents
+                 OR q.n_events > p.n_events))
+    """
+    oracles["triangle_count"] = """
+        WITH canon AS (
+          SELECT DISTINCT
+                 least(l_orderkey % 2000, l_partkey % 2000) AS a,
+                 greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+          FROM lineitem
+          WHERE l_orderkey % 2000 <> l_partkey % 2000
+        ), nodes AS (
+          SELECT count(DISTINCT node) AS n_nodes FROM (
+            SELECT a AS node FROM canon
+            UNION ALL SELECT b FROM canon)
+        )
+        SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+               CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_edges,
+               CAST((SELECT count(*)
+                     FROM canon ab
+                     JOIN canon bc ON ab.b = bc.a
+                     JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b)
+                    AS BIGINT) AS n_triangles
+        FROM nodes
     """
     oracles["mann_kendall"] = """
         WITH e AS (

@@ -223,3 +223,44 @@ def retrieval_metrics(
         (F.col("n_hit") / F.col("n_rel")).alias(f"recall_at_{k}"),
         (F.col("n_hit") / F.lit(float(k))).alias(f"precision_at_{k}"),
         F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)).alias("mrr"))
+
+
+def cohen_kappa(df: DataFrame, rater1_col: str,
+                rater2_col: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelings (Cohen 1960): with observed agreement
+    ``po = Σ_k c_kk / N`` and chance agreement
+    ``pe = Σ_k row_k·col_k / N²``,
+
+        κ = (po − pe) / (1 − pe) = (N·Σc_kk − Σrow·col)
+                                   / (N² − Σrow·col)
+
+    — the right-hand form keeps everything an exact integer until ONE
+    division, so a second engine replays every digit.  The standard
+    inter-annotator / model-vs-model agreement gate for label
+    pipelines.
+
+    Returns one row: (n, n_agree, chance_cross, kappa).  Scale shape:
+    one map-side-combined ``groupBy`` over the (small) label-pair
+    grid, two marginal reductions over that grid, one scalar output —
+    the input is scanned once and never reshuffled.
+    """
+    cells = (df.groupBy(F.col(rater1_col).cast("long").alias("r1"),
+                        F.col(rater2_col).cast("long").alias("r2"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    rows = cells.groupBy("r1").agg(F.sum("c").alias("row_c"))
+    cols = cells.groupBy("r2").agg(F.sum("c").alias("col_c"))
+    marg = (rows.join(cols, rows.r1 == cols.r2)
+            .select((F.col("row_c") * F.col("col_c")).alias("rc")))
+    agg = cells.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("r1") == F.col("r2"), F.col("c"))
+              .otherwise(F.lit(0))).alias("n_agree"))
+    cross = marg.agg(F.sum("rc").alias("chance_cross"))
+    out = agg.crossJoin(cross)   # two single-row frames
+    kappa = ((F.col("n") * F.col("n_agree")
+              - F.col("chance_cross")).cast("double")
+             / (F.col("n") * F.col("n")
+                - F.col("chance_cross")).cast("double"))
+    return out.select("n", "n_agree", "chance_cross",
+                      kappa.alias("kappa"))

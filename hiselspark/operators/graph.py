@@ -124,3 +124,57 @@ def bfs_hops(
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact global triangle count of the undirected simple graph
+    (self-loops and duplicate/reverse edges removed).  Returns one
+    row: (n_nodes, n_edges, n_triangles).
+
+    The degree-orientation algorithm (node-iterator with the
+    Schank-Wagner ordering): orient every edge from the
+    lower-(degree, id) endpoint to the higher, form wedges by joining
+    oriented edges on their source, and close each wedge against the
+    oriented edge set — every triangle is counted exactly once, at its
+    lowest-ordered corner.  Orientation bounds each node's out-degree
+    by O(√m), so the wedge join is O(m^1.5) worst-case instead of the
+    Σdeg² blowup of naive wedge counting — the property that keeps the
+    plan alive on power-law graphs at 100 TB (the hub's million
+    neighbors never pair up under it).
+
+    Scale shape: canonicalize (one shuffle), degree (one groupBy),
+    orientation (two broadcast-or-shuffle joins of degrees onto
+    edges), wedge join + closing semi-join on equi-keys.  Exact
+    integer counts end to end."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    canon = (e.filter(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b"))
+             .distinct())
+    deg = (canon.select(F.col("a").alias("node"))
+           .union(canon.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    ranked = canon.join(da, "a").join(db, "b")
+    # orient low (deg, id) -> high (deg, id)
+    a_first = ((F.col("dega") < F.col("degb"))
+               | ((F.col("dega") == F.col("degb"))
+                  & (F.col("a") < F.col("b"))))
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    e1 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("q"))
+    e2 = oriented.select(F.col("lo").alias("p"), F.col("hi").alias("r"))
+    wedges = e1.join(e2, "p").filter(F.col("q") < F.col("r"))
+    # close the wedge: (q, r) or (r, q) must be an oriented edge; both
+    # orientations checked with ONE semi-join on the unordered pair
+    closing = oriented.select(
+        F.least("lo", "hi").alias("q"), F.greatest("lo", "hi").alias("r"))
+    tri = wedges.join(closing, ["q", "r"], "left_semi")
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
