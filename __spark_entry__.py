@@ -831,6 +831,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_ts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tsfresh-style per-user series features in one entity shuffle —
+    abs energy, mean abs change, peaks, exact above-mean counts/runs,
+    argmax positions; the oracle replays each from the parquet with
+    independent window SQL."""
+    from hiselspark.operators.tsprofile import ts_profile
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = ts_profile(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(
+        F.col("entity").alias("user_id"), "n", "abs_energy",
+        F.round("mean_abs_change", 6).alias("mean_abs_change"),
+        "n_peaks", "count_above_mean", "longest_above",
+        F.col("first_max_idx").cast("long").alias("first_max_idx"),
+        F.col("last_max_idx").cast("long").alias("last_max_idx"))
+
+
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter-based Poisson bootstrap: 95% CI for the mean event
     value (cents) from 100 one-pass replicates.  Runs the cross-engine
@@ -3692,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
+        "ts_profile": q_ts_profile,
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
         "containment_pairs": q_containment_pairs,
@@ -7014,6 +7032,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM t
+    """
+    oracles["ts_profile"] = """
+        WITH c1 AS (
+          SELECT user_id, ts, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), c2 AS (
+          SELECT user_id, v,
+                 row_number() OVER w AS idx,
+                 lag(v) OVER w AS prev,
+                 lead(v) OVER w AS nxt,
+                 sum(v) OVER (PARTITION BY user_id) AS s_tot,
+                 count(*) OVER (PARTITION BY user_id) AS n_tot,
+                 max(v) OVER (PARTITION BY user_id) AS v_max
+          FROM c1
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), main AS (
+          SELECT user_id,
+                 CAST(max(n_tot) AS BIGINT) AS n,
+                 CAST(sum(v*v) AS BIGINT) AS abs_energy,
+                 round(CASE WHEN max(n_tot) > 1 THEN
+                         CAST(sum(abs(v - prev)) AS DOUBLE)
+                         / CAST(max(n_tot) - 1 AS DOUBLE)
+                       ELSE NULL END, 6) AS mean_abs_change,
+                 CAST(sum(CASE WHEN prev IS NOT NULL
+                               AND nxt IS NOT NULL
+                               AND v > prev AND v > nxt
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+                 CAST(sum(CASE WHEN v * n_tot > s_tot
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS count_above_mean,
+                 CAST(min(CASE WHEN v = v_max THEN idx END)
+                      AS BIGINT) AS first_max_idx,
+                 CAST(max(CASE WHEN v = v_max THEN idx END)
+                      AS BIGINT) AS last_max_idx
+          FROM c2 GROUP BY user_id
+        ), isl AS (
+          SELECT user_id,
+                 idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY idx) AS grp
+          FROM c2 WHERE v * n_tot > s_tot
+        ), runs AS (
+          SELECT user_id, CAST(max(cnt) AS BIGINT) AS longest_above
+          FROM (SELECT user_id, grp, count(*) AS cnt
+                FROM isl GROUP BY user_id, grp)
+          GROUP BY user_id
+        )
+        SELECT main.user_id, n, abs_energy, mean_abs_change, n_peaks,
+               count_above_mean,
+               COALESCE(runs.longest_above, 0) AS longest_above,
+               first_max_idx, last_max_idx
+        FROM main LEFT JOIN runs USING (user_id)
     """
     oracles["cohen_kappa"] = """
         WITH q AS (
