@@ -764,6 +764,18 @@ def q_mrmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def q_hsic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact delta-kernel HSIC-b feature ranking over the derived
+    event features — the count-closed form of the reference's
+    featurewise HSIC scores; the oracle recomputes the statistic
+    itself from integer contingency sums (no pinning)."""
+    from hiselspark.operators.feature_rank import hsic_rank
+    out = hsic_rank(_mi_feature_frame(spark, sf_dir),
+                    _MI_FEATURES, "y")
+    return out.select("feature", "n",
+                      F.round("hsic", 9).alias("hsic"), "rank")
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test per user over the trailing 24 events:
     exact integer S and tie-corrected 18·var(S), continuity-corrected
@@ -3706,6 +3718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "info_gain_rank": q_info_gain_rank,
         "mrmr_select": q_mrmr_select,
+        "hsic_rank": q_hsic_rank,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
@@ -3933,6 +3946,56 @@ def _info_gain_oracle_sql() -> str:
                CAST(ROW_NUMBER() OVER (ORDER BY mi DESC, feature ASC)
                     AS INTEGER) AS rank
         FROM rel
+    """
+
+
+def _hsic_rank_oracle_sql() -> str:
+    """TRUE SQL oracle for hsic_rank: DuckDB rebuilds every feature's
+    contingency table and recomputes the exact delta-kernel HSIC
+    ``A/n² − 2B/n³ + (Cx/n²)(Cy/n²)`` from integer sums — the first
+    HSIC-family gate whose oracle recomputes the statistic rather
+    than pinning parity."""
+    unions = "\n          UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {f} AS x, y FROM feat"
+        for f in _MI_FEATURE_NAMES)
+    return f"""
+        WITH {_MI_FEAT_SQL}, rlong AS (
+          {unions}
+        ), cells AS (
+          SELECT feature, x, y, CAST(count(*) AS BIGINT) AS c
+          FROM rlong GROUP BY feature, x, y
+        ), m AS (
+          SELECT feature, x, y, c,
+                 sum(c) OVER (PARTITION BY feature, x) AS cx,
+                 sum(c) OVER (PARTITION BY feature, y) AS cy
+          FROM cells
+        ), agg AS (
+          SELECT feature,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c*c) AS BIGINT) AS a_sum,
+                 CAST(sum(c*cx*cy) AS BIGINT) AS b_sum,
+                 CAST(sum(c*cx) AS BIGINT) AS cx_sum,
+                 CAST(sum(c*cy) AS BIGINT) AS cy_sum
+          FROM m GROUP BY feature
+        ), h AS (
+          SELECT feature, n,
+                 CAST(a_sum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 - 2.0 * CAST(b_sum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))
+                 + (CAST(cx_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   * (CAST(cy_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS hsic
+          FROM agg
+        )
+        SELECT feature, n, round(hsic, 9) AS hsic,
+               CAST(ROW_NUMBER() OVER (ORDER BY hsic DESC,
+                                       feature ASC)
+                    AS INTEGER) AS rank
+        FROM h
     """
 
 
@@ -8526,5 +8589,6 @@ def oracle_sql() -> dict[str, str]:
         FROM q
     """
     oracles["info_gain_rank"] = _info_gain_oracle_sql()
+    oracles["hsic_rank"] = _hsic_rank_oracle_sql()
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     return oracles

@@ -202,3 +202,75 @@ def mrmr_select(
         T.StructField("score", T.DoubleType()),
     ])
     return spark.createDataFrame(trace, schema)
+
+
+def delta_hsic_table(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact biased-HSIC with DELTA kernels between integer columns —
+    the closed count form of the reference's delta-kernel HSIC
+    (``/root/reference/hisel/kernels.py`` delta featwise +
+    ``hsic_b``): with contingency counts ``c_xy`` and marginals
+    ``c_x = Σ_y c_xy``, ``c_y``,
+
+        HSIC_b = tr(KHLH)/n²
+               = A/n² − 2B/n³ + (Cx/n²)·(Cy/n²)
+
+    where A = Σ c_xy², B = Σ c_xy·c_x·c_y, Cx = Σ c_xy·c_x = Σ_x c_x²
+    and Cy = Σ c_xy·c_y — every sum an EXACT integer from one count
+    shuffle, so (unlike the RBF path, whose float Grams need parity
+    oracles) the statistic replays digit-for-digit in SQL: the three
+    divisions and the fixed-order two-op sum are deterministic IEEE on
+    exact int64 inputs.  Returns one row per ``key_cols`` group:
+    (n, a_sum, b_sum, cx_sum, cy_sum, hsic)."""
+    key_cols = list(key_cols)
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    cells = (df.select(*key_cols, x.alias("__x"), y.alias("__y"))
+               .groupBy(*key_cols, "__x", "__y")
+               .agg(F.count(F.lit(1)).alias("__c")))
+    from pyspark.sql import Window
+    wx = Window.partitionBy(*key_cols, "__x")
+    wy = Window.partitionBy(*key_cols, "__y")
+    cells = (cells
+             .withColumn("__cx", F.sum("__c").over(wx))
+             .withColumn("__cy", F.sum("__c").over(wy)))
+    per_key = (cells.groupBy(*key_cols).agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("a_sum"),
+        F.sum(F.col("__c") * F.col("__cx") * F.col("__cy"))
+         .alias("b_sum"),
+        F.sum(F.col("__c") * F.col("__cx")).alias("cx_sum"),
+        F.sum(F.col("__c") * F.col("__cy")).alias("cy_sum")))
+    nd = F.col("n").cast("double")
+    d2 = nd * nd
+    hsic = (F.col("a_sum").cast("double") / d2
+            - F.lit(2.0) * F.col("b_sum").cast("double")
+              / (d2 * nd)
+            + (F.col("cx_sum").cast("double") / d2)
+              * (F.col("cy_sum").cast("double") / d2))
+    return per_key.withColumn("hsic", hsic)
+
+
+def hsic_rank(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+) -> DataFrame:
+    """Rank features by exact delta-kernel HSIC dependence with the
+    label — the count-closed sibling of the reference's featurewise
+    HSIC ranking (``hisel/select.py`` projection scores with delta
+    kernels), and the first member of that family whose gate oracle
+    recomputes the statistic itself rather than pinning parity.
+    Returns (feature, n, hsic, rank); one unpivoted count shuffle for
+    all features at once."""
+    from pyspark.sql import Window
+    long_df = _unpivot(df, feature_cols).select(
+        "feature", "value", F.col(label_col).cast("long").alias("__y"))
+    h = delta_hsic_table(long_df, "value", "__y",
+                         key_cols=["feature"])
+    w = Window.orderBy(F.col("hsic").desc(), F.col("feature").asc())
+    return h.select("feature", "n", "hsic",
+                    F.row_number().over(w).alias("rank"))

@@ -95,3 +95,38 @@ def test_mrmr_validates_k(spark):
         mrmr_select(df, ["a", "b"], "y", k=3)
     with pytest.raises(ValueError):
         mrmr_select(df, ["a", "b"], "y", k=0)
+
+
+def test_delta_hsic_matches_trace_form(spark):
+    """The count-closed delta-kernel HSIC must equal the textbook
+    tr(KHLH)/n^2 computed naively with plain delta Grams."""
+    import numpy as np
+    from hiselspark.operators.feature_rank import (delta_hsic_table,
+                                                   hsic_rank)
+    df = _frame(spark)
+    rows = df.collect()
+    ys = np.array([r["y"] for r in rows])
+    got = {r["feature"]: (r["n"], r["hsic"]) for r in
+           hsic_rank(df, ["a", "b", "c", "d"], "y").collect()}
+    n = len(rows)
+    H = np.eye(n) - np.full((n, n), 1.0 / n)
+    L = (ys[:, None] == ys[None, :]).astype(float)
+    for f in ["a", "b", "c", "d"]:
+        xs = np.array([r[f] for r in rows])
+        K = (xs[:, None] == xs[None, :]).astype(float)
+        want = np.trace(K @ H @ L @ H) / n**2
+        gn, gh = got[f]
+        assert gn == n
+        assert gh == pytest.approx(want, rel=1e-10)
+    # c is a deterministic driver of y -> max dependence, rank 1
+    ranks = {r["feature"]: r["rank"] for r in
+             hsic_rank(df, ["a", "b", "c", "d"], "y").collect()}
+    assert ranks["c"] == 1
+    # independence (a = i%2 vs b = i%3 over 240 rows): biased HSIC of
+    # independent uniform columns is O(1/n), tiny but not zero; check
+    # it is far below the dependent pair's
+    pair = delta_hsic_table(
+        df.selectExpr("a as x", "b as y2"), "x", "y2").collect()[0]
+    dep = delta_hsic_table(
+        df.selectExpr("c as x", "y as y2"), "x", "y2").collect()[0]
+    assert abs(pair["hsic"]) < 1e-3 < dep["hsic"]
