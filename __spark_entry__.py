@@ -776,6 +776,23 @@ def q_hsic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("hsic", 9).alias("hsic"), "rank")
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution of purchases to view/click touches
+    within a 7-day window, one entity shuffle with RANGE-framed
+    struct min/max — the oracle independently joins every purchase to
+    its window of touches and picks argmin/argmax."""
+    from hiselspark.operators.attribution import touch_attribution
+    ev = _ev(spark, sf_dir)
+    out = touch_attribution(
+        ev, "user_id", "ts", "event_id",
+        is_touch=F.col("event_type").isin("view", "click"),
+        is_conversion=F.col("event_type") == "purchase",
+        horizon_seconds=7 * 86400)
+    return out.select("entity", "conv_id", "conv_t_us",
+                      "first_touch_id", "last_touch_id",
+                      "last_latency_us")
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test per user over the trailing 24 events:
     exact integer S and tie-corrected 18·var(S), continuity-corrected
@@ -3719,6 +3736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_gain_rank": q_info_gain_rank,
         "mrmr_select": q_mrmr_select,
         "hsic_rank": q_hsic_rank,
+        "attribution": q_attribution,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
@@ -7209,6 +7227,45 @@ def oracle_sql() -> dict[str, str]:
                      JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b)
                     AS BIGINT) AS n_triangles
         FROM nodes
+    """
+    oracles["attribution"] = """
+        WITH e AS (
+          SELECT user_id AS entity, event_id, event_type,
+                 epoch_us(ts) AS t
+          FROM events
+        ), conv AS (
+          SELECT entity, event_id AS conv_id, t AS conv_t_us
+          FROM e WHERE event_type = 'purchase'
+        ), touch AS (
+          SELECT entity, event_id AS tid, t AS tt
+          FROM e WHERE event_type IN ('view', 'click')
+        ), pairs AS (
+          SELECT c.entity, c.conv_id, c.conv_t_us, t.tid, t.tt,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.tt ASC, t.tid ASC)
+                   AS rf,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.tt DESC, t.tid DESC)
+                   AS rl
+          FROM conv c JOIN touch t
+            ON c.entity = t.entity
+           AND t.tt BETWEEN c.conv_t_us
+                            - CAST(7*86400 AS BIGINT)*1000000
+                        AND c.conv_t_us
+        ), ft AS (
+          SELECT conv_id, tid AS first_touch_id FROM pairs
+          WHERE rf = 1
+        ), lt AS (
+          SELECT conv_id, tid AS last_touch_id,
+                 conv_t_us - tt AS last_latency_us
+          FROM pairs WHERE rl = 1
+        )
+        SELECT c.entity, c.conv_id, c.conv_t_us,
+               ft.first_touch_id, lt.last_touch_id,
+               lt.last_latency_us
+        FROM conv c
+        LEFT JOIN ft USING (conv_id)
+        LEFT JOIN lt USING (conv_id)
     """
     oracles["mann_kendall"] = """
         WITH e AS (
