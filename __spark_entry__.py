@@ -1962,6 +1962,22 @@ def q_image_morph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("okey", "n_fg", "n_eroded", "n_dilated")
 
 
+def q_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-connected components of the thresholded mask per image
+    (blob count + largest blob) on synthesized 8x8 raw payloads — the
+    oracle rebuilds the pixel graph and replays min-label propagation
+    with a recursive CTE."""
+    from hiselspark.functions.image import with_blob_stats
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") <= 1200))
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_blob_stats(imgs, thresh=380)
+    return out.select("okey", "n_blobs", "max_blob")
+
+
 def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real perceptual hash computed from pixels: dHash (9x8 nearest
     downsample -> 64 horizontal-gradient sign bits, packed as two
@@ -3809,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_equalize": q_image_equalize,
         "image_otsu": q_image_otsu,
         "image_morph": q_image_morph,
+        "image_blobs": q_image_blobs,
         "dhash_neardup": q_dhash_neardup,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -4451,6 +4468,54 @@ def _morph_oracle_sql(thresh: int = 380) -> str:
         )
         SELECT fg.okey, n_fg, n_eroded, n_dilated
         FROM fg JOIN agg USING (okey)
+    """
+
+
+def _blob_oracle_sql(thresh: int = 380, max_key: int = 1200) -> str:
+    """TRUE SQL oracle for image_blobs: masked pixels and their
+    4-adjacency from the synthesized-pixel arithmetic, then min-label
+    propagation as a recursive CTE — a label l spreads to a neighbor
+    p only while l < p, which still delivers every component's
+    minimum to every member (the minimum never needs to pass through
+    a smaller intermediate, ids being unique)."""
+    g = " + ".join(
+        f"((o_orderkey*7919 + (p*3 + {c})*31) % 256)" for c in range(3))
+    return f"""
+        WITH RECURSIVE px AS (
+          SELECT o_orderkey AS okey, p, CAST({g} AS BIGINT) AS gray
+          FROM orders, unnest(generate_series(0, 63)) AS tp(p)
+          WHERE o_orderkey <= {max_key}
+        ), nodes AS (
+          SELECT okey, p FROM px WHERE gray > {thresh}
+        ), edges AS (
+          SELECT a.okey, a.p AS pa, b.p AS pb
+          FROM nodes a JOIN nodes b
+            ON a.okey = b.okey
+           AND ((b.p = a.p + 1 AND a.p % 8 <> 7)
+             OR (b.p = a.p - 1 AND a.p % 8 <> 0)
+             OR b.p = a.p + 8 OR b.p = a.p - 8)
+        ), reach(okey, p, lbl) AS (
+          SELECT okey, p, p FROM nodes
+          UNION
+          SELECT e.okey, e.pa, r.lbl
+          FROM reach r JOIN edges e
+            ON r.okey = e.okey AND r.p = e.pb
+          WHERE r.lbl < e.pa
+        ), minl AS (
+          SELECT okey, p, min(lbl) AS m FROM reach GROUP BY okey, p
+        ), comp AS (
+          SELECT okey, m, CAST(count(*) AS BIGINT) AS sz
+          FROM minl GROUP BY okey, m
+        ), agg AS (
+          SELECT okey, CAST(count(*) AS BIGINT) AS n_blobs,
+                 CAST(max(sz) AS BIGINT) AS max_blob
+          FROM comp GROUP BY okey
+        )
+        SELECT o.o_orderkey AS okey,
+               COALESCE(agg.n_blobs, 0) AS n_blobs,
+               COALESCE(agg.max_blob, 0) AS max_blob
+        FROM orders o LEFT JOIN agg ON agg.okey = o.o_orderkey
+        WHERE o.o_orderkey <= {max_key}
     """
 
 
@@ -5339,6 +5404,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_equalize"] = _equalize_oracle_sql()
     oracles["image_otsu"] = _otsu_oracle_sql()
     oracles["image_morph"] = _morph_oracle_sql()
+    oracles["image_blobs"] = _blob_oracle_sql()
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

@@ -969,3 +969,85 @@ def with_morphology_stats(df: DataFrame, thresh: int = 380) -> DataFrame:
             yield _morph_frame(pdf, thresh)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _blob_frame(pdf: pd.DataFrame, thresh: int) -> pd.DataFrame:
+    """4-connected components of the binary mask ``gray-sum > thresh``
+    per image, via simultaneous min-label propagation over the WHOLE
+    shape-grouped batch: labels start as pixel indices and every
+    iteration takes the 4-neighborhood minimum among masked pixels
+    until the batch reaches a fixpoint (O(component diameter)
+    iterations of whole-array ops — no per-image Python).  Emits
+    ``n_blobs`` (component count) and ``max_blob`` (largest component
+    pixel count), both exact integers."""
+    m = len(pdf)
+    n_blobs = np.zeros(m, dtype=np.int64)
+    max_blob = np.zeros(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        mask = g > thresh
+        big = np.int64(h * w)            # sentinel above any pixel id
+        lab = np.where(
+            mask, np.arange(h * w, dtype=np.int64).reshape(1, h, w),
+            big)
+        while True:
+            nxt = lab.copy()
+            nxt[:, 1:, :] = np.minimum(nxt[:, 1:, :], lab[:, :-1, :])
+            nxt[:, :-1, :] = np.minimum(nxt[:, :-1, :], lab[:, 1:, :])
+            nxt[:, :, 1:] = np.minimum(nxt[:, :, 1:], lab[:, :, :-1])
+            nxt[:, :, :-1] = np.minimum(nxt[:, :, :-1], lab[:, :, 1:])
+            nxt = np.where(mask, nxt, big)
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        flat = lab.reshape(n, h * w)
+        for i in range(n):                # small per-image tallies
+            labs = flat[i][mask[i].reshape(-1)]
+            if labs.size:
+                _, counts = np.unique(labs, return_counts=True)
+                n_blobs[rows[i]] = len(counts)
+                max_blob[rows[i]] = counts.max()
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["n_blobs"] = n_blobs
+    out["max_blob"] = max_blob
+    return out
+
+
+def with_blob_stats(df: DataFrame, thresh: int = 380) -> DataFrame:
+    """Append connected-component counts of the thresholded mask and
+    drop the payload — the classic blob/segment feature (object count,
+    dominant-segment size) for figure/document curation.  Arrow-
+    batched ``mapInPandas`` over shape-grouped payloads; pure integer
+    min-propagation, so a SQL engine replays it with recursive
+    min-label CTEs."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("n_blobs", T.LongType()),
+           T.StructField("max_blob", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _blob_frame(pdf, thresh)
+
+    return df.mapInPandas(run, out_schema)

@@ -407,3 +407,51 @@ def test_morphology_matches_scalar_reference(spark):
         assert out.loc[i, "n_fg"] == fg
         assert out.loc[i, "n_eroded"] == er
         assert out.loc[i, "n_dilated"] == di
+
+
+def test_blob_stats_match_bfs(spark):
+    """with_blob_stats vs an explicit per-image BFS flood fill on
+    random raw images of two shapes, incl. all-background and
+    all-foreground extremes."""
+    import numpy as np
+    from collections import deque
+    from hiselspark.functions.image import with_blob_stats
+    rng = np.random.default_rng(31)
+    rows, truth = [], {}
+    for i in range(10):
+        w, h = (8, 8) if i % 2 == 0 else (6, 9)
+        if i == 8:
+            img = np.zeros((h, w, 3), dtype=np.uint8)      # no mask
+        elif i == 9:
+            img = np.full((h, w, 3), 255, dtype=np.uint8)  # all mask
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        mask = img.sum(axis=2, dtype=np.int64) > 380
+        seen = np.zeros_like(mask)
+        sizes = []
+        for y in range(h):
+            for x in range(w):
+                if mask[y, x] and not seen[y, x]:
+                    q, sz = deque([(y, x)]), 0
+                    seen[y, x] = True
+                    while q:
+                        cy, cx = q.popleft()
+                        sz += 1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1),
+                                       (0, -1)):
+                            ny, nx = cy + dy, cx + dx
+                            if (0 <= ny < h and 0 <= nx < w
+                                    and mask[ny, nx]
+                                    and not seen[ny, nx]):
+                                seen[ny, nx] = True
+                                q.append((ny, nx))
+                    sizes.append(sz)
+        truth[i] = (len(sizes), max(sizes) if sizes else 0)
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_blob_stats(df, thresh=380).toPandas().set_index(
+        "img_id")
+    for i, (nb, mb) in truth.items():
+        assert out.loc[i, "n_blobs"] == nb, i
+        assert out.loc[i, "max_blob"] == mb, i
