@@ -776,6 +776,25 @@ def q_hsic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("hsic", 9).alias("hsic"), "rank")
 
 
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAVA) calibration of a derived response over a
+    derived score, per event type — the oracle PROVES the fit in
+    exact integer arithmetic via the greatest-convex-minorant hull
+    characterization and replays each fitted value's one division."""
+    from hiselspark.operators.isotonic import isotonic_fit
+    ev = (_ev(spark, sf_dir)
+          .filter(F.col("event_id") % 37 == 0)
+          .withColumn("cents", F.abs(F.round(F.col("value") * 100)
+                                     .cast("long"))))
+    df = ev.select("event_type",
+                   (F.col("cents") % 97).alias("score"),
+                   "event_id",
+                   (F.col("cents") % 5).alias("resp"))
+    out = isotonic_fit(df, "event_type", "score", "event_id", "resp")
+    return out.select(F.col("group").alias("event_type"), "idx", "x",
+                      "y", F.round("fitted", 6).alias("fitted"))
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch attribution of purchases to view/click touches
     within a 7-day window, one entity shuffle with RANGE-framed
@@ -3753,6 +3772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_select": q_mrmr_select,
         "hsic_rank": q_hsic_rank,
         "attribution": q_attribution,
+        "isotonic": q_isotonic,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
@@ -7293,6 +7313,52 @@ def oracle_sql() -> dict[str, str]:
                      JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b)
                     AS BIGINT) AS n_triangles
         FROM nodes
+    """
+    oracles["isotonic"] = """
+        WITH e AS (
+          SELECT event_type AS grp,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 event_id
+          FROM events WHERE event_id % 37 = 0
+        ), r AS (
+          SELECT grp, cents % 97 AS x, event_id AS o, cents % 5 AS y,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY cents % 97, event_id)
+                   AS i
+          FROM e
+        ), pref AS (
+          SELECT grp, CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s
+          FROM (SELECT DISTINCT grp FROM r)
+          UNION ALL
+          SELECT grp, i,
+                 CAST(sum(y) OVER (PARTITION BY grp ORDER BY i)
+                      AS BIGINT) AS s
+          FROM r
+        ), vert AS (
+          SELECT p.grp, p.i, p.s FROM pref p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pref k, pref j
+            WHERE k.grp = p.grp AND j.grp = p.grp
+              AND k.i < p.i AND j.i > p.i
+              AND p.s * (j.i - k.i)
+                  > k.s * (j.i - p.i) + j.s * (p.i - k.i))
+        ), seg AS (
+          SELECT r.grp, r.i, r.x, r.y,
+                 (SELECT max(v.i) FROM vert v
+                  WHERE v.grp = r.grp AND v.i <= r.i - 1) AS kk,
+                 (SELECT min(v.i) FROM vert v
+                  WHERE v.grp = r.grp AND v.i >= r.i) AS jj
+          FROM r
+        )
+        SELECT seg.grp AS event_type,
+               CAST(seg.i AS BIGINT) AS idx,
+               CAST(seg.x AS BIGINT) AS x,
+               CAST(seg.y AS BIGINT) AS y,
+               round(CAST(pj.s - pk.s AS DOUBLE)
+                     / CAST(seg.jj - seg.kk AS DOUBLE), 6) AS fitted
+        FROM seg
+        JOIN pref pk ON pk.grp = seg.grp AND pk.i = seg.kk
+        JOIN pref pj ON pj.grp = seg.grp AND pj.i = seg.jj
     """
     oracles["attribution"] = """
         WITH e AS (
