@@ -1997,6 +1997,22 @@ def q_image_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("okey", "n_blobs", "max_blob")
 
 
+def q_image_gradhist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOG-lite 8-sector gradient orientation histogram (integer
+    octant tests, L1 magnitudes) on synthesized 8x8 raw payloads —
+    every gradient, octant comparison and magnitude sum replayed
+    inline-arithmetically by the SQL oracle."""
+    from hiselspark.functions.image import with_gradient_hist
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_gradient_hist(imgs)
+    return out.select("okey", *[f"hog{b}" for b in range(8)],
+                      "n_flat")
+
+
 def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real perceptual hash computed from pixels: dHash (9x8 nearest
     downsample -> 64 horizontal-gradient sign bits, packed as two
@@ -3846,6 +3862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_otsu": q_image_otsu,
         "image_morph": q_image_morph,
         "image_blobs": q_image_blobs,
+        "image_gradhist": q_image_gradhist,
         "dhash_neardup": q_dhash_neardup,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -4488,6 +4505,58 @@ def _morph_oracle_sql(thresh: int = 380) -> str:
         )
         SELECT fg.okey, n_fg, n_eroded, n_dilated
         FROM fg JOIN agg USING (okey)
+    """
+
+
+def _gradhist_oracle_sql() -> str:
+    """TRUE SQL oracle for image_gradhist: central-difference
+    gradients from the synthesized-pixel arithmetic, then the SAME
+    pure-integer octant rule (reflect to upper half +4, to first
+    quadrant +2, split at the diagonal +1) and L1-magnitude sector
+    sums."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((o_orderkey*7919 + (((y+{dy})*8 + (x+{dx}))*3 + {c})"
+            f"*31) % 256)" for c in range(3))
+        return f"({terms})"
+    gx = f"({g(0, 1)} - {g(0, -1)})"
+    gy = f"({g(1, 0)} - {g(-1, 0)})"
+    sector_sums = ",\n               ".join(
+        f"CAST(sum(CASE WHEN mag > 0 AND bin = {b} THEN mag"
+        f" ELSE 0 END) AS BIGINT) AS hog{b}" for b in range(8))
+    return f"""
+        WITH grad AS (
+          SELECT o_orderkey AS okey, {gx} AS gx, {gy} AS gy
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ), oct1 AS (
+          SELECT okey, gx, gy, abs(gx) + abs(gy) AS mag,
+                 CASE WHEN gy < 0 OR (gy = 0 AND gx < 0)
+                      THEN 1 ELSE 0 END AS half
+          FROM grad
+        ), oct2 AS (
+          SELECT okey, mag, half,
+                 CASE WHEN half = 1 THEN -gx ELSE gx END AS ax,
+                 CASE WHEN half = 1 THEN -gy ELSE gy END AS ay
+          FROM oct1
+        ), oct3 AS (
+          SELECT okey, mag, half,
+                 CASE WHEN ax <= 0 THEN 1 ELSE 0 END AS quad,
+                 CASE WHEN ax <= 0 THEN ay ELSE ax END AS bx,
+                 CASE WHEN ax <= 0 THEN -ax ELSE ay END AS byy
+          FROM oct2
+        ), oct AS (
+          SELECT okey, mag,
+                 half * 4 + quad * 2
+                 + CASE WHEN bx <= byy THEN 1 ELSE 0 END AS bin
+          FROM oct3
+        )
+        SELECT okey,
+               {sector_sums},
+               CAST(sum(CASE WHEN mag = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_flat
+        FROM oct GROUP BY okey
     """
 
 
@@ -5425,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_otsu"] = _otsu_oracle_sql()
     oracles["image_morph"] = _morph_oracle_sql()
     oracles["image_blobs"] = _blob_oracle_sql()
+    oracles["image_gradhist"] = _gradhist_oracle_sql()
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

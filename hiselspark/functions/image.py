@@ -1051,3 +1051,88 @@ def with_blob_stats(df: DataFrame, thresh: int = 380) -> DataFrame:
             yield _blob_frame(pdf, thresh)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _octant(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Gradient orientation octant 0..7 by PURE integer comparisons
+    (no atan2, no floats): reflect into the upper half-plane (+4),
+    then into the first quadrant (+2), then split at the 45° diagonal
+    (+1).  Zero gradients are the caller's problem (masked out)."""
+    half = (gy < 0) | ((gy == 0) & (gx < 0))
+    ax = np.where(half, -gx, gx)
+    ay = np.where(half, -gy, gy)
+    quad = ax <= 0
+    bx = np.where(quad, ay, ax)
+    by = np.where(quad, -ax, ay)
+    diag = bx <= by
+    return (half.astype(np.int64) * 4 + quad.astype(np.int64) * 2
+            + diag.astype(np.int64))
+
+
+def _gradhist_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """HOG-lite: central-difference gradients of the grayscale SUM on
+    the interior, L1 magnitude (|gx|+|gy| — exact integer, no sqrt),
+    binned into 8 orientation octants by integer comparisons.  Emits
+    ``hog0..hog7`` (magnitude-weighted sector masses) and ``n_flat``
+    (zero-gradient interior pixels) — all exact integers."""
+    m = len(pdf)
+    hog = np.zeros((m, 8), dtype=np.int64)
+    n_flat = np.zeros(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        g = cube.sum(axis=3, dtype=np.int64)
+        gx = g[:, 1:-1, 2:] - g[:, 1:-1, :-2]
+        gy = g[:, 2:, 1:-1] - g[:, :-2, 1:-1]
+        mag = np.abs(gx) + np.abs(gy)
+        flat = mag == 0
+        n_flat[rows] = flat.sum(axis=(1, 2), dtype=np.int64)
+        oct_ = _octant(gx, gy)
+        n = len(rows)
+        for b in range(8):
+            sel = (oct_ == b) & ~flat
+            hog[rows, b] = (mag * sel).sum(axis=(1, 2),
+                                           dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    for b in range(8):
+        out[f"hog{b}"] = hog[:, b]
+    out["n_flat"] = n_flat
+    return out
+
+
+def with_gradient_hist(df: DataFrame) -> DataFrame:
+    """Append the 8-sector gradient orientation histogram (HOG-lite,
+    Dalal & Triggs 2005 reduced to one cell / L1 magnitude / octant
+    bins) and drop the payload — the classic texture/edge-direction
+    descriptor for image curation and near-dup features.  Arrow-
+    batched ``mapInPandas`` over shape-grouped payloads; exact integer
+    arithmetic end to end, so the SQL oracle replays every gradient,
+    octant test and magnitude sum inline."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField(f"hog{b}", T.LongType()) for b in range(8)]
+        + [T.StructField("n_flat", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _gradhist_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)

@@ -455,3 +455,57 @@ def test_blob_stats_match_bfs(spark):
     for i, (nb, mb) in truth.items():
         assert out.loc[i, "n_blobs"] == nb, i
         assert out.loc[i, "max_blob"] == mb, i
+
+
+def test_octant_rule_matches_atan2():
+    """The pure-integer octant rule must agree with floor(atan2/45°)
+    for every nonzero integer gradient in a dense grid."""
+    import math
+    import numpy as np
+    from hiselspark.functions.image import _octant
+    gs = [(gx, gy) for gx in range(-6, 7) for gy in range(-6, 7)
+          if (gx, gy) != (0, 0)]
+    gx = np.array([g[0] for g in gs], dtype=np.int64)
+    gy = np.array([g[1] for g in gs], dtype=np.int64)
+    got = _octant(gx, gy)
+    for (x, y), b in zip(gs, got):
+        ang = math.atan2(y, x)
+        if ang < 0:
+            ang += 2 * math.pi
+        want = int(ang // (math.pi / 4)) % 8
+        assert b == want, (x, y, b, want)
+
+
+def test_gradient_hist_matches_scalar(spark):
+    """with_gradient_hist vs an explicit per-pixel loop on random raw
+    images of two shapes."""
+    import numpy as np
+    from hiselspark.functions.image import with_gradient_hist, _octant
+    rng = np.random.default_rng(37)
+    rows, truth = [], {}
+    for i in range(8):
+        w, h = (8, 8) if i % 2 == 0 else (7, 9)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64)
+        hog = [0] * 8
+        flat = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                gx = int(g[y, x + 1] - g[y, x - 1])
+                gy = int(g[y + 1, x] - g[y - 1, x])
+                mag = abs(gx) + abs(gy)
+                if mag == 0:
+                    flat += 1
+                else:
+                    b = int(_octant(np.array([gx]),
+                                    np.array([gy]))[0])
+                    hog[b] += mag
+        truth[i] = (hog, flat)
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_gradient_hist(df).toPandas().set_index("img_id")
+    for i, (hog, flat) in truth.items():
+        for b in range(8):
+            assert out.loc[i, f"hog{b}"] == hog[b], (i, b)
+        assert out.loc[i, "n_flat"] == flat
