@@ -2784,6 +2784,49 @@ def q_streaming_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                                output_mode="append")
 
 
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming touch attribution (applyInPandasWithState, O(1)
+    state): purchases credited on arrival with the user's first-ever
+    touch and the horizon-windowed last touch.  Replayed as four
+    event-time-ordered micro-batches; the drained result must equal
+    the batch SQL oracle row-for-row."""
+    import hashlib
+    import os
+    from hiselspark.streaming.attribution import stream_attribution
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files)
+    ev = _ev(spark, sf_dir).withColumn("ts",
+                                       F.col("ts").cast("timestamp"))
+    sub = ev.filter(F.col("event_type").isin("view", "click",
+                                             "purchase"))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src = f"/tmp/hiselspark_streamattr_{tag}"
+    if not os.path.exists(f"{src}/0003.parquet"):
+        max_id = sub.agg(F.max("event_id")).collect()[0][0]
+        cut = max_id // 4 + 1
+        stage_microbatch_files(
+            [sub.filter((F.col("event_id") >= i * cut)
+                        & (F.col("event_id") < (i + 1) * cut))
+             for i in range(4)], src)
+    stream = (read_events_stream(spark, src, ev.schema,
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("us", (F.col("ts").cast("double")
+                                 * 1_000_000).cast("long"))
+              .withColumn("is_touch",
+                          F.col("event_type").isin("view", "click")))
+    out = run_stream_to_batch(
+        stream_attribution(stream, horizon_us=7 * 86400 * 1_000_000),
+        output_mode="append")
+    return out.select("entity", "conv_id", "conv_us",
+                      "first_touch_id", "last_touch_id",
+                      "last_latency_us")
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split: polynomial
     rolling hash of the normalized text (pure JVM integer expressions,
@@ -3788,6 +3831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_select": q_mrmr_select,
         "hsic_rank": q_hsic_rank,
         "attribution": q_attribution,
+        "streaming_attribution": q_streaming_attribution,
         "isotonic": q_isotonic,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
@@ -8218,6 +8262,43 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+    """
+    oracles["streaming_attribution"] = """
+        WITH e AS (
+          SELECT user_id AS entity, event_id, event_type,
+                 epoch_us(ts) AS t
+          FROM events
+        ), conv AS (
+          SELECT entity, event_id AS conv_id, t AS conv_us
+          FROM e WHERE event_type = 'purchase'
+        ), touch AS (
+          SELECT entity, event_id AS tid, t AS tt
+          FROM e WHERE event_type IN ('view', 'click')
+        ), ft AS (
+          SELECT c.conv_id, t.tid AS first_touch_id,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.tt ASC, t.tid ASC)
+                   AS rf
+          FROM conv c JOIN touch t
+            ON c.entity = t.entity AND t.tt <= c.conv_us
+        ), lt AS (
+          SELECT c.conv_id, t.tid AS last_touch_id,
+                 c.conv_us - t.tt AS last_latency_us,
+                 row_number() OVER (PARTITION BY c.conv_id
+                                    ORDER BY t.tt DESC, t.tid DESC)
+                   AS rl
+          FROM conv c JOIN touch t
+            ON c.entity = t.entity
+           AND t.tt BETWEEN c.conv_us
+                            - CAST(7*86400 AS BIGINT)*1000000
+                        AND c.conv_us
+        )
+        SELECT c.entity, c.conv_id, c.conv_us,
+               ft.first_touch_id, lt.last_touch_id,
+               lt.last_latency_us
+        FROM conv c
+        LEFT JOIN ft ON ft.conv_id = c.conv_id AND ft.rf = 1
+        LEFT JOIN lt ON lt.conv_id = c.conv_id AND lt.rl = 1
     """
     oracles["rolling_distinct"] = """
         WITH q AS (
