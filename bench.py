@@ -96,7 +96,10 @@ def main() -> None:
                   "dedup_exact", "pack_sequences", "curate_corpus",
                   "resample_ffill", "heavy_hitters", "pq_topk",
                   "rolling_distinct", "asof_nearest", "image_spatial",
-                  "dhash", "auc", "tpch_q5")
+                  "dhash", "auc", "tpch_q5",
+                  # round-3 representatives: HSIC-family count-closed
+                  # ranking, windowed attribution, HOG-lite pixels
+                  "hsic_rank", "attribution", "image_gradhist")
     # interleaved best-of-2: the full list runs twice in order, so the
     # two reps of each query are separated in time — on a noisy shared
     # host (observed 2-3x swings on identical plans minutes apart)
