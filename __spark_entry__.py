@@ -812,6 +812,34 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "last_latency_us")
 
 
+def q_hsic_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate delta-kernel HSIC: feature SUBSETS jointly encoded
+    as mixed-radix codes (the reference's `_delta_multivariate`,
+    kernels.py:130-147) and scored with the same count-closed exact
+    HSIC — the statistic a greedy subset search maximizes.  The oracle
+    recomputes codes and statistic from the parquet."""
+    from hiselspark.operators.feature_rank import delta_hsic_table
+    df = _mi_feature_frame(spark, sf_dir)
+    # radices: f_parity in {0,1} (2), f_mod5 in 0..4 (5),
+    # f_seven2 in {0,1} (2), f_seven4 in 0..3 (4)
+    subsets = [
+        ("parity_mod5", F.col("f_parity") * 5 + F.col("f_mod5")),
+        ("seven2_seven4", F.col("f_seven2") * 4 + F.col("f_seven4")),
+        ("parity_seven2", F.col("f_parity") * 2 + F.col("f_seven2")),
+    ]
+    frames = [
+        df.select(F.lit(name).alias("subset"),
+                  code.cast("long").alias("code"), "y")
+        for name, code in subsets
+    ]
+    longd = frames[0]
+    for f in frames[1:]:
+        longd = longd.unionByName(f)
+    out = delta_hsic_table(longd, "code", "y", key_cols=["subset"])
+    return out.select("subset", "n",
+                      F.round("hsic", 9).alias("hsic"))
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test per user over the trailing 24 events:
     exact integer S and tie-corrected 18·var(S), continuity-corrected
@@ -3830,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_gain_rank": q_info_gain_rank,
         "mrmr_select": q_mrmr_select,
         "hsic_rank": q_hsic_rank,
+        "hsic_multi": q_hsic_multi,
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "isotonic": q_isotonic,
@@ -8930,5 +8959,43 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["info_gain_rank"] = _info_gain_oracle_sql()
     oracles["hsic_rank"] = _hsic_rank_oracle_sql()
+    oracles["hsic_multi"] = f"""
+        WITH {_MI_FEAT_SQL}, rlong AS (
+          SELECT 'parity_mod5' AS subset,
+                 f_parity * 5 + f_mod5 AS code, y FROM feat
+          UNION ALL
+          SELECT 'seven2_seven4', f_seven2 * 4 + f_seven4, y FROM feat
+          UNION ALL
+          SELECT 'parity_seven2', f_parity * 2 + f_seven2, y FROM feat
+        ), cells AS (
+          SELECT subset, code, y, CAST(count(*) AS BIGINT) AS c
+          FROM rlong GROUP BY subset, code, y
+        ), m AS (
+          SELECT subset, c,
+                 sum(c) OVER (PARTITION BY subset, code) AS cx,
+                 sum(c) OVER (PARTITION BY subset, y) AS cy
+          FROM cells
+        ), agg AS (
+          SELECT subset,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c*c) AS BIGINT) AS a_sum,
+                 CAST(sum(c*cx*cy) AS BIGINT) AS b_sum,
+                 CAST(sum(c*cx) AS BIGINT) AS cx_sum,
+                 CAST(sum(c*cy) AS BIGINT) AS cy_sum
+          FROM m GROUP BY subset
+        )
+        SELECT subset, n,
+               round(CAST(a_sum AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                     - 2.0 * CAST(b_sum AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                          * CAST(n AS DOUBLE))
+                     + (CAST(cx_sum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                       * (CAST(cy_sum AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                     9) AS hsic
+        FROM agg
+    """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     return oracles

@@ -130,3 +130,23 @@ def test_delta_hsic_matches_trace_form(spark):
     dep = delta_hsic_table(
         df.selectExpr("c as x", "y as y2"), "x", "y2").collect()[0]
     assert abs(pair["hsic"]) < 1e-3 < dep["hsic"]
+
+
+def test_multivariate_delta_hsic_joint_code(spark):
+    """Mixed-radix joint encoding == joint delta kernel: HSIC of the
+    code (a*3 + b) vs y equals tr(KHLH)/n^2 with K the equality
+    kernel on (a, b) PAIRS."""
+    import numpy as np
+    from hiselspark.operators.feature_rank import delta_hsic_table
+    df = _frame(spark).selectExpr("a * 3 + b AS code", "y")
+    got = delta_hsic_table(df, "code", "y").collect()[0]["hsic"]
+    rows = _frame(spark).collect()
+    n = len(rows)
+    ab = np.array([(r["a"], r["b"]) for r in rows])
+    ys = np.array([r["y"] for r in rows])
+    K = ((ab[:, None, 0] == ab[None, :, 0])
+         & (ab[:, None, 1] == ab[None, :, 1])).astype(float)
+    L = (ys[:, None] == ys[None, :]).astype(float)
+    H = np.eye(n) - np.full((n, n), 1.0 / n)
+    want = np.trace(K @ H @ L @ H) / n**2
+    assert got == pytest.approx(want, rel=1e-10)
