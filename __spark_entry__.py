@@ -867,6 +867,21 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_pairs", F.round("slope", 6).alias("slope"))
 
 
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single mean-shift change point per user (binary-segmentation
+    step): argmax of the SSE-reduction gain over prefix splits, exact
+    integer prefix sums, bit-identical candidate scores — the oracle
+    replays every candidate and the tie rule."""
+    from hiselspark.operators.trend import changepoint_mean
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = changepoint_mean(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      "split_idx", F.round("gain", 6).alias("gain"),
+                      F.round("left_mean", 6).alias("left_mean"),
+                      F.round("right_mean", 6).alias("right_mean"))
+
+
 def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two derived labelings of events — exact
     integers until one division; the oracle replays the confusion
@@ -3865,6 +3880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
+        "changepoint": q_changepoint,
         "ts_profile": q_ts_profile,
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
@@ -7394,6 +7410,45 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(runs.longest_above, 0) AS longest_above,
                first_max_idx, last_max_idx
         FROM main LEFT JOIN runs USING (user_id)
+    """
+    oracles["changepoint"] = """
+        WITH c1 AS (
+          SELECT user_id, ts, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), c2 AS (
+          SELECT user_id, v,
+                 row_number() OVER w AS idx,
+                 sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS sl,
+                 sum(v) OVER (PARTITION BY user_id) AS s,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM c1
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), scored AS (
+          SELECT user_id, n, idx, sl, s,
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                   / CAST(idx AS DOUBLE)
+                 + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                   / CAST(n - idx AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE) AS gain
+          FROM c2 WHERE idx < n
+        ), best AS (
+          SELECT user_id, n, idx, sl, s, gain,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY gain DESC, idx ASC)
+                   AS rn
+          FROM scored
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               CAST(idx AS BIGINT) AS split_idx,
+               round(gain, 6) AS gain,
+               round(CAST(sl AS DOUBLE) / CAST(idx AS DOUBLE), 6)
+                 AS left_mean,
+               round(CAST(s - sl AS DOUBLE)
+                     / CAST(n - idx AS DOUBLE), 6) AS right_mean
+        FROM best WHERE rn = 1
     """
     oracles["cohen_kappa"] = """
         WITH q AS (

@@ -167,3 +167,69 @@ def theil_sen(
            .alias("slope"))
     return out.select("entity", "n", m.cast("long").alias("n_pairs"),
                       med)
+
+
+def changepoint_mean(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single mean-shift change point per entity (the first step of
+    binary segmentation / CUSUM-style offline detection): the split
+    ``t`` maximizing the SSE reduction
+
+        gain(t) = S_l²/n_l + S_r²/n_r − S²/n
+
+    over prefixes of the time-ordered integer series (S_* exact
+    integer sums; each term is one cast and one IEEE multiply/divide,
+    so both engines score every candidate bit-identically; ties →
+    smallest t).  Returns (entity, n, split_idx, gain, left_mean,
+    right_mean) for entities with n ≥ 2; ``split_idx`` = size of the
+    left segment.
+
+    Scale shape: one entity shuffle — an ordered prefix-sum window,
+    per-row candidate scores, and a groupBy argmax via struct max.
+    No self-joins, no collection.
+    """
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w_ord = Window.partitionBy("entity").orderBy("__t", "__o")
+    w_all = Window.partitionBy("entity")
+    cur = (base
+           .withColumn("idx", F.row_number().over(w_ord))
+           .withColumn("sl", F.sum("v").over(w_ord))
+           .withColumn("s", F.sum("v").over(w_all))
+           .withColumn("n", F.count(F.lit(1)).over(w_all))
+           .filter(F.col("idx") < F.col("n")))   # split leaves both sides
+    sl = F.col("sl").cast("double")
+    sr = (F.col("s") - F.col("sl")).cast("double")
+    nl = F.col("idx").cast("double")
+    nr = (F.col("n") - F.col("idx")).cast("double")
+    s = F.col("s").cast("double")
+    nn = F.col("n").cast("double")
+    gain = (sl * sl / nl + sr * sr / nr - s * s / nn).alias("gain")
+    scored = cur.select("entity", "n", "idx", "sl", "s", gain)
+    # argmax with ties to the SMALLEST idx: struct max on (gain, -idx)
+    pick = (scored.groupBy("entity").agg(F.max(F.struct(
+        F.col("gain").alias("g"),
+        (-F.col("idx")).alias("negidx"),
+        F.col("idx").alias("idx"),
+        F.col("sl").alias("sl"),
+        F.col("s").alias("s"),
+        F.col("n").alias("nn"))).alias("b")))
+    return pick.select(
+        "entity",
+        F.col("b.nn").cast("long").alias("n"),
+        F.col("b.idx").cast("long").alias("split_idx"),
+        F.col("b.g").alias("gain"),
+        (F.col("b.sl").cast("double")
+         / F.col("b.idx").cast("double")).alias("left_mean"),
+        ((F.col("b.s") - F.col("b.sl")).cast("double")
+         / (F.col("b.nn") - F.col("b.idx")).cast("double"))
+        .alias("right_mean"))

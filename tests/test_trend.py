@@ -103,3 +103,42 @@ def test_trend_validates_k(spark):
         mann_kendall(df, "entity", "ts", "oid", "val", last_k=1)
     with pytest.raises(ValueError):
         theil_sen(df, "entity", "ts", "oid", "val", last_k=0)
+
+
+def test_changepoint_matches_brute(spark):
+    from hiselspark.operators.trend import changepoint_mean
+    # entity 1: clear shift; entity 2: constant (gain 0 everywhere ->
+    # smallest split wins); entity 3: n=2 minimal
+    specs = {1: [1, 1, 2, 1, 9, 8, 9, 10],
+             2: [4, 4, 4, 4, 4],
+             3: [3, 7]}
+    rows = []
+    oid = 0
+    for ent, vs in specs.items():
+        for i, v in enumerate(vs):
+            rows.append((ent, BASE + dt.timedelta(seconds=5 * i),
+                         oid, v))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "entity int, ts timestamp, oid long, val long")
+    out = {r["entity"]: r for r in
+           changepoint_mean(df, "entity", "ts", "oid",
+                            "val").collect()}
+    for ent, vs in specs.items():
+        n, S = len(vs), sum(vs)
+        best = None
+        for t in range(1, n):
+            sl = sum(vs[:t])
+            g = sl * sl / t + (S - sl)**2 / (n - t) - S * S / n
+            if best is None or g > best[0]:
+                best = (g, t, sl)
+        g, t, sl = best
+        r = out[ent]
+        assert r["n"] == n
+        assert r["split_idx"] == t, (ent, r["split_idx"], t)
+        assert r["gain"] == pytest.approx(g, abs=1e-9)
+        assert r["left_mean"] == pytest.approx(sl / t, abs=1e-12)
+        assert r["right_mean"] == pytest.approx((S - sl) / (n - t),
+                                                abs=1e-12)
+    # the planted shift in entity 1 is found at the boundary
+    assert out[1]["split_idx"] == 4
