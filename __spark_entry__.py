@@ -2870,6 +2870,19 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "last_latency_us")
 
 
+def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection angular sketch of the embeddings: 16
+    sign bits from Carter-Wegman ±1 planes shared as LITERALS with
+    the oracle (no RNG stream trusted); every bit recomputed by DuckDB
+    from the same fixed-order dot products."""
+    from hiselspark.operators.similarity import srp_signatures
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = srp_signatures(emb)
+    return out.select(F.col("vid").alias("vec_id"), "srp_sig",
+                      F.bit_count("srp_sig").cast("long")
+                       .alias("srp_pop"))
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split: polynomial
     rolling hash of the normalized text (pure JVM integer expressions,
@@ -3876,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hsic_multi": q_hsic_multi,
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
+        "srp_sketch": q_srp_sketch,
         "isotonic": q_isotonic,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
@@ -4646,6 +4660,32 @@ def _gradhist_oracle_sql() -> str:
                CAST(sum(CASE WHEN mag = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_flat
         FROM oct GROUP BY okey
+    """
+
+
+def _srp_oracle_sql(n_planes: int = 16, dim: int = 64) -> str:
+    """TRUE SQL oracle for srp_sketch: the identical ±1 sign literals
+    (Carter-Wegman derived) and the identical index-order dot-product
+    chains, recomputed by DuckDB from the parquet floats."""
+    from hiselspark.operators.similarity import srp_signs
+    signs = srp_signs(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        dot = " + ".join(f"e[{d + 1}] * {s}.0"
+                         for d, s in enumerate(signs[p]))
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << p}"
+                    f" ELSE 0 END)")
+    sig = " + ".join(bits)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, CAST({sig} AS BIGINT) AS srp_sig FROM v
+        )
+        SELECT vec_id, srp_sig,
+               CAST(bit_count(srp_sig) AS BIGINT) AS srp_pop
+        FROM s
     """
 
 
@@ -5584,6 +5624,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_morph"] = _morph_oracle_sql()
     oracles["image_blobs"] = _blob_oracle_sql()
     oracles["image_gradhist"] = _gradhist_oracle_sql()
+    oracles["srp_sketch"] = _srp_oracle_sql()
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

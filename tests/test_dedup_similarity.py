@@ -726,3 +726,39 @@ def test_containment_pairs_planted_subset(spark):
                             threshold=0.0).toPandas()
     jrow = j[(j.a == 1) & (j.b == 2)].iloc[0]
     assert jrow.jaccard < 0.2
+
+
+def test_srp_signature_angular_properties(spark):
+    """SRP: identical vectors share signatures, negated vectors flip
+    every bit, and hamming/planes tracks angle/pi on a seeded cloud."""
+    import numpy as np
+    from hiselspark.operators.similarity import srp_signatures
+    rng = np.random.default_rng(41)
+    base = rng.normal(size=(20, 64)).astype(np.float32)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((3 * i, v.tolist()))          # original
+        rows.append((3 * i + 1, v.tolist()))      # exact copy
+        rows.append((3 * i + 2, (-v).tolist()))   # antipode
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = {r["vid"]: r["srp_sig"] for r in
+           srp_signatures(df, n_planes=16).collect()}
+    full = (1 << 16) - 1
+    for i in range(20):
+        assert sig[3 * i] == sig[3 * i + 1]
+        assert sig[3 * i] ^ sig[3 * i + 2] == full
+    # near-duplicates (small perturbation) stay within a few bits;
+    # random pairs average ~half the bits apart
+    near = base + rng.normal(scale=0.01, size=base.shape).astype(
+        np.float32)
+    rows2 = [(i, v.tolist()) for i, v in enumerate(base)]
+    rows2 += [(100 + i, v.tolist()) for i, v in enumerate(near)]
+    df2 = spark.createDataFrame(rows2,
+                                "vec_id long, embedding array<float>")
+    s2 = {r["vid"]: r["srp_sig"] for r in
+          srp_signatures(df2, n_planes=16).collect()}
+    near_d = [bin(s2[i] ^ s2[100 + i]).count("1") for i in range(20)]
+    rand_d = [bin(s2[i] ^ s2[(i + 7) % 20]).count("1")
+              for i in range(20)]
+    assert sum(near_d) / 20 < 2.0
+    assert sum(rand_d) / 20 > 5.0
