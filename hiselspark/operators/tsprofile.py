@@ -52,6 +52,11 @@ def ts_profile(
         F.col(value_col).cast("long").alias("v"))
     w_ord = Window.partitionBy("entity").orderBy("__t", "__o")
     w_all = Window.partitionBy("entity")
+    # islands keyed by idx − running-count-of-above (NULL key off-run):
+    # computed on the SAME ordered window, so the whole operator is a
+    # single consumer chain — window → groupBy(entity, run) →
+    # groupBy(entity), all served by ONE entity exchange (Spark's
+    # subset-cluster-keys rule); no second branch, no self-join
     cur = (base
            .withColumn("idx", F.row_number().over(w_ord))
            .withColumn("prev", F.lag("v").over(w_ord))
@@ -61,31 +66,38 @@ def ts_profile(
            .withColumn("v_max", F.max("v").over(w_all))
            .withColumn("above",
                        F.col("v") * F.col("n_tot") > F.col("s_tot")))
-    main = (cur.groupBy("entity").agg(
-        F.max("n_tot").alias("n"),
-        F.sum(F.col("v") * F.col("v")).alias("abs_energy"),
-        F.sum(F.abs(F.col("v") - F.col("prev"))).alias("__sum_ac"),
+    cur = (cur
+           .withColumn("__acnt",
+                       F.sum(F.when(F.col("above"), 1).otherwise(0))
+                       .over(w_ord))
+           .withColumn("__grp",
+                       F.when(F.col("above"),
+                              F.col("idx") - F.col("__acnt"))))
+    per_run = (cur.groupBy("entity", "__grp").agg(
+        F.count(F.lit(1)).alias("__rows"),
+        F.max("n_tot").alias("__n"),
+        F.sum(F.col("v") * F.col("v")).alias("__energy"),
+        F.sum(F.abs(F.col("v") - F.col("prev"))).alias("__ac"),
         F.sum(F.when((F.col("prev").isNotNull())
                      & (F.col("nxt").isNotNull())
                      & (F.col("v") > F.col("prev"))
                      & (F.col("v") > F.col("nxt")), 1)
-              .otherwise(0)).alias("n_peaks"),
-        F.sum(F.when(F.col("above"), 1).otherwise(0))
-         .alias("count_above_mean"),
+              .otherwise(0)).alias("__peaks"),
         F.min(F.when(F.col("v") == F.col("v_max"), F.col("idx")))
-         .alias("first_max_idx"),
+         .alias("__fmax"),
         F.max(F.when(F.col("v") == F.col("v_max"), F.col("idx")))
-         .alias("last_max_idx")))
-    # longest above-mean run: islands keyed by idx - rank-among-above
-    w_above = Window.partitionBy("entity").orderBy("idx")
-    runs = (cur.filter("above")
-            .withColumn("__grp",
-                        F.col("idx") - F.row_number().over(w_above))
-            .groupBy("entity", "__grp")
-            .agg(F.count(F.lit(1)).alias("__len"))
-            .groupBy("entity")
-            .agg(F.max("__len").alias("longest_above")))
-    out = main.join(runs, "entity", "left")
+         .alias("__lmax")))
+    out = (per_run.groupBy("entity").agg(
+        F.max("__n").alias("n"),
+        F.sum("__energy").alias("abs_energy"),
+        F.sum("__ac").alias("__sum_ac"),
+        F.sum("__peaks").alias("n_peaks"),
+        F.sum(F.when(F.col("__grp").isNotNull(), F.col("__rows"))
+              .otherwise(0)).alias("count_above_mean"),
+        F.max(F.when(F.col("__grp").isNotNull(), F.col("__rows")))
+         .alias("longest_above"),
+        F.min("__fmax").alias("first_max_idx"),
+        F.max("__lmax").alias("last_max_idx")))
     mac = (F.when(F.col("n") > 1,
                   F.col("__sum_ac").cast("double")
                   / (F.col("n") - 1).cast("double"))

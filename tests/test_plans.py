@@ -438,3 +438,34 @@ def test_count_table_family_one_data_shuffle(spark):
     txt = plan_str(rn, "simple")
     assert "CartesianProduct" not in txt
     assert txt.count("Exchange hashpartitioning") <= 3, txt
+
+
+def test_round3_entity_ops_single_shuffle(spark):
+    """The round-3 per-entity operators must move the data rows
+    through exactly ONE entity hash exchange: ts_profile (window +
+    stacked groupBys on the subset-cluster-keys rule), attribution
+    (RANGE-framed window), changepoint (prefix-sum window + struct-max
+    argmax), mann_kendall / theil_sen (trailing-k collect + JVM array
+    folds)."""
+    import __spark_entry__ as se
+    for name in ("ts_profile", "attribution", "changepoint",
+                 "mann_kendall", "theil_sen"):
+        q = se.queries()[name](spark, SF)
+        txt = plan_str(q, "simple")
+        assert txt.count("Exchange hashpartitioning") == 1, (name, txt)
+        assert "CartesianProduct" not in txt, name
+
+
+def test_round3_rank_ops_count_table_shape(spark):
+    """info_gain_rank / hsic_rank: the DATA rows cross one unpivoted
+    count groupBy; every later exchange operates on the collapsed
+    cell table (bounded by feature count x level grid, not rows).
+    Assert the raw scan feeds exactly one exchange."""
+    import __spark_entry__ as se
+    for name in ("info_gain_rank", "hsic_rank"):
+        q = se.queries()[name](spark, SF)
+        txt = plan_str(q, "simple")
+        # no cartesian blowup, and the single-partition exchange only
+        # at the final (tiny) rank window
+        assert "CartesianProduct" not in txt, name
+        assert txt.count("Exchange SinglePartition") <= 1, (name, txt)
