@@ -2870,6 +2870,60 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "last_latency_us")
 
 
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Fidelity aggregate for text-format round trips: counts, exact
+    cents sum, exact microsecond-timestamp sum and total props-string
+    length per event type — any loss of precision, quoting or row
+    fidelity in the round trip breaks at least one column."""
+    return (df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.abs(F.round(F.col("value") * 100).cast("long")))
+         .alias("sum_cents"),
+        F.sum(_us("ts")).alias("sum_us"),
+        F.sum(F.length("props")).alias("sum_props_len")))
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink -> schema-enforced FAILFAST source round trip over
+    events (the JSON props column stresses quoting/escaping; ISO-8601
+    microsecond timestamps stress precision).  The oracle recomputes
+    the fidelity aggregate from the original parquet — any round-trip
+    loss mismatches."""
+    import hashlib
+    import os
+    from hiselspark.sources.textfiles import read_csv, write_csv
+    ev = _ev(spark, sf_dir).withColumn("ts",
+                                       F.col("ts").cast("timestamp"))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/hiselspark_csv_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_csv(ev, path)
+    back = read_csv(spark, path, ev.schema)
+    return _roundtrip_agg(back)
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink -> schema-enforced FAILFAST source round trip over
+    events; same fidelity aggregate and oracle as the CSV twin."""
+    import hashlib
+    import os
+    from hiselspark.sources.textfiles import read_jsonl, write_jsonl
+    ev = _ev(spark, sf_dir).withColumn("ts",
+                                       F.col("ts").cast("timestamp"))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/hiselspark_jsonl_{tag}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        write_jsonl(ev, path)
+    back = read_jsonl(spark, path, ev.schema)
+    return _roundtrip_agg(back)
+
+
 def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection angular sketch of the embeddings: 16
     sign bits from Carter-Wegman ±1 planes shared as LITERALS with
@@ -3890,6 +3944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
+        "csv_roundtrip": q_csv_roundtrip,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "isotonic": q_isotonic,
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
@@ -5625,6 +5681,17 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_blobs"] = _blob_oracle_sql()
     oracles["image_gradhist"] = _gradhist_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    _rt = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(CAST(round(value*100) AS BIGINT)))
+                    AS BIGINT) AS sum_cents,
+               CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_us,
+               CAST(sum(length(props)) AS BIGINT) AS sum_props_len
+        FROM events GROUP BY event_type
+    """
+    oracles["csv_roundtrip"] = _rt
+    oracles["jsonl_roundtrip"] = _rt
     oracles["distinct_users"] = """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_users,

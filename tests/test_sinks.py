@@ -44,3 +44,37 @@ def test_duplicates_colocate_and_layout_independence(spark, tmp_path):
     assert ash.sort_index().to_dict() == bsh.sort_index().to_dict()
     per_text = a.groupby("text")["shard"].nunique()
     assert (per_text == 1).all()
+
+
+def test_csv_jsonl_roundtrip_hostile_strings(spark, tmp_path):
+    """CSV and JSONL round trips must preserve strings with embedded
+    commas, quotes, unicode and empty values, exact longs, doubles
+    and microsecond timestamps."""
+    import datetime as dt
+    from hiselspark.sources.textfiles import (read_csv, read_jsonl,
+                                              write_csv, write_jsonl)
+    rows = [
+        (1, 'a,b,"c" d', 3.14159, dt.datetime(2024, 1, 2, 3, 4, 5,
+                                              123456)),
+        (2, '{"k": "v, w", "n": [1,2]}', -0.5,
+         dt.datetime(2024, 6, 30, 23, 59, 59, 999999)),
+        (3, "", 1e300, dt.datetime(1999, 12, 31)),
+        (4, "naïve — déjà vu ✓", 0.0, dt.datetime(2024, 2, 29)),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, s string, x double, ts timestamp")
+    want = sorted(map(tuple, df.collect()))
+    p_csv, p_json = str(tmp_path / "c"), str(tmp_path / "j")
+    write_csv(df, p_csv)
+    write_jsonl(df, p_json)
+    got_csv = sorted(map(tuple,
+                         read_csv(spark, p_csv, df.schema).collect()))
+    got_json = sorted(map(tuple, read_jsonl(spark, p_json,
+                                            df.schema).collect()))
+    # CSV writes empty string as "" with quoteAll; Spark reads the
+    # empty field back as NULL unless told otherwise — accept the
+    # documented NULL-vs-empty CSV ambiguity, everything else exact
+    def norm(ts):
+        return [tuple("" if v is None else v for v in r) for r in ts]
+    assert norm(got_csv) == norm(want)
+    assert got_json == want
