@@ -882,6 +882,19 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("right_mean", 6).alias("right_mean"))
 
 
+def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic words per user (PAA means -> z-score quartile
+    letters): exact integer segment split and variance numerator, one
+    fixed expression tree for the z binning — the oracle rebuilds
+    every word letter-by-letter from the parquet."""
+    from hiselspark.operators.tsprofile import sax_symbols
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = sax_symbols(ev, "user_id", "ts", "event_id", "cents",
+                      n_segments=8)
+    return out.select(F.col("entity").alias("user_id"), "n", "sax")
+
+
 def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two derived labelings of events — exact
     integers until one division; the oracle replays the confusion
@@ -3951,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
         "changepoint": q_changepoint,
+        "sax": q_sax,
         "ts_profile": q_ts_profile,
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
@@ -7518,6 +7532,60 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(runs.longest_above, 0) AS longest_above,
                first_max_idx, last_max_idx
         FROM main LEFT JOIN runs USING (user_id)
+    """
+    oracles["sax"] = """
+        WITH c1 AS (
+          SELECT user_id, ts, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), c2 AS (
+          SELECT user_id, v,
+                 row_number() OVER w AS idx,
+                 count(*) OVER (PARTITION BY user_id) AS n,
+                 sum(v) OVER (PARTITION BY user_id) AS s,
+                 sum(v*v) OVER (PARTITION BY user_id) AS ssq
+          FROM c1
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), segd AS (
+          SELECT user_id, ((idx - 1) * 8) // n AS seg, v, n, s, ssq
+          FROM c2 WHERE n >= 8
+        ), per_seg AS (
+          SELECT user_id, seg,
+                 sum(v) AS sm, count(*) AS sc,
+                 max(n) AS n, max(s) AS s, max(ssq) AS ssq
+          FROM segd GROUP BY user_id, seg
+        ), sym AS (
+          SELECT user_id, seg, n,
+                 CASE
+                   WHEN n*ssq - s*s = 0 THEN
+                     CASE WHEN 0.0 < -0.6744897501960817 THEN 'a'
+                          WHEN 0.0 < 0.0 THEN 'b'
+                          WHEN 0.0 < 0.6744897501960817 THEN 'c'
+                          ELSE 'd' END
+                   ELSE
+                     CASE
+                       WHEN (CAST(sm AS DOUBLE) / CAST(sc AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (sqrt(CAST(n*ssq - s*s AS DOUBLE))
+                               / CAST(n AS DOUBLE))
+                            < -0.6744897501960817 THEN 'a'
+                       WHEN (CAST(sm AS DOUBLE) / CAST(sc AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (sqrt(CAST(n*ssq - s*s AS DOUBLE))
+                               / CAST(n AS DOUBLE))
+                            < 0.0 THEN 'b'
+                       WHEN (CAST(sm AS DOUBLE) / CAST(sc AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (sqrt(CAST(n*ssq - s*s AS DOUBLE))
+                               / CAST(n AS DOUBLE))
+                            < 0.6744897501960817 THEN 'c'
+                       ELSE 'd' END
+                 END AS sym
+          FROM per_seg
+        )
+        SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+               string_agg(sym, '' ORDER BY seg) AS sax
+        FROM sym GROUP BY user_id
     """
     oracles["changepoint"] = """
         WITH c1 AS (

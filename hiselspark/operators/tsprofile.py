@@ -108,3 +108,80 @@ def ts_profile(
         "count_above_mean",
         F.coalesce("longest_above", F.lit(0)).alias("longest_above"),
         "first_max_idx", "last_max_idx")
+
+
+SAX_BREAKPOINTS_4 = (-0.6744897501960817, 0.0, 0.6744897501960817)
+
+
+def sax_symbols(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    n_segments: int = 8,
+) -> DataFrame:
+    """SAX symbolic representation per entity (Lin, Keogh et al.
+    2003): the time-ordered integer series is PAA-reduced to
+    ``n_segments`` means and each mean's z-score is binned against
+    the standard-normal quartile breakpoints into letters a-d —
+    the classic discretization that makes series bucketable,
+    indexable and joinable (compose with the banded dedup machinery
+    for motif mining).
+
+    Returns (entity, n, sax) where ``sax`` is the ``n_segments``-letter
+    word (entities with n < n_segments are dropped — a PAA segment
+    must own at least one point).
+
+    Determinism: segment boundaries are the exact integer split
+    ``seg = (idx−1)·w DIV n``; segment sums/counts and the variance
+    numerator ``n·Σv² − S²`` stay exact integers; the z comparison is
+    a fixed expression tree on identical doubles in any engine, with
+    the constant-series case (variance 0) pinned to z = 0 by an exact
+    integer test.  Scale shape: ONE entity exchange — ordered window,
+    groupBy(entity, seg) and groupBy(entity) both reuse it via the
+    subset-cluster-keys rule.
+    """
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w_ord = Window.partitionBy("entity").orderBy("__t", "__o")
+    w_all = Window.partitionBy("entity")
+    cur = (base
+           .withColumn("idx", F.row_number().over(w_ord))
+           .withColumn("n", F.count(F.lit(1)).over(w_all))
+           .withColumn("s", F.sum("v").over(w_all))
+           .withColumn("ssq", F.sum(F.col("v") * F.col("v"))
+                       .over(w_all))
+           .filter(F.col("n") >= n_segments)
+           .withColumn("seg", F.expr(
+               f"((idx - 1) * {n_segments}) DIV n")))
+    per_seg = (cur.groupBy("entity", "seg").agg(
+        F.sum("v").alias("sm"), F.count(F.lit(1)).alias("sc"),
+        F.max("n").alias("n"), F.max("s").alias("s"),
+        F.max("ssq").alias("ssq")))
+    nd = F.col("n").cast("double")
+    var_num = F.col("n") * F.col("ssq") - F.col("s") * F.col("s")
+    mean = F.col("s").cast("double") / nd
+    std = F.sqrt(var_num.cast("double")) / nd
+    paa = F.col("sm").cast("double") / F.col("sc").cast("double")
+    z = (F.when(var_num == 0, F.lit(0.0))
+         .otherwise((paa - mean) / std))
+    b1, b2, b3 = SAX_BREAKPOINTS_4
+    sym = (F.when(z < F.lit(b1), F.lit("a"))
+           .when(z < F.lit(b2), F.lit("b"))
+           .when(z < F.lit(b3), F.lit("c"))
+           .otherwise(F.lit("d")))
+    scored = per_seg.select("entity", "seg", "n", sym.alias("sym"))
+    return (scored.groupBy("entity").agg(
+        F.max("n").alias("n"),
+        F.concat_ws("", F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("seg").alias("seg"),
+                F.col("sym").alias("sym")))),
+            lambda st: st["sym"])).alias("sax")))

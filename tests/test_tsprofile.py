@@ -61,3 +61,43 @@ def test_ts_profile_matches_brute(spark, vs):
         assert r["longest_above"] == longest
         assert r["first_max_idx"] == fmax
         assert r["last_max_idx"] == lmax
+
+
+def test_sax_matches_brute(spark):
+    import math
+    from hiselspark.operators.tsprofile import (SAX_BREAKPOINTS_4,
+                                                sax_symbols)
+    specs = {
+        1: [(i * 13 + 5) % 40 for i in range(20)],
+        2: [7] * 10,                      # constant -> all 'c' (z=0)
+        3: list(range(16)),               # ramp -> a..d monotone word
+        4: [1, 2, 3],                     # n < segments -> dropped
+    }
+    rows, oid = [], 0
+    for ent, vs in specs.items():
+        for i, v in enumerate(vs):
+            rows.append((ent, BASE + dt.timedelta(seconds=i), oid, v))
+            oid += 1
+    df = spark.createDataFrame(
+        rows, "entity int, ts timestamp, oid long, val long")
+    got = {r["entity"]: r["sax"] for r in
+           sax_symbols(df, "entity", "ts", "oid", "val",
+                       n_segments=8).collect()}
+    assert 4 not in got
+    for ent in (1, 2, 3):
+        vs = specs[ent]
+        n, s, ssq = len(vs), sum(vs), sum(v * v for v in vs)
+        var_num = n * ssq - s * s
+        word = ""
+        for seg in range(8):
+            pts = [v for i, v in enumerate(vs)
+                   if (i * 8) // n == seg]
+            paa = sum(pts) / len(pts)
+            z = (0.0 if var_num == 0
+                 else (paa - s / n) / (math.sqrt(var_num) / n))
+            k = sum(1 for b in SAX_BREAKPOINTS_4 if z >= b)
+            word += "abcd"[k]
+        assert got[ent] == word, (ent, got[ent], word)
+    assert got[2] == "c" * 8
+    assert got[3][0] == "a" and got[3][-1] == "d"
+    assert got[3] == "".join(sorted(got[3]))
