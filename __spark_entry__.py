@@ -2069,6 +2069,35 @@ def q_image_gradhist(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_flat")
 
 
+def q_image_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer image moments (raw + central numerators, the Hu
+    shape-descriptor base) on synthesized 8x8 raw payloads — every
+    moment recomputed arithmetically by the SQL oracle."""
+    from hiselspark.functions.image import with_image_moments
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_image_moments(imgs)
+    return out.select("okey", "m00", "m10", "m01", "cn20", "cn11",
+                      "cn02")
+
+
+def q_image_boxpeak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak 3x3 box sum per image computed via a summed-area table —
+    the oracle PROVES the SAT algebra by recomputing every box with
+    direct 9-term addition and replaying the row-major argmax."""
+    from hiselspark.functions.image import with_box_peak
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_box_peak(imgs)
+    return out.select("okey", "box_max", "box_y", "box_x")
+
+
 def q_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real perceptual hash computed from pixels: dHash (9x8 nearest
     downsample -> 64 horizontal-gradient sign bits, packed as two
@@ -4050,6 +4079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_morph": q_image_morph,
         "image_blobs": q_image_blobs,
         "image_gradhist": q_image_gradhist,
+        "image_moments": q_image_moments,
+        "image_boxpeak": q_image_boxpeak,
         "dhash_neardup": q_dhash_neardup,
         "image_curation": q_image_curation,
         "video_frames": q_video_frames,
@@ -4744,6 +4775,66 @@ def _gradhist_oracle_sql() -> str:
                CAST(sum(CASE WHEN mag = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_flat
         FROM oct GROUP BY okey
+    """
+
+
+def _moments_oracle_sql() -> str:
+    """TRUE SQL oracle for image_moments: plain integer sums of
+    x^p·y^q·gray over the synthesized-pixel arithmetic, then the
+    central numerators m00·m20 − m10² etc."""
+    g = " + ".join(
+        f"((o_orderkey*7919 + (p*3 + {c})*31) % 256)" for c in range(3))
+    return f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey, p % 8 AS x, p // 8 AS y,
+                 CAST({g} AS BIGINT) AS gr
+          FROM orders, unnest(generate_series(0, 63)) AS tp(p)
+        ), raw AS (
+          SELECT okey,
+                 CAST(sum(gr) AS BIGINT) AS m00,
+                 CAST(sum(x * gr) AS BIGINT) AS m10,
+                 CAST(sum(y * gr) AS BIGINT) AS m01,
+                 CAST(sum(x * x * gr) AS BIGINT) AS m20,
+                 CAST(sum(y * y * gr) AS BIGINT) AS m02,
+                 CAST(sum(x * y * gr) AS BIGINT) AS m11
+          FROM px GROUP BY okey
+        )
+        SELECT okey, m00, m10, m01,
+               CAST(m00 * m20 - m10 * m10 AS BIGINT) AS cn20,
+               CAST(m00 * m11 - m10 * m01 AS BIGINT) AS cn11,
+               CAST(m00 * m02 - m01 * m01 AS BIGINT) AS cn02
+        FROM raw
+    """
+
+
+def _boxpeak_oracle_sql() -> str:
+    """TRUE SQL oracle for image_boxpeak: every 3×3 box recomputed by
+    direct 9-term addition (no SAT), argmax replayed with the
+    row-major first-occurrence tie rule."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((o_orderkey*7919 + (((y+{dy})*8 + (x+{dx}))*3 + {c})"
+            f"*31) % 256)" for c in range(3))
+        return f"({terms})"
+    box = " + ".join(g(dy, dx) for dy in (-1, 0, 1)
+                     for dx in (-1, 0, 1))
+    return f"""
+        WITH b AS (
+          SELECT o_orderkey AS okey, y, x,
+                 CAST({box} AS BIGINT) AS bs
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ), best AS (
+          SELECT okey, bs, y, x,
+                 row_number() OVER (PARTITION BY okey
+                                    ORDER BY bs DESC, y ASC, x ASC)
+                   AS rn
+          FROM b
+        )
+        SELECT okey, bs AS box_max, CAST(y AS BIGINT) AS box_y,
+               CAST(x AS BIGINT) AS box_x
+        FROM best WHERE rn = 1
     """
 
 
@@ -5708,6 +5799,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_morph"] = _morph_oracle_sql()
     oracles["image_blobs"] = _blob_oracle_sql()
     oracles["image_gradhist"] = _gradhist_oracle_sql()
+    oracles["image_moments"] = _moments_oracle_sql()
+    oracles["image_boxpeak"] = _boxpeak_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
     oracles["zipf_fit"] = """
         WITH t AS (

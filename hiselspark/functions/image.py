@@ -1136,3 +1136,149 @@ def with_gradient_hist(df: DataFrame) -> DataFrame:
             yield _gradhist_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _moments_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Raw and central image moments of the grayscale SUM, all exact
+    integers: m00 = ΣI, m10 = Σx·I, m01 = Σy·I and the central-moment
+    NUMERATORS scaled by m00 (so no division ever happens):
+
+        cn20 = m00·m20 − m10²,  cn02 = m00·m02 − m01²,
+        cn11 = m00·m11 − m10·m01
+
+    — the classic translation-invariant shape descriptors (Hu 1962)
+    in their exact integer form; centroid and orientation derive
+    downstream by single divisions."""
+    m = len(pdf)
+    cols = {k: np.zeros(m, dtype=np.int64)
+            for k in ("m00", "m10", "m01", "cn20", "cn11", "cn02")}
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        xs = np.arange(w, dtype=np.int64)[None, None, :]
+        ys = np.arange(h, dtype=np.int64)[None, :, None]
+        m00 = g.sum(axis=(1, 2))
+        m10 = (g * xs).sum(axis=(1, 2))
+        m01 = (g * ys).sum(axis=(1, 2))
+        m20 = (g * xs * xs).sum(axis=(1, 2))
+        m02 = (g * ys * ys).sum(axis=(1, 2))
+        m11 = (g * xs * ys).sum(axis=(1, 2))
+        cols["m00"][rows] = m00
+        cols["m10"][rows] = m10
+        cols["m01"][rows] = m01
+        cols["cn20"][rows] = m00 * m20 - m10 * m10
+        cols["cn02"][rows] = m00 * m02 - m01 * m01
+        cols["cn11"][rows] = m00 * m11 - m10 * m01
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    for k, v in cols.items():
+        out[k] = v
+    return out
+
+
+def with_image_moments(df: DataFrame) -> DataFrame:
+    """Append exact integer image moments (raw m00/m10/m01 + central
+    numerators cn20/cn11/cn02) and drop the payload — centroid,
+    spread and orientation features for layout/shape curation.
+    Arrow-batched ``mapInPandas``; the SQL oracle recomputes every
+    moment arithmetically."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField(k, T.LongType())
+           for k in ("m00", "m10", "m01", "cn20", "cn11", "cn02")])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _moments_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _boxmax_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Peak 3×3 box sum per image via a SUMMED-AREA TABLE (Crow 1984):
+    two cumulative sums build the SAT, each box sum is four corner
+    lookups — O(1) per pixel regardless of box size, the scale path
+    for large kernels (the oracle deliberately recomputes each box by
+    direct 9-term addition, proving the SAT algebra).  Emits the max
+    box sum and its first-occurrence (row-major) interior position."""
+    m = len(pdf)
+    box_max = np.zeros(m, dtype=np.int64)
+    box_y = np.zeros(m, dtype=np.int64)
+    box_x = np.zeros(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        sat = np.zeros((n, h + 1, w + 1), dtype=np.int64)
+        sat[:, 1:, 1:] = g.cumsum(axis=1).cumsum(axis=2)
+        # 3x3 box centered at interior (y, x): rows y-1..y+1, cols
+        # x-1..x+1 -> SAT corners at (y+2, x+2),(y-1,...)
+        box = (sat[:, 3:, 3:] - sat[:, :-3, 3:]
+               - sat[:, 3:, :-3] + sat[:, :-3, :-3])
+        flat = box.reshape(n, -1)
+        idx = flat.argmax(axis=1)            # first occurrence
+        bw = w - 2
+        box_max[rows] = flat[np.arange(n), idx]
+        box_y[rows] = idx // bw + 1
+        box_x[rows] = idx % bw + 1
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["box_max"] = box_max
+    out["box_y"] = box_y
+    out["box_x"] = box_x
+    return out
+
+
+def with_box_peak(df: DataFrame) -> DataFrame:
+    """Append the peak 3×3 box-sum (bright-blob detector) computed
+    through a summed-area table, with its first-occurrence interior
+    position — exact integers; the oracle proves the SAT algebra by
+    direct per-box addition."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("box_max", T.LongType()),
+           T.StructField("box_y", T.LongType()),
+           T.StructField("box_x", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _boxmax_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)

@@ -509,3 +509,74 @@ def test_gradient_hist_matches_scalar(spark):
         for b in range(8):
             assert out.loc[i, f"hog{b}"] == hog[b], (i, b)
         assert out.loc[i, "n_flat"] == flat
+
+
+def test_image_moments_match_scalar(spark):
+    """with_image_moments vs explicit per-pixel loops on random raw
+    images of two shapes."""
+    import numpy as np
+    from hiselspark.functions.image import with_image_moments
+    rng = np.random.default_rng(43)
+    rows, truth = [], {}
+    for i in range(6):
+        w, h = (8, 8) if i % 2 == 0 else (5, 11)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64)
+        m = {k: 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11")}
+        for y in range(h):
+            for x in range(w):
+                v = int(g[y, x])
+                m["m00"] += v
+                m["m10"] += x * v
+                m["m01"] += y * v
+                m["m20"] += x * x * v
+                m["m02"] += y * y * v
+                m["m11"] += x * y * v
+        truth[i] = (m["m00"], m["m10"], m["m01"],
+                    m["m00"] * m["m20"] - m["m10"] ** 2,
+                    m["m00"] * m["m11"] - m["m10"] * m["m01"],
+                    m["m00"] * m["m02"] - m["m01"] ** 2)
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_image_moments(df).toPandas().set_index("img_id")
+    for i, (m00, m10, m01, cn20, cn11, cn02) in truth.items():
+        assert out.loc[i, "m00"] == m00
+        assert out.loc[i, "m10"] == m10
+        assert out.loc[i, "m01"] == m01
+        assert out.loc[i, "cn20"] == cn20
+        assert out.loc[i, "cn11"] == cn11
+        assert out.loc[i, "cn02"] == cn02
+
+
+def test_box_peak_matches_direct_sums(spark):
+    """with_box_peak (summed-area table) vs direct 9-term box sums
+    with the row-major first-occurrence tie rule — including a
+    constant image where EVERY box ties."""
+    import numpy as np
+    from hiselspark.functions.image import with_box_peak
+    rng = np.random.default_rng(47)
+    rows, truth = [], {}
+    for i in range(6):
+        w, h = (8, 8) if i % 2 == 0 else (9, 6)
+        if i == 5:
+            img = np.full((h, w, 3), 100, dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        g = img.sum(axis=2, dtype=np.int64)
+        best = None
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                bs = int(g[y - 1:y + 2, x - 1:x + 2].sum())
+                if best is None or bs > best[0]:
+                    best = (bs, y, x)
+        truth[i] = best
+        rows.append((i, img.tobytes(), w, h, "raw"))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes binary, w int, h int, fmt string")
+    out = with_box_peak(df).toPandas().set_index("img_id")
+    for i, (bs, y, x) in truth.items():
+        assert out.loc[i, "box_max"] == bs
+        assert out.loc[i, "box_y"] == y, i
+        assert out.loc[i, "box_x"] == x, i
+    assert (out.loc[5, "box_y"], out.loc[5, "box_x"]) == (1, 1)
