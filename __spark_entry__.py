@@ -895,6 +895,63 @@ def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("entity").alias("user_id"), "n", "sax")
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): 4-way join with a
+    3-month order window and returnflag filter pushed to the scans,
+    exact-cents revenue per customer, top-20 with deterministic
+    tie-break."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100)
+              .cast("long")))
+    out = (orders
+           .filter((F.col("o_orderdate").cast("timestamp") >= lo)
+                   & (F.col("o_orderdate").cast("timestamp") < hi))
+           .join(li.filter(F.col("l_returnflag") == "R"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+           .join(F.broadcast(nation),
+                 F.col("n_nationkey") == F.col("c_nationkey"))
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(rev).alias("revenue_e4"),
+                F.round(F.max("c_acctbal") * 100).cast("long")
+                 .alias("acctbal_cents"))
+           .orderBy(F.col("revenue_e4").desc(), F.col("c_custkey"))
+           .limit(20))
+    return out.select("c_custkey", "c_name", "n_name", "revenue_e4",
+                      "acctbal_cents")
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo-class revenue share): one-month
+    shipdate window, broadcast part join, CASE aggregation — the
+    ratio stays exact integers until one division."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100)
+              .cast("long")))
+    j = (li.filter((F.col("l_shipdate").cast("timestamp") >= lo)
+                   & (F.col("l_shipdate").cast("timestamp") < hi))
+         .join(F.broadcast(part),
+               F.col("p_partkey") == F.col("l_partkey")))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+              .otherwise(F.lit(0))).alias("promo_e4"),
+        F.sum(rev).alias("total_e4"))
+    ratio = (F.lit(100.0) * F.col("promo_e4").cast("double")
+             / F.col("total_e4").cast("double"))
+    return agg.select("promo_e4", "total_e4",
+                      F.round(ratio, 6).alias("promo_pct"))
+
+
 def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two derived labelings of events — exact
     integers until one division; the oracle replays the confusion
@@ -4006,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
         "changepoint": q_changepoint,
         "sax": q_sax,
         "ts_profile": q_ts_profile,
@@ -7750,6 +7809,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(max(n) AS BIGINT) AS n,
                string_agg(sym, '' ORDER BY seg) AS sax
         FROM sym GROUP BY user_id
+    """
+    oracles["tpch_q10"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100)
+                                      AS BIGINT))) AS BIGINT)
+                 AS revenue_e4,
+               CAST(round(max(c.c_acctbal)*100) AS BIGINT)
+                 AS acctbal_cents
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue_e4 DESC, c.c_custkey
+        LIMIT 20
+    """
+    oracles["tpch_q14"] = """
+        WITH j AS (
+          SELECT CAST(round(l.l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                   AS rev,
+                 p.p_type
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev
+                          ELSE 0 END) AS BIGINT) AS promo_e4,
+                 CAST(sum(rev) AS BIGINT) AS total_e4
+          FROM j
+        )
+        SELECT promo_e4, total_e4,
+               round(100.0 * CAST(promo_e4 AS DOUBLE)
+                     / CAST(total_e4 AS DOUBLE), 6) AS promo_pct
+        FROM agg
     """
     oracles["changepoint"] = """
         WITH c1 AS (

@@ -469,3 +469,24 @@ def test_round3_rank_ops_count_table_shape(spark):
         # at the final (tiny) rank window
         assert "CartesianProduct" not in txt, name
         assert txt.count("Exchange SinglePartition") <= 1, (name, txt)
+
+
+def test_tpch_q10_q14_plan_shape(spark):
+    """Q10: date window + returnflag reach the scans, nation is
+    broadcast, no cartesian. Q14: part joins broadcast, one month
+    window pushed down."""
+    import __spark_entry__ as se
+    q10 = se.q_tpch_q10(spark, SF)
+    txt = plan_str(q10, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastHashJoin" in txt
+    full = plan_str(q10)
+    assert "l_returnflag" in full and "o_orderdate" in full
+    rows = q10.collect()
+    assert all(r["revenue_e4"] > 0 for r in rows)
+    q14 = se.q_tpch_q14(spark, SF)
+    txt = plan_str(q14, "simple")
+    assert "BroadcastHashJoin" in txt
+    r = q14.collect()[0]
+    assert 0 <= r["promo_pct"] <= 100
+    assert r["promo_e4"] <= r["total_e4"]
