@@ -895,6 +895,41 @@ def q_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("entity").alias("user_id"), "n", "sax")
 
 
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage weights: customers vs a deterministic
+    perturbed twin (reversed names on k%3, shifted balances on k%5,
+    relabeled segments on k%7), candidate pairs blocked on nation,
+    exact add-one m/u counts and ln(m/u) weights — the oracle replays
+    the perturbation, the blocking, every count and the ln."""
+    from hiselspark.operators.linkage import fs_weights
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    base = cust.select(
+        "c_custkey", "c_nationkey", "c_name", "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    twin = base.select(
+        F.col("c_custkey").alias("t_custkey"),
+        F.col("c_nationkey").alias("t_nationkey"),
+        F.when(F.col("c_custkey") % 3 == 0, F.reverse("c_name"))
+         .otherwise(F.col("c_name")).alias("t_name"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("OTHER"))
+         .otherwise(F.col("c_mktsegment")).alias("t_seg"),
+        (F.col("cents")
+         + F.when(F.col("c_custkey") % 5 == 0, 100).otherwise(0))
+        .alias("t_cents"))
+    pairs = base.join(twin,
+                      base.c_nationkey == twin.t_nationkey)
+    out = fs_weights(
+        pairs,
+        agreements=[
+            ("name", F.col("c_name") == F.col("t_name")),
+            ("segment", F.col("c_mktsegment") == F.col("t_seg")),
+            ("balance", F.col("cents") == F.col("t_cents")),
+        ],
+        is_match=F.col("c_custkey") == F.col("t_custkey"))
+    return out.select("field", "m_num", "m_den", "u_num", "u_den",
+                      F.round("weight", 6).alias("weight"))
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape (returned-item reporting): 4-way join with a
     3-month order window and returnflag filter pushed to the scans,
@@ -4065,6 +4100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
+        "record_linkage": q_record_linkage,
         "changepoint": q_changepoint,
         "sax": q_sax,
         "ts_profile": q_ts_profile,
@@ -7809,6 +7845,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(max(n) AS BIGINT) AS n,
                string_agg(sym, '' ORDER BY seg) AS sax
         FROM sym GROUP BY user_id
+    """
+    oracles["record_linkage"] = """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+                 CAST(round(c_acctbal*100) AS BIGINT) AS cents
+          FROM customer
+        ), twin AS (
+          SELECT c_custkey AS t_custkey,
+                 c_nationkey AS t_nationkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN reverse(c_name)
+                      ELSE c_name END AS t_name,
+                 CASE WHEN c_custkey % 7 = 0 THEN 'OTHER'
+                      ELSE c_mktsegment END AS t_seg,
+                 cents + CASE WHEN c_custkey % 5 = 0 THEN 100
+                              ELSE 0 END AS t_cents
+          FROM base
+        ), pairs AS (
+          SELECT b.*, t.*,
+                 b.c_custkey = t.t_custkey AS mt,
+                 b.c_name = t.t_name AS ag_name,
+                 b.c_mktsegment = t.t_seg AS ag_seg,
+                 b.cents = t.t_cents AS ag_bal
+          FROM base b JOIN twin t
+            ON b.c_nationkey = t.t_nationkey
+        ), one AS (
+          SELECT CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m_den,
+                 CAST(sum(CASE WHEN NOT mt THEN 1 ELSE 0 END)
+                      AS BIGINT) AS u_den,
+                 CAST(sum(CASE WHEN mt AND ag_name THEN 1 ELSE 0 END)
+                      AS BIGINT) AS m_name,
+                 CAST(sum(CASE WHEN NOT mt AND ag_name THEN 1
+                          ELSE 0 END) AS BIGINT) AS u_name,
+                 CAST(sum(CASE WHEN mt AND ag_seg THEN 1 ELSE 0 END)
+                      AS BIGINT) AS m_seg,
+                 CAST(sum(CASE WHEN NOT mt AND ag_seg THEN 1
+                          ELSE 0 END) AS BIGINT) AS u_seg,
+                 CAST(sum(CASE WHEN mt AND ag_bal THEN 1 ELSE 0 END)
+                      AS BIGINT) AS m_bal,
+                 CAST(sum(CASE WHEN NOT mt AND ag_bal THEN 1
+                          ELSE 0 END) AS BIGINT) AS u_bal
+          FROM pairs
+        ), long AS (
+          SELECT 'name' AS field, m_name AS m_num, m_den,
+                 u_name AS u_num, u_den FROM one
+          UNION ALL
+          SELECT 'segment', m_seg, m_den, u_seg, u_den FROM one
+          UNION ALL
+          SELECT 'balance', m_bal, m_den, u_bal, u_den FROM one
+        )
+        SELECT field, m_num, m_den, u_num, u_den,
+               round(ln((CAST(m_num + 1 AS DOUBLE)
+                         / CAST(m_den + 2 AS DOUBLE))
+                        / (CAST(u_num + 1 AS DOUBLE)
+                           / CAST(u_den + 2 AS DOUBLE))), 6)
+                 AS weight
+        FROM long
     """
     oracles["tpch_q10"] = """
         SELECT c.c_custkey, c.c_name, n.n_name,
