@@ -1493,6 +1493,19 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n")))
 
 
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (type -> type×dow -> grand total) with
+    the GROUPING id distinguishing real NULL groups from subtotal
+    rows — completes the cube/grouping-sets family."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    return (ev.rollup("event_type",
+                      F.dayofweek("ts").alias("dow"))
+              .agg(F.sum("cents").alias("cents"),
+                   F.count("*").alias("n"),
+                   F.grouping_id().alias("gid")))
+
+
 def q_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn(
         "cents", F.round(F.col("value") * 100).cast("long"))
@@ -4130,6 +4143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_excl": q_rolling_excl,
         "running_stats": q_running_stats,
         "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
         "pivot_types": q_pivot_types,
         "salted_agg": q_salted_agg,
         "ngram_jaccard": q_ngram_jaccard,
@@ -7845,6 +7859,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(max(n) AS BIGINT) AS n,
                string_agg(sym, '' ORDER BY seg) AS sax
         FROM sym GROUP BY user_id
+    """
+    oracles["rollup_agg"] = """
+        SELECT event_type,
+               dayofweek(ts) + 1 AS dow,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               COUNT(*) AS n,
+               CAST(GROUPING(event_type) * 2
+                    + GROUPING(dayofweek(ts) + 1) AS BIGINT) AS gid
+        FROM events
+        GROUP BY ROLLUP (event_type, dayofweek(ts) + 1)
     """
     oracles["record_linkage"] = """
         WITH base AS (
