@@ -840,6 +840,33 @@ def q_hsic_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("hsic", 9).alias("hsic"))
 
 
+def q_hsic_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation independence test on the exact delta-kernel HSIC
+    (20 Carter-Wegman permutations shared as literals): a dependent
+    pair and an independent pair over the same bounded event slice —
+    the oracle rebuilds every permutation, every permuted statistic
+    and the exact p-values."""
+    from hiselspark.operators.feature_rank import hsic_perm_test
+    ev = (_ev(spark, sf_dir)
+          .filter(F.col("event_id") % 11 == 0)
+          .withColumn("cents", F.abs(F.round(F.col("value") * 100)
+                                     .cast("long"))))
+    dep = ev.select("event_id",
+                    (F.expr("cents DIV 7") % 2).alias("x"),
+                    (F.expr("cents DIV 7") % 3).alias("y"))
+    ind = ev.select("event_id",
+                    (F.col("cents") % 2).alias("x"),
+                    (F.col("cents") % 5).alias("y"))
+    a = (hsic_perm_test(dep, "x", "y", "event_id")
+         .withColumn("pair", F.lit("dependent")))
+    b = (hsic_perm_test(ind, "x", "y", "event_id")
+         .withColumn("pair", F.lit("independent")))
+    out = a.unionByName(b)
+    return out.select("pair", "n", F.round("hsic", 9).alias("hsic"),
+                      "n_perms", "n_ge",
+                      F.round("p_value", 6).alias("p_value"))
+
+
 def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Kendall trend test per user over the trailing 24 events:
     exact integer S and tie-corrected 18·var(S), continuity-corrected
@@ -1491,6 +1518,25 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.dayofweek("ts").alias("dow"))
               .agg(F.sum("cents").alias("cents"),
                    F.count("*").alias("n")))
+
+
+def q_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money aggregation (the type-system path the
+    cents-long convention sidesteps): sums and averages in
+    DECIMAL(38,2)/(38,8), emitted as canonical strings so the
+    cross-engine compare is on exact digits, never floats."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "d", F.round(F.col("value"), 2).cast("decimal(18,2)"))
+    out = (ev.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("d").alias("s"),
+                F.min("d").alias("mn"),
+                F.max("d").alias("mx")))
+    return out.select(
+        "event_type", "n",
+        F.col("s").cast("decimal(38,2)").cast("string").alias("total"),
+        F.col("mn").cast("string").alias("vmin"),
+        F.col("mx").cast("string").alias("vmax"))
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4101,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrmr_select": q_mrmr_select,
         "hsic_rank": q_hsic_rank,
         "hsic_multi": q_hsic_multi,
+        "hsic_perm": q_hsic_perm,
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
@@ -4144,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_stats": q_running_stats,
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
+        "decimal_agg": q_decimal_agg,
         "pivot_types": q_pivot_types,
         "salted_agg": q_salted_agg,
         "ngram_jaccard": q_ngram_jaccard,
@@ -4396,6 +4444,93 @@ def _hsic_rank_oracle_sql() -> str:
                     AS INTEGER) AS rank
         FROM h
     """
+
+
+def _hsic_sql_block(name: str, src: str) -> str:
+    """CTE chain computing the exact delta-kernel HSIC of a two-column
+    table ``src`` (x, y) — mirrors ``feature_rank.delta_hsic_table``."""
+    return f"""
+        {name}_cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM {src} GROUP BY x, y
+        ), {name}_m AS (
+          SELECT c, sum(c) OVER (PARTITION BY x) AS cx,
+                 sum(c) OVER (PARTITION BY y) AS cy
+          FROM {name}_cells
+        ), {name} AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c*c) AS DOUBLE)
+                   / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
+                 - 2.0 * CAST(sum(c*cx*cy) AS DOUBLE)
+                   / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)
+                      * CAST(sum(c) AS DOUBLE))
+                 + (CAST(sum(c*cx) AS DOUBLE)
+                    / (CAST(sum(c) AS DOUBLE)
+                       * CAST(sum(c) AS DOUBLE)))
+                   * (CAST(sum(c*cy) AS DOUBLE)
+                      / (CAST(sum(c) AS DOUBLE)
+                         * CAST(sum(c) AS DOUBLE))) AS hsic
+          FROM {name}_m
+        )"""
+
+
+def _hsic_perm_oracle_sql(n_perms: int = 20, seed: int = 6011) -> str:
+    """TRUE SQL oracle for hsic_perm: the identical Carter-Wegman
+    permutation constants, every rank-order permutation rebuilt, every
+    permuted HSIC recomputed, and the exact tail count / p-value."""
+    from hiselspark.operators.bootstrap import _M31, cw_constants
+    cw = cw_constants(n_perms, seed)
+    cases = [("dep", "(cents // 7) % 2", "(cents // 7) % 3",
+              "dependent"),
+             ("ind", "cents % 2", "cents % 5", "independent")]
+    parts, selects = [], []
+    parts.append("""base0 AS (
+          SELECT event_id AS id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events WHERE event_id % 11 = 0
+        )""")
+    for tag, xe, ye, label in cases:
+        parts.append(f"""{tag}_base AS (
+          SELECT id, {xe} AS x, {ye} AS y FROM base0
+        )""")
+        parts.append(f"""{tag}_left AS (
+          SELECT row_number() OVER (ORDER BY id) AS i, x
+          FROM {tag}_base
+        )""")
+        parts.append(_hsic_sql_block(f"{tag}_obs",
+                                     f"{tag}_base").strip())
+        branch_names = []
+        for b, (a, c) in enumerate(cw):
+            parts.append(f"""{tag}_r{b} AS (
+          SELECT row_number() OVER (
+                   ORDER BY (((id * {a} + {c}) % {_M31})
+                             * ((id * {a} + {c}) % {_M31}))
+                            % {_M31}, id) AS i, y
+          FROM {tag}_base
+        )""")
+            parts.append(f"""{tag}_p{b} AS (
+          SELECT l.x, r.y FROM {tag}_left l
+          JOIN {tag}_r{b} r USING (i)
+        )""")
+            parts.append(_hsic_sql_block(f"{tag}_h{b}",
+                                         f"{tag}_p{b}").strip())
+            branch_names.append(f"{tag}_h{b}")
+        union = "\n          UNION ALL ".join(
+            f"SELECT hsic FROM {bn}" for bn in branch_names)
+        parts.append(f"""{tag}_perms AS (
+          {union}
+        )""")
+        selects.append(f"""
+        SELECT '{label}' AS pair, o.n, round(o.hsic, 9) AS hsic,
+               CAST({n_perms} AS BIGINT) AS n_perms,
+               CAST((SELECT count(*) FROM {tag}_perms p
+                     WHERE p.hsic >= o.hsic) AS BIGINT) AS n_ge,
+               round((1.0 + (SELECT count(*) FROM {tag}_perms p
+                             WHERE p.hsic >= o.hsic))
+                     / {float(n_perms + 1)!r}, 6) AS p_value
+        FROM {tag}_obs o""")
+    return ("WITH " + ",\n        ".join(parts)
+            + "\n" + "\nUNION ALL\n".join(selects))
 
 
 def _mrmr_oracle_sql(k: int = 4) -> str:
@@ -7860,6 +7995,20 @@ def oracle_sql() -> dict[str, str]:
                string_agg(sym, '' ORDER BY seg) AS sax
         FROM sym GROUP BY user_id
     """
+    oracles["decimal_agg"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(round(value, 2) AS DECIMAL(18,2)) AS d
+          FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(CAST(sum(d) AS DECIMAL(38,2)) AS VARCHAR)
+                 AS total,
+               CAST(min(d) AS VARCHAR) AS vmin,
+               CAST(max(d) AS VARCHAR) AS vmax
+        FROM d GROUP BY event_type
+    """
     oracles["rollup_agg"] = """
         SELECT event_type,
                dayofweek(ts) + 1 AS dow,
@@ -9571,6 +9720,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["info_gain_rank"] = _info_gain_oracle_sql()
     oracles["hsic_rank"] = _hsic_rank_oracle_sql()
+    oracles["hsic_perm"] = _hsic_perm_oracle_sql()
     oracles["hsic_multi"] = f"""
         WITH {_MI_FEAT_SQL}, rlong AS (
           SELECT 'parity_mod5' AS subset,

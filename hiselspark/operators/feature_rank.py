@@ -274,3 +274,70 @@ def hsic_rank(
     w = Window.orderBy(F.col("hsic").desc(), F.col("feature").asc())
     return h.select("feature", "n", "hsic",
                     F.row_number().over(w).alias("rank"))
+
+
+def hsic_perm_test(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    n_perms: int = 20,
+    seed: int = 6011,
+) -> DataFrame:
+    """Permutation independence test on the exact delta-kernel HSIC —
+    the inference step the reference's statistic feeds (is the
+    observed dependence real, or within the exchangeable null?):
+
+        p = (1 + #{b : HSIC(x, π_b(y)) ≥ HSIC(x, y)}) / (B + 1)
+
+    with each permutation π_b the rank order of a Carter-Wegman hash
+    of the row id — NO RNG stream: the (a_b, c_b) constants are
+    reproducible literals, so a second engine rebuilds every
+    permutation, every permuted statistic and the exact p-value
+    (observed and permuted HSICs are the count-closed form —
+    bit-identical doubles, so even the ≥ comparisons replay).
+
+    Returns one row: (n, hsic, n_perms, n_ge, p_value).
+
+    Scale note: each permutation pairs two globally ranked streams —
+    a total order, so this operator is for BOUNDED frames (a sampled
+    or filtered slice, as the gate uses); at corpus scale you run the
+    same test per partition block and combine p-values, which keeps
+    every sort partition-local.
+    """
+    from pyspark.sql import Window
+    from .bootstrap import _M31, cw_constants
+
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    obs = (delta_hsic_table(base, "x", "y")
+           .select(F.col("n"), F.col("hsic").alias("obs")))
+    w_id = Window.orderBy("id")
+    left = base.select(F.row_number().over(w_id).alias("i"), "x")
+    branches = []
+    for b, (a, c) in enumerate(cw_constants(n_perms, seed)):
+        # affine-then-SQUARE: the affine map alone sends consecutive
+        # ids to an arithmetic progression mod M31 whose rank order is
+        # a lattice (three-distance theorem), which can align with
+        # periodic features; squaring mod the prime scrambles it
+        k1 = (F.col("id") * F.lit(a) + F.lit(c)) % F.lit(_M31)
+        key = (k1 * k1) % F.lit(_M31)
+        w_k = Window.orderBy(key.asc(), F.col("id").asc())
+        right = base.select(F.row_number().over(w_k).alias("i"), "y")
+        perm = left.join(right, "i").select("x", "y")
+        branches.append(delta_hsic_table(perm, "x", "y")
+                        .select(F.col("hsic").alias("ph")))
+    perms = branches[0]
+    for br in branches[1:]:
+        perms = perms.unionByName(br)
+    tail = perms.crossJoin(obs).agg(
+        F.sum(F.when(F.col("ph") >= F.col("obs"), 1).otherwise(0))
+         .alias("n_ge"))
+    out = obs.crossJoin(tail)
+    p = ((F.lit(1) + F.col("n_ge")).cast("double")
+         / F.lit(float(n_perms + 1)))
+    return out.select("n", F.col("obs").alias("hsic"),
+                      F.lit(n_perms).cast("long").alias("n_perms"),
+                      F.col("n_ge").cast("long").alias("n_ge"),
+                      p.alias("p_value"))

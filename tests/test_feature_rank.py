@@ -150,3 +150,22 @@ def test_multivariate_delta_hsic_joint_code(spark):
     H = np.eye(n) - np.full((n, n), 1.0 / n)
     want = np.trace(K @ H @ L @ H) / n**2
     assert got == pytest.approx(want, rel=1e-10)
+
+
+def test_hsic_perm_test_separates_dependence(spark):
+    """Permutation p-value: a deterministic functional dependence must
+    reach the minimum attainable p = 1/(B+1); an independent pair over
+    a balanced grid must not be flagged at the 5% level."""
+    from hiselspark.operators.feature_rank import hsic_perm_test
+    rows = [(i, i % 4, (i % 4) * 2 + 1, (i * 7 + 3) % 5)
+            for i in range(240)]
+    df = spark.createDataFrame(rows, "id long, x long, yd long, yi long")
+    dep = hsic_perm_test(df, "x", "yd", "id", n_perms=20).collect()[0]
+    assert dep["n"] == 240
+    assert dep["n_ge"] == 0
+    assert dep["p_value"] == pytest.approx(1 / 21)
+    ind = hsic_perm_test(df, "x", "yi", "id", n_perms=20).collect()[0]
+    assert ind["p_value"] > 0.05
+    # p is a valid probability and hsic is the exact statistic
+    assert 0 < dep["p_value"] <= ind["p_value"] <= 1
+    assert dep["hsic"] > ind["hsic"]
