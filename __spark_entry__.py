@@ -1014,6 +1014,19 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(ratio, 6).alias("promo_pct"))
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the folded order↔part graph — exact
+    integer degree sums over the symmetric edge list, one float
+    expression; the oracle replays canonicalization, degrees and the
+    Pearson form."""
+    from hiselspark.operators.graph import degree_assortativity
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") % 2000).alias("src"),
+                      (F.col("l_partkey") % 2000).alias("dst"))
+    out = degree_assortativity(edges)
+    return out.select("n_edges", F.round("r", 6).alias("r"))
+
+
 def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two derived labelings of events — exact
     integers until one division; the oracle replays the confusion
@@ -4166,6 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_profile": q_ts_profile,
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
+        "assortativity": q_assortativity,
         "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
@@ -8302,6 +8316,47 @@ def oracle_sql() -> dict[str, str]:
         FROM conv c
         LEFT JOIN ft USING (conv_id)
         LEFT JOIN lt USING (conv_id)
+    """
+    oracles["assortativity"] = """
+        WITH canon AS (
+          SELECT DISTINCT
+                 least(l_orderkey % 2000, l_partkey % 2000) AS a,
+                 greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+          FROM lineitem
+          WHERE l_orderkey % 2000 <> l_partkey % 2000
+        ), deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM canon
+            UNION ALL SELECT b FROM canon)
+          GROUP BY node
+        ), prs AS (
+          SELECT da.deg AS x, db.deg AS y
+          FROM canon
+          JOIN deg da ON da.node = canon.a
+          JOIN deg db ON db.node = canon.b
+        ), sym AS (
+          SELECT x, y FROM prs
+          UNION ALL SELECT y AS x, x AS y FROM prs
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS m2,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx
+          FROM sym
+        )
+        SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+               round(CASE WHEN CAST(m2 AS DOUBLE)
+                               * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)
+                                 * CAST(sx AS DOUBLE) = 0
+                          THEN NULL
+                     ELSE (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE)
+                               * CAST(sx AS DOUBLE))
+                     END, 6) AS r
+        FROM agg
     """
     oracles["mann_kendall"] = """
         WITH e AS (

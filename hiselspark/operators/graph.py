@@ -178,3 +178,48 @@ def triangle_count(edges: DataFrame, src: str = "src",
     n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Newman's degree assortativity coefficient: the Pearson
+    correlation of endpoint degrees over the (double-counted)
+    directed edge list of the undirected simple graph — positive for
+    hub-to-hub wiring, negative for hub-to-leaf (most real
+    interaction graphs).  Returns one row: (n_edges, r).
+
+    Exact integer sums Σx, Σxy, Σx² over both orientations (the
+    symmetric list makes the x/y marginals identical), one fixed
+    float expression at the end — both engines land on the identical
+    double.  Scale shape: canonicalize + degree (two shuffles), one
+    join of degrees onto edges, one scalar aggregate."""
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    canon = (e.filter(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b"))
+             .distinct())
+    deg = (canon.select(F.col("a").alias("node"))
+           .union(canon.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    da = deg.select(F.col("node").alias("a"),
+                    F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"),
+                    F.col("deg").alias("degb"))
+    both = (canon.join(da, "a").join(db, "b")
+            .select(F.col("dega").alias("x"), F.col("degb").alias("y")))
+    sym = both.union(both.select(F.col("y").alias("x"),
+                                 F.col("x").alias("y")))
+    agg = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    m2 = F.col("m2").cast("double")
+    num = (m2 * F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    den = (m2 * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double"))
+    r = F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den)
+    return agg.select((F.col("m2") / 2).cast("long").alias("n_edges"),
+                      r.alias("r"))

@@ -77,3 +77,39 @@ def test_bfs_hops_chain_and_cutoff(spark):
     assert out2[3] == 2 and out2[2] == 2 and out2[4] == 1
     # detached component never reached
     assert 10 not in out2.index and 11 not in out2.index
+
+
+def test_assortativity_known_graphs(spark):
+    """Star graph -> strongly negative r; cycle (regular) -> degenerate
+    NULL (zero variance); brute-force Pearson parity on a random
+    graph."""
+    import itertools
+    from hiselspark.operators.graph import degree_assortativity
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    assert r["n_edges"] == 5
+    assert r["r"] == -1.0          # star is perfectly disassortative
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    rc = degree_assortativity(
+        spark.createDataFrame(cyc, "src long, dst long")).collect()[0]
+    assert rc["r"] is None         # 2-regular: zero degree variance
+    edges = [(i % 9, (i * i + 1) % 9) for i in range(60)]
+    rr = degree_assortativity(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).collect()[0]
+    canon = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    deg = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in canon:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sxy, sxx = sum(xs), sum(x * y for x, y in zip(xs, ys)), \
+        sum(x * x for x in xs)
+    want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
+    assert rr["n_edges"] == len(canon)
+    assert abs(rr["r"] - want) < 1e-9
