@@ -3130,6 +3130,18 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality score with add-one smoothing per document —
+    the oracle rebuilds the corpus bigram/unigram counts and refolds
+    every document's sorted ln terms."""
+    from hiselspark.functions.text import bigram_logprob
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bigram_logprob(docs, "doc_id")
+    return out.select("doc_id", "n_bigrams",
+                      F.round("bigram_logprob", 6)
+                       .alias("bigram_logprob"))
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf-law fit of the corpus token distribution (ln-freq on
     ln-rank OLS over the top-200 vocabulary): a one-row corpus health
@@ -4165,6 +4177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
         "zipf_fit": q_zipf_fit,
+        "bigram_logprob": q_bigram_logprob,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "isotonic": q_isotonic,
@@ -6060,6 +6073,51 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_moments"] = _moments_oracle_sql()
     oracles["image_boxpeak"] = _boxpeak_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    oracles["bigram_logprob"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(
+                             lower(trim(text)), '\\s+')
+                 END AS toks
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(generate_series(1, len(toks))) AS ord
+          FROM t
+        ), big AS (
+          SELECT doc_id, tok AS w1,
+                 lead(tok) OVER (PARTITION BY doc_id
+                                 ORDER BY ord) AS w2
+          FROM tok
+          QUALIFY w2 IS NOT NULL
+        ), uni AS (
+          SELECT tok AS w1, CAST(count(*) AS BIGINT) AS c1
+          FROM tok GROUP BY tok
+        ), bi AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+          FROM big GROUP BY w1, w2
+        ), v AS (
+          SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni
+        ), terms AS (
+          SELECT b.doc_id,
+                 list_sort(list([bi.c2, uni.c1])) AS ts,
+                 CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM big b
+          JOIN bi ON bi.w1 = b.w1 AND bi.w2 = b.w2
+          JOIN uni ON uni.w1 = b.w1
+          GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               round(list_reduce(list_prepend(0.0, list_transform(ts,
+                       p -> ln(CAST(p[1] + 1 AS DOUBLE))
+                            - ln(CAST(p[2] + vsz AS DOUBLE)))),
+                     (x, y) -> x + y)
+                     / CAST(n_bigrams AS DOUBLE), 6)
+                 AS bigram_logprob
+        FROM terms, v
+    """
     oracles["zipf_fit"] = """
         WITH t AS (
           SELECT CASE WHEN trim(text) = ''

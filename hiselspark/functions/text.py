@@ -346,3 +346,58 @@ def zipf_fit(df: DataFrame, text_col: str = "text",
                  ).alias("intercept")
     r2 = (cov * cov / (varx * vary)).alias("r2")
     return sums.select("v", slope, intercept, r2)
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str = "text",
+                   out_col: str = "bigram_logprob") -> DataFrame:
+    """Bigram LM document score with add-one smoothing — the next
+    step up from :func:`token_logprob` on the ccnet quality-filter
+    ladder (junk that passes a unigram screen usually fails the
+    bigram one: rare word ORDER is what machine-mangled text gets
+    wrong):
+
+        score(doc) = (1/B) Σ ln((c(w₁w₂)+1) / (c(w₁)+V))
+
+    over the doc's B bigrams, with corpus-wide counts and vocabulary
+    size V.  Returns ``(id_col, n_bigrams, out_col)`` for documents
+    with at least one bigram.
+
+    Determinism: counts are exact integers; the per-doc fold runs over
+    the SORTED (c₂, c₁) struct list (every term is a function of the
+    counts alone, so sorting loses nothing) with a fixed
+    ln(c₂+1) − ln(c₁+V) term — a second engine replays the sum
+    exactly, modulo libm's ln ulp (callers round).
+
+    Plan: one doc-ordered window builds bigrams, two map-side-combined
+    count shuffles (unigram, bigram), two token-keyed joins back (AQE
+    broadcasts the vocab side when it fits), one doc groupBy.  Linear;
+    no UDF.
+    """
+    from pyspark.sql import Window
+    toks = df.select(
+        id_col, F.posexplode(tokens(F.lower(F.col(text_col))))
+        .alias("__pos", "__tok"))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    big = (toks
+           .withColumn("__nxt", F.lead("__tok").over(w))
+           .filter(F.col("__nxt").isNotNull())
+           .select(id_col, F.col("__tok").alias("__w1"),
+                   F.col("__nxt").alias("__w2")))
+    uni = toks.groupBy(F.col("__tok").alias("__w1")) \
+              .agg(F.count(F.lit(1)).alias("__c1"))
+    bi = big.groupBy("__w1", "__w2").agg(F.count(F.lit(1))
+                                         .alias("__c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    per_doc = (big.join(bi, ["__w1", "__w2"]).join(uni, "__w1")
+               .groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.col("__c2").alias("c2"),
+                   F.col("__c1").alias("c1")))).alias("__terms"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    score = (F.aggregate(
+        "__terms", F.lit(0.0),
+        lambda acc, s: acc + F.log((s["c2"] + 1).cast("double"))
+        - F.log((s["c1"] + F.col("__v")).cast("double")))
+        / F.col("n_bigrams").cast("double"))
+    return (per_doc.crossJoin(F.broadcast(vocab))
+            .select(id_col, "n_bigrams", score.alias(out_col)))

@@ -84,3 +84,43 @@ def test_zipf_fit_matches_numpy_ols(spark):
     # just sanity-check a strong negative fit
     assert row2["slope"] < -0.5
     assert row2["r2"] > 0.9
+
+
+def test_bigram_logprob_matches_brute(spark):
+    """bigram_logprob vs a dict-based reimplementation with add-one
+    smoothing, incl. a single-token doc (dropped) and repeated
+    bigrams."""
+    import math
+    from collections import Counter
+    from hiselspark.functions.text import bigram_logprob
+    docs = [(1, "the cat sat on the mat"),
+            (2, "the cat ate"),
+            (3, "mat"),                      # no bigram -> dropped
+            (4, "on on on on")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_logprob(df, "doc_id").collect()}
+    toks = {i: t.lower().split() for i, t in docs}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bi = Counter((ws[j], ws[j + 1]) for ws in toks.values()
+                 for j in range(len(ws) - 1))
+    V = len(uni)
+    assert 3 not in out
+    for i, ws in toks.items():
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            continue
+        want = sum(math.log((bi[p] + 1) / (uni[p[0]] + V))
+                   for p in pairs) / len(pairs)
+        r = out[i]
+        assert r["n_bigrams"] == len(pairs)
+        assert abs(r["bigram_logprob"] - want) < 1e-9, i
+    # mangled word order scores below fluent prose built from the
+    # same unigrams
+    df2 = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat on the mat"),
+         (3, "the cat sat on the mat"), (4, "mat the on sat cat the")],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r["bigram_logprob"] for r in
+         bigram_logprob(df2, "doc_id").collect()}
+    assert s[4] < s[1]
