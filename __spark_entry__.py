@@ -3130,6 +3130,22 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pretokenization (GPT-2-style, dialect-portable
+    pattern): per-doc subword-budget counts next to the whitespace
+    tokenizer — the oracle runs the SAME pattern literal through
+    DuckDB's RE2."""
+    from hiselspark.functions.text import bpe_pretokens
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = bpe_pretokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+        F.coalesce(F.array_max(F.transform(arr, F.length)),
+                   F.lit(0)).cast("long").alias("max_len"))
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM quality score with add-one smoothing per document —
     the oracle rebuilds the corpus bigram/unigram counts and refolds
@@ -4178,6 +4194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_sketch": q_srp_sketch,
         "zipf_fit": q_zipf_fit,
         "bigram_logprob": q_bigram_logprob,
+        "bpe_tokens": q_bpe_tokens,
         "csv_roundtrip": q_csv_roundtrip,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "isotonic": q_isotonic,
@@ -6073,6 +6090,23 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_moments"] = _moments_oracle_sql()
     oracles["image_boxpeak"] = _boxpeak_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    from hiselspark.functions.text import BPE_PRETOKEN_PATTERN
+    _bpp = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    oracles["bpe_tokens"] = f"""
+        WITH a AS (
+          SELECT doc_id,
+                 list_filter(regexp_extract_all(lower(text),
+                             '{_bpp}'), t -> trim(t) <> '') AS p
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(p) AS BIGINT) AS n_bpe,
+               CAST(len(list_distinct(p)) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(list_max(list_transform(p,
+                             t -> length(t))), 0) AS BIGINT)
+                 AS max_len
+        FROM a
+    """
     oracles["bigram_logprob"] = """
         WITH t AS (
           SELECT doc_id,

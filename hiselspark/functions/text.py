@@ -401,3 +401,24 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str = "text",
         / F.col("n_bigrams").cast("double"))
     return (per_doc.crossJoin(F.broadcast(vocab))
             .select(id_col, "n_bigrams", score.alias(out_col)))
+
+
+# GPT-2-style pretokenizer, reduced to a dialect-portable core: common
+# English contractions, space-prefixed letter runs, digit runs, and
+# punctuation runs, then bare whitespace.  No lookaheads or non-POSIX
+# classes, so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+")
+
+
+def bpe_pretokens(col) -> Column:
+    """BPE-ish pretoken array of lowercased text — the subword-budget
+    estimator next to the whitespace tokenizer: letter runs, digit
+    runs and punctuation runs split apart (each starts a fresh subword
+    in a byte-BPE), whitespace-only matches dropped.  Pure JVM
+    ``regexp_extract_all``; the oracle mirrors it with DuckDB's RE2 on
+    the same pattern literal."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    arr = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return F.filter(arr, lambda t: F.trim(t) != "")

@@ -124,3 +124,30 @@ def test_bigram_logprob_matches_brute(spark):
     s = {r["doc_id"]: r["bigram_logprob"] for r in
          bigram_logprob(df2, "doc_id").collect()}
     assert s[4] < s[1]
+
+
+def test_bpe_pretokens_reference_cases(spark):
+    """BPE-ish pretokenizer vs hand-tokenized reference strings,
+    incl. contractions, digit runs, punctuation runs and empties."""
+    from hiselspark.functions.text import bpe_pretokens
+    cases = [
+        ("It's 42 well-known facts, OK?",
+         ["it", "'s", " 42", " well", "-", "known", " facts", ",",
+          " ok", "?"]),
+        # single space rides the next token; a RUN of spaces is
+        # consumed whole by \\s+ so the next token has no prefix
+        ("hello world", ["hello", " world"]),
+        ("hello   world", ["hello", "world"]),
+        ("x2024-01-02T00:00", ["x", "2024", "-", "01", "-", "02", "t",
+                               "00", ":", "00"]),
+        ("", []),
+        ("   ", []),
+        ("don't we'll I'd", ["don", "'t", " we", "'ll", " i", "'d"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "i long, t string")
+    got = {r["i"]: r["p"] for r in
+           df.select("i", bpe_pretokens("t").alias("p")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
