@@ -3171,6 +3171,18 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("r2", 6).alias("r2"))
 
 
+def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 embedding quantization with per-dimension min/max
+    calibration — every code and the reconstruction-error bound
+    replayed by the oracle from the parquet floats."""
+    from hiselspark.operators.similarity import int8_quantize
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = int8_quantize(emb)
+    return out.select(F.col("vid").alias("vec_id"), "code_sum",
+                      "code_min", "code_max",
+                      F.round("max_err", 6).alias("max_err"))
+
+
 def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection angular sketch of the embeddings: 16
     sign bits from Carter-Wegman ±1 planes shared as LITERALS with
@@ -4192,6 +4204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
+        "int8_quant": q_int8_quant,
         "zipf_fit": q_zipf_fit,
         "bigram_logprob": q_bigram_logprob,
         "bpe_tokens": q_bpe_tokens,
@@ -6090,6 +6103,38 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_moments"] = _moments_oracle_sql()
     oracles["image_boxpeak"] = _boxpeak_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    oracles["int8_quant"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), ex AS (
+          SELECT d, min(x) AS mn, max(x) AS mx FROM (
+            SELECT unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS d
+            FROM v)
+          GROUP BY d
+        ), px AS (
+          SELECT vec_id,
+                 unnest(generate_series(1, len(v))) AS d,
+                 unnest(v) AS x
+          FROM v
+        ), coded AS (
+          SELECT p.vec_id, p.d, p.x, e.mn, e.mx,
+                 CASE WHEN e.mx = e.mn THEN 0
+                      ELSE CAST(least(greatest(round(
+                        (p.x - e.mn) * 255.0 / (e.mx - e.mn)),
+                        0.0), 255.0) AS BIGINT) END AS code
+          FROM px p JOIN ex e USING (d)
+        )
+        SELECT vec_id,
+               CAST(sum(code) AS BIGINT) AS code_sum,
+               CAST(min(code) AS BIGINT) AS code_min,
+               CAST(max(code) AS BIGINT) AS code_max,
+               round(max(abs(x - (mn + CAST(code AS DOUBLE)
+                                       * (mx - mn) / 255.0))), 6)
+                 AS max_err
+        FROM coded GROUP BY vec_id
+    """
     from hiselspark.functions.text import BPE_PRETOKEN_PATTERN
     _bpp = BPE_PRETOKEN_PATTERN.replace("'", "''")
     oracles["bpe_tokens"] = f"""

@@ -760,3 +760,62 @@ def srp_signatures(
     sig = " + ".join(bits)
     return df.selectExpr(f"{id_col} AS vid",
                          f"({sig}) AS srp_sig")
+
+
+def int8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar int8 quantization of an embedding column with per-
+    dimension min/max calibration — the storage-side companion to PQ
+    (4× smaller vectors, exact-integer dot products downstream):
+
+        code_d = round((v_d − mn_d) · 255 / (mx_d − mn_d))
+
+    clamped to [0, 255]; constant dimensions quantize to 0.  Returns
+    (vid, code_sum, code_min, code_max, max_err) where ``code_*`` are
+    exact integers over the vector's codes and ``max_err`` is the
+    worst reconstruction error — by construction ≤ half a quantization
+    step per dimension.
+
+    Scale shape: ONE pass computes per-dimension extrema (posexplode
+    → 64-group aggregate, map-side combined), the tiny calibration
+    table broadcasts back, and coding is a pure JVM ``transform`` —
+    no Python, no second data shuffle.  Determinism: float32→double
+    casts are exact, the affine code expression is one fixed tree, and
+    ``round`` is half-away-from-zero in both engines."""
+    base = df.select(F.col(id_col).alias("vid"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    dims = (base.select(F.posexplode("v").alias("d", "x"))
+            .groupBy("d").agg(F.min("x").alias("mn"),
+                              F.max("x").alias("mx")))
+    cal = (dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("d").alias("d"), F.col("mn").alias("mn"),
+            F.col("mx").alias("mx")))).alias("cal")))
+    j = base.crossJoin(F.broadcast(cal))
+    codes = F.expr("""
+        transform(sequence(1, size(v)), i -> CASE
+          WHEN element_at(cal, i).mx = element_at(cal, i).mn THEN 0L
+          ELSE CAST(least(greatest(round(
+            (element_at(v, i) - element_at(cal, i).mn) * 255.0
+            / (element_at(cal, i).mx - element_at(cal, i).mn)),
+            0.0), 255.0) AS LONG) END)
+    """).alias("codes")
+    out = j.select("vid", "v", F.col("cal").alias("c"), codes)
+    err = F.expr("""
+        array_max(transform(sequence(1, size(v)), i ->
+          abs(element_at(v, i) - (element_at(c, i).mn
+            + CAST(element_at(codes, i) AS DOUBLE)
+              * (element_at(c, i).mx - element_at(c, i).mn)
+              / 255.0))))
+    """).alias("max_err")
+    return out.select(
+        "vid",
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("code_sum"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        err)

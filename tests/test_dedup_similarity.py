@@ -762,3 +762,34 @@ def test_srp_signature_angular_properties(spark):
               for i in range(20)]
     assert sum(near_d) / 20 < 2.0
     assert sum(rand_d) / 20 > 5.0
+
+
+def test_int8_quantize_error_bound_and_codes(spark):
+    """Codes match a NumPy reimplementation; reconstruction error is
+    bounded by half a quantization step per dimension; constant dims
+    quantize to 0 with zero error contribution."""
+    import numpy as np
+    from hiselspark.operators.similarity import int8_quantize
+    rng = np.random.default_rng(53)
+    vecs = rng.normal(size=(30, 8)).astype(np.float32)
+    vecs[:, 3] = 0.25                     # constant dimension
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vid"]: r for r in int8_quantize(df, dim=8).collect()}
+    v64 = vecs.astype(np.float64)
+    mn, mx = v64.min(axis=0), v64.max(axis=0)
+    span = np.where(mx > mn, mx - mn, 1.0)
+    codes = np.where(
+        mx == mn, 0,
+        np.clip(np.round((v64 - mn) * 255.0 / span), 0, 255)
+    ).astype(np.int64)
+    recon = mn + codes * (mx - mn) / 255.0
+    for i in range(30):
+        r = out[i]
+        assert r["code_sum"] == codes[i].sum()
+        assert r["code_min"] == codes[i].min()
+        assert r["code_max"] == codes[i].max()
+        want_err = np.abs(v64[i] - recon[i]).max()
+        assert abs(r["max_err"] - want_err) < 1e-12
+        # bound: half a step on every varying dim
+        assert r["max_err"] <= (span.max() / 255.0) / 2 + 1e-12
