@@ -2808,6 +2808,45 @@ def q_snapshot_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drv.read(spark)
 
 
+def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE WHERE on the snapshot table with honest
+    stats pruning (the 0..99 and 200..299 range files ride into the
+    new snapshot by reference) and non-destructive time travel — the
+    output joins the post-delete aggregate with the pre-delete
+    version's, and the oracle replays both from the parquet."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapdel:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapdel_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.version != 4 or cur.operation != "delete":
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text", "source"))
+        for lo in (0, 100, 200):                       # v1..v3
+            t.write(docs.where(F.col("doc_id").between(lo, lo + 99))
+                    .coalesce(1), mode="append")
+        t.delete_where(spark, "doc_id", "between", (120, 179))  # v4
+        snap = t.current()
+        assert snap.properties.get("carried_files") == "2" or \
+            int(snap.properties.get("carried_files", 0)) == 2, \
+            "stats prune must carry the two untouched range files"
+    now = t.read(spark).groupBy("source").agg(
+        F.count("*").alias("n_now"),
+        F.sum("doc_id").cast("long").alias("ids_now"))
+    before = t.read(spark, version=3).groupBy("source").agg(
+        F.count("*").alias("n_before"))
+    return now.join(before, "source")
+
+
 def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the snapshot table: target = documents
     with doc_id < 300 committed as 3 range files; source updates
@@ -4319,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": q_snapshot_incremental,
         "snapshot_catchup": q_snapshot_catchup,
         "snapshot_upsert": q_snapshot_upsert,
+        "snapshot_delete": q_snapshot_delete,
         "zorder_prune": q_zorder_prune,
         "snapshot_stream": q_snapshot_stream,
         "temperature_mix": q_temperature_mix,
@@ -6946,6 +6986,23 @@ def oracle_sql() -> dict[str, str]:
     # copy-on-write MERGE + compact: the oracle replays the whole
     # merge (delete-matched + insert-source) in SQL; compact must be
     # invisible to it
+    oracles["snapshot_delete"] = """
+        WITH target AS (
+          SELECT doc_id, source FROM documents
+          WHERE doc_id BETWEEN 0 AND 299
+        ), now AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_now,
+                 CAST(sum(doc_id) AS BIGINT) AS ids_now
+          FROM target
+          WHERE doc_id NOT BETWEEN 120 AND 179
+          GROUP BY source
+        ), before AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_before
+          FROM target GROUP BY source
+        )
+        SELECT now.source, n_now, ids_now, n_before
+        FROM now JOIN before USING (source)
+    """
     oracles["snapshot_upsert"] = """
         WITH target AS (
             SELECT doc_id, text, source FROM documents

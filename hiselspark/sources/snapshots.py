@@ -503,6 +503,70 @@ class SnapshotTable:
         finally:
             src.unpersist()
 
+    def delete_where(self, spark: SparkSession, column: str, op: str,
+                     value, properties: Optional[dict] = None
+                     ) -> "Snapshot":
+        """Copy-on-write DELETE (Iceberg COW ``DELETE WHERE``) for a
+        structured predicate ``column <op> value`` — structured so the
+        manifest stats prune is honest, the same discipline as
+        :meth:`read`'s pushdown:
+
+        1. files whose [min, max] stats cannot match the predicate are
+           carried into the new snapshot BY REFERENCE (a ranged delete
+           on a range-clustered table touches only its files);
+        2. surviving candidates are rewritten with the predicate's
+           negation (rows matching the delete vanish);
+        3. time travel keeps every older snapshot readable — deletes
+           are never destructive until ``expire_snapshots``+``vacuum``.
+
+        ``op`` ∈ {'=', '<', '<=', '>', '>=', 'between'} (between takes
+        a (lo, hi) tuple, inclusive).  Returns the new snapshot."""
+        cur = self.current()
+        if cur is None:
+            raise ValueError("delete_where on an empty table")
+        ops = {
+            "=": lambda c: c == value,
+            "<": lambda c: c < value,
+            "<=": lambda c: c <= value,
+            ">": lambda c: c > value,
+            ">=": lambda c: c >= value,
+            "between": lambda c: c.between(value[0], value[1]),
+        }
+        if op not in ops:
+            raise ValueError(f"unsupported delete predicate op: {op}")
+        pred = ops[op](F.col(column))
+        reader = spark.read
+        if cur.schema_json:
+            from pyspark.sql.types import StructType
+            reader = reader.schema(
+                StructType.fromJson(json.loads(cur.schema_json)))
+        candidates, untouched = [], []
+        for f in cur.files:
+            rng = ((cur.stats or {}).get(f) or {}).get(column)
+            if rng is not None and not _range_may_match(
+                    rng[0], rng[1], op, value):
+                untouched.append(f)
+            else:
+                candidates.append(f)
+        new_files: List[str] = []
+        if candidates:
+            kept = reader.parquet(*candidates).filter(~pred)
+            dirname = os.path.join(self.data_dir, uuid.uuid4().hex)
+            kept.write.mode("errorifexists").parquet(dirname)
+            new_files = [
+                os.path.join(dirname, f) for f in os.listdir(dirname)
+                if f.endswith(".parquet")
+            ]
+        stats = {f: _file_column_stats(f) for f in new_files}
+        stats.update({f: s for f, s in (cur.stats or {}).items()
+                      if f in set(untouched)})
+        props = dict(properties or {})
+        props.setdefault("predicate", f"{column} {op} {value!r}")
+        props.setdefault("rewritten_files", len(candidates))
+        props.setdefault("carried_files", len(untouched))
+        return self._commit(untouched + new_files, "delete", props,
+                            stats=stats, schema_json=cur.schema_json)
+
     def compact(self, spark: SparkSession,
                 target_files: int = 1,
                 zorder_by: Optional[Sequence[str]] = None,
