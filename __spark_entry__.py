@@ -1027,6 +1027,23 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_edges", F.round("r", 6).alias("r"))
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval per event type at alpha = 0.1:
+    even event ids calibrate (exact fraction mean predictor + exact
+    order-statistic threshold on the residual count table), odd ids
+    test coverage — every count, the integer-ceiling k and the
+    threshold replay in SQL."""
+    from hiselspark.operators.conformal import split_conformal
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = split_conformal(ev, "event_type",
+                          F.col("event_id") % 2 == 0, "cents")
+    return out.select("event_type", "n_cal", "n_test", "k",
+                      "q_scaled", F.round("q", 6).alias("q"),
+                      "covered", F.round("coverage", 6)
+                      .alias("coverage"))
+
+
 def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between two derived labelings of events — exact
     integers until one division; the oracle replays the confusion
@@ -4253,6 +4270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
+        "conformal": q_conformal,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "record_linkage": q_record_linkage,
@@ -8363,6 +8381,61 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(s - sl AS DOUBLE)
                      / CAST(n - idx AS DOUBLE), 6) AS right_mean
         FROM best WHERE rn = 1
+    """
+    oracles["conformal"] = """
+        WITH e AS (
+          SELECT event_type AS grp, event_id % 2 = 0 AS cal,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), cs AS (
+          SELECT grp,
+                 CAST(sum(CASE WHEN cal THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_cal,
+                 CAST(sum(CASE WHEN cal THEN v ELSE 0 END)
+                      AS BIGINT) AS s_cal,
+                 CAST(sum(CASE WHEN NOT cal THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_test
+          FROM e GROUP BY grp
+        ), r AS (
+          SELECT e.grp, e.cal,
+                 abs(e.v * cs.n_cal - cs.s_cal) AS r,
+                 cs.n_cal, cs.s_cal, cs.n_test,
+                 ((cs.n_cal + 1) * 9 + 9) // 10 AS k
+          FROM e JOIN cs USING (grp)
+        ), counts AS (
+          SELECT grp, r, CAST(count(*) AS BIGINT) AS c,
+                 max(k) AS k, max(n_cal) AS n_cal
+          FROM r WHERE cal GROUP BY grp, r
+        ), qrow AS (
+          SELECT grp, CAST(min(r) AS BIGINT) AS q_scaled
+          FROM (SELECT grp, r, k,
+                       sum(c) OVER (PARTITION BY grp ORDER BY r
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW) AS cum
+                FROM counts)
+          WHERE cum >= k GROUP BY grp
+        ), cov AS (
+          SELECT r.grp,
+                 CAST(sum(CASE WHEN q.q_scaled IS NULL
+                               OR r.r <= q.q_scaled
+                          THEN 1 ELSE 0 END) AS BIGINT) AS covered
+          FROM r LEFT JOIN qrow q USING (grp)
+          WHERE NOT r.cal GROUP BY r.grp
+        )
+        SELECT cs.grp AS event_type, cs.n_cal, cs.n_test,
+               CAST(((cs.n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k,
+               q.q_scaled,
+               round(CASE WHEN cs.n_cal > 0 THEN
+                       CAST(q.q_scaled AS DOUBLE)
+                       / CAST(cs.n_cal AS DOUBLE) END, 6) AS q,
+               COALESCE(cov.covered, 0) AS covered,
+               round(CASE WHEN cs.n_test > 0 THEN
+                       CAST(COALESCE(cov.covered, 0) AS DOUBLE)
+                       / CAST(cs.n_test AS DOUBLE) END, 6)
+                 AS coverage
+        FROM cs
+        LEFT JOIN qrow q ON q.grp = cs.grp
+        LEFT JOIN cov ON cov.grp = cs.grp
     """
     oracles["cohen_kappa"] = """
         WITH q AS (
