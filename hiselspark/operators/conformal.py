@@ -10,15 +10,17 @@ guaranteed, no distributional assumptions.
 Exactness: the per-group predictor is the calibration mean kept as an
 exact integer FRACTION (num=Σv, den=n), so the residual
 ``|v·den − num|`` is an exact integer at scale ``den`` and the order
-statistic is found on an integer count table (groupBy residual +
-cumulative window — no per-group sort of raw rows, no collect), the
-same scalable shape as the engine's exact quantiles.  ``k`` uses pure
-integer ceiling arithmetic.  The only floats are the final coverage
-ratio and the unscaled ``q/den`` report column.
+statistic is found on an integer count table — no per-group sort of
+raw rows, no collect.  ``k`` uses pure integer ceiling arithmetic.
+The only floats are the final coverage ratio and the unscaled
+``q/den`` report column.
 
-Scale shape: one group shuffle serves the calibration stats, the
-residual count table, the order-statistic window and the coverage
-counts (subset-cluster-keys reuse); output is one row per group.
+Scale shape: TWO map-side-combined shuffles of collapsed data — the
+per-group stats aggregate, then (stats broadcast back, residuals
+computed map-side) the (group, residual) count table carrying
+calibration and test counts side by side.  The order-statistic
+window, threshold pick and coverage sums all run on that tiny table.
+The raw data is never windowed and never shuffled at full width.
 """
 from __future__ import annotations
 
@@ -42,62 +44,56 @@ def split_conformal(
     q is NULL and coverage is exactly 1."""
     if not (0 < alpha_num < alpha_den):
         raise ValueError("alpha must be a rational in (0, 1)")
+    an, ad = alpha_num, alpha_den
     base = df.select(F.col(group_col).alias("grp"),
                      is_calibration.alias("cal"),
                      F.col(value_col).cast("long").alias("v"))
-    w_g = Window.partitionBy("grp")
-    cur = (base
-           .withColumn("n_cal", F.sum(F.when(F.col("cal"), 1)
-                                      .otherwise(0)).over(w_g))
-           .withColumn("s_cal", F.sum(F.when(F.col("cal"),
-                                             F.col("v"))
-                                      .otherwise(0)).over(w_g)))
-    # residual at scale den = n_cal: |v*den - num|, exact integers
-    cur = cur.withColumn(
-        "r", F.abs(F.col("v") * F.col("n_cal") - F.col("s_cal")))
-    # k = ceil((n_cal + 1) * (1 - alpha)) in pure integers:
-    # (n_cal+1)*(den-num) / den, ceiling
-    an, ad = alpha_num, alpha_den
-    cur = cur.withColumn(
-        "k", F.expr(f"((n_cal + 1) * {ad - an} + {ad - 1}) DIV {ad}"))
-    # order statistic on the calibration residual count table
-    counts = (cur.filter("cal")
-              .groupBy("grp", "r")
-              .agg(F.count(F.lit(1)).alias("c"),
-                   F.max("k").alias("k"),
-                   F.max("n_cal").alias("n_cal")))
+    cs = (base.groupBy("grp").agg(
+        F.sum(F.when(F.col("cal"), 1).otherwise(0)).alias("n_cal"),
+        F.sum(F.when(F.col("cal"), F.col("v")).otherwise(0))
+         .alias("s_cal"),
+        F.sum(F.when(~F.col("cal"), 1).otherwise(0)).alias("n_test"))
+        .withColumn("k", F.expr(
+            f"((n_cal + 1) * {ad - an} + {ad - 1}) DIV {ad}")))
+    # stats broadcast back ONCE: residuals are computed map-side, the
+    # only full-width shuffle is the (grp, r) count table, and the
+    # threshold + coverage come out of ONE window pass over it — a row
+    # is inside the interval iff its PREVIOUS cumulative calibration
+    # count is below k (q is the first residual whose cumulative
+    # reaches k, so r ≤ q ⟺ cum − c_cal < k); no q-join, no second
+    # consumption of anything
+    joined = (base.join(F.broadcast(cs), "grp")
+              .withColumn("r", F.abs(F.col("v") * F.col("n_cal")
+                                     - F.col("s_cal"))))
+    tbl = (joined.groupBy("grp", "r").agg(
+        F.sum(F.when(F.col("cal"), 1).otherwise(0)).alias("c_cal"),
+        F.sum(F.when(~F.col("cal"), 1).otherwise(0)).alias("c_test"),
+        F.max("k").alias("k"),
+        F.max("n_cal").alias("n_cal"),
+        F.max("n_test").alias("n_test")))
     w_r = (Window.partitionBy("grp").orderBy("r")
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    qrow = (counts.withColumn("cum", F.sum("c").over(w_r))
-            .filter(F.col("cum") >= F.col("k"))
-            .groupBy("grp")
-            .agg(F.min("r").alias("q_scaled"),
-                 F.max("k").alias("k"),
-                 F.max("n_cal").alias("n_cal")))
-    # infinite-interval case: k > n_cal -> no row passed the filter;
-    # recover those groups with NULL q
-    allg = (cur.groupBy("grp")
-            .agg(F.max("n_cal").alias("n_cal"),
-                 F.max("k").alias("k"),
-                 F.sum(F.when(~F.col("cal"), 1).otherwise(0))
-                 .alias("n_test")))
-    test = (cur.filter(~F.col("cal"))
-            .join(qrow.select("grp", "q_scaled"), "grp", "left")
-            .groupBy("grp")
-            .agg(F.sum(F.when(F.col("q_scaled").isNull()
-                              | (F.col("r") <= F.col("q_scaled")), 1)
-                       .otherwise(0)).alias("covered")))
-    out = (allg.join(qrow.select("grp", "q_scaled"), "grp", "left")
-           .join(test, "grp", "left"))
+    win = tbl.withColumn("cum", F.sum("c_cal").over(w_r))
+    out = (win.groupBy("grp").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max("n_test").alias("n_test"),
+        F.max("k").alias("k"),
+        F.min(F.when(F.col("cum") >= F.col("k"), F.col("r")))
+         .alias("q_scaled"),
+        F.sum(F.when(F.col("cum") - F.col("c_cal") < F.col("k"),
+                     F.col("c_test")).otherwise(0))
+         .alias("covered")))
     q = (F.when(F.col("n_cal") > 0,
                 F.col("q_scaled").cast("double")
                 / F.col("n_cal").cast("double"))
          .alias("q"))
-    cov = (F.when(F.col("n_test") > 0,
-                  F.coalesce(F.col("covered"), F.lit(0))
-                  .cast("double") / F.col("n_test").cast("double"))
-           .alias("coverage"))
+    coverage = (F.when(F.col("n_test") > 0,
+                       F.coalesce(F.col("covered"), F.lit(0))
+                       .cast("double")
+                       / F.col("n_test").cast("double"))
+                .alias("coverage"))
     return out.select(
         F.col("grp").alias(group_col), "n_cal", "n_test", "k",
-        "q_scaled", q, F.coalesce("covered", F.lit(0))
-        .cast("long").alias("covered"), cov)
+        "q_scaled", q,
+        F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+        coverage)
