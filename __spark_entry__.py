@@ -1027,6 +1027,50 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_edges", F.round("r", 6).alias("r"))
 
 
+def q_ks_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift dashboard: exact two-sample KS for all six derived event
+    features in ONE unpivoted count shuffle, periods split at
+    2024-01-15 — the oracle replays every feature's distinct-value
+    table, cumulative gap and argmax."""
+    from hiselspark.operators.drift import ks_by_feature
+    # _mi_feature_frame drops ts, so derive features + ref together
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    base = ev.select(
+        (F.col("cents") % 2).alias("f_parity"),
+        (F.col("cents") % 5).alias("f_mod5"),
+        (F.expr("cents DIV 7") % 2).alias("f_seven2"),
+        (F.expr("cents DIV 7") % 4).alias("f_seven4"),
+        (F.expr("unix_micros(cast(ts as timestamp))"
+                " DIV 3600000000") % 24).alias("f_hour"),
+        F.length("event_type").alias("f_typelen"),
+        (F.col("ts").cast("timestamp")
+         < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .alias("__ref"))
+    out = ks_by_feature(base, _MI_FEATURES, F.col("__ref"))
+    return out.select("feature", F.round("ks", 6).alias("ks"),
+                      "at_value", "n_ref", "n_cur")
+
+
+def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ integration contract: per event type, the exact
+    distinct-user count (oracle-checked value) next to a boolean
+    asserting Spark's approx_count_distinct(rsd=0.05) landed within
+    the 5% envelope.  The approximate digest itself is not portable
+    across engines — the honest cross-engine claim is the exact count
+    plus the bounded-error flag (HLL merge is commutative, so the
+    flag is layout-independent)."""
+    ev = _ev(spark, sf_dir)
+    out = (ev.groupBy("event_type")
+           .agg(F.countDistinct("user_id").alias("exact_users"),
+                F.approx_count_distinct("user_id", 0.05)
+                 .alias("__approx")))
+    ok = (F.abs(F.col("__approx") - F.col("exact_users"))
+          <= F.col("exact_users") * F.lit(0.05))
+    return out.select("event_type", "exact_users",
+                      ok.alias("approx_within_5pct"))
+
+
 def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval per event type at alpha = 0.1:
     even event ids calibrate (exact fraction mean predictor + exact
@@ -4271,6 +4315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
         "conformal": q_conformal,
+        "hll_contract": q_hll_contract,
+        "ks_by_feature": q_ks_by_feature,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "record_linkage": q_record_linkage,
@@ -8381,6 +8427,62 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(s - sl AS DOUBLE)
                      / CAST(n - idx AS DOUBLE), 6) AS right_mean
         FROM best WHERE rn = 1
+    """
+    _ks_feats = [
+        ("f_parity", "cents % 2"), ("f_mod5", "cents % 5"),
+        ("f_seven2", "(cents // 7) % 2"),
+        ("f_seven4", "(cents // 7) % 4"),
+        ("f_hour", "(epoch_us(ts) // 3600000000) % 24"),
+        ("f_typelen", "CAST(length(event_type) AS BIGINT)"),
+    ]
+    _ks_unions = "\n          UNION ALL ".join(
+        f"SELECT '{n}' AS feature, {e} AS value, ref FROM q"
+        for n, e in _ks_feats)
+    oracles["ks_by_feature"] = f"""
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 ts, event_type,
+                 ts < TIMESTAMP '2024-01-15' AS ref
+          FROM events
+        ), rlong AS (
+          {_ks_unions}
+        ), per AS (
+          SELECT feature, value,
+                 CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END)
+                      AS BIGINT) AS b
+          FROM rlong WHERE value IS NOT NULL
+          GROUP BY feature, value
+        ), t AS (
+          SELECT feature, value,
+                 abs(CAST(sum(a) OVER w AS DOUBLE)
+                     / CAST(sum(a) OVER g AS DOUBLE)
+                     - CAST(sum(b) OVER w AS DOUBLE)
+                       / CAST(sum(b) OVER g AS DOUBLE)) AS gap,
+                 CAST(sum(a) OVER g AS BIGINT) AS na,
+                 CAST(sum(b) OVER g AS BIGINT) AS nb
+          FROM per
+          WINDOW w AS (PARTITION BY feature ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                 g AS (PARTITION BY feature)
+        ), m AS (
+          SELECT *, max(gap) OVER (PARTITION BY feature) AS best
+          FROM t
+        )
+        SELECT feature, round(max(best), 6) AS ks,
+               CAST(min(value) AS BIGINT) AS at_value,
+               CAST(max(na) AS BIGINT) AS n_ref,
+               CAST(max(nb) AS BIGINT) AS n_cur
+        FROM m WHERE gap = best GROUP BY feature
+    """
+    oracles["hll_contract"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS exact_users,
+               TRUE AS approx_within_5pct
+        FROM events GROUP BY event_type
     """
     oracles["conformal"] = """
         WITH e AS (

@@ -227,3 +227,43 @@ def wasserstein_1(
                       / (F.col("n_ref") * F.col("n_cur")).cast("double"))
                      .alias("w1"),
                      "n_ref", "n_cur"))
+
+
+def ks_by_feature(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    is_reference,
+) -> DataFrame:
+    """Exact two-sample KS for EVERY feature at once — the drift
+    dashboard in one unpivoted count shuffle: features stack to
+    (feature, value) rows, one ``groupBy(feature, value)`` builds all
+    the distinct-value tables, and the per-feature cumulative windows
+    run on that bounded table.  Same exact-integer-ratio math as
+    :func:`ks_statistic`; NULL values are excluded per its documented
+    contract.  Returns one row per feature:
+    (feature, ks, at_value, n_ref, n_cur)."""
+    pairs = ", ".join(f"'{c}', CAST({c} AS LONG)"
+                      for c in feature_cols)
+    long_df = df.selectExpr(
+        f"stack({len(feature_cols)}, {pairs}) AS (feature, value)",
+        "*")
+    ref = is_reference.cast("long")
+    per = (long_df.filter(F.col("value").isNotNull())
+           .groupBy("feature", "value")
+           .agg(F.sum(ref).alias("a"),
+                (F.count(ref) - F.sum(ref)).alias("b")))
+    w = (Window.partitionBy("feature").orderBy("value")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = Window.partitionBy("feature")
+    gap = F.abs(F.sum("a").over(w) / F.sum("a").over(g)
+                - F.sum("b").over(w) / F.sum("b").over(g))
+    t = (per.withColumn("gap", gap)
+         .withColumn("best", F.max("gap").over(g))
+         .withColumn("na", F.sum("a").over(g))
+         .withColumn("nb", F.sum("b").over(g)))
+    return (t.filter(F.col("gap") == F.col("best"))
+            .groupBy("feature")
+            .agg(F.max("best").alias("ks"),
+                 F.min("value").alias("at_value"),
+                 F.max("na").alias("n_ref"),
+                 F.max("nb").alias("n_cur")))

@@ -292,3 +292,24 @@ def test_wasserstein_1_zero_on_identical_and_shift(spark):
     df = spark.createDataFrame(rows, "v long, grp int")
     assert abs(wasserstein_1(df, "v", F.col("grp") == 1)
                .collect()[0].w1 - 7.0) < 1e-9
+
+
+def test_ks_by_feature_matches_single_column_ks(spark):
+    """ks_by_feature (all features, one unpivoted shuffle) must agree
+    with running ks_statistic per column."""
+    from pyspark.sql import functions as F
+    from hiselspark.operators.drift import ks_by_feature, ks_statistic
+    rows = [(i, (i * 7) % 5, (i * 3) % 4 + (2 if i < 40 else 0),
+             i < 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, fa long, fb long, ref boolean")
+    multi = {r["feature"]: r for r in
+             ks_by_feature(df, ["fa", "fb"], F.col("ref")).collect()}
+    for c in ("fa", "fb"):
+        single = ks_statistic(df, c, F.col("ref")).collect()[0]
+        m = multi[c]
+        assert m["ks"] == single["ks"], c
+        assert m["at_value"] == single["at_value"]
+        assert m["n_ref"] == single["n_ref"]
+        assert m["n_cur"] == single["n_cur"]
+    # fb has a planted shift, fa does not
+    assert multi["fb"]["ks"] > multi["fa"]["ks"]
