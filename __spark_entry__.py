@@ -1052,6 +1052,21 @@ def q_ks_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "at_value", "n_ref", "n_cur")
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Carter-Wegman negative sampling over order→part
+    positives (3 corruptions per positive, collision-bumped) — every
+    draw replayed arithmetically by the oracle from the shared
+    constants."""
+    from hiselspark.operators.sampling import negative_samples
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_orderkey") <= 3000))
+    pos = li.select(F.col("l_orderkey").alias("u"),
+                    (F.col("l_partkey") % 2000).alias("it")).distinct()
+    out = negative_samples(pos, "u", "it", n_items=2000, k=3)
+    return out.select(F.col("user").alias("u"),
+                      F.col("item").alias("it"), "slot", "neg_item")
+
+
 def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ integration contract: per event type, the exact
     distinct-user count (oracle-checked value) next to a boolean
@@ -4317,6 +4332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal": q_conformal,
         "hll_contract": q_hll_contract,
         "ks_by_feature": q_ks_by_feature,
+        "negative_samples": q_negative_samples,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "record_linkage": q_record_linkage,
@@ -8476,6 +8492,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM m WHERE gap = best GROUP BY feature
+    """
+    from hiselspark.operators.bootstrap import _M31 as _m31
+    from hiselspark.operators.bootstrap import cw_constants as _cwc
+    from hiselspark.operators.sampling import NEG_SAMPLE_SEED
+    (_na, _nc), = _cwc(1, NEG_SAMPLE_SEED)
+    oracles["negative_samples"] = f"""
+        WITH pos AS (
+          SELECT DISTINCT l_orderkey AS u,
+                 l_partkey % 2000 AS it
+          FROM lineitem WHERE l_orderkey <= 3000
+        ), x AS (
+          SELECT u, it, CAST(s AS INTEGER) AS slot,
+                 (((u * 1000003 + it) * 3 + s) % {_m31}) * {_na}
+                 + {_nc} AS draw0
+          FROM pos, unnest(generate_series(1, 3)) AS t(s)
+        ), d AS (
+          SELECT u, it, slot,
+                 (draw0 % {_m31}) % 2000 AS neg0
+          FROM x
+        )
+        SELECT u, CAST(it AS BIGINT) AS it, slot,
+               CAST(CASE WHEN neg0 = it THEN (neg0 + 1) % 2000
+                    ELSE neg0 END AS BIGINT) AS neg_item
+        FROM d
     """
     oracles["hll_contract"] = """
         SELECT event_type,

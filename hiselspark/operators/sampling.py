@@ -214,3 +214,51 @@ def temperature_mix(
     return token_budget_sample(df, group_col, 0, budgets=budgets,
                                text_col=text_col, id_col=id_col,
                                salt=salt)
+
+
+NEG_SAMPLE_SEED = 7207
+
+
+def negative_samples(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    n_items: int,
+    k: int = 3,
+    seed: int = NEG_SAMPLE_SEED,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / implicit-
+    feedback training: for every positive (user, item) pair emit ``k``
+    pseudo-random negative item ids drawn by a Carter-Wegman hash of
+    (positive row, slot) over the item universe ``[0, n_items)``,
+    bumped by one (mod n) when the draw collides with the positive —
+    the standard corruption scheme (word2vec / BPR) made REPRODUCIBLE:
+    no RNG stream, so re-running the pipeline (or another engine)
+    regenerates the identical training set.
+
+    Returns (user, item, slot, neg_item) with ``slot`` in 1..k.
+    Map-only — a pure projection over the positives, no shuffle, no
+    Python; the k-fold expansion happens in one JVM ``explode`` of a
+    bounded sequence.
+
+    Caveat (documented, inherent to hash-corruption): a draw may
+    collide with ANOTHER of the user's positives — at web scale the
+    standard practice is to accept the O(positives/n_items) noise
+    rate rather than pay a per-user anti-join; compose with
+    ``dedup``/anti-join machinery when exactness matters."""
+    if n_items < 2 or k < 1:
+        raise ValueError("need n_items >= 2 and k >= 1")
+    from .bootstrap import _M31, cw_constants
+    (a, c), = cw_constants(1, seed)
+    base = df.select(F.col(user_col).alias("user"),
+                     F.col(item_col).cast("long").alias("item"))
+    out = base.select(
+        "user", "item",
+        F.explode(F.expr(f"sequence(1, {k})")).alias("slot"))
+    mix = ((F.col("user").cast("long") * F.lit(1_000_003)
+            + F.col("item")) * F.lit(k) + F.col("slot"))
+    draw = ((mix % F.lit(_M31)) * F.lit(a) + F.lit(c)) % F.lit(_M31)
+    neg = draw % F.lit(n_items)
+    neg = F.when(neg == F.col("item"),
+                 (neg + 1) % F.lit(n_items)).otherwise(neg)
+    return out.withColumn("neg_item", neg.cast("long"))

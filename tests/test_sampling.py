@@ -145,3 +145,26 @@ def test_temperature_budgets_and_mix(spark, docs):
     alt = temperature_mix(docs.repartition(13), "source", 0.5, total)
     assert sorted(r["doc_id"] for r in alt.collect()) == \
         sorted(r["doc_id"] for r in mixed.collect())
+
+
+def test_negative_samples_properties(spark):
+    """Determinism, k slots per positive, negatives in range and never
+    equal to their own positive, roughly uniform spread."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from hiselspark.operators.sampling import negative_samples
+    pos = spark.createDataFrame(
+        [(u, (u * 3) % 50) for u in range(200)], "u long, it long")
+    a = negative_samples(pos, "u", "it", n_items=50, k=4).collect()
+    b = negative_samples(pos, "u", "it", n_items=50, k=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) == 200 * 4
+    for r in a:
+        assert 0 <= r["neg_item"] < 50
+        assert r["neg_item"] != r["item"]
+        assert 1 <= r["slot"] <= 4
+    # spread: every item id drawn at least once over 800 draws
+    drawn = {r["neg_item"] for r in a}
+    assert len(drawn) >= 45
+    with _pytest.raises(ValueError):
+        negative_samples(pos, "u", "it", n_items=1, k=4)
