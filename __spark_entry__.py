@@ -1014,6 +1014,17 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round(ratio, 6).alias("promo_pct"))
 
 
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """45-core of the folded order↔part graph by 6 bounded peeling
+    rounds (converges in 4 on this family) — the oracle unrolls the
+    identical rounds as chained CTEs."""
+    from hiselspark.operators.graph import kcore
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") % 2000).alias("src"),
+                      (F.col("l_partkey") % 2000).alias("dst"))
+    return kcore(edges, k=45, rounds=6)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the folded order↔part graph — exact
     integer degree sums over the symmetric edge list, one float
@@ -4342,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
         "assortativity": q_assortativity,
+        "kcore": q_kcore,
         "containment_pairs": q_containment_pairs,
         "perm_test": q_perm_test,
         "trimmed_mean": q_trimmed_mean,
@@ -8726,6 +8738,36 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ft USING (conv_id)
         LEFT JOIN lt USING (conv_id)
     """
+    def _kcore_oracle_sql(k: int = 45, rounds: int = 6) -> str:
+        parts = ["""e0 AS MATERIALIZED (
+          SELECT DISTINCT
+                 least(l_orderkey % 2000, l_partkey % 2000) AS a,
+                 greatest(l_orderkey % 2000, l_partkey % 2000) AS b
+          FROM lineitem
+          WHERE l_orderkey % 2000 <> l_partkey % 2000
+        )"""]
+        for r in range(rounds):
+            parts.append(f"""d{r} AS MATERIALIZED (
+          SELECT node, count(*) AS deg FROM (
+            SELECT a AS node FROM e{r}
+            UNION ALL SELECT b FROM e{r})
+          GROUP BY node
+        )""")
+            parts.append(f"""k{r} AS (
+          SELECT node FROM d{r} WHERE deg >= {k}
+        )""")
+            parts.append(f"""e{r + 1} AS MATERIALIZED (
+          SELECT a, b FROM e{r}
+          WHERE a IN (SELECT node FROM k{r})
+            AND b IN (SELECT node FROM k{r})
+        )""")
+        return ("WITH " + ",\n        ".join(parts) + f"""
+        SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+          SELECT a AS node FROM e{rounds}
+          UNION ALL SELECT b FROM e{rounds})
+        GROUP BY node
+    """)
+    oracles["kcore"] = _kcore_oracle_sql()
     oracles["assortativity"] = """
         WITH canon AS (
           SELECT DISTINCT

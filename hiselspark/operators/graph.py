@@ -223,3 +223,51 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     r = F.when(den == 0, F.lit(None).cast("double")).otherwise(num / den)
     return agg.select((F.col("m2") / 2).cast("long").alias("n_edges"),
                       r.alias("r"))
+
+
+def kcore(edges: DataFrame, k: int, rounds: int = 6,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core membership by BOUNDED-round peeling: ``rounds``
+    iterations of [degree → drop nodes with deg < k → drop their
+    edges] over the undirected simple graph — the standard graph-
+    curation filter (spam/fringe removal, dense-community isolation).
+    Returns (node, core_deg) for every node still in the edge set
+    after the last round.
+
+    Bounded rounds make the operator DETERMINISTIC AND REPLAYABLE (the
+    oracle unrolls the same rounds as CTEs, the pagerank discipline);
+    on graphs that need more peels than ``rounds`` the result is the
+    declared partial peel — callers size ``rounds`` to the graph
+    (peeling converges in ≤ a few rounds on bounded-degeneracy
+    graphs; pytest asserts a fixpoint on the gate family).
+
+    Scale shape per round: one degree groupBy + two semi-joins — the
+    canonical iterative pattern; at 10^12 edges you'd co-partition
+    edges and degrees on node id so each round's joins are
+    shuffle-free on the big side."""
+    if k < 1 or rounds < 1:
+        raise ValueError("need k >= 1 and rounds >= 1")
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    cur = (e.filter(F.col("u") != F.col("v"))
+           .select(F.least("u", "v").alias("a"),
+                   F.greatest("u", "v").alias("b"))
+           .distinct())
+    for _ in range(rounds):
+        # each round consumes `cur` three times (degree + two semi-
+        # joins); materialize per round or the unrolled lineage
+        # recomputes round 0 3^rounds times — the standard iterative-
+        # graph discipline (same reason GraphX checkpoints)
+        cur = cur.localCheckpoint(eager=True)
+        deg = (cur.select(F.col("a").alias("node"))
+               .union(cur.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (cur.join(keep.withColumnRenamed("node", "a"), "a",
+                        "left_semi")
+               .join(keep.withColumnRenamed("node", "b"), "b",
+                     "left_semi"))
+    return (cur.select(F.col("a").alias("node"))
+            .union(cur.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg")))

@@ -113,3 +113,36 @@ def test_assortativity_known_graphs(spark):
     want = (m * sxy - sx * sx) / (m * sxx - sx * sx)
     assert rr["n_edges"] == len(canon)
     assert abs(rr["r"] - want) < 1e-9
+
+
+def test_kcore_matches_peeling_and_converges(spark):
+    """kcore vs a dict-based peel to fixpoint; bounded rounds reach
+    the fixpoint on this graph; validation errors."""
+    import pytest as _pytest
+    from hiselspark.operators.graph import kcore
+    edges = [(i % 12, (i * i + 1) % 12) for i in range(50)]
+    edges += [(20, 21)]                      # isolated low-degree pair
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["core_deg"] for r in
+           kcore(df, k=3, rounds=6).collect()}
+    # brute peel to fixpoint
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    while True:
+        bad = [n for n, vs in adj.items() if len(vs) < 3]
+        if not bad:
+            break
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        adj = {n: vs for n, vs in adj.items() if n not in bad}
+    want = {n: len(vs) for n, vs in adj.items()}
+    assert got == want
+    assert 20 not in got and 21 not in got
+    with _pytest.raises(ValueError):
+        kcore(df, k=0)
