@@ -840,6 +840,30 @@ def q_hsic_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("hsic", 9).alias("hsic"))
 
 
+def q_hsic_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stability selection over the exact delta-HSIC ranking: 8
+    Poisson counter-hash resamples, top-3 membership per replicate,
+    exact stability fractions — the oracle regrows every resample's
+    weighted contingency table and replays all 8 rankings."""
+    from hiselspark.operators.feature_rank import hsic_stability
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        "event_id",
+        (F.col("cents") % 2).alias("f_parity"),
+        (F.col("cents") % 5).alias("f_mod5"),
+        (F.expr("cents DIV 7") % 2).alias("f_seven2"),
+        (F.expr("cents DIV 7") % 4).alias("f_seven4"),
+        (F.expr("unix_micros(cast(ts as timestamp)) DIV 3600000000")
+         % 24).alias("f_hour"),
+        F.length("event_type").alias("f_typelen"),
+        (F.expr("cents DIV 7") % 3).alias("y"))
+    out = hsic_stability(df, _MI_FEATURES, "y", "event_id",
+                         top_m=3, n_replicates=8)
+    return out.select("feature", "n_selected", "n_replicates",
+                      F.round("stability", 6).alias("stability"))
+
+
 def q_hsic_perm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permutation independence test on the exact delta-kernel HSIC
     (20 Carter-Wegman permutations shared as literals): a dependent
@@ -4327,6 +4351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hsic_rank": q_hsic_rank,
         "hsic_multi": q_hsic_multi,
         "hsic_perm": q_hsic_perm,
+        "hsic_stability": q_hsic_stability,
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
         "srp_sketch": q_srp_sketch,
@@ -4661,6 +4686,100 @@ def _hsic_sql_block(name: str, src: str) -> str:
                          * CAST(sum(c) AS DOUBLE))) AS hsic
           FROM {name}_m
         )"""
+
+
+def _hsic_stability_oracle_sql(top_m: int = 3, n_reps: int = 8,
+                               seed: int = 8011) -> str:
+    """TRUE SQL oracle for hsic_stability: the identical CW constants
+    and Poisson thresholds regrow every resample's weighted
+    contingency table; all B weighted HSICs, rankings and stability
+    fractions replay exactly."""
+    from hiselspark.operators.bootstrap import (_CDF, _M31, _SCALE,
+                                                cw_constants)
+    cw = cw_constants(n_reps, seed)
+    vals = ",\n              ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(cw))
+    wcase = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_CDF[:-1]))
+    unions = "\n          UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {e} AS x, y, hv FROM feat"
+        for f, e in [
+            ("f_parity", "f_parity"), ("f_mod5", "f_mod5"),
+            ("f_seven2", "f_seven2"), ("f_seven4", "f_seven4"),
+            ("f_hour", "f_hour"), ("f_typelen", "f_typelen")])
+    return f"""
+        WITH cw(rep, a, c) AS (VALUES
+              {vals}),
+        base AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 (epoch_us(ts) // 3600000000) % 24 AS f_hour,
+                 CAST(length(event_type) AS BIGINT) AS f_typelen,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(CAST(event_id AS VARCHAR),
+                                            ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, y) -> (acc * 31 + y) % {_M31}) AS hv
+          FROM events
+        ), feat AS (
+          SELECT cents % 2 AS f_parity, cents % 5 AS f_mod5,
+                 (cents // 7) % 2 AS f_seven2,
+                 (cents // 7) % 4 AS f_seven4,
+                 f_hour, f_typelen, (cents // 7) % 3 AS y, hv
+          FROM base
+        ), rlong AS (
+          {unions}
+        ), drawn AS (
+          SELECT feature, x, y, rep,
+                 (CASE {wcase} ELSE 6 END) AS w
+          FROM (SELECT feature, x, y, cw.rep,
+                       ((hv * cw.a + cw.c) % {_M31}) % {_SCALE} AS u
+                FROM rlong, cw) q1
+        ), cells AS (
+          SELECT feature, rep, x, y,
+                 CAST(sum(w) AS BIGINT) AS c
+          FROM drawn GROUP BY feature, rep, x, y
+        ), m AS (
+          SELECT feature, rep, c,
+                 sum(c) OVER (PARTITION BY feature, rep, x) AS cx,
+                 sum(c) OVER (PARTITION BY feature, rep, y) AS cy
+          FROM cells
+        ), agg AS (
+          SELECT feature, rep,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c*c) AS BIGINT) AS a_sum,
+                 CAST(sum(c*cx*cy) AS BIGINT) AS b_sum,
+                 CAST(sum(c*cx) AS BIGINT) AS cx_sum,
+                 CAST(sum(c*cy) AS BIGINT) AS cy_sum
+          FROM m GROUP BY feature, rep
+        ), h AS (
+          SELECT feature, rep,
+                 CAST(a_sum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 - 2.0 * CAST(b_sum AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE))
+                 + (CAST(cx_sum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   * (CAST(cy_sum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   AS hsic
+          FROM agg
+        ), ranked AS (
+          SELECT feature, rep,
+                 row_number() OVER (PARTITION BY rep
+                                    ORDER BY hsic DESC, feature ASC)
+                   AS rk
+          FROM h
+        )
+        SELECT feature,
+               CAST(sum(CASE WHEN rk <= {top_m} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_selected,
+               CAST(count(*) AS BIGINT) AS n_replicates,
+               round(CAST(sum(CASE WHEN rk <= {top_m} THEN 1
+                                   ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS stability
+        FROM ranked GROUP BY feature
+    """
 
 
 def _hsic_perm_oracle_sql(n_perms: int = 20, seed: int = 6011) -> str:
@@ -10227,6 +10346,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["info_gain_rank"] = _info_gain_oracle_sql()
     oracles["hsic_rank"] = _hsic_rank_oracle_sql()
     oracles["hsic_perm"] = _hsic_perm_oracle_sql()
+    oracles["hsic_stability"] = _hsic_stability_oracle_sql()
     oracles["hsic_multi"] = f"""
         WITH {_MI_FEAT_SQL}, rlong AS (
           SELECT 'parity_mod5' AS subset,

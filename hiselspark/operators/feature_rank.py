@@ -341,3 +341,80 @@ def hsic_perm_test(
                       F.lit(n_perms).cast("long").alias("n_perms"),
                       F.col("n_ge").cast("long").alias("n_ge"),
                       p.alias("p_value"))
+
+
+def hsic_stability(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    id_col: str,
+    top_m: int = 3,
+    n_replicates: int = 8,
+    seed: int = 8011,
+) -> DataFrame:
+    """Stability selection (Meinshausen & Bühlmann 2010) over the
+    exact delta-kernel HSIC ranking: rank the features on
+    ``n_replicates`` Poisson(1) bootstrap resamples and report, per
+    feature, how often it lands in the top ``top_m`` — the selection-
+    robustness signal a one-shot ranking cannot give (a feature that
+    wins once by a hair scores low; a feature that wins every
+    resample is load-bearing).
+
+    Exact end to end: resample weights are integer Poisson draws from
+    the engine's replayable counter-hash ('poly' Carter-Wegman mode,
+    ``operators/bootstrap``), weighted contingency counts stay exact
+    integers, every replicate's HSIC is the count-closed form, so a
+    second engine reproduces all B rankings and the exact stability
+    fractions.
+
+    Scale shape: ONE count shuffle for ALL features × replicates (the
+    unpivoted stack explodes ×B before the map-side combine — the
+    declared B× pre-combine cost of stability selection; the shuffle
+    itself carries only collapsed cells).  Returns (feature,
+    n_selected, n_replicates, stability).
+    """
+    if not (1 <= top_m <= len(feature_cols)):
+        raise ValueError("top_m must be in [1, n_features]")
+    from pyspark.sql import Window
+    from .bootstrap import _poisson_weight, _poly_u
+    u = _poly_u(id_col, n_replicates, seed)
+    long_df = _unpivot(df, feature_cols).select(
+        "feature", "value",
+        F.col(label_col).cast("long").alias("__y"),
+        F.col(id_col).cast("string").alias(id_col))
+    expl = long_df.select(
+        "*", F.explode(F.expr(f"sequence(0, {n_replicates - 1})"))
+        .alias("__b"))
+    w = _poisson_weight(u(F.col("__b")))
+    cells = (expl.groupBy("feature", "__b",
+                          F.col("value").alias("__x"), "__y")
+             .agg(F.sum(w).alias("__c")))
+    wx = Window.partitionBy("feature", "__b", "__x")
+    wy = Window.partitionBy("feature", "__b", "__y")
+    cells = (cells
+             .withColumn("__cx", F.sum("__c").over(wx))
+             .withColumn("__cy", F.sum("__c").over(wy)))
+    per = (cells.groupBy("feature", "__b").agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.col("__c") * F.col("__c")).alias("a_sum"),
+        F.sum(F.col("__c") * F.col("__cx") * F.col("__cy"))
+         .alias("b_sum"),
+        F.sum(F.col("__c") * F.col("__cx")).alias("cx_sum"),
+        F.sum(F.col("__c") * F.col("__cy")).alias("cy_sum")))
+    nd = F.col("n").cast("double")
+    d2 = nd * nd
+    hsic = (F.col("a_sum").cast("double") / d2
+            - F.lit(2.0) * F.col("b_sum").cast("double") / (d2 * nd)
+            + (F.col("cx_sum").cast("double") / d2)
+              * (F.col("cy_sum").cast("double") / d2))
+    scored = per.withColumn("hsic", hsic)
+    w_rank = Window.partitionBy("__b").orderBy(
+        F.col("hsic").desc(), F.col("feature").asc())
+    sel = (scored.withColumn("rk", F.row_number().over(w_rank))
+           .withColumn("sel", (F.col("rk") <= top_m).cast("long")))
+    return (sel.groupBy("feature").agg(
+        F.sum("sel").alias("n_selected"),
+        F.count(F.lit(1)).alias("n_replicates"))
+        .withColumn("stability",
+                    F.col("n_selected").cast("double")
+                    / F.col("n_replicates").cast("double")))

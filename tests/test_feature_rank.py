@@ -169,3 +169,32 @@ def test_hsic_perm_test_separates_dependence(spark):
     # p is a valid probability and hsic is the exact statistic
     assert 0 < dep["p_value"] <= ind["p_value"] <= 1
     assert dep["hsic"] > ind["hsic"]
+
+
+def test_hsic_stability_properties(spark):
+    """Stability selection: the deterministic y-driver must survive
+    every resample (stability 1.0), selected slots total B*top_m, and
+    the whole table is run-to-run deterministic."""
+    from hiselspark.operators.feature_rank import hsic_stability
+    rows = [(i, i % 2, i % 3, (i // 3) % 4, (i * 7 + 1) % 5,
+             (i // 3) % 2) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "id long, a int, b int, c int, d int, y int")
+    out1 = {r["feature"]: r for r in hsic_stability(
+        df, ["a", "b", "c", "d"], "y", "id",
+        top_m=2, n_replicates=6).collect()}
+    out2 = {r["feature"]: r for r in hsic_stability(
+        df, ["a", "b", "c", "d"], "y", "id",
+        top_m=2, n_replicates=6).collect()}
+    assert out1.keys() == out2.keys()
+    for f in out1:
+        assert out1[f].asDict() == out2[f].asDict()
+    assert all(r["n_replicates"] == 6 for r in out1.values())
+    assert sum(r["n_selected"] for r in out1.values()) == 6 * 2
+    # c drives y deterministically -> top-2 in every resample
+    assert out1["c"]["stability"] == 1.0
+    for r in out1.values():
+        assert 0.0 <= r["stability"] <= 1.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hsic_stability(df, ["a", "b"], "y", "id", top_m=3)
