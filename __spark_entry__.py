@@ -3346,6 +3346,45 @@ def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("srp_pop"))
 
 
+def q_streaming_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming k-of-last-n threshold alerting (3 of the last 8 events
+    above the ~p70 cents threshold), O(1) bitmask state per user, alert on the
+    transition only — drained over four event-time-ordered
+    micro-batches and matched row-for-row against the batch window
+    replay."""
+    import hashlib
+    import os
+    from hiselspark.streaming.alerts import stream_threshold_alerts
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files)
+    ev = _ev(spark, sf_dir).withColumn("ts",
+                                       F.col("ts").cast("timestamp"))
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha1(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src = f"/tmp/hiselspark_streamalert_{tag}"
+    if not os.path.exists(f"{src}/0003.parquet"):
+        max_id = ev.agg(F.max("event_id")).collect()[0][0]
+        cut = max_id // 4 + 1
+        stage_microbatch_files(
+            [ev.filter((F.col("event_id") >= i * cut)
+                       & (F.col("event_id") < (i + 1) * cut))
+             for i in range(4)], src)
+    stream = (read_events_stream(spark, src, ev.schema,
+                                 max_files_per_trigger=1)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("us", (F.col("ts").cast("double")
+                                 * 1_000_000).cast("long"))
+              .withColumn("v", F.abs(F.round(F.col("value") * 100))
+                          .cast("long")))
+    out = run_stream_to_batch(
+        stream_threshold_alerts(stream, threshold=6000, n=8, k=3),
+        output_mode="append")
+    return out.select("entity", "event_id", "us", "n_exceed")
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-keyed train/val/test split: polynomial
     rolling hash of the normalized text (pure JVM integer expressions,
@@ -4354,6 +4393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hsic_stability": q_hsic_stability,
         "attribution": q_attribution,
         "streaming_attribution": q_streaming_attribution,
+        "streaming_alerts": q_streaming_alerts,
         "srp_sketch": q_srp_sketch,
         "int8_quant": q_int8_quant,
         "zipf_fit": q_zipf_fit,
@@ -9677,6 +9717,28 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases p
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+    """
+    oracles["streaming_alerts"] = """
+        WITH e AS (
+          SELECT user_id AS entity, event_id, epoch_us(ts) AS us,
+                 CASE WHEN abs(CAST(round(value*100) AS BIGINT))
+                      > 6000 THEN 1 ELSE 0 END AS ex
+          FROM events
+        ), c AS (
+          SELECT entity, event_id, us,
+                 CAST(sum(ex) OVER w8 AS BIGINT) AS cnt
+          FROM e
+          WINDOW w8 AS (PARTITION BY entity ORDER BY us, event_id
+                        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        ), t AS (
+          SELECT entity, event_id, us, cnt,
+                 COALESCE(lag(cnt) OVER (PARTITION BY entity
+                                         ORDER BY us, event_id), 0)
+                   AS prev_cnt
+          FROM c
+        )
+        SELECT entity, event_id, us, cnt AS n_exceed
+        FROM t WHERE cnt >= 3 AND prev_cnt < 3
     """
     oracles["streaming_attribution"] = """
         WITH e AS (

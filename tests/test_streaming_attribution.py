@@ -51,3 +51,36 @@ def test_attribution_state_spans_microbatches(spark, tmp_path):
     assert out.loc[7, "first_touch_id"] == 5
     assert out.loc[7, "last_touch_id"] == 5
     assert out.loc[7, "last_latency_us"] == 20 * US
+
+
+def test_threshold_alerts_transitions_and_state(spark, tmp_path):
+    """k-of-last-n alerting: fires on the transition only, re-fires
+    after clearing, bitmask state spans micro-batches."""
+    import pandas as pd
+    from hiselspark.streaming.alerts import stream_threshold_alerts
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch,
+                                               stage_microbatch_files)
+    # entity 1: values cross k=2-of-n=4 twice with a clear between;
+    # the second rise spans a batch boundary
+    seq = [1, 9, 9, 1, 1, 1, 1, 9, 9, 1]   # threshold 5
+    rows = [(1, i + 1, (i + 1) * US, v) for i, v in enumerate(seq)]
+    b1 = pd.DataFrame(rows[:7],
+                      columns=["user_id", "event_id", "us", "v"])
+    b2 = pd.DataFrame(rows[7:],
+                      columns=["user_id", "event_id", "us", "v"])
+    frames = [spark.createDataFrame(b) for b in (b1, b2)]
+    src = str(tmp_path / "src")
+    stage_microbatch_files(frames, src)
+    stream = read_events_stream(spark, src, frames[0].schema,
+                                max_files_per_trigger=1)
+    out = run_stream_to_batch(
+        stream_threshold_alerts(stream, threshold=5, n=4, k=2),
+        output_mode="append").toPandas()
+    # brute replay: cnt over last 4, alert when cnt>=2 and prev<2
+    ex = [1 if v > 5 else 0 for v in seq]
+    cnts = [sum(ex[max(0, i - 3):i + 1]) for i in range(len(ex))]
+    want = [i + 1 for i in range(len(ex))
+            if cnts[i] >= 2 and (i == 0 or cnts[i - 1] < 2)]
+    assert sorted(out["event_id"]) == want
+    assert len(want) == 2          # two separate incidents
