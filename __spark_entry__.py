@@ -3333,6 +3333,21 @@ def q_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("max_err", 6).alias("max_err"))
 
 
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining over the labeled embeddings: per
+    anchor, the hardest positive and hardest negative by exact cosine
+    with the semi-hard flag — every cosine, argmax and flag replayed
+    by the oracle."""
+    from hiselspark.operators.similarity import triplet_mining
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 60)
+    out = triplet_mining(anchors, emb)
+    return out.select("anchor_id", "pos_id",
+                      F.round("pos_cos", 6).alias("pos_cos"),
+                      "neg_id", F.round("neg_cos", 6).alias("neg_cos"),
+                      "semi_hard")
+
+
 def q_srp_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection angular sketch of the embeddings: 16
     sign bits from Carter-Wegman ±1 planes shared as LITERALS with
@@ -4395,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_attribution": q_streaming_attribution,
         "streaming_alerts": q_streaming_alerts,
         "srp_sketch": q_srp_sketch,
+        "triplet_mining": q_triplet_mining,
         "int8_quant": q_int8_quant,
         "zipf_fit": q_zipf_fit,
         "bigram_logprob": q_bigram_logprob,
@@ -6394,6 +6410,43 @@ def oracle_sql() -> dict[str, str]:
     oracles["image_moments"] = _moments_oracle_sql()
     oracles["image_boxpeak"] = _boxpeak_oracle_sql()
     oracles["srp_sketch"] = _srp_oracle_sql()
+    oracles["triplet_mining"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+          FROM embeddings
+        ), a AS (
+          SELECT vec_id AS anchor_id, v AS p, label AS a_lbl
+          FROM e WHERE vec_id < 60
+        ), pairs AS (
+          SELECT anchor_id, vec_id AS cand_id, a_lbl,
+                 e.label AS c_lbl,
+                 list_dot_product(p, v)
+                   / (sqrt(list_dot_product(p, p))
+                      * sqrt(list_dot_product(v, v))) AS cos
+          FROM a, e WHERE anchor_id <> vec_id
+        ), pos AS (
+          SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, cand_id ASC)
+                   AS rn
+          FROM pairs WHERE a_lbl = c_lbl
+        ), neg AS (
+          SELECT anchor_id, cand_id AS neg_id, cos AS neg_cos,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, cand_id ASC)
+                   AS rn
+          FROM pairs WHERE a_lbl <> c_lbl
+        )
+        SELECT a.anchor_id,
+               p.pos_id, round(p.pos_cos, 6) AS pos_cos,
+               n.neg_id, round(n.neg_cos, 6) AS neg_cos,
+               CASE WHEN p.pos_cos IS NOT NULL
+                     AND n.neg_cos IS NOT NULL
+                    THEN n.neg_cos > p.pos_cos END AS semi_hard
+        FROM a
+        LEFT JOIN pos p ON p.anchor_id = a.anchor_id AND p.rn = 1
+        LEFT JOIN neg n ON n.anchor_id = a.anchor_id AND n.rn = 1
+    """
     oracles["int8_quant"] = """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -819,3 +819,53 @@ def int8_quantize(
         F.array_min("codes").alias("code_min"),
         F.array_max("codes").alias("code_max"),
         err)
+
+
+def triplet_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest-positive / hardest-negative triplet mining for metric
+    learning (FaceNet-style batch-hard): per anchor, the most similar
+    SAME-label vector (the positive the loss must hold on to) and the
+    most similar DIFFERENT-label vector (the negative it must push
+    away), plus the ``semi_hard`` flag (negative currently closer
+    than the positive — the pairs that actually carry gradient).
+
+    Exact cosine over a bounded anchor set (the brute-force verifier
+    shape, like ``cosine_topk`` — at corpus scale mine within ANN
+    candidate pools from ``ivf_topk``/``pq_topk`` instead); struct
+    argmax with ties to the smaller id, so every row replays in SQL.
+    Returns (anchor_id, pos_id, pos_cos, neg_id, neg_cos, semi_hard);
+    anchors with no same-label peer keep NULL positives."""
+    a = anchors.select(F.col(id_col).alias("anchor_id"),
+                       F.col(vec_col).cast("array<double>").alias("p"),
+                       F.col(label_col).alias("a_lbl"))
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      F.col(label_col).alias("c_lbl"))
+    pairs = (a.crossJoin(c)
+             .filter(F.col("anchor_id") != F.col("cand_id"))
+             .withColumn("cos", _dot("p", "v")
+                         / (_norm(F.col("p")) * _norm(F.col("v")))))
+    pick = F.struct(F.col("cos").alias("cos"),
+                    (-F.col("cand_id")).alias("nid"),
+                    F.col("cand_id").alias("cid"))
+    got = (pairs.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("a_lbl") == F.col("c_lbl"), pick))
+         .alias("pos"),
+        F.max(F.when(F.col("a_lbl") != F.col("c_lbl"), pick))
+         .alias("neg")))
+    return got.select(
+        "anchor_id",
+        F.col("pos.cid").alias("pos_id"),
+        F.col("pos.cos").alias("pos_cos"),
+        F.col("neg.cid").alias("neg_id"),
+        F.col("neg.cos").alias("neg_cos"),
+        F.when(F.col("pos.cos").isNotNull()
+               & F.col("neg.cos").isNotNull(),
+               F.col("neg.cos") > F.col("pos.cos"))
+         .alias("semi_hard"))

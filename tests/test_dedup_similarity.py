@@ -793,3 +793,43 @@ def test_int8_quantize_error_bound_and_codes(spark):
         assert abs(r["max_err"] - want_err) < 1e-12
         # bound: half a step on every varying dim
         assert r["max_err"] <= (span.max() / 255.0) / 2 + 1e-12
+
+
+def test_triplet_mining_matches_brute(spark):
+    """triplet_mining vs a NumPy brute force with cosine ties broken
+    by smaller id, incl. an anchor with no same-label peer."""
+    import numpy as np
+    from hiselspark.operators.similarity import triplet_mining
+    rng = np.random.default_rng(61)
+    vecs = rng.normal(size=(24, 16)).astype(np.float32)
+    labels = [i % 3 for i in range(23)] + [99]   # 23 is label-unique
+    rows = [(i, vecs[i].tolist(), labels[i]) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label long")
+    got = {r["anchor_id"]: r for r in
+           triplet_mining(df, df, id_col="vec_id",
+                          vec_col="embedding",
+                          label_col="label").collect()}
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    cos = (v64 @ v64.T) / np.outer(norms, norms)
+    for i in range(24):
+        best = {"pos": None, "neg": None}
+        for j in range(24):
+            if j == i:
+                continue
+            kind = "pos" if labels[j] == labels[i] else "neg"
+            key = (cos[i, j], -j)
+            if best[kind] is None or key > best[kind][0]:
+                best[kind] = (key, j)
+        r = got[i]
+        if best["pos"] is None:
+            assert r["pos_id"] is None and r["semi_hard"] is None
+        else:
+            assert r["pos_id"] == best["pos"][1], i
+            assert abs(r["pos_cos"]
+                       - cos[i, best["pos"][1]]) < 1e-9
+        assert r["neg_id"] == best["neg"][1], i
+        if best["pos"] is not None:
+            assert r["semi_hard"] == (
+                cos[i, best["neg"][1]] > cos[i, best["pos"][1]])
