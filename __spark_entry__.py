@@ -1178,6 +1178,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength (ANOVA eta-squared) per user —
+    exact per-phase integer sums, sorted-phase float fold; the oracle
+    replays every phase partial and both divisions."""
+    from hiselspark.operators.tsprofile import seasonality_strength
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = seasonality_strength(ev, "user_id", "ts", "cents")
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      "n_phases", F.round("eta2", 6).alias("eta2"))
+
+
 def q_ts_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tsfresh-style per-user series features in one entity shuffle —
     abs energy, mean abs change, peaks, exact above-mean counts/runs,
@@ -4430,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_linkage": q_record_linkage,
         "changepoint": q_changepoint,
         "sax": q_sax,
+        "seasonality": q_seasonality,
         "ts_profile": q_ts_profile,
         "pareto_front": q_pareto_front,
         "triangle_count": q_triangle_count,
@@ -8400,6 +8413,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(na) AS BIGINT) AS n_ref,
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM t
+    """
+    oracles["seasonality"] = """
+        WITH c1 AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 3600000000) % 24 AS phase,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), per AS (
+          SELECT user_id, phase,
+                 CAST(sum(v) AS BIGINT) AS sp,
+                 CAST(count(*) AS BIGINT) AS np,
+                 CAST(sum(v*v) AS BIGINT) AS qp
+          FROM c1 GROUP BY user_id, phase
+        ), agg AS (
+          SELECT user_id,
+                 CAST(sum(sp) AS BIGINT) AS s,
+                 CAST(sum(np) AS BIGINT) AS n,
+                 CAST(sum(qp) AS BIGINT) AS q,
+                 list_sort(list([phase, sp, np])) AS ph
+          FROM per GROUP BY user_id
+        )
+        SELECT user_id, n, CAST(len(ph) AS BIGINT) AS n_phases,
+               round(CASE WHEN CAST(q AS DOUBLE)
+                               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                 / CAST(n AS DOUBLE) = 0 THEN NULL
+                     ELSE (list_reduce(list_prepend(0.0,
+                             list_transform(ph, p ->
+                               CAST(p[2] AS DOUBLE)
+                               * CAST(p[2] AS DOUBLE)
+                               / CAST(p[3] AS DOUBLE))),
+                             (x, y) -> x + y)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                          / (CAST(q AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                               / CAST(n AS DOUBLE))
+                     END, 6) AS eta2
+        FROM agg
     """
     oracles["ts_profile"] = """
         WITH c1 AS (

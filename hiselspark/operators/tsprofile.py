@@ -185,3 +185,62 @@ def sax_symbols(
                 F.col("seg").alias("seg"),
                 F.col("sym").alias("sym")))),
             lambda st: st["sym"])).alias("sax")))
+
+
+def seasonality_strength(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    phase_expr: str = "(epoch_us DIV 3600000000) % 24",
+) -> DataFrame:
+    """Variance explained by a periodic phase profile (η², the ANOVA
+    between-group share): per entity,
+
+        η² = [Σ_p S_p²/n_p − S²/n] / [Σ v² − S²/n]
+
+    over phases p (default: hour of day) — 1 means the value is a pure
+    function of the phase (strongly seasonal entity), 0 means the
+    hourly profile explains nothing.  The standard "is this entity
+    worth a seasonal baseline?" gate in front of
+    ``seasonal_baseline``.
+
+    ``phase_expr`` is a SQL expression over ``epoch_us`` (the exact
+    integer microsecond timestamp).  Exactness: per-phase sums and
+    counts are exact integers; the float phase fold runs in sorted-
+    phase order over a ≤ period-size list, and the two divisions are
+    one fixed tree.  Constant entities (zero total variance) return
+    NULL.  Scale shape: groupBy(entity, phase) partials →
+    groupBy(entity) — one entity-clustered shuffle chain.
+    """
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        .cast("long").alias("epoch_us"),
+        F.col(value_col).cast("long").alias("v"))
+    base = base.withColumn("phase", F.expr(phase_expr))
+    per = (base.groupBy("entity", "phase").agg(
+        F.sum("v").alias("sp"),
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.col("v") * F.col("v")).alias("qp")))
+    agg = (per.groupBy("entity").agg(
+        F.sum("sp").alias("s"),
+        F.sum("np").alias("n"),
+        F.sum("qp").alias("q"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("phase").alias("phase"),
+            F.col("sp").alias("sp"),
+            F.col("np").alias("np")))).alias("ph")))
+    between = F.aggregate(
+        "ph", F.lit(0.0),
+        lambda acc, p: acc + p["sp"].cast("double")
+        * p["sp"].cast("double") / p["np"].cast("double"))
+    sn = F.col("s").cast("double")
+    nn = F.col("n").cast("double")
+    qn = F.col("q").cast("double")
+    denom = qn - sn * sn / nn
+    eta2 = (F.when(denom == 0, F.lit(None).cast("double"))
+            .otherwise((between - sn * sn / nn) / denom))
+    return agg.select("entity", "n",
+                      F.size("ph").cast("long").alias("n_phases"),
+                      eta2.alias("eta2"))

@@ -101,3 +101,41 @@ def test_sax_matches_brute(spark):
     assert got[2] == "c" * 8
     assert got[3][0] == "a" and got[3][-1] == "d"
     assert got[3] == "".join(sorted(got[3]))
+
+
+def test_seasonality_strength_matches_anova(spark):
+    """eta2 vs a brute-force ANOVA, incl. the pure-seasonal (1.0),
+    phase-independent (~0) and constant (NULL) extremes."""
+    specs = {
+        # pure function of hour -> eta2 == 1
+        1: [(h, h % 24 * 10) for h in range(48)],
+        # constant -> NULL
+        2: [(h, 7) for h in range(24)],
+        # value independent of hour pattern
+        3: [(h, (h * 37 + 5) % 11) for h in range(72)],
+    }
+    rows = []
+    for ent, seq in specs.items():
+        for h, v in seq:
+            rows.append((ent, BASE + dt.timedelta(hours=h), v))
+    df = spark.createDataFrame(rows, "entity int, ts timestamp, val long")
+    from hiselspark.operators.tsprofile import seasonality_strength
+    got = {r["entity"]: r for r in
+           seasonality_strength(df, "entity", "ts", "val").collect()}
+    for ent, seq in specs.items():
+        vs = [v for _, v in seq]
+        ph = {}
+        for h, v in seq:
+            ph.setdefault(h % 24, []).append(v)
+        n, s, q = len(vs), sum(vs), sum(v * v for v in vs)
+        denom = q - s * s / n
+        r = got[ent]
+        assert r["n"] == n
+        if denom == 0:
+            assert r["eta2"] is None
+            continue
+        between = sum(sum(g) ** 2 / len(g) for g in ph.values())
+        want = (between - s * s / n) / denom
+        assert r["eta2"] == pytest.approx(want, abs=1e-9), ent
+    assert got[1]["eta2"] == pytest.approx(1.0)
+    assert got[3]["eta2"] < 0.5
