@@ -1121,6 +1121,23 @@ def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ok.alias("approx_within_5pct"))
 
 
+def q_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-F1 operating point from exact suffix-sum counts over the
+    distinct-score table (ties to the highest threshold) — the oracle
+    replays every candidate's confusion counts and the argmax."""
+    from hiselspark.operators.evaluate import best_f1_threshold
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select((F.col("cents") % 97).alias("score"),
+                   ((F.expr("cents DIV 7") % 3) == 0).cast("long")
+                   .alias("lbl"))
+    out = best_f1_threshold(df, "score", "lbl")
+    return out.select("threshold", "tp", "fp", "fn",
+                      F.round("precision", 6).alias("precision"),
+                      F.round("recall", 6).alias("recall"),
+                      F.round("f1", 6).alias("f1"))
+
+
 def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal interval per event type at alpha = 0.1:
     even event ids calibrate (exact fraction mean predictor + exact
@@ -4434,6 +4451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen": q_theil_sen,
         "cohen_kappa": q_cohen_kappa,
         "conformal": q_conformal,
+        "best_threshold": q_best_threshold,
         "hll_contract": q_hll_contract,
         "ks_by_feature": q_ks_by_feature,
         "negative_samples": q_negative_samples,
@@ -8798,6 +8816,47 @@ def oracle_sql() -> dict[str, str]:
                  AS exact_users,
                TRUE AS approx_within_5pct
         FROM events GROUP BY event_type
+    """
+    oracles["best_threshold"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), scored AS (
+          SELECT cents % 97 AS s,
+                 CASE WHEN (cents // 7) % 3 = 0 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM q
+        ), per AS (
+          SELECT s, CAST(sum(lbl) AS BIGINT) AS pos,
+                 CAST(count(*) AS BIGINT) AS tot
+          FROM scored GROUP BY s
+        ), cur AS (
+          SELECT s,
+                 CAST(sum(pos) OVER w AS BIGINT) AS tp,
+                 CAST(sum(tot) OVER w AS BIGINT) AS pp,
+                 CAST(sum(pos) OVER () AS BIGINT) AS p
+          FROM per
+          WINDOW w AS (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ), f AS (
+          SELECT s, tp, pp, p,
+                 2.0 * CAST(tp AS DOUBLE)
+                 / CAST(pp + p AS DOUBLE) AS f1,
+                 row_number() OVER (ORDER BY 2.0 * CAST(tp AS DOUBLE)
+                                    / CAST(pp + p AS DOUBLE) DESC,
+                                    s DESC) AS rn
+          FROM cur
+        )
+        SELECT CAST(s AS BIGINT) AS threshold, tp,
+               CAST(pp - tp AS BIGINT) AS fp,
+               CAST(p - tp AS BIGINT) AS fn,
+               round(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6)
+                 AS precision,
+               round(CAST(tp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+                 AS recall,
+               round(f1, 6) AS f1
+        FROM f WHERE rn = 1
     """
     oracles["conformal"] = """
         WITH e AS (

@@ -264,3 +264,46 @@ def cohen_kappa(df: DataFrame, rater1_col: str,
                 - F.col("chance_cross")).cast("double"))
     return out.select("n", "n_agree", "chance_cross",
                       kappa.alias("kappa"))
+
+
+def best_f1_threshold(df: DataFrame, score_col: str,
+                      label_col: str) -> DataFrame:
+    """The decision threshold maximizing F1 over every distinct score
+    (predict positive iff score ≥ t) — the operating-point picker that
+    belongs next to :func:`roc_curve`/:func:`confusion_at`: exact
+    suffix-sum counts over the distinct-score table (no row sort of
+    the data, the AUC machinery's shape), F1 compared as identical
+    doubles from exact integers, ties broken toward the HIGHEST
+    threshold (the conservative operating point).  Returns one row:
+    (threshold, tp, fp, fn, precision, recall, f1)."""
+    per = (df.groupBy(F.col(score_col).cast("long").alias("s"))
+           .agg(F.sum(F.col(label_col).cast("long")).alias("pos"),
+                F.count(F.lit(1)).alias("tot")))
+    w_ge = (Window.orderBy(F.col("s").desc())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.currentRow))
+    g = Window.partitionBy()
+    cur = (per
+           .withColumn("tp", F.sum("pos").over(w_ge))
+           .withColumn("pp", F.sum("tot").over(w_ge))
+           .withColumn("p", F.sum("pos").over(g)))
+    f1 = (F.lit(2.0) * F.col("tp").cast("double")
+          / (F.col("pp") + F.col("p")).cast("double"))
+    pick = (cur.withColumn("f1", f1)
+            .groupBy()
+            .agg(F.max(F.struct(
+                F.col("f1").alias("f1"),
+                F.col("s").alias("s"),
+                F.col("tp").alias("tp"),
+                F.col("pp").alias("pp"),
+                F.col("p").alias("p"))).alias("b")))
+    return pick.select(
+        F.col("b.s").alias("threshold"),
+        F.col("b.tp").alias("tp"),
+        (F.col("b.pp") - F.col("b.tp")).alias("fp"),
+        (F.col("b.p") - F.col("b.tp")).alias("fn"),
+        (F.col("b.tp").cast("double")
+         / F.col("b.pp").cast("double")).alias("precision"),
+        (F.col("b.tp").cast("double")
+         / F.col("b.p").cast("double")).alias("recall"),
+        F.col("b.f1").alias("f1"))

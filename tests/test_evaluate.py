@@ -192,3 +192,29 @@ def test_retrieval_metrics_hand_case(spark):
     assert out.loc[3, "n_hit"] == 0
     assert out.loc[3, "recall_at_3"] == 0.0
     assert out.loc[3, "mrr"] == 0.0
+
+
+def test_best_f1_threshold_matches_brute(spark):
+    from hiselspark.operators.evaluate import best_f1_threshold
+    scores = [(i * 7 + 3) % 20 for i in range(200)]
+    labels = [1 if s >= 12 or (s % 5 == 0) else 0 for s in scores]
+    df = spark.createDataFrame(list(zip(scores, labels)),
+                               "score long, lbl long")
+    r = best_f1_threshold(df, "score", "lbl").collect()[0]
+    p_tot = sum(labels)
+    best = None
+    for t in sorted(set(scores), reverse=True):
+        tp = sum(1 for s, l in zip(scores, labels) if s >= t and l)
+        pp = sum(1 for s in scores if s >= t)
+        f1 = 2 * tp / (pp + p_tot)
+        # ties to the HIGHEST threshold: strict > keeps the first
+        # (descending) candidate
+        if best is None or f1 > best[0]:
+            best = (f1, t, tp, pp)
+    f1, t, tp, pp = best
+    assert r["threshold"] == t
+    assert r["tp"] == tp and r["fp"] == pp - tp
+    assert r["fn"] == p_tot - tp
+    assert abs(r["f1"] - f1) < 1e-12
+    assert abs(r["precision"] - tp / pp) < 1e-12
+    assert abs(r["recall"] - tp / p_tot) < 1e-12
