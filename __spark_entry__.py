@@ -1121,6 +1121,17 @@ def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ok.alias("approx_within_5pct"))
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer: signed 16-bucket counts of each
+    user's event-type stream via the portable polynomial hash + CW
+    mixes — every bucket, sign and count replayed by the oracle."""
+    from hiselspark.operators.encoding import feature_hashing
+    ev = _ev(spark, sf_dir)
+    out = feature_hashing(ev, "user_id", "event_type", n_dims=16)
+    return out.select(F.col("entity").alias("user_id"), "bucket",
+                      "signed_count")
+
+
 def q_best_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-F1 operating point from exact suffix-sum counts over the
     distinct-score table (ties to the highest threshold) — the oracle
@@ -4452,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohen_kappa": q_cohen_kappa,
         "conformal": q_conformal,
         "best_threshold": q_best_threshold,
+        "feature_hashing": q_feature_hashing,
         "hll_contract": q_hll_contract,
         "ks_by_feature": q_ks_by_feature,
         "negative_samples": q_negative_samples,
@@ -8816,6 +8828,27 @@ def oracle_sql() -> dict[str, str]:
                  AS exact_users,
                TRUE AS approx_within_5pct
         FROM events GROUP BY event_type
+    """
+    from hiselspark.operators.encoding import FEATURE_HASH_SEED
+    (_fa1, _fc1), (_fa2, _fc2) = _cwc(2, FEATURE_HASH_SEED)
+    oracles["feature_hashing"] = f"""
+        WITH h AS (
+          SELECT user_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(str_split(event_type, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (acc, y) -> (acc * 31 + y) % {_m31}) AS hv
+          FROM events
+        )
+        SELECT user_id,
+               CAST(((hv * {_fa1} + {_fc1}) % {_m31}) % 16
+                    AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN ((hv * {_fa2} + {_fc2}) % {_m31})
+                                  % 2 = 0
+                        THEN 1 ELSE -1 END) AS BIGINT)
+                 AS signed_count
+        FROM h
+        GROUP BY user_id, ((hv * {_fa1} + {_fc1}) % {_m31}) % 16
     """
     oracles["best_threshold"] = """
         WITH q AS (

@@ -385,3 +385,43 @@ def rank_normalize(
                               / F.sum("__cnt").over(g))
                   .select(col, out_col))
     return df.join(mapping, col)
+
+
+FEATURE_HASH_SEED = 9103
+
+
+def feature_hashing(
+    df: DataFrame,
+    entity_col: str,
+    token_col: str,
+    n_dims: int = 16,
+    seed: int = FEATURE_HASH_SEED,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): fixed-width feature
+    vectors from unbounded categorical streams — each token maps to
+    bucket ``h(token) mod d`` with sign ``±1`` from a second hash bit,
+    and the entity's vector is the signed count per bucket.  No
+    vocabulary table, no fit step, dimensionality fixed up front —
+    the featurizer that never needs a second pass at 100 TB.
+
+    Hashes are the engine's cross-engine polynomial fold of the token
+    (``operators/splits.raw_hash``) mixed by literal Carter-Wegman
+    constants — no JVM-private hash, so a second engine recomputes
+    every bucket and sign.  Returns one row per (entity, bucket) with
+    the signed count (exact integer); densify downstream with a
+    pivot when a wide row is wanted.  ONE map-side-combined shuffle.
+    """
+    if n_dims < 2:
+        raise ValueError("n_dims must be >= 2")
+    from .bootstrap import _M31, cw_constants
+    (a1, c1), (a2, c2) = cw_constants(2, seed)
+    from .splits import raw_hash
+    h = raw_hash(token_col)
+    bucket = F.pmod(h * F.lit(a1) + F.lit(c1), F.lit(_M31)) \
+        % F.lit(n_dims)
+    sign = (F.when(F.pmod(h * F.lit(a2) + F.lit(c2), F.lit(_M31))
+                   % 2 == 0, F.lit(1)).otherwise(F.lit(-1)))
+    return (df.select(F.col(entity_col).alias("entity"),
+                      bucket.alias("bucket"), sign.alias("sgn"))
+            .groupBy("entity", "bucket")
+            .agg(F.sum("sgn").alias("signed_count")))

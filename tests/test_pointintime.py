@@ -409,3 +409,28 @@ def test_asof_join_multi_no_leakage_and_strict(spark, timeline,
             else:
                 assert (out.loc[m, f"__matched_ts_{t}"]
                         <= out.loc[m, "ts"]).all()
+
+
+def test_feature_hashing_properties(spark):
+    """Hashing trick: deterministic, fixed bucket range, same token
+    always lands in the same (bucket, sign), counts add up."""
+    import pytest as _pytest
+    from hiselspark.operators.encoding import feature_hashing
+    rows = [(1, "click")] * 5 + [(1, "view")] * 3 + [(2, "click")] * 2
+    df = spark.createDataFrame(rows, "u int, tok string")
+    a = feature_hashing(df, "u", "tok", n_dims=8).collect()
+    b = feature_hashing(df, "u", "tok", n_dims=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    got = {(r["entity"], r["bucket"]): r["signed_count"] for r in a}
+    assert all(0 <= k[1] < 8 for k in got)
+    # token -> one bucket: 'click' contributes |5| for u1, |2| for u2
+    # in the SAME bucket with the SAME sign direction
+    u1 = {k[1]: v for k, v in got.items() if k[0] == 1}
+    u2 = {k[1]: v for k, v in got.items() if k[0] == 2}
+    click_b = next(b for b, v in u2.items())
+    assert abs(u2[click_b]) == 2
+    assert abs(u1[click_b]) in (5, 2, 8)  # 5 unless view collides
+    # total absolute mass is conserved when no collision pairs cancel
+    assert sum(abs(v) for v in u2.values()) == 2
+    with _pytest.raises(ValueError):
+        feature_hashing(df, "u", "tok", n_dims=1)
