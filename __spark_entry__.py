@@ -4396,9 +4396,233 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): 3-month order
+    window, EXISTS-style left-semi join against late lineitems
+    (adapted predicate: the testdata schema has no commit/receipt
+    dates, so "late" = shipped > 30 days after the order date — the
+    plan shape, a date-windowed semi-join + priority rollup, is
+    Q4's)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    win = orders.filter(
+        (F.col("o_orderdate").cast("timestamp") >= lo)
+        & (F.col("o_orderdate").cast("timestamp") < hi))
+    late = li.select("l_orderkey", "l_shipdate")
+    joined = win.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+           > F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+           + F.lit(30 * 86400 * 1_000_000)),
+        "left_semi")
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): one-year
+    shipdate window, order join, two-way CASE rollup (adapted:
+    l_returnflag stands in for the missing l_shipmode — the plan
+    shape, a windowed join + conditional counts per mode, is
+    Q12's)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = (li.filter((F.col("l_shipdate").cast("timestamp") >= lo)
+                     & (F.col("l_shipdate").cast("timestamp") < hi))
+           .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy(F.col("l_returnflag").alias("mode"))
+           .agg(F.sum(F.when(high, 1).otherwise(0))
+                .alias("high_line_count"),
+                F.sum(F.when(high, 0).otherwise(1))
+                .alias("low_line_count")))
+    return out
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains/lift table of a derived score —
+    NTILE cuts with the deterministic (score DESC, id) order; exact
+    bucket counts, mirrored rate/lift divisions."""
+    from hiselspark.operators.evaluate import lift_table
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select("event_id",
+                   (F.col("cents") % 97).alias("score"),
+                   ((F.expr("cents DIV 7") % 3) == 0).cast("long")
+                   .alias("lbl"))
+    out = lift_table(df, "score", "lbl", "event_id", n_buckets=10)
+    return out.select(F.col("bucket").cast("long").alias("bucket"),
+                      "n", "pos", "cum_n", "cum_pos",
+                      F.round("response_rate", 6).alias("response_rate"),
+                      F.round("cum_capture", 6).alias("cum_capture"),
+                      F.round("cum_lift", 6).alias("cum_lift"))
+
+
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score on an exact 0..100
+    forecast grid — BS computed exactly as integers, REL/RES folded
+    over sorted grid cells (on the distinct-value binning the Murphy
+    identity BS = REL − RES + UNC holds); the oracle replays every
+    cell and fold term."""
+    from hiselspark.operators.evaluate import brier_decomposition
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select((F.col("cents") % 101).alias("k"),
+                   ((F.col("cents") * 13) % 100
+                    < F.col("cents") % 101).cast("long").alias("y"))
+    out = brier_decomposition(df, "k", "y", denom=100)
+    return out.select("n", "n_groups",
+                      F.round("brier", 6).alias("brier"),
+                      F.round("rel", 6).alias("rel"),
+                      F.round("res", 6).alias("res"),
+                      F.round("unc", 6).alias("unc"))
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule set per document (Rae et al. 2021
+    §A1.1) — exact integer counts and integer-comparison flags (the
+    thresholds multiply through denominators), replayed by the
+    oracle with list expressions."""
+    from hiselspark.functions.text import with_gopher_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_gopher_flags(docs, "text", min_words=20)
+    return out.select(
+        "doc_id", "n_words", "sum_word_len", "n_alpha_words",
+        "n_stopwords", "n_symbols",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        "flag_word_count", "flag_mean_len", "flag_symbols",
+        "flag_alpha", "flag_stopwords", "gopher_pass")
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the supplier↔part bipartite
+    projection: for every supplier pair sharing a part, the exact
+    common-neighbor count, Jaccard overlap and sorted-fold
+    Adamic-Adar score — every term replayed by the oracle."""
+    from hiselspark.operators.graph import link_prediction
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = link_prediction(
+        li.select(F.col("l_suppkey").alias("src"),
+                  F.col("l_partkey").alias("dst")),
+        symmetrize_input=False)
+    return out.select("a", "b", "cn", "deg_a", "deg_b",
+                      F.round("jaccard", 6).alias("jaccard"),
+                      F.round("adamic_adar", 6).alias("adamic_adar"))
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix of three derived integer
+    features — doubled average ranks off the distinct-value count
+    table keep every sufficient sum an exact int64; the oracle
+    replays ranks via RANK()+tie counts and mirrors the float
+    expression tree."""
+    from hiselspark.operators.rankstats import spearman_matrix
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select("event_id",
+                   (F.col("cents") % 500).alias("f1"),
+                   (F.col("cents") % 97).alias("f2"),
+                   ((F.col("cents") * 7) % 211).alias("f3"))
+    out = spearman_matrix(df, "event_id", ["f1", "f2", "f3"])
+    return out.select("col_x", "col_y", "n",
+                      F.round("rho", 6).alias("rho"))
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank ANOVA of event value (cents) across event
+    types, with the exact tie correction — doubled ranks exact, the
+    per-group Σ R²/n fold in sorted group order replayed by the
+    oracle term for term."""
+    from hiselspark.operators.rankstats import kruskal_wallis
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = kruskal_wallis(ev, "event_type", "cents")
+    return out.select("n", "n_groups",
+                      F.round("h", 6).alias("h"),
+                      F.round("tie_c", 6).alias("tie_c"),
+                      F.round("h_c", 6).alias("h_c"))
+
+
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t per event type between even and odd
+    event ids — exact integer moments, one mirrored float expression
+    for mean/variance/t/df."""
+    from hiselspark.operators.rankstats import welch_ttest
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = welch_ttest(ev, "event_type", F.col("event_id") % 2 == 0,
+                      "cents")
+    return out.select(F.col("grp").alias("event_type"), "n_a", "n_b",
+                      F.round("mean_a", 6).alias("mean_a"),
+                      F.round("mean_b", 6).alias("mean_b"),
+                      F.round("t", 6).alias("t"),
+                      F.round("df", 6).alias("df"))
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user autocorrelation function at lags 1-3 — the textbook
+    estimator expanded into exact integer sufficient sums (lag
+    products + head/tail edge sums), one float expression per lag
+    mirrored by the oracle."""
+    from hiselspark.operators.tsprofile import autocorrelation
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = autocorrelation(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      F.round("r1", 6).alias("r1"),
+                      F.round("r2", 6).alias("r2"),
+                      F.round("r3", 6).alias("r3"))
+
+
+def q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter (centered ±3-row window, 3 MADs) per
+    user — doubled medians keep the entire decision in integer
+    arithmetic; the oracle replays both nested medians and the flag
+    from the same frame."""
+    from hiselspark.operators.tsprofile import hampel_filter
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = hampel_filter(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(F.col("entity").alias("user_id"), "ts_us",
+                      F.col("order_id").alias("event_id"), "v",
+                      "med2", "mad2d", "is_outlier")
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per user timeline —
+    the level/trend left fold over the time-ordered series, replayed
+    by the oracle with a struct-accumulator list_reduce in the
+    identical operation order."""
+    from hiselspark.operators.tsprofile import holt_linear
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = holt_linear(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("forecast_1", 6).alias("forecast_1"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
+        "link_prediction": q_link_prediction,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q12": q_tpch_q12,
+        "lift_table": q_lift_table,
+        "brier_decomp": q_brier_decomp,
+        "gopher_rules": q_gopher_rules,
+        "spearman_corr": q_spearman_corr,
+        "kruskal_wallis": q_kruskal_wallis,
+        "welch_ttest": q_welch_ttest,
+        "acf": q_acf,
+        "hampel": q_hampel,
+        "holt_forecast": q_holt_forecast,
         "ffill": q_ffill,
         "sessionize": q_sessionize,
         "rolling_1h": q_rolling_1h,
@@ -10644,4 +10868,467 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
+    oracles["tpch_q4"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND epoch_us(l.l_shipdate)
+                  > epoch_us(o.o_orderdate) + 2592000000000)
+        GROUP BY o_orderpriority
+    """
+    oracles["tpch_q12"] = """
+        SELECT l_returnflag AS mode,
+               CAST(sum(CASE WHEN o_orderpriority
+                             IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority
+                             IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """
+    oracles["lift_table"] = """
+        WITH q AS (
+          SELECT event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), s AS (
+          SELECT event_id, cents % 97 AS score,
+                 CASE WHEN (cents // 7) % 3 = 0 THEN 1 ELSE 0 END AS y
+          FROM q
+        ), b AS (
+          SELECT y, ntile(10) OVER (ORDER BY score DESC, event_id)
+                 AS bucket
+          FROM s
+        ), per AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM b GROUP BY bucket
+        ), c AS (
+          SELECT bucket, n, pos,
+                 CAST(sum(n) OVER wc AS BIGINT) AS cum_n,
+                 CAST(sum(pos) OVER wc AS BIGINT) AS cum_pos,
+                 CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+                 CAST(sum(pos) OVER () AS BIGINT) AS tot_pos
+          FROM per
+          WINDOW wc AS (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, n, pos, cum_n,
+               cum_pos,
+               round(CAST(pos AS DOUBLE)/CAST(n AS DOUBLE), 6)
+                 AS response_rate,
+               round(CASE WHEN tot_pos > 0 THEN
+                     CAST(cum_pos AS DOUBLE)/CAST(tot_pos AS DOUBLE)
+                     END, 6) AS cum_capture,
+               round(CASE WHEN tot_pos > 0 THEN
+                     (CAST(cum_pos AS DOUBLE)/CAST(cum_n AS DOUBLE))
+                     /(CAST(tot_pos AS DOUBLE)/CAST(tot_n AS DOUBLE))
+                     END, 6) AS cum_lift
+        FROM c
+    """
+    oracles["brier_decomp"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), s AS (
+          SELECT cents % 101 AS k,
+                 CASE WHEN (cents*13) % 100 < cents % 101
+                 THEN 1 ELSE 0 END AS y
+          FROM q
+        ), per AS (
+          SELECT k, CAST(count(*) AS BIGINT) AS n_k,
+                 CAST(sum(y) AS BIGINT) AS pos_k,
+                 CAST(sum((k - 100*y)*(k - 100*y)) AS BIGINT) AS sq_k
+          FROM s GROUP BY k
+        ), agg AS (
+          SELECT CAST(sum(n_k) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS g,
+                 CAST(sum(pos_k) AS BIGINT) AS pos,
+                 CAST(sum(sq_k) AS BIGINT) AS sq,
+                 list({'k': k, 'n_k': n_k, 'pos_k': pos_k}
+                      ORDER BY k) AS cells
+          FROM per
+        ), c AS (
+          SELECT n, g, sq,
+                 CAST(pos AS DOUBLE)/CAST(n AS DOUBLE) AS obar,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cells, e ->
+                     CAST(e.n_k AS DOUBLE)
+                     *(CAST(e.k AS DOUBLE)/CAST(100.0 AS DOUBLE)
+                       - CAST(e.pos_k AS DOUBLE)
+                         /CAST(e.n_k AS DOUBLE))
+                     *(CAST(e.k AS DOUBLE)/CAST(100.0 AS DOUBLE)
+                       - CAST(e.pos_k AS DOUBLE)
+                         /CAST(e.n_k AS DOUBLE)))),
+                   (acc, y) -> acc + y) AS rel_sum,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cells, e ->
+                     CAST(e.n_k AS DOUBLE)
+                     *(CAST(e.pos_k AS DOUBLE)/CAST(e.n_k AS DOUBLE)
+                       - CAST(pos AS DOUBLE)/CAST(n AS DOUBLE))
+                     *(CAST(e.pos_k AS DOUBLE)/CAST(e.n_k AS DOUBLE)
+                       - CAST(pos AS DOUBLE)/CAST(n AS DOUBLE)))),
+                   (acc, y) -> acc + y) AS res_sum
+          FROM agg
+        )
+        SELECT n, g AS n_groups,
+               round(CAST(sq AS DOUBLE)
+                     /(CAST(n AS DOUBLE)
+                       *CAST(10000.0 AS DOUBLE)), 6) AS brier,
+               round(rel_sum/CAST(n AS DOUBLE), 6) AS rel,
+               round(res_sum/CAST(n AS DOUBLE), 6) AS res,
+               round(obar*(CAST(1.0 AS DOUBLE) - obar), 6) AS unc
+        FROM c
+    """
+    oracles["gopher_rules"] = """
+        WITH d AS (
+          SELECT doc_id, text,
+                 list_filter(str_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS w
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(w,
+                          x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS BIGINT) AS sum_word_len,
+                 CAST(len(list_filter(w,
+                        x -> regexp_matches(x, '[A-Za-z]')))
+                      AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_filter(w,
+                        x -> list_contains(['the','be','to','of',
+                                            'and','that','have',
+                                            'with'], lower(x))))
+                      AS BIGINT) AS n_stopwords,
+                 CAST(length(text)
+                      - length(regexp_replace(text, '[#…]', '', 'g'))
+                      AS BIGINT) AS n_symbols
+          FROM d
+        )
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words,
+               n_stopwords, n_symbols,
+               round(CASE WHEN n_words > 0 THEN
+                     CAST(sum_word_len AS DOUBLE)
+                     /CAST(n_words AS DOUBLE) END, 6)
+                 AS mean_word_len,
+               n_words >= 20 AND n_words <= 100000
+                 AS flag_word_count,
+               n_words > 0 AND sum_word_len >= 3*n_words
+                 AND sum_word_len <= 10*n_words AS flag_mean_len,
+               n_symbols*10 <= n_words AS flag_symbols,
+               n_alpha_words*100 >= 80*n_words AS flag_alpha,
+               n_stopwords >= 2 AS flag_stopwords,
+               (n_words >= 20 AND n_words <= 100000)
+                 AND (n_words > 0 AND sum_word_len >= 3*n_words
+                      AND sum_word_len <= 10*n_words)
+                 AND (n_symbols*10 <= n_words)
+                 AND (n_alpha_words*100 >= 80*n_words)
+                 AND (n_stopwords >= 2) AS gopher_pass
+        FROM c
+    """
+    oracles["link_prediction"] = """
+        WITH e AS (
+          SELECT DISTINCT l_suppkey AS a, l_partkey AS w FROM lineitem
+        ), degw AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS dw FROM e GROUP BY w
+        ), dega AS (
+          SELECT a, CAST(count(*) AS BIGINT) AS da FROM e GROUP BY a
+        ), wed AS (
+          SELECT e1.a AS a, e2.a AS b, e1.w
+          FROM e e1 JOIN e e2 ON e1.w = e2.w
+          WHERE e1.a < e2.a
+        ), g AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS cn,
+                 list_sort(list(dw)) AS degs
+          FROM wed JOIN degw USING (w)
+          GROUP BY a, b
+        )
+        SELECT g.a, g.b, cn, d1.da AS deg_a, d2.da AS deg_b,
+               round(CAST(cn AS DOUBLE)
+                     / CAST(d1.da + d2.da - cn AS DOUBLE), 6)
+                 AS jaccard,
+               round(list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                         list_transform(degs,
+                           d -> CAST(1.0 AS DOUBLE)
+                                / ln(CAST(d AS DOUBLE)))),
+                       (acc, y) -> acc + y), 6) AS adamic_adar
+        FROM g JOIN dega d1 ON g.a = d1.a
+               JOIN dega d2 ON g.b = d2.a
+    """
+    _sp_pairs = []
+    for _a, _b in (("f1", "f2"), ("f1", "f3"), ("f2", "f3")):
+        _sp_pairs.append(f"""
+          SELECT '{_a}' AS col_x, '{_b}' AS col_y, n,
+                 round(CASE WHEN (CAST(n AS DOUBLE)*CAST(ss_{_a} AS DOUBLE)
+                                  - CAST(s_{_a} AS DOUBLE)*CAST(s_{_a} AS DOUBLE)) > 0
+                             AND (CAST(n AS DOUBLE)*CAST(ss_{_b} AS DOUBLE)
+                                  - CAST(s_{_b} AS DOUBLE)*CAST(s_{_b} AS DOUBLE)) > 0
+                        THEN (CAST(n AS DOUBLE)*CAST(sp_{_a}_{_b} AS DOUBLE)
+                              - CAST(s_{_a} AS DOUBLE)*CAST(s_{_b} AS DOUBLE))
+                             / sqrt((CAST(n AS DOUBLE)*CAST(ss_{_a} AS DOUBLE)
+                                     - CAST(s_{_a} AS DOUBLE)*CAST(s_{_a} AS DOUBLE))
+                                    * (CAST(n AS DOUBLE)*CAST(ss_{_b} AS DOUBLE)
+                                       - CAST(s_{_b} AS DOUBLE)*CAST(s_{_b} AS DOUBLE)))
+                        END, 6) AS rho
+          FROM s""")
+    oracles["spearman_corr"] = f"""
+        WITH q0 AS (
+          SELECT event_id, abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), f AS (
+          SELECT event_id, cents % 500 AS f1, cents % 97 AS f2,
+                 (cents * 7) % 211 AS f3
+          FROM q0
+        ), r AS (
+          SELECT event_id,
+                 2*RANK() OVER (ORDER BY f1)
+                   + CAST(count(*) OVER (PARTITION BY f1) AS BIGINT) - 1 AS rf1,
+                 2*RANK() OVER (ORDER BY f2)
+                   + CAST(count(*) OVER (PARTITION BY f2) AS BIGINT) - 1 AS rf2,
+                 2*RANK() OVER (ORDER BY f3)
+                   + CAST(count(*) OVER (PARTITION BY f3) AS BIGINT) - 1 AS rf3
+          FROM f
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rf1) AS BIGINT) AS s_f1,
+                 CAST(sum(rf1*rf1) AS BIGINT) AS ss_f1,
+                 CAST(sum(rf2) AS BIGINT) AS s_f2,
+                 CAST(sum(rf2*rf2) AS BIGINT) AS ss_f2,
+                 CAST(sum(rf3) AS BIGINT) AS s_f3,
+                 CAST(sum(rf3*rf3) AS BIGINT) AS ss_f3,
+                 CAST(sum(rf1*rf2) AS BIGINT) AS sp_f1_f2,
+                 CAST(sum(rf1*rf3) AS BIGINT) AS sp_f1_f3,
+                 CAST(sum(rf2*rf3) AS BIGINT) AS sp_f2_f3
+          FROM r
+        )
+        {' UNION ALL '.join(_sp_pairs)}
+    """
+    oracles["kruskal_wallis"] = """
+        WITH q0 AS (
+          SELECT event_type AS g,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), pv AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS t FROM q0 GROUP BY v
+        ), rv AS (
+          SELECT v,
+                 2*(COALESCE(SUM(t) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) + 1) + t - 1 AS r2
+          FROM pv
+        ), j AS (
+          SELECT g, r2 FROM q0 JOIN rv USING (v)
+        ), pg AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(r2) AS BIGINT) AS rr
+          FROM j GROUP BY g
+        ), gt AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 list(CAST(rr AS DOUBLE)*CAST(rr AS DOUBLE)
+                      /CAST(n_g AS DOUBLE) ORDER BY g) AS terms
+          FROM pg
+        ), tt AS (
+          SELECT CAST(sum(t*t*t - t) AS BIGINT) AS t3t FROM pv
+        ), c AS (
+          SELECT n, k,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+                             (acc, y) -> acc + y) AS fold,
+                 t3t
+          FROM gt, tt
+        )
+        SELECT n, k AS n_groups,
+               round(CAST(3.0 AS DOUBLE)*fold
+                       /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1))
+                     - CAST(3.0 AS DOUBLE)*(CAST(n AS DOUBLE)+1), 6)
+                 AS h,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(t3t AS DOUBLE)
+                       /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+                         *CAST(n AS DOUBLE) - CAST(n AS DOUBLE)), 6)
+                 AS tie_c,
+               round(CASE WHEN (CAST(1.0 AS DOUBLE)
+                     - CAST(t3t AS DOUBLE)
+                       /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+                         *CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) > 0
+                     THEN (CAST(3.0 AS DOUBLE)*fold
+                             /(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)+1))
+                           - CAST(3.0 AS DOUBLE)*(CAST(n AS DOUBLE)+1))
+                          / (CAST(1.0 AS DOUBLE)
+                             - CAST(t3t AS DOUBLE)
+                               /(CAST(n AS DOUBLE)*CAST(n AS DOUBLE)
+                                 *CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                     END, 6) AS h_c
+        FROM c
+    """
+    oracles["welch_ttest"] = """
+        WITH q0 AS (
+          SELECT event_type AS grp, event_id % 2 = 0 AS flag,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), a AS (
+          SELECT grp,
+                 CAST(count(CASE WHEN flag THEN v END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN flag THEN v END) AS BIGINT) AS sa,
+                 CAST(sum(CASE WHEN flag THEN v*v END) AS BIGINT) AS ssa,
+                 CAST(count(CASE WHEN NOT flag THEN v END) AS BIGINT) AS nb,
+                 CAST(sum(CASE WHEN NOT flag THEN v END) AS BIGINT) AS sb,
+                 CAST(sum(CASE WHEN NOT flag THEN v*v END) AS BIGINT) AS ssb
+          FROM q0 GROUP BY grp
+        ), e AS (
+          SELECT grp, na, nb,
+                 CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) AS ma,
+                 CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE) AS mb,
+                 (CAST(na AS DOUBLE)*CAST(ssa AS DOUBLE)
+                  - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+                 /(CAST(na AS DOUBLE)*(CAST(na AS DOUBLE)-1))
+                 /CAST(na AS DOUBLE) AS sea,
+                 (CAST(nb AS DOUBLE)*CAST(ssb AS DOUBLE)
+                  - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))
+                 /(CAST(nb AS DOUBLE)*(CAST(nb AS DOUBLE)-1))
+                 /CAST(nb AS DOUBLE) AS seb
+          FROM a
+        )
+        SELECT grp AS event_type, na AS n_a, nb AS n_b,
+               round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+               round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+                     THEN (ma - mb)/sqrt(sea + seb) END, 6) AS t,
+               round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+                     THEN (sea + seb)*(sea + seb)
+                          /(sea*sea/(CAST(na AS DOUBLE)-1)
+                            + seb*seb/(CAST(nb AS DOUBLE)-1)) END, 6)
+                 AS df
+        FROM e
+    """
+    _acf_lags = []
+    for _k in (1, 2, 3):
+        _acf_lags.append(f"""
+               round(CASE WHEN n > {_k}
+                           AND (CAST(q AS DOUBLE)
+                                - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                                  /CAST(n AS DOUBLE)) > 0
+                     THEN (CAST(c{_k} AS DOUBLE)
+                           - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                             *(CAST(head{_k} AS DOUBLE)
+                               + CAST(tail{_k} AS DOUBLE))
+                           + CAST(n - {_k} AS DOUBLE)
+                             *(CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                             *(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))
+                          /(CAST(q AS DOUBLE)
+                            - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                              /CAST(n AS DOUBLE))
+                     END, 6) AS r{_k}""")
+    oracles["acf"] = f"""
+        WITH q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), l AS (
+          SELECT user_id, v,
+                 lag(v, 1) OVER w AS g1,
+                 lag(v, 2) OVER w AS g2,
+                 lag(v, 3) OVER w AS g3
+          FROM q0
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s,
+                 CAST(sum(v*v) AS BIGINT) AS q,
+                 CAST(sum(v*g1) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g1 IS NOT NULL THEN v END) AS BIGINT) AS tail1,
+                 CAST(sum(g1) AS BIGINT) AS head1,
+                 CAST(sum(v*g2) AS BIGINT) AS c2,
+                 CAST(sum(CASE WHEN g2 IS NOT NULL THEN v END) AS BIGINT) AS tail2,
+                 CAST(sum(g2) AS BIGINT) AS head2,
+                 CAST(sum(v*g3) AS BIGINT) AS c3,
+                 CAST(sum(CASE WHEN g3 IS NOT NULL THEN v END) AS BIGINT) AS tail3,
+                 CAST(sum(g3) AS BIGINT) AS head3
+          FROM l GROUP BY user_id
+        )
+        SELECT user_id, n,
+               {','.join(_acf_lags)}
+        FROM a
+    """
+    oracles["hampel"] = """
+        WITH q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), w0 AS (
+          SELECT user_id, us, event_id, v,
+                 list_sort(list(v) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+          FROM q0
+        ), m AS (
+          SELECT user_id, us, event_id, v, arr,
+                 arr[CAST((len(arr)-1)//2 + 1 AS INT)]
+                 + arr[CAST(len(arr)//2 + 1 AS INT)] AS med2
+          FROM w0
+        ), d AS (
+          SELECT user_id, us, event_id, v, med2,
+                 list_sort(list_transform(arr,
+                   x -> abs(2*x - med2))) AS devs
+          FROM m
+        )
+        SELECT user_id, us AS ts_us, event_id, v, med2,
+               devs[CAST((len(devs)-1)//2 + 1 AS INT)]
+               + devs[CAST(len(devs)//2 + 1 AS INT)] AS mad2d,
+               4*abs(2*v - med2)
+                 > 3*(devs[CAST((len(devs)-1)//2 + 1 AS INT)]
+                      + devs[CAST(len(devs)//2 + 1 AS INT)])
+                 AS is_outlier
+        FROM d
+    """
+    # NOTE: a struct-accumulator list_reduce would be the natural
+    # replay of the Holt fold, but DuckDB 1.0 mis-evaluates lambdas
+    # whose struct output references several accumulator fields in
+    # one expression (verified with a minimal probe) — so the oracle
+    # unrolls the recursion as a recursive CTE instead, stepping one
+    # time-ordered row per iteration with the identical float ops.
+    oracles["holt_forecast"] = """
+        WITH RECURSIVE q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(abs(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   AS v
+          FROM events
+        ), ser AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM q0
+        ), rec AS (
+          SELECT user_id, i, n, v AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM ser WHERE i = 1
+          UNION ALL
+          SELECT s.user_id, s.i, s.n,
+                 CAST(0.5 AS DOUBLE)*s.v
+                   + CAST(0.5 AS DOUBLE)*(r.l + r.b) AS l,
+                 CAST(0.5 AS DOUBLE)
+                   *((CAST(0.5 AS DOUBLE)*s.v
+                      + CAST(0.5 AS DOUBLE)*(r.l + r.b)) - r.l)
+                   + CAST(0.5 AS DOUBLE)*r.b AS b
+          FROM rec r
+          JOIN ser s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n, round(l, 6) AS level,
+               round(b, 6) AS trend,
+               round(l + b, 6) AS forecast_1
+        FROM rec WHERE i = n
+    """
     return oracles

@@ -422,3 +422,83 @@ def bpe_pretokens(col) -> Column:
     c = F.lower(F.col(col) if isinstance(col, str) else col)
     arr = F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)
     return F.filter(arr, lambda t: F.trim(t) != "")
+
+
+# the Gopher stopword probe (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1: require >= 2 of these in a document)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+
+def with_gopher_flags(df: DataFrame, col: str = "text",
+                      min_words: int = 50, max_words: int = 100_000,
+                      min_mean_len: int = 3, max_mean_len: int = 10,
+                      max_symbol_ratio: float = 0.1,
+                      min_alpha_frac: float = 0.8,
+                      min_stopwords: int = 2) -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021 §A1.1) as exact
+    per-document flags — the published rule set used (with minor
+    variations) by MassiveText/RefinedWeb/Dolma-style curation:
+
+    * ``n_words`` in [min_words, max_words]
+    * mean word length in [min_mean_len, max_mean_len]
+    * symbol-to-word ratio (``#`` and ``…``) ≤ max_symbol_ratio
+    * fraction of words containing ≥ 1 alphabetic char ≥ min_alpha_frac
+    * ≥ min_stopwords hits from the 8-word Gopher stopword probe
+
+    All counts are exact integers from JVM-side split/filter
+    expressions (no UDF); every threshold test multiplies through the
+    denominator so the flags themselves are INTEGER comparisons
+    (``sum_len·10 ≥ 3·10·n_words`` style) — no float boundary can
+    disagree between engines.  The mean/ratio columns are emitted as
+    one float division each for inspection.
+
+    Adds: n_words, sum_word_len, n_alpha_words, n_stopwords,
+    n_symbols, mean_word_len, and the five flag_* booleans plus
+    ``gopher_pass`` (AND of all five).  Word splitting is on
+    whitespace runs of the trimmed text (empty text → 0 words).
+    """
+    text = F.col(col)
+    # drop empty fragments so leading/trailing whitespace (and the
+    # empty document) can't disagree between engines' split rules
+    words = F.filter(F.split(F.trim(text), r"\s+"),
+                     lambda w: F.length(w) > 0)
+    out = df.withColumn("__w", words)
+    n_words = F.size("__w")
+    sum_len = F.aggregate(
+        "__w", F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"))
+    n_alpha = F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(F.filter(
+        "__w", lambda w: F.lower(w).isin(*GOPHER_STOPWORDS)))
+    n_sym = (F.length(text)
+             - F.length(F.regexp_replace(text, r"[#…]", "")))
+    out = (out
+           .withColumn("n_words", n_words.cast("long"))
+           .withColumn("sum_word_len", sum_len)
+           .withColumn("n_alpha_words", n_alpha.cast("long"))
+           .withColumn("n_stopwords", n_stop.cast("long"))
+           .withColumn("n_symbols", n_sym.cast("long"))
+           .drop("__w"))
+    nw = F.col("n_words")
+    mean_len = F.when(nw > 0, F.col("sum_word_len").cast("double")
+                      / nw.cast("double"))
+    # integer-exact threshold tests (scale ratios through denominators)
+    sym_den = int(round(1.0 / max_symbol_ratio))
+    alpha_num, alpha_den = (int(round(min_alpha_frac * 100)), 100)
+    flags = {
+        "flag_word_count": (nw >= int(min_words)) & (nw <= int(max_words)),
+        "flag_mean_len": (nw > 0)
+        & (F.col("sum_word_len") >= int(min_mean_len) * nw)
+        & (F.col("sum_word_len") <= int(max_mean_len) * nw),
+        "flag_symbols": F.col("n_symbols") * sym_den <= nw,
+        "flag_alpha": F.col("n_alpha_words") * alpha_den
+        >= alpha_num * nw,
+        "flag_stopwords": F.col("n_stopwords") >= int(min_stopwords),
+    }
+    out = out.withColumn("mean_word_len", mean_len)
+    passing = None
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        passing = expr if passing is None else (passing & expr)
+    return out.withColumn("gopher_pass", passing)

@@ -307,3 +307,128 @@ def best_f1_threshold(df: DataFrame, score_col: str,
         (F.col("b.tp").cast("double")
          / F.col("b.p").cast("double")).alias("recall"),
         F.col("b.f1").alias("f1"))
+
+
+def lift_table(df: DataFrame, score_col: str, label_col: str,
+               id_col: str, n_buckets: int = 10) -> DataFrame:
+    """Decile lift / cumulative-gains table — the campaign-targeting
+    view of a ranker: sort by score descending, cut into
+    ``n_buckets`` equal-count buckets, and report per bucket the
+    exact positives, cumulative capture rate and cumulative lift
+    (response rate of the top-k buckets over the base rate).
+
+    Determinism: NTILE over ties is order-dependent, so the bucket
+    order is (score DESC, id ASC) with ``id_col`` a unique id — the
+    standard engine convention for rank cuts.  Bucket boundaries are
+    the exact NTILE rule (first ``n mod B`` buckets get the extra
+    row).  Counts are exact integers; rates/lift are one mirrored
+    float expression each.
+
+    Shape: the rank is computed off the distinct-(score,id) order —
+    a single unpartitioned window over the scored frame.  For a
+    bounded evaluation frame that is the exact contract (same as
+    ``roc_curve``/``exact_quantiles``); at corpus scale cut on an
+    approximate-quantile score histogram instead.
+
+    Returns (bucket, n, pos, cum_n, cum_pos, response_rate,
+    cum_capture, cum_lift).
+    """
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    bucketed = df.select(
+        F.col(label_col).cast("long").alias("y"),
+        F.ntile(int(n_buckets)).over(w).alias("bucket"))
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("pos"))
+    wc = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy()
+    cur = per.select(
+        "bucket", "n", "pos",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("pos").over(wc).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("pos").over(wall).alias("tot_pos"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    return cur.select(
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        (d("pos") / d("n")).alias("response_rate"),
+        F.when(F.col("tot_pos") > 0,
+               d("cum_pos") / d("tot_pos")).alias("cum_capture"),
+        F.when(F.col("tot_pos") > 0,
+               (d("cum_pos") / d("cum_n"))
+               / (d("tot_pos") / d("tot_n"))).alias("cum_lift"))
+
+
+def brier_decomposition(df: DataFrame, prob_col: str, label_col: str,
+                        denom: int = 100) -> DataFrame:
+    """Murphy decomposition of the Brier score for a probabilistic
+    binary forecast quantized to an exact grid ``k/denom``:
+
+        BS = REL − RES + UNC
+        REL = Σ_k n_k·(p_k − o_k)²/N   (reliability: calibration gap)
+        RES = Σ_k n_k·(o_k − ō)²/N     (resolution: discrimination)
+        UNC = ō·(1 − ō)                 (irreducible base-rate noise)
+
+    grouped by the distinct forecast value p_k (the finest-grained —
+    and only decomposition-exact — binning).  ``prob_col`` must be
+    the INTEGER numerator k (0..denom): the engine's exact-grid
+    convention, so every group count/positive sum is an exact
+    integer, p_k = k/denom is one division, and the Σ folds run over
+    groups in sorted-k order — bit-identical and SQL-replayable.
+    The Brier score itself is computed EXACTLY as an integer:
+    Σ (k − denom·y)² / denom², so the REL − RES + UNC identity is
+    verifiable to float precision against an independently exact BS.
+
+    Returns one row: (n, n_groups, brier, rel, res, unc).
+    """
+    k = F.col(prob_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(k.alias("k"), y.alias("y"))
+    per = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_k"),
+        F.sum("y").alias("pos_k"),
+        F.sum((F.col("k") - F.lit(int(denom)) * F.col("y"))
+              * (F.col("k") - F.lit(int(denom)) * F.col("y")))
+         .alias("sq_k"))
+    agg = per.agg(
+        F.sum("n_k").alias("n"),
+        F.count(F.lit(1)).alias("g"),
+        F.sum("pos_k").alias("pos"),
+        F.sum("sq_k").alias("sq"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("k").alias("k"), F.col("n_k").alias("n_k"),
+            F.col("pos_k").alias("pos_k")))).alias("cells"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n = d("n")
+    obar = d("pos") / n
+    dd = float(denom)
+    rel = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, c: acc + c["n_k"].cast("double")
+        * (c["k"].cast("double") / F.lit(dd)
+           - c["pos_k"].cast("double") / c["n_k"].cast("double"))
+        * (c["k"].cast("double") / F.lit(dd)
+           - c["pos_k"].cast("double") / c["n_k"].cast("double")))
+    res = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, c: acc + c["n_k"].cast("double")
+        * (c["pos_k"].cast("double") / c["n_k"].cast("double") - obar)
+        * (c["pos_k"].cast("double") / c["n_k"].cast("double") - obar))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("g").cast("long").alias("n_groups"),
+        (d("sq") / (n * F.lit(dd * dd))).alias("brier"),
+        (rel / n).alias("rel"),
+        (res / n).alias("res"),
+        (obar * (F.lit(1.0) - obar)).alias("unc"))

@@ -271,3 +271,80 @@ def kcore(edges: DataFrame, k: int, rounds: int = 6,
             .union(cur.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("core_deg")))
+
+
+def link_prediction(edges: DataFrame, src: str = "src",
+                    dst: str = "dst", symmetrize_input: bool = True,
+                    exclude_existing: bool = True,
+                    max_center_degree: int | None = None) -> DataFrame:
+    """Common-neighbor link prediction: for every node pair (a < b)
+    that shares at least one neighbor, the exact common-neighbor
+    count, the Jaccard overlap of their neighbor sets, and the
+    Adamic-Adar score Σ_{w ∈ N(a)∩N(b)} 1/ln(deg(w)).
+
+    Determinism: cn / deg are exact integer counts; Jaccard is one
+    float division; the Adamic-Adar sum — the one true float
+    reduction — is folded over the common-neighbor degree list in
+    SORTED order (``sort_array`` → ``F.aggregate``), so it is
+    bit-identical across partitionings and the DuckDB oracle replays
+    it term for term with ``list_sort`` + ``list_reduce``.  Every
+    common neighbor has deg ≥ 2 by construction, so ln(deg) ≥ ln 2
+    and no term divides by zero.
+
+    ``symmetrize_input=False`` treats ``edges`` as a directed
+    adjacency (entity → attribute): pairs form on the ``src`` side
+    through shared ``dst`` attributes — the one-mode projection of a
+    bipartite graph (users sharing items, suppliers sharing parts),
+    which is the corpus-curation use (co-engagement candidates).
+
+    Scale shape: the wedge join on the center node w is the single
+    heavy exchange; its fan-out is Σ_w deg(w)² — quadratic in hub
+    degree, exactly like :func:`triangle_count` before orientation.
+    ``max_center_degree`` drops hub centers above the cap (the
+    standard mitigation: a hub contributes only 1/ln(deg) ≈ 0 per
+    pair but deg² join rows); the drop is a DECLARED bias — scores
+    lose those near-zero terms, and cn/jaccard are then computed on
+    the capped neighbor sets.  At 10^12 edges: cap hubs, bucket the
+    adjacency by w, and the wedge join is co-partitioned.
+
+    Returns (a, b, cn, deg_a, deg_b, jaccard, adamic_adar).
+    """
+    if symmetrize_input:
+        adj = symmetrize(edges, src, dst)  # (src=node, dst=neighbor)
+    else:
+        adj = edges.select(F.col(src).alias("src"),
+                           F.col(dst).alias("dst")).distinct()
+    adj = adj.select(F.col("src").cast("long").alias("node"),
+                     F.col("dst").cast("long").alias("w"))
+    degw = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg_w"))
+    if max_center_degree is not None:
+        degw = degw.filter(F.col("deg_w") <= max_center_degree)
+        adj = adj.join(degw.select("w"), "w", "left_semi")
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    lhs = adj.select(F.col("w"), F.col("node").alias("a"))
+    rhs = adj.select(F.col("w"), F.col("node").alias("b"))
+    wedges = (lhs.join(rhs, "w")
+              .filter(F.col("a") < F.col("b"))
+              .join(degw, "w"))
+    pairs = wedges.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sort_array(F.collect_list("deg_w")).alias("cn_degs"))
+    if exclude_existing and symmetrize_input:
+        existing = (adj.filter(F.col("node") < F.col("w"))
+                    .select(F.col("node").alias("a"),
+                            F.col("w").alias("b")))
+        pairs = pairs.join(existing, ["a", "b"], "left_anti")
+    pairs = (pairs
+             .join(deg.select(F.col("node").alias("a"),
+                              F.col("deg").alias("deg_a")), "a")
+             .join(deg.select(F.col("node").alias("b"),
+                              F.col("deg").alias("deg_b")), "b"))
+    aa = F.aggregate(
+        "cn_degs", F.lit(0.0),
+        lambda acc, x: acc + F.lit(1.0) / F.log(x.cast("double")))
+    jac = (F.col("cn").cast("double")
+           / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+           .cast("double"))
+    return pairs.select(
+        "a", "b", "cn", "deg_a", "deg_b",
+        jac.alias("jaccard"), aa.alias("adamic_adar"))

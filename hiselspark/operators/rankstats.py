@@ -1,0 +1,225 @@
+"""Rank-based statistics — Spearman correlation, Kruskal-Wallis,
+Welch's t — in the engine's exact-integer discipline.
+
+Ranks are where float nondeterminism usually sneaks into "robust"
+statistics (average ranks are halves; summing them is a float
+reduction whose order depends on partitioning).  Every rank here is
+kept as a DOUBLED integer:
+
+    r2(v) = 2·avg_rank(v) = 2·min_rank(v) + ties(v) − 1
+
+an exact int64, computed from one window over the value column.  All
+sufficient statistics (Σr2, Σr2², Σr2x·r2y, per-group rank sums) are
+then exact integer sums — associative, bit-identical across any
+partitioning — and the final statistic is ONE fixed float expression
+both engines (and the DuckDB oracle) evaluate identically.
+
+Overflow discipline: with n rows, r2 ≤ 2n, so Σr2x·r2y ≤ 4n³ and the
+n·Σ cross terms reach 4n⁴ — int64-safe for n < ~55k and exact-double-
+safe (< 2⁵³) for n < ~7k per statistic.  The statistics below divide
+BEFORE multiplying where it matters and document per-function bounds;
+at 10^12-row scale you'd compute the same sums in DECIMAL(38,0)
+(Spark) / HUGEINT (DuckDB) — the plan shape (one unpivot shuffle, one
+window, one aggregate) is unchanged.
+
+The reference engine (transferwise/hisel) ranks features with
+HSIC/MI (`hisel/select.py`, `hisel/stats.py`); these operators extend
+that inference surface with the classical rank tests a feature-audit
+dashboard runs next to it.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def spearman_matrix(df: DataFrame, id_col: str,
+                    cols: Sequence[str]) -> DataFrame:
+    """Spearman rank correlation of every column pair.
+
+    Spearman = Pearson on average ranks, and average ranks are kept
+    as exact doubled integers (module docstring), so the whole matrix
+    reduces to integer sufficient statistics — the same one-pass
+    O(k²)-sums discipline as :func:`profile.corr_matrix`, applied to
+    ranks (the ×2 scaling cancels in the correlation ratio, but both
+    engines evaluate the identical r2 expression anyway).
+
+    Shape: unpivot (map-only) → per-(feature, value) count table →
+    ordered running sum per feature (doubled average rank r2 =
+    2·(below+1) + ties − 1) → join ranks back → pivot wide on
+    ``id_col`` → ONE aggregate of exact integer sums.  No global row
+    sort anywhere: ranks come off the distinct-value count table, so
+    the heaviest exchange is on (feature, value).
+
+    ``cols`` must be integer-valued (cents convention) and NULL-free
+    upstream; ``id_col`` must be a unique row id.  Integer bound:
+    n·Σr2x·r2y ≤ 4n⁴ — int64-exact for n < 55k; at corpus scale run
+    the identical plan with DECIMAL(38,0) sums.
+
+    Returns one row per unordered pair (col_x < col_y in input
+    order): (col_x, col_y, n, rho).
+    """
+    cols = list(cols)
+    parts = [
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.lit(c).alias("feat"),
+                  F.col(c).cast("long").alias("v"))
+        for c in cols
+    ]
+    long_df = parts[0]
+    for p in parts[1:]:
+        long_df = long_df.unionAll(p)
+    per_v = long_df.groupBy("feat", "v").agg(
+        F.count(F.lit(1)).alias("t"))
+    w_run = (Window.partitionBy("feat").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_v.select(
+        "feat", "v",
+        (F.lit(2) * (F.coalesce(F.sum("t").over(w_run), F.lit(0)) + 1)
+         + F.col("t") - 1).alias("r2"))
+    with_r = long_df.join(ranked, ["feat", "v"])
+    wide = (with_r.groupBy("id")
+            .pivot("feat", cols)
+            .agg(F.first("r2")))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    stats = wide.agg(*aggs)
+
+    def d(name):
+        return F.col(name).cast("double")
+
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            n = d("n")
+            num = n * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")
+            vx = n * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}")
+            vy = n * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}")
+            row = stats.select(
+                F.lit(a).alias("col_x"), F.lit(b).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                F.when((vx > 0) & (vy > 0),
+                       num / F.sqrt(vx * vy)).alias("rho"))
+            pairs = row if pairs is None else pairs.unionAll(row)
+    return pairs
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Kruskal-Wallis H (rank ANOVA) of ``value_col`` across the
+    groups of ``group_col``, with the exact tie correction.
+
+    One global window ranks all values (doubled average ranks r2 =
+    2·min_rank + ties − 1, exact ints); per-group doubled rank sums
+    R2_g and counts n_g are exact integer aggregates.  Then
+
+        H  = 3·Σ_g (R2_g²/n_g) / (n(n+1)) − 3(n+1)
+        C  = 1 − Σ_v (t_v³ − t_v) / (n³ − n)      (tie correction)
+        Hc = H / C
+
+    The Σ_g fold is evaluated over groups in sorted group-key order
+    (collect → sort_array → aggregate) so the float sum is
+    bit-reproducible and SQL-replayable; group counts are tiny (it's
+    a statistical test, not a rollup), so the per-test array is
+    bounded.  Returns one row: (n, n_groups, h, tie_c, h_c).
+
+    No global row sort: ranks come off the distinct-VALUE count table
+    (value → count → running sum), so the only unpartitioned window
+    is over distinct values — bounded by the value domain, not by n —
+    and the rank join back onto rows is a broadcast of that table.
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"))
+    # doubled average rank from the distinct-value count table: no
+    # global row sort, just an ordered running sum over distinct values
+    per_v = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked_v = per_v.select(
+        "v", "t",
+        (F.lit(2) * (F.coalesce(F.sum("t").over(w_run), F.lit(0)) + 1)
+         + F.col("t") - 1).alias("r2"))
+    joined = base.join(F.broadcast(ranked_v.select("v", "r2")), "v")
+    per_g = joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("r2").alias("R2"))
+    # fold Σ R2²/n_g over groups in sorted-key order (bounded array)
+    gterms = per_g.agg(
+        F.sum("n_g").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("g").cast("string").alias("g"),
+            F.col("R2").alias("R2"),
+            F.col("n_g").alias("n_g")))).alias("terms"))
+    ties = per_v.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+         .alias("t3t"))
+    s = gterms.crossJoin(F.broadcast(ties))
+    fold = F.aggregate(
+        "terms", F.lit(0.0),
+        lambda acc, x: acc + (x["R2"].cast("double")
+                              * x["R2"].cast("double")
+                              / x["n_g"].cast("double")))
+    n = F.col("n").cast("double")
+    h = (F.lit(3.0) * fold / (n * (n + 1)) - F.lit(3.0) * (n + 1))
+    tie_c = F.lit(1.0) - F.col("t3t").cast("double") / (n * n * n - n)
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        h.alias("h"),
+        tie_c.alias("tie_c"),
+        F.when(tie_c > 0, h / tie_c).alias("h_c"))
+
+
+def welch_ttest(df: DataFrame, group_col: str, flag_col,
+                value_col: str) -> DataFrame:
+    """Welch's unequal-variance t between the two samples of
+    ``flag_col`` (boolean column/expression) within every group of
+    ``group_col`` — the audit test for "did this feature's mean move
+    between period A and period B", run for all groups in ONE
+    aggregation pass.
+
+    ``value_col`` must be integer-quantized (cents convention): the
+    per-sample n, Σv, Σv² are exact integer sums; mean, the unbiased
+    variance (n·Σv² − (Σv)²)/(n·(n−1)), the t statistic and the
+    Welch-Satterthwaite df are ONE fixed float expression — identical
+    in Spark and the SQL oracle.  Returns (group, n_a, n_b, mean_a,
+    mean_b, t, df); groups where either side has < 2 rows or both
+    variances are zero yield NULL t/df.
+    """
+    flag = flag_col if not isinstance(flag_col, str) else F.col(flag_col)
+    v = F.col(value_col).cast("long")
+    a = F.when(flag, v)
+    b = F.when(~flag, v)
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(a).alias("na"), F.sum(a).alias("sa"),
+        F.sum(a * a).alias("ssa"),
+        F.count(b).alias("nb"), F.sum(b).alias("sb"),
+        F.sum(b * b).alias("ssb"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    na, nb = d("na"), d("nb")
+    ma, mb = d("sa") / na, d("sb") / nb
+    va = (na * d("ssa") - d("sa") * d("sa")) / (na * (na - 1))
+    vb = (nb * d("ssb") - d("sb") * d("sb")) / (nb * (nb - 1))
+    sea, seb = va / na, vb / nb
+    se2 = sea + seb
+    t = F.when((F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0),
+               (ma - mb) / F.sqrt(se2))
+    dof = F.when((F.col("na") >= 2) & (F.col("nb") >= 2) & (se2 > 0),
+                 se2 * se2 / (sea * sea / (na - 1)
+                              + seb * seb / (nb - 1)))
+    return agg.select(
+        F.col("grp"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        ma.alias("mean_a"), mb.alias("mean_b"),
+        t.alias("t"), dof.alias("df"))

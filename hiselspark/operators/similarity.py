@@ -13,8 +13,9 @@
 * :func:`embedding_near_duplicates` — all pairs with cosine above a
   threshold (near-dup detection for embedding columns).
 
-Hyperplanes are generated from a seeded counter hash (no RNG state),
-so signatures are reproducible across runs and partitionings.
+Hyperplanes are generated once on the driver from a seeded NumPy
+``Generator`` (PCG64) and broadcast, so signatures are reproducible
+across runs and partitionings for a fixed seed and NumPy version.
 """
 from __future__ import annotations
 

@@ -244,3 +244,201 @@ def seasonality_strength(
     return agg.select("entity", "n",
                       F.size("ph").cast("long").alias("n_phases"),
                       eta2.alias("eta2"))
+
+
+def autocorrelation(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple = (1, 2, 3),
+) -> DataFrame:
+    """Per-entity sample autocorrelation function at the given lags —
+    the classical estimator
+
+        r_k = Σ_{t=1..n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    with the numerator expanded into EXACT integer sufficient sums so
+    the only floats are one fixed expression per lag:
+
+        num_k = C_k − x̄·(H_k + T_k) + (n−k)·x̄²
+
+    where C_k = Σ x_t·x_{t+k} (exact int via a lag window), H_k/T_k =
+    Σ of the first/last n−k values (exact ints from the totals minus
+    the k edge values, taken off the same window), and x̄ = Σx/n is
+    the single division.  Denominator = Σx² − (Σx)²/n likewise.  Both
+    engines evaluate the identical expression tree → bit-identical
+    doubles, and the DuckDB oracle replays it.
+
+    Scale shape: ONE entity shuffle — the ordered lag window and the
+    whole-partition totals share the entity exchange, then one
+    groupBy(entity).  r_k is NULL when n ≤ k or the series is
+    constant.  Returns (entity, n, r_<k>...).
+    """
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy("entity").orderBy("__t", "__o")
+    cur = base.withColumn("idx", F.row_number().over(w))
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    ]
+    for k in lags:
+        cur = cur.withColumn(f"lag{k}", F.lag("v", int(k)).over(w))
+        # C_k: products where the lag exists; head/tail edge sums
+        aggs.append(F.sum(F.col("v") * F.col(f"lag{k}"))
+                    .alias(f"c{k}"))
+        aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
+                                 F.col("v"))).alias(f"tail{k}"))
+        aggs.append(F.sum(F.when(F.col(f"lag{k}").isNotNull(),
+                                 F.col(f"lag{k}"))).alias(f"head{k}"))
+    agg = cur.groupBy("entity").agg(*aggs)
+
+    nn = F.col("n").cast("double")
+    xbar = F.col("s").cast("double") / nn
+    den = F.col("q").cast("double") - (F.col("s").cast("double")
+                                       * F.col("s").cast("double")) / nn
+    sel = [F.col("entity"), F.col("n").cast("long").alias("n")]
+    for k in lags:
+        nk = (F.col("n") - F.lit(int(k))).cast("double")
+        num = (F.col(f"c{k}").cast("double")
+               - xbar * (F.col(f"head{k}").cast("double")
+                         + F.col(f"tail{k}").cast("double"))
+               + nk * xbar * xbar)
+        sel.append(F.when((F.col("n") > int(k)) & (den > 0),
+                          num / den).alias(f"r{k}"))
+    return agg.select(*sel)
+
+
+def hampel_filter(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    half_window: int = 3,
+    n_mads: int = 3,
+) -> DataFrame:
+    """Hampel outlier filter: flag points more than ``n_mads`` MADs
+    from the CENTERED rolling median of ±``half_window`` neighbors —
+    the standard offline series-cleaning step (Pearson's rule).
+
+    NOT a point-in-time feature: the centered frame reads future rows
+    by construction.  Use it to clean/curate training series before
+    feature extraction, never as a serving-time feature (the PIT
+    operators in ``windows.py`` are the leakage-free family).
+
+    Exact-integer decision — no floats anywhere: with sorted window
+    values, the DOUBLED median ``med2 = lo + hi`` of the middle pair
+    is an exact int; deviations ``d_i = |2·x_i − med2|`` are exact
+    ints; the doubled median of deviations ``mad2d = d_lo + d_hi``
+    is 4·MAD; and
+
+        |x − med| > n_mads·MAD   ⇔   2·d > n_mads·mad2d / 2
+                                 ⇔   4·d > n_mads·mad2d
+
+    so the flag is an integer comparison — bit-identical in any
+    engine, no consistency constant, no interpolation rule to match.
+
+    Scale shape: one entity exchange; the rows-frame buffers
+    2·half_window+1 values per row (bounded).  Returns the input keys
+    plus (v, med2, mad2d, is_outlier).
+    """
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w = (Window.partitionBy("entity").orderBy("__t", "__o")
+         .rowsBetween(-int(half_window), int(half_window)))
+    arr = F.array_sort(F.collect_list("v").over(w))
+
+    def med2_of(sorted_arr):
+        n = F.size(sorted_arr)
+        lo = F.element_at(sorted_arr,
+                          (F.floor((n - 1) / 2) + 1).cast("int"))
+        hi = F.element_at(sorted_arr,
+                          (F.floor(n / 2) + 1).cast("int"))
+        return lo + hi
+
+    cur = base.withColumn("med2", med2_of(arr))
+    devs = F.array_sort(F.transform(
+        F.collect_list("v").over(w),
+        lambda x: F.abs(F.lit(2) * x - F.col("med2"))))
+    cur = cur.withColumn("mad2d", med2_of(devs))
+    d = F.abs(F.lit(2) * F.col("v") - F.col("med2"))
+    flag = (F.lit(4) * d > F.lit(int(n_mads)) * F.col("mad2d"))
+    return cur.select(
+        "entity", F.col("__t").alias("ts_us"),
+        F.col("__o").alias("order_id"), "v", "med2", "mad2d",
+        flag.alias("is_outlier"))
+
+
+def holt_linear(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per entity — the
+    level/trend recursion
+
+        l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+        b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l_1 = x_1, b_1 = 0, with the one-step-ahead forecast
+    l_n + b_n — the seasonal-free baseline forecaster every
+    monitoring pipeline runs per metric.
+
+    A recursion is inherently sequential per series, so it is
+    evaluated as a LEFT FOLD over the time-ordered value array
+    (``F.aggregate`` with a (level, trend) struct accumulator) — the
+    same fixed operation order the DuckDB oracle replays with
+    ``list_reduce`` over a struct list, giving bit-identical doubles
+    (α = β = 0.5 are exact binary fractions, though any fixed float
+    works since the op order is pinned).
+
+    Scale shape: one entity exchange; the fold materializes each
+    series once inside its group (bounded by per-entity length — the
+    same contract as every per-series rank/recursion operator here).
+    Returns (entity, n, level, trend, forecast_1).
+    """
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("double").alias("v"))
+    agg = base.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__t").alias("t"), F.col("__o").alias("o"),
+            F.col("v").alias("v")))).alias("series"))
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    vals = F.transform("series", lambda s: s["v"])
+    zero = F.struct(
+        F.element_at(vals, 1).alias("l"),
+        F.lit(0.0).alias("b"))
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+
+    def step(acc, x):
+        new_l = a * x + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        new_b = b * (new_l - acc["l"]) + (F.lit(1.0) - b) * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fin = F.aggregate(rest, zero, step)
+    return agg.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        fin["l"].alias("level"), fin["b"].alias("trend"),
+        (fin["l"] + fin["b"]).alias("forecast_1"))
