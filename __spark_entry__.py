@@ -764,6 +764,20 @@ def q_mrmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 6).alias("score"))
 
 
+def q_cmim_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy CMIM (Fleuret 2004) over the same feature frame:
+    max of min-conditional-MI-given-selected per step, k=4 — the
+    sharper redundancy test next to mRMR's mean penalty.  The oracle
+    replays every conditional MI (3-way count cells, sorted fold) and
+    every min/argmax step; nothing is pinned."""
+    from hiselspark.operators.feature_rank import cmim_select
+    out = cmim_select(_mi_feature_frame(spark, sf_dir),
+                      _MI_FEATURES, "y", k=4)
+    return out.select("rk", "feature",
+                      F.round("relevance", 6).alias("relevance"),
+                      F.round("cmim_score", 6).alias("cmim_score"))
+
+
 def q_hsic_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact delta-kernel HSIC-b feature ranking over the derived
     event features — the count-closed form of the reference's
@@ -2998,6 +3012,51 @@ def q_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return now.join(before, "source")
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction (Iceberg rewrite_data_files) as its own
+    gate: 6 single-file streaming-style commits are bin-packed into 2
+    z-ordered files; rows must be IDENTICAL before and after (joined
+    per-source aggregates), the file counts are deterministic
+    contract constants, and time travel to the pre-compact version
+    still works — the oracle replays the aggregates from parquet and
+    pins the 6 -> 2 file contract."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snapcompact:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snapcompact_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.version != 7 or cur.operation != "compact":
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text", "source"))
+        for lo in range(0, 300, 50):                   # v1..v6
+            t.write(docs.where(F.col("doc_id").between(lo, lo + 49))
+                    .coalesce(1), mode="append")
+        t.compact(spark, target_files=2, zorder_by=["doc_id"])  # v7
+    snap = t.current()
+    files_before = int(snap.properties.get("compacted_from", -1))
+    files_after = len(snap.files)
+    assert snap.operation == "compact"
+    now = t.read(spark).groupBy("source").agg(
+        F.count("*").alias("n_now"),
+        F.sum("doc_id").cast("long").alias("ids_now"))
+    before = t.read(spark, version=6).groupBy("source").agg(
+        F.count("*").alias("n_before"))
+    return (now.join(before, "source")
+            .withColumn("files_before", F.lit(files_before)
+                        .cast("long"))
+            .withColumn("files_after", F.lit(files_after)
+                        .cast("long")))
+
+
 def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the snapshot table: target = documents
     with doc_id < 300 committed as 3 range files; source updates
@@ -4396,6 +4455,37 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_image_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-binary-pattern texture stats end-to-end on synthesized
+    8x8 raw payloads — code bits, uniform-pattern test (circular
+    transitions via xor/bit_count) and distinct-code count all exact
+    integers; the oracle replays every pixel's 8 comparisons."""
+    from hiselspark.functions.image import with_lbp_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_lbp_stats(imgs)
+    return out.select("okey", "lbp_sum", "lbp_n_uniform",
+                      "lbp_distinct")
+
+
+def q_image_median3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 median filter (impulse-noise denoiser) stats end-to-end on
+    synthesized 8x8 raw payloads — the 9-neighborhood median is the
+    exact 5th-smallest integer, replayed by the oracle with
+    list_sort over the same arithmetic pixels."""
+    from hiselspark.functions.image import with_median3_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_median3_stats(imgs)
+    return out.select("okey", "med_sum", "med_max", "n_changed")
+
+
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): 3-month order
     window, EXISTS-style left-semi join against late lineitems
@@ -4612,6 +4702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
         "link_prediction": q_link_prediction,
+        "image_lbp": q_image_lbp,
+        "image_median3": q_image_median3,
         "tpch_q4": q_tpch_q4,
         "tpch_q12": q_tpch_q12,
         "lift_table": q_lift_table,
@@ -4666,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_drift": q_wasserstein_drift,
         "info_gain_rank": q_info_gain_rank,
         "mrmr_select": q_mrmr_select,
+        "cmim_select": q_cmim_select,
         "hsic_rank": q_hsic_rank,
         "hsic_multi": q_hsic_multi,
         "hsic_perm": q_hsic_perm,
@@ -4799,6 +4892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_catchup": q_snapshot_catchup,
         "snapshot_upsert": q_snapshot_upsert,
         "snapshot_delete": q_snapshot_delete,
+        "snapshot_compact": q_snapshot_compact,
         "zorder_prune": q_zorder_prune,
         "snapshot_stream": q_snapshot_stream,
         "temperature_mix": q_temperature_mix,
@@ -5220,6 +5314,92 @@ def _mrmr_oracle_sql(k: int = 4) -> str:
     """)
 
 
+def _cmi_sql_ctes(name: str, src: str) -> str:
+    """CTE chain computing exact plug-in CONDITIONAL MI per (fa, fb)
+    of a long table ``src`` with columns (fa, fb, x, y, z) — the same
+    3-way integer count table, marginal window sums and sorted float
+    fold as ``operators/feature_rank.conditional_mi_table``."""
+    return f"""
+        {name}_cells AS (
+          SELECT fa, fb, x, y, z, CAST(count(*) AS BIGINT) AS c
+          FROM {src} GROUP BY fa, fb, x, y, z
+        ), {name}_m AS (
+          SELECT fa, fb, x, y, z, c,
+            CAST(sum(c) OVER (PARTITION BY fa, fb, z) AS BIGINT)
+              AS cz,
+            CAST(sum(c) OVER (PARTITION BY fa, fb, x, z) AS BIGINT)
+              AS cxz,
+            CAST(sum(c) OVER (PARTITION BY fa, fb, y, z) AS BIGINT)
+              AS cyz
+          FROM {name}_cells
+        ), {name}_g AS (
+          SELECT fa, fb, CAST(sum(c) AS BIGINT) AS n,
+            list_sort(list({{'x': x, 'y': y, 'z': z, 'c': c,
+                             'cz': cz, 'cxz': cxz, 'cyz': cyz}}))
+              AS cl
+          FROM {name}_m GROUP BY fa, fb
+        ), {name} AS MATERIALIZED (
+          SELECT fa, fb, n,
+            list_reduce(list_prepend(0.0, list_transform(cl, s ->
+              (CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln(CAST(s.c * s.cz AS DOUBLE)
+                   / CAST(s.cxz * s.cyz AS DOUBLE)))),
+              (acc, t) -> acc + t) AS cmi
+          FROM {name}_g
+        )"""
+
+
+def _cmim_oracle_sql(k: int = 4) -> str:
+    """TRUE SQL oracle for cmim_select: relevance MI table plus ALL
+    ordered-pair conditional MIs, then ``k`` unrolled greedy steps
+    (min over the selected set, argmax with ties to the feature
+    name) — nothing is pinned."""
+    feats = sorted(_MI_FEATURE_NAMES)
+    rel_unions = "\n          UNION ALL ".join(
+        f"SELECT '{f}' AS feature, {f} AS x, y FROM feat"
+        for f in _MI_FEATURE_NAMES)
+    tri_unions = "\n          UNION ALL ".join(
+        f"SELECT '{a}' AS fa, '{b}' AS fb, {a} AS x, y AS y,"
+        f" {b} AS z FROM feat"
+        for a in feats for b in feats if a != b)
+    ctes = [
+        _MI_FEAT_SQL.strip(),
+        f"rlong AS (\n          {rel_unions}\n        )",
+        _mi_sql_ctes("rel", "rlong", ["feature"]).strip(),
+        f"tlong AS (\n          {tri_unions}\n        )",
+        _cmi_sql_ctes("cmib", "tlong").strip(),
+        "p1 AS MATERIALIZED (SELECT feature, mi AS relevance,"
+        " mi AS cmim_score FROM rel"
+        " ORDER BY mi DESC, feature ASC LIMIT 1)",
+        "sel1 AS (SELECT feature FROM p1)",
+    ]
+    for t in range(2, k + 1):
+        ctes.append(f"""rem{t - 1} AS (
+          SELECT * FROM rel WHERE feature NOT IN
+            (SELECT feature FROM sel{t - 1}))""")
+        ctes.append(f"""cand{t} AS (
+          SELECT r.feature, r.mi AS relevance,
+                 min(cm.cmi) AS cmim_score
+          FROM rem{t - 1} r JOIN cmib cm ON cm.fa = r.feature
+            AND cm.fb IN (SELECT feature FROM sel{t - 1})
+          GROUP BY r.feature, r.mi)""")
+        ctes.append(f"""p{t} AS MATERIALIZED (
+          SELECT feature, relevance, cmim_score
+          FROM cand{t}
+          ORDER BY cmim_score DESC, feature ASC LIMIT 1)""")
+        if t < k:
+            ctes.append(f"sel{t} AS (SELECT feature FROM sel{t - 1}"
+                        f" UNION ALL SELECT feature FROM p{t})")
+    unions = "\n          UNION ALL ".join(
+        f"SELECT {t} AS rk, feature, relevance, cmim_score"
+        f" FROM p{t}" for t in range(1, k + 1))
+    return ("WITH " + ",\n        ".join(ctes) + f"""
+        SELECT rk, feature, round(relevance, 6) AS relevance,
+               round(cmim_score, 6) AS cmim_score
+        FROM ({unions})
+    """)
+
+
 def _sql_cos(a: str, b: str) -> str:
     """DuckDB cosine of two DOUBLE[] expressions (same shape as the
     gate-green ``embedding_topk`` oracle)."""
@@ -5465,6 +5645,73 @@ def _conv_oracle_sql() -> str:
                CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS conv_n_pos
         FROM r GROUP BY okey
+    """
+
+
+def _lbp_oracle_sql() -> str:
+    """TRUE SQL oracle for image_lbp: synthesized pixels expand
+    inline, so each valid pixel's 8 neighbor comparisons, the code's
+    circular-transition count (xor + bit_count against the 8-bit
+    rotation) and the per-image rollups are replayed exactly."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((okey*7919 + ((y+{dy})*24 + (x+{dx})*3 + {c})*31) % 256)"
+            for c in range(3))
+        return f"({terms})"
+    offs = ((-1, -1), (-1, 0), (-1, 1), (0, 1),
+            (1, 1), (1, 0), (1, -1), (0, -1))
+    code = " + ".join(
+        f"CASE WHEN {g(dy, dx)} >= {g(0, 0)} THEN {1 << i} ELSE 0 END"
+        for i, (dy, dx) in enumerate(offs))
+    return f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey,
+                 CAST({code} AS BIGINT) AS code
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ), u AS (
+          SELECT okey, code,
+                 bit_count(xor(code,
+                   ((code*2) % 256) + (code // 128))) AS trans
+          FROM px
+        )
+        SELECT okey,
+               CAST(sum(code) AS BIGINT) AS lbp_sum,
+               CAST(sum(CASE WHEN trans <= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS lbp_n_uniform,
+               CAST(count(DISTINCT code) AS BIGINT) AS lbp_distinct
+        FROM u GROUP BY okey
+    """
+
+
+def _median3_oracle_sql() -> str:
+    """TRUE SQL oracle for image_median3: the 9-pixel neighborhood of
+    each valid pixel expands inline and the exact median is
+    ``list_sort([...])[5]`` — the 5th-smallest integer, no
+    interpolation rule to match."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((okey*7919 + ((y+{dy})*24 + (x+{dx})*3 + {c})*31) % 256)"
+            for c in range(3))
+        return f"({terms})"
+    nine = ", ".join(g(dy, dx)
+                     for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+    return f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey,
+                 list_sort([{nine}])[5] AS med,
+                 {g(0, 0)} AS center
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        )
+        SELECT okey,
+               CAST(sum(med) AS BIGINT) AS med_sum,
+               CAST(max(med) AS BIGINT) AS med_max,
+               CAST(sum(CASE WHEN med <> center THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_changed
+        FROM px GROUP BY okey
     """
 
 
@@ -6669,6 +6916,8 @@ def oracle_sql() -> dict[str, str]:
     # hybrid: pinned k-means assignment, SQL-replayed dedup decision
     oracles["semantic_dedup"] = _semantic_dedup_oracle_sql(eps=0.65)
     oracles["image_conv"] = _conv_oracle_sql()
+    oracles["image_lbp"] = _lbp_oracle_sql()
+    oracles["image_median3"] = _median3_oracle_sql()
     oracles["image_equalize"] = _equalize_oracle_sql()
     oracles["image_otsu"] = _otsu_oracle_sql()
     oracles["image_morph"] = _morph_oracle_sql()
@@ -7572,6 +7821,23 @@ def oracle_sql() -> dict[str, str]:
           FROM target GROUP BY source
         )
         SELECT now.source, n_now, ids_now, n_before
+        FROM now JOIN before USING (source)
+    """
+    oracles["snapshot_compact"] = """
+        WITH target AS (
+          SELECT doc_id, source FROM documents
+          WHERE doc_id BETWEEN 0 AND 299
+        ), now AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_now,
+                 CAST(sum(doc_id) AS BIGINT) AS ids_now
+          FROM target GROUP BY source
+        ), before AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_before
+          FROM target GROUP BY source
+        )
+        SELECT now.source, n_now, ids_now, n_before,
+               CAST(6 AS BIGINT) AS files_before,
+               CAST(2 AS BIGINT) AS files_after
         FROM now JOIN before USING (source)
     """
     oracles["snapshot_upsert"] = """
@@ -10868,6 +11134,7 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
+    oracles["cmim_select"] = _cmim_oracle_sql(k=4)
     oracles["tpch_q4"] = """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS order_count

@@ -1282,3 +1282,160 @@ def with_box_peak(df: DataFrame) -> DataFrame:
             yield _boxmax_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+# clockwise 8-neighborhood from the top-left corner — the standard
+# LBP bit order (Ojala et al. 2002); bit i weights 2^i
+LBP_OFFSETS = ((-1, -1), (-1, 0), (-1, 1), (0, 1),
+               (1, 1), (1, 0), (1, -1), (0, -1))
+
+
+def _lbp_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Local-binary-pattern texture stats per image, vectorized per
+    shape group.  For every valid (non-border) pixel of the exact
+    grayscale channel SUM, the 8-bit LBP code sets bit i when
+    clockwise neighbor i >= center (ties count as set — the Ojala
+    convention).  Emitted stats are all exact integers a SQL engine
+    replays pixel-for-pixel:
+
+    * ``lbp_sum``       Σ codes over the valid region
+    * ``lbp_n_uniform`` # pixels whose code is a UNIFORM pattern
+                        (≤ 2 circular bit transitions — Ojala's
+                        rotation-robust texture class)
+    * ``lbp_distinct``  # distinct codes in the image (texture
+                        richness / flatness detector)
+    """
+    m = len(pdf)
+    lsum = np.empty(m, dtype=np.int64)
+    nuni = np.empty(m, dtype=np.int64)
+    ndist = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        c = g[:, 1:-1, 1:-1]
+        code = np.zeros_like(c)
+        for i, (dy, dx) in enumerate(LBP_OFFSETS):
+            nb = g[:, 1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+            code += (nb >= c).astype(np.int64) << i
+        lsum[rows] = code.sum(axis=(1, 2), dtype=np.int64)
+        rot = ((code << 1) | (code >> 7)) & 0xFF
+        trans = np.zeros_like(code)
+        x = code ^ rot
+        for _ in range(8):
+            trans += x & 1
+            x >>= 1
+        nuni[rows] = (trans <= 2).sum(axis=(1, 2), dtype=np.int64)
+        flat = code.reshape(len(rows), -1)
+        srt = np.sort(flat, axis=1)
+        ndist[rows] = 1 + (srt[:, 1:] != srt[:, :-1]).sum(
+            axis=1, dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["lbp_sum"] = lsum
+    out["lbp_n_uniform"] = nuni
+    out["lbp_distinct"] = ndist
+    return out
+
+
+def with_lbp_stats(df: DataFrame) -> DataFrame:
+    """Append LBP texture statistics (see :func:`_lbp_frame`) and drop
+    the payload.  Arrow-batched ``mapInPandas`` over shape-grouped raw
+    payloads; integer arithmetic end to end, blobs dropped before
+    anything shuffles."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("lbp_sum", T.LongType()),
+           T.StructField("lbp_n_uniform", T.LongType()),
+           T.StructField("lbp_distinct", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _lbp_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _median3_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """3x3 median filter (salt-and-pepper denoiser) stats per image:
+    the median of the 9-pixel neighborhood of the grayscale channel
+    sum is the 5th-smallest — an EXACT integer (no interpolation), so
+    another engine replays it as ``list_sort(...)[5]``.  Emits
+    ``med_sum`` (Σ medians over the valid region), ``med_max`` and
+    ``n_changed`` (# pixels the filter altered — an impulse-noise
+    score)."""
+    m = len(pdf)
+    msum = np.empty(m, dtype=np.int64)
+    mmax = np.empty(m, dtype=np.int64)
+    nchg = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        stack = np.stack([g[:, 1 + dy:h - 1 + dy, 1 + dx:w - 1 + dx]
+                          for dy in (-1, 0, 1) for dx in (-1, 0, 1)],
+                         axis=-1)
+        med = np.sort(stack, axis=-1)[..., 4]  # 5th smallest of 9
+        c = g[:, 1:-1, 1:-1]
+        msum[rows] = med.sum(axis=(1, 2), dtype=np.int64)
+        mmax[rows] = med.max(axis=(1, 2))
+        nchg[rows] = (med != c).sum(axis=(1, 2), dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["med_sum"] = msum
+    out["med_max"] = mmax
+    out["n_changed"] = nchg
+    return out
+
+
+def with_median3_stats(df: DataFrame) -> DataFrame:
+    """Append 3x3-median-filter statistics (see :func:`_median3_frame`)
+    and drop the payload — same mapInPandas shape-group plan as the
+    other pixel operators."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("med_sum", T.LongType()),
+           T.StructField("med_max", T.LongType()),
+           T.StructField("n_changed", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _median3_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)

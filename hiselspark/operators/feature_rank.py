@@ -418,3 +418,125 @@ def hsic_stability(
         .withColumn("stability",
                     F.col("n_selected").cast("double")
                     / F.col("n_replicates").cast("double")))
+
+
+def conditional_mi_table(
+    df: DataFrame,
+    triples: Sequence[Tuple[str, str, str]],
+    keys: Sequence[Tuple[str, str]],
+) -> DataFrame:
+    """Exact plug-in CONDITIONAL mutual information I(X; Y | Z) for a
+    list of (x_col, y_col, z_col) triples, labeled by ``keys``
+    (parallel (fa, fb) string pairs):
+
+        I(X;Y|Z) = Σ_{x,y,z} (c_xyz/n) · ln( c_xyz·c_z / (c_xz·c_yz) )
+
+    The same integer-count discipline as :func:`mutual_info_table`,
+    one dimension deeper: ONE count shuffle over the stacked triple
+    cells, marginals as window sums over the same exchange, and the
+    float fold in sorted (x, y, z) cell order.
+    """
+    parts = []
+    for (xc, yc, zc), (fa, fb) in zip(triples, keys):
+        parts.append(
+            f"'{fa}', '{fb}', CAST({xc} AS LONG), "
+            f"CAST({yc} AS LONG), CAST({zc} AS LONG)")
+    long_df = df.selectExpr(
+        f"stack({len(parts)}, {', '.join(parts)})"
+        " AS (fa, fb, __x, __y, __z)")
+    cells = (long_df.groupBy("fa", "fb", "__x", "__y", "__z")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    from pyspark.sql import Window
+    wz = Window.partitionBy("fa", "fb", "__z")
+    wxz = Window.partitionBy("fa", "fb", "__x", "__z")
+    wyz = Window.partitionBy("fa", "fb", "__y", "__z")
+    cells = (cells
+             .withColumn("__cz", F.sum("__c").over(wz))
+             .withColumn("__cxz", F.sum("__c").over(wxz))
+             .withColumn("__cyz", F.sum("__c").over(wyz)))
+    per_key = (cells.groupBy("fa", "fb")
+               .agg(F.sum("__c").alias("n"),
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("__x").alias("x"),
+                        F.col("__y").alias("y"),
+                        F.col("__z").alias("z"),
+                        F.col("__c").alias("c"),
+                        F.col("__cz").alias("cz"),
+                        F.col("__cxz").alias("cxz"),
+                        F.col("__cyz").alias("cyz")))).alias("__cells")))
+
+    def term(acc, s):
+        return acc + (
+            s["c"].cast("double") / F.col("n").cast("double")
+        ) * F.log(
+            (s["c"] * s["cz"]).cast("double")
+            / (s["cxz"] * s["cyz"]).cast("double")
+        )
+
+    return (per_key
+            .withColumn("cmi", F.aggregate("__cells", F.lit(0.0), term))
+            .drop("__cells"))
+
+
+def cmim_select(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy CMIM selection (Fleuret, "Fast Binary Feature Selection
+    with Conditional Mutual Information", JMLR 2004): step 1 takes the
+    max-relevance feature; step t takes
+
+        argmax_f  min_{s ∈ selected}  I(f; y | s)
+
+    — the candidate whose WORST-case conditional information (given
+    any one already-picked feature) is largest, which kills both
+    redundant features (CMI ≈ 0 given their twin) and irrelevant ones
+    (all CMIs ≈ 0).  mRMR penalizes average redundancy; CMIM penalizes
+    the single most-explaining selected feature — the sharper test.
+    Ties go to the feature name.  Returns the trace
+    (rk, feature, relevance, cmim_score).
+
+    Shape: the d relevance MIs and d(d−1) conditional MIs are computed
+    in two count shuffles (cells bounded by feature-pair count x value
+    alphabet, never row count); the greedy runs on the driver over
+    that tiny table.  The min over selected is order-independent
+    (exact comparisons of identical doubles), so no fold-order
+    discipline is needed beyond the per-CMI sorted cell fold.
+    """
+    if k < 1 or k > len(feature_cols):
+        raise ValueError("k must be in [1, n_features]")
+    rel_rows = info_gain_rank(df, feature_cols, label_col).collect()
+    rel: Dict[str, float] = {r["feature"]: r["mi"] for r in rel_rows}
+    feats = sorted(feature_cols)
+    triples = [(f, label_col, s) for f in feats for s in feats
+               if f != s]
+    keys = [(f, s) for f in feats for s in feats if f != s]
+    cmi_rows = conditional_mi_table(df, triples, keys).collect()
+    cmi: Dict[Tuple[str, str], float] = {
+        (r["fa"], r["fb"]): r["cmi"] for r in cmi_rows}
+
+    remaining = list(feats)
+    selected: List[str] = []
+    trace = []
+    for step in range(1, k + 1):
+        best = None
+        for f in remaining:
+            score = (min(cmi[(f, s)] for s in selected)
+                     if selected else rel[f])
+            if best is None or score > best[0]:
+                best = (score, f)
+        score, f = best
+        trace.append((step, f, float(rel[f]), float(score)))
+        selected.append(f)
+        remaining.remove(f)
+
+    spark = df.sparkSession
+    schema = T.StructType([
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("feature", T.StringType()),
+        T.StructField("relevance", T.DoubleType()),
+        T.StructField("cmim_score", T.DoubleType()),
+    ])
+    return spark.createDataFrame(trace, schema)

@@ -1,0 +1,172 @@
+"""LBP / median-filter image stats and CMIM selection vs brute-force
+references."""
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+OFFS = ((-1, -1), (-1, 0), (-1, 1), (0, 1),
+        (1, 1), (1, 0), (1, -1), (0, -1))
+
+
+def _mk_imgs(spark, n=6, w=8, h=8, seed=31):
+    rng = np.random.default_rng(seed)
+    rows = []
+    arrs = {}
+    for i in range(n):
+        a = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        arrs[i] = a
+        rows.append((i, w, h, "raw", bytearray(a.tobytes())))
+    df = spark.createDataFrame(
+        rows, "okey long, w int, h int, fmt string, bytes binary")
+    return df, arrs
+
+
+def test_lbp_brute(spark):
+    df, arrs = _mk_imgs(spark)
+    from hiselspark.functions.image import with_lbp_stats
+    out = {r["okey"]: r for r in with_lbp_stats(df).collect()}
+    for i, a in arrs.items():
+        g = a.sum(axis=2, dtype=np.int64)
+        h, w = g.shape
+        codes = []
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                c = 0
+                for bit, (dy, dx) in enumerate(OFFS):
+                    if g[y + dy, x + dx] >= g[y, x]:
+                        c |= 1 << bit
+                codes.append(c)
+        assert out[i]["lbp_sum"] == sum(codes)
+        assert out[i]["lbp_distinct"] == len(set(codes))
+
+        def uniform(c):
+            bits = [(c >> b) & 1 for b in range(8)]
+            return sum(bits[b] != bits[(b + 1) % 8]
+                       for b in range(8)) <= 2
+        assert out[i]["lbp_n_uniform"] == sum(uniform(c)
+                                              for c in codes)
+
+
+def test_lbp_flat_image_is_all_ones(spark):
+    # constant image: every neighbor >= center -> code 255 everywhere
+    a = np.full((8, 8, 3), 7, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(0, 8, 8, "raw", bytearray(a.tobytes()))],
+        "okey long, w int, h int, fmt string, bytes binary")
+    from hiselspark.functions.image import with_lbp_stats
+    r = with_lbp_stats(df).collect()[0]
+    assert r["lbp_sum"] == 255 * 36
+    assert r["lbp_distinct"] == 1
+    assert r["lbp_n_uniform"] == 36  # 255 has 0 transitions
+
+
+def test_median3_brute(spark):
+    df, arrs = _mk_imgs(spark, seed=37)
+    from hiselspark.functions.image import with_median3_stats
+    out = {r["okey"]: r for r in with_median3_stats(df).collect()}
+    for i, a in arrs.items():
+        g = a.sum(axis=2, dtype=np.int64)
+        h, w = g.shape
+        meds, changed = [], 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                nb = sorted(g[y + dy, x + dx]
+                            for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+                m = nb[4]
+                meds.append(m)
+                changed += int(m != g[y, x])
+        assert out[i]["med_sum"] == sum(meds)
+        assert out[i]["med_max"] == max(meds)
+        assert out[i]["n_changed"] == changed
+
+
+def test_median3_removes_impulse(spark):
+    a = np.full((8, 8, 3), 50, dtype=np.uint8)
+    a[4, 4] = 255  # salt pixel
+    df = spark.createDataFrame(
+        [(0, 8, 8, "raw", bytearray(a.tobytes()))],
+        "okey long, w int, h int, fmt string, bytes binary")
+    from hiselspark.functions.image import with_median3_stats
+    r = with_median3_stats(df).collect()[0]
+    assert r["med_max"] == 150       # the impulse is gone
+    assert r["n_changed"] == 1       # only the salt pixel changed
+
+
+def _brute_mi(xs, ys):
+    from collections import Counter
+    n = len(xs)
+    cxy = Counter(zip(xs, ys))
+    cx, cy = Counter(xs), Counter(ys)
+    return sum(c / n * math.log(c * n / (cx[x] * cy[y]))
+               for (x, y), c in cxy.items())
+
+
+def _brute_cmi(xs, ys, zs):
+    from collections import Counter
+    n = len(xs)
+    cxyz = Counter(zip(xs, ys, zs))
+    cz = Counter(zs)
+    cxz = Counter(zip(xs, zs))
+    cyz = Counter(zip(ys, zs))
+    return sum(c / n * math.log(c * cz[z] / (cxz[(x, z)] * cyz[(y, z)]))
+               for (x, y, z), c in cxyz.items())
+
+
+def test_cmim_brute(spark):
+    rng = np.random.default_rng(41)
+    n = 400
+    a = rng.integers(0, 4, n)
+    b = (a + rng.integers(0, 2, n)) % 4   # near-copy of a
+    c = rng.integers(0, 3, n)
+    y = (a + c) % 3
+    rows = [(int(a[i]), int(b[i]), int(c[i]), int(y[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "fa long, fb long, fc long, y long")
+    from hiselspark.operators.feature_rank import cmim_select
+    out = cmim_select(df, ["fa", "fb", "fc"], "y", k=3).collect()
+    xs = {"fa": a.tolist(), "fb": b.tolist(), "fc": c.tolist()}
+    rel = {f: _brute_mi(v, y.tolist()) for f, v in xs.items()}
+    # replicate the greedy
+    feats = sorted(xs)
+    selected, rows_expect = [], []
+    for step in range(1, 4):
+        best = None
+        for f in feats:
+            if f in selected:
+                continue
+            s = (min(_brute_cmi(xs[f], y.tolist(), xs[s0])
+                     for s0 in selected) if selected else rel[f])
+            if best is None or s > best[0]:
+                best = (s, f)
+        rows_expect.append((step, best[1], rel[best[1]], best[0]))
+        selected.append(best[1])
+    for got, exp in zip(sorted(out, key=lambda r: r["rk"]),
+                        rows_expect):
+        assert got["rk"] == exp[0] and got["feature"] == exp[1]
+        assert got["relevance"] == pytest.approx(exp[2], rel=1e-9)
+        assert got["cmim_score"] == pytest.approx(exp[3], rel=1e-9)
+    # CMIM must rank the near-copy fb LAST: once its twin is selected,
+    # min-CMI collapses to ~0 while the complementary feature survives
+    order = [r["feature"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert order[2] == "fb"
+
+
+def test_snapshot_compact_roundtrip(spark, tmp_path):
+    from hiselspark.sources.snapshots import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    rows = [(i, f"r{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for lo in range(0, 100, 25):
+        t.write(df.where(F.col("id").between(lo, lo + 24)).coalesce(1),
+                mode="append")
+    assert len(t.current().files) == 4
+    snap = t.compact(spark, target_files=1, zorder_by=["id"])
+    assert snap.operation == "compact" and len(snap.files) == 1
+    got = sorted((r["id"], r["s"]) for r in t.read(spark).collect())
+    assert got == rows
+    # pre-compact version still time-travels
+    old = t.read(spark, version=4).count()
+    assert old == 100
