@@ -4455,6 +4455,102 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between two derived integer features — the
+    concordant/discordant counts come off the contingency-cell
+    self-join (O(V²) in distinct values, never O(n²) in rows) and the
+    oracle replays every product cell."""
+    from hiselspark.operators.rankstats import kendall_tau
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        (F.col("cents") % 25).alias("x"),
+        ((F.col("cents") % 25) * 3
+         + (F.expr("cents DIV 7") % 10)).alias("__t")
+    ).select("x", (F.col("__t") % 30).alias("y"))
+    out = kendall_tau(df, "x", "y")
+    return out.select("n", "n_pairs", "concordant", "discordant",
+                      F.round("tau_b", 6).alias("tau_b"))
+
+
+def q_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best decision-stump threshold by exact information gain over
+    the (feature, label) count table — every candidate's class
+    entropies fold in sorted order and the oracle replays every
+    split's gain plus the deterministic argmax."""
+    from hiselspark.operators.rankstats import stump_split
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select((F.col("cents") % 50).alias("x"),
+                   (F.expr("cents DIV 7") % 3).alias("y"))
+    out = stump_split(df, "x", "y")
+    return out.select("threshold", "n_left", "n_right",
+                      F.round("h_parent", 6).alias("h_parent"),
+                      F.round("gain", 6).alias("gain"))
+
+
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KS drift dashboard with Benjamini-Hochberg FDR control:
+    exact per-feature D, the asymptotic Smirnov p-value (one mirrored
+    exp expression) and the step-up rejection at alpha=0.05 — rank,
+    thresholds and the k* cut all replayed by the oracle."""
+    from hiselspark.operators.drift import ks_drift_fdr
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    base = ev.select(
+        (F.col("cents") % 2).alias("f_parity"),
+        (F.col("cents") % 5).alias("f_mod5"),
+        (F.expr("cents DIV 7") % 2).alias("f_seven2"),
+        (F.expr("cents DIV 7") % 4).alias("f_seven4"),
+        (F.expr("unix_micros(cast(ts as timestamp))"
+                " DIV 3600000000") % 24).alias("f_hour"),
+        F.length("event_type").alias("f_typelen"),
+        (F.col("ts").cast("timestamp")
+         < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .alias("__ref"))
+    out = ks_drift_fdr(base, _MI_FEATURES, F.col("__ref"), alpha=0.05)
+    return out.select(F.col("key").alias("feature"),
+                      F.round("ks", 6).alias("ks"),
+                      F.round("p", 6).alias("p"),
+                      "rank", "m",
+                      F.round("bh_threshold", 6).alias("bh_threshold"),
+                      "reject")
+
+
+def q_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch integration contract (the KLL/GK sibling of
+    hll_contract): per event type, the EXACT interpolated median
+    (oracle-checked value) next to a boolean asserting Spark's
+    approx_percentile(accuracy=1000) landed within its published rank
+    error n/accuracy (plus ONE rank of slack for the target-rank
+    definition: the sketch aims at ceil(q*n) while the test centers
+    on q*n — the half-rank gap otherwise fails hairline cases) — the
+    rank test is pure integer arithmetic against the count of values
+    below/at the sketch's answer."""
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    apx = (ev.groupBy("event_type")
+           .agg(F.expr("approx_percentile(cents, 0.5, 1000)")
+                .alias("__apx"),
+                F.percentile("cents", 0.5).alias("p50_exact"),
+                F.count(F.lit(1)).alias("n")))
+    j = ev.join(F.broadcast(apx), "event_type")
+    out = (j.groupBy("event_type")
+           .agg(F.max("n").alias("n"),
+                F.max("p50_exact").alias("p50_exact"),
+                F.sum(F.when(F.col("cents") < F.col("__apx"), 1)
+                      .otherwise(0)).alias("__lt"),
+                F.sum(F.when(F.col("cents") <= F.col("__apx"), 1)
+                      .otherwise(0)).alias("__le")))
+    ok = ((F.lit(1000) * F.col("__lt")
+           <= F.lit(500) * F.col("n") + F.col("n") + F.lit(1000))
+          & (F.lit(1000) * F.col("__le")
+             >= F.lit(500) * F.col("n") - F.col("n") - F.lit(1000)))
+    return out.select("event_type", "n",
+                      F.round("p50_exact", 6).alias("p50_exact"),
+                      ok.alias("within_rank_bound"))
+
+
 def q_image_lbp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local-binary-pattern texture stats end-to-end on synthesized
     8x8 raw payloads — code bits, uniform-pattern test (circular
@@ -4703,6 +4799,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "link_prediction": q_link_prediction,
         "image_lbp": q_image_lbp,
+        "kendall_tau": q_kendall_tau,
+        "stump_split": q_stump_split,
+        "fdr_bh": q_fdr_bh,
+        "quantile_contract": q_quantile_contract,
         "image_median3": q_image_median3,
         "tpch_q4": q_tpch_q4,
         "tpch_q12": q_tpch_q12,
@@ -9288,6 +9388,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(nb) AS BIGINT) AS n_cur
         FROM m WHERE gap = best GROUP BY feature
     """
+    oracles["fdr_bh"] = f"""
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 ts, event_type,
+                 ts < TIMESTAMP '2024-01-15' AS ref
+          FROM events
+        ), rlong AS (
+          {_ks_unions}
+        ), per AS (
+          SELECT feature, value,
+                 CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END)
+                      AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN ref THEN 0 ELSE 1 END)
+                      AS BIGINT) AS b
+          FROM rlong WHERE value IS NOT NULL
+          GROUP BY feature, value
+        ), t AS (
+          SELECT feature, value,
+                 abs(CAST(sum(a) OVER w AS DOUBLE)
+                     / CAST(sum(a) OVER g AS DOUBLE)
+                     - CAST(sum(b) OVER w AS DOUBLE)
+                       / CAST(sum(b) OVER g AS DOUBLE)) AS gap,
+                 CAST(sum(a) OVER g AS BIGINT) AS na,
+                 CAST(sum(b) OVER g AS BIGINT) AS nb
+          FROM per
+          WINDOW w AS (PARTITION BY feature ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW),
+                 g AS (PARTITION BY feature)
+        ), ks AS (
+          SELECT feature, max(gap) AS d,
+                 CAST(max(na) AS BIGINT) AS na,
+                 CAST(max(nb) AS BIGINT) AS nb
+          FROM t GROUP BY feature
+        ), pv AS (
+          SELECT feature, d,
+                 least(CAST(1.0 AS DOUBLE),
+                       CAST(2.0 AS DOUBLE)
+                       * exp(CAST(-2.0 AS DOUBLE)
+                             * (CAST(na AS DOUBLE)
+                                * CAST(nb AS DOUBLE)
+                                / (CAST(na AS DOUBLE)
+                                   + CAST(nb AS DOUBLE)))
+                             * d * d)) AS p
+          FROM ks
+        ), rk AS (
+          SELECT feature AS key, d, p,
+                 row_number() OVER (ORDER BY p ASC, feature ASC)
+                   AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM pv
+        ), fl AS (
+          SELECT *,
+                 CAST(rank AS DOUBLE) * CAST(0.05 AS DOUBLE)
+                 / CAST(m AS DOUBLE) AS bh_threshold,
+                 max(CASE WHEN p <= CAST(rank AS DOUBLE)
+                              * CAST(0.05 AS DOUBLE)
+                              / CAST(m AS DOUBLE)
+                     THEN rank END) OVER () AS kstar
+          FROM rk
+        )
+        SELECT key AS feature, round(d, 6) AS ks, round(p, 6) AS p,
+               CAST(rank AS INTEGER) AS rank, m,
+               round(bh_threshold, 6) AS bh_threshold,
+               CASE WHEN kstar IS NULL THEN FALSE
+                    ELSE rank <= kstar END AS reject
+        FROM fl
+    """
     from hiselspark.operators.bootstrap import _M31 as _m31
     from hiselspark.operators.bootstrap import cw_constants as _cwc
     from hiselspark.operators.sampling import NEG_SAMPLE_SEED
@@ -11135,6 +11303,111 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     oracles["cmim_select"] = _cmim_oracle_sql(k=4)
+    oracles["kendall_tau"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), s AS (
+          SELECT cents % 25 AS x,
+                 ((cents % 25)*3 + (cents // 7) % 10) % 30 AS y
+          FROM q
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY x, y
+        ), cd AS (
+          SELECT
+            CAST(sum(CASE WHEN a.y < b.y THEN a.c*b.c ELSE 0 END)
+                 AS BIGINT) AS conc,
+            CAST(sum(CASE WHEN a.y > b.y THEN a.c*b.c ELSE 0 END)
+                 AS BIGINT) AS disc
+          FROM cells a JOIN cells b ON a.x < b.x
+        ), tx AS (
+          SELECT CAST(sum(t*(t-1)) AS BIGINT) AS tx2,
+                 CAST(sum(t) AS BIGINT) AS n
+          FROM (SELECT CAST(sum(c) AS BIGINT) AS t
+                FROM cells GROUP BY x)
+        ), ty AS (
+          SELECT CAST(sum(t*(t-1)) AS BIGINT) AS ty2
+          FROM (SELECT CAST(sum(c) AS BIGINT) AS t
+                FROM cells GROUP BY y)
+        )
+        SELECT n, CAST(n*(n-1)/2 AS BIGINT) AS n_pairs,
+               conc AS concordant, disc AS discordant,
+               round(CASE WHEN n*(n-1) > tx2 AND n*(n-1) > ty2 THEN
+                 (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / (sqrt(CAST(n*(n-1) - tx2 AS DOUBLE)
+                         * CAST(n*(n-1) - ty2 AS DOUBLE))
+                    / CAST(2.0 AS DOUBLE)) END, 6) AS tau_b
+        FROM cd, tx, ty
+    """
+    oracles["stump_split"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), s AS (
+          SELECT cents % 50 AS x, (cents // 7) % 3 AS y FROM q
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM s GROUP BY x, y
+        ), toty AS (
+          SELECT y, CAST(sum(c) AS BIGINT) AS ty FROM cells GROUP BY y
+        ), grid AS (
+          SELECT DISTINCT xs.x, ys.y
+          FROM (SELECT DISTINCT x FROM cells) xs,
+               (SELECT DISTINCT y FROM cells) ys
+        ), cand AS (
+          SELECT g.x, g.y, t.ty,
+                 CAST(COALESCE(sum(c2.c), 0) AS BIGINT) AS nly
+          FROM grid g
+          JOIN toty t ON t.y = g.y
+          LEFT JOIN cells c2 ON c2.y = g.y AND c2.x <= g.x
+          GROUP BY g.x, g.y, t.ty
+        ), per_t AS (
+          SELECT x, CAST(sum(nly) AS BIGINT) AS n_l,
+                 CAST(sum(ty) AS BIGINT) AS n,
+                 list_sort(list({'y': y, 'nly': nly, 'ty': ty}))
+                   AS cls
+          FROM cand GROUP BY x
+        ), scored AS (
+          SELECT x AS threshold, n_l AS n_left, n - n_l AS n_right,
+            list_reduce(list_prepend(0.0, list_transform(cls, s ->
+              CASE WHEN s.ty > 0 THEN
+                -(CAST(s.ty AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(s.ty AS DOUBLE) / CAST(n AS DOUBLE))
+              ELSE 0.0 END)), (a, b) -> a + b) AS h_parent,
+            list_reduce(list_prepend(0.0, list_transform(cls, s ->
+              CASE WHEN s.nly > 0 THEN
+                -(CAST(s.nly AS DOUBLE) / CAST(n_l AS DOUBLE))
+                * ln(CAST(s.nly AS DOUBLE) / CAST(n_l AS DOUBLE))
+              ELSE 0.0 END)), (a, b) -> a + b) AS h_l,
+            list_reduce(list_prepend(0.0, list_transform(cls, s ->
+              CASE WHEN s.ty - s.nly > 0 THEN
+                -(CAST(s.ty - s.nly AS DOUBLE)
+                  / (CAST(n AS DOUBLE) - CAST(n_l AS DOUBLE)))
+                * ln(CAST(s.ty - s.nly AS DOUBLE)
+                     / (CAST(n AS DOUBLE) - CAST(n_l AS DOUBLE)))
+              ELSE 0.0 END)), (a, b) -> a + b) AS h_r,
+            CAST(n_l AS DOUBLE) AS nld, CAST(n AS DOUBLE) AS nd
+          FROM per_t WHERE n_l < n
+        ), fin AS (
+          SELECT threshold, n_left, n_right, h_parent,
+                 h_parent - (nld / nd) * h_l
+                 - ((nd - nld) / nd) * h_r AS gain
+          FROM scored
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold, n_left,
+               n_right, round(h_parent, 6) AS h_parent,
+               round(gain, 6) AS gain
+        FROM fin ORDER BY gain DESC, threshold ASC LIMIT 1
+    """
+    oracles["quantile_contract"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               round(quantile_cont(
+                 abs(CAST(round(value*100) AS BIGINT)), 0.5), 6)
+                 AS p50_exact,
+               TRUE AS within_rank_bound
+        FROM events GROUP BY event_type
+    """
     oracles["tpch_q4"] = """
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS order_count

@@ -267,3 +267,70 @@ def ks_by_feature(
                  F.min("value").alias("at_value"),
                  F.max("na").alias("n_ref"),
                  F.max("nb").alias("n_cur")))
+
+
+def bh_adjust(df: DataFrame, key_col: str, p_col: str,
+              alpha: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control over m hypotheses (one
+    row each): sort p ascending (ties by key), find the largest rank
+    k* with p_(i) ≤ i·α/m, reject hypotheses ranked ≤ k*.
+
+    The m hypotheses are a bounded analysis frame (features, not
+    rows), so the rank window is a single tiny partition by contract.
+    The threshold comparison mirrors exactly in SQL: i·α/m is one
+    float expression per row and k* is a windowed max over the
+    comparison flags.  Returns (key, p, rank, m, bh_threshold,
+    reject).
+    """
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    g = Window.partitionBy()
+    m = F.count(F.lit(1)).over(g)
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).alias("rank"))
+    thr = (F.col("rank").cast("double") * F.lit(float(alpha))
+           / m.cast("double"))
+    flagged = (ranked
+               .withColumn("m", m.cast("long"))
+               .withColumn("bh_threshold", thr)
+               .withColumn("__hit",
+                           F.when(F.col("p") <= thr, F.col("rank"))))
+    kstar = F.max("__hit").over(g)
+    return (flagged
+            .withColumn("reject",
+                        F.when(kstar.isNull(), F.lit(False))
+                        .otherwise(F.col("rank") <= kstar))
+            .drop("__hit"))
+
+
+def ks_drift_fdr(df: DataFrame, feature_cols: Sequence[str],
+                 is_reference, alpha: float = 0.05) -> DataFrame:
+    """The drift dashboard with error control: every feature's exact
+    two-sample KS (:func:`ks_by_feature`), the asymptotic Smirnov
+    p-value
+
+        p = min(1, 2·exp(−2·(n_a·n_b/(n_a+n_b))·D²))
+
+    and Benjamini-Hochberg rejection at FDR ``alpha`` — the standard
+    way to read "which of my 500 features actually drifted" without
+    500 independent α-level tests lighting up by chance.
+
+    The exp/ln pair is the engine's declared libm dependency (same as
+    every MI/entropy fold); D and the counts are exact, the p-value
+    is one mirrored float expression.  Returns one row per feature:
+    (key, ks, p, rank, m, bh_threshold, reject).
+    """
+    ks = ks_by_feature(df, feature_cols, is_reference)
+    d = F.col("ks")
+    na, nb = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(F.lit(-2.0) * (na * nb / (na + nb))
+                           * d * d))
+    scored = ks.select(F.col("feature"), F.col("ks"), p.alias("p"))
+    out = bh_adjust(scored, "feature", "p", alpha=alpha)
+    return (out.join(scored.select(F.col("feature").alias("key"),
+                                   "ks"), "key")
+            .select("key", "ks", "p", "rank", "m", "bh_threshold",
+                    "reject"))

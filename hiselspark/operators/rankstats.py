@@ -223,3 +223,158 @@ def welch_ttest(df: DataFrame, group_col: str, flag_col,
         F.col("nb").cast("long").alias("n_b"),
         ma.alias("mean_a"), mb.alias("mean_b"),
         t.alias("t"), dof.alias("df"))
+
+
+def kendall_tau(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall's tau-b between two integer-quantized columns, exact.
+
+    Concordant/discordant pairs are counted on the CONTINGENCY TABLE,
+    not the rows: with cells (x, y, c) the pair totals are
+
+        C = Σ_ij c_ij · Σ_{k>i, l>j} c_kl
+        D = Σ_ij c_ij · Σ_{k>i, l<j} c_kl
+
+    via a self-join of the cell table — O(V²) in the number of
+    DISTINCT value pairs, never O(n²) in rows.  That is the engine's
+    quantized-domain contract (cents/bucket features have bounded
+    alphabets); for large alphabets the same cell table feeds a 2D
+    prefix-sum pass instead, same two-shuffle plan shape.  Tie terms
+    n1 = Σ t_x(t_x−1)/2, n2 = Σ t_y(t_y−1)/2 come off the marginals.
+
+    All counts are exact int64 (bounds: C, D ≤ n(n−1)/2 — int64-safe
+    to n ~ 4·10⁹); tau_b = (C − D)/sqrt((n0−n1)·(n0−n2)) is one fixed
+    float expression.  Returns (n, n_pairs, concordant, discordant,
+    tau_b).
+    """
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("c").alias("cb"))
+    prods = (a.join(b, (F.col("xa") < F.col("xb")))
+             .select(
+                 (F.col("ca") * F.col("cb")).alias("p"),
+                 F.when(F.col("ya") < F.col("yb"), F.lit(1))
+                  .when(F.col("ya") > F.col("yb"), F.lit(-1))
+                  .otherwise(F.lit(0)).alias("sgn")))
+    cd = prods.agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("p")).otherwise(0))
+         .alias("conc"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("p")).otherwise(0))
+         .alias("disc"))
+    tx = (cells.groupBy("x").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("tx2"),
+               F.sum("t").alias("n")))
+    ty = (cells.groupBy("y").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("ty2")))
+    s = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n = F.col("n")
+    n0x2 = (n * (n - 1))            # 2·n0
+    den = (F.sqrt((n0x2 - F.col("tx2")).cast("double")
+                  * (n0x2 - F.col("ty2")).cast("double")) / F.lit(2.0))
+    tau = F.when(
+        (n0x2 > F.col("tx2")) & (n0x2 > F.col("ty2")),
+        (d("conc") - d("disc")) / den)
+    return s.select(
+        n.cast("long").alias("n"),
+        (n0x2 / 2).cast("long").alias("n_pairs"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        tau.alias("tau_b"))
+
+
+def stump_split(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Best decision-stump split of integer feature x against label y
+    by exact information gain: over every candidate threshold t
+    (the distinct x values, split as x ≤ t vs x > t), maximize
+
+        gain(t) = H(Y) − (n_L/n)·H(Y_L) − (n_R/n)·H(Y_R)
+
+    Counts come off the (x, y) contingency table with per-y running
+    sums over the ordered distinct-x axis — no row sort, the same
+    count-table discipline as the rank operators.  Entropies are
+    folded over classes in sorted-y order (exact integer counts into
+    each ln term), so both engines land on identical doubles; the
+    argmax takes the smallest threshold on ties.  The last candidate
+    (everything left) is excluded — an empty right side has no
+    entropy.  Returns one row:
+    (threshold, n_left, n_right, h_parent, gain).
+    """
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    w_run = (Window.partitionBy("y").orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wy = Window.partitionBy("y")
+    cum = (cells
+           .withColumn("cum", F.sum("c").over(w_run))
+           .withColumn("tot_y", F.sum("c").over(wy)))
+    # candidate rows: every distinct x needs EVERY class's cum count;
+    # the per-(x) class lists are built from the cum table by taking,
+    # per class, the last cum at or before x — do it by re-windowing
+    # over all cells per class then grouping by x with max(cum) per y
+    xs = cells.select("x").distinct()
+    classes = cells.select("y", ).distinct()
+    grid = xs.crossJoin(F.broadcast(classes))
+    cum_at = (grid.join(cum.select(F.col("x").alias("cx"), "y",
+                                   "cum", "tot_y"), "y")
+              .filter(F.col("cx") <= F.col("x"))
+              .groupBy("x", "y")
+              .agg(F.max("cum").alias("nly"),
+                   F.max("tot_y").alias("toty")))
+    # classes absent at or before x contribute nly = 0: re-join grid
+    cand = (grid.join(cum_at, ["x", "y"], "left")
+            .join(F.broadcast(
+                cells.groupBy("y").agg(F.sum("c").alias("ty"))), "y")
+            .select("x", "y",
+                    F.coalesce("nly", F.lit(0)).alias("nly"),
+                    F.col("ty")))
+    per_t = cand.groupBy("x").agg(
+        F.sum("nly").alias("n_l"),
+        F.sum("ty").alias("n"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("y").alias("y"), F.col("nly").alias("nly"),
+            F.col("ty").alias("ty")))).alias("cls"))
+
+    def d(c):
+        return c.cast("double") if not isinstance(c, str) \
+            else F.col(c).cast("double")
+
+    n = d("n")
+    nl = d("n_l")
+    nr = n - nl
+    h_parent = F.aggregate(
+        "cls", F.lit(0.0),
+        lambda acc, s: acc + F.when(
+            s["ty"] > 0,
+            -(s["ty"].cast("double") / n)
+            * F.log(s["ty"].cast("double") / n)).otherwise(0.0))
+    h_l = F.aggregate(
+        "cls", F.lit(0.0),
+        lambda acc, s: acc + F.when(
+            s["nly"] > 0,
+            -(s["nly"].cast("double") / nl)
+            * F.log(s["nly"].cast("double") / nl)).otherwise(0.0))
+    h_r = F.aggregate(
+        "cls", F.lit(0.0),
+        lambda acc, s: acc + F.when(
+            s["ty"] - s["nly"] > 0,
+            -((s["ty"] - s["nly"]).cast("double") / nr)
+            * F.log((s["ty"] - s["nly"]).cast("double") / nr))
+        .otherwise(0.0))
+    scored = per_t.filter(F.col("n_l") < F.col("n")).select(
+        F.col("x").alias("threshold"),
+        F.col("n_l").cast("long").alias("n_left"),
+        (F.col("n") - F.col("n_l")).cast("long").alias("n_right"),
+        h_parent.alias("h_parent"),
+        (h_parent - (nl / n) * h_l - (nr / n) * h_r).alias("gain"))
+    w_best = Window.orderBy(F.col("gain").desc(),
+                            F.col("threshold").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w_best))
+            .filter(F.col("__rn") == 1).drop("__rn"))
