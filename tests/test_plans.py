@@ -490,3 +490,66 @@ def test_tpch_q10_q14_plan_shape(spark):
     r = q14.collect()[0]
     assert 0 <= r["promo_pct"] <= 100
     assert r["promo_e4"] <= r["total_e4"]
+
+
+def test_ts_forecast_family_shares_one_entity_shuffle(spark):
+    """acf / hampel / holt each ride ONE entity exchange: the ordered
+    window (or per-entity collect) and the groupBy reuse the same
+    hashpartitioning(entity)."""
+    import datetime as dt
+    rows = [("u%d" % (i % 5), dt.datetime(2024, 1, 1)
+             + dt.timedelta(minutes=i), i, i % 97)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "e string, ts timestamp, o long, v long")
+    from hiselspark.operators.tsprofile import (autocorrelation,
+                                                hampel_filter,
+                                                holt_linear)
+    for op in (autocorrelation, hampel_filter, holt_linear):
+        q = op(df, "e", "ts", "o", "v")
+        assert n_exchanges(q) == 1, op.__name__
+        txt = plan_str(q, "simple")
+        assert "CartesianProduct" not in txt
+        assert "rangepartitioning" not in txt.lower(), op.__name__
+
+
+def test_spearman_and_kruskal_no_global_row_sort(spark):
+    """Rank statistics come off the distinct-VALUE count table: no
+    rangepartitioning (global row sort) anywhere in the plan."""
+    rows = [(i, i % 50, (i * 7) % 31, "g%d" % (i % 3))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long, g string")
+    from hiselspark.operators.rankstats import (kruskal_wallis,
+                                                spearman_matrix)
+    sp = spearman_matrix(df, "id", ["a", "b"])
+    assert "rangepartitioning" not in plan_str(sp, "simple").lower()
+    kw = kruskal_wallis(df, "g", "a")
+    txt = plan_str(kw, "simple")
+    assert "rangepartitioning" not in txt.lower()
+    # the rank table joins back as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in txt
+
+
+def test_link_prediction_no_cartesian(spark):
+    rows = [(i % 40, 1000 + (i * 13) % 60) for i in range(400)]
+    df = spark.createDataFrame(rows, "src long, dst long")
+    from hiselspark.operators.graph import link_prediction
+    q = link_prediction(df, symmetrize_input=False)
+    txt = plan_str(q, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_kendall_join_is_on_count_table(spark):
+    """The tau-b self-join condition xa < xb is a range condition, so
+    Spark picks a nested-loop join — acceptable ONLY because both
+    sides are the contingency-cell table (|V| rows), never raw rows.
+    The plan must show the pre-join aggregation on both sides."""
+    rows = [(i % 10, (i * 3) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    from hiselspark.operators.rankstats import kendall_tau
+    q = kendall_tau(df, "x", "y")
+    txt = plan_str(q, "simple")
+    # both join inputs are aggregates (the cell table), so the raw
+    # relation is scanned exactly twice and reduced before joining
+    assert txt.count("HashAggregate") >= 4
