@@ -1485,6 +1485,41 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "cusum_pos", "cusum_neg"))
 
 
+def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch Holt smoother: per-user (level,
+    trend) carried across micro-batches in O(1) float state with the
+    batch fold's exact op order; drained with AvailableNow, the final
+    row per user must equal the batch recursion — the oracle replays
+    it as the same recursive CTE as ``holt_forecast``."""
+    import hashlib
+    import os
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_holt
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (read_events_stream(spark, src_dir, batch.schema)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("cents",
+                          F.abs(F.round(F.col("value") * 100)
+                                .cast("long"))))
+    out = run_stream_to_batch(
+        stream_holt(stream, "user_id", "ts", "cents", "event_id"),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("entity").alias("user_id"), "n_events",
+                       F.round("level", 6).alias("level"),
+                       F.round("trend", 6).alias("trend")))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (5 iterations, d=0.85) over the
     undirected order↔part bipartite graph from lineitem.  Exact BIGINT
@@ -4455,6 +4490,57 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Haar wavelet detail energies (3 levels, unnormalized
+    integer transform) — every pair sum/difference and energy is an
+    exact int64 the oracle replays level by level."""
+    from hiselspark.operators.tsprofile import haar_energy
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = haar_energy(ev, "user_id", "ts", "event_id", "cents",
+                      levels=3)
+    return out.select(F.col("entity").alias("user_id"), "n_used",
+                      "e1", "e2", "e3")
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a block partition over the folded
+    supplier-part graph — exact intra-edge/degree counts per
+    community, sorted fold for Q, all replayed by the oracle."""
+    from hiselspark.operators.graph import modularity
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_suppkey")).alias("src"),
+                      (F.col("l_partkey") % 500 + 1000).alias("dst"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    comms = nodes.select("node",
+                         F.expr("node DIV 64").alias("community"))
+    out = modularity(edges, comms)
+    return out.select("m", "n_communities",
+                      F.round("q", 6).alias("q"))
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / distinct l-diversity audit over a
+    quasi-identifier projection of the events table — exact class
+    sizes and distinct-sensitive counts, flags as integer
+    comparisons."""
+    from hiselspark.operators.pii import k_anonymity, l_diversity
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select((F.col("cents") % 10).alias("qa"),
+                   (F.hour(F.col("ts").cast("timestamp")) % 4)
+                   .alias("qb"),
+                   F.col("event_type").alias("sens"))
+    ka = k_anonymity(df, ["qa", "qb"], k=50)
+    ld = l_diversity(df, ["qa", "qb"], "sens", l=5)
+    return (ka.join(ld.select("qa", "qb", "n_sensitive",
+                              "violates_l"), ["qa", "qb"])
+            .select("qa", "qb", "class_size", "violates_k",
+                    "n_sensitive", "violates_l"))
+
+
 def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kendall's tau-b between two derived integer features — the
     concordant/discordant counts come off the contingency-cell
@@ -4800,6 +4886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": q_link_prediction,
         "image_lbp": q_image_lbp,
         "kendall_tau": q_kendall_tau,
+        "haar_energy": q_haar_energy,
+        "modularity": q_modularity,
+        "k_anonymity": q_k_anonymity,
         "stump_split": q_stump_split,
         "fdr_bh": q_fdr_bh,
         "quantile_contract": q_quantile_contract,
@@ -4839,6 +4928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
+        "streaming_holt": q_streaming_holt,
         "feature_cross": q_feature_cross,
         "rank_normalize": q_rank_normalize,
         "keep_best": q_keep_best,
@@ -11303,6 +11393,150 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     oracles["cmim_select"] = _cmim_oracle_sql(k=4)
+    oracles["streaming_holt"] = """
+        WITH RECURSIVE q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(abs(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   AS v
+          FROM events
+        ), ser AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM q0
+        ), rec AS (
+          SELECT user_id, i, n, v AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM ser WHERE i = 1
+          UNION ALL
+          SELECT s.user_id, s.i, s.n,
+                 CAST(0.5 AS DOUBLE)*s.v
+                   + CAST(0.5 AS DOUBLE)*(r.l + r.b) AS l,
+                 CAST(0.5 AS DOUBLE)
+                   *((CAST(0.5 AS DOUBLE)*s.v
+                      + CAST(0.5 AS DOUBLE)*(r.l + r.b)) - r.l)
+                   + CAST(0.5 AS DOUBLE)*r.b AS b
+          FROM rec r
+          JOIN ser s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               round(l, 6) AS level, round(b, 6) AS trend
+        FROM rec WHERE i = n
+    """
+    oracles["haar_energy"] = """
+        WITH q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), r AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) - 1 AS idx,
+                 count(*) OVER (PARTITION BY user_id) AS n_tot
+          FROM q0
+        ), t AS (
+          SELECT user_id, idx, (n_tot // 8) * 8 AS n_used, v AS s
+          FROM r WHERE idx < (n_tot // 8) * 8
+        ), l1 AS (
+          SELECT user_id, idx // 2 AS idx,
+                 CAST(max(n_used) AS BIGINT) AS n_used,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s END)
+                      + sum(CASE WHEN idx % 2 = 1 THEN s END)
+                      AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s END)
+                      - sum(CASE WHEN idx % 2 = 1 THEN s END)
+                      AS BIGINT) AS d
+          FROM t GROUP BY user_id, idx // 2
+        ), l2 AS (
+          SELECT user_id, idx // 2 AS idx,
+                 CAST(max(n_used) AS BIGINT) AS n_used,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s END)
+                      + sum(CASE WHEN idx % 2 = 1 THEN s END)
+                      AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s END)
+                      - sum(CASE WHEN idx % 2 = 1 THEN s END)
+                      AS BIGINT) AS d
+          FROM l1 GROUP BY user_id, idx // 2
+        ), l3 AS (
+          SELECT user_id, idx // 2 AS idx,
+                 CAST(max(n_used) AS BIGINT) AS n_used,
+                 CAST(sum(CASE WHEN idx % 2 = 0 THEN s END)
+                      - sum(CASE WHEN idx % 2 = 1 THEN s END)
+                      AS BIGINT) AS d
+          FROM l2 GROUP BY user_id, idx // 2
+        ), e1 AS (
+          SELECT user_id, CAST(max(n_used) AS BIGINT) AS n_used,
+                 CAST(sum(d*d) AS BIGINT) AS e1
+          FROM l1 GROUP BY user_id
+        ), e2 AS (
+          SELECT user_id, CAST(sum(d*d) AS BIGINT) AS e2
+          FROM l2 GROUP BY user_id
+        ), e3 AS (
+          SELECT user_id, CAST(sum(d*d) AS BIGINT) AS e3
+          FROM l3 GROUP BY user_id
+        )
+        SELECT e1.user_id, n_used, e1.e1, e2.e2, e3.e3
+        FROM e1 JOIN e2 USING (user_id) JOIN e3 USING (user_id)
+    """
+    oracles["modularity"] = """
+        WITH e AS (
+          SELECT l_suppkey AS u, l_partkey % 500 + 1000 AS v
+          FROM lineitem
+        ), canon AS (
+          SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+          FROM e WHERE u <> v
+        ), asg AS (
+          SELECT node, node // 64 AS c FROM (
+            SELECT a AS node FROM canon
+            UNION SELECT b AS node FROM canon)
+        ), tagged AS (
+          SELECT canon.a, canon.b, ca.c AS c_a, cb.c AS c_b
+          FROM canon
+          JOIN asg ca ON ca.node = canon.a
+          JOIN asg cb ON cb.node = canon.b
+        ), intra AS (
+          SELECT c_a AS c, CAST(count(*) AS BIGINT) AS e_c
+          FROM tagged WHERE c_a = c_b GROUP BY c_a
+        ), deg AS (
+          SELECT c, CAST(count(*) AS BIGINT) AS deg_c FROM (
+            SELECT c_a AS c FROM tagged
+            UNION ALL SELECT c_b AS c FROM tagged)
+          GROUP BY c
+        ), per_c AS (
+          SELECT deg.c, deg_c, COALESCE(e_c, 0) AS e_c
+          FROM deg LEFT JOIN intra ON intra.c = deg.c
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM canon
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 list({'c': c, 'e_c': e_c, 'deg_c': deg_c}
+                      ORDER BY c) AS cs
+          FROM per_c
+        )
+        SELECT m, k AS n_communities,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(cs, x ->
+                   CAST(x.e_c AS DOUBLE) / CAST(m AS DOUBLE)
+                   - (CAST(x.deg_c AS DOUBLE)
+                      / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE)))
+                     * (CAST(x.deg_c AS DOUBLE)
+                        / (CAST(2.0 AS DOUBLE) * CAST(m AS DOUBLE))))),
+                 (acc, y) -> acc + y), 6) AS q
+        FROM agg, m
+    """
+    oracles["k_anonymity"] = """
+        WITH q AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) % 10 AS qa,
+                 CAST(hour(ts) % 4 AS BIGINT) AS qb,
+                 event_type AS sens
+          FROM events
+        )
+        SELECT qa, qb, CAST(count(*) AS BIGINT) AS class_size,
+               count(*) < 50 AS violates_k,
+               CAST(count(DISTINCT sens) AS BIGINT) AS n_sensitive,
+               count(DISTINCT sens) < 5 AS violates_l
+        FROM q GROUP BY qa, qb
+    """
     oracles["kendall_tau"] = """
         WITH q AS (
           SELECT abs(CAST(round(value*100) AS BIGINT)) AS cents

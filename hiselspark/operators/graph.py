@@ -348,3 +348,67 @@ def link_prediction(edges: DataFrame, src: str = "src",
     return pairs.select(
         "a", "b", "cn", "deg_a", "deg_b",
         jac.alias("jaccard"), aa.alias("adamic_adar"))
+
+
+def modularity(edges: DataFrame, communities: DataFrame,
+               node_col: str = "node",
+               community_col: str = "community",
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Newman modularity Q of a given node partition over the
+    undirected simple graph:
+
+        Q = Σ_c ( e_c/m  −  (deg_c / 2m)² )
+
+    with e_c = intra-community edges, deg_c = total degree inside c,
+    m = |edges|.  The grading metric for any community assignment
+    (connected components, label propagation, LSH buckets-as-
+    communities): Q ≈ 0 means the partition is no better than random
+    wiring, Q ≳ 0.3 means real structure.
+
+    All counts are exact integers; the Σ_c fold runs over communities
+    in sorted-key order (collect → sort → aggregate) so the float sum
+    is bit-reproducible and SQL-replayable.  Shape: canonicalize +
+    degree (two shuffles), two broadcast-or-hash joins of the
+    assignment onto edges, one bounded collect of per-community
+    totals (communities, not nodes).  Returns one row:
+    (m, n_communities, q).
+    """
+    e = edges.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+    canon = (e.filter(F.col("u") != F.col("v"))
+             .select(F.least("u", "v").alias("a"),
+                     F.greatest("u", "v").alias("b"))
+             .distinct())
+    asg = communities.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.col(community_col).cast("long").alias("c"))
+    ca = asg.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
+    cb = asg.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    tagged = canon.join(ca, "a").join(cb, "b")
+    intra = (tagged.filter(F.col("c_a") == F.col("c_b"))
+             .groupBy(F.col("c_a").alias("c"))
+             .agg(F.count(F.lit(1)).alias("e_c")))
+    deg = (tagged.select(F.col("c_a").alias("c"))
+           .unionAll(tagged.select(F.col("c_b").alias("c")))
+           .groupBy("c").agg(F.count(F.lit(1)).alias("deg_c")))
+    per_c = (deg.join(intra, "c", "left")
+             .select("c", "deg_c",
+                     F.coalesce("e_c", F.lit(0)).alias("e_c")))
+    agg = per_c.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("c").alias("c"), F.col("e_c").alias("e_c"),
+            F.col("deg_c").alias("deg_c")))).alias("cs"))
+    m_df = canon.agg(F.count(F.lit(1)).alias("m"))
+    s = agg.crossJoin(F.broadcast(m_df))
+    md = F.col("m").cast("double")
+    q = F.aggregate(
+        "cs", F.lit(0.0),
+        lambda acc, x: acc + (x["e_c"].cast("double") / md
+                              - (x["deg_c"].cast("double")
+                                 / (F.lit(2.0) * md))
+                              * (x["deg_c"].cast("double")
+                                 / (F.lit(2.0) * md))))
+    return s.select(F.col("m").cast("long").alias("m"),
+                    F.col("k").cast("long").alias("n_communities"),
+                    q.alias("q"))

@@ -16,6 +16,8 @@ downstream tokenizers see a stable vocabulary item.
 """
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # RE2- and Java-compatible; keep in sync with the gate oracle
@@ -49,3 +51,45 @@ def with_pii(df: DataFrame, text_col: str = "text",
     """Append per-row PII counts and the masked text."""
     return df.select("*", *pii_counts(text_col),
                      scrub_pii(text_col).alias(scrubbed_col))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit of a release candidate: group rows by the
+    quasi-identifier combination and report, per equivalence class,
+    its size and whether it violates the ``k`` floor (a class smaller
+    than k re-identifies its members against an external join on the
+    same quasi-identifiers — Sweeney 2002).
+
+    Returns one row per equivalence class: (quasi cols…, class_size,
+    violates_k).  Callers roll it up to the headline numbers
+    (``F.sum(violates)``, min class size) or anti-join the violating
+    classes out of the release — both one aggregation away.  Exact
+    integer counts; one hash shuffle on the quasi-identifier key, the
+    same plan at any scale.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out = (df.groupBy(*quasi_cols)
+           .agg(F.count(F.lit(1)).alias("class_size")))
+    return out.withColumn("violates_k",
+                          F.col("class_size") < F.lit(int(k)))
+
+
+def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007): per
+    quasi-identifier equivalence class, the number of DISTINCT
+    sensitive values and whether it violates the ``l`` floor — the
+    follow-up to k-anonymity that catches the homogeneous class (50
+    people, all with the same diagnosis, is k-anonymous and still
+    leaks).  Exact counts, one shuffle.  Returns (quasi cols…,
+    class_size, n_sensitive, violates_l)."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    out = (df.groupBy(*quasi_cols)
+           .agg(F.count(F.lit(1)).alias("class_size"),
+                F.countDistinct(F.col(sensitive_col))
+                 .alias("n_sensitive")))
+    return out.withColumn("violates_l",
+                          F.col("n_sensitive") < F.lit(int(l)))

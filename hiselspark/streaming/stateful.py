@@ -164,3 +164,84 @@ def stream_cusum(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+_HOLT_OUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+])
+
+_HOLT_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("l", T.DoubleType()),
+    T.StructField("b", T.DoubleType()),
+])
+
+
+def stream_holt(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.tsprofile.holt_linear` —
+    per-entity Holt level/trend carried across micro-batches in O(1)
+    state ``(n, level, trend)``.
+
+    The recursion is evaluated with EXACTLY the batch fold's float
+    operation order (``l' = α·x + (1−α)·(l+b)``; ``b' = β·(l'−l) +
+    (1−β)·b``), one scalar step per row of the (ts, order)-sorted
+    micro-batch.  A closed-form linear-recurrence vectorization
+    exists, but it reorders the float ops and would break the
+    drained-equals-batch contract — the loop IS the operator here,
+    bounded by rows-per-entity-per-micro-batch (the same cost class
+    as the batch fold, which also materializes each series in its
+    group).  Ordering across micro-batches follows this module's
+    file-stream source contract.
+
+    Emits one row per touched entity per micro-batch with the
+    cumulative (n, level, trend) so far (update mode).
+    """
+    a = float(alpha)
+    bta = float(beta)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, lvl, trd = state.get
+        else:
+            n, lvl, trd = 0, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            for x in pdf[value_col].astype(float):
+                if n == 0:
+                    lvl, trd = float(x), 0.0
+                else:
+                    new_l = a * x + (1.0 - a) * (lvl + trd)
+                    trd = bta * (new_l - lvl) + (1.0 - bta) * trd
+                    lvl = new_l
+                n += 1
+        state.update((n, lvl, trd))
+        yield pd.DataFrame({
+            "entity": [key[0]],
+            "n_events": [n],
+            "level": [lvl],
+            "trend": [trd],
+        })
+
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_HOLT_OUT,
+                stateStructType=_HOLT_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
