@@ -4490,6 +4490,35 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) substring-level near-dup pairs: documents
+    unioned with planted suffix-mutated copies; every k-gram hash,
+    window minimum and shared-fingerprint count is replayed by the
+    oracle character for character."""
+    from hiselspark.operators.dedup import winnowing_pairs
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 120))
+    mut = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.expr("substring(text, 21)"),
+                 F.lit(" extra trailing words here")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(mut)
+    out = winnowing_pairs(both, "doc_id", min_shared=3)
+    return out.select(F.col("a"), F.col("b"), F.col("n_shared"))
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning by the exact CDF rule
+    bin = (B·below) DIV n off the distinct-value count table — every
+    boundary an integer comparison, no float quantile edges."""
+    from hiselspark.operators.encoding import quantile_bin
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = quantile_bin(ev, "cents", n_bins=10)
+    return out.select("event_id", "cents",
+                      F.col("cents_qbin").alias("qbin"))
+
+
 def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Haar wavelet detail energies (3 levels, unnormalized
     integer transform) — every pair sum/difference and energy is an
@@ -4887,6 +4916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_lbp": q_image_lbp,
         "kendall_tau": q_kendall_tau,
         "haar_energy": q_haar_energy,
+        "winnowing": q_winnowing,
+        "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
         "k_anonymity": q_k_anonymity,
         "stump_split": q_stump_split,
@@ -11422,6 +11453,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
+    """
+    oracles["winnowing"] = """
+        WITH docs2 AS (
+          SELECT doc_id AS id, text FROM documents
+          WHERE doc_id < 120
+          UNION ALL
+          SELECT doc_id + 100000,
+                 substring(text, 21) || ' extra trailing words here'
+          FROM documents WHERE doc_id < 120
+        ), hs AS (
+          SELECT id,
+                 list_transform(
+                   range(1, greatest(length(text) - 7, 0) + 1),
+                   p -> list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(range(0, 8),
+                         o -> CAST(ascii(substr(text,
+                                CAST(p + o AS INT), 1)) AS BIGINT))),
+                     (acc, y) -> (acc * 31 + y) % 2147483647)) AS h
+          FROM docs2
+        ), fp AS (
+          SELECT DISTINCT id, fingerprint FROM (
+            SELECT id,
+                   unnest(list_transform(
+                     range(1, greatest(len(h) - 3, 0) + 1),
+                     p -> list_min(h[p:p+3]))) AS fingerprint
+            FROM hs WHERE len(h) >= 4)
+        )
+        SELECT l.id AS a, r.id AS b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM fp l JOIN fp r
+          ON l.fingerprint = r.fingerprint AND l.id < r.id
+        GROUP BY l.id, r.id
+        HAVING count(*) >= 3
+    """
+    oracles["quantile_bin"] = """
+        WITH q AS (
+          SELECT event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), pv AS (
+          SELECT cents, CAST(count(*) AS BIGINT) AS t
+          FROM q GROUP BY cents
+        ), bm AS (
+          SELECT cents,
+                 (10 * COALESCE(SUM(t) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0))
+                 // (SUM(t) OVER ()) AS qbin
+          FROM pv
+        )
+        SELECT q.event_id, q.cents, CAST(bm.qbin AS BIGINT) AS qbin
+        FROM q JOIN bm USING (cents)
     """
     oracles["haar_energy"] = """
         WITH q0 AS (

@@ -492,3 +492,113 @@ def edit_distance_pairs(df: DataFrame, col: str,
     return (pairs
             .withColumn("dist", F.levenshtein("a", "b"))
             .filter(F.col("dist") <= max_edits))
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str,
+                           text_col: str = "text", k: int = 8,
+                           window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    "Winnowing: local algorithms for document fingerprinting", SIGMOD
+    2003 — the MOSS algorithm): hash every k-gram of characters with
+    the engine's portable polynomial hash (left fold over char codes,
+    mod 2³¹−1), then keep the MINIMUM hash of every ``window``
+    consecutive positions.  The guarantee: any shared substring of
+    length ≥ k + window − 1 yields at least one shared fingerprint,
+    while only ~2/(window+1) of positions survive — local,
+    deterministic, position-free.
+
+    The per-document hashing is an Arrow-batched ``mapInPandas`` in
+    vectorized NumPy (k shifted adds per doc, a sliding-window min,
+    one unique) — the engine's declared pattern for payload-like
+    per-row compute.  A pure higher-order-expression formulation
+    exists but re-evaluates the position-hash array once PER WINDOW
+    (Catalyst inlines the array expression into the outer lambda), an
+    O(n²k) blowup measured at >100 s for five documents — the
+    documented reason this one operator leaves whole-stage codegen.
+
+    Contract: text is hashed per UTF-8 byte; for ASCII corpora this
+    equals the SQL oracle's per-character ``ascii(substr(…))`` replay
+    (declared — normalize non-ASCII upstream if byte/char parity
+    matters).  Documents shorter than k + window − 1 chars produce no
+    fingerprints.
+
+    Returns (id, fingerprint) — the DISTINCT selected hashes per
+    document, exploded for the shared-fingerprint equi-join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .bootstrap import _M31
+    if k < 2 or window < 1:
+        raise ValueError("need k >= 2 and window >= 1")
+    kk, ww, mod = int(k), int(window), int(_M31)
+
+    out_schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("fingerprint", T.LongType()),
+    ])
+
+    def run(pdfs):
+        for pdf in pdfs:
+            ids, fps = [], []
+            for rid, text in zip(pdf[id_col].to_numpy(),
+                                 pdf[text_col].to_numpy()):
+                b = np.frombuffer(str(text).encode("utf-8"),
+                                  dtype=np.uint8).astype(np.int64)
+                n_pos = len(b) - kk + 1
+                n_win = n_pos - ww + 1
+                if n_win < 1:
+                    continue
+                h = np.zeros(n_pos, dtype=np.int64)
+                for j in range(kk):
+                    h = (h * 31 + b[j:j + n_pos]) % mod
+                wins = np.lib.stride_tricks.sliding_window_view(h, ww)
+                sel = np.unique(wins.min(axis=1))
+                ids.append(np.full(len(sel), rid, dtype=np.int64))
+                fps.append(sel)
+            if ids:
+                yield pd.DataFrame({
+                    "id": np.concatenate(ids),
+                    "fingerprint": np.concatenate(fps)})
+            else:
+                yield pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                    "fingerprint": pd.Series(
+                                        [], dtype="int64")})
+
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, out_schema)
+            .distinct())
+
+
+def winnowing_pairs(df: DataFrame, id_col: str,
+                    text_col: str = "text", k: int = 8,
+                    window: int = 4, min_shared: int = 2,
+                    max_fp_df: Optional[int] = None) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints
+    — the substring-level near-duplicate detector (verbatim reuse,
+    boilerplate, plagiarism) that shingle-Jaccard misses when the
+    shared span is a small fraction of both documents.
+
+    Plan: fingerprints (map-only per doc) → equi-join on the
+    fingerprint value → pair count.  ``max_fp_df`` drops fingerprints
+    shared by more than that many documents before pairing (the same
+    declared stopword-bucket cap as MinHash banding — a boilerplate
+    fingerprint in 10⁶ docs would otherwise fan out 10¹² pairs).
+    Returns (a, b, n_shared).
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    if max_fp_df is not None:
+        keep = (fps.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= max_fp_df)
+                .select("fingerprint"))
+        fps = fps.join(keep, "fingerprint", "left_semi")
+    l = fps.select(F.col("fingerprint"), F.col("id").alias("a"))
+    r = fps.select(F.col("fingerprint"), F.col("id").alias("b"))
+    return (l.join(r, "fingerprint")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared)))

@@ -425,3 +425,45 @@ def feature_hashing(
                       bucket.alias("bucket"), sign.alias("sgn"))
             .groupBy("entity", "bucket")
             .agg(F.sum("sgn").alias("signed_count")))
+
+
+def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
+                 out_col: Optional[str] = None) -> DataFrame:
+    """Equal-frequency (quantile) binning of an integer column: bin =
+    ⌊B · below / n⌋ where ``below`` is the exact count of strictly
+    smaller values — the CDF-based rule, so every tie lands in one
+    bin and the cut is EXACT integer arithmetic (no float quantile
+    boundary for engines to disagree on).
+
+    The bin map comes off the distinct-value count table (one small
+    shuffle + an ordered running sum over distinct values, bounded by
+    the alphabet, never a row sort) and joins back as a broadcast —
+    the same plan as every rank-based encoder here.  Skewed columns
+    degrade gracefully: a value holding > n/B of the mass simply owns
+    its bin(s), the equal-frequency ideal truncated by ties.
+
+    Adds ``out_col`` (default ``{col}_qbin``) as int64 in [0, B).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    out_col = out_col or f"{col}_qbin"
+    v = F.col(col).cast("long")
+    per_v = (df.select(v.alias("__v"))
+             .groupBy("__v").agg(F.count(F.lit(1)).alias("__t")))
+    w_run = (Window.orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy()
+    # integer floor division (DIV), not float-divide-then-cast: Spark
+    # casts double->long by truncation but DuckDB CAST rounds, and a
+    # correctly-rounded 7.999..->8.0 would shift the floor anyway
+    binmap = (per_v
+              .select("__v",
+                      F.coalesce(F.sum("__t").over(w_run), F.lit(0))
+                      .alias("__below"),
+                      F.sum("__t").over(w_all).alias("__n"))
+              .select("__v",
+                      F.expr(f"({int(n_bins)} * __below) DIV __n")
+                      .alias(out_col)))
+    return (df.withColumn("__v", v)
+            .join(F.broadcast(binmap), "__v")
+            .drop("__v"))

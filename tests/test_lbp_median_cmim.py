@@ -170,3 +170,79 @@ def test_snapshot_compact_roundtrip(spark, tmp_path):
     # pre-compact version still time-travels
     old = t.read(spark, version=4).count()
     assert old == 100
+
+
+def test_winnowing_guarantee_and_brute(spark):
+    """The winnowing guarantee: a shared substring of length >=
+    k + window - 1 produces at least one shared fingerprint; brute
+    replay of hashes/window minima matches the operator."""
+    M31 = 2147483647
+    k, w = 8, 4
+
+    def brute_fps(text):
+        b = text.encode()
+        n_pos = len(b) - k + 1
+        if n_pos - w + 1 < 1:
+            return set()
+        hs = []
+        for p in range(n_pos):
+            h = 0
+            for c in b[p:p + k]:
+                h = (h * 31 + c) % M31
+            hs.append(h)
+        return {min(hs[p:p + w]) for p in range(n_pos - w + 1)}
+
+    shared = "this exact sentence is copied verbatim between docs"
+    docs = [(1, "alpha bravo " + shared + " charlie delta"),
+            (2, "totally different prefix " + shared),
+            (3, "no overlap here at all with anything else written"),
+            (4, "tiny")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from hiselspark.operators.dedup import (winnowing_fingerprints,
+                                            winnowing_pairs)
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id").collect():
+        got.setdefault(r["id"], set()).add(r["fingerprint"])
+    for i, t in docs:
+        assert got.get(i, set()) == brute_fps(t), i
+    pairs = {(r["a"], r["b"]): r["n_shared"] for r in
+             winnowing_pairs(df, "doc_id", min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_winnowing_fp_df_cap(spark):
+    docs = [(i, "boilerplate header shared by every doc " + s)
+            for i, s in enumerate(
+                ["unique tail one two", "unique tail three four",
+                 "other words five six", "more words seven eight"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from hiselspark.operators.dedup import winnowing_pairs
+    allp = winnowing_pairs(df, "doc_id", min_shared=1).count()
+    capped = winnowing_pairs(df, "doc_id", min_shared=1,
+                             max_fp_df=2).count()
+    assert capped <= allp
+
+
+def test_quantile_bin_brute(spark):
+    import numpy as np
+    rng = np.random.default_rng(71)
+    vals = rng.integers(0, 40, 500).tolist()
+    df = spark.createDataFrame([(i, int(v)) for i, v in enumerate(vals)],
+                               "id long, v long")
+    from hiselspark.operators.encoding import quantile_bin
+    out = {r["id"]: r["v_qbin"] for r in
+           quantile_bin(df, "v", n_bins=10).collect()}
+    n = len(vals)
+    from collections import Counter
+    cnt = Counter(vals)
+    below = {}
+    run = 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    for i, v in enumerate(vals):
+        assert out[i] == (10 * below[v]) // n
+    assert set(out.values()) <= set(range(10))
+    # bins are populated and ordered with values
+    assert out[vals.index(min(vals))] == 0
