@@ -4490,6 +4490,59 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scores for src0 documents against
+    the rest-of-corpus reference — every count, branch and ln term of
+    the held-out fold replayed by the oracle."""
+    from hiselspark.functions.text import trigram_backoff_logprob
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    score = docs.filter(F.col("source") == "src0")
+    ref = docs.filter(F.col("source") != "src0")
+    out = trigram_backoff_logprob(score, ref, "doc_id")
+    return out.select("doc_id", "n_trigrams",
+                      F.round("trigram_logprob", 6)
+                      .alias("trigram_logprob"))
+
+
+def q_pit_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free expanding OLS trend per event (slope/intercept/
+    prediction fitted on strictly prior rows only) — exact integer
+    sufficient sums over the prior-rows frame, mirrored float
+    expressions."""
+    from hiselspark.operators.regress import pit_expanding_ols
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = pit_expanding_ols(ev, "user_id", "ts", "event_id", "cents")
+    return out.select(F.col("entity").alias("user_id"), "ts_us",
+                      F.col("order_id").alias("event_id"), "y",
+                      "n_prior",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"),
+                      F.round("prediction", 6).alias("prediction"))
+
+
+def q_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift-by-decile table (treatment = even event ids): exact
+    two-arm response counts per deterministic NTILE cut, mirrored
+    rate/uplift divisions — the incremental-lift grading view."""
+    from hiselspark.operators.evaluate import uplift_deciles
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select("event_id",
+                   (F.col("cents") % 97).alias("score"),
+                   (F.col("event_id") % 2 == 0).alias("treat"),
+                   ((F.expr("cents DIV 7") % 3) == 0).cast("long")
+                   .alias("lbl"))
+    out = uplift_deciles(df, "score", F.col("treat"), "lbl",
+                         "event_id", n_buckets=10)
+    return out.select(F.col("bucket").cast("long").alias("bucket"),
+                      "n_t", "n_c", "resp_t", "resp_c",
+                      F.round("rate_t", 6).alias("rate_t"),
+                      F.round("rate_c", 6).alias("rate_c"),
+                      F.round("uplift", 6).alias("uplift"),
+                      F.round("cum_uplift", 6).alias("cum_uplift"))
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) substring-level near-dup pairs: documents
     unioned with planted suffix-mutated copies; every k-gram hash,
@@ -4917,6 +4970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": q_kendall_tau,
         "haar_energy": q_haar_energy,
         "winnowing": q_winnowing,
+        "trigram_backoff": q_trigram_backoff,
+        "pit_ols": q_pit_ols,
+        "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
         "k_anonymity": q_k_anonymity,
@@ -11453,6 +11509,203 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
+    """
+    oracles["trigram_backoff"] = """
+        WITH d0 AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+')
+                   AS tk
+          FROM documents WHERE source = 'src0' AND trim(text) <> ''
+        ), r0 AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+')
+                   AS tk
+          FROM documents WHERE source <> 'src0' AND trim(text) <> ''
+        ), dtri AS (
+          SELECT doc_id, u.w1, u.w2, u.w3 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(tk) - 1),
+                     p -> {'w1': tk[p], 'w2': tk[p+1],
+                           'w3': tk[p+2]})) AS u
+            FROM d0 WHERE len(tk) >= 3)
+        ), rtri AS (
+          SELECT u.w1, u.w2, u.w3 FROM (
+            SELECT unnest(list_transform(range(1, len(tk) - 1),
+                     p -> {'w1': tk[p], 'w2': tk[p+1],
+                           'w3': tk[p+2]})) AS u
+            FROM r0 WHERE len(tk) >= 3)
+        ), rpair AS (
+          SELECT u.p1, u.p2 FROM (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                     p -> {'p1': tk[p], 'p2': tk[p+1]})) AS u
+            FROM r0 WHERE len(tk) >= 2)
+        ), runi AS (
+          SELECT unnest(tk) AS u FROM r0
+        ), c_tri AS (
+          SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c123
+          FROM rtri GROUP BY w1, w2, w3
+        ), c_pair AS (
+          SELECT p1, p2, CAST(count(*) AS BIGINT) AS cp
+          FROM rpair GROUP BY p1, p2
+        ), c_uni AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS cu
+          FROM runi GROUP BY u
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(DISTINCT u) AS BIGINT) AS v
+          FROM runi
+        ), j AS (
+          SELECT d.doc_id,
+                 COALESCE(t.c123, 0) AS c123,
+                 COALESCE(p12.cp, 0) AS c12,
+                 COALESCE(p23.cp, 0) AS c23,
+                 COALESCE(u2.cu, 0) AS c2,
+                 COALESCE(u3.cu, 0) AS c3
+          FROM dtri d
+          LEFT JOIN c_tri t ON t.w1 = d.w1 AND t.w2 = d.w2
+                           AND t.w3 = d.w3
+          LEFT JOIN c_pair p12 ON p12.p1 = d.w1 AND p12.p2 = d.w2
+          LEFT JOIN c_pair p23 ON p23.p1 = d.w2 AND p23.p2 = d.w3
+          LEFT JOIN c_uni u2 ON u2.u = d.w2
+          LEFT JOIN c_uni u3 ON u3.u = d.w3
+        ), per AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 list({'c123': c123, 'c12': c12, 'c23': c23,
+                       'c2': c2, 'c3': c3}
+                      ORDER BY c123, c12, c23, c2, c3) AS terms
+          FROM j GROUP BY doc_id
+        )
+        SELECT doc_id, n_trigrams,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(terms, s ->
+                   CASE WHEN s.c123 > 0 THEN
+                     ln(CAST(s.c123 AS DOUBLE)/CAST(s.c12 AS DOUBLE))
+                   WHEN s.c23 > 0 THEN
+                     ln(CAST(0.4 AS DOUBLE)*CAST(s.c23 AS DOUBLE)
+                        /CAST(s.c2 AS DOUBLE))
+                   ELSE
+                     ln(CAST(0.4 AS DOUBLE)*CAST(0.4 AS DOUBLE)
+                        *CAST(s.c3 + 1 AS DOUBLE)
+                        /CAST(n + v AS DOUBLE))
+                   END)), (acc, y) -> acc + y)
+                 / CAST(n_trigrams AS DOUBLE), 6) AS trigram_logprob
+        FROM per, tot
+    """
+    oracles["pit_ols"] = """
+        WITH q AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), b AS (
+          SELECT user_id, event_id, us, v,
+                 (us - min(us) OVER wcur) // 1000000 AS x
+          FROM q
+          WINDOW wcur AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+        ), c AS (
+          SELECT user_id, event_id, us, v, x,
+                 CAST(count(*) OVER wp AS BIGINT) AS n,
+                 CAST(sum(x) OVER wp AS BIGINT) AS sx,
+                 CAST(sum(v) OVER wp AS BIGINT) AS sy,
+                 CAST(sum(x*v) OVER wp AS BIGINT) AS sxy,
+                 CAST(sum(x*x) OVER wp AS BIGINT) AS sxx
+          FROM b
+          WINDOW wp AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING)
+        )
+        SELECT user_id, us AS ts_us, event_id, v AS y,
+               COALESCE(n, 0) AS n_prior,
+               round(CASE WHEN n >= 2
+                           AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                     THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                          /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                     END, 6) AS slope,
+               round(CASE WHEN n >= 2
+                           AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                     THEN (CAST(sy AS DOUBLE)
+                           - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                              /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                             *CAST(sx AS DOUBLE))/CAST(n AS DOUBLE)
+                     END, 6) AS intercept,
+               round(CASE WHEN n >= 2
+                           AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                     THEN (CAST(sy AS DOUBLE)
+                           - ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                              /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                             *CAST(sx AS DOUBLE))/CAST(n AS DOUBLE)
+                          + ((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                             /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)))
+                            *CAST(x AS DOUBLE)
+                     END, 6) AS prediction
+        FROM c
+    """
+    oracles["uplift_deciles"] = """
+        WITH q AS (
+          SELECT event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), s AS (
+          SELECT event_id, cents % 97 AS score,
+                 event_id % 2 = 0 AS t,
+                 CASE WHEN (cents // 7) % 3 = 0 THEN 1 ELSE 0 END AS y
+          FROM q
+        ), b AS (
+          SELECT y, t,
+                 ntile(10) OVER (ORDER BY score DESC, event_id)
+                   AS bucket
+          FROM s
+        ), per AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t,
+                 CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_c,
+                 CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT)
+                   AS resp_t,
+                 CAST(sum(CASE WHEN t THEN 0 ELSE y END) AS BIGINT)
+                   AS resp_c
+          FROM b GROUP BY bucket
+        ), c AS (
+          SELECT bucket, n_t, n_c, resp_t, resp_c,
+                 CAST(sum(n_t) OVER wc AS BIGINT) AS cnt,
+                 CAST(sum(n_c) OVER wc AS BIGINT) AS cnc,
+                 CAST(sum(resp_t) OVER wc AS BIGINT) AS crt,
+                 CAST(sum(resp_c) OVER wc AS BIGINT) AS crc
+          FROM per
+          WINDOW wc AS (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket, n_t, n_c, resp_t,
+               resp_c,
+               round(CASE WHEN n_t > 0 THEN
+                     CAST(resp_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+                     END, 6) AS rate_t,
+               round(CASE WHEN n_c > 0 THEN
+                     CAST(resp_c AS DOUBLE)/CAST(n_c AS DOUBLE)
+                     END, 6) AS rate_c,
+               round(CASE WHEN n_t > 0 AND n_c > 0 THEN
+                     CAST(resp_t AS DOUBLE)/CAST(n_t AS DOUBLE)
+                     - CAST(resp_c AS DOUBLE)/CAST(n_c AS DOUBLE)
+                     END, 6) AS uplift,
+               round(CASE WHEN cnt > 0 AND cnc > 0 THEN
+                     CAST(crt AS DOUBLE)/CAST(cnt AS DOUBLE)
+                     - CAST(crc AS DOUBLE)/CAST(cnc AS DOUBLE)
+                     END, 6) AS cum_uplift
+        FROM c
     """
     oracles["winnowing"] = """
         WITH docs2 AS (

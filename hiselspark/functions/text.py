@@ -502,3 +502,107 @@ def with_gopher_flags(df: DataFrame, col: str = "text",
         out = out.withColumn(name, expr)
         passing = expr if passing is None else (passing & expr)
     return out.withColumn("gopher_pass", passing)
+
+
+def trigram_backoff_logprob(df: DataFrame, ref: DataFrame,
+                            id_col: str, text_col: str = "text",
+                            out_col: str = "trigram_logprob",
+                            alpha: float = 0.4) -> DataFrame:
+    """Trigram LM document score with STUPID BACKOFF (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007 — the
+    web-scale smoothing that skips normalization) against a separate
+    REFERENCE corpus ``ref``:
+
+        s(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)            if seen
+                   = α · c(w₂w₃)/c(w₂)             elif bigram seen
+                   = α² · (c(w₃)+1)/(N+V)          else (add-one uni)
+
+    score(doc) = mean ln s over the doc's trigrams.  Scoring against
+    a reference (not the doc's own corpus, where every trigram is
+    trivially seen) is the held-out-perplexity shape of the ccnet /
+    CCNet-style quality ladder: unigram → bigram → trigram-backoff.
+
+    Determinism: every term is a function of exact integer counts
+    alone, so the per-doc fold runs over the SORTED count-struct list
+    with one fixed float expression per branch — a second engine
+    replays the sum modulo libm's ln ulp (callers round).
+
+    Plan: posexplode + two leads (one doc window), four count tables
+    off the reference (token, token-pair ×2 roles, triple), LEFT
+    token-keyed joins back (AQE broadcasts vocab sides), one doc
+    groupBy.  Linear, no UDF.
+    """
+    from pyspark.sql import Window
+    a = float(alpha)
+
+    def toks_of(frame):
+        return frame.select(
+            id_col, F.posexplode(tokens(F.lower(F.col(text_col))))
+            .alias("__pos", "__tok"))
+
+    dt = toks_of(df)
+    rt = toks_of(ref)
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    tri = (dt
+           .withColumn("__w2", F.lead("__tok", 1).over(w))
+           .withColumn("__w3", F.lead("__tok", 2).over(w))
+           .filter(F.col("__w3").isNotNull())
+           .select(id_col, F.col("__tok").alias("__w1"),
+                   "__w2", "__w3"))
+    rw = Window.partitionBy(id_col).orderBy("__pos")
+    rtri = (rt
+            .withColumn("__b", F.lead("__tok", 1).over(rw))
+            .withColumn("__c", F.lead("__tok", 2).over(rw)))
+    c_tri = (rtri.filter(F.col("__c").isNotNull())
+             .groupBy(F.col("__tok").alias("__w1"),
+                      F.col("__b").alias("__w2"),
+                      F.col("__c").alias("__w3"))
+             .agg(F.count(F.lit(1)).alias("c123")))
+    c_pair = (rtri.filter(F.col("__b").isNotNull())
+              .groupBy(F.col("__tok").alias("__p1"),
+                       F.col("__b").alias("__p2"))
+              .agg(F.count(F.lit(1)).alias("cp")))
+    c_uni = rt.groupBy(F.col("__tok").alias("__u")) \
+              .agg(F.count(F.lit(1)).alias("cu"))
+    tot = rt.agg(F.count(F.lit(1)).alias("__n"),
+                 F.countDistinct("__tok").alias("__v"))
+    j = (tri
+         .join(c_tri, ["__w1", "__w2", "__w3"], "left")
+         .join(c_pair.select(F.col("__p1").alias("__w1"),
+                             F.col("__p2").alias("__w2"),
+                             F.col("cp").alias("c12")),
+               ["__w1", "__w2"], "left")
+         .join(c_pair.select(F.col("__p1").alias("__w2"),
+                             F.col("__p2").alias("__w3"),
+                             F.col("cp").alias("c23")),
+               ["__w2", "__w3"], "left")
+         .join(c_uni.select(F.col("__u").alias("__w2"),
+                            F.col("cu").alias("c2")),
+               ["__w2"], "left")
+         .join(c_uni.select(F.col("__u").alias("__w3"),
+                            F.col("cu").alias("c3")),
+               ["__w3"], "left"))
+    per_doc = (j.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(F.struct(
+                   F.coalesce("c123", F.lit(0)).alias("c123"),
+                   F.coalesce("c12", F.lit(0)).alias("c12"),
+                   F.coalesce("c23", F.lit(0)).alias("c23"),
+                   F.coalesce("c2", F.lit(0)).alias("c2"),
+                   F.coalesce("c3", F.lit(0)).alias("c3"))))
+                   .alias("__terms"),
+                    F.count(F.lit(1)).alias("n_trigrams")))
+
+    def term(acc, s):
+        seen3 = s["c123"] > 0
+        seen2 = s["c23"] > 0
+        t1 = F.log(s["c123"].cast("double") / s["c12"].cast("double"))
+        t2 = F.log(F.lit(a) * s["c23"].cast("double")
+                   / s["c2"].cast("double"))
+        t3 = F.log(F.lit(a * a) * (s["c3"] + 1).cast("double")
+                   / (F.col("__n") + F.col("__v")).cast("double"))
+        return acc + F.when(seen3, t1).when(seen2, t2).otherwise(t3)
+
+    score = (F.aggregate("__terms", F.lit(0.0), term)
+             / F.col("n_trigrams").cast("double"))
+    return (per_doc.crossJoin(F.broadcast(tot))
+            .select(id_col, "n_trigrams", score.alias(out_col)))

@@ -432,3 +432,64 @@ def brier_decomposition(df: DataFrame, prob_col: str, label_col: str,
         (rel / n).alias("rel"),
         (res / n).alias("res"),
         (obar * (F.lit(1.0) - obar)).alias("unc"))
+
+
+def uplift_deciles(df: DataFrame, score_col: str, treat_col,
+                   label_col: str, id_col: str,
+                   n_buckets: int = 10) -> DataFrame:
+    """Uplift-by-decile table: rank everyone by the model score
+    (deterministic NTILE cuts — score DESC, id ASC), then per decile
+    report treatment/control response rates and their difference
+
+        uplift_b = resp_t(b)/n_t(b) − resp_c(b)/n_c(b)
+
+    plus the cumulative uplift — how incremental-lift models (and
+    A/B-targeting policies) are actually graded (Radcliffe's Qini
+    view at decile granularity).  Counts are exact integers; rates
+    and uplift are one mirrored float expression; NULL where a decile
+    lacks one arm entirely.
+
+    Same single-window rank shape (bounded evaluation frame contract)
+    as :func:`lift_table`.  Returns (bucket, n_t, n_c, resp_t,
+    resp_c, rate_t, rate_c, uplift, cum_uplift).
+    """
+    treat = treat_col if not isinstance(treat_col, str) \
+        else F.col(treat_col)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    bucketed = df.select(
+        F.col(label_col).cast("long").alias("y"),
+        treat.cast("boolean").alias("t"),
+        F.ntile(int(n_buckets)).over(w).alias("bucket"))
+    per = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(~F.col("t"), 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("t"), F.col("y")).otherwise(0))
+         .alias("resp_t"),
+        F.sum(F.when(~F.col("t"), F.col("y")).otherwise(0))
+         .alias("resp_c"))
+    wc = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cur = per.select(
+        "bucket", "n_t", "n_c", "resp_t", "resp_c",
+        F.sum("n_t").over(wc).alias("cnt"),
+        F.sum("n_c").over(wc).alias("cnc"),
+        F.sum("resp_t").over(wc).alias("crt"),
+        F.sum("resp_c").over(wc).alias("crc"))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    rate_t = F.when(F.col("n_t") > 0, d("resp_t") / d("n_t"))
+    rate_c = F.when(F.col("n_c") > 0, d("resp_c") / d("n_c"))
+    cum = F.when((F.col("cnt") > 0) & (F.col("cnc") > 0),
+                 d("crt") / d("cnt") - d("crc") / d("cnc"))
+    return cur.select(
+        "bucket",
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("resp_t").cast("long").alias("resp_t"),
+        F.col("resp_c").cast("long").alias("resp_c"),
+        rate_t.alias("rate_t"), rate_c.alias("rate_c"),
+        F.when(rate_t.isNotNull() & rate_c.isNotNull(),
+               rate_t - rate_c).alias("uplift"),
+        cum.alias("cum_uplift"))
