@@ -4490,6 +4490,37 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition per user (seasonal = hour
+    phase mean, trend = centered ±6-row mean, resid closes the
+    identity with the grand mean) — exact integer sums with one
+    mirrored division per component."""
+    from hiselspark.operators.tsprofile import classical_decompose
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = classical_decompose(ev, "user_id", "ts", "event_id",
+                              "cents")
+    return out.select(F.col("entity").alias("user_id"), "ts_us",
+                      F.col("order_id").alias("event_id"), "v",
+                      "phase",
+                      F.round("seasonal", 6).alias("seasonal"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("resid", 6).alias("resid"))
+
+
+def q_grid_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite) over two embedding
+    coordinates: power-of-two cell binning (exact float floor), dense
+    cells >= 3 points, 8-neighbor components — the oracle replays the
+    binning and the component closure with a recursive CTE."""
+    from hiselspark.operators.similarity import grid_cluster
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = grid_cluster(emb, "vec_id", "embedding", dims=(0, 1),
+                       cell_scale=16, min_pts=3)
+    return out.select(F.col("id").alias("vec_id"), "cx", "cy",
+                      "is_core", "cluster")
+
+
 def q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff LM scores for src0 documents against
     the rest-of-corpus reference — every count, branch and ln term of
@@ -4971,6 +5002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_energy": q_haar_energy,
         "winnowing": q_winnowing,
         "trigram_backoff": q_trigram_backoff,
+        "grid_cluster": q_grid_cluster,
+        "stl_lite": q_stl_lite,
         "pit_ols": q_pit_ols,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
@@ -11509,6 +11542,74 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
+    """
+    oracles["stl_lite"] = """
+        WITH q AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v,
+                 (epoch_us(ts) // 3600000000) % 24 AS phase
+          FROM events
+        ), c AS (
+          SELECT user_id, event_id, us, v, phase,
+                 CAST(sum(v) OVER wt AS BIGINT) AS ts_,
+                 CAST(count(*) OVER wt AS BIGINT) AS tn,
+                 CAST(sum(v) OVER wp AS BIGINT) AS ps,
+                 CAST(count(*) OVER wp AS BIGINT) AS pn,
+                 CAST(sum(v) OVER wa AS BIGINT) AS gs,
+                 CAST(count(*) OVER wa AS BIGINT) AS gn
+          FROM q
+          WINDOW wt AS (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING),
+                 wp AS (PARTITION BY user_id, phase),
+                 wa AS (PARTITION BY user_id)
+        )
+        SELECT user_id, us AS ts_us, event_id, v,
+               CAST(phase AS BIGINT) AS phase,
+               round(CAST(ps AS DOUBLE)/CAST(pn AS DOUBLE), 6)
+                 AS seasonal,
+               round(CAST(ts_ AS DOUBLE)/CAST(tn AS DOUBLE), 6)
+                 AS trend,
+               round(CAST(v AS DOUBLE)
+                     - CAST(ps AS DOUBLE)/CAST(pn AS DOUBLE)
+                     - CAST(ts_ AS DOUBLE)/CAST(tn AS DOUBLE)
+                     + CAST(gs AS DOUBLE)/CAST(gn AS DOUBLE), 6)
+                 AS resid
+        FROM c
+    """
+    oracles["grid_cluster"] = """
+        WITH RECURSIVE pts AS (
+          SELECT vec_id AS id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 16)
+                      AS BIGINT) AS cx,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 16)
+                      AS BIGINT) AS cy
+          FROM embeddings
+        ), pc AS (
+          SELECT id, cx, cy,
+                 (cx + 1048576) * 4398046511104 + (cy + 1048576)
+                   AS cell
+          FROM pts
+        ), dense AS (
+          SELECT cell, cx, cy FROM (
+            SELECT cell, cx, cy, count(*) AS n
+            FROM pc GROUP BY cell, cx, cy)
+          WHERE n >= 3
+        ), sym AS (
+          SELECT d1.cell AS s, d2.cell AS d
+          FROM dense d1 JOIN dense d2
+            ON abs(d1.cx - d2.cx) <= 1 AND abs(d1.cy - d2.cy) <= 1
+        ), reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ), comp AS (
+          SELECT s AS cell, CAST(MIN(d) AS BIGINT) AS cluster
+          FROM reach GROUP BY s
+        )
+        SELECT pc.id AS vec_id, pc.cx, pc.cy,
+               comp.cluster IS NOT NULL AS is_core,
+               comp.cluster
+        FROM pc LEFT JOIN comp ON comp.cell = pc.cell
     """
     oracles["trigram_backoff"] = """
         WITH d0 AS (

@@ -870,3 +870,73 @@ def triplet_mining(
                & F.col("neg.cos").isNotNull(),
                F.col("neg.cos") > F.col("pos.cos"))
          .alias("semi_hard"))
+
+
+def grid_cluster(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 dims: tuple = (0, 1), cell_scale: int = 16,
+                 min_pts: int = 3, max_iter: int = 30) -> DataFrame:
+    """Grid-density clustering (DBSCAN-lite / GriDBSCAN family): bin
+    points into square cells on two chosen embedding coordinates,
+    call a cell DENSE when it holds ≥ ``min_pts`` points, connect
+    8-neighboring dense cells, and label each dense component as one
+    cluster; points outside dense cells are NOISE (cluster NULL).
+
+    Exactness across engines: ``cell_scale`` must be a power of two —
+    ``floor(x · 2^k)`` multiplies a double by a power of two (exact)
+    and floors (exact), so the cell id is bit-deterministic from the
+    parquet floats; everything after is integer counts and the
+    engine's min-label component propagation.  Cell labels are the
+    packed integer ``(cx + K)·M + (cy + K)`` (K, M constants sized to
+    the scale).
+
+    Shape: one map stage (cell ids) + one count shuffle (density) +
+    the bounded 9-offset equi-join on CELLS (never points) + the
+    iterative component propagation over the dense-cell graph — the
+    cluster step costs O(dense cells), not O(points), which is what
+    keeps density clustering alive at 10^12 rows (points are touched
+    twice: bin + final label join).  Choosing two projection dims is
+    the declared approximation (use PCA dims upstream for a smarter
+    plane).
+
+    Returns (id, cx, cy, is_core, cluster) — cluster is the MIN
+    packed cell label of the component, NULL for noise.
+    """
+    from .dedup import connected_components
+    if cell_scale & (cell_scale - 1) != 0 or cell_scale <= 0:
+        raise ValueError("cell_scale must be a positive power of two")
+    K, M = 1 << 20, 1 << 42
+    d0, d1 = int(dims[0]), int(dims[1])
+    x = F.col(vec_col)[d0].cast("double")
+    y = F.col(vec_col)[d1].cast("double")
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.floor(x * F.lit(float(cell_scale))).cast("long").alias("cx"),
+        F.floor(y * F.lit(float(cell_scale))).cast("long").alias("cy"))
+    cell = ((F.col("cx") + K) * F.lit(M) + (F.col("cy") + K))
+    pts = pts.withColumn("cell", cell)
+    dense = (pts.groupBy("cell", "cx", "cy")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= int(min_pts)))
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    shifted = dense.select(
+        F.col("cell").alias("cell_a"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("nx"),
+                     (F.col("cy") + dy).alias("ny"))
+            for dx, dy in offs])).alias("nb"))
+    nbr_key = ((F.col("nb.nx") + K) * F.lit(M) + (F.col("nb.ny") + K))
+    pairs = (shifted.select("cell_a", nbr_key.alias("cell_b"))
+             .join(dense.select(F.col("cell").alias("cell_b")),
+                   "cell_b", "left_semi"))
+    comp = connected_components(
+        pairs.select(F.col("cell_a").alias("a"),
+                     F.col("cell_b").alias("b")),
+        max_iter=max_iter)
+    out = (pts.join(comp.select(F.col("node").alias("cell"),
+                                F.col("comp").alias("cluster")),
+                    "cell", "left")
+           .select("id", "cx", "cy",
+                   F.col("cluster").isNotNull().alias("is_core"),
+                   "cluster"))
+    return out

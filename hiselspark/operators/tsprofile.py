@@ -514,3 +514,72 @@ def haar_energy(
         out = out.join(energies[lvl - 1]
                        .select("entity", f"e{lvl}"), "entity")
     return out
+
+
+def classical_decompose(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    phase_col=None,
+    half_window: int = 6,
+) -> DataFrame:
+    """Classical additive decomposition per entity (the STL-shaped
+    monitoring view, kept exactly replayable):
+
+        seasonal_t = mean(v | phase(t))          (phase = hour of day)
+        trend_t    = centered ±half_window rolling mean of v
+        resid_t    = v_t − seasonal_t − trend_t + grand_mean
+
+    Every component is an exact integer sum with ONE division, and the
+    residual is one fixed float expression over them — so unlike
+    textbook STL (iterated loess on floats, whose summation order is
+    partition-dependent) this decomposition is bit-reproducible and a
+    SQL engine replays it term for term.  Adding the grand mean back
+    keeps the three components' biases from double-counting the level
+    (E[seasonal] + E[trend] ≈ 2·mean without it).
+
+    NOT point-in-time: the centered trend window reads future rows —
+    this is the offline monitoring/anomaly view; use the PIT windows
+    family for serving features.  One entity exchange serves the
+    ordered window, the phase aggregation and the whole-series mean
+    (subset-cluster-keys rule).  Returns the keys plus
+    (v, seasonal, trend, resid).
+    """
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("long").alias("v"),
+        *([phase_col.alias("phase")] if phase_col is not None else []))
+    if phase_col is None:
+        # integer hour-of-day off the epoch-micros column (DIV, never
+        # float divide-then-floor)
+        base = base.withColumn(
+            "phase", F.expr("(__t DIV 3600000000) % 24"))
+    w_ord = (Window.partitionBy("entity").orderBy("__t", "__o")
+             .rowsBetween(-int(half_window), int(half_window)))
+    w_all = Window.partitionBy("entity")
+    w_ph = Window.partitionBy("entity", "phase")
+    cur = (base
+           .withColumn("__ts", F.sum("v").over(w_ord))
+           .withColumn("__tn", F.count(F.lit(1)).over(w_ord))
+           .withColumn("__ps", F.sum("v").over(w_ph))
+           .withColumn("__pn", F.count(F.lit(1)).over(w_ph))
+           .withColumn("__gs", F.sum("v").over(w_all))
+           .withColumn("__gn", F.count(F.lit(1)).over(w_all)))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    seasonal = d("__ps") / d("__pn")
+    trend = d("__ts") / d("__tn")
+    grand = d("__gs") / d("__gn")
+    resid = d("v") - seasonal - trend + grand
+    return cur.select(
+        "entity", F.col("__t").alias("ts_us"),
+        F.col("__o").alias("order_id"), "v", "phase",
+        seasonal.alias("seasonal"), trend.alias("trend"),
+        resid.alias("resid"))

@@ -148,3 +148,66 @@ def test_stream_holt_equals_batch(spark, tmp_path):
         assert fin[u]["n_events"] == len(vals)
         assert fin[u]["level"] == pytest.approx(l, rel=1e-12)
         assert fin[u]["trend"] == pytest.approx(b, rel=1e-12)
+
+
+def test_grid_cluster_planted(spark):
+    rng = np.random.default_rng(83)
+    # two tight blobs far apart + scattered noise
+    blob1 = rng.normal(0.0, 0.01, (40, 2)) + [0.2, 0.2]
+    blob2 = rng.normal(0.0, 0.01, (40, 2)) + [-0.3, -0.3]
+    noise = np.array([[0.9, -0.9], [-0.9, 0.9], [0.5, 0.9]])
+    pts = np.vstack([blob1, blob2, noise])
+    rows = [(i, [float(x), float(y)] + [0.0] * 62)
+            for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from hiselspark.operators.similarity import grid_cluster
+    out = {r["id"]: r for r in
+           grid_cluster(df, "vec_id", "embedding", cell_scale=16,
+                        min_pts=3).collect()}
+    c1 = {out[i]["cluster"] for i in range(40)}
+    c2 = {out[i]["cluster"] for i in range(40, 80)}
+    assert None not in c1 and None not in c2
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    for i in range(80, 83):
+        assert out[i]["cluster"] is None and out[i]["is_core"] is False
+
+
+def test_grid_cluster_bridges_adjacent_cells(spark):
+    # points straddling a cell boundary merge through 8-adjacency
+    rows = []
+    for i in range(6):
+        rows.append((i, [0.061 + 0.0001 * i, 0.01] + [0.0] * 62))
+    for i in range(6, 12):
+        rows.append((i, [0.064 + 0.0001 * i, 0.01] + [0.0] * 62))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from hiselspark.operators.similarity import grid_cluster
+    out = grid_cluster(df, "vec_id", "embedding", cell_scale=16,
+                       min_pts=3).collect()
+    clusters = {r["cluster"] for r in out}
+    assert len(clusters) == 1 and None not in clusters
+
+
+def test_classical_decompose_identity_and_planted(spark):
+    rng = np.random.default_rng(89)
+    rows = []
+    for i in range(96):
+        ts = BASE + dt.timedelta(hours=i)
+        seasonal = 50 if (i % 24) in (9, 10, 11) else 0
+        v = 100 + seasonal + int(rng.integers(-3, 4))
+        rows.append(("u", ts, i, v))
+    df = spark.createDataFrame(
+        rows, "e string, ts timestamp, o long, v long")
+    from hiselspark.operators.tsprofile import classical_decompose
+    out = classical_decompose(df, "e", "ts", "o", "v").collect()
+    vals = {r["order_id"]: r for r in out}
+    # identity: v = seasonal + trend + resid - grand (rearranged)
+    import statistics
+    grand = statistics.mean(r[3] for r in rows)
+    for i in (20, 50, 70):
+        r = vals[i]
+        assert r["v"] == pytest.approx(
+            r["seasonal"] + r["trend"] + r["resid"] - grand, abs=1e-9)
+    # planted morning seasonality is recovered
+    morning = [vals[i]["seasonal"] for i in range(96) if i % 24 == 10]
+    night = [vals[i]["seasonal"] for i in range(96) if i % 24 == 2]
+    assert min(morning) > max(night) + 30
