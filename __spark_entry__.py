@@ -4490,6 +4490,45 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes trained on even event ids, scored on
+    odd — every Laplace-smoothed likelihood, prior and argmax
+    replayed by the oracle (held-out count-model shape)."""
+    from hiselspark.operators.nbayes import naive_bayes
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(F.col("event_id").alias("row_id"),
+                   (F.col("cents") % 4).alias("f1"),
+                   (F.expr("cents DIV 7") % 3).alias("f2"),
+                   (F.col("cents") % 5).alias("f3"),
+                   ((F.col("cents") + F.expr("cents DIV 7")) % 3)
+                   .alias("y"))
+    train = df.filter(F.col("row_id") % 2 == 0)
+    score = df.filter(F.col("row_id") % 2 == 1)
+    out = naive_bayes(train, score, ["f1", "f2", "f3"], "y")
+    return out.select("row_id", "pred_class",
+                      F.round("best_logpost", 6).alias("best_logpost"))
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction per event type with a correlated
+    pre-period covariate — pooled theta, adjusted means and the
+    variance-reduction ratio all from exact integer sums, one
+    mirrored float expression each."""
+    from hiselspark.operators.nbayes import cuped
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.withColumn(
+        "pre", F.expr("cents DIV 2") + F.col("event_id") % 50)
+    out = cuped(df, "event_type", "cents", "pre")
+    return out.select(F.col("grp").alias("event_type"), "n",
+                      F.round("mean_y", 6).alias("mean_y"),
+                      F.round("mean_y_adj", 6).alias("mean_y_adj"),
+                      F.round("theta", 6).alias("theta"),
+                      F.round("var_reduction", 6)
+                      .alias("var_reduction"))
+
+
 def q_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive decomposition per user (seasonal = hour
     phase mean, trend = centered ±6-row mean, resid closes the
@@ -5004,6 +5043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_backoff": q_trigram_backoff,
         "grid_cluster": q_grid_cluster,
         "stl_lite": q_stl_lite,
+        "naive_bayes": q_naive_bayes,
+        "cuped": q_cuped,
         "pit_ols": q_pit_ols,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
@@ -11542,6 +11583,135 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
+    """
+    oracles["naive_bayes"] = """
+        WITH q AS (
+          SELECT event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), f AS (
+          SELECT event_id AS row_id, cents % 4 AS f1,
+                 (cents // 7) % 3 AS f2, cents % 5 AS f3,
+                 (cents + cents // 7) % 3 AS y
+          FROM q
+        ), tr AS (
+          SELECT * FROM f WHERE row_id % 2 = 0
+        ), sc AS (
+          SELECT * FROM f WHERE row_id % 2 = 1
+        ), cls AS (
+          SELECT y AS cls, CAST(count(*) AS BIGINT) AS n_c
+          FROM tr GROUP BY y
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS t FROM tr
+        ), ltr AS (
+          SELECT 'f1' AS feature, f1 AS value, y AS cls FROM tr
+          UNION ALL SELECT 'f2', f2, y FROM tr
+          UNION ALL SELECT 'f3', f3, y FROM tr
+        ), cells AS (
+          SELECT feature, value, cls,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM ltr GROUP BY feature, value, cls
+        ), vsz AS (
+          SELECT feature,
+                 CAST(count(DISTINCT value) AS BIGINT) AS v
+          FROM ltr GROUP BY feature
+        ), lsc AS (
+          SELECT row_id, 'f1' AS feature, f1 AS value FROM sc
+          UNION ALL SELECT row_id, 'f2', f2 FROM sc
+          UNION ALL SELECT row_id, 'f3', f3 FROM sc
+        ), jj AS (
+          SELECT s.row_id, s.feature, c.cls, c.n_c, v.v,
+                 COALESCE(ce.c, 0) AS cf
+          FROM lsc s
+          JOIN vsz v USING (feature)
+          CROSS JOIN cls c
+          LEFT JOIN cells ce ON ce.feature = s.feature
+            AND ce.value = s.value AND ce.cls = c.cls
+        ), per AS (
+          SELECT row_id, cls, CAST(max(n_c) AS BIGINT) AS n_c,
+                 list({'f': feature, 'c': cf, 'v': v}
+                      ORDER BY feature, cf, v) AS terms
+          FROM jj GROUP BY row_id, cls
+        ), scored AS (
+          SELECT row_id, cls,
+                 ln(CAST(n_c AS DOUBLE)/CAST(t AS DOUBLE))
+                 + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(terms, s ->
+                       ln(CAST(s.c + 1 AS DOUBLE)
+                          /CAST(n_c + 1*s.v AS DOUBLE)))),
+                     (a, b) -> a + b) AS lp
+          FROM per, tot
+        ), r AS (
+          SELECT row_id, cls, lp,
+                 row_number() OVER (PARTITION BY row_id
+                                    ORDER BY lp DESC, cls ASC) AS rn
+          FROM scored
+        )
+        SELECT row_id, CAST(cls AS BIGINT) AS pred_class,
+               round(lp, 6) AS best_logpost
+        FROM r WHERE rn = 1
+    """
+    oracles["cuped"] = """
+        WITH q AS (
+          SELECT event_type AS grp, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS y
+          FROM events
+        ), b AS (
+          SELECT grp, y, (y // 2) + event_id % 50 AS x FROM q
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx
+          FROM b
+        ), gpool AS (
+          SELECT CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                      /(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                 END AS theta,
+                 CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS xbar
+          FROM g
+        ), per AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy
+          FROM b GROUP BY grp
+        ), j AS (
+          SELECT grp, n,
+                 CAST(sy AS DOUBLE)/CAST(n AS DOUBLE) AS my,
+                 CAST(sx AS DOUBLE)/CAST(n AS DOUBLE) AS mx,
+                 theta, xbar,
+                 (CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)
+                    /CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1)
+                   AS var_y,
+                 (CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)
+                    /CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1)
+                   AS cov_xy,
+                 (CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)
+                    /CAST(n AS DOUBLE))/(CAST(n AS DOUBLE)-1)
+                   AS var_x
+          FROM per, gpool
+        )
+        SELECT grp AS event_type, n,
+               round(my, 6) AS mean_y,
+               round(my - theta*(mx - xbar), 6) AS mean_y_adj,
+               round(theta, 6) AS theta,
+               round(CASE WHEN var_y > 0 THEN
+                 CAST(1.0 AS DOUBLE)
+                 - (var_y - CAST(2.0 AS DOUBLE)*theta*cov_xy
+                    + theta*theta*var_x)/var_y END, 6)
+                 AS var_reduction
+        FROM j
     """
     oracles["stl_lite"] = """
         WITH q AS (
