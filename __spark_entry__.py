@@ -4490,6 +4490,42 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decoding of held-out event sequences under the HMM
+    count-trained on even user ids (states = event types, obs = cents
+    mod 4) — the oracle recomputes every smoothed log probability from
+    the parquet and replays the whole lattice with a recursive CTE
+    (GREATEST + first-match argmax = the fold's strict-max tie rule)."""
+    from hiselspark.operators.hmm import viterbi_decode
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.withColumn("obs", F.col("cents") % 4)
+    train = df.filter(F.col("user_id") % 2 == 0)
+    score = df.filter(F.col("user_id") % 2 == 1)
+    out = viterbi_decode(train, score, "user_id", "ts", "event_id",
+                         "event_type", "obs")
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      F.round("best_logprob", 6).alias("best_logprob"),
+                      "path")
+
+
+def q_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join with prefix filtering (AllPairs,
+    WWW 2007) at Jaccard >= 1/2 over documents + planted suffix
+    copies — no false negatives by the prefix lemma, so the oracle is
+    the BRUTE all-pairs Jaccard (no candidate mechanics to trust)."""
+    from hiselspark.operators.dedup import prefix_similarity_join
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 200))
+    mut = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail word")).alias("text"))
+    both = docs.select("doc_id", "text").unionByName(mut)
+    out = prefix_similarity_join(both, "doc_id", "text", 1, 2)
+    return out.select("a", "b", "n_common",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical Naive Bayes trained on even event ids, scored on
     odd — every Laplace-smoothed likelihood, prior and argmax
@@ -5044,6 +5080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cluster": q_grid_cluster,
         "stl_lite": q_stl_lite,
         "naive_bayes": q_naive_bayes,
+        "prefix_join": q_prefix_join,
+        "viterbi": q_viterbi,
         "cuped": q_cuped,
         "pit_ols": q_pit_ols,
         "uplift_deciles": q_uplift_deciles,
@@ -5663,6 +5701,119 @@ def _mrmr_oracle_sql(k: int = 4) -> str:
                round(score, 6) AS score
         FROM ({unions})
     """)
+
+
+def _viterbi_oracle_sql(k: int = 5, v: int = 4) -> str:
+    """TRUE SQL oracle for the Viterbi gate: smoothed log
+    probabilities recomputed from the parquet counts (scalar
+    subqueries), then the K-state lattice unrolled as a recursive CTE
+    carrying (lp_s, path_s) columns.  The per-step argmax is
+    GREATEST + a first-match CASE — exactly the fold's ascending
+    strict-max scan (ties to the smaller state index), comparing
+    bit-identical doubles."""
+    sts = ["click", "error", "purchase", "signup", "view"][:k]
+
+    def init_lp(s):
+        return (f"ln(CAST(COALESCE((SELECT c FROM initc WHERE"
+                f" s='{sts[s]}'), 0) + 1 AS DOUBLE)"
+                f" / CAST((SELECT sum(c) FROM initc) + {k}"
+                f" AS DOUBLE))")
+
+    def trans_lp(i, j):
+        return (f"ln(CAST(COALESCE((SELECT c FROM transc WHERE"
+                f" prev='{sts[i]}' AND s='{sts[j]}'), 0) + 1"
+                f" AS DOUBLE) / CAST(COALESCE((SELECT sum(c) FROM"
+                f" transc WHERE prev='{sts[i]}'), 0) + {k}"
+                f" AS DOUBLE))")
+
+    def emit_lp(s, o):
+        return (f"ln(CAST(COALESCE((SELECT c FROM emitc WHERE"
+                f" s='{sts[s]}' AND obs={o}), 0) + 1 AS DOUBLE)"
+                f" / CAST(COALESCE((SELECT sum(c) FROM emitc WHERE"
+                f" s='{sts[s]}'), 0) + {v} AS DOUBLE))")
+
+    model_cols = []
+    for s in range(k):
+        model_cols.append(f"{init_lp(s)} AS pi{s}")
+    for i in range(k):
+        for j in range(k):
+            model_cols.append(f"{trans_lp(i, j)} AS a_{i}_{j}")
+    for s in range(k):
+        for o in range(v):
+            model_cols.append(f"{emit_lp(s, o)} AS b_{s}_{o}")
+
+    def emit_case(s, obs_expr):
+        whens = " ".join(f"WHEN {o} THEN m.b_{s}_{o}"
+                         for o in range(v))
+        return f"(CASE {obs_expr} {whens} END)"
+
+    base_cols = []
+    for s in range(k):
+        base_cols.append(
+            f"m.pi{s} + {emit_case(s, 's.obs')} AS lp{s}")
+    for s in range(k):
+        base_cols.append(f"'{s}' AS p{s}")
+
+    # column ORDER must match the anchor (all lp then all p): the
+    # recursive UNION ALL aligns by position, not name
+    rec_lp, rec_p = [], []
+    for s in range(k):
+        cands = [f"r.lp{i} + m.a_{i}_{s}" for i in range(k)]
+        mx = f"GREATEST({', '.join(cands)})"
+        pick = " ".join(
+            f"WHEN {cands[i]} = {mx} THEN r.p{i}" for i in range(k))
+        rec_lp.append(f"{mx} + {emit_case(s, 's.obs')} AS lp{s}")
+        rec_p.append(f"(CASE {pick} END) || '-{s}' AS p{s}")
+    rec_cols = rec_lp + rec_p
+
+    fin_cands = [f"lp{s}" for s in range(k)]
+    fin_mx = f"GREATEST({', '.join(fin_cands)})"
+    fin_pick = " ".join(
+        f"WHEN lp{s} = {fin_mx} THEN p{s}" for s in range(k))
+
+    return f"""
+        WITH RECURSIVE q AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+                 abs(CAST(round(value*100) AS BIGINT)) % 4 AS obs
+          FROM events
+        ), tr AS (
+          SELECT user_id, event_type AS s, obs,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY us, event_id) AS prev
+          FROM q WHERE user_id % 2 = 0
+        ), initc AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS c
+          FROM tr WHERE prev IS NULL GROUP BY s
+        ), transc AS (
+          SELECT prev, s, CAST(count(*) AS BIGINT) AS c
+          FROM tr WHERE prev IS NOT NULL GROUP BY prev, s
+        ), emitc AS (
+          SELECT s, obs, CAST(count(*) AS BIGINT) AS c
+          FROM tr GROUP BY s, obs
+        ), model AS (
+          SELECT {', '.join(model_cols)}
+        ), sc AS (
+          SELECT user_id, obs,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM q WHERE user_id % 2 = 1
+        ), rec AS (
+          SELECT s.user_id, s.i, s.n,
+                 {', '.join(base_cols)}
+          FROM sc s, model m WHERE s.i = 1
+          UNION ALL
+          SELECT s.user_id, s.i, s.n,
+                 {', '.join(rec_cols)}
+          FROM rec r
+          JOIN sc s ON s.user_id = r.user_id AND s.i = r.i + 1,
+               model m
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n,
+               round({fin_mx}, 6) AS best_logprob,
+               (CASE {fin_pick} END) AS path
+        FROM rec WHERE i = n
+    """
 
 
 def _cmi_sql_ctes(name: str, src: str) -> str:
@@ -11554,6 +11705,7 @@ def oracle_sql() -> dict[str, str]:
     """
     oracles["mrmr_select"] = _mrmr_oracle_sql(k=4)
     oracles["cmim_select"] = _cmim_oracle_sql(k=4)
+    oracles["viterbi"] = _viterbi_oracle_sql()
     oracles["streaming_holt"] = """
         WITH RECURSIVE q0 AS (
           SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -11583,6 +11735,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, CAST(n AS BIGINT) AS n_events,
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
+    """
+    oracles["prefix_join"] = """
+        WITH docs2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id < 200
+          UNION ALL
+          SELECT doc_id + 100000, text || ' tail word'
+          FROM documents WHERE doc_id < 200
+        ), norm AS (
+          SELECT doc_id,
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                   ' ') AS words
+          FROM docs2
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN len(words) >= 3
+                      THEN words[i] || ' ' || words[i+1] || ' '
+                           || words[i+2]
+                      ELSE array_to_string(words, ' ') END AS shingle
+          FROM norm,
+               unnest(generate_series(
+                 1, greatest(len(words) - 2, 1))) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS n_common
+          FROM sh l JOIN sh r USING (shingle)
+          WHERE l.doc_id < r.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT a, b, CAST(n_common AS BIGINT) AS n_common,
+               round(CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_common) >= 0.5
     """
     oracles["naive_bayes"] = """
         WITH q AS (

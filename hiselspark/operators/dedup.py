@@ -602,3 +602,72 @@ def winnowing_pairs(df: DataFrame, id_col: str,
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n_shared"))
             .filter(F.col("n_shared") >= int(min_shared)))
+
+
+def prefix_similarity_join(df: DataFrame, id_col: str,
+                           text_col: str = "text",
+                           t_num: int = 1, t_den: int = 2,
+                           shingle_n: int = 3) -> DataFrame:
+    """EXACT set-similarity self-join with prefix filtering (Bayardo,
+    Ma, Srikant, "Scaling up all pairs similarity search", WWW 2007 —
+    AllPairs; Chaudhuri et al.'s prefix-filter lemma): all document
+    pairs with shingle Jaccard ≥ t, with NO false negatives — the
+    deterministic sibling of MinHash-LSH (which trades recall for
+    speed; this trades a candidate bound that is data-dependent but
+    exact).
+
+    The lemma: order the shingle universe canonically (document
+    frequency ascending — rarest first — then shingle text); if
+    |A∩B| ≥ ⌈t·|A|⌉ then the first |A| − ⌈t·|A|⌉ + 1 shingles of A
+    (its PREFIX) must contain an intersection element, so two
+    qualifying documents always share a prefix shingle.  Candidates =
+    pairs sharing ≥ 1 prefix shingle (equi-join on the prefix
+    explode, quadratic only inside rare-shingle buckets by
+    construction) + the size filter t·|B| ≤ |A| (J ≤ |A|/|B| for
+    |A| ≤ |B|); verification = the exact Jaccard machinery
+    (:func:`jaccard_pairs`) on the candidate set.
+
+    The threshold is a RATIONAL t = t_num/t_den so the prefix length
+    ⌈t·|A|⌉ = (t_num·|A| + t_den − 1) DIV t_den is exact integer
+    arithmetic — no float boundary decides candidate membership.
+
+    Scale shape: one shingle-frequency shuffle, one per-doc sort of
+    its own shingles (bounded by doc length), prefix explode (a
+    ~(1−t) fraction of each doc's shingles), equi-join, then exact
+    verification inside candidates only.  Rarest-first ordering makes
+    hot shingles land at the END of documents' orderings, so they
+    rarely enter prefixes — the built-in stopword defense LSH needs a
+    DF cap for.  Returns (a, b, n_common, n_a, n_b, jaccard) for
+    pairs with jaccard ≥ t.
+    """
+    if not (0 < t_num <= t_den):
+        raise ValueError("need 0 < t_num <= t_den (a threshold in (0,1])")
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).distinct()
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per_doc = (sh.join(dfreq, "shingle")
+               .groupBy("doc")
+               .agg(F.sort_array(F.collect_list(F.struct(
+                   F.col("__df").alias("df"),
+                   F.col("shingle").alias("s")))).alias("ord"),
+                    F.count(F.lit(1)).alias("size")))
+    plen_sql = (f"CAST(size - (({int(t_num)} * size + {int(t_den)} - 1)"
+                f" DIV {int(t_den)}) + 1 AS INT)")
+    pref = (per_doc
+            .select("doc", "size",
+                    F.explode(F.expr(f"slice(ord, 1, {plen_sql})"))
+                    .alias("p"))
+            .select("doc", "size", F.col("p.s").alias("shingle")))
+    l = pref.select(F.col("shingle"), F.col("doc").alias("a"),
+                    F.col("size").alias("na"))
+    r = pref.select(F.col("shingle"), F.col("doc").alias("b"),
+                    F.col("size").alias("nb"))
+    cands = (l.join(r, "shingle")
+             .filter(F.col("a") < F.col("b"))
+             # size filter: J >= t forces t*max(|A|,|B|) <= min
+             .filter(F.lit(int(t_num))
+                     * F.greatest("na", "nb")
+                     <= F.lit(int(t_den)) * F.least("na", "nb"))
+             .select("a", "b").distinct())
+    return jaccard_pairs(df, id_col, text_col, candidates=cands,
+                         threshold=float(t_num) / float(t_den),
+                         shingle_n=shingle_n)
