@@ -4490,6 +4490,47 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GA4-style sessionization: inactivity gap (1 day) OR maximum
+    session duration (2 days) — the cap makes the rule recursive, so
+    it runs as the per-entity fold and the oracle replays it with a
+    recursive CTE in pure integer microseconds."""
+    from hiselspark.operators.windows import sessionize_capped
+    ev = _ev(spark, sf_dir)
+    out = sessionize_capped(ev, "user_id", "ts", "event_id",
+                            gap_seconds=86400.0,
+                            cap_seconds=172800.0)
+    return out.select(F.col("entity").alias("user_id"), "ts_us",
+                      F.col("order_id").alias("event_id"),
+                      "session_id", "session_start_us")
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM features at a point-in-time cutoff: exact pre-cutoff
+    recency/frequency/monetary plus equal-frequency quintile scores
+    from the exact CDF binning rule — all integer arithmetic."""
+    from hiselspark.operators.labels import rfm_features
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = rfm_features(ev, "user_id", "ts", "cents",
+                       "2024-01-20 00:00:00", n_bins=5)
+    return out.select(F.col("entity").alias("user_id"),
+                      "recency_days", "frequency", "monetary",
+                      "r_score", "f_score", "m_score")
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity: distinct-1/2/3 n-gram ratios — the standard
+    template-spam / decoding-collapse check, exact counts and one
+    mirrored division per n."""
+    from hiselspark.functions.text import distinct_ngram_ratios
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = distinct_ngram_ratios(docs, "text", max_n=3)
+    return out.select("n", "total", "n_distinct",
+                      F.round("distinct_ratio", 6)
+                      .alias("distinct_ratio"))
+
+
 def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viterbi decoding of held-out event sequences under the HMM
     count-trained on even user ids (states = event types, obs = cents
@@ -5082,6 +5123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": q_naive_bayes,
         "prefix_join": q_prefix_join,
         "viterbi": q_viterbi,
+        "sessionize_capped": q_sessionize_capped,
+        "rfm": q_rfm,
+        "distinct_ngrams": q_distinct_ngrams,
         "cuped": q_cuped,
         "pit_ols": q_pit_ols,
         "uplift_deciles": q_uplift_deciles,
@@ -11736,6 +11780,100 @@ def oracle_sql() -> dict[str, str]:
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
     """
+    oracles["sessionize_capped"] = """
+        WITH RECURSIVE q AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), s AS (
+          SELECT user_id, event_id, us,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS i
+          FROM q
+        ), rec AS (
+          SELECT user_id, i, us, event_id,
+                 CAST(0 AS BIGINT) AS sid, us AS start_us
+          FROM s WHERE i = 1
+          UNION ALL
+          SELECT s.user_id, s.i, s.us, s.event_id,
+                 CASE WHEN s.us - r.us > 86400000000
+                       OR s.us - r.start_us > 172800000000
+                 THEN r.sid + 1 ELSE r.sid END,
+                 CASE WHEN s.us - r.us > 86400000000
+                       OR s.us - r.start_us > 172800000000
+                 THEN s.us ELSE r.start_us END
+          FROM rec r
+          JOIN s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT user_id, us AS ts_us, event_id, sid AS session_id,
+               start_us AS session_start_us
+        FROM rec
+    """
+    oracles["rfm"] = """
+        WITH pre AS (
+          SELECT user_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+          WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        ), agg AS (
+          SELECT user_id AS entity,
+                 (epoch_us(TIMESTAMP '2024-01-20 00:00:00')
+                  - max(us)) // 86400000000 AS recency_days,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(cents) AS BIGINT) AS monetary
+          FROM pre GROUP BY user_id
+        ), withneg AS (
+          SELECT *, -recency_days AS neg_recency FROM agg
+        ), rbin AS (
+          SELECT v,
+                 (5 * COALESCE(SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0))
+                 // (SUM(t) OVER ()) AS b
+          FROM (SELECT neg_recency AS v, count(*) AS t
+                FROM withneg GROUP BY neg_recency)
+        ), fbin AS (
+          SELECT v,
+                 (5 * COALESCE(SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0))
+                 // (SUM(t) OVER ()) AS b
+          FROM (SELECT frequency AS v, count(*) AS t
+                FROM withneg GROUP BY frequency)
+        ), mbin AS (
+          SELECT v,
+                 (5 * COALESCE(SUM(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0))
+                 // (SUM(t) OVER ()) AS b
+          FROM (SELECT monetary AS v, count(*) AS t
+                FROM withneg GROUP BY monetary)
+        )
+        SELECT entity AS user_id, recency_days, frequency, monetary,
+               CAST(r.b AS BIGINT) AS r_score,
+               CAST(f.b AS BIGINT) AS f_score,
+               CAST(m.b AS BIGINT) AS m_score
+        FROM withneg w
+        JOIN rbin r ON r.v = w.neg_recency
+        JOIN fbin f ON f.v = w.frequency
+        JOIN mbin m ON m.v = w.monetary
+    """
+    _dn_parts = []
+    for _n in (1, 2, 3):
+        _dn_parts.append(f"""
+          SELECT {_n} AS n, CAST(count(*) AS BIGINT) AS total,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+                 round(CASE WHEN count(*) > 0 THEN
+                   CAST(count(DISTINCT g) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) END, 6)
+                   AS distinct_ratio
+          FROM (
+            SELECT unnest(list_transform(
+              range(1, greatest(len(tk) - {_n - 1}, 0) + 1),
+              i -> array_to_string(tk[i:i+{_n - 1}], ' '))) AS g
+            FROM (SELECT regexp_split_to_array(trim(lower(text)),
+                         '\\s+') AS tk
+                  FROM documents WHERE trim(text) <> '')
+            WHERE len(tk) >= {_n})""")
+    oracles["distinct_ngrams"] = "\n          UNION ALL".join(_dn_parts)
     oracles["prefix_join"] = """
         WITH docs2 AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 200

@@ -606,3 +606,49 @@ def trigram_backoff_logprob(df: DataFrame, ref: DataFrame,
              / F.col("n_trigrams").cast("double"))
     return (per_doc.crossJoin(F.broadcast(tot))
             .select(id_col, "n_trigrams", score.alias(out_col)))
+
+
+def distinct_ngram_ratios(df: DataFrame, text_col: str = "text",
+                          max_n: int = 3) -> DataFrame:
+    """Corpus-level distinct-n ratios (distinct n-grams / total
+    n-grams, n = 1..max_n) — the standard diversity/memorization
+    check for generated or curated corpora (Li et al. 2016's
+    distinct-1/2; low values flag template spam or decoding collapse).
+
+    Exact integer counts from one unpivoted token shuffle per n (the
+    n-gram explode); ratios are one mirrored division each.  Returns
+    one row per n: (n, total, n_distinct, distinct_ratio).
+    """
+    toks = df.select(tokens(F.lower(F.col(text_col))).alias("__toks"))
+
+    # one-arg lambda via closure: a `lambda i, n=n` would be ARITY-2
+    # and transform() binds the second parameter to the ELEMENT INDEX,
+    # silently clobbering the n-gram order
+    def gram_fn(n):
+        return lambda i: F.concat_ws(" ", F.slice("__toks", i, n))
+
+    # n-grams via slice inside transform — map-only per doc
+    outs = []
+    for n in range(1, int(max_n) + 1):
+        grams = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size("__toks") - (n - 1),
+                                  F.lit(0))),
+            gram_fn(n))
+        g = (toks.select(F.explode(
+            F.when(F.size("__toks") >= n, grams)
+            .otherwise(F.array().cast("array<string>")))
+            .alias("g")))
+        outs.append(g.agg(
+            F.lit(n).alias("n"),
+            F.count(F.lit(1)).alias("total"),
+            F.countDistinct("g").alias("n_distinct")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.select(
+        "n", "total", "n_distinct",
+        F.when(F.col("total") > 0,
+               F.col("n_distinct").cast("double")
+               / F.col("total").cast("double"))
+        .alias("distinct_ratio"))

@@ -1219,3 +1219,74 @@ def crossover_events(
                           ((above == 0) & (prev == 1)).cast("int"))
               .withColumn(up_col, F.coalesce(up_col, F.lit(0)))
               .withColumn(down_col, F.coalesce(down_col, F.lit(0))))
+
+
+def sessionize_capped(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    gap_seconds: float = 1800.0,
+    cap_seconds: float = 86400.0,
+) -> DataFrame:
+    """Sessionization with BOTH the inactivity-gap rule and a maximum
+    session duration (the GA4-style rule pair): a new session starts
+    when the gap from the previous event exceeds ``gap_seconds`` OR
+    the time since the CURRENT session's first event would exceed
+    ``cap_seconds``.
+
+    The cap makes the rule RECURSIVE (each break depends on the start
+    chosen by previous breaks), so unlike :func:`sessionize` it cannot
+    be a prefix-sum window — it is evaluated as a left fold over the
+    time-ordered event array per entity (the engine's recursion
+    contract, same as Holt): integer microsecond comparisons only, no
+    floats, so the fold is exactly replayable as a recursive CTE.
+
+    One entity exchange (collect the ordered array) + explode back.
+    Returns the input keys + (session_id, session_start_us) per event;
+    session ids are 0-based per entity in time order.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+    cap_us = int(cap_seconds * 1_000_000)
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"))
+    agg = base.groupBy("entity").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__t").alias("t"),
+            F.col("__o").alias("o")))).alias("series"))
+
+    def step(acc, e):
+        first = F.size(acc["rows"]) == 0
+        gap_break = e["t"] - acc["last_t"] > F.lit(gap_us)
+        cap_break = e["t"] - acc["start_t"] > F.lit(cap_us)
+        brk = first | gap_break | cap_break
+        sid = F.when(first, F.lit(0).cast("long")) \
+               .when(gap_break | cap_break, acc["sid"] + 1) \
+               .otherwise(acc["sid"])
+        start = F.when(brk, e["t"]).otherwise(acc["start_t"])
+        row = F.struct(e["t"].alias("t"), e["o"].alias("o"),
+                       sid.alias("sid"), start.alias("start_t"))
+        return F.struct(
+            e["t"].alias("last_t"), start.alias("start_t"),
+            sid.alias("sid"),
+            F.concat(acc["rows"], F.array(row)).alias("rows"))
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("last_t"),
+        F.lit(0).cast("long").alias("start_t"),
+        F.lit(0).cast("long").alias("sid"),
+        F.array().cast(
+            "array<struct<t:long,o:long,sid:long,start_t:long>>")
+        .alias("rows"))
+    folded = agg.select(
+        "entity",
+        F.aggregate("series", zero, step)["rows"].alias("rows"))
+    ex = folded.select("entity", F.explode("rows").alias("r"))
+    return ex.select(
+        "entity", F.col("r.t").alias("ts_us"),
+        F.col("r.o").alias("order_id"),
+        F.col("r.sid").alias("session_id"),
+        F.col("r.start_t").alias("session_start_us"))

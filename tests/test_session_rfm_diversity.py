@@ -1,0 +1,111 @@
+"""sessionize_capped / rfm_features / distinct_ngram_ratios vs brute."""
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def test_sessionize_capped_brute(spark):
+    # gaps of 10 min; gap rule 30 min; cap 45 min -> cap forces breaks
+    # every 5 events even though no gap break fires
+    times = [BASE + dt.timedelta(minutes=10 * i) for i in range(20)]
+    times += [times[-1] + dt.timedelta(hours=2)]   # gap break
+    rows = [("u", t, i) for i, t in enumerate(times)]
+    df = spark.createDataFrame(rows, "e string, ts timestamp, o long")
+    from hiselspark.operators.windows import sessionize_capped
+    out = {r["order_id"]: r for r in
+           sessionize_capped(df, "e", "ts", "o", gap_seconds=1800.0,
+                             cap_seconds=2700.0).collect()}
+    # brute replay
+    sid, start, last = 0, times[0], times[0]
+    expect = {}
+    for i, t in enumerate(times):
+        if i > 0:
+            if ((t - last).total_seconds() > 1800
+                    or (t - start).total_seconds() > 2700):
+                sid += 1
+                start = t
+        expect[i] = (sid, start)
+        last = t
+    for i, (sid_e, start_e) in expect.items():
+        assert out[i]["session_id"] == sid_e, i
+        assert out[i]["session_start_us"] == int(
+            start_e.replace(tzinfo=dt.timezone.utc).timestamp()
+        ) * 1_000_000
+    # the cap actually fired: more than the 2 gap-rule sessions
+    assert max(r[0] for r in expect.values()) >= 4
+
+
+def test_sessionize_capped_reduces_to_plain_gap_rule(spark):
+    import math
+    rng = np.random.default_rng(107)
+    t = BASE
+    rows = []
+    for i in range(60):
+        t += dt.timedelta(seconds=int(rng.integers(60, 4000)))
+        rows.append(("u", t, i))
+    df = spark.createDataFrame(rows, "e string, ts timestamp, o long")
+    from hiselspark.operators.windows import (sessionize,
+                                              sessionize_capped)
+    capped = sessionize_capped(df, "e", "ts", "o",
+                               gap_seconds=1800.0,
+                               cap_seconds=10**9)
+    plain = sessionize(df, "e", "ts", gap_seconds=1800.0)
+    a = {r["order_id"]: r["session_id"] for r in capped.collect()}
+    b = {r["o"]: r["session_id"] for r in plain.collect()}
+    assert a == b  # infinite cap == the classic gap rule
+
+
+def test_rfm_brute(spark):
+    rng = np.random.default_rng(109)
+    rows = []
+    for u in range(30):
+        n = int(rng.integers(3, 15))
+        for i in range(n):
+            rows.append((u, BASE + dt.timedelta(
+                days=int(rng.integers(0, 18)),
+                seconds=int(rng.integers(0, 80000))),
+                i, int(rng.integers(10, 5000))))
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, o long, cents long")
+    cutoff = dt.datetime(2024, 1, 15)
+    from hiselspark.operators.labels import rfm_features
+    out = {r["entity"]: r for r in
+           rfm_features(df, "u", "ts", "cents",
+                        "2024-01-15 00:00:00", n_bins=5).collect()}
+    per = {}
+    for u, ts, o, c in rows:
+        if ts >= cutoff:
+            continue
+        e = per.setdefault(u, {"last": ts, "n": 0, "m": 0})
+        e["last"] = max(e["last"], ts)
+        e["n"] += 1
+        e["m"] += c
+    for u, e in per.items():
+        r = out[u]
+        gap_us = int((cutoff - e["last"]).total_seconds() * 1e6)
+        assert r["recency_days"] == gap_us // 86_400_000_000
+        assert r["frequency"] == e["n"]
+        assert r["monetary"] == e["m"]
+    # score direction: the most recent user outscores the stalest
+    recs = {u: out[u]["recency_days"] for u in per}
+    freshest = min(recs, key=lambda u: (recs[u], u))
+    stalest = max(recs, key=lambda u: (recs[u], u))
+    assert out[freshest]["r_score"] >= out[stalest]["r_score"]
+
+
+def test_distinct_ngram_ratios_brute(spark):
+    docs = [(1, "a b a b a"), (2, "a b c"), (3, "x x x x")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from hiselspark.functions.text import distinct_ngram_ratios
+    out = {r["n"]: r for r in
+           distinct_ngram_ratios(df, "text", max_n=2).collect()}
+    # unigrams: 5+3+4=12 total; distinct {a,b,c,x}=4
+    assert out[1]["total"] == 12 and out[1]["n_distinct"] == 4
+    # bigrams: 4+2+3=9 total; distinct {a b, b a, b c, x x} = 4
+    assert out[2]["total"] == 9 and out[2]["n_distinct"] == 4
+    assert out[2]["distinct_ratio"] == pytest.approx(4 / 9, rel=1e-12)
