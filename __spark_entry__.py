@@ -4490,6 +4490,20 @@ def q_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "split")
 
 
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering top-5 per user (cosine on
+    exact co-occurrence counts, sorted score fold, deterministic
+    rank) — the oracle replays every similarity and the per-user
+    ranking."""
+    from hiselspark.operators.cooccur import item_cf_topk
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    inter = ev.select("user_id", (F.col("cents") % 200).alias("item"))
+    out = item_cf_topk(inter, "user_id", "item", k=5, min_cooccur=2)
+    return out.select(F.col("user").alias("user_id"), "rk", "item",
+                      F.round("score", 6).alias("score"))
+
+
 def q_sessionize_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GA4-style sessionization: inactivity gap (1 day) OR maximum
     session duration (2 days) — the cap makes the rule recursive, so
@@ -4529,6 +4543,19 @@ def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n", "total", "n_distinct",
                       F.round("distinct_ratio", 6)
                       .alias("distinct_ratio"))
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document from
+    exact word/sentence/syllable counts — zero-shuffle JVM
+    expressions; the oracle replays the identical regex arithmetic."""
+    from hiselspark.functions.text import readability
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = readability(docs, "doc_id", "text")
+    return out.select("doc_id", "n_words", "n_sentences",
+                      "n_syllables",
+                      F.round("flesch", 4).alias("flesch"),
+                      F.round("fk_grade", 4).alias("fk_grade"))
 
 
 def q_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5124,8 +5151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_join": q_prefix_join,
         "viterbi": q_viterbi,
         "sessionize_capped": q_sessionize_capped,
+        "item_cf": q_item_cf,
         "rfm": q_rfm,
         "distinct_ngrams": q_distinct_ngrams,
+        "readability": q_readability,
         "cuped": q_cuped,
         "pit_ols": q_pit_ols,
         "uplift_deciles": q_uplift_deciles,
@@ -11780,6 +11809,54 @@ def oracle_sql() -> dict[str, str]:
                round(l, 6) AS level, round(b, 6) AS trend
         FROM rec WHERE i = n
     """
+    oracles["item_cf"] = """
+        WITH inter AS (
+          SELECT DISTINCT user_id AS u,
+                 abs(CAST(round(value*100) AS BIGINT)) % 200 AS it
+          FROM events
+        ), idf AS (
+          SELECT it, CAST(count(*) AS BIGINT) AS c
+          FROM inter GROUP BY it
+        ), co AS (
+          SELECT a.it AS i, b.it AS j,
+                 CAST(count(*) AS BIGINT) AS c_ij
+          FROM inter a JOIN inter b ON a.u = b.u AND a.it <> b.it
+          GROUP BY a.it, b.it
+          HAVING count(*) >= 2
+        ), sim AS (
+          SELECT co.i, co.j,
+                 CAST(c_ij AS DOUBLE)
+                 / sqrt(CAST(ci.c * cj.c AS DOUBLE)) AS s
+          FROM co
+          JOIN idf ci ON ci.it = co.i
+          JOIN idf cj ON cj.it = co.j
+        ), cand AS (
+          SELECT h.u, s.j, s.i, s.s
+          FROM inter h JOIN sim s ON s.i = h.it
+          WHERE NOT EXISTS (
+            SELECT 1 FROM inter x
+            WHERE x.u = h.u AND x.it = s.j)
+        ), per AS (
+          SELECT u, j,
+                 list({'i': i, 's': s} ORDER BY i, s) AS terms
+          FROM cand GROUP BY u, j
+        ), scored AS (
+          SELECT u, j,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(terms, t -> t.s)),
+                   (acc, y) -> acc + y) AS score
+          FROM per
+        ), r AS (
+          SELECT u, j, score,
+                 row_number() OVER (PARTITION BY u
+                                    ORDER BY score DESC, j ASC)
+                   AS rk
+          FROM scored
+        )
+        SELECT u AS user_id, CAST(rk AS INTEGER) AS rk, j AS item,
+               round(score, 6) AS score
+        FROM r WHERE rk <= 5
+    """
     oracles["sessionize_capped"] = """
         WITH RECURSIVE q AS (
           SELECT user_id, event_id, epoch_us(ts) AS us FROM events
@@ -11874,6 +11951,38 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents WHERE trim(text) <> '')
             WHERE len(tk) >= {_n})""")
     oracles["distinct_ngrams"] = "\n          UNION ALL".join(_dn_parts)
+    oracles["readability"] = """
+        WITH toks AS (
+          SELECT doc_id, text,
+                 CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+') END AS ws
+          FROM documents
+        ), counted AS (
+          SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_words,
+                 CAST(greatest(1, len(regexp_extract_all(
+                      text, '[.!?]+'))) AS BIGINT) AS n_sentences,
+                 CAST(list_reduce(list_prepend(0, list_transform(ws,
+                      w -> greatest(1,
+                        len(regexp_extract_all(w, '[aeiouy]+'))
+                        - CASE WHEN regexp_matches(w, '[a-df-z]e$')
+                               AND len(regexp_extract_all(
+                                     w, '[aeiouy]+')) > 1
+                          THEN 1 ELSE 0 END))),
+                      (a, s) -> a + s) AS BIGINT) AS n_syllables
+          FROM toks
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                     4) AS flesch,
+               round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+                     - 15.59, 4) AS fk_grade
+        FROM counted WHERE n_words > 0
+    """
     oracles["prefix_join"] = """
         WITH docs2 AS (
           SELECT doc_id, text FROM documents WHERE doc_id < 200

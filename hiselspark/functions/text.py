@@ -652,3 +652,53 @@ def distinct_ngram_ratios(df: DataFrame, text_col: str = "text",
                F.col("n_distinct").cast("double")
                / F.col("total").cast("double"))
         .alias("distinct_ratio"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document
+    (Flesch 1948; Kincaid et al. 1975) from three exact counts:
+
+      words      = whitespace tokens (the engine's `tokens` contract)
+      sentences  = runs of sentence punctuation ``[.!?]+`` (min 1)
+      syllables  = per word, vowel groups ``[aeiouy]+`` minus one
+                   silent final consonant+e (never below 1/word)
+
+      FRE = 206.835 - 1.015·(W/S) - 84.6·(Y/W)
+      FKG = 0.39·(W/S) + 11.8·(Y/W) - 15.59
+
+    The syllable rule is the standard public heuristic, stated exactly
+    so the DuckDB oracle replays it term-for-term (same regexes, same
+    silent-e test).  Pure JVM expressions per row — zero shuffles, so
+    at 100 TB it fuses into whatever scan already reads the text
+    column.  Empty/whitespace-only docs are dropped (W = 0 has no
+    defined readability).  Returns (id, n_words, n_sentences,
+    n_syllables, flesch, fk_grade).
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+                - F.when(w.rlike("[a-df-z]e$")
+                         & (F.size(F.regexp_extract_all(
+                             w, F.lit("[aeiouy]+"), 0)) > 1),
+                         1).otherwise(0))),
+        F.lit(0).cast("long"), lambda acc, s: acc + s)
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit("[.!?]+"), 0)))
+    out = (df.select(F.col(id_col),
+                     F.size(toks).cast("long").alias("n_words"),
+                     sents.cast("long").alias("n_sentences"),
+                     syl.alias("n_syllables"))
+           .filter(F.col("n_words") > 0))
+    w_s = F.col("n_words").cast("double") / F.col("n_sentences")
+    y_w = F.col("n_syllables").cast("double") / F.col("n_words")
+    return out.select(
+        id_col, "n_words", "n_sentences", "n_syllables",
+        (F.lit(206.835) - 1.015 * w_s - 84.6 * y_w).alias("flesch"),
+        (0.39 * w_s + 11.8 * y_w - 15.59).alias("fk_grade"))

@@ -553,3 +553,39 @@ def test_kendall_join_is_on_count_table(spark):
     # both join inputs are aggregates (the cell table), so the raw
     # relation is scanned exactly twice and reduced before joining
     assert txt.count("HashAggregate") >= 4
+
+
+def test_prefix_join_and_item_cf_no_cartesian(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    from hiselspark.operators.cooccur import item_cf_topk
+    from hiselspark.operators.dedup import prefix_similarity_join
+    pj = prefix_similarity_join(docs, "doc_id", "text", 1, 2)
+    txt = plan_str(pj, "simple")
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    inter = spark.createDataFrame(
+        [(u, (u * 7 + i) % 12) for u in range(20) for i in range(4)],
+        "u long, it long")
+    cf = item_cf_topk(inter, "u", "it", k=3)
+    txt2 = plan_str(cf, "simple")
+    assert "CartesianProduct" not in txt2
+
+
+def test_recursion_family_single_entity_exchange(spark):
+    """sessionize_capped / viterbi decode ride ONE entity exchange:
+    the collect_list group is the only shuffle of the score frame."""
+    import datetime as dt
+    rows = [("u%d" % (i % 4), dt.datetime(2024, 1, 1)
+             + dt.timedelta(minutes=i), i, "A" if i % 2 else "B",
+             i % 3) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "e string, ts timestamp, o long, st string, obs long")
+    from hiselspark.operators.windows import sessionize_capped
+    sc = sessionize_capped(df, "e", "ts", "o")
+    assert n_exchanges(sc) == 1
+    from hiselspark.operators.hmm import viterbi_decode
+    vd = viterbi_decode(df, df, "e", "ts", "o", "st", "obs")
+    # model training collects tiny count tables eagerly; the DECODE
+    # plan itself is one exchange
+    assert n_exchanges(vd) == 1
+    assert "CartesianProduct" not in plan_str(vd, "simple")

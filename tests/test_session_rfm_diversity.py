@@ -109,3 +109,58 @@ def test_distinct_ngram_ratios_brute(spark):
     # bigrams: 4+2+3=9 total; distinct {a b, b a, b c, x x} = 4
     assert out[2]["total"] == 9 and out[2]["n_distinct"] == 4
     assert out[2]["distinct_ratio"] == pytest.approx(4 / 9, rel=1e-12)
+
+
+def test_item_cf_brute(spark):
+    rng = np.random.default_rng(113)
+    rows = []
+    for u in range(25):
+        basket = rng.choice(30, size=int(rng.integers(3, 9)),
+                            replace=False)
+        for it in basket:
+            rows.append((u, int(it)))
+    df = spark.createDataFrame(rows, "u long, it long")
+    from hiselspark.operators.cooccur import item_cf_topk
+    out = {}
+    for r in item_cf_topk(df, "u", "it", k=3,
+                          min_cooccur=1).collect():
+        out.setdefault(r["user"], []).append(
+            (r["rk"], r["item"], r["score"]))
+    import math
+    from collections import Counter, defaultdict
+    baskets = defaultdict(set)
+    for u, it in rows:
+        baskets[u].add(it)
+    cnt = Counter(it for _, it in rows)
+    co = Counter()
+    for u, b in baskets.items():
+        for i in b:
+            for j in b:
+                if i != j:
+                    co[(i, j)] += 1
+    for u, b in baskets.items():
+        scores = defaultdict(float)
+        for i in sorted(b):
+            for (ii, j), c in co.items():
+                if ii == i and j not in b:
+                    scores[j] += c / math.sqrt(cnt[i] * cnt[j])
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = sorted(out.get(u, []))
+        for (rk, item, sc), (ej, es) in zip(got, top):
+            assert item == ej
+            assert sc == pytest.approx(es, rel=1e-9)
+
+
+def test_item_cf_never_recommends_owned(spark):
+    rows = [(u, it) for u in range(10) for it in range(5)]
+    rows += [(0, 7), (1, 7)]   # item 7 co-occurs with everything
+    df = spark.createDataFrame(rows, "u long, it long")
+    from hiselspark.operators.cooccur import item_cf_topk
+    recs = item_cf_topk(df, "u", "it", k=5, min_cooccur=1).collect()
+    owned = {}
+    for u, it in rows:
+        owned.setdefault(u, set()).add(it)
+    for r in recs:
+        assert r["item"] not in owned[r["user"]]
+    # users 2..9 (who lack item 7) should be recommended it
+    assert any(r["item"] == 7 and r["user"] >= 2 for r in recs)
