@@ -1532,6 +1532,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=5).select("node", "r")
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer HITS (4 iterations, L1 renormalization)
+    over the DIRECTED order→part bipartite graph from lineitem —
+    hubs are orders, authorities are parts.  Exact BIGINT arithmetic;
+    the oracle replays the identical iterations as unrolled CTEs
+    (window-function totals so every CTE is referenced exactly once —
+    a twice-referenced CTE inlines exponentially in DuckDB)."""
+    from hiselspark.operators.graph import hits
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") * 2).alias("src"),
+                      (F.col("l_partkey") * 2 + 1).alias("dst"))
+    return hits(edges, iterations=4).select("node", "kind", "score")
+
+
 def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS hop distance (≤ 3) from the first three order nodes over
     the undirected order↔part graph — exact frontier relaxation; the
@@ -5198,6 +5212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_topk": q_mmr_topk,
         "kcenter": q_kcenter,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -8852,6 +8867,42 @@ def oracle_sql() -> dict[str, str]:
             f"JOIN deg ON e.src = deg.node GROUP BY e.dst)")
     oracles["pagerank"] = ("WITH " + ",\n".join(_pr)
                            + f"\nSELECT node, r FROM r{_pr_iters}")
+    # hits: same unrolled-CTE discipline; totals via sum() OVER () so
+    # every CTE is referenced exactly once (DuckDB inlines CTEs — a
+    # twice-referenced iteration CTE expands exponentially)
+    _hs = 1_000_000_000
+    _hits_iters = 4
+    _hp = [
+        "e AS (SELECT DISTINCT l_orderkey*2 AS src,"
+        " l_partkey*2+1 AS dst FROM lineitem)",
+        f"h0 AS (SELECT DISTINCT src AS node,"
+        f" CAST({_hs} AS BIGINT) AS s FROM e)",
+    ]
+    for _i in range(1, _hits_iters + 1):
+        _hp.append(
+            f"ra{_i} AS (SELECT e.dst AS node,"
+            f" CAST(sum(h{_i-1}.s) AS BIGINT) AS raw"
+            f" FROM e JOIN h{_i-1} ON e.src = h{_i-1}.node"
+            f" GROUP BY e.dst)")
+        _hp.append(
+            f"a{_i} AS (SELECT node, CAST(raw // greatest("
+            f"CAST(sum(raw) OVER () AS BIGINT) // {_hs}, 1)"
+            f" AS BIGINT) AS s FROM ra{_i})")
+        _hp.append(
+            f"rh{_i} AS (SELECT e.src AS node,"
+            f" CAST(sum(a{_i}.s) AS BIGINT) AS raw"
+            f" FROM e JOIN a{_i} ON e.dst = a{_i}.node"
+            f" GROUP BY e.src)")
+        _hp.append(
+            f"h{_i} AS (SELECT node, CAST(raw // greatest("
+            f"CAST(sum(raw) OVER () AS BIGINT) // {_hs}, 1)"
+            f" AS BIGINT) AS s FROM rh{_i})")
+    oracles["hits"] = (
+        "WITH " + ",\n".join(_hp)
+        + f"\nSELECT node, 'hub' AS kind, s AS score"
+          f" FROM h{_hits_iters}"
+        + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
+          f" FROM a{_hits_iters}")
     oracles["tpch_q5"] = """
         SELECT n_name,
                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)

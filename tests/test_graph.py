@@ -146,3 +146,63 @@ def test_kcore_matches_peeling_and_converges(spark):
     assert 20 not in got and 21 not in got
     with _pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+def _float_hits(edges, iters=4):
+    """Float HITS with L1 normalization — same iteration scheme as
+    the integer operator, without the flooring."""
+    hubs = sorted({a for a, _ in edges})
+    auths = sorted({b for _, b in edges})
+    h = {u: 1.0 for u in hubs}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0.0 for v in auths}
+        for u, v in set(edges):
+            a[v] += h[u]
+        s = sum(a.values())
+        a = {v: x / s for v, x in a.items()}
+        h = {u: 0.0 for u in hubs}
+        for u, v in set(edges):
+            h[u] += a[v]
+        s = sum(h.values())
+        h = {u: x / s for u, x in h.items()}
+    return h, a
+
+
+def test_hits_close_to_float_and_star(spark):
+    # hub 0 points to many authorities; 1 points to a subset;
+    # node 50 is both a hub and an authority (appears twice)
+    edges = ([(0, 100 + i) for i in range(8)]
+             + [(1, 100 + i) for i in range(3)]
+             + [(2, 50), (50, 100)])
+    df = spark.createDataFrame(pd.DataFrame(edges,
+                                            columns=["src", "dst"]))
+    from hiselspark.operators.graph import hits
+    rows = hits(df, iterations=4).collect()
+    got = {(r["node"], r["kind"]): r["score"] for r in rows}
+    fh, fa = _float_hits(edges)
+    # the integer scheme floors the normalization DENOMINATOR
+    # (total DIV scale), a uniform per-vector rescale — so compare
+    # L1 shares (ratios are exact), not absolute magnitudes
+    hub_sum = sum(s for (n, k), s in got.items() if k == "hub")
+    auth_sum = sum(s for (n, k), s in got.items() if k == "auth")
+    for u, v in fh.items():
+        assert got[(u, "hub")] / hub_sum == pytest.approx(v, rel=1e-4)
+    for u, v in fa.items():
+        assert got[(u, "auth")] / auth_sum == pytest.approx(v,
+                                                            rel=1e-4)
+    # node 0 is the dominant hub; 100 the dominant authority
+    hub_top = max((s for (n, k), s in got.items() if k == "hub"))
+    assert got[(0, "hub")] == hub_top
+    assert (50, "hub") in got and (50, "auth") in got
+
+
+def test_hits_layout_deterministic(spark):
+    edges = [(i % 7, 10 + ((i * 3) % 11)) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(edges,
+                                            columns=["src", "dst"]))
+    from hiselspark.operators.graph import hits
+    a = sorted(map(tuple, hits(df, iterations=3).collect()))
+    b = sorted(map(tuple,
+                   hits(df.repartition(7), iterations=3).collect()))
+    assert a == b
