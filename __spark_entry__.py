@@ -1520,6 +1520,56 @@ def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("trend", 6).alias("trend")))
 
 
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic coordinates over a ~220x255 km region
+    (lat 40-42, lon -74..-71): integer multiply-mod then exact decimal
+    division, so Spark and DuckDB derive identical doubles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        (F.lit(40.0) + ((F.col("event_id") * 7919) % 2_000_000)
+         / F.lit(1e6)).alias("lat"),
+        (F.lit(-74.0) + ((F.col("event_id") * 104_729) % 3_000_000)
+         / F.lit(1e6)).alias("lon"))
+
+
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level Niemeyer geohash (precision 6) of synthetic
+    coordinates spread over the full globe — one floor per axis then
+    pure integer bit interleaving, zero shuffles; the oracle replays
+    the identical arithmetic (hiselspark.operators.spatial.geohash_sql
+    emits it)."""
+    from hiselspark.operators.spatial import geohash
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        (F.lit(-80.0) + ((F.col("event_id") * 7919) % 160_000_000)
+         / F.lit(1e6)).alias("lat"),
+        (F.lit(-180.0) + ((F.col("event_id") * 104_729) % 360_000_000)
+         / F.lit(1e6)).alias("lon"))
+    return pts.select("event_id",
+                      geohash(F.col("lat"), F.col("lon"), 6)
+                      .alias("gh6"),
+                      geohash(F.col("lat"), F.col("lon"), 2)
+                      .alias("gh2"))
+
+
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join: every event point within 10 km of each hub point
+    (every 199th event), via the 3x3 grid-cell candidate equi-join +
+    exact haversine — the oracle is the BRUTE-FORCE cross join in
+    DuckDB, independently proving the grid plan drops no pair."""
+    from hiselspark.operators.spatial import radius_join
+    pts = _geo_points(spark, sf_dir)
+    hubs = (pts.filter(F.col("event_id") % 199 == 0)
+               .select(F.col("event_id").alias("hub_id"),
+                       "lat", "lon"))
+    out = radius_join(hubs, pts, radius_m=10_000.0, cell_deg=0.25,
+                      max_abs_lat=42.5)
+    return out.select("hub_id", "event_id",
+                      F.round("dist_m", 2).alias("dist_m"))
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point integer PageRank (5 iterations, d=0.85) over the
     undirected order↔part bipartite graph from lineitem.  Exact BIGINT
@@ -5213,6 +5263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter": q_kcenter,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "geohash_encode": q_geohash_encode,
+        "spatial_join": q_spatial_join,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -8903,6 +8955,46 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    # geohash: replay the exact floor + bit-interleave arithmetic
+    from hiselspark.operators.spatial import geohash_sql as _gh_sql
+    oracles["geohash_encode"] = f"""
+        WITH p AS (
+          SELECT event_id,
+                 -80.0  + ((event_id * 7919)   % 160000000) / 1e6
+                   AS lat,
+                 -180.0 + ((event_id * 104729) % 360000000) / 1e6
+                   AS lon
+          FROM events
+        )
+        SELECT event_id,
+               {_gh_sql('lat', 'lon', 6)} AS gh6,
+               {_gh_sql('lat', 'lon', 2)} AS gh2
+        FROM p
+    """
+    # spatial_join: BRUTE-FORCE cross join — independent of the grid
+    # plan, so it proves the 3x3-cell candidate join drops no pair
+    oracles["spatial_join"] = """
+        WITH p AS (
+          SELECT event_id,
+                 40.0  + ((event_id * 7919)   % 2000000) / 1e6 AS lat,
+                 -74.0 + ((event_id * 104729) % 3000000) / 1e6 AS lon
+          FROM events
+        ), h AS (
+          SELECT event_id AS hub_id, lat AS hlat, lon AS hlon
+          FROM p WHERE event_id % 199 = 0
+        ), d AS (
+          SELECT hub_id, event_id,
+                 2.0 * 6371000.0 * asin(sqrt(
+                   sin(radians(lat - hlat) / 2.0)
+                     * sin(radians(lat - hlat) / 2.0)
+                   + cos(radians(hlat)) * cos(radians(lat))
+                     * sin(radians(lon - hlon) / 2.0)
+                     * sin(radians(lon - hlon) / 2.0))) AS dist_m
+          FROM h, p
+        )
+        SELECT hub_id, event_id, round(dist_m, 2) AS dist_m
+        FROM d WHERE dist_m <= 10000.0
+    """
     oracles["tpch_q5"] = """
         SELECT n_name,
                CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
