@@ -2379,6 +2379,24 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("px_q75", 6).alias("q75"))
 
 
+def q_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiled SSIM between two synthesized 8x8 raw payloads per order
+    key — the pandas stage emits exact BIGINT tile sums, the SSIM
+    double formula is one JVM expression; the oracle reproduces every
+    pixel, every integer sum and the identical double arithmetic."""
+    from hiselspark.functions.image import ssim_tiles
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8)))
+    a = _synth_raw_bytes(base, "okey", 7919, 31, 8 * 8 * 3) \
+        .withColumnRenamed("bytes", "bytes_a")
+    ab = _synth_raw_bytes(a, "okey", 104_729, 57, 8 * 8 * 3) \
+        .withColumnRenamed("bytes", "bytes_b")
+    out = ssim_tiles(ab, "bytes_a", "bytes_b", tile=4)
+    return out.select("okey", "ti", "tj", "sx", "sy", "sxx", "syy",
+                      "sxy", F.round("ssim", 6).alias("ssim"))
+
+
 def q_image_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial image features end-to-end: 2x2 tile brightness means +
     gradient (sharpness) energy over synthesized 8x8 raw payloads —
@@ -5387,6 +5405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pixel_stats": q_image_pixel_stats,
         "image_resize": q_image_resize,
         "image_spatial": q_image_spatial,
+        "image_ssim": q_image_ssim,
         "dhash": q_dhash,
         "image_conv": q_image_conv,
         "image_equalize": q_image_equalize,
@@ -8025,6 +8044,49 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_groups,
                CAST(min(okey) AS BIGINT) AS min_survivor
         FROM r WHERE rk = 1 GROUP BY gsz
+    """
+    oracles["image_ssim"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, j.range AS j,
+                 CAST(((j.range // 8) // 4) AS INTEGER) AS ti,
+                 CAST(((j.range % 8) // 4) AS INTEGER) AS tj,
+                 CAST((o_orderkey * 7919 + (3*j.range + 0) * 31) % 256
+                   + (o_orderkey * 7919 + (3*j.range + 1) * 31) % 256
+                   + (o_orderkey * 7919 + (3*j.range + 2) * 31) % 256
+                   AS BIGINT) AS ga,
+                 CAST((o_orderkey * 104729 + (3*j.range + 0) * 57) % 256
+                   + (o_orderkey * 104729 + (3*j.range + 1) * 57) % 256
+                   + (o_orderkey * 104729 + (3*j.range + 2) * 57) % 256
+                   AS BIGINT) AS gb
+          FROM orders, range(64) j
+        ), s AS (
+          SELECT okey, ti, tj,
+                 CAST(sum(ga) AS BIGINT) AS sx,
+                 CAST(sum(gb) AS BIGINT) AS sy,
+                 CAST(sum(ga*ga) AS BIGINT) AS sxx,
+                 CAST(sum(gb*gb) AS BIGINT) AS syy,
+                 CAST(sum(ga*gb) AS BIGINT) AS sxy
+          FROM px GROUP BY okey, ti, tj
+        )
+        SELECT okey, ti, tj, sx, sy, sxx, syy, sxy,
+               round(
+                 (2.0 * (CAST(sx AS DOUBLE)/16.0)
+                      * (CAST(sy AS DOUBLE)/16.0) + 58.5225)
+                 * (2.0 * (CAST(sxy AS DOUBLE)/16.0
+                           - (CAST(sx AS DOUBLE)/16.0)
+                             * (CAST(sy AS DOUBLE)/16.0)) + 526.7025)
+                 / (((CAST(sx AS DOUBLE)/16.0)
+                       * (CAST(sx AS DOUBLE)/16.0)
+                     + (CAST(sy AS DOUBLE)/16.0)
+                       * (CAST(sy AS DOUBLE)/16.0) + 58.5225)
+                    * ((CAST(sxx AS DOUBLE)/16.0
+                        - (CAST(sx AS DOUBLE)/16.0)
+                          * (CAST(sx AS DOUBLE)/16.0))
+                       + (CAST(syy AS DOUBLE)/16.0
+                          - (CAST(sy AS DOUBLE)/16.0)
+                            * (CAST(sy AS DOUBLE)/16.0)) + 526.7025)),
+                 6) AS ssim
+        FROM s
     """
     oracles["image_spatial"] = """
         WITH px AS (

@@ -1439,3 +1439,92 @@ def with_median3_stats(df: DataFrame) -> DataFrame:
             yield _median3_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _ssim_sums_frame(pdf: pd.DataFrame, a_col: str, b_col: str,
+                     tile: int) -> pd.DataFrame:
+    """Exact per-tile integer sufficient sums of the combined-channel
+    gray plane (r+g+b, range 0..765) of two same-shape raw payloads."""
+    keep = [c for c in pdf.columns if c not in (a_col, b_col)]
+    out = {c: [] for c in keep}
+    cols = {"ti": [], "tj": [], "n": [], "sx": [], "sy": [],
+            "sxx": [], "syy": [], "sxy": []}
+    for (w, h), grp in pdf.groupby(["w", "h"], sort=False):
+        ga = np.frombuffer(
+            b"".join(grp[a_col]), dtype=np.uint8
+        ).reshape(len(grp), h, w, 3).astype(np.int64).sum(axis=3)
+        gb = np.frombuffer(
+            b"".join(grp[b_col]), dtype=np.uint8
+        ).reshape(len(grp), h, w, 3).astype(np.int64).sum(axis=3)
+        th, tw = h // tile, w // tile
+        for ti in range(th):
+            for tj in range(tw):
+                xa = ga[:, ti * tile:(ti + 1) * tile,
+                        tj * tile:(tj + 1) * tile]
+                xb = gb[:, ti * tile:(ti + 1) * tile,
+                        tj * tile:(tj + 1) * tile]
+                for c in keep:
+                    out[c].extend(grp[c].tolist())
+                m = len(grp)
+                cols["ti"].extend([ti] * m)
+                cols["tj"].extend([tj] * m)
+                cols["n"].extend([tile * tile] * m)
+                cols["sx"].extend(xa.sum(axis=(1, 2)).tolist())
+                cols["sy"].extend(xb.sum(axis=(1, 2)).tolist())
+                cols["sxx"].extend((xa * xa).sum(axis=(1, 2)).tolist())
+                cols["syy"].extend((xb * xb).sum(axis=(1, 2)).tolist())
+                cols["sxy"].extend((xa * xb).sum(axis=(1, 2)).tolist())
+    out.update(cols)
+    return pd.DataFrame(out)
+
+
+def ssim_tiles(df: DataFrame, a_col: str = "bytes_a",
+               b_col: str = "bytes_b", tile: int = 4,
+               k1: float = 0.01, k2: float = 0.03) -> DataFrame:
+    """Tiled SSIM (Wang et al., "Image quality assessment: from error
+    visibility to structural similarity", IEEE TIP 2004) between two
+    same-shape raw RGB payload columns: per ``tile × tile`` window
+
+        SSIM = (2 μx μy + C1)(2 σxy + C2)
+               / ((μx² + μy² + C1)(σx² + σy² + C2))
+
+    on the combined-channel gray plane (r+g+b, dynamic range L = 765;
+    C1 = (k1·L)², C2 = (k2·L)²; population variances).  The classic
+    windowed-SSIM uses an 11×11 Gaussian window — the tiled variant is
+    the standard map-reduce simplification (non-overlapping uniform
+    windows), and its per-tile values are what a curation filter
+    thresholds ("any tile structurally changed?").
+
+    Shape: the pandas stage emits EXACT BIGINT sufficient sums
+    (Σx, Σy, Σx², Σy², Σxy — associative, engine-exact); the SSIM
+    double arithmetic is one JVM expression over them, mirrored
+    term-for-term by the SQL oracle.  Map-only — blobs never shuffle,
+    one row per (image, tile).  Images not divisible by ``tile`` use
+    the top-left crop (same convention as ``with_spatial_features``).
+
+    Returns the input minus the payload columns, plus
+    (ti, tj, n, sx, sy, sxx, syy, sxy, ssim).
+    """
+    L = 765.0
+    c1, c2 = (k1 * L) ** 2, (k2 * L) ** 2
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+        + [T.StructField(c, T.IntegerType()) for c in ("ti", "tj", "n")]
+        + [T.StructField(c, T.LongType())
+           for c in ("sx", "sy", "sxx", "syy", "sxy")])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _ssim_sums_frame(pdf, a_col, b_col, tile)
+
+    sums = df.mapInPandas(run, out_schema)
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    vx = F.col("sxx").cast("double") / nd - mx * mx
+    vy = F.col("syy").cast("double") / nd - my * my
+    cxy = F.col("sxy").cast("double") / nd - mx * my
+    ssim = ((2.0 * mx * my + F.lit(c1)) * (2.0 * cxy + F.lit(c2))
+            / ((mx * mx + my * my + F.lit(c1))
+               * (vx + vy + F.lit(c2))))
+    return sums.withColumn("ssim", ssim)

@@ -580,3 +580,46 @@ def test_box_peak_matches_direct_sums(spark):
         assert out.loc[i, "box_y"] == y, i
         assert out.loc[i, "box_x"] == x, i
     assert (out.loc[5, "box_y"], out.loc[5, "box_x"]) == (1, 1)
+
+
+def test_ssim_tiles_identity_and_brute(spark):
+    """ssim_tiles vs a scalar brute-force SSIM; identical images give
+    exactly 1.0 per tile; heavier perturbation scores lower."""
+    from hiselspark.functions.image import ssim_tiles
+    rng = np.random.default_rng(31)
+    rows = []
+    imgs = {}
+    for i in range(5):
+        a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        if i == 0:
+            b = a.copy()                        # identity
+        elif i == 1:
+            b = np.clip(a.astype(int) + 5, 0, 255).astype(np.uint8)
+        else:
+            b = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        imgs[i] = (a, b)
+        rows.append((i, a.tobytes(), b.tobytes(), 8, 8))
+    df = spark.createDataFrame(
+        rows, "img_id long, bytes_a binary, bytes_b binary, w int, h int")
+    out = ssim_tiles(df, "bytes_a", "bytes_b", tile=4).toPandas()
+    c1, c2 = (0.01 * 765) ** 2, (0.03 * 765) ** 2
+    for _, r in out.iterrows():
+        a, b = imgs[r["img_id"]]
+        ga = a.sum(axis=2, dtype=np.int64)
+        gb = b.sum(axis=2, dtype=np.int64)
+        ti, tj = int(r["ti"]), int(r["tj"])
+        xa = ga[ti * 4:(ti + 1) * 4, tj * 4:(tj + 1) * 4].astype(float)
+        xb = gb[ti * 4:(ti + 1) * 4, tj * 4:(tj + 1) * 4].astype(float)
+        mx, my = xa.mean(), xb.mean()
+        vx, vy = xa.var(), xb.var()
+        cxy = (xa * xb).mean() - mx * my
+        exp = ((2 * mx * my + c1) * (2 * cxy + c2)
+               / ((mx * mx + my * my + c1) * (vx + vy + c2)))
+        assert r["ssim"] == pytest.approx(exp, rel=1e-9), r["img_id"]
+    by_img = out.groupby("img_id")["ssim"].mean()
+    assert by_img[0] == pytest.approx(1.0, abs=1e-12)
+    assert by_img[1] > 0.9                 # mild +5 shift stays high
+    assert by_img[2] < by_img[1]           # independent noise is lower
+    # exact integer sums round-trip
+    assert (out["n"] == 16).all()
+    assert (out.groupby("img_id").size() == 4).all()
