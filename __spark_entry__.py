@@ -1533,6 +1533,23 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join (the runtime-filter plan): lineitem
+    rows whose order is URGENT — map-side bitmap pruning, then the
+    exact refine semi-join.  The oracle is the plain semi-join, so the
+    gate proves the bloom stage drops no true match and the refine
+    removes every false positive."""
+    from hiselspark.operators.skew import bloom_semi_join
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+                    .select(F.col("o_orderkey").alias("l_orderkey")))
+    out = bloom_semi_join(li, urgent, "l_orderkey", n_bits=1 << 16)
+    return out.select("l_orderkey", "l_linenumber",
+                      (F.col("l_quantity").cast("long"))
+                      .alias("qty"))
+
+
 def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level Niemeyer geohash (precision 6) of synthetic
     coordinates spread over the full globe — one floor per axis then
@@ -5283,6 +5300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "geohash_encode": q_geohash_encode,
         "spatial_join": q_spatial_join,
+        "bloom_semi_join": q_bloom_semi_join,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9017,6 +9035,13 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["bloom_semi_join"] = """
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS qty
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_orderpriority = '1-URGENT')
+    """
     # geohash: replay the exact floor + bit-interleave arithmetic
     from hiselspark.operators.spatial import geohash_sql as _gh_sql
     oracles["geohash_encode"] = f"""

@@ -91,3 +91,68 @@ def bucketed_entity_key(df: DataFrame, entity_col: str, ts_col: str,
                      / F.lit(bucket_days * 86400.0))
     return df.withColumn(
         out_col, F.concat_ws("#", F.col(entity_col), bucket.cast("string")))
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str, n_bits: int,
+                 n_hashes: int = 3, seed: int = 71) -> DataFrame:
+    """Build a Bloom-filter bitmap over ``keys[key_col]`` as a tiny
+    (bucket, bits) table: ``n_bits`` must be a power of two; position
+    ``pmod(xxhash64(key, seed+i), n_bits)`` sets one bit per hash.
+    ``n_bits/64`` rows of one BIGINT each — a 10⁹-key side at 10
+    bits/key is ~150 MB of bitmap, broadcastable where the raw key set
+    is not.  One shuffle over (keys × n_hashes) integer rows."""
+    if n_bits & (n_bits - 1) or n_bits < 64:
+        raise ValueError(f"n_bits must be a power of two >= 64, got "
+                         f"{n_bits}")
+    probes = keys.select(
+        F.explode(F.array(*[
+            F.pmod(F.xxhash64(F.lit(seed + i), F.col(key_col)),
+                   F.lit(n_bits))
+            for i in range(n_hashes)])).alias("pos"))
+    return (probes
+            .select(F.expr("pos DIV 64").alias("bucket"),
+                    F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                    .alias("m"))
+            .groupBy("bucket")
+            .agg(F.bit_or("m").alias("bits")))
+
+
+def bloom_semi_join(big: DataFrame, small: DataFrame, key: str,
+                    n_bits: int = 1 << 20, n_hashes: int = 3,
+                    seed: int = 71) -> DataFrame:
+    """Semi-join ``big`` to ``small`` on ``key`` with a Bloom-filter
+    pre-filter — the classic runtime-filter plan for when the small
+    side's KEY SET is too large to broadcast but its bitmap is not:
+
+      1. build the bitmap (:func:`bloom_bitmap`, tiny);
+      2. map-side prune ``big``: ``n_hashes`` broadcast joins on the
+         bucket key test all bits — a Bloom filter has NO false
+         negatives, so no true match is dropped (pytest-asserted);
+      3. exact shuffle semi-join of the few survivors against
+         ``small`` removes the false positives.
+
+    The result is therefore EXACTLY ``big SEMI JOIN small`` (the gate
+    oracle is that plain semi-join — hash-implementation-free), while
+    the shuffle moves only ``|matches| + fp·|big|`` rows instead of
+    ``|big|``.  At fp = (1−e^{−kn/m})^k ≈ 1% (10 bits/key, k=3) a
+    0.1%-selective semi-join over 100 TB shuffles ~1% of the corpus.
+    """
+    bmp = bloom_bitmap(small, key, n_bits, n_hashes, seed)
+    out = big
+    for i in range(n_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(seed + i), F.col(key)),
+                     F.lit(n_bits))
+        b = bmp.select(F.col("bucket").alias(f"_bk{i}"),
+                       F.col("bits").alias(f"_bits{i}"))
+        out = (out.withColumn(f"_p{i}", pos)
+                  .withColumn(f"_bk{i}", F.expr(f"_p{i} DIV 64"))
+                  .withColumn(f"_m{i}",
+                              F.expr(f"shiftleft(1L, "
+                                     f"CAST(_p{i} % 64 AS INT))"))
+                  .drop(f"_p{i}")
+                  .join(F.broadcast(b), f"_bk{i}", "left")
+                  .filter(F.col(f"_bits{i}").isNotNull()
+                          & (F.col(f"_bits{i}")
+                             .bitwiseAND(F.col(f"_m{i}")) != 0))
+                  .drop(f"_bk{i}", f"_m{i}", f"_bits{i}"))
+    return out.join(small.select(key).distinct(), key, "left_semi")

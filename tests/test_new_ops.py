@@ -449,3 +449,57 @@ def test_stream_late_data_watermark_rule(spark, tmp_path):
         "2024-01-01 00:00:00": 2,   # late 00:40 dropped
         "2024-01-01 02:00:00": 3,   # 02:30 + 02:35 + accepted 02:01
     }
+
+
+def test_bloom_semi_join_exact_and_prefilter_complete(spark):
+    """bloom_semi_join == plain semi-join (exactness); the bloom
+    prefilter ALONE keeps every true member (no false negatives)."""
+    from hiselspark.operators.skew import bloom_bitmap, bloom_semi_join
+    import pyspark.sql.functions as F
+    big = spark.createDataFrame(
+        [(i % 997, i) for i in range(5000)], "k long, payload long")
+    small = spark.createDataFrame(
+        [(j * 13 % 997,) for j in range(60)], "k long").distinct()
+    out = bloom_semi_join(big, small, "k", n_bits=1 << 10)
+    exp = big.join(small, "k", "left_semi")
+    assert sorted(map(tuple, out.collect())) \
+        == sorted(map(tuple, exp.collect()))
+    # prefilter stage alone (tiny 256-bit filter => many false
+    # positives) must still contain every true match
+    seed, n_bits, n_hashes = 71, 256, 3
+    bmp = bloom_bitmap(small, "k", n_bits, n_hashes, seed).collect()
+    bits = {r["bucket"]: r["bits"] for r in bmp}
+    probe = big.select(
+        "k", "payload",
+        *[F.pmod(F.xxhash64(F.lit(seed + i), F.col("k")),
+                 F.lit(n_bits)).alias(f"p{i}") for i in range(n_hashes)]
+    ).collect()
+    true_keys = {r["k"] for r in small.collect()}
+    survivors = set()
+    for r in probe:
+        if all(bits.get(r[f"p{i}"] // 64, 0) & (1 << (r[f"p{i}"] % 64))
+               for i in range(n_hashes)):
+            survivors.add(r["k"])
+    assert true_keys <= survivors          # no false negatives
+    assert len(survivors) < 997            # and it does prune
+
+
+def test_bloom_semi_join_plan_is_broadcast_prefilter(spark):
+    from hiselspark.operators.skew import bloom_semi_join
+    big = spark.createDataFrame([(i, i) for i in range(100)],
+                                "k long, v long")
+    small = spark.createDataFrame([(i,) for i in range(0, 100, 7)],
+                                  "k long")
+    out = bloom_semi_join(big, small, "k", n_bits=1 << 10)
+    jvm = out.sparkSession._jvm
+    txt = jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(),
+                                           "simple")
+    assert txt.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in txt
+
+
+def test_bloom_bitmap_validates_bits():
+    from hiselspark.operators.skew import bloom_bitmap
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        bloom_bitmap(None, "k", 1000)      # not a power of two
