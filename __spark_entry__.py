@@ -1533,6 +1533,27 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIT user profile vectors (strictly-before expanding mean of the
+    64-dim embedding attached to each event) — the "user tower"
+    feature.  Output exploded per dimension (every double checked) on
+    a 1/16 event sample; the oracle replays the running sums in the
+    identical (ts, event_id) order."""
+    from hiselspark.operators.encoding import embedding_profile_pit
+    ev = _ev(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    joined = ev.join(emb.select((F.col("vec_id")).alias("_vid"),
+                                "embedding"),
+                     F.pmod(F.col("event_id"), F.lit(n)) == F.col("_vid"))
+    out = embedding_profile_pit(joined, "user_id", "ts", "event_id")
+    return (out.filter(F.col("event_id") % 16 == 0)
+               .select("event_id", "user_id", "n_prior",
+                       F.posexplode("profile").alias("dim", "m"))
+               .select("event_id", "user_id", "n_prior", "dim",
+                       F.round("m", 6).alias("prior_mean")))
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered semi-join (the runtime-filter plan): lineitem
     rows whose order is URGENT — map-side bitmap pruning, then the
@@ -5301,6 +5322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": q_geohash_encode,
         "spatial_join": q_spatial_join,
         "bloom_semi_join": q_bloom_semi_join,
+        "embedding_profile": q_embedding_profile,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9035,6 +9057,35 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["embedding_profile"] = """
+        WITH n AS (SELECT count(*) AS n FROM embeddings),
+        j AS (
+          SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us,
+                 em.embedding
+          FROM events e CROSS JOIN n
+          JOIN embeddings em ON em.vec_id = e.event_id % n.n
+        ), ex AS (
+          SELECT event_id, user_id, us,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM j
+        ), w AS (
+          SELECT event_id, user_id, dim,
+                 sum(v) OVER (PARTITION BY user_id, dim
+                              ORDER BY us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS s,
+                 count(v) OVER (PARTITION BY user_id, dim
+                                ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS c
+          FROM ex
+        )
+        SELECT event_id, user_id, CAST(c AS BIGINT) AS n_prior,
+               CAST(dim AS INTEGER) AS dim,
+               round(s / c, 6) AS prior_mean
+        FROM w WHERE event_id % 16 = 0 AND c > 0
+    """
     oracles["bloom_semi_join"] = """
         SELECT l_orderkey, l_linenumber,
                CAST(l_quantity AS BIGINT) AS qty

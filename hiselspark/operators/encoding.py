@@ -467,3 +467,56 @@ def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
     return (df.withColumn("__v", v)
             .join(F.broadcast(binmap), "__v")
             .drop("__v"))
+
+
+def embedding_profile_pit(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "profile",
+) -> DataFrame:
+    """Point-in-time entity profile vector: for every row, the
+    per-dimension MEAN of all the entity's embedding vectors STRICTLY
+    BEFORE it (ties broken by ``order_col``, which must be unique per
+    entity) — the "user tower" feature of retrieval/ranking training
+    pipelines, leakage-free by the same strictly-before contract as
+    ``target_encode_pit``.
+
+    Plan: ``posexplode`` the vector (d× row inflation — declared),
+    one running sum/count WindowExec clustered on (entity, dim), then
+    one regroup on (entity, row) that reassembles the array in sorted
+    dimension order (bit-deterministic: the running sums accumulate
+    in the unique (ts, order) order, so every double is reproducible
+    and the SQL oracle replays them exactly).  Two hash shuffles
+    total, both on keys that scale with the corpus — no driver state.
+    Rows with no prior history get ``n_prior = 0`` and a NULL
+    profile (no defined mean), which downstream imputation handles
+    explicitly rather than silently zero-filling.
+
+    Returns (entity, ts, order, n_prior, ``out_col`` array<double>).
+    """
+    ex = df.select(
+        F.col(entity_col).alias("_e"),
+        F.col(ts_col).alias("_ts"),
+        F.col(order_col).alias("_o"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"))
+    w = (Window.partitionBy("_e", "_dim")
+         .orderBy(_micros("_ts"), F.col("_o"))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ex = (ex.withColumn("_s", F.sum(F.col("_v").cast("double")).over(w))
+            .withColumn("_c", F.count("_v").over(w)))
+    prof = (ex.groupBy("_e", "_ts", "_o")
+            .agg(F.max("_c").alias("n_prior"),
+                 F.transform(
+                     F.sort_array(F.collect_list(F.struct(
+                         F.col("_dim").alias("d"),
+                         (F.col("_s") / F.col("_c")).alias("m")))),
+                     lambda s: s["m"]).alias(out_col)))
+    return prof.select(
+        F.col("_e").alias(entity_col),
+        F.col("_ts").alias(ts_col),
+        F.col("_o").alias(order_col),
+        "n_prior",
+        F.when(F.col("n_prior") > 0, F.col(out_col)).alias(out_col))

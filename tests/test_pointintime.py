@@ -434,3 +434,35 @@ def test_feature_hashing_properties(spark):
     assert sum(abs(v) for v in u2.values()) == 2
     with _pytest.raises(ValueError):
         feature_hashing(df, "u", "tok", n_dims=1)
+
+
+def test_embedding_profile_pit_brute(spark):
+    """Strictly-before expanding vector mean vs a Python replay —
+    including NULL profile for first events and (ts, order) ties."""
+    import datetime as dt
+    from hiselspark.operators.encoding import embedding_profile_pit
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(4):
+        for i in range(6):
+            # two rows share a timestamp for user 0 -> order_col ties
+            t = base + dt.timedelta(hours=i if (u or i < 4) else 3)
+            vec = [float((u * 10 + i) * (d + 1)) for d in range(3)]
+            rows.append((u, t, u * 100 + i, vec))
+    df = spark.createDataFrame(
+        rows, "user long, ts timestamp, oid long, embedding array<double>")
+    out = embedding_profile_pit(df, "user", "ts", "oid").collect()
+    got = {r["oid"]: (r["n_prior"], r["profile"]) for r in out}
+    assert len(got) == len(rows)
+    by_user = {}
+    for u, t, oid, vec in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        hist = by_user.setdefault(u, [])
+        n, prof = got[oid]
+        assert n == len(hist)
+        if not hist:
+            assert prof is None
+        else:
+            exp = [sum(v[d] for v in hist) / len(hist) for d in range(3)]
+            for a, b in zip(prof, exp):
+                assert a == pytest.approx(b, rel=1e-12)
+        hist.append(vec)
