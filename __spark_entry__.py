@@ -2417,6 +2417,22 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("px_q75", 6).alias("q75"))
 
 
+def q_image_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized 4x4x4 color-cube stats per synthesized 8x8 image —
+    exact cell counts, dominant cell with lowest-index tie rule, and
+    the entropy left fold in bin order; the oracle reproduces every
+    pixel, cell count and fold term."""
+    from hiselspark.functions.image import with_color_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8)))
+    imgs = _synth_raw_bytes(base, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_color_stats(imgs, 4)
+    return out.select("okey", "n_bins", "dom_bin",
+                      F.round("dom_share", 6).alias("dom_share"),
+                      F.round("color_entropy", 6).alias("color_entropy"))
+
+
 def q_image_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiled SSIM between two synthesized 8x8 raw payloads per order
     key — the pandas stage emits exact BIGINT tile sums, the SSIM
@@ -5446,6 +5462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_spatial": q_image_spatial,
         "image_ssim": q_image_ssim,
+        "image_color": q_image_color,
         "dhash": q_dhash,
         "image_conv": q_image_conv,
         "image_equalize": q_image_equalize,
@@ -8084,6 +8101,41 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_groups,
                CAST(min(okey) AS BIGINT) AS min_survivor
         FROM r WHERE rk = 1 GROUP BY gsz
+    """
+    oracles["image_color"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey,
+                 ((o_orderkey * 7919 + (3*j.range + 0) * 31) % 256)
+                   // 64 * 16
+                 + ((o_orderkey * 7919 + (3*j.range + 1) * 31) % 256)
+                   // 64 * 4
+                 + ((o_orderkey * 7919 + (3*j.range + 2) * 31) % 256)
+                   // 64 AS bin
+          FROM orders, range(64) j
+        ), c AS (
+          SELECT okey, bin, CAST(count(*) AS BIGINT) AS cnt
+          FROM px GROUP BY okey, bin
+        ), dom AS (
+          SELECT okey, bin, cnt,
+                 row_number() OVER (PARTITION BY okey
+                                    ORDER BY cnt DESC, bin ASC) AS rk
+          FROM c
+        ), ent AS (
+          SELECT okey,
+                 CAST(count(*) AS BIGINT) AS n_bins,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(
+                     list(cnt ORDER BY bin),
+                     x -> -(CAST(x AS DOUBLE) / 64.0)
+                          * ln(CAST(x AS DOUBLE) / 64.0))),
+                   (acc, t) -> acc + t) AS e
+          FROM c GROUP BY okey
+        )
+        SELECT ent.okey, ent.n_bins,
+               CAST(dom.bin AS BIGINT) AS dom_bin,
+               round(CAST(dom.cnt AS DOUBLE) / 64.0, 6) AS dom_share,
+               round(ent.e, 6) AS color_entropy
+        FROM ent JOIN dom ON dom.okey = ent.okey AND dom.rk = 1
     """
     oracles["image_ssim"] = """
         WITH px AS (

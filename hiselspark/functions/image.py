@@ -1528,3 +1528,71 @@ def ssim_tiles(df: DataFrame, a_col: str = "bytes_a",
             / ((mx * mx + my * my + F.lit(c1))
                * (vx + vy + F.lit(c2))))
     return sums.withColumn("ssim", ssim)
+
+
+def _color_stats_frame(pdf: pd.DataFrame, q: int) -> pd.DataFrame:
+    """Per-image quantized color-cube stats from raw RGB payloads."""
+    keep = [c for c in pdf.columns if c != "bytes"]
+    out = {c: [] for c in keep}
+    res = {"n_bins": [], "dom_bin": [], "dom_share": [],
+           "color_entropy": []}
+    shift, nb = 256 // q, q * q * q
+    for (w, h), grp in pdf.groupby(["w", "h"], sort=False):
+        px = np.frombuffer(
+            b"".join(grp["bytes"]), dtype=np.uint8
+        ).reshape(len(grp), h * w, 3).astype(np.int64)
+        bins = ((px[:, :, 0] // shift) * q * q
+                + (px[:, :, 1] // shift) * q + px[:, :, 2] // shift)
+        m, npx = len(grp), h * w
+        counts = np.zeros((m, nb), dtype=np.int64)
+        np.add.at(counts, (np.repeat(np.arange(m), npx), bins.ravel()), 1)
+        share = counts / float(npx)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            terms = np.where(counts > 0, -share * np.log(share), 0.0)
+        # left fold in bin order (zero bins add exactly 0.0) — the
+        # same sequential order the SQL oracle's list_reduce uses
+        ent = np.zeros(m)
+        for b in range(nb):
+            ent = ent + terms[:, b]
+        dom = counts.argmax(axis=1)        # ties -> lowest bin index
+        for c in keep:
+            out[c].extend(grp[c].tolist())
+        res["n_bins"].extend((counts > 0).sum(axis=1).tolist())
+        res["dom_bin"].extend(dom.tolist())
+        res["dom_share"].extend(
+            share[np.arange(m), dom].tolist())
+        res["color_entropy"].extend(ent.tolist())
+    out.update(res)
+    return pd.DataFrame(out)
+
+
+def with_color_stats(df: DataFrame, bins_per_channel: int = 4) -> DataFrame:
+    """Quantized color-cube statistics per raw RGB image — the classic
+    color-diversity curation features: ``n_bins`` (occupied cells of
+    the q×q×q cube), ``dom_bin`` / ``dom_share`` (dominant color cell,
+    ties to the lowest bin index, and its pixel share — near-1 means a
+    flat/solid image), ``color_entropy`` (Shannon entropy of the cell
+    distribution in nats — near-0 means monochrome, high means busy).
+
+    Exact integer cell counts (uint8 // (256/q) per channel, bin =
+    r·q² + g·q + b); the entropy is the −Σ share·ln(share) left fold
+    in ascending bin order, bit-reproducible and replayed exactly by
+    the SQL oracle's ordered ``list_reduce`` (zero cells contribute
+    exactly 0.0).  Map-only ``mapInPandas`` — blobs never shuffle.
+    ``bins_per_channel`` must divide 256.
+    """
+    if 256 % bins_per_channel:
+        raise ValueError("bins_per_channel must divide 256, got "
+                         f"{bins_per_channel}")
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("n_bins", T.LongType()),
+           T.StructField("dom_bin", T.LongType()),
+           T.StructField("dom_share", T.DoubleType()),
+           T.StructField("color_entropy", T.DoubleType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _color_stats_frame(pdf, bins_per_channel)
+
+    return df.mapInPandas(run, out_schema)

@@ -623,3 +623,42 @@ def test_ssim_tiles_identity_and_brute(spark):
     # exact integer sums round-trip
     assert (out["n"] == 16).all()
     assert (out.groupby("img_id").size() == 4).all()
+
+
+def test_color_stats_brute_and_tie_rule(spark):
+    """with_color_stats vs scalar counts; solid image => 1 bin, zero
+    entropy, dom_share 1; two-color tie => lowest bin wins."""
+    from hiselspark.functions.image import with_color_stats
+    import math
+    rng = np.random.default_rng(91)
+    rows, truth = [], {}
+    for i in range(4):
+        if i == 0:
+            img = np.full((8, 8, 3), 200, dtype=np.uint8)   # solid
+        elif i == 1:
+            img = np.zeros((8, 8, 3), dtype=np.uint8)       # tie:
+            img[:, 4:, :] = 255      # half bin 0, half bin 63
+        else:
+            img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        rows.append((i, img.tobytes(), 8, 8))
+        q = img.astype(int) // 64
+        bins = q[:, :, 0] * 16 + q[:, :, 1] * 4 + q[:, :, 2]
+        cnt = np.bincount(bins.ravel(), minlength=64)
+        share = cnt / 64.0
+        ent = -sum(s * math.log(s) for s in share[cnt > 0])
+        truth[i] = (int((cnt > 0).sum()), int(cnt.argmax()),
+                    share[cnt.argmax()], ent)
+    df = spark.createDataFrame(rows,
+                               "img_id long, bytes binary, w int, h int")
+    out = with_color_stats(df).toPandas().set_index("img_id")
+    for i, (nb, db, ds, ent) in truth.items():
+        assert out.loc[i, "n_bins"] == nb
+        assert out.loc[i, "dom_bin"] == db
+        assert out.loc[i, "dom_share"] == pytest.approx(ds, rel=1e-12)
+        assert out.loc[i, "color_entropy"] == pytest.approx(ent,
+                                                            rel=1e-9)
+    assert out.loc[0, "color_entropy"] == 0.0
+    assert out.loc[0, "dom_share"] == 1.0
+    assert out.loc[1, "dom_bin"] == 0          # tie -> lowest bin
+    with pytest.raises(ValueError):
+        with_color_stats(df, bins_per_channel=5)
