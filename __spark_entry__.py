@@ -1533,6 +1533,21 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement, 10
+    docs per group, weight = text length — priorities from the
+    portable polynomial hash, so the oracle replays every key and the
+    full ranking."""
+    from hiselspark.operators.sampling import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select("doc_id",
+                    (F.col("doc_id") % 7).alias("grp"),
+                    (F.length("text") + 1).alias("wt"))
+    out = weighted_sample(d, "wt", 10, "doc_id", "grp", salt=5)
+    return out.select("grp", "rk", "doc_id", "wt",
+                      F.round("es_key", 6).alias("es_key"))
+
+
 def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIT user profile vectors (strictly-before expanding mean of the
     64-dim embedding attached to each event) — the "user tower"
@@ -5339,6 +5354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join": q_spatial_join,
         "bloom_semi_join": q_bloom_semi_join,
         "embedding_profile": q_embedding_profile,
+        "weighted_sample": q_weighted_sample,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9109,6 +9125,33 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["weighted_sample"] = """
+        WITH d AS (
+          SELECT doc_id, doc_id % 7 AS grp,
+                 CAST(length(text) + 1 AS BIGINT) AS wt
+          FROM documents
+        ), keyed AS (
+          SELECT grp, doc_id, wt,
+                 ln((list_reduce(
+                       list_prepend(CAST(5 AS BIGINT),
+                         list_transform(
+                           str_split(CAST(doc_id AS VARCHAR), ''),
+                           x -> CAST(ascii(x) AS BIGINT))),
+                       (acc, x) -> (acc * 31 + x) % 2147483647)
+                     + 1) / 2147483648.0)
+                 / CAST(wt AS DOUBLE) AS es_key
+          FROM d WHERE wt > 0
+        ), r AS (
+          SELECT grp, doc_id, wt, es_key,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY es_key DESC,
+                                             doc_id ASC) AS rk
+          FROM keyed
+        )
+        SELECT grp, CAST(rk AS INTEGER) AS rk, doc_id, wt,
+               round(es_key, 6) AS es_key
+        FROM r WHERE rk <= 10
+    """
     oracles["embedding_profile"] = """
         WITH n AS (SELECT count(*) AS n FROM embeddings),
         j AS (

@@ -262,3 +262,44 @@ def negative_samples(
     neg = F.when(neg == F.col("item"),
                  (neg + 1) % F.lit(n_items)).otherwise(neg)
     return out.withColumn("neg_item", neg.cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    group_col: str = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group (Efraimidis
+    & Spirakis, "Weighted random sampling with a reservoir", IPL
+    2006): each row gets priority key ``ln(u) / w`` with u uniform in
+    (0, 1] and w its weight, and the k LARGEST keys win — exactly the
+    A-ES scheme (u^(1/w) top-k, monotone-log equivalent).  Heavier
+    rows win more often, no row twice.
+
+    As everywhere in this engine, u is not an RNG draw but the
+    portable polynomial hash of the row id scaled to (0, 1] —
+    deterministic across partition layouts, cluster sizes and engines
+    (the oracle replays the identical fold, ln and division), salted
+    for fresh resamples.  Weights must be > 0 (rows with w <= 0 or
+    NULL are dropped — a zero-weight row can never be sampled).
+
+    Scale shape: one hash shuffle on the group key + one bounded
+    top-k window per group (or a global TakeOrdered when
+    ``group_col`` is None).  Ties (identical keys) break by id.
+    Returns the input rows plus (es_key, rk).
+    """
+    from .splits import raw_hash
+    mod = 2_147_483_647
+    u = (raw_hash(F.col(id_col), salt) + 1).cast("double") / float(mod + 1)
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = (df.filter(F.col(weight_col).isNotNull()
+                     & (F.col(weight_col) > 0))
+             .withColumn("es_key", key))
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(F.col("es_key").desc(),
+                                          F.col(id_col).asc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= int(k)))

@@ -503,3 +503,38 @@ def test_bloom_bitmap_validates_bits():
     import pytest as _pt
     with _pt.raises(ValueError):
         bloom_bitmap(None, "k", 1000)      # not a power of two
+
+
+def test_weighted_sample_aes_properties(spark):
+    """Efraimidis-Spirakis sampling: deterministic across layouts,
+    inclusion frequency tracks weights across salts, never a dup,
+    zero/NULL weights dropped."""
+    from hiselspark.operators.sampling import weighted_sample
+    rows = [(i, float(10.0 if i < 5 else 1.0)) for i in range(50)]
+    rows += [(100, 0.0), (101, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample(df, "w", 5, "id", salt=1)
+    got = [r["id"] for r in out.collect()]
+    assert len(got) == len(set(got)) == 5
+    assert 100 not in got and 101 not in got
+    # layout determinism
+    got2 = [r["id"] for r in
+            weighted_sample(df.repartition(7), "w", 5, "id",
+                            salt=1).collect()]
+    assert sorted(got) == sorted(got2)
+    # heavy items (w=10, ids 0-4) should be picked far more often
+    heavy = light = 0
+    for s in range(40):
+        ids = [r["id"] for r in
+               weighted_sample(df, "w", 5, "id", salt=s).collect()]
+        heavy += sum(1 for i in ids if i < 5)
+        light += sum(1 for i in ids if 5 <= i < 100)
+    # 5 heavy @ w=10 vs 45 light @ w=1: heavy expected ~2.4x light
+    assert heavy > light
+    # grouped: k per group, ranks contiguous from 1
+    g = df.withColumn("grp", (F.col("id") % 3))
+    gout = weighted_sample(g, "w", 3, "id", "grp", salt=2).collect()
+    from collections import Counter
+    per = Counter(r["grp"] for r in gout)
+    assert all(v == 3 for v in per.values())
+    assert {r["rk"] for r in gout} == {1, 2, 3}
