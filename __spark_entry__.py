@@ -1533,6 +1533,39 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal k-NN pairs over the first 120 embeddings: exact
+    cosine top-5 each way, keep pairs in EACH OTHER's top-5 (hub-noise
+    filter).  The oracle replays the full ranking and the mutuality
+    join."""
+    from pyspark.sql import Window
+    from hiselspark.operators.similarity import mutual_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = (emb.filter(F.col("vec_id") < 120)
+            .select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v")))
+    p = e.select(F.col("vec_id").alias("probe_id"),
+                 F.col("v").alias("p"))
+    dot = F.aggregate(F.zip_with("p", "v", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+
+    def norm(c):
+        return F.sqrt(F.aggregate(F.transform(c, lambda a: a * a),
+                                  F.lit(0.0), lambda acc, x: acc + x))
+
+    pairs = (p.crossJoin(e)
+              .filter(F.col("probe_id") != F.col("vec_id"))
+              .withColumn("cos", dot / (norm(F.col("p"))
+                                        * norm(F.col("v")))))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(),
+                                               F.col("vec_id").asc())
+    topk = (pairs.withColumn("rk", F.row_number().over(w))
+                 .filter(F.col("rk") <= 5)
+                 .select("probe_id", "vec_id", "cos"))
+    out = mutual_pairs(topk, "probe_id", "vec_id")
+    return out.select("a", "b", F.round("cos", 6).alias("cos_sim"))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement, 10
     docs per group, weight = text length — priorities from the
@@ -5355,6 +5388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "embedding_profile": q_embedding_profile,
         "weighted_sample": q_weighted_sample,
+        "mutual_knn": q_mutual_knn,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9125,6 +9159,33 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["mutual_knn"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 120
+        ), pairs AS (
+          SELECT p.vec_id AS probe_id, e.vec_id,
+                 list_dot_product(p.v, e.v)
+                   / (sqrt(list_dot_product(p.v, p.v))
+                      * sqrt(list_dot_product(e.v, e.v))) AS cos
+          FROM e p, e
+          WHERE p.vec_id <> e.vec_id
+        ), topk AS (
+          SELECT probe_id, vec_id, cos FROM (
+            SELECT probe_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY probe_id
+                                      ORDER BY cos DESC,
+                                               vec_id ASC) AS rk
+            FROM pairs)
+          WHERE rk <= 5
+        )
+        SELECT t.probe_id AS a, t.vec_id AS b,
+               round(t.cos, 6) AS cos_sim
+        FROM topk t
+        JOIN topk r ON r.probe_id = t.vec_id
+                   AND r.vec_id = t.probe_id
+        WHERE t.probe_id < t.vec_id
+    """
     oracles["weighted_sample"] = """
         WITH d AS (
           SELECT doc_id, doc_id % 7 AS grp,

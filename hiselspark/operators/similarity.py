@@ -940,3 +940,28 @@ def grid_cluster(df: DataFrame, id_col: str = "vec_id",
                    F.col("cluster").isNotNull().alias("is_core"),
                    "cluster"))
     return out
+
+
+def mutual_pairs(topk: DataFrame, left_col: str = "probe_id",
+                 right_col: str = "vec_id") -> DataFrame:
+    """Reciprocal (mutual) k-NN filter: keep the unordered pairs
+    {a, b} where BOTH (a→b) and (b→a) rows exist in ``topk`` — the
+    standard retrieval/dedup refinement (a hub vector sits in
+    everyone's top-k, but few sit in *its* top-k; mutuality kills hub
+    noise and one-sided near-matches).
+
+    Pure composition: one self-equi-join of the top-k frame on the
+    swapped key pair, emitted once per pair as (a < b).  Compose with
+    any neighbor source — the exact verifier here, `lsh_topk` /
+    `ivf_topk` / `pq_topk` at corpus scale — the filter itself is one
+    hash shuffle of the (already tiny) top-k frame.  Extra columns of
+    the a→b row survive with their names (the b→a row contributes
+    nothing but its existence).
+    """
+    fwd = topk.withColumnRenamed(left_col, "a") \
+              .withColumnRenamed(right_col, "b")
+    rev = (topk.select(F.col(left_col).alias("b"),
+                       F.col(right_col).alias("a"))
+               .distinct())
+    return (fwd.join(rev, ["a", "b"], "left_semi")
+               .filter(F.col("a") < F.col("b")))

@@ -538,3 +538,19 @@ def test_weighted_sample_aes_properties(spark):
     per = Counter(r["grp"] for r in gout)
     assert all(v == 3 for v in per.values())
     assert {r["rk"] for r in gout} == {1, 2, 3}
+
+
+def test_mutual_pairs_brute(spark):
+    """mutual_pairs vs a set-comprehension replay on a hub graph: the
+    hub is in everyone's top-k but reciprocates only its own."""
+    from hiselspark.operators.similarity import mutual_pairs
+    topk = [(a, b) for a in range(6) for b in [9]]      # all -> hub 9
+    topk += [(9, 0), (9, 1)]                            # hub -> 0, 1
+    topk += [(2, 3), (3, 2), (4, 5)]                    # one mutual
+    df = spark.createDataFrame(topk, "probe_id long, vec_id long") \
+              .withColumn("cos", F.col("probe_id") * 0.1)
+    got = {(r["a"], r["b"]) for r in
+           mutual_pairs(df).select("a", "b").collect()}
+    fwd = set(topk)
+    exp = {(a, b) for a, b in fwd if (b, a) in fwd and a < b}
+    assert got == exp == {(0, 9), (1, 9), (2, 3)}
