@@ -1533,6 +1533,27 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt sigmoid calibration of an exact-decimal score against the
+    purchase/signup label — 3 fixed-point Newton iterations whose six
+    sufficient sums are floored BIGINTs (engine-exact); the oracle
+    unrolls the same iterations as single-reference CTEs (a/b carried
+    through each sums CTE to avoid double references)."""
+    from hiselspark.operators.isotonic import platt_fit
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        ((F.abs(F.round(F.col("value") * 100).cast("long")) % 1000)
+         / F.lit(1000.0)).alias("s"),
+        F.col("event_type").isin("purchase", "signup")
+        .cast("int").alias("y"))
+    r = platt_fit(scored, "s", "y", iterations=3)
+    out = spark.createDataFrame(
+        [(r["a"], r["b"], r["n_pos"], r["n_neg"])],
+        "a double, b double, n_pos long, n_neg long")
+    return out.select(F.round("a", 6).alias("a"),
+                      F.round("b", 6).alias("b"), "n_pos", "n_neg")
+
+
 def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal k-NN pairs over the first 120 embeddings: exact
     cosine top-5 each way, keep pairs in EACH OTHER's top-5 (hub-noise
@@ -5389,6 +5410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_profile": q_embedding_profile,
         "weighted_sample": q_weighted_sample,
         "mutual_knn": q_mutual_knn,
+        "platt": q_platt,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9159,6 +9181,70 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    # platt: unrolled Newton CTEs; every CTE referenced exactly once
+    # (a, b, t+, t- carried through each sums CTE)
+    _pl_parts = [
+        """base AS (
+          SELECT (abs(CAST(round(value*100) AS BIGINT)) % 1000)
+                   / 1000.0 AS s,
+                 CASE WHEN event_type IN ('purchase','signup')
+                      THEN 1 ELSE 0 END AS y
+          FROM events)""",
+        """cnt AS (
+          SELECT CAST(sum(y) AS BIGINT) AS np,
+                 CAST(sum(1 - y) AS BIGINT) AS nn
+          FROM base)""",
+        """p0 AS (
+          SELECT 0.0 AS a, ln((nn + 1.0) / (np + 1.0)) AS b,
+                 (np + 1.0) / (np + 2.0) AS tp,
+                 1.0 / (nn + 2.0) AS tn, np, nn
+          FROM cnt)""",
+    ]
+    for _i in range(1, 4):
+        _pl_parts.append(f"""s{_i} AS (
+          SELECT min(a) AS a, min(b) AS b, min(tp) AS tp,
+                 min(tn) AS tn, min(np) AS np, min(nn) AS nn,
+          CAST(sum(CAST(floor(((1.0/(1.0+exp(-(a*s+b))))
+            - CASE WHEN y=1 THEN tp ELSE tn END) * s
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS g1,
+          CAST(sum(CAST(floor(((1.0/(1.0+exp(-(a*s+b))))
+            - CASE WHEN y=1 THEN tp ELSE tn END)
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS g0,
+          CAST(sum(CAST(floor((1.0/(1.0+exp(-(a*s+b))))
+            * (1.0 - (1.0/(1.0+exp(-(a*s+b))))) * s * s
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS h2,
+          CAST(sum(CAST(floor((1.0/(1.0+exp(-(a*s+b))))
+            * (1.0 - (1.0/(1.0+exp(-(a*s+b))))) * s
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS h1,
+          CAST(sum(CAST(floor((1.0/(1.0+exp(-(a*s+b))))
+            * (1.0 - (1.0/(1.0+exp(-(a*s+b)))))
+            * 1000000000000.0) AS BIGINT)) AS BIGINT) AS h0
+          FROM base CROSS JOIN p{_i-1})""")
+        _pl_parts.append(f"""p{_i} AS (
+          SELECT a - ((CAST(h0 AS DOUBLE)/1000000000000.0)
+                        * (CAST(g1 AS DOUBLE)/1000000000000.0)
+                      - (CAST(h1 AS DOUBLE)/1000000000000.0)
+                        * (CAST(g0 AS DOUBLE)/1000000000000.0))
+                     / ((CAST(h2 AS DOUBLE)/1000000000000.0)
+                          * (CAST(h0 AS DOUBLE)/1000000000000.0)
+                        - (CAST(h1 AS DOUBLE)/1000000000000.0)
+                          * (CAST(h1 AS DOUBLE)/1000000000000.0))
+                   AS a,
+                 b - ((CAST(h2 AS DOUBLE)/1000000000000.0)
+                        * (CAST(g0 AS DOUBLE)/1000000000000.0)
+                      - (CAST(h1 AS DOUBLE)/1000000000000.0)
+                        * (CAST(g1 AS DOUBLE)/1000000000000.0))
+                     / ((CAST(h2 AS DOUBLE)/1000000000000.0)
+                          * (CAST(h0 AS DOUBLE)/1000000000000.0)
+                        - (CAST(h1 AS DOUBLE)/1000000000000.0)
+                          * (CAST(h1 AS DOUBLE)/1000000000000.0))
+                   AS b,
+                 tp, tn, np, nn
+          FROM s{_i})""")
+    oracles["platt"] = (
+        "WITH " + ",\n".join(_pl_parts)
+        + "\nSELECT round(a, 6) AS a, round(b, 6) AS b,"
+          " np AS n_pos, nn AS n_neg FROM p3")
     oracles["mutual_knn"] = """
         WITH e AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -30,6 +30,8 @@ groups.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
@@ -96,3 +98,73 @@ def isotonic_fit(
         })
 
     return base.groupBy("group").applyInPandas(fit, schema)
+
+
+def platt_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    iterations: int = 3,
+    scale: int = 1_000_000_000_000,
+) -> dict:
+    """Platt scaling (Platt, "Probabilistic outputs for support vector
+    machines...", 1999): fit P(y=1|s) = sigmoid(A·s + B) by Newton's
+    method on the NLL with Platt's smoothed targets
+    t+ = (N+ + 1)/(N+ + 2), t- = 1/(N- + 2), init A = 0,
+    B = ln((N- + 1)/(N+ + 1)).
+
+    Engine-exact by the fixed-point discipline: each Newton step's six
+    sufficient sums (gradient g = Σ(p−t)·[s,1], Hessian entries
+    Σw·s², Σw·s, Σw with w = p(1−p)) are per-row doubles FLOORED to
+    ``scale``-scaled BIGINTs before the sum — integer sums are
+    associative, so every iterate (A, B) is bit-reproducible across
+    partitionings and replayable by unrolled SQL CTEs.  The ≤1-unit
+    flooring error per row perturbs each sum by ≤ n/scale — far below
+    the 6-decimal gate rounding.  Driver-paced: per iteration one agg
+    over the (persisted) scored frame returns six BIGINTs; the 2×2
+    Newton solve runs in Python doubles in an expression order the
+    oracle mirrors.
+
+    Returns {"a": A, "b": B, "n_pos": N+, "n_neg": N-} after
+    ``iterations`` steps.
+    """
+    base = (df.select(F.col(score_col).cast("double").alias("s"),
+                      F.col(label_col).cast("int").alias("y"))
+              .filter(F.col("s").isNotNull()
+                      & F.col("y").isNotNull())
+              .persist())
+    cnt = base.agg(
+        F.sum(F.col("y")).alias("np"),
+        F.sum(1 - F.col("y")).alias("nn")).first()
+    n_pos, n_neg = int(cnt["np"]), int(cnt["nn"])
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    for _ in range(int(iterations)):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(a) * F.col("s") + F.lit(b))))
+        t = F.when(F.col("y") == 1, F.lit(t_pos)).otherwise(
+            F.lit(t_neg))
+        w = p * (1.0 - p)
+
+        def q(x):
+            return F.sum(F.floor(x * F.lit(float(scale)))
+                         .cast("long"))
+
+        r = base.agg(q((p - t) * F.col("s")).alias("g1"),
+                     q(p - t).alias("g0"),
+                     q(w * F.col("s") * F.col("s")).alias("h2"),
+                     q(w * F.col("s")).alias("h1"),
+                     q(w).alias("h0")).first()
+        # float(int)/float(int), NOT int/int: above 2^53 Python's
+        # exact integer true-division differs from the SQL engines'
+        # double(int)/double(int) by an ulp — mirror the oracle
+        g1, g0 = float(r["g1"]) / float(scale), \
+            float(r["g0"]) / float(scale)
+        h2 = float(r["h2"]) / float(scale)
+        h1 = float(r["h1"]) / float(scale)
+        h0 = float(r["h0"]) / float(scale)
+        det = h2 * h0 - h1 * h1
+        a = a - (h0 * g1 - h1 * g0) / det
+        b = b - (h2 * g0 - h1 * g1) / det
+    base.unpersist()
+    return {"a": a, "b": b, "n_pos": n_pos, "n_neg": n_neg}

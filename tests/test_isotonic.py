@@ -63,3 +63,40 @@ def test_isotonic_fit_groups_and_order(spark):
     # group B sequence by x: y = [8, 2] -> pooled mean 5
     assert out[("B", 1)]["fitted"] == pytest.approx(5.0)
     assert out[("B", 2)]["fitted"] == pytest.approx(5.0)
+
+
+def test_platt_fit_matches_float_newton_and_calibrates(spark):
+    """platt_fit vs an unfloored float Newton replay (fixed-point
+    flooring perturbs < 1e-8); recovers a positive slope-from-score
+    relationship and is layout-deterministic."""
+    import math
+    import numpy as np
+    from hiselspark.operators.isotonic import platt_fit
+    rng = np.random.default_rng(7)
+    s = rng.uniform(0, 1, 2000)
+    y = (rng.uniform(0, 1, 2000) < 1 / (1 + np.exp(-(4 * s - 2)))
+         ).astype(int)
+    df = spark.createDataFrame(
+        [(float(a), int(b)) for a, b in zip(s, y)], "s double, y int")
+    got = platt_fit(df, "s", "y", iterations=3)
+
+    n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+    tp, tn = (n_pos + 1.0) / (n_pos + 2.0), 1.0 / (n_neg + 2.0)
+    a, b = 0.0, math.log((n_neg + 1.0) / (n_pos + 1.0))
+    t = np.where(y == 1, tp, tn)
+    for _ in range(3):
+        p = 1.0 / (1.0 + np.exp(-(a * s + b)))
+        w = p * (1 - p)
+        g1, g0 = ((p - t) * s).sum(), (p - t).sum()
+        h2, h1, h0 = (w * s * s).sum(), (w * s).sum(), w.sum()
+        det = h2 * h0 - h1 * h1
+        a -= (h0 * g1 - h1 * g0) / det
+        b -= (h2 * g0 - h1 * g1) / det
+    assert got["n_pos"] == n_pos and got["n_neg"] == n_neg
+    assert got["a"] == pytest.approx(a, abs=1e-6)
+    assert got["b"] == pytest.approx(b, abs=1e-6)
+    # the sigmoid direction matches sign convention: P(y|s) rises in s
+    assert got["a"] > 0
+    # layout determinism is BIT-exact (integer sums)
+    got2 = platt_fit(df.repartition(13), "s", "y", iterations=3)
+    assert got2["a"] == got["a"] and got2["b"] == got["b"]
