@@ -4370,6 +4370,105 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_name", "revenue_e6", "n_items")
 
 
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted to the
+    testdata schema (no o_comment — the excluded class is the
+    '1-URGENT' priority): LEFT join keeps zero-order customers, then
+    the distribution of per-customer counts."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    per = (cust.join(orders.filter(
+                F.col("o_orderpriority") != "1-URGENT"),
+                cust.c_custkey == orders.o_custkey, "left")
+               .groupBy("c_custkey")
+               .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+               .agg(F.count(F.lit(1)).alias("custdist"))
+               .select("c_count", "custdist"))
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted (p_container
+    -> p_size < 15): lineitems of Brand#12 small parts with quantity
+    strictly below 0.2x the part's average — the correlated average
+    decorrelated into a per-part aggregate join, and the float
+    predicate cross-multiplied into exact integers
+    (5·qty·cnt < Σqty)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sel = part.filter((F.col("p_brand") == "Brand#12")
+                      & (F.col("p_size") < 15)).select("p_partkey")
+    qli = li.select("l_partkey",
+                    F.round(F.col("l_quantity")).cast("long")
+                    .alias("qty"),
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long").alias("cents"))
+    avg = (qli.join(F.broadcast(sel),
+                    qli.l_partkey == sel.p_partkey)
+              .groupBy("l_partkey")
+              .agg(F.sum("qty").alias("sum_qty"),
+                   F.count(F.lit(1)).alias("cnt")))
+    out = (qli.join(avg, "l_partkey")
+              .filter(5 * F.col("qty") * F.col("cnt")
+                      < F.col("sum_qty"))
+              .agg(F.sum("cents").alias("sum_cents"),
+                   F.count(F.lit(1)).alias("n_items")))
+    return out.select(F.col("sum_cents").cast("long").alias("sum_cents"),
+                      "n_items")
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive brand/size/quantity predicates, adapted
+    from container/shipmode): revenue over an OR of three conjunctive
+    clauses — the classic OR-pushdown shape; exact _e6 money
+    arithmetic as in tpch_q5."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    qty = F.round(F.col("l_quantity")).cast("long")
+    c1 = ((F.col("p_brand") == "Brand#12")
+          & F.col("p_size").between(1, 5) & qty.between(1, 11))
+    c2 = ((F.col("p_brand") == "Brand#23")
+          & F.col("p_size").between(1, 10) & qty.between(10, 20))
+    c3 = ((F.col("p_brand") == "Brand#34")
+          & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (10000 - F.round(F.col("l_discount") * 10000)
+              .cast("long")))
+    return (j.filter(c1 | c2 | c3)
+             .agg(F.sum(rev).cast("long").alias("revenue_e6"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted (no c_phone —
+    country code is c_custkey % 7): rich-but-inactive customers in
+    codes {1,3,5} with balance above the positive-balance average
+    (exact integer cross-multiplication, cents·n > Σcents) and NO
+    high-priority orders (anti join — every customer has SOME order
+    at this density, so the inactivity class is 'no 2-HIGH order',
+    keeping the result set non-trivial)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = (cust.withColumn("cntry", F.col("c_custkey") % 7)
+             .filter(F.col("cntry").isin(1, 3, 5))
+             .withColumn("cents",
+                         F.round(F.col("c_acctbal") * 100)
+                         .cast("long")))
+    pos = c.filter(F.col("cents") > 0).agg(
+        F.sum("cents").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"))
+    out = (c.crossJoin(F.broadcast(pos))
+            .filter(F.col("cents") * F.col("n_pos") > F.col("sum_pos"))
+            .join(orders.filter(F.col("o_orderpriority") == "2-HIGH")
+                        .select(F.col("o_custkey").alias("c_custkey")),
+                  "c_custkey", "left_anti")
+            .groupBy("cntry")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("cents").cast("long").alias("totacctbal_cents")))
+    return out.select("cntry", "numcust", "totacctbal_cents")
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customers): the HAVING-subquery
     pattern — orders whose total lineitem quantity exceeds a
@@ -5419,6 +5518,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best": q_keep_best,
         "tpch_q5": q_tpch_q5,
         "tpch_q18": q_tpch_q18,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q22": q_tpch_q22,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -9393,6 +9496,72 @@ def oracle_sql() -> dict[str, str]:
           AND l_suppkey = s_suppkey
           AND s_nationkey = c_nationkey
         GROUP BY n_name
+    """
+    oracles["tpch_q13"] = """
+        WITH per AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        )
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               count(*) AS custdist
+        FROM per GROUP BY c_count
+    """
+    oracles["tpch_q17"] = """
+        WITH sel AS (
+          SELECT p_partkey FROM part
+          WHERE p_brand = 'Brand#12' AND p_size < 15
+        ), qli AS (
+          SELECT l_partkey,
+                 CAST(round(l_quantity) AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+          FROM lineitem
+        ), a AS (
+          SELECT l_partkey,
+                 CAST(sum(qty) AS BIGINT) AS sum_qty,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM qli JOIN sel ON l_partkey = p_partkey
+          GROUP BY l_partkey
+        )
+        SELECT CAST(sum(q.cents) AS BIGINT) AS sum_cents,
+               count(*) AS n_items
+        FROM qli q JOIN a USING (l_partkey)
+        WHERE 5 * q.qty * a.cnt < a.sum_qty
+    """
+    oracles["tpch_q19"] = """
+        SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (10000 - CAST(round(l_discount*10000)
+                                        AS BIGINT))) AS BIGINT)
+                 AS revenue_e6,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+    """
+    oracles["tpch_q22"] = """
+        WITH c AS (
+          SELECT c_custkey, c_custkey % 7 AS cntry,
+                 CAST(round(c_acctbal*100) AS BIGINT) AS cents
+          FROM customer WHERE c_custkey % 7 IN (1, 3, 5)
+        ), pos AS (
+          SELECT CAST(sum(cents) AS BIGINT) AS sum_pos,
+                 CAST(count(*) AS BIGINT) AS n_pos
+          FROM c WHERE cents > 0
+        )
+        SELECT cntry, count(*) AS numcust,
+               CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+        FROM c CROSS JOIN pos
+        WHERE cents * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderpriority = '2-HIGH')
+        GROUP BY cntry
     """
     oracles["tpch_q18"] = """
         WITH big AS (
