@@ -1533,6 +1533,22 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (step-interpolated PR-AUC) of the
+    cents-quantized score against the purchase/signup label — count
+    table + ordered term fold; the oracle replays every precision
+    term in the identical ascending-threshold order."""
+    from hiselspark.operators.evaluate import average_precision
+    ev = _ev(spark, sf_dir)
+    scored = ev.select(
+        (F.abs(F.round(F.col("value") * 100).cast("long")) % 1000)
+        .alias("s"),
+        F.col("event_type").isin("purchase", "signup")
+        .cast("int").alias("y"))
+    out = average_precision(scored, "s", "y")
+    return out.select(F.round("ap", 6).alias("ap"), "n_pos", "n_neg")
+
+
 def q_platt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Platt sigmoid calibration of an exact-decimal score against the
     purchase/signup label — 3 fixed-point Newton iterations whose six
@@ -5510,6 +5526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "mutual_knn": q_mutual_knn,
         "platt": q_platt,
+        "avg_precision": q_avg_precision,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9284,6 +9301,40 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["avg_precision"] = """
+        WITH base AS (
+          SELECT abs(CAST(round(value*100) AS BIGINT)) % 1000 AS s,
+                 CASE WHEN event_type IN ('purchase','signup')
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+        ), per AS (
+          SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS neg
+          FROM base GROUP BY s
+        ), cum AS (
+          SELECT s, pos, neg,
+                 CAST(sum(pos) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS tp,
+                 CAST(sum(neg) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS fp
+          FROM per
+        ), t AS (
+          SELECT s,
+                 (CAST(pos AS DOUBLE) * CAST(tp AS DOUBLE))
+                   / CAST(tp + fp AS DOUBLE) AS term
+          FROM cum
+        )
+        SELECT round(
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     (SELECT list(term ORDER BY s) FROM t)),
+                   (acc, x) -> acc + x)
+                 / CAST((SELECT sum(pos) FROM per) AS DOUBLE), 6)
+                 AS ap,
+               CAST((SELECT sum(pos) FROM per) AS BIGINT) AS n_pos,
+               CAST((SELECT sum(neg) FROM per) AS BIGINT) AS n_neg
+    """
     # platt: unrolled Newton CTEs; every CTE referenced exactly once
     # (a, b, t+, t- carried through each sums CTE)
     _pl_parts = [

@@ -493,3 +493,49 @@ def uplift_deciles(df: DataFrame, score_col: str, treat_col,
         F.when(rate_t.isNotNull() & rate_c.isNotNull(),
                rate_t - rate_c).alias("uplift"),
         cum.alias("cum_uplift"))
+
+
+def average_precision(df: DataFrame, score_col: str,
+                      label_col: str) -> DataFrame:
+    """One row ``(ap, n_pos, n_neg)``: average precision (area under
+    the precision-recall curve with step interpolation — what
+    sklearn's ``average_precision_score`` computes):
+
+        AP = Σ_k (ΔTP_k / P) · precision_k
+
+    over distinct score thresholds in DESCENDING order (predict
+    positive at score ≥ s, ties share a threshold group).  Built on
+    the same count-table shape as :func:`binary_auc` — the heavy data
+    reduces to one (score → pos, neg) table bounded by the score
+    quantization.  The per-threshold terms are rationals of exact
+    BIGINT counts; their sum is folded in ascending-threshold order
+    via the collected struct list (addition order fixed → the double
+    is bit-reproducible and the SQL oracle replays it term-for-term).
+    """
+    lbl = F.col(label_col).cast("long")
+    per = (df.groupBy(score_col)
+             .agg(F.sum(lbl).alias("pos"),
+                  (F.count(lbl) - F.sum(lbl)).alias("neg")))
+    w = (Window.orderBy(F.col(score_col).desc())
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    per = (per.withColumn("tp", F.sum("pos").over(w))
+              .withColumn("fp", F.sum("neg").over(w))
+              .withColumn(
+                  "term",
+                  (F.col("pos").cast("double")
+                   * F.col("tp").cast("double"))
+                  / (F.col("tp") + F.col("fp")).cast("double")))
+    folded = per.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col(score_col).alias("s"),
+                    F.col("term").alias("t")))),
+                lambda x: x["t"]),
+            F.lit(0.0), lambda acc, t: acc + t).alias("sum_terms"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"))
+    return folded.select(
+        (F.col("sum_terms") / F.col("n_pos").cast("double"))
+        .alias("ap"), "n_pos", "n_neg")

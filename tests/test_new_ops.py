@@ -554,3 +554,38 @@ def test_mutual_pairs_brute(spark):
     fwd = set(topk)
     exp = {(a, b) for a, b in fwd if (b, a) in fwd and a < b}
     assert got == exp == {(0, 9), (1, 9), (2, 3)}
+
+
+def test_average_precision_matches_brute(spark):
+    """average_precision vs the step-interpolated AP computed by a
+    scalar replay (sklearn's average_precision_score definition),
+    including tied scores."""
+    from hiselspark.operators.evaluate import average_precision
+    rng = np.random.default_rng(3)
+    scores = rng.integers(0, 30, 400)          # heavy ties
+    labels = (rng.uniform(0, 1, 400) < scores / 40.0).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(y)) for s, y in zip(scores, labels)],
+        "s long, y int")
+    r = average_precision(df, "s", "y").first()
+    # brute: walk distinct thresholds descending
+    import collections
+    per = collections.Counter()
+    for s, y in zip(scores, labels):
+        per[s] = per[s]
+    pos = collections.Counter(); neg = collections.Counter()
+    for s, y in zip(scores, labels):
+        (pos if y else neg)[int(s)] += 1
+    tp = fp = 0
+    ap = 0.0
+    P = int(labels.sum())
+    for s in sorted(set(scores.tolist()), reverse=True):
+        tp += pos[s]; fp += neg[s]
+        ap += pos[s] * (tp / (tp + fp))
+    ap /= P
+    assert r["ap"] == pytest.approx(ap, rel=1e-12)
+    assert r["n_pos"] == P and r["n_neg"] == 400 - P
+    # perfect separation gives AP = 1
+    dfp = spark.createDataFrame(
+        [(10, 1)] * 5 + [(1, 0)] * 5, "s long, y int")
+    assert average_precision(dfp, "s", "y").first()["ap"] == 1.0
