@@ -1533,6 +1533,70 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_ssim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage image near-dup: dHash pigeonhole banding proposes
+    candidate pairs, tiled SSIM verifies them — the cheap-candidates /
+    expensive-verify pattern at image scale.  Duplicate groups are
+    planted as BRIGHTNESS-SHIFTED copies: key2 = seed + 15·shift adds
+    exactly ``shift`` to every byte (15·7919 ≡ 1 mod 256 — modular
+    inverse), so group members are near- but not bit-identical and
+    SSIM scores them < 1; a per-image byte step (seed-keyed) makes
+    DIFFERENT seeds structurally different, so banding separates
+    them.  The oracle recomputes pixels, hashes,
+    banding, tile sums, the SSIM formula and the ordered mean fold."""
+    from pyspark.sql import Window
+    from hiselspark.functions.image import with_dhash, ssim_tiles
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderkey") <= 3000))
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("key2",
+                        (F.pmod(F.col("okey"), F.lit(500))
+                         + 15 * F.expr("okey DIV 500")).cast("long"))
+            .withColumn("step",
+                        (13 + 2 * (F.pmod(F.col("okey"), F.lit(500))
+                                   % 23)).cast("long"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes_vstep(imgs, "key2", "step", 7919,
+                                  8 * 8 * 3)
+    hsh = with_dhash(imgs).select("okey", "dhash_lo", "dhash_hi")
+    a = hsh.select(F.col("okey").alias("pa"),
+                   F.col("dhash_lo").alias("alo"),
+                   F.col("dhash_hi").alias("ahi"))
+    b = hsh.select(F.col("okey").alias("pb"),
+                   F.col("dhash_lo").alias("blo"),
+                   F.col("dhash_hi").alias("bhi"))
+    ham = (F.bit_count(F.col("alo").bitwiseXOR(F.col("blo")))
+           + F.bit_count(F.col("ahi").bitwiseXOR(F.col("bhi"))))
+    cand = (a.join(b, (F.col("pa") < F.col("pb"))
+                   & ((F.col("alo") == F.col("blo"))
+                      | (F.col("ahi") == F.col("bhi"))))
+             .filter(ham <= 6)
+             .select("pa", "pb"))
+    payload = imgs.select("okey", "bytes")
+    pairs = (cand
+             .join(payload.select(F.col("okey").alias("pa"),
+                                  F.col("bytes").alias("bytes_a")),
+                   "pa")
+             .join(payload.select(F.col("okey").alias("pb"),
+                                  F.col("bytes").alias("bytes_b")),
+                   "pb")
+             .withColumn("w", F.lit(8)).withColumn("h", F.lit(8)))
+    tiles = ssim_tiles(pairs, "bytes_a", "bytes_b", tile=4)
+    mean = (F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("ti").alias("i"), F.col("tj").alias("j"),
+                F.col("ssim").alias("v")))),
+            lambda x: x["v"]),
+        F.lit(0.0), lambda acc, v: acc + v) / F.lit(4.0))
+    out = (tiles.groupBy("pa", "pb")
+                .agg(mean.alias("mean_ssim"))
+                .filter(F.col("mean_ssim") >= 0.5))
+    return out.select("pa", "pb",
+                      F.round("mean_ssim", 6).alias("mean_ssim"))
+
+
 def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact average precision (step-interpolated PR-AUC) of the
     cents-quantized score against the purchase/signup label — count
@@ -2475,6 +2539,28 @@ def _synth_raw_bytes(df: DataFrame, key_col: str, mult: int, step: int,
 
     udf = F.pandas_udf(synth, "binary")
     return df.withColumn("bytes", udf(F.col(key_col)))
+
+
+def _synth_raw_bytes_vstep(df: DataFrame, key_col: str, step_col: str,
+                           mult: int, n_bytes: int) -> DataFrame:
+    """``_synth_raw_bytes`` with a PER-IMAGE byte step
+    ``p[i] = (key*mult + i*step) % 256`` — images with different
+    steps are structurally different (different neighbor gradients),
+    while adding a constant to ``key*mult`` is a pure brightness
+    shift regardless of step."""
+    import numpy as np
+    import pandas as pd
+
+    def synth(keys, steps):
+        k = keys.to_numpy(dtype=np.int64)
+        st = steps.to_numpy(dtype=np.int64)
+        i = np.arange(n_bytes, dtype=np.int64)
+        block = ((k[:, None] * mult + i[None, :] * st[:, None]) % 256
+                 ).astype(np.uint8)
+        return pd.Series([block[r].tobytes() for r in range(len(k))])
+
+    udf = F.pandas_udf(synth, "binary")
+    return df.withColumn("bytes", udf(F.col(key_col), F.col(step_col)))
 
 
 def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5527,6 +5613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_knn": q_mutual_knn,
         "platt": q_platt,
         "avg_precision": q_avg_precision,
+        "ssim_neardup": q_ssim_neardup,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9301,6 +9388,95 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["ssim_neardup"] = """
+        WITH keys AS (
+          SELECT o_orderkey AS okey,
+                 (o_orderkey % 500) + 15 * (o_orderkey // 500) AS k2,
+                 13 + 2 * ((o_orderkey % 500) % 23) AS step
+          FROM orders WHERE o_orderkey <= 3000
+        ), gray AS (
+          SELECT okey, y, x,
+                 (SELECT sum((k2 * 7919
+                              + ((y*8 + least(CAST(floor((x + 0.5)
+                                   * 8.0 / 9.0) AS BIGINT), 7))*3
+                                 + c) * step) % 256)
+                  FROM unnest(generate_series(0, 2)) AS tc(c)) AS g
+          FROM keys,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 8)) AS tx(x)
+        ), bits AS (
+          SELECT a.okey, a.y, a.x,
+                 CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+          FROM gray a JOIN gray b
+            ON a.okey = b.okey AND a.y = b.y AND b.x = a.x + 1
+          WHERE a.x < 8
+        ), h AS (
+          SELECT okey,
+                 CAST(sum(CASE WHEN y < 4
+                               THEN bit * (1::BIGINT << (y*8 + x))
+                               ELSE 0 END) AS BIGINT) AS lo,
+                 CAST(sum(CASE WHEN y >= 4
+                               THEN bit * (1::BIGINT << ((y-4)*8 + x))
+                               ELSE 0 END) AS BIGINT) AS hi
+          FROM bits GROUP BY okey
+        ), cand AS (
+          SELECT a.okey AS pa, b.okey AS pb
+          FROM h a JOIN h b
+            ON a.okey < b.okey
+           AND (a.lo = b.lo OR a.hi = b.hi)
+          WHERE bit_count(xor(a.lo, b.lo))
+                + bit_count(xor(a.hi, b.hi)) <= 6
+        ), px8 AS (
+          SELECT okey, j.range AS j,
+                 CAST(((j.range // 8) // 4) AS INTEGER) AS ti,
+                 CAST(((j.range % 8) // 4) AS INTEGER) AS tj,
+                 CAST((k2 * 7919 + (3*j.range + 0) * step) % 256
+                   + (k2 * 7919 + (3*j.range + 1) * step) % 256
+                   + (k2 * 7919 + (3*j.range + 2) * step) % 256
+                   AS BIGINT) AS g
+          FROM keys, range(64) j
+        ), pairpx AS (
+          SELECT c.pa, c.pb, a.ti, a.tj, a.g AS ga, b.g AS gb
+          FROM cand c
+          JOIN px8 a ON a.okey = c.pa
+          JOIN px8 b ON b.okey = c.pb AND b.j = a.j
+        ), tiles AS (
+          SELECT pa, pb, ti, tj,
+                 CAST(sum(ga) AS BIGINT) AS sx,
+                 CAST(sum(gb) AS BIGINT) AS sy,
+                 CAST(sum(ga*ga) AS BIGINT) AS sxx,
+                 CAST(sum(gb*gb) AS BIGINT) AS syy,
+                 CAST(sum(ga*gb) AS BIGINT) AS sxy
+          FROM pairpx GROUP BY pa, pb, ti, tj
+        ), tscore AS (
+          SELECT pa, pb, ti, tj,
+                 (2.0 * (CAST(sx AS DOUBLE)/16.0)
+                      * (CAST(sy AS DOUBLE)/16.0) + 58.5225)
+                 * (2.0 * (CAST(sxy AS DOUBLE)/16.0
+                           - (CAST(sx AS DOUBLE)/16.0)
+                             * (CAST(sy AS DOUBLE)/16.0)) + 526.7025)
+                 / (((CAST(sx AS DOUBLE)/16.0)
+                       * (CAST(sx AS DOUBLE)/16.0)
+                     + (CAST(sy AS DOUBLE)/16.0)
+                       * (CAST(sy AS DOUBLE)/16.0) + 58.5225)
+                    * ((CAST(sxx AS DOUBLE)/16.0
+                        - (CAST(sx AS DOUBLE)/16.0)
+                          * (CAST(sx AS DOUBLE)/16.0))
+                       + (CAST(syy AS DOUBLE)/16.0
+                          - (CAST(sy AS DOUBLE)/16.0)
+                            * (CAST(sy AS DOUBLE)/16.0)) + 526.7025))
+                   AS ssim
+          FROM tiles
+        ), agg AS (
+          SELECT pa, pb,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list(ssim ORDER BY ti, tj)),
+                   (acc, v) -> acc + v) / 4.0 AS mean_ssim
+          FROM tscore GROUP BY pa, pb
+        )
+        SELECT pa, pb, round(mean_ssim, 6) AS mean_ssim
+        FROM agg WHERE mean_ssim >= 0.5
+    """
     oracles["avg_precision"] = """
         WITH base AS (
           SELECT abs(CAST(round(value*100) AS BIGINT)) % 1000 AS s,

@@ -662,3 +662,34 @@ def test_color_stats_brute_and_tie_rule(spark):
     assert out.loc[1, "dom_bin"] == 0          # tie -> lowest bin
     with pytest.raises(ValueError):
         with_color_stats(df, bins_per_channel=5)
+
+
+def test_ssim_brightness_shift_vs_structural_change(spark):
+    """A brightness-shifted copy keeps dhash (near-)equal and SSIM
+    high; a different-gradient image scores lower — the two-stage
+    near-dup premise."""
+    from pyspark.sql import functions as F
+    from hiselspark.functions.image import with_dhash, ssim_tiles
+    i = np.arange(192, dtype=np.int64)
+    a = ((7919 + i * 13) % 256).astype(np.uint8)
+    b = ((7919 + 4 + i * 13) % 256).astype(np.uint8)   # +4 brightness
+    c = ((7919 + i * 29) % 256).astype(np.uint8)       # new structure
+    df = spark.createDataFrame(
+        [(0, a.tobytes()), (1, b.tobytes()), (2, c.tobytes())],
+        "img_id long, bytes binary") \
+        .withColumn("w", F.lit(8)).withColumn("h", F.lit(8)) \
+        .withColumn("fmt", F.lit("raw"))
+    h = {r["img_id"]: (r["dhash_lo"], r["dhash_hi"])
+         for r in with_dhash(df).collect()}
+    ham01 = (bin(h[0][0] ^ h[1][0]).count("1")
+             + bin(h[0][1] ^ h[1][1]).count("1"))
+    assert ham01 <= 6          # shift survives banding+verify
+    pairs = spark.createDataFrame(
+        [(1, a.tobytes(), b.tobytes(), 8, 8),
+         (2, a.tobytes(), c.tobytes(), 8, 8)],
+        "pid long, bytes_a binary, bytes_b binary, w int, h int")
+    m = (ssim_tiles(pairs, "bytes_a", "bytes_b", tile=4)
+         .groupBy("pid").agg(F.avg("ssim").alias("m")).collect())
+    ms = {r["pid"]: r["m"] for r in m}
+    assert 0.5 < ms[1] < 1.0       # shifted: high but not identical
+    assert ms[2] < ms[1]           # structural change scores lower
