@@ -589,3 +589,28 @@ def test_recursion_family_single_entity_exchange(spark):
     # plan itself is one exchange
     assert n_exchanges(vd) == 1
     assert "CartesianProduct" not in plan_str(vd, "simple")
+
+
+def test_round3_new_ops_plan_shapes(spark):
+    """Plan assertions for the round-3 additions: map-only image ops
+    have ZERO exchanges; embedding_profile rides exactly its two
+    declared shuffles; weighted_sample is one exchange."""
+    import datetime as dt
+    from hiselspark.functions.image import ssim_tiles, with_color_stats
+    from hiselspark.operators.encoding import embedding_profile_pit
+    from hiselspark.operators.sampling import weighted_sample
+    img = spark.createDataFrame(
+        [(1, bytes(192), bytes(192), 8, 8)],
+        "i long, bytes_a binary, bytes_b binary, w int, h int")
+    assert n_exchanges(ssim_tiles(img, "bytes_a", "bytes_b")) == 0
+    one = spark.createDataFrame([(1, bytes(192), 8, 8)],
+                                "i long, bytes binary, w int, h int")
+    assert n_exchanges(with_color_stats(one)) == 0
+    ts = dt.datetime(2024, 1, 1)
+    emb = spark.createDataFrame(
+        [(1, ts, 1, [1.0, 2.0])],
+        "e long, ts timestamp, o long, embedding array<double>")
+    prof = embedding_profile_pit(emb, "e", "ts", "o")
+    assert n_exchanges(prof) == 2
+    df = spark.createDataFrame([(1, 2.0, 1)], "id long, w double, g int")
+    assert n_exchanges(weighted_sample(df, "w", 2, "id", "g")) == 1
