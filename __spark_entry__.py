@@ -1533,6 +1533,28 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-feature AUC leak scan over four derived features, one of
+    them a PLANTED leak (label baked into its high digits) — the scan
+    must rank it near 1.0 while honest features sit near 0.5.  The
+    oracle replays the melted count table and per-feature exact AUC."""
+    from hiselspark.operators.evaluate import feature_auc_scan
+    ev = _ev(spark, sf_dir)
+    y = F.col("event_type").isin("purchase", "signup").cast("int")
+    cents = F.abs(F.round(F.col("value") * 100).cast("long"))
+    d = ev.select(
+        y.alias("y"),
+        (cents % 1000).cast("double").alias("f_cents"),
+        F.hour(F.col("ts").cast("timestamp")).cast("double")
+        .alias("f_hour"),
+        (F.col("user_id") % 10).cast("double").alias("f_user"),
+        ((cents % 3) + y * 100).cast("double").alias("f_leak"))
+    out = feature_auc_scan(
+        d, ["f_cents", "f_hour", "f_user", "f_leak"], "y")
+    return out.select("feature", F.round("auc", 6).alias("auc"),
+                      "n_pos", "n_neg", "n_distinct")
+
+
 def q_ssim_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage image near-dup: dHash pigeonhole banding proposes
     candidate pairs, tiled SSIM verifies them — the cheap-candidates /
@@ -5614,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "platt": q_platt,
         "avg_precision": q_avg_precision,
         "ssim_neardup": q_ssim_neardup,
+        "leakage_scan": q_leakage_scan,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9388,6 +9411,44 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["leakage_scan"] = """
+        WITH base AS (
+          SELECT CASE WHEN event_type IN ('purchase','signup')
+                      THEN 1 ELSE 0 END AS y,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents,
+                 hour(ts) AS hr, user_id
+          FROM events
+        ), melted AS (
+          SELECT y, 'f_cents' AS f,
+                 CAST(cents % 1000 AS DOUBLE) AS v FROM base
+          UNION ALL
+          SELECT y, 'f_hour', CAST(hr AS DOUBLE) FROM base
+          UNION ALL
+          SELECT y, 'f_user', CAST(user_id % 10 AS DOUBLE) FROM base
+          UNION ALL
+          SELECT y, 'f_leak',
+                 CAST((cents % 3) + y * 100 AS DOUBLE) FROM base
+        ), per AS (
+          SELECT f, v, CAST(sum(y) AS BIGINT) AS pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS neg
+          FROM melted WHERE v IS NOT NULL GROUP BY f, v
+        ), c AS (
+          SELECT f, v, pos, neg,
+                 CAST(coalesce(sum(neg) OVER (PARTITION BY f
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+          FROM per
+        )
+        SELECT f AS feature,
+               round((CAST(sum(neg_below * pos) AS DOUBLE)
+                      + CAST(sum(pos * neg) AS DOUBLE) / 2.0)
+                     / (CAST(sum(pos) AS DOUBLE)
+                        * CAST(sum(neg) AS DOUBLE)), 6) AS auc,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               count(*) AS n_distinct
+        FROM c GROUP BY f
+    """
     oracles["ssim_neardup"] = """
         WITH keys AS (
           SELECT o_orderkey AS okey,

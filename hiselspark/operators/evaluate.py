@@ -539,3 +539,51 @@ def average_precision(df: DataFrame, score_col: str,
     return folded.select(
         (F.col("sum_terms") / F.col("n_pos").cast("double"))
         .alias("ap"), "n_pos", "n_neg")
+
+
+def feature_auc_scan(df: DataFrame, feature_cols, label_col: str,
+                     descending: bool = False) -> DataFrame:
+    """Target-leakage scan: the exact single-feature AUC of EVERY
+    listed feature against the label, all in one pass — a feature
+    whose raw values rank the label near-perfectly (AUC ≈ 1 or ≈ 0)
+    is leaking the target (post-outcome fields, join keys, encoded
+    labels), the classic silent killer of offline metrics.
+
+    One melt (explode of (feature, value) structs — row count ×
+    n_features, declared) then the :func:`binary_auc` count-table
+    arithmetic PARTITIONED BY FEATURE: per (feature, value) exact
+    pos/neg counts, one cumulative window per feature, the exact
+    rational AUC at the end.  One hash shuffle on (feature, value);
+    NULL feature values are dropped per feature (their rows still
+    count for other features).
+
+    Returns one row per feature: (feature, auc, n_pos, n_neg,
+    n_distinct) — interpret max(auc, 1−auc) as leak severity.
+    """
+    lbl = F.col(label_col).cast("long")
+    melted = df.select(
+        lbl.alias("_y"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("f"),
+                     F.col(c).cast("double").alias("v"))
+            for c in feature_cols])).alias("_fv"))
+    per = (melted.select("_y", F.col("_fv.f").alias("f"),
+                         F.col("_fv.v").alias("v"))
+                 .filter(F.col("v").isNotNull())
+                 .groupBy("f", "v")
+                 .agg(F.sum("_y").alias("pos"),
+                      (F.count("_y") - F.sum("_y")).alias("neg")))
+    w = (Window.partitionBy("f").orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    per = per.withColumn("neg_below",
+                         F.coalesce(F.sum("neg").over(w), F.lit(0)))
+    out = per.groupBy("f").agg(
+        ((F.sum(F.col("neg_below") * F.col("pos")).cast("double")
+          + F.sum(F.col("pos") * F.col("neg")).cast("double") / 2.0)
+         / (F.sum("pos").cast("double")
+            * F.sum("neg").cast("double"))).alias("auc"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_distinct"))
+    return out.select(F.col("f").alias("feature"), "auc",
+                      "n_pos", "n_neg", "n_distinct")

@@ -589,3 +589,36 @@ def test_average_precision_matches_brute(spark):
     dfp = spark.createDataFrame(
         [(10, 1)] * 5 + [(1, 0)] * 5, "s long, y int")
     assert average_precision(dfp, "s", "y").first()["ap"] == 1.0
+
+
+def test_feature_auc_scan_finds_planted_leak(spark):
+    """Per-feature AUC matches binary_auc run per column; the planted
+    leak scores ~1, an anti-leak ~0, noise ~0.5; NULLs dropped per
+    feature only."""
+    from hiselspark.operators.evaluate import (binary_auc,
+                                               feature_auc_scan)
+    rng = np.random.default_rng(11)
+    n = 500
+    y = rng.integers(0, 2, n)
+    noise = rng.integers(0, 7, n)
+    leak = y * 10 + rng.integers(0, 3, n)
+    anti = (1 - y) * 10 + rng.integers(0, 3, n)
+    rows = [(int(y[i]), float(noise[i]), float(leak[i]),
+             float(anti[i]),
+             None if i % 5 == 0 else float(noise[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "y int, f_noise double, f_leak double, f_anti double, "
+              "f_null double")
+    out = {r["feature"]: r for r in feature_auc_scan(
+        df, ["f_noise", "f_leak", "f_anti", "f_null"], "y").collect()}
+    assert out["f_leak"]["auc"] > 0.99
+    assert out["f_anti"]["auc"] < 0.01
+    assert 0.35 < out["f_noise"]["auc"] < 0.65
+    # per-column parity with binary_auc
+    for c in ["f_noise", "f_leak", "f_anti"]:
+        ref = binary_auc(df.select(c, "y"), c, "y").first()
+        assert out[c]["auc"] == pytest.approx(ref["auc"], rel=1e-12)
+    # null rows dropped only for the null feature
+    assert out["f_null"]["n_pos"] + out["f_null"]["n_neg"] == n - 100
+    assert out["f_noise"]["n_pos"] + out["f_noise"]["n_neg"] == n
