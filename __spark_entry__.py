@@ -1533,6 +1533,18 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock exponentially decayed engagement score per event
+    (half-life 6 h, strictly-before, 40-half-life exact horizon) —
+    terms folded in ascending-timestamp order; the oracle replays the
+    identical window list and fold."""
+    from hiselspark.operators.windows import decayed_count
+    ev = _ev(spark, sf_dir)
+    out = decayed_count(ev, "user_id", "ts", 6 * 3600.0)
+    return out.select("event_id", "user_id",
+                      F.round("decayed_count", 6).alias("score"))
+
+
 def q_leakage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-feature AUC leak scan over four derived features, one of
     them a PLANTED leak (label baked into its high digits) — the scan
@@ -5637,6 +5649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avg_precision": q_avg_precision,
         "ssim_neardup": q_ssim_neardup,
         "leakage_scan": q_leakage_scan,
+        "decayed_count": q_decayed_count,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9411,6 +9424,26 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["decayed_count"] = """
+        WITH ex AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        ), lw AS (
+          SELECT event_id, user_id, us,
+                 list_sort(list(us) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 864000000000 PRECEDING
+                             AND 1 PRECEDING)) AS lst
+          FROM ex
+        )
+        SELECT event_id, user_id,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(lst,
+                         x -> pow(2.0, (CAST(x AS DOUBLE)
+                                        - CAST(us AS DOUBLE))
+                                       / 21600000000.0))),
+                     (acc, t) -> acc + t), 6) AS score
+        FROM lw
+    """
     oracles["leakage_scan"] = """
         WITH base AS (
           SELECT CASE WHEN event_type IN ('purchase','signup')

@@ -1290,3 +1290,57 @@ def sessionize_capped(
         F.col("r.o").alias("order_id"),
         F.col("r.sid").alias("session_id"),
         F.col("r.start_t").alias("session_start_us"))
+
+
+def decayed_count(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    halflife_seconds: float,
+    weight_col: Optional[str] = None,
+    out_col: str = "decayed_count",
+) -> DataFrame:
+    """Exponentially time-decayed event count (the classic
+    "engagement score" PIT feature): at each row,
+
+        s_t = Σ_{prior events i}  w_i · 2^(−(t − t_i) / halflife)
+
+    over the entity's STRICTLY-BEFORE events (``weight_col`` omitted →
+    w_i = 1).  Unlike :func:`ewma`'s per-OBSERVATION decay, the decay
+    here is in wall-clock time — a burst an hour ago and a burst a
+    week ago score very differently at the same event count.
+
+    Exactness contract: contributions older than 40 half-lives are
+    below double noise (2⁻⁴⁰ ≈ 9e-13), so the range frame
+    ``(t − 40·h, t)`` is the exact answer to working precision — same
+    truncation argument as :func:`ewma`, but by TIME, so bursty
+    entities lose nothing.  Within the frame the terms are folded in
+    ascending-``t_i`` order over the collected timestamp list
+    (duplicates included), making the double bit-reproducible and
+    SQL-replayable.  One entity-clustered WindowExec on the shared
+    shuffle; per-row cost is the in-frame event count (bound the
+    frame via ``halflife_seconds`` for hot entities, or compose with
+    the chunked twins' bucketing).
+
+    Returns the input plus ``out_col`` (0.0 when no prior events).
+    """
+    if halflife_seconds <= 0:
+        raise ValueError(f"halflife_seconds must be > 0, got "
+                         f"{halflife_seconds}")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    horizon = int(40 * halflife_seconds * 1_000_000)
+    w = (Window.partitionBy(entity_col).orderBy(us)
+               .rangeBetween(-horizon, -1))
+    item = us if weight_col is None else F.struct(
+        us.alias("u"), F.col(weight_col).cast("double").alias("wt"))
+    lst = F.sort_array(F.collect_list(item).over(w))
+    hl_us = float(halflife_seconds * 1_000_000)
+
+    def term(x):
+        u = x if weight_col is None else x["u"]
+        t = F.pow(F.lit(2.0),
+                  (u.cast("double") - us.cast("double")) / hl_us)
+        return t if weight_col is None else x["wt"] * t
+
+    s = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + term(x))
+    return df.withColumn(out_col, s)

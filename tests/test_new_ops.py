@@ -622,3 +622,41 @@ def test_feature_auc_scan_finds_planted_leak(spark):
     # null rows dropped only for the null feature
     assert out["f_null"]["n_pos"] + out["f_null"]["n_neg"] == n - 100
     assert out["f_noise"]["n_pos"] + out["f_noise"]["n_neg"] == n
+
+
+def test_decayed_count_brute_and_weighted(spark):
+    """decayed_count vs a scalar replay (strictly-before, half-life
+    time decay, weighted variant); zero for first events; recent
+    bursts outscore old ones at equal count."""
+    import datetime as dt
+    from hiselspark.operators.windows import decayed_count
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, hours in [(0, [0, 1, 2, 3]), (1, [0, 0.1, 0.2, 48])]:
+        for i, hr in enumerate(hours):
+            rows.append((u, base + dt.timedelta(hours=hr),
+                         u * 10 + i, float(i + 1)))
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, wt double")
+    hl = 3600.0
+    out = {r["eid"]: r["decayed_count"]
+           for r in decayed_count(df, "u", "ts", hl).collect()}
+    wout = {r["eid"]: r["dw"] for r in decayed_count(
+        df, "u", "ts", hl, weight_col="wt", out_col="dw").collect()}
+    by_u = {}
+    for u, ts, eid, wt in sorted(rows, key=lambda r: (r[0], r[1])):
+        hist = by_u.setdefault(u, [])
+        t = ts.timestamp()
+        exp = sum(2.0 ** ((ti - t) / hl) for ti, _ in hist
+                  if t - ti <= 40 * hl and ti < t)
+        expw = sum(w * 2.0 ** ((ti - t) / hl) for ti, w in hist
+                   if t - ti <= 40 * hl and ti < t)
+        assert out[eid] == pytest.approx(exp, abs=1e-9), eid
+        assert wout[eid] == pytest.approx(expw, abs=1e-9), eid
+        hist.append((t, wt))
+    # first events score exactly 0
+    assert out[0] == 0.0 and out[10] == 0.0
+    # user 1's 4th event (48h later) sees ~nothing; user 0's 4th does
+    assert out[13] < 1e-9 < out[3]
+    with pytest.raises(ValueError):
+        decayed_count(df, "u", "ts", 0.0)
