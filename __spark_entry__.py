@@ -1533,6 +1533,17 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (period 7) MASE backtest per user over daily
+    cent sums — exact BIGINT error sums, one double division; the
+    oracle replays buckets, lags and sums."""
+    from hiselspark.operators.tsprofile import seasonal_naive_mase
+    ev = _ev(spark, sf_dir)
+    out = seasonal_naive_mase(ev, "user_id", "ts", "value", period=7)
+    return out.select("user_id", "n_scored", "sum_abs_err",
+                      "sum_abs_naive", F.round("mase", 6).alias("mase"))
+
+
 def q_decayed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock exponentially decayed engagement score per event
     (half-life 6 h, strictly-before, 40-half-life exact horizon) —
@@ -5650,6 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ssim_neardup": q_ssim_neardup,
         "leakage_scan": q_leakage_scan,
         "decayed_count": q_decayed_count,
+        "mase_backtest": q_mase_backtest,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9424,6 +9436,37 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["mase_backtest"] = """
+        WITH daily AS (
+          SELECT user_id AS e, date_trunc('day', ts) AS b,
+                 CAST(sum(CAST(round(value*100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY user_id, date_trunc('day', ts)
+        ), lagged AS (
+          SELECT e, v,
+                 lag(v, 7) OVER (PARTITION BY e ORDER BY b) AS lag_s,
+                 lag(v, 1) OVER (PARTITION BY e ORDER BY b) AS lag_1
+          FROM daily
+        ), per AS (
+          SELECT e,
+                 CAST(count(lag_s) AS BIGINT) AS n_scored,
+                 CAST(sum(CASE WHEN lag_s IS NOT NULL
+                               THEN abs(v - lag_s) END) AS BIGINT)
+                   AS sum_abs_err,
+                 CAST(count(lag_1) AS BIGINT) AS n_diff,
+                 CAST(sum(CASE WHEN lag_1 IS NOT NULL
+                               THEN abs(v - lag_1) END) AS BIGINT)
+                   AS sum_abs_naive
+          FROM lagged GROUP BY e
+        )
+        SELECT e AS user_id, n_scored, sum_abs_err, sum_abs_naive,
+               round((CAST(sum_abs_err AS DOUBLE)
+                      / CAST(n_scored AS DOUBLE))
+                     / (CAST(sum_abs_naive AS DOUBLE)
+                        / CAST(n_diff AS DOUBLE)), 6) AS mase
+        FROM per
+        WHERE n_scored > 0 AND sum_abs_naive > 0
+    """
     oracles["decayed_count"] = """
         WITH ex AS (
           SELECT event_id, user_id, epoch_us(ts) AS us FROM events

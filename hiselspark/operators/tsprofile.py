@@ -583,3 +583,62 @@ def classical_decompose(
         F.col("__o").alias("order_id"), "v", "phase",
         seasonal.alias("seasonal"), trend.alias("trend"),
         resid.alias("resid"))
+
+
+def seasonal_naive_mase(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    period: int = 7,
+    bucket: str = "day",
+) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (ŷ_t = y_{t−period})
+    scored by MASE (Hyndman & Koehler, "Another look at measures of
+    forecast accuracy", IJF 2006):
+
+        MASE = mean|y_t − y_{t−period}|  /  mean|y_t − y_{t−1}|
+
+    over the entity's ``bucket``-aggregated series (sum of
+    ``value_col`` per bucket, exact integer cents).  MASE < 1 means
+    the seasonal-naive beats the in-sample one-step naive — the
+    standard scale-free sanity floor every real forecasting model
+    must clear.
+
+    Exact by construction: bucket sums, both lag differences and both
+    error sums are BIGINT; the single double division happens once
+    per entity.  Plan: one (entity, bucket) aggregate + two lags on
+    one entity WindowExec + one entity aggregate — two shuffles.
+    Entities without at least ``period``+1 buckets (no scored point)
+    or a zero denominator (constant series) are dropped.
+
+    Returns (entity, n_scored, sum_abs_err, sum_abs_naive, mase).
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    daily = (df.groupBy(
+        F.col(entity_col).alias("e"),
+        F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+        .alias("b"))
+        .agg(F.sum(cents).alias("v")))
+    w = Window.partitionBy("e").orderBy("b")
+    scored = (daily
+              .withColumn("lag_s", F.lag("v", int(period)).over(w))
+              .withColumn("lag_1", F.lag("v", 1).over(w)))
+    per = (scored.groupBy("e").agg(
+        F.count("lag_s").alias("n_scored"),
+        F.sum(F.when(F.col("lag_s").isNotNull(),
+                     F.abs(F.col("v") - F.col("lag_s"))))
+        .alias("sum_abs_err"),
+        F.count("lag_1").alias("n_diff"),
+        F.sum(F.when(F.col("lag_1").isNotNull(),
+                     F.abs(F.col("v") - F.col("lag_1"))))
+        .alias("sum_abs_naive")))
+    mase = ((F.col("sum_abs_err").cast("double")
+             / F.col("n_scored").cast("double"))
+            / (F.col("sum_abs_naive").cast("double")
+               / F.col("n_diff").cast("double")))
+    return (per.filter((F.col("n_scored") > 0)
+                       & (F.col("sum_abs_naive") > 0))
+               .select(F.col("e").alias(entity_col), "n_scored",
+                       "sum_abs_err", "sum_abs_naive",
+                       mase.alias("mase")))

@@ -660,3 +660,35 @@ def test_decayed_count_brute_and_weighted(spark):
     assert out[13] < 1e-9 < out[3]
     with pytest.raises(ValueError):
         decayed_count(df, "u", "ts", 0.0)
+
+
+def test_seasonal_naive_mase_brute(spark):
+    """MASE vs scalar replay on a hand-built periodic + constant
+    series: perfectly periodic => MASE 0; constant series dropped."""
+    import datetime as dt
+    from hiselspark.operators.tsprofile import seasonal_naive_mase
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 0: exactly period-3 series -> seasonal-naive error 0
+    vals0 = [10.0, 20.0, 30.0] * 4
+    for i, v in enumerate(vals0):
+        rows.append((0, base + dt.timedelta(days=i), v))
+    # user 1: noisy-ish integers
+    vals1 = [5.0, 9.0, 4.0, 7.0, 11.0, 3.0, 8.0, 6.0]
+    for i, v in enumerate(vals1):
+        rows.append((1, base + dt.timedelta(days=i), v))
+    # user 2: constant -> zero denominator, dropped
+    for i in range(8):
+        rows.append((2, base + dt.timedelta(days=i), 4.0))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, value double")
+    out = {r["u"]: r for r in
+           seasonal_naive_mase(df, "u", "ts", "value", period=3)
+           .collect()}
+    assert out[0]["mase"] == 0.0 and out[0]["sum_abs_err"] == 0
+    assert 2 not in out
+    c = [int(v * 100) for v in vals1]
+    err = [abs(c[t] - c[t - 3]) for t in range(3, len(c))]
+    dif = [abs(c[t] - c[t - 1]) for t in range(1, len(c))]
+    exp = (sum(err) / len(err)) / (sum(dif) / len(dif))
+    assert out[1]["mase"] == pytest.approx(exp, rel=1e-12)
+    assert out[1]["n_scored"] == len(err)
