@@ -1485,6 +1485,38 @@ def q_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "cusum_pos", "cusum_neg"))
 
 
+def q_streaming_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of decayed_count: per-user O(1) state
+    (n, last_us, score) advanced by the exact half-life recurrence;
+    drained with AvailableNow, the final row per user must equal the
+    all-events decay fold at that user's last event (oracle replays
+    it in SQL)."""
+    import hashlib
+    import os
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_decayed_count
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (read_events_stream(spark, src_dir, batch.schema)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = run_stream_to_batch(
+        stream_decayed_count(stream, "user_id", "ts", "event_id",
+                             halflife_seconds=6 * 3600.0),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("entity").alias("user_id"), "n_events",
+                       F.round("score", 6).alias("score")))
+
+
 def q_streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch Holt smoother: per-user (level,
     trend) carried across micro-batches in O(1) float state with the
@@ -5665,6 +5697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
+        "streaming_decay": q_streaming_decay,
         "feature_cross": q_feature_cross,
         "rank_normalize": q_rank_normalize,
         "keep_best": q_keep_best,
@@ -11675,6 +11708,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN per pa ON pairs.item_a = pa.it
         JOIN per pb ON pairs.item_b = pb.it
         CROSS JOIN nb
+    """
+    oracles["streaming_decay"] = """
+        WITH ex AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        ), lastus AS (
+          SELECT user_id, CAST(max(us) AS BIGINT) AS last_us,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 list_sort(list(us)) AS lst
+          FROM ex GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(lst,
+                         x -> pow(2.0, (CAST(x AS DOUBLE)
+                                        - CAST(last_us AS DOUBLE))
+                                       / 21600000000.0))),
+                     (acc, t) -> acc + t), 6) AS score
+        FROM lastus
     """
     oracles["streaming_cusum"] = """
         WITH q AS (

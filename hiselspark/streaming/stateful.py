@@ -245,3 +245,68 @@ def stream_holt(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+def stream_decayed_count(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    halflife_seconds: float = 21600.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.windows.decayed_count` —
+    the per-entity wall-clock decayed engagement score carried across
+    micro-batches in O(1) float state ``(n, last_us, score)`` via the
+    exact recurrence
+
+        score ← score · 2^((last_us − u)/h) + 1,   last_us ← u
+
+    applied in ``(ts, order)`` order (``score`` INCLUDES the current
+    event at weight 1; the batch operator's strictly-before value is
+    ``score − 1`` at the same instant).  The recurrence is evaluated
+    as a per-row loop inside the Arrow batch — it is inherently
+    sequential, and the numerically stable prefix-product
+    vectorization overflows when a batch spans ≫ 40 half-lives (a
+    replay drains months in one trigger), so the honest loop wins;
+    rows per (entity, micro-batch) bound the cost.  Differs from the
+    batch fold by ≤ n·ulp + the batch's 40-half-life truncation —
+    both orders of magnitude below the gate's 1e-6 rounding.
+
+    Emits one row per touched entity per micro-batch with the
+    cumulative ``(n_events, last_us, score)`` (update mode)."""
+    import numpy as np
+
+    hl_us = float(halflife_seconds) * 1e6
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, last_us, score = state.get
+        else:
+            n, last_us, score = 0, None, 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            # pandas datetime64[ns] -> exact integer MICROseconds,
+            # matching the batch operator's unix_micros arithmetic
+            us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            for u in us:
+                if last_us is not None:
+                    score = score * 2.0 ** ((last_us - u) / hl_us) + 1.0
+                else:
+                    score = 1.0
+                last_us = int(u)
+            n += len(pdf)
+        state.update((n, last_us, score))
+        yield pd.DataFrame({"entity": [key[0]], "n_events": [n],
+                            "last_us": [last_us], "score": [score]})
+
+    out_schema = ("entity long, n_events long, last_us long, "
+                  "score double")
+    state_schema = "n long, last_us long, score double"
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update",
+                                    GroupStateTimeout.NoTimeout))

@@ -1,6 +1,7 @@
 """Stream-stream interval join: drained backlog equals the batch
 range join; watermark bounds state and drops too-late rows."""
 import pandas as pd
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -165,3 +166,40 @@ def test_stream_cusum_multi_batch_equals_literal_recursion(
         assert int(final.loc[u, "n_events"]) == len(g)
         assert int(final.loc[u, "cusum_pos"]) == sp
         assert int(final.loc[u, "cusum_neg"]) == sn
+
+
+def test_stream_decayed_count_multi_batch_equals_recurrence(
+        spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811
+    from hiselspark.streaming.stateful import stream_decayed_count
+    rng = np.random.default_rng(23)
+    n = 90
+    pdf = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 3, n),
+        "ts": T0 + pd.to_timedelta(
+            np.cumsum(rng.integers(1, 7200, n)), unit="s"),
+    })
+    stream = _stage(spark, tmp_path, "decay",
+                    [pdf.iloc[:40], pdf.iloc[40:]])
+    out = run_stream_to_batch(
+        stream_decayed_count(stream, "user_id", "ts", "event_id",
+                             halflife_seconds=3600.0),
+        output_mode="update")
+    final = (out.orderBy(F.col("n_events").desc())
+                .toPandas().drop_duplicates("entity")
+                .set_index("entity"))
+    for u in range(3):
+        g = pdf[pdf.user_id == u].sort_values(["ts", "event_id"])
+        if not len(g):
+            continue
+        s, last = 0.0, None
+        for t in g.ts:
+            us = t.value // 1000
+            s = (s * 2.0 ** ((last - us) / 3.6e9) + 1.0
+                 if last is not None else 1.0)
+            last = us
+        assert int(final.loc[u, "n_events"]) == len(g)
+        assert final.loc[u, "score"] == pytest.approx(s, rel=1e-12)
+        assert int(final.loc[u, "last_us"]) == last
