@@ -1565,6 +1565,22 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the even-doc_id half (reference) and
+    the odd half (candidate): type overlap Jaccard + token-weighted
+    OOV rate, exact integers; the oracle replays the tokenization and
+    both vocabulary tables."""
+    from hiselspark.functions.text import vocab_drift
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    cand = docs.filter(F.col("doc_id") % 2 == 1)
+    out = vocab_drift(ref, cand)
+    return out.select("vocab_ref", "vocab_cand", "vocab_common",
+                      "oov_tokens", "cand_tokens",
+                      F.round("vocab_jaccard", 6).alias("vocab_jaccard"),
+                      F.round("oov_rate", 6).alias("oov_rate"))
+
+
 def q_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive (period 7) MASE backtest per user over daily
     cent sums — exact BIGINT error sums, one double division; the
@@ -5694,6 +5710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_scan": q_leakage_scan,
         "decayed_count": q_decayed_count,
         "mase_backtest": q_mase_backtest,
+        "vocab_drift": q_vocab_drift,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9469,6 +9486,37 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["vocab_drift"] = """
+        WITH rt AS (
+          SELECT DISTINCT unnest(regexp_split_to_array(
+                   trim(lower(text)), '\\s+')) AS tok
+          FROM documents WHERE doc_id % 2 = 0 AND trim(text) <> ''
+        ), ct AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS occ FROM (
+            SELECT unnest(regexp_split_to_array(
+                     trim(lower(text)), '\\s+')) AS tok
+            FROM documents WHERE doc_id % 2 = 1 AND trim(text) <> '')
+          GROUP BY tok
+        ), s AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM rt) AS vr,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ct) AS vc,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ct
+                  WHERE tok IN (SELECT tok FROM rt)) AS common,
+                 (SELECT CAST(coalesce(sum(occ), 0) AS BIGINT)
+                  FROM ct WHERE tok NOT IN (SELECT tok FROM rt))
+                   AS oov,
+                 (SELECT CAST(sum(occ) AS BIGINT) FROM ct) AS tot
+        )
+        SELECT vr AS vocab_ref, vc AS vocab_cand,
+               common AS vocab_common, oov AS oov_tokens,
+               tot AS cand_tokens,
+               round(CAST(common AS DOUBLE)
+                     / CAST(vr + vc - common AS DOUBLE), 6)
+                 AS vocab_jaccard,
+               round(CAST(oov AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                 AS oov_rate
+        FROM s
+    """
     oracles["mase_backtest"] = """
         WITH daily AS (
           SELECT user_id AS e, date_trunc('day', ts) AS b,

@@ -702,3 +702,56 @@ def readability(df: DataFrame, id_col: str = "doc_id",
         id_col, "n_words", "n_sentences", "n_syllables",
         (F.lit(206.835) - 1.015 * w_s - 84.6 * y_w).alias("flesch"),
         (0.39 * w_s + 11.8 * y_w - 15.59).alias("fk_grade"))
+
+
+def vocab_drift(reference: DataFrame, candidate: DataFrame,
+                text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary drift between a reference corpus and a
+    candidate corpus (new crawl, new source, post-filter output) —
+    the cheap pre-training health check that catches tokenizer
+    surprises and domain shift before any model run:
+
+      * ``vocab_ref`` / ``vocab_cand`` — distinct lowercased token
+        types (the engine's whitespace ``tokens`` contract);
+      * ``vocab_common`` / ``vocab_jaccard`` — type overlap;
+      * ``oov_tokens`` / ``cand_tokens`` / ``oov_rate`` — candidate
+        token OCCURRENCES whose type is absent from the reference
+        vocabulary (token-weighted, the number a tokenizer actually
+        feels).
+
+    Exact integers + two final divisions.  Plan: one distinct per
+    side on the token type, one left-anti join candidate-types →
+    reference-types carrying the candidate's occurrence counts (no
+    row-level join — everything happens on the two vocabulary
+    tables, bounded by type counts, not corpus size).
+    """
+    def types_with_counts(df):
+        return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                          .alias("tok"))
+                  .groupBy("tok")
+                  .agg(F.count(F.lit(1)).alias("occ")))
+
+    ref = types_with_counts(reference).select("tok").persist()
+    cand = types_with_counts(candidate).persist()
+    n_ref = ref.count()
+    n_cand = cand.count()
+    oov = (cand.join(ref, "tok", "left_anti")
+               .agg(F.coalesce(F.sum("occ"), F.lit(0)).alias("oov"),
+                    F.count(F.lit(1)).alias("oov_types")).first())
+    tot = cand.agg(F.sum("occ").alias("t")).first()["t"]
+    common = n_cand - int(oov["oov_types"])
+    spark = reference.sparkSession
+    out = spark.createDataFrame(
+        [(n_ref, n_cand, common,
+          int(oov["oov"]), int(tot))],
+        "vocab_ref long, vocab_cand long, vocab_common long, "
+        "oov_tokens long, cand_tokens long")
+    ref.unpersist(); cand.unpersist()
+    return out.select(
+        "*",
+        (F.col("vocab_common").cast("double")
+         / (F.col("vocab_ref") + F.col("vocab_cand")
+            - F.col("vocab_common")).cast("double"))
+        .alias("vocab_jaccard"),
+        (F.col("oov_tokens").cast("double")
+         / F.col("cand_tokens").cast("double")).alias("oov_rate"))

@@ -164,3 +164,23 @@ def test_item_cf_never_recommends_owned(spark):
         assert r["item"] not in owned[r["user"]]
     # users 2..9 (who lack item 7) should be recommended it
     assert any(r["item"] == 7 and r["user"] >= 2 for r in recs)
+
+
+def test_vocab_drift_brute(spark):
+    """vocab_drift vs set arithmetic on a tiny corpus with known
+    overlap, OOV occurrences, and empty docs."""
+    from hiselspark.functions.text import vocab_drift
+    ref = spark.createDataFrame(
+        [(0, "the cat sat"), (2, "the dog ran"), (4, "  ")],
+        "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(1, "the cat flew"), (3, "a cat flew flew"), (5, "")],
+        "doc_id long, text string")
+    r = vocab_drift(ref, cand).first()
+    # ref vocab {the,cat,sat,dog,ran}; cand vocab {the,cat,flew,a}
+    assert r["vocab_ref"] == 5 and r["vocab_cand"] == 4
+    assert r["vocab_common"] == 2                 # the, cat
+    # cand occurrences: the(1) cat(2) flew(3) a(1) = 7; OOV: flew+a=4
+    assert r["cand_tokens"] == 7 and r["oov_tokens"] == 4
+    assert r["vocab_jaccard"] == pytest.approx(2 / 7, rel=1e-12)
+    assert r["oov_rate"] == pytest.approx(4 / 7, rel=1e-12)
