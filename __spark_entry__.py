@@ -1565,6 +1565,25 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit with PLANTED violations: lineitem's
+    part key is corrupted for every 97th order (orphan) and nulled for
+    every 101st — the audit must count exactly those; oracle replays
+    the corruption and the anti-join."""
+    from hiselspark.operators.profile import fk_orphans
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    fk = (F.when(F.col("l_orderkey") % 101 == 0, F.lit(None))
+           .when(F.col("l_orderkey") % 97 == 0,
+                 F.col("l_partkey") + 1_000_000)
+           .otherwise(F.col("l_partkey")))
+    fact = li.withColumn("fk", fk)
+    out = fk_orphans(fact, part, "fk", "p_partkey")
+    return out.select("n_fact", "n_null_fk", "n_orphan",
+                      "n_orphan_keys",
+                      F.round("orphan_rate", 6).alias("orphan_rate"))
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift between the even-doc_id half (reference) and
     the odd half (candidate): type overlap Jaccard + token-weighted
@@ -5711,6 +5730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_count": q_decayed_count,
         "mase_backtest": q_mase_backtest,
         "vocab_drift": q_vocab_drift,
+        "fk_audit": q_fk_audit,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9486,6 +9506,30 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["fk_audit"] = """
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 101 = 0 THEN NULL
+                      WHEN l_orderkey % 97 = 0
+                        THEN l_partkey + 1000000
+                      ELSE l_partkey END AS fk
+          FROM lineitem
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_fact,
+                 CAST(sum(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_null_fk,
+                 CAST(sum(CASE WHEN fk IS NOT NULL AND fk NOT IN
+                        (SELECT p_partkey FROM part)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+                 CAST(count(DISTINCT CASE WHEN fk IS NOT NULL
+                        AND fk NOT IN (SELECT p_partkey FROM part)
+                      THEN fk END) AS BIGINT) AS n_orphan_keys
+          FROM fact
+        )
+        SELECT n_fact, n_null_fk, n_orphan, n_orphan_keys,
+               round(CAST(n_orphan AS DOUBLE)
+                     / CAST(n_fact AS DOUBLE), 6) AS orphan_rate
+        FROM s
+    """
     oracles["vocab_drift"] = """
         WITH rt AS (
           SELECT DISTINCT unnest(regexp_split_to_array(

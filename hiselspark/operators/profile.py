@@ -290,3 +290,39 @@ def winsorized_mean(df: DataFrame, col: str,
         lo.alias("lo_clamp"),
         hi.alias("hi_clamp"),
         F.max("n").alias("n"))
+
+
+def fk_orphans(fact: DataFrame, dim: DataFrame, fk: str,
+               pk: str) -> DataFrame:
+    """Referential-integrity audit of a foreign key: one row with
+    ``(n_fact, n_null_fk, n_orphan, orphan_rate)`` where an orphan is
+    a non-NULL ``fact[fk]`` with no matching ``dim[pk]`` — the join
+    health check every warehouse runs after ingest (orphans silently
+    become dropped rows in inner joins and NULL features in left
+    joins).
+
+    One anti-join of the DISTINCT fact keys against the dim keys,
+    then the orphan key set joins back to the fact counts — so the
+    heavy side is scanned once for a count table and the join work is
+    bounded by distinct key counts.  Exact integers, one division.
+    """
+    keys = (fact.groupBy(F.col(fk).alias("k"))
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    null_cnt = F.sum(F.when(F.col("k").isNull(), F.col("cnt"))
+                     .otherwise(0))
+    orphan = (keys.filter(F.col("k").isNotNull())
+                  .join(dim.select(F.col(pk).alias("k")).distinct(),
+                        "k", "left_anti")
+                  .agg(F.coalesce(F.sum("cnt"), F.lit(0))
+                       .alias("n_orphan"),
+                       F.count(F.lit(1)).alias("n_orphan_keys")))
+    totals = keys.agg(F.sum("cnt").alias("n_fact"),
+                      null_cnt.alias("n_null_fk"))
+    out = totals.crossJoin(F.broadcast(orphan))
+    return out.select(
+        F.col("n_fact").cast("long").alias("n_fact"),
+        F.col("n_null_fk").cast("long").alias("n_null_fk"),
+        F.col("n_orphan").cast("long").alias("n_orphan"),
+        F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
+        (F.col("n_orphan").cast("double")
+         / F.col("n_fact").cast("double")).alias("orphan_rate"))

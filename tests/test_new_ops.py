@@ -692,3 +692,19 @@ def test_seasonal_naive_mase_brute(spark):
     exp = (sum(err) / len(err)) / (sum(dif) / len(dif))
     assert out[1]["mase"] == pytest.approx(exp, rel=1e-12)
     assert out[1]["n_scored"] == len(err)
+
+
+def test_fk_orphans_counts_planted_violations(spark):
+    from hiselspark.operators.profile import fk_orphans
+    fact = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,), (None,), (3,)],
+        "fk int")
+    dim = spark.createDataFrame([(1,), (2,), (3,), (4,)], "pk int")
+    r = fk_orphans(fact, dim, "fk", "pk").first()
+    assert r["n_fact"] == 8
+    assert r["n_null_fk"] == 1
+    assert r["n_orphan"] == 3 and r["n_orphan_keys"] == 1
+    assert r["orphan_rate"] == pytest.approx(3 / 8, rel=1e-12)
+    # clean FK: zero orphans
+    clean = fk_orphans(fact.filter("fk < 10"), dim, "fk", "pk").first()
+    assert clean["n_orphan"] == 0 and clean["orphan_rate"] == 0.0
