@@ -1565,6 +1565,30 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences on the events panel (treat =
+    odd user id, post = on/after 2024-01-16, mid-range of the data) — per-unit means first, cell means as ordered
+    folds, one double subtraction chain; the oracle replays every
+    mean and the fold order."""
+    from hiselspark.operators.nbayes import diff_in_diff
+    ev = _ev(spark, sf_dir)
+    d = ev.select(
+        F.col("user_id").alias("u"),
+        (F.col("user_id") % 2).alias("treat"),
+        (F.col("ts").cast("timestamp")
+         >= F.lit("2024-01-16").cast("timestamp")).cast("int")
+        .alias("period"),
+        "value")
+    out = diff_in_diff(d, "u", "treat", "period", "value")
+    return out.select(
+        F.round("ctrl_pre", 6).alias("ctrl_pre"),
+        F.round("ctrl_post", 6).alias("ctrl_post"),
+        F.round("treat_pre", 6).alias("treat_pre"),
+        F.round("treat_post", 6).alias("treat_post"),
+        "n_ctrl_pre", "n_ctrl_post", "n_treat_pre", "n_treat_post",
+        F.round("did", 6).alias("did"))
+
+
 def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit with PLANTED violations: lineitem's
     part key is corrupted for every 97th order (orphan) and nulled for
@@ -5731,6 +5755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mase_backtest": q_mase_backtest,
         "vocab_drift": q_vocab_drift,
         "fk_audit": q_fk_audit,
+        "diff_in_diff": q_diff_in_diff,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9506,6 +9531,49 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["diff_in_diff"] = """
+        WITH base AS (
+          SELECT user_id AS u, user_id % 2 AS t,
+                 CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                      THEN 1 ELSE 0 END AS p,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), pu AS (
+          SELECT u, t, p,
+                 CAST(sum(cents) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS m
+          FROM base GROUP BY u, t, p
+        ), cells AS (
+          SELECT t, p,
+                 list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                     list_transform(
+                       list({'u': u, 'm': m} ORDER BY u, m),
+                       x -> x.m)),
+                   (acc, v) -> acc + v)
+                 / CAST(count(*) AS DOUBLE) AS cm,
+                 CAST(count(*) AS BIGINT) AS n_units
+          FROM pu GROUP BY t, p
+        ), w AS (
+          SELECT
+            max(CASE WHEN t=0 AND p=0 THEN cm END) AS ctrl_pre,
+            max(CASE WHEN t=0 AND p=1 THEN cm END) AS ctrl_post,
+            max(CASE WHEN t=1 AND p=0 THEN cm END) AS treat_pre,
+            max(CASE WHEN t=1 AND p=1 THEN cm END) AS treat_post,
+            max(CASE WHEN t=0 AND p=0 THEN n_units END) AS n_ctrl_pre,
+            max(CASE WHEN t=0 AND p=1 THEN n_units END) AS n_ctrl_post,
+            max(CASE WHEN t=1 AND p=0 THEN n_units END) AS n_treat_pre,
+            max(CASE WHEN t=1 AND p=1 THEN n_units END) AS n_treat_post
+          FROM cells
+        )
+        SELECT round(ctrl_pre, 6) AS ctrl_pre,
+               round(ctrl_post, 6) AS ctrl_post,
+               round(treat_pre, 6) AS treat_pre,
+               round(treat_post, 6) AS treat_post,
+               n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+               round((treat_post - treat_pre)
+                     - (ctrl_post - ctrl_pre), 6) AS did
+        FROM w
+    """
     oracles["fk_audit"] = """
         WITH fact AS (
           SELECT CASE WHEN l_orderkey % 101 = 0 THEN NULL

@@ -177,3 +177,71 @@ def cuped(df: DataFrame, group_col: str, metric_col: str,
         th.alias("theta"),
         F.when(var_y > 0, F.lit(1.0) - var_adj / var_y)
          .alias("var_reduction"))
+
+
+def diff_in_diff(
+    df: DataFrame,
+    unit_col: str,
+    treat_col: str,
+    period_col: str,
+    metric_col: str,
+) -> DataFrame:
+    """Difference-in-differences estimator on a 2×2 panel
+    (treat ∈ {0,1} × period ∈ {0=pre, 1=post}):
+
+        DiD = (ȳ_treat,post − ȳ_treat,pre)
+            − (ȳ_ctrl,post − ȳ_ctrl,pre)
+
+    with per-unit aggregation FIRST (each unit contributes its own
+    pre/post mean once, so heavy units don't dominate the cell means
+    — the standard unit-of-randomization discipline), then the four
+    cell means over units.  The parallel-trends assumption is the
+    caller's to defend; this computes the estimator and its
+    ingredients exactly: metric sums are BIGINT cents and every mean
+    is a single double division, so the result is engine-exact.
+
+    Plan: one (unit, period) aggregate, one per-unit mean, one 4-cell
+    aggregate — two shuffles, the last to 4 rows.  Returns one row:
+    the four cell means, per-cell unit counts and ``did``.
+    """
+    cents = F.round(F.col(metric_col) * 100).cast("long")
+    per_unit = (df.groupBy(
+        F.col(unit_col).alias("u"),
+        F.col(treat_col).cast("int").alias("t"),
+        F.col(period_col).cast("int").alias("p"))
+        .agg(F.sum(cents).alias("s"),
+             F.count(F.lit(1)).alias("n")))
+    unit_mean = per_unit.select(
+        "u", "t", "p",
+        (F.col("s").cast("double") / F.col("n").cast("double"))
+        .alias("m"))
+    # cell mean folds the per-unit means in sorted-unit order (float
+    # sums via groupBy would be partitioning-dependent)
+    fold = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("u").alias("u"), F.col("m").alias("m")))),
+            lambda x: x["m"]),
+        F.lit(0.0), lambda acc, m: acc + m)
+    cells = (unit_mean.groupBy("t", "p")
+             .agg((fold / F.count(F.lit(1)).cast("double"))
+                  .alias("cell_mean"),
+                  F.count(F.lit(1)).alias("n_units")))
+    wide = cells.groupBy().pivot("t", [0, 1]).agg(
+        F.first(F.when(F.col("p") == 0, F.col("cell_mean")),
+                ignorenulls=True).alias("pre"),
+        F.first(F.when(F.col("p") == 1, F.col("cell_mean")),
+                ignorenulls=True).alias("post"),
+        F.sum(F.when(F.col("p") == 0, F.col("n_units"))).alias("npre"),
+        F.sum(F.when(F.col("p") == 1, F.col("n_units"))).alias("npost"))
+    return wide.select(
+        F.col("0_pre").alias("ctrl_pre"),
+        F.col("0_post").alias("ctrl_post"),
+        F.col("1_pre").alias("treat_pre"),
+        F.col("1_post").alias("treat_post"),
+        F.col("0_npre").cast("long").alias("n_ctrl_pre"),
+        F.col("0_npost").cast("long").alias("n_ctrl_post"),
+        F.col("1_npre").cast("long").alias("n_treat_pre"),
+        F.col("1_npost").cast("long").alias("n_treat_post"),
+        ((F.col("1_post") - F.col("1_pre"))
+         - (F.col("0_post") - F.col("0_pre"))).alias("did"))

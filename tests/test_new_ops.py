@@ -708,3 +708,31 @@ def test_fk_orphans_counts_planted_violations(spark):
     # clean FK: zero orphans
     clean = fk_orphans(fact.filter("fk < 10"), dim, "fk", "pk").first()
     assert clean["n_orphan"] == 0 and clean["orphan_rate"] == 0.0
+
+
+def test_diff_in_diff_unit_level_brute(spark):
+    """DiD vs scalar replay; the per-unit-first discipline means a
+    heavy unit cannot dominate its cell."""
+    from hiselspark.operators.nbayes import diff_in_diff
+    rows = []
+    # ctrl unit 0: pre mean 1.0 (many rows!), post mean 2.0
+    rows += [(0, 0, 0, 1.0)] * 50 + [(0, 0, 1, 2.0)] * 50
+    # ctrl unit 2: pre 3.0, post 3.0 (one row each)
+    rows += [(2, 0, 0, 3.0), (2, 0, 1, 3.0)]
+    # treat unit 1: pre 1.0, post 5.0 ; treat unit 3: pre 2.0, post 4.0
+    rows += [(1, 1, 0, 1.0), (1, 1, 1, 5.0),
+             (3, 1, 0, 2.0), (3, 1, 1, 4.0)]
+    df = spark.createDataFrame(rows, "u long, t int, p int, value double")
+    r = diff_in_diff(df, "u", "t", "p", "value").first()
+    # cell means over UNITS: ctrl pre (1+3)/2=2, post (2+3)/2=2.5
+    # treat pre (1+2)/2=1.5, post (5+4)/2=4.5 -> DiD = 3.0 - 0.5 = 2.5
+    assert r["ctrl_pre"] == pytest.approx(200.0)
+    assert r["ctrl_post"] == pytest.approx(250.0)
+    assert r["treat_pre"] == pytest.approx(150.0)
+    assert r["treat_post"] == pytest.approx(450.0)
+    assert r["did"] == pytest.approx(250.0)     # cents
+    assert r["n_ctrl_pre"] == 2 and r["n_treat_post"] == 2
+    # layout determinism (ordered folds)
+    r2 = diff_in_diff(df.repartition(9), "u", "t", "p",
+                      "value").first()
+    assert r2["did"] == r["did"]
