@@ -1565,6 +1565,22 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full two-sample KS TEST (exact statistic + asymptotic p-value
+    via the Kolmogorov series with Stephens' correction) on the
+    event-value drift split — the series is a fixed 20-term fold the
+    oracle replays term-for-term."""
+    from hiselspark.operators.drift import ks_test
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    split = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    out = ks_test(ev, "cents", F.col("ts").cast("timestamp") < split)
+    return out.select(F.round("ks", 6).alias("ks"), "at_value",
+                      "n_ref", "n_cur",
+                      F.round("lambda", 6).alias("lam"),
+                      F.round("p_value", 6).alias("p_value"))
+
+
 def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2x2 difference-in-differences on the events panel (treat =
     odd user id, post = on/after 2024-01-16, mid-range of the data) — per-unit means first, cell means as ordered
@@ -5756,6 +5772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "fk_audit": q_fk_audit,
         "diff_in_diff": q_diff_in_diff,
+        "ks_test": q_ks_test,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9531,6 +9548,57 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    _ks_series = " + ".join(
+        f"({1.0 if _k % 2 == 1 else -1.0}) * exp(({-2.0 * _k * _k})"
+        f" * lam * lam)" for _k in range(1, 21))
+    oracles["ks_test"] = f"""
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS cents,
+                 CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0
+                 END AS r
+          FROM events
+        ), per AS (
+          SELECT cents,
+                 CAST(sum(r) AS BIGINT) AS a,
+                 CAST(count(*) - sum(r) AS BIGINT) AS b
+          FROM q GROUP BY cents
+        ), t AS (
+          SELECT cents,
+                 abs(sum(a) OVER w / (sum(a) OVER () * 1.0)
+                     - sum(b) OVER w / (sum(b) OVER () * 1.0)) AS gap,
+                 sum(a) OVER () AS na,
+                 sum(b) OVER () AS nb
+          FROM per
+          WINDOW w AS (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)
+        ), m AS (
+          SELECT *, max(gap) OVER () AS best FROM t
+        ), s AS (
+          SELECT max(best) AS ks,
+                 CAST(min(cents) AS BIGINT) AS at_value,
+                 CAST(max(na) AS BIGINT) AS n_ref,
+                 CAST(max(nb) AS BIGINT) AS n_cur
+          FROM m WHERE gap = best
+        ), lamt AS (
+          SELECT ks, at_value, n_ref, n_cur,
+                 (sqrt(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                       / CAST(n_ref + n_cur AS DOUBLE))
+                  + 0.12
+                  + 0.11 / sqrt(CAST(n_ref AS DOUBLE)
+                                * CAST(n_cur AS DOUBLE)
+                                / CAST(n_ref + n_cur AS DOUBLE)))
+                 * ks AS lam
+          FROM s
+        )
+        SELECT round(ks, 6) AS ks, at_value, n_ref, n_cur,
+               round(lam, 6) AS lam,
+               round(CASE WHEN lam < 0.25 THEN 1.0
+                     ELSE least(1.0, greatest(0.0,
+                          2.0 * (0.0 + {_ks_series}))) END, 6)
+                 AS p_value
+        FROM lamt
+    """
     oracles["diff_in_diff"] = """
         WITH base AS (
           SELECT user_id AS u, user_id % 2 AS t,

@@ -334,3 +334,49 @@ def ks_drift_fdr(df: DataFrame, feature_cols: Sequence[str],
                                    "ks"), "key")
             .select("key", "ks", "p", "rank", "m", "bh_threshold",
                     "reject"))
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    is_reference,
+    terms: int = 20,
+) -> DataFrame:
+    """Two-sample KS test: the exact statistic of
+    :func:`ks_statistic` plus the asymptotic p-value via the
+    Kolmogorov distribution (Smirnov 1948 approximation with
+    Stephens' small-sample correction):
+
+        n_e = n_ref·n_cur / (n_ref + n_cur)
+        λ   = (√n_e + 0.12 + 0.11/√n_e) · D
+        p   = 2 Σ_{k=1..terms} (−1)^{k−1} e^{−2k²λ²}   (clamped to
+              [0, 1])
+
+    The series is evaluated as a FIXED-LENGTH left fold in ascending
+    ``k``, so the double is reproducible and the SQL oracle replays
+    it term-for-term.  Below λ = 0.25 the truncated alternating
+    series is unusable (every term ≈ 1; at λ = 0 twenty terms cancel
+    to exactly 0 while the true p is 1) — there p is pinned to 1.0,
+    the correct value to well below double noise (the Kolmogorov CDF
+    at 0.25 is ~4e-11); at λ ≥ 0.25 the k=20 tail is ≤ e⁻⁵⁰.  The
+    asymptotic p-value is the standard large-sample approximation —
+    quote it with that caveat below ~25 effective samples.
+
+    Returns one row: (ks, at_value, n_ref, n_cur, lambda, p_value).
+    """
+    base = ks_statistic(df, value_col, is_reference)
+    ne = (F.col("n_ref").cast("double") * F.col("n_cur").cast("double")
+          / (F.col("n_ref") + F.col("n_cur")).cast("double"))
+    lam = ((F.sqrt(ne) + 0.12 + 0.11 / F.sqrt(ne))
+           * F.col("ks")).alias("lam")
+    base = base.withColumn("lam", lam)
+    p = F.lit(0.0)
+    for k in range(1, int(terms) + 1):
+        sign = 1.0 if k % 2 == 1 else -1.0
+        p = p + F.lit(sign) * F.exp(F.lit(-2.0 * k * k)
+                                    * F.col("lam") * F.col("lam"))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * p))
+    p = F.when(F.col("lam") < 0.25, F.lit(1.0)).otherwise(p)
+    return base.select("ks", "at_value", "n_ref", "n_cur",
+                       F.col("lam").alias("lambda"),
+                       p.alias("p_value"))

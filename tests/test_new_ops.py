@@ -736,3 +736,43 @@ def test_diff_in_diff_unit_level_brute(spark):
     r2 = diff_in_diff(df.repartition(9), "u", "t", "p",
                       "value").first()
     assert r2["did"] == r["did"]
+
+
+def test_ks_test_pvalue_against_known_values(spark):
+    """ks_test p-value vs the Kolmogorov series evaluated in scalar
+    Python, and sanity anchors: identical samples -> p ~ 1, disjoint
+    samples -> p ~ 0."""
+    import math
+    from hiselspark.operators.drift import ks_test
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 100, 400)
+    b = rng.integers(10, 110, 300)          # shifted
+    rows = [(int(v), 1) for v in a] + [(int(v), 0) for v in b]
+    df = spark.createDataFrame(rows, "v long, r int")
+    got = ks_test(df, "v", F.col("r") == 1).first()
+    # scalar replay
+    import collections
+    ca, cb = collections.Counter(a.tolist()), collections.Counter(b.tolist())
+    vals = sorted(set(ca) | set(cb))
+    fa = fb = 0
+    d = 0.0
+    for v in vals:
+        fa += ca[v]; fb += cb[v]
+        d = max(d, abs(fa / 400 - fb / 300))
+    ne = 400 * 300 / 700
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    p = 2 * sum((-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+                for k in range(1, 21))
+    p = 1.0 if lam < 0.25 else min(1.0, max(0.0, p))
+    assert got["ks"] == pytest.approx(d, rel=1e-12)
+    assert got["p_value"] == pytest.approx(p, rel=1e-9)
+    # anchors
+    same = spark.createDataFrame(
+        [(v, s) for v in range(50) for s in (0, 1)], "v long, r int")
+    assert ks_test(same, "v", F.col("r") == 1).first()["p_value"] \
+        == pytest.approx(1.0, abs=1e-9)
+    disj = spark.createDataFrame(
+        [(v, 1) for v in range(60)] + [(v + 100, 0) for v in range(60)],
+        "v long, r int")
+    assert ks_test(disj, "v", F.col("r") == 1).first()["p_value"] \
+        < 1e-12
