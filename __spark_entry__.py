@@ -1565,6 +1565,20 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the deciles (treat = odd user
+    id) — exact interpolated order statistics per arm (Spark
+    percentile == DuckDB quantile_cont), one aggregate per arm."""
+    from hiselspark.operators.nbayes import quantile_treatment_effect
+    ev = _ev(spark, sf_dir)
+    d = ev.select((F.col("user_id") % 2).alias("treat"), "value")
+    out = quantile_treatment_effect(d, "treat", "value")
+    return out.select(F.round("q", 2).alias("q"),
+                      F.round("y_ctrl", 6).alias("y_ctrl"),
+                      F.round("y_treat", 6).alias("y_treat"),
+                      F.round("qte", 6).alias("qte"))
+
+
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full two-sample KS TEST (exact statistic + asymptotic p-value
     via the Kolmogorov series with Stephens' correction) on the
@@ -5773,6 +5787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_audit": q_fk_audit,
         "diff_in_diff": q_diff_in_diff,
         "ks_test": q_ks_test,
+        "qte": q_qte,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9548,6 +9563,20 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    # quantile_cont needs CONSTANT q in DuckDB -> one branch per decile
+    _qte_parts = []
+    for _q in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:
+        _qte_parts.append(f"""
+        SELECT round({_q}, 2) AS q,
+               round((SELECT quantile_cont(value, {_q}) FROM events
+                      WHERE user_id % 2 = 0), 6) AS y_ctrl,
+               round((SELECT quantile_cont(value, {_q}) FROM events
+                      WHERE user_id % 2 = 1), 6) AS y_treat,
+               round((SELECT quantile_cont(value, {_q}) FROM events
+                      WHERE user_id % 2 = 1)
+                     - (SELECT quantile_cont(value, {_q}) FROM events
+                        WHERE user_id % 2 = 0), 6) AS qte""")
+    oracles["qte"] = "\n        UNION ALL".join(_qte_parts)
     _ks_series = " + ".join(
         f"({1.0 if _k % 2 == 1 else -1.0}) * exp(({-2.0 * _k * _k})"
         f" * lam * lam)" for _k in range(1, 21))

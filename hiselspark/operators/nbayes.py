@@ -245,3 +245,44 @@ def diff_in_diff(
         F.col("1_npost").cast("long").alias("n_treat_post"),
         ((F.col("1_post") - F.col("1_pre"))
          - (F.col("0_post") - F.col("0_pre"))).alias("did"))
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    treat_col: str,
+    metric_col: str,
+    quantiles: tuple = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Quantile treatment effects: at each requested quantile q,
+
+        QTE(q) = Q_treat(q) − Q_ctrl(q)
+
+    (the difference of marginal quantiles — the standard
+    distributional read-out when the average effect hides movement in
+    the tails; it is NOT the quantile of individual effects unless
+    rank invariance holds, which is the caller's assumption to
+    defend).  Quantiles are Spark ``percentile`` — exact, linearly
+    interpolated order statistics, the engine convention DuckDB's
+    ``quantile_cont`` mirrors bit-for-bit.
+
+    Plan: ONE aggregate per arm computing the whole quantile vector
+    (a single shuffle of (treat, value) pairs), a broadcast of the
+    two 1-row vectors, one posexplode.  Returns one row per quantile:
+    (q, y_ctrl, y_treat, qte).
+    """
+    qs = [float(q) for q in quantiles]
+    arm = (df.groupBy(F.col(treat_col).cast("int").alias("t"))
+             .agg(F.percentile(F.col(metric_col), qs).alias("v")))
+    t1 = arm.filter(F.col("t") == 1).select(F.col("v").alias("vt"))
+    t0 = arm.filter(F.col("t") == 0).select(F.col("v").alias("vc"))
+    both = t1.crossJoin(F.broadcast(t0))
+    qarr = F.array(*[F.lit(q) for q in qs])
+    out = both.select(
+        F.posexplode(qarr).alias("i", "q"),
+        F.col("vt"), F.col("vc"))
+    return out.select(
+        "q",
+        F.col("vc")[F.col("i")].alias("y_ctrl"),
+        F.col("vt")[F.col("i")].alias("y_treat"),
+        (F.col("vt")[F.col("i")] - F.col("vc")[F.col("i")])
+        .alias("qte"))

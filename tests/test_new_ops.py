@@ -776,3 +776,25 @@ def test_ks_test_pvalue_against_known_values(spark):
         "v long, r int")
     assert ks_test(disj, "v", F.col("r") == 1).first()["p_value"] \
         < 1e-12
+
+
+def test_quantile_treatment_effect_brute(spark):
+    """QTE vs numpy's linear-interpolation quantiles per arm."""
+    from hiselspark.operators.nbayes import quantile_treatment_effect
+    rng = np.random.default_rng(9)
+    ctrl = rng.normal(10, 2, 301)
+    treat = rng.normal(11, 4, 257)          # shifted AND widened
+    rows = ([(0, float(v)) for v in ctrl]
+            + [(1, float(v)) for v in treat])
+    df = spark.createDataFrame(rows, "t int, value double")
+    out = {round(r["q"], 10): r for r in
+           quantile_treatment_effect(df, "t", "value").collect()}
+    for q in [0.1, 0.5, 0.9]:
+        yc = float(np.quantile(ctrl, q))     # linear interpolation
+        yt = float(np.quantile(treat, q))
+        r = out[q]
+        assert r["y_ctrl"] == pytest.approx(yc, rel=1e-12)
+        assert r["y_treat"] == pytest.approx(yt, rel=1e-12)
+        assert r["qte"] == pytest.approx(yt - yc, rel=1e-9)
+    # wider treated arm: tail effects exceed the median effect
+    assert out[0.9]["qte"] > out[0.5]["qte"] > out[0.1]["qte"]
