@@ -1565,6 +1565,20 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail on a DELIBERATELY broken 50/50
+    split (treat = user_id % 5 == 0, i.e. a true 20% share) — the
+    check must alarm; exact counts, A-S erfc p-value replayed
+    term-for-term."""
+    from hiselspark.operators.nbayes import srm_check
+    ev = _ev(spark, sf_dir)
+    d = ev.select((F.col("user_id") % 5 == 0).cast("int").alias("arm"))
+    out = srm_check(d, "arm", expected_ratio=0.5)
+    return out.select("n_treat", "n_ctrl", "expected_p",
+                      F.round("chi2", 6).alias("chi2"),
+                      F.round("p_value", 9).alias("p_value"))
+
+
 def q_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects at the deciles (treat = odd user
     id) — exact interpolated order statistics per arm (Spark
@@ -5788,6 +5802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "ks_test": q_ks_test,
         "qte": q_qte,
+        "srm_check": q_srm_check,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9563,6 +9578,41 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["srm_check"] = """
+        WITH c AS (
+          SELECT CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS nt,
+                 CAST(sum(CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END)
+                      AS BIGINT) AS nc
+          FROM events
+        ), s AS (
+          SELECT nt, nc,
+                 (CAST(nt AS DOUBLE) - (CAST(nt AS DOUBLE)
+                    + CAST(nc AS DOUBLE)) * 0.5)
+                 * (CAST(nt AS DOUBLE) - (CAST(nt AS DOUBLE)
+                    + CAST(nc AS DOUBLE)) * 0.5)
+                 / ((CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * 0.5)
+                 + (CAST(nc AS DOUBLE) - (CAST(nt AS DOUBLE)
+                    + CAST(nc AS DOUBLE)) * 0.5)
+                 * (CAST(nc AS DOUBLE) - (CAST(nt AS DOUBLE)
+                    + CAST(nc AS DOUBLE)) * 0.5)
+                 / ((CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE)) * 0.5)
+                   AS chi2
+          FROM c
+        ), e AS (
+          SELECT nt, nc, chi2, sqrt(chi2 / 2.0) AS x,
+                 1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)) AS t
+          FROM s
+        )
+        SELECT nt AS n_treat, nc AS n_ctrl, 0.5 AS expected_p,
+               round(chi2, 6) AS chi2,
+               round((t * (0.254829592
+                     + t * (-0.284496736
+                     + t * (1.421413741
+                     + t * (-1.453152027 + t * 1.061405429)))))
+                     * exp(-(x * x)), 9) AS p_value
+        FROM e
+    """
     # quantile_cont needs CONSTANT q in DuckDB -> one branch per decile
     _qte_parts = []
     for _q in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]:

@@ -286,3 +286,49 @@ def quantile_treatment_effect(
         F.col("vt")[F.col("i")].alias("y_treat"),
         (F.col("vt")[F.col("i")] - F.col("vc")[F.col("i")])
         .alias("qte"))
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected_ratio: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail (the first thing every
+    experimentation platform checks): do the arm sizes match the
+    intended split?  One-degree chi-square against the expected
+    treated share p:
+
+        χ² = (n_t − n·p)² / (n·p)  +  (n_c − n·(1−p))² / (n·(1−p))
+        p_value = erfc( sqrt(χ² / 2) )
+
+    erfc via the Abramowitz–Stegun 7.1.26 rational approximation
+    (|error| < 1.5·10⁻⁷ — far tighter than any SRM decision needs,
+    and a fixed closed-form polynomial both engines evaluate
+    identically; the guardrail convention is "alarm below 1e-3").
+
+    One count aggregate; everything after is scalar arithmetic on
+    exact integers.  Returns one row: (n_treat, n_ctrl, expected_p,
+    chi2, p_value).
+    """
+    p = float(expected_ratio)
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"expected_ratio must be in (0,1), got {p}")
+    cnt = df.agg(
+        F.sum(F.col(arm_col).cast("long")).alias("nt"),
+        F.sum(1 - F.col(arm_col).cast("long")).alias("nc"))
+    nt, nc = F.col("nt").cast("double"), F.col("nc").cast("double")
+    n = nt + nc
+    chi2 = ((nt - n * p) * (nt - n * p) / (n * p)
+            + (nc - n * (1.0 - p)) * (nc - n * (1.0 - p))
+            / (n * (1.0 - p)))
+    x = F.sqrt(chi2 / 2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (t * (0.254829592
+            + t * (-0.284496736
+            + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))))
+    erfc = poly * F.exp(-(x * x))
+    return cnt.select(
+        F.col("nt").alias("n_treat"), F.col("nc").alias("n_ctrl"),
+        F.lit(p).alias("expected_p"),
+        chi2.alias("chi2"), erfc.alias("p_value"))

@@ -798,3 +798,28 @@ def test_quantile_treatment_effect_brute(spark):
         assert r["qte"] == pytest.approx(yt - yc, rel=1e-9)
     # wider treated arm: tail effects exceed the median effect
     assert out[0.9]["qte"] > out[0.5]["qte"] > out[0.1]["qte"]
+
+
+def test_srm_check_alarm_and_calm(spark):
+    """SRM: a clean 50/50 split yields p near 1-ish (no alarm); a
+    broken split alarms; p matches scipy-free erfc within the A-S
+    approximation error."""
+    import math
+    from hiselspark.operators.nbayes import srm_check
+    clean = spark.createDataFrame(
+        [(i % 2,) for i in range(10000)], "arm int")
+    r = srm_check(clean, "arm").first()
+    assert r["n_treat"] == r["n_ctrl"] == 5000
+    assert r["chi2"] == 0.0 and r["p_value"] == pytest.approx(1.0,
+                                                              abs=2e-7)
+    broken = spark.createDataFrame(
+        [(1,)] * 5300 + [(0,)] * 4700, "arm int")
+    rb = srm_check(broken, "arm").first()
+    exp_chi2 = (300.0 ** 2 / 5000 + 300.0 ** 2 / 5000)
+    assert rb["chi2"] == pytest.approx(exp_chi2, rel=1e-12)
+    assert rb["p_value"] < 1e-3              # the guardrail fires
+    # A-S approximation vs math.erfc
+    assert rb["p_value"] == pytest.approx(
+        math.erfc(math.sqrt(exp_chi2 / 2)), abs=1.5e-7)
+    with pytest.raises(ValueError):
+        srm_check(clean, "arm", expected_ratio=1.0)
