@@ -1565,6 +1565,25 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(1e6)).alias("lon"))
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold audio segmentation over PCM-packed embedding
+    clips: exact integer frame energies, gaps-and-islands runs; the
+    oracle replays every sample, frame sum and run boundary."""
+    from hiselspark.functions.audio import audio_segments, pack_pcm16
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clips = (emb.select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("v"))
+             .withColumn("n_channels", F.lit(1))
+             .withColumn("codec", F.lit("pcm16")))
+    clips = pack_pcm16(clips, "v").drop("v")
+    out = audio_segments(clips, "vec_id", "audio",
+                         frame_samples=16,
+                         energy_threshold=260_000_000)
+    return out.select("vec_id", "seg", "start_frame", "end_frame",
+                      "n_frames", "energy_sum")
+
+
 def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch guardrail on a DELIBERATELY broken 50/50
     split (treat = user_id % 5 == 0, i.e. a true 20% share) — the
@@ -5803,6 +5822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "qte": q_qte,
         "srm_check": q_srm_check,
+        "audio_segments": q_audio_segments,
         "bfs_hops": q_bfs_hops,
         "streaming_cusum": q_streaming_cusum,
         "streaming_holt": q_streaming_holt,
@@ -9578,6 +9598,36 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["audio_segments"] = """
+        WITH samples AS (
+          SELECT vec_id, i,
+                 CAST(round(greatest(least(CAST(embedding[i]
+                      AS DOUBLE), 1.0), -1.0) * 32767) AS BIGINT) AS s
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS t(i)
+        ), fr AS (
+          SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS f,
+                 CAST(sum(s * s) AS BIGINT) AS e
+          FROM samples GROUP BY vec_id, (i - 1) // 16
+        ), act AS (
+          SELECT vec_id, f, e,
+                 f - row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY f) AS grp
+          FROM fr WHERE e > 260000000
+        ), segs AS (
+          SELECT vec_id, grp,
+                 CAST(min(f) AS INTEGER) AS start_frame,
+                 CAST(max(f) AS INTEGER) AS end_frame,
+                 CAST(count(*) AS INTEGER) AS n_frames,
+                 CAST(sum(e) AS BIGINT) AS energy_sum
+          FROM act GROUP BY vec_id, grp
+        )
+        SELECT vec_id,
+               CAST(row_number() OVER (PARTITION BY vec_id
+                    ORDER BY start_frame) - 1 AS INTEGER) AS seg,
+               start_frame, end_frame, n_frames, energy_sum
+        FROM segs
+    """
     oracles["srm_check"] = """
         WITH c AS (
           SELECT CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END)

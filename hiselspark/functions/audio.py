@@ -133,3 +133,65 @@ def with_audio_features(df: DataFrame, bytes_col: str = "audio",
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+def audio_segments(df: DataFrame, id_col: str = "vec_id",
+                   bytes_col: str = "audio",
+                   channels_col: str = "n_channels",
+                   codec_col: str = "codec",
+                   frame_samples: int = 16,
+                   energy_threshold: int = 1 << 28) -> DataFrame:
+    """Energy-threshold segmentation (VAD-style): split each clip into
+    non-overlapping ``frame_samples`` frames, mark a frame ACTIVE when
+    its exact integer energy Σ s_int² (s_int = the int16 sample value)
+    exceeds ``energy_threshold``, and emit one row per maximal RUN of
+    active frames — the speech-activity segmenter every audio
+    curation pass runs before transcription (trailing partial frames
+    are dropped: a threshold over a shorter window isn't comparable).
+
+    Exactness: pcm16 decode is lossless (float = s_int/32768), so the
+    energies are exact BIGINTs and activity/segment boundaries are
+    integer decisions — the SQL oracle replays every sample, frame sum
+    and run.  Map-only ``mapInPandas``: the run-grouping happens
+    vectorized inside the Arrow batch; payloads never shuffle.
+
+    Returns (``id_col``, seg, start_frame, end_frame, n_frames,
+    energy_sum).
+    """
+    out_schema = (f"{id_col} long, seg int, start_frame int, "
+                  f"end_frame int, n_frames int, energy_sum long")
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = {k: [] for k in ("id", "seg", "a", "b", "n", "e")}
+            for _, r in pdf.iterrows():
+                x = decode_audio(r[bytes_col], int(r[channels_col]),
+                                 str(r[codec_col]))
+                mono = x.mean(axis=1)
+                s = np.round(mono * 32768.0).astype(np.int64)
+                nf = len(s) // frame_samples
+                if nf == 0:
+                    continue
+                e = (s[:nf * frame_samples].reshape(nf, frame_samples)
+                     .astype(np.int64) ** 2).sum(axis=1)
+                act = e > int(energy_threshold)
+                if not act.any():
+                    continue
+                idx = np.flatnonzero(act)
+                # gaps-and-islands: run id = frame - rank among active
+                grp = idx - np.arange(len(idx))
+                for seg, g in enumerate(np.unique(grp)):
+                    m = idx[grp == g]
+                    rows["id"].append(int(r[id_col]))
+                    rows["seg"].append(seg)
+                    rows["a"].append(int(m[0]))
+                    rows["b"].append(int(m[-1]))
+                    rows["n"].append(len(m))
+                    rows["e"].append(int(e[m].sum()))
+            yield pd.DataFrame({id_col: rows["id"], "seg": rows["seg"],
+                                "start_frame": rows["a"],
+                                "end_frame": rows["b"],
+                                "n_frames": rows["n"],
+                                "energy_sum": rows["e"]})
+
+    return df.mapInPandas(run, out_schema)

@@ -693,3 +693,31 @@ def test_ssim_brightness_shift_vs_structural_change(spark):
     ms = {r["pid"]: r["m"] for r in m}
     assert 0.5 < ms[1] < 1.0       # shifted: high but not identical
     assert ms[2] < ms[1]           # structural change scores lower
+
+
+def test_audio_segments_runs_and_threshold(spark):
+    """audio_segments vs hand-built runs: loud/quiet alternation maps
+    to exact frame runs; trailing partial frames dropped; silent clip
+    yields no rows."""
+    from hiselspark.functions.audio import audio_segments
+
+    def pcm(vals):
+        s = np.asarray(vals, dtype=np.int64)
+        return s.astype("<i2").tobytes()
+
+    frame = 4
+    loud, quiet = [20000] * frame, [10] * frame
+    # clip 0: loud, quiet, loud, loud, quiet + 2 trailing samples
+    c0 = pcm(loud + quiet + loud + loud + quiet + [30000, 30000])
+    c1 = pcm(quiet * 3)                      # all quiet -> no rows
+    df = spark.createDataFrame(
+        [(0, c0, 1, "pcm16"), (1, c1, 1, "pcm16")],
+        "vec_id long, audio binary, n_channels int, codec string")
+    out = audio_segments(df, "vec_id", "audio", frame_samples=frame,
+                         energy_threshold=4 * 1000 ** 2).collect()
+    rows = sorted((r["vec_id"], r["seg"], r["start_frame"],
+                   r["end_frame"], r["n_frames"], r["energy_sum"])
+                  for r in out)
+    e_loud = 4 * 20000 ** 2
+    assert rows == [(0, 0, 0, 0, 1, e_loud),
+                    (0, 1, 2, 3, 2, 2 * e_loud)]
