@@ -3598,6 +3598,39 @@ def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("long")))
 
 
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style ROLLBACK as a new commit: v1 = docs 0-99, v2
+    appends 100-199, v3 = rollback(1) — the latest read must equal v1
+    exactly while v2 stays time-travelable (checked via version=2
+    rowcount in the same output row set: one row per doc plus a
+    summary row would break schema, so the v2 check rides in pytest;
+    here the oracle replays the v1 content)."""
+    import hashlib
+    import os
+    import shutil
+    from hiselspark.sources.snapshots import SnapshotTable
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha1(
+        f"snaprb:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()).hexdigest()[:10]
+    root = f"/tmp/hiselspark_snaprb_{tag}"
+    t = SnapshotTable(root)
+    cur = t.current()
+    if cur is None or cur.version != 3 or cur.operation != "rollback":
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        t = SnapshotTable(root)
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        t.write(docs.where(F.col("doc_id") < 100).coalesce(1),
+                mode="append")
+        t.write(docs.where(F.col("doc_id").between(100, 199))
+                .coalesce(1), mode="append")
+        t.rollback(1)
+    out = t.read(spark)
+    return out.select("doc_id", F.length("text").alias("text_len"))
+
+
 def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the snapshot table: target = documents
     with doc_id < 300 committed as 3 range files; source updates
@@ -5985,6 +6018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": q_snapshot_incremental,
         "snapshot_catchup": q_snapshot_catchup,
         "snapshot_upsert": q_snapshot_upsert,
+        "snapshot_rollback": q_snapshot_rollback,
         "snapshot_delete": q_snapshot_delete,
         "snapshot_compact": q_snapshot_compact,
         "zorder_prune": q_zorder_prune,
@@ -9598,6 +9632,10 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["snapshot_rollback"] = """
+        SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
+        FROM documents WHERE doc_id < 100
+    """
     oracles["audio_segments"] = """
         WITH samples AS (
           SELECT vec_id, i,

@@ -608,6 +608,23 @@ class SnapshotTable:
         return self._commit(new_files, "compact", props, stats=stats,
                             schema_json=cur.schema_json)
 
+    def rollback(self, version: int) -> Snapshot:
+        """Roll the table back to ``version`` AS A NEW COMMIT
+        (Iceberg semantics: the log is append-only — rollback writes
+        a new snapshot referencing the target version's file set, so
+        the bad commits stay inspectable and time travel across them
+        keeps working).  Metadata-only: no data files move; cites the
+        target in ``properties['rollback_of']``."""
+        target = next((s for s in self.snapshots()
+                       if s.version == int(version)), None)
+        if target is None:
+            raise ValueError(f"no snapshot with version {version}")
+        return self._commit(
+            list(target.files), "rollback",
+            properties={"rollback_of": str(int(version))},
+            stats=dict(target.stats),
+            schema_json=target.schema_json)
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop all but the newest ``keep_last`` snapshot manifests
         (never the current one), so a following :meth:`vacuum` can

@@ -246,3 +246,31 @@ def test_quantile_bin_brute(spark):
     assert set(out.values()) <= set(range(10))
     # bins are populated and ordered with values
     assert out[vals.index(min(vals))] == 0
+
+
+def test_snapshot_rollback_is_new_commit(spark, tmp_path):
+    """rollback(v) restores v's content as a NEW version; the rolled-
+    past commits stay time-travelable; vacuum keeps files the rollback
+    references."""
+    import pytest as _pt
+    from hiselspark.sources.snapshots import SnapshotTable
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(i, f"r{i}") for i in range(60)],
+                               "id long, s string")
+    t.write(df.where("id < 20").coalesce(1), mode="append")    # v1
+    t.write(df.where("id >= 20 and id < 40").coalesce(1),
+            mode="append")                                     # v2
+    snap = t.rollback(1)
+    assert snap.version == 3 and snap.operation == "rollback"
+    assert snap.properties["rollback_of"] == "1"
+    # latest == v1 content
+    assert sorted(r["id"] for r in t.read(spark).collect()) \
+        == list(range(20))
+    # the rolled-past v2 still time-travels
+    assert t.read(spark, version=2).count() == 40
+    # appending after a rollback builds on the restored state
+    t.write(df.where("id >= 40").coalesce(1), mode="append")   # v4
+    assert sorted(r["id"] for r in t.read(spark).collect()) \
+        == list(range(20)) + list(range(40, 60))
+    with _pt.raises(ValueError):
+        t.rollback(99)
