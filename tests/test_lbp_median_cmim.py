@@ -272,5 +272,11 @@ def test_snapshot_rollback_is_new_commit(spark, tmp_path):
     t.write(df.where("id >= 40").coalesce(1), mode="append")   # v4
     assert sorted(r["id"] for r in t.read(spark).collect()) \
         == list(range(20)) + list(range(40, 60))
+    # expire v1/v2 manifests, vacuum: v1's files survive because the
+    # rollback commit references them; v2's data files are reclaimed
+    t.expire_snapshots(keep_last=2)
+    t.vacuum()
+    assert sorted(r["id"] for r in t.read(spark).collect()) \
+        == list(range(20)) + list(range(40, 60))
     with _pt.raises(ValueError):
         t.rollback(99)
