@@ -1671,6 +1671,19 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("orphan_rate", 6).alias("orphan_rate"))
 
 
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE pre-tokens per word) + chars/token per
+    document — the token-budget cost model; the oracle replays both
+    tokenization contracts and the two divisions."""
+    from hiselspark.functions.text import token_fertility
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_fertility(docs)
+    return out.select("doc_id", "n_chars", "n_words", "n_pretokens",
+                      F.round("fertility", 6).alias("fertility"),
+                      F.round("chars_per_token", 6)
+                      .alias("chars_per_token"))
+
+
 def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary drift between the even-doc_id half (reference) and
     the odd half (candidate): type overlap Jaccard + token-weighted
@@ -5850,6 +5863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_count": q_decayed_count,
         "mase_backtest": q_mase_backtest,
         "vocab_drift": q_vocab_drift,
+        "token_fertility": q_token_fertility,
         "fk_audit": q_fk_audit,
         "diff_in_diff": q_diff_in_diff,
         "ks_test": q_ks_test,
@@ -8252,6 +8266,27 @@ def oracle_sql() -> dict[str, str]:
                              t -> length(t))), 0) AS BIGINT)
                  AS max_len
         FROM a
+    """
+    oracles["token_fertility"] = f"""
+        WITH a AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CASE WHEN trim(lower(text)) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+') END AS ws,
+                 list_filter(regexp_extract_all(lower(text),
+                             '{_bpp}'), t -> trim(t) <> '') AS p
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(p) AS BIGINT) AS n_pretokens,
+               round(CAST(len(p) AS DOUBLE)
+                     / CAST(len(ws) AS DOUBLE), 6) AS fertility,
+               round(CAST(n_chars AS DOUBLE)
+                     / CAST(len(p) AS DOUBLE), 6) AS chars_per_token
+        FROM a WHERE len(ws) > 0 AND len(p) > 0
     """
     oracles["bigram_logprob"] = """
         WITH t AS (

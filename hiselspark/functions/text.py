@@ -755,3 +755,35 @@ def vocab_drift(reference: DataFrame, candidate: DataFrame,
         .alias("vocab_jaccard"),
         (F.col("oov_tokens").cast("double")
          / F.col("cand_tokens").cast("double")).alias("oov_rate"))
+
+
+def token_fertility(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Tokenizer fertility stats per document — the cost model for a
+    token-budgeted corpus: ``fertility`` = BPE-style pre-tokens per
+    whitespace word (≫1 flags scripts/domains the tokenizer
+    fragments, the classic multilingual-cost signal) and
+    ``chars_per_token`` = compression the tokenizer achieves.
+
+    Pure JVM expressions on the two existing tokenization contracts
+    (``tokens`` and ``bpe_pretokens``) — zero shuffles, exact integer
+    counts with two final divisions.  Empty docs are dropped (no
+    defined ratio).  Returns (id, n_chars, n_words, n_pretokens,
+    fertility, chars_per_token).
+    """
+    ws = tokens(F.lower(F.col(text_col)))
+    bp = F.filter(bpe_pretokens(F.lower(F.col(text_col))),
+                  lambda t: F.trim(t) != "")
+    out = (df.select(F.col(id_col),
+                     F.length(text_col).cast("long").alias("n_chars"),
+                     F.size(ws).cast("long").alias("n_words"),
+                     F.size(bp).cast("long").alias("n_pretokens"))
+             .filter((F.col("n_words") > 0)
+                     & (F.col("n_pretokens") > 0)))
+    return out.select(
+        id_col, "n_chars", "n_words", "n_pretokens",
+        (F.col("n_pretokens").cast("double")
+         / F.col("n_words").cast("double")).alias("fertility"),
+        (F.col("n_chars").cast("double")
+         / F.col("n_pretokens").cast("double"))
+        .alias("chars_per_token"))

@@ -184,3 +184,26 @@ def test_vocab_drift_brute(spark):
     assert r["cand_tokens"] == 7 and r["oov_tokens"] == 4
     assert r["vocab_jaccard"] == pytest.approx(2 / 7, rel=1e-12)
     assert r["oov_rate"] == pytest.approx(4 / 7, rel=1e-12)
+
+
+def test_token_fertility_brute(spark):
+    """fertility/chars-per-token vs hand counts, fragmenting text
+    scores higher fertility, empty docs dropped."""
+    from hiselspark.functions.text import token_fertility
+    rows = [(0, "hello world"),            # 2 words, 2 pretokens
+            (1, "don't stop-me now!!"),    # punctuation fragments
+            (2, "   "),                    # dropped
+            (3, "abc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_fertility(df).collect()}
+    assert 2 not in out
+    r0 = out[0]
+    assert r0["n_words"] == 2 and r0["n_pretokens"] == 2
+    assert r0["fertility"] == 1.0
+    assert r0["chars_per_token"] == pytest.approx(11 / 2)
+    # doc 1 has 3 words but more pretokens (apostrophe/hyphen/bangs)
+    r1 = out[1]
+    assert r1["n_words"] == 3
+    assert r1["n_pretokens"] > 3
+    assert r1["fertility"] > 1.0
+    assert out[3]["n_words"] == out[3]["n_pretokens"] == 1
