@@ -1411,6 +1411,22 @@ def q_triple_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tb_seconds", 6).alias("tsec"))
 
 
+def q_horizon_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-within-24h horizon labels with explicit right-
+    censoring (NULL when the window runs past the entity's last
+    observation and saw no positive) — the oracle replays the
+    future-min window and the three-way label rule."""
+    from hiselspark.operators.labels import horizon_label
+    ev = _ev(spark, sf_dir)
+    out = horizon_label(ev, "user_id", "ts",
+                        F.col("event_type") == "purchase",
+                        horizon_seconds=86400.0,
+                        tiebreak=("event_id",))
+    return out.select("event_id", "label",
+                      F.round("tte_seconds", 6).alias("tte_seconds"),
+                      "censored")
+
+
 def q_churn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity label: 1 when the user's next event is > 24h away,
     NULL on the final observed event (right-censored)."""
@@ -5889,6 +5905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "triple_barrier": q_triple_barrier,
         "churn_label": q_churn_label,
+        "horizon_label": q_horizon_label,
         "auc": q_auc,
         "auc_weekly": q_auc_weekly,
         "retrieval_eval": q_retrieval_eval,
@@ -9667,6 +9684,36 @@ def oracle_sql() -> dict[str, str]:
           f" FROM h{_hits_iters}"
         + f"\nUNION ALL SELECT node, 'auth' AS kind, s AS score"
           f" FROM a{_hits_iters}")
+    oracles["horizon_label"] = """
+        WITH ex AS (
+          SELECT event_id, user_id, epoch_us(ts) AS us,
+                 event_type = 'purchase' AS pos
+          FROM events
+        ), w AS (
+          SELECT event_id, us,
+                 min(CASE WHEN pos THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 1 FOLLOWING
+                            AND UNBOUNDED FOLLOWING) AS next_q,
+                 max(us) OVER (PARTITION BY user_id) AS last_us
+          FROM ex
+        )
+        SELECT event_id,
+               CAST(CASE
+                 WHEN next_q IS NOT NULL
+                      AND next_q - us <= 86400000000 THEN 1
+                 WHEN last_us - us >= 86400000000 THEN 0
+                 ELSE NULL END AS INTEGER) AS label,
+               round(CASE WHEN next_q IS NOT NULL
+                           AND next_q - us <= 86400000000
+                     THEN CAST(next_q - us AS DOUBLE) / 1e6
+                     END, 6) AS tte_seconds,
+               CAST(CASE WHEN (next_q IS NOT NULL
+                               AND next_q - us <= 86400000000)
+                          OR last_us - us >= 86400000000
+                     THEN 0 ELSE 1 END AS INTEGER) AS censored
+        FROM w
+    """
     oracles["snapshot_rollback"] = """
         SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len
         FROM documents WHERE doc_id < 100

@@ -136,3 +136,57 @@ def rfm_features(df: DataFrame, entity_col: str, ts_col: str,
     out = quantile_bin(out, "monetary", n_bins, out_col="m_score")
     return out.select("entity", "recency_days", "frequency",
                       "monetary", "r_score", "f_score", "m_score")
+
+
+def horizon_label(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    positive,
+    horizon_seconds: float,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """The standard supervised horizon label: for each row, does a
+    qualifying event (``positive`` boolean column) occur for the same
+    entity strictly after it in the (ts, tiebreak) order and within
+    ``horizon_seconds``?  (Pass a unique ``tiebreak`` so
+    same-timestamp rows order deterministically.)
+
+    Censoring is explicit, not silent: rows whose window extends past
+    the entity's last observed event and saw no positive get a NULL
+    label (we cannot know — the classic right-censoring that silently
+    poisons "did not convert" labels near the data edge); rows with a
+    fully observed window and no positive get 0.
+
+    Columns appended: ``label`` (1/0/NULL), ``tte_seconds`` (time to
+    the first qualifying event when one exists within the horizon,
+    else NULL), ``censored`` (1 on NULL labels).  Exact integer
+    microsecond arithmetic on one entity-clustered WindowExec pair
+    (future-min + entity-max share the clustering).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    h_us = int(horizon_seconds * 1_000_000)
+    order = [us] + [F.col(c) for c in tiebreak]
+    w_future = (Window.partitionBy(entity_col).orderBy(*order)
+                .rowsBetween(1, Window.unboundedFollowing))
+    w_all = (Window.partitionBy(entity_col)
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    pos_us = F.when(F.col("_pos"), F.col("_us"))
+    d = (df.withColumn("_us", us)
+           .withColumn("_pos", positive)
+           .withColumn("_next_q", F.min(pos_us).over(w_future))
+           .withColumn("_last", F.max("_us").over(w_all)))
+    hit = F.col("_next_q").isNotNull() \
+        & (F.col("_next_q") - F.col("_us") <= h_us)
+    observed = (F.col("_last") - F.col("_us")) >= h_us
+    label = (F.when(hit, F.lit(1))
+              .when(observed, F.lit(0))
+              .otherwise(F.lit(None).cast("int")))
+    tte = F.when(hit, (F.col("_next_q") - F.col("_us"))
+                 .cast("double") / 1e6)
+    return (d.withColumn("label", label)
+             .withColumn("tte_seconds", tte)
+             .withColumn("censored",
+                         F.when(label.isNull(), 1).otherwise(0))
+             .drop("_us", "_pos", "_next_q", "_last"))

@@ -2,6 +2,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from hiselspark.operators.labels import inactivity_label, triple_barrier
 
@@ -68,3 +69,38 @@ def test_inactivity_label(spark):
     assert out.loc[1, "churned"] == 1
     assert pd.isna(out.loc[2, "churned"])  # last event of entity 1
     assert pd.isna(out.loc[3, "churned"])
+
+
+def test_horizon_label_brute_with_censoring(spark):
+    """horizon_label vs a scalar replay: hits, fully-observed zeros
+    and right-censored NULLs near each entity's data edge."""
+    import datetime as dt
+    from hiselspark.operators.labels import horizon_label
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 0: events at hours 0,1,2,30; purchase at h=2
+    for i, (h, et) in enumerate([(0, "view"), (1, "click"),
+                                 (2, "purchase"), (30, "view")]):
+        rows.append((0, base + dt.timedelta(hours=h), i, et))
+    # user 1: no purchases at all; events at 0, 5, 50 h
+    for i, h in enumerate([0, 5, 50]):
+        rows.append((1, base + dt.timedelta(hours=h), 10 + i, "view"))
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, eid long, event_type string")
+    out = {r["eid"]: r for r in horizon_label(
+        df, "u", "ts", F.col("event_type") == "purchase",
+        horizon_seconds=24 * 3600.0, tiebreak=("eid",)).collect()}
+    # u0 h0: purchase at h2 -> label 1, tte 2h
+    assert out[0]["label"] == 1
+    assert out[0]["tte_seconds"] == pytest.approx(7200.0)
+    # u0 h1: purchase 1h later -> 1
+    assert out[1]["label"] == 1
+    # u0 h2 (the purchase itself): next purchase never -> window runs
+    # to h26 but last event is h30 -> fully observed 0
+    assert out[2]["label"] == 0 and out[2]["censored"] == 0
+    # u0 h30: last event -> censored NULL
+    assert out[3]["label"] is None and out[3]["censored"] == 1
+    # u1 h0: no purchase, window to h24, last obs h50 -> 0
+    assert out[10]["label"] == 0
+    # u1 h50: censored
+    assert out[12]["label"] is None and out[12]["censored"] == 1
