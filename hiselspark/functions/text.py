@@ -484,16 +484,22 @@ def with_gopher_flags(df: DataFrame, col: str = "text",
     mean_len = F.when(nw > 0, F.col("sum_word_len").cast("double")
                       / nw.cast("double"))
     # integer-exact threshold tests (scale ratios through denominators)
-    sym_den = int(round(1.0 / max_symbol_ratio))
-    alpha_num, alpha_den = (int(round(min_alpha_frac * 100)), 100)
+    # — the ratio thresholds are converted to EXACT rationals via
+    # their decimal string (Fraction('0.3') == 3/10), so arbitrary
+    # ratios like 0.3 or 0.15 are honored exactly instead of being
+    # silently snapped to the nearest unit fraction
+    from fractions import Fraction
+    sym_frac = Fraction(str(float(max_symbol_ratio)))
+    alpha_frac = Fraction(str(float(min_alpha_frac)))
     flags = {
         "flag_word_count": (nw >= int(min_words)) & (nw <= int(max_words)),
         "flag_mean_len": (nw > 0)
         & (F.col("sum_word_len") >= int(min_mean_len) * nw)
         & (F.col("sum_word_len") <= int(max_mean_len) * nw),
-        "flag_symbols": F.col("n_symbols") * sym_den <= nw,
-        "flag_alpha": F.col("n_alpha_words") * alpha_den
-        >= alpha_num * nw,
+        "flag_symbols": F.col("n_symbols") * sym_frac.denominator
+        <= sym_frac.numerator * nw,
+        "flag_alpha": F.col("n_alpha_words") * alpha_frac.denominator
+        >= alpha_frac.numerator * nw,
         "flag_stopwords": F.col("n_stopwords") >= int(min_stopwords),
     }
     out = out.withColumn("mean_word_len", mean_len)

@@ -443,12 +443,16 @@ def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
     its bin(s), the equal-frequency ideal truncated by ties.
 
     Adds ``out_col`` (default ``{col}_qbin``) as int64 in [0, B).
+    NULL inputs (and values the long cast cannot represent) keep
+    their row and get a NULL bin — the add-a-column contract; they
+    never enter the CDF counts.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
     out_col = out_col or f"{col}_qbin"
     v = F.col(col).cast("long")
     per_v = (df.select(v.alias("__v"))
+             .filter(F.col("__v").isNotNull())
              .groupBy("__v").agg(F.count(F.lit(1)).alias("__t")))
     w_run = (Window.orderBy("__v")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -465,7 +469,7 @@ def quantile_bin(df: DataFrame, col: str, n_bins: int = 10,
                       F.expr(f"({int(n_bins)} * __below) DIV __n")
                       .alias(out_col)))
     return (df.withColumn("__v", v)
-            .join(F.broadcast(binmap), "__v")
+            .join(F.broadcast(binmap), "__v", "left")
             .drop("__v"))
 
 

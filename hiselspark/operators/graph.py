@@ -372,6 +372,13 @@ def modularity(edges: DataFrame, communities: DataFrame,
     assignment onto edges, one bounded collect of per-community
     totals (communities, not nodes).  Returns one row:
     (m, n_communities, q).
+
+    Every edge endpoint MUST appear in ``communities`` — a partial
+    assignment would mix denominators (m from all edges, e_c/deg_c
+    from tagged edges only) and silently bias Q low, so the operator
+    counts untagged edges first and raises ``ValueError`` if any
+    exist (filter the edge list to assigned nodes explicitly if a
+    subgraph Q is what you want).
     """
     e = edges.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v"))
@@ -384,6 +391,14 @@ def modularity(edges: DataFrame, communities: DataFrame,
         F.col(community_col).cast("long").alias("c"))
     ca = asg.select(F.col("node").alias("a"), F.col("c").alias("c_a"))
     cb = asg.select(F.col("node").alias("b"), F.col("c").alias("c_b"))
+    untagged = (canon.join(ca, "a", "left").join(cb, "b", "left")
+                .filter(F.col("c_a").isNull() | F.col("c_b").isNull())
+                .count())
+    if untagged:
+        raise ValueError(
+            f"modularity: {untagged} edges have an endpoint missing "
+            "from `communities` — Q would mix denominators and bias "
+            "low; assign every endpoint or filter the edge list first")
     tagged = canon.join(ca, "a").join(cb, "b")
     intra = (tagged.filter(F.col("c_a") == F.col("c_b"))
              .groupBy(F.col("c_a").alias("c"))
@@ -449,10 +464,20 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     with both in- and out-edges appears twice, once per role).
     """
     scale = int(scale)
+    # each half-step persists its raw-sum frame (the total is an
+    # action, and the final plan must read the cache, not re-derive
+    # the whole lineage); once the NEXT half-step has materialized,
+    # everything older than the last two frames (the returned h and
+    # a) is dead weight — unpersist it instead of leaking cached
+    # blocks for the session
+    persisted: list[DataFrame] = []
 
     def _normalize(raw: DataFrame, key: str) -> DataFrame:
         raw = raw.persist()
         tot = raw.agg(F.sum("raw").alias("t")).first()["t"]
+        persisted.append(raw)
+        while len(persisted) > 2:
+            persisted.pop(0).unpersist()
         denom = max(int(tot) // scale, 1)
         return raw.select(F.col(key).alias("node"),
                           F.expr(f"raw DIV {denom}")

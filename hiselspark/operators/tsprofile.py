@@ -338,10 +338,10 @@ def hampel_filter(
     values, the DOUBLED median ``med2 = lo + hi`` of the middle pair
     is an exact int; deviations ``d_i = |2·x_i − med2|`` are exact
     ints; the doubled median of deviations ``mad2d = d_lo + d_hi``
-    is 4·MAD; and
+    is 4·MAD; and with d = 2·|x − med|, mad2d = 4·MAD:
 
-        |x − med| > n_mads·MAD   ⇔   2·d > n_mads·mad2d / 2
-                                 ⇔   4·d > n_mads·mad2d
+        |x − med| > n_mads·MAD   ⇔   d/2 > n_mads·(mad2d/4)
+                                 ⇔   2·d > n_mads·mad2d
 
     so the flag is an integer comparison — bit-identical in any
     engine, no consistency constant, no interpolation rule to match.
@@ -374,7 +374,7 @@ def hampel_filter(
         lambda x: F.abs(F.lit(2) * x - F.col("med2"))))
     cur = cur.withColumn("mad2d", med2_of(devs))
     d = F.abs(F.lit(2) * F.col("v") - F.col("med2"))
-    flag = (F.lit(4) * d > F.lit(int(n_mads)) * F.col("mad2d"))
+    flag = (F.lit(2) * d > F.lit(int(n_mads)) * F.col("mad2d"))
     return cur.select(
         "entity", F.col("__t").alias("ts_us"),
         F.col("__o").alias("order_id"), "v", "med2", "mad2d",

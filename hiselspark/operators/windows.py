@@ -901,6 +901,7 @@ def rolling_entropy(
     window_seconds: float = 3600.0,
     categories: Optional[Sequence] = None,
     out_col: str = "roll_entropy",
+    max_categories: int = 64,
 ) -> DataFrame:
     """Shannon entropy of the trailing-window category mix per entity
     — the behavioral-diversity feature (0 = the entity does one thing;
@@ -915,11 +916,23 @@ def rolling_entropy(
     tree in SQL, so results are engine-bit-reproducible (counts exact,
     one division per term).  With ``categories=None`` the domain is
     collected (sorted) from the data — a bounded-domain assumption the
-    caller is making anyway."""
+    caller is making anyway, enforced by ``max_categories``: the
+    fallback collects at most ``max_categories + 1`` distinct values
+    and raises ``ValueError`` past the cap instead of pulling an
+    unbounded domain to the driver (pass the domain explicitly, or a
+    larger cap, for genuinely wide-but-bounded columns)."""
     if categories is None:
-        categories = [r[0] for r in
-                      df.select(cat_col).distinct().collect()
-                      if r[0] is not None]
+        probe = [r[0] for r in
+                 df.select(cat_col)
+                   .filter(F.col(cat_col).isNotNull()).distinct()
+                   .limit(int(max_categories) + 1).collect()]
+        if len(probe) > int(max_categories):
+            raise ValueError(
+                f"rolling_entropy: column {cat_col!r} has more than "
+                f"max_categories={int(max_categories)} distinct values"
+                " — the k-conditional-counts plan needs a bounded"
+                " domain; pass `categories` explicitly or raise the cap")
+        categories = probe
     categories = sorted(categories)
     w = (Window.partitionBy(entity_col)
                .orderBy((ts_seconds(ts_col) * 1_000_000).cast("long"))

@@ -833,3 +833,48 @@ def test_triplet_mining_matches_brute(spark):
         if best["pos"] is not None:
             assert r["semi_hard"] == (
                 cos[i, best["neg"][1]] > cos[i, best["pos"][1]])
+
+
+def test_pq_topk_refine_reranks_to_exact(spark, vectors):
+    """The IVFADC-R exact re-rank stage: with a shortlist as large as
+    the corpus, PQ+refine must return EXACTLY the brute-force top-k
+    (ids, ranks and cosines); with a modest shortlist recall must
+    beat the raw ADC ranking."""
+    sdf, base = vectors
+    probes = sdf.filter(F.col("vec_id") < 10)
+    exact = (similarity.cosine_topk(probes, sdf, k=3).toPandas()
+             .sort_values(["probe_id", "rk"]).reset_index(drop=True))
+    full = (similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                               n_codes=256, refine=500)
+            .toPandas().sort_values(["probe_id", "rk"])
+            .reset_index(drop=True))
+    assert full[["probe_id", "rk", "vec_id"]].equals(
+        exact[["probe_id", "rk", "vec_id"]])
+    np.testing.assert_allclose(full.cos_sim.to_numpy(),
+                               exact.cos_sim.to_numpy(), atol=5e-7)
+
+    def recall(pdf):
+        hits = total = 0
+        for pid in range(10):
+            e = set(exact[exact.probe_id == pid].vec_id)
+            a = set(pdf[pdf.probe_id == pid].vec_id)
+            hits += len(e & a)
+            total += len(e)
+        return hits / total
+
+    adc = similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                             n_codes=256).toPandas()
+    ref = similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                             n_codes=256, refine=24).toPandas()
+    assert recall(ref) >= recall(adc)
+    assert recall(ref) >= 0.8
+    # contract checks: refine must cover k; chunking-invariant
+    with pytest.raises(ValueError, match="refine"):
+        similarity.pq_topk(probes, sdf, dim=16, k=5, m=8, refine=3)
+    chunked = (similarity.pq_topk(probes, sdf, dim=16, k=3, m=8,
+                                  n_codes=256, refine=24,
+                                  probe_chunk_size=3)
+               .toPandas().sort_values(["probe_id", "rk"])
+               .reset_index(drop=True))
+    assert chunked.equals(ref.sort_values(["probe_id", "rk"])
+                          .reset_index(drop=True))

@@ -109,3 +109,22 @@ def test_tpch_q4_q12_shapes(spark):
     q12 = {r["mode"]: r for r in se.q_tpch_q12(spark, sf).collect()}
     for r in q12.values():
         assert r["high_line_count"] + r["low_line_count"] > 0
+
+
+def test_gopher_symbol_ratio_exact_rational(spark):
+    # max_symbol_ratio is honored as the EXACT rational from its
+    # decimal literal (0.3 == 3/10), not snapped to a unit fraction
+    # (1/3): 16 '#' in 50 words is 0.32 > 0.3 and must fail, while
+    # 15/50 = 0.30 sits exactly on the boundary and passes
+    from hiselspark.functions.text import with_gopher_flags
+    base = ("word " * 34).split()
+    t_just = " ".join(base + ["#"] * 16)   # 50 words, 16 symbols
+    t_edge = " ".join(base + ["w"] + ["#"] * 15)  # 50 words, 15 symbols
+    df = spark.createDataFrame([(1, t_just), (2, t_edge)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           with_gopher_flags(df, "text", min_words=10,
+                             max_symbol_ratio=0.3).collect()}
+    assert out[1]["n_words"] == 50 and out[1]["n_symbols"] == 16
+    assert out[1]["flag_symbols"] is False
+    assert out[2]["flag_symbols"] is True

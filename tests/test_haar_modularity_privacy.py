@@ -211,3 +211,13 @@ def test_classical_decompose_identity_and_planted(spark):
     morning = [vals[i]["seasonal"] for i in range(96) if i % 24 == 10]
     night = [vals[i]["seasonal"] for i in range(96) if i % 24 == 2]
     assert min(morning) > max(night) + 30
+
+
+def test_modularity_rejects_partial_assignment(spark):
+    import pytest as _pytest
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    partial = spark.createDataFrame([(0, 0), (1, 0)],
+                                    "node long, community long")
+    from hiselspark.operators.graph import modularity
+    with _pytest.raises(ValueError, match="endpoint missing"):
+        modularity(edges, partial).collect()

@@ -280,3 +280,18 @@ def test_snapshot_rollback_is_new_commit(spark, tmp_path):
         == list(range(20)) + list(range(40, 60))
     with _pt.raises(ValueError):
         t.rollback(99)
+
+
+def test_quantile_bin_null_rows_kept_with_null_bin(spark):
+    # the add-a-column contract: NULL inputs keep their row and get a
+    # NULL bin; they never enter the CDF counts
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, None), (5, None)],
+        "id long, v long")
+    from hiselspark.operators.encoding import quantile_bin
+    out = {r["id"]: r["v_qbin"] for r in
+           quantile_bin(df, "v", n_bins=2).collect()}
+    assert len(out) == 6
+    assert out[4] is None and out[5] is None
+    # CDF over the 4 non-null values only: below/4*2
+    assert out[0] == 0 and out[1] == 0 and out[2] == 1 and out[3] == 1

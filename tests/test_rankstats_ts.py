@@ -161,7 +161,14 @@ def test_hampel_brute_windows(spark):
         devs = sorted(abs(2 * x - med2) for x in w)
         mad2d = devs[(len(devs) - 1) // 2] + devs[len(devs) // 2]
         assert r["med2"] == med2 and r["mad2d"] == mad2d
-        assert r["is_outlier"] == (4 * abs(2 * vals[i] - med2)
+        # expectation derived from the DEFINITION |x−med| > k·MAD with
+        # med = med2/2, MAD = mad2d/4 (exact fractions), not from the
+        # implementation's integer rearrangement
+        from fractions import Fraction
+        definition = (abs(Fraction(vals[i]) - Fraction(med2, 2))
+                      > 3 * Fraction(mad2d, 4))
+        assert r["is_outlier"] == definition
+        assert r["is_outlier"] == (2 * abs(2 * vals[i] - med2)
                                    > 3 * mad2d)
 
 

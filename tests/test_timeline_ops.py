@@ -839,3 +839,20 @@ def test_ks_statistic_matches_brute_force(spark):
     z = ks_statistic(spark.createDataFrame(same), "v",
                      F.col("is_ref") == 1).collect()[0]
     assert z["ks"] == 0.0
+
+
+def test_rolling_entropy_caps_unbounded_domain(spark):
+    # the categories=None fallback must refuse to collect an
+    # unbounded category domain to the driver
+    from hiselspark.operators.windows import rolling_entropy
+    n = 50
+    ts = pd.date_range("2024-08-01", periods=n, freq="1min")
+    pdf = pd.DataFrame({"e": "u", "ts": ts,
+                        "c": [f"cat{i}" for i in range(n)]})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="max_categories"):
+        rolling_entropy(df, "e", "ts", "c", 3600.0, max_categories=8)
+    # an explicit domain or a big-enough cap still works
+    out = rolling_entropy(df, "e", "ts", "c", 3600.0,
+                          max_categories=64)
+    assert out.count() == n

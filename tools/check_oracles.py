@@ -4,6 +4,13 @@ the given sf, compare row count / schema / order-insensitive values.
 
 Usage: python tools/check_oracles.py [sf_dir] [name ...]
 
+Float columns are compared REPRESENTATION-EXACT by default (signbit-
+aware ``repr`` equality — the same bar as the driver's value hash,
+which distinguishes ``-0.0`` from ``0.0``).  Round 3 shipped with an
+rtol=1e-9 compare here and the committed artifact said 307/307 while
+the driver's hash flagged ``pit_ols``; the tolerant compare survives
+only behind ``CHECK_ORACLES_TOLERANT=1`` for diagnosis.
+
 With ``CHECK_ORACLES_JSON=/path/out.json`` set, a per-query artifact
 (status / row counts / problems) is also written — committed per round
 as ``CHECK_FULL_r{N}.json`` so the judge can diff the FULL gate result
@@ -25,6 +32,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# diagnosis-only escape hatch; the committed artifact must be produced
+# with the representation-exact default
+TOLERANT = os.environ.get("CHECK_ORACLES_TOLERANT", "") == "1"
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -65,14 +76,27 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list:
             if g_float or e_float:
                 gv = pd.to_numeric(gv, errors="coerce").astype(float)
                 ev = pd.to_numeric(ev, errors="coerce").astype(float)
-                both_nan = gv.isna() & ev.isna()
-                close = np.isclose(gv.fillna(0), ev.fillna(0),
-                                   rtol=1e-9, atol=1e-12)
-                ok = (both_nan | (close & (gv.isna() == ev.isna()))).all()
+                if TOLERANT:
+                    both_nan = gv.isna() & ev.isna()
+                    close = np.isclose(gv.fillna(0), ev.fillna(0),
+                                       rtol=1e-9, atol=1e-12)
+                    ok = (both_nan
+                          | (close & (gv.isna() == ev.isna()))).all()
+                    bad_mask = ~(both_nan
+                                 | (close & (gv.isna() == ev.isna())))
+                else:
+                    # representation-exact, like the driver's hash:
+                    # repr() distinguishes -0.0 from 0.0 and treats
+                    # NaN==NaN ('nan' == 'nan')
+                    gr = gv.map(repr)
+                    er = ev.map(repr)
+                    bad_mask = (gr != er)
+                    ok = not bad_mask.any()
             else:
-                ok = gv.astype(str).equals(ev.astype(str))
+                bad_mask = gv.astype(str) != ev.astype(str)
+                ok = not bad_mask.any()
             if not ok:
-                bad = (gv.astype(str) != ev.astype(str)).to_numpy().nonzero()[0][:3]
+                bad = bad_mask.to_numpy().nonzero()[0][:3]
                 problems.append(
                     f"values differ in column {c}; first rows {bad.tolist()}: "
                     f"spark={gv.iloc[bad].tolist()} duckdb={ev.iloc[bad].tolist()}")
