@@ -2149,12 +2149,13 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
           for i in range(4)])
 
 
-def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed HSIC-Lasso on the embeddings table: which of the 64
-    embedding dimensions carry dependence with the label.  Runs the
-    production hash-bucketed plan (deterministic across layouts: batch
-    ids hash vec_id, float blocks summed in fixed key order); checked
-    against a pinned oracle of the sf0.01 result."""
+def _hsic_emb_rows(spark: SparkSession, sf_dir: str) -> list:
+    """Shared by the gate query and tools/pin_constants.py (so the
+    pinned constants can never drift from the config the gate runs):
+    per-feature EXACT (unrounded) HSIC score, score-rank and
+    LARS-selected flag from the production hash-bucketed plan
+    (deterministic across layouts: batch ids hash vec_id, float blocks
+    summed in fixed key order)."""
     from hiselspark.selection import SparkHSICSelector
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = 64
@@ -2167,10 +2168,30 @@ def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel = SparkHSICSelector(wide, cols, ["y"])
     res = sel.run(number_of_features=8, minibatch_size=100, mode="hash",
                   order_col="vec_id")
-    rows = [(c, round(float(res.hsic_scores[c]), 6), c in res.features)
+    order = sorted(cols, key=lambda c: (-float(res.hsic_scores[c]), c))
+    rank = {c: i + 1 for i, c in enumerate(order)}
+    return [(c, float(res.hsic_scores[c]), rank[c], c in res.features)
             for c in cols]
-    return spark.createDataFrame(
-        rows, "feature string, hsic_score double, selected boolean")
+
+
+def q_hsic_select_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed HSIC-Lasso on the embeddings table: which of the 64
+    embedding dimensions carry dependence with the label.  Oracle
+    contract (constant-pinned, not a full literal pin): the EXACT
+    per-feature scores and the LARS-selected set are pinned constants
+    (layout-determinism checked by tools/pin_constants.py; the kernel
+    math itself is pytest-parity-tested against the reference), while
+    the 6-decimal display rounding and the score RANKING are
+    recomputed by DuckDB from the pinned exact doubles."""
+    rows = _hsic_emb_rows(spark, sf_dir)
+    # rounding happens in F.round (not Python round, which is
+    # half-to-even) so it is the same round pairing every other
+    # query/oracle uses on identical doubles
+    df = spark.createDataFrame(
+        rows, "feature string, hsic_score double, rank_by_score int,"
+        " selected boolean")
+    return df.select("feature", F.round("hsic_score", 6)
+                     .alias("hsic_score"), "rank_by_score", "selected")
 
 
 def q_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5140,12 +5161,9 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("tfidf", 6).alias("w"))
 
 
-def q_segmented_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-segment HSIC-Lasso: which embedding dimensions predict the
-    label inside EACH hash segment — all segments in one distributed
-    sufficient-stats pass, per-segment LARS on the driver.
-    Deterministic (hash minibatches, sorted in-group rows, fixed fold
-    order) -> pinned literal oracle."""
+def _segmented_select_rows(spark: SparkSession, sf_dir: str):
+    """Shared by the gate query and tools/pin_constants.py: the
+    per-segment LARS selection with EXACT (unrounded) scores."""
     from hiselspark.selection import select_features_by_segment
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     d = 16
@@ -5158,9 +5176,24 @@ def q_segmented_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = select_features_by_segment(
         wide, "seg", [f"e{i}" for i in range(d)], ["y"],
         number_of_features=3, n_minibatches=4, order_col="vec_id")
-    out["hsic_score"] = out["hsic_score"].round(6)
-    return spark.createDataFrame(
-        out, "segment long, rank int, feature string, hsic_score double")
+    return [(int(r.segment), int(r.rank), str(r.feature),
+             float(r.hsic_score))
+            for r in out.itertuples(index=False)]
+
+
+def q_segmented_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment HSIC-Lasso: which embedding dimensions predict the
+    label inside EACH hash segment — all segments in one distributed
+    sufficient-stats pass, per-segment LARS on the driver.
+    Deterministic (hash minibatches, sorted in-group rows, fixed fold
+    order).  Oracle contract (constant-pinned): the per-(segment,
+    rank) picks and EXACT scores are pinned constants; the display
+    rounding is recomputed by DuckDB from the pinned doubles."""
+    rows = _segmented_select_rows(spark, sf_dir)
+    df = spark.createDataFrame(
+        rows, "segment long, rank int, feature string, hsic_score double")
+    return df.select("segment", "rank", "feature",
+                     F.round("hsic_score", 6).alias("hsic_score"))
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5916,6 +5949,66 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("forecast_1", 6).alias("forecast_1"))
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per user query: a structured ranker (score correlated
+    with the derived relevance grade) graded with exponential gains
+    2^rel − 1 (exact ints) and ln-discounted positions folded in
+    ascending-rank order — the oracle replays gains, both rankings
+    and both folds term for term."""
+    from hiselspark.operators.rank_eval import ndcg_at_k
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        F.col("user_id").alias("q"), "event_id",
+        (F.expr("cents DIV 11") % 4).alias("rel"),
+        ((F.expr("cents DIV 11") % 4) * 50 + F.col("cents") % 45)
+        .alias("sa"))
+    out = ndcg_at_k(df, "q", "event_id", "sa", "rel", k=10)
+    return out.select(F.col("query").alias("user_id"), "n_docs",
+                      F.round("dcg", 6).alias("dcg"),
+                      F.round("idcg", 6).alias("idcg"),
+                      F.round("ndcg", 6).alias("ndcg"))
+
+
+def q_pairwise_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style reranker evaluation: head-to-head pairwise
+    preference table of a relevance-correlated ranker vs a hash
+    ranker over every labeled within-query preference pair — exact
+    integer counts from the bounded per-query self-join, replayed by
+    the oracle as the same join."""
+    from hiselspark.operators.rank_eval import pairwise_preferences
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        F.col("user_id").alias("q"), "event_id",
+        (F.expr("cents DIV 11") % 4).alias("rel"),
+        ((F.expr("cents DIV 11") % 4) * 50 + F.col("cents") % 45)
+        .alias("sa"),
+        (F.col("cents") % 97).alias("sb"))
+    out = pairwise_preferences(df, "q", "event_id", "rel", "sa", "sb")
+    return out.select(F.col("query").alias("user_id"), "n_pref_pairs",
+                      "a_correct", "a_tied", "b_correct", "b_tied",
+                      "both_correct")
+
+
+def q_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMAP-lite corpus atlas: exact top-3 cosine k-NN edges over the
+    embeddings (the SQL-replayable neighbor source; at corpus scale
+    the same operator takes mutual_knn / ANN edges), laid out by 3
+    rounds of int64 Laplacian smoothing blended with the CW-hash
+    anchor — bit-identical across layouts and engines; the oracle
+    rebuilds the k-NN graph, the hash init and all 3 rounds as
+    materialized CTEs."""
+    from hiselspark.operators.layout import graph_layout
+    from hiselspark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    knn = (cosine_topk(emb, emb, k=3)
+           .select(F.col("probe_id").alias("src"),
+                   F.col("vec_id").alias("dst")))
+    out = graph_layout(knn, iterations=3, seed=5)
+    return out.select("node", "x", "y", "x0", "y0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -5944,6 +6037,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "cuped": q_cuped,
         "pit_ols": q_pit_ols,
+        "ndcg": q_ndcg,
+        "pairwise_pref": q_pairwise_pref,
+        "graph_layout": q_graph_layout,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -6850,6 +6946,118 @@ def _pq_pinned_oracle() -> str:
         FROM picked p
         JOIN e pe ON pe.vec_id = p.probe_id
         JOIN e ce ON ce.vec_id = p.vec_id
+    """
+
+
+def _layout_oracle_sql(iterations: int = 3, seed: int = 5,
+                       scale: int = 1_000_000, k: int = 3) -> str:
+    """TRUE SQL oracle for graph_layout: DuckDB rebuilds the exact
+    top-k cosine k-NN graph, the Carter-Wegman-mixed polynomial hash
+    anchors, and every smoothing round ``(pos + 2·nbmean + init) DIV
+    4`` as materialized CTEs (twice-referenced CTEs inline
+    exponentially otherwise — the kcore/hits lesson).  Positions are
+    non-negative so ``//`` is plain truncation, matching Spark DIV."""
+    from hiselspark.operators.bootstrap import cw_constants
+    (a1, c1), (a2, c2) = cw_constants(2, int(seed))
+    mod = 2147483647
+    hash_sql = (
+        "list_reduce(list_prepend(CAST({salt} AS BIGINT),"
+        " list_transform(str_split(CAST(node AS VARCHAR), ''),"
+        " x -> CAST(ascii(x) AS BIGINT))),"
+        " (acc, x) -> (acc * 31 + x) % 2147483647)"
+    ).format(salt=int(seed) % mod)
+    steps = []
+    for i in range(int(iterations)):
+        steps.append(f"""
+        p{i + 1} AS MATERIALIZED (
+          SELECT p.node, p.x0, p.y0,
+                 CASE WHEN d.deg IS NULL THEN p.x
+                      ELSE (p.x + 2 * (d.sx // d.deg) + p.x0) // 4
+                 END AS x,
+                 CASE WHEN d.deg IS NULL THEN p.y
+                      ELSE (p.y + 2 * (d.sy // d.deg) + p.y0) // 4
+                 END AS y
+          FROM p{i} p LEFT JOIN (
+            SELECT e.u AS node, SUM(q.x) AS sx, SUM(q.y) AS sy,
+                   COUNT(*) AS deg
+            FROM edges e JOIN p{i} q ON q.node = e.v
+            GROUP BY e.u) d USING (node)
+        )""")
+    return f"""
+        WITH e0 AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), knn AS MATERIALIZED (
+          SELECT u, v_id FROM (
+            SELECT a.vec_id AS u, b.vec_id AS v_id,
+                   row_number() OVER (
+                     PARTITION BY a.vec_id
+                     ORDER BY {_sql_cos('a.v', 'b.v')} DESC, b.vec_id)
+                     AS rk
+            FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id)
+          WHERE rk <= {int(k)}
+        ), edges AS MATERIALIZED (
+          SELECT DISTINCT u, v FROM (
+            SELECT u, v_id AS v FROM knn
+            UNION ALL
+            SELECT v_id AS u, u AS v FROM knn)
+          WHERE u <> v
+        ), init AS MATERIALIZED (
+          SELECT node,
+                 (({hash_sql} * {a1} + {c1}) % {mod}) % {int(scale)}
+                   AS x0,
+                 (({hash_sql} * {a2} + {c2}) % {mod}) % {int(scale)}
+                   AS y0
+          FROM (SELECT DISTINCT u AS node FROM edges)
+        ), p0 AS MATERIALIZED (
+          SELECT node, x0, y0, x0 AS x, y0 AS y FROM init
+        ),{",".join(steps)}
+        SELECT node, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+               CAST(x0 AS BIGINT) AS x0, CAST(y0 AS BIGINT) AS y0
+        FROM p{int(iterations)}
+    """
+
+
+def _hsic_emb_pinned_oracle() -> str:
+    """Hybrid oracle for hsic_select_embeddings: the EXACT per-feature
+    HSIC score (repr round-trips the float64 bits) and the
+    LARS-selected flag are pinned constants (layout-determinism
+    checked by tools/pin_constants.py; the kernel/LARS math is
+    pytest-parity-tested against the reference imported in place);
+    DuckDB independently derives the 6-decimal display rounding and
+    the score ranking from the pinned doubles — a regression in
+    rounding/ranking now breaks the gate even with the scores
+    pinned."""
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    vals = ",\n              ".join(
+        f"('{c}', CAST({s!r} AS DOUBLE), "
+        + ("TRUE" if sel else "FALSE") + ")"
+        for c, s, sel in PINNED_CONSTANTS["hsic_emb_scores"])
+    return f"""
+        WITH pinned(feature, score, selected) AS (VALUES
+              {vals})
+        SELECT feature, round(score, 6) AS hsic_score,
+               CAST(row_number() OVER (ORDER BY score DESC, feature)
+                    AS INT) AS rank_by_score,
+               selected
+        FROM pinned
+    """
+
+
+def _segmented_pinned_oracle() -> str:
+    """Hybrid oracle for segmented_select: the per-(segment, rank)
+    LARS picks with EXACT scores are pinned constants; the display
+    rounding is derived by DuckDB from the pinned doubles."""
+    from hiselspark.pinned_constants import PINNED_CONSTANTS
+    vals = ",\n              ".join(
+        f"({seg}, {rk}, '{feat}', CAST({s!r} AS DOUBLE))"
+        for seg, rk, feat, s in PINNED_CONSTANTS["segmented_select"])
+    return f"""
+        WITH pinned(segment, rank, feature, score) AS (VALUES
+              {vals})
+        SELECT segment, CAST(rank AS INT) AS rank, feature,
+               round(score, 6) AS hsic_score
+        FROM pinned
     """
 
 
@@ -8304,6 +8512,13 @@ def _oracle_sql_raw() -> dict[str, str]:
     oracles["ivf_topk"] = _ann_pinned_oracle("ivf_topk")
     oracles["pq_topk"] = _pq_pinned_oracle()
     oracles["pca_project"] = _pca_pinned_oracle()
+    # selection-family queries demoted from full literal pins to
+    # constant pins (round 4): exact scores + the LARS pick are the
+    # pinned constants; rounding and score-ranking are SQL-derived
+    oracles["hsic_select_embeddings"] = _hsic_emb_pinned_oracle()
+    oracles["segmented_select"] = _segmented_pinned_oracle()
+    # TRUE SQL replay of the UMAP-lite neighbor-graph layout
+    oracles["graph_layout"] = _layout_oracle_sql(iterations=3, seed=5)
     # TRUE SQL replays of the greedy selections (no pinned values)
     oracles["mmr_topk"] = _mmr_oracle_sql(k=5, lam=0.7, pool=20)
     oracles["kcenter"] = _kcenter_oracle_sql(k=16)
@@ -14860,5 +15075,80 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(b, 6) AS trend,
                round(l + b, 6) AS forecast_1
         FROM rec WHERE i = n
+    """
+    oracles["ndcg"] = """
+        WITH q0 AS (
+          SELECT user_id, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), b AS (
+          SELECT user_id, event_id,
+                 ((cents // 11) % 4) AS rel,
+                 ((cents // 11) % 4) * 50 + (cents % 45) AS sa
+          FROM q0
+        ), r AS (
+          SELECT user_id, event_id,
+                 (CAST(1 AS BIGINT) << CAST(rel AS INT)) - 1 AS gain,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY sa DESC, event_id)
+                   AS rk_sys,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY rel DESC, event_id)
+                   AS rk_ideal
+          FROM b
+        ), g AS (
+          SELECT user_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 list_sort(list({'rk': rk_sys, 'g': gain})
+                           FILTER (WHERE rk_sys <= 10)) AS sys_t,
+                 list_sort(list({'rk': rk_ideal, 'g': gain})
+                           FILTER (WHERE rk_ideal <= 10)) AS ide_t
+          FROM r GROUP BY user_id
+        ), f AS (
+          SELECT user_id, n_docs,
+                 list_reduce(list_prepend(0.0, list_transform(sys_t,
+                   s -> CAST(s.g AS DOUBLE)
+                        / (ln(CAST(s.rk AS DOUBLE) + 1.0) / ln(2.0)))),
+                   (acc, t) -> acc + t) AS dcg,
+                 list_reduce(list_prepend(0.0, list_transform(ide_t,
+                   s -> CAST(s.g AS DOUBLE)
+                        / (ln(CAST(s.rk AS DOUBLE) + 1.0) / ln(2.0)))),
+                   (acc, t) -> acc + t) AS idcg
+          FROM g
+        )
+        SELECT user_id, n_docs, round(dcg, 6) AS dcg,
+               round(idcg, 6) AS idcg,
+               round(CASE WHEN idcg > 0 THEN dcg / idcg END, 6)
+                 AS ndcg
+        FROM f
+    """
+    oracles["pairwise_pref"] = """
+        WITH q0 AS (
+          SELECT user_id, event_id,
+                 abs(CAST(round(value*100) AS BIGINT)) AS cents
+          FROM events
+        ), b AS (
+          SELECT user_id, event_id,
+                 ((cents // 11) % 4) AS rel,
+                 ((cents // 11) % 4) * 50 + (cents % 45) AS sa,
+                 (cents % 97) AS sb
+          FROM q0
+        )
+        SELECT i.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pref_pairs,
+               CAST(SUM(CASE WHEN i.sa > j.sa THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a_correct,
+               CAST(SUM(CASE WHEN i.sa = j.sa THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a_tied,
+               CAST(SUM(CASE WHEN i.sb > j.sb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_correct,
+               CAST(SUM(CASE WHEN i.sb = j.sb THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_tied,
+               CAST(SUM(CASE WHEN i.sa > j.sa AND i.sb > j.sb
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS both_correct
+        FROM b i JOIN b j
+          ON i.user_id = j.user_id AND i.rel > j.rel
+        GROUP BY i.user_id
     """
     return oracles

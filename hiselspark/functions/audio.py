@@ -77,12 +77,10 @@ def pack_pcm16(df: DataFrame, values_col: str,
     drive the audio operators from numeric columns in tests and gate
     queries.  Arrow-batched, one vectorized pass per batch."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.util import PythonEvalType
     from pyspark.sql import functions as F
 
-    @pandas_udf(T.BinaryType(),
-                functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
-    def pack(vs):
+    @pandas_udf(T.BinaryType())
+    def pack(vs: pd.Series) -> pd.Series:
         out = []
         for v in vs:
             x = np.clip(np.asarray(v, dtype=np.float64), -1.0, 1.0)

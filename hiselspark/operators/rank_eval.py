@@ -1,0 +1,162 @@
+"""Ranking-quality evaluation: NDCG@k and pairwise preference tables.
+
+The grading harness of a reranking stack (bi-encoder retriever vs
+cross-encoder reranker): ``ndcg_at_k`` scores one ranker against graded
+relevance with the standard position-discounted metric (Järvelin &
+Kekäläinen, TOIS 2002), and ``pairwise_preferences`` compares two
+rankers head-to-head on every labeled preference pair — the
+cross-encoder evaluation view, where a pair (i, j) with rel_i > rel_j
+is "won" by the ranker that scores i above j.
+
+Reference scope note: hisel (`/root/reference`) contains no ranking
+evaluation; these operators belong to the grafted large-scale
+training-data/retrieval pipeline layer (SURVEY §2), same bit-exactness
+conventions as operators/evaluate.py.
+
+Determinism conventions (the repo-wide oracle discipline):
+* gains ``2^rel − 1`` are exact integers (``shiftleft``), relevance
+  must be a small non-negative integer grade;
+* ranks come from ``row_number`` over (score DESC, doc ASC) — unique
+  tiebreaker, so the ranking is reproducible on any layout;
+* the DCG float fold runs over a SORTED (rank, gain) struct list via
+  ``F.aggregate`` — the same fixed ln-term order the DuckDB oracle
+  replays with ``list_sort`` + ``list_reduce``;
+* pairwise counts are exact integers from a within-query self-join
+  (bounded by the per-query candidate list, never corpus x corpus).
+"""
+from __future__ import annotations
+
+
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dcg_fold(struct_col):
+    """Ordered fold Σ gain / (ln(rank+1)/ln 2) over a sorted
+    (rank, gain) struct list — fixed term order, identical expression
+    tree in the SQL oracle."""
+    return F.aggregate(
+        F.sort_array(struct_col),
+        F.lit(0.0),
+        lambda acc, s: acc + s["gain"].cast("double")
+        / (F.log(s["rk"].cast("double") + F.lit(1.0))
+           / F.log(F.lit(2.0))))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """NDCG@k per query: DCG of the ranker's top-k (ranked by score
+    DESC, doc ASC) over the ideal DCG of the same candidate set
+    (ranked by relevance DESC, doc ASC), with exponential gains
+    ``2^rel − 1``.
+
+    Exactness: gains are exact int64 (``rel`` must be an integer grade
+    0..62), positions are ``row_number`` with the unique doc
+    tiebreaker, and both DCG folds add their ln-discounted terms in
+    ascending-rank order — bit-reproducible across layouts and
+    replayed term-for-term by the oracle.  Queries whose candidates
+    are all irrelevant (IDCG = 0) get NULL ndcg rather than a silent
+    0/0.
+
+    Plan shape: ONE query-key exchange serves both ranking windows and
+    the final aggregate (same-cluster windows collapse into one
+    WindowExec chain); no joins.  Returns one row per query:
+    (query, n_docs, dcg, idcg, ndcg).
+    """
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).cast("long").alias("doc"),
+        F.col(score_col).alias("score"),
+        F.col(rel_col).cast("long").alias("rel"))
+    gain = (F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))")
+            - F.lit(1)).alias("gain")
+    w_sys = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc").asc())
+    w_ideal = Window.partitionBy("query").orderBy(
+        F.col("rel").desc(), F.col("doc").asc())
+    ranked = base.select(
+        "query", "doc", gain,
+        F.row_number().over(w_sys).alias("rk_sys"),
+        F.row_number().over(w_ideal).alias("rk_ideal"))
+    kk = int(k)
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.collect_list(
+            F.when(F.col("rk_sys") <= kk,
+                   F.struct(F.col("rk_sys").alias("rk"),
+                            F.col("gain").alias("gain")))
+        ).alias("sys_terms"),
+        F.collect_list(
+            F.when(F.col("rk_ideal") <= kk,
+                   F.struct(F.col("rk_ideal").alias("rk"),
+                            F.col("gain").alias("gain")))
+        ).alias("ideal_terms"))
+    dcg = _dcg_fold(F.col("sys_terms"))
+    idcg = _dcg_fold(F.col("ideal_terms"))
+    return agg.select(
+        "query", "n_docs",
+        dcg.alias("dcg"),
+        idcg.alias("idcg"),
+        F.when(idcg > 0, dcg / idcg).alias("ndcg"))
+
+
+def pairwise_preferences(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rel_col: str,
+    score_a_col: str,
+    score_b_col: str,
+) -> DataFrame:
+    """Head-to-head pairwise preference table for two rankers over the
+    same labeled candidates — the cross-encoder-reranker evaluation
+    view: for every within-query pair with rel_i > rel_j (document i
+    is preferred), each ranker is graded on whether it scores i
+    strictly above j.
+
+    Exact integer counts per query:
+      n_pref_pairs  labeled preference pairs (rel_i > rel_j)
+      a_correct / b_correct   pairs ordered correctly (strict >)
+      a_tied / b_tied         pairs the ranker leaves tied
+      both_correct            pairs both rankers get right
+      (incorrect = n_pref_pairs − correct − tied)
+
+    Plan shape: one within-query self-join on the candidate lists
+    (cost Σ_q n_q² — bounded by the evaluation pool per query, the
+    standard contract of pairwise ranking metrics; never corpus x
+    corpus) with the strict i≠j, rel_i > rel_j predicate, then one
+    exact aggregation.  Returns one row per query.
+    """
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).cast("long").alias("doc"),
+        F.col(rel_col).cast("long").alias("rel"),
+        F.col(score_a_col).alias("sa"),
+        F.col(score_b_col).alias("sb"))
+    lhs = base.select("query", F.col("doc").alias("doc_i"),
+                      F.col("rel").alias("rel_i"),
+                      F.col("sa").alias("sa_i"),
+                      F.col("sb").alias("sb_i"))
+    rhs = base.select("query", F.col("doc").alias("doc_j"),
+                      F.col("rel").alias("rel_j"),
+                      F.col("sa").alias("sa_j"),
+                      F.col("sb").alias("sb_j"))
+    pairs = (lhs.join(rhs, "query")
+             .filter(F.col("rel_i") > F.col("rel_j")))
+    a_ok = (F.col("sa_i") > F.col("sa_j")).cast("long")
+    b_ok = (F.col("sb_i") > F.col("sb_j")).cast("long")
+    a_tie = (F.col("sa_i") == F.col("sa_j")).cast("long")
+    b_tie = (F.col("sb_i") == F.col("sb_j")).cast("long")
+    return (pairs.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_pref_pairs"),
+        F.sum(a_ok).alias("a_correct"),
+        F.sum(a_tie).alias("a_tied"),
+        F.sum(b_ok).alias("b_correct"),
+        F.sum(b_tie).alias("b_tied"),
+        F.sum(a_ok * b_ok).alias("both_correct")))

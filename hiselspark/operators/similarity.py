@@ -19,7 +19,7 @@ across runs and partitionings for a fixed seed and NumPy version.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -193,16 +193,12 @@ def assign_ivf_cells(df: DataFrame, centroids: np.ndarray,
     from pyspark.sql import types as T
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
-    from pyspark.util import PythonEvalType
 
     cent = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
-    # no type hints: postponed annotations (PEP 563) turn them into
-    # strings that pandas_udf cannot infer an eval type from
-    @pandas_udf(T.ArrayType(T.IntegerType()),
-                functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
-    def cells(vs):
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vs: pd.Series) -> pd.Series:
         x = np.array(vs.tolist(), dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         sims = x @ cent.T
@@ -317,7 +313,8 @@ def semantic_dedup(df: DataFrame, dim: int,
     a = a.select("vec_id", "v", F.col("ivf_cell")[0].alias("cluster"))
     thr = 1.0 - eps
 
-    def dedup_cluster(key, pdf):
+    def dedup_cluster(key: Tuple[Any, ...],
+                      pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
@@ -390,14 +387,12 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray,
     distance matrix per subspace, no per-row Python."""
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
-    from pyspark.util import PythonEvalType
 
     books = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, _, dsub = books.shape
 
-    @pandas_udf(T.ArrayType(T.IntegerType()),
-                functionType=PythonEvalType.SQL_SCALAR_PANDAS_UDF)
-    def enc(vs):
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vs: pd.Series) -> pd.Series:
         x = np.array(vs.tolist(), dtype=np.float64)
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
                            1e-12)
@@ -607,7 +602,7 @@ def mmr_rerank(
     out_schema = (f"{probe_col} long, rk int, {id_col} long, "
                   "mmr double")
 
-    def pick(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pick(key: Tuple[Any, ...], pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy()
         rel = pdf[rel_col].to_numpy(dtype=np.float64)

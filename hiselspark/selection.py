@@ -446,7 +446,8 @@ class SparkHSICSelector:
         kw = _stats_kwargs(self.x_kind, self.cat_split, dy, precision)
         kw["y_kind"] = self.y_kind
 
-        def per_minibatch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_minibatch(key: Tuple[Any, ...],
+                          pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["__h"] + fc)
             if len(pdf) < 2:
                 return _make_stats_row(key[0], np.zeros((d, d)),
@@ -463,7 +464,8 @@ class SparkHSICSelector:
         reduce_groups = 64
         span = max(1, -(-num_mb // reduce_groups))
 
-        def sum_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def sum_range(key: Tuple[Any, ...],
+                      pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("group_key")
             xtx = np.sum(np.stack(pdf["xtx"].map(np.asarray)), axis=0)
             xty = np.sum(np.stack(pdf["xty"].map(np.asarray)), axis=0)
@@ -538,7 +540,8 @@ class SparkHSICSelector:
         kw = _stats_kwargs(self.x_kind, self.cat_split, dy)
         kw["y_kind"] = self.y_kind
 
-        def per_minibatch(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_minibatch(key: Tuple[Any, ...],
+                          pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__spos")
             bx, by = batch_sufficient_stats(
                 pdf[fc].to_numpy(), pdf[tc].to_numpy(), **kw)
@@ -722,7 +725,8 @@ def select_features_by_segment(
         T.StructField("n_rows", T.LongType()),
     ])
 
-    def group_stats(key, pdf):
+    def group_stats(key: Tuple[Any, ...],
+                    pdf: pd.DataFrame) -> pd.DataFrame:
         seg, mb = key
         pdf = pdf.sort_values(order_col, kind="mergesort")
         x = pdf[fc].to_numpy(dtype=np.float64)

@@ -68,6 +68,16 @@ def extract(spark, sf_dir: str) -> dict:
     consts["semantic_dedup_clusters"] = [
         (int(a), int(b)) for a, b in sd.itertuples(index=False, name=None)]
 
+    # selection-family constant pins (round 4, demoted from full
+    # literal pins): exact unrounded scores + the LARS pick; the
+    # oracle derives rounding and score-ranking in SQL
+    consts["hsic_emb_scores"] = [
+        (c, float(s), bool(sel))
+        for c, s, _rank, sel in se._hsic_emb_rows(spark, sf_dir)]
+    consts["segmented_select"] = [
+        (int(seg), int(rk), str(feat), float(s))
+        for seg, rk, feat, s in se._segmented_select_rows(spark, sf_dir)]
+
     from hiselspark.operators.projection import pca_fit
     model = pca_fit(emb, "embedding", k=4)
     consts["pca_model"] = {
