@@ -6009,6 +6009,38 @@ def q_graph_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "x", "y", "x0", "y0")
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2021 fixed-k
+    form): per document, how many 20-char k-gram positions occur in
+    >= 2 distinct documents, plus the longest run of consecutive
+    duplicated positions (= longest fully-duplicated substring,
+    length run + k - 1) — the span-masking view of dedup, next to
+    the document-level winnowing / containment gates.  The oracle
+    replays every position, gram, document frequency and run."""
+    from hiselspark.operators.spans import dup_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dup_spans(docs, "doc_id", "text", k=20, min_docs=2)
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT per user over the purchase outcome stream
+    (H0: rate 0.15 vs H1: rate 0.25, alpha=0.05, beta=0.2): the
+    always-valid sequential A/B decision — first boundary crossing in
+    (ts, event_id) order.  Every LLR is npos*l1 + nneg*l0 over EXACT
+    integer prefix counts (no ordered float fold), with the four
+    double constants shared verbatim with the oracle."""
+    from hiselspark.operators.seqtest import sprt
+    ev = _ev(spark, sf_dir)
+    df = ev.select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("x"))
+    out = sprt(df, "user_id", ["ts", "event_id"], "x",
+               p0=0.15, p1=0.25, alpha=0.05, beta=0.2)
+    return out.select(F.col("entity").alias("user_id"), "n_total",
+                      "n_pos", "decision", "n_decide", "llr_decide",
+                      "llr_final")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6040,6 +6072,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg": q_ndcg,
         "pairwise_pref": q_pairwise_pref,
         "graph_layout": q_graph_layout,
+        "dup_spans": q_dup_spans,
+        "sprt": q_sprt,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15150,5 +15184,85 @@ def _oracle_sql_raw() -> dict[str, str]:
         FROM b i JOIN b j
           ON i.user_id = j.user_id AND i.rel > j.rel
         GROUP BY i.user_id
+    """
+    oracles["dup_spans"] = """
+        WITH pos AS (
+          SELECT doc_id, text,
+                 CAST(unnest(range(1, length(text) - 20 + 2)) AS BIGINT)
+                   AS p
+          FROM documents WHERE length(text) >= 20
+        ), grams AS (
+          SELECT doc_id, p, substr(text, CAST(p AS INT), 20) AS g
+          FROM pos
+        ), gdf AS (
+          SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+        ), flg AS (
+          SELECT doc_id, p, (df >= 2) AS dup
+          FROM grams JOIN gdf USING (g)
+        ), tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_grams
+          FROM flg GROUP BY doc_id
+        ), runs AS (
+          SELECT doc_id,
+                 p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                   AS grp
+          FROM flg WHERE dup
+        ), runlen AS (
+          SELECT doc_id, CAST(max(rl) AS BIGINT) AS longest_run
+          FROM (SELECT doc_id, grp, count(*) AS rl
+                FROM runs GROUP BY doc_id, grp)
+          GROUP BY doc_id
+        )
+        SELECT t.doc_id, n_grams, dup_grams,
+               round(CAST(dup_grams AS DOUBLE)
+                     / CAST(n_grams AS DOUBLE), 6) AS dup_ratio,
+               COALESCE(longest_run, 0) AS longest_run,
+               CASE WHEN longest_run IS NULL THEN 0
+                    ELSE longest_run + 20 - 1 END AS longest_span_chars
+        FROM tot t LEFT JOIN runlen USING (doc_id)
+    """
+    from hiselspark.operators.seqtest import sprt_constants
+    _l1, _l0, _a, _b = sprt_constants(0.15, 0.25, 0.05, 0.2)
+    oracles["sprt"] = f"""
+        WITH s AS (
+          SELECT user_id,
+                 CAST(row_number() OVER w AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS npos
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), c AS (
+          SELECT user_id, n, npos,
+                 CAST(npos AS DOUBLE) * CAST({_l1!r} AS DOUBLE)
+                 + CAST(n - npos AS DOUBLE) * CAST({_l0!r} AS DOUBLE)
+                   AS llr
+          FROM s
+        ), x AS (
+          SELECT user_id, n, npos, llr,
+                 CASE WHEN llr >= CAST({_a!r} AS DOUBLE) THEN 1
+                      WHEN llr <= CAST({_b!r} AS DOUBLE) THEN 2
+                      ELSE 0 END AS xing
+          FROM c
+        ), agg AS (
+          SELECT user_id, CAST(max(n) AS BIGINT) AS n_total,
+                 CAST(max(npos) AS BIGINT) AS n_pos,
+                 min(CASE WHEN xing > 0 THEN n END) AS nd
+          FROM x GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_total, a.n_pos,
+               CASE WHEN d.xing = 1 THEN 'h1'
+                    WHEN d.xing = 2 THEN 'h0'
+                    ELSE 'continue' END AS decision,
+               CAST(d.n AS BIGINT) AS n_decide,
+               round(d.llr, 6) AS llr_decide,
+               round(f.llr, 6) AS llr_final
+        FROM agg a
+        LEFT JOIN x d ON d.user_id = a.user_id AND d.n = a.nd
+        JOIN x f ON f.user_id = a.user_id AND f.n = a.n_total
     """
     return oracles
