@@ -6041,6 +6041,79 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "llr_final")
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U of purchase vs view cents with
+    tie-corrected z, A-S erfc p-value and Cliff's delta — doubled
+    average ranks off the value count table keep every sufficient
+    statistic an exact int64; the oracle replays the count table,
+    ranks, sums and the identical float expressions."""
+    from hiselspark.operators.rankstats import mann_whitney
+    ev = _ev(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view"))
+    df = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("a"),
+        F.abs(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    return mann_whitney(df, "a", "cents")
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning flags (Raffel et al. 2020 §2.2) — the
+    line-level rule set next to gopher_rules.  The synthetic corpus
+    has no punctuation or line structure, so the gate plants it
+    deterministically in BOTH engines: sentence breaks via a literal
+    replace of ' table ' with '.\\n', lorem-ipsum / curly-brace /
+    javascript-line contamination keyed off doc_id residues.  The
+    oracle replays the plant, the line split, every per-line test
+    and every count."""
+    from hiselspark.functions.text import with_c4_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.replace(F.col("text"), F.lit(" table "), F.lit(".\n"))
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum."))
+         .when(F.col("doc_id") % 7 == 1, F.lit(" { config }"))
+         .otherwise(F.lit("")))
+    t = F.concat(
+        t,
+        F.when(F.col("doc_id") % 31 == 2,
+               F.lit("\njavascript ad code here"))
+         .otherwise(F.lit("")))
+    out = with_c4_flags(docs.select("doc_id", t.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "n_js_lines", "kept_chars", "total_line_chars", "has_lorem",
+        "has_brace", F.round("kept_ratio", 6).alias("kept_ratio"),
+        "c4_pass")
+
+
+def q_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian blur gate end-to-end on synthesized 8x8
+    raw payloads with a PER-IMAGE byte step ((okey % 16)*4): step 0
+    yields constant (variance-0) images and small steps yield smooth
+    ramps whose only responses are mod-256 wraps, so the blur flag
+    splits the population.  The pandas stage emits exact int64
+    sufficient statistics; the variance is one mirrored float
+    expression and the decision an integer comparison — the oracle
+    recomputes every pixel, response, sum and the flag."""
+    from hiselspark.functions.image import with_blur_score
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("step", ((F.col("okey") % 16) * 4).cast("long"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes_vstep(imgs, "okey", "step", 7919, 8 * 8 * 3)
+    # threshold in channel-sum units; synthetic ramps carry mod-256
+    # wrap spikes, so the smooth-image band sits well above the
+    # classical ~900 — 200000 splits constants+gentle ramps from
+    # textured images on this payload model
+    out = with_blur_score(imgs.select("okey", "w", "h", "fmt", "bytes"),
+                          var_threshold=200000)
+    return out.select("okey", "lap_n", "lap_sum", "lap_sumsq",
+                      F.round("lap_var", 6).alias("lap_var"),
+                      "is_blurry")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6074,6 +6147,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_layout": q_graph_layout,
         "dup_spans": q_dup_spans,
         "sprt": q_sprt,
+        "mann_whitney": q_mann_whitney,
+        "c4_rules": q_c4_rules,
+        "image_blur": q_image_blur,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15264,5 +15340,150 @@ def _oracle_sql_raw() -> dict[str, str]:
         FROM agg a
         LEFT JOIN x d ON d.user_id = a.user_id AND d.n = a.nd
         JOIN x f ON f.user_id = a.user_id AND f.n = a.n_total
+    """
+    oracles["mann_whitney"] = """
+        WITH b AS (
+          SELECT CAST(abs(round(value * 100)) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS a
+          FROM events WHERE event_type IN ('purchase', 'view')
+        ), per_v AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS t,
+                 CAST(sum(a) AS BIGINT) AS ta
+          FROM b GROUP BY v
+        ), ranked AS (
+          SELECT v, t, ta,
+                 2 * (COALESCE(sum(t) OVER
+                        (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) + 1) + t - 1 AS r2
+          FROM per_v
+        ), s AS (
+          SELECT CAST(sum(ta) AS BIGINT) AS n1,
+                 CAST(sum(t - ta) AS BIGINT) AS n2,
+                 CAST(sum(ta * r2) AS BIGINT) AS r1d,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS tc
+          FROM ranked
+        ), e AS (
+          SELECT n1, n2, r1d - n1 * (n1 + 1) AS u2,
+                 (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                 * ((CAST(n1 + n2 AS DOUBLE) + 1.0)
+                    - CAST(tc AS DOUBLE)
+                      / (CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS var
+          FROM s
+        ), zz AS (
+          SELECT n1, n2, u2,
+                 CASE WHEN var > 0 THEN
+                   (CAST(u2 - n1 * n2 AS DOUBLE) / 2.0) / sqrt(var)
+                 END AS z
+          FROM e
+        ), w AS (
+          SELECT n1, n2, u2, z,
+                 abs(z) / sqrt(2.0) AS x,
+                 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+          FROM zz
+        )
+        SELECT n1, n2, CAST(u2 AS DOUBLE) / 2.0 AS u,
+               round(z, 6) AS z,
+               round((t * (0.254829592
+                     + t * (-0.284496736
+                     + t * (1.421413741
+                     + t * (-1.453152027 + t * 1.061405429)))))
+                     * exp(-(x * x)), 9) AS p_value,
+               round(CAST(u2 - n1 * n2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+                 AS cliffs_delta
+        FROM w
+    """
+    oracles["c4_rules"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 replace(text, ' table ', '.' || chr(10))
+                 || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum.'
+                         WHEN doc_id % 7 = 1 THEN ' { config }'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 31 = 2
+                         THEN chr(10) || 'javascript ad code here'
+                         ELSE '' END AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, t,
+                 list_filter(
+                   list_transform(str_split(t, chr(10)),
+                                  x -> trim(x)),
+                   x -> length(x) > 0) AS lines
+          FROM d
+        ), k AS (
+          SELECT doc_id, t, lines,
+                 list_filter(lines,
+                   x -> regexp_matches(x, '[.!?"]$')
+                        AND len(list_filter(
+                              str_split_regex(x, '\\s+'),
+                              w -> length(w) > 0)) >= 5) AS kept
+          FROM l
+        ), c AS (
+          SELECT doc_id,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                 CAST(length(t) - length(regexp_replace(
+                        t, '[.!?]', '', 'g')) AS BIGINT)
+                   AS n_sentences,
+                 CAST(len(list_filter(lines,
+                        x -> contains(lower(x), 'javascript')))
+                      AS BIGINT) AS n_js_lines,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(kept,
+                          x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS BIGINT) AS kept_chars,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                        list_transform(lines,
+                          x -> CAST(length(x) AS BIGINT))),
+                        (a, b) -> a + b) AS BIGINT)
+                   AS total_line_chars,
+                 contains(lower(t), 'lorem ipsum') AS has_lorem,
+                 contains(t, '{') AS has_brace
+          FROM k
+        )
+        SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+               n_js_lines, kept_chars, total_line_chars, has_lorem,
+               has_brace,
+               round(CASE WHEN total_line_chars > 0 THEN
+                 CAST(kept_chars AS DOUBLE)
+                 / CAST(total_line_chars AS DOUBLE) END, 6)
+                 AS kept_ratio,
+               (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+                AND n_kept_lines >= 1) AS c4_pass
+        FROM c
+    """
+
+    def _blur_g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((okey*7919 + ((y+{dy})*24 + (x+{dx})*3 + {c})"
+            f" * ((okey % 16)*4)) % 256)"
+            for c in range(3))
+        return f"({terms})"
+
+    _blur_resp = (f"4*{_blur_g(0, 0)} - {_blur_g(-1, 0)}"
+                  f" - {_blur_g(1, 0)} - {_blur_g(0, -1)}"
+                  f" - {_blur_g(0, 1)}")
+    oracles["image_blur"] = f"""
+        WITH r AS (
+          SELECT o_orderkey AS okey, {_blur_resp} AS resp
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ), s AS (
+          SELECT okey, CAST(count(*) AS BIGINT) AS lap_n,
+                 CAST(sum(resp) AS BIGINT) AS lap_sum,
+                 CAST(sum(resp * resp) AS BIGINT) AS lap_sumsq
+          FROM r GROUP BY okey
+        )
+        SELECT okey, lap_n, lap_sum, lap_sumsq,
+               round(CAST(lap_n * lap_sumsq - lap_sum * lap_sum
+                          AS DOUBLE)
+                     / CAST(lap_n * lap_n AS DOUBLE), 6) AS lap_var,
+               (lap_n * lap_sumsq - lap_sum * lap_sum
+                < 200000 * lap_n * lap_n) AS is_blurry
+        FROM s
     """
     return oracles

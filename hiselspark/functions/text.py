@@ -793,3 +793,73 @@ def token_fertility(df: DataFrame, id_col: str = "doc_id",
         (F.col("n_chars").cast("double")
          / F.col("n_pretokens").cast("double"))
         .alias("chars_per_token"))
+
+
+def with_c4_flags(df: DataFrame, col: str = "text",
+                  min_sentences: int = 3,
+                  min_words_per_line: int = 5) -> DataFrame:
+    """C4 heuristic cleaning flags (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2) as per-document columns — the line-and-page
+    rule set next to the document-level Gopher rules:
+
+    * a line is KEPT iff it ends in terminal punctuation (``. ! ? "``
+      after trimming) and has ≥ ``min_words_per_line`` words;
+    * the page needs ≥ ``min_sentences`` sentence terminators;
+    * pages containing ``lorem ipsum`` or ``{`` are dropped;
+    * lines containing ``javascript`` are counted (C4 removes them).
+
+    Adds: n_lines (non-empty after trim), n_kept_lines, n_sentences
+    (count of ``.!?`` characters), n_js_lines, kept_chars,
+    total_line_chars, has_lorem, has_brace, kept_ratio (the one float
+    division) and ``c4_pass`` = ≥ min_sentences AND no lorem/brace
+    AND ≥ 1 kept line.  Every count is an exact integer from JVM
+    split/filter expressions (no UDF), so all flags are integer/
+    boolean comparisons — map-only, zero shuffles, the same
+    cross-engine discipline as :func:`with_gopher_flags`.
+    """
+    text = F.col(col)
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0)
+    out = df.withColumn("__l", lines)
+    is_kept = (lambda l:
+               l.rlike('[.!?"]$')
+               & (F.size(F.filter(F.split(l, r"\s+"),
+                                  lambda w: F.length(w) > 0))
+                  >= int(min_words_per_line)))
+    kept = F.filter("__l", is_kept)
+    n_sent = (F.length(text)
+              - F.length(F.regexp_replace(text, r"[.!?]", "")))
+    out = (out
+           .withColumn("n_lines", F.size("__l").cast("long"))
+           .withColumn("n_kept_lines", F.size(kept).cast("long"))
+           .withColumn("n_sentences", n_sent.cast("long"))
+           .withColumn(
+               "n_js_lines",
+               F.size(F.filter(
+                   "__l",
+                   lambda l: F.lower(l).contains("javascript")))
+               .cast("long"))
+           .withColumn(
+               "kept_chars",
+               F.aggregate(kept, F.lit(0).cast("long"),
+                           lambda acc, l: acc + F.length(l).cast("long")))
+           .withColumn(
+               "total_line_chars",
+               F.aggregate("__l", F.lit(0).cast("long"),
+                           lambda acc, l: acc + F.length(l).cast("long")))
+           .withColumn("has_lorem",
+                       F.lower(text).contains("lorem ipsum"))
+           .withColumn("has_brace", text.contains("{"))
+           .drop("__l"))
+    out = out.withColumn(
+        "kept_ratio",
+        F.when(F.col("total_line_chars") > 0,
+               F.col("kept_chars").cast("double")
+               / F.col("total_line_chars").cast("double")))
+    return out.withColumn(
+        "c4_pass",
+        (F.col("n_sentences") >= int(min_sentences))
+        & ~F.col("has_lorem") & ~F.col("has_brace")
+        & (F.col("n_kept_lines") >= 1))

@@ -378,3 +378,73 @@ def stump_split(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                             F.col("threshold").asc())
     return (scored.withColumn("__rn", F.row_number().over(w_best))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def mann_whitney(df: DataFrame, flag_col: str,
+                 value_col: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) of ``value_col``
+    between the ``flag_col`` = 1 sample (A) and the = 0 sample (B),
+    with the tie-corrected normal approximation and Cliff's delta —
+    the distribution-free two-sample location test next to
+    :func:`welch_ttest`, plus the effect size a dashboard reports
+    with it.
+
+    Exactness: doubled average ranks r2 off the value count table
+    (module docstring), so the doubled rank sum of A
+    ``r1d = Σ t_A·r2`` and the doubled U statistic
+    ``u2 = r1d − n1·(n1+1)`` are exact int64; the tie term
+    ``Σ(t³−t)`` is an exact integer fold of the same table.  The
+    statistic, z, Cliff's delta ``(u2 − n1·n2)/(n1·n2)`` (ties count
+    half, the average-rank convention) and the Abramowitz-Stegun
+    erfc p-value are then ONE fixed float expression each, mirrored
+    term-for-term by the oracle.  All-tied data (σ² = 0) yields NULL
+    z/p rather than a 0/0.
+
+    Plan: one (value)-keyed count-table exchange + one window on it +
+    one global aggregate — never a row sort.  Overflow: t³ ≤ n³
+    (int64-safe for n < 2M per tied value; DECIMAL(38,0) at corpus
+    scale, same plan).  Returns one row:
+    (n1, n2, u, z, p_value, cliffs_delta).
+    """
+    base = df.select(F.col(value_col).cast("long").alias("v"),
+                     F.col(flag_col).cast("long").alias("a"))
+    per_v = base.groupBy("v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("a").alias("ta"))
+    w_run = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_v.select(
+        "v", "t", "ta",
+        (F.lit(2) * (F.coalesce(F.sum("t").over(w_run), F.lit(0)) + 1)
+         + F.col("t") - 1).alias("r2"))
+    s = ranked.agg(
+        F.sum("ta").alias("n1"),
+        F.sum(F.col("t") - F.col("ta")).alias("n2"),
+        F.sum(F.col("ta") * F.col("r2")).alias("r1d"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tc"))
+    u2 = F.col("r1d") - F.col("n1") * (F.col("n1") + 1)
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    var = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tc").cast("double") / (nd * (nd - F.lit(1.0))))
+    z = F.when(
+        var > 0,
+        ((u2 - F.col("n1") * F.col("n2")).cast("double") / F.lit(2.0))
+        / F.sqrt(var))
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t_ = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    p = (t_ * (F.lit(0.254829592)
+         + t_ * (F.lit(-0.284496736)
+         + t_ * (F.lit(1.421413741)
+         + t_ * (F.lit(-1.453152027)
+         + t_ * F.lit(1.061405429)))))) * F.exp(-(x * x))
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        F.round(z, 6).alias("z"),
+        F.round(p, 9).alias("p_value"),
+        F.round((u2 - F.col("n1") * F.col("n2")).cast("double")
+                / (n1d * n2d), 6).alias("cliffs_delta"))
