@@ -6114,6 +6114,39 @@ def q_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "is_blurry")
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (3 rounds, smallest-label tie
+    rule) over the undirected order↔part bipartite graph — the
+    community detector whose output modularity() grades.  Exact
+    integer votes and a deterministic argmax make every round
+    bit-reproducible; the oracle unrolls the identical rounds as
+    single-reference CTEs."""
+    from hiselspark.operators.graph import label_propagation
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") * 2).alias("src"),
+                      (F.col("l_partkey") * 2 + 1).alias("dst"))
+    return label_propagation(edges, rounds=3)
+
+
+def q_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified-propensity ATE (subclassification + Horvitz-
+    Thompson IPW) with hour-of-day strata and a planted
+    positivity violation (hour 0 is all-treated and must be dropped
+    WITH its row count reported).  Exact per-stratum integer sums;
+    both cross-stratum folds run in ascending-stratum order and the
+    oracle replays every cell and term."""
+    from hiselspark.operators.causal import ipw_estimate
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        F.hour("ts").cast("long").alias("b"),
+        F.when(F.hour("ts") == 0, F.lit(1))
+         .otherwise((F.col("user_id") % 3 == 0).cast("long"))
+         .alias("t"),
+        F.col("cents").alias("y"))
+    return ipw_estimate(df, "t", "y", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6150,6 +6183,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": q_mann_whitney,
         "c4_rules": q_c4_rules,
         "image_blur": q_image_blur,
+        "label_prop": q_label_prop,
+        "ipw": q_ipw,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15485,5 +15520,87 @@ def _oracle_sql_raw() -> dict[str, str]:
                (lap_n * lap_sumsq - lap_sum * lap_sum
                 < 200000 * lap_n * lap_n) AS is_blurry
         FROM s
+    """
+    _lpa_round = """
+        , v{r} AS (
+          SELECT e.src AS node, l.label, count(*) AS c
+          FROM sym e JOIN l{p} l ON l.node = e.dst
+          GROUP BY e.src, l.label
+        ), l{r} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                     ORDER BY c DESC, label ASC) AS rn
+            FROM v{r}) WHERE rn = 1
+        )"""
+    oracles["label_prop"] = ("""
+        WITH e0 AS (
+          SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          FROM lineitem
+        ), sym AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0)
+          WHERE src <> dst
+        ), l0 AS (
+          SELECT DISTINCT src AS node, src AS label FROM sym
+        )"""
+        + "".join(_lpa_round.format(r=r, p=r - 1) for r in (1, 2, 3))
+        + """
+        SELECT node, label,
+               CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+                 AS community_size
+        FROM l3
+    """)
+    oracles["ipw"] = """
+        WITH b AS (
+          SELECT CAST(hour(ts) AS BIGINT) AS b,
+                 CASE WHEN hour(ts) = 0 THEN 1
+                      WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+                 CAST(abs(round(value * 100)) AS BIGINT) AS y
+          FROM events
+        ), per_b AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(t) AS BIGINT) AS nt,
+                 CAST(sum(t * y) AS BIGINT) AS syt,
+                 CAST(sum((1 - t) * y) AS BIGINT) AS syc
+          FROM b GROUP BY b
+        ), f AS (
+          SELECT *, (nt > 0 AND nt < n_b) AS ok FROM per_b
+        ), agg AS (
+          SELECT CAST(sum(n_b) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_strata,
+                 CAST(sum(CASE WHEN ok THEN n_b ELSE 0 END)
+                      AS BIGINT) AS n_used,
+                 CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_used_strata,
+                 list({'b': b, 'n_b': n_b, 'nt': nt,
+                       'syt': syt, 'syc': syc} ORDER BY b)
+                   FILTER (WHERE ok) AS cells
+          FROM f
+        )
+        SELECT n, n_used, n_strata, n_used_strata,
+               n - n_used AS n_dropped_rows,
+               CASE WHEN n_used > 0 THEN
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cells, s ->
+                     CAST(s.n_b AS DOUBLE)
+                     * (CAST(s.syt AS DOUBLE) / CAST(s.nt AS DOUBLE)
+                        - CAST(s.syc AS DOUBLE)
+                          / CAST(s.n_b - s.nt AS DOUBLE)))),
+                   (a, x) -> a + x)
+                   / CAST(n_used AS DOUBLE), 6)
+               END AS ate_strat,
+               CASE WHEN n_used > 0 THEN
+                 round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(cells, s ->
+                     CAST(s.syt AS DOUBLE) * CAST(s.n_b AS DOUBLE)
+                     / CAST(s.nt AS DOUBLE)
+                     - CAST(s.syc AS DOUBLE) * CAST(s.n_b AS DOUBLE)
+                       / CAST(s.n_b - s.nt AS DOUBLE))),
+                   (a, x) -> a + x)
+                   / CAST(n_used AS DOUBLE), 6)
+               END AS ate_ipw
+        FROM agg
     """
     return oracles

@@ -32,7 +32,7 @@ similarity/interaction graphs.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def symmetrize(edges: DataFrame, src: str = "src",
@@ -499,3 +499,54 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
                      F.col("s").alias("score"))
              .unionAll(a.select("node", F.lit("auth").alias("kind"),
                                 F.col("s").alias("score"))))
+
+
+def label_propagation(edges: DataFrame, src: str = "src",
+                      dst: str = "dst", rounds: int = 3,
+                      undirected: bool = True) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with the
+    DETERMINISTIC tie rule that makes it oracle-replayable: every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label.  Bounded ``rounds`` (the kcore/pagerank discipline) keeps
+    the operator deterministic and lets a SQL engine unroll the same
+    rounds as CTEs — classic async LPA with random tie-breaking is
+    neither.
+
+    Returns (node, label, community_size) after the last round, for
+    every node with ≥ 1 edge.  Nodes keep their own label only until
+    a neighborhood vote exists (every node here has neighbors by
+    construction).
+
+    Scale shape per round: one labels→edges join + one (node, label)
+    count + one per-node argmax window — the canonical iterative
+    pattern; at 10^12 edges co-partition edges and labels on node id
+    so the per-round join is shuffle-free on the big side.  Each
+    round is materialized (localCheckpoint) so the unrolled lineage
+    doesn't recompute round 0 exponentially.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = edges.select(F.col(src).cast("long").alias("src"),
+                     F.col(dst).cast("long").alias("dst"))
+    if undirected:
+        e = symmetrize(e)
+    e = e.filter(F.col("src") != F.col("dst"))
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=True)
+        votes = (e.join(labels.withColumnRenamed("node", "dst"),
+                        "dst")
+                 .groupBy(F.col("src").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        labels = (votes
+                  .withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select("node", "label"))
+    wsz = Window.partitionBy("label")
+    return labels.select(
+        "node", "label",
+        F.count(F.lit(1)).over(wsz).alias("community_size"))
