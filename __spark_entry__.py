@@ -6147,6 +6147,44 @@ def q_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ipw_estimate(df, "t", "y", "b")
 
 
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection end-to-end: synthesize 6-frame 4x4 rawv
+    clips with PLANTED scene structure (frames identical within a
+    scene, base-shifted across boundaries; scene length 2 or 3 keyed
+    off the order key), threshold the exact inter-frame SADs, and
+    derive cuts / scene count / longest scene / first cut.  Every
+    byte, SAD, threshold decision and scene run is replayed
+    arithmetically by the oracle."""
+    from hiselspark.functions.video import with_scene_cuts
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vids = (orders.filter(F.col("o_orderkey") % 4 == 0)
+            .select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(4)).withColumn("h", F.lit(4))
+            .withColumn("container", F.lit("rawv")))
+
+    import numpy as np
+    import pandas as pd
+
+    def synth(keys):
+        k = keys.to_numpy(dtype=np.int64)
+        i = np.arange(6 * 48, dtype=np.int64)
+        f, j = i // 48, i % 48
+        slen = 2 + (k[:, None] // 4) % 2
+        scene = f[None, :] // slen
+        block = ((k[:, None] * 131 + scene * 347 + j[None, :] * 7)
+                 % 256).astype(np.uint8)
+        return pd.Series([block[r].tobytes()
+                          for r in range(len(k))])
+
+    vids = vids.withColumn(
+        "video", F.pandas_udf(synth, "binary")(F.col("okey")))
+    out = with_scene_cuts(vids, id_col="okey", bytes_col="video",
+                          container_col="container",
+                          sad_threshold_per_byte=8)
+    return out.select("okey", "n_frames", "n_cuts", "n_scenes",
+                      "longest_scene", "first_cut", "sad_total")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6185,6 +6223,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_blur": q_image_blur,
         "label_prop": q_label_prop,
         "ipw": q_ipw,
+        "scene_cuts": q_scene_cuts,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15602,5 +15641,56 @@ def _oracle_sql_raw() -> dict[str, str]:
                    / CAST(n_used AS DOUBLE), 6)
                END AS ate_ipw
         FROM agg
+    """
+    oracles["scene_cuts"] = """
+        WITH tr AS (
+          SELECT okey, f, CAST(sum(d) AS BIGINT) AS sad FROM (
+            SELECT o_orderkey AS okey, f, j,
+                   abs(((o_orderkey * 131
+                        + (f // (2 + (o_orderkey // 4) % 2)) * 347
+                        + j * 7) % 256)
+                     - ((o_orderkey * 131
+                        + ((f - 1) // (2 + (o_orderkey // 4) % 2))
+                          * 347
+                        + j * 7) % 256)) AS d
+            FROM orders,
+                 unnest(generate_series(1, 5)) AS tf(f),
+                 unnest(generate_series(0, 47)) AS tj(j)
+            WHERE o_orderkey % 4 = 0
+          ) GROUP BY okey, f
+        ), cut AS (
+          SELECT okey, f, sad, (sad > 8 * 48) AS iscut FROM tr
+        ), grid AS (
+          SELECT okey, f
+          FROM (SELECT DISTINCT okey FROM cut),
+               unnest(generate_series(0, 5)) AS t(f)
+        ), scn AS (
+          SELECT g.okey, g.f,
+                 sum(CASE WHEN COALESCE(c.iscut, FALSE)
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY g.okey ORDER BY g.f
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS scene_idx
+          FROM grid g LEFT JOIN cut c
+            ON c.okey = g.okey AND c.f = g.f
+        ), per_scene AS (
+          SELECT okey, scene_idx, CAST(count(*) AS BIGINT) AS len
+          FROM scn GROUP BY okey, scene_idx
+        ), summ AS (
+          SELECT okey, CAST(count(*) AS BIGINT) AS n_scenes,
+                 CAST(max(len) AS BIGINT) AS longest_scene
+          FROM per_scene GROUP BY okey
+        ), cutagg AS (
+          SELECT okey,
+                 CAST(sum(CASE WHEN iscut THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_cuts,
+                 CAST(min(CASE WHEN iscut THEN f END) AS BIGINT)
+                   AS first_cut,
+                 CAST(sum(sad) AS BIGINT) AS sad_total
+          FROM cut GROUP BY okey
+        )
+        SELECT c.okey, CAST(6 AS BIGINT) AS n_frames, c.n_cuts,
+               s.n_scenes, s.longest_scene, c.first_cut, c.sad_total
+        FROM cutagg c JOIN summ s ON s.okey = c.okey
     """
     return oracles
