@@ -6185,6 +6185,22 @@ def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "longest_scene", "first_cut", "sad_total")
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (Sennrich et al. 2016) on the corpus
+    word-frequency table: 6 rounds of exact weighted pair counting
+    with the (count DESC, lhs ASC, rhs ASC) argmax and the
+    double-space literal-replace merge.  The oracle replays the vocab
+    build, every round's pair counts, every argmax and every merge as
+    materialized CTEs — the corpus state round-for-round."""
+    from hiselspark.operators.bpe import bpe_train
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (docs.select(
+        F.explode(F.filter(F.split(F.trim("text"), r"\s+"),
+                           lambda x: F.length(x) > 0)).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("w")))
+    return bpe_train(words, "word", "w", rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6224,6 +6240,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop": q_label_prop,
         "ipw": q_ipw,
         "scene_cuts": q_scene_cuts,
+        "bpe_train": q_bpe_train,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15693,4 +15710,46 @@ def _oracle_sql_raw() -> dict[str, str]:
                s.n_scenes, s.longest_scene, c.first_cut, c.sad_total
         FROM cutagg c JOIN summ s ON s.okey = c.okey
     """
+    _bpe_round = """
+        , p{r} AS MATERIALIZED (
+          SELECT pr.lhs AS lhs, pr.rhs AS rhs,
+                 CAST(sum(w) AS BIGINT) AS cnt
+          FROM (
+            SELECT w,
+                   unnest(list_transform(
+                     generate_series(1, len(t) - 1),
+                     i -> {{'lhs': t[i], 'rhs': t[i + 1]}})) AS pr
+            FROM (SELECT w, str_split(trim(seq), '  ') AS t
+                  FROM c{p})
+            WHERE len(t) >= 2
+          ) GROUP BY pr.lhs, pr.rhs
+        ), m{r} AS MATERIALIZED (
+          SELECT lhs, rhs, cnt FROM p{r}
+          ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1
+        ), c{r} AS MATERIALIZED (
+          SELECT c.w,
+                 replace(c.seq, ' ' || m.lhs || '  ' || m.rhs || ' ',
+                         ' ' || m.lhs || m.rhs || ' ') AS seq
+          FROM c{p} c, m{r} m
+        )"""
+    oracles["bpe_train"] = ("""
+        WITH v AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS w FROM (
+            SELECT unnest(list_filter(
+                     str_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0)) AS word
+            FROM documents)
+          GROUP BY word
+        ), c0 AS MATERIALIZED (
+          SELECT w, regexp_replace(word, '(.)', ' \\1 ', 'g') AS seq
+          FROM v
+        )"""
+        + "".join(_bpe_round.format(r=r, p=r - 1)
+                  for r in (1, 2, 3, 4, 5, 6))
+        + """
+        """
+        + " UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, "
+            f"lhs || rhs AS token, cnt AS pair_count FROM m{r}"
+            for r in (1, 2, 3, 4, 5, 6)))
     return oracles
