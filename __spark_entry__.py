@@ -6201,6 +6201,26 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(words, "word", "w", rounds=6)
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust z of three integer features — both order
+    statistics off per-(feature, value) count tables via the exact
+    doubled-median trick, never a row sort; the score is one mirrored
+    float expression over exact ints.  The oracle replays the count
+    tables, both medians and every score."""
+    from hiselspark.operators.encoding import robust_scale
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "ts",
+        F.abs(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    df = ev.select(
+        "event_id", "cents",
+        F.hour("ts").cast("long").alias("h"),
+        (F.col("event_id") % 50).alias("em"))
+    out = robust_scale(df, "event_id", ["cents", "h", "em"])
+    return out.select(F.col("id").alias("event_id"), "feature", "v",
+                      "m2", "mad2d", F.round("rz", 6).alias("rz"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6241,6 +6261,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw": q_ipw,
         "scene_cuts": q_scene_cuts,
         "bpe_train": q_bpe_train,
+        "robust_scale": q_robust_scale,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15752,4 +15773,63 @@ def _oracle_sql_raw() -> dict[str, str]:
             f"SELECT CAST({r} AS BIGINT) AS step, lhs, rhs, "
             f"lhs || rhs AS token, cnt AS pair_count FROM m{r}"
             for r in (1, 2, 3, 4, 5, 6)))
+    oracles["robust_scale"] = """
+        WITH longt AS (
+          SELECT event_id AS id, 'cents' AS feat,
+                 CAST(abs(round(value * 100)) AS BIGINT) AS v
+          FROM events
+          UNION ALL
+          SELECT event_id, 'h', CAST(hour(ts) AS BIGINT) FROM events
+          UNION ALL
+          SELECT event_id, 'em', CAST(event_id % 50 AS BIGINT)
+          FROM events
+        ), pv AS (
+          SELECT feat, v, CAST(count(*) AS BIGINT) AS t
+          FROM longt WHERE v IS NOT NULL GROUP BY feat, v
+        ), c1 AS (
+          SELECT feat, v, t,
+                 sum(t) OVER (PARTITION BY feat ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(t) OVER (PARTITION BY feat) AS n
+          FROM pv
+        ), lo1 AS (
+          SELECT feat, min(v) AS lo FROM c1
+          WHERE cum >= n - n // 2 GROUP BY feat
+        ), hi1 AS (
+          SELECT feat, min(v) AS hi FROM c1
+          WHERE cum >= n // 2 + 1 GROUP BY feat
+        ), med AS (
+          SELECT feat, lo + hi AS m2 FROM lo1 JOIN hi1 USING (feat)
+        ), dv AS (
+          SELECT feat, d, CAST(sum(t) AS BIGINT) AS t FROM (
+            SELECT p.feat, abs(2 * p.v - m.m2) AS d, p.t
+            FROM pv p JOIN med m USING (feat))
+          GROUP BY feat, d
+        ), c2 AS (
+          SELECT feat, d, t,
+                 sum(t) OVER (PARTITION BY feat ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+                 sum(t) OVER (PARTITION BY feat) AS n
+          FROM dv
+        ), lo2 AS (
+          SELECT feat, min(d) AS lo FROM c2
+          WHERE cum >= n - n // 2 GROUP BY feat
+        ), hi2 AS (
+          SELECT feat, min(d) AS hi FROM c2
+          WHERE cum >= n // 2 + 1 GROUP BY feat
+        ), mad AS (
+          SELECT feat, lo + hi AS mad2d
+          FROM lo2 JOIN hi2 USING (feat)
+        ), stats AS (
+          SELECT feat, m2, mad2d FROM med JOIN mad USING (feat)
+        )
+        SELECT l.id AS event_id, l.feat AS feature, l.v,
+               s.m2, s.mad2d,
+               round(CASE WHEN l.v IS NOT NULL AND s.mad2d > 0 THEN
+                 2.0 * CAST(2 * l.v - s.m2 AS DOUBLE)
+                 / (1.4826 * CAST(s.mad2d AS DOUBLE)) END, 6) AS rz
+        FROM longt l JOIN stats s USING (feat)
+    """
     return oracles

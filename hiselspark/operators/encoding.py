@@ -524,3 +524,80 @@ def embedding_profile_pit(
         F.col("_o").alias(order_col),
         "n_prior",
         F.when(F.col("n_prior") > 0, F.col(out_col)).alias(out_col))
+
+
+def robust_scale(df: DataFrame, id_col: str,
+                 cols: "Sequence[str]") -> DataFrame:
+    """Median/MAD robust z-score of every feature column — the
+    outlier-proof cousin of standardization (the consistency constant
+    1.4826 makes the MAD estimate sigma under normality):
+
+        rz = (x − median) / (1.4826 · MAD)
+
+    Exactness: both order statistics come off the per-(feature, value)
+    COUNT TABLE — never a row sort.  The doubled median ``m2 = lo +
+    hi`` (the hampel/exact_quantiles trick, interpolation-free) is an
+    exact int64; deviations ``d = |2x − m2|`` are exact ints whose own
+    count table yields the doubled-MAD ``mad2d = 4·MAD`` exactly; the
+    final score is ONE mirrored float expression
+    ``2·(2x − m2) / (1.4826 · mad2d)`` per row.  Constant features
+    (mad2d = 0) yield NULL rz — declared, not a division blow-up.
+
+    Plan shape: one unpivot (map-only), two (feature, value)-keyed
+    count aggregates with a tiny per-feature window each (cost bounded
+    by DISTINCT values, not rows), one broadcast join of the
+    k-row stats table back onto the long rows.  ``cols`` must be
+    integer-valued (cents convention); NULLs are excluded from the
+    statistics and get NULL rz.
+
+    Returns (id, feature, v, m2, mad2d, rz) — one row per (row,
+    feature).
+    """
+    cols = list(cols)
+    parts = [
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.lit(c).alias("feat"),
+                  F.col(c).cast("long").alias("v"))
+        for c in cols
+    ]
+    long_df = parts[0]
+    for p in parts[1:]:
+        long_df = long_df.unionAll(p)
+    nn = long_df.filter(F.col("v").isNotNull())
+
+    def med2_from_counts(cnt_df, val_col):
+        """Doubled median off a (feat, value, t) count table."""
+        w_run = (Window.partitionBy("feat").orderBy(val_col)
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        w_tot = Window.partitionBy("feat")
+        c = (cnt_df
+             .withColumn("cum", F.sum("t").over(w_run))
+             .withColumn("n", F.sum("t").over(w_tot)))
+        lo_pos = (F.col("n") + 1) - F.expr("n DIV 2") - 1  # ceil(n/2)
+        hi_pos = F.expr("n DIV 2") + 1
+        lo = (c.filter(F.col("cum") >= lo_pos)
+              .groupBy("feat").agg(F.min(val_col).alias("lo")))
+        hi = (c.filter(F.col("cum") >= hi_pos)
+              .groupBy("feat").agg(F.min(val_col).alias("hi")))
+        return lo.join(hi, "feat").select(
+            "feat", (F.col("lo") + F.col("hi")).alias("m2"))
+
+    per_v = nn.groupBy("feat", "v").agg(F.count(F.lit(1)).alias("t"))
+    med = med2_from_counts(per_v, "v")
+    dev_cnt = (per_v.join(F.broadcast(med), "feat")
+               .select("feat",
+                       F.abs(F.lit(2) * F.col("v") - F.col("m2"))
+                       .alias("d"), "t")
+               .groupBy("feat", "d").agg(F.sum("t").alias("t")))
+    mad = (med2_from_counts(dev_cnt, "d")
+           .withColumnRenamed("m2", "mad2d"))
+    stats = med.join(mad, "feat")
+    out = long_df.join(F.broadcast(stats), "feat")
+    rz = (F.lit(2.0) * (F.lit(2) * F.col("v") - F.col("m2"))
+          .cast("double")
+          / (F.lit(1.4826) * F.col("mad2d").cast("double")))
+    return out.select(
+        "id", F.col("feat").alias("feature"), "v", "m2", "mad2d",
+        F.when(F.col("v").isNotNull() & (F.col("mad2d") > 0), rz)
+        .alias("rz"))
