@@ -6221,6 +6221,26 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "m2", "mad2d", F.round("rz", 6).alias("rz"))
 
 
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR/hit@10 per user query on the same derived relevance grades
+    as the ndcg gate — first-relevant rank via the shared unique tie
+    rule, reciprocal as one mirrored division, 0.0 on a miss.  The
+    oracle replays the ranking window and the argmin."""
+    from hiselspark.operators.rank_eval import mrr_at_k
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        F.col("user_id").alias("q"), "event_id",
+        # sparser grades than the ndcg gate so some queries MISS
+        F.when(F.expr("cents DIV 11") % 17 == 0, F.lit(1))
+         .otherwise(F.lit(0)).alias("rel"),
+        (F.col("cents") % 97).alias("s"))
+    out = mrr_at_k(df, "q", "event_id", "s", "rel", k=10)
+    return out.select(F.col("query").alias("user_id"), "n_docs",
+                      "first_rel_rank",
+                      F.round("rr", 6).alias("rr"), "hit")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6262,6 +6282,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scene_cuts": q_scene_cuts,
         "bpe_train": q_bpe_train,
         "robust_scale": q_robust_scale,
+        "mrr": q_mrr,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15831,5 +15852,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                  2.0 * CAST(2 * l.v - s.m2 AS DOUBLE)
                  / (1.4826 * CAST(s.mad2d AS DOUBLE)) END, 6) AS rz
         FROM longt l JOIN stats s USING (feat)
+    """
+    oracles["mrr"] = """
+        WITH b AS (
+          SELECT user_id AS q, event_id,
+                 CASE WHEN (CAST(abs(round(value * 100)) AS BIGINT)
+                            // 11) % 17 = 0
+                      THEN 1 ELSE 0 END AS rel,
+                 CAST(abs(round(value * 100)) AS BIGINT) % 97 AS s
+          FROM events
+        ), r AS (
+          SELECT q, rel,
+                 CAST(row_number() OVER (PARTITION BY q
+                   ORDER BY s DESC, event_id ASC) AS BIGINT) AS rk
+          FROM b
+        ), a AS (
+          SELECT q AS user_id, CAST(count(*) AS BIGINT) AS n_docs,
+                 min(CASE WHEN rel > 0 AND rk <= 10 THEN rk END)
+                   AS first_rel_rank
+          FROM r GROUP BY q
+        )
+        SELECT user_id, n_docs, first_rel_rank,
+               round(CASE WHEN first_rel_rank IS NOT NULL THEN
+                 1.0 / CAST(first_rel_rank AS DOUBLE)
+                 ELSE 0.0 END, 6) AS rr,
+               (first_rel_rank IS NOT NULL) AS hit
+        FROM a
     """
     return oracles

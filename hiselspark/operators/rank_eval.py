@@ -160,3 +160,46 @@ def pairwise_preferences(
         F.sum(b_ok).alias("b_correct"),
         F.sum(b_tie).alias("b_tied"),
         F.sum(a_ok * b_ok).alias("both_correct")))
+
+
+def mrr_at_k(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal rank + hit@k per query — the recall-oriented
+    companion of :func:`ndcg_at_k` (mean the ``rr`` column for MRR@k).
+
+    Ranking and tie rule are identical to ndcg_at_k (score DESC, doc
+    ASC via row_number — unique, layout-stable).  ``first_rel_rank``
+    is the rank of the first candidate with ``rel`` > 0 inside the
+    top k (NULL when none); ``rr`` is its exact reciprocal ``1.0 /
+    rank`` (0.0 on a miss — the standard MRR convention); ``hit`` is
+    the boolean.  One query-key exchange serves the window and the
+    aggregate; all decisions are integer comparisons and the one
+    float is a single mirrored division.
+    """
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).cast("long").alias("doc"),
+        F.col(score_col).alias("score"),
+        F.col(rel_col).cast("long").alias("rel"))
+    w_sys = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc").asc())
+    ranked = base.select(
+        "query", "rel",
+        F.row_number().over(w_sys).cast("long").alias("rk"))
+    kk = int(k)
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when((F.col("rel") > 0) & (F.col("rk") <= kk),
+                     F.col("rk"))).alias("first_rel_rank"))
+    return agg.select(
+        "query", "n_docs", "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNotNull(),
+               F.lit(1.0) / F.col("first_rel_rank").cast("double"))
+        .otherwise(F.lit(0.0)).alias("rr"),
+        F.col("first_rel_rank").isNotNull().alias("hit"))

@@ -91,3 +91,25 @@ def test_pairwise_perfect_ranker_wins_every_pair(spark):
         .collect()[0]
     assert r["a_correct"] == r["n_pref_pairs"] == 6
     assert r["b_tied"] == 6 and r["b_correct"] == 0
+
+
+def test_mrr_matches_brute(spark):
+    from hiselspark.operators.rank_eval import mrr_at_k
+    df, pdf = _frame(spark)
+    # sparsify relevance so some queries miss the top k entirely
+    pdf = pdf.assign(rel=(pdf.rel == 3).astype(int))
+    df = spark.createDataFrame(pdf)
+    out = {r["query"]: r for r in
+           mrr_at_k(df, "q", "doc", "sa", "rel", k=3).collect()}
+    for q, g in pdf.groupby("q"):
+        order = sorted(range(len(g)),
+                       key=lambda i: (-g.sa.iloc[i], g.doc.iloc[i]))
+        fr = next((r + 1 for r, i in enumerate(order[:3])
+                   if g.rel.iloc[i] > 0), None)
+        got = out[q]
+        assert got["first_rel_rank"] == fr
+        assert got["hit"] == (fr is not None)
+        import pytest as _pt
+        assert got["rr"] == _pt.approx(
+            0.0 if fr is None else 1.0 / fr, abs=1e-12)
+        assert got["n_docs"] == len(g)
