@@ -99,7 +99,11 @@ def main() -> None:
                   "dhash", "auc", "tpch_q5",
                   # round-3 representatives: HSIC-family count-closed
                   # ranking, windowed attribution, HOG-lite pixels
-                  "hsic_rank", "attribution", "image_gradhist")
+                  "hsic_rank", "attribution", "image_gradhist",
+                  # round-4 representatives: exhaustive k-gram span
+                  # dedup (the per-position explode is the cost story)
+                  # and iterative BPE training (6 agg+replace rounds)
+                  "dup_spans", "bpe_train")
     # interleaved best-of-2: the full list runs twice in order, so the
     # two reps of each query are separated in time — on a noisy shared
     # host (observed 2-3x swings on identical plans minutes apart)

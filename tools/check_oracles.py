@@ -119,6 +119,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
+    # bound the oracle engine: DuckDB's default limit (80% of RAM)
+    # ignores the 16g Spark JVM sharing the box — at sf0.1 the two
+    # briefly exhausted physical memory (tiny-allocation OOMs in the
+    # heavier CTE-materializing oracles).  48G + disk spill keeps the
+    # sweep safe at any sf
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
