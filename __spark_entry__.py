@@ -1010,8 +1010,13 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).withColumn(
         "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
     out = changepoint_mean(ev, "user_id", "ts", "event_id", "cents")
+    # gain is emitted UNROUNDED: the raw doubles are bit-identical
+    # across engines (identical expression tree over exact ints), but
+    # round(x, 6) itself is NOT engine-portable at gain's magnitude
+    # (~1e8 at sf0.1: Spark rounds via decimal-exact HALF_UP, DuckDB
+    # through a float multiply - 17/1500 last-ulp diffs measured)
     return out.select(F.col("entity").alias("user_id"), "n",
-                      "split_idx", F.round("gain", 6).alias("gain"),
+                      "split_idx", F.col("gain"),
                       F.round("left_mean", 6).alias("left_mean"),
                       F.round("right_mean", 6).alias("right_mean"))
 
@@ -1194,9 +1199,13 @@ def q_hll_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the bounded-error flag (HLL merge is commutative, so the
     flag is layout-independent)."""
     ev = _ev(spark, sf_dir)
+    # rsd is a STANDARD DEVIATION: at 0.05 the estimate misses the 5%
+    # envelope ~1/3 of the time once cardinalities leave the exact
+    # linear-counting range (hit at sf0.1) — sketch at rsd=0.01 so
+    # the advertised 5% contract holds with ~5-sigma margin
     out = (ev.groupBy("event_type")
            .agg(F.countDistinct("user_id").alias("exact_users"),
-                F.approx_count_distinct("user_id", 0.05)
+                F.approx_count_distinct("user_id", 0.01)
                  .alias("__approx")))
     ok = (F.abs(F.col("__approx") - F.col("exact_users"))
           <= F.col("exact_users") * F.lit(0.05))
@@ -4072,14 +4081,21 @@ def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _roundtrip_agg(df: DataFrame) -> DataFrame:
     """Fidelity aggregate for text-format round trips: counts, exact
-    cents sum, exact microsecond-timestamp sum and total props-string
-    length per event type — any loss of precision, quoting or row
-    fidelity in the round trip breaks at least one column."""
+    cents sum, exact timestamp sums and total props-string length per
+    event type — any loss of precision, quoting or row fidelity in
+    the round trip breaks at least one column.  The timestamp check
+    sums DAYS and MICROSECONDS-WITHIN-DAY separately: a raw
+    Σ unix_micros overflows int64 past ~5k rows-per-group × 50 years
+    (hit at sf0.1 under ANSI mode), while the split sums stay exact
+    at any scale and still catch single-microsecond corruption."""
     return (df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.abs(F.round(F.col("value") * 100).cast("long")))
          .alias("sum_cents"),
-        F.sum(_us("ts")).alias("sum_us"),
+        F.expr("sum(unix_micros(cast(ts as timestamp)) "
+               "DIV 86400000000)").alias("sum_days"),
+        F.expr("sum(unix_micros(cast(ts as timestamp)) "
+               "% 86400000000)").alias("sum_us_in_day"),
         F.sum(F.length("props")).alias("sum_props_len")))
 
 
@@ -8997,7 +9013,10 @@ def _oracle_sql_raw() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(abs(CAST(round(value*100) AS BIGINT)))
                     AS BIGINT) AS sum_cents,
-               CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_us,
+               CAST(sum(epoch_us(ts) // 86400000000) AS BIGINT)
+                 AS sum_days,
+               CAST(sum(epoch_us(ts) % 86400000000) AS BIGINT)
+                 AS sum_us_in_day,
                CAST(sum(length(props)) AS BIGINT) AS sum_props_len
         FROM events GROUP BY event_type
     """
@@ -11958,7 +11977,7 @@ def _oracle_sql_raw() -> dict[str, str]:
         )
         SELECT user_id, CAST(n AS BIGINT) AS n,
                CAST(idx AS BIGINT) AS split_idx,
-               round(gain, 6) AS gain,
+               gain,
                round(CAST(sl AS DOUBLE) / CAST(idx AS DOUBLE), 6)
                  AS left_mean,
                round(CAST(s - sl AS DOUBLE)

@@ -18,6 +18,7 @@ instead of re-running it (the driver itself samples ~50 queries).
 """
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -36,6 +37,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # diagnosis-only escape hatch; the committed artifact must be produced
 # with the representation-exact default
 TOLERANT = os.environ.get("CHECK_ORACLES_TOLERANT", "") == "1"
+
+# Queries whose oracles embed PINNED values generated at the driver's
+# gate scale (sf0.01): the 4 full literal pins (seeded searches whose
+# independent evidence is pytest parity vs the reference) and the
+# constant pins (ANN candidate ids, PCA model, semantic-dedup
+# clusters, exact selection scores).  At any OTHER sf these oracles
+# intentionally diverge — the pin encodes a data-fit model/search
+# output of sf0.01 data.  The sweep still RUNS them and records the
+# comparison, but tags the mismatch as the declared scale pin rather
+# than a correctness failure.
+PINNED_AT_GATE_SF = {
+    "greedy_hsic_search", "categorical_search", "mi_preselect",
+    "feature_selection",                       # full literal pins
+    "hsic_select_embeddings", "segmented_select",
+    "lsh_topk", "ivf_topk", "pq_topk", "pca_project",
+    "semantic_dedup",                          # constant pins
+}
+GATE_SF_DIR_HINT = "sf0.01"
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -118,24 +137,47 @@ def main():
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    # bound the oracle engine: DuckDB's default limit (80% of RAM)
-    # ignores the 16g Spark JVM sharing the box — at sf0.1 the two
-    # briefly exhausted physical memory (tiny-allocation OOMs in the
-    # heavier CTE-materializing oracles).  48G + disk spill keeps the
-    # sweep safe at any sf
-    con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
-    for t in TABLES:
-        p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    def fresh_con():
+        # bound the oracle engine: DuckDB's default limit (80% of
+        # RAM) ignores the 16g Spark JVM sharing the box, and its
+        # limit governs only BUFFER-MANAGED memory — big hash
+        # joins/string heaps overshoot it, and once an allocation
+        # fails the connection keeps failing on tiny blocks.  Bounded
+        # limit + bounded threads + disk spill, and the sweep
+        # RECONNECTS (below) after any out-of-memory oracle so one
+        # heavy query cannot poison the rest of the run.
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        c.execute("SET threads TO 8")
+        c.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{p}')")
+        return c
+
+    con = fresh_con()
 
     qs = se.queries()
     oracles = se.oracle_sql()
     failures = 0
     report = {}
+
+    out_json = os.environ.get("CHECK_ORACLES_JSON")
+
+    def flush_report():
+        # incremental: a killed/partial sweep still leaves a valid
+        # artifact on disk (n_queries counts what has RUN so far)
+        if out_json:
+            with open(out_json, "w") as f:
+                json.dump({"n_queries": len(report),
+                           "n_failures": failures,
+                           "sf_dir": sf_dir,
+                           "queries": report}, f, indent=1,
+                          sort_keys=True)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -146,21 +188,44 @@ def main():
             report[name] = {"status": "fail",
                             "err": f"spark query raised {exc!r}"}
             failures += 1
+            flush_report()
             continue
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(got)} rows)")
             report[name] = {"status": "rows_only", "spark_rows": len(got)}
+            flush_report()
             continue
-        try:
-            exp = con.execute(oracles[name]).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL {name}: oracle raised {exc!r}")
+        exp = None
+        exc_last = None
+        for attempt in (0, 1):
+            try:
+                exp = con.execute(oracles[name]).df()
+                break
+            except Exception as exc:  # noqa: BLE001
+                exc_last = exc
+                try:
+                    con.close()
+                except Exception:  # noqa: BLE001
+                    pass
+                con = fresh_con()   # release + retry on a clean slate
+        if exp is None:
+            print(f"FAIL {name}: oracle raised {exc_last!r} "
+                  f"(after reconnect retry)")
             report[name] = {"status": "fail",
-                            "err": f"oracle raised {exc!r}"}
+                            "err": f"oracle raised {exc_last!r}"}
             failures += 1
+            flush_report()
             continue
         problems = compare(name, got, exp)
-        if problems:
+        if problems and (name in PINNED_AT_GATE_SF
+                         and GATE_SF_DIR_HINT not in sf_dir):
+            print(f"pin  {name}: oracle pinned at {GATE_SF_DIR_HINT}; "
+                  f"diverges at this sf as declared")
+            report[name] = {"status": "pinned_at_gate_sf",
+                            "spark_rows": len(got),
+                            "oracle_rows": len(exp),
+                            "problems": problems}
+        elif problems:
             failures += 1
             print(f"FAIL {name}: " + " | ".join(problems))
             report[name] = {"status": "fail", "spark_rows": len(got),
@@ -170,15 +235,10 @@ def main():
             print(f"ok   {name}: {len(got)} rows match")
             report[name] = {"status": "ok", "spark_rows": len(got),
                             "oracle_rows": len(exp)}
+        flush_report()
     print(f"\n{failures} failures")
-    out_json = os.environ.get("CHECK_ORACLES_JSON")
+    flush_report()
     if out_json:
-        import json
-        with open(out_json, "w") as f:
-            json.dump({"sf_dir": sf_dir,
-                       "n_queries": len(report),
-                       "n_failures": failures,
-                       "queries": report}, f, indent=1, sort_keys=True)
         print(f"wrote {out_json}")
     sys.exit(1 if failures else 0)
 
