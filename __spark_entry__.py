@@ -6257,6 +6257,38 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("rr", 6).alias("rr"), "hit")
 
 
+def q_matched_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-stratum 1:1 rank matching (ATT) on the same planted
+    design as the ipw gate — hour strata, hour 0 all-treated so a
+    genuinely unmatched treated tail exists.  Exact integer pair
+    differences off one full-outer (stratum, rank) join; the oracle
+    replays ranks, join and sums."""
+    from hiselspark.operators.causal import matched_pairs
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        F.hour("ts").cast("long").alias("b"),
+        F.when(F.hour("ts") == 0, F.lit(1))
+         .otherwise((F.col("user_id") % 3 == 0).cast("long"))
+         .alias("t"),
+        F.col("cents").alias("y"),
+        F.col("event_id").alias("o"))
+    return matched_pairs(df, "t", "y", "b", "o")
+
+
+def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monroe et al. 2008 log-odds with informative Dirichlet prior:
+    which words distinguish the single-digit sources (src0-9) from
+    the rest — exact (word, flag) counts, one fixed float expression
+    per word (delta, z), every term replayed by the oracle modulo
+    libm's ln ulp (rounded to 6)."""
+    from hiselspark.operators.cooccur import log_odds_ratio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        (F.length("source") == 4).cast("long").alias("fa"), "text")
+    return log_odds_ratio(df, "text", "fa", alpha0=100.0, min_count=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6299,6 +6331,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "robust_scale": q_robust_scale,
         "mrr": q_mrr,
+        "matched_pairs": q_matched_pairs,
+        "log_odds": q_log_odds,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -15897,5 +15931,84 @@ def _oracle_sql_raw() -> dict[str, str]:
                  ELSE 0.0 END, 6) AS rr,
                (first_rel_rank IS NOT NULL) AS hit
         FROM a
+    """
+    oracles["matched_pairs"] = """
+        WITH b AS (
+          SELECT CAST(hour(ts) AS BIGINT) AS b,
+                 CASE WHEN hour(ts) = 0 THEN 1
+                      WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+                 CAST(abs(round(value * 100)) AS BIGINT) AS y,
+                 event_id AS o
+          FROM events
+        ), r AS (
+          SELECT b, t, y,
+                 row_number() OVER (PARTITION BY b, t ORDER BY o)
+                   AS rk
+          FROM b
+        ), t1 AS (
+          SELECT b, rk, y AS yt FROM r WHERE t = 1
+        ), t0 AS (
+          SELECT b, rk, y AS yc FROM r WHERE t = 0
+        ), j AS (
+          SELECT yt, yc FROM t1
+          FULL JOIN t0 ON t1.b = t0.b AND t1.rk = t0.rk
+        ), s AS (
+          SELECT CAST(sum(CASE WHEN yt IS NOT NULL
+                               AND yc IS NOT NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pairs,
+                 CAST(sum(CASE WHEN yt IS NOT NULL AND yc IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched_treated,
+                 CAST(sum(CASE WHEN yc IS NOT NULL AND yt IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unmatched_control,
+                 CAST(sum(CASE WHEN yt IS NOT NULL
+                               AND yc IS NOT NULL
+                               THEN yt - yc ELSE 0 END) AS BIGINT)
+                   AS sum_diff_cents
+          FROM j
+        )
+        SELECT n_pairs, n_unmatched_treated, n_unmatched_control,
+               sum_diff_cents,
+               CASE WHEN n_pairs > 0 THEN
+                 round(CAST(sum_diff_cents AS DOUBLE)
+                       / CAST(n_pairs AS DOUBLE), 6) END AS att
+        FROM s
+    """
+    oracles["log_odds"] = """
+        WITH b AS (
+          SELECT CASE WHEN length(source) = 4 THEN 1 ELSE 0 END
+                   AS fa,
+                 unnest(list_filter(
+                   str_split_regex(trim(text), '\\s+'),
+                   x -> length(x) > 0)) AS word
+          FROM documents
+        ), per_w AS (
+          SELECT word, CAST(sum(fa) AS BIGINT) AS ca,
+                 CAST(sum(1 - fa) AS BIGINT) AS cb
+          FROM b GROUP BY word
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(sum(ca + cb) AS BIGINT) AS nn
+          FROM per_w
+        ), e AS (
+          SELECT word, ca, cb,
+                 100.0 * CAST(ca + cb AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS aw,
+                 CAST(ca AS DOUBLE) AS cad, CAST(cb AS DOUBLE) AS cbd,
+                 CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd
+          FROM per_w, tot WHERE ca + cb >= 5
+        )
+        SELECT word, ca, cb,
+               round(ln((cad + aw) / (nad + 100.0 - cad - aw))
+                     - ln((cbd + aw) / (nbd + 100.0 - cbd - aw)), 6)
+                 AS delta,
+               round((ln((cad + aw) / (nad + 100.0 - cad - aw))
+                      - ln((cbd + aw) / (nbd + 100.0 - cbd - aw)))
+                     / sqrt(1.0 / (cad + aw) + 1.0 / (cbd + aw)), 6)
+                 AS z
+        FROM e
     """
     return oracles
