@@ -6289,6 +6289,26 @@ def q_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_odds_ratio(df, "text", "fa", alpha0=100.0, min_count=5)
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003) of three integer
+    features onto their average distribution — unique-tiebroken
+    within-feature ranks, exact per-position cross-feature sums, one
+    mirrored division; the oracle replays ranks, sums and every
+    normalized value."""
+    from hiselspark.operators.encoding import quantile_normalize
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "ts",
+        F.abs(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"))
+    df = ev.select(
+        "event_id", "cents",
+        F.hour("ts").cast("long").alias("h"),
+        (F.col("event_id") % 50).alias("em"))
+    out = quantile_normalize(df, "event_id", ["cents", "h", "em"])
+    return out.select(F.col("id").alias("event_id"), "feature", "v",
+                      "pos", "qn")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -6333,6 +6353,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mrr": q_mrr,
         "matched_pairs": q_matched_pairs,
         "log_odds": q_log_odds,
+        "quantile_normalize": q_quantile_normalize,
         "uplift_deciles": q_uplift_deciles,
         "quantile_bin": q_quantile_bin,
         "modularity": q_modularity,
@@ -16010,5 +16031,30 @@ def _oracle_sql_raw() -> dict[str, str]:
                      / sqrt(1.0 / (cad + aw) + 1.0 / (cbd + aw)), 6)
                  AS z
         FROM e
+    """
+    oracles["quantile_normalize"] = """
+        WITH longt AS (
+          SELECT event_id AS id, 'cents' AS feat,
+                 CAST(abs(round(value * 100)) AS BIGINT) AS v
+          FROM events
+          UNION ALL
+          SELECT event_id, 'h', CAST(hour(ts) AS BIGINT) FROM events
+          UNION ALL
+          SELECT event_id, 'em', CAST(event_id % 50 AS BIGINT)
+          FROM events
+        ), ranked AS (
+          SELECT id, feat, v,
+                 CAST(row_number() OVER (PARTITION BY feat
+                   ORDER BY v, id) AS BIGINT) AS pos
+          FROM longt
+        ), per_pos AS (
+          SELECT pos, CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(count(*) AS BIGINT) AS kk
+          FROM ranked GROUP BY pos
+        )
+        SELECT r.id AS event_id, r.feat AS feature, r.v, r.pos,
+               round(CAST(p.sv AS DOUBLE) / CAST(p.kk AS DOUBLE), 6)
+                 AS qn
+        FROM ranked r JOIN per_pos p USING (pos)
     """
     return oracles

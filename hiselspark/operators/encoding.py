@@ -601,3 +601,59 @@ def robust_scale(df: DataFrame, id_col: str,
         "id", F.col("feat").alias("feature"), "v", "m2", "mad2d",
         F.when(F.col("v").isNotNull() & (F.col("mad2d") > 0), rz)
         .alias("rz"))
+
+
+def quantile_normalize(df: DataFrame, id_col: str,
+                       cols: "Sequence[str]") -> DataFrame:
+    """Quantile normalization across features (the microarray-era
+    classic, Bolstad et al. 2003): every feature is mapped onto the
+    AVERAGE distribution — row with within-feature rank p takes the
+    mean over features of the p-th smallest values — so all features
+    share one marginal distribution afterwards.
+
+    Determinism: within-feature ranks come from ``row_number`` over
+    (value, id) — the unique id tiebreaker makes tie assignment a
+    DECLARED deterministic convention (ties receive adjacent
+    positions' averages, not a shared mean) reproducible on any
+    layout; the per-position cross-feature sum is an exact int64 and
+    the normalized value is ONE division by the feature count.
+
+    Plan shape: one unpivot (map-only), one feature-keyed rank
+    window, one position-keyed aggregate (k rows per position), one
+    join back on position — never a global sort.  ``cols`` must be
+    integer-valued (cents convention) and NULL-free (quantile
+    normalization is undefined on ragged columns — rows where ANY
+    feature is NULL are rejected with ValueError upstream semantics:
+    a count check raises).
+
+    Returns (id, feature, v, pos, qn).
+    """
+    cols = list(cols)
+    k = len(cols)
+    if k < 2:
+        raise ValueError("need >= 2 feature columns")
+    for c in cols:
+        if df.filter(F.col(c).isNull()).limit(1).count() > 0:
+            raise ValueError(
+                f"quantile_normalize: column {c} contains NULLs")
+    parts = [
+        df.select(F.col(id_col).cast("long").alias("id"),
+                  F.lit(c).alias("feat"),
+                  F.col(c).cast("long").alias("v"))
+        for c in cols
+    ]
+    long_df = parts[0]
+    for p in parts[1:]:
+        long_df = long_df.unionAll(p)
+    w = Window.partitionBy("feat").orderBy("v", "id")
+    ranked = long_df.withColumn("pos", F.row_number().over(w))
+    per_pos = ranked.groupBy("pos").agg(
+        F.sum("v").alias("sv"),
+        F.count(F.lit(1)).alias("kk"))
+    out = (ranked.join(per_pos, "pos")
+           .select("id", F.col("feat").alias("feature"), "v",
+                   F.col("pos").cast("long").alias("pos"),
+                   F.round(F.col("sv").cast("double")
+                           / F.col("kk").cast("double"), 6)
+                   .alias("qn")))
+    return out

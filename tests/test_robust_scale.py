@@ -39,3 +39,48 @@ def test_robust_scale_constant_feature_null(spark):
         [(i, 5, i) for i in range(10)], "id long, c long, x long")
     got = [r for r in robust_scale(df, "id", ["c"]).collect()]
     assert all(r["mad2d"] == 0 and r["rz"] is None for r in got)
+
+
+def test_quantile_normalize_matches_brute(spark):
+    from hiselspark.operators.encoding import quantile_normalize
+    rng = np.random.default_rng(41)
+    n = 300
+    a = rng.integers(0, 10000, n)
+    b = rng.integers(0, 60, n)          # heavy ties
+    c = rng.integers(-500, 500, n)
+    rows = [(i, int(a[i]), int(b[i]), int(c[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, fa long, fb long, fc long")
+    got = {(r["id"], r["feature"]): r for r in
+           quantile_normalize(df, "id", ["fa", "fb", "fc"]).collect()}
+    # brute: rank within feature by (value, id); per-position mean
+    feats = {"fa": a, "fb": b, "fc": c}
+    order = {name: sorted(range(n), key=lambda i: (int(v[i]), i))
+             for name, v in feats.items()}
+    pos_mean = [
+        (int(a[order["fa"][p]]) + int(b[order["fb"][p]])
+         + int(c[order["fc"][p]])) / 3.0
+        for p in range(n)
+    ]
+    for name, v in feats.items():
+        inv = {i: p for p, i in enumerate(order[name])}
+        for i in range(n):
+            r = got[(i, name)]
+            assert r["pos"] == inv[i] + 1
+            assert r["qn"] == pytest.approx(
+                round(pos_mean[inv[i]], 6), abs=1e-9)
+    # post-normalization the three features share one marginal
+    for p in range(0, n, 37):
+        vals = {round(pos_mean[p], 6)}
+        for name in feats:
+            vals.add(got[(order[name][p], name)]["qn"])
+        assert len(vals) == 1
+
+
+def test_quantile_normalize_validates(spark):
+    from hiselspark.operators.encoding import quantile_normalize
+    df = spark.createDataFrame([(0, 1, None), (1, 2, 3)],
+                               "id long, x long, y long")
+    with pytest.raises(ValueError):
+        quantile_normalize(df, "id", ["x", "y"])
+    with pytest.raises(ValueError):
+        quantile_normalize(df, "id", ["x"])
