@@ -5013,6 +5013,307 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "n_big_orders", "total_qty")
 
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted to the testdata
+    schema (no partsupp — supplier⋈part pairs come from lineitem, and
+    the minimized cost is the supplier's account balance in exact
+    cents): for each STANDARD part of size 10-20, every EUROPE
+    supplier that shipped it and holds the per-part MINIMUM acctbal —
+    the correlated-min-subquery pattern decorrelated into a per-part
+    aggregate join; ties all emitted, like the reference query."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = p.filter((F.col("p_type") == "STANDARD")
+                   & F.col("p_size").between(10, 20)).select("p_partkey")
+    eur = (F.broadcast(r.filter(F.col("r_name") == "EUROPE"))
+           .join(F.broadcast(n),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_name", "n_name",
+                   F.round(F.col("s_acctbal") * 100).cast("long")
+                   .alias("acct_cents")))
+    pairs = (li.join(F.broadcast(sel), li.l_partkey == sel.p_partkey)
+               .select("p_partkey", "l_suppkey").distinct()
+               .join(eur, F.col("l_suppkey") == F.col("s_suppkey")))
+    mins = (pairs.groupBy("p_partkey")
+                 .agg(F.min("acct_cents").alias("min_cents")))
+    out = (pairs.join(mins, "p_partkey")
+                .filter(F.col("acct_cents") == F.col("min_cents"))
+                .select("p_partkey", "s_name", "n_name", "acct_cents"))
+    return out
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between NATION_1 and
+    NATION_2 in both directions by ship year — the dual-aliased
+    nation-dimension join (supplier nation x customer nation), ship
+    window 1996-1997 pushed to the lineitem scan, exact _e6 money."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    out = (li.filter((F.col("l_shipdate") >= lo)
+                     & (F.col("l_shipdate") < hi))
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(n1),
+                   F.col("s_nationkey") == F.col("sn_key"))
+             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(c, F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(n2),
+                   F.col("c_nationkey") == F.col("cn_key"))
+             .filter(((F.col("supp_nation") == "NATION_1")
+                      & (F.col("cust_nation") == "NATION_2"))
+                     | ((F.col("supp_nation") == "NATION_2")
+                        & (F.col("cust_nation") == "NATION_1")))
+             .groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("l_year"))
+             .agg(F.sum(rev).alias("revenue_e6"),
+                  F.count(F.lit(1)).alias("n_items")))
+    return out.select("supp_nation", "cust_nation", "l_year",
+                      "revenue_e6", "n_items")
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of all PROMO-part order
+    volume delivered into the ASIA market in 1996-1997, the share
+    supplied from NATION_7 per order year.  Numerator and denominator
+    are exact _e6 integers; the share itself is the single emitted
+    float (one mirrored division in each engine)."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    mkt = (F.broadcast(r.filter(F.col("r_name") == "ASIA"))
+           .join(F.broadcast(n),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+           .select("c_custkey"))
+    out = (li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")
+                               .select("p_partkey")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(o.filter((F.col("o_orderdate") >= lo)
+                            & (F.col("o_orderdate") < hi)),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .join(mkt, F.col("o_custkey") == F.col("c_custkey"))
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(sn),
+                   F.col("s_nationkey") == F.col("sn_key"))
+             .groupBy(F.year("o_orderdate").cast("long")
+                      .alias("o_year"))
+             .agg(F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                               rev).otherwise(F.lit(0)))
+                  .alias("nation_e6"),
+                  F.sum(rev).alias("total_e6")))
+    share = (F.col("nation_e6").cast("double")
+             / F.col("total_e6").cast("double"))
+    return out.select("o_year", "nation_e6", "total_e6",
+                      share.alias("mkt_share"))
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted (no partsupp: the unit
+    cost proxy is the part's retail price): profit per supplier
+    nation per order year over parts named '%red%', all in exact _e6
+    integers — profit = revenue_e6 - retail_cents*qty*10000."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    cost = (F.round(F.col("p_retailprice") * 100).cast("long")
+            * F.round(F.col("l_quantity")).cast("long")
+            * F.lit(10000))
+    out = (li.join(F.broadcast(
+                p.filter(F.col("p_name").like("%red%"))
+                 .select("p_partkey", "p_retailprice")),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(n),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("n_name",
+                      F.year("o_orderdate").cast("long")
+                      .alias("o_year"))
+             .agg(F.sum(rev - cost).alias("profit_e6"),
+                  F.count(F.lit(1)).alias("n_items")))
+    return out.select("n_name", "o_year", "profit_e6", "n_items")
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted (no partsupp: a part's
+    held value for NATION_4's suppliers is the exact cent sum of
+    their lineitems): parts whose value exceeds 2x the average
+    per-part value — the global-scalar-subquery HAVING shape with the
+    float fraction cross-multiplied into exact integers
+    (value*n_parts > 2*total)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    nat = (F.broadcast(n.filter(F.col("n_name") == "NATION_4"))
+           .join(s, F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey"))
+    val = (li.join(F.broadcast(nat),
+                   F.col("l_suppkey") == F.col("s_suppkey"))
+             .groupBy("l_partkey")
+             .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                        .cast("long")).alias("value_cents")))
+    tot = val.agg(F.sum("value_cents").alias("total_cents"),
+                  F.count(F.lit(1)).alias("n_parts"))
+    out = (val.join(F.broadcast(tot))
+              .filter(F.col("value_cents") * F.col("n_parts")
+                      > F.lit(2) * F.col("total_cents"))
+              .select("l_partkey", "value_cents"))
+    return out
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): revenue per supplier over 1996Q1,
+    keeping every supplier tied at the MAXIMUM — the create-view +
+    scalar-max-subquery pattern as a broadcast max join; exact _e6
+    revenue so the max comparison is integer-exact."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(10000)
+              - F.round(F.col("l_discount") * 10000).cast("long")))
+    per = (li.filter((F.col("l_shipdate") >= lo)
+                     & (F.col("l_shipdate") < hi))
+             .groupBy("l_suppkey")
+             .agg(F.sum(rev).alias("total_rev_e6")))
+    mx = per.agg(F.max("total_rev_e6").alias("max_rev_e6"))
+    out = (per.join(F.broadcast(mx))
+              .filter(F.col("total_rev_e6") == F.col("max_rev_e6"))
+              .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+              .select(F.col("s_suppkey"), F.col("s_name"),
+                      F.col("total_rev_e6")))
+    return out
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted (supplier-part
+    pairs from lineitem; the excluded-complaints predicate becomes
+    s_acctbal < 0): distinct supplier count per (brand, type, size)
+    over the eight TPC-H size classes, brand/type exclusions in
+    place — the NOT-IN-subquery + count-distinct shape."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sel = p.filter((F.col("p_brand") != "Brand#45")
+                   & (F.col("p_type") != "PROMO")
+                   & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    out = (li.select("l_partkey", "l_suppkey").distinct()
+             .join(F.broadcast(sel),
+                   F.col("l_partkey") == F.col("p_partkey"))
+             .join(F.broadcast(bad),
+                   F.col("l_suppkey") == F.col("s_suppkey"),
+                   "left_anti")
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+    return out.select("p_brand", "p_type",
+                      F.col("p_size").cast("long").alias("p_size"),
+                      "supplier_cnt")
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted (no partsupp:
+    "excess availability" becomes having shipped MORE THAN DOUBLE a
+    part's fair per-supplier share): NATION_3 suppliers dominating
+    any 'small%' part, the nested-EXISTS chain as aggregate + semi
+    join with the fraction cross-multiplied exact (supp_qty*n_supp >
+    2*tot_qty)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.round("l_quantity").cast("long")
+    sm = (li.join(F.broadcast(p.filter(F.col("p_name").like("small%"))
+                              .select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .select("p_partkey", "l_suppkey", qty.alias("qty")))
+    per = (sm.groupBy("p_partkey", "l_suppkey")
+             .agg(F.sum("qty").alias("supp_qty")))
+    tot = (sm.groupBy("p_partkey")
+             .agg(F.sum("qty").alias("tot_qty"),
+                  F.countDistinct("l_suppkey").alias("n_supp")))
+    dom = (per.join(tot, "p_partkey")
+              .filter(F.col("supp_qty") * F.col("n_supp")
+                      > F.lit(2) * F.col("tot_qty"))
+              .select("l_suppkey").distinct())
+    out = (s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_3")),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(dom, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .select("s_suppkey", "s_name"))
+    return out
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted (no
+    receipt/commit dates: "late" is shipping >90 days after the order
+    date): per NATION_2 supplier, the count of finalized multi-
+    supplier orders where it was the ONLY late supplier — the
+    EXISTS/NOT-EXISTS pair rewritten as per-order supplier and
+    late-supplier distinct counts (n_supp >= 2, n_late_supp = 1)."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fl = (li.join(o.filter(F.col("o_orderstatus") == "F")
+                   .select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey",
+                    (F.col("l_shipdate")
+                     > F.col("o_orderdate")
+                     + F.expr("INTERVAL 90 DAYS")).alias("late")))
+    per = (fl.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                  F.countDistinct(F.when(F.col("late"),
+                                         F.col("l_suppkey")))
+                  .alias("n_late_supp")))
+    out = (fl.filter(F.col("late"))
+             .select("l_orderkey", "l_suppkey").distinct()
+             .join(per.filter((F.col("n_supp") >= 2)
+                              & (F.col("n_late_supp") == 1)),
+                   "l_orderkey", "left_semi")
+             .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+             .join(F.broadcast(n.filter(F.col("n_name") == "NATION_2")),
+                   F.col("s_nationkey") == F.col("n_nationkey"))
+             .groupBy("s_name")
+             .agg(F.count(F.lit(1)).alias("numwait"))
+             .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+             .limit(20))
+    return out.select("s_name", "numwait")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 with exact re-rank (PQ16x8 +
     IVFADC-R refine: the ADC scan shortlists 32 candidates per probe
@@ -6429,6 +6730,15 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q22": q_tpch_q22,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -11112,6 +11422,202 @@ def _oracle_sql_raw() -> dict[str, str]:
         JOIN customer ON c_custkey = o_custkey
         GROUP BY c_custkey
         ORDER BY total_qty DESC, c_custkey ASC
+        LIMIT 20
+    """
+    oracles["tpch_q2"] = """
+        WITH eur AS (
+          SELECT s_suppkey, s_name, n_name,
+                 CAST(round(s_acctbal*100) AS BIGINT) AS acct_cents
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), pairs AS (
+          SELECT DISTINCT l.l_partkey AS p_partkey, e.s_suppkey,
+                 e.s_name, e.n_name, e.acct_cents
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN eur e ON l.l_suppkey = e.s_suppkey
+          WHERE p.p_type = 'STANDARD'
+            AND p.p_size BETWEEN 10 AND 20
+        ), mins AS (
+          SELECT p_partkey,
+                 CAST(min(acct_cents) AS BIGINT) AS min_cents
+          FROM pairs GROUP BY p_partkey
+        )
+        SELECT pr.p_partkey, pr.s_name, pr.n_name, pr.acct_cents
+        FROM pairs pr JOIN mins m USING (p_partkey)
+        WHERE pr.acct_cents = m.min_cents
+    """
+    oracles["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (10000 - CAST(round(l_discount*10000)
+                                        AS BIGINT))) AS BIGINT)
+                 AS revenue_e6,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+    """
+    oracles["tpch_q8"] = """
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 sn.n_name AS supp_nation,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (10000 - CAST(round(l_discount*10000) AS BIGINT))
+                   AS rev_e6
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation mn ON c_nationkey = mn.n_nationkey
+          JOIN region ON mn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE p_type = 'PROMO'
+            AND r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                             THEN rev_e6 ELSE 0 END) AS BIGINT)
+                 AS nation_e6,
+               CAST(sum(rev_e6) AS BIGINT) AS total_e6,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                             THEN rev_e6 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev_e6) AS DOUBLE) AS mkt_share
+        FROM vol GROUP BY o_year
+    """
+    oracles["tpch_q9"] = """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (10000 - CAST(round(l_discount*10000)
+                                        AS BIGINT))
+                        - CAST(round(p_retailprice*100) AS BIGINT)
+                          * CAST(round(l_quantity) AS BIGINT)
+                          * 10000) AS BIGINT) AS profit_e6,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+    """
+    oracles["tpch_q11"] = """
+        WITH val AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_4'
+          GROUP BY l_partkey
+        ), tot AS (
+          SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM val
+        )
+        SELECT l_partkey, value_cents
+        FROM val CROSS JOIN tot
+        WHERE value_cents * n_parts > 2 * total_cents
+    """
+    oracles["tpch_q15"] = """
+        WITH per AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                          * (10000 - CAST(round(l_discount*10000)
+                                          AS BIGINT))) AS BIGINT)
+                   AS total_rev_e6
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev_e6
+        FROM per
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_e6 = (SELECT max(total_rev_e6) FROM per)
+    """
+    oracles["tpch_q16"] = """
+        SELECT p_brand, p_type,
+               CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+    """
+    oracles["tpch_q20"] = """
+        WITH sm AS (
+          SELECT l_partkey AS p_partkey, l_suppkey,
+                 CAST(round(l_quantity) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'small%')
+        ), per AS (
+          SELECT p_partkey, l_suppkey,
+                 CAST(sum(qty) AS BIGINT) AS supp_qty
+          FROM sm GROUP BY 1, 2
+        ), tot AS (
+          SELECT p_partkey, CAST(sum(qty) AS BIGINT) AS tot_qty,
+                 CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+          FROM sm GROUP BY 1
+        ), dom AS (
+          SELECT DISTINCT l_suppkey
+          FROM per JOIN tot USING (p_partkey)
+          WHERE supp_qty * n_supp > 2 * tot_qty
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (SELECT l_suppkey FROM dom)
+    """
+    oracles["tpch_q21"] = """
+        WITH fl AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ), per AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                   AS n_late_supp
+          FROM fl GROUP BY 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM (SELECT DISTINCT l_orderkey, l_suppkey
+              FROM fl WHERE late) w
+        JOIN per USING (l_orderkey)
+        JOIN supplier ON w.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE per.n_supp >= 2 AND per.n_late_supp = 1
+          AND n_name = 'NATION_2'
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
         LIMIT 20
     """
     oracles["keep_best"] = """
