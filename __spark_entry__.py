@@ -5314,6 +5314,103 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("s_name", "numwait")
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of time-to-next-event per
+    event_type: durations in whole hours, right-censored at 12h (and
+    at each user's last event) — at-risk counts exact, the hazard
+    cumulated as the deterministic ordered fold."""
+    from pyspark.sql import Window
+    from hiselspark.operators.survival import nelson_aalen
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead(ts_seconds("ts")).over(w) - ts_seconds("ts")
+    d = ev.withColumn("gap", gap)
+    obs = (d.withColumn(
+        "duration",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 43200.0),
+               F.lit(12))
+         .otherwise(F.floor(F.col("gap") / 3600.0)).cast("long"))
+        .withColumn(
+        "event",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 43200.0),
+               F.lit(0)).otherwise(F.lit(1))))
+    out = nelson_aalen(obs, "event_type", "duration", "event")
+    return out.select("event_type", "duration", "n_at_risk",
+                      "n_events", "n_censored",
+                      F.round("cumhaz", 6).alias("cumhaz"))
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the four event types on exact value
+    cents — per-group sufficient stats exact int64, the single float
+    cross-group term folded in group-key order."""
+    from hiselspark.operators.evaluate import anova_f
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = anova_f(ev, "event_type", "cents")
+    return out.select("k", "n",
+                      F.round("ss_between", 6).alias("ss_between"),
+                      F.round("ss_within", 6).alias("ss_within"),
+                      F.round("f_stat", 6).alias("f_stat"))
+
+
+def q_reg_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp RDD of value cents on the props-k running variable at
+    cutoff 50 (bandwidth 30): closed-form OLS per side off exact
+    int64 sufficient statistics, effect = intercept jump at the
+    cutoff."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.causal import reg_discontinuity
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.col("__p.k").cast("long").alias("k"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    out = reg_discontinuity(d, "k", "cents", cutoff=50, bandwidth=30)
+    return out.select(
+        "n_left", "n_right",
+        F.round("slope_left", 6).alias("slope_left"),
+        F.round("slope_right", 6).alias("slope_right"),
+        F.round("icept_left", 6).alias("icept_left"),
+        F.round("icept_right", 6).alias("icept_right"),
+        F.round("effect", 6).alias("effect"))
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between click and purchase value-cents
+    distributions — all three pairwise absolute sums exact int64 off
+    the distinct-value count table, the statistic one mirrored float
+    expression."""
+    from hiselspark.operators.drift import energy_distance
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = energy_distance(ev, "event_type", "cents",
+                          "click", "purchase")
+    return out.select("n_a", "n_b", "s_ab", "s_aa", "s_bb",
+                      F.round("energy_d", 6).alias("energy_d"))
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (l=5) of the k-decile sensitive
+    attribute under the (user bucket, event_type) quasi-identifier —
+    exact group sizes and distinct counts, one shuffle."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.pii import l_diversity
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.col("user_id") % 25).alias("user_bucket"),
+                   "event_type",
+                   (F.col("__p.k").cast("long") % 10).alias("k_dec")))
+    out = l_diversity(d, ["user_bucket", "event_type"], "k_dec", l=5)
+    return out.select("user_bucket", "event_type", "group_size",
+                      "n_sensitive", "l_diverse")
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 with exact re-rank (PQ16x8 +
     IVFADC-R refine: the ADC scan shortlists 32 candidates per probe
@@ -6739,6 +6836,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
+        "nelson_aalen": q_nelson_aalen,
+        "anova_f": q_anova_f,
+        "reg_discontinuity": q_reg_discontinuity,
+        "energy_distance": q_energy_distance,
+        "l_diversity": q_l_diversity,
         "corr_matrix": q_corr_matrix,
         "benford": q_benford,
         "chi2": q_chi2,
@@ -11619,6 +11721,200 @@ def _oracle_sql_raw() -> dict[str, str]:
         GROUP BY s_name
         ORDER BY numwait DESC, s_name ASC
         LIMIT 20
+    """
+    oracles["nelson_aalen"] = """
+        WITH g AS (
+          SELECT event_type,
+                 lead(CAST(epoch(ts) AS DOUBLE)) OVER
+                   (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+                 - CAST(epoch(ts) AS DOUBLE) AS gap
+          FROM events
+        ), obs AS (
+          SELECT event_type,
+                 CASE WHEN gap IS NULL OR gap > 43200.0 THEN 12
+                      ELSE CAST(floor(gap / 3600.0) AS BIGINT) END
+                   AS duration,
+                 CASE WHEN gap IS NULL OR gap > 43200.0 THEN 0
+                      ELSE 1 END AS event
+          FROM g
+        ), per AS (
+          SELECT event_type, duration,
+                 CAST(sum(event) AS BIGINT) AS n_events,
+                 CAST(count(*) - sum(event) AS BIGINT) AS n_censored
+          FROM obs GROUP BY event_type, duration
+        ), risk AS (
+          SELECT *,
+                 CAST(sum(n_events + n_censored) OVER
+                        (PARTITION BY event_type)
+                      - COALESCE(sum(n_events + n_censored) OVER
+                          (PARTITION BY event_type ORDER BY duration
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_at_risk
+          FROM per
+        )
+        SELECT event_type, duration, n_at_risk, n_events, n_censored,
+               round(list_reduce(
+                 list_prepend(0.0,
+                   list(CAST(n_events AS DOUBLE)
+                        / CAST(n_at_risk AS DOUBLE)) OVER
+                     (PARTITION BY event_type ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)),
+                 (acc, x) -> acc + x), 6) AS cumhaz
+        FROM risk
+    """
+    oracles["anova_f"] = """
+        WITH per AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS s_g,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)
+                          * CAST(round(value*100) AS BIGINT))
+                      AS BIGINT) AS q_g
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s,
+                 CAST(sum(q_g) AS BIGINT) AS q,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) ORDER BY event_type)),
+                   (acc, x) -> acc + x) AS sum_s2n
+          FROM per
+        )
+        SELECT k, n,
+               round(sum_s2n - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / CAST(n AS DOUBLE), 6) AS ss_between,
+               round(CAST(q AS DOUBLE) - sum_s2n, 6) AS ss_within,
+               CASE WHEN k >= 2 AND CAST(q AS DOUBLE) - sum_s2n > 0.0
+                    THEN round(
+                      ((sum_s2n - (CAST(s AS DOUBLE)
+                                   * CAST(s AS DOUBLE))
+                                  / CAST(n AS DOUBLE))
+                       / (CAST(k AS DOUBLE) - 1.0))
+                      / ((CAST(q AS DOUBLE) - sum_s2n)
+                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+               END AS f_stat
+        FROM t
+    """
+    oracles["reg_discontinuity"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   - 50 AS x,
+                 CAST(round(value*100) AS BIGINT) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), f AS (
+          SELECT * FROM d WHERE x >= -30 AND x <= 30
+        ), per AS (
+          SELECT CASE WHEN x < 0 THEN 'left' ELSE 'right' END AS side,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx
+          FROM f GROUP BY 1
+        ), s AS (
+          SELECT side, n, sx, sy,
+                 CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                           <> 0.0
+                      THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE)
+                                * CAST(sx AS DOUBLE))
+                 END AS slope
+          FROM per
+        ), s2 AS (
+          SELECT side, n, slope,
+                 (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS icept
+          FROM s
+        )
+        SELECT max(CASE WHEN side = 'left' THEN n END) AS n_left,
+               max(CASE WHEN side = 'right' THEN n END) AS n_right,
+               round(max(CASE WHEN side = 'left' THEN slope END), 6)
+                 AS slope_left,
+               round(max(CASE WHEN side = 'right' THEN slope END), 6)
+                 AS slope_right,
+               round(max(CASE WHEN side = 'left' THEN icept END), 6)
+                 AS icept_left,
+               round(max(CASE WHEN side = 'right' THEN icept END), 6)
+                 AS icept_right,
+               round(max(CASE WHEN side = 'right' THEN icept END)
+                     - max(CASE WHEN side = 'left' THEN icept END), 6)
+                 AS effect
+        FROM s2
+    """
+    oracles["energy_distance"] = """
+        WITH q AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                   AS ia,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS ib
+          FROM events
+          WHERE value IS NOT NULL
+            AND event_type IN ('click', 'purchase')
+        ), per AS (
+          SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+                 CAST(sum(ib) AS BIGINT) AS cb
+          FROM q GROUP BY v
+        ), w AS (
+          SELECT v, ca, cb,
+                 CAST(sum(ca) OVER wle AS BIGINT) AS ca_le,
+                 CAST(sum(cb) OVER wle AS BIGINT) AS cb_le,
+                 CAST(sum(ca*v) OVER wle AS BIGINT) AS sa_le,
+                 CAST(sum(cb*v) OVER wle AS BIGINT) AS sb_le,
+                 CAST(sum(ca) OVER () AS BIGINT) AS ca_t,
+                 CAST(sum(cb) OVER () AS BIGINT) AS cb_t,
+                 CAST(sum(ca*v) OVER () AS BIGINT) AS sa_t,
+                 CAST(sum(cb*v) OVER () AS BIGINT) AS sb_t
+          FROM per
+          WINDOW wle AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), agg AS (
+          SELECT CAST(max(ca_t) AS BIGINT) AS n_a,
+                 CAST(max(cb_t) AS BIGINT) AS n_b,
+                 CAST(sum(cb * (v*ca_le - sa_le + (sa_t - sa_le)
+                                - v*(ca_t - ca_le))) AS BIGINT)
+                   AS s_ab,
+                 CAST(sum(ca * (v*ca_le - sa_le + (sa_t - sa_le)
+                                - v*(ca_t - ca_le))) AS BIGINT)
+                   AS s_aa,
+                 CAST(sum(cb * (v*cb_le - sb_le + (sb_t - sb_le)
+                                - v*(cb_t - cb_le))) AS BIGINT)
+                   AS s_bb
+          FROM w
+        )
+        SELECT n_a, n_b, s_ab, s_aa, s_bb,
+               round(2.0 * CAST(s_ab AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     - CAST(s_aa AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                     - CAST(s_bb AS DOUBLE)
+                       / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)),
+                     6) AS energy_d
+        FROM agg
+    """
+    oracles["l_diversity"] = """
+        SELECT CAST(user_id % 25 AS BIGINT) AS user_bucket,
+               event_type,
+               count(*) AS group_size,
+               CAST(count(DISTINCT
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 % 10) AS BIGINT) AS n_sensitive,
+               count(DISTINCT
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 % 10) >= 5 AS l_diverse
+        FROM events
+        GROUP BY 1, 2
     """
     oracles["keep_best"] = """
         WITH q AS (

@@ -163,3 +163,60 @@ def matched_pairs(
                F.round(F.col("sum_diff_cents").cast("double")
                        / F.col("n_pairs").cast("double"), 6))
         .alias("att"))
+
+
+def reg_discontinuity(df: DataFrame, running_col: str,
+                      outcome_col: str, cutoff: int,
+                      bandwidth: int) -> DataFrame:
+    """Sharp regression-discontinuity estimate (Thistlethwaite &
+    Campbell 1960; Imbens & Lemieux 2008): fit a separate closed-form
+    OLS of the outcome on the centered running variable on each side
+    of the cutoff within ``bandwidth``, and report the jump of the two
+    fitted intercepts AT the cutoff as the local treatment effect.
+
+    Both columns must be integer-quantized (cents / scores): every
+    sufficient statistic (n, Σx, Σy, Σxy, Σx²) is an exact int64
+    reduced in one map-side-combined aggregate per side, so the final
+    slopes/intercepts/effect are single mirrored float expressions —
+    bit-reproducible across partitionings and engines.  Left side is
+    ``cutoff-bandwidth ≤ x < cutoff``, right is ``cutoff ≤ x ≤
+    cutoff+bandwidth``; the treated (right) intercept minus the
+    control (left) intercept is ``effect``.  Rows with NULL in either
+    column are excluded.  One filter + one 2-row aggregate: map-only
+    at any scale.  The reference engine (transferwise/hisel) has no
+    causal layer — grafted surface."""
+    x = F.col(running_col).cast("long") - F.lit(int(cutoff))
+    y = F.col(outcome_col).cast("long")
+    side = F.when(x < 0, F.lit("left")).otherwise(F.lit("right"))
+    per = (df.filter(F.col(running_col).isNotNull()
+                     & F.col(outcome_col).isNotNull()
+                     & (x >= -int(bandwidth)) & (x <= int(bandwidth)))
+             .select(side.alias("side"), x.alias("x"), y.alias("y"))
+             .groupBy("side")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                  F.sum(F.col("x") * F.col("x")).alias("sxx")))
+    n = F.col("n").cast("double")
+    det = n * F.col("sxx").cast("double") - (F.col("sx").cast("double")
+                                             * F.col("sx").cast("double"))
+    slope = F.when(det != 0.0,
+                   (n * F.col("sxy").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sy").cast("double")) / det)
+    intercept = ((F.col("sy").cast("double")
+                  - slope * F.col("sx").cast("double")) / n)
+    sides = per.withColumn("slope", slope).withColumn("icept", intercept)
+    wide = (sides.groupBy()
+                 .pivot("side", ["left", "right"])
+                 .agg(F.first("n").alias("n"),
+                      F.first("slope").alias("slope"),
+                      F.first("icept").alias("icept")))
+    return wide.select(
+        F.col("left_n").cast("long").alias("n_left"),
+        F.col("right_n").cast("long").alias("n_right"),
+        F.col("left_slope").alias("slope_left"),
+        F.col("right_slope").alias("slope_right"),
+        F.col("left_icept").alias("icept_left"),
+        F.col("right_icept").alias("icept_right"),
+        (F.col("right_icept") - F.col("left_icept")).alias("effect"))

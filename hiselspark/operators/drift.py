@@ -380,3 +380,71 @@ def ks_test(
     return base.select("ks", "at_value", "n_ref", "n_cur",
                        F.col("lam").alias("lambda"),
                        p.alias("p_value"))
+
+
+def energy_distance(df: DataFrame, group_col: str, value_col: str,
+                    a_label, b_label) -> DataFrame:
+    """Székely's energy distance between the ``value_col``
+    distributions of two groups: ``E = 2·E|X−Y| − E|X−X'| − E|Y−Y'|``
+    (Székely & Rizzo 2004) — a drift statistic sensitive to ANY
+    distributional difference, complementing the CDF-supremum KS and
+    the binned PSI/JSD in this module.
+
+    ``value_col`` must be integer-quantized.  The naive estimator is
+    O(n·m) pairwise; here every pairwise absolute-sum collapses onto
+    the distinct-value count table: with per-value counts and
+    cumulative (count, sum) prefixes ordered by value, ``Σᵢⱼ|pᵢ−qⱼ| =
+    Σ_v q(v)·[v·cP≤(v) − sP≤(v) + (sP − sP≤(v)) − v·(cP − cP≤(v))]``
+    — one groupBy to the count table (bounded by the distinct-value
+    domain), one ordered window over it, all three pairwise sums as
+    exact int64 (int64-safe to ~n·m·|v|max ≈ 9e18; quantize coarser or
+    DECIMAL beyond).  The statistic itself is the single mirrored
+    float expression at the end.  Ordered pairs include i=j (a zero
+    term), matching the V-statistic form."""
+    v = F.col(value_col).cast("long")
+    isa = (F.col(group_col) == a_label).cast("long")
+    isb = (F.col(group_col) == b_label).cast("long")
+    per = (df.filter(F.col(value_col).isNotNull()
+                     & F.col(group_col).isin([a_label, b_label]))
+             .groupBy(v.alias("v"))
+             .agg(F.sum(isa).alias("ca"), F.sum(isb).alias("cb")))
+    w = (Window.orderBy("v")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    per = (per
+           .withColumn("ca_le", F.sum("ca").over(w))
+           .withColumn("cb_le", F.sum("cb").over(w))
+           .withColumn("sa_le", F.sum(F.col("ca") * F.col("v")).over(w))
+           .withColumn("sb_le", F.sum(F.col("cb") * F.col("v")).over(w))
+           .withColumn("ca_t", F.sum("ca").over(wt))
+           .withColumn("cb_t", F.sum("cb").over(wt))
+           .withColumn("sa_t", F.sum(F.col("ca") * F.col("v")).over(wt))
+           .withColumn("sb_t", F.sum(F.col("cb") * F.col("v")).over(wt)))
+
+    def absum(q_cnt, c_le, s_le, c_t, s_t):
+        # Σ over this row's q-values of Σ_p |p − v|, all int64
+        return q_cnt * (F.col("v") * c_le - s_le
+                        + (s_t - s_le) - F.col("v") * (c_t - c_le))
+
+    agg = per.agg(
+        F.max("ca_t").alias("n_a"), F.max("cb_t").alias("n_b"),
+        F.sum(absum(F.col("cb"), F.col("ca_le"), F.col("sa_le"),
+                    F.col("ca_t"), F.col("sa_t"))).alias("s_ab"),
+        F.sum(absum(F.col("ca"), F.col("ca_le"), F.col("sa_le"),
+                    F.col("ca_t"), F.col("sa_t"))).alias("s_aa"),
+        F.sum(absum(F.col("cb"), F.col("cb_le"), F.col("sb_le"),
+                    F.col("cb_t"), F.col("sb_t"))).alias("s_bb"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    energy = (2.0 * F.col("s_ab").cast("double") / (na * nb)
+              - F.col("s_aa").cast("double") / (na * na)
+              - F.col("s_bb").cast("double") / (nb * nb))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("s_ab").cast("long").alias("s_ab"),
+        F.col("s_aa").cast("long").alias("s_aa"),
+        F.col("s_bb").cast("long").alias("s_bb"),
+        energy.alias("energy_d"))

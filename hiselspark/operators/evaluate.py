@@ -587,3 +587,51 @@ def feature_auc_scan(df: DataFrame, feature_cols, label_col: str,
         F.count(F.lit(1)).alias("n_distinct"))
     return out.select(F.col("f").alias("feature"), "auc",
                       "n_pos", "n_neg", "n_distinct")
+
+
+def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic across the groups of ``group_col``
+    over an integer-quantized ``value_col`` — the parametric
+    between/within variance-ratio test completing this module's
+    two-sample suite (welch_ttest, kruskal_wallis, mann_whitney
+    generalize to two groups; this one handles k).
+
+    Per-group sufficient statistics (n, Σx, Σx²) are exact int64 from
+    one map-side-combined groupBy; the between-group sum Σ_g sᵍ²/nᵍ is
+    a float, so it is evaluated as an ordered fold over the
+    group-key-ordered list (the engine's deterministic-float
+    convention — replays via ``list_reduce`` in SQL).  Output is one
+    row: k, n, ss_between, ss_within, f_stat (NULL when there is no
+    within-group variance or fewer than 2 groups)."""
+    v = F.col(value_col).cast("long")
+    per = (df.filter(F.col(value_col).isNotNull())
+             .groupBy(group_col)
+             .agg(F.count(F.lit(1)).alias("n_g"),
+                  F.sum(v).alias("s_g"),
+                  F.sum(v * v).alias("q_g")))
+    term = (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double"))
+    terms = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col(group_col).alias("g"),
+                             term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_s2n"))
+    n = F.col("n").cast("double")
+    grand = (F.col("s").cast("double") * F.col("s").cast("double")) / n
+    ssb = F.col("sum_s2n") - grand
+    ssw = F.col("q").cast("double") - F.col("sum_s2n")
+    k = F.col("k").cast("double")
+    f_stat = F.when((F.col("k") >= 2) & (ssw > 0.0),
+                    (ssb / (k - 1.0)) / (ssw / (n - k)))
+    return terms.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        ssb.alias("ss_between"), ssw.alias("ss_within"),
+        f_stat.alias("f_stat"))

@@ -93,3 +93,24 @@ def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
                  .alias("n_sensitive")))
     return out.withColumn("violates_l",
                           F.col("n_sensitive") < F.lit(int(l)))
+
+
+def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, l: int) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
+    stronger companion of k-anonymity: a quasi-identifier group that
+    is k-anonymous but whose SENSITIVE attribute is (near-)constant
+    still leaks it; each group must carry at least ``l`` distinct
+    sensitive values.  One row per quasi-identifier group with the
+    group size, the exact distinct sensitive count, and the pass
+    flag.  One groupBy with exact integer counts — a single shuffle
+    on the quasi-identifier key at any scale, the same plan class as
+    k_anonymity in this module."""
+    if l < 1:
+        raise ValueError(f"l must be >= 1, got {l}")
+    return (df.groupBy(*[F.col(c) for c in quasi_cols])
+              .agg(F.count(F.lit(1)).alias("group_size"),
+                   F.countDistinct(F.col(sensitive_col))
+                   .alias("n_sensitive"))
+              .withColumn("l_diverse",
+                          F.col("n_sensitive") >= F.lit(int(l))))

@@ -54,3 +54,42 @@ def km_curve(df: DataFrame, cohort_col: str, duration_col: str,
     return (per.withColumn("survival", surv)
                .select(cohort_col, duration_col, "n_at_risk",
                        "n_events", "n_censored", "survival"))
+
+
+def nelson_aalen(df: DataFrame, cohort_col: str, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Nelson–Aalen cumulative-hazard estimator: one row per
+    (cohort, distinct duration) with ``n_at_risk``, ``n_events`` and
+    ``cumhaz = Σ_{tⱼ ≤ t} dⱼ/nⱼ`` — the non-parametric twin of
+    :func:`km_curve` that estimates H(t) instead of S(t) (and is the
+    better-behaved quantity under heavy censoring; Aalen 1978).
+
+    Same scale shape as :func:`km_curve`: one groupBy collapses the
+    input to the per-(cohort, duration) count table, at-risk counts
+    are exact-integer windows over it, and the cumulative sum of the
+    float hazard increments is evaluated as an ordered fold over the
+    frame-ordered list so it replays bit-identically in SQL via
+    ``list_reduce``.  The reference engine (transferwise/hisel) has no
+    survival layer — grafted surface."""
+    ev = F.col(event_col).cast("long")
+    per = (df.groupBy(cohort_col, duration_col)
+             .agg(F.sum(ev).alias("n_events"),
+                  (F.count(ev) - F.sum(ev)).alias("n_censored")))
+    wc = Window.partitionBy(cohort_col)
+    w_before = (Window.partitionBy(cohort_col).orderBy(duration_col)
+                      .rowsBetween(Window.unboundedPreceding, -1))
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(wc)
+    gone = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_before),
+        F.lit(0))
+    per = per.withColumn("n_at_risk", (total - gone).cast("long"))
+    inc = (F.col("n_events").cast("double")
+           / F.col("n_at_risk").cast("double"))
+    w_run = (Window.partitionBy(cohort_col).orderBy(duration_col)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    cumhaz = F.aggregate(F.collect_list(inc).over(w_run),
+                         F.lit(0.0), lambda acc, x: acc + x)
+    return (per.withColumn("cumhaz", cumhaz)
+               .select(cohort_col, duration_col, "n_at_risk",
+                       "n_events", "n_censored", "cumhaz"))
