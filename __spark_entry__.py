@@ -5411,6 +5411,54 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "l_diverse")
 
 
+def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between consecutive-doc-id candidate/reference pairs:
+    clipped n-gram precisions as exact integer num/den per order,
+    brevity penalty + geometric mean as the one mirrored float
+    expression (NULL where a precision is zero)."""
+    from hiselspark.functions.text import bleu_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select((F.col("doc_id") / 2).cast("long")
+                     .alias("pair_id"),
+                     F.col("text").alias("cand")))
+    b = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select(((F.col("doc_id") - 1) / 2).cast("long")
+                     .alias("pair_id"),
+                     F.col("text").alias("ref")))
+    pairs = a.join(b, "pair_id")
+    out = bleu_pairs(pairs, "pair_id", "cand", "ref", max_n=2)
+    return out.select("pair_id", "cand_len", "ref_len",
+                      "p1_num", "p1_den", "p2_num", "p2_den",
+                      F.round("bleu", 6).alias("bleu"))
+
+
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing count-of-counts over the documents vocabulary:
+    exact n_r per frequency r, Turing-smoothed r* as one mirrored
+    division (NULL at gaps), total token mass attached."""
+    from hiselspark.functions.text import good_turing
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = good_turing(docs, "text")
+    return out.select("r", "n_r",
+                      F.round("r_star", 6).alias("r_star"),
+                      "total_tokens")
+
+
+def q_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (d=0.75, bigrams
+    with count >= 3) over the documents corpus — every sufficient
+    statistic (c12, c1, continuation counts, type total) exact int64,
+    pkn one fixed float expression."""
+    from hiselspark.functions.text import kneser_ney
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = kneser_ney(docs, "text", discount=0.75, min_count=3,
+                     id_col="doc_id")
+    return out.select("w1", "w2", "c12", "c1", "n1p_fwd",
+                      "n1p_back", "n_types",
+                      F.round("pkn", 6).alias("pkn"))
+
+
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 with exact re-rank (PQ16x8 +
     IVFADC-R refine: the ADC scan shortlists 32 candidates per probe
@@ -6837,6 +6885,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "nelson_aalen": q_nelson_aalen,
+        "bleu_pairs": q_bleu_pairs,
+        "good_turing": q_good_turing,
+        "kneser_ney": q_kneser_ney,
         "anova_f": q_anova_f,
         "reg_discontinuity": q_reg_discontinuity,
         "energy_distance": q_energy_distance,
@@ -11763,6 +11814,140 @@ def _oracle_sql_raw() -> dict[str, str]:
                                AND CURRENT ROW)),
                  (acc, x) -> acc + x), 6) AS cumhaz
         FROM risk
+    """
+    oracles["bleu_pairs"] = """
+        WITH a AS (
+          SELECT CAST(doc_id/2 AS BIGINT) AS pair_id, text AS cand
+          FROM documents WHERE doc_id % 2 = 0
+        ), b AS (
+          SELECT CAST((doc_id-1)/2 AS BIGINT) AS pair_id,
+                 text AS ref
+          FROM documents WHERE doc_id % 2 = 1
+        ), p AS (
+          SELECT pair_id,
+                 CASE WHEN trim(lower(cand)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(cand)),
+                                                 '\\s+') END AS ct,
+                 CASE WHEN trim(lower(ref)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(ref)),
+                                                 '\\s+') END AS rt
+          FROM a JOIN b USING (pair_id)
+        ), c1 AS (
+          SELECT pair_id, t AS g, count(*) AS cc
+          FROM p, unnest(ct) AS u(t) GROUP BY 1, 2
+        ), r1 AS (
+          SELECT pair_id, t AS g, count(*) AS cr
+          FROM p, unnest(rt) AS u(t) GROUP BY 1, 2
+        ), u1 AS (
+          SELECT c1.pair_id,
+                 CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT)
+                   AS p1_num,
+                 CAST(sum(cc) AS BIGINT) AS p1_den
+          FROM c1 LEFT JOIN r1 USING (pair_id, g)
+          GROUP BY 1
+        ), c2 AS (
+          SELECT pair_id, ct[i] || ' ' || ct[i+1] AS g,
+                 count(*) AS cc
+          FROM p, unnest(generate_series(1, len(ct)-1)) AS s(i)
+          WHERE len(ct) >= 2 GROUP BY 1, 2
+        ), r2 AS (
+          SELECT pair_id, rt[i] || ' ' || rt[i+1] AS g,
+                 count(*) AS cr
+          FROM p, unnest(generate_series(1, len(rt)-1)) AS s(i)
+          WHERE len(rt) >= 2 GROUP BY 1, 2
+        ), u2 AS (
+          SELECT c2.pair_id,
+                 CAST(sum(least(cc, coalesce(cr, 0))) AS BIGINT)
+                   AS p2_num,
+                 CAST(sum(cc) AS BIGINT) AS p2_den
+          FROM c2 LEFT JOIN r2 USING (pair_id, g)
+          GROUP BY 1
+        ), m AS (
+          SELECT p.pair_id,
+                 CAST(len(ct) AS BIGINT) AS cand_len,
+                 CAST(len(rt) AS BIGINT) AS ref_len,
+                 coalesce(p1_num, 0) AS p1_num,
+                 coalesce(p1_den, 0) AS p1_den,
+                 coalesce(p2_num, 0) AS p2_num,
+                 coalesce(p2_den, 0) AS p2_den
+          FROM p
+          LEFT JOIN u1 USING (pair_id)
+          LEFT JOIN u2 USING (pair_id)
+        )
+        SELECT pair_id, cand_len, ref_len,
+               p1_num, p1_den, p2_num, p2_den,
+               CASE WHEN cand_len > 0
+                         AND p1_num > 0 AND p1_den > 0
+                         AND p2_num > 0 AND p2_den > 0
+                    THEN round(
+                      least(1.0, exp(1.0 - CAST(ref_len AS DOUBLE)
+                                     / CAST(cand_len AS DOUBLE)))
+                      * exp(0.0
+                            + (ln(CAST(p1_num AS DOUBLE))
+                               - ln(CAST(p1_den AS DOUBLE))) / 2.0
+                            + (ln(CAST(p2_num AS DOUBLE))
+                               - ln(CAST(p2_den AS DOUBLE))) / 2.0),
+                      6)
+               END AS bleu
+        FROM m
+    """
+    oracles["good_turing"] = """
+        WITH toks AS (
+          SELECT t FROM (
+            SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+') END AS w
+            FROM documents
+          ), unnest(w) AS u(t)
+        ), types AS (
+          SELECT t, count(*) AS r FROM toks GROUP BY t
+        ), nr AS (
+          SELECT r, CAST(count(*) AS BIGINT) AS n_r
+          FROM types GROUP BY r
+        )
+        SELECT CAST(r AS BIGINT) AS r, n_r,
+               CASE WHEN lead(r) OVER (ORDER BY r) = r + 1
+                    THEN round(CAST(r + 1 AS DOUBLE)
+                               * CAST(lead(n_r) OVER (ORDER BY r)
+                                      AS DOUBLE)
+                               / CAST(n_r AS DOUBLE), 6)
+               END AS r_star,
+               CAST(sum(r * n_r) OVER () AS BIGINT) AS total_tokens
+        FROM nr
+    """
+    oracles["kneser_ney"] = """
+        WITH t AS (
+          SELECT CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+') END AS w
+          FROM documents
+        ), b AS (
+          SELECT w[i] AS w1, w[i+1] AS w2
+          FROM t, unnest(generate_series(1, len(w)-1)) AS s(i)
+          WHERE len(w) >= 2
+        ), bc AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM b GROUP BY 1, 2
+        ), c1 AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n1p_fwd
+          FROM bc GROUP BY w1
+        ), cont AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS n1p_back
+          FROM bc GROUP BY w2
+        ), nt AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_types FROM bc
+        )
+        SELECT w1, w2, c12, c1, n1p_fwd, n1p_back, n_types,
+               round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                     / CAST(c1 AS DOUBLE)
+                     + (0.75 / CAST(c1 AS DOUBLE))
+                       * CAST(n1p_fwd AS DOUBLE)
+                       * CAST(n1p_back AS DOUBLE)
+                       / CAST(n_types AS DOUBLE), 6) AS pkn
+        FROM bc JOIN c1 USING (w1) JOIN cont USING (w2)
+        CROSS JOIN nt
+        WHERE c12 >= 3
     """
     oracles["anova_f"] = """
         WITH per AS (

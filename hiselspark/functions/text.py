@@ -863,3 +863,183 @@ def with_c4_flags(df: DataFrame, col: str = "text",
         (F.col("n_sentences") >= int(min_sentences))
         & ~F.col("has_lorem") & ~F.col("has_brace")
         & (F.col("n_kept_lines") >= 1))
+
+
+def bleu_pairs(df: DataFrame, id_col: str, cand_col: str,
+               ref_col: str, max_n: int = 2) -> DataFrame:
+    """BLEU-N between paired candidate/reference texts (Papineni et
+    al. 2002) — the caption-regeneration / translation-eval metric:
+    per pair, clipped n-gram precision ``p_n = Σ_g min(c_cand(g),
+    c_ref(g)) / #cand n-grams`` for n = 1..max_n, the brevity penalty
+    ``BP = min(1, e^(1−r/c))``, and ``BLEU = BP·exp(Σ ln(p_n)/N)``
+    (NULL when any p_n is 0 — the standard undefined case; the exact
+    integer numerators/denominators are always emitted so callers can
+    smooth).
+
+    Every numerator/denominator is an exact int64 from per-(pair,
+    gram) count joins; BLEU itself is one fixed float expression —
+    bit-reproducible.  Plan: per n, one JVM-side transform builds the
+    gram array (no UDF), one explode + groupBy counts each side, a
+    left join clips, one groupBy sums — all shuffles keyed on the
+    pair id, linear in corpus tokens."""
+    base = (df.select(F.col(id_col).alias("__pid"),
+                      tokens(F.lower(F.col(cand_col))).alias("__ct"),
+                      tokens(F.lower(F.col(ref_col))).alias("__rt"))
+              .withColumn("__clen", F.size("__ct"))
+              .withColumn("__rlen", F.size("__rt")))
+    stats = base.select("__pid", "__clen", "__rlen")
+    outs = []
+    for n in range(1, max_n + 1):
+        def grams(arr):
+            if n == 1:
+                return F.col(arr)
+            return F.expr(
+                f"CASE WHEN size({arr}) >= {n} THEN "
+                f"transform(sequence(1, size({arr}) - {n - 1}), "
+                f"i -> concat_ws(' ', slice({arr}, i, {n}))) "
+                f"ELSE array() END")
+        cg = (base.select("__pid",
+                          F.explode(grams("__ct")).alias("__g"))
+                  .groupBy("__pid", "__g")
+                  .agg(F.count(F.lit(1)).alias("__cc")))
+        rg = (base.select("__pid",
+                          F.explode(grams("__rt")).alias("__g"))
+                  .groupBy("__pid", "__g")
+                  .agg(F.count(F.lit(1)).alias("__cr")))
+        per = (cg.join(rg, ["__pid", "__g"], "left")
+                 .groupBy("__pid")
+                 .agg(F.sum(F.least(
+                     F.col("__cc"),
+                     F.coalesce(F.col("__cr"), F.lit(0))))
+                      .alias(f"p{n}_num"),
+                      F.sum("__cc").alias(f"p{n}_den")))
+        outs.append(per)
+    res = stats
+    for per in outs:
+        res = res.join(per, "__pid", "left")
+    for n in range(1, max_n + 1):
+        res = (res.withColumn(f"p{n}_num",
+                              F.coalesce(F.col(f"p{n}_num"), F.lit(0))
+                              .cast("long"))
+                  .withColumn(f"p{n}_den",
+                              F.coalesce(F.col(f"p{n}_den"), F.lit(0))
+                              .cast("long")))
+    all_pos = None
+    log_sum = F.lit(0.0)
+    for n in range(1, max_n + 1):
+        pos = (F.col(f"p{n}_num") > 0) & (F.col(f"p{n}_den") > 0)
+        all_pos = pos if all_pos is None else (all_pos & pos)
+        log_sum = log_sum + (
+            F.log(F.col(f"p{n}_num").cast("double"))
+            - F.log(F.col(f"p{n}_den").cast("double"))) / float(max_n)
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(1.0 - F.col("__rlen").cast("double")
+              / F.col("__clen").cast("double")))
+    bleu = F.when((F.col("__clen") > 0) & all_pos,
+                  bp * F.exp(log_sum))
+    cols = [F.col("__pid").alias(id_col),
+            F.col("__clen").cast("long").alias("cand_len"),
+            F.col("__rlen").cast("long").alias("ref_len")]
+    for n in range(1, max_n + 1):
+        cols += [F.col(f"p{n}_num"), F.col(f"p{n}_den")]
+    out = res.select(*cols, bleu.alias("bleu"))
+    return out
+
+
+def good_turing(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good–Turing frequency-of-frequencies table over the corpus
+    vocabulary (Good 1953): one row per observed type frequency r
+    with ``n_r`` (how many types occur exactly r times) and the
+    Turing-smoothed count ``r* = (r+1)·n_{r+1}/n_r`` (NULL where
+    ``n_{r+1} = 0`` — callers needing full SGT interpolate the gaps).
+    The r = 1 row's ``n_1/total_tokens`` is the classic unseen-mass
+    estimate, so ``total_tokens`` is attached to every row.
+
+    Two exact-integer count shuffles (token → type counts → count of
+    counts) reduce the corpus to a table bounded by the largest type
+    frequency; the lead over it is a window on that tiny table; r* is
+    one mirrored division."""
+    toks = df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                     .alias("__tok"))
+    types = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__r"))
+    from pyspark.sql import Window
+    nr = (types.groupBy(F.col("__r").alias("r"))
+               .agg(F.count(F.lit(1)).alias("n_r")))
+    w = Window.orderBy("r")
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    nxt_r = F.lead("r").over(w)
+    nxt_nr = F.lead("n_r").over(w)
+    r_star = F.when(
+        nxt_r == F.col("r") + 1,
+        (F.col("r") + 1).cast("double") * nxt_nr.cast("double")
+        / F.col("n_r").cast("double"))
+    total = F.sum(F.col("r") * F.col("n_r")).over(wt)
+    return nr.select(F.col("r").cast("long").alias("r"),
+                     F.col("n_r").cast("long").alias("n_r"),
+                     r_star.alias("r_star"),
+                     total.cast("long").alias("total_tokens"))
+
+
+def kneser_ney(df: DataFrame, text_col: str = "text",
+               discount: float = 0.75,
+               min_count: int = 1,
+               id_col: str | None = None) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+    1995; Chen & Goodman 1998) — the canonical n-gram smoother, built
+    on CONTINUATION counts (in how many distinct contexts does a word
+    appear) rather than raw frequency:
+
+        P(w₂|w₁) = max(c(w₁w₂)−d, 0)/c(w₁)
+                   + (d/c(w₁))·N₁₊(w₁·)·N₁₊(·w₂)/N₁₊(··)
+
+    One row per bigram with c(w₁w₂) ≥ min_count carrying every exact
+    integer sufficient statistic (c12, c1, the three continuation
+    counts) plus ``pkn`` as one fixed float expression.  Plan: one
+    doc-ordered window builds bigrams, one bigram count shuffle, three
+    aggregates over the (small) distinct-bigram table, two key joins
+    back — linear, no UDF, the float appears only in the last
+    projection."""
+    from pyspark.sql import Window
+    d = float(discount)
+    if not (0.0 < d < 1.0):
+        raise ValueError(f"discount must be in (0,1), got {discount}")
+    if id_col is None:
+        # assign the per-document id BEFORE the explode (an id
+        # projected in the same select as a generator would be
+        # evaluated per exploded row)
+        base = df.withColumn("__doc", F.monotonically_increasing_id())
+    else:
+        base = df.withColumn("__doc", F.col(id_col))
+    toks = base.select(
+        "__doc",
+        F.posexplode(tokens(F.lower(F.col(text_col))))
+        .alias("__pos", "__tok"))
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    big = (toks.withColumn("__nxt", F.lead("__tok").over(w))
+               .filter(F.col("__nxt").isNotNull())
+               .select(F.col("__tok").alias("w1"),
+                       F.col("__nxt").alias("w2")))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                              F.count(F.lit(1)).alias("n1p_fwd"))
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_back"))
+    ntypes = bc.agg(F.count(F.lit(1)).alias("n_types"))
+    out = (bc.filter(F.col("c12") >= int(min_count))
+             .join(c1, "w1").join(cont, "w2")
+             .join(F.broadcast(ntypes)))
+    pkn = (F.greatest(F.col("c12").cast("double") - F.lit(d),
+                      F.lit(0.0))
+           / F.col("c1").cast("double")
+           + (F.lit(d) / F.col("c1").cast("double"))
+           * F.col("n1p_fwd").cast("double")
+           * F.col("n1p_back").cast("double")
+           / F.col("n_types").cast("double"))
+    return out.select("w1", "w2",
+                      F.col("c12").cast("long").alias("c12"),
+                      F.col("c1").cast("long").alias("c1"),
+                      F.col("n1p_fwd").cast("long").alias("n1p_fwd"),
+                      F.col("n1p_back").cast("long").alias("n1p_back"),
+                      F.col("n_types").cast("long").alias("n_types"),
+                      pkn.alias("pkn"))

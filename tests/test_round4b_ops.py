@@ -147,3 +147,99 @@ def test_l_diversity_brute(spark):
     assert out[2]["n_sensitive"] == 1 and not out[2]["l_diverse"]
     with pytest.raises(ValueError):
         l_diversity(df, ["quasi"], "sens", l=0)
+
+
+def test_bleu_pairs_brute(spark):
+    from collections import Counter
+    import math
+    from hiselspark.functions.text import bleu_pairs
+    rows = [
+        (0, "the cat sat on the mat", "the cat is on the mat"),
+        (1, "a b c d", "a b c d"),          # perfect -> BLEU 1.0
+        (2, "x y", "completely different"),  # zero overlap -> NULL
+        (3, "a a a a", "a b"),               # clipping matters
+    ]
+    df = spark.createDataFrame(rows, ["pid", "cand", "ref"])
+    out = {r["pid"]: r for r in
+           bleu_pairs(df, "pid", "cand", "ref", max_n=2).collect()}
+
+    def brute(cand, ref):
+        c, r = cand.split(), ref.split()
+        res = {}
+        for n in (1, 2):
+            cg = Counter(tuple(c[i:i+n]) for i in range(len(c)-n+1))
+            rg = Counter(tuple(r[i:i+n]) for i in range(len(r)-n+1))
+            res[n] = (sum(min(v, rg[g]) for g, v in cg.items()),
+                      sum(cg.values()))
+        if any(res[n][0] == 0 for n in (1, 2)):
+            return res, None
+        bp = min(1.0, math.exp(1 - len(r)/len(c)))
+        b = bp * math.exp(sum(math.log(res[n][0]/res[n][1])/2
+                              for n in (1, 2)))
+        return res, b
+
+    for pid, cand, ref in [(r[0], r[1], r[2]) for r in rows]:
+        res, b = brute(cand, ref)
+        got = out[pid]
+        assert (got["p1_num"], got["p1_den"]) == res[1]
+        assert (got["p2_num"], got["p2_den"]) == res[2]
+        if b is None:
+            assert got["bleu"] is None
+        else:
+            assert got["bleu"] == pytest.approx(b, rel=1e-12)
+    assert out[1]["bleu"] == pytest.approx(1.0)
+    # clipping: cand 'a a a a' vs ref 'a b' -> p1 = 1/4
+    assert out[3]["p1_num"] == 1 and out[3]["p1_den"] == 4
+
+
+def test_good_turing_brute(spark):
+    from collections import Counter
+    from hiselspark.functions.text import good_turing
+    texts = ["a a a b b c", "c d e", "a b f g"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    out = {r["r"]: r for r in good_turing(df, "text").collect()}
+    cnt = Counter(" ".join(texts).split())
+    nr = Counter(cnt.values())
+    total = sum(cnt.values())
+    for r, n_r in nr.items():
+        assert out[r]["n_r"] == n_r
+        assert out[r]["total_tokens"] == total
+        if (r + 1) in nr:
+            assert out[r]["r_star"] == pytest.approx(
+                (r + 1) * nr[r + 1] / n_r, rel=1e-12)
+        else:
+            assert out[r]["r_star"] is None
+
+
+def test_kneser_ney_brute(spark):
+    from collections import Counter
+    from hiselspark.functions.text import kneser_ney
+    texts = ["the cat sat", "the dog sat", "a cat sat", "the cat ran"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           kneser_ney(df, "text", discount=0.75, min_count=1,
+                      id_col="doc_id").collect()}
+    bigrams = Counter()
+    for t in texts:
+        w = t.split()
+        bigrams.update(zip(w, w[1:]))
+    c1 = Counter(); fwd = Counter(); back = Counter()
+    for (w1, w2), c in bigrams.items():
+        c1[w1] += c; fwd[w1] += 1; back[w2] += 1
+    ntypes = len(bigrams)
+    d = 0.75
+    for (w1, w2), c in bigrams.items():
+        got = out[(w1, w2)]
+        assert got["c12"] == c and got["c1"] == c1[w1]
+        assert got["n1p_fwd"] == fwd[w1]
+        assert got["n1p_back"] == back[w2]
+        assert got["n_types"] == ntypes
+        pkn = (max(c - d, 0.0) / c1[w1]
+               + (d / c1[w1]) * fwd[w1] * back[w2] / ntypes)
+        assert got["pkn"] == pytest.approx(pkn, rel=1e-12)
+    # KN probabilities over each context sum to <= 1 (mass reserved
+    # only for unseen continuations)
+    for w1 in c1:
+        s = sum(out[(a, b)]["pkn"] for (a, b) in bigrams if a == w1)
+        assert s <= 1.0 + 1e-9
