@@ -5411,6 +5411,72 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "l_diverse")
 
 
+def q_weighted_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman–Ford (3 relaxation rounds) from the first
+    three order nodes over the undirected order↔part graph with
+    quantity weights — exact integer distances; the oracle unrolls
+    the rounds as CTEs (a converged table is a fixed point, so the
+    fixed-round replay is identical)."""
+    from hiselspark.operators.graph import weighted_hops
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") * 2).alias("src"),
+                      (F.col("l_partkey") * 2 + 1).alias("dst"),
+                      F.round("l_quantity").cast("long").alias("w"))
+    sources = (li.filter(F.col("l_orderkey") <= 3)
+                 .select((F.col("l_orderkey") * 2).alias("node"))
+                 .distinct())
+    out = weighted_hops(edges, sources, max_rounds=3)
+    return out.select("node", "dist")
+
+
+def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS / SNIPS off-policy value of the deterministic target
+    policy "purchase if k ≥ 50 else click" from the logged
+    (event_type, cents) bandit data, logging propensities = empirical
+    action frequencies — every sufficient statistic exact int64, the
+    two estimates folded per-action in action order."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.causal import ips_offpolicy
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select("event_type",
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents"),
+                   F.when(F.col("__p.k") >= 50, F.lit("purchase"))
+                    .otherwise(F.lit("click")).alias("target")))
+    out = ips_offpolicy(d, "event_type", "cents", "target")
+    return out.select("n", "n_matched",
+                      F.round("value_ips", 6).alias("value_ips"),
+                      F.round("value_snips", 6).alias("value_snips"))
+
+
+def q_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-SHAP attributions of a two-feature closed-form
+    OLS (cents ~ props-k + event_id%7): the 2x2 normal equations
+    solved by Cramer's rule on exact int64 moments, per-row
+    contributions βⱼ·(xᵢⱼ−x̄ⱼ) as fixed float expressions."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.regress import linear_shap
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select("event_id",
+                   F.col("__p.k").cast("long").alias("k"),
+                   (F.col("event_id") % 7).alias("x2"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    out = linear_shap(d, "event_id", "k", "x2", "cents")
+    return out.select(
+        "event_id",
+        F.round("contrib_x1", 6).alias("contrib_x1"),
+        F.round("contrib_x2", 6).alias("contrib_x2"),
+        F.round("baseline", 6).alias("baseline"),
+        F.round("prediction", 6).alias("prediction"))
+
+
 def q_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLEU-2 between consecutive-doc-id candidate/reference pairs:
     clipped n-gram precisions as exact integer num/den per order,
@@ -6888,6 +6954,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bleu_pairs": q_bleu_pairs,
         "good_turing": q_good_turing,
         "kneser_ney": q_kneser_ney,
+        "weighted_hops": q_weighted_hops,
+        "ips_offpolicy": q_ips_offpolicy,
+        "linear_shap": q_linear_shap,
         "anova_f": q_anova_f,
         "reg_discontinuity": q_reg_discontinuity,
         "energy_distance": q_energy_distance,
@@ -11814,6 +11883,145 @@ def _oracle_sql_raw() -> dict[str, str]:
                                AND CURRENT ROW)),
                  (acc, x) -> acc + x), 6) AS cumhaz
         FROM risk
+    """
+    oracles["weighted_hops"] = """
+        WITH e0 AS (
+          SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst,
+                 CAST(round(l_quantity) AS BIGINT) AS w
+          FROM lineitem
+        ), eu AS (
+          SELECT src, dst, CAST(min(w) AS BIGINT) AS w
+          FROM (SELECT src, dst, w FROM e0
+                UNION ALL SELECT dst, src, w FROM e0)
+          GROUP BY 1, 2
+        ), r0 AS (
+          SELECT DISTINCT l_orderkey*2 AS node,
+                 CAST(0 AS BIGINT) AS dist
+          FROM lineitem WHERE l_orderkey <= 3
+        ), r1 AS (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM r0
+            UNION ALL
+            SELECT e.dst, r.dist + e.w FROM r0 r
+            JOIN eu e ON r.node = e.src
+          ) GROUP BY node
+        ), r2 AS (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM r1
+            UNION ALL
+            SELECT e.dst, r.dist + e.w FROM r1 r
+            JOIN eu e ON r.node = e.src
+          ) GROUP BY node
+        ), r3 AS (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM r2
+            UNION ALL
+            SELECT e.dst, r.dist + e.w FROM r2 r
+            JOIN eu e ON r.node = e.src
+          ) GROUP BY node
+        )
+        SELECT node, dist FROM r3
+    """
+    oracles["ips_offpolicy"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents,
+                 CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 'purchase' ELSE 'click' END AS target
+          FROM events
+          WHERE event_type IS NOT NULL AND value IS NOT NULL
+        ), per AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN event_type = target
+                               THEN cents ELSE 0 END) AS BIGINT)
+                   AS r_match,
+                 CAST(sum(CASE WHEN event_type = target
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match
+          FROM d GROUP BY event_type
+        ), tot AS (
+          SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS n FROM per
+        ), agg AS (
+          SELECT max(n) AS n,
+                 CAST(sum(n_match) AS BIGINT) AS n_matched,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(r_match AS DOUBLE) * CAST(n AS DOUBLE)
+                        / CAST(n_a AS DOUBLE)
+                        ORDER BY event_type)),
+                   (acc, x) -> acc + x) AS sv,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(n_match AS DOUBLE) * CAST(n AS DOUBLE)
+                        / CAST(n_a AS DOUBLE)
+                        ORDER BY event_type)),
+                   (acc, x) -> acc + x) AS sw
+          FROM tot
+        )
+        SELECT CAST(n AS BIGINT) AS n, n_matched,
+               round(sv / CAST(n AS DOUBLE), 6) AS value_ips,
+               CASE WHEN sw > 0.0 THEN round(sv / sw, 6) END
+                 AS value_snips
+        FROM agg
+    """
+    oracles["linear_shap"] = """
+        WITH d AS (
+          SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS x1,
+                 CAST(event_id % 7 AS BIGINT) AS x2,
+                 CAST(round(value*100) AS BIGINT) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL AND event_id IS NOT NULL
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS s1,
+                 CAST(sum(x2) AS BIGINT) AS s2,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1*x1) AS BIGINT) AS s11,
+                 CAST(sum(x2*x2) AS BIGINT) AS s22,
+                 CAST(sum(x1*x2) AS BIGINT) AS s12,
+                 CAST(sum(x1*y) AS BIGINT) AS s1y,
+                 CAST(sum(x2*y) AS BIGINT) AS s2y
+          FROM d
+        ), m AS (
+          SELECT *,
+                 CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m11,
+                 CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m22,
+                 CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m12,
+                 CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS m1y,
+                 CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS m2y
+          FROM s
+        ), b AS (
+          SELECT *,
+                 CASE WHEN m11*m22 - m12*m12 <> 0.0
+                      THEN (m1y*m22 - m2y*m12)
+                           / (m11*m22 - m12*m12) END AS b1,
+                 CASE WHEN m11*m22 - m12*m12 <> 0.0
+                      THEN (m2y*m11 - m1y*m12)
+                           / (m11*m22 - m12*m12) END AS b2,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS baseline,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x1,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x2
+          FROM m
+        )
+        SELECT event_id,
+               round(b1 * (CAST(x1 AS DOUBLE) - mean_x1), 6)
+                 AS contrib_x1,
+               round(b2 * (CAST(x2 AS DOUBLE) - mean_x2), 6)
+                 AS contrib_x2,
+               round(baseline, 6) AS baseline,
+               round(baseline
+                     + b1 * (CAST(x1 AS DOUBLE) - mean_x1)
+                     + b2 * (CAST(x2 AS DOUBLE) - mean_x2), 6)
+                 AS prediction
+        FROM d CROSS JOIN b
     """
     oracles["bleu_pairs"] = """
         WITH a AS (

@@ -220,3 +220,66 @@ def reg_discontinuity(df: DataFrame, running_col: str,
         F.col("left_icept").alias("icept_left"),
         F.col("right_icept").alias("icept_right"),
         (F.col("right_icept") - F.col("left_icept")).alias("effect"))
+
+
+def ips_offpolicy(df: DataFrame, action_col: str, reward_col: str,
+                  target_action_col: str) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged bandit data by inverse propensity scoring (Horvitz &
+    Thompson 1952; Li et al. 2011): with the logging propensities
+    estimated as the empirical action frequencies ``p(a) = n_a/n``,
+
+        V_IPS   = (1/n) Σ rᵢ·1[π(xᵢ)=aᵢ]/p(aᵢ)
+        V_SNIPS = Σ rᵢ·wᵢ / Σ wᵢ,   wᵢ = 1[π(xᵢ)=aᵢ]/p(aᵢ)
+
+    ``target_action_col`` holds the action the TARGET policy would
+    take on each logged context (a column, so any deterministic
+    policy expressible over the row is supported); ``reward_col``
+    must be integer-quantized.  Every sufficient statistic (n, per-
+    action counts, matched-reward and matched-count sums grouped BY
+    ACTION) is an exact int64; the two estimates are fixed float
+    expressions over the per-action sums folded in action order — so
+    the result is bit-reproducible and SQL-replayable.  Two count
+    shuffles on the action key; linear."""
+    r = F.col(reward_col).cast("long")
+    match = (F.col(action_col) == F.col(target_action_col))
+    per = (df.filter(F.col(action_col).isNotNull()
+                     & F.col(reward_col).isNotNull())
+             .groupBy(action_col)
+             .agg(F.count(F.lit(1)).alias("n_a"),
+                  F.sum(F.when(match, r).otherwise(F.lit(0)))
+                  .alias("r_match"),
+                  F.sum(match.cast("long")).alias("n_match")))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    per = per.withColumn("n", F.sum("n_a").over(wt))
+    # w for every matched row of action a is n/n_a (constant within
+    # the action), so the folds are over the per-action table,
+    # ordered by action for determinism
+    term_v = (F.col("r_match").cast("double")
+              * F.col("n").cast("double")
+              / F.col("n_a").cast("double"))
+    term_w = (F.col("n_match").cast("double")
+              * F.col("n").cast("double")
+              / F.col("n_a").cast("double"))
+    agg = per.agg(
+        F.max("n").alias("n"),
+        F.sum("n_match").alias("n_matched"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col(action_col).alias("g"),
+                    term_v.alias("tv"), term_w.alias("tw")))),
+                lambda s: F.struct(s["tv"].alias("tv"),
+                                   s["tw"].alias("tw"))),
+            F.struct(F.lit(0.0).alias("sv"), F.lit(0.0).alias("sw")),
+            lambda acc, s: F.struct(
+                (acc["sv"] + s["tv"]).alias("sv"),
+                (acc["sw"] + s["tw"]).alias("sw"))).alias("f"))
+    v_ips = F.col("f.sv") / F.col("n").cast("double")
+    v_snips = F.when(F.col("f.sw") > 0.0,
+                     F.col("f.sv") / F.col("f.sw"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        v_ips.alias("value_ips"), v_snips.alias("value_snips"))

@@ -550,3 +550,46 @@ def label_propagation(edges: DataFrame, src: str = "src",
     return labels.select(
         "node", "label",
         F.count(F.lit(1)).over(wsz).alias("community_size"))
+
+
+def weighted_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node_col: str = "node",
+    undirected: bool = True,
+) -> DataFrame:
+    """Bounded Bellman–Ford single-source-set shortest paths with
+    exact INTEGER edge weights: ``(node, dist)`` with the minimum
+    total weight from any source reachable within ``max_rounds`` edge
+    relaxations (unreached nodes absent).  The weighted companion of
+    :func:`bfs_hops` — cost-limited blast radius, weighted similarity
+    graphs, cheapest multi-hop reach.
+
+    Each round is one join of the CURRENT distance table to the edge
+    list plus a min-groupBy union — the standard Pregel-style
+    relaxation, one node-keyed shuffle per round, results exact
+    integers independent of partitioning.  Exactly ``max_rounds``
+    relaxations are applied with NO driver-side convergence probe
+    (a converged table is a fixed point, so extra rounds are
+    harmless) — the plan is one static DAG the SQL oracle replays as
+    unrolled CTEs, and nothing is persisted or counted per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
+                     F.col(weight).cast("long").alias("w"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"), "w"))
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    dist = (sources.select(F.col(node_col).alias("node")).distinct()
+                   .withColumn("dist", F.lit(0).cast("long")))
+    for _ in range(int(max_rounds)):
+        relaxed = (dist.join(e, dist.node == e.src)
+                       .select(F.col("dst").alias("node"),
+                               (F.col("dist") + F.col("w"))
+                               .alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                    .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist.select("node", "dist")

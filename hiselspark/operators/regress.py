@@ -124,3 +124,68 @@ def pit_expanding_ols(
         slope.alias("slope"),
         intercept.alias("intercept"),
         (intercept + slope * d("x")).alias("prediction"))
+
+
+def linear_shap(df: DataFrame, id_col: str, x1_col: str, x2_col: str,
+                y_col: str) -> DataFrame:
+    """Exact per-row SHAP attributions for a two-feature closed-form
+    OLS fit (for a linear model with independent features the Shapley
+    value of feature j on row i is exactly ``βⱼ·(xᵢⱼ − x̄ⱼ)``:
+    Lundberg & Lee 2017, Corollary 1 — no sampling, no approximation):
+
+        pred(i) = ȳ + contrib₁(i) + contrib₂(i),
+        contribⱼ(i) = βⱼ·(xᵢⱼ − x̄ⱼ)
+
+    with β from the 2×2 normal equations solved by Cramer's rule on
+    centered second moments.  All columns must be integer-quantized:
+    the seven sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂²,
+    Σx₁x₂, Σx₁y, Σx₂y) are exact int64 from ONE map-side-combined
+    aggregate, broadcast back; betas and per-row contributions are
+    fixed float expressions — bit-reproducible at any partitioning
+    and SQL-replayable.  Rows with a NULL in any column are dropped.
+    Returns one row per input row: (id, contrib_x1, contrib_x2,
+    baseline, prediction).  NULL betas (singular design) yield NULL
+    contributions."""
+    x1 = F.col(x1_col).cast("long")
+    x2 = F.col(x2_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = df.filter(F.col(x1_col).isNotNull() & F.col(x2_col).isNotNull()
+                  & F.col(y_col).isNotNull())
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"), F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"), F.sum(x2 * y).alias("s2y"))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    n = dd("n")
+    # centered moments: m_jk = Σxⱼxₖ − ΣxⱼΣxₖ/n
+    m11 = dd("s11") - dd("s1") * dd("s1") / n
+    m22 = dd("s22") - dd("s2") * dd("s2") / n
+    m12 = dd("s12") - dd("s1") * dd("s2") / n
+    m1y = dd("s1y") - dd("s1") * dd("sy") / n
+    m2y = dd("s2y") - dd("s2") * dd("sy") / n
+    det = m11 * m22 - m12 * m12
+    b1 = F.when(det != 0.0, (m1y * m22 - m2y * m12) / det)
+    b2 = F.when(det != 0.0, (m2y * m11 - m1y * m12) / det)
+    model = stats.select(
+        "n", "s1", "s2", "sy",
+        b1.alias("b1"), b2.alias("b2"),
+        (dd("sy") / n).alias("baseline"),
+        (dd("s1") / n).alias("mean_x1"),
+        (dd("s2") / n).alias("mean_x2"))
+    out = d.select(F.col(id_col), x1.alias("__x1"), x2.alias("__x2")) \
+           .join(F.broadcast(model))
+    c1 = F.col("b1") * (F.col("__x1").cast("double")
+                        - F.col("mean_x1"))
+    c2 = F.col("b2") * (F.col("__x2").cast("double")
+                        - F.col("mean_x2"))
+    return out.select(
+        id_col,
+        c1.alias("contrib_x1"), c2.alias("contrib_x2"),
+        F.col("baseline").alias("baseline"),
+        (F.col("baseline") + c1 + c2).alias("prediction"))

@@ -243,3 +243,88 @@ def test_kneser_ney_brute(spark):
     for w1 in c1:
         s = sum(out[(a, b)]["pkn"] for (a, b) in bigrams if a == w1)
         assert s <= 1.0 + 1e-9
+
+
+def test_weighted_hops_brute(spark):
+    from hiselspark.operators.graph import weighted_hops
+    # diamond graph: 1-2 (w5), 1-3 (w1), 3-2 (w2), 2-4 (w1)
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (1, 3, 1), (3, 2, 2), (2, 4, 1)],
+        ["src", "dst", "w"])
+    src = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r["dist"] for r in
+           weighted_hops(edges, src, max_rounds=3).collect()}
+    # shortest: 1->0, 3->1, 2->3 (via 3, not the direct 5), 4->4
+    assert out == {1: 0, 3: 1, 2: 3, 4: 4}
+    # one round only: 2 is reached via the direct heavy edge
+    out1 = {r["node"]: r["dist"] for r in
+            weighted_hops(edges, src, max_rounds=1).collect()}
+    assert out1[2] == 5 and out1[3] == 1
+
+
+def test_ips_offpolicy_brute(spark):
+    from collections import Counter
+    from hiselspark.operators.causal import ips_offpolicy
+    rng = _rng(23)
+    n = 500
+    acts = ["a", "b", "c"]
+    logged = [acts[i] for i in rng.integers(0, 3, n)]
+    target = [acts[i] for i in rng.integers(0, 3, n)]
+    reward = rng.integers(0, 100, n)
+    df = spark.createDataFrame(
+        [(l, int(r), t) for l, r, t in zip(logged, reward, target)],
+        ["act", "rew", "tgt"])
+    row = ips_offpolicy(df, "act", "rew", "tgt").collect()[0]
+    freq = Counter(logged)
+    w = [(1.0 / (freq[l] / n)) if l == t else 0.0
+         for l, t in zip(logged, target)]
+    v_ips = sum(r * wi for r, wi in zip(reward, w)) / n
+    v_snips = (sum(r * wi for r, wi in zip(reward, w)) / sum(w))
+    assert row["n"] == n
+    assert row["n_matched"] == sum(1 for l, t in zip(logged, target)
+                                   if l == t)
+    assert row["value_ips"] == pytest.approx(v_ips, rel=1e-9)
+    assert row["value_snips"] == pytest.approx(v_snips, rel=1e-9)
+
+
+def test_ips_offpolicy_identity_policy(spark):
+    # target == logged everywhere, empirical propensities: every row
+    # of action a gets w = n/n_a, so IPS = Σ_a mean_a(r) and SNIPS is
+    # the action-balanced weighted mean
+    from hiselspark.operators.causal import ips_offpolicy
+    rows = [("a", 10, "a"), ("a", 20, "a"), ("b", 30, "b")]
+    df = spark.createDataFrame(rows, ["act", "rew", "tgt"])
+    row = ips_offpolicy(df, "act", "rew", "tgt").collect()[0]
+    assert row["n_matched"] == 3
+    assert row["value_ips"] == pytest.approx(15.0 + 30.0)   # Σ means
+    assert row["value_snips"] == pytest.approx(135.0 / 6.0)  # 22.5
+
+
+def test_linear_shap_brute(spark):
+    from hiselspark.operators.regress import linear_shap
+    rng = _rng(29)
+    n = 300
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(-10, 10, n)
+    y = 3 * x1 - 2 * x2 + rng.integers(-3, 4, n)
+    df = spark.createDataFrame(
+        [(i, int(a), int(b), int(c))
+         for i, (a, b, c) in enumerate(zip(x1, x2, y))],
+        ["rid", "x1", "x2", "y"])
+    out = {r["rid"]: r for r in
+           linear_shap(df, "rid", "x1", "x2", "y").collect()}
+    X = np.column_stack([np.ones(n), x1, x2]).astype(float)
+    beta = np.linalg.lstsq(X, y.astype(float), rcond=None)[0]
+    b1, b2 = beta[1], beta[2]
+    for i in range(0, n, 37):
+        got = out[i]
+        c1 = b1 * (x1[i] - x1.mean())
+        c2 = b2 * (x2[i] - x2.mean())
+        assert got["contrib_x1"] == pytest.approx(c1, rel=1e-6)
+        assert got["contrib_x2"] == pytest.approx(c2, rel=1e-6)
+        assert got["baseline"] == pytest.approx(y.mean(), rel=1e-9)
+        assert got["prediction"] == pytest.approx(
+            y.mean() + c1 + c2, rel=1e-6)
+    # efficiency: contributions + baseline average to the mean pred
+    preds = np.array([out[i]["prediction"] for i in range(n)])
+    assert preds.mean() == pytest.approx(y.mean(), rel=1e-9)
