@@ -5396,7 +5396,9 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct l-diversity audit (l=5) of the k-decile sensitive
     attribute under the (user bucket, event_type) quasi-identifier —
-    exact group sizes and distinct counts, one shuffle."""
+    exact class sizes and distinct counts, one shuffle (the same
+    operator q_k_anonymity composes, here gated standalone on a
+    different quasi/sensitive projection)."""
     from pyspark.sql.types import IntegerType, StructField, StructType
     from hiselspark.operators.pii import l_diversity
     ev = _ev(spark, sf_dir)
@@ -5407,8 +5409,74 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "event_type",
                    (F.col("__p.k").cast("long") % 10).alias("k_dec")))
     out = l_diversity(d, ["user_bucket", "event_type"], "k_dec", l=5)
-    return out.select("user_bucket", "event_type", "group_size",
-                      "n_sensitive", "l_diverse")
+    return out.select("user_bucket", "event_type", "class_size",
+                      "n_sensitive", "violates_l")
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test of the value>10 rule vs the k>=50 rule
+    as paired binary judgments over events — discordant counts exact,
+    continuity-corrected chi-square + A-S erfc p-value as mirrored
+    float expressions."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import mcnemar_test
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y1"),
+                   (F.col("__p.k") >= 50).cast("long").alias("y2")))
+    out = mcnemar_test(d, "y1", "y2")
+    return out.select("n", "n00", "n01", "n10", "n11",
+                      F.round("chi2", 6).alias("chi2"),
+                      F.round("p_value", 6).alias("p_value"))
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over a 4-rater panel built deterministically
+    from events (item = event_id//4, rater category = event_type) —
+    all sufficient statistics exact int64, kappa one mirrored float
+    expression (NULL if panel sizes were unequal)."""
+    from hiselspark.operators.evaluate import fleiss_kappa
+    ev = _ev(spark, sf_dir)
+    d = ev.select(F.floor(F.col("event_id") / 4).cast("long")
+                  .alias("item"), "event_type")
+    out = fleiss_kappa(d, "item", "event_type")
+    return out.select("n_items", "n_raters",
+                      F.round("p_bar", 6).alias("p_bar"),
+                      F.round("p_e", 6).alias("p_e"),
+                      F.round("kappa", 6).alias("kappa"))
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (t=0.05) of the event_type sensitive attribute
+    under the user-bucket quasi-identifier — the TVD numerator exact
+    int64 incl. the absent-category closed form, one mirrored
+    division."""
+    from hiselspark.operators.pii import t_closeness
+    ev = _ev(spark, sf_dir)
+    d = ev.select((F.col("user_id") % 20).alias("user_bucket"),
+                  "event_type")
+    out = t_closeness(d, ["user_bucket"], "event_type", t=0.05)
+    return out.select("user_bucket", "group_size", "tvd_num",
+                      F.round("tvd", 6).alias("tvd"), "t_close")
+
+
+def q_image_corners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Harris corner response (k=1/20 cross-multiplied,
+    3x3 Sobel + 3x3 box sums) on synthesized 8x8 raw payloads — the
+    oracle replays every pixel, both gradients, all box sums and the
+    scaled response; corner decision is an integer comparison."""
+    from hiselspark.functions.image import with_harris_corners
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_harris_corners(imgs, threshold=0)
+    return out.select("okey", "corner_count", "resp_max",
+                      "resp_argmax")
 
 
 def q_weighted_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6957,6 +7025,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_hops": q_weighted_hops,
         "ips_offpolicy": q_ips_offpolicy,
         "linear_shap": q_linear_shap,
+        "mcnemar": q_mcnemar,
+        "fleiss_kappa": q_fleiss_kappa,
+        "t_closeness": q_t_closeness,
+        "image_corners": q_image_corners,
         "anova_f": q_anova_f,
         "reg_discontinuity": q_reg_discontinuity,
         "energy_distance": q_energy_distance,
@@ -8091,6 +8163,56 @@ def _conv_oracle_sql() -> str:
                CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS conv_n_pos
         FROM r GROUP BY okey
+    """
+
+
+def _harris_oracle_sql() -> str:
+    """TRUE SQL oracle for image_corners: synthesized pixels expand
+    inline into both 3x3 Sobel gradients; the 3x3 structure-tensor
+    box sums come from a bounded self-join on |Δy|,|Δx| ≤ 1 and the
+    k=1/20 Harris response is the exact integer
+    20·(Sxx·Syy − Sxy²) − (Sxx+Syy)²."""
+    def g(dy: int, dx: int) -> str:
+        terms = " + ".join(
+            f"((okey*7919 + ((y+{dy})*24 + (x+{dx})*3 + {c})*31) % 256)"
+            for c in range(3))
+        return f"({terms})"
+    ix = (f"({g(-1, 1)} + 2*{g(0, 1)} + {g(1, 1)})"
+          f" - ({g(-1, -1)} + 2*{g(0, -1)} + {g(1, -1)})")
+    iy = (f"({g(1, -1)} + 2*{g(1, 0)} + {g(1, 1)})"
+          f" - ({g(-1, -1)} + 2*{g(-1, 0)} + {g(-1, 1)})")
+    return f"""
+        WITH s AS (
+          SELECT o_orderkey AS okey, y, x,
+                 CAST({ix} AS BIGINT) AS ix,
+                 CAST({iy} AS BIGINT) AS iy
+          FROM orders,
+               unnest(generate_series(1, 6)) AS ty(y),
+               unnest(generate_series(1, 6)) AS tx(x)
+        ), t AS (
+          SELECT a.okey, a.y, a.x,
+                 CAST(sum(b.ix*b.ix) AS BIGINT) AS sxx,
+                 CAST(sum(b.iy*b.iy) AS BIGINT) AS syy,
+                 CAST(sum(b.ix*b.iy) AS BIGINT) AS sxy
+          FROM s a JOIN s b ON a.okey = b.okey
+                           AND abs(a.y - b.y) <= 1
+                           AND abs(a.x - b.x) <= 1
+          WHERE a.y BETWEEN 2 AND 5 AND a.x BETWEEN 2 AND 5
+          GROUP BY 1, 2, 3
+        ), r AS (
+          SELECT okey, (y-2)*4 + (x-2) AS idx,
+                 20*(sxx*syy - sxy*sxy) - (sxx+syy)*(sxx+syy) AS resp
+          FROM t
+        ), m AS (
+          SELECT *, max(resp) OVER (PARTITION BY okey) AS mx FROM r
+        )
+        SELECT okey,
+               CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS corner_count,
+               CAST(max(resp) AS BIGINT) AS resp_max,
+               CAST(min(CASE WHEN resp = mx THEN idx END) AS BIGINT)
+                 AS resp_argmax
+        FROM m GROUP BY okey
     """
 
 
@@ -11884,6 +12006,135 @@ def _oracle_sql_raw() -> dict[str, str]:
                  (acc, x) -> acc + x), 6) AS cumhaz
         FROM risk
     """
+    oracles["mcnemar"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y1,
+                 CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS y2
+          FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+        ), c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum((1-y1)*(1-y2)) AS BIGINT) AS n00,
+                 CAST(sum((1-y1)*y2) AS BIGINT) AS n01,
+                 CAST(sum(y1*(1-y2)) AS BIGINT) AS n10,
+                 CAST(sum(y1*y2) AS BIGINT) AS n11
+          FROM d
+        ), s AS (
+          SELECT *,
+                 CASE WHEN n10 + n01 > 0 THEN
+                   (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+                    - 1.0)
+                   * (abs(CAST(n10 AS DOUBLE) - CAST(n01 AS DOUBLE))
+                      - 1.0)
+                   / (CAST(n10 AS DOUBLE) + CAST(n01 AS DOUBLE))
+                 END AS chi2
+          FROM c
+        ), e AS (
+          SELECT *, sqrt(chi2 / 2.0) AS x,
+                 1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)) AS t
+          FROM s
+        )
+        SELECT n, n00, n01, n10, n11,
+               round(chi2, 6) AS chi2,
+               round((t * (0.254829592
+                     + t * (-0.284496736
+                     + t * (1.421413741
+                     + t * (-1.453152027
+                     + t * 1.061405429))))) * exp(-(x*x)), 6)
+                 AS p_value
+        FROM e
+    """
+    oracles["fleiss_kappa"] = """
+        WITH nij AS (
+          SELECT event_id // 4 AS item, event_type,
+                 CAST(count(*) AS BIGINT) AS n_ij
+          FROM events
+          WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+          GROUP BY 1, 2
+        ), per_item AS (
+          SELECT item, CAST(sum(n_ij) AS BIGINT) AS n_i,
+                 CAST(sum(n_ij*n_ij) AS BIGINT) AS sq_i
+          FROM nij GROUP BY item
+        ), items AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(min(n_i) AS BIGINT) AS n_min,
+                 CAST(max(n_i) AS BIGINT) AS n_max,
+                 CAST(sum(sq_i) AS BIGINT) AS sum_sq
+          FROM per_item
+        ), cats AS (
+          SELECT CAST(sum(c_j*c_j) AS BIGINT) AS sum_c2
+          FROM (SELECT event_type, CAST(sum(n_ij) AS BIGINT) AS c_j
+                FROM nij GROUP BY event_type)
+        ), j AS (
+          SELECT *,
+                 CASE WHEN n_min = n_max AND n_min >= 2 THEN
+                   (CAST(sum_sq AS DOUBLE)
+                    - CAST(n_items AS DOUBLE) * CAST(n_min AS DOUBLE))
+                   / (CAST(n_items AS DOUBLE) * CAST(n_min AS DOUBLE)
+                      * (CAST(n_min AS DOUBLE) - 1.0))
+                 END AS p_bar,
+                 CAST(sum_c2 AS DOUBLE)
+                 / ((CAST(n_items AS DOUBLE) * CAST(n_min AS DOUBLE))
+                    * (CAST(n_items AS DOUBLE)
+                       * CAST(n_min AS DOUBLE))) AS p_e
+          FROM items CROSS JOIN cats
+        )
+        SELECT n_items,
+               CASE WHEN n_min = n_max THEN n_min END AS n_raters,
+               round(p_bar, 6) AS p_bar,
+               round(p_e, 6) AS p_e,
+               CASE WHEN p_e < 1.0
+                    THEN round((p_bar - p_e) / (1.0 - p_e), 6)
+               END AS kappa
+        FROM j
+    """
+    oracles["t_closeness"] = """
+        WITH d AS (
+          SELECT CAST(user_id % 20 AS BIGINT) AS user_bucket,
+                 event_type
+          FROM events WHERE event_type IS NOT NULL
+        ), per AS (
+          SELECT user_bucket, event_type,
+                 CAST(count(*) AS BIGINT) AS k_j
+          FROM d GROUP BY 1, 2
+        ), gcnt AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS c_j
+          FROM d GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(c_j) AS BIGINT) AS N FROM gcnt
+        ), pg AS (
+          SELECT per.*, CAST(sum(k_j) OVER
+                   (PARTITION BY user_bucket) AS BIGINT) AS g
+          FROM per
+        ), agg AS (
+          SELECT user_bucket,
+                 CAST(max(g) AS BIGINT) AS group_size,
+                 CAST(max(N) AS BIGINT) AS N,
+                 CAST(sum(abs(k_j*N - c_j*g)) AS BIGINT)
+                   AS present_num,
+                 CAST(sum(c_j) AS BIGINT) AS present_c
+          FROM pg
+          JOIN gcnt USING (event_type)
+          CROSS JOIN tot
+          GROUP BY user_bucket
+        )
+        SELECT user_bucket, group_size,
+               CAST(present_num
+                    + group_size * (N - present_c) AS BIGINT)
+                 AS tvd_num,
+               round(CAST(present_num + group_size * (N - present_c)
+                          AS DOUBLE)
+                     / (2.0 * CAST(group_size AS DOUBLE)
+                        * CAST(N AS DOUBLE)), 6) AS tvd,
+               CAST(present_num + group_size * (N - present_c)
+                    AS DOUBLE)
+               / (2.0 * CAST(group_size AS DOUBLE)
+                  * CAST(N AS DOUBLE)) <= 0.05 AS t_close
+        FROM agg
+    """
+    oracles["image_corners"] = _harris_oracle_sql()
     oracles["weighted_hops"] = """
         WITH e0 AS (
           SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst,
@@ -12299,13 +12550,13 @@ def _oracle_sql_raw() -> dict[str, str]:
     oracles["l_diversity"] = """
         SELECT CAST(user_id % 25 AS BIGINT) AS user_bucket,
                event_type,
-               count(*) AS group_size,
+               count(*) AS class_size,
                CAST(count(DISTINCT
                  CAST(json_extract_string(props, '$.k') AS BIGINT)
                  % 10) AS BIGINT) AS n_sensitive,
                count(DISTINCT
                  CAST(json_extract_string(props, '$.k') AS BIGINT)
-                 % 10) >= 5 AS l_diverse
+                 % 10) < 5 AS violates_l
         FROM events
         GROUP BY 1, 2
     """

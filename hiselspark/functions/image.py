@@ -1691,3 +1691,96 @@ def with_blur_score(df: DataFrame,
                         num.cast("double")
                         / (n * n).cast("double"))
             .withColumn("is_blurry", num < F.lit(thr) * n * n))
+
+
+def _harris_frame(pdf: pd.DataFrame, threshold: int) -> pd.DataFrame:
+    """Harris corner response stats per image, vectorized per shape
+    group, in EXACT integer arithmetic (Harris & Stephens 1988 with
+    k = 1/20, the float k cross-multiplied away):
+
+        Ix, Iy   : 3x3 integer Sobel on the grayscale channel SUM
+        Sxx..Sxy : 3x3 box sums of Ix², Iy², IxIy
+        R·20     = 20·(Sxx·Syy − Sxy²) − (Sxx+Syy)²
+
+    so the response is an exact int64 (safe for the engine's small
+    raw payloads: |S| ≤ 9·(4·765)² ≈ 8.4e7, |R·20| ≤ ~1.4e17) and the
+    corner decision an integer comparison against ``threshold`` (in
+    the same ·20 scale).  Emits per image: ``corner_count``
+    (responses > threshold), ``resp_max`` and ``resp_argmax`` (row-
+    major index of the FIRST maximum in the final valid region —
+    deterministic)."""
+    m = len(pdf)
+    ncor = np.empty(m, dtype=np.int64)
+    rmax = np.empty(m, dtype=np.int64)
+    rarg = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        g = cube.sum(axis=3, dtype=np.int64)
+        # 3x3 Sobel over the (h-2)x(w-2) valid region
+        ix = ((g[:, :-2, 2:] + 2 * g[:, 1:-1, 2:] + g[:, 2:, 2:])
+              - (g[:, :-2, :-2] + 2 * g[:, 1:-1, :-2]
+                 + g[:, 2:, :-2]))
+        iy = ((g[:, 2:, :-2] + 2 * g[:, 2:, 1:-1] + g[:, 2:, 2:])
+              - (g[:, :-2, :-2] + 2 * g[:, :-2, 1:-1]
+                 + g[:, :-2, 2:]))
+
+        def box3(a):
+            return (a[:, :-2, :-2] + a[:, :-2, 1:-1] + a[:, :-2, 2:]
+                    + a[:, 1:-1, :-2] + a[:, 1:-1, 1:-1]
+                    + a[:, 1:-1, 2:]
+                    + a[:, 2:, :-2] + a[:, 2:, 1:-1] + a[:, 2:, 2:])
+
+        sxx = box3(ix * ix)
+        syy = box3(iy * iy)
+        sxy = box3(ix * iy)
+        resp = 20 * (sxx * syy - sxy * sxy) - (sxx + syy) ** 2
+        flat = resp.reshape(resp.shape[0], -1)
+        ncor[rows] = (flat > threshold).sum(axis=1, dtype=np.int64)
+        rmax[rows] = flat.max(axis=1)
+        rarg[rows] = flat.argmax(axis=1)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["corner_count"] = ncor
+    out["resp_max"] = rmax
+    out["resp_argmax"] = rarg
+    return out
+
+
+def with_harris_corners(df: DataFrame,
+                        threshold: int = 0) -> DataFrame:
+    """Append exact-integer Harris corner statistics and drop the
+    payload (see :func:`_harris_frame`) — the classical interest-
+    point detector completing the spatial-feature family (gradhist,
+    moments, boxpeak, LBP): corner density is a strong busy-vs-flat
+    image curation signal.  Arrow-batched ``mapInPandas`` over
+    shape-grouped raw payloads; images must be >= 5x5 (Sobel then box
+    sum each eat a 1-pixel border)."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("corner_count", T.LongType()),
+           T.StructField("resp_max", T.LongType()),
+           T.StructField("resp_argmax", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _harris_frame(pdf, int(threshold))
+
+    return df.mapInPandas(run, out_schema)

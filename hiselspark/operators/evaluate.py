@@ -635,3 +635,101 @@ def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         ssb.alias("ss_between"), ssw.alias("ss_within"),
         f_stat.alias("f_stat"))
+
+
+def mcnemar_test(df: DataFrame, y1_col: str, y2_col: str) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) — THE test for comparing
+    two classifiers on the same examples (Dietterich 1998): only the
+    discordant pairs carry information, and with the continuity
+    correction
+
+        χ² = (|b − c| − 1)² / (b + c),   p = erfc(√(χ²/2))
+
+    over b = #(model1 right, model2 wrong), c = #(model1 wrong,
+    model2 right).  Both columns are 0/1 correctness indicators.
+    One exact-integer count aggregate; χ² and the A-S 7.1.26 erfc
+    p-value are one fixed float expression each (the same polynomial
+    convention as srm_check/mann_whitney).  χ²/p are NULL when b+c=0
+    (no discordant pairs — the models are indistinguishable here).
+    Returns one row: (n, n00, n01, n10, n11, chi2, p_value)."""
+    y1 = F.col(y1_col).cast("long")
+    y2 = F.col(y2_col).cast("long")
+    cnt = (df.filter(F.col(y1_col).isNotNull()
+                     & F.col(y2_col).isNotNull())
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(((1 - y1) * (1 - y2))).alias("n00"),
+                  F.sum(((1 - y1) * y2)).alias("n01"),
+                  F.sum((y1 * (1 - y2))).alias("n10"),
+                  F.sum((y1 * y2)).alias("n11")))
+    b = F.col("n10").cast("double")
+    c = F.col("n01").cast("double")
+    chi2 = F.when(
+        F.col("n10") + F.col("n01") > 0,
+        (F.abs(b - c) - 1.0) * (F.abs(b - c) - 1.0) / (b + c))
+    x = F.sqrt(chi2 / 2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (t * (0.254829592
+            + t * (-0.284496736
+            + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))))
+    p_value = poly * F.exp(-(x * x))
+    return cnt.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n00").cast("long").alias("n00"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n11").cast("long").alias("n11"),
+        chi2.alias("chi2"), p_value.alias("p_value"))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str,
+                 category_col: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement of a
+    FIXED number of raters assigning categorical labels per item (the
+    multi-rater generalization of Cohen's kappa; the standard
+    quality-control statistic for labeling/annotation pipelines):
+
+        P̄  = (Σᵢⱼ nᵢⱼ² − N·n) / (N·n·(n−1))
+        P̄e = Σⱼ (cⱼ / (N·n))²,   κ = (P̄ − P̄e) / (1 − P̄e)
+
+    with nᵢⱼ the raters of item i choosing category j, N items, n
+    raters per item, cⱼ the per-category totals.  Every sufficient
+    statistic (Σnᵢⱼ², Σcⱼ², N, n) is an exact int64, so P̄, P̄e and κ
+    are fixed float expressions — bit-reproducible and
+    SQL-replayable.  κ is NULL when the per-item rater counts are
+    unequal (Fleiss requires a constant panel size) or when P̄e = 1
+    (a single category — agreement is vacuous).  Two count shuffles;
+    linear.  Returns one row: (n_items, n_raters, p_bar, p_e,
+    kappa)."""
+    nij = (df.filter(F.col(item_col).isNotNull()
+                     & F.col(category_col).isNotNull())
+             .groupBy(item_col, category_col)
+             .agg(F.count(F.lit(1)).alias("n_ij")))
+    per_item = (nij.groupBy(item_col)
+                   .agg(F.sum("n_ij").alias("n_i"),
+                        F.sum(F.col("n_ij") * F.col("n_ij"))
+                        .alias("sq_i")))
+    per_cat = (nij.groupBy(category_col)
+                  .agg(F.sum("n_ij").alias("c_j")))
+    items = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.min("n_i").alias("n_min"), F.max("n_i").alias("n_max"),
+        F.sum("sq_i").alias("sum_sq"))
+    tot = (F.col("n_items") * F.col("n_min")).cast("double")
+    cats = per_cat.agg(
+        F.sum(F.col("c_j") * F.col("c_j")).alias("sum_c2"))
+    j = items.join(F.broadcast(cats))
+    n_items = F.col("n_items").cast("double")
+    n = F.col("n_min").cast("double")
+    p_bar = F.when(
+        (F.col("n_min") == F.col("n_max")) & (F.col("n_min") >= 2),
+        (F.col("sum_sq").cast("double") - n_items * n)
+        / (n_items * n * (n - 1.0)))
+    p_e = F.col("sum_c2").cast("double") / (tot * tot)
+    kappa = F.when(p_e < 1.0, (p_bar - p_e) / (1.0 - p_e))
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.when(F.col("n_min") == F.col("n_max"), F.col("n_min"))
+         .cast("long").alias("n_raters"),
+        p_bar.alias("p_bar"), p_e.alias("p_e"),
+        kappa.alias("kappa"))

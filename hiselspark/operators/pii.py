@@ -95,22 +95,57 @@ def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
                           F.col("n_sensitive") < F.lit(int(l)))
 
 
-def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
-                sensitive_col: str, l: int) -> DataFrame:
-    """Distinct l-diversity audit (Machanavajjhala et al. 2006) — the
-    stronger companion of k-anonymity: a quasi-identifier group that
-    is k-anonymous but whose SENSITIVE attribute is (near-)constant
-    still leaks it; each group must carry at least ``l`` distinct
-    sensitive values.  One row per quasi-identifier group with the
-    group size, the exact distinct sensitive count, and the pass
-    flag.  One groupBy with exact integer counts — a single shuffle
-    on the quasi-identifier key at any scale, the same plan class as
-    k_anonymity in this module."""
-    if l < 1:
-        raise ValueError(f"l must be >= 1, got {l}")
-    return (df.groupBy(*[F.col(c) for c in quasi_cols])
-              .agg(F.count(F.lit(1)).alias("group_size"),
-                   F.countDistinct(F.col(sensitive_col))
-                   .alias("n_sensitive"))
-              .withColumn("l_diverse",
-                          F.col("n_sensitive") >= F.lit(int(l))))
+def t_closeness(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, t: float) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) for a
+    CATEGORICAL sensitive attribute — the distributional companion of
+    k_anonymity and l_diversity in this module: a group can be
+    diverse yet still leak if its sensitive distribution differs
+    sharply from the table's.  Each quasi-identifier group's
+    total-variation distance to the global distribution must be <= t:
+
+        TVD(group) = (1/2) Σⱼ |kⱼ/g − cⱼ/N|
+                   = Σⱼ |kⱼ·N − cⱼ·g| / (2·g·N)
+
+    The numerator is an exact int64: categories PRESENT in the group
+    contribute |kⱼ·N − cⱼ·g| through the count join, and the absent
+    ones contribute cⱼ·g in closed form via Σ_absent cⱼ =
+    N − Σ_present cⱼ — no dense group×category table is ever built.
+    One (quasi, sensitive) count shuffle, one broadcast of the
+    per-category totals, one group-keyed window + rollup; tvd is a
+    single mirrored division.  Returns one row per group:
+    (quasi..., group_size, tvd_num, tvd, t_close)."""
+    from pyspark.sql import Window
+
+    if not (0.0 < float(t) <= 1.0):
+        raise ValueError(f"t must be in (0,1], got {t}")
+    d = df.filter(F.col(sensitive_col).isNotNull())
+    per = (d.groupBy(*[F.col(c) for c in quasi_cols],
+                     F.col(sensitive_col).alias("__s"))
+            .agg(F.count(F.lit(1)).alias("k_j")))
+    glob = (d.groupBy(F.col(sensitive_col).alias("__s"))
+             .agg(F.count(F.lit(1)).alias("c_j")))
+    tot = glob.agg(F.sum("c_j").alias("N"))
+    wg = Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    per = per.withColumn("g", F.sum("k_j").over(wg))
+    j = per.join(F.broadcast(glob), "__s").join(F.broadcast(tot))
+    out = (j.groupBy(*[F.col(c) for c in quasi_cols])
+            .agg(F.max("g").alias("group_size"),
+                 F.max("N").alias("N"),
+                 F.sum(F.abs(F.col("k_j") * F.col("N")
+                             - F.col("c_j") * F.col("g")))
+                 .alias("present_num"),
+                 F.sum("c_j").alias("present_c")))
+    tvd_num = (F.col("present_num")
+               + F.col("group_size") * (F.col("N")
+                                        - F.col("present_c")))
+    tvd = (tvd_num.cast("double")
+           / (2.0 * F.col("group_size").cast("double")
+              * F.col("N").cast("double")))
+    return (out.withColumn("tvd_num", tvd_num.cast("long"))
+               .withColumn("tvd", tvd)
+               .withColumn("t_close", tvd <= F.lit(float(t)))
+               .select(*quasi_cols,
+                       F.col("group_size").cast("long")
+                       .alias("group_size"),
+                       "tvd_num", "tvd", "t_close"))

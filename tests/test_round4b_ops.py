@@ -142,9 +142,9 @@ def test_l_diversity_brute(spark):
     df = spark.createDataFrame(rows, ["quasi", "sens"])
     out = {r["quasi"]: r for r in
            l_diversity(df, ["quasi"], "sens", l=2).collect()}
-    assert out[1]["group_size"] == 4
-    assert out[1]["n_sensitive"] == 3 and out[1]["l_diverse"]
-    assert out[2]["n_sensitive"] == 1 and not out[2]["l_diverse"]
+    assert out[1]["class_size"] == 4
+    assert out[1]["n_sensitive"] == 3 and not out[1]["violates_l"]
+    assert out[2]["n_sensitive"] == 1 and out[2]["violates_l"]
     with pytest.raises(ValueError):
         l_diversity(df, ["quasi"], "sens", l=0)
 
@@ -328,3 +328,130 @@ def test_linear_shap_brute(spark):
     # efficiency: contributions + baseline average to the mean pred
     preds = np.array([out[i]["prediction"] for i in range(n)])
     assert preds.mean() == pytest.approx(y.mean(), rel=1e-9)
+
+
+def test_mcnemar_brute(spark):
+    import math
+    from hiselspark.operators.evaluate import mcnemar_test
+    rng = _rng(31)
+    n = 400
+    y1 = rng.integers(0, 2, n)
+    y2 = np.where(rng.random(n) < 0.3, 1 - y1, y1)  # mostly agree
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(y1, y2)], ["y1", "y2"])
+    row = mcnemar_test(df, "y1", "y2").collect()[0]
+    b = int(((y1 == 1) & (y2 == 0)).sum())
+    c = int(((y1 == 0) & (y2 == 1)).sum())
+    assert row["n10"] == b and row["n01"] == c
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c)
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-12)
+    x = math.sqrt(chi2 / 2)
+    assert row["p_value"] == pytest.approx(math.erfc(x), abs=2e-7)
+
+
+def test_mcnemar_no_discordant(spark):
+    from hiselspark.operators.evaluate import mcnemar_test
+    df = spark.createDataFrame([(1, 1), (0, 0)], ["y1", "y2"])
+    row = mcnemar_test(df, "y1", "y2").collect()[0]
+    assert row["chi2"] is None and row["p_value"] is None
+
+
+def test_fleiss_kappa_brute(spark):
+    from hiselspark.operators.evaluate import fleiss_kappa
+    # Fleiss 1971 worked example shape: N items, n=6 raters,
+    # 3 categories — brute-force the formula
+    rng = _rng(37)
+    n_items, n_raters = 40, 6
+    cats = ["a", "b", "c"]
+    rows = [(i, cats[rng.integers(0, 3)])
+            for i in range(n_items) for _ in range(n_raters)]
+    df = spark.createDataFrame(rows, ["item", "cat"])
+    row = fleiss_kappa(df, "item", "cat").collect()[0]
+    import collections
+    nij = collections.Counter(rows)
+    tbl = np.zeros((n_items, 3))
+    for (i, c), v in nij.items():
+        tbl[i, cats.index(c)] = v
+    P_i = ((tbl ** 2).sum(axis=1) - n_raters) / (n_raters
+                                                 * (n_raters - 1))
+    p_bar = P_i.mean()
+    p_j = tbl.sum(axis=0) / (n_items * n_raters)
+    p_e = (p_j ** 2).sum()
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert row["n_items"] == n_items and row["n_raters"] == n_raters
+    assert row["p_bar"] == pytest.approx(p_bar, rel=1e-12)
+    assert row["p_e"] == pytest.approx(p_e, rel=1e-12)
+    assert row["kappa"] == pytest.approx(kappa, rel=1e-12)
+
+
+def test_fleiss_kappa_unequal_panels(spark):
+    from hiselspark.operators.evaluate import fleiss_kappa
+    rows = [(0, "a"), (0, "b"), (1, "a")]  # item 1 has 1 rater
+    df = spark.createDataFrame(rows, ["item", "cat"])
+    row = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert row["n_raters"] is None and row["kappa"] is None
+
+
+def test_t_closeness_brute(spark):
+    from hiselspark.operators.pii import t_closeness
+    rng = _rng(41)
+    n = 600
+    grp = rng.integers(0, 5, n)
+    sens = np.where(grp == 0, 0, rng.integers(0, 4, n))  # group 0 skewed
+    df = spark.createDataFrame(
+        [(int(g), str(s)) for g, s in zip(grp, sens)], ["q", "s"])
+    out = {r["q"]: r for r in
+           t_closeness(df, ["q"], "s", t=0.2).collect()}
+    import collections
+    glob = collections.Counter(str(s) for s in sens)
+    N = n
+    for g in range(5):
+        mask = grp == g
+        gc = collections.Counter(str(s) for s in sens[mask])
+        gn = int(mask.sum())
+        tvd = 0.5 * sum(abs(gc.get(c, 0) / gn - glob[c] / N)
+                        for c in glob)
+        got = out[g]
+        assert got["group_size"] == gn
+        assert got["tvd"] == pytest.approx(tvd, rel=1e-9)
+        assert got["t_close"] == (tvd <= 0.2)
+    assert not out[0]["t_close"]  # the planted skew is caught
+    with pytest.raises(ValueError):
+        t_closeness(df, ["q"], "s", t=0.0)
+
+
+def test_harris_corners_brute(spark):
+    from hiselspark.functions.image import (encode_raw6,
+                                            with_harris_corners)
+    rng = _rng(43)
+    imgs = [(i, rng.integers(0, 256, (8, 8, 3)).astype(np.uint8))
+            for i in range(6)]
+    rows = [(i, img.tobytes(), 8, 8, "raw") for i, img in imgs]
+    df = spark.createDataFrame(
+        rows, ["iid", "bytes", "w", "h", "fmt"])
+    out = {r["iid"]: r for r in
+           with_harris_corners(df, threshold=0).collect()}
+    for i, img in imgs:
+        g = img.sum(axis=2).astype(np.int64)
+        ix = np.zeros((6, 6), dtype=np.int64)
+        iy = np.zeros((6, 6), dtype=np.int64)
+        for y in range(1, 7):
+            for x in range(1, 7):
+                ix[y-1, x-1] = (g[y-1, x+1] + 2*g[y, x+1] + g[y+1, x+1]
+                                - g[y-1, x-1] - 2*g[y, x-1]
+                                - g[y+1, x-1])
+                iy[y-1, x-1] = (g[y+1, x-1] + 2*g[y+1, x] + g[y+1, x+1]
+                                - g[y-1, x-1] - 2*g[y-1, x]
+                                - g[y-1, x+1])
+        resp = np.zeros((4, 4), dtype=np.int64)
+        for y in range(4):
+            for x in range(4):
+                sxx = (ix[y:y+3, x:x+3] ** 2).sum()
+                syy = (iy[y:y+3, x:x+3] ** 2).sum()
+                sxy = (ix[y:y+3, x:x+3] * iy[y:y+3, x:x+3]).sum()
+                resp[y, x] = (20 * (sxx * syy - sxy * sxy)
+                              - (sxx + syy) ** 2)
+        got = out[i]
+        assert got["corner_count"] == int((resp > 0).sum())
+        assert got["resp_max"] == int(resp.max())
+        assert got["resp_argmax"] == int(resp.argmax())
