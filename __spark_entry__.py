@@ -5413,6 +5413,39 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "violates_l")
 
 
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (Naeini et al. 2015) on the same
+    quantized pseudo-probability as the `calibration` gate: ECE =
+    Σ_b (n_b/n)·|frac_pos_b − mean_pred_b| over the 10-bin
+    reliability table — per-bin sufficient statistics exact int64,
+    the bin-ordered fold one deterministic float sum."""
+    from hiselspark.operators.evaluate import calibration_bins
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    scored = ev.withColumn(
+        "score", F.least(F.col("cents"), F.lit(2000)).cast("long")
+    ).withColumn("lbl", (F.col("cents") > 1000).cast("long"))
+    bins = calibration_bins(scored, "score", "lbl", n_bins=10,
+                            score_scale=2000)
+    agg = bins.agg(
+        F.sum("n").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("bin").alias("g"),
+                    (F.col("n").cast("double")
+                     * F.abs(F.col("frac_pos") - F.col("mean_pred")))
+                    .alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("werr"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.round(F.col("werr") / F.col("n").cast("double"), 6)
+        .alias("ece"))
+
+
 def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """McNemar's paired test of the value>10 rule vs the k>=50 rule
     as paired binary judgments over events — discordant counts exact,
@@ -7026,6 +7059,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_offpolicy": q_ips_offpolicy,
         "linear_shap": q_linear_shap,
         "mcnemar": q_mcnemar,
+        "ece": q_ece,
         "fleiss_kappa": q_fleiss_kappa,
         "t_closeness": q_t_closeness,
         "image_corners": q_image_corners,
@@ -12045,6 +12079,34 @@ def _oracle_sql_raw() -> dict[str, str]:
                      + t * 1.061405429))))) * exp(-(x*x)), 6)
                  AS p_value
         FROM e
+    """
+    oracles["ece"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT), 2000)
+                   AS score,
+                 CASE WHEN round(value*100) > 1000 THEN 1 ELSE 0 END
+                   AS lbl
+          FROM events
+        ), b AS (
+          SELECT least(CAST(floor(score * 10 / 2000) AS BIGINT), 9)
+                   AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(score) AS DOUBLE)
+                   / (count(*) * 2000.0) AS mean_pred,
+                 CAST(sum(lbl) AS DOUBLE) / count(*) AS frac_pos
+          FROM q GROUP BY 1
+        ), agg AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_bins,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(n AS DOUBLE)
+                        * abs(frac_pos - mean_pred) ORDER BY bin)),
+                   (acc, x) -> acc + x) AS werr
+          FROM b
+        )
+        SELECT n, n_bins,
+               round(werr / CAST(n AS DOUBLE), 6) AS ece
+        FROM agg
     """
     oracles["fleiss_kappa"] = """
         WITH nij AS (

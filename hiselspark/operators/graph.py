@@ -575,8 +575,11 @@ def weighted_hops(
     integers independent of partitioning.  Exactly ``max_rounds``
     relaxations are applied with NO driver-side convergence probe
     (a converged table is a fixed point, so extra rounds are
-    harmless) — the plan is one static DAG the SQL oracle replays as
-    unrolled CTEs, and nothing is persisted or counted per round."""
+    harmless) — the SQL oracle replays the rounds as unrolled CTEs.
+    Each round's distance table is materialized (localCheckpoint,
+    the same convention as label_propagation/kcore in this module)
+    so the union-of-union lineage doesn't recompute round 0
+    exponentially."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"),
                      F.col(weight).cast("long").alias("w"))
     if undirected:
@@ -586,6 +589,7 @@ def weighted_hops(
     dist = (sources.select(F.col(node_col).alias("node")).distinct()
                    .withColumn("dist", F.lit(0).cast("long")))
     for _ in range(int(max_rounds)):
+        dist = dist.localCheckpoint(eager=True)
         relaxed = (dist.join(e, dist.node == e.src)
                        .select(F.col("dst").alias("node"),
                                (F.col("dist") + F.col("w"))

@@ -614,3 +614,59 @@ def test_round3_new_ops_plan_shapes(spark):
     assert n_exchanges(prof) == 2
     df = spark.createDataFrame([(1, 2.0, 1)], "id long, w double, g int")
     assert n_exchanges(weighted_sample(df, "w", 2, "id", "g")) == 1
+
+
+def test_round4b_tpch_plan_shapes(spark):
+    """The TPC-H completions must broadcast their dimension sides and
+    never cross-join: q7's dual nation aliases, q8's seven-table star,
+    q9's part/nation dims all arrive via BroadcastHashJoin."""
+    import __spark_entry__ as se
+    for name in ("q_tpch_q7", "q_tpch_q8", "q_tpch_q9"):
+        q = getattr(se, name)(spark, SF)
+        txt = plan_str(q, "simple")
+        assert "CartesianProduct" not in txt, name
+        assert txt.count("BroadcastHashJoin") >= 2, name
+    # q21's per-order distinct-count rewrite must be joins, not a
+    # correlated subquery turned cartesian
+    q21 = se.q_tpch_q21(spark, SF)
+    assert "CartesianProduct" not in plan_str(q21, "simple")
+
+
+def test_weighted_hops_bounded_exchanges(spark):
+    """Fixed-round Bellman-Ford: each round's table is materialized
+    (localCheckpoint — the module's iterative-op convention), so the
+    FINAL round's plan is one join + one min-groupBy over a leaf,
+    not a union-of-unions recomputing round 0 exponentially."""
+    import __spark_entry__ as se
+    q = se.q_weighted_hops(spark, SF)
+    txt = plan_str(q, "simple")
+    assert "CartesianProduct" not in txt
+    # last round only: edge prep + join repartitions + final groupBy
+    assert n_exchanges(q) <= 6
+    assert "Scan ExistingRDD" in txt or "LogicalRDD" in txt
+
+
+def test_bleu_and_lm_no_python_udf(spark):
+    """bleu_pairs / good_turing / kneser_ney are pure JVM expression
+    pipelines: token/n-gram explodes and count joins, no Python UDF
+    stage anywhere in the plan."""
+    import __spark_entry__ as se
+    for name in ("q_bleu_pairs", "q_good_turing", "q_kneser_ney"):
+        q = getattr(se, name)(spark, SF)
+        txt = plan_str(q, "simple")
+        assert "BatchEvalPython" not in txt, name
+        assert "ArrowEvalPython" not in txt, name
+        assert "CartesianProduct" not in txt, name
+
+
+def test_energy_distance_count_table_shape(spark):
+    """energy_distance reduces the rows to the distinct-value count
+    table in ONE data shuffle; the prefix windows run over that
+    bounded table, and the pairwise sums never materialize pairs."""
+    import __spark_entry__ as se
+    q = se.q_energy_distance(spark, SF)
+    txt = plan_str(q, "simple")
+    assert "CartesianProduct" not in txt
+    # one groupBy(value) exchange + the single-partition window over
+    # the count table + final 1-row aggregate
+    assert n_exchanges(q) <= 3
