@@ -5413,6 +5413,22 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "violates_l")
 
 
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP Laplace count release (ε=1) per user bucket with the
+    REPLAYABLE counter-hash noise draw — the oracle recomputes the
+    hash fold, the inverse-CDF noise and the post-processed integer
+    release digit for digit."""
+    from hiselspark.operators.pii import dp_noisy_counts
+    ev = _ev(spark, sf_dir)
+    d = ev.select((F.col("user_id") % 50).alias("user_bucket"))
+    out = dp_noisy_counts(d, ["user_bucket"], epsilon=1.0, seed=11)
+    return out.select("user_bucket", "n",
+                      F.round("u", 6).alias("u"),
+                      F.round("noise", 6).alias("noise"),
+                      F.round("noisy_count", 6).alias("noisy_count"),
+                      "released")
+
+
 def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected calibration error (Naeini et al. 2015) on the same
     quantized pseudo-probability as the `calibration` gate: ECE =
@@ -7060,6 +7076,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_shap": q_linear_shap,
         "mcnemar": q_mcnemar,
         "ece": q_ece,
+        "dp_counts": q_dp_counts,
         "fleiss_kappa": q_fleiss_kappa,
         "t_closeness": q_t_closeness,
         "image_corners": q_image_corners,
@@ -8197,6 +8214,51 @@ def _conv_oracle_sql() -> str:
                CAST(sum(CASE WHEN resp > 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS conv_n_pos
         FROM r GROUP BY okey
+    """
+
+
+def _dp_counts_oracle_sql(epsilon: float, seed: int) -> str:
+    """TRUE SQL oracle for dp_counts: the raw polynomial hash fold,
+    the seed-derived Carter-Wegman mix (identical literals via
+    ``bootstrap.cw_constants`` — stable across Python versions), the
+    inverse-CDF Laplace noise and the post-processed release are all
+    replayed digit for digit."""
+    from hiselspark.operators.bootstrap import cw_constants
+    a, c = cw_constants(1, int(seed))[0]
+    return f"""
+        WITH per AS (
+          SELECT CAST(user_id % 50 AS BIGINT) AS user_bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ), h AS (
+          SELECT *,
+                 (list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                        str_split(COALESCE(CAST(user_bucket
+                                                AS VARCHAR), ''), ''),
+                        x -> CAST(ascii(x) AS BIGINT))),
+                    (acc, x) -> (acc * 31 + x) % 2147483647)
+                  * {a} + {c}) % 2147483647 AS hh
+          FROM per
+        ), u AS (
+          SELECT user_bucket, n,
+                 (CAST(hh % 1048576 AS DOUBLE) + 0.5)
+                   / 1048576.0 AS u
+          FROM h
+        ), z AS (
+          SELECT *,
+                 -(1.0 / {float(epsilon)}) * sign(u - 0.5)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+          FROM u
+        )
+        SELECT user_bucket, n,
+               round(u, 6) AS u,
+               round(noise, 6) AS noise,
+               round(CAST(n AS DOUBLE) + noise, 6) AS noisy_count,
+               greatest(CAST(round(CAST(n AS DOUBLE) + noise)
+                             AS BIGINT), 0) AS released
+        FROM z
     """
 
 
@@ -12080,6 +12142,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                  AS p_value
         FROM e
     """
+    oracles["dp_counts"] = _dp_counts_oracle_sql(epsilon=1.0, seed=11)
     oracles["ece"] = """
         WITH q AS (
           SELECT least(CAST(round(value*100) AS BIGINT), 2000)

@@ -103,7 +103,12 @@ def main() -> None:
                   # round-4 representatives: exhaustive k-gram span
                   # dedup (the per-position explode is the cost story)
                   # and iterative BPE training (6 agg+replace rounds)
-                  "dup_spans", "bpe_train")
+                  "dup_spans", "bpe_train",
+                  # late-round-4 representatives: the widest TPC-H
+                  # completion join (q9: 5-table star, exact _e6
+                  # profit), iterative weighted shortest paths, and
+                  # the n-gram count-join BLEU pair eval
+                  "tpch_q9", "weighted_hops", "bleu_pairs")
     # interleaved best-of-2: the full list runs twice in order, so the
     # two reps of each query are separated in time — on a noisy shared
     # host (observed 2-3x swings on identical plans minutes apart)

@@ -149,3 +149,58 @@ def t_closeness(df: DataFrame, quasi_cols: Sequence[str],
                        F.col("group_size").cast("long")
                        .alias("group_size"),
                        "tvd_num", "tvd", "t_close"))
+
+
+def dp_noisy_counts(df: DataFrame, group_cols: Sequence[str],
+                    epsilon: float, seed: int = 0) -> DataFrame:
+    """ε-differentially-private count release by the Laplace
+    mechanism (Dwork et al. 2006): per group, ``noisy_count =
+    count + Laplace(0, 1/ε)`` (a count query has sensitivity 1),
+    with the noise drawn through the inverse CDF
+
+        noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|),   u ∈ (0,1)
+
+    where u comes from the engine's replayable counter hash of the
+    group key (``splits.raw_hash`` mixed through a seed-derived
+    Carter-Wegman pair exactly as the bootstrap's 'poly' mode — the
+    raw 31-polynomial of short keys is non-uniform in its low bits —
+    then scaled with a half-step so u is never 0 or 1).  The
+    DETERMINISTIC draw is the point
+    for this engine: the release mechanics — sensitivity, scale,
+    post-processing floor at 0 — are exactly testable and the SQL
+    oracle replays every digit.  A production privacy deployment must
+    swap the hash for a real entropy source (a hash of the PUBLISHED
+    key alone provides no secrecy); everything else is unchanged.
+
+    One count shuffle on the group key, then map-only expressions.
+    Returns (group cols…, n, u, noise, noisy_count, released) where
+    ``released = max(round(noisy_count), 0)`` — the standard
+    integer-valued post-processed release (post-processing preserves
+    ε-DP)."""
+    from .bootstrap import cw_constants
+    from .splits import raw_hash
+
+    eps = float(epsilon)
+    if eps <= 0.0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    per = (df.groupBy(*[F.col(c) for c in group_cols])
+             .agg(F.count(F.lit(1)).alias("n")))
+    key = F.concat_ws("\x1f",
+                      *[F.col(c).cast("string") for c in group_cols])
+    a, c = cw_constants(1, int(seed))[0]
+    h = ((raw_hash(key) * F.lit(a) + F.lit(c))
+         % F.lit((1 << 31) - 1))
+    u = ((h % F.lit(1 << 20)).cast("double") + 0.5) / float(1 << 20)
+    centered = u - 0.5
+    noise = (-(1.0 / eps) * F.signum(centered)
+             * F.log(1.0 - 2.0 * F.abs(centered)))
+    per = (per.withColumn("u", u)
+              .withColumn("noise", noise)
+              .withColumn("noisy_count",
+                          F.col("n").cast("double") + F.col("noise")))
+    released = F.greatest(F.round(F.col("noisy_count"), 0)
+                          .cast("long"), F.lit(0).cast("long"))
+    return per.select(*group_cols,
+                      F.col("n").cast("long").alias("n"),
+                      "u", "noise", "noisy_count",
+                      released.alias("released"))

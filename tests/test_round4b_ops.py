@@ -455,3 +455,46 @@ def test_harris_corners_brute(spark):
         assert got["corner_count"] == int((resp > 0).sum())
         assert got["resp_max"] == int(resp.max())
         assert got["resp_argmax"] == int(resp.argmax())
+
+
+def test_dp_noisy_counts_brute(spark):
+    import math
+    from hiselspark.operators.pii import dp_noisy_counts
+    rows = [(i % 7,) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g"])
+    out = {r["g"]: r for r in
+           dp_noisy_counts(df, ["g"], epsilon=0.5,
+                           seed=3).collect()}
+    from hiselspark.operators.bootstrap import cw_constants
+    M = 2147483647
+    a, c = cw_constants(1, 3)[0]
+    for g in range(7):
+        n_true = sum(1 for (v,) in rows if v == g)
+        h = 0
+        for ch in str(g):
+            h = (h * 31 + ord(ch)) % M
+        h = (h * a + c) % M
+        u = ((h % (1 << 20)) + 0.5) / (1 << 20)
+        noise = (-(1 / 0.5) * math.copysign(1.0, u - 0.5)
+                 * math.log(1 - 2 * abs(u - 0.5)))
+        got = out[g]
+        assert got["n"] == n_true
+        assert got["u"] == pytest.approx(u, rel=1e-12)
+        assert got["noise"] == pytest.approx(noise, rel=1e-12)
+        assert got["released"] == max(round(n_true + noise), 0)
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_dp_noise_is_laplace_shaped(spark):
+    # over many groups the hash-u noise matches Laplace(0, 1/eps)
+    # quantiles: ~50% within b*ln(2), sign split ~50/50
+    import numpy as np
+    from hiselspark.operators.pii import dp_noisy_counts
+    rows = [(i,) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["g"])
+    noise = np.array([r["noise"] for r in
+                      dp_noisy_counts(df, ["g"], epsilon=1.0,
+                                      seed=0).collect()])
+    assert abs((noise > 0).mean() - 0.5) < 0.05
+    assert abs((np.abs(noise) < np.log(2)).mean() - 0.5) < 0.05
