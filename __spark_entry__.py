@@ -5413,6 +5413,42 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "violates_l")
 
 
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box whiteness statistic (m=3) per user on value cents —
+    built on the acf sufficient sums; Q one fixed float expression,
+    chi-square df carried (the anova_f convention for distribution
+    tails)."""
+    from hiselspark.operators.tsprofile import ljung_box
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    out = ljung_box(ev, "user_id", "ts", "event_id", "cents",
+                    max_lag=3)
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      F.round("q_stat", 6).alias("q_stat"), "df")
+
+
+def q_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (β=2, char 1-2-grams) between the same consecutive-doc-id
+    pairs as bleu_pairs — clipped char-n-gram matches exact int64,
+    the F-score one mirrored float expression."""
+    from hiselspark.functions.text import chrf_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = (docs.filter(F.col("doc_id") % 2 == 0)
+             .select((F.col("doc_id") / 2).cast("long")
+                     .alias("pair_id"),
+                     F.col("text").alias("cand")))
+    b = (docs.filter(F.col("doc_id") % 2 == 1)
+             .select(((F.col("doc_id") - 1) / 2).cast("long")
+                     .alias("pair_id"),
+                     F.col("text").alias("ref")))
+    pairs = a.join(b, "pair_id")
+    out = chrf_pairs(pairs, "pair_id", "cand", "ref", max_n=2,
+                     beta=2.0)
+    return out.select("pair_id", "cand_chars", "ref_chars",
+                      "m1", "c1", "r1", "m2", "c2", "r2",
+                      F.round("chrf", 6).alias("chrf"))
+
+
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-DP Laplace count release (ε=1) per user bucket with the
     REPLAYABLE counter-hash noise draw — the oracle recomputes the
@@ -7077,6 +7113,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar": q_mcnemar,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
+        "ljung_box": q_ljung_box,
+        "chrf_pairs": q_chrf_pairs,
         "fleiss_kappa": q_fleiss_kappa,
         "t_closeness": q_t_closeness,
         "image_corners": q_image_corners,
@@ -12143,6 +12181,164 @@ def _oracle_sql_raw() -> dict[str, str]:
         FROM e
     """
     oracles["dp_counts"] = _dp_counts_oracle_sql(epsilon=1.0, seed=11)
+    _lb_r = {}
+    for _k in (1, 2, 3):
+        _lb_r[_k] = f"""(CASE WHEN n > {_k}
+                   AND (CAST(q AS DOUBLE)
+                        - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                          /CAST(n AS DOUBLE)) > 0
+             THEN (CAST(c{_k} AS DOUBLE)
+                   - (CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                     *(CAST(head{_k} AS DOUBLE)
+                       + CAST(tail{_k} AS DOUBLE))
+                   + CAST(n - {_k} AS DOUBLE)
+                     *(CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+                     *(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)))
+                  /(CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)
+                      /CAST(n AS DOUBLE)) END)"""
+    oracles["ljung_box"] = f"""
+        WITH q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 abs(CAST(round(value*100) AS BIGINT)) AS v
+          FROM events
+        ), l AS (
+          SELECT user_id, v,
+                 lag(v, 1) OVER w AS g1,
+                 lag(v, 2) OVER w AS g2,
+                 lag(v, 3) OVER w AS g3
+          FROM q0
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), a AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s,
+                 CAST(sum(v*v) AS BIGINT) AS q,
+                 CAST(sum(v*g1) AS BIGINT) AS c1,
+                 CAST(sum(CASE WHEN g1 IS NOT NULL THEN v END)
+                      AS BIGINT) AS tail1,
+                 CAST(sum(g1) AS BIGINT) AS head1,
+                 CAST(sum(v*g2) AS BIGINT) AS c2,
+                 CAST(sum(CASE WHEN g2 IS NOT NULL THEN v END)
+                      AS BIGINT) AS tail2,
+                 CAST(sum(g2) AS BIGINT) AS head2,
+                 CAST(sum(v*g3) AS BIGINT) AS c3,
+                 CAST(sum(CASE WHEN g3 IS NOT NULL THEN v END)
+                      AS BIGINT) AS tail3,
+                 CAST(sum(g3) AS BIGINT) AS head3
+          FROM l GROUP BY user_id
+        )
+        SELECT user_id, n,
+               round(CASE WHEN n > 3 THEN
+                 CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (0.0
+                    + {_lb_r[1]} * {_lb_r[1]}
+                      / (CAST(n AS DOUBLE) - 1.0)
+                    + {_lb_r[2]} * {_lb_r[2]}
+                      / (CAST(n AS DOUBLE) - 2.0)
+                    + {_lb_r[3]} * {_lb_r[3]}
+                      / (CAST(n AS DOUBLE) - 3.0))
+               END, 6) AS q_stat,
+               CAST(3 AS BIGINT) AS df
+        FROM a
+    """
+    oracles["chrf_pairs"] = """
+        WITH a AS (
+          SELECT CAST(doc_id/2 AS BIGINT) AS pair_id, text AS cand
+          FROM documents WHERE doc_id % 2 = 0
+        ), b AS (
+          SELECT CAST((doc_id-1)/2 AS BIGINT) AS pair_id,
+                 text AS ref
+          FROM documents WHERE doc_id % 2 = 1
+        ), p AS (
+          SELECT pair_id,
+                 regexp_replace(lower(cand), '\\s+', '', 'g') AS cs,
+                 regexp_replace(lower(ref), '\\s+', '', 'g') AS rs
+          FROM a JOIN b USING (pair_id)
+        ), c1 AS (
+          SELECT pair_id, substr(cs, i, 1) AS g, count(*) AS cc
+          FROM p, unnest(generate_series(1, length(cs))) AS s(i)
+          GROUP BY 1, 2
+        ), r1 AS (
+          SELECT pair_id, substr(rs, i, 1) AS g, count(*) AS cr
+          FROM p, unnest(generate_series(1, length(rs))) AS s(i)
+          GROUP BY 1, 2
+        ), u1 AS (
+          SELECT pair_id,
+                 CAST(sum(least(coalesce(cc, 0), coalesce(cr, 0)))
+                      AS BIGINT) AS m1,
+                 CAST(sum(coalesce(cc, 0)) AS BIGINT) AS c1,
+                 CAST(sum(coalesce(cr, 0)) AS BIGINT) AS r1
+          FROM c1 FULL JOIN r1 USING (pair_id, g)
+          GROUP BY 1
+        ), c2 AS (
+          SELECT pair_id, substr(cs, i, 2) AS g, count(*) AS cc
+          FROM p, unnest(generate_series(1, length(cs)-1)) AS s(i)
+          GROUP BY 1, 2
+        ), r2 AS (
+          SELECT pair_id, substr(rs, i, 2) AS g, count(*) AS cr
+          FROM p, unnest(generate_series(1, length(rs)-1)) AS s(i)
+          GROUP BY 1, 2
+        ), u2 AS (
+          SELECT pair_id,
+                 CAST(sum(least(coalesce(cc, 0), coalesce(cr, 0)))
+                      AS BIGINT) AS m2,
+                 CAST(sum(coalesce(cc, 0)) AS BIGINT) AS c2,
+                 CAST(sum(coalesce(cr, 0)) AS BIGINT) AS r2
+          FROM c2 FULL JOIN r2 USING (pair_id, g)
+          GROUP BY 1
+        ), m AS (
+          SELECT p.pair_id,
+                 CAST(length(cs) AS BIGINT) AS cand_chars,
+                 CAST(length(rs) AS BIGINT) AS ref_chars,
+                 coalesce(m1, 0) AS m1, coalesce(u1.c1, 0) AS c1,
+                 coalesce(u1.r1, 0) AS r1,
+                 coalesce(m2, 0) AS m2, coalesce(u2.c2, 0) AS c2,
+                 coalesce(u2.r2, 0) AS r2
+          FROM p
+          LEFT JOIN u1 USING (pair_id)
+          LEFT JOIN u2 USING (pair_id)
+        )
+        SELECT pair_id, cand_chars, ref_chars,
+               m1, c1, r1, m2, c2, r2,
+               CASE WHEN c1 > 0 AND r1 > 0 AND c2 > 0 AND r2 > 0
+                         AND (0.0
+                              + (CAST(m1 AS DOUBLE)
+                                 / CAST(c1 AS DOUBLE)) / 2.0
+                              + (CAST(m2 AS DOUBLE)
+                                 / CAST(c2 AS DOUBLE)) / 2.0)
+                             + (0.0
+                                + (CAST(m1 AS DOUBLE)
+                                   / CAST(r1 AS DOUBLE)) / 2.0
+                                + (CAST(m2 AS DOUBLE)
+                                   / CAST(r2 AS DOUBLE)) / 2.0)
+                             > 0.0
+                    THEN round(
+                      5.0
+                      * (0.0
+                         + (CAST(m1 AS DOUBLE)
+                            / CAST(c1 AS DOUBLE)) / 2.0
+                         + (CAST(m2 AS DOUBLE)
+                            / CAST(c2 AS DOUBLE)) / 2.0)
+                      * (0.0
+                         + (CAST(m1 AS DOUBLE)
+                            / CAST(r1 AS DOUBLE)) / 2.0
+                         + (CAST(m2 AS DOUBLE)
+                            / CAST(r2 AS DOUBLE)) / 2.0)
+                      / (4.0
+                         * (0.0
+                            + (CAST(m1 AS DOUBLE)
+                               / CAST(c1 AS DOUBLE)) / 2.0
+                            + (CAST(m2 AS DOUBLE)
+                               / CAST(c2 AS DOUBLE)) / 2.0)
+                         + (0.0
+                            + (CAST(m1 AS DOUBLE)
+                               / CAST(r1 AS DOUBLE)) / 2.0
+                            + (CAST(m2 AS DOUBLE)
+                               / CAST(r2 AS DOUBLE)) / 2.0)), 6)
+               END AS chrf
+        FROM m
+    """
     oracles["ece"] = """
         WITH q AS (
           SELECT least(CAST(round(value*100) AS BIGINT), 2000)

@@ -1043,3 +1043,81 @@ def kneser_ney(df: DataFrame, text_col: str = "text",
                       F.col("n1p_back").cast("long").alias("n1p_back"),
                       F.col("n_types").cast("long").alias("n_types"),
                       pkn.alias("pkn"))
+
+
+def chrf_pairs(df: DataFrame, id_col: str, cand_col: str,
+               ref_col: str, max_n: int = 2,
+               beta: float = 2.0) -> DataFrame:
+    """chrF between paired candidate/reference texts (Popović 2015) —
+    the character-n-gram F-score that complements :func:`bleu_pairs`
+    (robust to tokenization and morphology; the standard secondary
+    caption/translation metric).  Whitespace is stripped, text
+    lowercased; for n = 1..max_n the clipped character-n-gram matches
+    give precision (vs candidate grams) and recall (vs reference
+    grams), averaged over n, combined as
+
+        chrF_β = (1+β²)·P̄·R̄ / (β²·P̄ + R̄)
+
+    (NULL when P̄+R̄ = 0 or either side is empty).  Every match/total
+    is an exact int64 from per-(pair, gram) count joins; the n-gram
+    arrays are JVM-side ``transform(sequence, substring)`` — no UDF;
+    the per-n precision/recall averages are fixed float expressions
+    in ascending-n order.  Same plan class as bleu_pairs: pair-keyed
+    count shuffles, linear in corpus characters."""
+    base = (df.select(
+        F.col(id_col).alias("__pid"),
+        F.regexp_replace(F.lower(F.col(cand_col)), r"\s+", "")
+         .alias("__cs"),
+        F.regexp_replace(F.lower(F.col(ref_col)), r"\s+", "")
+         .alias("__rs"))
+        .withColumn("__clen", F.length("__cs"))
+        .withColumn("__rlen", F.length("__rs")))
+    res = base.select("__pid", "__clen", "__rlen")
+    for n in range(1, max_n + 1):
+        def grams(col):
+            return F.expr(
+                f"transform(sequence(1, greatest(length({col})"
+                f" - {n - 1}, 0)), i -> substring({col}, i, {n}))")
+        cg = (base.select("__pid", F.explode(grams("__cs"))
+                          .alias("__g"))
+                  .groupBy("__pid", "__g")
+                  .agg(F.count(F.lit(1)).alias("__cc")))
+        rg = (base.select("__pid", F.explode(grams("__rs"))
+                          .alias("__g"))
+                  .groupBy("__pid", "__g")
+                  .agg(F.count(F.lit(1)).alias("__cr")))
+        per = (cg.join(rg, ["__pid", "__g"], "full")
+                 .groupBy("__pid")
+                 .agg(F.sum(F.least(F.coalesce(F.col("__cc"),
+                                               F.lit(0)),
+                                    F.coalesce(F.col("__cr"),
+                                               F.lit(0))))
+                      .alias(f"m{n}"),
+                      F.sum(F.coalesce(F.col("__cc"), F.lit(0)))
+                      .alias(f"c{n}"),
+                      F.sum(F.coalesce(F.col("__cr"), F.lit(0)))
+                      .alias(f"r{n}")))
+        res = res.join(per, "__pid", "left")
+    for n in range(1, max_n + 1):
+        for c in (f"m{n}", f"c{n}", f"r{n}"):
+            res = res.withColumn(
+                c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    prec = F.lit(0.0)
+    rec = F.lit(0.0)
+    ok = None
+    for n in range(1, max_n + 1):
+        pos = (F.col(f"c{n}") > 0) & (F.col(f"r{n}") > 0)
+        ok = pos if ok is None else (ok & pos)
+        prec = prec + (F.col(f"m{n}").cast("double")
+                       / F.col(f"c{n}").cast("double")) / float(max_n)
+        rec = rec + (F.col(f"m{n}").cast("double")
+                     / F.col(f"r{n}").cast("double")) / float(max_n)
+    b2 = float(beta) * float(beta)
+    chrf = F.when(ok & (prec + rec > 0.0),
+                  (1.0 + b2) * prec * rec / (b2 * prec + rec))
+    cols = [F.col("__pid").alias(id_col),
+            F.col("__clen").cast("long").alias("cand_chars"),
+            F.col("__rlen").cast("long").alias("ref_chars")]
+    for n in range(1, max_n + 1):
+        cols += [F.col(f"m{n}"), F.col(f"c{n}"), F.col(f"r{n}")]
+    return res.select(*cols, chrf.alias("chrf"))

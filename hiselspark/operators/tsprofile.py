@@ -642,3 +642,41 @@ def seasonal_naive_mase(
                .select(F.col("e").alias(entity_col), "n_scored",
                        "sum_abs_err", "sum_abs_naive",
                        mase.alias("mase")))
+
+
+def ljung_box(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 3,
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per entity (Ljung & Box
+    1978) — "is there ANY autocorrelation left", the standard residual
+    diagnostic after detrending/forecasting (pairs with ols_detrend /
+    holt_forecast in this engine):
+
+        Q = n·(n+2) · Σ_{k=1..m} r_k² / (n−k),   df = m
+
+    built directly on :func:`autocorrelation`'s exact-sufficient-sum
+    r_k columns, so Q is one fixed float expression over them, summed
+    in ascending-lag order inside a single expression tree — the same
+    one entity shuffle, bit-reproducible, SQL-replayable.  Q is NULL
+    when n ≤ m or the series is constant (any r_k NULL).  The χ²_m
+    p-value is left to the caller's significance table — the statistic
+    and df carry the decision information (the convention anova_f
+    follows for the F distribution)."""
+    m = int(max_lag)
+    if m < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    ac = autocorrelation(df, entity_col, ts_col, order_col,
+                         value_col, lags=tuple(range(1, m + 1)))
+    nn = F.col("n").cast("double")
+    q = F.lit(0.0)
+    for k in range(1, m + 1):
+        q = q + (F.col(f"r{k}") * F.col(f"r{k}")
+                 / (nn - float(k)))
+    q_stat = F.when(F.col("n") > m, nn * (nn + 2.0) * q)
+    return ac.select("entity", "n", q_stat.alias("q_stat"),
+                     F.lit(m).cast("long").alias("df"))

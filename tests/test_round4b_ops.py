@@ -498,3 +498,89 @@ def test_dp_noise_is_laplace_shaped(spark):
                                       seed=0).collect()])
     assert abs((noise > 0).mean() - 0.5) < 0.05
     assert abs((np.abs(noise) < np.log(2)).mean() - 0.5) < 0.05
+
+
+def test_ljung_box_brute(spark):
+    from hiselspark.operators.tsprofile import ljung_box
+    import datetime
+    rng = _rng(47)
+    rows = []
+    for e in range(3):
+        vals = rng.integers(0, 100, 60)
+        if e == 1:  # strongly autocorrelated series
+            vals = np.cumsum(rng.integers(0, 5, 60))
+        for i, v in enumerate(vals):
+            rows.append((str(e),
+                         datetime.datetime(2024, 1, 1)
+                         + datetime.timedelta(seconds=int(i)),
+                         i, int(v)))
+    df = spark.createDataFrame(rows, ["ent", "ts", "oid", "v"])
+    out = {r["entity"]: r for r in
+           ljung_box(df, "ent", "ts", "oid", "v",
+                     max_lag=3).collect()}
+
+    def brute(vals):
+        x = np.asarray(vals, dtype=float)
+        n = len(x)
+        xb = x.mean()
+        den = ((x - xb) ** 2).sum()
+        q = 0.0
+        for k in (1, 2, 3):
+            r = ((x[k:] - xb) * (x[:-k] - xb)).sum() / den
+            q += r * r / (n - k)
+        return n * (n + 2) * q
+
+    by_ent = {}
+    for e, _, _, v in rows:
+        by_ent.setdefault(e, []).append(v)
+    for e, vals in by_ent.items():
+        assert out[e]["q_stat"] == pytest.approx(brute(vals),
+                                                 rel=1e-9)
+    # the random-walk entity must show much larger Q than iid noise
+    assert out["1"]["q_stat"] > 10 * out["0"]["q_stat"]
+    with pytest.raises(ValueError):
+        ljung_box(df, "ent", "ts", "oid", "v", max_lag=0)
+
+
+def test_chrf_pairs_brute(spark):
+    from collections import Counter
+    from hiselspark.functions.text import chrf_pairs
+    rows = [
+        (0, "the cat", "the bat"),
+        (1, "abcd", "abcd"),      # identical -> chrF 1.0
+        (2, "xy", "qz"),          # no overlap -> NULL (m=0 ok, but
+                                  # prec+rec>0 fails)
+    ]
+    df = spark.createDataFrame(rows, ["pid", "cand", "ref"])
+    out = {r["pid"]: r for r in
+           chrf_pairs(df, "pid", "cand", "ref", max_n=2,
+                      beta=2.0).collect()}
+
+    def brute(cand, ref):
+        cs = cand.replace(" ", "").lower()
+        rs = ref.replace(" ", "").lower()
+        prec = rec = 0.0
+        stats = {}
+        for n in (1, 2):
+            cg = Counter(cs[i:i+n] for i in range(len(cs)-n+1))
+            rg = Counter(rs[i:i+n] for i in range(len(rs)-n+1))
+            m = sum(min(v, rg[g]) for g, v in cg.items())
+            c, r = sum(cg.values()), sum(rg.values())
+            stats[n] = (m, c, r)
+            prec += (m / c) / 2
+            rec += (m / r) / 2
+        if prec + rec == 0:
+            return stats, None
+        return stats, 5 * prec * rec / (4 * prec + rec)
+
+    for pid, cand, ref in rows:
+        stats, f = brute(cand, ref)
+        got = out[pid]
+        for n in (1, 2):
+            assert (got[f"m{n}"], got[f"c{n}"],
+                    got[f"r{n}"]) == stats[n]
+        if f is None:
+            assert got["chrf"] is None
+        else:
+            assert got["chrf"] == pytest.approx(f, rel=1e-12)
+    assert out[1]["chrf"] == pytest.approx(1.0)
