@@ -5413,6 +5413,35 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_sensitive", "violates_l")
 
 
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test of click vs purchase time-to-next-
+    event curves (hours, censored at 12h) — per-time counts exact,
+    E/V accumulated as duration-ordered folds, A-S erfc p-value."""
+    from pyspark.sql import Window
+    from hiselspark.operators.survival import logrank_test
+    from hiselspark.operators.windows import ts_seconds
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead(ts_seconds("ts")).over(w) - ts_seconds("ts")
+    d = ev.withColumn("gap", gap)
+    obs = (d.withColumn(
+        "duration",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 43200.0),
+               F.lit(12))
+         .otherwise(F.floor(F.col("gap") / 3600.0)).cast("long"))
+        .withColumn(
+        "event",
+        F.when(F.col("gap").isNull() | (F.col("gap") > 43200.0),
+               F.lit(0)).otherwise(F.lit(1))))
+    out = logrank_test(obs, "event_type", "duration", "event",
+                       "click", "purchase")
+    return out.select("n_a", "n_b", "o_a",
+                      F.round("e_a", 6).alias("e_a"),
+                      F.round("var_sum", 6).alias("var_sum"),
+                      F.round("chi2", 6).alias("chi2"),
+                      F.round("p_value", 6).alias("p_value"))
+
+
 def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung–Box whiteness statistic (m=3) per user on value cents —
     built on the acf sufficient sums; Q one fixed float expression,
@@ -7115,6 +7144,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
         "chrf_pairs": q_chrf_pairs,
+        "logrank": q_logrank,
         "fleiss_kappa": q_fleiss_kappa,
         "t_closeness": q_t_closeness,
         "image_corners": q_image_corners,
@@ -12241,6 +12271,94 @@ def _oracle_sql_raw() -> dict[str, str]:
                END, 6) AS q_stat,
                CAST(3 AS BIGINT) AS df
         FROM a
+    """
+    oracles["logrank"] = """
+        WITH g AS (
+          SELECT event_type,
+                 lead(CAST(epoch(ts) AS DOUBLE)) OVER
+                   (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+                 - CAST(epoch(ts) AS DOUBLE) AS gap
+          FROM events
+        ), obs AS (
+          SELECT event_type,
+                 CASE WHEN gap IS NULL OR gap > 43200.0 THEN 12
+                      ELSE CAST(floor(gap / 3600.0) AS BIGINT) END
+                   AS t,
+                 CASE WHEN gap IS NULL OR gap > 43200.0 THEN 0
+                      ELSE 1 END AS event
+          FROM g
+          WHERE event_type IN ('click', 'purchase')
+        ), per AS (
+          SELECT t,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                               THEN event ELSE 0 END) AS BIGINT)
+                   AS d_a,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN event ELSE 0 END) AS BIGINT)
+                   AS d_b,
+                 CAST(sum(CASE WHEN event_type = 'click'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+          FROM obs GROUP BY t
+        ), risk AS (
+          SELECT *,
+                 CAST(sum(c_a) OVER () AS BIGINT) AS tot_a,
+                 CAST(sum(c_b) OVER () AS BIGINT) AS tot_b,
+                 CAST(coalesce(sum(c_a) OVER wb, 0) AS BIGINT)
+                   AS gone_a,
+                 CAST(coalesce(sum(c_b) OVER wb, 0) AS BIGINT)
+                   AS gone_b
+          FROM per
+          WINDOW wb AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)
+        ), terms AS (
+          SELECT t, d_a, tot_a, tot_b,
+                 CAST(tot_a - gone_a AS DOUBLE) AS na,
+                 CAST(tot_b - gone_b AS DOUBLE) AS nb,
+                 CAST(d_a + d_b AS DOUBLE) AS dt
+          FROM risk
+        ), tv AS (
+          SELECT t, d_a, tot_a, tot_b,
+                 CASE WHEN dt > 0 AND na + nb > 1.0
+                      THEN dt * na / (na + nb) ELSE 0.0 END AS e,
+                 CASE WHEN dt > 0 AND na + nb > 1.0
+                      THEN dt * (na / (na + nb)) * (nb / (na + nb))
+                           * ((na + nb) - dt) / ((na + nb) - 1.0)
+                      ELSE 0.0 END AS v
+          FROM terms
+        ), agg AS (
+          SELECT max(tot_a) AS n_a, max(tot_b) AS n_b,
+                 CAST(sum(d_a) AS BIGINT) AS o_a,
+                 list_reduce(list_prepend(0.0, list(e ORDER BY t)),
+                             (acc, x) -> acc + x) AS se,
+                 list_reduce(list_prepend(0.0, list(v ORDER BY t)),
+                             (acc, x) -> acc + x) AS sv
+          FROM tv
+        ), s AS (
+          SELECT *,
+                 CASE WHEN sv > 0.0
+                      THEN (CAST(o_a AS DOUBLE) - se)
+                           * (CAST(o_a AS DOUBLE) - se) / sv
+                 END AS chi2
+          FROM agg
+        ), e2 AS (
+          SELECT *, sqrt(chi2 / 2.0) AS x,
+                 1.0 / (1.0 + 0.3275911 * sqrt(chi2 / 2.0)) AS tt
+          FROM s
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b, o_a,
+               round(se, 6) AS e_a,
+               round(sv, 6) AS var_sum,
+               round(chi2, 6) AS chi2,
+               round((tt * (0.254829592
+                     + tt * (-0.284496736
+                     + tt * (1.421413741
+                     + tt * (-1.453152027
+                     + tt * 1.061405429))))) * exp(-(x*x)), 6)
+                 AS p_value
+        FROM e2
     """
     oracles["chrf_pairs"] = """
         WITH a AS (

@@ -93,3 +93,94 @@ def nelson_aalen(df: DataFrame, cohort_col: str, duration_col: str,
     return (per.withColumn("cumhaz", cumhaz)
                .select(cohort_col, duration_col, "n_at_risk",
                        "n_events", "n_censored", "cumhaz"))
+
+
+def logrank_test(df: DataFrame, group_col: str, duration_col: str,
+                 event_col: str, a_label, b_label) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966; Peto & Peto 1972) — THE
+    test for "do these two survival curves differ", completing this
+    module's km_curve / nelson_aalen estimators: at each distinct
+    event time the observed group-A events are compared with the
+    hypergeometric expectation
+
+        E_A(t) = d_t·n_A(t)/n(t)
+        V(t)   = d_t·(n_A/n)·(n_B/n)·(n−d_t)/(n−1)
+        χ²     = (O_A − E_A)² / ΣV,   p = erfc(√(χ²/2))
+
+    Every per-time count (events and at-risk per arm) is an exact
+    int64 off the per-(duration) count table — one groupBy collapses
+    the rows, the at-risk counts are windows over the (tiny,
+    duration-quantized) table; the E and V accumulations are ordered
+    folds over the duration-sorted struct list so both engines add
+    identical doubles in identical order, and the A-S 7.1.26 erfc
+    gives the 1-df p-value (the srm_check/mcnemar convention).
+    Times with n(t) ≤ 1 or d_t = 0 contribute nothing (their V term
+    is 0/undefined), matching the textbook estimator.  Returns one
+    row: (n_a, n_b, o_a, e_a, var_sum, chi2, p_value); chi2/p NULL
+    when ΣV = 0 (no comparable event times)."""
+    isa = (F.col(group_col) == a_label)
+    isb = (F.col(group_col) == b_label)
+    ev = F.col(event_col).cast("long")
+    per = (df.filter((isa | isb)
+                     & F.col(duration_col).isNotNull())
+             .groupBy(F.col(duration_col).alias("t"))
+             .agg(F.sum(F.when(isa, ev).otherwise(F.lit(0)))
+                  .alias("d_a"),
+                  F.sum(F.when(isb, ev).otherwise(F.lit(0)))
+                  .alias("d_b"),
+                  F.sum(isa.cast("long")).alias("c_a"),
+                  F.sum(isb.cast("long")).alias("c_b")))
+    w_before = (Window.orderBy("t")
+                      .rowsBetween(Window.unboundedPreceding, -1))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    per = (per
+           .withColumn("tot_a", F.sum("c_a").over(wt))
+           .withColumn("tot_b", F.sum("c_b").over(wt))
+           .withColumn("gone_a", F.coalesce(
+               F.sum("c_a").over(w_before), F.lit(0)))
+           .withColumn("gone_b", F.coalesce(
+               F.sum("c_b").over(w_before), F.lit(0)))
+           .withColumn("n_a_t", F.col("tot_a") - F.col("gone_a"))
+           .withColumn("n_b_t", F.col("tot_b") - F.col("gone_b")))
+    d_t = (F.col("d_a") + F.col("d_b")).cast("double")
+    n_t = (F.col("n_a_t") + F.col("n_b_t")).cast("double")
+    na = F.col("n_a_t").cast("double")
+    nb = F.col("n_b_t").cast("double")
+    use = (F.col("d_a") + F.col("d_b") > 0) & (n_t > 1.0)
+    eterm = F.when(use, d_t * na / n_t).otherwise(F.lit(0.0))
+    vterm = F.when(use,
+                   d_t * (na / n_t) * (nb / n_t)
+                   * (n_t - d_t) / (n_t - 1.0)).otherwise(F.lit(0.0))
+    agg = per.agg(
+        F.max("tot_a").alias("n_a"), F.max("tot_b").alias("n_b"),
+        F.sum("d_a").alias("o_a"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("t").alias("g"),
+                    eterm.alias("e"), vterm.alias("v")))),
+                lambda s: F.struct(s["e"].alias("e"),
+                                   s["v"].alias("v"))),
+            F.struct(F.lit(0.0).alias("se"), F.lit(0.0).alias("sv")),
+            lambda acc, s: F.struct(
+                (acc["se"] + s["e"]).alias("se"),
+                (acc["sv"] + s["v"]).alias("sv"))).alias("f"))
+    oa = F.col("o_a").cast("double")
+    chi2 = F.when(F.col("f.sv") > 0.0,
+                  (oa - F.col("f.se")) * (oa - F.col("f.se"))
+                  / F.col("f.sv"))
+    x = F.sqrt(chi2 / 2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (t * (0.254829592
+            + t * (-0.284496736
+            + t * (1.421413741
+            + t * (-1.453152027 + t * 1.061405429)))))
+    p_value = poly * F.exp(-(x * x))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("o_a").cast("long").alias("o_a"),
+        F.col("f.se").alias("e_a"),
+        F.col("f.sv").alias("var_sum"),
+        chi2.alias("chi2"), p_value.alias("p_value"))

@@ -584,3 +584,58 @@ def test_chrf_pairs_brute(spark):
         else:
             assert got["chrf"] == pytest.approx(f, rel=1e-12)
     assert out[1]["chrf"] == pytest.approx(1.0)
+
+
+def test_logrank_brute(spark):
+    import math
+    from hiselspark.operators.survival import logrank_test
+    rng = _rng(53)
+    rows = []
+    # group a: faster events; group b: slower (curves differ)
+    for _ in range(150):
+        rows.append(("a", int(rng.integers(0, 8)),
+                     int(rng.random() < 0.8)))
+    for _ in range(120):
+        rows.append(("b", int(rng.integers(3, 12)),
+                     int(rng.random() < 0.8)))
+    df = spark.createDataFrame(rows, ["grp", "dur", "event"])
+    row = logrank_test(df, "grp", "dur", "event", "a", "b") \
+        .collect()[0]
+
+    # brute-force the textbook estimator
+    times = sorted({d for _, d, e in rows if e == 1})
+    o_a = e_a = v = 0.0
+    for t in times:
+        na = sum(1 for g, d, _ in rows if g == "a" and d >= t)
+        nb = sum(1 for g, d, _ in rows if g == "b" and d >= t)
+        da = sum(1 for g, d, e in rows
+                 if g == "a" and d == t and e == 1)
+        db = sum(1 for g, d, e in rows
+                 if g == "b" and d == t and e == 1)
+        n, dt = na + nb, da + db
+        if dt == 0 or n <= 1:
+            continue
+        o_a += da
+        e_a += dt * na / n
+        v += dt * (na / n) * (nb / n) * (n - dt) / (n - 1)
+    chi2 = (o_a - e_a) ** 2 / v
+    assert row["o_a"] == int(o_a)
+    assert row["e_a"] == pytest.approx(e_a, rel=1e-9)
+    assert row["var_sum"] == pytest.approx(v, rel=1e-9)
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert row["p_value"] == pytest.approx(
+        math.erfc(math.sqrt(chi2 / 2)), abs=2e-7)
+    # the planted difference must be detected
+    assert row["chi2"] > 10.0
+
+
+def test_logrank_identical_groups(spark):
+    from hiselspark.operators.survival import logrank_test
+    rows = ([("a", d, 1) for d in (1, 2, 3, 4)]
+            + [("b", d, 1) for d in (1, 2, 3, 4)])
+    df = spark.createDataFrame(rows, ["grp", "dur", "event"])
+    row = logrank_test(df, "grp", "dur", "event", "a", "b") \
+        .collect()[0]
+    # identical curves: O_A == E_A exactly -> chi2 == 0, p == 1
+    assert row["chi2"] == pytest.approx(0.0)
+    assert row["p_value"] == pytest.approx(1.0, abs=2e-7)
