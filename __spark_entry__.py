@@ -7003,6 +7003,76 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pos", "qn")
 
 
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient of the value>10 rule vs the
+    k>=50 rule (the mcnemar pairing re-read as prediction vs label) —
+    four exact confusion cells from one aggregate, MCC one mirrored
+    float expression."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import mcc
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y_true"),
+                   (F.col("__p.k") >= 50).cast("long").alias("y_pred")))
+    out = mcc(d, "y_true", "y_pred")
+    return out.select("n", "tp", "fp", "fn", "tn",
+                      F.round("mcc", 6).alias("mcc"))
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over 5-treatment blocks built deterministically
+    from events (subject = event_id DIV 5, treatment = event_id % 5,
+    success = cents > 500) — incomplete blocks dropped and COUNTED,
+    all within-subject statistics exact int64, the k-term column fold
+    in treatment order."""
+    from hiselspark.operators.evaluate import cochran_q
+    ev = _ev(spark, sf_dir)
+    d = ev.select(
+        F.floor(F.col("event_id") / 5).cast("long").alias("subj"),
+        F.pmod(F.col("event_id"), 5).cast("long").alias("treat"),
+        (F.round(F.col("value") * 100).cast("long") > 500)
+        .cast("long").alias("y"))
+    out = cochran_q(d, "subj", "treat", "y")
+    return out.select("k", "n_subjects", "n_dropped", "t", "sum_ti2",
+                      F.round("sum_cj2", 6).alias("sum_cj2"),
+                      F.round("q_stat", 6).alias("q_stat"), "df")
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe equal-variance test of value cents across event
+    types — per-group doubled medians off the count table, exact
+    int64 deviation sufficient statistics, the anova_f ordered float
+    fold for the between-group term."""
+    from hiselspark.operators.evaluate import brown_forsythe
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = brown_forsythe(ev, "event_type", "cents")
+    return out.select("k", "n",
+                      F.round("ss_between", 6).alias("ss_between"),
+                      F.round("ss_within", 6).alias("ss_within"),
+                      F.round("f_stat", 6).alias("f_stat"))
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality check of value cents per event type —
+    raw power sums exact (Σv int64; Σv²/Σv³/Σv⁴ DECIMAL(38,0)
+    matching DuckDB's int128), moments/skew/kurtosis/JB mirrored
+    float expressions."""
+    from hiselspark.operators.profile import jarque_bera
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long"))
+    out = jarque_bera(ev, "event_type", "cents")
+    return out.select("event_type", "n",
+                      F.round("mean", 6).alias("mean"),
+                      F.round("m2", 6).alias("m2"),
+                      F.round("skewness", 6).alias("skewness"),
+                      F.round("kurtosis", 6).alias("kurtosis"),
+                      F.round("jb", 6).alias("jb"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7140,6 +7210,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ips_offpolicy": q_ips_offpolicy,
         "linear_shap": q_linear_shap,
         "mcnemar": q_mcnemar,
+        "mcc": q_mcc,
+        "cochran_q": q_cochran_q,
+        "brown_forsythe": q_brown_forsythe,
+        "jarque_bera": q_jarque_bera,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -12209,6 +12283,194 @@ def _oracle_sql_raw() -> dict[str, str]:
                      + t * 1.061405429))))) * exp(-(x*x)), 6)
                  AS p_value
         FROM e
+    """
+    oracles["mcc"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y_true,
+                 CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS y_pred
+          FROM events WHERE value IS NOT NULL AND props IS NOT NULL
+        ), c AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y_true*y_pred) AS BIGINT) AS tp,
+                 CAST(sum((1-y_true)*y_pred) AS BIGINT) AS fp,
+                 CAST(sum(y_true*(1-y_pred)) AS BIGINT) AS fn,
+                 CAST(sum((1-y_true)*(1-y_pred)) AS BIGINT) AS tn
+          FROM d
+        ), s AS (
+          SELECT *,
+                 (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)) AS den
+          FROM c
+        )
+        SELECT n, tp, fp, fn, tn,
+               CASE WHEN den > 0.0 THEN
+                 round((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+                       / sqrt(den), 6)
+               END AS mcc
+        FROM s
+    """
+    oracles["cochran_q"] = """
+        WITH d AS (
+          SELECT CAST(event_id // 5 AS BIGINT) AS subj,
+                 CAST(event_id % 5 AS BIGINT) AS treat,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 500
+                      THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL
+        ), kk AS (
+          SELECT CAST(count(DISTINCT treat) AS BIGINT) AS k FROM d
+        ), per_s AS (
+          SELECT subj,
+                 CAST(count(DISTINCT treat) AS BIGINT) AS n_t,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(y) AS BIGINT) AS t_i
+          FROM d GROUP BY subj
+        ), complete AS (
+          SELECT per_s.* FROM per_s, kk
+          WHERE n_t = kk.k AND n_rows = kk.k
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM per_s, kk
+          WHERE NOT (n_t = kk.k AND n_rows = kk.k)
+        ), rws AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                 CAST(sum(t_i) AS BIGINT) AS t,
+                 CAST(sum(t_i*t_i) AS BIGINT) AS sum_ti2
+          FROM complete
+        ), per_c AS (
+          SELECT treat, CAST(sum(y) AS BIGINT) AS c_j
+          FROM d JOIN complete USING (subj) GROUP BY treat
+        ), cols AS (
+          SELECT list_reduce(list_prepend(0.0,
+                   list(CAST(c_j AS DOUBLE) * CAST(c_j AS DOUBLE)
+                        ORDER BY treat)),
+                 (acc, x) -> acc + x) AS sum_cj2
+          FROM per_c
+        )
+        SELECT kk.k AS k, n_subjects, n_dropped, t, sum_ti2,
+               round(sum_cj2, 6) AS sum_cj2,
+               CASE WHEN CAST(kk.k AS DOUBLE) * CAST(t AS DOUBLE)
+                         - CAST(sum_ti2 AS DOUBLE) > 0.0
+                    THEN round(
+                      (CAST(kk.k AS DOUBLE) - 1.0)
+                      * (CAST(kk.k AS DOUBLE) * sum_cj2
+                         - CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                      / (CAST(kk.k AS DOUBLE) * CAST(t AS DOUBLE)
+                         - CAST(sum_ti2 AS DOUBLE)), 6)
+               END AS q_stat,
+               kk.k - 1 AS df
+        FROM rws, kk, dropped, cols
+    """
+    oracles["brown_forsythe"] = """
+        WITH nn AS (
+          SELECT event_type AS g,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), per_v AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS t
+          FROM nn GROUP BY g, v
+        ), c AS (
+          SELECT g, v, t,
+                 sum(t) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(t) OVER (PARTITION BY g) AS n
+          FROM per_v
+        ), lo AS (
+          SELECT g, min(v) AS lo FROM c
+          WHERE cum >= n + 1 - (n // 2) - 1 GROUP BY g
+        ), hi AS (
+          SELECT g, min(v) AS hi FROM c
+          WHERE cum >= (n // 2) + 1 GROUP BY g
+        ), med AS (
+          SELECT g, lo + hi AS m2 FROM lo JOIN hi USING (g)
+        ), z AS (
+          SELECT nn.g AS g, abs(2*v - m2) AS z2
+          FROM nn JOIN med ON nn.g = med.g
+        ), per AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(z2) AS BIGINT) AS s_g,
+                 CAST(sum(z2*z2) AS BIGINT) AS q_g
+          FROM z GROUP BY g
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(s_g) AS BIGINT) AS s,
+                 CAST(sum(q_g) AS BIGINT) AS q,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                        / CAST(n_g AS DOUBLE) ORDER BY g)),
+                   (acc, x) -> acc + x) AS sum_s2n
+          FROM per
+        )
+        SELECT k, n,
+               round(sum_s2n - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                               / CAST(n AS DOUBLE), 6) AS ss_between,
+               round(CAST(q AS DOUBLE) - sum_s2n, 6) AS ss_within,
+               CASE WHEN k >= 2 AND CAST(q AS DOUBLE) - sum_s2n > 0.0
+                    THEN round(
+                      ((sum_s2n - (CAST(s AS DOUBLE)
+                                   * CAST(s AS DOUBLE))
+                                  / CAST(n AS DOUBLE))
+                       / (CAST(k AS DOUBLE) - 1.0))
+                      / ((CAST(q AS DOUBLE) - sum_s2n)
+                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+               END AS f_stat
+        FROM t
+    """
+    oracles["jarque_bera"] = """
+        WITH nn AS (
+          SELECT event_type,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), per AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS s1,
+                 sum(CAST(v*v AS HUGEINT)) AS s2,
+                 sum(CAST(v*v AS HUGEINT) * v) AS s3,
+                 sum(CAST(v*v AS HUGEINT) * (v*v)) AS s4
+          FROM nn GROUP BY event_type
+        ), r AS (
+          SELECT event_type, n,
+                 CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                 CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                 CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+          FROM per
+        ), m AS (
+          SELECT event_type, n, mean,
+                 r2 - mean * mean AS m2,
+                 r3 - 3.0 * mean * r2
+                    + 2.0 * mean * mean * mean AS m3,
+                 r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+                    - 3.0 * mean * mean * mean * mean AS m4
+          FROM r
+        ), s AS (
+          SELECT event_type, n, mean, m2,
+                 CASE WHEN m2 > 0.0
+                      THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+                 CASE WHEN m2 > 0.0
+                      THEN m4 / (m2 * m2) END AS kurtosis
+          FROM m
+        )
+        SELECT event_type, n,
+               round(mean, 6) AS mean,
+               round(m2, 6) AS m2,
+               round(skewness, 6) AS skewness,
+               round(kurtosis, 6) AS kurtosis,
+               CASE WHEN m2 > 0.0 THEN
+                 round(CAST(n AS DOUBLE) / 6.0
+                       * (skewness * skewness
+                          + (kurtosis - 3.0) * (kurtosis - 3.0)
+                            / 4.0), 6)
+               END AS jb
+        FROM s
     """
     oracles["dp_counts"] = _dp_counts_oracle_sql(epsilon=1.0, seed=11)
     _lb_r = {}

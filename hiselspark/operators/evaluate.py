@@ -733,3 +733,182 @@ def fleiss_kappa(df: DataFrame, item_col: str,
          .cast("long").alias("n_raters"),
         p_bar.alias("p_bar"), p_e.alias("p_e"),
         kappa.alias("kappa"))
+
+
+def mcc(df: DataFrame, y_true_col: str, y_pred_col: str) -> DataFrame:
+    """Matthews correlation coefficient (Matthews 1975) — the
+    single-number binary-classifier summary that stays honest under
+    class imbalance (unlike accuracy/F1 it uses all four confusion
+    cells symmetrically):
+
+        MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+
+    Both columns are 0/1 indicators.  The four cells come from ONE
+    exact-integer count aggregate; the products are evaluated in
+    double (mirrored in the SQL oracle — at 10¹²-row scale the cell
+    products exceed int64, and the double expression is identical in
+    both engines).  MCC is NULL when any marginal is empty (a
+    degenerate confusion matrix carries no correlation).  Returns one
+    row: (n, tp, fp, fn, tn, mcc)."""
+    yt = F.col(y_true_col).cast("long")
+    yp = F.col(y_pred_col).cast("long")
+    cnt = (df.filter(F.col(y_true_col).isNotNull()
+                     & F.col(y_pred_col).isNotNull())
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(yt * yp).alias("tp"),
+                  F.sum((1 - yt) * yp).alias("fp"),
+                  F.sum(yt * (1 - yp)).alias("fn"),
+                  F.sum((1 - yt) * (1 - yp)).alias("tn")))
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    val = F.when(den > 0.0, (tp * tn - fp * fn) / F.sqrt(den))
+    return cnt.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        val.alias("mcc"))
+
+
+def cochran_q(df: DataFrame, subject_col: str, treatment_col: str,
+              y_col: str) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) — k-treatment generalization of
+    McNemar for PAIRED binary outcomes (e.g. k models judged
+    right/wrong on the same examples):
+
+        Q = (k−1)·(k·Σⱼcⱼ² − T²) / (k·T − Σᵢtᵢ²)
+
+    with cⱼ the per-treatment success totals, tᵢ the per-subject
+    totals, T the grand total; Q ~ χ²(k−1) under exchangeability.
+    Input is one row per (subject, treatment) with a 0/1 ``y_col``;
+    subjects missing any of the k globally-observed treatments are
+    DROPPED and counted (incomplete blocks carry no within-subject
+    contrast), k is taken from the data.  tᵢ ≤ k keeps Σtᵢ² exact
+    int64 at any scale; the k-term Σcⱼ² is a treatment-key-ordered
+    float fold (the anova_f convention) since cⱼ² exceeds int64 at
+    10¹²-row scale.  Q is NULL when the denominator is 0 (all
+    subjects all-0 or all-1).  Returns one row:
+    (k, n_subjects, n_dropped, t, sum_ti2, sum_cj2, q_stat, df)."""
+    d = (df.filter(F.col(y_col).isNotNull())
+           .select(F.col(subject_col).alias("__s"),
+                   F.col(treatment_col).alias("__t"),
+                   F.col(y_col).cast("long").alias("__y")))
+    k_df = d.agg(F.countDistinct("__t").alias("k"))
+    per_s = (d.groupBy("__s")
+              .agg(F.countDistinct("__t").alias("n_t"),
+                   F.count(F.lit(1)).alias("n_rows"),
+                   F.sum("__y").alias("t_i")))
+    per_s = per_s.join(F.broadcast(k_df))
+    complete = per_s.filter((F.col("n_t") == F.col("k"))
+                            & (F.col("n_rows") == F.col("k")))
+    dropped = per_s.filter(~((F.col("n_t") == F.col("k"))
+                             & (F.col("n_rows") == F.col("k"))))
+    rows = complete.agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("t_i").alias("t"),
+        F.sum(F.col("t_i") * F.col("t_i")).alias("sum_ti2"))
+    n_drop = dropped.agg(
+        F.count(F.lit(1)).alias("n_dropped"))
+    keep = complete.select("__s")
+    per_c = (d.join(keep, "__s")
+              .groupBy("__t").agg(F.sum("__y").alias("c_j")))
+    cols = per_c.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__t").alias("g"),
+                    (F.col("c_j").cast("double")
+                     * F.col("c_j").cast("double")).alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_cj2"))
+    j = rows.join(F.broadcast(k_df)).join(F.broadcast(n_drop)) \
+            .join(F.broadcast(cols))
+    kd = F.col("k").cast("double")
+    td = F.col("t").cast("double")
+    denom = kd * td - F.col("sum_ti2").cast("double")
+    q = F.when(denom > 0.0,
+               (kd - 1.0) * (kd * F.col("sum_cj2") - td * td) / denom)
+    return j.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("t").cast("long").alias("t"),
+        F.col("sum_ti2").cast("long").alias("sum_ti2"),
+        F.col("sum_cj2").alias("sum_cj2"),
+        q.alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def brown_forsythe(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Brown–Forsythe test (Brown & Forsythe 1974) — the
+    median-centered Levene test for EQUALITY OF VARIANCES across k
+    groups (the robust pre-check before pooling in anova_f): one-way
+    ANOVA F over zᵢⱼ = |xᵢⱼ − medianⱼ|.
+
+    Exactness: the per-group median comes off the per-(group, value)
+    COUNT TABLE via the doubled-median trick (m2 = lo + hi, exact
+    int64 — the robust_scale/hampel convention, no row sort), so the
+    doubled deviations z2 = |2x − m2| are exact ints and the per-group
+    (n, Σz2, Σz2²) sufficient statistics are exact int64.  F over z2
+    equals F over z (scale-invariance), and the between-group float
+    term folds in group-key order (the anova_f convention).
+    ``value_col`` must be integer-valued (cents convention).  Returns
+    one row: (k, n, ss_between, ss_within, f_stat) — the sums of
+    squares are in doubled-deviation units; f_stat is NULL when there
+    is no within-group variance or fewer than 2 groups."""
+    from pyspark.sql import Window
+    v = F.col(value_col).cast("long")
+    nn = (df.filter(F.col(value_col).isNotNull())
+            .select(F.col(group_col).alias("__g"), v.alias("__v")))
+    per_v = nn.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.partitionBy("__g").orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("__g")
+    c = (per_v.withColumn("cum", F.sum("t").over(w_run))
+              .withColumn("n", F.sum("t").over(w_tot)))
+    lo_pos = (F.col("n") + 1) - F.expr("n DIV 2") - 1
+    hi_pos = F.expr("n DIV 2") + 1
+    lo = (c.filter(F.col("cum") >= lo_pos)
+          .groupBy("__g").agg(F.min("__v").alias("lo")))
+    hi = (c.filter(F.col("cum") >= hi_pos)
+          .groupBy("__g").agg(F.min("__v").alias("hi")))
+    med = lo.join(hi, "__g").select(
+        "__g", (F.col("lo") + F.col("hi")).alias("m2"))
+    z = (nn.join(F.broadcast(med), "__g")
+           .select("__g", F.abs(F.lit(2) * F.col("__v")
+                                - F.col("m2")).alias("z2")))
+    per = (z.groupBy("__g")
+            .agg(F.count(F.lit(1)).alias("n_g"),
+                 F.sum("z2").alias("s_g"),
+                 F.sum(F.col("z2") * F.col("z2")).alias("q_g")))
+    term = (F.col("s_g").cast("double") * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double"))
+    terms = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("q_g").alias("q"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__g").alias("g"),
+                             term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_s2n"))
+    n = F.col("n").cast("double")
+    grand = (F.col("s").cast("double") * F.col("s").cast("double")) / n
+    ssb = F.col("sum_s2n") - grand
+    ssw = F.col("q").cast("double") - F.col("sum_s2n")
+    k = F.col("k").cast("double")
+    f_stat = F.when((F.col("k") >= 2) & (ssw > 0.0),
+                    (ssb / (k - 1.0)) / (ssw / (n - k)))
+    return terms.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        ssb.alias("ss_between"), ssw.alias("ss_within"),
+        f_stat.alias("f_stat"))

@@ -326,3 +326,60 @@ def fk_orphans(fact: DataFrame, dim: DataFrame, fk: str,
         F.col("n_orphan_keys").cast("long").alias("n_orphan_keys"),
         (F.col("n_orphan").cast("double")
          / F.col("n_fact").cast("double")).alias("orphan_rate"))
+
+
+def jarque_bera(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """Jarque–Bera normality test (Jarque & Bera 1980) per group —
+    the moment-based distribution-shape gate a feature pipeline runs
+    before assuming Gaussian errors:
+
+        JB = n/6 · (S² + (K−3)²/4),   S = m₃/m₂^{3/2},  K = m₄/m₂²
+
+    with mₖ the central moments.  ``value_col`` must be
+    integer-valued (cents convention); the four raw power sums are
+    exact — Σv in int64; v³/v⁴ are formed in DECIMAL(38,0) (v⁴ alone
+    EXCEEDS int64 per row once |v| > 55108 — observed in the cents
+    data) and Σv²/Σv³/Σv⁴ accumulate as DECIMAL(38,0), matching the
+    oracle's exact int128 sums to ~10¹⁴ rows at that magnitude.
+    Central moments, skewness, kurtosis and JB are then ONE mirrored
+    float expression each (m₂^{3/2} written as m₂·√m₂ — no pow).
+    Groups with m₂ ≤ 0 (constant value) yield NULL S/K/JB.  Returns
+    one row per group: (group, n, mean, m2, skewness, kurtosis, jb).
+    """
+    v = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    per = (df.filter(F.col(value_col).isNotNull())
+             .select(F.col(group_col).alias("__g"), v.alias("__v"),
+                     (v * v).alias("__v2"))
+             .select("__g", "__v", "__v2",
+                     (F.col("__v2").cast(dec)
+                      * F.col("__v")).alias("__v3"),
+                     (F.col("__v2").cast(dec)
+                      * F.col("__v2")).alias("__v4"))
+             .groupBy("__g")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("__v").alias("s1"),
+                  F.sum(F.col("__v2").cast(dec)).alias("s2"),
+                  F.sum(F.col("__v3").cast(dec)).alias("s3"),
+                  F.sum(F.col("__v4").cast(dec)).alias("s4")))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - mean * mean
+    m3 = r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean
+    m4 = (r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+          - 3.0 * mean * mean * mean * mean)
+    ok = m2 > 0.0
+    skew = F.when(ok, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(ok, m4 / (m2 * m2))
+    jb = F.when(ok, n / 6.0 * (skew * skew
+                               + (kurt - 3.0) * (kurt - 3.0) / 4.0))
+    return per.select(
+        F.col("__g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"), m2.alias("m2"),
+        skew.alias("skewness"), kurt.alias("kurtosis"),
+        jb.alias("jb"))
