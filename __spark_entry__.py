@@ -7073,6 +7073,87 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("jb", 6).alias("jb"))
 
 
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald IV / LATE of a synthetic encouragement design over the
+    events stream: instrument z = event parity, dose x = props-k
+    shifted +10 under encouragement (guaranteed first-stage
+    relevance), outcome y = value cents — per-arm sufficient
+    statistics exact int64 from ONE aggregate, ITT / first stage /
+    ratio mirrored float expressions."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.causal import iv_wald
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.pmod(F.col("event_id"), 2).cast("long").alias("z"),
+                   (F.col("__p.k").cast("long")
+                    + 10 * F.pmod(F.col("event_id"), 2).cast("long"))
+                   .alias("x"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("y")))
+    out = iv_wald(d, "z", "x", "y")
+    return out.select("n0", "n1", "sx0", "sx1", "sy0", "sy1",
+                      F.round("itt_y", 6).alias("itt_y"),
+                      F.round("first_stage", 6).alias("first_stage"),
+                      F.round("late", 6).alias("late"))
+
+
+def q_e_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VanderWeele-Ding E-value of the k>=50 "treatment" on the
+    cents>1000 outcome (the mcc pairing re-read causally): 2x2 cells
+    exact int64 from one aggregate, risk ratio and
+    E = RR* + sqrt(RR*(RR*-1)) mirrored float expressions."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.causal import e_value
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.col("__p.k") >= 50).cast("long").alias("t"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y")))
+    out = e_value(d, "t", "y")
+    return out.select("n", "n1", "n0", "n11", "n01",
+                      F.round("rr", 6).alias("rr"),
+                      F.round("evalue", 6).alias("evalue"))
+
+
+def q_loo_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of event_type against value
+    cents — one map-side-combined category aggregate joined back
+    (broadcast-sized dim), per-row (S_g - y)/(n_g - 1) the one
+    mirrored float division; NULL-y rows kept with NULL loo."""
+    from hiselspark.operators.encoding import loo_encode
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = loo_encode(ev, "event_id", "event_type", "cents")
+    return out.select(F.col("id").alias("event_id"), "category", "y",
+                      "n_g", "s_g",
+                      F.round("loo", 6).alias("loo"))
+
+
+def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(X|Y) for X = k mod 12 and
+    Y = k mod 8 (a genuine shared mod-4 dependency): MI by the exact
+    sorted count-table fold of mutual_info_table, H(X) by its own
+    x-ordered marginal fold, U the one mirrored division."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.feature_rank import theils_u
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.pmod(F.col("__p.k"), 12).cast("long").alias("x"),
+                   F.pmod(F.col("__p.k"), 8).cast("long").alias("y")))
+    out = theils_u(d, "x", "y")
+    return out.select("n", F.round("h_x", 6).alias("h_x"),
+                      F.round("mi", 6).alias("mi"),
+                      F.round("u", 6).alias("u"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7214,6 +7295,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_q": q_cochran_q,
         "brown_forsythe": q_brown_forsythe,
         "jarque_bera": q_jarque_bera,
+        "iv_wald": q_iv_wald,
+        "e_value": q_e_value,
+        "loo_encode": q_loo_encode,
+        "theils_u": q_theils_u,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -18203,5 +18288,123 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(CAST(p.sv AS DOUBLE) / CAST(p.kk AS DOUBLE), 6)
                  AS qn
         FROM ranked r JOIN per_pos p USING (pos)
+    """
+    oracles["iv_wald"] = """
+        WITH d AS (
+          SELECT CAST(event_id % 2 AS BIGINT) AS z,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   + 10 * CAST(event_id % 2 AS BIGINT) AS x,
+                 CAST(round(value*100) AS BIGINT) AS y
+          FROM events
+          WHERE event_id IS NOT NULL
+            AND json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), s AS (
+          SELECT CAST(sum(1-z) AS BIGINT) AS n0,
+                 CAST(sum(z) AS BIGINT) AS n1,
+                 CAST(sum((1-z)*x) AS BIGINT) AS sx0,
+                 CAST(sum(z*x) AS BIGINT) AS sx1,
+                 CAST(sum((1-z)*y) AS BIGINT) AS sy0,
+                 CAST(sum(z*y) AS BIGINT) AS sy1
+          FROM d
+        ), m AS (
+          SELECT *,
+                 CASE WHEN n0 > 0 AND n1 > 0
+                      THEN CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                 END AS itt,
+                 CASE WHEN n0 > 0 AND n1 > 0
+                      THEN CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                 END AS fs
+          FROM s
+        )
+        SELECT n0, n1, sx0, sx1, sy0, sy1,
+               round(itt, 6) AS itt_y, round(fs, 6) AS first_stage,
+               CASE WHEN fs <> 0.0 THEN round(itt / fs, 6) END AS late
+        FROM m
+    """
+    oracles["e_value"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS t,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS n1,
+                 CAST(sum(1-t) AS BIGINT) AS n0,
+                 CAST(sum(t*y) AS BIGINT) AS n11,
+                 CAST(sum((1-t)*y) AS BIGINT) AS n01
+          FROM d
+        ), m AS (
+          SELECT *,
+                 CAST(n11 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                 CAST(n01 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0
+          FROM s
+        ), r AS (
+          SELECT *,
+                 CASE WHEN n1 > 0 AND n0 > 0 AND n01 > 0
+                      THEN p1 / p0 END AS rr,
+                 CASE WHEN n1 > 0 AND n0 > 0 AND n01 > 0 AND n11 > 0
+                      THEN CASE WHEN p1 / p0 >= 1.0 THEN p1 / p0
+                                ELSE p0 / p1 END
+                 END AS rr_star
+          FROM m
+        )
+        SELECT n, n1, n0, n11, n01, round(rr, 6) AS rr,
+               round(rr_star + sqrt(rr_star * (rr_star - 1.0)), 6)
+                 AS evalue
+        FROM r
+    """
+    oracles["loo_encode"] = """
+        WITH d AS (
+          SELECT event_id, event_type AS category,
+                 CAST(round(value*100) AS BIGINT) AS y
+          FROM events
+        ), g AS (
+          SELECT category, CAST(count(*) AS BIGINT) AS n_g,
+                 CAST(sum(y) AS BIGINT) AS s_g
+          FROM d WHERE y IS NOT NULL GROUP BY category
+        )
+        SELECT d.event_id, d.category, d.y, g.n_g, g.s_g,
+               CASE WHEN d.y IS NOT NULL AND g.n_g > 1
+                    THEN round(CAST(g.s_g - d.y AS DOUBLE)
+                               / CAST(g.n_g - 1 AS DOUBLE), 6)
+               END AS loo
+        FROM d LEFT JOIN g ON d.category = g.category
+    """
+    oracles["theils_u"] = f"""
+        WITH d AS (
+          SELECT 1 AS g,
+                 CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 12 AS BIGINT) AS x,
+                 CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 8 AS BIGINT) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), {_mi_sql_ctes("mi_t", "d", ["g"])}, hx_cells AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS cx FROM d GROUP BY x
+        ), hx_g AS (
+          SELECT CAST(sum(cx) AS BIGINT) AS n2,
+                 list_sort(list({{'x': x, 'cx': cx}})) AS cl
+          FROM hx_cells
+        ), hx AS (
+          SELECT n2,
+                 list_reduce(list_prepend(0.0, list_transform(cl, s ->
+                   (CAST(s.cx AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   * ln(CAST(n2 AS DOUBLE) / CAST(s.cx AS DOUBLE)))),
+                   (acc, t) -> acc + t) AS h_x
+          FROM hx_g
+        )
+        SELECT mi_t.n, round(hx.h_x, 6) AS h_x,
+               round(mi_t.mi, 6) AS mi,
+               CASE WHEN hx.h_x > 0.0
+                    THEN round(mi_t.mi / hx.h_x, 6) END AS u
+        FROM mi_t, hx
     """
     return oracles

@@ -283,3 +283,94 @@ def ips_offpolicy(df: DataFrame, action_col: str, reward_col: str,
         F.col("n").cast("long").alias("n"),
         F.col("n_matched").cast("long").alias("n_matched"),
         v_ips.alias("value_ips"), v_snips.alias("value_snips"))
+
+
+def iv_wald(df: DataFrame, instrument_col: str, treatment_col: str,
+            outcome_col: str) -> DataFrame:
+    """Wald instrumental-variable estimator (Wald 1940; the
+    just-identified 2SLS with one binary instrument) — the classic
+    encouragement-design / imperfect-compliance estimate of a local
+    average treatment effect:
+
+        LATE = (ȳ_{z=1} − ȳ_{z=0}) / (x̄_{z=1} − x̄_{z=0})
+
+    ``instrument_col`` is 0/1; treatment and outcome must be
+    integer-valued (cents convention), so the per-arm sufficient
+    statistics (n, Σx, Σy) are exact int64 from ONE aggregate and the
+    intent-to-treat numerator, first-stage denominator and the ratio
+    are mirrored float expressions.  LATE is NULL when either arm is
+    empty or the first stage is exactly 0 (no instrument relevance).
+    Returns one row: (n0, n1, sx0, sx1, sy0, sy1, itt_y,
+    first_stage, late)."""
+    z = F.col(instrument_col).cast("long")
+    x = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    agg = (df.filter(F.col(instrument_col).isNotNull()
+                     & F.col(treatment_col).isNotNull()
+                     & F.col(outcome_col).isNotNull())
+             .agg(F.sum(1 - z).alias("n0"),
+                  F.sum(z).alias("n1"),
+                  F.sum((1 - z) * x).alias("sx0"),
+                  F.sum(z * x).alias("sx1"),
+                  F.sum((1 - z) * y).alias("sy0"),
+                  F.sum(z * y).alias("sy1")))
+    ok = (F.col("n0") > 0) & (F.col("n1") > 0)
+    itt = F.when(ok, F.col("sy1").cast("double")
+                 / F.col("n1").cast("double")
+                 - F.col("sy0").cast("double")
+                 / F.col("n0").cast("double"))
+    fs = F.when(ok, F.col("sx1").cast("double")
+                / F.col("n1").cast("double")
+                - F.col("sx0").cast("double")
+                / F.col("n0").cast("double"))
+    late = F.when(ok & (fs != 0.0), itt / fs)
+    return agg.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("sx0").cast("long").alias("sx0"),
+        F.col("sx1").cast("long").alias("sx1"),
+        F.col("sy0").cast("long").alias("sy0"),
+        F.col("sy1").cast("long").alias("sy1"),
+        itt.alias("itt_y"), fs.alias("first_stage"),
+        late.alias("late"))
+
+
+def e_value(df: DataFrame, treatment_col: str,
+            outcome_col: str) -> DataFrame:
+    """E-value sensitivity analysis (VanderWeele & Ding 2017) — the
+    minimum strength of unmeasured confounding (on the risk-ratio
+    scale, with both treatment and outcome) needed to explain away an
+    observed association:
+
+        E = RR* + √(RR*·(RR*−1)),   RR* = max(RR, 1/RR)
+
+    Both columns are 0/1.  The 2×2 cells are exact int64 from one
+    aggregate; RR and E are mirrored float expressions.  RR is NULL
+    when either arm is empty or the untreated risk is 0; E is NULL
+    when additionally the treated risk is 0 (RR = 0 has no finite
+    reciprocal bound).  Returns one row:
+    (n, n1, n0, n11, n01, rr, evalue)."""
+    t = F.col(treatment_col).cast("long")
+    y = F.col(outcome_col).cast("long")
+    agg = (df.filter(F.col(treatment_col).isNotNull()
+                     & F.col(outcome_col).isNotNull())
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(t).alias("n1"),
+                  F.sum(1 - t).alias("n0"),
+                  F.sum(t * y).alias("n11"),
+                  F.sum((1 - t) * y).alias("n01")))
+    p1 = F.col("n11").cast("double") / F.col("n1").cast("double")
+    p0 = F.col("n01").cast("double") / F.col("n0").cast("double")
+    ok = (F.col("n1") > 0) & (F.col("n0") > 0) & (F.col("n01") > 0)
+    rr = F.when(ok, p1 / p0)
+    rr_star = F.when(ok & (F.col("n11") > 0),
+                     F.when(p1 / p0 >= 1.0, p1 / p0)
+                      .otherwise(p0 / p1))
+    ev = rr_star + F.sqrt(rr_star * (rr_star - 1.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n01").cast("long").alias("n01"),
+        rr.alias("rr"), ev.alias("evalue"))

@@ -657,3 +657,36 @@ def quantile_normalize(df: DataFrame, id_col: str,
                            / F.col("kk").cast("double"), 6)
                    .alias("qn")))
     return out
+
+
+def loo_encode(df: DataFrame, id_col: str, category_col: str,
+               y_col: str) -> DataFrame:
+    """Leave-one-out target encoding (the shuffled-training
+    counterpart of :func:`target_encode_pit` — when rows are i.i.d.
+    training examples rather than a timeline, the leak-free encode of
+    a row excludes only THE ROW ITSELF):
+
+        loo(i) = (S_g − yᵢ) / (n_g − 1)
+
+    with S_g/n_g the exact int64 sum/count of ``y_col`` (integer
+    cents convention) over the row's category.  One map-side-combined
+    groupBy over categories plus one join back on the category key —
+    no window, no per-row state.  Rows with NULL ``y_col`` don't
+    enter the statistics and get NULL loo (but are KEPT — the
+    add-a-column contract); singleton categories (n_g = 1) get NULL
+    loo.  Returns (id, category, y, n_g, s_g, loo)."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(category_col).alias("category"),
+                  F.col(y_col).cast("long").alias("y"))
+    grp = (d.filter(F.col("y").isNotNull())
+             .groupBy("category")
+             .agg(F.count(F.lit(1)).alias("n_g"),
+                  F.sum("y").alias("s_g")))
+    out = d.join(grp, "category", "left")
+    loo = F.when(F.col("y").isNotNull() & (F.col("n_g") > 1),
+                 (F.col("s_g") - F.col("y")).cast("double")
+                 / (F.col("n_g") - 1).cast("double"))
+    return out.select("id", "category", "y",
+                      F.col("n_g").cast("long").alias("n_g"),
+                      F.col("s_g").cast("long").alias("s_g"),
+                      loo.alias("loo"))

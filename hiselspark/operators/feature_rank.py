@@ -540,3 +540,44 @@ def cmim_select(
         T.StructField("cmim_score", T.DoubleType()),
     ])
     return spark.createDataFrame(trace, schema)
+
+
+def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(X|Y) (Theil 1970) — the
+    ASYMMETRIC normalized association "how much of X's entropy does
+    knowing Y remove", the categorical-association companion of
+    :func:`mutual_info_table`:
+
+        U(X|Y) = (H(X) − H(X|Y)) / H(X) = MI(X;Y) / H(X)  ∈ [0, 1]
+
+    Both columns must be integral (cast upstream).  MI comes from the
+    exact count-table fold of :func:`mutual_info_table`; H(X) is its
+    own x-marginal ordered float fold (Σ (cx/n)·ln(n/cx) in x-key
+    order) off the same pass's marginal counts.  U is NULL when
+    H(X) = 0 (constant X has nothing to explain).  Returns one row:
+    (n, h_x, mi, u)."""
+    d = df.select(F.col(x_col).cast("long").alias("__x"),
+                  F.col(y_col).cast("long").alias("__y"))
+    mi = mutual_info_table(d, "__x", "__y")
+    hx_cells = (d.groupBy("__x")
+                 .agg(F.count(F.lit(1)).alias("cx")))
+    hx = (hx_cells
+          .agg(F.sum("cx").alias("n2"),
+               F.array_sort(F.collect_list(F.struct(
+                   F.col("__x").alias("x"),
+                   F.col("cx").alias("cx")))).alias("__m"))
+          .withColumn(
+              "h_x",
+              F.aggregate(
+                  "__m", F.lit(0.0),
+                  lambda acc, s: acc
+                  + (s["cx"].cast("double")
+                     / F.col("n2").cast("double"))
+                  * F.log(F.col("n2").cast("double")
+                          / s["cx"].cast("double"))))
+          .select("h_x"))
+    j = mi.join(F.broadcast(hx))
+    u = F.when(F.col("h_x") > 0.0, F.col("mi") / F.col("h_x"))
+    return j.select(F.col("n").cast("long").alias("n"),
+                    F.col("h_x").alias("h_x"), F.col("mi").alias("mi"),
+                    u.alias("u"))
