@@ -7154,6 +7154,84 @@ def q_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("u", 6).alias("u"))
 
 
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test over 4-treatment blocks built
+    deterministically from events (subject = event_id DIV 4,
+    treatment = event_id % 4, value = cents) — complete blocks only
+    (incomplete dropped AND counted), doubled average ranks exact
+    int64 off one value-range window per block, the k-term numerator
+    a treatment-ordered float fold."""
+    from hiselspark.operators.rankstats import friedman_test
+    ev = _ev(spark, sf_dir)
+    d = ev.select(
+        F.floor(F.col("event_id") / 4).cast("long").alias("subj"),
+        F.pmod(F.col("event_id"), 4).cast("long").alias("treat"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = friedman_test(d, "subj", "treat", "cents")
+    return out.select("k", "n_subjects", "n_dropped", "sum_r2sq",
+                      F.round("q_stat", 6).alias("q_stat"), "df")
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered-alternative trend test over the same
+    complete 4-treatment blocks as q_friedman — L2 = SUM j*R2j exact
+    int64 (treatment index j a key-ordered row_number on the k-row
+    table), mu/sigma/z mirrored float expressions."""
+    from hiselspark.operators.rankstats import page_trend
+    ev = _ev(spark, sf_dir)
+    d = ev.select(
+        F.floor(F.col("event_id") / 4).cast("long").alias("subj"),
+        F.pmod(F.col("event_id"), 4).cast("long").alias("treat"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = page_trend(d, "subj", "treat", "cents")
+    return out.select("k", "n_subjects", "n_dropped",
+                      F.round("l_stat", 6).alias("l_stat"),
+                      F.round("mu_l", 6).alias("mu_l"),
+                      F.round("sigma_l", 6).alias("sigma_l"),
+                      F.round("z", 6).alias("z"))
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g of value cents between the k>=50 and
+    k<50 arms — per-arm (n, Sv, Sv2) exact int64 from one aggregate,
+    pooled variance / d / g mirrored float expressions."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.rankstats import cohens_d
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.col("__p.k") >= 50).cast("long").alias("f"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents")))
+    out = cohens_d(d, "f", "cents")
+    return out.select("n1", "n0",
+                      F.round("mean1", 6).alias("mean1"),
+                      F.round("mean0", 6).alias("mean0"),
+                      F.round("var_pooled", 6).alias("var_pooled"),
+                      F.round("cohens_d", 6).alias("cohens_d"),
+                      F.round("hedges_g", 6).alias("hedges_g"))
+
+
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' asymmetric ordinal D between two bounded derived
+    features (the kendall_tau contingency-cell self-join plan —
+    O(distinct^2), never O(n^2) rows); the oracle replays every
+    product cell and both tie-corrected denominators."""
+    from hiselspark.operators.rankstats import somers_d
+    ev = _ev(spark, sf_dir).withColumn(
+        "cents", F.abs(F.round(F.col("value") * 100).cast("long")))
+    df = ev.select(
+        (F.col("cents") % 25).alias("x"),
+        ((F.col("cents") % 25) * 3
+         + (F.expr("cents DIV 7") % 10)).alias("__t")
+    ).select("x", (F.col("__t") % 30).alias("y"))
+    out = somers_d(df, "x", "y")
+    return out.select("n", "concordant", "discordant",
+                      F.round("d_yx", 6).alias("d_yx"),
+                      F.round("d_xy", 6).alias("d_xy"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7299,6 +7377,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_value": q_e_value,
         "loo_encode": q_loo_encode,
         "theils_u": q_theils_u,
+        "friedman": q_friedman,
+        "page_trend": q_page_trend,
+        "cohens_d": q_cohens_d,
+        "somers_d": q_somers_d,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -18406,5 +18488,212 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN hx.h_x > 0.0
                     THEN round(mi_t.mi / hx.h_x, 6) END AS u
         FROM mi_t, hx
+    """
+    oracles["friedman"] = """
+        WITH d AS (
+          SELECT CAST(event_id // 4 AS BIGINT) AS s,
+                 CAST(event_id % 4 AS BIGINT) AS t,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events
+          WHERE event_id IS NOT NULL AND value IS NOT NULL
+        ), kk AS (
+          SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM d
+        ), per_s AS (
+          SELECT s, count(DISTINCT t) AS n_t, count(*) AS n_rows
+          FROM d GROUP BY s
+        ), keep AS (
+          SELECT s FROM per_s, kk
+          WHERE n_t = kk.k AND n_rows = kk.k
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM per_s, kk
+          WHERE NOT (n_t = kk.k AND n_rows = kk.k)
+        ), ranked AS (
+          SELECT d.s, d.t,
+                 2 * count(*) OVER (PARTITION BY d.s ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 + count(*) OVER (PARTITION BY d.s ORDER BY v
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 + 1 AS r2
+          FROM d JOIN keep USING (s)
+        ), tot AS (
+          SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_subjects,
+                 CAST(sum(r2*r2) AS BIGINT) AS sum_r2sq
+          FROM ranked
+        ), per_t AS (
+          SELECT t, CAST(sum(r2) AS BIGINT) AS rj2
+          FROM ranked GROUP BY t
+        ), num AS (
+          SELECT list_reduce(list_prepend(0.0, list_transform(
+                   list_sort(list({'g': t, 'v':
+                     CAST(rj2 AS DOUBLE)
+                     - CAST(n_subjects AS DOUBLE)
+                       * CAST(k + 1 AS DOUBLE)})),
+                   x -> x.v * x.v)),
+                 (acc, u) -> acc + u) AS num4
+          FROM per_t, tot, kk
+        )
+        SELECT kk.k, tot.n_subjects, dropped.n_dropped, tot.sum_r2sq,
+               CASE WHEN CAST(tot.sum_r2sq AS DOUBLE)
+                         - CAST(tot.n_subjects AS DOUBLE)
+                           * CAST(kk.k AS DOUBLE)
+                           * CAST(kk.k + 1 AS DOUBLE)
+                           * CAST(kk.k + 1 AS DOUBLE) > 0.0
+                    THEN round(CAST(kk.k - 1 AS DOUBLE) * num.num4
+                         / (CAST(tot.sum_r2sq AS DOUBLE)
+                            - CAST(tot.n_subjects AS DOUBLE)
+                              * CAST(kk.k AS DOUBLE)
+                              * CAST(kk.k + 1 AS DOUBLE)
+                              * CAST(kk.k + 1 AS DOUBLE)), 6)
+               END AS q_stat,
+               CAST(kk.k - 1 AS BIGINT) AS df
+        FROM kk, tot, dropped, num
+    """
+    oracles["page_trend"] = """
+        WITH d AS (
+          SELECT CAST(event_id // 4 AS BIGINT) AS s,
+                 CAST(event_id % 4 AS BIGINT) AS t,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events
+          WHERE event_id IS NOT NULL AND value IS NOT NULL
+        ), kk AS (
+          SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM d
+        ), per_s AS (
+          SELECT s, count(DISTINCT t) AS n_t, count(*) AS n_rows
+          FROM d GROUP BY s
+        ), keep AS (
+          SELECT s FROM per_s, kk
+          WHERE n_t = kk.k AND n_rows = kk.k
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped
+          FROM per_s, kk
+          WHERE NOT (n_t = kk.k AND n_rows = kk.k)
+        ), ranked AS (
+          SELECT d.s, d.t,
+                 2 * count(*) OVER (PARTITION BY d.s ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+                 + count(*) OVER (PARTITION BY d.s ORDER BY v
+                     RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                 + 1 AS r2
+          FROM d JOIN keep USING (s)
+        ), tot AS (
+          SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_subjects
+          FROM ranked
+        ), per_t AS (
+          SELECT t, CAST(sum(r2) AS BIGINT) AS rj2,
+                 CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS j
+          FROM ranked GROUP BY t
+        ), ll AS (
+          SELECT CAST(sum(j * rj2) AS BIGINT) AS l2 FROM per_t
+        ), m AS (
+          SELECT kk.k, tot.n_subjects, dropped.n_dropped,
+                 CAST(ll.l2 AS DOUBLE) / 2.0 AS l_stat,
+                 CAST(tot.n_subjects AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                   * CAST(kk.k + 1 AS DOUBLE)
+                   * CAST(kk.k + 1 AS DOUBLE) / 4.0 AS mu_l,
+                 CAST(tot.n_subjects AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                   * CAST(kk.k AS DOUBLE) * CAST(kk.k + 1 AS DOUBLE)
+                   * (CAST(kk.k AS DOUBLE) * CAST(kk.k AS DOUBLE)
+                      - 1.0) / 144.0 AS var_l
+          FROM kk, tot, dropped, ll
+        )
+        SELECT k, n_subjects, n_dropped, round(l_stat, 6) AS l_stat,
+               round(mu_l, 6) AS mu_l,
+               CASE WHEN var_l > 0.0
+                    THEN round(sqrt(var_l), 6) END AS sigma_l,
+               CASE WHEN var_l > 0.0
+                    THEN round((l_stat - mu_l) / sqrt(var_l), 6)
+               END AS z
+        FROM m
+    """
+    oracles["cohens_d"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS f,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), s AS (
+          SELECT CAST(sum(f) AS BIGINT) AS n1,
+                 CAST(sum(1-f) AS BIGINT) AS n0,
+                 CAST(sum(f*v) AS BIGINT) AS s1,
+                 CAST(sum((1-f)*v) AS BIGINT) AS s0,
+                 CAST(sum(f*v*v) AS BIGINT) AS ss1,
+                 CAST(sum((1-f)*v*v) AS BIGINT) AS ss0
+          FROM d
+        ), m AS (
+          SELECT *,
+                 CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                 CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                 (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                    * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  + CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                    * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0)
+                   AS vp
+          FROM s
+        ), r AS (
+          SELECT *,
+                 CASE WHEN n1 >= 2 AND n0 >= 2 AND vp > 0.0
+                      THEN (m1 - m0) / sqrt(vp) END AS cd
+          FROM m
+        )
+        SELECT n1, n0,
+               CASE WHEN n1 > 0 THEN round(m1, 6) END AS mean1,
+               CASE WHEN n0 > 0 THEN round(m0, 6) END AS mean0,
+               CASE WHEN n1 >= 2 AND n0 >= 2
+                    THEN round(vp, 6) END AS var_pooled,
+               round(cd, 6) AS cohens_d,
+               round(cd * (1.0 - 3.0
+                     / (4.0 * (CAST(n1 AS DOUBLE)
+                               + CAST(n0 AS DOUBLE)) - 9.0)), 6)
+                 AS hedges_g
+        FROM r
+    """
+    oracles["somers_d"] = """
+        WITH base AS (
+          SELECT x, CAST((x * 3 + (c // 7) % 10) % 30 AS BIGINT) AS y
+          FROM (
+            SELECT CAST(abs(CAST(round(value*100) AS BIGINT)) % 25
+                        AS BIGINT) AS x,
+                   abs(CAST(round(value*100) AS BIGINT)) AS c
+            FROM events
+          )
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM base GROUP BY x, y
+        ), prods AS (
+          SELECT a.c * b.c AS p,
+                 CASE WHEN a.y < b.y THEN 1
+                      WHEN a.y > b.y THEN -1 ELSE 0 END AS sgn
+          FROM cells a JOIN cells b ON a.x < b.x
+        ), cd AS (
+          SELECT CAST(coalesce(sum(CASE WHEN sgn = 1 THEN p END), 0)
+                      AS BIGINT) AS conc,
+                 CAST(coalesce(sum(CASE WHEN sgn = -1 THEN p END), 0)
+                      AS BIGINT) AS disc
+          FROM prods
+        ), tx AS (
+          SELECT CAST(sum(t*(t-1)) AS BIGINT) AS tx2,
+                 CAST(sum(t) AS BIGINT) AS n
+          FROM (SELECT sum(c) AS t FROM cells GROUP BY x)
+        ), ty AS (
+          SELECT CAST(sum(t*(t-1)) AS BIGINT) AS ty2
+          FROM (SELECT sum(c) AS t FROM cells GROUP BY y)
+        )
+        SELECT tx.n, cd.conc AS concordant, cd.disc AS discordant,
+               CASE WHEN tx.n * (tx.n - 1) > tx.tx2
+                    THEN round(2.0 * CAST(cd.conc - cd.disc AS DOUBLE)
+                         / CAST(tx.n * (tx.n - 1) - tx.tx2 AS DOUBLE),
+                         6) END AS d_yx,
+               CASE WHEN tx.n * (tx.n - 1) > ty.ty2
+                    THEN round(2.0 * CAST(cd.conc - cd.disc AS DOUBLE)
+                         / CAST(tx.n * (tx.n - 1) - ty.ty2 AS DOUBLE),
+                         6) END AS d_xy
+        FROM cd, tx, ty
     """
     return oracles

@@ -448,3 +448,238 @@ def mann_whitney(df: DataFrame, flag_col: str,
         F.round(p, 9).alias("p_value"),
         F.round((u2 - F.col("n1") * F.col("n2")).cast("double")
                 / (n1d * n2d), 6).alias("cliffs_delta"))
+
+
+def _friedman_blocks(df: DataFrame, subject_col: str,
+                     treatment_col: str, value_col: str):
+    """Shared complete-block doubled-rank plan for
+    :func:`friedman_test` and :func:`page_trend`: keep only subjects
+    observed exactly once under every globally-seen treatment (the
+    :func:`hiselspark.operators.evaluate.cochran_q` convention —
+    incomplete blocks carry no within-subject contrast and are
+    dropped AND counted), then rank each subject's k values with
+    doubled average ranks r2 = 2·count_less + count_eq + 1 (exact
+    int64, module docstring) via ONE value-range window per subject.
+
+    Returns (ranked rows frame with (__s, __t, r2), k frame,
+    n_subjects/sum_r2sq frame, n_dropped frame)."""
+    d = (df.filter(F.col(value_col).isNotNull()
+                   & F.col(subject_col).isNotNull()
+                   & F.col(treatment_col).isNotNull())
+           .select(F.col(subject_col).alias("__s"),
+                   F.col(treatment_col).alias("__t"),
+                   F.col(value_col).cast("long").alias("__v")))
+    k_df = d.agg(F.countDistinct("__t").alias("k"))
+    per_s = (d.groupBy("__s")
+              .agg(F.countDistinct("__t").alias("n_t"),
+                   F.count(F.lit(1)).alias("n_rows")))
+    per_s = per_s.join(F.broadcast(k_df))
+    is_complete = ((F.col("n_t") == F.col("k"))
+                   & (F.col("n_rows") == F.col("k")))
+    keep = per_s.filter(is_complete).select("__s")
+    n_drop = (per_s.filter(~is_complete)
+              .agg(F.count(F.lit(1)).alias("n_dropped")))
+    w_less = (Window.partitionBy("__s").orderBy("__v")
+              .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = (Window.partitionBy("__s").orderBy("__v")
+            .rangeBetween(0, 0))
+    ranked = (d.join(keep, "__s")
+                .select("__s", "__t",
+                        (F.lit(2) * F.coalesce(
+                            F.count(F.lit(1)).over(w_less), F.lit(0))
+                         + F.count(F.lit(1)).over(w_eq) + 1)
+                        .alias("r2")))
+    tot = ranked.agg(
+        F.countDistinct("__s").alias("n_subjects"),
+        F.sum(F.col("r2") * F.col("r2")).alias("sum_r2sq"))
+    return ranked, k_df, tot, n_drop
+
+
+def friedman_test(df: DataFrame, subject_col: str, treatment_col: str,
+                  value_col: str) -> DataFrame:
+    """Friedman's rank test (Friedman 1937) — the distribution-free
+    repeated-measures ANOVA over complete (subject × treatment)
+    blocks, with the Conover tie correction:
+
+        Q = (k−1) · Σⱼ (Rⱼ − n(k+1)/2)² / (A − C)
+
+    A = ΣΣ r²ᵢⱼ, C = nk(k+1)²/4.  Everything is computed on DOUBLED
+    ranks so all sufficient statistics are exact int64: multiplying
+    numerator and denominator by 4 gives
+
+        Q = (k−1) · Σⱼ (R2ⱼ − n(k+1))² / (Σ r2² − nk(k+1)²)
+
+    with R2ⱼ the per-treatment doubled rank sums.  r2 ≤ 2k keeps
+    Σ r2² int64-exact at any n; the k-term numerator is a
+    treatment-key-ordered float fold (the anova_f convention — R2ⱼ²
+    exceeds int64 at 10¹²-row scale).  Q is NULL when the denominator
+    is 0 (every block fully tied).  ``value_col`` must be integer-
+    quantized (cents convention).  Returns one row: (k, n_subjects,
+    n_dropped, sum_r2sq, q_stat, df)."""
+    ranked, k_df, tot, n_drop = _friedman_blocks(
+        df, subject_col, treatment_col, value_col)
+    per_t = ranked.groupBy("__t").agg(F.sum("r2").alias("rj2"))
+    num = (per_t.join(F.broadcast(tot)).join(F.broadcast(k_df))
+           .agg(F.aggregate(
+               F.transform(
+                   F.array_sort(F.collect_list(F.struct(
+                       F.col("__t").alias("g"),
+                       (F.col("rj2").cast("double")
+                        - F.col("n_subjects").cast("double")
+                        * (F.col("k") + 1).cast("double"))
+                       .alias("t")))),
+                   lambda s: s["t"] * s["t"]),
+               F.lit(0.0), lambda acc, x: acc + x).alias("num4")))
+    j = (tot.join(F.broadcast(k_df)).join(F.broadcast(n_drop))
+         .join(F.broadcast(num)))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_subjects").cast("double")
+    den4 = (F.col("sum_r2sq").cast("double")
+            - nd * kd * (kd + 1.0) * (kd + 1.0))
+    q = F.when(den4 > 0.0, (kd - 1.0) * F.col("num4") / den4)
+    return j.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.col("sum_r2sq").cast("long").alias("sum_r2sq"),
+        q.alias("q_stat"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def page_trend(df: DataFrame, subject_col: str, treatment_col: str,
+               value_col: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative (Page 1963) — the
+    monotone-trend companion of :func:`friedman_test` over the same
+    complete blocks, treatments ordered by their key:
+
+        L = Σⱼ j·Rⱼ,   μ_L = nk(k+1)²/4,
+        σ²_L = n·k²·(k+1)·(k²−1)/144
+
+    Doubled rank sums make L2 = Σ j·R2ⱼ exact int64 (L = L2/2); the
+    treatment index j is a key-ordered row_number on the k-row
+    per-treatment table (one tiny window).  z = (L − μ)/σ is the one
+    mirrored float expression (the untied approximation; average
+    ranks are used under ties, the standard practice).  NULL z when
+    k < 2 or n = 0.  Returns one row: (k, n_subjects, n_dropped,
+    l_stat, mu_l, sigma_l, z)."""
+    ranked, k_df, tot, n_drop = _friedman_blocks(
+        df, subject_col, treatment_col, value_col)
+    w_j = Window.orderBy("__t")
+    per_t = (ranked.groupBy("__t").agg(F.sum("r2").alias("rj2"))
+             .select("__t", "rj2",
+                     F.row_number().over(w_j).alias("j")))
+    l2 = per_t.agg(F.sum(F.col("j") * F.col("rj2")).alias("l2"))
+    j = (tot.join(F.broadcast(k_df)).join(F.broadcast(n_drop))
+         .join(F.broadcast(l2)))
+    kd = F.col("k").cast("double")
+    nd = F.col("n_subjects").cast("double")
+    l_stat = F.col("l2").cast("double") / F.lit(2.0)
+    mu = nd * kd * (kd + 1.0) * (kd + 1.0) / F.lit(4.0)
+    var = (nd * kd * kd * (kd + 1.0) * (kd * kd - 1.0)
+           / F.lit(144.0))
+    z = F.when(var > 0.0, (l_stat - mu) / F.sqrt(var))
+    return j.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n_subjects").cast("long").alias("n_subjects"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        l_stat.alias("l_stat"), mu.alias("mu_l"),
+        F.when(var > 0.0, F.sqrt(var)).alias("sigma_l"),
+        z.alias("z"))
+
+
+def cohens_d(df: DataFrame, flag_col: str, value_col: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized mean difference between the
+    ``flag_col`` = 1 and = 0 samples — the effect size a dashboard
+    reports next to :func:`welch_ttest`'s p-value:
+
+        d = (m₁ − m₀) / s_p,
+        s²_p = ((n₁−1)s₁² + (n₀−1)s₀²) / (n₁+n₀−2),
+        g = d · (1 − 3/(4(n₁+n₀) − 9))
+
+    ``value_col`` integer-quantized: per-arm (n, Σv, Σv²) exact int64
+    (Σv² int64-safe for |v| cents < ~3·10⁹ per row; DECIMAL(38,0) at
+    wider scale, same plan), the two variances / d / g mirrored float
+    expressions.  NULL d/g when either arm has < 2 rows or the pooled
+    variance is 0.  Returns one row: (n1, n0, mean1, mean0,
+    var_pooled, cohens_d, hedges_g)."""
+    flag = F.col(flag_col).cast("long")
+    v = F.col(value_col).cast("long")
+    a = F.when(flag == 1, v)
+    b = F.when(flag == 0, v)
+    agg = (df.filter(flag.isNotNull() & v.isNotNull())
+             .agg(F.count(a).alias("n1"), F.sum(a).alias("s1"),
+                  F.sum(a * a).alias("ss1"),
+                  F.count(b).alias("n0"), F.sum(b).alias("s0"),
+                  F.sum(b * b).alias("ss0")))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n1, n0 = d("n1"), d("n0")
+    m1, m0 = d("s1") / n1, d("s0") / n0
+    ss1c = d("ss1") - d("s1") * d("s1") / n1
+    ss0c = d("ss0") - d("s0") * d("s0") / n0
+    vp = (ss1c + ss0c) / (n1 + n0 - 2.0)
+    ok = (F.col("n1") >= 2) & (F.col("n0") >= 2)
+    cd = F.when(ok & (vp > 0.0), (m1 - m0) / F.sqrt(vp))
+    g = cd * (F.lit(1.0) - F.lit(3.0) / (4.0 * (n1 + n0) - 9.0))
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        F.when(F.col("n1") > 0, m1).alias("mean1"),
+        F.when(F.col("n0") > 0, m0).alias("mean0"),
+        F.when(ok, vp).alias("var_pooled"),
+        cd.alias("cohens_d"), g.alias("hedges_g"))
+
+
+def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Somers' D (Somers 1962) — the ASYMMETRIC ordinal association
+    completing :func:`kendall_tau`: concordant minus discordant pairs
+    normalized by pairs untied on the CONDITIONING variable,
+
+        D(Y|X) = (C − D) / (n₀ − T_x),
+        D(X|Y) = (C − D) / (n₀ − T_y)
+
+    with n₀ = n(n−1)/2 and T_x = Σ tₓ(tₓ−1)/2 the tie counts.  Same
+    contingency-table plan as kendall_tau (cell self-join on
+    xa < xb — O(distinct²), never O(n²) rows; all counts exact
+    int64).  D(Y|X) is the Gini-like rank version of "how well does
+    X order Y" (for a binary Y it equals 2·AUC − 1).  NULL when the
+    corresponding denominator is 0.  Returns one row: (n, concordant,
+    discordant, d_yx, d_xy)."""
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("c").alias("cb"))
+    prods = (a.join(b, (F.col("xa") < F.col("xb")))
+             .select((F.col("ca") * F.col("cb")).alias("p"),
+                     F.when(F.col("ya") < F.col("yb"), F.lit(1))
+                      .when(F.col("ya") > F.col("yb"), F.lit(-1))
+                      .otherwise(F.lit(0)).alias("sgn")))
+    cd = prods.agg(
+        F.sum(F.when(F.col("sgn") == 1, F.col("p")).otherwise(0))
+         .alias("conc"),
+        F.sum(F.when(F.col("sgn") == -1, F.col("p")).otherwise(0))
+         .alias("disc"))
+    tx = (cells.groupBy("x").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("tx2"),
+               F.sum("t").alias("n")))
+    ty = (cells.groupBy("y").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("ty2")))
+    s = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    n = F.col("n")
+    n0x2 = n * (n - 1)              # 2·n0
+    numd = (F.col("conc") - F.col("disc")).cast("double")
+    den_yx = (n0x2 - F.col("tx2")).cast("double")
+    den_xy = (n0x2 - F.col("ty2")).cast("double")
+    return s.select(
+        n.cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.when(n0x2 > F.col("tx2"),
+               F.lit(2.0) * numd / den_yx).alias("d_yx"),
+        F.when(n0x2 > F.col("ty2"),
+               F.lit(2.0) * numd / den_xy).alias("d_xy"))

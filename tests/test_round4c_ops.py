@@ -156,3 +156,156 @@ def test_theils_u_deterministic_and_constant(spark):
                                 ["x", "y"])
     row2 = theils_u(df2, "x", "y").collect()[0]
     assert row2["h_x"] == 0.0 and row2["u"] is None
+
+
+def test_friedman_brute(spark):
+    from hiselspark.operators.rankstats import friedman_test
+    rng = _rng(17)
+    n, k = 80, 4
+    # planted treatment effect + one incomplete block
+    rows = []
+    for s in range(n):
+        base = rng.integers(0, 50)
+        for t in range(k):
+            if s == 0 and t == 3:
+                continue  # incomplete block
+            rows.append((s, t, int(base + t * 3
+                                   + rng.integers(0, 8))))
+    df = spark.createDataFrame(rows, ["s", "t", "v"])
+    row = friedman_test(df, "s", "t", "v").collect()[0]
+    assert row["k"] == k
+    assert row["n_subjects"] == n - 1 and row["n_dropped"] == 1
+
+    # brute: average ranks per complete block, Conover tie-corrected Q
+    import collections
+    blocks = collections.defaultdict(dict)
+    for s, t, v in rows:
+        blocks[s][t] = v
+    blocks = {s: d for s, d in blocks.items() if len(d) == k}
+    rj = np.zeros(k)
+    a_sum = 0.0
+    for s, d in blocks.items():
+        vals = np.array([d[t] for t in range(k)], dtype=float)
+        order = vals.argsort(kind="stable")
+        ranks = np.empty(k)
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        rj += ranks
+        a_sum += (ranks ** 2).sum()
+    nn = len(blocks)
+    c = nn * k * (k + 1) ** 2 / 4
+    num = ((rj - nn * (k + 1) / 2) ** 2).sum()
+    q = (k - 1) * num / (a_sum - c)
+    assert row["q_stat"] == pytest.approx(q, rel=1e-10)
+    assert row["q_stat"] > 20  # the planted trend is detected
+
+
+def test_page_trend_brute(spark):
+    from hiselspark.operators.rankstats import page_trend
+    rng = _rng(19)
+    n, k = 60, 5
+    rows = [(s, t, int(rng.integers(0, 30) + t * 4))
+            for s in range(n) for t in range(k)]
+    df = spark.createDataFrame(rows, ["s", "t", "v"])
+    row = page_trend(df, "s", "t", "v").collect()[0]
+    import collections
+    blocks = collections.defaultdict(dict)
+    for s, t, v in rows:
+        blocks[s][t] = v
+    l_sum = 0.0
+    for s, d in blocks.items():
+        vals = np.array([d[t] for t in range(k)], dtype=float)
+        order = vals.argsort(kind="stable")
+        ranks = np.empty(k)
+        i = 0
+        while i < k:
+            j = i
+            while j + 1 < k and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        l_sum += (np.arange(1, k + 1) * ranks).sum()
+    mu = n * k * (k + 1) ** 2 / 4
+    var = n * k ** 2 * (k + 1) * (k ** 2 - 1) / 144
+    assert row["l_stat"] == pytest.approx(l_sum, rel=1e-12)
+    assert row["mu_l"] == pytest.approx(mu, rel=1e-12)
+    assert row["z"] == pytest.approx((l_sum - mu) / math.sqrt(var),
+                                     rel=1e-10)
+    assert row["z"] > 3  # increasing-in-treatment trend detected
+
+
+def test_cohens_d_brute(spark):
+    from hiselspark.operators.rankstats import cohens_d
+    rng = _rng(23)
+    n = 400
+    f = rng.integers(0, 2, n)
+    v = rng.integers(0, 100, n) + f * 25
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(f, v)], ["f", "v"])
+    row = cohens_d(df, "f", "v").collect()[0]
+    v1, v0 = v[f == 1].astype(float), v[f == 0].astype(float)
+    sp2 = (((len(v1) - 1) * v1.var(ddof=1)
+            + (len(v0) - 1) * v0.var(ddof=1))
+           / (len(v1) + len(v0) - 2))
+    d = (v1.mean() - v0.mean()) / math.sqrt(sp2)
+    g = d * (1 - 3 / (4 * n - 9))
+    assert row["n1"] == len(v1) and row["n0"] == len(v0)
+    assert row["var_pooled"] == pytest.approx(sp2, rel=1e-12)
+    assert row["cohens_d"] == pytest.approx(d, rel=1e-12)
+    assert row["hedges_g"] == pytest.approx(g, rel=1e-12)
+    assert 0.5 < row["cohens_d"] < 1.5  # planted shift ~0.86 sd
+
+
+def test_somers_d_brute(spark):
+    from hiselspark.operators.rankstats import somers_d
+    rng = _rng(29)
+    n = 500
+    x = rng.integers(0, 8, n)
+    y = np.minimum(x + rng.integers(0, 4, n), 9)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], ["x", "y"])
+    row = somers_d(df, "x", "y").collect()[0]
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = x[i] - x[j]
+            dy = y[i] - y[j]
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert row["d_yx"] == pytest.approx((conc - disc) / (n0 - tx),
+                                        rel=1e-12)
+    assert row["d_xy"] == pytest.approx((conc - disc) / (n0 - ty),
+                                        rel=1e-12)
+    assert row["d_yx"] > 0.5  # planted monotone link
+
+
+def test_somers_d_binary_equals_2auc_minus_1(spark):
+    from hiselspark.operators.rankstats import somers_d
+    rng = _rng(31)
+    n = 300
+    score = rng.integers(0, 50, n)
+    label = (rng.random(n) < (score / 60)).astype(int)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(score, label)],
+        ["x", "y"])
+    row = somers_d(df, "x", "y").collect()[0]
+    # brute AUC with tie-half-credit
+    pos = score[label == 1]
+    neg = score[label == 0]
+    wins = sum((p > q) + 0.5 * (p == q)
+               for p in pos for q in neg)
+    auc = wins / (len(pos) * len(neg))
+    assert row["d_xy"] == pytest.approx(2 * auc - 1, rel=1e-10)
