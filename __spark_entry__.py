@@ -7232,6 +7232,91 @@ def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("d_xy", 6).alias("d_xy"))
 
 
+def q_hellinger_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance per event_type between the first and second
+    half of the month over the psi_drift 200-cent bucketing — raw
+    shares (no smoothing: sqrt(p*0) = 0 exactly), the Bhattacharyya
+    fold in sorted-bucket order mirrored by list_sort+list_reduce."""
+    from hiselspark.operators.drift import hellinger_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents",
+                      F.round(F.col("value") * 100).cast("long"))
+          .withColumn("bucket", F.least(F.col("cents") / F.lit(200),
+                                        F.lit(24)).cast("long")))
+    out = hellinger_drift(ev, ["event_type"], "bucket",
+                          F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                         .cast("timestamp"))
+    return out.select("event_type", "n_ref", "n_cur",
+                      F.round("bc", 6).alias("bc"),
+                      F.round("hellinger", 6).alias("hellinger"))
+
+
+def q_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation drift per event_type over the same bucketing —
+    the cross-multiplied numerator SUM |cr*n_cur - cc*n_ref| is an
+    EXACT int64 integer fold (order-free), TV one mirrored
+    division."""
+    from hiselspark.operators.drift import tv_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents",
+                      F.round(F.col("value") * 100).cast("long"))
+          .withColumn("bucket", F.least(F.col("cents") / F.lit(200),
+                                        F.lit(24)).cast("long")))
+    out = tv_drift(ev, ["event_type"], "bucket",
+                   F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                  .cast("timestamp"))
+    return out.select("event_type", "n_ref", "n_cur", "tv_num",
+                      F.round("tv", 6).alias("tv"))
+
+
+def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G independence test for k mod 12 vs k mod 8
+    (the theils_u pairing): G = 2n*MI off mutual_info_table's exact
+    sorted count-table fold, df = (R-1)(C-1) from the marginal
+    cardinalities."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.feature_rank import g_test
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.pmod(F.col("__p.k"), 12).cast("long").alias("x"),
+                   F.pmod(F.col("__p.k"), 8).cast("long").alias("y")))
+    out = g_test(d, "x", "y")
+    return out.select("n", "r", "c",
+                      F.round("g_stat", 6).alias("g_stat"), "df")
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 autocorrelation of each user's cents
+    series ordered by event_id — all four sufficient statistics
+    (n, Sv, Sv2, S(dv)2) exact int64 off one lag window + one
+    aggregate, DW one mirrored float expression."""
+    from hiselspark.operators.tsprofile import durbin_watson
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = durbin_watson(ev, "user_id", "event_id", "cents")
+    return out.select(F.col("grp").alias("user_id"), "n",
+                      "diff_sq_sum",
+                      F.round("dw", 6).alias("dw"))
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of each event type's cents series
+    around its median (doubled-median off the count table, at-median
+    rows dropped — the standard convention), runs counted by one lag
+    window over event_id order, z mirrored."""
+    from hiselspark.operators.tsprofile import runs_test
+    ev = _ev(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = runs_test(ev, "event_type", "event_id", "cents")
+    return out.select(F.col("grp").alias("event_type"), "n1", "n2",
+                      "runs", F.round("z", 6).alias("z"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7381,6 +7466,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_trend": q_page_trend,
         "cohens_d": q_cohens_d,
         "somers_d": q_somers_d,
+        "hellinger_drift": q_hellinger_drift,
+        "tv_drift": q_tv_drift,
+        "g_test": q_g_test,
+        "durbin_watson": q_durbin_watson,
+        "runs_test": q_runs_test,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -18695,5 +18785,191 @@ def _oracle_sql_raw() -> dict[str, str]:
                          / CAST(tx.n * (tx.n - 1) - ty.ty2 AS DOUBLE),
                          6) END AS d_xy
         FROM cd, tx, ty
+    """
+    oracles["hellinger_drift"] = """
+        WITH q AS (
+          SELECT event_type,
+                 least(CAST(round(value*100) AS BIGINT) // 200, 24)
+                   AS bucket,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ), pb AS (
+          SELECT event_type, bucket,
+                 SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+          FROM q GROUP BY event_type, bucket
+        ), pk AS (
+          SELECT event_type,
+                 CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur,
+                 list_sort(list({'b': bucket, 'cr': cr, 'cc': cc}))
+                   AS bl
+          FROM pb GROUP BY event_type
+        ), h AS (
+          SELECT event_type, n_ref, n_cur,
+                 CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                   list_reduce(list_prepend(0.0,
+                     list_transform(bl, x ->
+                       sqrt((CAST(x.cr AS DOUBLE)
+                             / CAST(n_ref AS DOUBLE))
+                            * (CAST(x.cc AS DOUBLE)
+                               / CAST(n_cur AS DOUBLE))))),
+                     (acc, x) -> acc + x)
+                 END AS bc
+          FROM pk
+        )
+        SELECT event_type, n_ref, n_cur, round(bc, 6) AS bc,
+               round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+        FROM h
+    """
+    oracles["tv_drift"] = """
+        WITH q AS (
+          SELECT event_type,
+                 least(CAST(round(value*100) AS BIGINT) // 200, 24)
+                   AS bucket,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ), pb AS (
+          SELECT event_type, bucket,
+                 CAST(SUM(is_ref) AS BIGINT) AS cr,
+                 CAST(SUM(1 - is_ref) AS BIGINT) AS cc
+          FROM q GROUP BY event_type, bucket
+        ), pk AS (
+          SELECT event_type,
+                 CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur,
+                 list({'cr': cr, 'cc': cc}) AS bl
+          FROM pb GROUP BY event_type
+        )
+        SELECT event_type, n_ref, n_cur,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(bl, x ->
+                   abs(x.cr * n_cur - x.cc * n_ref))),
+                 (acc, x) -> acc + x) AS tv_num,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                 round(CAST(list_reduce(list_prepend(
+                       CAST(0 AS BIGINT),
+                       list_transform(bl, x ->
+                         abs(x.cr * n_cur - x.cc * n_ref))),
+                       (acc, x) -> acc + x) AS DOUBLE)
+                   / (2.0 * CAST(n_ref AS DOUBLE)
+                      * CAST(n_cur AS DOUBLE)), 6)
+               END AS tv
+        FROM pk
+    """
+    oracles["g_test"] = f"""
+        WITH d AS (
+          SELECT 1 AS g,
+                 CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 12 AS BIGINT) AS x,
+                 CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 8 AS BIGINT) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), {_mi_sql_ctes("mi_t", "d", ["g"])}, dims AS (
+          SELECT CAST(count(DISTINCT x) AS BIGINT) AS r,
+                 CAST(count(DISTINCT y) AS BIGINT) AS c
+          FROM d
+        )
+        SELECT mi_t.n, dims.r, dims.c,
+               CASE WHEN (dims.r - 1) * (dims.c - 1) > 0
+                    THEN round(2.0 * CAST(mi_t.n AS DOUBLE)
+                               * mi_t.mi, 6) END AS g_stat,
+               CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS df
+        FROM mi_t, dims
+    """
+    oracles["durbin_watson"] = """
+        WITH d AS (
+          SELECT user_id,
+                 CAST(round(value*100) AS BIGINT) AS v,
+                 CAST(round(value*100) AS BIGINT)
+                   - lag(CAST(round(value*100) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS dv
+          FROM events WHERE value IS NOT NULL
+        ), agg AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v*v) AS BIGINT) AS ssv,
+                 CAST(coalesce(sum(dv*dv), 0) AS BIGINT) AS num
+          FROM d GROUP BY user_id
+        )
+        SELECT user_id, n, num AS diff_sq_sum,
+               CASE WHEN n >= 2
+                     AND CAST(ssv AS DOUBLE)
+                         - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                           / CAST(n AS DOUBLE) > 0.0
+                    THEN round(CAST(num AS DOUBLE)
+                         / (CAST(ssv AS DOUBLE)
+                            - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+                              / CAST(n AS DOUBLE)), 6)
+               END AS dw
+        FROM agg
+    """
+    oracles["runs_test"] = """
+        WITH nn AS (
+          SELECT event_type AS g, event_id AS o,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), per_v AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS t
+          FROM nn GROUP BY g, v
+        ), c AS (
+          SELECT g, v, t,
+                 sum(t) OVER (PARTITION BY g ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(t) OVER (PARTITION BY g) AS n
+          FROM per_v
+        ), lo AS (
+          SELECT g, min(v) AS lo FROM c
+          WHERE cum >= n + 1 - (n // 2) - 1 GROUP BY g
+        ), hi AS (
+          SELECT g, min(v) AS hi FROM c
+          WHERE cum >= (n // 2) + 1 GROUP BY g
+        ), med AS (
+          SELECT g, lo + hi AS m2 FROM lo JOIN hi USING (g)
+        ), signed AS (
+          SELECT nn.g AS g, nn.o AS o,
+                 CASE WHEN 2*v > m2 THEN 1 ELSE -1 END AS sgn
+          FROM nn JOIN med ON nn.g = med.g
+          WHERE 2*v <> m2
+        ), flips AS (
+          SELECT g, sgn,
+                 CASE WHEN lag(sgn) OVER (PARTITION BY g ORDER BY o)
+                           IS NOT NULL
+                       AND sgn <> lag(sgn)
+                           OVER (PARTITION BY g ORDER BY o)
+                      THEN 1 ELSE 0 END AS flip
+          FROM signed
+        ), agg AS (
+          SELECT g AS event_type,
+                 CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n2,
+                 CAST(sum(flip) + 1 AS BIGINT) AS runs
+          FROM flips GROUP BY g
+        ), m AS (
+          SELECT *,
+                 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   + 1.0 AS mu,
+                 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                         - 1.0)) AS var
+          FROM agg
+        )
+        SELECT event_type, n1, n2, runs,
+               CASE WHEN n1 > 0 AND n2 > 0 AND var > 0.0
+                    THEN round((CAST(runs AS DOUBLE) - mu)
+                               / sqrt(var), 6) END AS z
+        FROM m
     """
     return oracles

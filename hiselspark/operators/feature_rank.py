@@ -581,3 +581,33 @@ def theils_u(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     return j.select(F.col("n").cast("long").alias("n"),
                     F.col("h_x").alias("h_x"), F.col("mi").alias("mi"),
                     u.alias("u"))
+
+
+def g_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """G-test of independence (the likelihood-ratio χ² twin of the
+    Pearson chi2 operator) on the (x, y) contingency table:
+
+        G = 2 Σ Oᵢⱼ ln(Oᵢⱼ·n / (rᵢ·cⱼ)) = 2·n·MI(X;Y)   (nats)
+
+    — the identity G = 2nMI means the statistic reuses
+    :func:`mutual_info_table`'s exact sorted count-table fold
+    verbatim; the only new work is the two marginal cardinalities for
+    the degrees of freedom (R−1)(C−1).  Additive across partitions of
+    the table (unlike Pearson χ²), which is why large-scale pipelines
+    prefer it.  Both columns integral (cast upstream).  G is NULL
+    when df = 0 (either variable constant).  Returns one row:
+    (n, r, c, g_stat, df)."""
+    d = df.select(F.col(x_col).cast("long").alias("__x"),
+                  F.col(y_col).cast("long").alias("__y"))
+    mi = mutual_info_table(d, "__x", "__y")
+    dims = d.agg(F.countDistinct("__x").alias("r"),
+                 F.countDistinct("__y").alias("c"))
+    j = mi.join(F.broadcast(dims))
+    dof = (F.col("r") - 1) * (F.col("c") - 1)
+    g = F.when(dof > 0,
+               F.lit(2.0) * F.col("n").cast("double") * F.col("mi"))
+    return j.select(F.col("n").cast("long").alias("n"),
+                    F.col("r").cast("long").alias("r"),
+                    F.col("c").cast("long").alias("c"),
+                    g.alias("g_stat"),
+                    dof.cast("long").alias("df"))

@@ -680,3 +680,115 @@ def ljung_box(
     q_stat = F.when(F.col("n") > m, nn * (nn + 2.0) * q)
     return ac.select("entity", "n", q_stat.alias("q_stat"),
                      F.lit(m).cast("long").alias("df"))
+
+
+def durbin_watson(df: DataFrame, group_col: str, order_col: str,
+                  value_col: str) -> DataFrame:
+    """Durbin–Watson first-order autocorrelation statistic of each
+    group's series ordered by ``order_col`` (unique within group —
+    the engine's timeline convention):
+
+        DW = Σₜ(vₜ − vₜ₋₁)² / Σₜ(vₜ − v̄)²   ∈ [0, 4]
+
+    DW ≈ 2 means no lag-1 autocorrelation, → 0 positive, → 4
+    negative.  Mean-centering cancels in the numerator, so with
+    integer-quantized ``value_col`` the sufficient statistics
+    (n, Σv, Σv², Σ(Δv)²) are ALL exact int64 — one lag window + one
+    aggregate — and DW is one mirrored float expression
+    num / (Σv² − (Σv)²/n).  NULL when n < 2 or the series is
+    constant.  Returns one row per group:
+    (group, n, diff_sq_sum, dw)."""
+    g = F.col(group_col).alias("grp")
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    lagv = F.lag(v).over(w)
+    d = (df.filter(v.isNotNull())
+           .select(g, v.alias("__v"),
+                   F.when(lagv.isNotNull(),
+                          (v - lagv) * (v - lagv)).alias("__d2")))
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("sv"),
+        F.sum(F.col("__v") * F.col("__v")).alias("ssv"),
+        F.coalesce(F.sum("__d2"), F.lit(0)).alias("num"))
+    nd = F.col("n").cast("double")
+    den = (F.col("ssv").cast("double")
+           - F.col("sv").cast("double") * F.col("sv").cast("double")
+           / nd)
+    dw = F.when((F.col("n") >= 2) & (den > 0.0),
+                F.col("num").cast("double") / den)
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("num").cast("long").alias("diff_sq_sum"),
+        dw.alias("dw"))
+
+
+def runs_test(df: DataFrame, group_col: str, order_col: str,
+              value_col: str) -> DataFrame:
+    """Wald–Wolfowitz runs test for randomness of each group's series
+    around its median, ordered by ``order_col``: values above the
+    median map to +1, below to −1, EXACTLY AT the median are dropped
+    (the standard convention), and
+
+        R = 1 + Σₜ 1[signₜ ≠ signₜ₋₁],
+        μ_R = 2n₁n₂/(n₁+n₂) + 1,
+        σ²_R = 2n₁n₂(2n₁n₂−n₁−n₂) / ((n₁+n₂)²(n₁+n₂−1))
+
+    The per-group median comes off the (group, value) COUNT table via
+    the doubled-median trick (m2 = lo + hi exact int64 — the
+    brown_forsythe/hampel convention, never a row sort), so the
+    above/below split 2v ≷ m2 is an exact integer comparison; run and
+    sign counts are exact int64 off one lag window; z = (R − μ)/σ is
+    the one mirrored float expression.  NULL z when n₁ = 0, n₂ = 0 or
+    σ = 0.  ``value_col`` integer-quantized; ``order_col`` unique
+    within group.  Returns one row per group:
+    (group, n1, n2, runs, z)."""
+    v = F.col(value_col).cast("long")
+    nn = (df.filter(v.isNotNull())
+            .select(F.col(group_col).alias("__g"),
+                    F.col(order_col).alias("__o"), v.alias("__v")))
+    per_v = nn.groupBy("__g", "__v").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.partitionBy("__g").orderBy("__v")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_tot = Window.partitionBy("__g")
+    c = (per_v.withColumn("cum", F.sum("t").over(w_run))
+              .withColumn("nt", F.sum("t").over(w_tot)))
+    lo_pos = (F.col("nt") + 1) - F.expr("nt DIV 2") - 1
+    hi_pos = F.expr("nt DIV 2") + 1
+    lo = (c.filter(F.col("cum") >= lo_pos)
+          .groupBy("__g").agg(F.min("__v").alias("lo")))
+    hi = (c.filter(F.col("cum") >= hi_pos)
+          .groupBy("__g").agg(F.min("__v").alias("hi")))
+    med = lo.join(hi, "__g").select(
+        "__g", (F.col("lo") + F.col("hi")).alias("m2"))
+    signed = (nn.join(F.broadcast(med), "__g")
+                .filter(F.lit(2) * F.col("__v") != F.col("m2"))
+                .select("__g", "__o",
+                        F.when(F.lit(2) * F.col("__v") > F.col("m2"),
+                               F.lit(1)).otherwise(F.lit(-1))
+                        .alias("sgn")))
+    w_ord = Window.partitionBy("__g").orderBy("__o")
+    flips = signed.select(
+        "__g", "sgn",
+        F.when(F.lag("sgn").over(w_ord).isNotNull()
+               & (F.col("sgn") != F.lag("sgn").over(w_ord)),
+               F.lit(1)).otherwise(F.lit(0)).alias("flip"))
+    agg = flips.groupBy(F.col("__g").alias("grp")).agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
+        (F.sum("flip") + 1).alias("runs"))
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nd = n1d + n2d
+    mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
+    var = (F.lit(2.0) * n1d * n2d
+           * (F.lit(2.0) * n1d * n2d - n1d - n2d)
+           / (nd * nd * (nd - F.lit(1.0))))
+    z = F.when((F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0.0),
+               (F.col("runs").cast("double") - mu) / F.sqrt(var))
+    return agg.select(
+        "grp",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("runs").cast("long").alias("runs"),
+        z.alias("z"))

@@ -309,3 +309,118 @@ def test_somers_d_binary_equals_2auc_minus_1(spark):
                for p in pos for q in neg)
     auc = wins / (len(pos) * len(neg))
     assert row["d_xy"] == pytest.approx(2 * auc - 1, rel=1e-10)
+
+
+def test_hellinger_tv_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.drift import hellinger_drift, tv_drift
+    rng = _rng(37)
+    n = 600
+    ref = rng.integers(0, 2, n)
+    # drifted: current skews to higher buckets
+    b = np.where(ref == 1, rng.integers(0, 6, n),
+                 rng.integers(2, 8, n))
+    df = spark.createDataFrame(
+        [(int(x), int(r)) for x, r in zip(b, ref)], ["bucket", "r"])
+    h = hellinger_drift(df, [], "bucket",
+                        F.col("r") == 1).collect()[0]
+    t = tv_drift(df, [], "bucket", F.col("r") == 1).collect()[0]
+    bref = b[ref == 1]
+    bcur = b[ref == 0]
+    doms = sorted(set(b.tolist()))
+    p = np.array([(bref == d).mean() for d in doms])
+    q = np.array([(bcur == d).mean() for d in doms])
+    bc = float(np.sqrt(p * q).sum())
+    assert h["n_ref"] == len(bref) and h["n_cur"] == len(bcur)
+    assert h["bc"] == pytest.approx(bc, rel=1e-12)
+    assert h["hellinger"] == pytest.approx(
+        math.sqrt(max(0.0, 1 - bc)), rel=1e-12)
+    tv = 0.5 * float(np.abs(p - q).sum())
+    assert t["tv"] == pytest.approx(tv, rel=1e-12)
+    assert 0.05 < t["tv"] < 1.0 and 0.02 < h["hellinger"] < 1.0
+
+
+def test_g_test_equals_2n_mi(spark):
+    from hiselspark.operators.feature_rank import g_test
+    rng = _rng(41)
+    n = 500
+    x = rng.integers(0, 5, n)
+    y = (x + rng.integers(0, 3, n)) % 6
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], ["x", "y"])
+    row = g_test(df, "x", "y").collect()[0]
+    # brute G = 2 sum O ln(O n / (r c))
+    g = 0.0
+    for xv in set(x.tolist()):
+        for yv in set(y.tolist()):
+            o = int(((x == xv) & (y == yv)).sum())
+            if o:
+                r = int((x == xv).sum())
+                c = int((y == yv).sum())
+                g += 2 * o * math.log(o * n / (r * c))
+    assert row["n"] == n and row["r"] == 5 and row["c"] == 6
+    assert row["df"] == 20
+    assert row["g_stat"] == pytest.approx(g, rel=1e-10)
+    assert row["g_stat"] > 100  # the planted dependence is seen
+    # constant x -> df 0 -> NULL
+    df2 = spark.createDataFrame([(1, i % 3) for i in range(30)],
+                                ["x", "y"])
+    row2 = g_test(df2, "x", "y").collect()[0]
+    assert row2["df"] == 0 and row2["g_stat"] is None
+
+
+def test_durbin_watson_brute(spark):
+    from hiselspark.operators.tsprofile import durbin_watson
+    rng = _rng(43)
+    rows = []
+    series = {}
+    for g in range(3):
+        # g=0: smooth trend (DW small); g=2: alternating (DW large)
+        if g == 0:
+            v = np.cumsum(rng.integers(0, 4, 50))
+        elif g == 1:
+            v = rng.integers(0, 100, 50)
+        else:
+            v = np.array([100 * (i % 2) + int(r)
+                          for i, r in enumerate(
+                              rng.integers(0, 5, 50))])
+        series[str(g)] = v
+        rows += [(str(g), i, int(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    out = {r["grp"]: r for r in
+           durbin_watson(df, "g", "o", "v").collect()}
+    for g, v in series.items():
+        v = v.astype(float)
+        num = float((np.diff(v) ** 2).sum())
+        den = float(((v - v.mean()) ** 2).sum())
+        assert out[g]["n"] == 50
+        assert out[g]["dw"] == pytest.approx(num / den, rel=1e-12)
+    assert out["0"]["dw"] < 1.0      # positive autocorrelation
+    assert out["2"]["dw"] > 3.0      # alternating series
+
+
+def test_runs_test_brute(spark):
+    from hiselspark.operators.tsprofile import runs_test
+    rng = _rng(47)
+    v = rng.integers(0, 1000, 201)
+    rows = [("a", i, int(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    row = runs_test(df, "g", "o", "v").collect()[0]
+    med = float(np.median(v))
+    kept = [1 if x > med else -1 for x in v if x != med]
+    n1 = sum(1 for s in kept if s == 1)
+    n2 = len(kept) - n1
+    runs = 1 + sum(1 for a, b2 in zip(kept, kept[1:]) if a != b2)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["runs"] == runs
+    assert row["z"] == pytest.approx((runs - mu) / math.sqrt(var),
+                                     rel=1e-10)
+    assert abs(row["z"]) < 3  # iid data: no runs anomaly
+    # a perfectly alternating series is wildly non-random
+    alt = [("b", i, i % 2 * 100) for i in range(100)]
+    row2 = runs_test(spark.createDataFrame(alt, ["g", "o", "v"]),
+                     "g", "o", "v").collect()[0]
+    assert row2["runs"] == 100 and row2["z"] > 9
