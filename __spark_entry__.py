@@ -7317,6 +7317,120 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "runs", F.round("z", 6).alias("z"))
 
 
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs max-studentized-deviation outlier statistic of cents
+    per event type — max|v-mean| folded into max(v_max-mean,
+    mean-v_min) so ONE aggregate of exact int64 (n, Sv, Sv2, min,
+    max) suffices; G and the flagged endpoint mirrored."""
+    from hiselspark.operators.profile import grubbs_test
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = grubbs_test(ev, "event_type", "cents")
+    return out.select(F.col("grp").alias("event_type"), "n",
+                      "v_min", "v_max", "outlier_value",
+                      F.round("g_stat", 6).alias("g_stat"))
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI / top-share / entropy concentration profile of the user
+    mix within each event type — exact int64 category counts and
+    sum(c^2), the entropy the category-ordered float fold."""
+    from hiselspark.operators.profile import concentration_profile
+    ev = _ev(spark, sf_dir).select(
+        "event_type", F.pmod(F.col("user_id"), 20).alias("ub"))
+    out = concentration_profile(ev, "event_type", "ub")
+    return out.select(F.col("grp").alias("event_type"), "n",
+                      "n_categories", "sum_c2",
+                      F.round("hhi", 6).alias("hhi"),
+                      F.round("top_share", 6).alias("top_share"),
+                      F.round("entropy", 6).alias("entropy"))
+
+
+def q_group_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment confusion cells and pos-rate/TPR/FPR of the k>=50
+    rule against the cents>1000 outcome, segments = user_id mod 3 —
+    exact int64 cells from one aggregate, rates mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import group_confusion
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.pmod(F.col("user_id"), 3).cast("long")
+                   .alias("seg"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y"),
+                   (F.col("__p.k") >= 50).cast("long").alias("p")))
+    out = group_confusion(d, "seg", "y", "p")
+    return out.select(F.col("grp").alias("seg"), "n", "tp", "fp",
+                      "fn", "tn",
+                      F.round("pos_rate", 6).alias("pos_rate"),
+                      F.round("tpr", 6).alias("tpr"),
+                      F.round("fpr", 6).alias("fpr"))
+
+
+def q_fairness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-card fairness summary over q_group_confusion's segments:
+    demographic-parity gap, four-fifths disparate-impact ratio,
+    equalized-odds gap — max/min selections over the mirrored
+    per-group rates (order-free)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import fairness_gaps
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.pmod(F.col("user_id"), 3).cast("long")
+                   .alias("seg"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y"),
+                   (F.col("__p.k") >= 50).cast("long").alias("p")))
+    out = fairness_gaps(d, "seg", "y", "p")
+    return out.select("n_groups",
+                      F.round("dp_gap", 6).alias("dp_gap"),
+                      F.round("di_ratio", 6).alias("di_ratio"),
+                      F.round("tpr_gap", 6).alias("tpr_gap"),
+                      F.round("fpr_gap", 6).alias("fpr_gap"),
+                      F.round("eo_gap", 6).alias("eo_gap"))
+
+
+def q_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign test of props-k against cents mod 100 — exact
+    pos/neg/tie counts from one aggregate, the binomial z one
+    mirrored expression."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.rankstats import sign_test
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.col("__p.k").cast("long").alias("x"),
+                   F.pmod(F.round(F.col("value") * 100).cast("long"),
+                          100).alias("y")))
+    out = sign_test(d, "x", "y")
+    return out.select("n_pos", "n_neg", "n_tie",
+                      F.round("z", 6).alias("z"))
+
+
+def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test of the same pairing as q_sign_test —
+    doubled average ranks of |d| off the count table (exact int64
+    W2+), tie-corrected variance, z mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.rankstats import wilcoxon_signed_rank
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.col("__p.k").cast("long").alias("x"),
+                   F.pmod(F.round(F.col("value") * 100).cast("long"),
+                          100).alias("y")))
+    out = wilcoxon_signed_rank(d, "x", "y")
+    return out.select("n_nonzero", "n_zero", "w2_plus",
+                      F.round("z", 6).alias("z"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7471,6 +7585,12 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_test": q_g_test,
         "durbin_watson": q_durbin_watson,
         "runs_test": q_runs_test,
+        "grubbs": q_grubbs,
+        "concentration": q_concentration,
+        "group_confusion": q_group_confusion,
+        "fairness_gaps": q_fairness_gaps,
+        "sign_test": q_sign_test,
+        "wilcoxon": q_wilcoxon,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -18970,6 +19090,230 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN n1 > 0 AND n2 > 0 AND var > 0.0
                     THEN round((CAST(runs AS DOUBLE) - mu)
                                / sqrt(var), 6) END AS z
+        FROM m
+    """
+    oracles["grubbs"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), agg AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v*v) AS BIGINT) AS ssv,
+                 CAST(min(v) AS BIGINT) AS v_min,
+                 CAST(max(v) AS BIGINT) AS v_max
+          FROM d GROUP BY event_type
+        ), m AS (
+          SELECT *,
+                 CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                 (CAST(ssv AS DOUBLE) - CAST(sv AS DOUBLE)
+                    * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1.0) AS var
+          FROM agg
+        )
+        SELECT event_type, n, v_min, v_max,
+               CASE WHEN CAST(v_max AS DOUBLE) - mean
+                         >= mean - CAST(v_min AS DOUBLE)
+                    THEN v_max ELSE v_min END AS outlier_value,
+               CASE WHEN n >= 3 AND var > 0.0
+                    THEN round(greatest(CAST(v_max AS DOUBLE) - mean,
+                                        mean - CAST(v_min AS DOUBLE))
+                               / sqrt(var), 6) END AS g_stat
+        FROM m
+    """
+    oracles["concentration"] = """
+        WITH d AS (
+          SELECT event_type, user_id % 20 AS ub FROM events
+        ), per_c AS (
+          SELECT event_type, ub, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY event_type, ub
+        ), agg AS (
+          SELECT event_type,
+                 CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_categories,
+                 CAST(sum(c*c) AS BIGINT) AS sum_c2,
+                 CAST(max(c) AS BIGINT) AS c_max,
+                 list_sort(list({'k': ub, 'c': c})) AS cl
+          FROM per_c GROUP BY event_type
+        )
+        SELECT event_type, n, n_categories, sum_c2,
+               round(CAST(sum_c2 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+                 AS hhi,
+               round(CAST(c_max AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS top_share,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(cl, s ->
+                   (CAST(s.c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE) / CAST(s.c AS DOUBLE)))),
+                 (acc, t) -> acc + t), 6) AS entropy
+        FROM agg
+    """
+    oracles["group_confusion"] = """
+        WITH d AS (
+          SELECT user_id % 3 AS seg,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS p
+          FROM events
+          WHERE value IS NOT NULL
+            AND json_extract_string(props, '$.k') IS NOT NULL
+            AND user_id IS NOT NULL
+        ), agg AS (
+          SELECT seg,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y*p) AS BIGINT) AS tp,
+                 CAST(sum((1-y)*p) AS BIGINT) AS fp,
+                 CAST(sum(y*(1-p)) AS BIGINT) AS fn,
+                 CAST(sum((1-y)*(1-p)) AS BIGINT) AS tn
+          FROM d GROUP BY seg
+        )
+        SELECT seg, n, tp, fp, fn, tn,
+               round((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS pos_rate,
+               CASE WHEN tp + fn > 0
+                    THEN round(CAST(tp AS DOUBLE)
+                         / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)),
+                         6) END AS tpr,
+               CASE WHEN fp + tn > 0
+                    THEN round(CAST(fp AS DOUBLE)
+                         / (CAST(fp AS DOUBLE) + CAST(tn AS DOUBLE)),
+                         6) END AS fpr
+        FROM agg
+    """
+    oracles["fairness_gaps"] = """
+        WITH d AS (
+          SELECT user_id % 3 AS seg,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS p
+          FROM events
+          WHERE value IS NOT NULL
+            AND json_extract_string(props, '$.k') IS NOT NULL
+            AND user_id IS NOT NULL
+        ), agg AS (
+          SELECT seg,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y*p) AS BIGINT) AS tp,
+                 CAST(sum((1-y)*p) AS BIGINT) AS fp,
+                 CAST(sum(y*(1-p)) AS BIGINT) AS fn,
+                 CAST(sum((1-y)*(1-p)) AS BIGINT) AS tn
+          FROM d GROUP BY seg
+        ), rates AS (
+          SELECT seg,
+                 (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS pos_rate,
+                 CASE WHEN tp + fn > 0
+                      THEN CAST(tp AS DOUBLE)
+                           / (CAST(tp AS DOUBLE)
+                              + CAST(fn AS DOUBLE)) END AS tpr,
+                 CASE WHEN fp + tn > 0
+                      THEN CAST(fp AS DOUBLE)
+                           / (CAST(fp AS DOUBLE)
+                              + CAST(tn AS DOUBLE)) END AS fpr
+          FROM agg
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                 max(pos_rate) AS pr_max, min(pos_rate) AS pr_min,
+                 count(pos_rate) AS pr_n,
+                 max(tpr) AS tpr_max, min(tpr) AS tpr_min,
+                 count(tpr) AS tpr_n,
+                 max(fpr) AS fpr_max, min(fpr) AS fpr_min,
+                 count(fpr) AS fpr_n
+          FROM rates
+        )
+        SELECT n_groups,
+               CASE WHEN pr_n >= 2
+                    THEN round(pr_max - pr_min, 6) END AS dp_gap,
+               CASE WHEN pr_n >= 2 AND pr_max > 0.0
+                    THEN round(pr_min / pr_max, 6) END AS di_ratio,
+               CASE WHEN tpr_n >= 2
+                    THEN round(tpr_max - tpr_min, 6) END AS tpr_gap,
+               CASE WHEN fpr_n >= 2
+                    THEN round(fpr_max - fpr_min, 6) END AS fpr_gap,
+               CASE WHEN tpr_n >= 2 AND fpr_n >= 2
+                    THEN round(greatest(tpr_max - tpr_min,
+                                        fpr_max - fpr_min), 6)
+                    WHEN tpr_n >= 2
+                    THEN round(tpr_max - tpr_min, 6)
+                    WHEN fpr_n >= 2
+                    THEN round(fpr_max - fpr_min, 6)
+               END AS eo_gap
+        FROM g
+    """
+    oracles["sign_test"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS x,
+                 CAST(round(value*100) AS BIGINT) % 100 AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), agg AS (
+          SELECT CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_tie
+          FROM d
+        )
+        SELECT n_pos, n_neg, n_tie,
+               CASE WHEN n_pos + n_neg > 0
+                    THEN round((CAST(n_pos AS DOUBLE)
+                          - CAST(n_pos + n_neg AS DOUBLE) / 2.0)
+                         / sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0),
+                         6) END AS z
+        FROM agg
+    """
+    oracles["wilcoxon"] = """
+        WITH d0 AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                 - CAST(round(value*100) AS BIGINT) % 100 AS d
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), zeros AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_zero
+          FROM d0 WHERE d = 0
+        ), nz AS (
+          SELECT abs(d) AS a,
+                 CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+          FROM d0 WHERE d <> 0
+        ), per_a AS (
+          SELECT a, CAST(count(*) AS BIGINT) AS t,
+                 CAST(sum(pos) AS BIGINT) AS tp
+          FROM nz GROUP BY a
+        ), ranked AS (
+          SELECT a, t, tp,
+                 2 * (coalesce(sum(t) OVER (ORDER BY a
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) + 1) + t - 1 AS r2
+          FROM per_a
+        ), s AS (
+          SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+                 CAST(coalesce(sum(tp * r2), 0) AS BIGINT) AS w2p,
+                 CAST(coalesce(sum(t*t*t - t), 0) AS BIGINT) AS tc
+          FROM ranked
+        ), m AS (
+          SELECT s.n, s.w2p, zeros.n_zero,
+                 CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) + 1.0)
+                   * (2.0 * CAST(s.n AS DOUBLE) + 1.0) / 24.0
+                 - CAST(s.tc AS DOUBLE) / 48.0 AS var
+          FROM s, zeros
+        )
+        SELECT n AS n_nonzero, n_zero, w2p AS w2_plus,
+               CASE WHEN n > 0 AND var > 0.0
+                    THEN round((CAST(w2p AS DOUBLE)
+                          - CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) + 1.0) / 2.0)
+                         / (2.0 * sqrt(var)), 6) END AS z
         FROM m
     """
     return oracles

@@ -912,3 +912,83 @@ def brown_forsythe(df: DataFrame, group_col: str,
         F.col("n").cast("long").alias("n"),
         ssb.alias("ss_between"), ssw.alias("ss_within"),
         f_stat.alias("f_stat"))
+
+
+def group_confusion(df: DataFrame, group_col: str, label_col: str,
+                    pred_col: str) -> DataFrame:
+    """Per-group binary confusion cells and the three rates every
+    fairness audit starts from — positive-prediction rate, TPR
+    (equal opportunity) and FPR:
+
+    one map-side-combined aggregate per group, cells exact int64,
+    rates mirrored float divisions (NULL where the denominator is
+    empty).  Returns one row per group: (group, n, tp, fp, fn, tn,
+    pos_rate, tpr, fpr)."""
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    agg = (df.filter(y.isNotNull() & p.isNotNull())
+             .groupBy(F.col(group_col).alias("grp"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(y * p).alias("tp"),
+                  F.sum((1 - y) * p).alias("fp"),
+                  F.sum(y * (1 - p)).alias("fn"),
+                  F.sum((1 - y) * (1 - p)).alias("tn")))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    pos_rate = (d("tp") + d("fp")) / d("n")
+    tpr = F.when(F.col("tp") + F.col("fn") > 0,
+                 d("tp") / (d("tp") + d("fn")))
+    fpr = F.when(F.col("fp") + F.col("tn") > 0,
+                 d("fp") / (d("fp") + d("tn")))
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        pos_rate.alias("pos_rate"), tpr.alias("tpr"),
+        fpr.alias("fpr"))
+
+
+def fairness_gaps(df: DataFrame, group_col: str, label_col: str,
+                  pred_col: str) -> DataFrame:
+    """Group-fairness summary over :func:`group_confusion`'s rates —
+    the three numbers a model card reports:
+
+        demographic-parity gap  = max pos_rate − min pos_rate
+        disparate-impact ratio  = min pos_rate / max pos_rate
+                                  (the EEOC four-fifths rule ratio)
+        equalized-odds gap      = max(TPR gap, FPR gap)
+
+    Gaps are max−min over groups of already-mirrored float rates —
+    order-free (max/min are exact selections, not folds).  Groups
+    with an undefined rate (empty denominator) simply don't
+    participate in that gap.  NULL outputs when < 2 groups define the
+    rate.  Returns one row: (n_groups, dp_gap, di_ratio, tpr_gap,
+    fpr_gap, eo_gap)."""
+    per = group_confusion(df, group_col, label_col, pred_col)
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("pos_rate").alias("pr_max"),
+        F.min("pos_rate").alias("pr_min"),
+        F.count("pos_rate").alias("pr_n"),
+        F.max("tpr").alias("tpr_max"), F.min("tpr").alias("tpr_min"),
+        F.count("tpr").alias("tpr_n"),
+        F.max("fpr").alias("fpr_max"), F.min("fpr").alias("fpr_min"),
+        F.count("fpr").alias("fpr_n"))
+    dp = F.when(F.col("pr_n") >= 2,
+                F.col("pr_max") - F.col("pr_min"))
+    di = F.when((F.col("pr_n") >= 2) & (F.col("pr_max") > 0.0),
+                F.col("pr_min") / F.col("pr_max"))
+    tg = F.when(F.col("tpr_n") >= 2,
+                F.col("tpr_max") - F.col("tpr_min"))
+    fg = F.when(F.col("fpr_n") >= 2,
+                F.col("fpr_max") - F.col("fpr_min"))
+    return agg.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        dp.alias("dp_gap"), di.alias("di_ratio"),
+        tg.alias("tpr_gap"), fg.alias("fpr_gap"),
+        F.greatest(tg, fg).alias("eo_gap"))

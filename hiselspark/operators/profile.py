@@ -383,3 +383,92 @@ def jarque_bera(df: DataFrame, group_col: str,
         mean.alias("mean"), m2.alias("m2"),
         skew.alias("skewness"), kurt.alias("kurtosis"),
         jb.alias("jb"))
+
+
+def grubbs_test(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation outlier statistic per
+    group (Grubbs 1950):
+
+        G = max|vᵢ − v̄| / s
+
+    The key exactness trick: max|vᵢ − v̄| = max(v_max − v̄, v̄ − v_min),
+    so G needs ONLY the one-pass sufficient statistics (n, Σv, Σv²,
+    min, max) — exact int64 with integer-quantized ``value_col`` —
+    and G is one mirrored float expression; no second scan, no join
+    back.  The flagged value (the endpoint further from the mean, in
+    original units) is emitted for triage; comparing G against the
+    t-based critical value is the caller's job (no t quantiles here
+    by design — the engine emits exact statistics, not p-values
+    needing special functions).  NULL G when n < 3 or s = 0.
+    Returns one row per group: (group, n, v_min, v_max, outlier_value,
+    g_stat)."""
+    v = F.col(value_col).cast("long")
+    agg = (df.filter(v.isNotNull())
+             .groupBy(F.col(group_col).alias("grp"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(v).alias("sv"),
+                  F.sum(v * v).alias("ssv"),
+                  F.min(v).alias("v_min"),
+                  F.max(v).alias("v_max")))
+    nd = F.col("n").cast("double")
+    m = F.col("sv").cast("double") / nd
+    var = ((F.col("ssv").cast("double")
+            - F.col("sv").cast("double") * F.col("sv").cast("double")
+            / nd) / (nd - 1.0))
+    dev_hi = F.col("v_max").cast("double") - m
+    dev_lo = m - F.col("v_min").cast("double")
+    g = F.when((F.col("n") >= 3) & (var > 0.0),
+               F.greatest(dev_hi, dev_lo) / F.sqrt(var))
+    outlier = F.when(dev_hi >= dev_lo, F.col("v_max")) \
+               .otherwise(F.col("v_min"))
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("v_min").cast("long").alias("v_min"),
+        F.col("v_max").cast("long").alias("v_max"),
+        outlier.cast("long").alias("outlier_value"),
+        g.alias("g_stat"))
+
+
+def concentration_profile(df: DataFrame, group_col: str,
+                          category_col: str) -> DataFrame:
+    """Concentration / diversity profile of a categorical column per
+    group — the triple a corpus-mixing dashboard wants for every
+    source dimension:
+
+        HHI = Σ (cᵢ/n)² = Σcᵢ² / n²       (Herfindahl–Hirschman)
+        top_share = max(cᵢ)/n
+        entropy = Σ (cᵢ/n)·ln(n/cᵢ)        (nats)
+
+    Category counts cᵢ are exact int64; Σcᵢ² is an exact int64 sum
+    (cᵢ² ≤ n² — int64-safe to n ~ 3·10⁹ per group), so HHI and
+    top_share are single mirrored divisions; the entropy is the
+    category-key-ordered float fold every entropy in this engine
+    uses.  NULL categories count as their own category (they are a
+    real mass in a mixing decision).  Returns one row per group:
+    (group, n, n_categories, sum_c2, hhi, top_share, entropy)."""
+    per_c = (df.groupBy(F.col(group_col).alias("grp"),
+                        F.col(category_col).alias("__c"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    agg = per_c.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("c_max"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__c").alias("k"),
+            F.col("c").alias("c")))).alias("__cells"))
+    nd = F.col("n").cast("double")
+    ent = F.aggregate(
+        "__cells", F.lit(0.0),
+        lambda acc, s: acc + (s["c"].cast("double") / nd)
+        * F.log(nd / s["c"].cast("double")))
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.col("sum_c2").cast("long").alias("sum_c2"),
+        (F.col("sum_c2").cast("double") / (nd * nd)).alias("hhi"),
+        (F.col("c_max").cast("double") / nd).alias("top_share"),
+        ent.alias("entropy"))

@@ -683,3 +683,91 @@ def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                F.lit(2.0) * numd / den_yx).alias("d_yx"),
         F.when(n0x2 > F.col("ty2"),
                F.lit(2.0) * numd / den_xy).alias("d_xy"))
+
+
+def sign_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Paired sign test — the assumption-free "did X beat Y more
+    often than chance" check (the median test for paired data):
+    counts of positive / negative / tied differences, exact int64
+    from one aggregate, and the normal-approximation
+
+        z = (n₊ − n/2) / √(n/4),   n = n₊ + n₋   (ties dropped)
+
+    as the one mirrored float expression.  NULL z when n = 0.
+    Returns one row: (n_pos, n_neg, n_tie, z)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    agg = (df.filter(x.isNotNull() & y.isNotNull())
+             .agg(F.sum((x > y).cast("long")).alias("n_pos"),
+                  F.sum((x < y).cast("long")).alias("n_neg"),
+                  F.sum((x == y).cast("long")).alias("n_tie")))
+    n = (F.col("n_pos") + F.col("n_neg")).cast("double")
+    z = F.when(F.col("n_pos") + F.col("n_neg") > 0,
+               (F.col("n_pos").cast("double") - n / 2.0)
+               / F.sqrt(n / 4.0))
+    return agg.select(
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long")
+         .alias("n_pos"),
+        F.coalesce(F.col("n_neg"), F.lit(0)).cast("long")
+         .alias("n_neg"),
+        F.coalesce(F.col("n_tie"), F.lit(0)).cast("long")
+         .alias("n_tie"),
+        z.alias("z"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, x_col: str,
+                         y_col: str) -> DataFrame:
+    """Wilcoxon signed-rank test for paired samples — the
+    magnitude-aware upgrade of :func:`sign_test`: differences
+    d = x − y, zeros dropped (Wilcoxon's convention), |d| ranked with
+    DOUBLED average ranks off the |d| count table (module docstring —
+    exact int64, no row sort), W₂₊ = Σ r2 over positive d:
+
+        z = (W₂₊ − n(n+1)/2) / (2σ),
+        σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48
+
+    (the doubled-rank W has mean n(n+1)/2 and twice the sd).  Every
+    sufficient statistic (n, W₂₊, Σ(t³−t)) is exact int64; z is one
+    mirrored float expression, NULL when n = 0 or σ = 0 (all |d|
+    tied in one bucket can still have σ > 0; σ = 0 only when n < 2).
+    Overflow: t³ ≤ n³ — int64-safe per tied |d| to n ~ 2M
+    (DECIMAL(38,0) at corpus scale, same plan).  Returns one row:
+    (n_nonzero, n_zero, w2_plus, z)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d0 = (df.filter(x.isNotNull() & y.isNotNull())
+            .select((x - y).alias("d")))
+    zeros = d0.filter(F.col("d") == 0) \
+              .agg(F.count(F.lit(1)).alias("n_zero"))
+    nz = d0.filter(F.col("d") != 0) \
+           .select(F.abs(F.col("d")).alias("a"),
+                   (F.col("d") > 0).cast("long").alias("pos"))
+    per_a = nz.groupBy("a").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("pos").alias("tp"))
+    w_run = (Window.orderBy("a")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_a.select(
+        "a", "t", "tp",
+        (F.lit(2) * (F.coalesce(F.sum("t").over(w_run), F.lit(0)) + 1)
+         + F.col("t") - 1).alias("r2"))
+    s = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("tp") * F.col("r2")).alias("w2p"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tc"))
+    s = s.crossJoin(F.broadcast(zeros))
+    nd = F.col("n").cast("double")
+    var = (nd * (nd + 1.0) * (2.0 * nd + 1.0) / F.lit(24.0)
+           - F.col("tc").cast("double") / F.lit(48.0))
+    z = F.when((F.col("n") > 0) & (var > 0.0),
+               (F.col("w2p").cast("double")
+                - nd * (nd + 1.0) / 2.0)
+               / (F.lit(2.0) * F.sqrt(var)))
+    return s.select(
+        F.coalesce(F.col("n"), F.lit(0)).cast("long")
+         .alias("n_nonzero"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.coalesce(F.col("w2p"), F.lit(0)).cast("long")
+         .alias("w2_plus"),
+        z.alias("z"))

@@ -424,3 +424,141 @@ def test_runs_test_brute(spark):
     row2 = runs_test(spark.createDataFrame(alt, ["g", "o", "v"]),
                      "g", "o", "v").collect()[0]
     assert row2["runs"] == 100 and row2["z"] > 9
+
+
+def test_grubbs_brute(spark):
+    from hiselspark.operators.profile import grubbs_test
+    rng = _rng(53)
+    v = rng.integers(40, 60, 99).tolist() + [500]  # planted outlier
+    rows = [("a", int(x)) for x in v]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = grubbs_test(df, "g", "v").collect()[0]
+    arr = np.array(v, dtype=float)
+    g = float(np.abs(arr - arr.mean()).max() / arr.std(ddof=1))
+    assert row["n"] == 100 and row["outlier_value"] == 500
+    assert row["g_stat"] == pytest.approx(g, rel=1e-12)
+    assert row["g_stat"] > 5
+    # low-side outlier is found too
+    rows2 = [("b", int(x)) for x in
+             rng.integers(40, 60, 99).tolist() + [-400]]
+    row2 = grubbs_test(spark.createDataFrame(rows2, ["g", "v"]),
+                       "g", "v").collect()[0]
+    assert row2["outlier_value"] == -400
+
+
+def test_concentration_brute(spark):
+    from hiselspark.operators.profile import concentration_profile
+    rng = _rng(59)
+    cats = rng.choice(["a", "b", "c", "d"], 500,
+                      p=[0.55, 0.3, 0.1, 0.05])
+    df = spark.createDataFrame(
+        [("g1", str(c)) for c in cats], ["g", "c"])
+    row = concentration_profile(df, "g", "c").collect()[0]
+    _, counts = np.unique(cats, return_counts=True)
+    p = counts / counts.sum()
+    assert row["n"] == 500 and row["n_categories"] == 4
+    assert row["hhi"] == pytest.approx(float((p ** 2).sum()),
+                                       rel=1e-12)
+    assert row["top_share"] == pytest.approx(float(p.max()),
+                                             rel=1e-12)
+    assert row["entropy"] == pytest.approx(
+        float(-(p * np.log(p)).sum()), rel=1e-10)
+
+
+def test_group_confusion_and_fairness_gaps_brute(spark):
+    from hiselspark.operators.evaluate import (fairness_gaps,
+                                               group_confusion)
+    rng = _rng(61)
+    n = 900
+    g = rng.integers(0, 3, n)
+    y = rng.integers(0, 2, n)
+    # biased predictor: group 2 gets more positives regardless of y
+    p = ((rng.random(n) < 0.3 + 0.25 * (g == 2) + 0.3 * y)
+         .astype(int))
+    df = spark.createDataFrame(
+        [(str(a), int(b), int(c)) for a, b, c in zip(g, y, p)],
+        ["g", "y", "p"])
+    per = {r["grp"]: r for r in
+           group_confusion(df, "g", "y", "p").collect()}
+    rates = {}
+    for gg in range(3):
+        m = g == gg
+        tp = int(((y == 1) & (p == 1) & m).sum())
+        fp = int(((y == 0) & (p == 1) & m).sum())
+        fn = int(((y == 1) & (p == 0) & m).sum())
+        tn = int(((y == 0) & (p == 0) & m).sum())
+        r = per[str(gg)]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp,
+                                                        fn, tn)
+        assert r["pos_rate"] == pytest.approx(
+            (tp + fp) / m.sum(), rel=1e-12)
+        assert r["tpr"] == pytest.approx(tp / (tp + fn), rel=1e-12)
+        assert r["fpr"] == pytest.approx(fp / (fp + tn), rel=1e-12)
+        rates[gg] = ((tp + fp) / m.sum(), tp / (tp + fn),
+                     fp / (fp + tn))
+    gaps = fairness_gaps(df, "g", "y", "p").collect()[0]
+    prs = [r[0] for r in rates.values()]
+    tprs = [r[1] for r in rates.values()]
+    fprs = [r[2] for r in rates.values()]
+    assert gaps["n_groups"] == 3
+    assert gaps["dp_gap"] == pytest.approx(max(prs) - min(prs),
+                                           rel=1e-12)
+    assert gaps["di_ratio"] == pytest.approx(min(prs) / max(prs),
+                                             rel=1e-12)
+    assert gaps["eo_gap"] == pytest.approx(
+        max(max(tprs) - min(tprs), max(fprs) - min(fprs)),
+        rel=1e-12)
+    assert gaps["dp_gap"] > 0.1  # the planted bias is surfaced
+
+
+def test_sign_test_brute(spark):
+    from hiselspark.operators.rankstats import sign_test
+    rng = _rng(67)
+    n = 300
+    x = rng.integers(0, 50, n)
+    y = x + rng.integers(-3, 6, n)  # y tends to beat x
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], ["x", "y"])
+    row = sign_test(df, "x", "y").collect()[0]
+    npos = int((x > y).sum())
+    nneg = int((x < y).sum())
+    assert row["n_pos"] == npos and row["n_neg"] == nneg
+    assert row["n_tie"] == int((x == y).sum())
+    nn = npos + nneg
+    assert row["z"] == pytest.approx(
+        (npos - nn / 2) / math.sqrt(nn / 4), rel=1e-12)
+    assert row["z"] < -2  # x loses more often
+
+
+def test_wilcoxon_signed_rank_brute(spark):
+    from hiselspark.operators.rankstats import wilcoxon_signed_rank
+    rng = _rng(71)
+    n = 400
+    x = rng.integers(0, 40, n)
+    y = np.maximum(x + rng.integers(-2, 5, n), 0)
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], ["x", "y"])
+    row = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    d = (x - y)[x != y]
+    a = np.abs(d)
+    # average ranks of |d|
+    order = np.sort(a)
+    ranks = {}
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and order[j + 1] == order[i]:
+            j += 1
+        ranks[order[i]] = (i + j) / 2 + 1
+        i = j + 1
+    wplus = sum(ranks[abs(v)] for v in d if v > 0)
+    nn = len(d)
+    _, t = np.unique(a, return_counts=True)
+    var = (nn * (nn + 1) * (2 * nn + 1) / 24
+           - float((t ** 3 - t).sum()) / 48)
+    z = (wplus - nn * (nn + 1) / 4) / math.sqrt(var)
+    assert row["n_nonzero"] == nn
+    assert row["n_zero"] == int((x == y).sum())
+    assert row["w2_plus"] == int(round(2 * wplus))
+    assert row["z"] == pytest.approx(z, rel=1e-10)
+    assert row["z"] < -3  # y systematically larger
