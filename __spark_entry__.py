@@ -7431,6 +7431,79 @@ def q_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("z", 6).alias("z"))
 
 
+def q_kalman1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level Kalman filter of each user's cents series ordered
+    by event_id (q=1, r=4 — exact binary fractions): the sequential
+    recursion as a LEFT FOLD with an (m, p, k) struct accumulator,
+    replayed operation-for-operation by the DuckDB list_reduce
+    oracle."""
+    from hiselspark.operators.tsprofile import kalman1d
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = kalman1d(ev, "user_id", "event_id", "cents",
+                   q_var=1.0, r_var=4.0)
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      F.round("level", 6).alias("level"),
+                      F.round("p_var", 6).alias("p_var"),
+                      F.round("gain", 6).alias("gain"))
+
+
+def q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand smoothing per user over the
+    purchase-only cents series (non-purchase periods are zero
+    demand), alpha=1/2 — the (z, p, gap, started) struct fold
+    mirrored by the DuckDB list_reduce oracle; NULL forecast for
+    users who never purchased."""
+    from hiselspark.operators.tsprofile import croston
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.when(F.col("event_type") == "purchase",
+               F.round(F.col("value") * 100).cast("long"))
+         .otherwise(F.lit(0)).alias("demand"))
+    out = croston(ev, "user_id", "event_id", "demand", alpha=0.5)
+    return out.select(F.col("entity").alias("user_id"), "n",
+                      "n_demand",
+                      F.round("z", 6).alias("z"),
+                      F.round("p", 6).alias("p"),
+                      F.round("forecast", 6).alias("forecast"))
+
+
+def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration test of the per-mille score
+    k*10 against the cents>1000 outcome, 10 equal-frequency bins via
+    the exact integer CDF split — E_b off the exact int64 per-mille
+    sum, the B-term chi2 a bin-ordered float fold."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import hosmer_lemeshow
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.col("__p.k").cast("long") * 10).alias("pm"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y")))
+    out = hosmer_lemeshow(d, "pm", "y", n_bins=10)
+    return out.select("n", "n_bins", "n_degenerate",
+                      F.round("hl_stat", 6).alias("hl_stat"), "df")
+
+
+def q_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T and Atkinson(eps=1) inequality of cents per event
+    type — two log-moment folds over the per-value count table in
+    value order plus exact int64 (n, sum); non-positive cents dropped
+    AND counted."""
+    from hiselspark.operators.profile import inequality_profile
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = inequality_profile(ev, "event_type", "cents")
+    return out.select(F.col("grp").alias("event_type"), "n",
+                      "n_nonpos", "sum_v",
+                      F.round("theil_t", 6).alias("theil_t"),
+                      F.round("atkinson", 6).alias("atkinson"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7591,6 +7664,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fairness_gaps": q_fairness_gaps,
         "sign_test": q_sign_test,
         "wilcoxon": q_wilcoxon,
+        "kalman1d": q_kalman1d,
+        "croston": q_croston,
+        "hosmer_lemeshow": q_hosmer_lemeshow,
+        "inequality": q_inequality,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -19315,5 +19392,183 @@ def _oracle_sql_raw() -> dict[str, str]:
                             * (CAST(n AS DOUBLE) + 1.0) / 2.0)
                          / (2.0 * sqrt(var)), 6) END AS z
         FROM m
+    """
+    oracles["kalman1d"] = """
+        WITH d AS (
+          SELECT user_id,
+                 CAST(CAST(round(value*100) AS BIGINT) AS DOUBLE)
+                   AS v,
+                 event_id AS o
+          FROM events WHERE user_id IS NOT NULL
+        ), ser AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 list(v ORDER BY o) AS l
+          FROM d GROUP BY user_id
+        ), folded AS (
+          SELECT user_id, n,
+                 list_reduce(
+                   list_prepend(
+                     {'m': l[1], 'p': CAST(4.0 AS DOUBLE),
+                      'k': CAST(0.5 AS DOUBLE)},
+                     list_transform(l[2:], v ->
+                       {'m': v, 'p': CAST(0.0 AS DOUBLE),
+                        'k': CAST(0.0 AS DOUBLE)})),
+                   (acc, x) -> {
+                     'm': acc.m + ((acc.p + 1.0)
+                            / ((acc.p + 1.0) + 4.0))
+                            * (x.m - acc.m),
+                     'p': (1.0 - (acc.p + 1.0)
+                            / ((acc.p + 1.0) + 4.0))
+                            * (acc.p + 1.0),
+                     'k': (acc.p + 1.0) / ((acc.p + 1.0) + 4.0)})
+                   AS st
+          FROM ser
+        )
+        SELECT user_id, n, round(st.m, 6) AS level,
+               round(st.p, 6) AS p_var, round(st.k, 6) AS gain
+        FROM folded
+    """
+    oracles["croston"] = """
+        WITH d AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(round(value*100) AS BIGINT)
+                                AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END AS v,
+                 event_id AS o
+          FROM events WHERE user_id IS NOT NULL
+        ), ser AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN v > 0.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_demand,
+                 list(v ORDER BY o) AS l
+          FROM d GROUP BY user_id
+        ), folded AS (
+          SELECT user_id, n, n_demand,
+                 list_reduce(
+                   list_prepend(
+                     {'z': CAST(0.0 AS DOUBLE),
+                      'p': CAST(0.0 AS DOUBLE),
+                      'g': CAST(0.0 AS DOUBLE),
+                      's': CAST(0.0 AS DOUBLE)},
+                     list_transform(l, v ->
+                       {'z': v, 'p': CAST(0.0 AS DOUBLE),
+                        'g': CAST(0.0 AS DOUBLE),
+                        's': CAST(0.0 AS DOUBLE)})),
+                   (acc, x) -> {
+                     'z': sign(x.z) * (1.0 - acc.s) * x.z
+                          + sign(x.z) * acc.s
+                            * (0.5 * x.z + 0.5 * acc.z)
+                          + (1.0 - sign(x.z)) * acc.z,
+                     'p': sign(x.z) * (1.0 - acc.s) * (acc.g + 1.0)
+                          + sign(x.z) * acc.s
+                            * (0.5 * (acc.g + 1.0) + 0.5 * acc.p)
+                          + (1.0 - sign(x.z)) * acc.p,
+                     'g': (1.0 - sign(x.z)) * (acc.g + 1.0),
+                     's': acc.s + sign(x.z) * (1.0 - acc.s)})
+                   AS st
+          FROM ser
+        )
+        SELECT user_id, n, n_demand,
+               CASE WHEN st.s = 1.0 THEN round(st.z, 6) END AS z,
+               CASE WHEN st.s = 1.0 THEN round(st.p, 6) END AS p,
+               CASE WHEN st.s = 1.0 AND st.p > 0.0
+                    THEN round(st.z / st.p, 6) END AS forecast
+        FROM folded
+    """
+    oracles["hosmer_lemeshow"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   * 10 AS pm,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), per_v AS (
+          SELECT pm, CAST(count(*) AS BIGINT) AS t
+          FROM d GROUP BY pm
+        ), binmap AS (
+          SELECT pm,
+                 (10 * coalesce(sum(t) OVER (ORDER BY pm
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0))
+                 // (sum(t) OVER ()) AS b
+          FROM per_v
+        ), per_b AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+                 CAST(sum(y) AS BIGINT) AS o_b,
+                 CAST(sum(d.pm) AS BIGINT) AS spm
+          FROM d JOIN binmap USING (pm) GROUP BY b
+        ), terms AS (
+          SELECT b, n_b, o_b, spm,
+                 CAST(spm AS DOUBLE) / 1000.0 AS e_b,
+                 CASE WHEN CAST(spm AS DOUBLE) / 1000.0 <= 0.0
+                        OR CAST(spm AS DOUBLE) / 1000.0
+                           >= CAST(n_b AS DOUBLE)
+                      THEN 1 ELSE 0 END AS degen
+          FROM per_b
+        )
+        SELECT CAST(sum(n_b) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(degen) AS BIGINT) AS n_degenerate,
+               round(list_reduce(list_prepend(0.0,
+                 list(CASE WHEN degen = 1 THEN 0.0
+                      ELSE (CAST(o_b AS DOUBLE) - e_b)
+                           * (CAST(o_b AS DOUBLE) - e_b)
+                           / (e_b * (1.0 - e_b
+                                     / CAST(n_b AS DOUBLE)))
+                      END ORDER BY b)),
+                 (acc, x) -> acc + x), 6) AS hl_stat,
+               CAST(8 AS BIGINT) AS df
+        FROM terms
+    """
+    oracles["inequality"] = """
+        WITH base AS (
+          SELECT event_type AS grp,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events
+        ), nonpos AS (
+          SELECT grp,
+                 CAST(sum(CASE WHEN v IS NULL OR v <= 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nonpos
+          FROM base GROUP BY grp
+        ), per_v AS (
+          SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+          FROM base WHERE v > 0 GROUP BY grp, v
+        ), agg AS (
+          SELECT grp, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(c * v) AS BIGINT) AS sum_v,
+                 list_sort(list({'v': v, 'c': c})) AS cl
+          FROM per_v GROUP BY grp
+        ), m AS (
+          SELECT grp, n, sum_v,
+                 CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(cl, s ->
+                     CAST(s.c * s.v AS DOUBLE)
+                     * ln(CAST(s.v AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS sxlnx,
+                 list_reduce(list_prepend(0.0,
+                   list_transform(cl, s ->
+                     CAST(s.c AS DOUBLE)
+                     * ln(CAST(s.v AS DOUBLE)))),
+                   (acc, x) -> acc + x) AS slnx
+          FROM agg
+        )
+        SELECT np.grp AS event_type,
+               CAST(coalesce(m.n, 0) AS BIGINT) AS n,
+               np.n_nonpos,
+               CAST(coalesce(m.sum_v, 0) AS BIGINT) AS sum_v,
+               CASE WHEN m.n > 0
+                    THEN round(m.sxlnx
+                         / (CAST(m.n AS DOUBLE) * m.mu)
+                         - ln(m.mu), 6) END AS theil_t,
+               CASE WHEN m.n > 0
+                    THEN round(1.0 - exp(m.slnx
+                               / CAST(m.n AS DOUBLE)) / m.mu, 6)
+               END AS atkinson
+        FROM nonpos np LEFT JOIN m ON np.grp = m.grp
     """
     return oracles

@@ -992,3 +992,68 @@ def fairness_gaps(df: DataFrame, group_col: str, label_col: str,
         dp.alias("dp_gap"), di.alias("di_ratio"),
         tg.alias("tpr_gap"), fg.alias("fpr_gap"),
         F.greatest(tg, fg).alias("eo_gap"))
+
+
+def hosmer_lemeshow(df: DataFrame, prob_col: str, label_col: str,
+                    n_bins: int = 10) -> DataFrame:
+    """Hosmer–Lemeshow goodness-of-fit test of a probabilistic
+    classifier — deciles of predicted risk, observed vs expected
+    events per decile:
+
+        HL = Σ_b (O_b − E_b)² / (E_b·(1 − E_b/n_b))  ~ χ²(B−2)
+
+    ``prob_col`` must be the INTEGER per-mille probability (0‥1000 —
+    the engine's quantization convention), so E_b = Σp̂ = Σpm/1000 has
+    an exact int64 numerator and O_b is an exact count; bins are
+    equal-frequency cuts of the probability COUNT table via the exact
+    integer CDF split ``bin = (B·below) DIV n`` (the quantile_bin
+    plan — ties share a bin, never split).  The B-term HL sum is a
+    bin-ordered float fold; degenerate bins (E_b = 0 or E_b = n_b)
+    are skipped and counted, df stays B−2 by convention.  Returns one
+    row: (n, n_bins, n_degenerate, hl_stat, df)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    pm = F.col(prob_col).cast("long")
+    y = F.col(label_col).cast("long")
+    d = (df.filter(pm.isNotNull() & y.isNotNull())
+           .select(pm.alias("__pm"), y.alias("__y")))
+    per_v = d.groupBy("__pm").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.orderBy("__pm")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = Window.partitionBy()
+    binmap = (per_v
+              .select("__pm",
+                      F.coalesce(F.sum("t").over(w_run), F.lit(0))
+                      .alias("below"),
+                      F.sum("t").over(w_all).alias("nn"))
+              .select("__pm",
+                      F.expr(f"({int(n_bins)} * below) DIV nn")
+                      .alias("__b")))
+    per_b = (d.join(F.broadcast(binmap), "__pm")
+               .groupBy("__b")
+               .agg(F.count(F.lit(1)).alias("n_b"),
+                    F.sum("__y").alias("o_b"),
+                    F.sum("__pm").alias("spm")))
+    nb = F.col("n_b").cast("double")
+    e_b = F.col("spm").cast("double") / F.lit(1000.0)
+    degenerate = (e_b <= 0.0) | (e_b >= nb)
+    term = F.when(degenerate, F.lit(0.0)).otherwise(
+        (F.col("o_b").cast("double") - e_b)
+        * (F.col("o_b").cast("double") - e_b)
+        / (e_b * (F.lit(1.0) - e_b / nb)))
+    agg = per_b.agg(
+        F.sum("n_b").alias("n"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(degenerate.cast("long")).alias("n_degenerate"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__b").alias("b"), term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("hl_stat"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        F.col("n_degenerate").cast("long").alias("n_degenerate"),
+        F.col("hl_stat").alias("hl_stat"),
+        F.lit(int(n_bins) - 2).cast("long").alias("df"))

@@ -472,3 +472,58 @@ def concentration_profile(df: DataFrame, group_col: str,
         (F.col("sum_c2").cast("double") / (nd * nd)).alias("hhi"),
         (F.col("c_max").cast("double") / nd).alias("top_share"),
         ent.alias("entropy"))
+
+
+def inequality_profile(df: DataFrame, group_col: str,
+                       value_col: str) -> DataFrame:
+    """Theil-T and Atkinson(ε=1) inequality indices of a POSITIVE
+    integer column per group — the decomposable complements of the
+    Lorenz/Gini operator:
+
+        Theil T   = (Σ x·ln x)/(n·μ) − ln μ
+        Atkinson₁ = 1 − exp((Σ ln x)/n) / μ       (1 − geomean/mean)
+
+    Both reduce to two log-moment sums over the per-value COUNT table
+    (Σ c·v·ln v and Σ c·ln v — value-key-ordered float folds, the
+    engine's entropy convention) plus the exact int64 (n, Σv).
+    Non-positive values carry no defined log-share: they are DROPPED
+    and counted (``n_nonpos``).  NULL indices when no positive values
+    remain.  Returns one row per group:
+    (group, n, n_nonpos, sum_v, theil_t, atkinson)."""
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(group_col).alias("grp"), v.alias("__v"))
+    nonpos = (base.groupBy("grp")
+              .agg(F.sum(((F.col("__v") <= 0)
+                          | F.col("__v").isNull()).cast("long"))
+                   .alias("n_nonpos")))
+    per_v = (base.filter(F.col("__v") > 0)
+                 .groupBy("grp", "__v")
+                 .agg(F.count(F.lit(1)).alias("c")))
+    agg = per_v.groupBy("grp").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("__v")).alias("sum_v"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__v").alias("v"), F.col("c").alias("c"))))
+        .alias("__cells"))
+    nd = F.col("n").cast("double")
+    sxlnx = F.aggregate(
+        "__cells", F.lit(0.0),
+        lambda acc, s: acc + (s["c"] * s["v"]).cast("double")
+        * F.log(s["v"].cast("double")))
+    slnx = F.aggregate(
+        "__cells", F.lit(0.0),
+        lambda acc, s: acc + s["c"].cast("double")
+        * F.log(s["v"].cast("double")))
+    mu = F.col("sum_v").cast("double") / nd
+    theil = sxlnx / (nd * mu) - F.log(mu)
+    atk = F.lit(1.0) - F.exp(slnx / nd) / mu
+    out = (agg.join(nonpos, "grp", "right")
+           .select("grp",
+                   F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                    .alias("n"),
+                   F.col("n_nonpos").cast("long").alias("n_nonpos"),
+                   F.coalesce(F.col("sum_v"), F.lit(0)).cast("long")
+                    .alias("sum_v"),
+                   F.when(F.col("n") > 0, theil).alias("theil_t"),
+                   F.when(F.col("n") > 0, atk).alias("atkinson")))
+    return out

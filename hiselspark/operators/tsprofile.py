@@ -792,3 +792,136 @@ def runs_test(df: DataFrame, group_col: str, order_col: str,
         F.col("n2").cast("long").alias("n2"),
         F.col("runs").cast("long").alias("runs"),
         z.alias("z"))
+
+
+def kalman1d(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    q_var: float = 1.0,
+    r_var: float = 4.0,
+) -> DataFrame:
+    """Local-level (random-walk + noise) Kalman filter per entity —
+    the optimal recursive smoother the holt_linear fold approximates,
+    with process variance ``q_var`` and observation variance
+    ``r_var``:
+
+        p' = p + q;  K = p'/(p'+r);  m ← m + K·(v − m);  p ← (1−K)·p'
+
+    initialized m₁ = v₁, p₁ = r (the diffuse-ish standard start).  A
+    recursion is inherently sequential per series, so it is a LEFT
+    FOLD over the time-ordered value array (``F.aggregate`` with an
+    (m, p) struct accumulator) — the identical fixed operation order
+    the DuckDB oracle replays with ``list_reduce``, bit-identical
+    doubles when q/r are exact binary fractions (defaults are).
+
+    Scale shape: one entity exchange; the fold materializes each
+    series once inside its group (bounded per-entity length — the
+    holt_linear contract).  The steady-state gain converges
+    geometrically, so the final (level, p_var, gain) triple is the
+    streaming-ready state a `streaming/stateful.py` twin would carry.
+    Returns (entity, n, level, p_var, gain)."""
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("double").alias("v"))
+    agg = base.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__o").alias("o"), F.col("v").alias("v"))))
+        .alias("series"))
+    qv = F.lit(float(q_var))
+    rv = F.lit(float(r_var))
+    vals = F.transform("series", lambda s: s["v"])
+    zero = F.struct(
+        F.element_at(vals, 1).alias("m"),
+        rv.alias("p"),
+        (rv / (rv + rv)).alias("k"))
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+
+    def step(acc, x):
+        pp = acc["p"] + qv
+        k = pp / (pp + rv)
+        new_m = acc["m"] + k * (x - acc["m"])
+        new_p = (F.lit(1.0) - k) * pp
+        return F.struct(new_m.alias("m"), new_p.alias("p"),
+                        k.alias("k"))
+
+    fin = F.aggregate(rest, zero, step)
+    return agg.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        fin["m"].alias("level"), fin["p"].alias("p_var"),
+        fin["k"].alias("gain"))
+
+
+def croston(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Croston's method (Croston 1972) for INTERMITTENT demand —
+    the standard forecaster when most periods are zero (spare parts,
+    long-tail SKUs, rare events), where plain exponential smoothing
+    systematically lags: smooth the nonzero demand sizes z and the
+    inter-demand intervals p separately,
+
+        on demand v at interval gap g:
+            z ← α·v + (1−α)·z,   p ← α·g + (1−α)·p
+        forecast per period = z / p
+
+    initialized at the first demand with z = v, p = its position.
+    One LEFT FOLD per entity over the time-ordered values with a
+    (z, p, gap, started) struct accumulator — the same fixed
+    operation order the DuckDB oracle replays (α an exact binary
+    fraction by default).  The step is BRANCH-FREE: 0/1 indicator
+    products (sign(v), started) select the active update instead of
+    CASE/WHEN — multiplying by exact 0.0/1.0 keeps every float bit
+    identical to the branched form, and DuckDB 1.0.0's list_reduce
+    miscomputes multi-branch CASE lambdas over varying-length lists
+    (found by this operator's gate; the arithmetic form is correct
+    in both engines).  NULL forecast for all-zero series.
+    ``value_col`` must be NON-NEGATIVE (sign(v) is the demand
+    indicator).  Returns (entity, n, n_demand, z, p, forecast)."""
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("double").alias("v"))
+    agg = base.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("v") > 0).cast("long")).alias("n_demand"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__o").alias("o"), F.col("v").alias("v"))))
+        .alias("series"))
+    a = F.lit(float(alpha))
+    vals = F.transform("series", lambda s: s["v"])
+    zero = F.struct(F.lit(0.0).alias("z"), F.lit(0.0).alias("p"),
+                    F.lit(0.0).alias("g"), F.lit(0.0).alias("s"))
+
+    def step(acc, x):
+        i = F.signum(x)
+        ni = F.lit(1.0) - i
+        s = acc["s"]
+        gap = acc["g"] + F.lit(1.0)
+        new_z = (i * (F.lit(1.0) - s) * x
+                 + i * s * (a * x + (F.lit(1.0) - a) * acc["z"])
+                 + ni * acc["z"])
+        new_p = (i * (F.lit(1.0) - s) * gap
+                 + i * s * (a * gap + (F.lit(1.0) - a) * acc["p"])
+                 + ni * acc["p"])
+        new_g = ni * gap
+        new_s = s + i * (F.lit(1.0) - s)
+        return F.struct(new_z.alias("z"), new_p.alias("p"),
+                        new_g.alias("g"), new_s.alias("s"))
+
+    fin = F.aggregate(vals, zero, step)
+    started = fin["s"] == F.lit(1.0)
+    return agg.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        F.col("n_demand").cast("long").alias("n_demand"),
+        F.when(started, fin["z"]).alias("z"),
+        F.when(started, fin["p"]).alias("p"),
+        F.when(started & (fin["p"] > 0.0), fin["z"] / fin["p"])
+         .alias("forecast"))

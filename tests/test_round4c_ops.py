@@ -562,3 +562,119 @@ def test_wilcoxon_signed_rank_brute(spark):
     assert row["w2_plus"] == int(round(2 * wplus))
     assert row["z"] == pytest.approx(z, rel=1e-10)
     assert row["z"] < -3  # y systematically larger
+
+
+def test_kalman1d_brute(spark):
+    from hiselspark.operators.tsprofile import kalman1d
+    rng = _rng(73)
+    v = np.cumsum(rng.normal(0, 1, 60)) + 50
+    rows = [("a", i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["e", "o", "v"])
+    row = kalman1d(df, "e", "o", "v", q_var=1.0,
+                   r_var=4.0).collect()[0]
+    m, p = float(v[0]), 4.0
+    k = 4.0 / 8.0
+    for x in v[1:]:
+        pp = p + 1.0
+        k = pp / (pp + 4.0)
+        m = m + k * (float(x) - m)
+        p = (1.0 - k) * pp
+    assert row["n"] == 60
+    assert row["level"] == pytest.approx(m, rel=1e-14)
+    assert row["p_var"] == pytest.approx(p, rel=1e-14)
+    assert row["gain"] == pytest.approx(k, rel=1e-14)
+    # level tracks the random walk closely
+    assert abs(row["level"] - v[-1]) < 3.0
+    # gain has converged to the steady state of q=1, r=4
+    ss = ((1 + math.sqrt(1 + 16 / 1)) / 2) / \
+         ((1 + math.sqrt(1 + 16 / 1)) / 2 + 4)
+    assert row["gain"] == pytest.approx(ss, abs=1e-6)
+
+
+def test_croston_brute(spark):
+    from hiselspark.operators.tsprofile import croston
+    # hand-built intermittent series: zeros then demands
+    v = [0, 0, 4, 0, 0, 0, 6, 0, 2, 0]
+    rows = [("s", i, float(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["e", "o", "v"])
+    row = croston(df, "e", "o", "v", alpha=0.5).collect()[0]
+    z, p, g, s = 0.0, 0.0, 0.0, 0
+    for x in v:
+        g += 1
+        if x > 0:
+            if s == 0:
+                z, p, s = x, g, 1
+            else:
+                z = 0.5 * x + 0.5 * z
+                p = 0.5 * g + 0.5 * p
+            g = 0
+    assert row["n"] == 10 and row["n_demand"] == 3
+    assert row["z"] == pytest.approx(z, rel=1e-14)
+    assert row["p"] == pytest.approx(p, rel=1e-14)
+    assert row["forecast"] == pytest.approx(z / p, rel=1e-14)
+    # all-zero series -> NULL forecast
+    df2 = spark.createDataFrame(
+        [("q", i, 0.0) for i in range(5)], ["e", "o", "v"])
+    row2 = croston(df2, "e", "o", "v").collect()[0]
+    assert row2["forecast"] is None and row2["n_demand"] == 0
+
+
+def test_hosmer_lemeshow_brute(spark):
+    from hiselspark.operators.evaluate import hosmer_lemeshow
+    rng = _rng(79)
+    n = 2000
+    pm = rng.integers(0, 1001, n)  # per-mille probabilities
+    y = (rng.random(n) < pm / 1000).astype(int)  # well-calibrated
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(pm, y)], ["pm", "y"])
+    row = hosmer_lemeshow(df, "pm", "y", n_bins=10).collect()[0]
+    # brute: same CDF binning
+    import collections
+    cnt = collections.Counter(pm.tolist())
+    below = {}
+    acc = 0
+    for v in sorted(cnt):
+        below[v] = acc
+        acc += cnt[v]
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for a, b in zip(pm, y):
+        bb = (10 * below[int(a)]) // n
+        bins[bb][0] += 1
+        bins[bb][1] += int(b)
+        bins[bb][2] += int(a)
+    hl = 0.0
+    ndeg = 0
+    for bb, (nb, ob, spm) in bins.items():
+        e = spm / 1000
+        if e <= 0 or e >= nb:
+            ndeg += 1
+            continue
+        hl += (ob - e) ** 2 / (e * (1 - e / nb))
+    assert row["n"] == n and row["n_bins"] == len(bins)
+    assert row["n_degenerate"] == ndeg
+    assert row["hl_stat"] == pytest.approx(hl, rel=1e-10)
+    # a well-calibrated model should not wildly exceed chi2(8)
+    assert row["hl_stat"] < 40
+
+
+def test_inequality_brute(spark):
+    from hiselspark.operators.profile import inequality_profile
+    rng = _rng(83)
+    v = rng.lognormal(3, 1, 400).astype(int) + 1
+    rows = ([("a", int(x)) for x in v]
+            + [("a", 0), ("a", -5)])  # nonpositive dropped
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = inequality_profile(df, "g", "v").collect()[0]
+    x = v.astype(float)
+    mu = x.mean()
+    theil = float((x / mu * np.log(x / mu)).mean())
+    atk = 1 - float(np.exp(np.log(x).mean())) / mu
+    assert row["n"] == 400 and row["n_nonpos"] == 2
+    assert row["theil_t"] == pytest.approx(theil, rel=1e-10)
+    assert row["atkinson"] == pytest.approx(atk, rel=1e-10)
+    assert 0 < row["atkinson"] < 1 and row["theil_t"] > 0.1
+    # perfectly equal values -> both indices 0
+    df2 = spark.createDataFrame([("b", 7)] * 50, ["g", "v"])
+    row2 = inequality_profile(df2, "g", "v").collect()[0]
+    assert row2["theil_t"] == pytest.approx(0.0, abs=1e-12)
+    assert row2["atkinson"] == pytest.approx(0.0, abs=1e-12)
