@@ -7504,6 +7504,73 @@ def q_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("atkinson", 6).alias("atkinson"))
 
 
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend across the five
+    k-deciles (k DIV 20) over cents mod 200 — doubled J2 exact int64
+    off the contingency-cell pair join (O(cells^2), bounded
+    alphabet), z from the standard no-tie moments."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.rankstats import jonckheere
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.floor(F.col("__p.k") / 20).cast("long")
+                   .alias("g"),
+                   F.pmod(F.round(F.col("value") * 100).cast("long"),
+                          200).alias("v")))
+    out = jonckheere(d, "g", "v")
+    return out.select("k", "n", "j2",
+                      F.round("z", 6).alias("z"))
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test of cents across event types — the 2xk
+    above/not-above table around the grand doubled median (count-
+    table trick), chi2 a group-ordered float fold."""
+    from hiselspark.operators.rankstats import mood_median
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = mood_median(ev, "event_type", "cents")
+    return out.select("k", "n", "n_above",
+                      F.round("chi2", 6).alias("chi2"), "df")
+
+
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett equal-variance test of cents across event types —
+    per-group exact int64 moments, the two k-term folds
+    (ln-variances, reciprocal dfs) in group order, T/C mirrored."""
+    from hiselspark.operators.evaluate import bartlett_test
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = bartlett_test(ev, "event_type", "cents")
+    return out.select("k", "n", "n_dropped_groups",
+                      F.round("bartlett_stat", 6)
+                      .alias("bartlett_stat"), "df")
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend z of the cents>1000 outcome across the
+    ten k-deciles used as integer scores — all five sufficient sums
+    exact int64 from one aggregate over the score table."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import cochran_armitage
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.floor(F.col("__p.k") / 10).cast("long")
+                   .alias("s"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y")))
+    out = cochran_armitage(d, "s", "y")
+    return out.select("k", "n", "n_pos",
+                      F.round("z", 6).alias("z"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7668,6 +7735,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": q_croston,
         "hosmer_lemeshow": q_hosmer_lemeshow,
         "inequality": q_inequality,
+        "jonckheere": q_jonckheere,
+        "mood_median": q_mood_median,
+        "bartlett": q_bartlett,
+        "cochran_armitage": q_cochran_armitage,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -19570,5 +19641,203 @@ def _oracle_sql_raw() -> dict[str, str]:
                                / CAST(m.n AS DOUBLE)) / m.mu, 6)
                END AS atkinson
         FROM nonpos np LEFT JOIN m ON np.grp = m.grp
+    """
+    oracles["jonckheere"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // 20 AS g,
+                 CAST(round(value*100) AS BIGINT) % 200 AS v
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), cells AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY g, v
+        ), j AS (
+          SELECT CAST(coalesce(sum(
+                   CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                        WHEN a.v = b.v THEN a.c * b.c
+                        ELSE 0 END), 0) AS BIGINT) AS j2
+          FROM cells a JOIN cells b ON a.g < b.g
+        ), per_g AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ni) AS BIGINT) AS n,
+                 CAST(sum(ni*ni) AS BIGINT) AS sn2,
+                 CAST(sum(ni*ni*(2*ni+3)) AS BIGINT) AS sn23
+          FROM (SELECT g, CAST(sum(c) AS BIGINT) AS ni
+                FROM cells GROUP BY g)
+        ), m AS (
+          SELECT j.j2, per_g.k, per_g.n,
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  - CAST(sn2 AS DOUBLE)) / 4.0 AS mu,
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * (2.0 * CAST(n AS DOUBLE) + 3.0)
+                  - CAST(sn23 AS DOUBLE)) / 72.0 AS var
+          FROM j, per_g
+        )
+        SELECT k, n, j2,
+               CASE WHEN var > 0.0
+                    THEN round((CAST(j2 AS DOUBLE) / 2.0 - mu)
+                               / sqrt(var), 6) END AS z
+        FROM m
+    """
+    oracles["mood_median"] = """
+        WITH base AS (
+          SELECT event_type AS g,
+                 CAST(round(value*100) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL
+        ), per_v AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS t
+          FROM base GROUP BY v
+        ), c AS (
+          SELECT v, t,
+                 sum(t) OVER (ORDER BY v
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(t) OVER () AS nt
+          FROM per_v
+        ), med AS (
+          SELECT (SELECT min(v) FROM c
+                  WHERE cum >= nt + 1 - (nt // 2) - 1)
+                 + (SELECT min(v) FROM c
+                    WHERE cum >= (nt // 2) + 1) AS m2
+          FROM c LIMIT 1
+        ), per_g AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS ni,
+                 CAST(sum(CASE WHEN 2*v > m2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ai
+          FROM base, med GROUP BY g
+        ), tot AS (
+          SELECT CAST(sum(ni) AS BIGINT) AS n,
+                 CAST(sum(ai) AS BIGINT) AS n_above,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM per_g
+        ), folded AS (
+          SELECT tot.k, tot.n, tot.n_above,
+                 list_reduce(list_prepend(0.0,
+                   list((CAST(ai AS DOUBLE)
+                         - CAST(ni AS DOUBLE)
+                           * (CAST(n_above AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                        * (CAST(ai AS DOUBLE)
+                           - CAST(ni AS DOUBLE)
+                             * (CAST(n_above AS DOUBLE)
+                                / CAST(n AS DOUBLE)))
+                        / (CAST(ni AS DOUBLE)
+                           * (CAST(n_above AS DOUBLE)
+                              / CAST(n AS DOUBLE)))
+                      + (CAST(ni - ai AS DOUBLE)
+                         - CAST(ni AS DOUBLE)
+                           * (1.0 - CAST(n_above AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                        * (CAST(ni - ai AS DOUBLE)
+                           - CAST(ni AS DOUBLE)
+                             * (1.0 - CAST(n_above AS DOUBLE)
+                                      / CAST(n AS DOUBLE)))
+                        / (CAST(ni AS DOUBLE)
+                           * (1.0 - CAST(n_above AS DOUBLE)
+                                    / CAST(n AS DOUBLE)))
+                      ORDER BY g)),
+                   (acc, x) -> acc + x) AS chi2
+          FROM per_g, tot
+          GROUP BY tot.k, tot.n, tot.n_above
+        )
+        SELECT k, n, n_above,
+               CASE WHEN n_above > 0 AND n_above < n
+                    THEN round(chi2, 6) END AS chi2,
+               CAST(k - 1 AS BIGINT) AS df
+        FROM folded
+    """
+    oracles["bartlett"] = """
+        WITH per AS (
+          SELECT event_type AS g,
+                 CAST(count(*) AS BIGINT) AS ni,
+                 CAST(sum(CAST(round(value*100) AS BIGINT))
+                      AS BIGINT) AS si,
+                 CAST(sum(CAST(round(value*100) AS BIGINT)
+                          * CAST(round(value*100) AS BIGINT))
+                      AS BIGINT) AS qi
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped_groups
+          FROM per WHERE ni < 2
+        ), u AS (
+          SELECT * FROM per WHERE ni >= 2
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ni) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN qi * ni = si * si
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_var,
+                 CAST(sum(ni - 1) AS BIGINT) AS dof_w,
+                 list_reduce(list_prepend(0.0,
+                   list((CAST(ni AS DOUBLE) - 1.0)
+                        * ln((CAST(qi AS DOUBLE)
+                              - CAST(si AS DOUBLE)
+                                * CAST(si AS DOUBLE)
+                                / CAST(ni AS DOUBLE))
+                             / (CAST(ni AS DOUBLE) - 1.0))
+                        ORDER BY g)),
+                   (acc, x) -> acc + x) AS sum_lns,
+                 list_reduce(list_prepend(0.0,
+                   list(1.0 / (CAST(ni AS DOUBLE) - 1.0)
+                        ORDER BY g)),
+                   (acc, x) -> acc + x) AS sum_rdf,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(qi AS DOUBLE)
+                        - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)
+                          / CAST(ni AS DOUBLE) ORDER BY g)),
+                   (acc, x) -> acc + x) AS ssw
+          FROM u
+        ), m AS (
+          SELECT agg.*, dropped.n_dropped_groups,
+                 CAST(dof_w AS DOUBLE) * ln(ssw
+                   / CAST(dof_w AS DOUBLE)) - sum_lns AS t_stat,
+                 1.0 + (sum_rdf - 1.0 / CAST(dof_w AS DOUBLE))
+                   / (3.0 * (CAST(k AS DOUBLE) - 1.0)) AS c
+          FROM agg, dropped
+        )
+        SELECT k, n, n_dropped_groups,
+               CASE WHEN k >= 2 AND n_zero_var = 0
+                    THEN round(t_stat / c, 6) END AS bartlett_stat,
+               CAST(k - 1 AS BIGINT) AS df
+        FROM m
+    """
+    oracles["cochran_armitage"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // 10 AS s,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), per AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS ni,
+                 CAST(sum(y) AS BIGINT) AS ri
+          FROM d GROUP BY s
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ni) AS BIGINT) AS n,
+                 CAST(sum(ri) AS BIGINT) AS r,
+                 CAST(sum(ni*s) AS BIGINT) AS sns,
+                 CAST(sum(ni*s*s) AS BIGINT) AS sns2,
+                 CAST(sum(ri*s) AS BIGINT) AS ssr
+          FROM per
+        ), m AS (
+          SELECT *,
+                 CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+                 CAST(sns2 AS DOUBLE) - CAST(sns AS DOUBLE)
+                   * CAST(sns AS DOUBLE) / CAST(n AS DOUBLE) AS svar
+          FROM agg
+        )
+        SELECT k, n, r AS n_pos,
+               CASE WHEN pbar * (1.0 - pbar) * svar > 0.0
+                    THEN round((CAST(ssr AS DOUBLE)
+                                - pbar * CAST(sns AS DOUBLE))
+                         / sqrt(pbar * (1.0 - pbar) * svar), 6)
+               END AS z
+        FROM m
     """
     return oracles

@@ -1057,3 +1057,125 @@ def hosmer_lemeshow(df: DataFrame, prob_col: str, label_col: str,
         F.col("n_degenerate").cast("long").alias("n_degenerate"),
         F.col("hl_stat").alias("hl_stat"),
         F.lit(int(n_bins) - 2).cast("long").alias("df"))
+
+
+def bartlett_test(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """Bartlett's test for equality of variances across k groups —
+    the likelihood-ratio companion of :func:`brown_forsythe` (more
+    powerful under normality, fragile otherwise; a dashboard runs
+    both):
+
+        T = (N−k)·ln s²_p − Σ (nᵢ−1)·ln s²ᵢ
+        C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+        B = T / C   ~ χ²(k−1)
+
+    Per-group (n, Σv, Σv²) exact int64 with integer-quantized
+    ``value_col``; the two k-term sums (ln-variances and reciprocal
+    dfs) fold in group-key order (the anova_f convention).  Groups
+    with n < 2 are DROPPED and counted; NULL B when < 2 usable
+    groups or any usable group has zero variance (ln undefined).
+    Returns one row: (k, n, n_dropped_groups, bartlett_stat, df)."""
+    v = F.col(value_col).cast("long")
+    per = (df.filter(v.isNotNull())
+             .groupBy(F.col(group_col).alias("g"))
+             .agg(F.count(F.lit(1)).alias("ni"),
+                  F.sum(v).alias("si"),
+                  F.sum(v * v).alias("qi")))
+    usable = per.filter(F.col("ni") >= 2)
+    dropped = per.filter(F.col("ni") < 2).agg(
+        F.count(F.lit(1)).alias("n_dropped_groups"))
+    nd = F.col("ni").cast("double")
+    s2 = ((F.col("qi").cast("double")
+           - F.col("si").cast("double") * F.col("si").cast("double")
+           / nd) / (nd - 1.0))
+    zero_var = F.sum((F.col("qi") * F.col("ni")
+                      == F.col("si") * F.col("si")).cast("long"))
+    agg = usable.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        zero_var.alias("n_zero_var"),
+        F.sum(F.col("qi")).alias("q"),
+        F.sum(F.col("si")).alias("s"),
+        F.sum((F.col("ni") - 1)).alias("dof_w"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("g").alias("g"),
+                    ((nd - 1.0) * F.log(s2)).alias("t")))),
+                lambda s_: s_["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_lns"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("g").alias("g"),
+                    (F.lit(1.0) / (nd - 1.0)).alias("t")))),
+                lambda s_: s_["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("sum_rdf"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("g").alias("g"),
+                    ((F.col("qi").cast("double")
+                      - F.col("si").cast("double")
+                      * F.col("si").cast("double") / nd))
+                    .alias("t")))),
+                lambda s_: s_["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("ssw"))
+    j = agg.crossJoin(F.broadcast(dropped))
+    kd = F.col("k").cast("double")
+    dw = F.col("dof_w").cast("double")
+    sp2 = F.col("ssw") / dw
+    t_stat = dw * F.log(sp2) - F.col("sum_lns")
+    c = (F.lit(1.0) + (F.col("sum_rdf") - F.lit(1.0) / dw)
+         / (3.0 * (kd - 1.0)))
+    ok = (F.col("k") >= 2) & (F.col("n_zero_var") == 0)
+    return j.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_dropped_groups").cast("long")
+         .alias("n_dropped_groups"),
+        F.when(ok, t_stat / c).alias("bartlett_stat"),
+        (F.col("k") - 1).cast("long").alias("df"))
+
+
+def cochran_armitage(df: DataFrame, score_col: str,
+                     label_col: str) -> DataFrame:
+    """Cochran–Armitage trend test — is a binary outcome rate
+    monotone in an ordered/scored factor (dose, bucket, decile):
+
+        z = (Σsᵢrᵢ − p̄·Σsᵢnᵢ)
+            / √(p̄(1−p̄)·(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N))
+
+    with integer scores sᵢ, per-score trials nᵢ and successes rᵢ.
+    Every sufficient statistic (N, R, Σns, Σns², Σsr) is an exact
+    int64 from ONE aggregate over the score count table; z is one
+    mirrored float expression.  NULL z when the outcome or the score
+    is constant.  Returns one row: (k, n, n_pos, z)."""
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    per = (df.filter(s.isNotNull() & y.isNotNull())
+             .groupBy(s.alias("s"))
+             .agg(F.count(F.lit(1)).alias("ni"),
+                  F.sum(y).alias("ri")))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("ri").alias("r"),
+        F.sum(F.col("ni") * F.col("s")).alias("sns"),
+        F.sum(F.col("ni") * F.col("s") * F.col("s")).alias("sns2"),
+        F.sum(F.col("ri") * F.col("s")).alias("ssr"))
+    nd = F.col("n").cast("double")
+    pbar = F.col("r").cast("double") / nd
+    num = (F.col("ssr").cast("double")
+           - pbar * F.col("sns").cast("double"))
+    svar = (F.col("sns2").cast("double")
+            - F.col("sns").cast("double")
+            * F.col("sns").cast("double") / nd)
+    den2 = pbar * (F.lit(1.0) - pbar) * svar
+    z = F.when(den2 > 0.0, num / F.sqrt(den2))
+    return agg.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_pos"),
+        z.alias("z"))

@@ -771,3 +771,130 @@ def wilcoxon_signed_rank(df: DataFrame, x_col: str,
         F.coalesce(F.col("w2p"), F.lit(0)).cast("long")
          .alias("w2_plus"),
         z.alias("z"))
+
+
+def jonckheere(df: DataFrame, group_col: str,
+               value_col: str) -> DataFrame:
+    """Jonckheere–Terpstra trend test for an ORDERED alternative
+    across k INDEPENDENT groups (the kruskal_wallis companion the way
+    page_trend companions friedman_test), groups ordered by their
+    integer key:
+
+        J = Σ_{i<j} U_ij   (pairwise Mann-Whitney counts,
+                            ties half-credit)
+
+    Computed on the per-(group, value) COUNT TABLE: doubled
+    J2 = Σ 2·c_a·c_b·[v_a < v_b] + c_a·c_b·[v_a = v_b] over cell
+    pairs with g_a < g_b — exact int64, O(cells²) in the bounded
+    quantized alphabet (the kendall_tau contract), never O(n²) rows.
+    z uses the standard no-tie moments (documented approximation
+    under heavy ties; J itself carries exact half-credit):
+
+        μ = (N² − Σnᵢ²)/4,
+        σ² = [N²(2N+3) − Σnᵢ²(2nᵢ+3)]/72
+
+    Returns one row: (k, n, j2, z) — NULL z when σ = 0 (single
+    group or empty)."""
+    g = F.col(group_col).cast("long")
+    v = F.col(value_col).cast("long")
+    base = (df.filter(g.isNotNull() & v.isNotNull())
+              .select(g.alias("g"), v.alias("v")))
+    cells = base.groupBy("g", "v").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(F.col("g").alias("ga"), F.col("v").alias("va"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("g").alias("gb"), F.col("v").alias("vb"),
+                     F.col("c").alias("cb"))
+    j2 = (a.join(b, F.col("ga") < F.col("gb"))
+          .agg(F.sum(
+              F.when(F.col("va") < F.col("vb"),
+                     2 * F.col("ca") * F.col("cb"))
+               .when(F.col("va") == F.col("vb"),
+                     F.col("ca") * F.col("cb"))
+               .otherwise(F.lit(0))).alias("j2")))
+    per_g = (cells.groupBy("g").agg(F.sum("c").alias("ni"))
+             .agg(F.count(F.lit(1)).alias("k"),
+                  F.sum("ni").alias("n"),
+                  F.sum(F.col("ni") * F.col("ni")).alias("sn2"),
+                  F.sum(F.col("ni") * F.col("ni")
+                        * (2 * F.col("ni") + 3)).alias("sn23")))
+    s = j2.crossJoin(F.broadcast(per_g))
+    nd = F.col("n").cast("double")
+    mu = (nd * nd - F.col("sn2").cast("double")) / F.lit(4.0)
+    var = ((nd * nd * (2.0 * nd + 3.0)
+            - F.col("sn23").cast("double")) / F.lit(72.0))
+    z = F.when(var > 0.0,
+               (F.col("j2").cast("double") / F.lit(2.0) - mu)
+               / F.sqrt(var))
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.coalesce(F.col("j2"), F.lit(0)).cast("long").alias("j2"),
+        z.alias("z"))
+
+
+def mood_median(df: DataFrame, group_col: str,
+                value_col: str) -> DataFrame:
+    """Mood's median test — k-group location check on the 2×k table
+    of counts above / not-above the GRAND median (doubled-median off
+    the global count table, the engine convention; 2v > m2 is an
+    exact integer split, at-median rows count "not above"):
+
+        χ² = Σ_cells (O − E)²/E,   E = row·col/N   ~ χ²(k−1)
+
+    All counts exact int64; the 2k χ² terms fold in group-key order
+    (the anova_f convention).  NULL χ² when a margin is empty (all
+    values on one side of the median).  Returns one row:
+    (k, n, n_above, chi2, df)."""
+    v = F.col(value_col).cast("long")
+    base = (df.filter(v.isNotNull())
+              .select(F.col(group_col).alias("g"), v.alias("v")))
+    per_v = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = Window.partitionBy()
+    c = (per_v.withColumn("cum", F.sum("t").over(w_run))
+              .withColumn("nt", F.sum("t").over(w_all)))
+    lo_pos = (F.col("nt") + 1) - F.expr("nt DIV 2") - 1
+    hi_pos = F.expr("nt DIV 2") + 1
+    lo = (c.filter(F.col("cum") >= lo_pos)
+          .agg(F.min("v").alias("lo")))
+    hi = (c.filter(F.col("cum") >= hi_pos)
+          .agg(F.min("v").alias("hi")))
+    med = lo.crossJoin(hi).select(
+        (F.col("lo") + F.col("hi")).alias("m2"))
+    tagged = base.crossJoin(F.broadcast(med)).select(
+        "g", (F.lit(2) * F.col("v") > F.col("m2")).cast("long")
+        .alias("ab"))
+    per_g = tagged.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("ab").alias("ai"))
+    tot = per_g.agg(F.sum("ni").alias("n"),
+                    F.sum("ai").alias("n_above"),
+                    F.count(F.lit(1)).alias("k"))
+    j = per_g.crossJoin(F.broadcast(tot))
+    nd = F.col("n").cast("double")
+    pa = F.col("n_above").cast("double") / nd
+
+    ea = F.col("ni").cast("double") * pa
+    eb = F.col("ni").cast("double") * (F.lit(1.0) - pa)
+    term = (
+        (F.col("ai").cast("double") - ea)
+        * (F.col("ai").cast("double") - ea) / ea
+        + ((F.col("ni") - F.col("ai")).cast("double") - eb)
+        * ((F.col("ni") - F.col("ai")).cast("double") - eb) / eb)
+    folded = j.groupBy("n", "n_above", "k").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("g").alias("g"), term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("chi2"))
+    ok = ((F.col("n_above") > 0)
+          & (F.col("n_above") < F.col("n")))
+    return folded.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_above").cast("long").alias("n_above"),
+        F.when(ok, F.col("chi2")).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("df"))

@@ -678,3 +678,110 @@ def test_inequality_brute(spark):
     row2 = inequality_profile(df2, "g", "v").collect()[0]
     assert row2["theil_t"] == pytest.approx(0.0, abs=1e-12)
     assert row2["atkinson"] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_jonckheere_brute(spark):
+    from hiselspark.operators.rankstats import jonckheere
+    rng = _rng(89)
+    rows = []
+    data = {}
+    for g in range(4):
+        v = rng.integers(0, 30, 120) + g * 4  # planted upward trend
+        data[g] = v
+        rows += [(g, int(x)) for x in v]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = jonckheere(df, "g", "v").collect()[0]
+    j = 0.0
+    for i in range(4):
+        for jj in range(i + 1, 4):
+            for xa in data[i]:
+                j += float((data[jj] > xa).sum()) \
+                     + 0.5 * float((data[jj] == xa).sum())
+    n = 480
+    sn2 = sum(len(v) ** 2 for v in data.values())
+    sn23 = sum(len(v) ** 2 * (2 * len(v) + 3)
+               for v in data.values())
+    mu = (n ** 2 - sn2) / 4
+    var = (n ** 2 * (2 * n + 3) - sn23) / 72
+    assert row["k"] == 4 and row["n"] == n
+    assert row["j2"] == int(round(2 * j))
+    assert row["z"] == pytest.approx((j - mu) / math.sqrt(var),
+                                     rel=1e-10)
+    assert row["z"] > 5  # the planted trend is detected
+
+
+def test_mood_median_brute(spark):
+    from hiselspark.operators.rankstats import mood_median
+    rng = _rng(97)
+    rows = []
+    allv = []
+    for g in range(3):
+        v = rng.integers(0, 100, 150) + g * 15
+        rows += [(str(g), int(x)) for x in v]
+        allv += v.tolist()
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = mood_median(df, "g", "v").collect()[0]
+    med = float(np.median(allv))
+    import collections
+    per = collections.defaultdict(lambda: [0, 0])
+    for g, v in rows:
+        per[g][0] += 1
+        per[g][1] += int(v > med)
+    n = sum(a for a, _ in per.values())
+    na = sum(b for _, b in per.values())
+    chi2 = 0.0
+    for g, (ni, ai) in per.items():
+        ea = ni * na / n
+        eb = ni * (n - na) / n
+        chi2 += (ai - ea) ** 2 / ea + ((ni - ai) - eb) ** 2 / eb
+    assert row["k"] == 3 and row["n"] == n and row["n_above"] == na
+    assert row["chi2"] == pytest.approx(chi2, rel=1e-10)
+    assert row["chi2"] > 15  # the planted shift is detected
+
+
+def test_bartlett_brute(spark):
+    from hiselspark.operators.evaluate import bartlett_test
+    rng = _rng(101)
+    rows = []
+    groups = {}
+    for g, scale in enumerate([5, 10, 20]):
+        v = (rng.normal(50, scale, 200)).astype(int)
+        groups[str(g)] = v
+        rows += [(str(g), int(x)) for x in v]
+    rows.append(("tiny", 7))  # n=1 group dropped
+    df = spark.createDataFrame(rows, ["g", "v"])
+    row = bartlett_test(df, "g", "v").collect()[0]
+    k = 3
+    n = 600
+    ssw = sum((len(v) - 1) * v.var(ddof=1)
+              for v in groups.values())
+    sp2 = ssw / (n - k)
+    t = (n - k) * math.log(sp2) - sum(
+        (len(v) - 1) * math.log(v.var(ddof=1))
+        for v in groups.values())
+    c = 1 + (sum(1 / (len(v) - 1) for v in groups.values())
+             - 1 / (n - k)) / (3 * (k - 1))
+    assert row["k"] == k and row["n"] == n
+    assert row["n_dropped_groups"] == 1
+    assert row["bartlett_stat"] == pytest.approx(t / c, rel=1e-10)
+    assert row["bartlett_stat"] > 50  # unequal variances detected
+
+
+def test_cochran_armitage_brute(spark):
+    from hiselspark.operators.evaluate import cochran_armitage
+    rng = _rng(103)
+    n = 1200
+    s = rng.integers(0, 5, n)
+    y = (rng.random(n) < 0.15 + 0.12 * s).astype(int)  # dose trend
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(s, y)], ["s", "y"])
+    row = cochran_armitage(df, "s", "y").collect()[0]
+    pbar = y.mean()
+    num = float((s * y).sum()) - pbar * float(s.sum())
+    svar = float((s.astype(float) ** 2 * 1).sum()) \
+        - float(s.sum()) ** 2 / n
+    z = num / math.sqrt(pbar * (1 - pbar) * svar)
+    assert row["k"] == 5 and row["n"] == n
+    assert row["n_pos"] == int(y.sum())
+    assert row["z"] == pytest.approx(z, rel=1e-10)
+    assert row["z"] > 6  # the planted dose trend is detected
