@@ -7571,6 +7571,76 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("z", 6).alias("z"))
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient of the folded
+    order-part graph (keys mod 400) — degree-oriented wedge closing
+    kept as an inner join so each triangle credits all three
+    corners; the oracle brute-forces the a<b<c triples and unions
+    the three corner projections."""
+    from hiselspark.operators.graph import clustering_coefficient
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select((F.col("l_orderkey") % 400).alias("src"),
+                      (F.col("l_partkey") % 400).alias("dst"))
+    out = clustering_coefficient(edges)
+    return out.select("node", "degree", "triangles",
+                      F.round("lcc", 6).alias("lcc"))
+
+
+def q_cronbach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over four derived "items" — three monotone
+    views of props-k (highly correlated) plus a cents noise item —
+    all sufficient statistics exact int64 from ONE aggregate,
+    listwise NULL deletion counted."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import cronbach_alpha
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(
+               F.floor(F.col("__p.k") / 2).cast("long").alias("i1"),
+               F.floor(F.col("__p.k") / 3).cast("long").alias("i2"),
+               F.floor(F.col("__p.k") / 5).cast("long").alias("i3"),
+               F.pmod(F.round(F.col("value") * 100).cast("long"),
+                      20).alias("i4")))
+    out = cronbach_alpha(d, ["i1", "i2", "i3", "i4"])
+    return out.select("n", "n_dropped", "k",
+                      F.round("sum_item_var", 6)
+                      .alias("sum_item_var"),
+                      F.round("total_var", 6).alias("total_var"),
+                      F.round("alpha", 6).alias("alpha"))
+
+
+def q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dickey-Fuller unit-root regression of each user's cents
+    series (Dv on lag v, intercept): all six sufficient sums exact
+    int64 off one lag window, b and DF mirrored."""
+    from hiselspark.operators.tsprofile import dickey_fuller
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = dickey_fuller(ev, "user_id", "event_id", "cents")
+    return out.select(F.col("grp").alias("user_id"), "n_pairs",
+                      F.round("b", 6).alias("b"),
+                      F.round("df_stat", 6).alias("df_stat"))
+
+
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dyadic periodogram (Nyquist and period-4 lines) of each
+    event type's cents sequence — spectral sums are plain signed
+    int64 sums keyed by row-number mod 4, no trigonometry; shares
+    mirrored."""
+    from hiselspark.operators.tsprofile import periodogram_power
+    ev = _ev(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = periodogram_power(ev, "event_type", "event_id", "cents")
+    return out.select(F.col("grp").alias("event_type"), "n", "p2",
+                      "p4", "ss2_num",
+                      F.round("p2_share", 6).alias("p2_share"),
+                      F.round("p4_share", 6).alias("p4_share"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7739,6 +7809,10 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_median": q_mood_median,
         "bartlett": q_bartlett,
         "cochran_armitage": q_cochran_armitage,
+        "clustering_coeff": q_clustering_coeff,
+        "cronbach": q_cronbach,
+        "dickey_fuller": q_dickey_fuller,
+        "periodogram": q_periodogram,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -19839,5 +19913,178 @@ def _oracle_sql_raw() -> dict[str, str]:
                          / sqrt(pbar * (1.0 - pbar) * svar), 6)
                END AS z
         FROM m
+    """
+    oracles["clustering_coeff"] = """
+        WITH canon AS (
+          SELECT DISTINCT
+                 least(l_orderkey % 400, l_partkey % 400) AS a,
+                 greatest(l_orderkey % 400, l_partkey % 400) AS b
+          FROM lineitem
+          WHERE l_orderkey % 400 <> l_partkey % 400
+        ), deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM canon
+            UNION ALL SELECT b FROM canon)
+          GROUP BY node
+        ), tris AS (
+          SELECT ab.a AS x, ab.b AS y, bc.b AS z
+          FROM canon ab
+          JOIN canon bc ON ab.b = bc.a
+          JOIN canon ac ON ac.a = ab.a AND ac.b = bc.b
+        ), per_node AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS node FROM tris
+            UNION ALL SELECT y FROM tris
+            UNION ALL SELECT z FROM tris)
+          GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN round(2.0 * CAST(coalesce(p.triangles, 0)
+                                          AS DOUBLE)
+                         / (CAST(d.degree AS DOUBLE)
+                            * CAST(d.degree - 1 AS DOUBLE)), 6)
+               END AS lcc
+        FROM deg d LEFT JOIN per_node p ON d.node = p.node
+    """
+    oracles["cronbach"] = """
+        WITH d AS (
+          SELECT CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // 2 AS i1,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // 3 AS i2,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   // 5 AS i3,
+                 CAST(round(value*100) AS BIGINT) % 20 AS i4
+          FROM events
+        ), dropped AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_dropped FROM d
+          WHERE i1 IS NULL OR i2 IS NULL OR i3 IS NULL OR i4 IS NULL
+        ), u AS (
+          SELECT *, i1 + i2 + i3 + i4 AS t FROM d
+          WHERE i1 IS NOT NULL AND i2 IS NOT NULL
+            AND i3 IS NOT NULL AND i4 IS NOT NULL
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(t) AS BIGINT) AS st,
+                 CAST(sum(t*t) AS BIGINT) AS sst,
+                 CAST(sum(i1) AS BIGINT) AS s0,
+                 CAST(sum(i1*i1) AS BIGINT) AS q0,
+                 CAST(sum(i2) AS BIGINT) AS s1,
+                 CAST(sum(i2*i2) AS BIGINT) AS q1,
+                 CAST(sum(i3) AS BIGINT) AS s2,
+                 CAST(sum(i3*i3) AS BIGINT) AS q2,
+                 CAST(sum(i4) AS BIGINT) AS s3,
+                 CAST(sum(i4*i4) AS BIGINT) AS q3
+          FROM u
+        ), m AS (
+          SELECT agg.*, dropped.n_dropped,
+                 (((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE)
+                     * CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))
+                  + ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                     * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))
+                  + ((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)
+                     * CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))
+                  + ((CAST(q3 AS DOUBLE) - CAST(s3 AS DOUBLE)
+                     * CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1.0))) AS siv,
+                 ((CAST(sst AS DOUBLE) - CAST(st AS DOUBLE)
+                    * CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1.0)) AS tv
+          FROM agg, dropped
+        )
+        SELECT n, n_dropped, CAST(4 AS BIGINT) AS k,
+               CASE WHEN n >= 2 THEN round(siv, 6) END
+                 AS sum_item_var,
+               CASE WHEN n >= 2 THEN round(tv, 6) END AS total_var,
+               CASE WHEN n >= 2 AND tv > 0.0
+                    THEN round((4.0 / 3.0) * (1.0 - siv / tv), 6)
+               END AS alpha
+        FROM m
+    """
+    oracles["dickey_fuller"] = """
+        WITH s AS (
+          SELECT user_id,
+                 CAST(round(value*100) AS BIGINT) AS v,
+                 lag(CAST(round(value*100) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS x
+          FROM events WHERE value IS NOT NULL
+        ), d AS (
+          SELECT user_id, x, v - x AS y FROM s WHERE x IS NOT NULL
+        ), agg AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS np,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy
+          FROM d GROUP BY user_id
+        ), m AS (
+          SELECT user_id, np,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(np AS DOUBLE) AS cxx,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(np AS DOUBLE) AS cxy,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(np AS DOUBLE) AS cyy
+          FROM agg
+        ), r AS (
+          SELECT user_id, np, cxx, cxy, cyy,
+                 cxy / cxx AS b,
+                 cyy - (cxy / cxx) * cxy AS sse
+          FROM m
+        )
+        SELECT user_id, np AS n_pairs,
+               CASE WHEN np >= 3 AND cxx > 0.0
+                    THEN round(b, 6) END AS b,
+               CASE WHEN np >= 3 AND cxx > 0.0
+                     AND sse / (CAST(np AS DOUBLE) - 2.0) / cxx > 0.0
+                    THEN round(b / sqrt(sse
+                         / (CAST(np AS DOUBLE) - 2.0) / cxx), 6)
+               END AS df_stat
+        FROM r
+    """
+    oracles["periodogram"] = """
+        WITH s AS (
+          SELECT event_type,
+                 CAST(round(value*100) AS BIGINT) AS v,
+                 (row_number() OVER (PARTITION BY event_type
+                                     ORDER BY event_id) - 1) % 4
+                   AS m
+          FROM events WHERE value IS NOT NULL
+        ), agg AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v*v) AS BIGINT) AS ssv,
+                 CAST(sum(CASE WHEN m % 2 = 0 THEN v ELSE -v END)
+                      AS BIGINT) AS a2,
+                 CAST(sum(CASE WHEN m = 0 THEN v
+                               WHEN m = 2 THEN -v ELSE 0 END)
+                      AS BIGINT) AS c4,
+                 CAST(sum(CASE WHEN m = 1 THEN v
+                               WHEN m = 3 THEN -v ELSE 0 END)
+                      AS BIGINT) AS s4
+          FROM s GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(a2*a2 AS BIGINT) AS p2,
+               CAST(c4*c4 + s4*s4 AS BIGINT) AS p4,
+               CAST(n*ssv - sv*sv AS BIGINT) AS ss2_num,
+               CASE WHEN n*ssv - sv*sv > 0
+                    THEN round(CAST(a2*a2 AS DOUBLE)
+                         / (CAST(n*ssv - sv*sv AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 6) END AS p2_share,
+               CASE WHEN n*ssv - sv*sv > 0
+                    THEN round(CAST(c4*c4 + s4*s4 AS DOUBLE)
+                         / (CAST(n*ssv - sv*sv AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 6) END AS p4_share
+        FROM agg
     """
     return oracles

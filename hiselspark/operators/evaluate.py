@@ -1179,3 +1179,61 @@ def cochran_armitage(df: DataFrame, score_col: str,
         F.col("n").cast("long").alias("n"),
         F.col("r").cast("long").alias("n_pos"),
         z.alias("z"))
+
+
+def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
+    """Cronbach's α internal-consistency reliability of k integer
+    item columns (survey scales, rubric scores, ensemble member
+    agreement):
+
+        α = k/(k−1) · (1 − Σᵢ s²ᵢ / s²_T)
+
+    with s²ᵢ the per-item sample variances and s²_T the variance of
+    the per-row totals.  Rows with any NULL item are dropped and
+    counted (listwise deletion — the standard convention).  All
+    sufficient statistics (n, per-item Σx and Σx², ΣT, ΣT² with
+    T = Σᵢxᵢ an exact int row total) come from ONE aggregate; the
+    item-variance sum folds in the FIXED item-column order (declared:
+    the caller's list order, identical in the oracle).  NULL α when
+    n < 2, k < 2 or s²_T = 0.  Returns one row:
+    (n, n_dropped, k, sum_item_var, total_var, alpha)."""
+    item_cols = list(item_cols)
+    k = len(item_cols)
+    items = [F.col(c).cast("long") for c in item_cols]
+    ok = items[0].isNotNull()
+    for it in items[1:]:
+        ok = ok & it.isNotNull()
+    dropped = df.filter(~ok).agg(
+        F.count(F.lit(1)).alias("n_dropped"))
+    d = df.filter(ok)
+    total = items[0]
+    for it in items[1:]:
+        total = total + it
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum(total).alias("st"),
+            F.sum(total * total).alias("sst")]
+    for i, it in enumerate(items):
+        aggs.append(F.sum(it).alias(f"s{i}"))
+        aggs.append(F.sum(it * it).alias(f"q{i}"))
+    agg = d.agg(*aggs).crossJoin(F.broadcast(dropped))
+    nd = F.col("n").cast("double")
+
+    def var_of(s, q):
+        return ((F.col(q).cast("double")
+                 - F.col(s).cast("double") * F.col(s).cast("double")
+                 / nd) / (nd - 1.0))
+
+    sum_iv = var_of("s0", "q0")
+    for i in range(1, k):
+        sum_iv = sum_iv + var_of(f"s{i}", f"q{i}")
+    tot_v = var_of("st", "sst")
+    ok2 = (F.col("n") >= 2) & (tot_v > 0.0)
+    alpha = F.when(ok2, (F.lit(float(k)) / F.lit(float(k - 1)))
+                   * (F.lit(1.0) - sum_iv / tot_v))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        F.lit(k).cast("long").alias("k"),
+        F.when(F.col("n") >= 2, sum_iv).alias("sum_item_var"),
+        F.when(F.col("n") >= 2, tot_v).alias("total_var"),
+        alpha.alias("alpha"))

@@ -925,3 +925,108 @@ def croston(
         F.when(started, fin["p"]).alias("p"),
         F.when(started & (fin["p"] > 0.0), fin["z"] / fin["p"])
          .alias("forecast"))
+
+
+def dickey_fuller(df: DataFrame, group_col: str, order_col: str,
+                  value_col: str) -> DataFrame:
+    """Dickey–Fuller unit-root regression per group — the
+    stationarity check a feature pipeline runs before differencing:
+    OLS of Δvₜ on vₜ₋₁ (with intercept),
+
+        DF = b / se(b),   b = Sxy/Sxx,
+        se(b) = √(SSE/(n'−2)/Sxx),  SSE = Syy − b·Sxy
+
+    (centered sums; n' = n−1 usable pairs).  A strongly negative DF
+    rejects the unit root (no critical values here by design — the
+    engine emits exact statistics).  With integer-quantized values
+    every raw sum (n', Σx, Σy, Σxy, Σx², Σy²) is exact int64 off one
+    lag window + one aggregate; b/SSE/DF are mirrored float
+    expressions.  NULL when n' < 3 or Sxx = 0 or SSE ≤ 0.  Returns
+    one row per group: (group, n_pairs, b, df_stat)."""
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    lagv = F.lag(v).over(w)
+    d = (df.filter(v.isNotNull())
+           .select(F.col(group_col).alias("grp"),
+                   lagv.alias("x"), (v - lagv).alias("y"))
+           .filter(F.col("x").isNotNull()))
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    nd = F.col("np").cast("double")
+    sxx = (F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")
+           / nd)
+    sxy = (F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double")
+           / nd)
+    syy = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")
+           / nd)
+    b = sxy / sxx
+    sse = syy - b * sxy
+    ok = (F.col("np") >= 3) & (sxx > 0.0)
+    se2 = sse / (nd - 2.0) / sxx
+    stat = F.when(ok & (se2 > 0.0), b / F.sqrt(se2))
+    return agg.select(
+        "grp",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.when(ok, b).alias("b"),
+        stat.alias("df_stat"))
+
+
+def periodogram_power(df: DataFrame, group_col: str, order_col: str,
+                      value_col: str) -> DataFrame:
+    """EXACT periodogram power at the two dyadic frequencies whose
+    DFT coefficients are 0/±1 — period 2 (Nyquist) and period 4 —
+    plus total centered energy for normalization:
+
+        P₂ = (Σ (−1)ᵗ vₜ)²
+        P₄ = (Σ cos(πt/2)·vₜ)² + (Σ sin(πt/2)·vₜ)²
+
+    cos/sin at period 4 cycle through {1,0,−1,0} / {0,1,0,−1}, so
+    BOTH spectral sums are plain signed integer sums keyed by
+    t mod 4 (t = 0-based row_number in ``order_col`` order) — exact
+    int64, one window + one aggregate, no trigonometry anywhere.
+    The power ratios p2_share = P₂/(n·SS), p4_share = P₄/(n·SS)
+    (SS = centered sum of squares) are the mirrored float detectors
+    of alternating / period-4 cycles.  NULL shares for constant
+    series.  Returns one row per group:
+    (group, n, p2, p4, ss2_num, p2_share, p4_share) — ``ss2_num`` is
+    the exact n·Σv²−(Σv)² centered-energy numerator."""
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order_col)
+    d = (df.filter(v.isNotNull())
+           .select(F.col(group_col).alias("grp"), v.alias("v"),
+                   ((F.row_number().over(w) - 1) % 4).alias("m")))
+    sgn2 = F.when(F.col("m") % 2 == 0, F.col("v")) \
+            .otherwise(-F.col("v"))
+    c4 = (F.when(F.col("m") == 0, F.col("v"))
+          .when(F.col("m") == 2, -F.col("v")).otherwise(F.lit(0)))
+    s4 = (F.when(F.col("m") == 1, F.col("v"))
+          .when(F.col("m") == 3, -F.col("v")).otherwise(F.lit(0)))
+    agg = d.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("ssv"),
+        F.sum(sgn2).alias("a2"),
+        F.sum(c4).alias("c4"), F.sum(s4).alias("s4"))
+    p2 = F.col("a2") * F.col("a2")
+    p4 = F.col("c4") * F.col("c4") + F.col("s4") * F.col("s4")
+    ssn = (F.col("n") * F.col("ssv")
+           - F.col("sv") * F.col("sv"))
+    ok = ssn > 0
+    nd = F.col("n").cast("double")
+    return agg.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        p2.cast("long").alias("p2"),
+        p4.cast("long").alias("p4"),
+        ssn.cast("long").alias("ss2_num"),
+        F.when(ok, p2.cast("double")
+               / (ssn.cast("double") / nd)).alias("p2_share"),
+        F.when(ok, p4.cast("double")
+               / (ssn.cast("double") / nd)).alias("p4_share"))

@@ -785,3 +785,115 @@ def test_cochran_armitage_brute(spark):
     assert row["n_pos"] == int(y.sum())
     assert row["z"] == pytest.approx(z, rel=1e-10)
     assert row["z"] > 6  # the planted dose trend is detected
+
+
+def test_clustering_coefficient_brute(spark):
+    from hiselspark.operators.graph import clustering_coefficient
+    rng = _rng(107)
+    n_nodes = 40
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            edges.add((min(int(a), int(b)), max(int(a), int(b))))
+    df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+    out = {r["node"]: r for r in
+           clustering_coefficient(df, "src", "dst").collect()}
+    adj = {i: set() for i in range(n_nodes)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for i in range(n_nodes):
+        nb = sorted(adj[i])
+        if not nb:
+            assert i not in out
+            continue
+        tri = sum(1 for ai in range(len(nb))
+                  for bi in range(ai + 1, len(nb))
+                  if nb[bi] in adj[nb[ai]])
+        r = out[i]
+        assert r["degree"] == len(nb)
+        assert r["triangles"] == tri
+        if len(nb) >= 2:
+            assert r["lcc"] == pytest.approx(
+                2 * tri / (len(nb) * (len(nb) - 1)), rel=1e-12)
+        else:
+            assert r["lcc"] is None
+    # a triangle graph: all lcc = 1
+    df2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    for r in clustering_coefficient(df2).collect():
+        assert r["lcc"] == 1.0 and r["triangles"] == 1
+
+
+def test_cronbach_alpha_brute(spark):
+    from hiselspark.operators.evaluate import cronbach_alpha
+    rng = _rng(109)
+    n = 300
+    latent = rng.integers(0, 10, n)
+    items = [latent + rng.integers(0, 4, n) for _ in range(4)]
+    rows = [tuple(int(it[i]) for it in items) for i in range(n)]
+    rows.append((1, 2, None, 4))  # listwise-dropped row
+    df = spark.createDataFrame(rows, ["i1", "i2", "i3", "i4"])
+    row = cronbach_alpha(df, ["i1", "i2", "i3", "i4"]).collect()[0]
+    mat = np.array(items, dtype=float)
+    siv = sum(mat[j].var(ddof=1) for j in range(4))
+    tv = mat.sum(axis=0).var(ddof=1)
+    alpha = 4 / 3 * (1 - siv / tv)
+    assert row["n"] == n and row["n_dropped"] == 1 and row["k"] == 4
+    assert row["sum_item_var"] == pytest.approx(siv, rel=1e-12)
+    assert row["total_var"] == pytest.approx(tv, rel=1e-12)
+    assert row["alpha"] == pytest.approx(alpha, rel=1e-12)
+    assert row["alpha"] > 0.6  # shared latent factor -> reliable
+
+
+def test_dickey_fuller_brute(spark):
+    from hiselspark.operators.tsprofile import dickey_fuller
+    rng = _rng(113)
+    # stationary AR(1): x_t = 0.5 x_{t-1} + e  -> strongly negative DF
+    x = [0.0]
+    for _ in range(199):
+        x.append(0.5 * x[-1] + float(rng.integers(-40, 41)))
+    v = [int(round(t)) for t in x]
+    rows = [("a", i, vv) for i, vv in enumerate(v)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    row = dickey_fuller(df, "g", "o", "v").collect()[0]
+    xv = np.array(v[:-1], dtype=float)
+    yv = np.diff(np.array(v, dtype=float))
+    nn = len(xv)
+    sxx = float(((xv - xv.mean()) ** 2).sum())
+    sxy = float(((xv - xv.mean()) * (yv - yv.mean())).sum())
+    syy = float(((yv - yv.mean()) ** 2).sum())
+    b = sxy / sxx
+    sse = syy - b * sxy
+    stat = b / math.sqrt(sse / (nn - 2) / sxx)
+    assert row["n_pairs"] == nn
+    assert row["b"] == pytest.approx(b, rel=1e-10)
+    assert row["df_stat"] == pytest.approx(stat, rel=1e-10)
+    assert row["df_stat"] < -5  # stationarity strongly rejected root
+
+
+def test_periodogram_power_brute(spark):
+    from hiselspark.operators.tsprofile import periodogram_power
+    rng = _rng(127)
+    n = 200
+    noise = rng.integers(-3, 4, n)
+    period4 = np.array([10, 0, -10, 0] * (n // 4))
+    v = (period4 + noise).astype(int)
+    rows = [("a", i, int(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["g", "o", "v"])
+    row = periodogram_power(df, "g", "o", "v").collect()[0]
+    t = np.arange(n)
+    a2 = int(((-1) ** t * v).sum())
+    c4 = int((np.where(t % 4 == 0, v, 0)
+              - np.where(t % 4 == 2, v, 0)).sum())
+    s4 = int((np.where(t % 4 == 1, v, 0)
+              - np.where(t % 4 == 3, v, 0)).sum())
+    assert row["p2"] == a2 * a2
+    assert row["p4"] == c4 * c4 + s4 * s4
+    ssn = n * int((v.astype(object) ** 2).sum()) - int(v.sum()) ** 2
+    assert row["ss2_num"] == ssn
+    assert row["p4_share"] == pytest.approx(
+        row["p4"] / (ssn / n), rel=1e-12)
+    # the planted period-4 cycle dominates the Nyquist line
+    assert row["p4_share"] > 10 * max(row["p2_share"], 1e-9)
