@@ -7641,6 +7641,42 @@ def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("p4_share", 6).alias("p4_share"))
 
 
+def q_streaming_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch Kalman local-level filter:
+    per-user (n, m, p, k) carried across micro-batches with the
+    batch fold's exact op order; drained with AvailableNow, the
+    final row per user must equal the batch recursion — the oracle
+    replays it as a recursive CTE in (ts, event_id) order."""
+    import hashlib
+    import os
+    from pyspark.sql import Window
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    from hiselspark.streaming.stateful import stream_kalman
+    batch = _ev(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    src_dir = f"/tmp/hiselspark_stream_src_{tag}"
+    os.makedirs(src_dir, exist_ok=True)
+    link = f"{src_dir}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    stream = (read_events_stream(spark, src_dir, batch.schema)
+              .withColumn("ts", F.col("ts").cast("timestamp"))
+              .withColumn("cents",
+                          F.abs(F.round(F.col("value") * 100)
+                                .cast("long"))))
+    out = run_stream_to_batch(
+        stream_kalman(stream, "user_id", "ts", "cents", "event_id"),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    return (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1)
+               .select(F.col("entity").alias("user_id"), "n_events",
+                       F.round("level", 6).alias("level"),
+                       F.round("p_var", 6).alias("p_var"),
+                       F.round("gain", 6).alias("gain")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7813,6 +7849,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cronbach": q_cronbach,
         "dickey_fuller": q_dickey_fuller,
         "periodogram": q_periodogram,
+        "streaming_kalman": q_streaming_kalman,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20086,5 +20123,36 @@ def _oracle_sql_raw() -> dict[str, str]:
                          / (CAST(n*ssv - sv*sv AS DOUBLE)
                             / CAST(n AS DOUBLE)), 6) END AS p4_share
         FROM agg
+    """
+    oracles["streaming_kalman"] = """
+        WITH RECURSIVE q0 AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(abs(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                   AS v
+          FROM events
+        ), ser AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM q0
+        ), rec AS (
+          SELECT user_id, i, n, v AS m, CAST(4.0 AS DOUBLE) AS p,
+                 CAST(0.5 AS DOUBLE) AS k
+          FROM ser WHERE i = 1
+          UNION ALL
+          SELECT s.user_id, s.i, s.n,
+                 r.m + ((r.p + 1.0) / ((r.p + 1.0) + 4.0))
+                     * (s.v - r.m) AS m,
+                 (1.0 - (r.p + 1.0) / ((r.p + 1.0) + 4.0))
+                     * (r.p + 1.0) AS p,
+                 (r.p + 1.0) / ((r.p + 1.0) + 4.0) AS k
+          FROM rec r
+          JOIN ser s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               round(m, 6) AS level, round(p, 6) AS p_var,
+               round(k, 6) AS gain
+        FROM rec WHERE i = n
     """
     return oracles

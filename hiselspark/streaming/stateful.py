@@ -310,3 +310,79 @@ def stream_decayed_count(
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+_KALMAN_OUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("p_var", T.DoubleType()),
+    T.StructField("gain", T.DoubleType()),
+])
+
+_KALMAN_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("m", T.DoubleType()),
+    T.StructField("p", T.DoubleType()),
+    T.StructField("k", T.DoubleType()),
+])
+
+
+def stream_kalman(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str = "event_id",
+    q_var: float = 1.0,
+    r_var: float = 4.0,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.tsprofile.kalman1d` —
+    per-entity local-level Kalman state (n, m, p, k) carried across
+    micro-batches in O(1) floats, stepped with EXACTLY the batch
+    fold's operation order (``p' = p+q; K = p'/(p'+r);
+    m += K(x−m); p = (1−K)p'``) one row at a time over the
+    (ts, order)-sorted micro-batch — the drained stream must equal
+    the batch recursion bit-for-bit (the stream_holt contract).
+    Emits one cumulative row per touched entity per micro-batch
+    (update mode)."""
+    qv = float(q_var)
+    rv = float(r_var)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, m, p, k = state.get
+        else:
+            n, m, p, k = 0, None, None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            for x in pdf[value_col].astype(float):
+                if n == 0:
+                    m, p, k = float(x), rv, rv / (rv + rv)
+                else:
+                    pp = p + qv
+                    k = pp / (pp + rv)
+                    m = m + k * (float(x) - m)
+                    p = (1.0 - k) * pp
+                n += 1
+        state.update((n, m, p, k))
+        yield pd.DataFrame({
+            "entity": [key[0]],
+            "n_events": [n],
+            "level": [m],
+            "p_var": [p],
+            "gain": [k],
+        })
+
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_KALMAN_OUT,
+                stateStructType=_KALMAN_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))

@@ -897,3 +897,47 @@ def test_periodogram_power_brute(spark):
         row["p4"] / (ssn / n), rel=1e-12)
     # the planted period-4 cycle dominates the Nyquist line
     assert row["p4_share"] > 10 * max(row["p2_share"], 1e-9)
+
+
+def test_stream_kalman_equals_batch(spark, tmp_path):
+    """AvailableNow-drained stream_kalman == the batch kalman1d fold,
+    across TWO micro-batch files to exercise the state carry."""
+    import datetime as dt
+    import pandas as pd
+    rng = _rng(131)
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), int(i % 3),
+             int(rng.integers(0, 500))) for i in range(60)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                      "cents"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf.iloc[:30].to_parquet(src / "part-0.parquet", index=False)
+    pdf.iloc[30:].to_parquet(src / "part-1.parquet", index=False)
+    schema = spark.read.parquet(str(src)).schema
+    from pyspark.sql import Window, functions as F
+    from hiselspark.streaming.sessions import run_stream_to_batch
+    from hiselspark.streaming.stateful import stream_kalman
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = run_stream_to_batch(
+        stream_kalman(stream, "user_id", "ts", "cents", "event_id"),
+        output_mode="update")
+    w = Window.partitionBy("entity").orderBy(F.col("n_events").desc())
+    fin = {r["entity"]: r for r in
+           (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") == 1).collect())}
+    for u in (0, 1, 2):
+        seq = pdf[pdf.user_id == u].sort_values(["ts", "event_id"])
+        vals = seq.cents.astype(float).tolist()
+        m, p, k = vals[0], 4.0, 0.5
+        for x in vals[1:]:
+            pp = p + 1.0
+            k = pp / (pp + 4.0)
+            m = m + k * (x - m)
+            p = (1.0 - k) * pp
+        assert fin[u]["n_events"] == len(vals)
+        assert fin[u]["level"] == pytest.approx(m, rel=1e-14)
+        assert fin[u]["p_var"] == pytest.approx(p, rel=1e-14)
+        assert fin[u]["gain"] == pytest.approx(k, rel=1e-14)
