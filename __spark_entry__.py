@@ -7677,6 +7677,38 @@ def q_streaming_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.round("gain", 6).alias("gain")))
 
 
+def q_image_glcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haralick GLCM texture stats (8-level quantized, horizontal
+    pairs) on synthesized 8x8 raw payloads — contrast / energy
+    numerator / lcm-840 homogeneity numerator all exact int64; the
+    oracle replays every pixel pair and the 64-cell histogram."""
+    from hiselspark.functions.image import with_glcm_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_glcm_stats(imgs)
+    return out.select("okey", "glcm_pairs", "glcm_contrast",
+                      "glcm_energy_num", "glcm_hom840")
+
+
+def q_image_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row/column projection profiles on synthesized 8x8 raw
+    payloads — profile sums of squares and center-of-mass numerators
+    exact int64; the oracle re-derives both profiles from the pixel
+    arithmetic."""
+    from hiselspark.functions.image import with_projection_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    out = with_projection_stats(imgs)
+    return out.select("okey", "proj_total", "proj_row_ssq",
+                      "proj_col_ssq", "com_y_num", "com_x_num")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7850,6 +7882,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dickey_fuller": q_dickey_fuller,
         "periodogram": q_periodogram,
         "streaming_kalman": q_streaming_kalman,
+        "image_glcm": q_image_glcm,
+        "image_projection": q_image_projection,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20154,5 +20188,60 @@ def _oracle_sql_raw() -> dict[str, str]:
                round(m, 6) AS level, round(p, 6) AS p_var,
                round(k, 6) AS gain
         FROM rec WHERE i = n
+    """
+    oracles["image_glcm"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, y, x,
+                 ((((okey*7919 + (y*24 + x*3 + 0)*31) % 256) + ((okey*7919 + (y*24 + x*3 + 1)*31) % 256) + ((okey*7919 + (y*24 + x*3 + 2)*31) % 256)) * 8) // 766 AS qa,
+                 ((((okey*7919 + (y*24 + (x+1)*3 + 0)*31) % 256) + ((okey*7919 + (y*24 + (x+1)*3 + 1)*31) % 256) + ((okey*7919 + (y*24 + (x+1)*3 + 2)*31) % 256)) * 8) // 766 AS qb
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 6)) AS tx(x)
+        ), cells AS (
+          SELECT okey, qa, qb, CAST(count(*) AS BIGINT) AS c
+          FROM px GROUP BY okey, qa, qb
+        ), en AS (
+          SELECT okey, CAST(sum(c*c) AS BIGINT) AS energy_num
+          FROM cells GROUP BY okey
+        ), st AS (
+          SELECT okey,
+                 CAST(count(*) AS BIGINT) AS pairs,
+                 CAST(sum((qa-qb)*(qa-qb)) AS BIGINT) AS contrast,
+                 CAST(sum(840 // (1 + abs(qa-qb))) AS BIGINT)
+                   AS hom840
+          FROM px GROUP BY okey
+        )
+        SELECT st.okey, st.pairs AS glcm_pairs,
+               st.contrast AS glcm_contrast,
+               en.energy_num AS glcm_energy_num,
+               st.hom840 AS glcm_hom840
+        FROM st JOIN en ON st.okey = en.okey
+    """
+    oracles["image_projection"] = """
+        WITH px AS (
+          SELECT o_orderkey AS okey, y, x, (((okey*7919 + (y*24 + x*3 + 0)*31) % 256) + ((okey*7919 + (y*24 + x*3 + 1)*31) % 256) + ((okey*7919 + (y*24 + x*3 + 2)*31) % 256)) AS g
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 7)) AS tx(x)
+        ), rows_ AS (
+          SELECT okey, y, CAST(sum(g) AS BIGINT) AS r
+          FROM px GROUP BY okey, y
+        ), cols_ AS (
+          SELECT okey, x, CAST(sum(g) AS BIGINT) AS c
+          FROM px GROUP BY okey, x
+        ), ra AS (
+          SELECT okey, CAST(sum(r) AS BIGINT) AS total,
+                 CAST(sum(r*r) AS BIGINT) AS rssq,
+                 CAST(sum(y*r) AS BIGINT) AS comy
+          FROM rows_ GROUP BY okey
+        ), ca AS (
+          SELECT okey, CAST(sum(c*c) AS BIGINT) AS cssq,
+                 CAST(sum(x*c) AS BIGINT) AS comx
+          FROM cols_ GROUP BY okey
+        )
+        SELECT ra.okey, ra.total AS proj_total,
+               ra.rssq AS proj_row_ssq, ca.cssq AS proj_col_ssq,
+               ra.comy AS com_y_num, ca.comx AS com_x_num
+        FROM ra JOIN ca ON ra.okey = ca.okey
     """
     return oracles

@@ -1784,3 +1784,167 @@ def with_harris_corners(df: DataFrame,
             yield _harris_frame(pdf, int(threshold))
 
     return df.mapInPandas(run, out_schema)
+
+
+def _glcm_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Gray-level co-occurrence (GLCM, Haralick 1973) texture stats
+    per image over HORIZONTAL neighbor pairs of the 8-level-quantized
+    grayscale channel sum (q = g·8 DIV 766, g ∈ [0, 765]):
+
+    * ``glcm_pairs``      number of pairs (h·(w−1))
+    * ``glcm_contrast``   Σ (q_a − q_b)²            (exact int)
+    * ``glcm_energy_num`` Σ_{cells} count²          (exact int;
+                          energy = num / pairs²)
+    * ``glcm_hom840``     Σ_d n_d · (840/(1+d))     (exact int;
+                          homogeneity = num / 840 / pairs —
+                          840 = lcm(1..8) clears every reciprocal)
+
+    Everything is integer until the caller divides — the
+    "exact sufficient statistics, one mirrored division" image-ops
+    convention."""
+    m = len(pdf)
+    npair = np.empty(m, dtype=np.int64)
+    contrast = np.empty(m, dtype=np.int64)
+    energy = np.empty(m, dtype=np.int64)
+    hom840 = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        q = (g * 8) // 766
+        qa = q[:, :, :-1]
+        qb = q[:, :, 1:]
+        d = np.abs(qa - qb)
+        npair[rows] = h * (w - 1)
+        contrast[rows] = (d * d).sum(axis=(1, 2), dtype=np.int64)
+        lut = np.array([840 // (1 + k) for k in range(8)],
+                       dtype=np.int64)
+        hom840[rows] = lut[d].sum(axis=(1, 2), dtype=np.int64)
+        codes = (qa * 8 + qb).reshape(n, -1)
+        for j, r in enumerate(rows):
+            cnt = np.bincount(codes[j], minlength=64)
+            energy[r] = int((cnt.astype(np.int64) ** 2).sum())
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["glcm_pairs"] = npair
+    out["glcm_contrast"] = contrast
+    out["glcm_energy_num"] = energy
+    out["glcm_hom840"] = hom840
+    return out
+
+
+def with_glcm_stats(df: DataFrame) -> DataFrame:
+    """Append GLCM texture statistics (see :func:`_glcm_frame`) and
+    drop the payload — Arrow-batched ``mapInPandas`` over
+    shape-grouped raw payloads, integer arithmetic end to end."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("glcm_pairs", T.LongType()),
+           T.StructField("glcm_contrast", T.LongType()),
+           T.StructField("glcm_energy_num", T.LongType()),
+           T.StructField("glcm_hom840", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _glcm_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)
+
+
+def _projection_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Row/column projection profile per image — the classic
+    shift/skew detector (document layout, horizon finding): with
+    R_y = Σ_x g(y,x) and C_x = Σ_y g(y,x) over the grayscale channel
+    sum, emits
+
+    * ``proj_total``    Σ g                    (exact int)
+    * ``proj_row_ssq``  Σ R_y²                 (exact int)
+    * ``proj_col_ssq``  Σ C_x²                 (exact int)
+    * ``com_y_num``     Σ y·R_y (0-based)      (exact int;
+                        center of mass y = num / total)
+    * ``com_x_num``     Σ x·C_x                (exact int)
+
+    Profile variance and center of mass are single mirrored
+    divisions off these."""
+    m = len(pdf)
+    total = np.empty(m, dtype=np.int64)
+    rssq = np.empty(m, dtype=np.int64)
+    cssq = np.empty(m, dtype=np.int64)
+    comy = np.empty(m, dtype=np.int64)
+    comx = np.empty(m, dtype=np.int64)
+    bufs = pdf["bytes"].to_numpy()
+    ws = pdf["w"].to_numpy()
+    hs = pdf["h"].to_numpy()
+    fmts = pdf["fmt"].to_numpy()
+
+    def fill(rows, cube):
+        n, h, w, _ = cube.shape
+        g = cube.sum(axis=3, dtype=np.int64)
+        r = g.sum(axis=2, dtype=np.int64)
+        c = g.sum(axis=1, dtype=np.int64)
+        total[rows] = r.sum(axis=1, dtype=np.int64)
+        rssq[rows] = (r * r).sum(axis=1, dtype=np.int64)
+        cssq[rows] = (c * c).sum(axis=1, dtype=np.int64)
+        comy[rows] = (np.arange(h, dtype=np.int64)[None, :]
+                      * r).sum(axis=1, dtype=np.int64)
+        comx[rows] = (np.arange(w, dtype=np.int64)[None, :]
+                      * c).sum(axis=1, dtype=np.int64)
+
+    raw = fmts == "raw"
+    if raw.any():
+        shape_key = ws.astype(np.int64) << 32 | hs.astype(np.int64)
+        for key in np.unique(shape_key[raw]):
+            rows = np.nonzero(raw & (shape_key == key))[0]
+            w, h = int(key >> 32), int(key & 0xFFFFFFFF)
+            block = np.frombuffer(
+                b"".join(bufs[r] for r in rows),
+                dtype=np.uint8).reshape(len(rows), h, w, 3)
+            fill(rows, block)
+    for r in np.nonzero(~raw)[0]:
+        img = decode_image(bufs[r], int(ws[r]), int(hs[r]),
+                           str(fmts[r]))
+        fill(np.array([r]), img[None, ...])
+    out = pdf.drop(columns=["bytes"]).copy()
+    out["proj_total"] = total
+    out["proj_row_ssq"] = rssq
+    out["proj_col_ssq"] = cssq
+    out["com_y_num"] = comy
+    out["com_x_num"] = comx
+    return out
+
+
+def with_projection_stats(df: DataFrame) -> DataFrame:
+    """Append projection-profile statistics (see
+    :func:`_projection_frame`) and drop the payload — Arrow-batched
+    ``mapInPandas``, integer arithmetic end to end."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [T.StructField("proj_total", T.LongType()),
+           T.StructField("proj_row_ssq", T.LongType()),
+           T.StructField("proj_col_ssq", T.LongType()),
+           T.StructField("com_y_num", T.LongType()),
+           T.StructField("com_x_num", T.LongType())])
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            yield _projection_frame(pdf)
+
+    return df.mapInPandas(run, out_schema)

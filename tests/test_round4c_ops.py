@@ -941,3 +941,53 @@ def test_stream_kalman_equals_batch(spark, tmp_path):
         assert fin[u]["level"] == pytest.approx(m, rel=1e-14)
         assert fin[u]["p_var"] == pytest.approx(p, rel=1e-14)
         assert fin[u]["gain"] == pytest.approx(k, rel=1e-14)
+
+
+def _raw_imgs_df(spark, n, w=8, h=8, mult=7919, step=31):
+    import pandas as pd
+    rows = []
+    for k in range(n):
+        i = np.arange(w * h * 3, dtype=np.int64)
+        buf = ((k * mult + i * step) % 256).astype(np.uint8).tobytes()
+        rows.append((k, w, h, "raw", buf))
+    pdf = pd.DataFrame(rows, columns=["okey", "w", "h", "fmt",
+                                      "bytes"])
+    return spark.createDataFrame(pdf)
+
+
+def test_glcm_brute(spark):
+    from hiselspark.functions.image import with_glcm_stats
+    df = _raw_imgs_df(spark, 6)
+    out = {r["okey"]: r for r in with_glcm_stats(df).collect()}
+    for k in range(6):
+        i = np.arange(8 * 8 * 3, dtype=np.int64)
+        px = ((k * 7919 + i * 31) % 256).reshape(8, 8, 3)
+        g = px.sum(axis=2)
+        q = (g * 8) // 766
+        qa, qb = q[:, :-1], q[:, 1:]
+        d = np.abs(qa - qb)
+        r = out[k]
+        assert r["glcm_pairs"] == 56
+        assert r["glcm_contrast"] == int((d * d).sum())
+        cnt = np.bincount((qa * 8 + qb).ravel(), minlength=64)
+        assert r["glcm_energy_num"] == int((cnt.astype(int)**2).sum())
+        assert r["glcm_hom840"] == int(
+            sum(840 // (1 + dd) for dd in d.ravel()))
+
+
+def test_projection_brute(spark):
+    from hiselspark.functions.image import with_projection_stats
+    df = _raw_imgs_df(spark, 6)
+    out = {r["okey"]: r for r in with_projection_stats(df).collect()}
+    for k in range(6):
+        i = np.arange(8 * 8 * 3, dtype=np.int64)
+        px = ((k * 7919 + i * 31) % 256).reshape(8, 8, 3)
+        g = px.sum(axis=2)
+        rr = g.sum(axis=1)
+        cc = g.sum(axis=0)
+        r = out[k]
+        assert r["proj_total"] == int(g.sum())
+        assert r["proj_row_ssq"] == int((rr * rr).sum())
+        assert r["proj_col_ssq"] == int((cc * cc).sum())
+        assert r["com_y_num"] == int((np.arange(8) * rr).sum())
+        assert r["com_x_num"] == int((np.arange(8) * cc).sum())
