@@ -7709,6 +7709,44 @@ def q_image_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "proj_col_ssq", "com_y_num", "com_x_num")
 
 
+def q_rbf_hsic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF-kernel biased HSIC between k mod 12 and k mod 8 (the
+    theils_u pairing) in closed count-table form — the continuous-
+    kernel completion of the delta-HSIC gate: nested sorted folds
+    over the bounded joint alphabet, gamma an exact binary fraction,
+    the oracle replays the double fold with nested list_reduce."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.feature_rank import rbf_hsic_table
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.pmod(F.col("__p.k"), 12).cast("long").alias("x"),
+                   F.pmod(F.col("__p.k"), 8).cast("long").alias("y")))
+    out = rbf_hsic_table(d, "x", "y")
+    return out.select("n", "n_cells",
+                      F.round("hsic", 6).alias("hsic"))
+
+
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF-kernel two-sample MMD between the month halves over the
+    psi_drift 200-cent bucketing — one O(V^2) sorted pair fold
+    accumulating all three kernel sums, mirrored by the oracle's
+    nested list_reduce."""
+    from hiselspark.operators.drift import mmd_rbf_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents",
+                      F.round(F.col("value") * 100).cast("long"))
+          .withColumn("bucket", F.least(F.col("cents") / F.lit(200),
+                                        F.lit(24)).cast("long")))
+    out = mmd_rbf_drift(ev, "bucket",
+                        F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                       .cast("timestamp"))
+    return out.select("n_ref", "n_cur", "n_values",
+                      F.round("mmd2", 9).alias("mmd2"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7884,6 +7922,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kalman": q_streaming_kalman,
         "image_glcm": q_image_glcm,
         "image_projection": q_image_projection,
+        "rbf_hsic": q_rbf_hsic,
+        "mmd_drift": q_mmd_drift,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20243,5 +20283,126 @@ def _oracle_sql_raw() -> dict[str, str]:
                ra.rssq AS proj_row_ssq, ca.cssq AS proj_col_ssq,
                ra.comy AS com_y_num, ca.comx AS com_x_num
         FROM ra JOIN ca ON ra.okey = ca.okey
+    """
+    oracles["rbf_hsic"] = """
+        WITH d AS (
+          SELECT CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 12 AS BIGINT) AS x,
+                 CAST(CAST(json_extract_string(props, '$.k')
+                           AS BIGINT) % 8 AS BIGINT) AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), cells AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY x, y
+        ), one AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_cells,
+                 list_sort(list({'x': x, 'y': y, 'c': c})) AS cl
+          FROM cells
+        ), m AS (
+          SELECT n, n_cells,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              list_reduce(list_prepend(0.0, list_transform(cl, i ->
+                CAST(o.c * i.c AS DOUBLE)
+                * exp((-0.0078125)
+                      * CAST((o.x-i.x)*(o.x-i.x) AS DOUBLE))
+                * exp((-0.0078125)
+                      * CAST((o.y-i.y)*(o.y-i.y) AS DOUBLE)))),
+                (a, v) -> a + v))),
+              (a, v) -> a + v) AS t1,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              CAST(o.c AS DOUBLE)
+              * list_reduce(list_prepend(0.0,
+                  list_transform(cl, s -> CAST(s.c AS DOUBLE)
+                    * exp((-0.0078125)
+                          * CAST((o.x-s.x)*(o.x-s.x) AS DOUBLE)))),
+                  (a, v) -> a + v)
+              * list_reduce(list_prepend(0.0,
+                  list_transform(cl, s -> CAST(s.c AS DOUBLE)
+                    * exp((-0.0078125)
+                          * CAST((o.y-s.y)*(o.y-s.y) AS DOUBLE)))),
+                  (a, v) -> a + v))),
+              (a, v) -> a + v) AS t2,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              CAST(o.c AS DOUBLE)
+              * list_reduce(list_prepend(0.0,
+                  list_transform(cl, s -> CAST(s.c AS DOUBLE)
+                    * exp((-0.0078125)
+                          * CAST((o.x-s.x)*(o.x-s.x) AS DOUBLE)))),
+                  (a, v) -> a + v))),
+              (a, v) -> a + v) AS sk,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              CAST(o.c AS DOUBLE)
+              * list_reduce(list_prepend(0.0,
+                  list_transform(cl, s -> CAST(s.c AS DOUBLE)
+                    * exp((-0.0078125)
+                          * CAST((o.y-s.y)*(o.y-s.y) AS DOUBLE)))),
+                  (a, v) -> a + v))),
+              (a, v) -> a + v) AS sl
+          FROM one
+        )
+        SELECT n, n_cells,
+               round(t1 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 - 2.0 * t2 / ((CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))
+                               * CAST(n AS DOUBLE))
+                 + (sk / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   * (sl / (CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE))), 6) AS hsic
+        FROM m
+    """
+    oracles["mmd_drift"] = """
+        WITH q AS (
+          SELECT least(CAST(round(value*100) AS BIGINT) // 200, 24)
+                   AS v,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM events
+        ), per_v AS (
+          SELECT v, CAST(SUM(is_ref) AS BIGINT) AS cr,
+                 CAST(SUM(1 - is_ref) AS BIGINT) AS cc
+          FROM q GROUP BY v
+        ), one AS (
+          SELECT CAST(sum(cr) AS BIGINT) AS n_ref,
+                 CAST(sum(cc) AS BIGINT) AS n_cur,
+                 CAST(count(*) AS BIGINT) AS n_values,
+                 list_sort(list({'v': v, 'cr': cr, 'cc': cc})) AS cl
+          FROM per_v
+        ), m AS (
+          SELECT n_ref, n_cur, n_values,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              list_reduce(list_prepend(0.0, list_transform(cl, i ->
+                CAST(o.cr * i.cr AS DOUBLE)
+                * exp((-0.0078125)
+                      * CAST((o.v-i.v)*(o.v-i.v) AS DOUBLE)))),
+                (a, x) -> a + x))),
+              (a, x) -> a + x) AS srr,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              list_reduce(list_prepend(0.0, list_transform(cl, i ->
+                CAST(o.cc * i.cc AS DOUBLE)
+                * exp((-0.0078125)
+                      * CAST((o.v-i.v)*(o.v-i.v) AS DOUBLE)))),
+                (a, x) -> a + x))),
+              (a, x) -> a + x) AS scc,
+            list_reduce(list_prepend(0.0, list_transform(cl, o ->
+              list_reduce(list_prepend(0.0, list_transform(cl, i ->
+                CAST(o.cr * i.cc AS DOUBLE)
+                * exp((-0.0078125)
+                      * CAST((o.v-i.v)*(o.v-i.v) AS DOUBLE)))),
+                (a, x) -> a + x))),
+              (a, x) -> a + x) AS src_
+          FROM one
+        )
+        SELECT n_ref, n_cur, n_values,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN round(srr / (CAST(n_ref AS DOUBLE)
+                                      * CAST(n_ref AS DOUBLE))
+                         + scc / (CAST(n_cur AS DOUBLE)
+                                  * CAST(n_cur AS DOUBLE))
+                         - 2.0 * src_ / (CAST(n_ref AS DOUBLE)
+                                         * CAST(n_cur AS DOUBLE)),
+                         9) END AS mmd2
+        FROM m
     """
     return oracles

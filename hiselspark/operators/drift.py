@@ -549,3 +549,73 @@ def tv_drift(
                 / (F.lit(2.0) * F.col("n_ref").cast("double")
                    * F.col("n_cur").cast("double")))
     return per_key.withColumn("tv", tv)
+
+
+def mmd_rbf_drift(
+    df: DataFrame,
+    bucket_col: str,
+    is_reference: Column,
+    gamma: float = 1.0 / 128.0,
+) -> DataFrame:
+    """Biased two-sample Maximum Mean Discrepancy with an RBF kernel
+    over a QUANTIZED value column — the kernel-space drift metric
+    completing the PSI/JSD/Hellinger/TV family (and the two-sample
+    face of the HSIC machinery this engine is built around):
+
+        MMD² = S_rr/n_r² + S_cc/n_c² − 2·S_rc/(n_r·n_c)
+        S_ab = Σ_{v,v'} a_v·b_{v'}·exp(−γ(v−v')²)
+
+    Computed on the per-value count table: one O(V²) pair fold (the
+    quantized-domain contract bounds V) accumulating all three sums
+    in a single struct-accumulator pass, sorted pair order inside and
+    out — mirrored by the oracle's nested list_reduce.  γ defaults to
+    an exact binary fraction; the final round-6 absorbs last-ulp libm
+    exp differences (the psi/ln convention).  Returns one row:
+    (n_ref, n_cur, n_values, mmd2)."""
+    g = F.lit(float(gamma))
+    ref = is_reference.cast("long")
+    per_v = (df.groupBy(F.col(bucket_col).alias("v"))
+               .agg(F.sum(ref).alias("cr"),
+                    F.sum(1 - ref).alias("cc")))
+    one = per_v.agg(
+        F.sum("cr").alias("n_ref"),
+        F.sum("cc").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_values"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("v").alias("v"), F.col("cr").alias("cr"),
+            F.col("cc").alias("cc")))).alias("cl"))
+    cl = F.col("cl")
+
+    def kern(a, b):
+        d = (a - b)
+        return F.exp(-g * (d * d).cast("double"))
+
+    zero = F.struct(F.lit(0.0).alias("rr"), F.lit(0.0).alias("cc"),
+                    F.lit(0.0).alias("rc"))
+
+    def outer(acc, o):
+        inner = F.aggregate(
+            cl, zero,
+            lambda a2, i: F.struct(
+                (a2["rr"] + (o["cr"] * i["cr"]).cast("double")
+                 * kern(o["v"], i["v"])).alias("rr"),
+                (a2["cc"] + (o["cc"] * i["cc"]).cast("double")
+                 * kern(o["v"], i["v"])).alias("cc"),
+                (a2["rc"] + (o["cr"] * i["cc"]).cast("double")
+                 * kern(o["v"], i["v"])).alias("rc")))
+        return F.struct(
+            (acc["rr"] + inner["rr"]).alias("rr"),
+            (acc["cc"] + inner["cc"]).alias("cc"),
+            (acc["rc"] + inner["rc"]).alias("rc"))
+
+    s = F.aggregate(cl, zero, outer)
+    nr = F.col("n_ref").cast("double")
+    nc = F.col("n_cur").cast("double")
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    mmd2 = F.when(ok, s["rr"] / (nr * nr) + s["cc"] / (nc * nc)
+                  - F.lit(2.0) * s["rc"] / (nr * nc))
+    return one.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("n_values").cast("long").alias("n_values"),
+        mmd2.alias("mmd2"))

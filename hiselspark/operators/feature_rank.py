@@ -611,3 +611,93 @@ def g_test(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                     F.col("c").cast("long").alias("c"),
                     g.alias("g_stat"),
                     dof.cast("long").alias("df"))
+
+
+def rbf_hsic_table(df: DataFrame, x_col: str, y_col: str,
+                   gamma_x: float = 1.0 / 128.0,
+                   gamma_y: float = 1.0 / 128.0) -> DataFrame:
+    """Biased HSIC with RBF (Gaussian) kernels between two
+    integer-QUANTIZED columns, computed in closed form on the joint
+    count table — the continuous-kernel completion of
+    :func:`delta_hsic_table` (the reference's other kernel family,
+    ``/root/reference/hisel/kernels.py`` featwise RBF + ``hsic_b``):
+
+        HSIC_b = T₁/n² − 2·T₂/n³ + (S_K/n²)·(S_L/n²)
+
+        T₁  = Σ_{cells a,b} c_a c_b K(x_a,x_b) L(y_a,y_b)
+        rK(x) = Σ_{x'} c_{x'} K(x,x')        (x-marginal fold)
+        T₂  = Σ_cells c·rK(x)·rL(y)
+        S_K = Σ_x c_x·rK(x)
+
+    with K(x,x') = exp(−γₓ(x−x')²).  The quantized-domain contract
+    (kendall_tau module note) bounds the joint alphabet, so T₁ is an
+    O(cells²) DOUBLE-NESTED sorted fold — deterministic order inside
+    and out, mirrored by the SQL oracle's nested list_reduce; the
+    marginal folds are O(V²).  γ defaults are exact binary fractions
+    so the exp argument is an exact double (the final round-6 absorbs
+    the last-ulp libm exp differences across engines, the psi/ln
+    convention).  Returns one row: (n, n_cells, hsic)."""
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    gx, gy = F.lit(float(gamma_x)), F.lit(float(gamma_y))
+    cells = (df.filter(x.isNotNull() & y.isNotNull())
+               .select(x.alias("__x"), y.alias("__y"))
+               .groupBy("__x", "__y")
+               .agg(F.count(F.lit(1)).alias("__c")))
+    one = cells.agg(
+        F.sum("__c").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("__x").alias("x"), F.col("__y").alias("y"),
+            F.col("__c").alias("c")))).alias("cl"))
+
+    def k(d2, g):
+        return F.exp(-g * d2.cast("double"))
+
+    def kx(a, b):
+        return k((a - b) * (a - b), gx)
+
+    def ky(a, b):
+        return k((a - b) * (a - b), gy)
+
+    cl = F.col("cl")
+    # T1: nested sorted fold over cell pairs
+    t1 = F.aggregate(
+        cl, F.lit(0.0),
+        lambda acc, o: acc + F.aggregate(
+            cl, F.lit(0.0),
+            lambda a2, i: a2 + (o["c"] * i["c"]).cast("double")
+            * kx(o["x"], i["x"]) * ky(o["y"], i["y"])))
+    # rK(x) = Σ_cells c·K(x, cell.x) — cell counts sum to the
+    # x-marginal, so this IS the marginal fold, in cell-sort order
+    def rk_cells(xv):
+        return F.aggregate(
+            cl, F.lit(0.0),
+            lambda a2, s: a2 + s["c"].cast("double")
+            * kx(xv, s["x"]))
+
+    def rl_cells(yv):
+        return F.aggregate(
+            cl, F.lit(0.0),
+            lambda a2, s: a2 + s["c"].cast("double")
+            * ky(yv, s["y"]))
+
+    t2 = F.aggregate(
+        cl, F.lit(0.0),
+        lambda acc, o: acc + o["c"].cast("double")
+        * rk_cells(o["x"]) * rl_cells(o["y"]))
+    sk = F.aggregate(
+        cl, F.lit(0.0),
+        lambda acc, o: acc + o["c"].cast("double")
+        * rk_cells(o["x"]))
+    sl = F.aggregate(
+        cl, F.lit(0.0),
+        lambda acc, o: acc + o["c"].cast("double")
+        * rl_cells(o["y"]))
+    nd = F.col("n").cast("double")
+    d2 = nd * nd
+    hsic = (t1 / d2 - F.lit(2.0) * t2 / (d2 * nd)
+            + (sk / d2) * (sl / d2))
+    return one.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        hsic.alias("hsic"))

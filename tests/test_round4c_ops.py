@@ -991,3 +991,60 @@ def test_projection_brute(spark):
         assert r["proj_col_ssq"] == int((cc * cc).sum())
         assert r["com_y_num"] == int((np.arange(8) * rr).sum())
         assert r["com_x_num"] == int((np.arange(8) * cc).sum())
+
+
+def test_rbf_hsic_brute(spark):
+    from hiselspark.operators.feature_rank import rbf_hsic_table
+    rng = _rng(137)
+    n = 600
+    k = rng.integers(0, 48, n)
+    x = k % 12
+    y = k % 8  # shared mod-4 factor -> dependent
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y)], ["x", "y"])
+    row = rbf_hsic_table(df, "x", "y").collect()[0]
+    gx = gy = 1.0 / 128.0
+    kx = np.exp(-gx * (x[:, None] - x[None, :]).astype(float) ** 2)
+    ky = np.exp(-gy * (y[:, None] - y[None, :]).astype(float) ** 2)
+    h = np.eye(n) - np.ones((n, n)) / n
+    hsic = float(np.trace(kx @ h @ ky @ h)) / n ** 2
+    assert row["n"] == n
+    assert row["hsic"] == pytest.approx(hsic, rel=1e-9)
+    # independent pairing -> much smaller HSIC
+    y2 = rng.integers(0, 8, n)
+    df2 = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(x, y2)], ["x", "y"])
+    row2 = rbf_hsic_table(df2, "x", "y").collect()[0]
+    assert row2["hsic"] < row["hsic"] / 3
+
+
+def test_mmd_rbf_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.drift import mmd_rbf_drift
+    rng = _rng(139)
+    n = 800
+    ref = rng.integers(0, 2, n)
+    v = np.where(ref == 1, rng.integers(0, 20, n),
+                 rng.integers(6, 30, n))  # shifted current
+    df = spark.createDataFrame(
+        [(int(a), int(r)) for a, r in zip(v, ref)], ["v", "r"])
+    row = mmd_rbf_drift(df, "v", F.col("r") == 1).collect()[0]
+    a = v[ref == 1].astype(float)
+    b = v[ref == 0].astype(float)
+    g = 1.0 / 128.0
+
+    def s(u, w):
+        return float(np.exp(-g * (u[:, None] - w[None, :]) ** 2)
+                     .sum())
+
+    mmd2 = (s(a, a) / len(a) ** 2 + s(b, b) / len(b) ** 2
+            - 2 * s(a, b) / (len(a) * len(b)))
+    assert row["n_ref"] == len(a) and row["n_cur"] == len(b)
+    assert row["mmd2"] == pytest.approx(mmd2, rel=1e-9)
+    assert row["mmd2"] > 0.003  # the planted shift is detected
+    # identical populations -> tiny MMD
+    df2 = spark.createDataFrame(
+        [(int((x // 2) % 20), int(x % 2)) for x in range(400)],
+        ["v", "r"])
+    row2 = mmd_rbf_drift(df2, "v", F.col("r") == 1).collect()[0]
+    assert abs(row2["mmd2"]) < 1e-9
