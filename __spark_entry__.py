@@ -7747,6 +7747,49 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("mmd2", 9).alias("mmd2"))
 
 
+def q_rolling_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour VWAP of cents weighted by a derived integer
+    volume — both window sums exact int64, one mirrored division
+    (NULL on zero-volume windows)."""
+    from hiselspark.operators.windows import rolling_vwap
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (1 + F.pmod(F.col("event_id"), 9)).alias("vol"))
+    out = rolling_vwap(ev, "user_id", "ts", "cents", "vol", 3600.0)
+    return out.select("event_id",
+                      F.round("roll_vwap", 6).alias("roll_vwap"))
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour Bollinger %B and band-breach flags on cents —
+    the breach decision is the exact INTEGER comparison
+    (n*x - Sv)^2 * (n-1) > k^2 * n * (n*Sv2 - Sv^2), so on-band ties
+    classify identically in every engine; %B mirrored."""
+    from hiselspark.operators.windows import bollinger_bands
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = bollinger_bands(ev, "user_id", "ts", "cents", 3600.0, 2)
+    return out.select("event_id",
+                      F.round("pct_b", 6).alias("pct_b"),
+                      "above_upper", "below_lower")
+
+
+def q_rolling_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI over the trailing hour of cents moves — gain and
+    loss sums exact int64 (lag diffs assigned to the later row,
+    (ts, event_id) tie order), RSI one mirrored division."""
+    from hiselspark.operators.windows import rolling_rsi
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = rolling_rsi(ev, "user_id", "ts", "cents", 3600.0,
+                      "event_id")
+    return out.select("event_id", "rsi_gain", "rsi_loss",
+                      F.round("rsi", 6).alias("rsi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7924,6 +7967,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_projection": q_image_projection,
         "rbf_hsic": q_rbf_hsic,
         "mmd_drift": q_mmd_drift,
+        "rolling_vwap": q_rolling_vwap,
+        "bollinger": q_bollinger,
+        "rolling_rsi": q_rolling_rsi,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20404,5 +20450,96 @@ def _oracle_sql_raw() -> dict[str, str]:
                                          * CAST(n_cur AS DOUBLE)),
                          9) END AS mmd2
         FROM m
+    """
+    oracles["rolling_vwap"] = """
+        WITH d AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(round(value*100) AS BIGINT) AS p,
+                 CAST(1 + event_id % 9 AS BIGINT) AS v
+          FROM events
+        ), w AS (
+          SELECT event_id,
+                 CAST(sum(v) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS sv,
+                 CAST(sum(p*v) OVER (PARTITION BY user_id
+                      ORDER BY us
+                      RANGE BETWEEN 3600000000 PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS spv
+          FROM d
+        )
+        SELECT event_id,
+               CASE WHEN sv > 0
+                    THEN round(CAST(spv AS DOUBLE)
+                               / CAST(sv AS DOUBLE), 6)
+               END AS roll_vwap
+        FROM w
+    """
+    oracles["bollinger"] = """
+        WITH d AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(round(value*100) AS BIGINT) AS x
+          FROM events
+        ), w AS (
+          SELECT event_id, x,
+                 CAST(count(*) OVER win AS BIGINT) AS n,
+                 CAST(sum(x) OVER win AS BIGINT) AS sv,
+                 CAST(sum(x*x) OVER win AS BIGINT) AS ssv
+          FROM d
+          WINDOW win AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                         AND CURRENT ROW)
+        ), m AS (
+          SELECT event_id,
+                 n*x - sv AS dev,
+                 n*ssv - sv*sv AS var_num, n
+          FROM w
+        )
+        SELECT event_id,
+               CASE WHEN n >= 2 AND var_num > 0
+                    THEN round((CAST(dev AS DOUBLE)
+                                / CAST(n AS DOUBLE))
+                         / (2.0 * sqrt(CAST(var_num AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)))), 6)
+               END AS pct_b,
+               (dev > 0 AND dev*dev*(n-1) > 4*n*var_num AND n >= 2)
+                 AS above_upper,
+               (dev < 0 AND dev*dev*(n-1) > 4*n*var_num AND n >= 2)
+                 AS below_lower
+        FROM m
+    """
+    oracles["rolling_rsi"] = """
+        WITH d AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 CAST(round(value*100) AS BIGINT) AS x
+          FROM events
+        ), l AS (
+          SELECT user_id, event_id, us,
+                 x - lag(x) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS diff
+          FROM d
+        ), g AS (
+          SELECT user_id, event_id, us,
+                 CAST(CASE WHEN diff > 0 THEN diff ELSE 0 END
+                      AS BIGINT) AS gn,
+                 CAST(CASE WHEN diff < 0 THEN -diff ELSE 0 END
+                      AS BIGINT) AS ls
+          FROM l
+        ), w AS (
+          SELECT event_id,
+                 CAST(sum(gn) OVER win AS BIGINT) AS sg,
+                 CAST(sum(ls) OVER win AS BIGINT) AS sl
+          FROM g
+          WINDOW win AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 3600000000 PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT event_id, sg AS rsi_gain, sl AS rsi_loss,
+               CASE WHEN sg + sl > 0
+                    THEN round(100.0 * CAST(sg AS DOUBLE)
+                               / CAST(sg + sl AS DOUBLE), 6)
+               END AS rsi
+        FROM w
     """
     return oracles

@@ -1357,3 +1357,135 @@ def decayed_count(
 
     s = F.aggregate(lst, F.lit(0.0), lambda acc, x: acc + term(x))
     return df.withColumn(out_col, s)
+
+
+def rolling_vwap(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    price_col: str,
+    volume_col: str,
+    window_seconds: float,
+    out_col: str = "roll_vwap",
+) -> DataFrame:
+    """Trailing volume-weighted average price over the closed
+    interval ``[t − window, t]`` (the module-wide
+    ``rangeBetween(-window, 0)`` convention):
+
+        VWAP = Σ pᵢ·vᵢ / Σ vᵢ
+
+    the liquidity-honest companion of :func:`rolling_twap` — TWAP
+    de-biases irregular sampling in TIME, VWAP in SIZE.  Both sums
+    are exact int64 window aggregates over integer-quantized price
+    and volume (Σp·v ≤ n·max_p·max_v — pick cents/units so it stays
+    under 2⁶³); the division is the one mirrored float op.  NULL when
+    the window's volume is zero.  One entity exchange, two range
+    windows on the shared clustering."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    p = F.col(price_col).cast("long")
+    v = F.col(volume_col).cast("long")
+    sv = F.sum(v).over(w)
+    spv = F.sum(p * v).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(sv > 0, spv.cast("double") / sv.cast("double")))
+
+
+def bollinger_bands(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    n_sigmas: int = 2,
+) -> DataFrame:
+    """Bollinger %B and band-breach flags over the trailing window
+    ``[t − window, t]``: with the window mean m and sample sd s,
+
+        upper/lower = m ± k·s,   %B = (x − m) / (k·s)
+
+    Exactness: (n, Σv, Σv²) are exact int64 window sums, and the
+    BREACH FLAGS are decided by the exact INTEGER comparison
+
+        (n·x − Σv)² · (n−1)  >  k² · n · (n·Σv² − (Σv)²)
+
+    (both sides int64 products of exact ints — no float ever enters
+    the decision), so a value sitting exactly on a band is classified
+    identically by every engine.  ``pct_b`` itself is the one
+    mirrored float expression (NULL when s = 0 or n < 2).  Integer k
+    keeps k² exact.  Adds ``pct_b``, ``above_upper``, ``below_lower``.
+    Overflow: (n·x)²·n bounds the comparison at ~n³·x² — cents with
+    hour-scale windows stay far inside int64; re-quantize for wider
+    windows (documented)."""
+    k = int(n_sigmas)
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    x = F.col(col).cast("long")
+    n = F.count(F.lit(1)).over(w)
+    sv = F.sum(x).over(w)
+    ssv = F.sum(x * x).over(w)
+    dev = n * x - sv                      # n·(x − mean), exact
+    var_num = n * ssv - sv * sv           # n·(n−1)·s² · ... exact
+    lhs = dev * dev * (n - 1)
+    rhs = F.lit(k * k) * n * var_num
+    nd = n.cast("double")
+    s2 = var_num.cast("double") / (nd * (nd - 1.0))
+    pct_b = F.when(
+        (n >= 2) & (var_num > 0),
+        (dev.cast("double") / nd)
+        / (F.lit(float(k)) * F.sqrt(s2)))
+    return (df.withColumn("pct_b", pct_b)
+              .withColumn("above_upper",
+                          (dev > 0) & (lhs > rhs) & (n >= 2))
+              .withColumn("below_lower",
+                          (dev < 0) & (lhs > rhs) & (n >= 2)))
+
+
+def rolling_rsi(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    col: str,
+    window_seconds: float,
+    id_col: str,
+    out_col: str = "rsi",
+) -> DataFrame:
+    """Simple (Cutler's) Relative Strength Index over the trailing
+    window ``[t − window, t]``:
+
+        RSI = 100 · G / (G + L)
+
+    with G = Σ max(Δv, 0) and L = Σ max(−Δv, 0) over the window's
+    lag-1 differences — the classic bounded momentum oscillator
+    (Cutler's moving-sum form, not Wilder's recursive smoothing, so
+    every sufficient statistic is an EXACT int64 window sum; G+L > 0
+    is an exact gate).  Δv uses the (ts, id)-ordered lag within the
+    entity (ties broken by ``id_col``); each row's Δ belongs to the
+    window containing the LATER observation.  NULL when the window
+    has no nonzero move.  Adds ``out_col`` plus exact ``rsi_gain`` /
+    ``rsi_loss`` sums."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    wl = Window.partitionBy(entity_col).orderBy(us, F.col(id_col))
+    x = F.col(col).cast("long")
+    diff = x - F.lag(x).over(wl)
+    gain = F.when(diff > 0, diff).otherwise(F.lit(0))
+    loss = F.when(diff < 0, -diff).otherwise(F.lit(0))
+    tagged = (df.withColumn("__g", gain).withColumn("__l", loss))
+    w = (Window.partitionBy(entity_col)
+               .orderBy(us)
+               .rangeBetween(-int(window_seconds * 1_000_000), 0))
+    sg = F.sum("__g").over(w)
+    sl = F.sum("__l").over(w)
+    rsi = F.when(sg + sl > 0,
+                 F.lit(100.0) * sg.cast("double")
+                 / (sg + sl).cast("double"))
+    return (tagged
+            .withColumn("rsi_gain", sg)
+            .withColumn("rsi_loss", sl)
+            .withColumn(out_col, rsi)
+            .drop("__g", "__l"))

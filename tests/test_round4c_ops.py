@@ -1048,3 +1048,51 @@ def test_mmd_rbf_brute(spark):
         ["v", "r"])
     row2 = mmd_rbf_drift(df2, "v", F.col("r") == 1).collect()[0]
     assert abs(row2["mmd2"]) < 1e-9
+
+
+def test_rolling_vwap_bollinger_rsi_brute(spark):
+    import datetime as dt
+    from hiselspark.operators.windows import (bollinger_bands,
+                                              rolling_rsi,
+                                              rolling_vwap)
+    rng = _rng(149)
+    base = dt.datetime(2024, 1, 1)
+    n = 120
+    ts = [base + dt.timedelta(seconds=int(s)) for s in
+          np.cumsum(rng.integers(10, 120, n))]
+    price = rng.integers(90, 120, n)
+    vol = rng.integers(1, 50, n)
+    rows = [("e", i, ts[i], int(price[i]), int(vol[i]))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, ["e", "id", "ts", "p", "v"])
+    W = 600.0
+
+    out = {r["id"]: r for r in
+           rolling_vwap(df, "e", "ts", "p", "v", W).collect()}
+    bb = {r["id"]: r for r in
+          bollinger_bands(df, "e", "ts", "p", W, 2).collect()}
+    rs = {r["id"]: r for r in
+          rolling_rsi(df, "e", "ts", "p", W, "id").collect()}
+    tsec = np.array([(t - base).total_seconds() for t in ts])
+    for i in range(n):
+        m = (tsec >= tsec[i] - W) & (tsec <= tsec[i])
+        pw, vw = price[m].astype(float), vol[m].astype(float)
+        assert out[i]["roll_vwap"] == pytest.approx(
+            float((pw * vw).sum() / vw.sum()), rel=1e-12)
+        # bollinger
+        nn = int(m.sum())
+        if nn >= 2 and pw.var(ddof=1) > 0:
+            z = (price[i] - pw.mean()) / (2 * pw.std(ddof=1))
+            assert bb[i]["pct_b"] == pytest.approx(z, rel=1e-9)
+            assert bb[i]["above_upper"] == bool(z > 1)
+            assert bb[i]["below_lower"] == bool(z < -1)
+        # rsi over window diffs (diff assigned to the later row)
+        d = np.diff(price.astype(int))
+        dmask = m[1:]  # diff i belongs to row i+1
+        g = int(d[dmask][d[dmask] > 0].sum())
+        ll = int(-d[dmask][d[dmask] < 0].sum())
+        # row 0's diff is NULL->0; windows containing row 0 unaffected
+        assert rs[i]["rsi_gain"] == g and rs[i]["rsi_loss"] == ll
+        if g + ll > 0:
+            assert rs[i]["rsi"] == pytest.approx(
+                100 * g / (g + ll), rel=1e-12)
