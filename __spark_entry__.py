@@ -7790,6 +7790,69 @@ def q_rolling_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("rsi", 6).alias("rsi"))
 
 
+def q_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence with cause = event_id mod
+    3 (0 censored) and duration = cents DIV 500 per event type —
+    exact at-risk windows, the (S, cif1, cif2) prefix fold branch-
+    free so the DuckDB list_reduce replay is safe (croston lesson);
+    surv+cif1+cif2 = 1 row-for-row."""
+    from hiselspark.operators.survival import competing_risks
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.expr("CAST(round(value*100) AS LONG) DIV 500").alias("dur"),
+        F.pmod(F.col("event_id"), 3).cast("long").alias("cause"))
+    out = competing_risks(ev, "event_type", "dur", "cause")
+    return out.select("event_type", "dur", "n_at_risk", "d1", "d2",
+                      "n_censored",
+                      F.round("surv", 6).alias("surv"),
+                      F.round("cif1", 6).alias("cif1"),
+                      F.round("cif2", 6).alias("cif2"))
+
+
+def q_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitagawa mix/rate decomposition of the cents>1000 rate change
+    between month halves across user segments — exact int64 segment
+    cells, the two symmetric-effect folds in segment order; mix +
+    rate = delta exactly."""
+    from hiselspark.operators.evaluate import rate_decomposition
+    ev = _ev(spark, sf_dir).select(
+        F.pmod(F.col("user_id"), 5).cast("long").alias("seg"),
+        (F.round(F.col("value") * 100).cast("long") > 1000)
+        .cast("long").alias("y"),
+        (F.col("ts") < F.lit("2024-01-16 00:00:00")
+         .cast("timestamp")).alias("r"))
+    out = rate_decomposition(ev, "seg", "y", F.col("r"))
+    return out.select("n_ref", "n_cur",
+                      F.round("rate_ref", 6).alias("rate_ref"),
+                      F.round("rate_cur", 6).alias("rate_cur"),
+                      F.round("delta", 6).alias("delta"),
+                      F.round("mix_effect", 6).alias("mix_effect"),
+                      F.round("rate_effect", 6).alias("rate_effect"))
+
+
+def q_by_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR over 100 synthetic hypotheses
+    (p = (k*37 mod 1000)/1000 per distinct props-k) — the harmonic
+    c(m) an i-ordered fold, thresholds and the step-up rejection
+    mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.drift import by_adjust
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.col("__p.k").cast("long").alias("k"))
+           .distinct()
+           .select(F.concat(F.lit("h"), F.col("k")).alias("key"),
+                   (F.pmod(F.col("k") * 37, 1000).cast("double")
+                    / F.lit(1000.0)).alias("p")))
+    out = by_adjust(d, "key", "p", alpha=0.05)
+    return out.select("key", F.round("p", 6).alias("p"), "rank", "m",
+                      F.round("by_threshold", 9)
+                      .alias("by_threshold"), "reject")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -7970,6 +8033,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_vwap": q_rolling_vwap,
         "bollinger": q_bollinger,
         "rolling_rsi": q_rolling_rsi,
+        "competing_risks": q_competing_risks,
+        "rate_decomposition": q_rate_decomposition,
+        "by_adjust": q_by_adjust,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -19708,21 +19774,25 @@ def _oracle_sql_raw() -> dict[str, str]:
           FROM d GROUP BY user_id
         ), folded AS (
           SELECT user_id, n,
+                 -- field order is LOAD-BEARING (the
+                 -- competing_risks lesson): DuckDB 1.0 list_reduce
+                 -- updates accumulator fields sequentially, so 'p'
+                 -- (read by 'm' and 'k') must update LAST
                  list_reduce(
                    list_prepend(
-                     {'m': l[1], 'p': CAST(4.0 AS DOUBLE),
-                      'k': CAST(0.5 AS DOUBLE)},
+                     {'m': l[1], 'k': CAST(0.5 AS DOUBLE),
+                      'p': CAST(4.0 AS DOUBLE)},
                      list_transform(l[2:], v ->
-                       {'m': v, 'p': CAST(0.0 AS DOUBLE),
-                        'k': CAST(0.0 AS DOUBLE)})),
+                       {'m': v, 'k': CAST(0.0 AS DOUBLE),
+                        'p': CAST(0.0 AS DOUBLE)})),
                    (acc, x) -> {
                      'm': acc.m + ((acc.p + 1.0)
                             / ((acc.p + 1.0) + 4.0))
                             * (x.m - acc.m),
+                     'k': (acc.p + 1.0) / ((acc.p + 1.0) + 4.0),
                      'p': (1.0 - (acc.p + 1.0)
                             / ((acc.p + 1.0) + 4.0))
-                            * (acc.p + 1.0),
-                     'k': (acc.p + 1.0) / ((acc.p + 1.0) + 4.0)})
+                            * (acc.p + 1.0)})
                    AS st
           FROM ser
         )
@@ -20541,5 +20611,181 @@ def _oracle_sql_raw() -> dict[str, str]:
                                / CAST(sg + sl AS DOUBLE), 6)
                END AS rsi
         FROM w
+    """
+    oracles["competing_risks"] = """
+        WITH d AS (
+          SELECT event_type AS cohort,
+                 CAST(round(value*100) AS BIGINT) // 500 AS dur,
+                 event_id % 3 AS cause
+          FROM events
+        ), per AS (
+          SELECT cohort, dur,
+                 CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d1,
+                 CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS d2,
+                 CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_censored
+          FROM d GROUP BY cohort, dur
+        ), ar AS (
+          SELECT *,
+                 CAST(sum(d1 + d2 + n_censored)
+                      OVER (PARTITION BY cohort) -
+                      coalesce(sum(d1 + d2 + n_censored)
+                      OVER (PARTITION BY cohort ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT)
+                   AS n_at_risk
+          FROM per
+        ), st AS (
+          SELECT *,
+                 list({'t': dur, 'd1': d1, 'd2': d2,
+                       'n': n_at_risk})
+                   OVER (PARTITION BY cohort ORDER BY dur
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS steps
+          FROM ar
+        ), folded AS (
+          -- field order is LOAD-BEARING: DuckDB 1.0 list_reduce
+          -- updates struct accumulator fields sequentially (later
+          -- fields see earlier fields' NEW values), so the consumed
+          -- state 's' must update LAST; element payload reuses the
+          -- accumulator's field names (c1=d1, c2=d2, s=n) because
+          -- list_prepend requires identical struct types
+          SELECT cohort, dur, n_at_risk, d1, d2, n_censored,
+                 list_reduce(
+                   list_prepend(
+                     {'c1': CAST(0.0 AS DOUBLE),
+                      'c2': CAST(0.0 AS DOUBLE),
+                      's': CAST(1.0 AS DOUBLE)},
+                     list_transform(list_sort(steps), e ->
+                       {'c1': CAST(e.d1 AS DOUBLE),
+                        'c2': CAST(e.d2 AS DOUBLE),
+                        's': CAST(e.n AS DOUBLE)})),
+                   (acc, x) -> {
+                     'c1': acc.c1 + acc.s * (x.c1 / x.s),
+                     'c2': acc.c2 + acc.s * (x.c2 / x.s),
+                     's': acc.s * (1.0 - (x.c1 + x.c2) / x.s)})
+                   AS fin
+          FROM st
+        )
+        SELECT cohort AS event_type, dur, n_at_risk, d1, d2,
+               n_censored,
+               round(fin.s, 6) AS surv,
+               round(fin.c1, 6) AS cif1,
+               round(fin.c2, 6) AS cif2
+        FROM folded
+    """
+    oracles["rate_decomposition"] = """
+        WITH d AS (
+          SELECT user_id % 5 AS seg,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS r
+          FROM events WHERE user_id IS NOT NULL
+        ), per AS (
+          SELECT seg,
+                 CAST(sum(r) AS BIGINT) AS nr,
+                 CAST(sum(r*y) AS BIGINT) AS yr,
+                 CAST(sum(1-r) AS BIGINT) AS nc,
+                 CAST(sum((1-r)*y) AS BIGINT) AS yc
+          FROM d GROUP BY seg
+        ), tot AS (
+          SELECT CAST(sum(nr) AS BIGINT) AS n_ref,
+                 CAST(sum(nc) AS BIGINT) AS n_cur,
+                 CAST(sum(yr) AS BIGINT) AS y_ref,
+                 CAST(sum(yc) AS BIGINT) AS y_cur
+          FROM per
+        ), terms AS (
+          SELECT per.seg,
+                 CAST(per.nr AS DOUBLE) / CAST(tot.n_ref AS DOUBLE)
+                   AS wr,
+                 CAST(per.nc AS DOUBLE) / CAST(tot.n_cur AS DOUBLE)
+                   AS wc,
+                 coalesce(CASE WHEN per.nr > 0
+                               THEN CAST(per.yr AS DOUBLE)
+                                    / CAST(per.nr AS DOUBLE) END,
+                          CASE WHEN per.nc > 0
+                               THEN CAST(per.yc AS DOUBLE)
+                                    / CAST(per.nc AS DOUBLE) END)
+                   AS rr,
+                 coalesce(CASE WHEN per.nc > 0
+                               THEN CAST(per.yc AS DOUBLE)
+                                    / CAST(per.nc AS DOUBLE) END,
+                          CASE WHEN per.nr > 0
+                               THEN CAST(per.yr AS DOUBLE)
+                                    / CAST(per.nr AS DOUBLE) END)
+                   AS rc
+          FROM per, tot
+        ), folded AS (
+          SELECT
+            list_reduce(list_prepend(0.0,
+              list((wc - wr) * (rc + rr) / 2.0 ORDER BY seg)),
+              (acc, x) -> acc + x) AS mix_effect,
+            list_reduce(list_prepend(0.0,
+              list((rc - rr) * (wc + wr) / 2.0 ORDER BY seg)),
+              (acc, x) -> acc + x) AS rate_effect
+          FROM terms
+        )
+        SELECT tot.n_ref, tot.n_cur,
+               CASE WHEN tot.n_ref > 0
+                    THEN round(CAST(tot.y_ref AS DOUBLE)
+                               / CAST(tot.n_ref AS DOUBLE), 6)
+               END AS rate_ref,
+               CASE WHEN tot.n_cur > 0
+                    THEN round(CAST(tot.y_cur AS DOUBLE)
+                               / CAST(tot.n_cur AS DOUBLE), 6)
+               END AS rate_cur,
+               CASE WHEN tot.n_ref > 0 AND tot.n_cur > 0
+                    THEN round(CAST(tot.y_cur AS DOUBLE)
+                               / CAST(tot.n_cur AS DOUBLE)
+                             - CAST(tot.y_ref AS DOUBLE)
+                               / CAST(tot.n_ref AS DOUBLE), 6)
+               END AS delta,
+               CASE WHEN tot.n_ref > 0 AND tot.n_cur > 0
+                    THEN round(folded.mix_effect, 6)
+               END AS mix_effect,
+               CASE WHEN tot.n_ref > 0 AND tot.n_cur > 0
+                    THEN round(folded.rate_effect, 6)
+               END AS rate_effect
+        FROM tot, folded
+    """
+    oracles["by_adjust"] = """
+        WITH d AS (
+          SELECT DISTINCT CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS k
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), h AS (
+          SELECT 'h' || CAST(k AS VARCHAR) AS key,
+                 CAST((k * 37) % 1000 AS DOUBLE) / 1000.0 AS p
+          FROM d
+        ), ranked AS (
+          SELECT key, p,
+                 CAST(row_number() OVER (ORDER BY p, key)
+                      AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM h
+        ), harm AS (
+          SELECT list_reduce(list_prepend(0.0,
+                   list(1.0 / CAST(rank AS DOUBLE) ORDER BY rank)),
+                 (acc, x) -> acc + x) AS c
+          FROM ranked
+        ), thr AS (
+          SELECT r.key, r.p, r.rank, r.m,
+                 CAST(r.rank AS DOUBLE) * 0.05
+                   / (CAST(r.m AS DOUBLE) * harm.c) AS by_threshold
+          FROM ranked r, harm
+        ), hit AS (
+          SELECT max(CASE WHEN p <= by_threshold THEN rank END)
+                   AS kstar
+          FROM thr
+        )
+        SELECT t.key, round(t.p, 6) AS p, t.rank, t.m,
+               round(t.by_threshold, 9) AS by_threshold,
+               CASE WHEN hit.kstar IS NULL THEN FALSE
+                    ELSE t.rank <= hit.kstar END AS reject
+        FROM thr t, hit
     """
     return oracles

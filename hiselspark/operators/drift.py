@@ -619,3 +619,42 @@ def mmd_rbf_drift(
         F.col("n_cur").cast("long").alias("n_cur"),
         F.col("n_values").cast("long").alias("n_values"),
         mmd2.alias("mmd2"))
+
+
+def by_adjust(df: DataFrame, key_col: str, p_col: str,
+              alpha: float = 0.05) -> DataFrame:
+    """Benjamini–Yekutieli step-up FDR control — :func:`bh_adjust`
+    hardened for ARBITRARY dependence between the m hypotheses
+    (BH's guarantee needs positive dependence) by spending
+    α/c(m) with the harmonic correction c(m) = Σ_{i=1..m} 1/i:
+
+        reject p_(i)  iff  ∃ k ≥ i with p_(k) ≤ k·α/(m·c(m))
+
+    Same single-tiny-partition plan as bh_adjust; c(m) is an
+    i-ordered float fold over the rank column so both engines sum
+    the harmonic series in the identical order.  Returns (key, p,
+    rank, m, by_threshold, reject)."""
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    g = Window.partitionBy()
+    m = F.count(F.lit(1)).over(g)
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).alias("rank"))
+    harm = F.aggregate(
+        F.sort_array(F.collect_list(F.col("rank")).over(g)),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / i.cast("double"))
+    thr = (F.col("rank").cast("double") * F.lit(float(alpha))
+           / (m.cast("double") * harm))
+    flagged = (ranked
+               .withColumn("m", m.cast("long"))
+               .withColumn("by_threshold", thr)
+               .withColumn("__hit",
+                           F.when(F.col("p") <= thr, F.col("rank"))))
+    kstar = F.max("__hit").over(g)
+    return (flagged
+            .withColumn("reject",
+                        F.when(kstar.isNull(), F.lit(False))
+                        .otherwise(F.col("rank") <= kstar))
+            .drop("__hit"))

@@ -1237,3 +1237,81 @@ def cronbach_alpha(df: DataFrame, item_cols) -> DataFrame:
         F.when(F.col("n") >= 2, sum_iv).alias("sum_item_var"),
         F.when(F.col("n") >= 2, tot_v).alias("total_var"),
         alpha.alias("alpha"))
+
+
+def rate_decomposition(df: DataFrame, segment_col: str, label_col,
+                       is_reference) -> DataFrame:
+    """Kitagawa (1955) / Das Gupta decomposition of the change in an
+    aggregate rate between a reference and a current period into a
+    MIX effect (segment weights shifted) and a RATE effect (within-
+    segment rates moved) — the first question any metrics review
+    asks about a moved top-line:
+
+        Δ = Σ_s (w_cs − w_rs)·(r_cs + r_rs)/2      [mix]
+          + Σ_s (r_cs − r_rs)·(w_cs + w_rs)/2      [rate]
+
+    (the symmetric form: mix + rate = Δ EXACTLY, no interaction
+    residual).  Per-segment (n, Σy) are exact int64 for both periods from
+    ONE aggregate; the two segment folds run in segment-key order
+    (the anova_f convention).  A segment absent from one period gets
+    weight 0 there and BORROWS the present period's rate (so its
+    whole contribution lands in the mix term — the standard
+    convention, documented).  NULL effects when either period is
+    empty.  Returns one row: (n_ref, n_cur, rate_ref, rate_cur,
+    delta, mix_effect, rate_effect)."""
+    ref = is_reference if not isinstance(is_reference, str) \
+        else F.col(is_reference)
+    r = ref.cast("long")
+    y = F.col(label_col).cast("long") if isinstance(label_col, str) \
+        else label_col.cast("long")
+    per = (df.groupBy(F.col(segment_col).alias("seg"))
+             .agg(F.sum(r).alias("nr"),
+                  F.sum(r * y).alias("yr"),
+                  F.sum(1 - r).alias("nc"),
+                  F.sum((1 - r) * y).alias("yc")))
+    tot = per.agg(F.sum("nr").alias("n_ref"),
+                  F.sum("nc").alias("n_cur"),
+                  F.sum("yr").alias("y_ref"),
+                  F.sum("yc").alias("y_cur"))
+    j = per.crossJoin(F.broadcast(tot))
+    nrd = F.col("n_ref").cast("double")
+    ncd = F.col("n_cur").cast("double")
+    wr = F.col("nr").cast("double") / nrd
+    wc = F.col("nc").cast("double") / ncd
+    rr_raw = F.when(F.col("nr") > 0,
+                    F.col("yr").cast("double")
+                    / F.col("nr").cast("double"))
+    rc_raw = F.when(F.col("nc") > 0,
+                    F.col("yc").cast("double")
+                    / F.col("nc").cast("double"))
+    rr = F.coalesce(rr_raw, rc_raw)
+    rc = F.coalesce(rc_raw, rr_raw)
+    mix_term = (wc - wr) * (rc + rr) / F.lit(2.0)
+    rate_term = (rc - rr) * (wc + wr) / F.lit(2.0)
+    folded = j.groupBy("n_ref", "n_cur", "y_ref", "y_cur").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("seg").alias("g"), mix_term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("mix_effect"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("seg").alias("g"), rate_term.alias("t")))),
+                lambda s: s["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("rate_effect"))
+    ok = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    rate_ref = F.when(F.col("n_ref") > 0,
+                      F.col("y_ref").cast("double")
+                      / F.col("n_ref").cast("double"))
+    rate_cur = F.when(F.col("n_cur") > 0,
+                      F.col("y_cur").cast("double")
+                      / F.col("n_cur").cast("double"))
+    return folded.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        rate_ref.alias("rate_ref"), rate_cur.alias("rate_cur"),
+        F.when(ok, rate_cur - rate_ref).alias("delta"),
+        F.when(ok, F.col("mix_effect")).alias("mix_effect"),
+        F.when(ok, F.col("rate_effect")).alias("rate_effect"))

@@ -184,3 +184,60 @@ def logrank_test(df: DataFrame, group_col: str, duration_col: str,
         F.col("f.se").alias("e_a"),
         F.col("f.sv").alias("var_sum"),
         chi2.alias("chi2"), p_value.alias("p_value"))
+
+
+def competing_risks(df: DataFrame, cohort_col: str, duration_col: str,
+                    cause_col: str) -> DataFrame:
+    """Aalen–Johansen cumulative incidence under TWO competing event
+    causes (cause 1 / cause 2; 0 = censored) — the correct replacement
+    for "1 − KM per cause" (which over-counts when risks compete):
+
+        CIF_k(t) = Σ_{tⱼ ≤ t} S(tⱼ⁻) · d_kⱼ / nⱼ,
+        S(t)     = Π_{tⱼ ≤ t} (1 − (d₁ⱼ + d₂ⱼ)/nⱼ)
+
+    Same scale shape as :func:`nelson_aalen`: the per-(cohort,
+    duration) count table, exact-integer at-risk windows, and ONE
+    running-window prefix fold per row carrying the (S, cif₁, cif₂)
+    struct — the cif terms use the PRE-step S (that is S(tⱼ⁻)), then
+    S multiplies down; branch-free arithmetic only, so the DuckDB
+    list_reduce replay is safe (the croston lesson) and bit-identical.
+    CIF₁ + CIF₂ + S = 1 at every step by construction.  Returns one
+    row per (cohort, duration): (cohort, duration, n_at_risk, d1, d2,
+    n_censored, surv, cif1, cif2)."""
+    cause = F.col(cause_col).cast("long")
+    per = (df.groupBy(cohort_col, duration_col)
+             .agg(F.sum((cause == 1).cast("long")).alias("d1"),
+                  F.sum((cause == 2).cast("long")).alias("d2"),
+                  F.sum((cause == 0).cast("long"))
+                  .alias("n_censored")))
+    wc = Window.partitionBy(cohort_col)
+    w_before = (Window.partitionBy(cohort_col).orderBy(duration_col)
+                      .rowsBetween(Window.unboundedPreceding, -1))
+    gone_expr = (F.col("d1") + F.col("d2") + F.col("n_censored"))
+    total = F.sum(gone_expr).over(wc)
+    gone = F.coalesce(F.sum(gone_expr).over(w_before), F.lit(0))
+    per = per.withColumn("n_at_risk", (total - gone).cast("long"))
+    w_run = (Window.partitionBy(cohort_col).orderBy(duration_col)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+    steps = F.collect_list(F.struct(
+        F.col("d1").alias("d1"), F.col("d2").alias("d2"),
+        F.col("n_at_risk").alias("n"))).over(w_run)
+    zero = F.struct(F.lit(1.0).alias("s"), F.lit(0.0).alias("c1"),
+                    F.lit(0.0).alias("c2"))
+
+    def step(acc, e):
+        nd = e["n"].cast("double")
+        c1 = acc["c1"] + acc["s"] * (e["d1"].cast("double") / nd)
+        c2 = acc["c2"] + acc["s"] * (e["d2"].cast("double") / nd)
+        s = acc["s"] * (F.lit(1.0)
+                        - (e["d1"] + e["d2"]).cast("double") / nd)
+        return F.struct(s.alias("s"), c1.alias("c1"), c2.alias("c2"))
+
+    fin = F.aggregate(steps, zero, step)
+    return (per
+            .withColumn("surv", fin["s"])
+            .withColumn("cif1", fin["c1"])
+            .withColumn("cif2", fin["c2"])
+            .select(cohort_col, duration_col, "n_at_risk", "d1", "d2",
+                    "n_censored", "surv", "cif1", "cif2"))

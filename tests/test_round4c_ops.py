@@ -1096,3 +1096,99 @@ def test_rolling_vwap_bollinger_rsi_brute(spark):
         if g + ll > 0:
             assert rs[i]["rsi"] == pytest.approx(
                 100 * g / (g + ll), rel=1e-12)
+
+
+def test_competing_risks_brute(spark):
+    from hiselspark.operators.survival import competing_risks
+    rng = _rng(151)
+    n = 500
+    rows = [("c", int(d), int(e)) for d, e in
+            zip(rng.integers(0, 12, n), rng.integers(0, 3, n))]
+    df = spark.createDataFrame(rows, ["cohort", "dur", "cause"])
+    out = {r["dur"]: r for r in
+           competing_risks(df, "cohort", "dur", "cause").collect()}
+    arr = np.array([(d, e) for _, d, e in rows])
+    s, c1, c2 = 1.0, 0.0, 0.0
+    for t in sorted(set(arr[:, 0])):
+        at_risk = int((arr[:, 0] >= t).sum())
+        d1 = int(((arr[:, 0] == t) & (arr[:, 1] == 1)).sum())
+        d2 = int(((arr[:, 0] == t) & (arr[:, 1] == 2)).sum())
+        c1 += s * d1 / at_risk
+        c2 += s * d2 / at_risk
+        s *= 1 - (d1 + d2) / at_risk
+        r = out[t]
+        assert r["n_at_risk"] == at_risk
+        assert r["d1"] == d1 and r["d2"] == d2
+        assert r["surv"] == pytest.approx(s, rel=1e-12)
+        assert r["cif1"] == pytest.approx(c1, rel=1e-12)
+        assert r["cif2"] == pytest.approx(c2, rel=1e-12)
+        # partition of unity at every step
+        assert r["surv"] + r["cif1"] + r["cif2"] == pytest.approx(
+            1.0, abs=1e-12)
+
+
+def test_rate_decomposition_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.evaluate import rate_decomposition
+    rng = _rng(157)
+    n = 2000
+    period = rng.integers(0, 2, n)  # 1 = reference
+    seg = rng.integers(0, 5, n)
+    # current period shifts mix toward segment 4 AND raises rates
+    seg = np.where((period == 0) & (rng.random(n) < 0.3), 4, seg)
+    y = (rng.random(n) < 0.2 + 0.05 * seg
+         + 0.1 * (period == 0)).astype(int)
+    df = spark.createDataFrame(
+        [(int(s), int(a), int(r)) for s, a, r in zip(seg, y, period)],
+        ["seg", "y", "r"])
+    row = rate_decomposition(df, "seg", "y",
+                             F.col("r") == 1).collect()[0]
+    mix = rate = 0.0
+    nr, nc = int((period == 1).sum()), int((period == 0).sum())
+    for s in range(5):
+        mr = (period == 1) & (seg == s)
+        mc = (period == 0) & (seg == s)
+        wr, wc = mr.sum() / nr, mc.sum() / nc
+        rr = y[mr].mean() if mr.sum() else y[mc].mean()
+        rc = y[mc].mean() if mc.sum() else rr
+        mix += (wc - wr) * (rc + rr) / 2
+        rate += (rc - rr) * (wc + wr) / 2
+    delta = y[period == 0].mean() - y[period == 1].mean()
+    assert row["n_ref"] == nr and row["n_cur"] == nc
+    assert row["delta"] == pytest.approx(delta, rel=1e-12)
+    assert row["mix_effect"] == pytest.approx(mix, rel=1e-10)
+    assert row["rate_effect"] == pytest.approx(rate, rel=1e-10)
+    # exact additivity of the symmetric decomposition
+    assert row["mix_effect"] + row["rate_effect"] == pytest.approx(
+        row["delta"], abs=1e-12)
+    assert row["rate_effect"] > 0.05  # the planted rate lift
+
+
+def test_by_adjust_brute(spark):
+    from hiselspark.operators.drift import by_adjust
+    rng = _rng(163)
+    m = 40
+    ps = np.concatenate([rng.random(30), rng.random(10) * 1e-4])
+    df = spark.createDataFrame(
+        [(f"h{i}", float(p)) for i, p in enumerate(ps)],
+        ["key", "p"])
+    out = {r["key"]: r for r in
+           by_adjust(df, "key", "p", alpha=0.05).collect()}
+    harm = sum(1 / i for i in range(1, m + 1))
+    order = sorted(range(m), key=lambda i: (ps[i], f"h{i}"))
+    kstar = 0
+    for rank, i in enumerate(order, 1):
+        if ps[i] <= rank * 0.05 / (m * harm):
+            kstar = rank
+    for rank, i in enumerate(order, 1):
+        r = out[f"h{i}"]
+        assert r["rank"] == rank and r["m"] == m
+        assert r["by_threshold"] == pytest.approx(
+            rank * 0.05 / (m * harm), rel=1e-12)
+        assert r["reject"] == (rank <= kstar)
+    # BY is more conservative than BH: rejects a subset
+    from hiselspark.operators.drift import bh_adjust
+    bh = {r["key"]: r["reject"] for r in
+          bh_adjust(df, "key", "p", alpha=0.05).collect()}
+    assert all(bh[k] for k, r in out.items() if r["reject"])
+    assert sum(r["reject"] for r in out.values()) >= 5  # planted hits
