@@ -7853,6 +7853,30 @@ def q_by_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("by_threshold"), "reject")
 
 
+def q_lexicon_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon polarity score per document — exact int64 hit counts
+    against the fixed positive/negative wordlists via array filters
+    (pure JVM expressions), one mirrored division."""
+    from hiselspark.functions.text import with_lexicon_sentiment
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_lexicon_sentiment(docs, "text")
+    return out.select("doc_id", "n_tokens", "n_pos", "n_neg",
+                      F.round("sentiment", 6).alias("sentiment"))
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword phrases (top 3 per document): stopword-split
+    islands, per-doc deg/freq exact int64, phrase score a word-
+    position-ordered fold, (score DESC, phrase ASC) ranking — the
+    oracle replays tokenization, islands, degrees and the fold."""
+    from hiselspark.functions.text import rake_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = rake_keywords(docs, "doc_id", "text", top_k=3)
+    return out.select(F.col("id").alias("doc_id"), "phrase",
+                      "n_words", F.round("score", 6).alias("score"),
+                      "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8036,6 +8060,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "competing_risks": q_competing_risks,
         "rate_decomposition": q_rate_decomposition,
         "by_adjust": q_by_adjust,
+        "lexicon_sentiment": q_lexicon_sentiment,
+        "rake_keywords": q_rake_keywords,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20787,5 +20813,75 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN hit.kstar IS NULL THEN FALSE
                     ELSE t.rank <= hit.kstar END AS reject
         FROM thr t, hit
+    """
+    oracles["lexicon_sentiment"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = ''
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(text)),
+                                                 '\\s+') END AS w
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(w, x ->
+                   list_contains(['good', 'great', 'excellent', 'happy', 'love', 'best', 'nice', 'awesome', 'amazing', 'fantastic', 'wonderful', 'perfect', 'better', 'win', 'success', 'positive', 'enjoy', 'like', 'fast', 'easy'], x))) AS BIGINT) AS n_pos,
+                 CAST(len(list_filter(w, x ->
+                   list_contains(['bad', 'terrible', 'awful', 'sad', 'hate', 'worst', 'poor', 'horrible', 'broken', 'fail', 'failure', 'negative', 'slow', 'hard', 'wrong', 'problem', 'bug', 'error', 'worse', 'angry'], x))) AS BIGINT) AS n_neg
+          FROM t
+        )
+        SELECT doc_id, n_tokens, n_pos, n_neg,
+               CASE WHEN n_tokens > 0
+                    THEN round(CAST(n_pos - n_neg AS DOUBLE)
+                               / CAST(n_tokens AS DOUBLE), 6)
+               END AS sentiment
+        FROM c
+    """
+    oracles["rake_keywords"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                                           '[a-z0-9]+')) AS w,
+                 generate_subscripts(regexp_extract_all(lower(text),
+                                     '[a-z0-9]+'), 1) AS pos
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, w, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS grp
+          FROM words
+          WHERE NOT list_contains(['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that', 'for', 'on', 'with', 'as', 'this', 'by', 'at', 'be', 'are'], w)
+        ), ph AS (
+          SELECT *,
+                 CAST(count(*) OVER (PARTITION BY doc_id, grp)
+                      AS BIGINT) AS ph_len
+          FROM kept
+        ), scored AS (
+          SELECT *,
+                 CAST(count(*) OVER (PARTITION BY doc_id, w)
+                      AS BIGINT) AS freq,
+                 CAST(sum(ph_len) OVER (PARTITION BY doc_id, w)
+                      AS BIGINT) AS deg
+          FROM ph
+        ), per_phrase AS (
+          SELECT doc_id, grp,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                        ORDER BY pos)),
+                   (acc, x) -> acc + x) AS score
+          FROM scored GROUP BY doc_id, grp
+        ), ranked AS (
+          SELECT doc_id, phrase, n_words, score,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, phrase ASC, grp ASC)
+                      AS BIGINT) AS rank
+          FROM per_phrase
+        )
+        SELECT doc_id, phrase, n_words, round(score, 6) AS score,
+               rank
+        FROM ranked WHERE rank <= 3
     """
     return oracles

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # A compact stopword list for quality scoring (public knowledge).
 STOPWORDS = [
@@ -1121,3 +1121,119 @@ def chrf_pairs(df: DataFrame, id_col: str, cand_col: str,
     for n in range(1, max_n + 1):
         cols += [F.col(f"m{n}"), F.col(f"c{n}"), F.col(f"r{n}")]
     return res.select(*cols, chrf.alias("chrf"))
+
+
+# Compact sentiment lexicon for deterministic polarity scoring
+# (public-knowledge wordlists, AFINN/Bing-Liu style but tiny).
+POSITIVE_WORDS = [
+    "good", "great", "excellent", "happy", "love", "best", "nice",
+    "awesome", "amazing", "fantastic", "wonderful", "perfect",
+    "better", "win", "success", "positive", "enjoy", "like",
+    "fast", "easy",
+]
+NEGATIVE_WORDS = [
+    "bad", "terrible", "awful", "sad", "hate", "worst", "poor",
+    "horrible", "broken", "fail", "failure", "negative", "slow",
+    "hard", "wrong", "problem", "bug", "error", "worse", "angry",
+]
+
+
+def with_lexicon_sentiment(df: DataFrame, col: str = "text") -> DataFrame:
+    """Deterministic lexicon polarity score per document:
+
+        sentiment = (n_pos − n_neg) / n_tokens
+
+    over whitespace tokens of the lowercased text, hits counted
+    against the fixed POSITIVE_WORDS / NEGATIVE_WORDS lists (exact
+    int64 counts via array filters — pure JVM expressions, no UDF).
+    The crudest of sentiment models, and exactly what a curation
+    pipeline wants as a cheap polarity FEATURE (not a classifier):
+    monotone, explainable, reproducible in SQL verbatim.  NULL score
+    for empty documents.  Adds ``n_tokens``, ``n_pos``, ``n_neg``,
+    ``sentiment``."""
+    words = tokens(F.lower(F.col(col)))
+    pos_arr = F.array(*[F.lit(w) for w in POSITIVE_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in NEGATIVE_WORDS])
+    n_tok = F.size(words)
+    n_pos = F.size(F.filter(words,
+                            lambda w: F.array_contains(pos_arr, w)))
+    n_neg = F.size(F.filter(words,
+                            lambda w: F.array_contains(neg_arr, w)))
+    return (df.withColumn("n_tokens", n_tok.cast("long"))
+              .withColumn("n_pos", n_pos.cast("long"))
+              .withColumn("n_neg", n_neg.cast("long"))
+              .withColumn("sentiment",
+                          F.when(n_tok > 0,
+                                 (n_pos - n_neg).cast("double")
+                                 / n_tok.cast("double"))))
+
+
+def rake_keywords(df: DataFrame, id_col: str, text_col: str,
+                  top_k: int = 3) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document:
+    candidate phrases are maximal runs of non-stopword alphanumeric
+    words (split at STOPWORDS and punctuation), each word scores
+    deg(w)/freq(w) with freq = occurrences and deg = Σ lengths of
+    the phrases containing each occurrence (both PER DOCUMENT, exact
+    int64), and a phrase scores the sum of its word scores.
+
+    Determinism end to end: words come from ONE regexp
+    (``[a-z0-9]+`` on the lowered text, identical RE2 semantics in
+    the SQL oracle), phrase islands from the positions-minus-rank
+    gaps-and-islands key, deg/freq exact integers, and the phrase
+    score folds word scores in word-position order.  Ranking is
+    (score DESC, phrase ASC) — equal doubles tie-break on the phrase
+    text, so top-k is engine-stable.  Returns
+    (id, phrase, n_words, score, rank) with rank ≤ ``top_k``.
+
+    Scale shape: explode → two (doc-local) window passes → groupBy
+    phrase → per-doc top-k window, all hash-partitioned by document;
+    nothing global."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    words = F.regexp_extract_all(F.lower(F.col(text_col)),
+                                 F.lit("[a-z0-9]+"), 0)
+    d = df.select(F.col(id_col).alias("id"), words.alias("__w"))
+    ex = d.select("id", F.posexplode("__w").alias("pos", "w"))
+    ex = ex.withColumn("is_stop", F.array_contains(stop_arr,
+                                                   F.col("w")))
+    w_ord = Window.partitionBy("id").orderBy("pos")
+    kept = (ex.filter(~F.col("is_stop"))
+              .withColumn("grp", F.col("pos")
+                          - F.row_number().over(w_ord)))
+    w_ph = Window.partitionBy("id", "grp")
+    kept = (kept
+            .withColumn("ph_len", F.count(F.lit(1)).over(w_ph))
+            .withColumn("phrase",
+                        F.array_join(F.transform(
+                            F.array_sort(F.collect_list(F.struct(
+                                F.col("pos").alias("p"),
+                                F.col("w").alias("w"))).over(w_ph)),
+                            lambda s: s["w"]), " ")))
+    w_doc_word = Window.partitionBy("id", "w")
+    scored = (kept
+              .withColumn("freq", F.count(F.lit(1)).over(w_doc_word))
+              .withColumn("deg", F.sum("ph_len").over(w_doc_word)))
+    per_phrase = (scored.groupBy("id", "grp", "phrase")
+                  .agg(F.count(F.lit(1)).alias("n_words"),
+                       F.aggregate(
+                           F.transform(
+                               F.array_sort(F.collect_list(F.struct(
+                                   F.col("pos").alias("p"),
+                                   (F.col("deg").cast("double")
+                                    / F.col("freq").cast("double"))
+                                   .alias("s")))),
+                               lambda s: s["s"]),
+                           F.lit(0.0),
+                           lambda acc, x: acc + x).alias("score")))
+    w_top = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc(),
+        F.col("grp").asc())
+    return (per_phrase
+            .withColumn("rank", F.row_number().over(w_top))
+            .filter(F.col("rank") <= int(top_k))
+            .select("id", "phrase",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("score").alias("score"),
+                    F.col("rank").cast("long").alias("rank")))

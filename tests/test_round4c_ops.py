@@ -1192,3 +1192,51 @@ def test_by_adjust_brute(spark):
           bh_adjust(df, "key", "p", alpha=0.05).collect()}
     assert all(bh[k] for k, r in out.items() if r["reject"])
     assert sum(r["reject"] for r in out.values()) >= 5  # planted hits
+
+
+def test_lexicon_sentiment_brute(spark):
+    from hiselspark.functions.text import with_lexicon_sentiment
+    rows = [
+        (0, "This is a GOOD great day with no problem at all"),
+        (1, "terrible awful bad bad experience"),
+        (2, "neutral words only here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in
+           with_lexicon_sentiment(df).collect()}
+    assert out[0]["n_pos"] == 2 and out[0]["n_neg"] == 1
+    assert out[0]["sentiment"] == pytest.approx(1 / 11)
+    assert out[1]["n_pos"] == 0 and out[1]["n_neg"] == 4
+    assert out[1]["sentiment"] == pytest.approx(-4 / 5)
+    assert out[2]["sentiment"] == 0.0
+    assert out[3]["sentiment"] is None and out[3]["n_tokens"] == 0
+
+
+def test_rake_brute(spark):
+    from hiselspark.functions.text import rake_keywords
+    text = ("deep learning models and the gradient descent "
+            "optimizer for deep networks")
+    df = spark.createDataFrame([(1, text)], ["id", "t"])
+    out = rake_keywords(df, "id", "t", top_k=10).collect()
+    # phrases: "deep learning models" | "gradient descent optimizer"
+    #          | "deep networks"
+    by_phrase = {r["phrase"]: r for r in out}
+    assert set(by_phrase) == {"deep learning models",
+                              "gradient descent optimizer",
+                              "deep networks"}
+    # freq: deep=2 others=1; deg: deep = 3+2 = 5, learning=3,
+    # models=3, gradient=3, descent=3, optimizer=3, networks=2
+    s1 = 5 / 2 + 3 + 3       # deep learning models
+    s2 = 3 + 3 + 3           # gradient descent optimizer
+    s3 = 5 / 2 + 2           # deep networks
+    assert by_phrase["deep learning models"]["score"] == \
+        pytest.approx(s1, rel=1e-12)
+    assert by_phrase["gradient descent optimizer"]["score"] == \
+        pytest.approx(s2, rel=1e-12)
+    assert by_phrase["deep networks"]["score"] == \
+        pytest.approx(s3, rel=1e-12)
+    ranks = {r["phrase"]: r["rank"] for r in out}
+    assert ranks["gradient descent optimizer"] == 1  # 9 > 8.5 > 4.5
+    assert ranks["deep learning models"] == 2
+    assert ranks["deep networks"] == 3
