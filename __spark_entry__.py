@@ -7877,6 +7877,36 @@ def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "rank")
 
 
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study abnormal-cents curve around purchase events
+    (+/-3 hourly buckets): stacked-anchor interval join, exact int64
+    bucket sums, abnormal = bucket mean minus global mean
+    mirrored."""
+    from hiselspark.operators.windows import event_study
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "ts", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = event_study(ev, "user_id", "ts", "cents",
+                      F.col("event_type") == "purchase",
+                      n_buckets=3, bucket_seconds=3600.0)
+    return out.select("bucket", "n", "sum_v",
+                      F.round("mean_v", 6).alias("mean_v"),
+                      F.round("abnormal", 6).alias("abnormal"))
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting of active users: new / retained /
+    resurrected actives plus churn attributed to the period the user
+    went missing — one lag over the per-(user, day) distinct table,
+    all counts exact int64; the ledger identities hold row-for-row."""
+    from hiselspark.operators.windows import growth_accounting
+    ev = _ev(spark, sf_dir).select("user_id", "ts")
+    out = growth_accounting(ev, "user_id", "ts",
+                            period_seconds=86400.0)
+    return out.select("period", "n_active", "n_new", "n_retained",
+                      "n_resurrected", "n_churned")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8062,6 +8092,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_adjust": q_by_adjust,
         "lexicon_sentiment": q_lexicon_sentiment,
         "rake_keywords": q_rake_keywords,
+        "event_study": q_event_study,
+        "growth_accounting": q_growth_accounting,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20883,5 +20915,80 @@ def _oracle_sql_raw() -> dict[str, str]:
         SELECT doc_id, phrase, n_words, round(score, 6) AS score,
                rank
         FROM ranked WHERE rank <= 3
+    """
+    oracles["event_study"] = """
+        WITH base AS (
+          SELECT user_id AS e, epoch_us(ts) AS us,
+                 CAST(round(value*100) AS BIGINT) AS v,
+                 event_type = 'purchase' AS f
+          FROM events
+        ), anchors AS (
+          SELECT e AS ae, us AS aus FROM base WHERE f
+        ), joined AS (
+          SELECT b.v,
+                 CAST(floor(CAST(b.us - a.aus AS DOUBLE)
+                            / 3600000000.0) AS BIGINT) AS bucket
+          FROM base b JOIN anchors a
+            ON b.e = a.ae
+           AND b.us >= a.aus - 10800000000
+           AND b.us < a.aus + 10800000000 + 3600000000
+        ), per_b AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sum_v
+          FROM joined GROUP BY bucket
+        ), gl AS (
+          SELECT CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS gmean
+          FROM base
+        )
+        SELECT bucket, n, sum_v,
+               round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS mean_v,
+               round(CAST(sum_v AS DOUBLE) / CAST(n AS DOUBLE)
+                     - gl.gmean, 6) AS abnormal
+        FROM per_b, gl
+    """
+    oracles["growth_accounting"] = """
+        WITH per AS (
+          SELECT DISTINCT user_id AS e,
+                 epoch_us(ts) // 86400000000 AS p
+          FROM events
+        ), tagged AS (
+          SELECT e, p,
+                 lag(p) OVER (PARTITION BY e ORDER BY p) AS prev,
+                 lead(p) OVER (PARTITION BY e ORDER BY p) AS nxt
+          FROM per
+        ), act AS (
+          SELECT p AS period,
+                 CAST(count(*) AS BIGINT) AS n_active,
+                 CAST(sum(CASE WHEN prev IS NULL
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+                 CAST(sum(CASE WHEN prev = p - 1
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_retained,
+                 CAST(sum(CASE WHEN prev IS NOT NULL
+                               AND prev <> p - 1
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrected
+          FROM tagged GROUP BY p
+        ), churn AS (
+          SELECT p + 1 AS period,
+                 CAST(count(*) AS BIGINT) AS n_churned
+          FROM tagged
+          WHERE nxt IS NULL OR nxt > p + 1
+          GROUP BY p + 1
+        )
+        SELECT CAST(coalesce(a.period, c.period) AS BIGINT)
+                 AS period,
+               CAST(coalesce(a.n_active, 0) AS BIGINT) AS n_active,
+               CAST(coalesce(a.n_new, 0) AS BIGINT) AS n_new,
+               CAST(coalesce(a.n_retained, 0) AS BIGINT)
+                 AS n_retained,
+               CAST(coalesce(a.n_resurrected, 0) AS BIGINT)
+                 AS n_resurrected,
+               CAST(coalesce(c.n_churned, 0) AS BIGINT)
+                 AS n_churned
+        FROM act a FULL OUTER JOIN churn c ON a.period = c.period
     """
     return oracles

@@ -1489,3 +1489,134 @@ def rolling_rsi(
             .withColumn("rsi_loss", sl)
             .withColumn(out_col, rsi)
             .drop("__g", "__l"))
+
+
+def event_study(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    is_event,
+    n_buckets: int = 3,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Event-study curve — the average of an outcome metric in
+    relative-time buckets around marked anchor events (promo fired,
+    error occurred, model deployed), against the all-rows baseline:
+
+        abnormal(b) = mean(value | offset bucket b) − mean(value)
+
+    for b ∈ [−n_buckets, +n_buckets], offset = observation time −
+    anchor time, bucket = floor-division by ``bucket_seconds`` (exact
+    integer µs arithmetic; observations within range of SEVERAL
+    anchors count once per anchor — the standard stacked-event
+    design, documented).  Sufficient statistics (n, Σv per bucket and
+    globally) are exact int64; means and the abnormal delta are
+    mirrored float expressions.
+
+    Scale shape: one interval join of anchors onto the entity's
+    timeline (range-bounded, entity-keyed — never a cross join) +
+    one tiny groupBy over 2·n_buckets+1 buckets.  Returns one row
+    per bucket: (bucket, n, sum_v, mean_v, abnormal)."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    bus = int(bucket_seconds * 1_000_000)
+    span = int(n_buckets) * bus
+    v = F.col(value_col).cast("long")
+    flag = is_event if not isinstance(is_event, str) \
+        else F.col(is_event)
+    base = df.select(F.col(entity_col).alias("__e"),
+                     us.alias("__us"), v.alias("__v"),
+                     flag.cast("boolean").alias("__f"))
+    anchors = (base.filter(F.col("__f"))
+               .select(F.col("__e").alias("__ae"),
+                       F.col("__us").alias("__aus")))
+    joined = base.join(
+        anchors,
+        (F.col("__e") == F.col("__ae"))
+        & (F.col("__us") >= F.col("__aus") - span)
+        & (F.col("__us") < F.col("__aus") + span + bus))
+    # floor division keeps the bucket exact for negative offsets too
+    bucket = F.floor((F.col("__us") - F.col("__aus")).cast("double")
+                     / F.lit(float(bus))).cast("long")
+    per_b = (joined.withColumn("__b", bucket)
+             .groupBy("__b")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("__v").alias("sum_v")))
+    glob = base.agg((F.sum("__v").cast("double")
+                     / F.count(F.lit(1)).cast("double"))
+                    .alias("__gmean"))
+    out = per_b.crossJoin(F.broadcast(glob))
+    mean_v = F.col("sum_v").cast("double") / F.col("n").cast("double")
+    return out.select(
+        F.col("__b").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_v").cast("long").alias("sum_v"),
+        mean_v.alias("mean_v"),
+        (mean_v - F.col("__gmean")).alias("abnormal"))
+
+
+def growth_accounting(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    period_seconds: float = 86400.0 * 7,
+) -> DataFrame:
+    """Growth-accounting decomposition of the active-entity count per
+    period (the classic DAU/WAU ledger): every period's actives split
+    into
+
+    * ``n_new``          first period the entity EVER appeared
+    * ``n_retained``     active in the immediately previous period
+    * ``n_resurrected``  active before, but not the previous period
+    and the period's ``n_churned`` = entities active in the PREVIOUS
+    period that did not return this period (attributed to the period
+    they went missing).  Identities hold exactly:
+    n_active = n_new + n_retained + n_resurrected, and
+    n_churned(p) = n_active(p−1) − n_retained(p).
+
+    Period = floor(epoch_µs / period_µs) — exact integer bucketing;
+    classification is one lag over the per-(entity, period) distinct
+    table (one shuffle), counts exact int64.  Returns one row per
+    period: (period, n_active, n_new, n_retained, n_resurrected,
+    n_churned)."""
+    us = (ts_seconds(ts_col) * 1_000_000).cast("long")
+    pus = int(period_seconds * 1_000_000)
+    per = (df.select(F.col(entity_col).alias("__e"),
+                     us.alias("__us"))
+           .select("__e", F.expr(f"__us DIV {pus}").alias("__p"))
+           .distinct())
+    w = Window.partitionBy("__e").orderBy("__p")
+    tagged = (per
+              .withColumn("__prev", F.lag("__p").over(w))
+              .withColumn("__next", F.lead("__p").over(w)))
+    cls = (tagged.withColumn(
+        "kind",
+        F.when(F.col("__prev").isNull(), F.lit("new"))
+         .when(F.col("__prev") == F.col("__p") - 1,
+               F.lit("retained"))
+         .otherwise(F.lit("resurrected"))))
+    act = cls.groupBy(F.col("__p").alias("period")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("kind") == "new").cast("long")).alias("n_new"),
+        F.sum((F.col("kind") == "retained").cast("long"))
+         .alias("n_retained"),
+        F.sum((F.col("kind") == "resurrected").cast("long"))
+         .alias("n_resurrected"))
+    churn = (tagged
+             .filter(F.col("__next").isNull()
+                     | (F.col("__next") > F.col("__p") + 1))
+             .groupBy((F.col("__p") + 1).alias("period"))
+             .agg(F.count(F.lit(1)).alias("n_churned")))
+    out = (act.join(churn, "period", "full_outer")
+           .select(F.col("period").cast("long").alias("period"),
+                   F.coalesce("n_active", F.lit(0)).cast("long")
+                    .alias("n_active"),
+                   F.coalesce("n_new", F.lit(0)).cast("long")
+                    .alias("n_new"),
+                   F.coalesce("n_retained", F.lit(0)).cast("long")
+                    .alias("n_retained"),
+                   F.coalesce("n_resurrected", F.lit(0)).cast("long")
+                    .alias("n_resurrected"),
+                   F.coalesce("n_churned", F.lit(0)).cast("long")
+                    .alias("n_churned")))
+    return out

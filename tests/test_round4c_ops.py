@@ -1240,3 +1240,81 @@ def test_rake_brute(spark):
     assert ranks["gradient descent optimizer"] == 1  # 9 > 8.5 > 4.5
     assert ranks["deep learning models"] == 2
     assert ranks["deep networks"] == 3
+
+
+def test_event_study_brute(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from hiselspark.operators.windows import event_study
+    rng = _rng(167)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(3):
+        t = 0
+        for i in range(80):
+            t += int(rng.integers(300, 2000))
+            is_ev = (i % 17 == 5)
+            # planted lift after events
+            v = int(rng.integers(10, 30)) + (40 if i % 17 in
+                                             (5, 6, 7) else 0)
+            rows.append((u, base + dt.timedelta(seconds=t), v,
+                         is_ev))
+    df = spark.createDataFrame(rows, ["u", "ts", "v", "ev"])
+    out = {r["bucket"]: r for r in
+           event_study(df, "u", "ts", "v", F.col("ev"),
+                       n_buckets=2, bucket_seconds=1800.0).collect()}
+    # brute
+    import collections
+    per = collections.defaultdict(lambda: [0, 0])
+    allv = [v for _, _, v, _ in rows]
+    anchors = [(u, ts) for u, ts, _, e in rows if e]
+    for u, ts, v, _ in rows:
+        for au, ats in anchors:
+            if au != u:
+                continue
+            off = (ts - ats).total_seconds()
+            if -3600 <= off < 3600 + 1800:
+                b = math.floor(off / 1800)
+                per[b][0] += 1
+                per[b][1] += v
+    gmean = sum(allv) / len(allv)
+    assert set(out) == set(per)
+    for b, (n, sv) in per.items():
+        assert out[b]["n"] == n and out[b]["sum_v"] == sv
+        assert out[b]["abnormal"] == pytest.approx(
+            sv / n - gmean, rel=1e-12)
+    # the planted post-event lift shows up in buckets 0..1
+    assert out[0]["abnormal"] > 5
+
+
+def test_growth_accounting_brute(spark):
+    import datetime as dt
+    from hiselspark.operators.windows import growth_accounting
+    base = dt.datetime(2024, 1, 1)
+    # user: active periods (weeks)
+    activity = {
+        1: [0, 1, 2, 5],       # new@0, ret@1, ret@2, churn@3, res@5
+        2: [1, 3],             # new@1, churn@2, res@3, churn@4
+        3: [0, 1, 2, 3, 4, 5],  # always retained
+    }
+    rows = []
+    for u, ps in activity.items():
+        for p in ps:
+            rows.append((u, base + dt.timedelta(weeks=p, hours=u)))
+    df = spark.createDataFrame(rows, ["u", "ts"])
+    out = {r["period"]: r for r in
+           growth_accounting(df, "u", "ts",
+                             period_seconds=86400.0 * 7).collect()}
+    p0 = min(out)  # epoch week offset
+    def g(p):
+        return out[p0 + p]
+    assert g(0)["n_new"] == 2 and g(0)["n_active"] == 2
+    assert g(1)["n_new"] == 1 and g(1)["n_retained"] == 2
+    assert g(2)["n_retained"] == 2 and g(2)["n_churned"] == 1
+    assert g(3)["n_resurrected"] == 1 and g(3)["n_churned"] == 1
+    assert g(4)["n_churned"] == 1 and g(4)["n_active"] == 1
+    assert g(5)["n_resurrected"] == 1 and g(5)["n_retained"] == 1
+    # identities
+    for p, r in out.items():
+        assert r["n_active"] == (r["n_new"] + r["n_retained"]
+                                 + r["n_resurrected"])
