@@ -7907,6 +7907,60 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_resurrected", "n_churned")
 
 
+def q_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-width HBOS anomaly score over (cents, props-k) — per
+    feature the exact-CDF decile bins with count/width densities,
+    per-row score the fixed-order two-term ln fold; NULL features
+    contribute 0."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.profile import hbos_score
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select("event_id",
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents"),
+                   F.col("__p.k").cast("long").alias("k")))
+    out = hbos_score(d, "event_id", ["cents", "k"], n_bins=10)
+    return out.select(F.col("id").alias("event_id"), "bin_0",
+                      "bin_1", F.round("hbos", 6).alias("hbos"))
+
+
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row squared Mahalanobis distance of (cents, props-k) from
+    the corpus centroid — 2x2 covariance inverted by Cramer on exact
+    int64 moments, the quadratic form mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.profile import mahalanobis2
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select("event_id",
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents"),
+                   F.col("__p.k").cast("long").alias("k")))
+    out = mahalanobis2(d, "event_id", "cents", "k")
+    return out.select(F.col("id").alias("event_id"), "x", "y",
+                      F.round("d2", 6).alias("d2"))
+
+
+def q_js_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage encoding of event_type against cents —
+    pooled-within and between variances off exact int64 moments with
+    category-ordered folds, shrinkage weight and encode mirrored."""
+    from hiselspark.operators.encoding import js_encode
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = js_encode(ev, "event_id", "event_type", "cents")
+    return out.select(F.col("id").alias("event_id"), "category",
+                      "y", "n_c",
+                      F.round("b_shrink", 9).alias("b_shrink"),
+                      F.round("js", 6).alias("js"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8094,6 +8148,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "event_study": q_event_study,
         "growth_accounting": q_growth_accounting,
+        "hbos": q_hbos,
+        "mahalanobis": q_mahalanobis,
+        "js_encode": q_js_encode,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -20990,5 +21047,171 @@ def _oracle_sql_raw() -> dict[str, str]:
                CAST(coalesce(c.n_churned, 0) AS BIGINT)
                  AS n_churned
         FROM act a FULL OUTER JOIN churn c ON a.period = c.period
+    """
+    oracles["hbos"] = """
+        WITH d AS (
+          SELECT event_id,
+                 CAST(round(value*100) AS BIGINT) AS f0,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS f1
+          FROM events
+        ),
+        a_pv AS (
+          SELECT f0 AS v, CAST(count(*) AS BIGINT) AS t
+          FROM d WHERE f0 IS NOT NULL GROUP BY v
+        ), a_bm AS (
+          SELECT v,
+                 (10 * coalesce(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)) // (sum(t) OVER ()) AS b
+          FROM a_pv
+        ), a_dn AS (
+          SELECT b, CAST(sum(t) AS BIGINT) AS c,
+                 CAST(max(v) - min(v) + 1 AS BIGINT) AS w
+          FROM a_pv JOIN a_bm USING (v) GROUP BY b
+        ), a_dx AS (
+          SELECT max(CAST(c AS DOUBLE) / CAST(w AS DOUBLE)) AS dm
+          FROM a_dn
+        ), a_lut AS (
+          SELECT m.v, m.b,
+                 ln(x.dm / (CAST(n.c AS DOUBLE)
+                            / CAST(n.w AS DOUBLE))) AS s
+          FROM a_bm m JOIN a_dn n USING (b), a_dx x
+        ),
+        b_pv AS (
+          SELECT f1 AS v, CAST(count(*) AS BIGINT) AS t
+          FROM d WHERE f1 IS NOT NULL GROUP BY v
+        ), b_bm AS (
+          SELECT v,
+                 (10 * coalesce(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0)) // (sum(t) OVER ()) AS b
+          FROM b_pv
+        ), b_dn AS (
+          SELECT b, CAST(sum(t) AS BIGINT) AS c,
+                 CAST(max(v) - min(v) + 1 AS BIGINT) AS w
+          FROM b_pv JOIN b_bm USING (v) GROUP BY b
+        ), b_dx AS (
+          SELECT max(CAST(c AS DOUBLE) / CAST(w AS DOUBLE)) AS dm
+          FROM b_dn
+        ), b_lut AS (
+          SELECT m.v, m.b,
+                 ln(x.dm / (CAST(n.c AS DOUBLE)
+                            / CAST(n.w AS DOUBLE))) AS s
+          FROM b_bm m JOIN b_dn n USING (b), b_dx x
+        )
+        SELECT d.event_id,
+               CAST(a_lut.b AS BIGINT) AS bin_0,
+               CAST(b_lut.b AS BIGINT) AS bin_1,
+               round((0.0 + coalesce(a_lut.s, 0.0))
+                     + coalesce(b_lut.s, 0.0), 6) AS hbos
+        FROM d
+        LEFT JOIN a_lut ON d.f0 = a_lut.v
+        LEFT JOIN b_lut ON d.f1 = b_lut.v
+    """
+    oracles["mahalanobis"] = """
+        WITH d AS (
+          SELECT event_id,
+                 CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS y
+          FROM events
+          WHERE value IS NOT NULL
+            AND json_extract_string(props, '$.k') IS NOT NULL
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy,
+                 CAST(sum(x*y) AS BIGINT) AS sxy
+          FROM d
+        ), m AS (
+          SELECT d.event_id, d.x, d.y, agg.n,
+                 CAST(agg.sxx AS DOUBLE) - CAST(agg.sx AS DOUBLE)
+                   * CAST(agg.sx AS DOUBLE)
+                   / CAST(agg.n AS DOUBLE) AS cxx,
+                 CAST(agg.syy AS DOUBLE) - CAST(agg.sy AS DOUBLE)
+                   * CAST(agg.sy AS DOUBLE)
+                   / CAST(agg.n AS DOUBLE) AS cyy,
+                 CAST(agg.sxy AS DOUBLE) - CAST(agg.sx AS DOUBLE)
+                   * CAST(agg.sy AS DOUBLE)
+                   / CAST(agg.n AS DOUBLE) AS cxy,
+                 CAST(d.x AS DOUBLE) - CAST(agg.sx AS DOUBLE)
+                   / CAST(agg.n AS DOUBLE) AS dx,
+                 CAST(d.y AS DOUBLE) - CAST(agg.sy AS DOUBLE)
+                   / CAST(agg.n AS DOUBLE) AS dy
+          FROM d, agg
+        )
+        SELECT event_id, x, y,
+               CASE WHEN n >= 3 AND cxx * cyy - cxy * cxy > 0.0
+                    THEN round((cyy * dx * dx
+                                - 2.0 * cxy * dx * dy
+                                + cxx * dy * dy)
+                         * (CAST(n AS DOUBLE) - 1.0)
+                         / (cxx * cyy - cxy * cxy), 6)
+               END AS d2
+        FROM m
+    """
+    oracles["js_encode"] = """
+        WITH d AS (
+          SELECT event_id AS id, event_type AS category,
+                 CAST(round(value*100) AS BIGINT) AS y
+          FROM events
+        ), per AS (
+          SELECT category, CAST(count(*) AS BIGINT) AS n_c,
+                 CAST(sum(y) AS BIGINT) AS s_c,
+                 CAST(sum(y*y) AS BIGINT) AS q_c
+          FROM d WHERE y IS NOT NULL GROUP BY category
+        ), gl AS (
+          SELECT CAST(sum(n_c) AS BIGINT) AS n,
+                 CAST(sum(s_c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS k,
+                 list_reduce(list_prepend(0.0,
+                   list(CAST(q_c AS DOUBLE) - CAST(s_c AS DOUBLE)
+                        * CAST(s_c AS DOUBLE)
+                        / CAST(n_c AS DOUBLE) ORDER BY category)),
+                   (acc, x) -> acc + x) AS ssw
+          FROM per
+        ), g2 AS (
+          SELECT *,
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS gmean,
+                 CASE WHEN n > k
+                      THEN ssw / (CAST(n AS DOUBLE)
+                                  - CAST(k AS DOUBLE))
+                      ELSE 0.0 END AS s2
+          FROM gl
+        ), tau AS (
+          SELECT g2.s2, g2.gmean, g2.n, g2.k,
+                 CASE WHEN g2.k >= 2 THEN greatest(0.0,
+                   list_reduce(list_prepend(0.0,
+                     list((CAST(per.s_c AS DOUBLE)
+                           / CAST(per.n_c AS DOUBLE) - g2.gmean)
+                          * (CAST(per.s_c AS DOUBLE)
+                             / CAST(per.n_c AS DOUBLE) - g2.gmean)
+                          ORDER BY per.category)),
+                     (acc, x) -> acc + x)
+                   / (CAST(g2.k AS DOUBLE) - 1.0))
+                 ELSE 0.0 END AS tau2
+          FROM per, g2
+          GROUP BY g2.s2, g2.gmean, g2.n, g2.k
+        ), enc AS (
+          SELECT per.category, per.n_c,
+                 CASE WHEN tau.s2 / CAST(per.n_c AS DOUBLE)
+                           + tau.tau2 > 0.0
+                      THEN (tau.s2 / CAST(per.n_c AS DOUBLE))
+                           / (tau.s2 / CAST(per.n_c AS DOUBLE)
+                              + tau.tau2)
+                      ELSE 1.0 END AS b,
+                 tau.gmean,
+                 CAST(per.s_c AS DOUBLE) / CAST(per.n_c AS DOUBLE)
+                   AS mean_c
+          FROM per, tau
+        )
+        SELECT d.id AS event_id, d.category, d.y, enc.n_c,
+               round(enc.b, 9) AS b_shrink,
+               round((1.0 - enc.b) * enc.mean_c
+                     + enc.b * enc.gmean, 6) AS js
+        FROM d LEFT JOIN enc ON d.category = enc.category
     """
     return oracles

@@ -690,3 +690,95 @@ def loo_encode(df: DataFrame, id_col: str, category_col: str,
                       F.col("n_g").cast("long").alias("n_g"),
                       F.col("s_g").cast("long").alias("s_g"),
                       loo.alias("loo"))
+
+
+def js_encode(df: DataFrame, id_col: str, category_col: str,
+              y_col: str) -> DataFrame:
+    """James–Stein shrinkage target encoding — the principled middle
+    ground between the raw category mean (overfits rare categories)
+    and the global mean (ignores signal):
+
+        B_c = s²/n_c / (s²/n_c + τ²),
+        ĵs_c = (1 − B_c)·ȳ_c + B_c·ȳ
+
+    with s² the pooled WITHIN-category variance and τ² the BETWEEN-
+    category variance of the category means (both method-of-moments,
+    floored at 0; B snaps to 1 when τ² = 0 — no between signal, full
+    shrinkage).  Every sufficient statistic (per-category n, Σy, Σy²
+    and their global rollups) is exact int64 with integer ``y_col``;
+    the τ² estimate folds the category-mean deviations in category
+    order.  Every row keeps its row and receives the encode
+    (add-a-column contract — NULL-y inference rows too: the
+    statistics come only from labeled rows, so there is no leakage);
+    categories never seen labeled get NULL.  Singleton categories
+    shrink hard (B → 1 as s²/n_c dominates).  Returns (id, category,
+    y, n_c, b_shrink, js)."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(category_col).alias("category"),
+                  F.col(y_col).cast("long").alias("y"))
+    per = (d.filter(F.col("y").isNotNull())
+             .groupBy("category")
+             .agg(F.count(F.lit(1)).alias("n_c"),
+                  F.sum("y").alias("s_c"),
+                  F.sum(F.col("y") * F.col("y")).alias("q_c")))
+    nd_c = F.col("n_c").cast("double")
+    mean_c = F.col("s_c").cast("double") / nd_c
+    glob = per.agg(
+        F.sum("n_c").alias("n"),
+        F.sum("s_c").alias("s"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("q_c")).alias("q"),
+        # pooled within-category SS: Σ(q_c − s_c²/n_c), fold in
+        # category order (float after exact int64 inputs)
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("category").alias("g"),
+                    (F.col("q_c").cast("double")
+                     - F.col("s_c").cast("double")
+                     * F.col("s_c").cast("double") / nd_c)
+                    .alias("t")))),
+                lambda s_: s_["t"]),
+            F.lit(0.0), lambda acc, x: acc + x).alias("ssw"))
+    per2 = per.crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    gmean = F.col("s").cast("double") / nd
+    s2 = F.when(F.col("n") > F.col("k"),
+                F.col("ssw") / (nd - kd)).otherwise(F.lit(0.0))
+    # between variance of category means (unweighted MoM)
+    tau_frame = per2.select(
+        "category", "n_c", "s_c",
+        s2.alias("s2"), gmean.alias("gmean"),
+        ((mean_c - gmean) * (mean_c - gmean)).alias("dev2"))
+    tau = (tau_frame.groupBy("s2", "gmean")
+           .agg(F.count(F.lit(1)).alias("k2"),
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(
+                            F.col("category").alias("g"),
+                            F.col("dev2").alias("t")))),
+                        lambda s_: s_["t"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x).alias("sdev2")))
+    tau = tau.select(
+        "s2", "gmean",
+        F.when(F.col("k2") >= 2,
+               F.greatest(F.lit(0.0),
+                          F.col("sdev2")
+                          / (F.col("k2").cast("double") - 1.0)))
+         .otherwise(F.lit(0.0)).alias("tau2"))
+    enc = per.crossJoin(F.broadcast(tau))
+    se2 = F.col("s2") / nd_c
+    b = F.when(se2 + F.col("tau2") > 0.0,
+               se2 / (se2 + F.col("tau2"))).otherwise(F.lit(1.0))
+    js = (F.lit(1.0) - b) * mean_c + b * F.col("gmean")
+    enc = enc.select("category",
+                     F.col("n_c").cast("long").alias("n_c"),
+                     b.alias("b_shrink"), js.alias("js"))
+    out = d.join(F.broadcast(enc), "category", "left")
+    return out.select(
+        "id", "category", "y",
+        F.col("n_c").cast("long").alias("n_c"),
+        F.col("b_shrink").alias("b_shrink"),
+        F.col("js").alias("js"))

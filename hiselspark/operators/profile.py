@@ -527,3 +527,116 @@ def inequality_profile(df: DataFrame, group_col: str,
                    F.when(F.col("n") > 0, theil).alias("theil_t"),
                    F.when(F.col("n") > 0, atk).alias("atkinson")))
     return out
+
+
+def hbos_score(df: DataFrame, id_col: str, feature_cols: Sequence[str],
+               n_bins: int = 10) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
+    standard cheap anomaly baseline with DYNAMIC-WIDTH bins: per
+    feature, equal-frequency bins whose density is count/width (an
+    equal-frequency bin stretched over a huge value range IS the
+    sparse region — raw counts alone cannot see tail outliers); per
+    row,
+
+        HBOS = Σ_f ln(max_density_f / density_f(row))   ≥ 0
+
+    Bins come from the exact integer CDF split ``bin = (B·below)
+    DIV n`` per feature (the quantile_bin plan — ties share a bin);
+    bin count and integer width (max − min + 1) are exact int64, the
+    density ratio and its ln are mirrored float expressions, and the
+    per-row sum folds over the FIXED caller order of
+    ``feature_cols``.  NULL feature values contribute 0 (documented;
+    no density evidence).  Returns one row per input row:
+    (id, bin_i…, hbos)."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    out = df.select(F.col(id_col).alias("id"),
+                    *[F.col(c).cast("long").alias(f"__f{i}")
+                      for i, c in enumerate(feature_cols)])
+    score = F.lit(0.0)
+    for i, _ in enumerate(feature_cols):
+        c = f"__f{i}"
+        per_v = (out.filter(F.col(c).isNotNull())
+                 .groupBy(F.col(c).alias("__v"))
+                 .agg(F.count(F.lit(1)).alias("__t")))
+        w_run = (Window.orderBy("__v")
+                 .rowsBetween(Window.unboundedPreceding, -1))
+        w_all = Window.partitionBy()
+        binmap = (per_v
+                  .select("__v",
+                          F.coalesce(F.sum("__t").over(w_run),
+                                     F.lit(0)).alias("below"),
+                          F.sum("__t").over(w_all).alias("nn"))
+                  .select("__v",
+                          F.expr(f"({int(n_bins)} * below) DIV nn")
+                          .alias("__b")))
+        dens = (per_v.join(binmap, "__v")
+                .groupBy("__b").agg(
+                    F.sum("__t").alias("__c"),
+                    (F.max("__v") - F.min("__v") + 1).alias("__w")))
+        dens = dens.withColumn(
+            "__d", F.col("__c").cast("double")
+            / F.col("__w").cast("double"))
+        dmax = dens.agg(F.max("__d").alias("__dm"))
+        lut = (binmap.join(dens, "__b")
+               .crossJoin(F.broadcast(dmax))
+               .select(F.col("__v").alias(f"__v{i}"),
+                       F.col("__b").alias(f"__f{i}_bin"),
+                       F.log(F.col("__dm") / F.col("__d"))
+                       .alias(f"__s{i}")))
+        out = out.join(F.broadcast(lut),
+                       out[c] == lut[f"__v{i}"], "left") \
+                 .drop(f"__v{i}")
+        score = score + F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+    return out.select(
+        "id", *[F.col(f"__f{i}_bin").cast("long")
+                .alias(f"bin_{i}") for i in
+                range(len(feature_cols))],
+        score.alias("hbos"))
+
+
+def mahalanobis2(df: DataFrame, id_col: str, x_col: str,
+                 y_col: str) -> DataFrame:
+    """Squared Mahalanobis distance of every row from the corpus
+    centroid under the 2-feature sample covariance — the classic
+    correlated-outlier score a univariate z misses, in CLOSED FORM
+    (2×2 inverse by Cramer, the linear_shap convention):
+
+        d²(r) = [dx, dy] · Σ⁻¹ · [dx, dy]ᵀ
+              = (Syy·dx² − 2·Sxy·dx·dy + Sxx·dy²) · (n−1) / det
+
+    with Sxx/Syy/Sxy the centered sums and det = Sxx·Syy − Sxy².
+    Raw moments (n, Σx, Σy, Σx², Σy², Σxy) are exact int64 from one
+    aggregate; per-row dx = x − x̄ and the quadratic form are mirrored
+    float expressions.  NULL d² when det ≤ 0 (degenerate covariance).
+    Returns one row per input row: (id, x, y, d2)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    d = (df.filter(x.isNotNull() & y.isNotNull())
+           .select(F.col(id_col).alias("id"), x.alias("x"),
+                   y.alias("y")))
+    agg = d.agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"),
+                F.sum(F.col("y") * F.col("y")).alias("syy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    j = d.crossJoin(F.broadcast(agg))
+    nd = F.col("n").cast("double")
+    cxx = (F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")
+           / nd)
+    cyy = (F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy").cast("double")
+           / nd)
+    cxy = (F.col("sxy").cast("double")
+           - F.col("sx").cast("double") * F.col("sy").cast("double")
+           / nd)
+    det = cxx * cyy - cxy * cxy
+    dx = F.col("x").cast("double") - F.col("sx").cast("double") / nd
+    dy = F.col("y").cast("double") - F.col("sy").cast("double") / nd
+    quad = cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy
+    d2 = F.when((F.col("n") >= 3) & (det > 0.0),
+                quad * (nd - 1.0) / det)
+    return j.select("id", F.col("x").cast("long").alias("x"),
+                    F.col("y").cast("long").alias("y"),
+                    d2.alias("d2"))

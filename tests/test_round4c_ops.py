@@ -1318,3 +1318,112 @@ def test_growth_accounting_brute(spark):
     for p, r in out.items():
         assert r["n_active"] == (r["n_new"] + r["n_retained"]
                                  + r["n_resurrected"])
+
+
+def test_hbos_brute(spark):
+    from hiselspark.operators.profile import hbos_score
+    rng = _rng(173)
+    n = 400
+    f1 = rng.integers(0, 100, n)
+    f2 = rng.integers(0, 50, n)
+    rows = [(i, int(a), int(b)) for i, (a, b) in
+            enumerate(zip(f1, f2))]
+    rows.append((n, 9999, 9999))  # planted outlier
+    df = spark.createDataFrame(rows, ["id", "f1", "f2"])
+    out = {r["id"]: r for r in
+           hbos_score(df, "id", ["f1", "f2"], n_bins=10).collect()}
+    # brute for one feature
+    import collections
+
+    def bins_of(vals):
+        cnt = collections.Counter(vals)
+        below, acc = {}, 0
+        for v in sorted(cnt):
+            below[v] = acc
+            acc += cnt[v]
+        bb = {v: (10 * below[v]) // len(vals) for v in cnt}
+        cnts = collections.Counter()
+        lo, hi = {}, {}
+        for v, c in cnt.items():
+            b = bb[v]
+            cnts[b] += c
+            lo[b] = min(lo.get(b, v), v)
+            hi[b] = max(hi.get(b, v), v)
+        dens = {b: cnts[b] / (hi[b] - lo[b] + 1) for b in cnts}
+        return bb, dens
+
+    vals1 = [r[1] for r in rows]
+    vals2 = [r[2] for r in rows]
+    b1, d1 = bins_of(vals1)
+    b2, d2 = bins_of(vals2)
+    m1, m2 = max(d1.values()), max(d2.values())
+    for i, a, b in rows:
+        exp = (math.log(m1 / d1[b1[a]]) + math.log(m2 / d2[b2[b]]))
+        assert out[i]["hbos"] == pytest.approx(exp, rel=1e-12)
+    # the planted outlier scores at the maximum (it shares its
+    # sparse top bin with the stretched decile — bin-resolution
+    # flagging is the documented HBOS contract)
+    mx = max(r["hbos"] for r in out.values())
+    assert out[n]["hbos"] == pytest.approx(mx, rel=1e-12)
+    assert out[n]["hbos"] > out[0]["hbos"] + 1.0
+
+
+def test_mahalanobis2_brute(spark):
+    from hiselspark.operators.profile import mahalanobis2
+    rng = _rng(179)
+    n = 300
+    x = rng.integers(0, 50, n)
+    y = 2 * x + rng.integers(-5, 6, n)  # correlated
+    rows = [(i, int(a), int(b)) for i, (a, b) in
+            enumerate(zip(x, y))]
+    rows.append((n, 50, 0))  # violates the correlation
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    out = {r["id"]: r for r in
+           mahalanobis2(df, "id", "x", "y").collect()}
+    xs = np.array([r[1] for r in rows], dtype=float)
+    ys = np.array([r[2] for r in rows], dtype=float)
+    cov = np.cov(np.vstack([xs, ys]))
+    inv = np.linalg.inv(cov)
+    for i, a, b in rows:
+        dv = np.array([a - xs.mean(), b - ys.mean()])
+        exp = float(dv @ inv @ dv)
+        assert out[i]["d2"] == pytest.approx(exp, rel=1e-9)
+    # the anti-correlated point dominates
+    top = sorted(out.values(), key=lambda r: -r["d2"])[0]
+    assert top["id"] == n
+
+
+def test_js_encode_brute(spark):
+    from hiselspark.operators.encoding import js_encode
+    rng = _rng(181)
+    cats = ["a"] * 200 + ["b"] * 50 + ["c"] * 2
+    y = ([int(v) for v in rng.normal(100, 10, 200)]
+         + [int(v) for v in rng.normal(140, 10, 50)]
+         + [118, 122])
+    rows = [(i, c, v) for i, (c, v) in enumerate(zip(cats, y))]
+    rows.append((len(rows), "a", None))  # inference row
+    df = spark.createDataFrame(rows, ["id", "cat", "y"])
+    out = {r["id"]: r for r in js_encode(df, "id", "cat",
+                                         "y").collect()}
+    arr = {c: np.array([v for cc, v in zip(cats, y) if cc == c],
+                       dtype=float) for c in "abc"}
+    nn = len(y)
+    k = 3
+    gmean = sum(y) / nn
+    ssw = sum(((a - a.mean()) ** 2).sum() for a in arr.values())
+    s2 = ssw / (nn - k)
+    means = {c: a.mean() for c, a in arr.items()}
+    tau2 = max(0.0, sum((m - gmean) ** 2 for m in means.values())
+               / (k - 1))
+    for i, c, v in rows:
+        se2 = s2 / len(arr[c])
+        bb = se2 / (se2 + tau2)
+        exp = (1 - bb) * means[c] + bb * gmean
+        r = out[i]
+        assert r["n_c"] == len(arr[c])
+        assert r["b_shrink"] == pytest.approx(bb, rel=1e-9)
+        assert r["js"] == pytest.approx(exp, rel=1e-9)
+    # rare category shrinks much harder than the common one
+    assert (out[251]["b_shrink"] > 5 * out[0]["b_shrink"])
+    # inference row got the encode
+    assert out[len(rows) - 1]["js"] is not None
