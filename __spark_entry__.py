@@ -7961,6 +7961,97 @@ def q_js_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("js", 6).alias("js"))
 
 
+def q_two_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z with per-arm Wilson intervals for the k>=50
+    vs k<50 conversion (cents>1000) — cells exact int64, z and all
+    four CI bounds mirrored (1.96 exact decimal)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import two_prop_test
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select((F.col("__p.k") >= 50).cast("long").alias("f"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y")))
+    out = two_prop_test(d, "f", "y")
+    return out.select("n1", "x1", "n0", "x0",
+                      F.round("p1", 6).alias("p1"),
+                      F.round("p0", 6).alias("p0"),
+                      F.round("z", 6).alias("z"),
+                      F.round("p1_lo", 6).alias("p1_lo"),
+                      F.round("p1_hi", 6).alias("p1_hi"),
+                      F.round("p0_lo", 6).alias("p0_lo"),
+                      F.round("p0_hi", 6).alias("p0_hi"))
+
+
+def q_poisson_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Poisson purchase-rate ratio between even and odd
+    users (per-user purchase counts over event exposure) — exact
+    int64 totals, log-RR z mirrored."""
+    from hiselspark.operators.evaluate import poisson_rate_test
+    ev = _ev(spark, sf_dir)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sum((F.col("event_type") == "purchase")
+                           .cast("long")).alias("x"),
+                     F.count(F.lit(1)).alias("e"))
+                .select(F.pmod(F.col("user_id"), 2).cast("long")
+                        .alias("f"), "x", "e"))
+    out = poisson_rate_test(per_user, "f", "x", "e")
+    return out.select("x1", "e1", "x0", "e0",
+                      F.round("rr", 6).alias("rr"),
+                      F.round("z", 6).alias("z"))
+
+
+def q_holm_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down FWER control over the same synthetic
+    hypothesis frame as q_by_adjust — stop-at-first-failure via a
+    windowed min over failure flags, thresholds mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.drift import holm_adjust
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select(F.col("__p.k").cast("long").alias("k"))
+           .distinct()
+           .select(F.concat(F.lit("h"), F.col("k")).alias("key"),
+                   (F.pmod(F.col("k") * 37, 1000).cast("double")
+                    / F.lit(1000.0)).alias("p")))
+    out = holm_adjust(d, "key", "p", alpha=0.05)
+    return out.select("key", F.round("p", 6).alias("p"), "rank", "m",
+                      F.round("holm_threshold", 9)
+                      .alias("holm_threshold"), "reject")
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 total-vocabulary estimate of the documents corpus —
+    S/f1/f2 exact int64 off the token count table, the bias-corrected
+    estimator one mirrored expression."""
+    from hiselspark.functions.text import chao1_richness
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chao1_richness(docs, "text")
+    return out.select("n_tokens", "s_observed", "f1", "f2",
+                      F.round("chao1", 6).alias("chao1"))
+
+
+def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman-corrected capture-recapture estimate of the active
+    user population from the two month halves as independent
+    "captures" — exact distinct counts + semi-join overlap, estimate
+    and variance mirrored."""
+    from hiselspark.operators.dedup import lincoln_petersen
+    ev = _ev(spark, sf_dir)
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    a = ev.filter(F.col("ts") < cut).select("user_id")
+    b = ev.filter(F.col("ts") >= cut).select("user_id")
+    out = lincoln_petersen(a, b, "user_id")
+    return out.select("n_a", "n_b", "n_overlap",
+                      F.round("n_hat", 6).alias("n_hat"),
+                      F.round("var_hat", 6).alias("var_hat"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8151,6 +8242,11 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hbos": q_hbos,
         "mahalanobis": q_mahalanobis,
         "js_encode": q_js_encode,
+        "two_prop": q_two_prop,
+        "poisson_rate": q_poisson_rate,
+        "holm_adjust": q_holm_adjust,
+        "chao1": q_chao1,
+        "lincoln_petersen": q_lincoln_petersen,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -21213,5 +21309,192 @@ def _oracle_sql_raw() -> dict[str, str]:
                round((1.0 - enc.b) * enc.mean_c
                      + enc.b * enc.gmean, 6) AS js
         FROM d LEFT JOIN enc ON d.category = enc.category
+    """
+    oracles["two_prop"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50 THEN 1 ELSE 0 END AS f,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), s AS (
+          SELECT CAST(sum(f) AS BIGINT) AS n1,
+                 CAST(sum(f*y) AS BIGINT) AS x1,
+                 CAST(sum(1-f) AS BIGINT) AS n0,
+                 CAST(sum((1-f)*y) AS BIGINT) AS x0
+          FROM d
+        ), m AS (
+          SELECT *,
+                 CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+                 CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+                 (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))
+                   / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)) AS pp
+          FROM s
+        ), r AS (
+          SELECT *,
+                 pp * (1.0 - pp) * (1.0 / CAST(n1 AS DOUBLE)
+                                    + 1.0 / CAST(n0 AS DOUBLE))
+                   AS se2
+          FROM m
+        )
+        SELECT n1, x1, n0, x0,
+               CASE WHEN n1 > 0 THEN round(p1, 6) END AS p1,
+               CASE WHEN n0 > 0 THEN round(p0, 6) END AS p0,
+               CASE WHEN n1 > 0 AND n0 > 0 AND se2 > 0.0
+                    THEN round((p1 - p0) / sqrt(se2), 6) END AS z,
+               CASE WHEN n1 > 0 THEN round(
+                 ((p1 + 1.96*1.96 / (2.0 * CAST(n1 AS DOUBLE)))
+                  - 1.96 * sqrt(p1 * (1.0 - p1)
+                                / CAST(n1 AS DOUBLE)
+                      + 1.96*1.96 / (4.0 * CAST(n1 AS DOUBLE)
+                                     * CAST(n1 AS DOUBLE))))
+                 / (1.0 + 1.96*1.96 / CAST(n1 AS DOUBLE)), 6)
+               END AS p1_lo,
+               CASE WHEN n1 > 0 THEN round(
+                 ((p1 + 1.96*1.96 / (2.0 * CAST(n1 AS DOUBLE)))
+                  + 1.96 * sqrt(p1 * (1.0 - p1)
+                                / CAST(n1 AS DOUBLE)
+                      + 1.96*1.96 / (4.0 * CAST(n1 AS DOUBLE)
+                                     * CAST(n1 AS DOUBLE))))
+                 / (1.0 + 1.96*1.96 / CAST(n1 AS DOUBLE)), 6)
+               END AS p1_hi,
+               CASE WHEN n0 > 0 THEN round(
+                 ((p0 + 1.96*1.96 / (2.0 * CAST(n0 AS DOUBLE)))
+                  - 1.96 * sqrt(p0 * (1.0 - p0)
+                                / CAST(n0 AS DOUBLE)
+                      + 1.96*1.96 / (4.0 * CAST(n0 AS DOUBLE)
+                                     * CAST(n0 AS DOUBLE))))
+                 / (1.0 + 1.96*1.96 / CAST(n0 AS DOUBLE)), 6)
+               END AS p0_lo,
+               CASE WHEN n0 > 0 THEN round(
+                 ((p0 + 1.96*1.96 / (2.0 * CAST(n0 AS DOUBLE)))
+                  + 1.96 * sqrt(p0 * (1.0 - p0)
+                                / CAST(n0 AS DOUBLE)
+                      + 1.96*1.96 / (4.0 * CAST(n0 AS DOUBLE)
+                                     * CAST(n0 AS DOUBLE))))
+                 / (1.0 + 1.96*1.96 / CAST(n0 AS DOUBLE)), 6)
+               END AS p0_hi
+        FROM r
+    """
+    oracles["poisson_rate"] = """
+        WITH per AS (
+          SELECT user_id % 2 AS f,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                 CAST(count(*) AS BIGINT) AS e
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), s AS (
+          SELECT CAST(sum(f*x) AS BIGINT) AS x1,
+                 CAST(sum(f*e) AS BIGINT) AS e1,
+                 CAST(sum((1-f)*x) AS BIGINT) AS x0,
+                 CAST(sum((1-f)*e) AS BIGINT) AS e0
+          FROM per
+        )
+        SELECT x1, e1, x0, e0,
+               CASE WHEN e1 > 0 AND e0 > 0 AND x0 > 0
+                    THEN round((CAST(x1 AS DOUBLE)
+                                / CAST(e1 AS DOUBLE))
+                         / (CAST(x0 AS DOUBLE)
+                            / CAST(e0 AS DOUBLE)), 6) END AS rr,
+               CASE WHEN e1 > 0 AND e0 > 0 AND x0 > 0 AND x1 > 0
+                    THEN round(ln((CAST(x1 AS DOUBLE)
+                                   / CAST(e1 AS DOUBLE))
+                              / (CAST(x0 AS DOUBLE)
+                                 / CAST(e0 AS DOUBLE)))
+                         / sqrt(1.0 / CAST(x1 AS DOUBLE)
+                                + 1.0 / CAST(x0 AS DOUBLE)), 6)
+               END AS z
+        FROM s
+    """
+    oracles["holm_adjust"] = """
+        WITH d AS (
+          SELECT DISTINCT CAST(json_extract_string(props, '$.k')
+                               AS BIGINT) AS k
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), h AS (
+          SELECT 'h' || CAST(k AS VARCHAR) AS key,
+                 CAST((k * 37) % 1000 AS DOUBLE) / 1000.0 AS p
+          FROM d
+        ), ranked AS (
+          SELECT key, p,
+                 CAST(row_number() OVER (ORDER BY p, key)
+                      AS BIGINT) AS rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM h
+        ), thr AS (
+          SELECT *, 0.05 / CAST(m - rank + 1 AS DOUBLE)
+                   AS holm_threshold
+          FROM ranked
+        ), ff AS (
+          SELECT min(CASE WHEN p > holm_threshold THEN rank END)
+                   AS first_fail
+          FROM thr
+        )
+        SELECT t.key, round(t.p, 6) AS p, t.rank, t.m,
+               round(t.holm_threshold, 9) AS holm_threshold,
+               CASE WHEN ff.first_fail IS NULL THEN TRUE
+                    ELSE t.rank < ff.first_fail END AS reject
+        FROM thr t, ff
+    """
+    oracles["chao1"] = """
+        WITH toks AS (
+          SELECT unnest(CASE WHEN trim(lower(text)) = ''
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE regexp_split_to_array(
+                                    trim(lower(text)), '\\s+')
+                        END) AS t
+          FROM documents
+        ), vocab AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY t
+        ), agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f1,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f2
+          FROM vocab
+        )
+        SELECT n_tokens, s AS s_observed, f1, f2,
+               round(CAST(s AS DOUBLE)
+                     + CAST(f1 AS DOUBLE)
+                       * (CAST(f1 AS DOUBLE) - 1.0)
+                       / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6)
+                 AS chao1
+        FROM agg
+    """
+    oracles["lincoln_petersen"] = """
+        WITH a AS (
+          SELECT DISTINCT user_id AS k FROM events
+          WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        ), b AS (
+          SELECT DISTINCT user_id AS k FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        ), s AS (
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+                 (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+                 (SELECT CAST(count(*) AS BIGINT) FROM a
+                  WHERE k IN (SELECT k FROM b)) AS n_overlap
+        )
+        SELECT n_a, n_b, n_overlap,
+               round((CAST(n_a AS DOUBLE) + 1.0)
+                     * (CAST(n_b AS DOUBLE) + 1.0)
+                     / (CAST(n_overlap AS DOUBLE) + 1.0) - 1.0, 6)
+                 AS n_hat,
+               round((CAST(n_a AS DOUBLE) + 1.0)
+                     * (CAST(n_b AS DOUBLE) + 1.0)
+                     * (CAST(n_a AS DOUBLE)
+                        - CAST(n_overlap AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE)
+                        - CAST(n_overlap AS DOUBLE))
+                     / ((CAST(n_overlap AS DOUBLE) + 1.0)
+                        * (CAST(n_overlap AS DOUBLE) + 1.0)
+                        * (CAST(n_overlap AS DOUBLE) + 2.0)), 6)
+                 AS var_hat
+        FROM s
     """
     return oracles

@@ -1237,3 +1237,37 @@ def rake_keywords(df: DataFrame, id_col: str, text_col: str,
                     F.col("n_words").cast("long").alias("n_words"),
                     F.col("score").alias("score"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def chao1_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Chao1 estimator of TOTAL vocabulary size (seen + unseen) from
+    the token frequency-of-frequencies — "how much more vocabulary
+    would more data surface", the coverage planning number next to
+    good_turing's probability mass:
+
+        Chao1 = S + f₁·(f₁−1) / (2·(f₂+1))
+
+    (the bias-corrected form, defined even when f₂ = 0) with S the
+    observed distinct tokens, f₁ singletons, f₂ doubletons — all
+    exact int64 off the corpus token count table; the estimate is one
+    mirrored float expression.  Tokens are the engine's whitespace
+    convention on lowered text.  Returns one row:
+    (n_tokens, s_observed, f1, f2, chao1)."""
+    toks = df.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"))
+    vocab = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("c"))
+    agg = vocab.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("s"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"))
+    chao = (F.col("s").cast("double")
+            + F.col("f1").cast("double")
+            * (F.col("f1").cast("double") - 1.0)
+            / (2.0 * (F.col("f2").cast("double") + 1.0)))
+    return agg.select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("s").cast("long").alias("s_observed"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        chao.alias("chao1"))

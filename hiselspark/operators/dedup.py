@@ -671,3 +671,43 @@ def prefix_similarity_join(df: DataFrame, id_col: str,
     return jaccard_pairs(df, id_col, text_col, candidates=cands,
                          threshold=float(t_num) / float(t_den),
                          shingle_n=shingle_n)
+
+
+def lincoln_petersen(sample_a: DataFrame, sample_b: DataFrame,
+                     key_col: str) -> DataFrame:
+    """Chapman-corrected Lincoln–Petersen capture-recapture estimate
+    of a POPULATION size from two overlapping samples — in a data
+    pipeline: how many distinct entities (users, documents, dup
+    clusters) exist in total, estimated from two independent partial
+    scans and their overlap:
+
+        N̂ = (n_a+1)(n_b+1)/(m+1) − 1,
+        var(N̂) = (n_a+1)(n_b+1)(n_a−m)(n_b−m) / ((m+1)²(m+2))
+
+    with m the exact distinct-key overlap (one semi-join on the
+    distinct key sets).  All counts exact int64; the estimate and
+    variance are mirrored float expressions.  Returns one row:
+    (n_a, n_b, n_overlap, n_hat, var_hat)."""
+    a = sample_a.select(F.col(key_col).alias("k")).distinct()
+    b = sample_b.select(F.col(key_col).alias("k")).distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_b"))
+    m = (a.join(b, "k", "left_semi")
+         .agg(F.count(F.lit(1)).alias("n_overlap")))
+    j = na.crossJoin(nb).crossJoin(m)
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    nhat = ((d("n_a") + 1.0) * (d("n_b") + 1.0)
+            / (d("n_overlap") + 1.0) - 1.0)
+    var = ((d("n_a") + 1.0) * (d("n_b") + 1.0)
+           * (d("n_a") - d("n_overlap"))
+           * (d("n_b") - d("n_overlap"))
+           / ((d("n_overlap") + 1.0) * (d("n_overlap") + 1.0)
+              * (d("n_overlap") + 2.0)))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_overlap").cast("long").alias("n_overlap"),
+        nhat.alias("n_hat"), var.alias("var_hat"))

@@ -658,3 +658,36 @@ def by_adjust(df: DataFrame, key_col: str, p_col: str,
                         F.when(kstar.isNull(), F.lit(False))
                         .otherwise(F.col("rank") <= kstar))
             .drop("__hit"))
+
+
+def holm_adjust(df: DataFrame, key_col: str, p_col: str,
+                alpha: float = 0.05) -> DataFrame:
+    """Holm step-DOWN Bonferroni — FWER control (stronger guarantee
+    than the BH/BY FDR pair, no dependence assumptions): sort p
+    ascending, reject while p_(i) ≤ α/(m−i+1), stop at the first
+    failure (everything after survives regardless of its p).
+
+    The stop-at-first-failure rule is a windowed min over the failure
+    flags: reject(i) ⟺ i < min rank failing.  Same single-tiny-
+    partition plan as bh_adjust; thresholds mirrored.  Returns
+    (key, p, rank, m, holm_threshold, reject)."""
+    w = Window.orderBy(F.col(p_col).asc(), F.col(key_col).asc())
+    g = Window.partitionBy()
+    m = F.count(F.lit(1)).over(g)
+    ranked = df.select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).cast("double").alias("p"),
+        F.row_number().over(w).alias("rank"))
+    ranked = ranked.withColumn("m", m.cast("long"))
+    thr = (F.lit(float(alpha))
+           / (F.col("m") - F.col("rank") + 1).cast("double"))
+    flagged = (ranked
+               .withColumn("holm_threshold", thr)
+               .withColumn("__fail",
+                           F.when(F.col("p") > thr, F.col("rank"))))
+    first_fail = F.min("__fail").over(g)
+    return (flagged
+            .withColumn("reject",
+                        F.when(first_fail.isNull(), F.lit(True))
+                        .otherwise(F.col("rank") < first_fail))
+            .drop("__fail"))

@@ -1315,3 +1315,97 @@ def rate_decomposition(df: DataFrame, segment_col: str, label_col,
         F.when(ok, rate_cur - rate_ref).alias("delta"),
         F.when(ok, F.col("mix_effect")).alias("mix_effect"),
         F.when(ok, F.col("rate_effect")).alias("rate_effect"))
+
+
+def two_prop_test(df: DataFrame, flag_col: str,
+                  label_col: str) -> DataFrame:
+    """Two-proportion z-test with per-arm Wilson score intervals —
+    the canonical conversion-rate comparison card:
+
+        z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₁ + 1/n₀)),  p̂ pooled
+        Wilson(p, n) = (p + z²/2n ± z·√(p(1−p)/n + z²/4n²))
+                       / (1 + z²/n)     (z = 1.96)
+
+    Cells exact int64 from one aggregate; z and the four CI bounds
+    are mirrored float expressions (1.96 is exact decimal → same
+    double both engines).  NULL z when a margin is degenerate.
+    Returns one row: (n1, x1, n0, x0, p1, p0, z, p1_lo, p1_hi,
+    p0_lo, p0_hi)."""
+    f = F.col(flag_col).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = (df.filter(f.isNotNull() & y.isNotNull())
+             .agg(F.sum(f).alias("n1x"),
+                  F.sum(f * y).alias("x1"),
+                  F.sum(1 - f).alias("n0x"),
+                  F.sum((1 - f) * y).alias("x0")))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n1, n0 = d("n1x"), d("n0x")
+    p1, p0 = d("x1") / n1, d("x0") / n0
+    pp = (d("x1") + d("x0")) / (n1 + n0)
+    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / n1
+                                    + F.lit(1.0) / n0)
+    ok = (F.col("n1x") > 0) & (F.col("n0x") > 0)
+    z = F.when(ok & (se2 > 0.0), (p1 - p0) / F.sqrt(se2))
+    zc = F.lit(1.96)
+
+    def wilson(p, n):
+        den = F.lit(1.0) + zc * zc / n
+        ctr = p + zc * zc / (2.0 * n)
+        rad = zc * F.sqrt(p * (F.lit(1.0) - p) / n
+                          + zc * zc / (4.0 * n * n))
+        return ((ctr - rad) / den, (ctr + rad) / den)
+
+    w1lo, w1hi = wilson(p1, n1)
+    w0lo, w0hi = wilson(p0, n0)
+    return agg.select(
+        F.col("n1x").cast("long").alias("n1"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("n0x").cast("long").alias("n0"),
+        F.col("x0").cast("long").alias("x0"),
+        F.when(F.col("n1x") > 0, p1).alias("p1"),
+        F.when(F.col("n0x") > 0, p0).alias("p0"),
+        z.alias("z"),
+        F.when(F.col("n1x") > 0, w1lo).alias("p1_lo"),
+        F.when(F.col("n1x") > 0, w1hi).alias("p1_hi"),
+        F.when(F.col("n0x") > 0, w0lo).alias("p0_lo"),
+        F.when(F.col("n0x") > 0, w0hi).alias("p0_hi"))
+
+
+def poisson_rate_test(df: DataFrame, flag_col: str, count_col: str,
+                      exposure_col: str) -> DataFrame:
+    """Two-sample Poisson rate-ratio test on (events, exposure)
+    pairs — error rates, incident counts, clicks-per-impression:
+
+        RR = (x₁/e₁)/(x₀/e₀),
+        z  = ln RR / √(1/x₁ + 1/x₀)
+
+    (the standard log-linear variance; exact int64 totals from one
+    aggregate, RR/z mirrored).  NULL RR on zero exposure, NULL z
+    additionally on zero events either side (ln/variance undefined).
+    Returns one row: (x1, e1, x0, e0, rr, z)."""
+    f = F.col(flag_col).cast("long")
+    x = F.col(count_col).cast("long")
+    e = F.col(exposure_col).cast("long")
+    agg = (df.filter(f.isNotNull() & x.isNotNull() & e.isNotNull())
+             .agg(F.sum(f * x).alias("x1"),
+                  F.sum(f * e).alias("e1"),
+                  F.sum((1 - f) * x).alias("x0"),
+                  F.sum((1 - f) * e).alias("e0")))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    ok_rr = (F.col("e1") > 0) & (F.col("e0") > 0) & (F.col("x0") > 0)
+    rr = F.when(ok_rr, (d("x1") / d("e1")) / (d("x0") / d("e0")))
+    ok_z = ok_rr & (F.col("x1") > 0)
+    z = F.when(ok_z, F.log((d("x1") / d("e1")) / (d("x0") / d("e0")))
+               / F.sqrt(F.lit(1.0) / d("x1") + F.lit(1.0) / d("x0")))
+    return agg.select(
+        F.col("x1").cast("long").alias("x1"),
+        F.col("e1").cast("long").alias("e1"),
+        F.col("x0").cast("long").alias("x0"),
+        F.col("e0").cast("long").alias("e0"),
+        rr.alias("rr"), z.alias("z"))

@@ -1427,3 +1427,105 @@ def test_js_encode_brute(spark):
     assert (out[251]["b_shrink"] > 5 * out[0]["b_shrink"])
     # inference row got the encode
     assert out[len(rows) - 1]["js"] is not None
+
+
+def test_two_prop_test_brute(spark):
+    from hiselspark.operators.evaluate import two_prop_test
+    rows = ([(1, 1)] * 120 + [(1, 0)] * 280
+            + [(0, 1)] * 80 + [(0, 0)] * 320)
+    df = spark.createDataFrame(rows, ["f", "y"])
+    row = two_prop_test(df, "f", "y").collect()[0]
+    p1, p0 = 120 / 400, 80 / 400
+    pp = 200 / 800
+    z = (p1 - p0) / math.sqrt(pp * (1 - pp) * (1 / 400 + 1 / 400))
+    assert (row["n1"], row["x1"], row["n0"], row["x0"]) == \
+        (400, 120, 400, 80)
+    assert row["z"] == pytest.approx(z, rel=1e-12)
+
+    def wilson(p, n):
+        zc = 1.96
+        den = 1 + zc * zc / n
+        ctr = p + zc * zc / (2 * n)
+        rad = zc * math.sqrt(p * (1 - p) / n
+                             + zc * zc / (4 * n * n))
+        return (ctr - rad) / den, (ctr + rad) / den
+
+    lo, hi = wilson(p1, 400)
+    assert row["p1_lo"] == pytest.approx(lo, rel=1e-12)
+    assert row["p1_hi"] == pytest.approx(hi, rel=1e-12)
+    assert row["p1_lo"] < p1 < row["p1_hi"]
+    assert row["z"] > 3  # 30% vs 20% on 400/arm
+
+
+def test_poisson_rate_test_brute(spark):
+    from hiselspark.operators.evaluate import poisson_rate_test
+    rows = [(1, 30, 1000), (1, 25, 900), (0, 20, 2000),
+            (0, 15, 1800)]
+    df = spark.createDataFrame(rows, ["f", "x", "e"])
+    row = poisson_rate_test(df, "f", "x", "e").collect()[0]
+    rr = (55 / 1900) / (35 / 3800)
+    z = math.log(rr) / math.sqrt(1 / 55 + 1 / 35)
+    assert (row["x1"], row["e1"], row["x0"], row["e0"]) == \
+        (55, 1900, 35, 3800)
+    assert row["rr"] == pytest.approx(rr, rel=1e-12)
+    assert row["z"] == pytest.approx(z, rel=1e-12)
+    assert row["rr"] > 2  # treated rate is ~3x
+
+
+def test_holm_adjust_brute(spark):
+    from hiselspark.operators.drift import holm_adjust
+    ps = [0.001, 0.010, 0.014, 0.2, 0.6]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], ["key", "p"])
+    out = {r["key"]: r for r in
+           holm_adjust(df, "key", "p", alpha=0.05).collect()}
+    # thresholds: .05/5=.01, .05/4=.0125, .05/3=.0167, .05/2, .05
+    # step-down: h0 rejects (.001<=.01), h1 rejects (.01<=.0125),
+    # h2 rejects (.014<=.0167), h3 fails (.2>.025) -> stop
+    assert out["h0"]["reject"] and out["h1"]["reject"]
+    assert out["h2"]["reject"]
+    assert not out["h3"]["reject"] and not out["h4"]["reject"]
+    assert out["h1"]["holm_threshold"] == pytest.approx(0.0125)
+    # compare: plain step-up at rank 2 would also pass; the stop rule
+    # is what makes it Holm — verify a gap case
+    ps2 = [0.001, 0.04, 0.012]
+    df2 = spark.createDataFrame(
+        [(f"g{i}", p) for i, p in enumerate(ps2)], ["key", "p"])
+    out2 = {r["key"]: r for r in
+            holm_adjust(df2, "key", "p", alpha=0.05).collect()}
+    # sorted: .001 (thr .0167 ok), .012 (thr .025 ok), .04 (thr .05 ok)
+    assert all(r["reject"] for r in out2.values())
+
+
+def test_chao1_brute(spark):
+    from hiselspark.functions.text import chao1_richness
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "beta delta epsilon"),
+        (2, "zeta eta theta THETA"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "text"])
+    row = chao1_richness(df, "text").collect()[0]
+    # counts: alpha2 beta2 gamma1 delta1 epsilon1 zeta1 eta1 theta2
+    assert row["n_tokens"] == 11 and row["s_observed"] == 8
+    assert row["f1"] == 5 and row["f2"] == 3
+    assert row["chao1"] == pytest.approx(8 + 5 * 4 / (2 * 4),
+                                         rel=1e-12)
+
+
+def test_lincoln_petersen_brute(spark):
+    from hiselspark.operators.dedup import lincoln_petersen
+    rng = _rng(191)
+    pop = list(range(1000))
+    a = rng.choice(pop, 300, replace=False)
+    b = rng.choice(pop, 250, replace=False)
+    da = spark.createDataFrame([(int(x),) for x in a], ["k"])
+    db = spark.createDataFrame([(int(x),) for x in b], ["k"])
+    row = lincoln_petersen(da, db, "k").collect()[0]
+    m = len(set(a.tolist()) & set(b.tolist()))
+    nhat = (301 * 251) / (m + 1) - 1
+    assert row["n_a"] == 300 and row["n_b"] == 250
+    assert row["n_overlap"] == m
+    assert row["n_hat"] == pytest.approx(nhat, rel=1e-12)
+    # the estimate recovers the true population within ~25%
+    assert 700 < row["n_hat"] < 1400
