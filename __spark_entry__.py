@@ -8052,6 +8052,43 @@ def q_lincoln_petersen(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("var_hat", 6).alias("var_hat"))
 
 
+def q_crossmodal_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dependence card for the image+caption corpus: MI,
+    G = 2n*MI and Theil's U between the image-brightness decile
+    (projection-profile total of the synthesized payload, exact
+    int64) and the caption-length decile — the engine's count-table
+    MI machinery run across modalities after a broadcast join of
+    captions onto images (doc = okey mod 500, the corpus pairing)."""
+    from hiselspark.functions.image import with_projection_stats
+    from hiselspark.operators.feature_rank import (g_test,
+                                                   mutual_info_table,
+                                                   theils_u)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.length("text").alias("cap_len")))
+    imgs = (orders.select(F.col("o_orderkey").alias("okey"))
+            .withColumn("w", F.lit(8)).withColumn("h", F.lit(8))
+            .withColumn("fmt", F.lit("raw")))
+    imgs = _synth_raw_bytes(imgs, "okey", 7919, 31, 8 * 8 * 3)
+    bright = with_projection_stats(imgs).select(
+        "okey", F.col("proj_total").alias("bt"))
+    pair = bright.join(
+        F.broadcast(docs),
+        F.pmod(F.col("okey"), 500) == F.col("doc_id"))
+    d = pair.select(
+        F.expr("(bt % 1000) DIV 100").alias("x"),
+        F.expr("(cap_len % 200) DIV 20").alias("y"))
+    mi = mutual_info_table(d, "x", "y")
+    g = g_test(d, "x", "y")
+    u = theils_u(d, "x", "y")
+    j = (mi.select("n", F.round("mi", 6).alias("mi"))
+         .crossJoin(F.broadcast(
+             g.select(F.round("g_stat", 6).alias("g_stat"), "df")))
+         .crossJoin(F.broadcast(
+             u.select(F.round("u", 6).alias("theils_u")))))
+    return j.select("n", "mi", "g_stat", "df", "theils_u")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8247,6 +8284,7 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holm_adjust": q_holm_adjust,
         "chao1": q_chao1,
         "lincoln_petersen": q_lincoln_petersen,
+        "crossmodal_mi": q_crossmodal_mi,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -21496,5 +21534,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                         * (CAST(n_overlap AS DOUBLE) + 2.0)), 6)
                  AS var_hat
         FROM s
+    """
+    oracles["crossmodal_mi"] = f"""
+        WITH px AS (
+          SELECT o_orderkey AS okey,
+                 CAST(sum((((o_orderkey*7919 + (y*24 + x*3 + 0)*31) % 256) + ((o_orderkey*7919 + (y*24 + x*3 + 1)*31) % 256) + ((o_orderkey*7919 + (y*24 + x*3 + 2)*31) % 256))) AS BIGINT) AS bt
+          FROM orders,
+               unnest(generate_series(0, 7)) AS ty(y),
+               unnest(generate_series(0, 7)) AS tx(x)
+          GROUP BY o_orderkey
+        ), pair AS (
+          SELECT (px.bt % 1000) // 100 AS x,
+                 (length(d.text) % 200) // 20 AS y
+          FROM px JOIN documents d ON px.okey % 500 = d.doc_id
+        ), d AS (
+          SELECT 1 AS g, CAST(x AS BIGINT) AS x,
+                 CAST(y AS BIGINT) AS y
+          FROM pair
+        ), {_mi_sql_ctes("mi_t", "d", ["g"])}, dims AS (
+          SELECT CAST(count(DISTINCT x) AS BIGINT) AS r,
+                 CAST(count(DISTINCT y) AS BIGINT) AS c
+          FROM d
+        ), hx_cells AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS cx FROM d GROUP BY x
+        ), hx_g AS (
+          SELECT CAST(sum(cx) AS BIGINT) AS n2,
+                 list_sort(list({{'x': x, 'cx': cx}})) AS cl
+          FROM hx_cells
+        ), hx AS (
+          SELECT n2,
+                 list_reduce(list_prepend(0.0, list_transform(cl,
+                   s -> (CAST(s.cx AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   * ln(CAST(n2 AS DOUBLE)
+                        / CAST(s.cx AS DOUBLE)))),
+                   (acc, t) -> acc + t) AS h_x
+          FROM hx_g
+        )
+        SELECT mi_t.n, round(mi_t.mi, 6) AS mi,
+               CASE WHEN (dims.r - 1) * (dims.c - 1) > 0
+                    THEN round(2.0 * CAST(mi_t.n AS DOUBLE)
+                               * mi_t.mi, 6) END AS g_stat,
+               CAST((dims.r - 1) * (dims.c - 1) AS BIGINT) AS df,
+               CASE WHEN hx.h_x > 0.0
+                    THEN round(mi_t.mi / hx.h_x, 6) END AS theils_u
+        FROM mi_t, dims, hx
     """
     return oracles
