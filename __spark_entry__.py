@@ -8089,6 +8089,54 @@ def q_crossmodal_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("n", "mi", "g_stat", "df", "theils_u")
 
 
+def q_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve of the props-k score against the cents>1000
+    outcome with parity "treatment" — exact cumulative int64 cells
+    from one ntile window, curve / random line / gap mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.evaluate import qini_curve
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select("event_id",
+                   F.col("__p.k").cast("long").alias("s"),
+                   F.pmod(F.col("event_id"), 2).alias("t"),
+                   (F.round(F.col("value") * 100).cast("long")
+                    > 1000).cast("long").alias("y")))
+    out = qini_curve(d, "s", F.col("t") == 1, "y", "event_id",
+                     n_buckets=10)
+    return out.select("bucket", "cn_t", "cn_c", "cr_t", "cr_c",
+                      F.round("qini", 6).alias("qini"),
+                      F.round("random_line", 6).alias("random_line"),
+                      F.round("gap", 6).alias("gap"))
+
+
+def q_psi_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift per feature in ONE pass: four derived integer
+    features unpivoted long (stack — a narrow map stage), psi_drift
+    keyed by feature name; the sorted-bucket smoothed fold per
+    feature mirrored by the oracle."""
+    from hiselspark.operators.drift import psi_drift
+    ev = (_ev(spark, sf_dir)
+          .withColumn("cents",
+                      F.round(F.col("value") * 100).cast("long")))
+    long = ev.selectExpr(
+        """stack(4,
+           'cents_bucket', least(cents DIV 200, 24),
+           'hour', CAST(hour(ts) AS LONG),
+           'user_mod', CAST(user_id % 20 AS LONG),
+           'event_mod', CAST(event_id % 16 AS LONG)
+        ) AS (feature, bucket)""",
+        "ts")
+    out = psi_drift(long, ["feature"], "bucket",
+                    F.col("ts") < F.lit("2024-01-16 00:00:00")
+                                   .cast("timestamp"))
+    return out.select("feature", "n_ref", "n_cur",
+                      F.round("psi", 6).alias("psi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8285,6 +8333,8 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1": q_chao1,
         "lincoln_petersen": q_lincoln_petersen,
         "crossmodal_mi": q_crossmodal_mi,
+        "qini": q_qini,
+        "psi_by_feature": q_psi_by_feature,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -21578,5 +21628,119 @@ def _oracle_sql_raw() -> dict[str, str]:
                CASE WHEN hx.h_x > 0.0
                     THEN round(mi_t.mi / hx.h_x, 6) END AS theils_u
         FROM mi_t, dims, hx
+    """
+    oracles["qini"] = """
+        WITH d AS (
+          SELECT event_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS s,
+                 event_id % 2 AS t,
+                 CASE WHEN CAST(round(value*100) AS BIGINT) > 1000
+                      THEN 1 ELSE 0 END AS y
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+            AND value IS NOT NULL
+        ), b AS (
+          SELECT t, y,
+                 ntile(10) OVER (ORDER BY s DESC, event_id ASC)
+                   AS bucket
+          FROM d
+        ), per AS (
+          SELECT bucket,
+                 CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c,
+                 CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END)
+                      AS BIGINT) AS r_t,
+                 CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END)
+                      AS BIGINT) AS r_c
+          FROM b GROUP BY bucket
+        ), cur AS (
+          SELECT bucket,
+                 CAST(sum(n_t) OVER wc AS BIGINT) AS cnt,
+                 CAST(sum(n_c) OVER wc AS BIGINT) AS cnc,
+                 CAST(sum(r_t) OVER wc AS BIGINT) AS crt,
+                 CAST(sum(r_c) OVER wc AS BIGINT) AS crc,
+                 CAST(sum(n_t) OVER () AS BIGINT) AS tnt,
+                 CAST(sum(n_c) OVER () AS BIGINT) AS tnc,
+                 CAST(sum(r_t) OVER () AS BIGINT) AS trt,
+                 CAST(sum(r_c) OVER () AS BIGINT) AS trc
+          FROM per
+          WINDOW wc AS (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW)
+        ), m AS (
+          SELECT bucket, cnt, cnc, crt, crc,
+                 CASE WHEN cnc > 0
+                      THEN CAST(crt AS DOUBLE)
+                           - CAST(crc AS DOUBLE)
+                             * (CAST(cnt AS DOUBLE)
+                                / CAST(cnc AS DOUBLE)) END AS qini,
+                 CASE WHEN tnc > 0
+                      THEN (CAST(trt AS DOUBLE)
+                            - CAST(trc AS DOUBLE)
+                              * (CAST(tnt AS DOUBLE)
+                                 / CAST(tnc AS DOUBLE)))
+                           * ((CAST(cnt AS DOUBLE)
+                               + CAST(cnc AS DOUBLE))
+                              / (CAST(tnt AS DOUBLE)
+                                 + CAST(tnc AS DOUBLE)))
+                 END AS random_line
+          FROM cur
+        )
+        SELECT bucket, cnt AS cn_t, cnc AS cn_c, crt AS cr_t,
+               crc AS cr_c,
+               round(qini, 6) AS qini,
+               round(random_line, 6) AS random_line,
+               round(qini - random_line, 6) AS gap
+        FROM m
+    """
+    oracles["psi_by_feature"] = """
+        WITH ev AS (
+          SELECT *, CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ), long AS (
+          SELECT 'cents_bucket' AS feature,
+                 least(cents // 200, 24) AS bucket, ts FROM ev
+          UNION ALL
+          SELECT 'hour', CAST(hour(ts) AS BIGINT), ts FROM ev
+          UNION ALL
+          SELECT 'user_mod', CAST(user_id % 20 AS BIGINT), ts
+          FROM ev
+          UNION ALL
+          SELECT 'event_mod', CAST(event_id % 16 AS BIGINT), ts
+          FROM ev
+        ), q AS (
+          SELECT feature, bucket,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 0 END AS is_ref
+          FROM long
+        ), pb AS (
+          SELECT feature, bucket,
+                 SUM(is_ref) AS cr, SUM(1 - is_ref) AS cc
+          FROM q GROUP BY feature, bucket
+        ), pk AS (
+          SELECT feature,
+                 CAST(SUM(cr) AS BIGINT) AS n_ref,
+                 CAST(SUM(cc) AS BIGINT) AS n_cur,
+                 COUNT(*) AS nb,
+                 list_sort(list({'b': bucket, 'cr': cr, 'cc': cc}))
+                   AS bl
+          FROM pb GROUP BY feature
+        )
+        SELECT feature, n_ref, n_cur,
+               round(list_reduce(
+                 list_prepend(0.0, list_transform(bl, x ->
+                   ((CAST(x.cc AS DOUBLE) + 1.0)
+                      / (CAST(n_cur AS DOUBLE) + nb)
+                    - (CAST(x.cr AS DOUBLE) + 1.0)
+                      / (CAST(n_ref AS DOUBLE) + nb))
+                   * ln(((CAST(x.cc AS DOUBLE) + 1.0)
+                           / (CAST(n_cur AS DOUBLE) + nb))
+                      / ((CAST(x.cr AS DOUBLE) + 1.0)
+                           / (CAST(n_ref AS DOUBLE) + nb))))),
+                 (acc, x) -> acc + x), 6) AS psi
+        FROM pk
     """
     return oracles

@@ -1529,3 +1529,50 @@ def test_lincoln_petersen_brute(spark):
     assert row["n_hat"] == pytest.approx(nhat, rel=1e-12)
     # the estimate recovers the true population within ~25%
     assert 700 < row["n_hat"] < 1400
+
+
+def test_qini_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.evaluate import qini_curve
+    rng = _rng(193)
+    n = 1000
+    score = rng.integers(0, 1000, n)
+    t = rng.integers(0, 2, n)
+    # true uplift increasing in score
+    y = (rng.random(n) < (0.1 + 0.4 * (score / 1000) * t
+                          + 0.1 * (score / 1000))).astype(int)
+    rows = [(i, int(s), int(tt), int(yy))
+            for i, (s, tt, yy) in enumerate(zip(score, t, y))]
+    df = spark.createDataFrame(rows, ["id", "s", "t", "y"])
+    out = {r["bucket"]: r for r in
+           qini_curve(df, "s", F.col("t") == 1, "y", "id",
+                      n_buckets=10).collect()}
+    order = sorted(range(n), key=lambda i: (-score[i], i))
+    # ntile split
+    sizes = [(n + 9) // 10 if b < n % 10 else n // 10
+             for b in range(10)] if n % 10 else [n // 10] * 10
+    pos = 0
+    cnt = cnc = crt = crc = 0
+    tnt = int(t.sum())
+    tnc = n - tnt
+    trt = int(y[t == 1].sum())
+    trc = int(y[t == 0].sum())
+    qtot = trt - trc * tnt / tnc
+    for b in range(10):
+        for i in order[pos:pos + sizes[b]]:
+            if t[i]:
+                cnt += 1
+                crt += int(y[i])
+            else:
+                cnc += 1
+                crc += int(y[i])
+        pos += sizes[b]
+        r = out[b + 1]
+        assert (r["cn_t"], r["cn_c"], r["cr_t"], r["cr_c"]) == \
+            (cnt, cnc, crt, crc)
+        q = crt - crc * cnt / cnc
+        rand = qtot * (cnt + cnc) / n
+        assert r["qini"] == pytest.approx(q, rel=1e-12)
+        assert r["random_line"] == pytest.approx(rand, rel=1e-12)
+    # model beats random in the upper buckets
+    assert sum(out[b]["gap"] for b in range(1, 11)) > 5
