@@ -8137,6 +8137,67 @@ def q_psi_by_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("psi", 6).alias("psi"))
 
 
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of cents and a k-driven composite given k
+    — three pairwise correlations off ONE aggregate of exact int64
+    moments, the first-order combination mirrored."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.feature_rank import partial_corr
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .select(F.round(F.col("value") * 100).cast("long")
+                   .alias("x"),
+                   (F.col("__p.k").cast("long") * 5
+                    + F.expr("CAST(round(value*100) AS LONG)"
+                             " DIV 100")).alias("y"),
+                   F.col("__p.k").cast("long").alias("z")))
+    out = partial_corr(d, "x", "y", "z")
+    return out.select("n", F.round("r_xy", 6).alias("r_xy"),
+                      F.round("r_xz", 6).alias("r_xz"),
+                      F.round("r_yz", 6).alias("r_yz"),
+                      F.round("r_xy_z", 6).alias("r_xy_z"))
+
+
+def q_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance card of three covariates
+    between the k>=50 and k<50 arms — one aggregate of per-arm exact
+    int64 moments, one SMD row per covariate in caller order."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    from hiselspark.operators.causal import covariate_balance
+    ev = _ev(spark, sf_dir)
+    d = (ev.withColumn(
+            "__p", F.from_json("props", StructType(
+                [StructField("k", IntegerType())])))
+           .filter(F.col("__p.k").isNotNull())
+           .select((F.col("__p.k") >= 50).cast("long").alias("t"),
+                   F.round(F.col("value") * 100).cast("long")
+                   .alias("cents"),
+                   F.hour("ts").cast("long").alias("hour"),
+                   F.pmod(F.col("user_id"), 20).cast("long")
+                   .alias("useg")))
+    out = covariate_balance(d, "t", ["cents", "hour", "useg"])
+    return out.select("covariate", "ord", "n1", "n0",
+                      F.round("mean1", 6).alias("mean1"),
+                      F.round("mean0", 6).alias("mean0"),
+                      F.round("smd", 6).alias("smd"))
+
+
+def q_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the pooled event-type Markov chain (per-user
+    lag transitions in event_id order) — exact transition counts and
+    from-marginals, the (from, to)-ordered float fold."""
+    from hiselspark.operators.hmm import markov_entropy_rate
+    ev = _ev(spark, sf_dir).select("user_id", "event_id",
+                                   "event_type")
+    out = markov_entropy_rate(ev, "user_id", "event_id",
+                              "event_type")
+    return out.select("n_transitions", "n_states",
+                      F.round("entropy_rate", 6)
+                      .alias("entropy_rate"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every gate query, wrapped in the negative-zero normalizer
     (see ``_nz_df``) so Spark emits +0.0 wherever a rounded float
@@ -8335,6 +8396,9 @@ def _queries_raw() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmodal_mi": q_crossmodal_mi,
         "qini": q_qini,
         "psi_by_feature": q_psi_by_feature,
+        "partial_corr": q_partial_corr,
+        "covariate_balance": q_covariate_balance,
+        "markov_entropy": q_markov_entropy,
         "ece": q_ece,
         "dp_counts": q_dp_counts,
         "ljung_box": q_ljung_box,
@@ -21742,5 +21806,145 @@ def _oracle_sql_raw() -> dict[str, str]:
                            / (CAST(n_ref AS DOUBLE) + nb))))),
                  (acc, x) -> acc + x), 6) AS psi
         FROM pk
+    """
+    oracles["partial_corr"] = """
+        WITH d AS (
+          SELECT CAST(round(value*100) AS BIGINT) AS x,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   * 5 + CAST(round(value*100) AS BIGINT) // 100
+                   AS y,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT)
+                   AS z
+          FROM events
+          WHERE value IS NOT NULL
+            AND json_extract_string(props, '$.k') IS NOT NULL
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(z) AS BIGINT) AS sz,
+                 CAST(sum(x*x) AS BIGINT) AS sxx,
+                 CAST(sum(y*y) AS BIGINT) AS syy,
+                 CAST(sum(z*z) AS BIGINT) AS szz,
+                 CAST(sum(x*y) AS BIGINT) AS sxy,
+                 CAST(sum(x*z) AS BIGINT) AS sxz,
+                 CAST(sum(y*z) AS BIGINT) AS syz
+          FROM d
+        ), m AS (
+          SELECT n,
+                 CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cxx,
+                 CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+                 CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS czz,
+                 CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cxy,
+                 CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS cxz,
+                 CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE)
+                   * CAST(sz AS DOUBLE) / CAST(n AS DOUBLE) AS cyz
+          FROM s
+        ), r AS (
+          SELECT n,
+                 CASE WHEN cxx > 0.0 AND cyy > 0.0 AND czz > 0.0
+                      THEN cxy / sqrt(cxx * cyy) END AS rxy,
+                 CASE WHEN cxx > 0.0 AND cyy > 0.0 AND czz > 0.0
+                      THEN cxz / sqrt(cxx * czz) END AS rxz,
+                 CASE WHEN cxx > 0.0 AND cyy > 0.0 AND czz > 0.0
+                      THEN cyz / sqrt(cyy * czz) END AS ryz
+          FROM m
+        )
+        SELECT n, round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+               round(ryz, 6) AS r_yz,
+               CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0.0
+                    THEN round((rxy - rxz * ryz)
+                         / sqrt((1.0 - rxz * rxz)
+                                * (1.0 - ryz * ryz)), 6)
+               END AS r_xy_z
+        FROM r
+    """
+    oracles["covariate_balance"] = """
+        WITH d AS (
+          SELECT CASE WHEN CAST(json_extract_string(props, '$.k')
+                            AS BIGINT) >= 50
+                      THEN 1 ELSE 0 END AS t,
+                 CAST(round(value*100) AS BIGINT) AS c0,
+                 CAST(hour(ts) AS BIGINT) AS c1,
+                 CAST(user_id % 20 AS BIGINT) AS c2
+          FROM events
+          WHERE json_extract_string(props, '$.k') IS NOT NULL
+        ), stats AS (
+          SELECT CAST(sum(t) AS BIGINT) AS n1,
+                 CAST(sum(1-t) AS BIGINT) AS n0,
+                 CAST(sum(t*c0) AS BIGINT) AS s1_0,
+                 CAST(sum(t*c0*c0) AS BIGINT) AS q1_0,
+                 CAST(sum((1-t)*c0) AS BIGINT) AS s0_0,
+                 CAST(sum((1-t)*c0*c0) AS BIGINT) AS q0_0,
+                 CAST(sum(t*c1) AS BIGINT) AS s1_1,
+                 CAST(sum(t*c1*c1) AS BIGINT) AS q1_1,
+                 CAST(sum((1-t)*c1) AS BIGINT) AS s0_1,
+                 CAST(sum((1-t)*c1*c1) AS BIGINT) AS q0_1,
+                 CAST(sum(t*c2) AS BIGINT) AS s1_2,
+                 CAST(sum(t*c2*c2) AS BIGINT) AS q1_2,
+                 CAST(sum((1-t)*c2) AS BIGINT) AS s0_2,
+                 CAST(sum((1-t)*c2*c2) AS BIGINT) AS q0_2
+          FROM d
+        )
+          SELECT 'cents' AS covariate,
+                 CAST(0 AS BIGINT) AS ord, n1, n0,
+                 CASE WHEN n1 > 0 THEN round(CAST(s1_0 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS mean1,
+                 CASE WHEN n0 > 0 THEN round(CAST(s0_0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS mean0,
+                 CASE WHEN n1 >= 2 AND n0 >= 2 AND sqrt((((CAST(q1_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_0 AS DOUBLE) - CAST(s0_0 AS DOUBLE) * CAST(s0_0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0) > 0.0
+                      THEN round((CAST(s1_0 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0_0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt((((CAST(q1_0 AS DOUBLE) - CAST(s1_0 AS DOUBLE) * CAST(s1_0 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_0 AS DOUBLE) - CAST(s0_0 AS DOUBLE) * CAST(s0_0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0), 6)
+                 END AS smd
+          FROM stats
+          UNION ALL
+          SELECT 'hour' AS covariate,
+                 CAST(1 AS BIGINT) AS ord, n1, n0,
+                 CASE WHEN n1 > 0 THEN round(CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS mean1,
+                 CASE WHEN n0 > 0 THEN round(CAST(s0_1 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS mean0,
+                 CASE WHEN n1 >= 2 AND n0 >= 2 AND sqrt((((CAST(q1_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_1 AS DOUBLE) - CAST(s0_1 AS DOUBLE) * CAST(s0_1 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0) > 0.0
+                      THEN round((CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0_1 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt((((CAST(q1_1 AS DOUBLE) - CAST(s1_1 AS DOUBLE) * CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_1 AS DOUBLE) - CAST(s0_1 AS DOUBLE) * CAST(s0_1 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0), 6)
+                 END AS smd
+          FROM stats
+          UNION ALL
+          SELECT 'useg' AS covariate,
+                 CAST(2 AS BIGINT) AS ord, n1, n0,
+                 CASE WHEN n1 > 0 THEN round(CAST(s1_2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) END AS mean1,
+                 CASE WHEN n0 > 0 THEN round(CAST(s0_2 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) END AS mean0,
+                 CASE WHEN n1 >= 2 AND n0 >= 2 AND sqrt((((CAST(q1_2 AS DOUBLE) - CAST(s1_2 AS DOUBLE) * CAST(s1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_2 AS DOUBLE) - CAST(s0_2 AS DOUBLE) * CAST(s0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0) > 0.0
+                      THEN round((CAST(s1_2 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)) / sqrt((((CAST(q1_2 AS DOUBLE) - CAST(s1_2 AS DOUBLE) * CAST(s1_2 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0)) + ((CAST(q0_2 AS DOUBLE) - CAST(s0_2 AS DOUBLE) * CAST(s0_2 AS DOUBLE) / CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0))) / 2.0), 6)
+                 END AS smd
+          FROM stats
+    """
+    oracles["markov_entropy"] = """
+        WITH pairs AS (
+          SELECT event_type AS t,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY event_id) AS f
+          FROM events
+        ), cells AS (
+          SELECT f, t, CAST(count(*) AS BIGINT) AS c
+          FROM pairs WHERE f IS NOT NULL GROUP BY f, t
+        ), m AS (
+          SELECT f, t, c,
+                 CAST(sum(c) OVER (PARTITION BY f) AS BIGINT) AS cf
+          FROM cells
+        ), agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(DISTINCT f) AS BIGINT) AS n_states,
+                 list_sort(list({'f': f, 't': t, 'c': c,
+                                 'cf': cf})) AS cl
+          FROM m
+        )
+        SELECT n AS n_transitions, n_states,
+               round(list_reduce(list_prepend(0.0,
+                 list_transform(cl, e ->
+                   (CAST(e.c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(e.cf AS DOUBLE)
+                        / CAST(e.c AS DOUBLE)))),
+                 (acc, x) -> acc + x), 6) AS entropy_rate
+        FROM agg
     """
     return oracles

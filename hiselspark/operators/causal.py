@@ -374,3 +374,55 @@ def e_value(df: DataFrame, treatment_col: str,
         F.col("n11").cast("long").alias("n11"),
         F.col("n01").cast("long").alias("n01"),
         rr.alias("rr"), ev.alias("evalue"))
+
+
+def covariate_balance(df: DataFrame, treat_col: str,
+                      covariate_cols) -> DataFrame:
+    """Standardized mean differences of every covariate between the
+    treated and control arms — THE balance card of any matching /
+    weighting analysis (|SMD| < 0.1 is the conventional pass):
+
+        SMD_c = (m₁ − m₀) / √((s₁² + s₀²)/2)
+
+    One aggregate computes every covariate's per-arm exact int64
+    (n, Σx, Σx²); means / variances / SMD are mirrored float
+    expressions, one output row per covariate IN THE CALLER ORDER
+    (an ordinal column pins it).  NULL SMD when an arm has < 2 rows
+    or the pooled spread is 0.  Returns (covariate, ord, n1, n0,
+    mean1, mean0, smd)."""
+    covariate_cols = list(covariate_cols)
+    t = F.col(treat_col).cast("long")
+    aggs = [F.sum(t).alias("n1"), F.sum(1 - t).alias("n0")]
+    for i, c in enumerate(covariate_cols):
+        x = F.col(c).cast("long")
+        aggs += [F.sum(t * x).alias(f"s1_{i}"),
+                 F.sum(t * x * x).alias(f"q1_{i}"),
+                 F.sum((1 - t) * x).alias(f"s0_{i}"),
+                 F.sum((1 - t) * x * x).alias(f"q0_{i}")]
+    stats = df.filter(t.isNotNull()).agg(*aggs)
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    rows = None
+    for i, c in enumerate(covariate_cols):
+        n1, n0 = d("n1"), d("n0")
+        m1 = d(f"s1_{i}") / n1
+        m0 = d(f"s0_{i}") / n0
+        v1 = (d(f"q1_{i}") - d(f"s1_{i}") * d(f"s1_{i}") / n1) \
+            / (n1 - 1.0)
+        v0 = (d(f"q0_{i}") - d(f"s0_{i}") * d(f"s0_{i}") / n0) \
+            / (n0 - 1.0)
+        sp = F.sqrt((v1 + v0) / F.lit(2.0))
+        ok = (F.col("n1") >= 2) & (F.col("n0") >= 2)
+        smd = F.when(ok & (sp > 0.0), (m1 - m0) / sp)
+        row = stats.select(
+            F.lit(c).alias("covariate"),
+            F.lit(i).cast("long").alias("ord"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n0").cast("long").alias("n0"),
+            F.when(F.col("n1") > 0, m1).alias("mean1"),
+            F.when(F.col("n0") > 0, m0).alias("mean0"),
+            smd.alias("smd"))
+        rows = row if rows is None else rows.unionAll(row)
+    return rows

@@ -701,3 +701,55 @@ def rbf_hsic_table(df: DataFrame, x_col: str, y_col: str,
         F.col("n").cast("long").alias("n"),
         F.col("n_cells").cast("long").alias("n_cells"),
         hsic.alias("hsic"))
+
+
+def partial_corr(df: DataFrame, x_col: str, y_col: str,
+                 z_col: str) -> DataFrame:
+    """First-order partial correlation — the x↔y association with z
+    "held fixed", the confounder-aware cousin of corr_matrix:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²))
+
+    All three pairwise correlations come from ONE aggregate of exact
+    int64 moments (n, Σ, ΣΣ for every pair — the corr_matrix
+    discipline), and each r plus the combination is a fixed float
+    expression tree mirrored by the oracle.  NULL when any marginal
+    is constant or either 1−r² factor ≤ 0.  Returns one row:
+    (n, r_xy, r_xz, r_yz, r_xy_z)."""
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    z = F.col(z_col).cast("long")
+    d = (df.filter(x.isNotNull() & y.isNotNull() & z.isNotNull())
+           .select(x.alias("x"), y.alias("y"), z.alias("z")))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"))
+    nd = F.col("n").cast("double")
+
+    def cm(sab, sa, sb):
+        return (F.col(sab).cast("double")
+                - F.col(sa).cast("double") * F.col(sb).cast("double")
+                / nd)
+
+    cxx, cyy, czz = cm("sxx", "sx", "sx"), cm("syy", "sy", "sy"), \
+        cm("szz", "sz", "sz")
+    cxy, cxz, cyz = cm("sxy", "sx", "sy"), cm("sxz", "sx", "sz"), \
+        cm("syz", "sy", "sz")
+    ok0 = (cxx > 0.0) & (cyy > 0.0) & (czz > 0.0)
+    rxy = F.when(ok0, cxy / F.sqrt(cxx * cyy))
+    rxz = F.when(ok0, cxz / F.sqrt(cxx * czz))
+    ryz = F.when(ok0, cyz / F.sqrt(cyy * czz))
+    den2 = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    pc = F.when(ok0 & (den2 > 0.0),
+                (rxy - rxz * ryz) / F.sqrt(den2))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        rxy.alias("r_xy"), rxz.alias("r_xz"), ryz.alias("r_yz"),
+        pc.alias("r_xy_z"))

@@ -159,3 +159,46 @@ def viterbi_decode(train: DataFrame, score: DataFrame,
             .select("entity", F.col("n").cast("long").alias("n"),
                     best_lp.alias("best_logprob"),
                     best_path.alias("path")))
+
+
+def markov_entropy_rate(df: DataFrame, entity_col: str,
+                        order_col: str, state_col: str) -> DataFrame:
+    """Empirical entropy rate of the first-order Markov chain over
+    observed transitions — "how predictable is the next state given
+    this one", the sequence-compressibility number next to the
+    transition matrix:
+
+        H = Σ_ij (c_ij/N) · ln(c_i/c_ij)    (nats/transition)
+
+    with c_ij the exact transition counts pooled over entities
+    (lag within entity in ``order_col`` order), c_i the from-state
+    marginals and N total transitions.  The fold runs in sorted
+    (from, to) cell order — integer inputs, one float fold, the
+    engine's entropy convention.  Conditional entropy of a fitted
+    chain, not the source's true rate (documented).  Returns one
+    row: (n_transitions, n_states, entropy_rate)."""
+    w = Window.partitionBy(entity_col).orderBy(order_col)
+    s = F.col(state_col)
+    pairs = (df.select(s.alias("to"),
+                       F.lag(s).over(w).alias("from"))
+               .filter(F.col("from").isNotNull()))
+    cells = pairs.groupBy("from", "to").agg(
+        F.count(F.lit(1)).alias("c"))
+    wf = Window.partitionBy("from")
+    cells = cells.withColumn("cf", F.sum("c").over(wf))
+    agg = cells.agg(
+        F.sum("c").alias("n"),
+        F.countDistinct("from").alias("n_states"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("from").alias("f"), F.col("to").alias("t"),
+            F.col("c").alias("c"), F.col("cf").alias("cf"))))
+        .alias("cl"))
+    nd = F.col("n").cast("double")
+    h = F.aggregate(
+        "cl", F.lit(0.0),
+        lambda acc, e: acc + (e["c"].cast("double") / nd)
+        * F.log(e["cf"].cast("double") / e["c"].cast("double")))
+    return agg.select(
+        F.col("n").cast("long").alias("n_transitions"),
+        F.col("n_states").cast("long").alias("n_states"),
+        h.alias("entropy_rate"))

@@ -1576,3 +1576,80 @@ def test_qini_brute(spark):
         assert r["random_line"] == pytest.approx(rand, rel=1e-12)
     # model beats random in the upper buckets
     assert sum(out[b]["gap"] for b in range(1, 11)) > 5
+
+
+def test_partial_corr_brute(spark):
+    from hiselspark.operators.feature_rank import partial_corr
+    rng = _rng(197)
+    n = 500
+    z = rng.integers(0, 50, n)
+    x = 2 * z + rng.integers(0, 10, n)   # both driven by z
+    y = 3 * z + rng.integers(0, 15, n)
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        ["x", "y", "z"])
+    row = partial_corr(df, "x", "y", "z").collect()[0]
+
+    def r(a, b):
+        return float(np.corrcoef(a, b)[0, 1])
+
+    rxy, rxz, ryz = r(x, y), r(x, z), r(y, z)
+    pc = (rxy - rxz * ryz) / math.sqrt((1 - rxz ** 2)
+                                       * (1 - ryz ** 2))
+    assert row["r_xy"] == pytest.approx(rxy, rel=1e-10)
+    assert row["r_xy_z"] == pytest.approx(pc, rel=1e-10)
+    # the raw correlation is spurious; conditioning kills it
+    assert row["r_xy"] > 0.8 and abs(row["r_xy_z"]) < 0.2
+
+
+def test_covariate_balance_brute(spark):
+    from hiselspark.operators.causal import covariate_balance
+    rng = _rng(199)
+    n = 600
+    t = rng.integers(0, 2, n)
+    c1 = rng.integers(0, 100, n) + 20 * t     # imbalanced
+    c2 = rng.integers(0, 100, n)              # balanced
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(t, c1, c2)],
+        ["t", "c1", "c2"])
+    out = {r["covariate"]: r for r in
+           covariate_balance(df, "t", ["c1", "c2"]).collect()}
+    for name, arr in [("c1", c1), ("c2", c2)]:
+        a1 = arr[t == 1].astype(float)
+        a0 = arr[t == 0].astype(float)
+        smd = (a1.mean() - a0.mean()) / math.sqrt(
+            (a1.var(ddof=1) + a0.var(ddof=1)) / 2)
+        r = out[name]
+        assert r["n1"] == len(a1) and r["n0"] == len(a0)
+        assert r["smd"] == pytest.approx(smd, rel=1e-10)
+    assert abs(out["c1"]["smd"]) > 0.5   # planted imbalance
+    assert abs(out["c2"]["smd"]) < 0.15  # balanced covariate
+    assert out["c1"]["ord"] == 0 and out["c2"]["ord"] == 1
+
+
+def test_markov_entropy_rate_brute(spark):
+    from hiselspark.operators.hmm import markov_entropy_rate
+    rng = _rng(211)
+    # deterministic cycle -> entropy rate 0
+    det = [("d", i, ["a", "b", "c"][i % 3]) for i in range(90)]
+    row0 = markov_entropy_rate(
+        spark.createDataFrame(det, ["e", "o", "s"]),
+        "e", "o", "s").collect()[0]
+    assert row0["entropy_rate"] == pytest.approx(0.0, abs=1e-12)
+    # random iid uniform over 3 states -> rate near ln 3
+    rnd = [("r", i, ["a", "b", "c"][int(rng.integers(0, 3))])
+           for i in range(3000)]
+    row1 = markov_entropy_rate(
+        spark.createDataFrame(rnd, ["e", "o", "s"]),
+        "e", "o", "s").collect()[0]
+    # brute
+    import collections
+    seq = [s for _, _, s in rnd]
+    cells = collections.Counter(zip(seq[:-1], seq[1:]))
+    cf = collections.Counter(seq[:-1])
+    nn = len(seq) - 1
+    h = sum(c / nn * math.log(cf[f] / c)
+            for (f, _), c in cells.items())
+    assert row1["n_transitions"] == nn
+    assert row1["entropy_rate"] == pytest.approx(h, rel=1e-10)
+    assert abs(row1["entropy_rate"] - math.log(3)) < 0.05
