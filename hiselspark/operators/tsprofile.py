@@ -698,14 +698,20 @@ def durbin_watson(df: DataFrame, group_col: str, order_col: str,
     num / (Σv² − (Σv)²/n).  NULL when n < 2 or the series is
     constant.  Returns one row per group:
     (group, n, diff_sq_sum, dw)."""
-    g = F.col(group_col).alias("grp")
     v = F.col(value_col).cast("long")
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    lagv = F.lag(v).over(w)
-    d = (df.filter(v.isNotNull())
-           .select(g, v.alias("__v"),
-                   F.when(lagv.isNotNull(),
-                          (v - lagv) * (v - lagv)).alias("__d2")))
+    base = (df.filter(v.isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(order_col).alias("__o"),
+                      v.alias("__v")))
+    # window over the SAME attribute the aggregate groups on, so the
+    # groupBy reuses the window's entity exchange (one shuffle total)
+    w = Window.partitionBy("grp").orderBy("__o")
+    lagv = F.lag(F.col("__v")).over(w)
+    d = base.select(
+        "grp", "__v",
+        F.when(lagv.isNotNull(),
+               (F.col("__v") - lagv) * (F.col("__v") - lagv))
+        .alias("__d2"))
     agg = d.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__v").alias("sv"),
@@ -944,12 +950,15 @@ def dickey_fuller(df: DataFrame, group_col: str, order_col: str,
     expressions.  NULL when n' < 3 or Sxx = 0 or SSE ≤ 0.  Returns
     one row per group: (group, n_pairs, b, df_stat)."""
     v = F.col(value_col).cast("long")
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    lagv = F.lag(v).over(w)
-    d = (df.filter(v.isNotNull())
-           .select(F.col(group_col).alias("grp"),
-                   lagv.alias("x"), (v - lagv).alias("y"))
-           .filter(F.col("x").isNotNull()))
+    base = (df.filter(v.isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(order_col).alias("__o"),
+                      v.alias("__v")))
+    w = Window.partitionBy("grp").orderBy("__o")
+    lagv = F.lag(F.col("__v")).over(w)
+    d = (base.select("grp", lagv.alias("x"),
+                     (F.col("__v") - lagv).alias("y"))
+             .filter(F.col("x").isNotNull()))
     agg = d.groupBy("grp").agg(
         F.count(F.lit(1)).alias("np"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),
@@ -998,10 +1007,13 @@ def periodogram_power(df: DataFrame, group_col: str, order_col: str,
     (group, n, p2, p4, ss2_num, p2_share, p4_share) — ``ss2_num`` is
     the exact n·Σv²−(Σv)² centered-energy numerator."""
     v = F.col(value_col).cast("long")
-    w = Window.partitionBy(group_col).orderBy(order_col)
-    d = (df.filter(v.isNotNull())
-           .select(F.col(group_col).alias("grp"), v.alias("v"),
-                   ((F.row_number().over(w) - 1) % 4).alias("m")))
+    base = (df.filter(v.isNotNull())
+              .select(F.col(group_col).alias("grp"),
+                      F.col(order_col).alias("__o"),
+                      v.alias("v")))
+    w = Window.partitionBy("grp").orderBy("__o")
+    d = base.select(
+        "grp", "v", ((F.row_number().over(w) - 1) % 4).alias("m"))
     sgn2 = F.when(F.col("m") % 2 == 0, F.col("v")) \
             .otherwise(-F.col("v"))
     c4 = (F.when(F.col("m") == 0, F.col("v"))

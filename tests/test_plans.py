@@ -670,3 +670,76 @@ def test_energy_distance_count_table_shape(spark):
     # one groupBy(value) exchange + the single-partition window over
     # the count table + final 1-row aggregate
     assert n_exchanges(q) <= 3
+
+
+def test_round4c_fold_family_single_entity_exchange(spark):
+    """kalman1d / croston / dickey_fuller / periodogram_power each
+    ride ONE entity exchange — the per-series fold/lag is window or
+    collect work on the same clustering, never a second shuffle."""
+    import datetime as dt
+    rows = [("u%d" % (i % 4), i, float(i % 17), i % 13)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "e string, o long, v double,"
+                               " iv long")
+    from hiselspark.operators.tsprofile import (croston,
+                                                dickey_fuller,
+                                                kalman1d,
+                                                periodogram_power)
+    assert n_exchanges(kalman1d(df, "e", "o", "v")) == 1
+    assert n_exchanges(croston(df, "e", "o", "v")) == 1
+    assert n_exchanges(dickey_fuller(df, "e", "o", "iv")) == 1
+    assert n_exchanges(periodogram_power(df, "e", "o", "iv")) == 1
+
+
+def test_round4c_scalar_tests_one_reduction(spark):
+    """The one-row statistics (iv_wald, e_value, cohens_d, two_prop,
+    cochran_armitage, partial_corr) are ONE map-side-combined
+    reduction: no hash/range exchange of the data frame at all
+    (single-partition aggregation only)."""
+    rows = [(i % 2, i % 3, i % 7, (i * 5) % 11) for i in range(300)]
+    df = spark.createDataFrame(rows, "z long, x long, y long,"
+                               " w long")
+    from hiselspark.operators.causal import e_value, iv_wald
+    from hiselspark.operators.evaluate import (cochran_armitage,
+                                               two_prop_test)
+    from hiselspark.operators.feature_rank import partial_corr
+    from hiselspark.operators.rankstats import cohens_d
+    for q in (iv_wald(df, "z", "x", "y"),
+              e_value(df, "z", "x"),
+              cohens_d(df, "z", "y"),
+              two_prop_test(df, "z", "x"),
+              partial_corr(df, "x", "y", "w")):
+        assert n_exchanges(q) == 0, plan_str(q, "simple")
+    # cochran_armitage groups by score first: exactly one exchange
+    assert n_exchanges(cochran_armitage(df, "w", "x")) == 1
+
+
+def test_round4c_no_cartesian_anywhere(spark):
+    """event_study's anchor join, clustering_coefficient's wedge
+    closing and jonckheere's cell pair join are range/equi joins —
+    never CartesianProduct (broadcast nested loop with a range
+    condition is the declared plan for the interval join)."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u%d" % (i % 3), base + dt.timedelta(minutes=i),
+             i % 23, i % 5 == 0) for i in range(150)]
+    df = spark.createDataFrame(rows, "e string, ts timestamp,"
+                               " v long, f boolean")
+    from hiselspark.operators.windows import event_study
+    es = event_study(df, "e", "ts", "v", F.col("f"))
+    assert "CartesianProduct" not in plan_str(es, "simple")
+    edges = spark.createDataFrame(
+        [(i % 17, (i * 7) % 17) for i in range(100)],
+        "src long, dst long")
+    from hiselspark.operators.graph import clustering_coefficient
+    cc = clustering_coefficient(edges)
+    assert "CartesianProduct" not in plan_str(cc, "simple")
+    from hiselspark.operators.rankstats import jonckheere
+    jk = jonckheere(df.select((F.col("v") % 4).alias("g"),
+                              F.col("v").alias("x")), "g", "x")
+    txt = plan_str(jk, "simple")
+    # the g_a < g_b pair join is a range condition on the COUNT
+    # TABLE (|cells| rows) — a nested-loop there is the accepted
+    # kendall_tau contract; what matters is that BOTH join inputs
+    # are pre-join aggregates, so raw rows never pair up
+    assert txt.count("HashAggregate") >= 4
