@@ -780,10 +780,13 @@ def runs_test(df: DataFrame, group_col: str, order_col: str,
         F.when(F.lag("sgn").over(w_ord).isNotNull()
                & (F.col("sgn") != F.lag("sgn").over(w_ord)),
                F.lit(1)).otherwise(F.lit(0)).alias("flip"))
-    agg = flips.groupBy(F.col("__g").alias("grp")).agg(
+    # group by the window's own attribute so the aggregate reuses
+    # the ordered exchange (the dickey_fuller lesson), rename after
+    agg = flips.groupBy("__g").agg(
         F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias("n2"),
-        (F.sum("flip") + 1).alias("runs"))
+        (F.sum("flip") + 1).alias("runs")).withColumnRenamed(
+        "__g", "grp")
     n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
     nd = n1d + n2d
     mu = F.lit(2.0) * n1d * n2d / nd + F.lit(1.0)
