@@ -677,8 +677,10 @@ def somers_d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     den_xy = (n0x2 - F.col("ty2")).cast("double")
     return s.select(
         n.cast("long").alias("n"),
-        F.col("conc").cast("long").alias("concordant"),
-        F.col("disc").cast("long").alias("discordant"),
+        F.coalesce(F.col("conc"), F.lit(0)).cast("long")
+         .alias("concordant"),
+        F.coalesce(F.col("disc"), F.lit(0)).cast("long")
+         .alias("discordant"),
         F.when(n0x2 > F.col("tx2"),
                F.lit(2.0) * numd / den_yx).alias("d_yx"),
         F.when(n0x2 > F.col("ty2"),

@@ -261,3 +261,107 @@ def test_trimmed_mean_property(spark, xs, frac):
     want = s[k:len(xs) - k].mean()
     assert row["trimmed_mean"] == pytest.approx(want, abs=1e-9)
     assert row["n_used"] == len(xs) - 2 * k
+
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 2)),
+                min_size=5, max_size=60))
+@SET
+def test_competing_risks_partition_of_unity(spark, rows):
+    """surv + cif1 + cif2 == 1 at EVERY step, for any duration/cause
+    multiset (the Aalen-Johansen ledger identity)."""
+    from hiselspark.operators.survival import competing_risks
+    df = spark.createDataFrame(
+        [("c", int(d), int(e)) for d, e in rows],
+        ["cohort", "dur", "cause"])
+    out = competing_risks(df, "cohort", "dur", "cause").collect()
+    for r in out:
+        assert r["surv"] + r["cif1"] + r["cif2"] == pytest.approx(
+            1.0, abs=1e-9)
+        assert r["cif1"] >= -1e-12 and r["cif2"] >= -1e-12
+        assert -1e-12 <= r["surv"] <= 1 + 1e-12
+
+
+@given(st.lists(st.tuples(st.integers(0, 4), st.integers(0, 30)),
+                min_size=4, max_size=80))
+@SET
+def test_growth_accounting_identities(spark, rows):
+    """active = new + retained + resurrected per period, churn(p) =
+    active(p-1) - retained(p), and Σnew = distinct entities."""
+    import datetime as dt
+    from hiselspark.operators.windows import growth_accounting
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(int(e), base + dt.timedelta(days=int(p)))
+         for e, p in rows], ["u", "ts"])
+    out = {r["period"]: r for r in
+           growth_accounting(df, "u", "ts",
+                             period_seconds=86400.0).collect()}
+    active = {}
+    for p, r in out.items():
+        assert r["n_active"] == (r["n_new"] + r["n_retained"]
+                                 + r["n_resurrected"])
+        active[p] = r["n_active"]
+    for p, r in out.items():
+        prev = active.get(p - 1, 0)
+        assert r["n_churned"] == prev - r["n_retained"]
+    assert sum(r["n_new"] for r in out.values()) == \
+        len({e for e, _ in rows})
+
+
+@given(st.lists(st.integers(-50, 50), min_size=2, max_size=60),
+       st.lists(st.integers(-50, 50), min_size=2, max_size=60))
+@SET
+def test_mmd_nonnegative_and_zero_on_identical(spark, a, b):
+    """Biased RBF-MMD² is ≥ 0 for any two samples and ~0 when the
+    two populations are identical multisets."""
+    from hiselspark.operators.drift import mmd_rbf_drift
+    rows = ([(int(v), 1) for v in a] + [(int(v), 0) for v in b])
+    df = spark.createDataFrame(rows, ["v", "r"])
+    m = mmd_rbf_drift(df, "v", F.col("r") == 1).collect()[0]
+    assert m["mmd2"] >= -1e-12
+    rows2 = ([(int(v), 1) for v in a] + [(int(v), 0) for v in a])
+    df2 = spark.createDataFrame(rows2, ["v", "r"])
+    m2 = mmd_rbf_drift(df2, "v", F.col("r") == 1).collect()[0]
+    assert abs(m2["mmd2"]) < 1e-9
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                min_size=10, max_size=100))
+@SET
+def test_somers_kendall_consistency(spark, pairs):
+    """|D_yx| ≥ |tau_b| never holds in general, but sign consistency
+    does: C−D determines the sign of BOTH statistics, and both are
+    bounded in [−1, 1]."""
+    from hiselspark.operators.rankstats import kendall_tau, somers_d
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in pairs], ["x", "y"])
+    kt = kendall_tau(df, "x", "y").collect()[0]
+    sd = somers_d(df, "x", "y").collect()[0]
+    # kendall's pre-existing contract leaves counts NULL on a
+    # single-x degenerate input; somers_d coalesces to 0
+    assert (kt["concordant"] or 0) == sd["concordant"]
+    assert (kt["discordant"] or 0) == sd["discordant"]
+    cd = sd["concordant"] - sd["discordant"]
+    for v in (sd["d_yx"], sd["d_xy"], kt["tau_b"]):
+        if v is not None:
+            assert -1 - 1e-12 <= v <= 1 + 1e-12
+            if cd != 0:
+                assert (v > 0) == (cd > 0) or v == 0
+
+
+@given(st.lists(st.integers(0, 1000), min_size=3, max_size=50))
+@SET
+def test_holm_rejects_subset_of_bh(spark, raw):
+    """Holm (FWER) never rejects a hypothesis that BH (FDR) keeps —
+    Holm ⊆ BH on identical inputs."""
+    from hiselspark.operators.drift import bh_adjust, holm_adjust
+    ps = [p / 1000.0 for p in raw]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], ["key", "p"])
+    bh = {r["key"]: r["reject"] for r in
+          bh_adjust(df, "key", "p").collect()}
+    hm = {r["key"]: r["reject"] for r in
+          holm_adjust(df, "key", "p").collect()}
+    for k, rej in hm.items():
+        if rej:
+            assert bh[k], f"Holm rejected {k} but BH did not"
