@@ -207,7 +207,20 @@ def main():
                     con.close()
                 except Exception:  # noqa: BLE001
                     pass
-                con = fresh_con()   # release + retry on a clean slate
+                # release + retry on a clean slate; the reconnect
+                # itself can hit transient host memory pressure (a
+                # concurrent job's peak), so back off and retry the
+                # connection a few times instead of dying mid-sweep
+                import time as _time
+                for backoff in (1, 5, 15):
+                    try:
+                        con = fresh_con()
+                        break
+                    except Exception as exc2:  # noqa: BLE001
+                        exc_last = exc2
+                        _time.sleep(backoff)
+                else:
+                    con = fresh_con()  # final attempt may raise
         if exp is None:
             print(f"FAIL {name}: oracle raised {exc_last!r} "
                   f"(after reconnect retry)")
