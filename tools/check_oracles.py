@@ -166,6 +166,21 @@ def main():
     report = {}
 
     out_json = os.environ.get("CHECK_ORACLES_JSON")
+    # CHECK_ORACLES_RESUME=1: preload a partial artifact and skip the
+    # queries it already covers — lets a crash-prone long sweep (sf0.1
+    # DuckDB native crashes are nondeterministic) be driven to
+    # completion by re-invoking in fresh processes
+    if (out_json and os.environ.get("CHECK_ORACLES_RESUME")
+            and os.path.exists(out_json)):
+        try:
+            with open(out_json) as f:
+                prior = json.load(f)
+            report.update(prior.get("queries", {}))
+            failures = sum(1 for v in report.values()
+                           if v.get("status") == "fail")
+            print(f"resume: {len(report)} prior results loaded")
+        except Exception as exc:  # noqa: BLE001
+            print(f"resume: could not load prior artifact ({exc!r})")
 
     def flush_report():
         # incremental: a killed/partial sweep still leaves a valid
@@ -179,6 +194,8 @@ def main():
                           sort_keys=True)
 
     for name, fn in qs.items():
+        if name in report:
+            continue
         if only and name not in only:
             continue
         try:
