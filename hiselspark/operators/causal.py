@@ -426,3 +426,167 @@ def covariate_balance(df: DataFrame, treat_col: str,
             smd.alias("smd"))
         rows = row if rows is None else rows.unionAll(row)
     return rows
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio + test over stratified 2×2
+    tables (Mantel & Haenszel 1959) — the classical confounder-
+    adjusted association summary next to :func:`ipw_estimate`'s
+    difference-scale ATE.  Per stratum s the exact int64 cells
+
+        a=(t=1,y=1)  b=(t=1,y=0)  c=(t=0,y=1)  d=(t=0,y=0),  n=a+b+c+d
+
+    give  OR_MH = Σ_s(a·d/n) / Σ_s(b·c/n)  and the MH chi-square
+    (no continuity correction)
+
+        χ² = (Σa − ΣE)² / ΣV,   E = r1·c1/n,
+        V  = r1·r0·c1·c0 / (n²(n−1))
+
+    with r/c the treatment/outcome margins.  Strata with n < 2
+    (V undefined) are dropped AND counted — the engine's convention.
+    All cells are exact integers; the four per-stratum float terms
+    (ad/n, bc/n, E, V) fold in ascending-stratum order so both
+    engines sum the series identically.  OR is NULL when Σbc/n = 0,
+    χ² NULL when ΣV = 0.  Returns one row: (n, n_strata,
+    n_used_strata, n_dropped_rows, sum_a, or_mh, chi2_mh).
+
+    Reference ties: hisel routes categorical dependence through
+    AMI/MI permutation search (`hisel/categorical.py:115-186`); this
+    is the stratified-confounding companion a tabular-feature audit
+    runs next to it.
+    """
+    base = df.select(
+        F.col(stratum_col).cast("long").alias("s"),
+        F.col(treat_col).cast("long").alias("t"),
+        F.col(outcome_col).cast("long").alias("y"))
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.col("t") * F.col("y")).alias("a"),
+        F.sum(F.col("t") * (1 - F.col("y"))).alias("b"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("c"),
+        F.sum((1 - F.col("t")) * (1 - F.col("y"))).alias("d"))
+    per_s = per_s.withColumn("ok", F.col("n_s") >= 2)
+    agg = per_s.agg(
+        F.sum("n_s").alias("n"),
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("ok").cast("long")).alias("n_used_strata"),
+        F.sum(F.when(F.col("ok"), F.lit(0)).otherwise(F.col("n_s")))
+        .alias("n_dropped_rows"),
+        F.sum(F.when(F.col("ok"), F.col("a")).otherwise(F.lit(0)))
+        .alias("sum_a"),
+        F.sort_array(F.collect_list(F.when(F.col("ok"), F.struct(
+            F.col("s").alias("s"), F.col("n_s").alias("n_s"),
+            F.col("a").alias("a"), F.col("b").alias("b"),
+            F.col("c").alias("c"), F.col("d").alias("d")))))
+        .alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    r_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + dd(e["a"] * e["d"]) / dd(e["n_s"]))
+    s_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + dd(e["b"] * e["c"]) / dd(e["n_s"]))
+    e_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + dd((e["a"] + e["b"]) * (e["a"] + e["c"])) / dd(e["n_s"]))
+    v_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + dd((e["a"] + e["b"]) * (e["c"] + e["d"]))
+        * dd((e["a"] + e["c"]) * (e["b"] + e["d"]))
+        / (dd(e["n_s"]) * dd(e["n_s"]) * dd(e["n_s"] - 1)))
+    dev = F.col("sum_a").cast("double") - e_sum
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("n_used_strata").cast("long").alias("n_used_strata"),
+        F.col("n_dropped_rows").cast("long").alias("n_dropped_rows"),
+        F.col("sum_a").cast("long").alias("sum_a"),
+        F.when(s_sum > 0.0, r_sum / s_sum).alias("or_mh"),
+        F.when(v_sum > 0.0, dev * dev / v_sum).alias("chi2_mh"))
+
+
+def aipw_estimate(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Doubly-robust AIPW ATE (Robins, Rotnitzky & Zhao 1994) with
+    stratum-frequency propensities and GLOBAL per-arm outcome means —
+    the estimator stays consistent if EITHER model is right, and with
+    the deliberately coarse outcome model the IPW correction terms
+    are non-trivial (a saturated per-stratum outcome model would make
+    them vanish identically and reduce to :func:`ipw_estimate`):
+
+        ATE = (1/N) Σᵢ [ μ̂₁ − μ̂₀ + tᵢ(yᵢ−μ̂₁)/ê_s − (1−tᵢ)(yᵢ−μ̂₀)/(1−ê_s) ]
+
+    μ̂ₐ the global arm means, ê_s = n_{1s}/n_s.  Summed per stratum in
+    closed form from exact int64 cells (n_s, n1_s, sy1_s, sy0_s), the
+    per-stratum float terms folded in ascending-stratum order.
+    Positivity-violating strata (one arm empty) are dropped AND
+    counted, the :func:`ipw_estimate` convention.  Returns one row:
+    (n, n_used, n_used_strata, n_dropped_rows, mu1, mu0, ate_aipw).
+    """
+    base = df.select(
+        F.col(stratum_col).cast("long").alias("s"),
+        F.col(treat_col).cast("long").alias("t"),
+        F.col(outcome_col).cast("long").alias("y"))
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("t").alias("n1"),
+        F.sum(F.col("t") * F.col("y")).alias("sy1"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("sy0"))
+    per_s = per_s.withColumn(
+        "ok", (F.col("n1") > 0) & (F.col("n1") < F.col("n_s")))
+    agg = per_s.agg(
+        F.sum("n_s").alias("n"),
+        F.sum(F.when(F.col("ok"), F.col("n_s")).otherwise(F.lit(0)))
+        .alias("n_used"),
+        F.sum(F.col("ok").cast("long")).alias("n_used_strata"),
+        F.sum(F.when(F.col("ok"), F.col("n1")).otherwise(F.lit(0)))
+        .alias("g_n1"),
+        F.sum(F.when(F.col("ok"), F.col("sy1")).otherwise(F.lit(0)))
+        .alias("g_sy1"),
+        F.sum(F.when(F.col("ok"), F.col("sy0")).otherwise(F.lit(0)))
+        .alias("g_sy0"),
+        F.sort_array(F.collect_list(F.when(F.col("ok"), F.struct(
+            F.col("s").alias("s"), F.col("n_s").alias("n_s"),
+            F.col("n1").alias("n1"), F.col("sy1").alias("sy1"),
+            F.col("sy0").alias("sy0"))))).alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    nu = F.col("n_used").cast("double")
+    mu1 = dd(F.col("g_sy1")) / dd(F.col("g_n1"))
+    mu0 = dd(F.col("g_sy0")) / (nu - dd(F.col("g_n1")))
+    # Σ_s [ (sy1_s − n1_s·μ̂₁)·n_s/n1_s − (sy0_s − n0_s·μ̂₀)·n_s/n0_s ]
+    corr = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + (dd(e["sy1"]) - dd(e["n1"]) * mu1)
+        * dd(e["n_s"]) / dd(e["n1"])
+        - (dd(e["sy0"]) - dd(e["n_s"] - e["n1"]) * mu0)
+        * dd(e["n_s"]) / dd(e["n_s"] - e["n1"]))
+    ok_any = F.col("n_used") > 0
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_used").cast("long").alias("n_used"),
+        F.col("n_used_strata").cast("long").alias("n_used_strata"),
+        (F.col("n") - F.col("n_used")).cast("long")
+        .alias("n_dropped_rows"),
+        F.when(ok_any, mu1).alias("mu1"),
+        F.when(ok_any, mu0).alias("mu0"),
+        F.when(ok_any, mu1 - mu0 + corr / nu).alias("ate_aipw"))

@@ -753,3 +753,104 @@ def partial_corr(df: DataFrame, x_col: str, y_col: str,
         F.col("n").cast("long").alias("n"),
         rxy.alias("r_xy"), rxz.alias("r_xz"), ryz.alias("r_yz"),
         pc.alias("r_xy_z"))
+
+
+def fisher_score(df: DataFrame, feature_cols: Sequence[str],
+                 y_col: str) -> DataFrame:
+    """Fisher score of every feature against a discrete label — the
+    classical between/within variance-ratio filter (the LDA-criterion
+    sibling of :func:`info_gain_rank`, for CONTINUOUS features where
+    info-gain would need binning first):
+
+        score(f) = Σ_c n_c (μ_c − μ)²  /  Σ_c n_c σ_c²
+
+    with per-class means/variances.  One unpivoted shuffle computes
+    exact int64 sufficient statistics (n_c, Σv, Σv²) per (feature,
+    class); the two float series fold in ascending-class order so
+    both engines sum identically.  Features must be integer-valued
+    (cents convention), the label discrete.  score is NULL when the
+    within-class variance is 0 (all classes constant).  Returns one
+    row per feature: (feature, n, n_classes, score).
+
+    Reference ties: the ksgmi preselection filter
+    (`/root/reference/hisel/select.py:45-75`) plays this role in
+    hisel; Fisher score is the moments-based alternative a feature
+    dashboard ranks next to MI.
+    """
+    feature_cols = list(feature_cols)
+    y = F.col(y_col).cast("long")
+    long_df = (_unpivot(df, feature_cols)
+               .select("feature", "value", y.alias("__y")))
+    per_cy = long_df.groupBy("feature", "__y").agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum("value").alias("sc"),
+        F.sum(F.col("value") * F.col("value")).alias("qc"))
+    agg = per_cy.groupBy("feature").agg(
+        F.sum("nc").alias("n"),
+        F.sum("sc").alias("s"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sort_array(F.collect_list(F.struct(
+            F.col("__y").alias("y"), F.col("nc").alias("nc"),
+            F.col("sc").alias("sc"), F.col("qc").alias("qc"))))
+        .alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    mu = dd(F.col("s")) / dd(F.col("n"))
+    between = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["nc"])
+        * (dd(e["sc"]) / dd(e["nc"]) - mu)
+        * (dd(e["sc"]) / dd(e["nc"]) - mu))
+    # Σ_c n_c σ_c² = Σ_c (qc − sc²/nc)   (biased per-class variance ×n_c)
+    within = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["qc"])
+        - dd(e["sc"]) * dd(e["sc"]) / dd(e["nc"]))
+    return agg.select(
+        "feature",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        F.when(within > 0.0, between / within).alias("score"))
+
+
+def symmetric_uncertainty(df: DataFrame, x_col: str,
+                          y_col: str) -> DataFrame:
+    """Symmetric uncertainty SU(X,Y) = 2·MI/(H(X)+H(Y)) — the
+    symmetric, [0,1]-normalized cousin of :func:`theils_u` (Witten &
+    Frank's CFS criterion).  MI comes from
+    :func:`mutual_info_table`'s exact count-table fold; each marginal
+    entropy is its own key-ordered fold off the same pass's counts.
+    Both columns integral (cast upstream).  SU is NULL when
+    H(X)+H(Y) = 0 (both constant).  Returns one row:
+    (n, h_x, h_y, mi, su)."""
+    d = df.select(F.col(x_col).cast("long").alias("__x"),
+                  F.col(y_col).cast("long").alias("__y"))
+    mi = mutual_info_table(d, "__x", "__y")
+
+    def marginal_h(col: str, out: str) -> DataFrame:
+        cells = d.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return (cells
+                .agg(F.sum("c").alias("n2"),
+                     F.array_sort(F.collect_list(F.struct(
+                         F.col(col).alias("k"),
+                         F.col("c").alias("c")))).alias("__m"))
+                .withColumn(
+                    out,
+                    F.aggregate(
+                        "__m", F.lit(0.0),
+                        lambda acc, s: acc
+                        + (s["c"].cast("double")
+                           / F.col("n2").cast("double"))
+                        * F.log(F.col("n2").cast("double")
+                                / s["c"].cast("double"))))
+                .select(out))
+
+    j = (mi.join(F.broadcast(marginal_h("__x", "h_x")))
+           .join(F.broadcast(marginal_h("__y", "h_y"))))
+    den = F.col("h_x") + F.col("h_y")
+    su = F.when(den > 0.0, F.lit(2.0) * F.col("mi") / den)
+    return j.select(F.col("n").cast("long").alias("n"),
+                    "h_x", "h_y", F.col("mi").alias("mi"),
+                    su.alias("su"))

@@ -900,3 +900,92 @@ def mood_median(df: DataFrame, group_col: str,
         F.col("n_above").cast("long").alias("n_above"),
         F.when(ok, F.col("chi2")).alias("chi2"),
         (F.col("k") - 1).cast("long").alias("df"))
+
+
+def goodman_kruskal(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Goodman–Kruskal gamma and lambda (Goodman & Kruskal 1954) —
+    the two classical PRE association measures completing the ordinal
+    family around :func:`kendall_tau` / :func:`somers_d`:
+
+        gamma = (C − D)/(C + D)          (ordinal, ties ignored)
+        lambda(Y|X) = (Σ_x max_y c_xy − max_y c_+y)/(n − max_y c_+y)
+        lambda(X|Y) = symmetric           (nominal, error-reduction)
+
+    C/D come off the same contingency-cell self-join as kendall_tau —
+    O(V²) in DISTINCT value pairs, never O(n²) in rows — and every
+    lambda ingredient is an exact int64 max/sum of cell counts, so
+    the only float op is the final division.  Modal counts use plain
+    MAX (value-free, order-free — no tie rule needed for a count
+    maximum).  gamma is NULL when C+D = 0; lambda(Y|X) NULL when the
+    modal y column holds all rows (nothing to reduce), likewise
+    lambda(X|Y).  Returns one row: (n, concordant, discordant, gamma,
+    lambda_y_x, lambda_x_y)."""
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    cells = base.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    a = cells.select(F.col("x").alias("xa"), F.col("y").alias("ya"),
+                     F.col("c").alias("ca"))
+    b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
+                     F.col("c").alias("cb"))
+    cd = (a.join(b, F.col("xa") < F.col("xb"))
+          .agg(F.sum(F.when(F.col("ya") < F.col("yb"),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .alias("conc"),
+               F.sum(F.when(F.col("ya") > F.col("yb"),
+                            F.col("ca") * F.col("cb")).otherwise(0))
+               .alias("disc")))
+    # per-x modal y count and the y-marginal mode (and symmetric)
+    mx = (cells.groupBy("x").agg(F.max("c").alias("mx"))
+          .agg(F.sum("mx").alias("sum_mx")))
+    my = (cells.groupBy("y").agg(F.max("c").alias("my"))
+          .agg(F.sum("my").alias("sum_my")))
+    margx = (cells.groupBy("x").agg(F.sum("c").alias("cx"))
+             .agg(F.max("cx").alias("mode_x"), F.sum("cx").alias("n")))
+    margy = (cells.groupBy("y").agg(F.sum("c").alias("cy"))
+             .agg(F.max("cy").alias("mode_y")))
+    s = (cd.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+         .crossJoin(F.broadcast(margx)).crossJoin(F.broadcast(margy)))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    gamma = F.when(
+        (F.col("conc") + F.col("disc")) > 0,
+        (dd("conc") - dd("disc")) / (dd("conc") + dd("disc")))
+    lam_yx = F.when(
+        F.col("n") > F.col("mode_y"),
+        (dd("sum_mx") - dd("mode_y")) / (dd("n") - dd("mode_y")))
+    lam_xy = F.when(
+        F.col("n") > F.col("mode_x"),
+        (dd("sum_my") - dd("mode_x")) / (dd("n") - dd("mode_x")))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        gamma.alias("gamma"),
+        lam_yx.alias("lambda_y_x"),
+        lam_xy.alias("lambda_x_y"))
+
+
+def kendall_w(df: DataFrame, subject_col: str, treatment_col: str,
+              value_col: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across k "raters"
+    (treatments) judging n "items" (subjects) — the effect-size
+    companion of :func:`friedman_test` (W = Q/(n(k−1)) with the same
+    tie correction), read as agreement ∈ [0, 1].
+
+    Rides `_friedman_blocks` verbatim: complete blocks only (dropped
+    AND counted), doubled within-block ranks exact int64, so
+
+        W = Q / (n(k−1))
+
+    is one extra mirrored division on the Friedman machinery.  NULL
+    whenever Q is (no complete blocks, k < 2, or all-tied blocks).
+    Returns one row: (n_subjects, k, n_dropped, w)."""
+    q = friedman_test(df, subject_col, treatment_col, value_col)
+    w = F.when(
+        F.col("q_stat").isNotNull()
+        & (F.col("n_subjects") > 0) & (F.col("k") > 1),
+        F.col("q_stat")
+        / (F.col("n_subjects") * (F.col("k") - 1)).cast("double"))
+    return q.select("n_subjects", "k", "n_dropped", w.alias("w"))
