@@ -1474,3 +1474,78 @@ def qini_curve(df: DataFrame, score_col: str, treat_col,
         F.col("crc").cast("long").alias("cr_c"),
         qini.alias("qini"), rand.alias("random_line"),
         (qini - rand).alias("gap"))
+
+
+def pinball_loss(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    train_flag,
+    q_num: int,
+    q_den: int,
+) -> DataFrame:
+    """Exact pinball (quantile) loss of the per-entity empirical
+    q-quantile forecast — the grading metric of any quantile
+    predictor (Koenker & Bassett 1978), kept integer-exact end to
+    end by two choices:
+
+    * the quantile level is a RATIONAL q = q_num/q_den, so each row's
+      scaled loss  q_den·L = q_num·(y−ŷ)  if y ≥ ŷ else
+      (q_den−q_num)·(ŷ−y)  is an exact int64;
+    * the forecast ŷ is the NON-INTERPOLATED lower empirical quantile
+      of the entity's TRAIN rows — the smallest v with
+      CDF(v) ≥ q, i.e. cumulative count ≥ ceil(q·n) =
+      (q_num·n + q_den − 1) DIV q_den — an exact order statistic off
+      the per-(entity, value) count table (no row sort, no float
+      quantile edges; the :func:`encoding.quantile_bin` discipline).
+
+    ``train_flag`` (a Column) marks fit rows; the rest are evaluation
+    rows.  Entities with no train rows are dropped from the output
+    AND surface via n_eval accounting in the gate.  value_col must be
+    integer (cents convention).  mean_loss = Σ(q_den·L) /
+    (q_den·n_eval) — one division.  Returns one row per entity with
+    eval rows: (entity, n_train, n_eval, pred, loss_num, mean_loss).
+    """
+    qn, qd = int(q_num), int(q_den)
+    if not 0 < qn < qd:
+        raise ValueError(f"need 0 < q_num < q_den, got {qn}/{qd}")
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(value_col).cast("long").alias("v"),
+        train_flag.cast("boolean").alias("is_train"))
+    train_cells = (base.filter("is_train")
+                   .groupBy("entity", "v")
+                   .agg(F.count(F.lit(1)).alias("c")))
+    w_run = (Window.partitionBy("entity").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = Window.partitionBy("entity")
+    cum = (train_cells
+           .withColumn("cum", F.sum("c").over(w_run))
+           .withColumn("n_train", F.sum("c").over(w_all)))
+    cum = cum.withColumn("idx", F.expr(f"(({qn} * n_train + {qd - 1})"
+                                       f") DIV {qd}"))
+    pred = (cum.filter(F.col("cum") >= F.col("idx"))
+            .groupBy("entity")
+            .agg(F.min("v").alias("pred"),
+                 F.max("n_train").alias("n_train")))
+    ev = base.filter(~F.col("is_train"))
+    j = ev.join(pred, "entity")
+    scaled = F.when(
+        F.col("v") >= F.col("pred"),
+        F.lit(qn) * (F.col("v") - F.col("pred"))).otherwise(
+        F.lit(qd - qn) * (F.col("pred") - F.col("v")))
+    out = j.groupBy("entity").agg(
+        F.max("n_train").alias("n_train"),
+        F.count(F.lit(1)).alias("n_eval"),
+        F.max("pred").alias("pred"),
+        F.sum(scaled).alias("loss_num"))
+    mean_loss = (F.col("loss_num").cast("double")
+                 / (F.lit(qd) * F.col("n_eval")).cast("double"))
+    return out.select(
+        "entity",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_eval").cast("long").alias("n_eval"),
+        F.col("pred").cast("long").alias("pred"),
+        F.col("loss_num").cast("long").alias("loss_num"),
+        mean_loss.alias("mean_loss"))

@@ -203,3 +203,99 @@ def mrr_at_k(
                F.lit(1.0) / F.col("first_rel_rank").cast("double"))
         .otherwise(F.lit(0.0)).alias("rr"),
         F.col("first_rel_rank").isNotNull().alias("hit"))
+
+
+def err_rbp(
+    df: DataFrame,
+    query_col: str,
+    doc_col: str,
+    score_col: str,
+    rel_col: str,
+    max_grade: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Expected reciprocal rank (Chapelle et al., CIKM 2009) and
+    rank-biased precision (Moffat & Zobel, TOIS 2008) per query — the
+    cascade-model and persistence-model graded companions of
+    :func:`ndcg_at_k`, evaluated over the top-k by (score DESC, doc
+    ASC):
+
+        ERR  = Σ_r (1/r)·R_r·Π_{i<r}(1−R_i),  R_r = (2^rel−1)/2^mg
+        RBP  = (1−p)·Σ_r p^{r−1}·[rel_r > 0]   with p = 4/5
+
+    EXACT-ARITHMETIC FORM (no libm anywhere): R and 1−R are dyadic
+    rationals, so with integer gains g = 2^rel−1 the cascade prefix
+    product is the exact int64 Π_{i<r}(2^mg − g_i) over the ranked
+    prefix (≤ 2^{mg·(k−1)}, int64-safe for mg·k ≤ 62) and
+
+        ERR term_r = g_r · prefnum_r / (r · 2^{mg·r})
+        RBP term_r = [rel_r>0] · 4^{r−1} / 5^r
+
+    — each term ONE division of exact integers, powers taken from
+    shared literal tables (no pow()), terms folded in ascending-rank
+    order.  Prefix products come from an index-aware transform +
+    slice + integer fold over the sorted (rank, gain) list — O(k²)
+    per query on a ≤k list.  ``rel`` must be an integer grade
+    0..max_grade.  Queries with no candidates in the top-k cannot
+    occur (k ≥ 1); all-irrelevant queries get ERR = RBP = 0.0 (a
+    defined cascade value, unlike NDCG's 0/0).  Returns one row per
+    query: (query, n_docs, err, rbp)."""
+    mg = int(max_grade)
+    kk = int(k)
+    if mg * kk > 62:
+        raise ValueError(f"mg*k = {mg * kk} > 62 overflows the exact "
+                         "int64 cascade numerator")
+    pow2mg = [2 ** (mg * r) for r in range(1, kk + 1)]   # 2^{mg·r}
+    pow4 = [4 ** (r - 1) for r in range(1, kk + 1)]
+    pow5 = [5 ** r for r in range(1, kk + 1)]
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(doc_col).cast("long").alias("doc"),
+        F.col(score_col).alias("score"),
+        F.col(rel_col).cast("long").alias("rel"))
+    gain = (F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rel AS INT))")
+            - F.lit(1)).alias("gain")
+    w_sys = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("doc").asc())
+    ranked = base.select(
+        "query", "doc", gain,
+        F.row_number().over(w_sys).alias("rk"))
+    agg = ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_sort(F.collect_list(
+            F.when(F.col("rk") <= kk,
+                   F.struct(F.col("rk").alias("rk"),
+                            F.col("gain").alias("gain")))))
+        .alias("terms"))
+    two_mg = 2 ** mg
+    a2mg = F.array(*[F.lit(v).cast("long") for v in pow2mg])
+    a4 = F.array(*[F.lit(v).cast("long") for v in pow4])
+    a5 = F.array(*[F.lit(v).cast("long") for v in pow5])
+    # prefnum_j = Π_{i<j} (2^mg − gain_i), exact int64 over the slice
+    prefs = F.transform(
+        F.col("terms"),
+        lambda s, j: F.aggregate(
+            F.slice(F.col("terms"), F.lit(1), j),
+            F.lit(1).cast("long"),
+            lambda acc, t: acc * (F.lit(two_mg) - t["gain"])))
+    with_p = agg.withColumn("prefs", prefs)
+    err = F.aggregate(
+        F.zip_with(F.col("terms"), F.col("prefs"),
+                   lambda t, p: F.struct(t["rk"].alias("rk"),
+                                         t["gain"].alias("gain"),
+                                         p.alias("pref"))),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["gain"] * s["pref"]).cast("double")
+        / (s["rk"].cast("long")
+           * F.element_at(a2mg, s["rk"].cast("int")))
+        .cast("double"))
+    rbp = F.aggregate(
+        F.col("terms"), F.lit(0.0),
+        lambda acc, s: acc
+        + F.when(s["gain"] > 0,
+                 F.element_at(a4, s["rk"].cast("int")).cast("double")
+                 / F.element_at(a5, s["rk"].cast("int"))
+                 .cast("double")).otherwise(F.lit(0.0)))
+    return with_p.select(
+        "query", "n_docs", err.alias("err"), rbp.alias("rbp"))

@@ -1045,3 +1045,76 @@ def periodogram_power(df: DataFrame, group_col: str, order_col: str,
                / (ssn.cast("double") / nd)).alias("p2_share"),
         F.when(ok, p4.cast("double")
                / (ssn.cast("double") / nd)).alias("p4_share"))
+
+
+def variance_ratio(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    q: int = 4,
+) -> DataFrame:
+    """Lo–MacKinlay variance-ratio statistic VR(q) per entity — the
+    random-walk / mean-reversion diagnostic next to
+    :func:`durbin_watson` and :func:`acf`:
+
+        VR(q) = s²_q / (q · s²_1)
+
+    with s²_1 the unbiased sample variance of the 1-step differences
+    and s²_q that of the NON-OVERLAPPING... — this implementation
+    uses the OVERLAPPING q-step differences v_t − v_{t−q} (the
+    standard Lo–MacKinlay estimator's numerator series) with plain
+    unbiased variances, the declared simple variant (no bias
+    correction factor).  Both difference series come from two lags
+    over ONE entity-time WindowExec; every sufficient statistic
+    (n, Σd, Σd²) is an exact int64 (value_col integer-valued, cents
+    convention; |d|max²·n must stay < 2⁶³ — quantize coarser at
+    corpus scale).  VR and the homoscedastic z
+
+        z = (VR − 1) / sqrt(2(2q−1)(q−1) / (3·q·n_q))
+
+    are one mirrored float expression each.  Entities with fewer
+    than q+2 rows (either variance undefined) or zero s²_1 yield
+    NULL vr/z.  Returns one row per entity:
+    (entity, n, n_1, n_q, vr, z)."""
+    qq = int(q)
+    if qq < 2:
+        raise ValueError(f"need q >= 2, got {qq}")
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy("entity").orderBy(
+        F.col("__ts").asc(), F.col("__o").asc())
+    d1 = F.col("v") - F.lag("v", 1).over(w)
+    dq = F.col("v") - F.lag("v", qq).over(w)
+    stepped = base.select("entity", d1.alias("d1"), dq.alias("dq"))
+    agg = stepped.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("d1").alias("n1"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).alias("q1"),
+        F.count("dq").alias("nq"),
+        F.sum("dq").alias("sq"),
+        F.sum(F.col("dq") * F.col("dq")).alias("q2"))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    var1 = ((dd("q1") - dd("s1") * dd("s1") / dd("n1"))
+            / (dd("n1") - 1.0))
+    varq = ((dd("q2") - dd("sq") * dd("sq") / dd("nq"))
+            / (dd("nq") - 1.0))
+    ok = (F.col("n1") >= 2) & (F.col("nq") >= 2)
+    vr = F.when(ok & (var1 > 0.0), varq / (F.lit(float(qq)) * var1))
+    se = F.sqrt(F.lit(2.0 * (2 * qq - 1) * (qq - 1) / (3.0 * qq))
+                / dd("nq"))
+    z = F.when(ok & (var1 > 0.0) & (F.col("nq") > 0),
+               (vr - 1.0) / se)
+    return agg.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        F.col("n1").cast("long").alias("n_1"),
+        F.col("nq").cast("long").alias("n_q"),
+        vr.alias("vr"), z.alias("z"))

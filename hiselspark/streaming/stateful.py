@@ -386,3 +386,94 @@ def stream_kalman(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+_SPRT_OUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_total", T.LongType()),
+    T.StructField("n_pos", T.LongType()),
+    T.StructField("decision", T.StringType()),
+    T.StructField("n_decide", T.LongType()),
+])
+
+_SPRT_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("npos", T.LongType()),
+    T.StructField("dec", T.LongType()),      # 0 continue, 1 h1, -1 h0
+    T.StructField("n_decide", T.LongType()),
+])
+
+
+def stream_sprt(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    outcome_col: str = "y",
+    p0: float = 0.3,
+    p1: float = 0.5,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Streaming twin of :func:`operators.seqtest.sprt` — the
+    always-valid sequential A/B monitor run ONLINE: per-entity O(1)
+    integer state (n, npos, decision, n_decide) carried across
+    micro-batches; each micro-batch is sorted by (ts, order) and the
+    cumulative LLR  npos·l1 + nneg·l0  (the batch operator's exact
+    three-operation float expression over exact int prefix counts —
+    no running float state at all) is evaluated vectorized; the FIRST
+    boundary crossing in stream order freezes the decision, the
+    lifetime-first contract of streaming_attribution.  The drained
+    stream's final row per entity must equal the batch operator
+    row-for-row (gate + SQL oracle).  Emits one cumulative row per
+    touched entity per micro-batch (update mode)."""
+    import numpy as np
+    from hiselspark.operators.seqtest import sprt_constants
+
+    l1, l0, a, b = sprt_constants(p0, p1, alpha, beta)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, npos, dec, n_dec = state.get
+        else:
+            n, npos, dec, n_dec = 0, 0, 0, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            x = pdf[outcome_col].to_numpy(dtype="int64")
+            cn = n + np.arange(1, len(x) + 1, dtype="int64")
+            cp = npos + np.cumsum(x)
+            if dec == 0:
+                llr = cp.astype("float64") * l1 \
+                    + (cn - cp).astype("float64") * l0
+                up = np.nonzero(llr >= a)[0]
+                dn = np.nonzero(llr <= b)[0]
+                iu = up[0] if len(up) else len(x)
+                idn = dn[0] if len(dn) else len(x)
+                first = min(iu, idn)
+                if first < len(x):
+                    dec = 1 if iu <= idn else -1
+                    n_dec = int(cn[first])
+            n = int(cn[-1])
+            npos = int(cp[-1])
+        state.update((n, npos, dec, n_dec))
+        yield pd.DataFrame({
+            "entity": [key[0]],
+            "n_total": [n],
+            "n_pos": [npos],
+            "decision": ["h1" if dec == 1 else
+                         "h0" if dec == -1 else "continue"],
+            "n_decide": [n_dec if dec != 0 else None],
+        })
+
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_SPRT_OUT,
+                stateStructType=_SPRT_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
