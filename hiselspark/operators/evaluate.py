@@ -1549,3 +1549,75 @@ def pinball_loss(
         F.col("pred").cast("long").alias("pred"),
         F.col("loss_num").cast("long").alias("loss_num"),
         mean_loss.alias("mean_loss"))
+
+
+def krippendorff_alpha(df: DataFrame, item_col: str, rater_col: str,
+                       value_col: str) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 1970) —
+    the annotation-reliability coefficient that, unlike
+    :func:`fleiss_kappa`, tolerates MISSING ratings (items rated by
+    any m_i ≥ 2 of the raters are pairable; m_i = 1 items are dropped
+    AND counted):
+
+        alpha = 1 − Do/De,
+        Do = (1/N) Σ_i (m_i² − Σ_c n_ic²)/(m_i − 1),
+        De = Σ_c n_c(N − n_c) / (N(N−1))
+
+    with n_ic the per-item category counts, n_c the global marginals
+    and N = Σ m_i over pairable items.  Every count is exact int64;
+    Do's per-item rational terms fold in ascending-item order and
+    De is a category-ordered fold — both replayed by the oracle.
+    The item domain must be bounded (the fold collects one struct per
+    pairable item — bin upstream); duplicate (item, rater) cells are
+    counted as independent ratings (pre-deduplicate upstream if that
+    is not the design).  alpha is NULL when De = 0 (all ratings one
+    category).  Returns one row: (n_items, n_pairable, n_dropped,
+    n_ratings, alpha)."""
+    base = df.select(F.col(item_col).cast("long").alias("i"),
+                     F.col(rater_col).alias("r"),
+                     F.col(value_col).cast("long").alias("c"))
+    per_ic = base.groupBy("i", "c").agg(
+        F.count(F.lit(1)).alias("nic"))
+    per_i = per_ic.groupBy("i").agg(
+        F.sum("nic").alias("mi"),
+        F.sum(F.col("nic") * F.col("nic")).alias("sq"))
+    per_i = per_i.withColumn("ok", F.col("mi") >= 2)
+    do_agg = per_i.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("ok").cast("long")).alias("n_pairable"),
+        F.sum(F.when(F.col("ok"), F.col("mi")).otherwise(F.lit(0)))
+        .alias("n_tot"),
+        F.sort_array(F.collect_list(F.when(F.col("ok"), F.struct(
+            F.col("i").alias("i"), F.col("mi").alias("mi"),
+            F.col("sq").alias("sq"))))).alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    do_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + dd(e["mi"] * e["mi"] - e["sq"]) / dd(e["mi"] - 1))
+    # global category marginals over PAIRABLE items only
+    marg = (per_ic.join(per_i.filter("ok").select("i"), "i")
+            .groupBy("c").agg(F.sum("nic").alias("nc")))
+    de_agg = marg.agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("c").alias("c"), F.col("nc").alias("nc"))))
+        .alias("mcells"))
+    j = do_agg.crossJoin(F.broadcast(de_agg))
+    nn = dd(F.col("n_tot"))
+    de_num = F.aggregate(
+        "mcells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["nc"]) * (nn - dd(e["nc"])))
+    do = do_sum / nn
+    de = de_num / (nn * (nn - 1.0))
+    alpha = F.when((F.col("n_pairable") > 0) & (de > 0.0),
+                   1.0 - do / de)
+    return j.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_pairable").cast("long").alias("n_pairable"),
+        (F.col("n_items") - F.col("n_pairable")).cast("long")
+        .alias("n_dropped"),
+        F.col("n_tot").cast("long").alias("n_ratings"),
+        alpha.alias("alpha"))

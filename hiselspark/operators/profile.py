@@ -640,3 +640,48 @@ def mahalanobis2(df: DataFrame, id_col: str, x_col: str,
     return j.select("id", F.col("x").cast("long").alias("x"),
                     F.col("y").cast("long").alias("y"),
                     d2.alias("d2"))
+
+
+def hill_diversity(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Hill diversity numbers of order q = 0, 1, 2 per group (Hill
+    1973) — the effective-number-of-categories ladder unifying this
+    module's :func:`concentration` ingredients on ONE scale
+    ("how many equally-common categories would look like this"):
+
+        H0 = richness (distinct categories)
+        H1 = exp(Shannon entropy)          (frequency-weighted)
+        H2 = n² / Σ c_k²   = 1/Simpson     (dominance-weighted)
+
+    H0 and the H2 ratio are exact integer arithmetic (Σc² int64);
+    H1's entropy is the category-ordered float fold this module
+    already uses, exponentiated once.  H0 ≥ H1 ≥ H2 always — the gap
+    pattern reads skew at a glance (asserted in pytest).  Returns one
+    row per group: (group, n, h0_richness, h1_shannon, h2_simpson).
+    """
+    cells = (df.groupBy(F.col(group_col).alias("g"),
+                        F.col(value_col).alias("v"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    agg = cells.groupBy("g").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("h0"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("v").alias("v"), F.col("c").alias("c"))))
+        .alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    ent = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc
+        + (dd(e["c"]) / dd(F.col("n")))
+        * F.log(dd(F.col("n")) / dd(e["c"])))
+    h2 = dd(F.col("n")) * dd(F.col("n")) / dd(F.col("sq"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("h0").cast("long").alias("h0_richness"),
+        F.exp(ent).alias("h1_shannon"),
+        h2.alias("h2_simpson"))

@@ -189,3 +189,58 @@ def linear_shap(df: DataFrame, id_col: str, x1_col: str, x2_col: str,
         c1.alias("contrib_x1"), c2.alias("contrib_x2"),
         F.col("baseline").alias("baseline"),
         (F.col("baseline") + c1 + c2).alias("prediction"))
+
+
+def cooks_distance(df: DataFrame, id_col: str, x_col: str,
+                   y_col: str) -> DataFrame:
+    """Per-row OLS influence diagnostics for the single-regressor fit
+    y ~ a + b·x — residual, leverage and Cook's distance (Cook 1977),
+    the "which rows move the trend" audit next to :func:`group_ols`:
+
+        h_i = 1/n + (x_i − x̄)² / Sxx,
+        D_i = e_i²·h_i / (p·s²·(1−h_i)²),   p = 2,  s² = SSE/(n−2)
+
+    ONE aggregate collects the exact int64 moments (n, Σx, Σy, Σx²,
+    Σxy, Σy²) — x and y integer-valued (cents convention) — and is
+    broadcast back; every per-row quantity is then a fixed float
+    expression of that row's (x, y) and the six sums, mirrored
+    term-for-term by the oracle.  Map-only after the 6-scalar
+    aggregate; no join wider than the broadcast.  The conventional
+    flag D_i > 4/n is emitted as `influential`.  Degenerate inputs
+    (n < 3 or Sxx = 0 or SSE ≤ 0) yield NULL diagnostics.  Returns
+    one row per input row: (id, x, y, resid, leverage, cooks_d,
+    influential)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    j = base.crossJoin(F.broadcast(stats))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    n = dd("n")
+    mx = dd("sx") / n
+    my = dd("sy") / n
+    cxx = dd("sxx") - dd("sx") * dd("sx") / n
+    cxy = dd("sxy") - dd("sx") * dd("sy") / n
+    cyy = dd("syy") - dd("sy") * dd("sy") / n
+    b = cxy / cxx
+    a = my - b * mx
+    e = dd("y") - a - b * dd("x")
+    sse = cyy - b * cxy
+    s2 = sse / (n - 2.0)
+    h = 1.0 / n + (dd("x") - mx) * (dd("x") - mx) / cxx
+    d_i = (e * e * h) / (2.0 * s2 * (1.0 - h) * (1.0 - h))
+    ok = (F.col("n") >= 3) & (cxx > 0.0) & (sse > 0.0)
+    return j.select(
+        "id", "x", "y",
+        F.when(ok, e).alias("resid"),
+        F.when(ok, h).alias("leverage"),
+        F.when(ok, d_i).alias("cooks_d"),
+        F.when(ok, d_i > 4.0 / n).alias("influential"))
