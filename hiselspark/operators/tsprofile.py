@@ -1118,3 +1118,119 @@ def variance_ratio(
         F.col("n1").cast("long").alias("n_1"),
         F.col("nq").cast("long").alias("n_q"),
         vr.alias("vr"), z.alias("z"))
+
+
+def hurst_rs(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    sizes=(8, 16, 32, 64),
+) -> DataFrame:
+    """Rescaled-range Hurst exponent per entity (Hurst 1951; Mandelbrot
+    & Wallis 1969) — the long-memory diagnostic completing
+    :func:`variance_ratio` (H > 0.5 trending / H < 0.5 mean-reverting):
+
+        H = slope of ln(mean R/S at block size b) on ln(b)
+
+    over dyadic block sizes.  Exactness discipline: within each
+    complete size-b block the cumulative deviation is kept as the
+    EXACT int64  ncum_k = b·prefix_k − k·S_b  (b·cumdev — the b
+    cancels in R/S), so the range R_exact = max−min and the
+    denominator  b·Q_b − S_b²  (= b²·variance) are exact integers and
+
+        (R/S)_block = R_exact / sqrt(b·Q_b − S_b²)
+
+    is ONE float expression per block.  Per-size means fold in
+    block order, the 4-point ln-ln OLS folds in size order — both
+    replayed by the oracle.  Deviations run over k = 1..b (the
+    range does not implicitly include 0 — declared).  Incomplete
+    trailing blocks are excluded by construction; constant blocks
+    (zero variance) are dropped AND counted.  Entities with fewer
+    than 2 usable sizes yield NULL hurst.  value_col integer-valued
+    (cents convention; int64 bound: b²·|v|max·n_b per block).
+    Returns one row per entity: (entity, n, n_sizes, n_blocks,
+    n_deg_blocks, hurst)."""
+    sizes = sorted(int(s) for s in sizes)
+    if len(sizes) < 2 or sizes[0] < 2:
+        raise ValueError(f"need >= 2 sizes, all >= 2, got {sizes}")
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy("entity").orderBy(
+        F.col("__ts").asc(), F.col("__o").asc())
+    base = base.select(
+        "entity", F.row_number().over(w).cast("long").alias("i"), "v")
+    rows = base.groupBy("entity").agg(F.max("i").alias("n"))
+    stepped = base.select(
+        "entity", "i", "v",
+        F.explode(F.array(*[F.lit(s).cast("long") for s in sizes]))
+        .alias("size"))
+    stepped = (stepped
+               .withColumn("blk", F.expr("(i - 1) DIV size"))
+               .withColumn("k", (F.col("i") - 1) % F.col("size") + 1))
+    wf = Window.partitionBy("entity", "size", "blk")
+    wrun = (wf.orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stepped = (stepped
+               .withColumn("sb", F.sum("v").over(wf))
+               .withColumn("pref", F.sum("v").over(wrun))
+               .withColumn("ncum", F.col("size") * F.col("pref")
+                           - F.col("k") * F.col("sb")))
+    blocks = (stepped.groupBy("entity", "size", "blk")
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   F.sum("v").alias("s"),
+                   F.sum(F.col("v") * F.col("v")).alias("q"),
+                   F.max("ncum").alias("mx"),
+                   F.min("ncum").alias("mn"))
+              .filter(F.col("cnt") == F.col("size"))
+              .withColumn("den2", F.col("size") * F.col("q")
+                          - F.col("s") * F.col("s")))
+
+    def dd(x):
+        return x.cast("double") if not isinstance(x, str) \
+            else F.col(x).cast("double")
+
+    per_size = blocks.groupBy("entity", "size").agg(
+        F.sum((F.col("den2") > 0).cast("long")).alias("nb"),
+        F.sum((F.col("den2") <= 0).cast("long")).alias("ndeg"),
+        F.sort_array(F.collect_list(F.when(F.col("den2") > 0, F.struct(
+            F.col("blk").alias("blk"),
+            (F.col("mx") - F.col("mn")).alias("r"),
+            F.col("den2").alias("den2"))))).alias("cells"))
+    rs_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["r"]) / F.sqrt(dd(e["den2"])))
+    per_size = per_size.withColumn(
+        "mean_rs", F.when(F.col("nb") > 0, rs_sum / dd("nb")))
+    ent = per_size.groupBy("entity").agg(
+        F.sum("nb").alias("n_blocks"),
+        F.sum("ndeg").alias("n_deg_blocks"),
+        F.sort_array(F.collect_list(F.when(
+            F.col("mean_rs").isNotNull(),
+            F.struct(F.col("size").alias("size"),
+                     F.col("mean_rs").alias("mrs"))))).alias("pts"))
+    p = F.size("pts").cast("double")
+    sx = F.aggregate("pts", F.lit(0.0),
+                     lambda acc, e: acc + F.log(dd(e["size"])))
+    sy = F.aggregate("pts", F.lit(0.0),
+                     lambda acc, e: acc + F.log(e["mrs"]))
+    sxy = F.aggregate("pts", F.lit(0.0),
+                      lambda acc, e: acc
+                      + F.log(dd(e["size"])) * F.log(e["mrs"]))
+    sxx = F.aggregate("pts", F.lit(0.0),
+                      lambda acc, e: acc
+                      + F.log(dd(e["size"])) * F.log(dd(e["size"])))
+    den = p * sxx - sx * sx
+    hurst = F.when((F.size("pts") >= 2) & (den > 0.0),
+                   (p * sxy - sx * sy) / den)
+    out = ent.join(rows, "entity")
+    return out.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        F.size("pts").cast("long").alias("n_sizes"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_deg_blocks").cast("long").alias("n_deg_blocks"),
+        hurst.alias("hurst"))
