@@ -1134,7 +1134,9 @@ def hurst_rs(
 
         H = slope of ln(mean R/S at block size b) on ln(b)
 
-    over dyadic block sizes.  Exactness discipline: within each
+    over dyadic block sizes, applied to the INCREMENT/return series
+    (feed returns, not the integrated level — an integrated series
+    correctly reads H ≈ 1).  Exactness discipline: within each
     complete size-b block the cumulative deviation is kept as the
     EXACT int64  ncum_k = b·prefix_k − k·S_b  (b·cumdev — the b
     cancels in R/S), so the range R_exact = max−min and the

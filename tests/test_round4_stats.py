@@ -1,0 +1,372 @@
+"""Property / brute-force tests for the round-4 late additions:
+Mantel-Haenszel, AIPW, Fisher score, symmetric uncertainty,
+Goodman-Kruskal, Kendall's W, Cramer-von-Mises, ERR/RBP, pinball
+loss, variance ratio, Cook's distance, Krippendorff's alpha, Hill
+diversity, Hurst R/S.  Each operator is checked against an
+independent NumPy/pure-Python reimplementation on small seeded data
+(the gate checks cross-engine agreement; these check the MATH)."""
+import math
+
+import numpy as np
+import pytest
+
+
+def _rows(spark, cols, data):
+    return spark.createDataFrame([tuple(r) for r in data], cols)
+
+
+def test_mantel_haenszel_brute(spark):
+    from hiselspark.operators.causal import mantel_haenszel
+    rng = np.random.RandomState(7)
+    s = rng.randint(0, 4, 400)
+    t = rng.randint(0, 2, 400)
+    y = ((s + t + rng.randint(0, 3, 400)) % 2).astype(int)
+    df = _rows(spark, ["s", "t", "y"],
+               np.stack([s, t, y], 1).tolist())
+    row = mantel_haenszel(df, "s", "t", "y").collect()[0]
+    r_sum = s_sum = e_sum = v_sum = 0.0
+    sum_a = 0
+    for st in sorted(set(s.tolist())):
+        m = s == st
+        a = int(((t == 1) & (y == 1) & m).sum())
+        b = int(((t == 1) & (y == 0) & m).sum())
+        c = int(((t == 0) & (y == 1) & m).sum())
+        d = int(((t == 0) & (y == 0) & m).sum())
+        n = a + b + c + d
+        if n < 2:
+            continue
+        sum_a += a
+        r_sum += a * d / n
+        s_sum += b * c / n
+        e_sum += (a + b) * (a + c) / n
+        v_sum += ((a + b) * (c + d)) * ((a + c) * (b + d)) \
+            / (n * n * (n - 1))
+    assert row["sum_a"] == sum_a
+    assert row["or_mh"] == pytest.approx(r_sum / s_sum, rel=1e-12)
+    dev = sum_a - e_sum
+    assert row["chi2_mh"] == pytest.approx(dev * dev / v_sum,
+                                           rel=1e-12)
+
+
+def test_aipw_brute(spark):
+    from hiselspark.operators.causal import aipw_estimate
+    rng = np.random.RandomState(11)
+    s = rng.randint(0, 5, 500)
+    t = rng.randint(0, 2, 500)
+    y = (10 * t + s + rng.randint(0, 5, 500)).astype(int)
+    df = _rows(spark, ["s", "t", "y"],
+               np.stack([s, t, y], 1).tolist())
+    row = aipw_estimate(df, "s", "t", "y").collect()[0]
+    # keep strata with both arms (all, with this seed)
+    ok = np.ones(len(s), bool)
+    mu1 = y[ok & (t == 1)].mean()
+    mu0 = y[ok & (t == 0)].mean()
+    terms = []
+    for st in np.unique(s):
+        m = ok & (s == st)
+        e = (t[m] == 1).mean()
+        ti, yi = t[m], y[m]
+        terms.append(np.sum(
+            mu1 - mu0 + ti * (yi - mu1) / e
+            - (1 - ti) * (yi - mu0) / (1 - e)))
+    ate = sum(terms) / ok.sum()
+    assert row["ate_aipw"] == pytest.approx(ate, rel=1e-9)
+    assert row["n_dropped_rows"] == 0
+
+
+def test_fisher_score_brute(spark):
+    from hiselspark.operators.feature_rank import fisher_score
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 3, 300)
+    f1 = (5 * y + rng.randint(0, 3, 300)).astype(int)   # separable
+    f2 = rng.randint(0, 50, 300)                        # noise
+    df = _rows(spark, ["f1", "f2", "y"],
+               np.stack([f1, f2, y], 1).tolist())
+    out = {r["feature"]: r["score"]
+           for r in fisher_score(df, ["f1", "f2"], "y").collect()}
+
+    def brute(v):
+        mu = v.mean()
+        btw = sum((v[y == c]).size * (v[y == c].mean() - mu) ** 2
+                  for c in np.unique(y))
+        wth = sum(((v[y == c] - v[y == c].mean()) ** 2).sum()
+                  for c in np.unique(y))
+        return btw / wth
+
+    assert out["f1"] == pytest.approx(brute(f1.astype(float)),
+                                      rel=1e-9)
+    assert out["f2"] == pytest.approx(brute(f2.astype(float)),
+                                      rel=1e-9)
+    assert out["f1"] > 10 * out["f2"]   # separable >> noise
+
+
+def test_symmetric_uncertainty_bounds_and_identity(spark):
+    from hiselspark.operators.feature_rank import symmetric_uncertainty
+    rng = np.random.RandomState(5)
+    x = rng.randint(0, 6, 400)
+    df = _rows(spark, ["x", "y"], np.stack([x, x], 1).tolist())
+    row = symmetric_uncertainty(df, "x", "y").collect()[0]
+    # SU(X, X) = 1 exactly: MI = H(X) = H(Y)
+    assert row["su"] == pytest.approx(1.0, abs=1e-12)
+    y = rng.randint(0, 6, 400)           # independent draw
+    df2 = _rows(spark, ["x", "y"], np.stack([x, y], 1).tolist())
+    row2 = symmetric_uncertainty(df2, "x", "y").collect()[0]
+    assert 0.0 <= row2["su"] < 0.2
+
+
+def test_goodman_kruskal_brute(spark):
+    from hiselspark.operators.rankstats import goodman_kruskal
+    rng = np.random.RandomState(13)
+    x = rng.randint(0, 6, 250)
+    y = ((x + rng.randint(0, 4, 250)) % 8).astype(int)
+    df = _rows(spark, ["x", "y"], np.stack([x, y], 1).tolist())
+    row = goodman_kruskal(df, "x", "y").collect()[0]
+    conc = disc = 0
+    for i in range(len(x)):
+        for j in range(i + 1, len(x)):
+            dx = x[i] - x[j]
+            dy = y[i] - y[j]
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    assert row["concordant"] == conc and row["discordant"] == disc
+    assert row["gamma"] == pytest.approx((conc - disc) / (conc + disc))
+    # lambda(Y|X) brute
+    n = len(x)
+    sum_mx = sum(max(np.bincount(y[x == v])) for v in np.unique(x))
+    mode_y = max(np.bincount(y))
+    assert row["lambda_y_x"] == pytest.approx(
+        (sum_mx - mode_y) / (n - mode_y))
+
+
+def test_kendall_w_identity(spark):
+    from hiselspark.operators.rankstats import friedman_test, kendall_w
+    rng = np.random.RandomState(17)
+    rows = [(int(s), int(t), int(rng.randint(0, 100)))
+            for s in range(40) for t in range(4)]
+    df = _rows(spark, ["s", "t", "v"], rows)
+    q = friedman_test(df, "s", "t", "v").collect()[0]
+    w = kendall_w(df, "s", "t", "v").collect()[0]
+    assert w["w"] == pytest.approx(
+        q["q_stat"] / (q["n_subjects"] * (q["k"] - 1)), rel=1e-12)
+    assert 0.0 <= w["w"] <= 1.0
+
+
+def test_cramer_von_mises_brute(spark):
+    from hiselspark.operators.drift import cramer_von_mises
+    rng = np.random.RandomState(19)
+    a = rng.randint(0, 40, 150)
+    b = rng.randint(5, 45, 120)
+    rows = [("a", int(v)) for v in a] + [("b", int(v)) for v in b]
+    df = _rows(spark, ["g", "v"], rows)
+    row = cramer_von_mises(df, "g", "v", "a", "b").collect()[0]
+    n, m = len(a), len(b)
+    pooled = np.concatenate([a, b])
+    fn = np.array([(a <= z).mean() for z in pooled])
+    gm = np.array([(b <= z).mean() for z in pooled])
+    t = n * m / (n + m) ** 2 * ((fn - gm) ** 2).sum()
+    assert row["t_stat"] == pytest.approx(t, rel=1e-9)
+    assert row["t_null_mean"] == pytest.approx(
+        1 / 6 + 1 / (6 * (n + m)))
+
+
+def test_err_rbp_brute(spark):
+    from hiselspark.operators.rank_eval import err_rbp
+    rng = np.random.RandomState(23)
+    rows = []
+    for q in range(5):
+        for d in range(15):
+            rows.append((q, q * 100 + d, int(rng.randint(0, 1000)),
+                         int(rng.randint(0, 4))))
+    df = _rows(spark, ["q", "doc", "score", "rel"], rows)
+    out = {r["query"]: r
+           for r in err_rbp(df, "q", "doc", "score", "rel",
+                            max_grade=3, k=10).collect()}
+    for q in range(5):
+        cand = sorted([r for r in rows if r[0] == q],
+                      key=lambda r: (-r[2], r[1]))[:10]
+        err = 0.0
+        p_cont = 1.0
+        rbp = 0.0
+        for i, (_, _, _, rel) in enumerate(cand, 1):
+            r_i = (2 ** rel - 1) / 2 ** 3
+            err += p_cont * r_i / i
+            p_cont *= (1 - r_i)
+            rbp += 0.2 * 0.8 ** (i - 1) * (1 if rel > 0 else 0)
+        assert out[q]["err"] == pytest.approx(err, rel=1e-12)
+        assert out[q]["rbp"] == pytest.approx(rbp, rel=1e-12)
+
+
+def test_pinball_loss_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.evaluate import pinball_loss
+    rng = np.random.RandomState(29)
+    rows = [(int(e), int(v), bool(tr))
+            for e in range(3)
+            for v, tr in zip(rng.randint(0, 200, 80),
+                             rng.rand(80) < 0.5)]
+    df = _rows(spark, ["e", "v", "tr"], rows)
+    out = {r["entity"]: r
+           for r in pinball_loss(df, "e", "v", F.col("tr"),
+                                 9, 10).collect()}
+    for e in range(3):
+        train = sorted(v for ee, v, tr in rows if ee == e and tr)
+        ev = [v for ee, v, tr in rows if ee == e and not tr]
+        idx = -(-9 * len(train) // 10)          # ceil
+        pred = train[idx - 1]
+        loss = sum(9 * (v - pred) if v >= pred else (pred - v)
+                   for v in ev)
+        assert out[e]["pred"] == pred
+        assert out[e]["loss_num"] == loss
+        assert out[e]["mean_loss"] == pytest.approx(
+            loss / (10 * len(ev)))
+
+
+def test_variance_ratio_random_walk(spark):
+    from hiselspark.operators.tsprofile import variance_ratio
+    rng = np.random.RandomState(31)
+    # pure random walk: VR(q) should be near 1
+    steps = rng.randint(-50, 51, 4000)
+    walk = np.cumsum(steps)
+    rows = [(1, i, 0, int(v)) for i, v in enumerate(walk)]
+    df = _rows(spark, ["e", "ts", "o", "v"], rows)
+    row = variance_ratio(df, "e", "ts", "o", "v", q=4).collect()[0]
+    d1 = np.diff(walk, 1)
+    dq = walk[4:] - walk[:-4]
+    vr = dq.var(ddof=1) / (4 * d1.var(ddof=1))
+    assert row["vr"] == pytest.approx(vr, rel=1e-9)
+    assert 0.8 < row["vr"] < 1.2
+    # positively autocorrelated increments (momentum): VR(q) >> 1 —
+    # VR reads increment autocorrelation, NOT deterministic trend (a
+    # linear trend + iid noise gives VR ≈ 1/4: the trend cancels in
+    # the variances and dq noise equals d1 noise)
+    mom = np.cumsum(np.cumsum(rng.randint(-9, 10, 4000)))
+    df2 = _rows(spark, ["e", "ts", "o", "v"],
+                [(1, i, 0, int(v)) for i, v in enumerate(mom)])
+    row2 = variance_ratio(df2, "e", "ts", "o", "v", q=4).collect()[0]
+    assert row2["vr"] > 2.0
+    # and anti-persistent increments (alternating): VR < 1
+    alt = np.cumsum(np.tile([60, -60], 2000)
+                    + rng.randint(-3, 4, 4000))
+    df3 = _rows(spark, ["e", "ts", "o", "v"],
+                [(1, i, 0, int(v)) for i, v in enumerate(alt)])
+    row3 = variance_ratio(df3, "e", "ts", "o", "v", q=4).collect()[0]
+    assert row3["vr"] < 0.5
+
+
+def test_cooks_distance_brute(spark):
+    from hiselspark.operators.regress import cooks_distance
+    rng = np.random.RandomState(37)
+    x = rng.randint(0, 100, 200)
+    y = (3 * x + rng.randint(-30, 31, 200)).astype(int)
+    y[0] = int(y[0] + 500)     # planted outlier
+    rows = [(i, int(x[i]), int(y[i])) for i in range(200)]
+    df = _rows(spark, ["id", "x", "y"], rows)
+    out = {r["id"]: r
+           for r in cooks_distance(df, "id", "x", "y").collect()}
+    xf, yf = x.astype(float), y.astype(float)
+    b, a = np.polyfit(xf, yf, 1)
+    e = yf - a - b * xf
+    sxx = ((xf - xf.mean()) ** 2).sum()
+    h = 1 / len(xf) + (xf - xf.mean()) ** 2 / sxx
+    s2 = (e ** 2).sum() / (len(xf) - 2)
+    d = e ** 2 * h / (2 * s2 * (1 - h) ** 2)
+    for i in (0, 1, 57):
+        assert out[i]["cooks_d"] == pytest.approx(d[i], rel=1e-6)
+    assert out[0]["influential"]           # the planted outlier fires
+    assert sum(1 for r in out.values() if r["influential"]) < 20
+
+
+def test_krippendorff_brute(spark):
+    from collections import Counter
+    from hiselspark.operators.evaluate import krippendorff_alpha
+    # 2-observer table with missing cells (items 10/12 single-rated)
+    a_vals = {1: 1, 2: 2, 3: 3, 4: 3, 5: 2, 6: 1, 7: 4, 8: 1, 9: 2}
+    b_vals = {1: 1, 2: 2, 3: 3, 4: 3, 5: 2, 6: 2, 7: 4, 8: 1, 9: 2,
+              10: 5, 12: 3}
+    rows = [(i, "a", v) for i, v in a_vals.items()] + \
+           [(i, "b", v) for i, v in b_vals.items()]
+    df = _rows(spark, ["i", "r", "v"], rows)
+    row = krippendorff_alpha(df, "i", "r", "v").collect()[0]
+    # brute Krippendorff (coincidence-matrix formulation)
+    items = {}
+    for i, v in a_vals.items():
+        items.setdefault(i, []).append(v)
+    for i, v in b_vals.items():
+        items.setdefault(i, []).append(v)
+    pair = {i: vs for i, vs in items.items() if len(vs) >= 2}
+    n_tot = sum(len(vs) for vs in pair.values())
+    do = sum((len(vs) ** 2
+              - sum(c * c for c in Counter(vs).values()))
+             / (len(vs) - 1) for vs in pair.values()) / n_tot
+    marg = Counter(v for vs in pair.values() for v in vs)
+    de = sum(c * (n_tot - c) for c in marg.values()) \
+        / (n_tot * (n_tot - 1))
+    assert row["n_pairable"] == 9
+    assert row["n_dropped"] == 2
+    assert row["n_ratings"] == n_tot
+    assert row["alpha"] == pytest.approx(1 - do / de, rel=1e-12)
+    # and a perfect-agreement sanity rail: alpha = 1
+    rows_p = [(i, r, i % 3) for i in range(10) for r in ("a", "b")]
+    dfp = _rows(spark, ["i", "r", "v"], rows_p)
+    assert krippendorff_alpha(dfp, "i", "r", "v") \
+        .collect()[0]["alpha"] == pytest.approx(1.0)
+
+
+def test_hill_diversity_ordering_and_uniform(spark):
+    from hiselspark.operators.profile import hill_diversity
+    rng = np.random.RandomState(41)
+    rows = [("skew", int(v)) for v in rng.zipf(2.0, 400) % 20] + \
+           [("unif", int(v)) for v in np.arange(400) % 8]
+    df = _rows(spark, ["g", "v"], rows)
+    out = {r["g"]: r for r in hill_diversity(df, "g", "v").collect()}
+    for g in ("skew", "unif"):
+        r = out[g]
+        # ordering is exact math; equality cases (uniform) land a
+        # last-ulp below the integer richness — allow float noise
+        assert r["h0_richness"] + 1e-9 >= r["h1_shannon"]
+        assert r["h1_shannon"] >= r["h2_simpson"] - 1e-9
+    # uniform over 8 categories: all three Hill numbers equal 8
+    u = out["unif"]
+    assert u["h0_richness"] == 8
+    assert u["h1_shannon"] == pytest.approx(8.0, rel=1e-12)
+    assert u["h2_simpson"] == pytest.approx(8.0, rel=1e-12)
+
+
+def test_hurst_brute_and_regimes(spark):
+    from hiselspark.operators.tsprofile import hurst_rs
+    rng = np.random.RandomState(43)
+    # R/S runs on the INCREMENT series: iid increments → H ≈ 0.5
+    walk = rng.randint(-9, 10, 512).astype(int)
+    rows = [(1, i, 0, int(v)) for i, v in enumerate(walk)]
+    df = _rows(spark, ["e", "ts", "o", "v"], rows)
+    row = hurst_rs(df, "e", "ts", "o", "v",
+                   sizes=(8, 16, 32, 64)).collect()[0]
+
+    # brute replication
+    def rs_mean(b):
+        vals = []
+        for blk in range(len(walk) // b):
+            seg = walk[blk * b:(blk + 1) * b].astype(float)
+            dev = np.cumsum(seg - seg.mean())
+            r = dev.max() - dev.min()
+            s = seg.std()
+            if s > 0:
+                vals.append(r / s / b ** 0)   # R/S per block
+        return np.mean(vals)
+
+    pts = [(math.log(b), math.log(rs_mean(b)))
+           for b in (8, 16, 32, 64)]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    slope = np.polyfit(xs, ys, 1)[0]
+    assert row["hurst"] == pytest.approx(slope, rel=1e-6)
+    assert 0.3 < row["hurst"] < 0.75       # iid increments ~0.5-ish
+    # persistent increments (an integrated series fed as increments)
+    # push H toward 1 — the long-memory regime
+    mom = np.cumsum(rng.randint(-9, 10, 512)).astype(int)
+    df2 = _rows(spark, ["e", "ts", "o", "v"],
+                [(1, i, 0, int(v)) for i, v in enumerate(mom)])
+    row2 = hurst_rs(df2, "e", "ts", "o", "v").collect()[0]
+    assert row2["hurst"] > 0.85
