@@ -1948,3 +1948,113 @@ def with_projection_stats(df: DataFrame) -> DataFrame:
             yield _projection_frame(pdf)
 
     return df.mapInPandas(run, out_schema)
+
+
+def with_hist_cells(df: DataFrame, key_col: str = "okey") -> DataFrame:
+    """Per-image byte-level histogram CELLS (key, v, c, n_px) from the
+    raw payload stream — the relational exchange format that lets
+    everything downstream of the decode (equalization-style LUTs,
+    histogram matching, distribution audits) run as plain DataFrame
+    algebra with exact integers, so a SQL oracle can replay it.
+
+    The plane is the raw byte stream itself (interleaved channels,
+    values 0..255 — declared; use a gray-projection upstream when
+    channel mixing matters).  One Arrow batch = one offset-bincount
+    over all equal-length payloads, no per-image Python loop on the
+    hot path; ragged payloads fall back per row.  Bounded output:
+    ≤ 256 cells per image.  Blobs are dropped before anything
+    shuffles (the module's scan-fusion discipline)."""
+    out_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("c", T.LongType()),
+        T.StructField("n_px", T.LongType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].to_numpy(dtype=np.int64)
+            bufs = pdf["bytes"].to_numpy()
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                               count=len(bufs))
+            ks, vs, cs, ns = [], [], [], []
+            for ln in np.unique(lens):
+                rows = np.nonzero(lens == ln)[0]
+                block = np.frombuffer(
+                    b"".join(bufs[r] for r in rows),
+                    dtype=np.uint8).reshape(len(rows), ln)
+                offset = (np.arange(len(rows), dtype=np.int64)
+                          * 256)[:, None]
+                hist = np.bincount(
+                    (block.astype(np.int64) + offset).ravel(),
+                    minlength=len(rows) * 256).reshape(len(rows), 256)
+                for ri, r in enumerate(rows):
+                    nz = np.nonzero(hist[ri])[0]
+                    ks.append(np.full(len(nz), keys[r]))
+                    vs.append(nz.astype(np.int64))
+                    cs.append(hist[ri][nz].astype(np.int64))
+                    ns.append(np.full(len(nz), int(ln)))
+            yield pd.DataFrame({
+                "key": np.concatenate(ks),
+                "v": np.concatenate(vs),
+                "c": np.concatenate(cs),
+                "n_px": np.concatenate(ns)})
+
+    return df.mapInPandas(run, out_schema)
+
+
+def histogram_match(cells: DataFrame) -> DataFrame:
+    """Histogram matching (specification) of every image against the
+    POOLED corpus histogram — the classical normalization that maps
+    each image's tonal distribution onto the corpus's (Gonzalez &
+    Woods §3.3), here in a 100%-integer form:
+
+        LUT(v) = min { g : refcum(g)·n_px ≥ cum_img(v)·N_ref }
+
+    — the cross-multiplied exact-integer comparison (no float CDF
+    anywhere).  Input is :func:`with_hist_cells` output; the
+    reference is the pooled histogram of the SAME frame (pass a
+    pre-filtered frame to match against a designated reference
+    corpus).  Plan: one per-image cumulative window, one 256-row
+    pooled table broadcast into a range join (bounded 256 candidates
+    per cell), one regroup.  Everything emitted is an exact int64:
+    per image (key, n_px, n_levels, n_matched_levels, lut_checksum =
+    Σ(v+1)·LUT(v), matched_sum = Σ c(v)·LUT(v))."""
+    from pyspark.sql import Window
+    w_img = (Window.partitionBy("key").orderBy("v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    cum = cells.withColumn("cumv", F.sum("c").over(w_img))
+    ref = cells.groupBy("v").agg(F.sum("c").alias("rc"))
+    w_ref = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    ref = (ref.withColumn("refcum", F.sum("rc").over(w_ref))
+              .withColumn("n_ref", F.sum("rc").over(w_all))
+              .select(F.col("v").alias("g"), "refcum", "n_ref"))
+    j = cum.join(F.broadcast(ref),
+                 F.col("refcum") * F.col("n_px")
+                 >= F.col("cumv") * F.col("n_ref"))
+    lut = (j.groupBy("key", "v", "c", "n_px", "cumv")
+            .agg(F.min("g").alias("lut")))
+    return (lut.groupBy("key")
+            .agg(F.max("n_px").alias("n_px"),
+                 F.count(F.lit(1)).alias("n_levels"),
+                 F.countDistinct("lut").alias("n_matched_levels"),
+                 F.sum((F.col("v") + 1) * F.col("lut"))
+                 .alias("lut_checksum"),
+                 F.sum(F.col("c") * F.col("lut"))
+                 .alias("matched_sum"))
+            .select("key",
+                    F.col("n_px").cast("long").alias("n_px"),
+                    F.col("n_levels").cast("long").alias("n_levels"),
+                    F.col("n_matched_levels").cast("long")
+                    .alias("n_matched_levels"),
+                    F.col("lut_checksum").cast("long")
+                    .alias("lut_checksum"),
+                    F.col("matched_sum").cast("long")
+                    .alias("matched_sum")))

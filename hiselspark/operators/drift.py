@@ -761,3 +761,71 @@ def cramer_von_mises(df: DataFrame, group_col: str, value_col: str,
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         t.alias("t_stat"), mean.alias("t_null_mean"), z.alias("z"))
+
+
+def sliced_w1(
+    df: DataFrame,
+    vec_col: str,
+    is_reference,
+    n_planes: int = 4,
+    dim: int = 64,
+    grid: int = 8,
+) -> DataFrame:
+    """Sliced 1-Wasserstein EMBEDDING drift — the vector-space member
+    of this module's drift family (PSI/JSD/KS/W1/MMD are scalar): the
+    Rabin et al. sliced-Wasserstein idea with the engine's
+    determinism conventions — project every embedding onto k FIXED
+    ±1 hyperplanes (the Carter-Wegman literal grid of
+    ``similarity.srp_signs``, shared verbatim with any oracle), grid
+    each projection to an integer bucket (floor(dot·grid) — float
+    in, exact int out, identical in any engine because the dot is an
+    index-ordered fixed chain), and run the exact count-table W1 of
+    :func:`wasserstein_1` per plane.
+
+    One narrow map stage per plane (no Python), ONE (plane, bucket)
+    shuffle for all planes, windows over the bounded bucket table.
+    W1 is in BUCKET units (1/grid of projection units) — comparable
+    across runs with the same grid.  Returns one row per plane:
+    (plane, n_ref, n_cur, w1); the scalar drift summary is the mean
+    over planes (derivable — per-plane rows are the checkable form).
+    """
+    from .similarity import srp_signs
+    signs = srp_signs(int(n_planes), int(dim))
+    base = df.select(
+        F.col(vec_col).cast("array<double>").alias("e"),
+        is_reference.cast("long").alias("ref"))
+    parts = []
+    for p in range(int(n_planes)):
+        dot = " + ".join(f"element_at(e, {d + 1}) * {s}.0D"
+                         for d, s in enumerate(signs[p]))
+        parts.append(base.selectExpr(
+            f"CAST({p} AS BIGINT) AS plane",
+            f"CAST(floor(({dot}) * {float(grid)!r}D) AS BIGINT) AS b",
+            "ref"))
+    long_df = parts[0]
+    for q in parts[1:]:
+        long_df = long_df.unionAll(q)
+    per = long_df.groupBy("plane", "b").agg(
+        F.sum("ref").alias("a"),
+        (F.count(F.lit(1)) - F.sum("ref")).alias("bb"))
+    w = (Window.partitionBy("plane").orderBy("b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = Window.partitionBy("plane")
+    nxt = F.lead("b").over(Window.partitionBy("plane").orderBy("b"))
+    t = (per.withColumn("acum", F.sum("a").over(w))
+            .withColumn("bcum", F.sum("bb").over(w))
+            .withColumn("na", F.sum("a").over(g))
+            .withColumn("nb", F.sum("bb").over(g))
+            .withColumn("dv", F.coalesce(nxt - F.col("b"), F.lit(0))))
+    term = (F.abs(F.col("acum") * F.col("nb")
+                  - F.col("bcum") * F.col("na")) * F.col("dv"))
+    return (t.groupBy("plane")
+             .agg(F.sum(term).alias("s"),
+                  F.max("na").alias("n_ref"),
+                  F.max("nb").alias("n_cur"))
+             .select("plane",
+                     F.col("n_ref").cast("long").alias("n_ref"),
+                     F.col("n_cur").cast("long").alias("n_cur"),
+                     (F.col("s").cast("double")
+                      / (F.col("n_ref") * F.col("n_cur"))
+                      .cast("double")).alias("w1")))
