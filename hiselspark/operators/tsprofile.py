@@ -1236,3 +1236,84 @@ def hurst_rs(
         F.col("n_blocks").cast("long").alias("n_blocks"),
         F.col("n_deg_blocks").cast("long").alias("n_deg_blocks"),
         hurst.alias("hurst"))
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 4,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Holt–Winters ADDITIVE seasonal smoothing per entity (Winters
+    1960) — the seasonal rung above :func:`holt_linear`:
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    Initialization (declared): after the first m observations,
+    l = mean(x_1..x_m) (left-assoc sum, one division), b = 0,
+    s_i = x_i − l; the recursion starts at t = m+1.  The m seasonal
+    slots are carried as a ROTATING struct (s1 always the seasonal
+    the current step consumes; each step shifts s2..sm up and appends
+    the fresh one) — pure field moves, no phase CASE, which keeps
+    the fold branch-free.  Evaluated as a LEFT FOLD over the
+    time-ordered value array with a (l, b, s1..sm) struct
+    accumulator; the new-level expression is repeated inline where
+    b_t and s_t consume it — the same fixed tree the recursive-CTE
+    oracle replays (list_reduce struct-accumulator lambdas are ruled
+    out by the documented DuckDB 1.0 defects).  α=β=γ=1/2 defaults
+    are exact binary fractions.  Entities with n < m rows are
+    dropped (nothing to initialize — declared).  forecast_1 =
+    l + b + s_next.  Returns (entity, n, level, trend, s_next,
+    forecast_1)."""
+    m = int(period)
+    if m < 2:
+        raise ValueError(f"need period >= 2, got {m}")
+    t = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+         .cast("long").alias("__t"))
+    base = df.select(
+        F.col(entity_col).alias("entity"), t,
+        F.col(order_col).cast("long").alias("__o"),
+        F.col(value_col).cast("double").alias("v"))
+    agg = (base.groupBy("entity")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.array_sort(F.collect_list(F.struct(
+                    F.col("__t").alias("t"), F.col("__o").alias("o"),
+                    F.col("v").alias("v")))).alias("series"))
+           .filter(F.col("n") >= m))
+    a = F.lit(float(alpha))
+    b = F.lit(float(beta))
+    g = F.lit(float(gamma))
+    one = F.lit(1.0)
+    vals = F.transform("series", lambda s: s["v"])
+    l0 = F.element_at(vals, 1)
+    for i in range(2, m + 1):
+        l0 = l0 + F.element_at(vals, i)
+    l0 = l0 / F.lit(float(m))
+    sfields = [(F.element_at(vals, i) - l0).alias(f"s{i}")
+               for i in range(1, m + 1)]
+    zero = F.struct(l0.alias("l"), F.lit(0.0).alias("b"), *sfields)
+    rest = F.slice(vals, m + 1, F.greatest(F.size(vals) - m,
+                                           F.lit(0)))
+
+    def step(acc, x):
+        new_l = a * (x - acc["s1"]) + (one - a) * (acc["l"]
+                                                  + acc["b"])
+        new_b = b * (new_l - acc["l"]) + (one - b) * acc["b"]
+        new_s = g * (x - new_l) + (one - g) * acc["s1"]
+        rot = [acc[f"s{i + 1}"].alias(f"s{i}")
+               for i in range(1, m)] + [new_s.alias(f"s{m}")]
+        return F.struct(new_l.alias("l"), new_b.alias("b"), *rot)
+
+    fin = F.aggregate(rest, zero, step)
+    return agg.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        fin["l"].alias("level"), fin["b"].alias("trend"),
+        fin["s1"].alias("s_next"),
+        (fin["l"] + fin["b"] + fin["s1"]).alias("forecast_1"))

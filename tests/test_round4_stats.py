@@ -370,3 +370,102 @@ def test_hurst_brute_and_regimes(spark):
                 [(1, i, 0, int(v)) for i, v in enumerate(mom)])
     row2 = hurst_rs(df2, "e", "ts", "o", "v").collect()[0]
     assert row2["hurst"] > 0.85
+
+
+def test_holt_winters_brute_and_seasonal(spark):
+    from hiselspark.operators.tsprofile import holt_winters_additive
+    rng = np.random.RandomState(47)
+    vals = rng.randint(0, 500, 40)
+    rows = [(1, i, 0, int(v)) for i, v in enumerate(vals)]
+    df = _rows(spark, ["e", "ts", "o", "v"], rows)
+    row = holt_winters_additive(df, "e", "ts", "o", "v",
+                                period=4).collect()[0]
+    # brute fold
+    v = vals.astype(float)
+    level = (v[0] + v[1] + v[2] + v[3]) / 4.0
+    b = 0.0
+    s = [v[0] - level, v[1] - level, v[2] - level, v[3] - level]
+    for x in v[4:]:
+        new_l = 0.5 * (x - s[0]) + 0.5 * (level + b)
+        new_b = 0.5 * (new_l - level) + 0.5 * b
+        new_s = 0.5 * (x - new_l) + 0.5 * s[0]
+        level, b = new_l, new_b
+        s = s[1:] + [new_s]
+    assert row["level"] == pytest.approx(level, rel=1e-12)
+    assert row["trend"] == pytest.approx(b, rel=1e-12)
+    assert row["s_next"] == pytest.approx(s[0], rel=1e-12)
+    # an exactly periodic series forecasts its next value
+    per = [100, 300, 200, 400] * 12
+    dfp = _rows(spark, ["e", "ts", "o", "v"],
+                [(1, i, 0, v) for i, v in enumerate(per)])
+    rp = holt_winters_additive(dfp, "e", "ts", "o", "v",
+                               period=4).collect()[0]
+    assert rp["forecast_1"] == pytest.approx(100.0, abs=1.0)
+
+
+def test_sliced_w1_identical_and_shifted(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.drift import sliced_w1
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(200, 64).astype(np.float32)
+    # identical halves: duplicate every vector under even/odd ids
+    rows = [(2 * i, v.tolist()) for i, v in enumerate(vecs)] + \
+           [(2 * i + 1, v.tolist()) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sliced_w1(df, "embedding", F.col("vec_id") % 2 == 0,
+                    n_planes=4, dim=64, grid=8)
+    assert all(r["w1"] == 0.0 for r in out.collect())
+    # second half shifted along dimension 0 drifts on every plane
+    # (a UNIFORM shift projects to 2·Σsigns — zero on a balanced
+    # plane; a single-dimension shift moves every projection by ±5)
+    shifted = vecs.copy()
+    shifted[:, 0] += 5.0
+    rows2 = [(2 * i, v.tolist()) for i, v in enumerate(vecs)] + \
+            [(2 * i + 1, v.tolist())
+             for i, v in enumerate(shifted)]
+    df2 = spark.createDataFrame(rows2, ["vec_id", "embedding"])
+    out2 = sliced_w1(df2, "embedding", F.col("vec_id") % 2 == 0,
+                     n_planes=4, dim=64, grid=8)
+    assert all(r["w1"] > 0.0 for r in out2.collect())
+
+
+def test_histogram_match_single_image_identity(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.functions.image import (histogram_match,
+                                            with_hist_cells)
+    rng = np.random.RandomState(59)
+    payload = rng.randint(0, 256, 192, dtype=np.uint8).tobytes()
+    df = spark.createDataFrame([(1, payload)], ["okey", "bytes"])
+    cells = with_hist_cells(df, "okey")
+    row = histogram_match(cells).collect()[0]
+    # single-image corpus: pooled == own histogram, LUT(v) = v
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    levels = np.unique(arr)
+    assert row["n_levels"] == len(levels)
+    assert row["n_matched_levels"] == len(levels)
+    lv = levels.astype(np.int64)
+    assert row["lut_checksum"] == int(((lv + 1) * lv).sum())
+    assert row["matched_sum"] == int(arr.astype(np.int64).sum())
+
+
+def test_textrank_integer_pagerank_brute(spark):
+    from hiselspark.operators.graph import pagerank
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r["node"]: r["r"]
+           for r in pagerank(df, iterations=5).collect()}
+    # brute integer replication
+    sym = set(edges) | {(b, a) for a, b in edges}
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    r = {n: 1_000_000_000 for n in deg}
+    for _ in range(5):
+        contrib = {n: r[n] // deg[n] for n in r}
+        inc = {}
+        for a, b in sym:
+            inc[b] = inc.get(b, 0) + contrib[a]
+        r = {n: 150_000_000 + (17 * inc[n]) // 20 for n in inc}
+    assert out == r
+    # hub 'a' (degree 3) outranks the leaf 'd'
+    assert out["a"] > out["d"]
