@@ -62,3 +62,79 @@ def touch_attribution(
                     F.col("__last.o").alias("last_touch_id"),
                     (F.col("__t") - F.col("__last.t"))
                     .alias("last_latency_us")))
+
+
+def u_shaped_attribution(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    is_touch: Column,
+    is_conversion: Column,
+    horizon_s: int = 7 * 86400,
+) -> DataFrame:
+    """U-shaped (position-based) MULTI-touch credit — the 40/20/40
+    model completing :func:`touch_attribution`'s single-touch
+    endpoints: every conversion distributes exactly 1000 per-mille
+    credits over its strictly-earlier touches within the horizon —
+    40% to the first touch, 40% to the last, 20% split over the
+    middles, ALL IN EXACT INTEGERS:
+
+        m = 1: 1000          m = 2: 500 / 500
+        m ≥ 3: first 400, last 400, middle j of k gets
+               200 DIV k + (1 if j ≤ 200 % k) — the remainder goes
+               to the EARLIEST middles, so Σ credit = 1000 exactly
+               per conversion (pytest-asserted).
+
+    Plan: a per-entity interval join pairs each conversion with its
+    qualifying touches (bounded by rate × horizon — the documented
+    contract of every interval join here), then one window per
+    conversion ranks touches by (ts, order) and the credit rule is
+    pure integer CASE arithmetic.  Strictly-earlier (touch ts <
+    conversion ts) — zero leakage, the PIT convention.  Conversions
+    with no touch in the window are absent from the output (count
+    them upstream via touch_attribution's NULL rows).  Returns one
+    row per (conversion, touch): (entity, conv_order, conv_ts_us,
+    touch_order, touch_ts_us, m_touches, pos, credit_pm)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(entity_col).alias("entity"),
+                     us.alias("us"),
+                     F.col(order_col).cast("long").alias("o"),
+                     is_touch.alias("is_t"),
+                     is_conversion.alias("is_c"))
+    convs = (base.filter("is_c")
+             .select("entity", F.col("us").alias("c_us"),
+                     F.col("o").alias("c_o")))
+    touches = (base.filter("is_t")
+               .select("entity", F.col("us").alias("t_us"),
+                       F.col("o").alias("t_o")))
+    h = int(horizon_s) * 1_000_000
+    j = convs.join(
+        touches,
+        ["entity"]).filter(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("t_us") >= F.col("c_us") - F.lit(h)))
+    w = Window.partitionBy("entity", "c_us", "c_o").orderBy(
+        F.col("t_us").asc(), F.col("t_o").asc())
+    wall = Window.partitionBy("entity", "c_us", "c_o")
+    ranked = (j.withColumn("pos", F.row_number().over(w))
+               .withColumn("m", F.count(F.lit(1)).over(wall)))
+    k = F.col("m") - 2
+    jmid = F.col("pos") - 1            # middle index, 1-based
+    credit = (
+        F.when(F.col("m") == 1, F.lit(1000))
+         .when(F.col("m") == 2, F.lit(500))
+         .when(F.col("pos") == 1, F.lit(400))
+         .when(F.col("pos") == F.col("m"), F.lit(400))
+         .otherwise(F.expr("200 DIV (m - 2)")
+                    + F.when(jmid <= F.expr("200 % (m - 2)"),
+                             F.lit(1)).otherwise(F.lit(0))))
+    return ranked.select(
+        "entity",
+        F.col("c_o").alias("conv_order"),
+        F.col("c_us").alias("conv_ts_us"),
+        F.col("t_o").alias("touch_order"),
+        F.col("t_us").alias("touch_ts_us"),
+        F.col("m").cast("long").alias("m_touches"),
+        F.col("pos").cast("long").alias("pos"),
+        credit.cast("long").alias("credit_pm"))

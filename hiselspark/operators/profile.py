@@ -685,3 +685,49 @@ def hill_diversity(df: DataFrame, group_col: str,
         F.col("h0").cast("long").alias("h0_richness"),
         F.exp(ent).alias("h1_shannon"),
         h2.alias("h2_simpson"))
+
+
+def lorenz_curve(df: DataFrame, id_col: str, value_col: str,
+                 n_buckets: int = 10) -> DataFrame:
+    """Lorenz curve table — the distributional picture behind the
+    scalar Gini: deterministic equal-count buckets in ASCENDING value
+    order (NTILE over (value, id) — the unique tiebreaker makes the
+    cut layout-independent), then exact cumulative population and
+    value masses per bucket:
+
+        share_pop_k = cum_n_k / N,   share_value_k = cum_v_k / V
+
+    Every count/sum is an exact int64 (value integer-valued, cents
+    convention, non-negative for the curve to be monotone); the two
+    shares are one division each.  The familiar inequality read-outs
+    fall out directly: bottom-decile share, top-decile share
+    (1 − share_value_9), and the Gini as 1 − 2·Σ trapezoids if
+    wanted — this operator emits the checkable TABLE.  Returns
+    n_buckets rows: (bucket, n, cum_n, v, cum_v, share_pop,
+    share_value)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(value_col).cast("long").alias("v"))
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    t = base.withColumn("bucket", F.ntile(int(n_buckets)).over(w))
+    per = (t.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("vv")))
+    wc = (Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    out = (per.withColumn("cum_n", F.sum("n").over(wc))
+              .withColumn("cum_v", F.sum("vv").over(wc))
+              .withColumn("nn", F.sum("n").over(wt))
+              .withColumn("vt", F.sum("vv").over(wt)))
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("vv").cast("long").alias("v"),
+        F.col("cum_v").cast("long").alias("cum_v"),
+        (F.col("cum_n").cast("double")
+         / F.col("nn").cast("double")).alias("share_pop"),
+        F.when(F.col("vt") > 0,
+               F.col("cum_v").cast("double")
+               / F.col("vt").cast("double")).alias("share_value"))

@@ -1620,3 +1620,60 @@ def growth_accounting(
                    F.coalesce("n_churned", F.lit(0)).cast("long")
                     .alias("n_churned")))
     return out
+
+
+def cusumsq(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """CUSUM-of-squares scale-shift detector per entity (Brown,
+    Durbin & Evans 1975) — the VARIANCE-change companion of
+    :func:`cusum`'s mean-shift statistic:
+
+        s_k = Σ_{i≤k} v_i² / Σ_all v_i²  −  k/n
+
+    flags where the cumulative energy runs ahead of/behind the clock.
+    Exactness: the deviation is kept cross-multiplied —
+    d_k = n·cumsq_k − k·totsq, an exact int64 (per-entity bound
+    n²·Σv² < 2⁶³: with cents ≤ ~2·10⁵ and n ≤ ~4000 rows per entity
+    that is ~6·10¹⁷ — quantize coarser for longer series), the
+    argmax row is the struct-max (|d|, −k) tiebreak (earliest k on
+    ties), and the reported statistic max|s| = |d*|/(n·totsq) is ONE
+    division.  One entity-keyed window + one aggregate.  Entities
+    with totsq = 0 yield NULL stat.  Returns one row per entity:
+    (entity, n, k_at_max, cusumsq)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(entity_col).alias("entity"),
+                     us.alias("us"),
+                     F.col(order_col).cast("long").alias("o"),
+                     F.col(value_col).cast("long").alias("v"))
+    w = Window.partitionBy("entity").orderBy(
+        F.col("us").asc(), F.col("o").asc())
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("entity")
+    t = (base
+         .withColumn("k", F.row_number().over(w).cast("long"))
+         .withColumn("cumsq", F.sum(F.col("v") * F.col("v"))
+                     .over(wrun))
+         .withColumn("n", F.count(F.lit(1)).over(wall))
+         .withColumn("totsq", F.sum(F.col("v") * F.col("v"))
+                     .over(wall)))
+    d = F.col("n") * F.col("cumsq") - F.col("k") * F.col("totsq")
+    t = t.withColumn("absd", F.abs(d))
+    best = (t.groupBy("entity")
+            .agg(F.max("n").alias("n"),
+                 F.max("totsq").alias("totsq"),
+                 F.max(F.struct(F.col("absd").alias("a"),
+                                (-F.col("k")).alias("negk")))
+                 .alias("b")))
+    stat = F.when(
+        F.col("totsq") > 0,
+        F.col("b")["a"].cast("double")
+        / (F.col("n") * F.col("totsq")).cast("double"))
+    return best.select(
+        "entity", F.col("n").cast("long").alias("n"),
+        (-F.col("b")["negk"]).cast("long").alias("k_at_max"),
+        stat.alias("cusumsq"))
