@@ -469,3 +469,94 @@ def test_textrank_integer_pagerank_brute(spark):
     assert out == r
     # hub 'a' (degree 3) outranks the leaf 'd'
     assert out["a"] > out["d"]
+
+
+def test_u_attribution_rules_and_conservation(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.attribution import u_shaped_attribution
+    # crafted timeline: user 1 has 1 touch, user 2 has 2, user 3 has 5
+    rows = []
+    order = 0
+
+    def ev(u, sec, typ):
+        nonlocal order
+        order += 1
+        rows.append((u, f"2024-01-01 00:00:{sec:02d}", order, typ))
+
+    ev(1, 1, "click"); ev(1, 10, "purchase")
+    ev(2, 1, "click"); ev(2, 2, "view"); ev(2, 10, "purchase")
+    for s in range(1, 6):
+        ev(3, s, "click")
+    ev(3, 10, "purchase")
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id",
+                                      "event_type"])
+    out = u_shaped_attribution(
+        df, "user_id", "ts", "event_id",
+        F.col("event_type").isin(["click", "view"]),
+        F.col("event_type") == "purchase").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["entity"], []).append(r)
+    # single touch: 1000; two touches: 500/500
+    assert [r["credit_pm"] for r in by_user[1]] == [1000]
+    assert sorted(r["credit_pm"] for r in by_user[2]) == [500, 500]
+    # five touches: 400 / 67 / 67 / 66 / 400 (200 DIV 3 = 66, rem 2
+    # to the earliest two middles)
+    u3 = sorted(by_user[3], key=lambda r: r["pos"])
+    assert [r["credit_pm"] for r in u3] == [400, 67, 67, 66, 400]
+    # conservation: every conversion's credits sum to exactly 1000
+    for rs in by_user.values():
+        assert sum(r["credit_pm"] for r in rs) == 1000
+
+
+def test_lorenz_monotone_and_brute(spark):
+    from hiselspark.operators.profile import lorenz_curve
+    rng = np.random.RandomState(61)
+    vals = rng.zipf(1.7, 500).astype(int) % 10000
+    rows = [(i, int(v)) for i, v in enumerate(vals)]
+    df = _rows(spark, ["id", "v"], rows)
+    out = sorted(lorenz_curve(df, "id", "v").collect(),
+                 key=lambda r: r["bucket"])
+    assert len(out) == 10
+    assert out[-1]["share_pop"] == pytest.approx(1.0)
+    assert out[-1]["share_value"] == pytest.approx(1.0)
+    # Lorenz curve lies below the diagonal and is monotone
+    prev = 0.0
+    for r in out:
+        assert r["share_value"] <= r["share_pop"] + 1e-12
+        assert r["share_value"] >= prev
+        prev = r["share_value"]
+    # brute cumulative check
+    s = np.sort(vals)
+    cuts = [len(s) * (k + 1) // 10 for k in range(10)]
+    # ntile: first (n % 10) buckets get the extra row
+    n = len(s)
+    base, rem = divmod(n, 10)
+    sizes = [base + (1 if k < rem else 0) for k in range(10)]
+    edges = np.cumsum(sizes)
+    for k, r in enumerate(out):
+        assert r["cum_n"] == edges[k]
+        assert r["cum_v"] == int(s[:edges[k]].sum())
+
+
+def test_cusumsq_brute_and_planted_shift(spark):
+    from hiselspark.operators.windows import cusumsq
+    rng = np.random.RandomState(67)
+    # variance doubles at index 300 of 400
+    v = np.concatenate([rng.randint(-10, 11, 300),
+                        rng.randint(-100, 101, 100)]).astype(int)
+    rows = [(1, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", i,
+             int(x)) for i, x in enumerate(v)]
+    df = spark.createDataFrame(rows, ["e", "ts", "o", "v"])
+    row = cusumsq(df, "e", "ts", "o", "v").collect()[0]
+    sq = (v.astype(np.int64) ** 2)
+    cum = np.cumsum(sq)
+    tot = int(cum[-1])
+    n = len(v)
+    d = np.abs(n * cum - (np.arange(1, n + 1)) * tot)
+    k = int(np.argmax(d)) + 1
+    assert row["k_at_max"] == k
+    assert row["cusumsq"] == pytest.approx(d[k - 1] / (n * tot),
+                                           rel=1e-12)
+    # the argmax lands at the planted break
+    assert 280 <= row["k_at_max"] <= 310
