@@ -829,3 +829,39 @@ def sliced_w1(
                      (F.col("s").cast("double")
                       / (F.col("n_ref") * F.col("n_cur"))
                       .cast("double")).alias("w1")))
+
+
+def combine_pvalues(df: DataFrame, key_col: str,
+                    p_col: str) -> DataFrame:
+    """Meta-analysis combination of a dashboard's per-test p-values —
+    the "did ANYTHING drift" single number over :func:`ks_drift_fdr`'s
+    per-feature tests:
+
+        Fisher (1925):  X² = −2 Σ ln pᵢ   ~ χ²(2m) under the null
+        harmonic-mean p (Wilson 2019):  p̊ = m / Σ (1/pᵢ)
+
+    Fisher is the classical sensitive-to-one-small-p combiner (exact
+    under independence); the HMP is robust to dependence (valid up to
+    a small constant).  Both are folds over the (key, p) pairs in
+    key order — the engine's ordered-float-fold discipline.  p-values
+    must be in (0, 1] (Smirnov p's are).  Returns one row:
+    (m, fisher_x2, fisher_df, hmp)."""
+    base = df.select(F.col(key_col).alias("k"),
+                     F.col(p_col).cast("double").alias("p"))
+    agg = base.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("k").alias("k"), F.col("p").alias("p"))))
+        .alias("cells"))
+    fisher = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc - F.lit(2.0) * F.log(e["p"]))
+    inv = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + F.lit(1.0) / e["p"])
+    return agg.select(
+        F.col("m").cast("long").alias("m"),
+        fisher.alias("fisher_x2"),
+        (F.lit(2) * F.col("m")).cast("long").alias("fisher_df"),
+        F.when(inv > 0.0,
+               F.col("m").cast("double") / inv).alias("hmp"))

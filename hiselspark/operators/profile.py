@@ -731,3 +731,54 @@ def lorenz_curve(df: DataFrame, id_col: str, value_col: str,
         F.when(F.col("vt") > 0,
                F.col("cum_v").cast("double")
                / F.col("vt").cast("double")).alias("share_value"))
+
+
+def hill_tail(df: DataFrame, value_col: str, k: int = 100) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) — "how heavy is this
+    distribution's tail" next to :func:`lorenz_curve` and the zipf
+    fit: over the values STRICTLY above the (k+1)-th largest order
+    statistic x_min,
+
+        alpha = n_tail / Σ ln(x / x_min)
+
+    (small alpha = heavy tail; alpha ≈ 1.7 for Zipfy web counts).
+    Everything runs on the distinct-value count table: x_min is the
+    exact order statistic (the largest v whose ≥-cumulative count
+    reaches k+1 — no row sort), n_tail an exact int64, and the ln
+    fold runs value-ordered with multiplicities.  Values ≤ 0 are
+    dropped AND counted (logs need positives).  alpha is NULL when
+    the tail is empty or degenerate (all tail mass at x_min).
+    Returns one row: (n, n_dropped, x_min, n_tail, alpha)."""
+    v = F.col(value_col).cast("long")
+    base = df.select(v.alias("v"))
+    n_all = base.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum((F.col("v") <= 0).cast("long")).alias("n_dropped"))
+    cells = (base.filter(F.col("v") > 0)
+             .groupBy("v").agg(F.count(F.lit(1)).alias("c")))
+    wd = (Window.orderBy(F.col("v").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = cells.withColumn("cge", F.sum("c").over(wd))
+    xmin = (cum.filter(F.col("cge") >= int(k) + 1)
+            .agg(F.max("v").alias("x_min")))
+    j = cells.crossJoin(F.broadcast(xmin)).filter(
+        F.col("v") > F.col("x_min"))
+    agg = j.groupBy("x_min").agg(
+        F.sum("c").alias("n_tail"),
+        F.array_sort(F.collect_list(F.struct(
+            F.col("v").alias("v"), F.col("c").alias("c"))))
+        .alias("cells"))
+    lsum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + e["c"].cast("double")
+        * F.log(e["v"].cast("double")
+                / F.col("x_min").cast("double")))
+    out = agg.select(
+        F.col("x_min").cast("long").alias("x_min"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.when((F.col("n_tail") > 0) & (lsum > 0.0),
+               F.col("n_tail").cast("double") / lsum).alias("alpha"))
+    return n_all.crossJoin(F.broadcast(out)).select(
+        F.col("n_tot").cast("long").alias("n"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "x_min", "n_tail", "alpha")
