@@ -560,3 +560,42 @@ def test_cusumsq_brute_and_planted_shift(spark):
                                            rel=1e-12)
     # the argmax lands at the planted break
     assert 280 <= row["k_at_max"] <= 310
+
+
+def test_combine_pvalues_brute(spark):
+    from hiselspark.operators.drift import combine_pvalues
+    ps = [("a", 0.001), ("b", 0.2), ("c", 0.5), ("d", 0.9),
+          ("e", 1.0)]
+    df = spark.createDataFrame(ps, ["k", "p"])
+    row = combine_pvalues(df, "k", "p").collect()[0]
+    fisher = sum(-2 * math.log(p) for _, p in ps)
+    hmp = len(ps) / sum(1 / p for _, p in ps)
+    assert row["m"] == 5 and row["fisher_df"] == 10
+    assert row["fisher_x2"] == pytest.approx(fisher, rel=1e-12)
+    assert row["hmp"] == pytest.approx(hmp, rel=1e-12)
+    # all-null p's (p = 1 everywhere): fisher = 0, hmp = 1
+    dfn = spark.createDataFrame([(str(i), 1.0) for i in range(4)],
+                                ["k", "p"])
+    rn = combine_pvalues(dfn, "k", "p").collect()[0]
+    assert rn["fisher_x2"] == 0.0 and rn["hmp"] == pytest.approx(1.0)
+
+
+def test_hill_tail_recovers_pareto_alpha(spark):
+    from hiselspark.operators.profile import hill_tail
+    rng = np.random.RandomState(71)
+    true_alpha = 1.8
+    u = rng.rand(5000)
+    x = np.floor(100.0 / u ** (1.0 / true_alpha)).astype(int)
+    df = _rows(spark, ["v"], [(int(v),) for v in x])
+    row = hill_tail(df, "v", k=300).collect()[0]
+    assert row["n"] == 5000 and row["n_dropped"] == 0
+    # Hill on 300 tail points recovers alpha within ~20%
+    assert 1.4 < row["alpha"] < 2.3
+    # brute replication of the exact rule
+    s = np.sort(x)[::-1]
+    x_min = int(s[300])            # (k+1)-th largest order statistic
+    tail = x[x > x_min]
+    alpha = len(tail) / np.log(tail / x_min).sum()
+    assert row["x_min"] == x_min
+    assert row["n_tail"] == len(tail)
+    assert row["alpha"] == pytest.approx(alpha, rel=1e-9)
