@@ -1317,3 +1317,49 @@ def holt_winters_additive(
         fin["l"].alias("level"), fin["b"].alias("trend"),
         fin["s1"].alias("s_next"),
         (fin["l"] + fin["b"] + fin["s1"]).alias("forecast_1"))
+
+
+def pacf3(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per entity — the
+    AR-order-selection companion of :func:`autocorrelation` (which
+    lag carries NEW information once the shorter lags are accounted
+    for), by the closed Durbin–Levinson recursion written out:
+
+        φ11 = r1
+        φ22 = (r2 − r1²) / (1 − r1²)
+        φ21 = r1·(1 − r2) / (1 − r1²)
+        φ33 = (r3 − φ21·r2 − φ22·r1)
+               / (1 − φ21·r1 − φ22·r2)
+
+    — each φ ONE fixed float expression over autocorrelation's
+    bit-reproducible (r1, r2, r3), verified against a brute
+    Durbin–Levinson recursion in pytest and against an AR(1)
+    ground truth (φ22/φ33 ≈ 0 for AR(1) data).  NULL where the
+    parent r's are NULL or a denominator is 0.  Returns
+    (entity, n, phi1, phi2, phi3).
+    """
+    r = autocorrelation(df, entity_col, ts_col, order_col, value_col,
+                        lags=(1, 2, 3))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    one = F.lit(1.0)
+    phi1 = r1
+    den2 = one - r1 * r1
+    phi2 = F.when(r2.isNotNull() & (den2 != 0.0),
+                  (r2 - r1 * r1) / den2)
+    # Durbin-Levinson level 3: with phi21 = r1·(1−r2)/(1−r1²),
+    # phi22 as above: phi33 = (r3 − phi21·r2 − phi22·r1)
+    #                         / (1 − phi21·r1 − phi22·r2)
+    phi21 = r1 * (one - r2) / den2
+    phi22 = (r2 - r1 * r1) / den2
+    den3 = one - phi21 * r1 - phi22 * r2
+    phi3 = F.when(r3.isNotNull() & (den2 != 0.0) & (den3 != 0.0),
+                  (r3 - phi21 * r2 - phi22 * r1) / den3)
+    return r.select("entity", "n",
+                    phi1.alias("phi1"), phi2.alias("phi2"),
+                    phi3.alias("phi3"))

@@ -599,3 +599,33 @@ def test_hill_tail_recovers_pareto_alpha(spark):
     assert row["x_min"] == x_min
     assert row["n_tail"] == len(tail)
     assert row["alpha"] == pytest.approx(alpha, rel=1e-9)
+
+
+def test_pacf_durbin_levinson_and_ar1(spark):
+    from hiselspark.operators.tsprofile import pacf3
+    rng = np.random.RandomState(73)
+    # AR(1): x_t = 0.7 x_{t-1} + e — phi1 ~ 0.7, phi2/phi3 ~ 0
+    x = np.zeros(3000)
+    for t in range(1, 3000):
+        x[t] = 0.7 * x[t - 1] + rng.randint(-50, 51)
+    v = np.round(x).astype(int)
+    rows = [(1, i, 0, int(a)) for i, a in enumerate(v)]
+    df = _rows(spark, ["e", "ts", "o", "v"], rows)
+    row = pacf3(df, "e", "ts", "o", "v").collect()[0]
+    assert 0.6 < row["phi1"] < 0.8
+    assert abs(row["phi2"]) < 0.1 and abs(row["phi3"]) < 0.1
+    # brute Durbin-Levinson from the same textbook acf estimator
+    xc = v - v.mean()
+    den = (xc ** 2).sum()
+    r = [1.0] + [(xc[:-k] * xc[k:]).sum() / den for k in (1, 2, 3)]
+    phi = {1: {1: r[1]}}
+    for k in (2, 3):
+        num = r[k] - sum(phi[k - 1][j] * r[k - j]
+                         for j in range(1, k))
+        dn = 1 - sum(phi[k - 1][j] * r[j] for j in range(1, k))
+        phi[k] = {k: num / dn}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+    assert row["phi1"] == pytest.approx(phi[1][1], abs=1e-6)
+    assert row["phi2"] == pytest.approx(phi[2][2], abs=1e-6)
+    assert row["phi3"] == pytest.approx(phi[3][3], abs=1e-6)
