@@ -1271,3 +1271,85 @@ def chao1_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("f1").cast("long").alias("f1"),
         F.col("f2").cast("long").alias("f2"),
         chao.alias("chao1"))
+
+
+def burrows_delta(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 20,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance-from-the-corpus-centroid
+    (Burrows 2002) — the authorship/style OUTLIER score over the
+    most-frequent-word profile, in the engine's integer discipline:
+
+    * tokens from the module's whitespace contract; the vocabulary is
+      the ``top_v`` corpus-frequency words ((freq DESC, word ASC)
+      deterministic cut);
+    * each document's per-word rate is the FLOORED per-mille
+      ``fpm = (1000·c) DIV len`` — an exact int64 (the declared
+      quantization that makes cross-document moments exact where raw
+      ratios c/len could not be summed deterministically);
+    * per word, mean/std of fpm over ALL documents (absent word =
+      rate 0 — the zero rows are implicit: Σ over the sparse (doc,
+      word) counts IS the dense sum) from exact (Σfpm, Σfpm²);
+    * Delta(doc) = mean over the vocabulary, in (freq DESC, word ASC)
+      order, of |z_doc,word| — one |·| fold per document over ``top_v``
+      broadcast stats.
+
+    Documents with no tokens get NULL delta.  Returns one row per
+    document: (doc_id, n_tokens, delta)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                 lambda x: F.length(x) > 0).alias("toks"))
+    lens = toks.select("doc", F.size("toks").alias("len"))
+    long = toks.select("doc", F.explode("toks").alias("w"))
+    vocab = (long.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+             .orderBy(F.col("cf").desc(), F.col("w").asc())
+             .limit(int(top_v)))
+    cells = (long.join(F.broadcast(vocab.select("w", "cf")), "w")
+             .groupBy("doc", "w", "cf")
+             .agg(F.count(F.lit(1)).alias("c")))
+    cells = (cells.join(lens, "doc")
+             .withColumn("fpm", F.expr("(1000 * c) DIV len")))
+    nd_frame = (lens.filter(F.col("len") > 0)
+                .agg(F.count(F.lit(1)).alias("ndocs")))
+    stats = (cells.groupBy("w", "cf")
+             .agg(F.sum("fpm").alias("s"),
+                  F.sum(F.col("fpm") * F.col("fpm")).alias("q"))
+             .crossJoin(F.broadcast(nd_frame)))
+
+    def dd(x):
+        return x.cast("double") if not isinstance(x, str) \
+            else F.col(x).cast("double")
+
+    nd = dd("ndocs")
+    mean = dd("s") / nd
+    var = dd("q") / nd - mean * mean
+    stats = (stats.withColumn("mean", mean)
+             .withColumn("sd", F.when(var > 0.0, F.sqrt(var))))
+    # dense per-doc z: join sparse cells, absent word -> fpm = 0
+    dz = (lens.filter(F.col("len") > 0)
+          .crossJoin(F.broadcast(stats.select("w", "cf", "mean",
+                                              "sd")))
+          .join(cells.select("doc", "w",
+                             F.col("fpm").alias("fpm0")),
+                ["doc", "w"], "left")
+          .withColumn("fpm", F.coalesce(F.col("fpm0"), F.lit(0))))
+    zterm = F.when(F.col("sd").isNotNull(),
+                   F.abs((dd("fpm") - F.col("mean")) / F.col("sd")))
+    agg = (dz.groupBy("doc", "len")
+           .agg(F.sort_array(F.collect_list(F.when(
+               zterm.isNotNull(),
+               F.struct((-F.col("cf")).alias("ncf"),
+                        F.col("w").alias("w"),
+                        zterm.alias("az"))))).alias("cells2"),
+                F.count(F.when(zterm.isNotNull(), F.lit(1)))
+                .alias("vv")))
+    fold = F.aggregate("cells2", F.lit(0.0),
+                       lambda acc, e: acc + e["az"])
+    delta = F.when(F.col("vv") > 0, fold / dd("vv"))
+    return agg.select(F.col("doc").alias(id_col),
+                      F.col("len").cast("long").alias("n_tokens"),
+                      delta.alias("delta"))

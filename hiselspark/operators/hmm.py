@@ -202,3 +202,54 @@ def markov_entropy_rate(df: DataFrame, entity_col: str,
         F.col("n").cast("long").alias("n_transitions"),
         F.col("n_states").cast("long").alias("n_states"),
         h.alias("entropy_rate"))
+
+
+def seq_pair_support(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """Sequential-pattern pair support — "users who do A tend to do B
+    AFTERWARD" (the temporal version of :mod:`..cooccur`'s
+    association rules, GSP's length-2 core): for every ordered state
+    pair (a, b), over the entities that exhibit BOTH states, how
+    often does a's FIRST occurrence strictly precede b's?
+
+    Per (entity, state) the first occurrence is the struct-min of
+    exact (ts_us, order) — deterministic under ties; the bounded
+    per-entity state set (k states → ≤ k(k−1) pairs per entity)
+    self-joins within the entity, then one exact-count aggregate per
+    ordered pair.  support = n_a_before_b / n_both is the one
+    division.  Ties (same microsecond AND same order is impossible —
+    order is unique) cannot occur; same-timestamp different-order
+    rows resolve by the order tiebreaker (documented).  Returns one
+    row per ordered pair with n_both > 0: (state_a, state_b, n_both,
+    n_a_first, support)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    firsts = (df.select(F.col(entity_col).alias("e"),
+                        F.col(state_col).alias("s"),
+                        us.alias("us"),
+                        F.col(order_col).cast("long").alias("o"))
+              .groupBy("e", "s")
+              .agg(F.min(F.struct(F.col("us").alias("us"),
+                                  F.col("o").alias("o")))
+                   .alias("f")))
+    a = firsts.select("e", F.col("s").alias("sa"),
+                      F.col("f").alias("fa"))
+    b = firsts.select("e", F.col("s").alias("sb"),
+                      F.col("f").alias("fb"))
+    pairs = a.join(b, "e").filter(F.col("sa") != F.col("sb"))
+    before = ((F.col("fa")["us"] < F.col("fb")["us"])
+              | ((F.col("fa")["us"] == F.col("fb")["us"])
+                 & (F.col("fa")["o"] < F.col("fb")["o"])))
+    out = pairs.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_both"),
+        F.sum(before.cast("long")).alias("n_a_first"))
+    return out.select(
+        F.col("sa").alias("state_a"), F.col("sb").alias("state_b"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("n_a_first").cast("long").alias("n_a_first"),
+        (F.col("n_a_first").cast("double")
+         / F.col("n_both").cast("double")).alias("support"))

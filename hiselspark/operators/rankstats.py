@@ -989,3 +989,71 @@ def kendall_w(df: DataFrame, subject_col: str, treatment_col: str,
         F.col("q_stat")
         / (F.col("n_subjects") * (F.col("k") - 1)).cast("double"))
     return q.select("n_subjects", "k", "n_dropped", w.alias("w"))
+
+
+def dunn_test(df: DataFrame, group_col: str,
+              value_col: str) -> DataFrame:
+    """Dunn's post-hoc pairwise test (Dunn 1964) — the follow-up
+    :func:`kruskal_wallis` points at: which PAIRS of groups differ,
+    on the pooled-rank scale with the KW tie correction:
+
+        z_ij = (R̄_i − R̄_j) / sqrt( (N(N+1)/12 − Σ(t³−t)/(12(N−1)))
+                                     · (1/n_i + 1/n_j) )
+
+    Doubled average ranks off the pooled value count table keep every
+    sufficient statistic exact int64 (module docstring); mean ranks,
+    z and the two-sided p (the A-S erfc polynomial, the
+    :func:`mann_whitney` convention) are mirrored float expressions.
+    Feed the p's to ``drift.bh_adjust`` for multiplicity control.
+    Groups must be a bounded set (the pairwise output is groups²).
+    Returns one row per unordered pair (g_a < g_b): (g_a, g_b, n_a,
+    n_b, mean_rank_a, mean_rank_b, z, p_value); z/p NULL on a
+    degenerate pooled variance."""
+    base = df.select(F.col(group_col).alias("g"),
+                     F.col(value_col).cast("long").alias("v"))
+    per_v = base.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    w_run = (Window.orderBy("v")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_v.select(
+        "v", "t",
+        (F.lit(2) * (F.coalesce(F.sum("t").over(w_run), F.lit(0)) + 1)
+         + F.col("t") - 1).alias("r2"))
+    tot = ranked.agg(
+        F.sum("t").alias("nn"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("tc"))
+    j = base.join(ranked.select("v", "r2"), "v")
+    per_g = j.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2").alias("r2sum"))
+    a = per_g.select(F.col("g").alias("ga"), F.col("n").alias("na"),
+                     F.col("r2sum").alias("ra"))
+    b = per_g.select(F.col("g").alias("gb"), F.col("n").alias("nb"),
+                     F.col("r2sum").alias("rb"))
+    pairs = (a.join(b, F.col("ga") < F.col("gb"))
+             .crossJoin(F.broadcast(tot)))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    nd = dd("nn")
+    # mean ranks from doubled sums: R̄ = r2sum / (2 n)
+    mra = dd("ra") / (F.lit(2.0) * dd("na"))
+    mrb = dd("rb") / (F.lit(2.0) * dd("nb"))
+    var = (nd * (nd + 1.0) / F.lit(12.0)
+           - dd("tc") / (F.lit(12.0) * (nd - 1.0))) \
+        * (F.lit(1.0) / dd("na") + F.lit(1.0) / dd("nb"))
+    z = F.when(var > 0.0, (mra - mrb) / F.sqrt(var))
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t_ = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    p = (t_ * (F.lit(0.254829592)
+         + t_ * (F.lit(-0.284496736)
+         + t_ * (F.lit(1.421413741)
+         + t_ * (F.lit(-1.453152027)
+         + t_ * F.lit(1.061405429)))))) * F.exp(-(x * x))
+    return pairs.select(
+        F.col("ga").alias("g_a"), F.col("gb").alias("g_b"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        mra.alias("mean_rank_a"), mrb.alias("mean_rank_b"),
+        z.alias("z"), p.alias("p_value"))

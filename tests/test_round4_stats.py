@@ -629,3 +629,82 @@ def test_pacf_durbin_levinson_and_ar1(spark):
     assert row["phi1"] == pytest.approx(phi[1][1], abs=1e-6)
     assert row["phi2"] == pytest.approx(phi[2][2], abs=1e-6)
     assert row["phi3"] == pytest.approx(phi[3][3], abs=1e-6)
+
+
+def test_dunn_test_brute(spark):
+    from hiselspark.operators.rankstats import dunn_test
+    rng = np.random.RandomState(79)
+    rows = []
+    for g, shift in (("a", 0), ("b", 15), ("c", 40)):
+        for v in rng.randint(0, 60, 120) + shift:
+            rows.append((g, int(v)))
+    df = _rows(spark, ["g", "v"], rows)
+    out = {(r["g_a"], r["g_b"]): r
+           for r in dunn_test(df, "g", "v").collect()}
+    # brute: pooled average ranks with ties + KW tie correction
+    import collections
+    vals = [v for _, v in rows]
+    n = len(vals)
+    cnt = collections.Counter(vals)
+    base_rank = {}
+    below = 0
+    tc = 0
+    for v in sorted(cnt):
+        t = cnt[v]
+        base_rank[v] = below + (t + 1) / 2
+        below += t
+        tc += t ** 3 - t
+    sums = collections.defaultdict(float)
+    ns = collections.defaultdict(int)
+    for g, v in rows:
+        sums[g] += base_rank[v]
+        ns[g] += 1
+    var_c = n * (n + 1) / 12 - tc / (12 * (n - 1))
+    for (ga, gb) in (("a", "b"), ("a", "c"), ("b", "c")):
+        mra = sums[ga] / ns[ga]
+        mrb = sums[gb] / ns[gb]
+        z = (mra - mrb) / math.sqrt(
+            var_c * (1 / ns[ga] + 1 / ns[gb]))
+        r = out[(ga, gb)]
+        assert r["mean_rank_a"] == pytest.approx(mra, rel=1e-12)
+        assert r["z"] == pytest.approx(z, rel=1e-9)
+    # the shifted groups are significantly different
+    assert abs(out[("a", "c")]["z"]) > 5
+    assert out[("a", "c")]["p_value"] < 1e-6
+
+
+def test_seq_pairs_crafted(spark):
+    from hiselspark.operators.hmm import seq_pair_support
+    # user 1: A @1, B @2   user 2: B @1, A @2   user 3: A only
+    rows = [(1, "2024-01-01 00:00:01", 1, "A"),
+            (1, "2024-01-01 00:00:02", 2, "B"),
+            (2, "2024-01-01 00:00:01", 3, "B"),
+            (2, "2024-01-01 00:00:02", 4, "A"),
+            (3, "2024-01-01 00:00:01", 5, "A")]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id",
+                                      "event_type"])
+    out = {(r["state_a"], r["state_b"]): r
+           for r in seq_pair_support(df, "user_id", "ts", "event_id",
+                                     "event_type").collect()}
+    assert out[("A", "B")]["n_both"] == 2
+    assert out[("A", "B")]["n_a_first"] == 1
+    assert out[("A", "B")]["support"] == pytest.approx(0.5)
+    assert out[("B", "A")]["n_a_first"] == 1
+
+
+def test_burrows_delta_outlier(spark):
+    from hiselspark.functions.text import burrows_delta
+    rng = np.random.RandomState(83)
+    words = ["the", "a", "of", "to", "and"]
+    docs = []
+    for d in range(30):
+        toks = [words[rng.randint(0, 5)] for _ in range(100)]
+        docs.append((d, " ".join(toks)))
+    # doc 30: radically different style (one word only)
+    docs.append((30, " ".join(["zebra"] * 100)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r["delta"]
+           for r in burrows_delta(df, "doc_id", "text",
+                                  top_v=5).collect()}
+    typical = np.median([out[d] for d in range(30)])
+    assert out[30] > 3 * typical      # the stylistic outlier stands out
