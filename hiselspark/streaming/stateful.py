@@ -477,3 +477,103 @@ def stream_sprt(
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
             ))
+
+
+_HW_OUT = T.StructType([
+    T.StructField("entity", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("level", T.DoubleType()),
+    T.StructField("trend", T.DoubleType()),
+    T.StructField("s_next", T.DoubleType()),
+])
+
+_HW_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("l", T.DoubleType()),
+    T.StructField("b", T.DoubleType()),
+    T.StructField("s1", T.DoubleType()),
+    T.StructField("s2", T.DoubleType()),
+    T.StructField("s3", T.DoubleType()),
+    T.StructField("s4", T.DoubleType()),
+])
+
+
+def stream_holt_winters(
+    events: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "cents",
+    order_col: str = "event_id",
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`operators.tsprofile.holt_winters_additive` (period 4) —
+    per-entity (n, l, b, s1..s4) carried across micro-batches in O(1)
+    floats.  The first 4 observations initialize EXACTLY like the
+    batch operator (l = left-assoc mean, b = 0, s_i = x_i − l); the
+    warm-up values are carried IN the seasonal slots until the 4th
+    arrives (s1..sk hold the raw x's, l encodes how many are banked
+    via n < 4 — no extra state fields).  From row 5 on, each step is
+    the batch fold's float op order with the rotating seasonal
+    shift.  Entities still inside warm-up emit NULL level/trend.
+    Drained with AvailableNow, the final per-entity row equals the
+    batch operator (SQL oracle contract).  Emits one row per touched
+    entity per micro-batch (update mode)."""
+    a = float(alpha)
+    bt = float(beta)
+    g = float(gamma)
+
+    def update(key: Tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, lvl, b, s1, s2, s3, s4 = state.get
+        else:
+            n, lvl, b, s1, s2, s3, s4 = 0, None, None, None, None, \
+                None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col, order_col])
+            for x in pdf[value_col].astype(float):
+                n += 1
+                if n <= 4:
+                    # bank the warm-up values in the seasonal slots
+                    if n == 1:
+                        s1 = float(x)
+                    elif n == 2:
+                        s2 = float(x)
+                    elif n == 3:
+                        s3 = float(x)
+                    else:
+                        s4 = float(x)
+                        lvl = (s1 + s2 + s3 + s4) / 4.0
+                        b = 0.0
+                        s1, s2, s3, s4 = (s1 - lvl, s2 - lvl,
+                                          s3 - lvl, s4 - lvl)
+                    continue
+                new_l = a * (x - s1) + (1.0 - a) * (lvl + b)
+                new_b = bt * (new_l - lvl) + (1.0 - bt) * b
+                new_s = g * (x - new_l) + (1.0 - g) * s1
+                lvl, b = new_l, new_b
+                s1, s2, s3, s4 = s2, s3, s4, new_s
+        state.update((n, lvl, b, s1, s2, s3, s4))
+        ready = n >= 4
+        yield pd.DataFrame({
+            "entity": [key[0]],
+            "n_events": [n],
+            "level": [lvl if ready else None],
+            "trend": [b if ready else None],
+            "s_next": [s1 if ready else None],
+        })
+
+    return (events
+            .groupBy(entity_col)
+            .applyInPandasWithState(
+                update,
+                outputStructType=_HW_OUT,
+                stateStructType=_HW_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            ))
