@@ -782,3 +782,46 @@ def hill_tail(df: DataFrame, value_col: str, k: int = 100) -> DataFrame:
         F.col("n_tot").cast("long").alias("n"),
         F.col("n_dropped").cast("long").alias("n_dropped"),
         "x_min", "n_tail", "alpha")
+
+
+def boxplot_profile(df: DataFrame, group_col: str, value_col: str,
+                    whisker: float = 1.5) -> DataFrame:
+    """Tukey boxplot table per group — the five-number + fence
+    summary every distribution dashboard starts from:
+
+        q1/med/q3 by the exact interpolated q·(n−1) rule (Spark
+        ``percentile`` ≡ DuckDB ``quantile_cont``, the engine's
+        established identity), iqr = q3 − q1, fences q1 ∓ w·iqr /
+        q3 ± w·iqr, and EXACT outlier counts below/above the fences
+        (integer values compared to the identical fence doubles in
+        both engines).
+
+    Two aggregations: the quantile pass, then fence counts with the
+    tiny quantile table broadcast back.  Returns one row per group:
+    (group, n, q1, med, q3, iqr, lo_fence, hi_fence, n_low, n_high).
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(group_col).alias("g"), v.alias("v"))
+    qs = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.5)").alias("med"),
+        F.expr("percentile(v, 0.75)").alias("q3"))
+    wl = F.lit(float(whisker))
+    qs = (qs.withColumn("iqr", F.col("q3") - F.col("q1"))
+          .withColumn("lo_fence", F.col("q1") - wl * F.col("iqr"))
+          .withColumn("hi_fence", F.col("q3") + wl * F.col("iqr")))
+    j = base.join(F.broadcast(qs.select(
+        "g", "lo_fence", "hi_fence")), "g")
+    cnts = j.groupBy("g").agg(
+        F.sum((F.col("v").cast("double") < F.col("lo_fence"))
+              .cast("long")).alias("n_low"),
+        F.sum((F.col("v").cast("double") > F.col("hi_fence"))
+              .cast("long")).alias("n_high"))
+    out = qs.join(cnts, "g")
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        "q1", "med", "q3", "iqr", "lo_fence", "hi_fence",
+        F.col("n_low").cast("long").alias("n_low"),
+        F.col("n_high").cast("long").alias("n_high"))

@@ -708,3 +708,41 @@ def test_burrows_delta_outlier(spark):
                                   top_v=5).collect()}
     typical = np.median([out[d] for d in range(30)])
     assert out[30] > 3 * typical      # the stylistic outlier stands out
+
+
+def test_rmst_brute(spark):
+    from hiselspark.operators.survival import rmst
+    # crafted cohort: events at t=2 (2 of 4), censor at 5, event at 8
+    rows = [("c", 2, 1), ("c", 2, 1), ("c", 5, 0), ("c", 8, 1)]
+    df = spark.createDataFrame(rows, ["g", "d", "e"])
+    row = rmst(df, "g", "d", "e", tau=10).collect()[0]
+    # KM: S(2+)=0.5, S(5+)=0.5, S(8+)=0
+    # RMST = 1*2 + 0.5*(5-2) + 0.5*(8-5) + 0*(10-8) = 5.0
+    assert row["rmst"] == pytest.approx(5.0)
+    assert row["n_subjects"] == 4
+    # truncation: tau inside the curve
+    row2 = rmst(df, "g", "d", "e", tau=4).collect()[0]
+    assert row2["rmst"] == pytest.approx(1 * 2 + 0.5 * 2)
+    # no events: S = 1 through tau -> RMST = tau
+    dfn = spark.createDataFrame([("g", 3, 0), ("g", 7, 0)],
+                                ["g", "d", "e"])
+    rn = rmst(dfn, "g", "d", "e", tau=6).collect()[0]
+    assert rn["rmst"] == pytest.approx(6.0)
+
+
+def test_boxplot_brute(spark):
+    from hiselspark.operators.profile import boxplot_profile
+    rng = np.random.RandomState(89)
+    v = np.concatenate([rng.randint(0, 100, 200),
+                        np.array([5000, 6000])])   # planted outliers
+    rows = [("a", int(x)) for x in v]
+    df = _rows(spark, ["g", "v"], rows)
+    row = boxplot_profile(df, "g", "v").collect()[0]
+    q1, med, q3 = np.percentile(v, [25, 50, 75])
+    assert row["q1"] == pytest.approx(q1)
+    assert row["med"] == pytest.approx(med)
+    assert row["q3"] == pytest.approx(q3)
+    iqr = q3 - q1
+    assert row["n_high"] == int((v > q3 + 1.5 * iqr).sum())
+    assert row["n_low"] == int((v < q1 - 1.5 * iqr).sum())
+    assert row["n_high"] >= 2          # the planted outliers flagged
