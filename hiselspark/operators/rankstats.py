@@ -927,24 +927,26 @@ def goodman_kruskal(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                      F.col("c").alias("ca"))
     b = cells.select(F.col("x").alias("xb"), F.col("y").alias("yb"),
                      F.col("c").alias("cb"))
-    cd = (a.join(b, F.col("xa") < F.col("xb"))
+    # bounded cell table -> broadcast one side of the pair join (no
+    # join shuffle); the three cells branches below are identical
+    # subtrees AQE deduplicates via ReusedExchange at runtime
+    cd = (a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
           .agg(F.sum(F.when(F.col("ya") < F.col("yb"),
                             F.col("ca") * F.col("cb")).otherwise(0))
                .alias("conc"),
                F.sum(F.when(F.col("ya") > F.col("yb"),
                             F.col("ca") * F.col("cb")).otherwise(0))
                .alias("disc")))
-    # per-x modal y count and the y-marginal mode (and symmetric)
-    mx = (cells.groupBy("x").agg(F.max("c").alias("mx"))
-          .agg(F.sum("mx").alias("sum_mx")))
-    my = (cells.groupBy("y").agg(F.max("c").alias("my"))
-          .agg(F.sum("my").alias("sum_my")))
-    margx = (cells.groupBy("x").agg(F.sum("c").alias("cx"))
-             .agg(F.max("cx").alias("mode_x"), F.sum("cx").alias("n")))
-    margy = (cells.groupBy("y").agg(F.sum("c").alias("cy"))
-             .agg(F.max("cy").alias("mode_y")))
-    s = (cd.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
-         .crossJoin(F.broadcast(margx)).crossJoin(F.broadcast(margy)))
+    # per-x marginal total + modal count in ONE regroup (same for y)
+    mx = (cells.groupBy("x").agg(F.sum("c").alias("cx"),
+                                 F.max("c").alias("mx"))
+          .agg(F.sum("mx").alias("sum_mx"),
+               F.max("cx").alias("mode_x"), F.sum("cx").alias("n")))
+    my = (cells.groupBy("y").agg(F.sum("c").alias("cy"),
+                                 F.max("c").alias("my"))
+          .agg(F.sum("my").alias("sum_my"),
+               F.max("cy").alias("mode_y")))
+    s = cd.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
 
     def dd(c):
         return F.col(c).cast("double")

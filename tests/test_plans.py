@@ -743,3 +743,53 @@ def test_round4c_no_cartesian_anywhere(spark):
     # kendall_tau contract; what matters is that BOTH join inputs
     # are pre-join aggregates, so raw rows never pair up
     assert txt.count("HashAggregate") >= 4
+
+
+def test_round4d_session2_plan_shapes(spark):
+    """Plan assertions for the second-session operator families:
+    variance_ratio/cusumsq/pacf ride ONE entity exchange; hurst's
+    ×4 size explode still costs one exchange per clustering change
+    (entity, then (entity,size,blk) — bounded at 3); the one-row
+    statistics (mantel_haenszel, aipw, cvm, goodman_kruskal) never
+    shuffle more than their count table."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [("u%d" % (i % 4), base + dt.timedelta(minutes=i), i,
+             i % 17, i % 2, i % 5) for i in range(400)]
+    df = spark.createDataFrame(
+        rows, "e string, ts timestamp, o long, v long, t long,"
+        " s long")
+    from hiselspark.operators.tsprofile import (hurst_rs, pacf3,
+                                                variance_ratio)
+    assert n_exchanges(variance_ratio(df, "e", "ts", "o", "v")) == 1
+    assert n_exchanges(pacf3(df, "e", "ts", "o", "v")) == 1
+    from hiselspark.operators.windows import cusumsq
+    assert n_exchanges(cusumsq(df, "e", "ts", "o", "v")) == 1
+    # hurst: entity ranking + (entity,size,blk) windows + per-size +
+    # per-entity regroups + the row-count join — bounded small count
+    h = hurst_rs(df, "e", "ts", "o", "v", sizes=(8, 16))
+    assert n_exchanges(h) <= 6, plan_str(h, "simple")
+    from hiselspark.operators.causal import (aipw_estimate,
+                                             mantel_haenszel)
+    from hiselspark.operators.drift import cramer_von_mises
+    from hiselspark.operators.rankstats import goodman_kruskal
+    assert n_exchanges(mantel_haenszel(df, "s", "t", "v")) <= 2
+    assert n_exchanges(aipw_estimate(df, "s", "t", "v")) <= 2
+    assert n_exchanges(
+        cramer_von_mises(df, "e", "v", "u0", "u1")) <= 2
+    # 3 cells branches (AQE-reused identical subtrees) + 2 regroups
+    assert n_exchanges(goodman_kruskal(df, "t", "s")) <= 6
+
+
+def test_round4d_burrows_vocab_is_topk_not_sort(spark):
+    """burrows_delta's top-V vocabulary cut must plan as
+    TakeOrderedAndProject (bounded top-k merge), never a global
+    Sort — the property that keeps it safe on an unbounded corpus
+    vocabulary."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h " * 5) for i in range(20)],
+        ["doc_id", "text"])
+    from hiselspark.functions.text import burrows_delta
+    txt = plan_str(burrows_delta(docs, "doc_id", "text", top_v=5),
+                   "simple")
+    assert "TakeOrderedAndProject" in txt
