@@ -1032,7 +1032,7 @@ def dunn_test(df: DataFrame, group_col: str,
                      F.col("r2sum").alias("ra"))
     b = per_g.select(F.col("g").alias("gb"), F.col("n").alias("nb"),
                      F.col("r2sum").alias("rb"))
-    pairs = (a.join(b, F.col("ga") < F.col("gb"))
+    pairs = (a.join(F.broadcast(b), F.col("ga") < F.col("gb"))
              .crossJoin(F.broadcast(tot)))
 
     def dd(c):
