@@ -244,3 +244,80 @@ def cooks_distance(df: DataFrame, id_col: str, x_col: str,
         F.when(ok, h).alias("leverage"),
         F.when(ok, d_i).alias("cooks_d"),
         F.when(ok, d_i > 4.0 / n).alias("influential"))
+
+
+def linear_shap3(df: DataFrame, id_col: str, x1_col: str, x2_col: str,
+                 x3_col: str, y_col: str) -> DataFrame:
+    """Exact closed-form Shapley attributions for a THREE-feature OLS
+    — the 3×3 completion of :func:`linear_shap` (Lundberg & Lee 2017:
+    for a linear model on independently-attributed features the
+    Shapley value of feature j at row i is exactly
+    ``β_j·(x_ij − x̄_j)``):
+
+    the centered normal equations  A β = c  with
+    ``a_jk = Σx_j x_k − Σx_j Σx_k / n`` (doubles from ONE aggregate
+    of exact int64 moments) are solved by CRAMER — four explicit 3×3
+    determinants written as fixed expression trees the oracle
+    mirrors term-for-term; each attribution is then a map-only
+    per-row expression, no join wider than the broadcast of the
+    10-moment row.  Efficiency property Σφ + baseline = prediction
+    and mean(prediction) = ȳ are pytest-asserted.  Degenerate
+    designs (det = 0 or n < 5) yield NULL attributions.  Returns one
+    row per input row: (id, contrib_x1, contrib_x2, contrib_x3,
+    baseline, prediction)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(x1_col).cast("long").alias("x1"),
+                     F.col(x2_col).cast("long").alias("x2"),
+                     F.col(x3_col).cast("long").alias("x3"),
+                     F.col(y_col).cast("long").alias("y"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    cols = ["x1", "x2", "x3", "y"]
+    for i, a in enumerate(cols):
+        aggs.append(F.sum(a).alias(f"s_{a}"))
+        for b in cols[i:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"s_{a}{b}"))
+    stats = base.agg(*aggs)
+    j = base.crossJoin(F.broadcast(stats))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    nd = dd("n")
+
+    def cc(a, b):
+        # centered cross moment, the cooks_distance convention
+        key = f"s_{a}{b}" if f"s_{a}{b}" in stats.columns \
+            else f"s_{b}{a}"
+        return dd(key) - dd(f"s_{a}") * dd(f"s_{b}") / nd
+
+    c11, c12, c13 = cc("x1", "x1"), cc("x1", "x2"), cc("x1", "x3")
+    c22, c23, c33 = cc("x2", "x2"), cc("x2", "x3"), cc("x3", "x3")
+    c1y, c2y, c3y = cc("x1", "y"), cc("x2", "y"), cc("x3", "y")
+    det = (c11 * (c22 * c33 - c23 * c23)
+           - c12 * (c12 * c33 - c23 * c13)
+           + c13 * (c12 * c23 - c22 * c13))
+    det1 = (c1y * (c22 * c33 - c23 * c23)
+            - c12 * (c2y * c33 - c23 * c3y)
+            + c13 * (c2y * c23 - c22 * c3y))
+    det2 = (c11 * (c2y * c33 - c3y * c23)
+            - c1y * (c12 * c33 - c23 * c13)
+            + c13 * (c12 * c3y - c2y * c13))
+    det3 = (c11 * (c22 * c3y - c23 * c2y)
+            - c12 * (c12 * c3y - c2y * c13)
+            + c1y * (c12 * c23 - c22 * c13))
+    b1, b2, b3 = det1 / det, det2 / det, det3 / det
+    m1 = dd("s_x1") / nd
+    m2 = dd("s_x2") / nd
+    m3 = dd("s_x3") / nd
+    my = dd("s_y") / nd
+    p1 = b1 * (dd("x1") - m1)
+    p2 = b2 * (dd("x2") - m2)
+    p3 = b3 * (dd("x3") - m3)
+    ok = (F.col("n") >= 5) & (det != 0.0)
+    return j.select(
+        "id",
+        F.when(ok, p1).alias("contrib_x1"),
+        F.when(ok, p2).alias("contrib_x2"),
+        F.when(ok, p3).alias("contrib_x3"),
+        F.when(ok, my).alias("baseline"),
+        F.when(ok, my + p1 + p2 + p3).alias("prediction"))

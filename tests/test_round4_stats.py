@@ -746,3 +746,35 @@ def test_boxplot_brute(spark):
     assert row["n_high"] == int((v > q3 + 1.5 * iqr).sum())
     assert row["n_low"] == int((v < q1 - 1.5 * iqr).sum())
     assert row["n_high"] >= 2          # the planted outliers flagged
+
+
+def test_linear_shap3_recovers_coefficients(spark):
+    from hiselspark.operators.regress import linear_shap3
+    rng = np.random.RandomState(97)
+    n = 400
+    x1 = rng.randint(0, 50, n)
+    x2 = rng.randint(0, 30, n)
+    x3 = rng.randint(0, 24, n)
+    y = 3 * x1 + 2 * x2 - x3 + rng.randint(0, 5, n)
+    rows = [(i, int(x1[i]), int(x2[i]), int(x3[i]), int(y[i]))
+            for i in range(n)]
+    df = _rows(spark, ["id", "x1", "x2", "x3", "y"], rows)
+    out = linear_shap3(df, "id", "x1", "x2", "x3", "y").collect()
+    # efficiency: mean prediction equals the baseline mean of y
+    preds = np.array([r["prediction"] for r in out])
+    assert preds.mean() == pytest.approx(y.mean(), rel=1e-9)
+    # attribution slopes recover the planted coefficients: regress
+    # contrib_x1 on (x1 - mean) -> slope 3 etc.
+    c1 = np.array([r["contrib_x1"] for r in out])
+    xc = x1 - x1.mean()
+    slope = (c1 * xc).sum() / (xc * xc).sum()
+    assert slope == pytest.approx(3.0, abs=0.05)
+    # numpy lstsq cross-check of all three betas
+    A = np.stack([np.ones(n), x1, x2, x3], 1).astype(float)
+    beta = np.linalg.lstsq(A, y.astype(float), rcond=None)[0]
+    c2 = np.array([r["contrib_x2"] for r in out])
+    c3 = np.array([r["contrib_x3"] for r in out])
+    s2 = (c2 * (x2 - x2.mean())).sum() / (((x2 - x2.mean()) ** 2).sum())
+    s3 = (c3 * (x3 - x3.mean())).sum() / (((x3 - x3.mean()) ** 2).sum())
+    assert s2 == pytest.approx(beta[2], rel=1e-6)
+    assert s3 == pytest.approx(beta[3], rel=1e-6)
