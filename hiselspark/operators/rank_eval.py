@@ -299,3 +299,88 @@ def err_rbp(
                  .cast("double")).otherwise(F.lit(0.0)))
     return with_p.select(
         "query", "n_docs", err.alias("err"), rbp.alias("rbp"))
+
+
+def bradley_terry(
+    df: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    iterations: int = 5,
+    scale: int = 1_000_000_000,
+    term_scale: int = 10 ** 14,
+) -> DataFrame:
+    """Bradley–Terry strength ratings from pairwise outcomes (the
+    preference-arena model: P(i beats j) = p_i/(p_i+p_j)) fitted by
+    Hunter's (2004) MM iteration in FIXED-POINT INTEGER arithmetic —
+    the :func:`..graph.pagerank`/`hits` oracle discipline applied to
+    the model behind every "which caption/answer wins" preference
+    dataset:
+
+        D_i  = Σ_j (c_ij · S) DIV max(p_i + p_j, 1)
+        raw_i = (W_i · S) DIV max(D_i, 1)
+        p'_i  = raw_i DIV max(Σraw DIV (k·scale), 1)   (L1 renorm)
+
+    with c_ij the games played, W_i the wins, and every step a BIGINT
+    join + sum — bit-identical across partitionings and engines; the
+    oracle unrolls the same iterations as MATERIALIZED CTEs (the
+    rating table is referenced twice per round — once per side of the
+    pair join — which would inline exponentially otherwise).
+    Per-round ``localCheckpoint`` truncates the doubling lineage (the
+    kcore/label_prop lesson).  Overflow bounds: c·S and W·S must fit
+    int64 — with S = 1e14 that is ~9·10⁴ games per pair/wins per
+    player; lower S for heavier arenas.  Players in no decided game
+    are absent.  Returns (player, rating, wins, games)."""
+    s = int(term_scale)
+    k_scale = int(scale)
+    w = (df.groupBy(F.col(winner_col).alias("i"),
+                    F.col(loser_col).alias("j"))
+         .agg(F.count(F.lit(1)).alias("w")))
+    games = (w.select("i", "j", "w")
+             .unionAll(w.select(F.col("j").alias("i"),
+                                F.col("i").alias("j"),
+                                F.lit(0).cast("long").alias("w")))
+             .groupBy("i", "j")
+             .agg(F.sum("w").alias("wij")))
+    sym = (games.alias("a")
+           .join(games.alias("b"),
+                 (F.col("a.i") == F.col("b.j"))
+                 & (F.col("a.j") == F.col("b.i")))
+           .select(F.col("a.i").alias("i"), F.col("a.j").alias("j"),
+                   (F.col("a.wij") + F.col("b.wij")).alias("c")))
+    wins = games.groupBy("i").agg(F.sum("wij").alias("wins"),
+                                  F.count(F.lit(1)).alias("deg"))
+    tot_games = sym.groupBy("i").agg(F.sum("c").alias("games"))
+    players = wins.join(tot_games, "i").select(
+        "i", "wins", "games")
+    ratings = players.select(
+        "i", F.lit(k_scale).cast("long").alias("p"))
+    for _ in range(int(iterations)):
+        pi = ratings.select(F.col("i").alias("pi_i"),
+                            F.col("p").alias("p_i"))
+        pj = ratings.select(F.col("i").alias("pj_i"),
+                            F.col("p").alias("p_j"))
+        d = (sym.join(pi, sym.i == F.col("pi_i"))
+                .join(pj, sym.j == F.col("pj_i"))
+                .select("i",
+                        F.expr(f"(c * {s}L) DIV "
+                               f"greatest(p_i + p_j, 1L)")
+                        .alias("t"))
+                .groupBy("i").agg(F.sum("t").alias("d")))
+        raw = (players.join(d, "i")
+               .select("i",
+                       F.expr(f"(wins * {s}L) DIV greatest(d, 1L)")
+                       .alias("raw")))
+        raw = raw.withColumn(
+            "tot", F.sum("raw").over(
+                Window.partitionBy()))
+        raw = raw.withColumn(
+            "k", F.count(F.lit(1)).over(Window.partitionBy()))
+        ratings = raw.select(
+            "i",
+            F.expr(f"raw DIV greatest(tot DIV (k * {k_scale}L), 1L)")
+            .alias("p")).localCheckpoint()
+    return (players.join(ratings, "i")
+            .select(F.col("i").alias("player"),
+                    F.col("p").cast("long").alias("rating"),
+                    F.col("wins").cast("long").alias("wins"),
+                    F.col("games").cast("long").alias("games")))

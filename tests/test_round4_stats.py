@@ -778,3 +778,31 @@ def test_linear_shap3_recovers_coefficients(spark):
     s3 = (c3 * (x3 - x3.mean())).sum() / (((x3 - x3.mean()) ** 2).sum())
     assert s2 == pytest.approx(beta[2], rel=1e-6)
     assert s3 == pytest.approx(beta[3], rel=1e-6)
+
+
+def test_bradley_terry_recovers_strengths(spark):
+    import random
+    from hiselspark.operators.rank_eval import bradley_terry
+    random.seed(5)
+    true = {"a": 8.0, "b": 4.0, "c": 2.0, "d": 1.0}
+    rows = []
+    for _ in range(2000):
+        i, j = random.sample(list(true), 2)
+        p = true[i] / (true[i] + true[j])
+        rows.append((i, j) if random.random() < p else (j, i))
+    df = spark.createDataFrame(rows, ["w", "l"])
+    out = {r["player"]: r for r in bradley_terry(df, "w", "l")
+           .collect()}
+    # ranking recovers the planted strength order
+    assert (out["a"]["rating"] > out["b"]["rating"]
+            > out["c"]["rating"] > out["d"]["rating"])
+    # ratio a/d is in the right ballpark of the true 8x
+    assert 4.0 < out["a"]["rating"] / out["d"]["rating"] < 16.0
+    # ratings renormalize to ~k*scale total (the integer L1 renorm
+    # divisor is floored, so the total can overshoot by up to the
+    # divisor's quantization — same contract as graph.hits)
+    tot = sum(r["rating"] for r in out.values())
+    assert 0.5 * 4e9 < tot < 2.0 * 4e9
+    # wins/games accounting is exact
+    assert sum(r["wins"] for r in out.values()) == 2000
+    assert sum(r["games"] for r in out.values()) == 4000
