@@ -321,3 +321,104 @@ def linear_shap3(df: DataFrame, id_col: str, x1_col: str, x2_col: str,
         F.when(ok, p3).alias("contrib_x3"),
         F.when(ok, my).alias("baseline"),
         F.when(ok, my + p1 + p2 + p3).alias("prediction"))
+
+
+def ransac_line(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    n_candidates: int = 32,
+    tol: int = 50,
+    seed: int = 1117,
+) -> DataFrame:
+    """RANSAC line fit (Fischler & Bolles 1981) with a 100%-EXACT
+    decision path — the high-breakdown robust-regression companion of
+    :func:`..tsprofile.theil_sen` (survives >50% structured outliers
+    where Theil–Sen's 29% breakdown fails):
+
+    * candidate pairs are the argmin points of 2k Carter-Wegman
+      hashes h_t(id) = ((id mod M31)·a_t + c_t) mod M31 — literals
+      shared with the oracle, the argmins taken as 2k struct-mins in
+      ONE aggregate pass (no global sort, no RNG stream — the
+      engine's deterministic-sampling convention);
+    * each candidate's inlier test is the cross-multiplied EXACT
+      integer comparison |(y−ya)(xb−xa) − (yb−ya)(x−xa)| ≤
+      tol·|xb−xa| — no float residual anywhere;
+    * the winner is (n_inliers DESC, t ASC) — a total order.
+
+    Degenerate candidates (coincident points or vertical pair,
+    xa = xb) are dropped AND counted.  The only floats in the output
+    are the final slope and inlier-rate divisions.  Plan: one
+    aggregate pass + a k-row broadcast against the points + one
+    bounded regroup.  Bounds: |y−ya|·|xb−xa| must fit int64
+    (|Δ|² ≤ 9·10¹⁸).  Returns ONE row: (t_best, xa, ya, xb, yb,
+    n_points, n_valid_candidates, n_degenerate, n_inliers,
+    inlier_rate, slope)."""
+    from .bootstrap import _M31, cw_constants
+    k = int(n_candidates)
+    cw = cw_constants(2 * k, int(seed))
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+
+    def h(t):
+        a, c = cw[t]
+        return F.pmod(F.pmod(F.col("id"), F.lit(_M31)) * F.lit(a)
+                      + F.lit(c), F.lit(_M31))
+
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for t in range(k):
+        aggs.append(F.min(F.struct(
+            h(t).alias("h"), F.col("id").alias("id"),
+            F.col("x").alias("x"), F.col("y").alias("y")))
+            .alias(f"pa{t}"))
+        aggs.append(F.min(F.struct(
+            h(k + t).alias("h"), F.col("id").alias("id"),
+            F.col("x").alias("x"), F.col("y").alias("y")))
+            .alias(f"pb{t}"))
+    sel = base.agg(*aggs)
+    cands = sel.select(
+        "n_points",
+        F.explode(F.array(*[F.struct(
+            F.lit(t).cast("long").alias("t"),
+            F.col(f"pa{t}.x").alias("xa"),
+            F.col(f"pa{t}.y").alias("ya"),
+            F.col(f"pb{t}.x").alias("xb"),
+            F.col(f"pb{t}.y").alias("yb"))
+            for t in range(k)])).alias("c")) \
+        .select("n_points", "c.*")
+    valid = cands.filter(F.col("xa") != F.col("xb"))
+    n_valid = valid.groupBy().agg(
+        F.count(F.lit(1)).alias("n_valid_candidates"))
+    j = base.crossJoin(F.broadcast(valid))
+    resid = F.abs((F.col("y") - F.col("ya"))
+                  * (F.col("xb") - F.col("xa"))
+                  - (F.col("yb") - F.col("ya"))
+                  * (F.col("x") - F.col("xa")))
+    inlier = (resid <= F.lit(int(tol))
+              * F.abs(F.col("xb") - F.col("xa")))
+    per = (j.groupBy("t", "xa", "ya", "xb", "yb", "n_points")
+           .agg(F.sum(inlier.cast("long")).alias("n_inliers")))
+    best = per.groupBy().agg(F.max(F.struct(
+        F.col("n_inliers").alias("ni"),
+        (-F.col("t")).alias("negt"),
+        F.col("xa").alias("xa"), F.col("ya").alias("ya"),
+        F.col("xb").alias("xb"), F.col("yb").alias("yb"),
+        F.col("n_points").alias("np"))).alias("b"))
+    b = F.col("b")
+    out = best.crossJoin(F.broadcast(n_valid))
+    return out.select(
+        (-b["negt"]).cast("long").alias("t_best"),
+        b["xa"].alias("xa"), b["ya"].alias("ya"),
+        b["xb"].alias("xb"), b["yb"].alias("yb"),
+        b["np"].cast("long").alias("n_points"),
+        F.col("n_valid_candidates").cast("long")
+        .alias("n_valid_candidates"),
+        (F.lit(k) - F.col("n_valid_candidates")).cast("long")
+        .alias("n_degenerate"),
+        b["ni"].cast("long").alias("n_inliers"),
+        (b["ni"].cast("double") / b["np"].cast("double"))
+        .alias("inlier_rate"),
+        ((b["yb"] - b["ya"]).cast("double")
+         / (b["xb"] - b["xa"]).cast("double")).alias("slope"))

@@ -806,3 +806,27 @@ def test_bradley_terry_recovers_strengths(spark):
     # wins/games accounting is exact
     assert sum(r["wins"] for r in out.values()) == 2000
     assert sum(r["games"] for r in out.values()) == 4000
+
+
+def test_ransac_survives_majority_structured_outliers(spark):
+    from hiselspark.operators.regress import ransac_line
+    rng = np.random.RandomState(101)
+    n = 1000
+    x = rng.randint(0, 200, n)
+    y = 5 * x + 20 + rng.randint(-10, 11, n)
+    # 40% structured outliers on a DIFFERENT line (Theil-Sen's 29%
+    # breakdown point would already be in trouble)
+    out_mask = rng.rand(n) < 0.4
+    y[out_mask] = (-2 * x[out_mask] + 900
+                   + rng.randint(-10, 11, out_mask.sum()))
+    rows = [(i, int(x[i]), int(y[i])) for i in range(n)]
+    df = _rows(spark, ["id", "x", "y"], rows)
+    row = ransac_line(df, "id", "x", "y", n_candidates=32,
+                      tol=30).collect()[0]
+    assert row["slope"] == pytest.approx(5.0, abs=0.3)
+    assert row["n_inliers"] > 0.5 * n
+    # exact inlier recount for the winning candidate
+    xa, ya, xb, yb = row["xa"], row["ya"], row["xb"], row["yb"]
+    resid = np.abs((y - ya) * (xb - xa) - (yb - ya) * (x - xa))
+    assert row["n_inliers"] == int(
+        (resid <= 30 * abs(xb - xa)).sum())
