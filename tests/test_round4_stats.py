@@ -830,3 +830,31 @@ def test_ransac_survives_majority_structured_outliers(spark):
     resid = np.abs((y - ya) * (xb - xa) - (yb - ya) * (x - xa))
     assert row["n_inliers"] == int(
         (resid <= 30 * abs(xb - xa)).sum())
+
+
+def test_win_ratio_brute(spark):
+    from hiselspark.operators.survival import win_ratio
+    rng = np.random.RandomState(103)
+    rows = []
+    for arm, shift in ((1, 4), (0, 0)):
+        for _ in range(120):
+            d = int(rng.randint(1, 20)) + shift
+            e = int(rng.rand() < 0.7)
+            rows.append((arm, d, e))
+    df = _rows(spark, ["t", "d", "e"], rows)
+    row = win_ratio(df, "t", "d", "e").collect()[0]
+    tr = [(d, e) for t, d, e in rows if t == 1]
+    co = [(d, e) for t, d, e in rows if t == 0]
+    w = l = ti = 0
+    for da, ea in tr:
+        for db, eb in co:
+            if db < da and eb == 1:
+                w += 1
+            elif da < db and ea == 1:
+                l += 1
+            else:
+                ti += 1
+    assert (row["wins"], row["losses"], row["ties"]) == (w, l, ti)
+    assert row["win_ratio"] == pytest.approx(w / l, rel=1e-12)
+    # the shifted (longer-surviving) treated arm wins more
+    assert row["win_ratio"] > 1.5
