@@ -590,3 +590,104 @@ def aipw_estimate(
         F.when(ok_any, mu1).alias("mu1"),
         F.when(ok_any, mu0).alias("mu0"),
         F.when(ok_any, mu1 - mu0 + corr / nu).alias("ate_aipw"))
+
+
+def breslow_day(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Breslow–Day homogeneity test (Breslow & Day 1980 §IV.4) — the
+    companion question to :func:`mantel_haenszel`: is the odds ratio
+    actually CONSTANT across strata (if not, the pooled OR is the
+    wrong summary)?  Under the common OR ψ = OR_MH the expected
+    a-cell per stratum solves the quadratic
+
+        (1−ψ)·â² + [(n−r1−c1) + ψ(r1+c1)]·â − ψ·r1·c1 = 0
+
+    (the root inside [max(0, r1+c1−n), min(r1, c1)] — both roots are
+    evaluated and the valid one selected by the identical float
+    comparisons in either engine; ψ = 1 degenerates to the linear
+    â = r1·c1/n), with variance V = 1/(1/â + 1/b̂ + 1/ĉ + 1/d̂) and
+
+        χ²_BD = Σ_s (a_s − â_s)² / V_s,   df = (#used strata) − 1
+
+    Strata with any zero margin (the expected cells degenerate) are
+    dropped AND counted, the module convention.  All cells exact
+    int64; ψ comes from the same ascending-stratum folds as
+    mantel_haenszel and every per-stratum float term folds in the
+    same order.  Returns one row: (n, n_used_strata, n_dropped_rows,
+    or_mh, chi2_bd, df)."""
+    base = df.select(
+        F.col(stratum_col).cast("long").alias("s"),
+        F.col(treat_col).cast("long").alias("t"),
+        F.col(outcome_col).cast("long").alias("y"))
+    per_s = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.col("t") * F.col("y")).alias("a"),
+        F.sum(F.col("t") * (1 - F.col("y"))).alias("b"),
+        F.sum((1 - F.col("t")) * F.col("y")).alias("c"),
+        F.sum((1 - F.col("t")) * (1 - F.col("y"))).alias("d"))
+    ok = ((F.col("a") + F.col("b") > 0)
+          & (F.col("c") + F.col("d") > 0)
+          & (F.col("a") + F.col("c") > 0)
+          & (F.col("b") + F.col("d") > 0))
+    per_s = per_s.withColumn("ok", ok)
+    agg = per_s.agg(
+        F.sum("n_s").alias("n"),
+        F.sum(F.col("ok").cast("long")).alias("n_used_strata"),
+        F.sum(F.when(F.col("ok"), F.lit(0)).otherwise(F.col("n_s")))
+        .alias("n_dropped_rows"),
+        F.sort_array(F.collect_list(F.when(F.col("ok"), F.struct(
+            F.col("s").alias("s"), F.col("n_s").alias("n_s"),
+            F.col("a").alias("a"), F.col("b").alias("b"),
+            F.col("c").alias("c"), F.col("d").alias("d")))))
+        .alias("cells"))
+
+    def dd(x):
+        return x.cast("double")
+
+    r_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["a"] * e["d"]) / dd(e["n_s"]))
+    s_sum = F.aggregate(
+        "cells", F.lit(0.0),
+        lambda acc, e: acc + dd(e["b"] * e["c"]) / dd(e["n_s"]))
+    psi = r_sum / s_sum
+
+    def bd_term(e):
+        n = dd(e["n_s"])
+        r1 = dd(e["a"] + e["b"])
+        c1 = dd(e["a"] + e["c"])
+        aq = F.lit(1.0) - psi
+        bq = (n - r1 - c1) + psi * (r1 + c1)
+        cq = -psi * r1 * c1
+        disc = F.sqrt(bq * bq - 4.0 * aq * cq)
+        root1 = (-bq + disc) / (2.0 * aq)
+        root2 = (-bq - disc) / (2.0 * aq)
+        lin = r1 * c1 / n
+        lo = F.greatest(F.lit(0.0), r1 + c1 - n)
+        hi = F.least(r1, c1)
+        a_hat = F.when(aq == 0.0, lin).otherwise(
+            F.when((root1 >= lo) & (root1 <= hi), root1)
+            .otherwise(root2))
+        b_hat = r1 - a_hat
+        c_hat = c1 - a_hat
+        d_hat = n - r1 - c1 + a_hat
+        v = 1.0 / (1.0 / a_hat + 1.0 / b_hat
+                   + 1.0 / c_hat + 1.0 / d_hat)
+        dev = dd(e["a"]) - a_hat
+        return dev * dev / v
+
+    chi2 = F.aggregate("cells", F.lit(0.0),
+                       lambda acc, e: acc + bd_term(e))
+    any_used = F.col("n_used_strata") > 1
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_used_strata").cast("long").alias("n_used_strata"),
+        F.col("n_dropped_rows").cast("long").alias("n_dropped_rows"),
+        F.when(s_sum > 0.0, psi).alias("or_mh"),
+        F.when(any_used & (s_sum > 0.0), chi2).alias("chi2_bd"),
+        F.when(any_used, F.col("n_used_strata") - 1)
+        .cast("long").alias("df"))

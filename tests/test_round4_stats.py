@@ -858,3 +858,49 @@ def test_win_ratio_brute(spark):
     assert row["win_ratio"] == pytest.approx(w / l, rel=1e-12)
     # the shifted (longer-surviving) treated arm wins more
     assert row["win_ratio"] > 1.5
+
+
+def test_breslow_day_brute(spark):
+    from hiselspark.operators.causal import breslow_day
+    rng = np.random.RandomState(107)
+    # homogeneous OR across 4 strata
+    s = rng.randint(0, 4, 2000)
+    t = rng.randint(0, 2, 2000)
+    base_p = 0.3 + 0.05 * s
+    odds = base_p / (1 - base_p) * np.where(t == 1, 2.0, 1.0)
+    y = (rng.rand(2000) < odds / (1 + odds)).astype(int)
+    df = _rows(spark, ["s", "t", "y"],
+               np.stack([s, t, y], 1).tolist())
+    row = breslow_day(df, "s", "t", "y").collect()[0]
+
+    # brute replication of psi + quadratic roots + chi2
+    cells = {}
+    for st in range(4):
+        m = s == st
+        a = int(((t == 1) & (y == 1) & m).sum())
+        b = int(((t == 1) & (y == 0) & m).sum())
+        c = int(((t == 0) & (y == 1) & m).sum())
+        d = int(((t == 0) & (y == 0) & m).sum())
+        cells[st] = (a, b, c, d)
+    psi = (sum(a * d / (a + b + c + d)
+               for a, b, c, d in cells.values())
+           / sum(b * c / (a + b + c + d)
+                 for a, b, c, d in cells.values()))
+    chi2 = 0.0
+    for a, b, c, d in cells.values():
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        A, B, C = 1 - psi, (n - r1 - c1) + psi * (r1 + c1), \
+            -psi * r1 * c1
+        disc = math.sqrt(B * B - 4 * A * C)
+        roots = [(-B + disc) / (2 * A), (-B - disc) / (2 * A)]
+        lo, hi = max(0.0, r1 + c1 - n), min(r1, c1)
+        ah = roots[0] if lo <= roots[0] <= hi else roots[1]
+        v = 1 / (1 / ah + 1 / (r1 - ah) + 1 / (c1 - ah)
+                 + 1 / (n - r1 - c1 + ah))
+        chi2 += (a - ah) ** 2 / v
+    assert row["or_mh"] == pytest.approx(psi, rel=1e-9)
+    assert row["chi2_bd"] == pytest.approx(chi2, rel=1e-9)
+    assert row["df"] == 3
+    # homogeneous data: chi2 should be unexceptional (< ~12 for df=3)
+    assert row["chi2_bd"] < 12.0
