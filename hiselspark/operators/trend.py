@@ -233,3 +233,49 @@ def changepoint_mean(
         ((F.col("b.s") - F.col("b.sl")).cast("double")
          / (F.col("b.nn") - F.col("b.idx")).cast("double"))
         .alias("right_mean"))
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    phase_col: str,
+    last_k: int = 24,
+) -> DataFrame:
+    """Seasonal Mann–Kendall (Hirsch & Slack 1984) — the trend test
+    that survives periodicity: :func:`mann_kendall` is run WITHIN
+    each season (phase) so day/night or weekday/weekend structure
+    cannot masquerade as trend, then the phase statistics combine:
+
+        S = Σ_p S_p,   var18 = Σ_p var18_p,
+        z = (S ∓ 1)/sqrt(var18/18)      (continuity-corrected)
+
+    Implementation is literally the per-(entity, phase) composite-key
+    run of mann_kendall (same trailing-k arrays, same exact pairwise
+    and tie folds) plus one exact-integer regroup per entity — the
+    independence-across-seasons additivity is the published
+    estimator.  Returns (entity, n, n_phases, s_stat, var18, z)."""
+    d = df.withColumn(
+        "__ep", F.struct(F.col(entity_col).alias("e"),
+                         F.col(phase_col).alias("p")))
+    per = mann_kendall(d, "__ep", ts_col, order_col, value_col,
+                       last_k)
+    comb = (per.groupBy(F.col("entity")["e"].alias("e"))
+            .agg(F.sum("n").alias("n"),
+                 F.count(F.lit(1)).alias("n_phases"),
+                 F.sum("s_stat").alias("s_stat"),
+                 F.sum("var18").alias("var18")))
+    s = F.col("s_stat")
+    sigma = F.sqrt(F.col("var18").cast("double") / F.lit(18.0))
+    z = (F.when((s == 0) | (F.col("var18") <= 0), F.lit(0.0))
+         .otherwise((s.cast("double")
+                     - F.signum(s.cast("double"))) / sigma))
+    return comb.select(
+        F.col("e").alias("entity"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_phases").cast("long").alias("n_phases"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        F.col("var18").cast("long").alias("var18"),
+        z.alias("z"))

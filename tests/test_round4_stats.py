@@ -904,3 +904,37 @@ def test_breslow_day_brute(spark):
     assert row["df"] == 3
     # homogeneous data: chi2 should be unexceptional (< ~12 for df=3)
     assert row["chi2_bd"] < 12.0
+
+
+def test_seasonal_mk_immune_to_pure_seasonality(spark):
+    from hiselspark.operators.trend import (mann_kendall,
+                                            seasonal_mann_kendall)
+    rng = np.random.RandomState(109)
+    # pure seasonal signal, NO trend: value depends only on phase
+    n = 240
+    phases = np.arange(n) % 4
+    v = 100 * phases + rng.randint(-3, 4, n)
+    rows = [(1, i, 0, int(v[i]), int(phases[i])) for i in range(n)]
+    df = _rows(spark, ["e", "ts", "o", "v", "ph"], rows)
+    row = seasonal_mann_kendall(df, "e", "ts", "o", "v", "ph",
+                                last_k=60).collect()[0]
+    # within each phase the series is noise -> combined z near 0
+    assert abs(row["z"]) < 2.5
+    assert row["n_phases"] == 4
+    # a genuine monotone trend inside every phase DOES fire
+    v2 = 5 * np.arange(n) + rng.randint(-3, 4, n)
+    df2 = _rows(spark, ["e", "ts", "o", "v", "ph"],
+                [(1, i, 0, int(v2[i]), int(phases[i]))
+                 for i in range(n)])
+    row2 = seasonal_mann_kendall(df2, "e", "ts", "o", "v", "ph",
+                                 last_k=60).collect()[0]
+    assert row2["z"] > 5.0
+    # additivity: the combined S equals the sum of per-phase S's
+    tot = 0
+    for p in range(4):
+        sub = [(10 + p, i, 0, int(v2[i]), 0)
+               for i in range(n) if phases[i] == p]
+        dfp = _rows(spark, ["e", "ts", "o", "v", "ph"], sub)
+        tot += mann_kendall(dfp, "e", "ts", "o", "v",
+                            last_k=60).collect()[0]["s_stat"]
+    assert row2["s_stat"] == tot
