@@ -691,3 +691,69 @@ def breslow_day(
         F.when(any_used & (s_sum > 0.0), chi2).alias("chi2_bd"),
         F.when(any_used, F.col("n_used_strata") - 1)
         .cast("long").alias("df"))
+
+
+def mediation(df: DataFrame, x_col: str, m_col: str,
+              y_col: str) -> DataFrame:
+    """Baron–Kenny mediation with the Sobel test (Baron & Kenny 1986;
+    Sobel 1982) — how much of x's effect on y flows THROUGH the
+    mediator m:
+
+        m = α₀ + a·x            (stage 1)
+        y = β₀ + b·m + c·x      (stage 2: direct c, indirect a·b)
+        Sobel z = a·b / sqrt(a²·se_b² + b²·se_a²)
+
+    Everything comes from ONE aggregate of exact int64 moments over
+    (x, m, y): a and se_a from the simple-OLS closed forms
+    (the :func:`..regress.cooks_distance` conventions), b/c and se_b
+    from the centered 2×2 normal equations by Cramer — every
+    estimate ONE mirrored float expression.  Columns integer-valued
+    (cents convention).  Degenerate designs (n < 4, zero Sxx or a
+    singular 2×2) yield NULL estimates.  Returns one row: (n, a, b,
+    c_direct, indirect, sobel_se, sobel_z, prop_mediated)."""
+    base = df.select(F.col(x_col).cast("long").alias("x"),
+                     F.col(m_col).cast("long").alias("m"),
+                     F.col(y_col).cast("long").alias("y"))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    cols = ["x", "m", "y"]
+    for i, a_ in enumerate(cols):
+        aggs.append(F.sum(a_).alias(f"s_{a_}"))
+        for b_ in cols[i:]:
+            aggs.append(F.sum(F.col(a_) * F.col(b_))
+                        .alias(f"s_{a_}{b_}"))
+    st = base.agg(*aggs)
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    nd = dd("n")
+
+    def cc(p, q):
+        key = f"s_{p}{q}" if f"s_{p}{q}" in st.columns else f"s_{q}{p}"
+        return dd(key) - dd(f"s_{p}") * dd(f"s_{q}") / nd
+
+    cxx, cxm, cxy = cc("x", "x"), cc("x", "m"), cc("x", "y")
+    cmm, cmy, cyy = cc("m", "m"), cc("m", "y"), cc("y", "y")
+    a_hat = cxm / cxx
+    sse_m = cmm - a_hat * cxm
+    se_a2 = (sse_m / (nd - 2.0)) / cxx
+    det = cmm * cxx - cxm * cxm
+    b_hat = (cmy * cxx - cxy * cxm) / det
+    c_hat = (cxy * cmm - cmy * cxm) / det
+    sse_y = cyy - b_hat * cmy - c_hat * cxy
+    s2 = sse_y / (nd - 3.0)
+    se_b2 = s2 * cxx / det
+    ind = a_hat * b_hat
+    sob_se = F.sqrt(a_hat * a_hat * se_b2 + b_hat * b_hat * se_a2)
+    ok = (F.col("n") >= 4) & (cxx > 0.0) & (det > 0.0) \
+        & (sob_se > 0.0)
+    prop = F.when(ind + c_hat != 0.0, ind / (ind + c_hat))
+    return st.select(
+        F.col("n").cast("long").alias("n"),
+        F.when(ok, a_hat).alias("a"),
+        F.when(ok, b_hat).alias("b"),
+        F.when(ok, c_hat).alias("c_direct"),
+        F.when(ok, ind).alias("indirect"),
+        F.when(ok, sob_se).alias("sobel_se"),
+        F.when(ok, ind / sob_se).alias("sobel_z"),
+        F.when(ok, prop).alias("prop_mediated"))

@@ -938,3 +938,26 @@ def test_seasonal_mk_immune_to_pure_seasonality(spark):
         tot += mann_kendall(dfp, "e", "ts", "o", "v",
                             last_k=60).collect()[0]["s_stat"]
     assert row2["s_stat"] == tot
+
+
+def test_mediation_planted_chain(spark):
+    from hiselspark.operators.causal import mediation
+    rng = np.random.RandomState(113)
+    n = 1000
+    x = rng.randint(0, 100, n)
+    m = 2 * x + rng.randint(-5, 6, n)        # a = 2
+    y = 3 * m + 1 * x + rng.randint(-5, 6, n)  # b = 3, c = 1
+    rows = [(int(x[i]), int(m[i]), int(y[i])) for i in range(n)]
+    df = _rows(spark, ["x", "m", "y"], rows)
+    row = mediation(df, "x", "m", "y").collect()[0]
+    assert row["a"] == pytest.approx(2.0, abs=0.05)
+    assert row["b"] == pytest.approx(3.0, abs=0.05)
+    assert row["c_direct"] == pytest.approx(1.0, abs=0.2)
+    assert row["indirect"] == pytest.approx(6.0, abs=0.3)
+    assert row["sobel_z"] > 10      # overwhelming mediation evidence
+    assert 0.8 < row["prop_mediated"] < 0.95
+    # numpy lstsq cross-check of stage-2 coefficients
+    A = np.stack([np.ones(n), m, x], 1).astype(float)
+    beta = np.linalg.lstsq(A, y.astype(float), rcond=None)[0]
+    assert row["b"] == pytest.approx(beta[1], rel=1e-9)
+    assert row["c_direct"] == pytest.approx(beta[2], rel=1e-9)
