@@ -1621,3 +1621,80 @@ def krippendorff_alpha(df: DataFrame, item_col: str, rater_col: str,
         .alias("n_dropped"),
         F.col("n_tot").cast("long").alias("n_ratings"),
         alpha.alias("alpha"))
+
+
+def spiegelhalter_z(df: DataFrame, prob_pm_col: str,
+                    label_col: str) -> DataFrame:
+    """Spiegelhalter's calibration test (Spiegelhalter 1986) — the
+    significance companion of :func:`calibration_bins`/ECE (is the
+    observed miscalibration more than chance):
+
+        Z = Σ(y−p)(1−2p) / sqrt( Σ(1−2p)²·p·(1−p) )
+
+    With per-mille integer probabilities (the :func:`hosmer_lemeshow`
+    convention) the scale factors CANCEL and both sufficient sums are
+    exact int64:
+
+        A = Σ(1000·y − pm)(1000 − 2·pm),
+        B = Σ(1000 − 2·pm)²·pm·(1000 − pm),     Z = A / sqrt(B)
+
+    (per-row B term ≤ 2.5·10¹¹ — int64 to ~3·10⁷ rows; DECIMAL
+    beyond, documented).  ONE aggregate, one division.  Z is NULL
+    when B = 0 (all probabilities at 0/1000).  Returns one row:
+    (n, a_num, b_den, z)."""
+    pm = F.col(prob_pm_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(pm.alias("pm"), y.alias("y"))
+    a_t = (F.lit(1000) * F.col("y") - F.col("pm")) \
+        * (F.lit(1000) - 2 * F.col("pm"))
+    b_t = ((F.lit(1000) - 2 * F.col("pm"))
+           * (F.lit(1000) - 2 * F.col("pm"))
+           * F.col("pm") * (F.lit(1000) - F.col("pm")))
+    agg = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(a_t).alias("a"),
+                   F.sum(b_t).alias("b"))
+    z = F.when(F.col("b") > 0,
+               F.col("a").cast("double")
+               / F.sqrt(F.col("b").cast("double")))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.col("a").cast("long").alias("a_num"),
+                      F.col("b").cast("long").alias("b_den"),
+                      z.alias("z"))
+
+
+def funnel_control(df: DataFrame, group_col: str, flag_col,
+                   n_sigma: float = 3.0) -> DataFrame:
+    """Funnel-plot control limits (Spiegelhalter 2005) — the SPC view
+    of per-segment event rates: each group's rate against the pooled
+    rate's ``n_sigma`` binomial band at ITS OWN size (small groups
+    get wide bands — the honest version of a league table):
+
+        limits = p₀ ± n_sigma·sqrt(p₀(1−p₀)/n_g)
+
+    Counts exact int64 from one aggregate; the pooled p₀, limits and
+    the outside-band flags are mirrored float expressions (rates
+    compared at full double precision).  Returns one row per group:
+    (group, n, k, rate, p0, lo, hi, flag_low, flag_high)."""
+    flg = flag_col.cast("long")
+    per = (df.groupBy(F.col(group_col).alias("g"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(flg).alias("k")))
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    j = per.crossJoin(F.broadcast(tot))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    p0 = dd("kk") / dd("nn")
+    rate = dd("k") / dd("n")
+    half = F.lit(float(n_sigma)) * F.sqrt(p0 * (1.0 - p0) / dd("n"))
+    lo = p0 - half
+    hi = p0 + half
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        rate.alias("rate"), p0.alias("p0"),
+        lo.alias("lo"), hi.alias("hi"),
+        (rate < lo).alias("flag_low"),
+        (rate > hi).alias("flag_high"))

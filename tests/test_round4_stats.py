@@ -961,3 +961,38 @@ def test_mediation_planted_chain(spark):
     beta = np.linalg.lstsq(A, y.astype(float), rcond=None)[0]
     assert row["b"] == pytest.approx(beta[1], rel=1e-9)
     assert row["c_direct"] == pytest.approx(beta[2], rel=1e-9)
+
+
+def test_spiegelhalter_and_funnel(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.evaluate import (funnel_control,
+                                               spiegelhalter_z)
+    rng = np.random.RandomState(127)
+    # perfectly calibrated probabilities: z should be modest
+    pm = rng.randint(1, 1000, 4000)
+    y = (rng.rand(4000) * 1000 < pm).astype(int)
+    df = _rows(spark, ["pm", "y"],
+               [(int(pm[i]), int(y[i])) for i in range(4000)])
+    row = spiegelhalter_z(df, "pm", "y").collect()[0]
+    a = ((1000 * y - pm) * (1000 - 2 * pm)).sum()
+    b = ((1000 - 2 * pm) ** 2 * pm * (1000 - pm)).sum()
+    assert row["a_num"] == int(a) and row["b_den"] == int(b)
+    assert row["z"] == pytest.approx(a / math.sqrt(b), rel=1e-12)
+    assert abs(row["z"]) < 3.5
+    # overconfident probabilities (true rate squashed to 0.5): |z| big
+    y2 = (rng.rand(4000) < 0.5).astype(int)
+    df2 = _rows(spark, ["pm", "y"],
+                [(int(pm[i]), int(y2[i])) for i in range(4000)])
+    row2 = spiegelhalter_z(df2, "pm", "y").collect()[0]
+    assert abs(row2["z"]) > 5
+    # funnel: a planted out-of-band segment flags
+    rows = []
+    for seg in range(10):
+        p = 0.2 if seg != 7 else 0.8
+        for i in range(300):
+            rows.append((seg, bool(rng.rand() < p)))
+    dff = spark.createDataFrame(rows, ["seg", "f"])
+    out = {r["seg"]: r
+           for r in funnel_control(dff, "seg", F.col("f")).collect()}
+    assert out[7]["flag_high"] and not out[7]["flag_low"]
+    assert sum(1 for r in out.values() if r["flag_high"]) == 1
