@@ -108,7 +108,12 @@ def main() -> None:
                   # completion join (q9: 5-table star, exact _e6
                   # profit), iterative weighted shortest paths, and
                   # the n-gram count-join BLEU pair eval
-                  "tpch_q9", "weighted_hops", "bleu_pairs")
+                  "tpch_q9", "weighted_hops", "bleu_pairs",
+                  # round-4 second-session representatives: the
+                  # heaviest new interval join (U-shaped multi-touch
+                  # credit), the dyadic-block Hurst window stack, and
+                  # the fixed-point Bradley-Terry preference fit
+                  "u_attribution", "hurst", "bradley_terry")
     # interleaved best-of-2: the full list runs twice in order, so the
     # two reps of each query are separated in time — on a noisy shared
     # host (observed 2-3x swings on identical plans minutes apart)
