@@ -1698,3 +1698,55 @@ def funnel_control(df: DataFrame, group_col: str, flag_col,
         lo.alias("lo"), hi.alias("hi"),
         (rate < lo).alias("flag_low"),
         (rate > hi).alias("flag_high"))
+
+
+def diagnostics_card(df: DataFrame, score_col: str, label_col: str,
+                     threshold) -> DataFrame:
+    """Diagnostic-test summary card at a fixed threshold — the
+    clinical/screening read-out completing :func:`confusion_at`:
+    sensitivity, specificity, Youden's J (= sens + spec − 1, the
+    informedness that is prevalence-free where accuracy is not),
+    both likelihood ratios and the diagnostic odds ratio:
+
+        LR+ = sens/(1−spec),  LR− = (1−sens)/spec,
+        DOR = LR+/LR− = (tp·tn)/(fp·fn)
+
+    Four exact int64 cells from ONE aggregate; every ratio a mirrored
+    float expression with NULL rails on empty margins / zero
+    denominators (DOR NULL when any cell is 0).  Returns one row:
+    (n, tp, fp, tn, fn, sens, spec, youden_j, lr_pos, lr_neg, dor).
+    """
+    pred = (F.col(score_col) >= threshold).cast("long")
+    y = F.col(label_col).cast("long")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (1 - y)).alias("fp"),
+        F.sum((1 - pred) * (1 - y)).alias("tn"),
+        F.sum((1 - pred) * y).alias("fn"))
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    pos = F.col("tp") + F.col("fn")
+    neg = F.col("fp") + F.col("tn")
+    sens = F.when(pos > 0, dd("tp") / pos.cast("double"))
+    spec = F.when(neg > 0, dd("tn") / neg.cast("double"))
+    j = F.when((pos > 0) & (neg > 0), sens + spec - 1.0)
+    lr_pos = F.when((pos > 0) & (neg > 0) & (1.0 - spec > 0.0),
+                    sens / (1.0 - spec))
+    lr_neg = F.when((pos > 0) & (neg > 0) & (spec > 0.0),
+                    (1.0 - sens) / spec)
+    all_cells = ((F.col("tp") > 0) & (F.col("fp") > 0)
+                 & (F.col("tn") > 0) & (F.col("fn") > 0))
+    dor = F.when(all_cells,
+                 (dd("tp") * dd("tn")) / (dd("fp") * dd("fn")))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        sens.alias("sens"), spec.alias("spec"),
+        j.alias("youden_j"), lr_pos.alias("lr_pos"),
+        lr_neg.alias("lr_neg"), dor.alias("dor"))

@@ -996,3 +996,28 @@ def test_spiegelhalter_and_funnel(spark):
            for r in funnel_control(dff, "seg", F.col("f")).collect()}
     assert out[7]["flag_high"] and not out[7]["flag_low"]
     assert sum(1 for r in out.values() if r["flag_high"]) == 1
+
+
+def test_diagnostics_card_brute(spark):
+    from pyspark.sql import functions as F
+    from hiselspark.operators.evaluate import diagnostics_card
+    rng = np.random.RandomState(131)
+    score = rng.randint(0, 100, 2000)
+    y = (rng.rand(2000) * 100 < score).astype(int)  # informative
+    df = _rows(spark, ["s", "y"],
+               [(int(score[i]), int(y[i])) for i in range(2000)])
+    row = diagnostics_card(df, "s", "y", F.lit(50)).collect()[0]
+    pred = (score >= 50).astype(int)
+    tp = int(((pred == 1) & (y == 1)).sum())
+    fp = int(((pred == 1) & (y == 0)).sum())
+    tn = int(((pred == 0) & (y == 0)).sum())
+    fn = int(((pred == 0) & (y == 1)).sum())
+    assert (row["tp"], row["fp"], row["tn"], row["fn"]) == \
+        (tp, fp, tn, fn)
+    sens, spec = tp / (tp + fn), tn / (tn + fp)
+    assert row["sens"] == pytest.approx(sens, rel=1e-12)
+    assert row["youden_j"] == pytest.approx(sens + spec - 1,
+                                            rel=1e-9)
+    assert row["dor"] == pytest.approx(tp * tn / (fp * fn),
+                                       rel=1e-12)
+    assert row["youden_j"] > 0.3       # informative screen
