@@ -1750,3 +1750,40 @@ def diagnostics_card(df: DataFrame, score_col: str, label_col: str,
         sens.alias("sens"), spec.alias("spec"),
         j.alias("youden_j"), lr_pos.alias("lr_pos"),
         lr_neg.alias("lr_neg"), dor.alias("dor"))
+
+
+def brier_skill(df: DataFrame, prob_pm_col: str,
+                label_col: str) -> DataFrame:
+    """Brier skill score against the base-rate forecaster — the
+    one-number "is this model better than predicting the prevalence"
+    companion of :func:`brier_decomposition`:
+
+        BSS = 1 − BS/BS_ref,   BS_ref = p̄(1−p̄)
+
+    With per-mille integer probabilities everything stays exact until
+    ONE division:  BS = A/(n·10⁶) with A = Σ(1000·y − pm)² an exact
+    int64, BS_ref = k(n−k)/n², so
+
+        BSS = 1 − A·n / (10⁶·k·(n−k))
+
+    (A·n ≤ 10⁶·n² — int64 to ~3·10⁶ rows, DECIMAL beyond; the
+    divisor likewise).  NULL when the labels are constant (no
+    base-rate variance to beat).  Returns one row: (n, k, a_num,
+    bss)."""
+    pm = F.col(prob_pm_col).cast("long")
+    y = F.col(label_col).cast("long")
+    base = df.select(pm.alias("pm"), y.alias("y"))
+    a_t = (F.lit(1000) * F.col("y") - F.col("pm")) \
+        * (F.lit(1000) * F.col("y") - F.col("pm"))
+    agg = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("y").alias("k"),
+                   F.sum(a_t).alias("a"))
+    ok = (F.col("k") > 0) & (F.col("k") < F.col("n"))
+    bss = F.when(ok, 1.0 - (F.col("a") * F.col("n")).cast("double")
+                 / (F.lit(1_000_000)
+                    * F.col("k") * (F.col("n") - F.col("k")))
+                 .cast("double"))
+    return agg.select(F.col("n").cast("long").alias("n"),
+                      F.col("k").cast("long").alias("k"),
+                      F.col("a").cast("long").alias("a_num"),
+                      bss.alias("bss"))

@@ -1021,3 +1021,24 @@ def test_diagnostics_card_brute(spark):
     assert row["dor"] == pytest.approx(tp * tn / (fp * fn),
                                        rel=1e-12)
     assert row["youden_j"] > 0.3       # informative screen
+
+
+def test_brier_skill_brute(spark):
+    from hiselspark.operators.evaluate import brier_skill
+    rng = np.random.RandomState(137)
+    pm = rng.randint(1, 1000, 3000)
+    y = (rng.rand(3000) * 1000 < pm).astype(int)   # calibrated model
+    df = _rows(spark, ["pm", "y"],
+               [(int(pm[i]), int(y[i])) for i in range(3000)])
+    row = brier_skill(df, "pm", "y").collect()[0]
+    p = pm / 1000.0
+    bs = ((y - p) ** 2).mean()
+    pbar = y.mean()
+    bss = 1 - bs / (pbar * (1 - pbar))
+    assert row["bss"] == pytest.approx(bss, rel=1e-9)
+    assert row["bss"] > 0.2         # a calibrated model beats base rate
+    # random probabilities vs independent labels: skill near/below 0
+    y2 = (rng.rand(3000) < 0.5).astype(int)
+    df2 = _rows(spark, ["pm", "y"],
+                [(int(pm[i]), int(y2[i])) for i in range(3000)])
+    assert brier_skill(df2, "pm", "y").collect()[0]["bss"] < 0.05
