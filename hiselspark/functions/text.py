@@ -1350,6 +1350,11 @@ def burrows_delta(
     fold = F.aggregate("cells2", F.lit(0.0),
                        lambda acc, e: acc + e["az"])
     delta = F.when(F.col("vv") > 0, fold / dd("vv"))
-    return agg.select(F.col("doc").alias(id_col),
-                      F.col("len").cast("long").alias("n_tokens"),
-                      delta.alias("delta"))
+    scored = agg.select("doc", delta.alias("delta"))
+    # zero-token docs never reach `dz`; the left join keeps them in
+    # the output with NULL delta (the docstring's contract) instead
+    # of dropping them
+    return (lens.join(scored, "doc", "left")
+            .select(F.col("doc").alias(id_col),
+                    F.col("len").cast("long").alias("n_tokens"),
+                    "delta"))

@@ -1638,10 +1638,15 @@ def spiegelhalter_z(df: DataFrame, prob_pm_col: str,
         A = Σ(1000·y − pm)(1000 − 2·pm),
         B = Σ(1000 − 2·pm)²·pm·(1000 − pm),     Z = A / sqrt(B)
 
-    (per-row B term ≤ 2.5·10¹¹ — int64 to ~3·10⁷ rows; DECIMAL
-    beyond, documented).  ONE aggregate, one division.  Z is NULL
-    when B = 0 (all probabilities at 0/1000).  Returns one row:
+    The B sum accumulates in DECIMAL(38,0) (per-row term ≤ 2.5·10¹¹
+    would wrap an int64 sum past ~3·10⁷ rows — the
+    :func:`~hiselspark.operators.drift.cramer_von_mises` discipline);
+    A's per-row bound is 10⁶ so its int64 sum is exact to ~9·10¹²
+    rows.  ONE aggregate, one division.  Z is NULL when B = 0 (all
+    probabilities at 0/1000); ``b_den`` reports NULL past the int64
+    representable range (Z itself stays exact).  Returns one row:
     (n, a_num, b_den, z)."""
+    dec = "decimal(38,0)"
     pm = F.col(prob_pm_col).cast("long")
     y = F.col(label_col).cast("long")
     base = df.select(pm.alias("pm"), y.alias("y"))
@@ -1652,13 +1657,16 @@ def spiegelhalter_z(df: DataFrame, prob_pm_col: str,
            * F.col("pm") * (F.lit(1000) - F.col("pm")))
     agg = base.agg(F.count(F.lit(1)).alias("n"),
                    F.sum(a_t).alias("a"),
-                   F.sum(b_t).alias("b"))
+                   F.sum(b_t.cast(dec)).alias("b"))
     z = F.when(F.col("b") > 0,
                F.col("a").cast("double")
                / F.sqrt(F.col("b").cast("double")))
+    b_long = F.when(
+        F.col("b") <= F.lit(2 ** 63 - 1).cast(dec),
+        F.col("b").cast("long"))
     return agg.select(F.col("n").cast("long").alias("n"),
                       F.col("a").cast("long").alias("a_num"),
-                      F.col("b").cast("long").alias("b_den"),
+                      b_long.alias("b_den"),
                       z.alias("z"))
 
 
@@ -1766,10 +1774,12 @@ def brier_skill(df: DataFrame, prob_pm_col: str,
 
         BSS = 1 − A·n / (10⁶·k·(n−k))
 
-    (A·n ≤ 10⁶·n² — int64 to ~3·10⁶ rows, DECIMAL beyond; the
-    divisor likewise).  NULL when the labels are constant (no
-    base-rate variance to beat).  Returns one row: (n, k, a_num,
-    bss)."""
+    The A·n numerator and the 10⁶·k·(n−k) divisor multiply in
+    DECIMAL(38,0) (both ≤ 10⁶·n² — an int64 product wraps past
+    ~3·10⁶ rows; A itself is int64-exact to ~9·10¹² rows since each
+    term is ≤ 10⁶).  NULL when the labels are constant (no base-rate
+    variance to beat).  Returns one row: (n, k, a_num, bss)."""
+    dec = "decimal(38,0)"
     pm = F.col(prob_pm_col).cast("long")
     y = F.col(label_col).cast("long")
     base = df.select(pm.alias("pm"), y.alias("y"))
@@ -1779,8 +1789,9 @@ def brier_skill(df: DataFrame, prob_pm_col: str,
                    F.sum("y").alias("k"),
                    F.sum(a_t).alias("a"))
     ok = (F.col("k") > 0) & (F.col("k") < F.col("n"))
-    bss = F.when(ok, 1.0 - (F.col("a") * F.col("n")).cast("double")
-                 / (F.lit(1_000_000)
+    bss = F.when(ok, 1.0
+                 - (F.col("a").cast(dec) * F.col("n")).cast("double")
+                 / (F.lit(1_000_000).cast(dec)
                     * F.col("k") * (F.col("n") - F.col("k")))
                  .cast("double"))
     return agg.select(F.col("n").cast("long").alias("n"),

@@ -1150,7 +1150,9 @@ def hurst_rs(
     range does not implicitly include 0 — declared).  Incomplete
     trailing blocks are excluded by construction; constant blocks
     (zero variance) are dropped AND counted.  Entities with fewer
-    than 2 usable sizes yield NULL hurst.  value_col integer-valued
+    than 2 usable sizes yield NULL hurst; entities too short for
+    even one complete block still emit a row with n_sizes =
+    n_blocks = n_deg_blocks = 0 and NULL hurst.  value_col integer-valued
     (cents convention; int64 bound: b²·|v|max·n_b per block).
     Returns one row per entity: (entity, n, n_sizes, n_blocks,
     n_deg_blocks, hurst)."""
@@ -1229,12 +1231,18 @@ def hurst_rs(
     den = p * sxx - sx * sx
     hurst = F.when((F.size("pts") >= 2) & (den > 0.0),
                    (p * sxy - sx * sy) / den)
-    out = ent.join(rows, "entity")
+    # entities with no complete block at ANY size (n < min(sizes))
+    # never reach `ent`; the left join keeps them with zeroed counts
+    # and NULL hurst instead of dropping them from the output
+    out = rows.join(ent, "entity", "left")
     return out.select(
         "entity", F.col("n").cast("long").alias("n"),
-        F.size("pts").cast("long").alias("n_sizes"),
-        F.col("n_blocks").cast("long").alias("n_blocks"),
-        F.col("n_deg_blocks").cast("long").alias("n_deg_blocks"),
+        F.coalesce(F.size("pts"), F.lit(0)).cast("long")
+        .alias("n_sizes"),
+        F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long")
+        .alias("n_blocks"),
+        F.coalesce(F.col("n_deg_blocks"), F.lit(0)).cast("long")
+        .alias("n_deg_blocks"),
         hurst.alias("hurst"))
 
 
