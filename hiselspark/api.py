@@ -69,8 +69,13 @@ def select_features(
     cont_features: List[str] = []
     if hp.use_preselection and len(continuous) >= 2:
         from .preselect import mi_preselect
+        # exact percentile edges: approxQuantile's GK-sketch merge is
+        # partition-order dependent; the facade shares the determinism
+        # discipline of the standalone mi_preselect gate query so its
+        # output is a pure function of the data (twin-verifiable)
         kept, _ = mi_preselect(df, continuous, target_cols,
-                               threshold=hp.mi_threshold)
+                               threshold=hp.mi_threshold,
+                               exact_edges=True)
         if len(kept) >= 2:
             continuous = kept
     if len(continuous) >= 2:

@@ -109,6 +109,15 @@ def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 8,
     s = [sum(int(p["s"][j]) for p in parts) for j in range(d)]
     tri = [sum(int(p["g"][t]) for p in parts)
            for t in range(d * (d + 1) // 2)]
+    return model_from_integer_stats(n, s, tri, d, quant, k)
+
+
+def model_from_integer_stats(n: int, s, tri, d: int, quant: int,
+                             k: int) -> PCAModel:
+    """Driver-side model assembly from the EXACT integer partials —
+    shared by :func:`pca_fit` and the no-Spark verification twin
+    (``hiselspark/twin.py``): identical integers in, bit-identical
+    model out."""
     if n < 2:
         raise ValueError(f"pca_fit: need >= 2 rows, got {n}")
     # exact integers -> covariance in float64 (one rounding per entry)

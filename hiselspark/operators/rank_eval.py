@@ -308,6 +308,7 @@ def bradley_terry(
     iterations: int = 5,
     scale: int = 1_000_000_000,
     term_scale: int = 10 ** 14,
+    driver_pair_cap: int = 2_000_000,
 ) -> DataFrame:
     """Bradley–Terry strength ratings from pairwise outcomes (the
     preference-arena model: P(i beats j) = p_i/(p_i+p_j)) fitted by
@@ -320,16 +321,30 @@ def bradley_terry(
         raw_i = (W_i · S) DIV max(D_i, 1)
         p'_i  = raw_i DIV max(Σraw DIV (k·scale), 1)   (L1 renorm)
 
-    with c_ij the games played, W_i the wins, and every step a BIGINT
-    join + sum — bit-identical across partitionings and engines; the
-    oracle unrolls the same iterations as MATERIALIZED CTEs (the
-    rating table is referenced twice per round — once per side of the
-    pair join — which would inline exponentially otherwise).
-    Per-round ``localCheckpoint`` truncates the doubling lineage (the
-    kcore/label_prop lesson).  Overflow bounds: c·S and W·S must fit
-    int64 — with S = 1e14 that is ~9·10⁴ games per pair/wins per
-    player; lower S for heavier arenas.  Players in no decided game
-    are absent.  Returns (player, rating, wins, games)."""
+    with c_ij the games played, W_i the wins, and every step exact
+    BIGINT arithmetic — bit-identical across partitionings and
+    engines; the oracle unrolls the same iterations as MATERIALIZED
+    CTEs (the rating table is referenced twice per round — once per
+    side of the pair join — which would inline exponentially
+    otherwise).
+
+    Execution (round 5): the pairwise COUNT table — not the games —
+    is the model state, and after the one distributed aggregation
+    pass it has at most |players|² rows.  When it fits under
+    ``driver_pair_cap`` the MM rounds run vectorized on the driver
+    (NumPy int64, the identical integer formulas → identical
+    ratings), eliminating the per-round job-scheduling cost that
+    dominated the wall at bench scale (5 rounds × join+agg+
+    localCheckpoint ≈ 5-6 s for a 7-player arena).  Above the cap —
+    a 10⁶-player arena whose pair table is genuinely big — the
+    rounds run distributed with per-round ``localCheckpoint``
+    truncating the doubling lineage (the kcore/label_prop lesson).
+
+    Overflow bounds (both paths, identical to the SQL oracle): c·S
+    and W·S must fit int64 — with S = 1e14 that is ~9·10⁴ games per
+    pair/wins per player; lower S for heavier arenas.  Players in no
+    decided game are absent.  Returns (player, rating, wins,
+    games)."""
     s = int(term_scale)
     k_scale = int(scale)
     w = (df.groupBy(F.col(winner_col).alias("i"),
@@ -352,6 +367,10 @@ def bradley_terry(
     tot_games = sym.groupBy("i").agg(F.sum("c").alias("games"))
     players = wins.join(tot_games, "i").select(
         "i", "wins", "games")
+
+    if driver_pair_cap and sym.count() <= driver_pair_cap:
+        return _bt_driver_rounds(df.sparkSession, sym, players,
+                                 int(iterations), s, k_scale)
     ratings = players.select(
         "i", F.lit(k_scale).cast("long").alias("p"))
     for _ in range(int(iterations)):
@@ -384,3 +403,45 @@ def bradley_terry(
                     F.col("p").cast("long").alias("rating"),
                     F.col("wins").cast("long").alias("wins"),
                     F.col("games").cast("long").alias("games")))
+
+
+def _bt_driver_rounds(spark, sym: DataFrame, players: DataFrame,
+                      iterations: int, s: int, k_scale: int
+                      ) -> DataFrame:
+    """MM rounds on the collected pair-count table — the identical
+    int64 formulas as the distributed loop (DIV == floor division on
+    the nonnegative operands used here), vectorized with factorized
+    player ids; one job instead of 5 x (join + agg + checkpoint)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    p_pdf = players.toPandas()
+    out_schema = T.StructType([
+        T.StructField("player", players.schema["i"].dataType),
+        T.StructField("rating", T.LongType()),
+        T.StructField("wins", T.LongType()),
+        T.StructField("games", T.LongType()),
+    ])
+    if not len(p_pdf):
+        return spark.createDataFrame([], out_schema)
+    s_pdf = sym.toPandas()
+    codes = pd.Series(np.arange(len(p_pdf)), index=p_pdf["i"])
+    i_idx = codes[s_pdf["i"]].to_numpy()
+    j_idx = codes[s_pdf["j"]].to_numpy()
+    c = s_pdf["c"].to_numpy(np.int64)
+    wins = p_pdf["wins"].to_numpy(np.int64)
+    k = len(p_pdf)
+    p = np.full(k, k_scale, dtype=np.int64)
+    for _ in range(iterations):
+        t = (c * s) // np.maximum(p[i_idx] + p[j_idx], 1)
+        d = np.zeros(k, dtype=np.int64)
+        np.add.at(d, i_idx, t)
+        raw = (wins * s) // np.maximum(d, 1)
+        tot = int(raw.sum())
+        p = raw // max(tot // (k * k_scale), 1)
+    res = pd.DataFrame({"player": p_pdf["i"],
+                        "rating": p,
+                        "wins": wins,
+                        "games": p_pdf["games"].to_numpy(np.int64)})
+    return spark.createDataFrame(res, out_schema)

@@ -43,11 +43,34 @@ def with_unit_vectors(df: DataFrame, vec_col: str = "embedding",
                          F.transform(v, lambda x: x / _norm(v)))
 
 
+#: cosine_topk refuses corpora larger than this (see its docstring).
+COSINE_TOPK_CORPUS_BOUND = 1_000_000
+
+
 def cosine_topk(probes: DataFrame, corpus: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                probe_id_col: Optional[str] = None) -> DataFrame:
+                probe_id_col: Optional[str] = None,
+                corpus_bound: Optional[int] = None) -> DataFrame:
     """Exact top-k by cosine: returns (probe_id, rk, vec_id, cos_sim).
-    Ties broken by ascending corpus id for determinism."""
+    Ties broken by ascending corpus id for determinism.
+
+    SCALE CONTRACT: this is the probes x corpus crossJoin — the exact
+    VERIFIER and small-corpus baseline, not the scale path.  It
+    refuses to run when the corpus exceeds ``corpus_bound`` (default
+    ``COSINE_TOPK_CORPUS_BOUND`` = 10^6 rows; pass an explicit bound
+    to override deliberately): at 10^9 corpus rows the crossJoin is a
+    10^9 x P scan no plan can save — use :func:`ivf_topk` /
+    :func:`pq_topk` (banded/celled/coded scans) there, and keep this
+    as the bounded-recall verifier they are floored against."""
+    bound = COSINE_TOPK_CORPUS_BOUND if corpus_bound is None \
+        else int(corpus_bound)
+    n_corpus = corpus.count()
+    if n_corpus > bound:
+        raise ValueError(
+            f"cosine_topk: corpus has {n_corpus} rows, above the "
+            f"declared exact-verifier bound {bound}.  Use ivf_topk/"
+            f"pq_topk for large corpora, or pass corpus_bound "
+            f"explicitly to force the exact scan.")
     probe_id_col = probe_id_col or id_col
     p = probes.select(F.col(probe_id_col).alias("probe_id"),
                       F.col(vec_col).cast("array<double>").alias("p"))
@@ -148,26 +171,29 @@ def lsh_topk(probes: DataFrame, corpus: DataFrame, dim: int, k: int = 10,
                           F.col("cos").alias("cos_sim")))
 
 
-def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int = 16,
-                        vec_col: str = "embedding", sample_size: int = 4096,
-                        n_iter: int = 10, seed: int = 11) -> np.ndarray:
-    """K-means coarse quantizer for the IVF index, trained on a bounded
-    deterministic sample (k-means on a few thousand vectors is how IVF
-    quantizers are trained at any corpus scale — the full data never
-    reaches the driver).  Deterministic: seeded init on a sample ordered
-    by a column hash, Lloyd iterations in NumPy.  Returns
-    ``(n_centroids, dim)`` float64."""
-    s = F.concat_ws(",", F.col("v").cast("array<string>"))
+def _trainer_sample(corpus: DataFrame, vec_col: str, sample_size: int,
+                    seed: int) -> np.ndarray:
+    """Bounded deterministic trainer sample as a float64 matrix: rows
+    ranked by a seeded 64-bit hash OF THE VECTOR ITSELF (elementwise
+    ``xxhash64`` chaining — layout-independent and replicated exactly
+    by ``hiselspark.sparkhash`` for the no-Spark verification twins),
+    lexicographic vector tiebreak, top ``sample_size`` taken.  The
+    orderBy+limit pair compiles to TakeOrderedAndProject (per-partition
+    top-k, NOT a global sort of the corpus)."""
+    v = F.col(vec_col).cast("array<double>")
     sample = (corpus
-              .select(F.col(vec_col).cast("array<double>").alias("v"))
-              # 64-bit hash order + full-content tiebreaker: collision-
-              # robust and deterministic across partition layouts; the
-              # orderBy+limit pair compiles to TakeOrderedAndProject
-              # (per-partition top-k, NOT a global sort of the corpus)
-              .orderBy(F.xxhash64(F.lit(seed), s), s)
+              .select(v.alias("v"))
+              .orderBy(F.xxhash64(F.lit(seed), F.col("v")), F.col("v"))
               .limit(sample_size)
               .toPandas())
-    x = np.array(sample["v"].tolist(), dtype=np.float64)
+    return np.array(sample["v"].tolist(), dtype=np.float64)
+
+
+def _kmeans_cosine(x: np.ndarray, n_centroids: int, n_iter: int,
+                   seed: int) -> np.ndarray:
+    """Seeded spherical Lloyd iterations on L2-normalized rows — the
+    pure-NumPy core shared by the Spark trainer and the verification
+    twin (same array in, bit-identical centroids out)."""
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_centroids, len(x)),
@@ -181,6 +207,19 @@ def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int = 16,
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent
+
+
+def train_ivf_centroids(corpus: DataFrame, dim: int, n_centroids: int = 16,
+                        vec_col: str = "embedding", sample_size: int = 4096,
+                        n_iter: int = 10, seed: int = 11) -> np.ndarray:
+    """K-means coarse quantizer for the IVF index, trained on a bounded
+    deterministic sample (k-means on a few thousand vectors is how IVF
+    quantizers are trained at any corpus scale — the full data never
+    reaches the driver).  Deterministic: seeded init on a hash-ordered
+    sample (:func:`_trainer_sample`), Lloyd iterations in NumPy.
+    Returns ``(n_centroids, dim)`` float64."""
+    x = _trainer_sample(corpus, vec_col, sample_size, seed)
+    return _kmeans_cosine(x, n_centroids, n_iter, seed)
 
 
 def assign_ivf_cells(df: DataFrame, centroids: np.ndarray,
@@ -351,14 +390,16 @@ def train_pq_codebooks(corpus: DataFrame, dim: int, m: int = 16,
     ``(m, n_codes, dim//m)`` float64."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    x = _trainer_sample(corpus, vec_col, sample_size, seed)
+    return _pq_kmeans_subspaces(x, dim, m, n_codes, n_iter, seed)
+
+
+def _pq_kmeans_subspaces(x: np.ndarray, dim: int, m: int, n_codes: int,
+                         n_iter: int, seed: int) -> np.ndarray:
+    """Seeded per-subspace L2 Lloyd iterations on L2-normalized rows —
+    the pure-NumPy core shared by the Spark trainer and the
+    verification twin."""
     dsub = dim // m
-    s = F.concat_ws(",", F.col("v").cast("array<string>"))
-    sample = (corpus
-              .select(F.col(vec_col).cast("array<double>").alias("v"))
-              .orderBy(F.xxhash64(F.lit(seed), s), s)
-              .limit(sample_size)
-              .toPandas())
-    x = np.array(sample["v"].tolist(), dtype=np.float64)
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     n_codes = min(n_codes, len(x))  # codebook can't exceed sample
@@ -1001,3 +1042,86 @@ def mutual_pairs(topk: DataFrame, left_col: str = "probe_id",
                .distinct())
     return (fwd.join(rev, ["a", "b"], "left_semi")
                .filter(F.col("a") < F.col("b")))
+
+
+def hard_negative_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_cand: int = 20,
+    n_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    probe_id_col: Optional[str] = None,
+    method: str = "exact",
+    **ann_kwargs,
+) -> DataFrame:
+    """Hard-negative mining for cross-encoder / reranker distillation
+    (the ANCE/RocketQA recipe, Xiong et al. 2021; Qu et al. 2021):
+    for each query vector, the POSITIVE is its highest-ranked
+    same-label neighbour and the HARD NEGATIVES are the ``n_neg``
+    highest-ranked different-label neighbours inside the top
+    ``k_cand`` retrieval candidates — the wrong answers the retriever
+    itself finds most convincing, which is exactly the pair
+    distribution a cross-encoder teacher should be distilled on
+    (random negatives are trivially separable and teach nothing).
+
+    ``method='exact'`` ranks candidates with the exact
+    :func:`cosine_topk` verifier — the gate/small-corpus path, bounded
+    by its corpus guard.  ``method='ivf'`` ranks with
+    :func:`ivf_topk` (celled scan; pass ``n_centroids``/``n_probe``
+    via kwargs) — the 10^12-row path: mining quality then degrades
+    gracefully with ANN recall, which is floored separately.  Either
+    way the derivation after candidate retrieval is identical pure
+    DataFrame algebra: one window per role over the top-k frame, one
+    broadcast-sized join back to labels — SQL-replayable end to end
+    (no pinning needed on the exact path).
+
+    Rows with NULL labels (query or candidate side) are excluded;
+    queries with no same-label candidate in the top ``k_cand`` emit
+    nothing (no positive to anchor the pair).  Returns one row per
+    (query, negative): (anchor_id, pos_id, neg_id, neg_rank,
+    cos_pos, cos_neg, margin) with cosines and the margin
+    ``cos_pos - cos_neg`` rounded to 6 decimals.
+    """
+    probe_id_col = probe_id_col or id_col
+    if method == "exact":
+        topk = cosine_topk(queries, corpus, k=k_cand, id_col=id_col,
+                           vec_col=vec_col, probe_id_col=probe_id_col,
+                           **ann_kwargs)
+    elif method == "ivf":
+        topk = ivf_topk(queries, corpus, k=k_cand, id_col=id_col,
+                        vec_col=vec_col, probe_id_col=probe_id_col,
+                        dim=ann_kwargs.pop("dim"), **ann_kwargs)
+    else:
+        raise ValueError(f"method must be 'exact' or 'ivf', got "
+                         f"{method!r}")
+    clab = corpus.select(F.col(id_col).alias("vec_id"),
+                         F.col(label_col).alias("__clab"))
+    qlab = queries.select(F.col(probe_id_col).alias("probe_id"),
+                          F.col(label_col).alias("__qlab"))
+    j = (topk
+         .join(F.broadcast(qlab), "probe_id")
+         .join(clab, "vec_id")
+         .filter(F.col("__qlab").isNotNull()
+                 & F.col("__clab").isNotNull()))
+    wp = Window.partitionBy("probe_id").orderBy("rk")
+    pos = (j.filter(F.col("__clab") == F.col("__qlab"))
+           .withColumn("__prk", F.row_number().over(wp))
+           .filter(F.col("__prk") == 1)
+           .select(F.col("probe_id"),
+                   F.col("vec_id").alias("pos_id"),
+                   F.col("cos_sim").alias("__cos_pos")))
+    neg = (j.filter(F.col("__clab") != F.col("__qlab"))
+           .withColumn("neg_rank", F.row_number().over(wp))
+           .filter(F.col("neg_rank") <= n_neg)
+           .select("probe_id", F.col("vec_id").alias("neg_id"),
+                   "neg_rank", F.col("cos_sim").alias("__cos_neg")))
+    return (neg.join(pos, "probe_id")
+            .select(F.col("probe_id").alias("anchor_id"),
+                    "pos_id", "neg_id",
+                    F.col("neg_rank").cast("int").alias("neg_rank"),
+                    F.round("__cos_pos", 6).alias("cos_pos"),
+                    F.round("__cos_neg", 6).alias("cos_neg"),
+                    F.round(F.col("__cos_pos") - F.col("__cos_neg"), 6)
+                    .alias("margin")))

@@ -90,8 +90,17 @@ def mutual_info(
                 .groupBy("p.fi", "p.xb", "yb")
                 .count()
                 .toPandas())
+    mis = mi_from_count_frame(counts, len(feature_cols))
+    return pd.Series(mis, index=list(feature_cols))
 
-    mis = np.zeros(len(feature_cols))
+
+def mi_from_count_frame(counts: pd.DataFrame, n_features: int) -> np.ndarray:
+    """Histogram-MI per feature from a ``(fi, xb, yb, count)`` frame —
+    the driver-side arithmetic shared by :func:`mutual_info` and the
+    no-Spark verification twin (``hiselspark/twin.py``): pivoting
+    sorts bins, so the float fold order is a pure function of the
+    counts, not of shuffle arrival order."""
+    mis = np.zeros(n_features)
     for fi, g in counts.groupby("fi"):
         table = g.pivot_table(index="xb", columns="yb", values="count",
                               aggfunc="sum", fill_value=0).to_numpy()
@@ -101,7 +110,7 @@ def mutual_info(
         outer = (table.sum(axis=1)[:, None] * table.sum(axis=0)[None, :])[nz]
         mis[int(fi)] = float(np.sum(
             pij * (np.log(table[nz] * n) - np.log(outer))))
-    return pd.Series(mis, index=list(feature_cols))
+    return mis
 
 
 def _psi_int(n: np.ndarray) -> np.ndarray:

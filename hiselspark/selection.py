@@ -592,43 +592,59 @@ class SparkHSICSelector:
             minibatch_size=minibatch_size, mode=mode, order_col=order_col,
             batch_size=batch_size, epochs=epochs, seed=seed, cache=cache,
             rebalance=rebalance, precision=precision)
+        return assemble_selection_result(
+            per_outer, self.feature_cols, number_of_features, threshold)
 
-        proj = np.zeros((k, d))
-        paths = []
-        hsic = np.zeros(d)
-        rows = 0
-        mbs = 0
-        for xtx, xty, n_rows, n_batches in per_outer:
-            active, path = lar.solve_gram(xtx, xty, k)
-            proj += _indicator_projection(active, d, k)
-            paths.append(path)
-            hsic += xty
-            rows += n_rows
-            mbs += n_batches
-        proj /= len(per_outer)
-        avg_path = _average_paths(paths)
-        path_df = pd.DataFrame(avg_path, columns=self.feature_cols)
-        final = path_df.iloc[-1, :] if len(path_df) else pd.Series(
-            np.zeros(d), index=self.feature_cols)
-        curve = np.cumsum(np.sort(final.values)[::-1])
-        ordered = sorted(self.feature_cols, key=lambda c: final[c],
-                         reverse=True)
-        if number_of_features:
-            ranking = _ranking_from_projection(proj)
-            selected = [self.feature_cols[i] for i in ranking]
-        else:
-            selected = select_from_lasso_path(path_df, threshold)
-        return SelectionResult(
-            features=selected,
-            ordered_features=ordered,
-            hsic_scores=pd.Series(hsic, index=self.feature_cols),
-            lasso_path=path_df,
-            reg_curve=curve,
-            projection=proj,
-            n_rows_used=rows,
-            n_minibatches=mbs,
-            stats=[(s[0], s[1]) for s in per_outer],
-        )
+
+def assemble_selection_result(
+    per_outer: List[Tuple[np.ndarray, np.ndarray, int, int]],
+    feature_cols: Sequence[str],
+    number_of_features: Optional[int],
+    threshold: float,
+) -> SelectionResult:
+    """Driver-side LARS + ranking assembly from the reduced
+    sufficient statistics — shared by :meth:`SparkHSICSelector.run`
+    and the no-Spark verification twin (``hiselspark/twin.py``):
+    identical (X^T X, X^T y) blocks in, bit-identical selection out."""
+    feature_cols = list(feature_cols)
+    d = len(feature_cols)
+    k = number_of_features if number_of_features else d - 1
+    proj = np.zeros((k, d))
+    paths = []
+    hsic = np.zeros(d)
+    rows = 0
+    mbs = 0
+    for xtx, xty, n_rows, n_batches in per_outer:
+        active, path = lar.solve_gram(xtx, xty, k)
+        proj += _indicator_projection(active, d, k)
+        paths.append(path)
+        hsic += xty
+        rows += n_rows
+        mbs += n_batches
+    proj /= len(per_outer)
+    avg_path = _average_paths(paths)
+    path_df = pd.DataFrame(avg_path, columns=feature_cols)
+    final = path_df.iloc[-1, :] if len(path_df) else pd.Series(
+        np.zeros(d), index=feature_cols)
+    curve = np.cumsum(np.sort(final.values)[::-1])
+    ordered = sorted(feature_cols, key=lambda c: final[c],
+                     reverse=True)
+    if number_of_features:
+        ranking = _ranking_from_projection(proj)
+        selected = [feature_cols[i] for i in ranking]
+    else:
+        selected = select_from_lasso_path(path_df, threshold)
+    return SelectionResult(
+        features=selected,
+        ordered_features=ordered,
+        hsic_scores=pd.Series(hsic, index=feature_cols),
+        lasso_path=path_df,
+        reg_curve=curve,
+        projection=proj,
+        n_rows_used=rows,
+        n_minibatches=mbs,
+        stats=[(s[0], s[1]) for s in per_outer],
+    )
 
 
 def hsic_lasso_select(

@@ -114,3 +114,48 @@ def test_stage_link_replaces_stale_symlink(tmp_path):
     assert open(link, "rb").read() == b"new"
     # no temp droppings left behind
     assert sorted(os.listdir(src_dir)) == ["events.parquet"]
+
+
+def test_bradley_terry_driver_path_equals_distributed(spark):
+    """The round-5 driver fixed-point path (pair table under the cap)
+    must be BIT-IDENTICAL to the distributed MM rounds — identical
+    int64 formulas, just without the per-round job scheduling."""
+    from hiselspark.operators.rank_eval import bradley_terry
+    rows = []
+    for a, b, na, nb in (("x", "y", 7, 3), ("y", "z", 5, 4),
+                         ("x", "z", 2, 6), ("w", "x", 3, 3)):
+        rows += [(a, b)] * na + [(b, a)] * nb
+    df = spark.createDataFrame(rows, "w string, l string")
+    fast = {r["player"]: r for r in
+            bradley_terry(df, "w", "l").collect()}
+    slow = {r["player"]: r for r in
+            bradley_terry(df, "w", "l", driver_pair_cap=0).collect()}
+    assert set(fast) == set(slow) == {"w", "x", "y", "z"}
+    for p in fast:
+        assert (fast[p]["rating"], fast[p]["wins"], fast[p]["games"]) \
+            == (slow[p]["rating"], slow[p]["wins"], slow[p]["games"])
+
+
+def test_hard_negative_pairs_planted_clusters(spark):
+    """Planted two-cluster geometry: positives come from the anchor's
+    own cluster, hard negatives from the other; margins positive."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        center = np.zeros(8)
+        center[lab] = 1.0
+        v = center + 0.05 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = __import__("hiselspark.operators.similarity",
+                     fromlist=["hard_negative_pairs"]) \
+        .hard_negative_pairs(df.filter("vec_id < 6"), df,
+                             k_cand=25, n_neg=2).collect()
+    assert len(out) == 12        # 6 anchors x 2 negatives
+    for r in out:
+        assert r["pos_id"] % 2 == r["anchor_id"] % 2
+        assert r["neg_id"] % 2 != r["anchor_id"] % 2
+        assert r["margin"] > 0

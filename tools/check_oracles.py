@@ -38,15 +38,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # with the representation-exact default
 TOLERANT = os.environ.get("CHECK_ORACLES_TOLERANT", "") == "1"
 
-# Queries whose oracles embed PINNED values generated at the driver's
-# gate scale (sf0.01): the 4 full literal pins (seeded searches whose
-# independent evidence is pytest parity vs the reference) and the
-# constant pins (ANN candidate ids, PCA model, semantic-dedup
-# clusters, exact selection scores).  At any OTHER sf these oracles
-# intentionally diverge — the pin encodes a data-fit model/search
-# output of sf0.01 data.  The sweep still RUNS them and records the
-# comparison, but tags the mismatch as the declared scale pin rather
-# than a correctness failure.
+# Queries whose oracles embed PINNED values (tools/pin_all.py): the 4
+# full literal pins (seeded searches whose independent evidence is the
+# layout-determinism double-run + the no-Spark twin, plus pytest
+# parity vs the reference for the math cores) and the constant pins
+# (ANN candidate ids, PCA model, semantic-dedup clusters, exact
+# selection scores).  Round 5 made the pins PER-SF: oracle_sql()
+# selects the pin set via HISELSPARK_GATE_SF_TAG, so at every sf that
+# tools/pin_all.py has pinned these queries get TRUE oracles and are
+# graded ok/fail like everything else.  Only at an sf with NO pin set
+# (the registry lookup falls back to sf0.01) does the sweep tag a
+# mismatch as the declared scale pin instead of a failure.
 PINNED_AT_GATE_SF = {
     "greedy_hsic_search", "categorical_search", "mi_preselect",
     "feature_selection",                       # full literal pins
@@ -54,7 +56,18 @@ PINNED_AT_GATE_SF = {
     "lsh_topk", "ivf_topk", "pq_topk", "pca_project",
     "semantic_dedup",                          # constant pins
 }
-GATE_SF_DIR_HINT = "sf0.01"
+
+
+def _pins_cover(sf_dir: str) -> bool:
+    """True when the pin registry has a set for this sf (the 11
+    pin-family queries then have true per-sf oracles)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        from hiselspark.pinned_constants import PINNED_CONSTANTS_BY_SF
+        from hiselspark.pinned_oracles import PINNED_ORACLES_BY_SF
+    except ImportError:
+        return False
+    return tag in PINNED_CONSTANTS_BY_SF and tag in PINNED_ORACLES_BY_SF
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -125,6 +138,15 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    # select the per-sf pin set for oracle_sql() (must be set before
+    # the oracles are built)
+    os.environ["HISELSPARK_GATE_SF_TAG"] = os.path.basename(
+        sf_dir.rstrip("/"))
+    pinned_covered = _pins_cover(sf_dir)
+    if pinned_covered:
+        print(f"pin registry covers {os.environ['HISELSPARK_GATE_SF_TAG']}"
+              f": pin-family queries get TRUE per-sf oracles")
 
     import __spark_entry__ as se
     from pyspark.sql import SparkSession
@@ -248,9 +270,9 @@ def main():
             continue
         problems = compare(name, got, exp)
         if problems and (name in PINNED_AT_GATE_SF
-                         and GATE_SF_DIR_HINT not in sf_dir):
-            print(f"pin  {name}: oracle pinned at {GATE_SF_DIR_HINT}; "
-                  f"diverges at this sf as declared")
+                         and not pinned_covered):
+            print(f"pin  {name}: no pin set for this sf; oracle uses "
+                  f"the sf0.01 pins and diverges as declared")
             report[name] = {"status": "pinned_at_gate_sf",
                             "spark_rows": len(got),
                             "oracle_rows": len(exp),
