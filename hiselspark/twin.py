@@ -648,6 +648,19 @@ def _fold_norms(mat: np.ndarray) -> np.ndarray:
     return np.sqrt(fold_dot(mat, mat))
 
 
+ARROW_BATCH = 10_000   # spark.sql.execution.arrow.maxRecordsPerBatch
+
+
+def _batched(fn, mat: np.ndarray, batch: int = ARROW_BATCH):
+    """Apply ``fn`` to ``mat`` in the engine's Arrow batch sizes and
+    stack — per-row results of BLAS matmuls can differ in the last
+    ulp with the batch shape, so the twin mirrors the batching the
+    pandas UDFs actually see (single-partition scan, 10k-row
+    batches)."""
+    outs = [fn(mat[s:s + batch]) for s in range(0, len(mat), batch)]
+    return np.concatenate(outs, axis=0)
+
+
 def twin_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Twin of ``q_lsh_topk`` (32 bands x 5 bits, exact cosine
     re-rank inside the banded candidates)."""
@@ -703,12 +716,15 @@ def twin_ivf_topk(sf_dir: str) -> pd.DataFrame:
     n_centroids, n_probe, seed, k = 16, 8, 11, 5
     sample = _twin_trainer_sample(mat, 4096, seed)
     cent = _kmeans_cosine(sample, n_centroids, 10, seed)
-    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                         1e-12)
-    sims = x @ cent.T
-    corpus_cell = np.argsort(-sims, axis=1)[:, 0]
+
+    def cells(m: np.ndarray, np_: int) -> np.ndarray:
+        x = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        return np.argsort(-(x @ cent.T), axis=1)[:, :np_]
+
+    corpus_cell = _batched(lambda m: cells(m, 1), mat)[:, 0]
     probe_idx = np.flatnonzero(vec_id < 20)
-    probe_cells = np.argsort(-sims[probe_idx], axis=1)[:, :n_probe]
+    probe_cells = cells(mat[probe_idx], n_probe)
     norms = _fold_norms(mat)
     by_cell: Dict[int, List[int]] = {}
     for i in range(len(mat)):
@@ -746,14 +762,19 @@ def twin_pq_topk(sf_dir: str) -> pd.DataFrame:
     dsub = dim // m
     sample = _twin_trainer_sample(mat, 4096, seed)
     books = _pq_kmeans_subspaces(sample, dim, m, n_codes, 10, seed)
-    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                         1e-12)
-    codes = np.empty((len(x), m), dtype=np.int64)
-    for j in range(m):
-        xs = x[:, j * dsub:(j + 1) * dsub]
-        d2 = (-2.0 * xs @ books[j].T
-              + (books[j] ** 2).sum(axis=1)[None, :])
-        codes[:, j] = np.argmin(d2, axis=1)
+
+    def encode(batch: np.ndarray) -> np.ndarray:
+        x = batch / np.maximum(
+            np.linalg.norm(batch, axis=1, keepdims=True), 1e-12)
+        cc = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            d2 = (-2.0 * xs @ books[j].T
+                  + (books[j] ** 2).sum(axis=1)[None, :])
+            cc[:, j] = np.argmin(d2, axis=1)
+        return cc
+
+    codes = _batched(encode, mat)
     probe_idx = np.flatnonzero(vec_id < 20)
     pv = mat[probe_idx]
     pvn = pv / np.maximum(np.linalg.norm(pv, axis=1, keepdims=True),
@@ -797,9 +818,13 @@ def twin_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     n_clusters, eps, seed = 8, 0.65, 11
     sample = _twin_trainer_sample(mat, 4096, seed)
     cent = _kmeans_cosine(sample, n_clusters, 10, seed)
-    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
-                         1e-12)
-    cluster = np.argsort(-(x @ cent.T), axis=1)[:, 0]
+
+    def cells1(m: np.ndarray) -> np.ndarray:
+        x = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True),
+                           1e-12)
+        return np.argsort(-(x @ cent.T), axis=1)[:, :1]
+
+    cluster = _batched(cells1, mat)[:, 0]
     thr = 1.0 - eps
     rows = []
     for c in np.unique(cluster):
@@ -840,7 +865,7 @@ def twin_pca_project(sf_dir: str) -> pd.DataFrame:
         for kk in range(j, d):
             tri.append(int(bg[j, kk]))
     model = model_from_integer_stats(n, s, tri, d, quant, k)
-    p = (mat - model.mean) @ model.components.T
+    p = _batched(lambda m: (m - model.mean) @ model.components.T, mat)
     out = {"vec_id": vec_id}
     for i in range(k):
         out[f"p{i}"] = spark_round_arr(p[:, i])
