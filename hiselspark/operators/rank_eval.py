@@ -340,11 +340,13 @@ def bradley_terry(
     rounds run distributed with per-round ``localCheckpoint``
     truncating the doubling lineage (the kcore/label_prop lesson).
 
-    Overflow bounds (both paths, identical to the SQL oracle): c·S
-    and W·S must fit int64 — with S = 1e14 that is ~9·10⁴ games per
-    pair/wins per player; lower S for heavier arenas.  Players in no
-    decided game are absent.  Returns (player, rating, wins,
-    games)."""
+    Overflow discipline (round 5, both paths, mirrored by the
+    HUGEINT oracle): the c·S and W·S PRODUCTS multiply in
+    DECIMAL(38,0) / arbitrary-precision ints — an int64 multiply
+    wraps silently past ~9·10⁴ games per pair at S = 1e14, a bound
+    the sf1 gate actually crossed — while every quotient and sum is
+    back under int64 by construction.  Players in no decided game
+    are absent.  Returns (player, rating, wins, games)."""
     s = int(term_scale)
     k_scale = int(scale)
     w = (df.groupBy(F.col(winner_col).alias("i"),
@@ -378,16 +380,24 @@ def bradley_terry(
                             F.col("p").alias("p_i"))
         pj = ratings.select(F.col("i").alias("pj_i"),
                             F.col("p").alias("p_j"))
+        # the c*S / wins*S products multiply in DECIMAL(38,0): at
+        # heavy-arena scale (sf1: 1.6e5 games per pair) they exceed
+        # int64 and a long multiply would wrap silently — the DuckDB
+        # oracle caught exactly this via a loud HUGEINT overflow.
+        # The quotients are back under int64 by construction.
         d = (sym.join(pi, sym.i == F.col("pi_i"))
                 .join(pj, sym.j == F.col("pj_i"))
                 .select("i",
-                        F.expr(f"(c * {s}L) DIV "
-                               f"greatest(p_i + p_j, 1L)")
+                        F.expr(f"CAST((CAST(c AS DECIMAL(38,0)) * {s})"
+                               f" DIV greatest(p_i + p_j, 1L)"
+                               f" AS BIGINT)")
                         .alias("t"))
                 .groupBy("i").agg(F.sum("t").alias("d")))
         raw = (players.join(d, "i")
                .select("i",
-                       F.expr(f"(wins * {s}L) DIV greatest(d, 1L)")
+                       F.expr(f"CAST((CAST(wins AS DECIMAL(38,0))"
+                              f" * {s}) DIV greatest(d, 1L)"
+                              f" AS BIGINT)")
                        .alias("raw")))
         raw = raw.withColumn(
             "tot", F.sum("raw").over(
@@ -432,14 +442,36 @@ def _bt_driver_rounds(spark, sym: DataFrame, players: DataFrame,
     c = s_pdf["c"].to_numpy(np.int64)
     wins = p_pdf["wins"].to_numpy(np.int64)
     k = len(p_pdf)
-    p = np.full(k, k_scale, dtype=np.int64)
-    for _ in range(iterations):
-        t = (c * s) // np.maximum(p[i_idx] + p[j_idx], 1)
-        d = np.zeros(k, dtype=np.int64)
-        np.add.at(d, i_idx, t)
-        raw = (wins * s) // np.maximum(d, 1)
-        tot = int(raw.sum())
-        p = raw // max(tot // (k * k_scale), 1)
+    big = (int(c.max(initial=0)) * s >= 2 ** 62
+           or int(wins.max(initial=0)) * s >= 2 ** 62)
+    if big:
+        # heavy arena: c*S / wins*S exceed int64 — run the identical
+        # formulas in arbitrary-precision Python ints (matches the
+        # distributed path's DECIMAL(38,0) products)
+        ci = [int(v) for v in c]
+        ii = [int(v) for v in i_idx]
+        jj = [int(v) for v in j_idx]
+        wl = [int(v) for v in wins]
+        pl = [k_scale] * k
+        for _ in range(iterations):
+            dl = [0] * k
+            for t_i in range(len(ci)):
+                dl[ii[t_i]] += ((ci[t_i] * s)
+                                // max(pl[ii[t_i]] + pl[jj[t_i]], 1))
+            raw = [(wl[x] * s) // max(dl[x], 1) for x in range(k)]
+            tot = sum(raw)
+            den = max(tot // (k * k_scale), 1)
+            pl = [r // den for r in raw]
+        p = np.array(pl, dtype=np.int64)
+    else:
+        p = np.full(k, k_scale, dtype=np.int64)
+        for _ in range(iterations):
+            t = (c * s) // np.maximum(p[i_idx] + p[j_idx], 1)
+            d = np.zeros(k, dtype=np.int64)
+            np.add.at(d, i_idx, t)
+            raw = (wins * s) // np.maximum(d, 1)
+            tot = int(raw.sum())
+            p = raw // max(tot // (k * k_scale), 1)
     res = pd.DataFrame({"player": p_pdf["i"],
                         "rating": p,
                         "wins": wins,

@@ -58,6 +58,35 @@ PINNED_AT_GATE_SF = {
 }
 
 
+# Declared approximate-candidate-generation queries checked against an
+# EXHAUSTIVE oracle: banded MinHash-LSH cannot guarantee recall 1.0
+# for pairs near the Jaccard threshold (the sf1 gate measured 0.95
+# where the gate-scale data happens to give 1.0), so equality is the
+# wrong contract at scale.  These are graded like the ANN family:
+# every returned row must appear in the oracle result with identical
+# values (soundness — zero false positives, exact arithmetic), and
+# recall = got/oracle must clear the floor.
+APPROX_SUBSET = {"minhash_neardup": 0.90}
+
+
+def _subset_check(got: pd.DataFrame, exp: pd.DataFrame) -> bool:
+    """True iff every row of ``got`` appears in ``exp`` (exact string/
+    repr match on all columns, multiset semantics)."""
+    def canon(df: pd.DataFrame) -> pd.Series:
+        cols = sorted(df.columns)
+        parts = []
+        for c in cols:
+            v = df[c]
+            parts.append(v.map(repr) if pd.api.types.is_float_dtype(v)
+                         else v.astype(str))
+        return pd.Series(["|".join(t) for t in zip(*parts)])
+
+    gc = canon(got).value_counts()
+    ec = canon(exp).value_counts()
+    merged = gc.to_frame("g").join(ec.to_frame("e"), how="left")
+    return bool((merged["e"].fillna(0) >= merged["g"]).all())
+
+
 def _pins_cover(sf_dir: str) -> bool:
     """True when the pin registry has a set for this sf (the 11
     pin-family queries then have true per-sf oracles)."""
@@ -269,6 +298,25 @@ def main():
             flush_report()
             continue
         problems = compare(name, got, exp)
+        if problems and name in APPROX_SUBSET:
+            floor = APPROX_SUBSET[name]
+            recall = len(got) / max(1, len(exp))
+            sound = _subset_check(got, exp)
+            if sound and recall >= floor:
+                print(f"ok   {name}: approx-recall subset — "
+                      f"{len(got)}/{len(exp)} rows (recall "
+                      f"{recall:.3f} >= floor {floor}), every "
+                      f"returned row exact in the oracle")
+                report[name] = {"status": "ok",
+                                "note": "approx_recall_subset",
+                                "recall": round(recall, 4),
+                                "recall_floor": floor,
+                                "spark_rows": len(got),
+                                "oracle_rows": len(exp)}
+                flush_report()
+                continue
+            problems = [f"approx-subset check failed: sound={sound} "
+                        f"recall={recall:.3f} floor={floor}"] + problems
         if problems and (name in PINNED_AT_GATE_SF
                          and not pinned_covered):
             print(f"pin  {name}: no pin set for this sf; oracle uses "
