@@ -525,6 +525,22 @@ def winnowing_fingerprints(df: DataFrame, id_col: str,
     Returns (id, fingerprint) — the DISTINCT selected hashes per
     document, exploded for the shared-fingerprint equi-join.
     """
+    run, out_schema = winnow_mapper(id_col, text_col, k, window)
+    return (df.select(F.col(id_col).alias(id_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, out_schema)
+            .distinct())
+
+
+def winnow_mapper(id_col: str, text_col: str, k: int = 8,
+                  window: int = 4):
+    """(mapInPandas generator, schema) computing per-document
+    winnowing fingerprints — the stateless per-row core shared by the
+    batch operator above and the STREAMING incremental
+    fingerprint-DF maintenance (``streaming.dedup.stream_winnow_df``):
+    per-document selection is ``np.unique``'d, so each (id,
+    fingerprint) row is emitted exactly once per document and a plain
+    count over the stream IS the document frequency."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -566,10 +582,7 @@ def winnowing_fingerprints(df: DataFrame, id_col: str,
                                     "fingerprint": pd.Series(
                                         [], dtype="int64")})
 
-    return (df.select(F.col(id_col).alias(id_col),
-                      F.col(text_col).alias(text_col))
-            .mapInPandas(run, out_schema)
-            .distinct())
+    return run, out_schema
 
 
 def winnowing_pairs(df: DataFrame, id_col: str,

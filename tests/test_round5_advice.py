@@ -159,3 +159,37 @@ def test_hard_negative_pairs_planted_clusters(spark):
         assert r["pos_id"] % 2 == r["anchor_id"] % 2
         assert r["neg_id"] % 2 != r["anchor_id"] % 2
         assert r["margin"] > 0
+
+
+def test_stream_winnow_df_equals_batch(spark, tmp_path):
+    """Drained incremental fingerprint-DF table == batch winnowing DF
+    (the streaming substring-dedup dictionary twin)."""
+    import pandas as pd
+    from hiselspark.operators.dedup import winnowing_fingerprints
+    from hiselspark.streaming.dedup import stream_winnow_df
+    from hiselspark.streaming.sessions import (read_events_stream,
+                                               run_stream_to_batch)
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different sentence with no overlap x"),
+            (4, "the quick brown fox jumps over the lazy dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs.toPandas().to_parquet(str(src / "docs.parquet"))
+    stream = read_events_stream(spark, str(src), docs.schema)
+    got = (run_stream_to_batch(
+        stream_winnow_df(stream, "doc_id", "text", k=8, window=4),
+        output_mode="complete").toPandas()
+        .sort_values("fingerprint").reset_index(drop=True))
+    exp = (winnowing_fingerprints(docs, "doc_id", "text", k=8,
+                                  window=4)
+           .groupBy("fingerprint")
+           .agg({"*": "count"}).withColumnRenamed("count(1)",
+                                                  "doc_freq")
+           .toPandas().sort_values("fingerprint")
+           .reset_index(drop=True))
+    assert got.astype("int64").equals(exp.astype("int64"))
+    # the duplicated-fingerprint dictionary sees the shared prefix
+    shared = got[got["doc_freq"] >= 2]
+    assert len(shared) > 0
