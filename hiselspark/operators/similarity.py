@@ -700,10 +700,21 @@ def kcenter_sample(
     Returns ``(centers DataFrame, assigned DataFrame)``: centers =
     (order, center_id, sel_dist = distance to the previously chosen
     set, 0.0 for the anchor); assigned = input ids + (center_id, dist)
-    of their nearest center, ties to the lowest center order."""
-    s = F.col(id_col).cast("string")
+    of their nearest center, ties to the lowest center order.
+
+    Pool selection (round 5) uses the engine's Carter–Wegman 'poly'
+    counter hash ``((id % M31)·a + c) % M31`` instead of xxhash64, so
+    the SQL oracle can replay the pool EXACTLY when the corpus
+    exceeds ``pool_size`` (the sf1 gate exposed that the old
+    xxhash64-keyed pool was only oracle-replayable below the bound);
+    below the bound the pool is the whole table either way and
+    results are unchanged."""
+    from .bootstrap import _M31, cw_constants
+    a, c = cw_constants(1, seed)[0]
+    hcol = ((F.col(id_col).cast("long") % F.lit(int(_M31)))
+            * F.lit(int(a)) + F.lit(int(c))) % F.lit(int(_M31))
     pool_pdf = (df.select(id_col, vec_col)
-                  .orderBy(F.xxhash64(F.lit(seed), s), s)
+                  .orderBy(hcol, F.col(id_col))
                   .limit(pool_size)
                   .toPandas()
                   .sort_values(id_col).reset_index(drop=True))
