@@ -32,8 +32,12 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# north-pipeline corpus size scales with the sf of the test tables
-_SF_GUESS = 0.1 if "0.1" in SF_DIR else (0.01 if "0.01" in SF_DIR else 0.001)
+# north-pipeline corpus size scales with the sf of the test tables,
+# parsed from the directory name (sf0.001 / sf0.01 / sf0.1 / sf1 ...)
+import re as _re
+
+_m = _re.search(r"sf([0-9.]+)", os.path.basename(SF_DIR.rstrip("/")))
+_SF_GUESS = float(_m.group(1)) if _m else 0.001
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_N_IMAGES",
                               str(int(600_000 * _SF_GUESS))))
 
